@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — SURVEY.md §7.1.
+  *
+  * Every operator row of SURVEY.md §2 (plus the LLM-pipeline extension
+  * ops) is registered here as a named query; where the semantics are
+  * expressible in the Spark∩DuckDB ANSI dialect an oracle SQL string
+  * accompanies it for the driver's hash compare. Non-SQL-expressible
+  * ops (MinHash/SimHash/LSH internals) are declared without oracle —
+  * rows-only check — and pinned by ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Full registry, assembled from the operator modules. */
+  val registry: Seq[Q] =
+    ops.Parity.all ++ ops.Relational.all ++ ops.Ingest.all ++
+      llm.TextStats.all ++ llm.Dedup.all ++ llm.Similarity.all ++
+      llm.Events.all ++ llm.Multimodal.all
+
+  /** Flagship query (reference ATHENA_SQL, E3) on sf=0.001; driver
+    * smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ops.Parity.recencyTopK.fn(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  /** DuckDB-equivalent ANSI SQL per query (omitted → rows-only check). */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
 }

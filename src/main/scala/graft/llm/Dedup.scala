@@ -1,0 +1,197 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deduplication operators over `documents`: exact (hash group-by),
+  * normalized-key, MinHash+LSH near-dup, and SimHash near-dup.
+  *
+  * Scale design: every variant is shuffle-by-key — the exact/normalized
+  * ones shuffle a 16-byte digest per doc, MinHash shuffles (band_id,
+  * band_hash) pairs (16 per doc, constant size, independent of doc
+  * length), SimHash shuffles 4 16-bit band keys per doc. Candidate
+  * verification re-joins the (small) candidate-pair set back to the
+  * corpus, so full shingle sets never travel through the LSH shuffle.
+  * That is the property that keeps this runnable at 100 TB: shuffle
+  * volume is O(#docs × constant), not O(corpus bytes).
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact dedup: group by full-content md5, keep the smallest doc_id
+    * (deterministic survivor policy). */
+  val exact: Q = Q(
+    "q_dedup_exact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .select("keep_id", "content_hash", "dup_cnt")
+        .orderBy("keep_id"),
+    Some("""
+      SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+             md5(text) AS content_hash,
+             CAST(count(*) AS BIGINT) AS dup_cnt
+      FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
+
+  /** Normalized-key dedup: cluster by a 200-char normalized prefix —
+    * the cheap fingerprint-dedup stage that catches boilerplate
+    * near-copies before the expensive MinHash pass. */
+  val byPrefix: Q = Q(
+    "q_dedup_prefix",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(substring(trim(col("text")), 1, 200).cast("binary")).as("prefix_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+        .filter(col("group_size") > 1)
+        .select("keep_id", "prefix_hash", "group_size")
+        .orderBy("keep_id"),
+    Some("""
+      SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+             md5(substr(trim(text), 1, 200)) AS prefix_hash,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM documents GROUP BY md5(substr(trim(text), 1, 200))
+      HAVING count(*) > 1 ORDER BY keep_id"""))
+
+  /** Word 5-gram shingle set (distinct), whole-doc fallback for short
+    * docs. Built with higher-order functions only — codegen, no UDF. */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val tok = split(trim(text), "\\s+")
+    array_distinct(
+      when(size(tok) >= n,
+        transform(sequence(lit(0), size(tok) - n),
+          i => concat_ws(" ", slice(tok, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", tok))))
+  }
+
+  /** 64-hash MinHash signature as an array<long>; hash i is
+    * xxhash64(shingle, seed=i) minimized over the shingle set. */
+  def minhashSignature(sh: Column, hashes: Int = 64): Column =
+    array((0 until hashes).map(i =>
+      array_min(transform(sh, x => xxhash64(x, lit(i))))): _*)
+
+  /** MinHash + banded LSH near-duplicate pairs, exact-Jaccard verified.
+    *
+    * 16 bands × 4 rows: P(candidate) = 1-(1-j⁴)¹⁶ ≈ 0.89 at j=0.6,
+    * ≈ 0.12 at j=0.3 — a sharp threshold around the 0.5 cutoff used
+    * below. Candidates are verified with exact Jaccard over the
+    * shingle sets, so false LSH positives cannot leak into the output
+    * (only false negatives are possible, the standard MinHash trade).
+    *
+    * No oracle: MinHash internals aren't expressible in DuckDB SQL;
+    * the ScalaTest suite pins behavior on planted near-dups instead
+    * (driver records the weaker rows-only check, per contract). */
+  val minhashLsh: Q = Q(
+    "q_dedup_minhash",
+    (s, dir) => {
+      val bands = 16
+      val rows = 4
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .withColumn("sig", minhashSignature(col("sh")))
+
+      // band key: xxhash64 over the band's signature slice
+      val banded = docs.select(
+        col("doc_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.band"), col("e.bh"))
+
+      val l = banded.alias("l")
+      val r = banded.alias("r")
+      val candidates = l.join(r,
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+
+      // verify candidates with exact Jaccard over shingle sets
+      val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      candidates.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            nullif(size(col("sh_a")) + size(col("sh_b")) - col("inter"), lit(0)))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    None)
+
+  /** SimHash near-duplicate pairs: 64-bit signature from token hashes
+    * (explode → per-bit weighted vote → bit pack), then 4×16-bit band
+    * blocking and Hamming-distance ≤ 6 verification via bit_count(xor).
+    *
+    * The explode/group stage is a map-side-combinable aggregation:
+    * shuffle volume is 64 small sums per doc. No oracle (engine hash
+    * internals); rows-only + ScalaTest. */
+  val simhash: Q = Q(
+    "q_dedup_simhash",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitAggs = (0 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      val bitSums = docs.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      val sig = bitSums.select(
+        col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+
+      val banded = sig.select(
+        col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("band"),
+            shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("e"))
+        .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bh"))
+
+      val l = banded.alias("l")
+      val r = banded.alias("r")
+      l.join(r,
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+    None)
+
+  /** Exact word-set Jaccard between consecutive doc_ids — the
+    * n-gram-Jaccard primitive with a full DuckDB oracle (list
+    * intersection sizes; integer-division-derived doubles are
+    * bit-identical across engines). */
+  val jaccardPairs: Q = Q(
+    "q_jaccard_pairs",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("w"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("w").as("wa"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("w").as("wb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+        .select(
+          col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            nullif(size(col("wa")) + size(col("wb")) - col("inter"), lit(0))).as("jaccard"))
+        .orderBy("doc_a")
+    },
+    Some("""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+               nullif(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)), 0) AS jaccard
+      FROM (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents) a
+      JOIN (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents) b
+        ON b.doc_id = a.doc_id + 1
+      ORDER BY doc_a"""))
+
+  val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs)
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane-LSH bucketed variant as the 100 TB scale path.
+  *
+  * Vectors are cast float→double once up front; dot products and norms
+  * use `zip_with`/`aggregate` — sequential left-to-right folds, so the
+  * arithmetic is bit-deterministic and matches a sequential oracle
+  * loop. Only integer ids/ranks are emitted for hash comparison
+  * (SURVEY.md §7.5 float rule).
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private def queriesAndBase(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    (q, emb)
+  }
+
+  /** Brute-force cosine top-k: broadcast the (tiny) query set against
+    * the full corpus — the fact side streams through map-side, one
+    * shuffle of 8×N (query_id, sim) pairs into the per-query top-k
+    * window. At 100 TB the broadcast side is unchanged and the scan
+    * side scales linearly; no cross-corpus shuffle ever happens. */
+  val cosineTopK: Q = Q(
+    "q_cosine_topk",
+    (s, dir) => {
+      val (q, base) = queriesAndBase(s, dir)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      base.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", cosine(col("v"), col("qv")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      SELECT query_id, rank, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])) DESC,
+                          b.vec_id ASC) AS BIGINT) AS rank
+        FROM embeddings b, embeddings q
+        WHERE q.vec_id < 8 AND b.vec_id <> q.vec_id
+      ) WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** Deterministic random hyperplanes: 4 tables × 8 planes × 64 dims
+    * seeded from a fixed RNG — the plane matrix is a literal broadcast
+    * into the plan, regenerated identically every run. */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(32)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  val LshTables = 4
+  val LshBits = 8
+
+  /** 8-bit hyperplane-sign bucket for a vector column in LSH table l. */
+  def lshBucket(v: Column, table: Int): Column =
+    (0 until LshBits).map { p =>
+      val w = typedLit(planes(table * LshBits + p))
+      when(dot(v, w) > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** (table, bucket) membership pairs — L independent 256-bucket hash
+    * tables; a candidate needs to collide in ANY table (standard
+    * multi-table LSH recall boost). */
+  private def bucketed(df: DataFrame, idCol: String, vCol: String): DataFrame =
+    df.select(
+      col(idCol), col(vCol),
+      explode(array((0 until LshTables).map(l =>
+        struct(lit(l).as("tbl"), lshBucket(col(vCol), l).as("bucket"))): _*)).as("e"))
+      .select(col(idCol), col(vCol), col("e.tbl"), col("e.bucket"))
+
+  /** LSH-bucketed approximate NN — the scale path: both sides hash
+    * into 4×256 sign buckets; candidates are only pairs sharing a
+    * bucket in some table, so per-query work drops from N to
+    * ~L·N/2⁸. Approximate (bucket boundaries lose some true
+    * neighbors) → rows-only check; recall vs the exact baseline is
+    * pinned in ScalaTest. */
+  val annLsh: Q = Q(
+    "q_ann_lsh",
+    (s, dir) => {
+      val (q, base) = queriesAndBase(s, dir)
+      val qb = bucketed(q, "query_id", "qv").drop("qv")
+      val bb = bucketed(base, "vec_id", "v").drop("v")
+      val cand = bb.join(broadcast(qb), Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id").distinct()
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      cand
+        .join(base, Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("sim", cosine(col("v"), col("qv")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh)
+}

@@ -1,0 +1,144 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` expressions — no
+  * UDFs — so at 100 TB each query is one narrow scan stage (plus the
+  * declared ORDER BY, which the harness needs for determinism but a
+  * production pipeline would drop).
+  *
+  * Division is always `nullif`-guarded: Spark 4 runs in ANSI mode
+  * (divide-by-zero raises) while DuckDB yields NULL — guarding makes
+  * both produce NULL.
+  */
+object TextStats {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex piece count
+    * (letter runs / digit runs / single non-space symbols). */
+  val tokenCount: Q = Q(
+    "q_token_count",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+            .cast("long").as("n_pieces"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          (length(col("text")) === col("n_chars")).as("chars_match"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_pieces,
+             CAST(length(text) AS BIGINT) AS n_chars_calc,
+             (length(text) = n_chars) AS chars_match
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: length/punctuation/stopword ratios + average
+    * word length, aggregated per document with higher-order array
+    * functions (`aggregate`/`transform`) — sequential fold, so the
+    * double divisions are bit-identical to the oracle's. */
+  val quality: Q = Q(
+    "q_quality",
+    (s, dir) => {
+      val tok = tokens(col("text"))
+      val nTok = size(tok)
+      val sumLen = aggregate(transform(tok, x => length(x)), lit(0), (acc, x) => acc + x)
+      val stops = array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to"), lit("in"))
+      val nStop = size(filter(tok, x => array_contains(stops, x)))
+      val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?'\"]", ""))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          nPunct.cast("long").as("n_punct"),
+          nStop.cast("long").as("n_stopwords"),
+          (sumLen.cast("double") / nullif(nTok, lit(0))).as("avg_word_len"),
+          (nStop.cast("double") / nullif(nTok, lit(0))).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(n_stop AS BIGINT) AS n_stopwords,
+             CAST(sum_len AS DOUBLE) / nullif(n_tok, 0) AS avg_word_len,
+             CAST(n_stop AS DOUBLE) / nullif(n_tok, 0) AS stopword_ratio
+      FROM (
+        SELECT doc_id, text,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> len(x))) AS sum_len,
+               len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   x -> list_contains(['the','a','of','and','to','in'], x))) AS n_stop
+        FROM documents
+      ) ORDER BY doc_id"""))
+
+  /** Language-ID heuristic: stopword/marker n-gram scan (padded-text
+    * contains), CASE-priority decision. Deterministic; mirrored
+    * verbatim in the oracle. */
+  val langId: Q = Q(
+    "q_lang_id",
+    (s, dir) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def hasAny(ws: Seq[String]): Column =
+        ws.map(w => padded.contains(s" $w ")).reduce(_ || _)
+      val pred =
+        when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+          .when(hasAny(Seq("der", "und", "nicht", "das")), "de")
+          .when(hasAny(Seq("le", "la", "et", "les")), "fr")
+          .when(hasAny(Seq("el", "los", "las", "es")), "es")
+          .when(hasAny(Seq("the", "and", "of", "to")), "en")
+          .otherwise("und")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), pred.as("lang_pred"),
+          (pred === col("lang")).as("agree"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, lang_pred, (lang_pred = lang) AS agree FROM (
+        SELECT doc_id, lang,
+          CASE
+            WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ')
+              OR contains(' ' || text || ' ', ' nicht ') OR contains(' ' || text || ' ', ' das ') THEN 'de'
+            WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' la ')
+              OR contains(' ' || text || ' ', ' et ') OR contains(' ' || text || ' ', ' les ') THEN 'fr'
+            WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' los ')
+              OR contains(' ' || text || ' ', ' las ') OR contains(' ' || text || ' ', ' es ') THEN 'es'
+            WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' and ')
+              OR contains(' ' || text || ' ', ' of ') OR contains(' ' || text || ' ', ' to ') THEN 'en'
+            ELSE 'und' END AS lang_pred
+        FROM documents
+      ) ORDER BY doc_id"""))
+
+  /** Document fingerprinting: md5 content hash (exact-dedup key) plus a
+    * 16-hex-digit prefix fingerprint. Stable across engines. */
+  val fingerprint: Q = Q(
+    "q_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(col("text").cast("binary")).as("content_hash"),
+          substring(md5(col("text").cast("binary")), 1, 16).as("fp16"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, md5(text) AS content_hash,
+             substr(md5(text), 1, 16) AS fp16
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint)
+}

@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Relational capability proofs — absent from the reference (SURVEY.md
+  * §2c/§2d/§2e/§2g "Absent" rows) but mandatory for a usable analytics
+  * engine; each flagged "extension" per SURVEY.md §7.3 step 2.
+  *
+  * Float determinism rule (SURVEY.md §7.5): money sums go through
+  * `ROUND(x*100) AS BIGINT` cents so partial-aggregation order can
+  * never change a hash-compared value; `l_quantity` is integer-valued
+  * so its double sum is exact.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def cents(c: String) = round(col(c) * 100, 0).cast("long")
+
+  /** TPC-H-Q1-style grouped aggregation: hash partial+final agg with
+    * map-side combine — the shuffle carries one row per (flag,status)
+    * per partition, not per input row. AQE coalesces post-shuffle
+    * partitions at small SF; at 100 TB the same plan holds. */
+  val groupAgg: Q = Q(
+    "q_group_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(cents("l_extendedprice")).as("sum_price_cents"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS cnt,
+             sum(l_quantity) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+             min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Multi-way join + aggregation (orders ⋈ customer ⋈ nation):
+    * customer and nation are broadcast (dims), so the 100 TB fact table
+    * never shuffles for the join — only the final tiny group-by does. */
+  val joinAgg: Q = Q(
+    "q_join_agg",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          sum(cents("o_totalprice")).as("revenue_cents"))
+        .orderBy("n_name")
+    },
+    Some("""
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS order_cnt,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** Left-semi join: customers holding at least one urgent order.
+    * Semi joins dedup the probe side inside the join — no distinct
+    * shuffle afterwards. */
+  val semiJoin: Q = Q(
+    "q_semi_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
+
+  /** Left-anti join: customers with no urgent orders. */
+  val antiJoin: Q = Q(
+    "q_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
+
+  /** Window function capability (SURVEY.md §2e): latest 2 orders per
+    * customer by row_number with a fully deterministic frame order.
+    * One shuffle on the partition key; no global sort. */
+  val windowTopN: Q = Q(
+    "q_window_topn",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "rn", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""
+      SELECT o_custkey, rn, o_orderkey, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS rn
+        FROM orders
+      ) WHERE rn <= 2
+      ORDER BY o_custkey, rn"""))
+
+  /** Set operations (SURVEY.md §2g): INTERSECT — high-balance customers
+    * that actually placed orders. Distinct semantics on both engines. */
+  val intersectKeys: Q = Q(
+    "q_intersect",
+    (s, dir) => {
+      val haveOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      haveOrders.intersect(rich).orderBy("custkey")
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders
+      INTERSECT
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      ORDER BY custkey"""))
+
+  /** EXCEPT — customers that never bought from the BUILDING segment
+    * side: order-holders minus negative-balance customers. */
+  val exceptKeys: Q = Q(
+    "q_except",
+    (s, dir) => {
+      val haveOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val negative = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      haveOrders.except(negative).orderBy("custkey")
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders
+      EXCEPT
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+      ORDER BY custkey"""))
+
+  /** DISTINCT projection (SURVEY.md §2d "distinct"). */
+  val distinctPairs: Q = Q(
+    "q_distinct",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority"),
+    Some("""
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY o_orderstatus, o_orderpriority"""))
+
+  /** ROLLUP grouping sets (SURVEY.md §2d): subtotal + grand-total rows.
+    * Null ordering pinned explicitly on both sides (Spark ASC default
+    * is NULLS FIRST; DuckDB's is not — SURVEY.md §7.5 dialect drift). */
+  val rollupAgg: Q = Q(
+    "q_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS cnt, sum(l_quantity) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** Approximate distinct-count capability (HLL-class, SURVEY.md §2d
+    * "Absent" row): exact oracle via COUNT(DISTINCT), Spark side uses
+    * exact count_distinct here; `approx_count_distinct` is exercised
+    * (un-oracled) in the ScalaTest suite since its sketch values are
+    * engine-specific. */
+  val distinctCount: Q = Q(
+    "q_distinct_count",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("distinct_parts"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(
+    groupAgg, joinAgg, semiJoin, antiJoin, windowTopN,
+    intersectKeys, exceptKeys, distinctPairs, rollupAgg, distinctCount)
+}
