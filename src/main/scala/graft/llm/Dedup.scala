@@ -84,14 +84,13 @@ object Dedup {
     * No oracle: MinHash internals aren't expressible in DuckDB SQL;
     * the ScalaTest suite pins behavior on planted near-dups instead
     * (driver records the weaker rows-only check, per contract). */
-  val minhashLsh: Q = Q(
-    "q_dedup_minhash",
-    (s, dir) => {
-      val bands = 16
-      val rows = 4
-      val docs = t(s, dir, "documents")
+  /** Core MinHash-LSH pass over any (doc_id, text) frame — factored
+    * out so tests can feed planted fixtures. */
+  def minhashPairs(input: DataFrame, threshold: Double = 0.5,
+      bands: Int = 16, rows: Int = 4): DataFrame = {
+      val docs = input
         .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .withColumn("sig", minhashSignature(col("sh")))
+        .withColumn("sig", minhashSignature(col("sh"), bands * rows))
 
       // band key: xxhash64 over the band's signature slice
       val banded = docs.select(
@@ -117,10 +116,14 @@ object Dedup {
         .withColumn("jaccard",
           col("inter").cast("double") /
             nullif(size(col("sh_a")) + size(col("sh_b")) - col("inter"), lit(0)))
-        .filter(col("jaccard") >= 0.5)
+        .filter(col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
-    },
+  }
+
+  val minhashLsh: Q = Q(
+    "q_dedup_minhash",
+    (s, dir) => minhashPairs(t(s, dir, "documents")),
     None)
 
   /** SimHash near-duplicate pairs: 64-bit signature from token hashes
@@ -130,10 +133,9 @@ object Dedup {
     * The explode/group stage is a map-side-combinable aggregation:
     * shuffle volume is 64 small sums per doc. No oracle (engine hash
     * internals); rows-only + ScalaTest. */
-  val simhash: Q = Q(
-    "q_dedup_simhash",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
+  /** Core SimHash pass over any (doc_id, text) frame. */
+  def simhashPairs(input: DataFrame, maxHamming: Int = 3): DataFrame = {
+      val docs = input
         .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
         .withColumn("h", xxhash64(col("tok")))
       val bitAggs = (0 until 64).map(b =>
@@ -160,9 +162,13 @@ object Dedup {
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
           bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= maxHamming)
         .orderBy("doc_a", "doc_b")
-    },
+  }
+
+  val simhash: Q = Q(
+    "q_dedup_simhash",
+    (s, dir) => simhashPairs(t(s, dir, "documents")),
     None)
 
   /** Exact word-set Jaccard between consecutive doc_ids — the

@@ -1,0 +1,65 @@
+package graft
+
+import graft.llm.Dedup
+
+/** MinHash/SimHash behavior on planted fixtures + recall against an
+  * exact brute-force Jaccard sweep of the sf0.001 corpus. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+    "to the green hills where tall trees grow beside the cold clear river bank"
+
+  test("minhash finds a planted near-duplicate, skips unrelated text") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("cold clear", "warm murky")), // near-dup of 1
+      (3L, "completely different content about spark catalyst optimizer rules and physical plans running on big clusters with many shuffle partitions everywhere")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash identical docs have jaccard 1.0") {
+    val docs = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val r = Dedup.minhashPairs(docs).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical docs collide at hamming 0; unrelated text does not pair at <=3") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, "numbers 123 456 789 unrelated thing entirely zebra xylophone quartz")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recall >= 0.8 vs exact all-pairs jaccard on sf0.001") {
+    val docs = Tables.load(spark, sf001, "documents").select("doc_id", "text")
+    // exact ground truth: all-pairs 5-gram jaccard >= 0.5 (500 docs -> 125k pairs)
+    import org.apache.spark.sql.functions._
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "corpus should contain planted near-dups")
+    // verification step guarantees no false positives
+    assert(found.subsetOf(truth))
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall too low (${found.size}/${truth.size})")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.llm.Similarity
+
+/** Cosine top-k correctness vs a driver-side naive computation, and
+  * LSH ANN recall against the exact baseline. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveTopK(k: Int): Map[Long, Seq[Long]] = {
+    val vecs = Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until 8L).map { q =>
+      val qv = vecs(q)
+      val top = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).map(_._1)
+      q -> top
+    }.toMap
+  }
+
+  test("brute-force cosine top-5 matches naive driver-side computation") {
+    val got = Similarity.cosineTopK.fn(spark, sf001)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(_._3).toSeq
+      }
+    val want = naiveTopK(5)
+    assert(got.keySet == want.keySet)
+    for (q <- want.keys) assert(got(q) == want(q), s"query $q: ${got(q)} vs ${want(q)}")
+  }
+
+  test("LSH ANN finds planted high-similarity neighbors (the LSH use case)") {
+    // plant: 8 queries, each with 3 near-copies (cosine ~0.995) in a
+    // sea of 500 unrelated random vectors
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def jitter(v: Array[Double]): Array[Double] =
+      v.zip(Array.fill(64)(rnd.nextGaussian() * 0.05)).map { case (a, e) => a + e }
+    val queries = (0 until 8).map(i => (i.toLong, unit()))
+    val planted = queries.flatMap { case (qid, v) =>
+      (0 until 3).map(j => (1000L + qid * 10 + j, jitter(v))) }
+    val noise = (0 until 500).map(i => (2000L + i, unit()))
+    val base = (planted ++ noise).toDF("vec_id", "v")
+    val q = queries.toDF("query_id", "qv")
+    val got = Similarity.annTopK(q, base, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // each query must retrieve all 3 of its planted near-copies
+    val hits = queries.map { case (qid, _) =>
+      val want = (0 until 3).map(j => 1000L + qid * 10 + j).toSet
+      (got.getOrElse(qid, Set.empty) & want).size
+    }.sum
+    assert(hits >= 22, s"planted-neighbor hits $hits/24 too low")
+  }
+
+  test("LSH ANN output is consistent: ranks dense from 1, no self-matches, subset of bucket-mates") {
+    val df = Similarity.annLsh.fn(spark, sf001)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect()
+    assert(df.nonEmpty)
+    assert(df.forall { case (q, _, n) => q != n })
+    for ((_, rs) <- df.groupBy(_._1))
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+  }
+
+  test("cosine similarity of a vector with itself is 1.0") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(Tuple1(Array(1.0, 2.0, 3.0))).toDF("v")
+    val c = df.select(Similarity.cosine(col("v"), col("v")).as("c")).collect().head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.TextStats
+
+/** Edge cases for the text-analysis scalar family + an
+  * approx_count_distinct sanity bound (engine-specific sketch, so
+  * exercised here instead of an oracle query). */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("whitespace tokenization: multi-space collapse, trim") {
+    val n = Seq(Tuple1("  a  b   c ")).toDF("t")
+      .select(size(TextStats.tokens(col("t"))).as("n")).collect().head.getInt(0)
+    assert(n == 3)
+  }
+
+  test("token count on empty-ish strings") {
+    // split(trim('')) yields [""] -> size 1: pinned (matches DuckDB's
+    // regexp_split_to_array behavior, which the oracle relies on)
+    val n = Seq(Tuple1("")).toDF("t")
+      .select(size(TextStats.tokens(col("t"))).as("n")).collect().head.getInt(0)
+    assert(n == 1)
+  }
+
+  test("quality components: known sentence") {
+    val df = Seq((1L, "the cat, the hat.", "en", "s", 17L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.createOrReplaceTempView("tq")
+    val tok = TextStats.tokens(col("text"))
+    val r = df.select(
+      size(tok).as("n_tok"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?'\"]", ""))).as("n_punct"))
+      .collect().head
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 2)
+  }
+
+  test("approx_count_distinct within 10% of exact on lineitem partkeys") {
+    val li = Tables.load(spark, sf001, "lineitem")
+    val exact = li.select(count_distinct(col("l_partkey"))).collect().head.getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+
+  test("fingerprint md5 matches a known value") {
+    val fp = Seq(Tuple1("hello")).toDF("t")
+      .select(md5(col("t").cast("binary")).as("h")).collect().head.getString(0)
+    assert(fp == "5d41402abc4b2a76b9719d911017c592")
+  }
+}
