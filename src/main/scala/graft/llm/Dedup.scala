@@ -67,13 +67,14 @@ object Dedup {
         .otherwise(array(concat_ws(" ", tok))))
   }
 
-  /** 64-hash MinHash signature as an array<long>; hash i is
-    * xxhash64(shingle, seed=i) minimized over the shingle set. */
-  def minhashSignature(sh: Column, hashes: Int = 64): Column =
-    array((0 until hashes).map(i =>
-      array_min(transform(sh, x => xxhash64(x, lit(i))))): _*)
+  /** rotl(b, i) for a long column — Java shifts are mod-64, so the
+    * i=0 case degenerates cleanly to b itself. */
+  private def rotl(b: Column, i: Int): Column =
+    shiftleft(b, i).bitwiseOR(shiftrightunsigned(b, 64 - i))
 
-  /** MinHash + banded LSH near-duplicate pairs, exact-Jaccard verified.
+  /** MinHash + banded LSH near-duplicate pairs, exact-Jaccard
+    * verified. Core pass over any (doc_id, text) frame — factored out
+    * so tests can feed planted fixtures.
     *
     * 16 bands × 4 rows: P(candidate) = 1-(1-j⁴)¹⁶ ≈ 0.89 at j=0.6,
     * ≈ 0.12 at j=0.3 — a sharp threshold around the 0.5 cutoff used
@@ -81,19 +82,45 @@ object Dedup {
     * shingle sets, so false LSH positives cannot leak into the output
     * (only false negatives are possible, the standard MinHash trade).
     *
+    * Execution shape, chosen for 100 TB:
+    *  - signatures via explode(shingles) → hash-aggregate with 64
+    *    primitive `min` columns over gᵢ = h1 XOR rotl(h2, i). Two
+    *    string hashes per shingle (vs 64 in the naive per-seed form);
+    *    the whole stage is codegen'd primitive arithmetic with
+    *    map-side partial aggregation — no interpreted higher-order
+    *    functions, no per-row array allocation. XOR-rotate rather
+    *    than the usual h1+i·h2 family because ANSI mode raises on
+    *    long overflow; shifts/xor cannot overflow.
+    *  - the input is round-robin repartitioned first: the harness
+    *    parquet is one row group = one scan task, and on a real
+    *    cluster this evens doc-length skew.
+    *  - LSH shuffle carries only (band, band_hash, doc_id) — constant
+    *    bytes per doc, independent of doc length.
+    *  - shingle SETS (large) are materialized only for candidate
+    *    docs, via semi-join — the corpus text never rides a shuffle.
+    *
     * No oracle: MinHash internals aren't expressible in DuckDB SQL;
     * the ScalaTest suite pins behavior on planted near-dups instead
     * (driver records the weaker rows-only check, per contract). */
-  /** Core MinHash-LSH pass over any (doc_id, text) frame — factored
-    * out so tests can feed planted fixtures. */
   def minhashPairs(input: DataFrame, threshold: Double = 0.5,
       bands: Int = 16, rows: Int = 4): DataFrame = {
-      val docs = input
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .withColumn("sig", minhashSignature(col("sh"), bands * rows))
+      val spark = input.sparkSession
+      val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val hashes = bands * rows
+
+      val exploded = input.repartition(par)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+        .select(col("doc_id"),
+          xxhash64(col("s")).as("h1"), xxhash64(col("s"), lit(1)).as("h2"))
+      val minAggs = (0 until hashes).map(i =>
+        min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"g$i"))
+      val sigs = exploded.groupBy("doc_id")
+        .agg(minAggs.head, minAggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until hashes).map(i => col(s"g$i")): _*).as("sig"))
 
       // band key: xxhash64 over the band's signature slice
-      val banded = docs.select(
+      val banded = sigs.select(
         col("doc_id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -108,9 +135,14 @@ object Dedup {
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
 
-      // verify candidates with exact Jaccard over shingle sets
-      val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      // verify candidates with exact Jaccard — shingle sets computed
+      // only for docs that appear in some candidate pair
+      val candIds = candidates
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      val candSh = input.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      val sa = candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val sb = candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       candidates.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard",
@@ -133,9 +165,15 @@ object Dedup {
     * The explode/group stage is a map-side-combinable aggregation:
     * shuffle volume is 64 small sums per doc. No oracle (engine hash
     * internals); rows-only + ScalaTest. */
-  /** Core SimHash pass over any (doc_id, text) frame. */
+  /** Core SimHash pass over any (doc_id, text) frame. Repartitions by
+    * doc_id before the explode so (a) the token-hash stage
+    * parallelizes past the single-row-group scan and (b) the
+    * per-doc bit-vote groupBy reuses that partitioning — no second
+    * shuffle of the exploded (much larger) token frame. */
   def simhashPairs(input: DataFrame, maxHamming: Int = 3): DataFrame = {
-      val docs = input
+      val spark = input.sparkSession
+      val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val docs = input.repartition(par, col("doc_id"))
         .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
         .withColumn("h", xxhash64(col("tok")))
       val bitAggs = (0 until 64).map(b =>

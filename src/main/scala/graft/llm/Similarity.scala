@@ -34,7 +34,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    (q, emb)
+    // round-robin repartition: the harness parquet is a single row
+    // group (one scan task); the dot-product stage should use every core
+    val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    (q, emb.repartition(par))
   }
 
   /** Brute-force cosine top-k: broadcast the (tiny) query set against
@@ -80,11 +83,21 @@ object Similarity {
   val LshTables = 4
   val LshBits = 8
 
+  /** Literal-expanded dot product against a constant plane: a
+    * straight-line Σ element_at(v,j)·wⱼ sum. Unlike the
+    * `zip_with`/`aggregate` form (interpreted, allocating), this is
+    * whole-stage-codegen primitive arithmetic — the difference between
+    * an interpreted and a compiled inner loop on a 100 TB scan. */
+  private def dotLit(v: Column, w: Seq[Double]): Column =
+    w.zipWithIndex.map { case (wj, j) =>
+      element_at(v, j + 1) * lit(wj)
+    }.reduce(_ + _)
+
   /** 8-bit hyperplane-sign bucket for a vector column in LSH table l. */
   def lshBucket(v: Column, table: Int): Column =
     (0 until LshBits).map { p =>
-      val w = typedLit(planes(table * LshBits + p))
-      when(dot(v, w) > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      when(dotLit(v, planes(table * LshBits + p)) > 0, shiftleft(lit(1), p))
+        .otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** (table, bucket) membership pairs — L independent 256-bucket hash
