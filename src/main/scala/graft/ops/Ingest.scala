@@ -180,5 +180,20 @@ object Ingest {
       FROM enr LEFT JOIN dim USING (naicsCode)
       ORDER BY recencyScore DESC, postedDate DESC NULLS LAST, noticeId DESC"""))
 
-  val all: Seq[Q] = Seq(samPipeline)
+  /** Same transform chain fed by the DataSource V2 paginated
+    * connector ([[graft.sources.PagedJsonSource]], S1 semantics:
+    * parallel page partitions + truncation) instead of inline
+    * from_json. Shares q_sam_pipeline's oracle — identical output is
+    * exactly the claim, so the connector itself is oracle-checked. */
+  val restIngest: Q = Q(
+    "q_rest_ingest",
+    (s, _) => {
+      val raw = s.read.format("graft.sources.PagedJsonSource")
+        .option("page_size", 3).option("max_records", 500).load()
+      val packed = raw.select(struct(raw.columns.map(col): _*).as("r"))
+      transform(s, packed)
+    },
+    samPipeline.oracle)
+
+  val all: Seq[Q] = Seq(samPipeline, restIngest)
 }

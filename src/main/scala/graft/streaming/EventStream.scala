@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is a scheduled batch job (SURVEY.md §2i: streaming
+  * absent; EventBridge daily re-runs with an overlapping 5-day
+  * lookback, `lambda_function.py:11,18-21`). A Spark-native engine
+  * gets true incremental processing from the same declarative
+  * operators: each transform below is the streaming twin of a batch
+  * query in [[graft.llm.Events]], so a stream job's output can be
+  * checked against its batch replay — and a backfill IS the batch
+  * query.
+  *
+  * Scale notes: watermark + windowed aggregation keeps state bounded
+  * (windows older than the watermark are evicted); `dropDuplicates`
+  * state is likewise watermark-scoped. State lives in the
+  * RocksDB/HDFS-backed state store per shuffle partition, so the
+  * 100 TB/day form is the same plan with more partitions.
+  */
+object EventStream {
+
+  /** Streaming twin of q_time_window (hourly tumbling window ×
+    * event_type), late data admitted up to 2 hours. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value_cents"))
+
+  /** Streaming exact dedup by event_id within the watermark horizon —
+    * the incremental form of q_dedup_exact's hash-groupBy (state:
+    * one key per id seen in the last 2 hours). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id", "ts")
+
+  /** Per-user running event count via mapGroupsWithState — the
+    * custom-state escape hatch (KeyValueGroupedDataset) for logic the
+    * built-in windowed aggregates can't express. Emits (user_id,
+    * events_so_far) on every update; state is a single long per user.
+    * (NoTimeout: a production variant would add an event-time timeout
+    * to expire idle users — timeouts also make the query trigger
+    * batches with no input, which the batch-equivalence test must
+    * avoid.) */
+  def runningUserCounts(events: Dataset[(Long, java.sql.Timestamp)]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + batch.size
+          state.update(n)
+          (userId, n)
+      }
+  }
+}

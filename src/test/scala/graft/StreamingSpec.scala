@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** Streaming-vs-batch equivalence: the same declarative aggregation
+  * must produce identical results incrementally (MemoryStream, three
+  * uneven micro-batches) and as one batch over the same rows. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, ts("2024-01-01 00:10:00"), 7L, "click", 10.0),
+    (2L, ts("2024-01-01 00:40:00"), 7L, "click", 20.0),
+    (3L, ts("2024-01-01 01:05:00"), 8L, "view", 30.0),
+    (4L, ts("2024-01-01 01:55:00"), 8L, "click", 40.0),
+    (5L, ts("2024-01-01 02:20:00"), 7L, "view", 50.0),
+    (6L, ts("2024-01-01 02:59:00"), 9L, "view", 60.0))
+
+  test("hourly window agg: streaming result == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(2)); q.processAllAvailable()
+      mem.addData(rows.slice(2, 5)); q.processAllAvailable()
+      mem.addData(rows.drop(5)); q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      val batch = EventStream.hourlyCounts(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated event ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.dedupEvents(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, ts("2024-01-01 00:10:00"), "click")))
+      q.processAllAvailable()
+      // same id+ts again in a later micro-batch -> must not re-emit
+      mem.addData(Seq(
+        (1L, ts("2024-01-01 00:10:00"), "click"),
+        (2L, ts("2024-01-01 00:20:00"), "view")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running per-user counts accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.runningUserCounts(mem.toDS())
+      .toDF("user_id", "events_so_far")
+      .writeStream.format("memory").queryName("ruc_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(Seq((7L, ts("2024-01-01 00:10:00")), (7L, ts("2024-01-01 00:11:00"))))
+      q.processAllAvailable()
+      mem.addData(Seq((7L, ts("2024-01-01 00:12:00")), (8L, ts("2024-01-01 00:13:00"))))
+      q.processAllAvailable()
+      val last = spark.table("ruc_out")
+        .groupBy("user_id").agg(max("events_so_far").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(last(7L) == 3L)
+      assert(last(8L) == 1L)
+    } finally q.stop()
+  }
+}
