@@ -149,5 +149,53 @@ object Similarity {
     },
     None)
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh)
+  /** Embedding-cosine near-duplicate pairs over any (vec_id, v
+    * array<double>) frame: 2 LSH tables × 16-bit sign buckets (long
+    * codes: near-identical vectors agree on most signs, so 16 bits at
+    * 2 tables retrieves sim≳0.99 pairs with high probability while
+    * cutting the candidate set by ~2¹⁶/2), then exact cosine
+    * verification ≥ minSim. The all-pairs analog of [[annTopK]] —
+    * the dedup-by-embedding stage of a training-data pipeline.
+    * Shuffle carries only (tbl, bucket, vec_id). */
+  def cosineNearDupPairs(emb: DataFrame, minSim: Double): DataFrame = {
+    val bits = 16
+    def bucket16(v: Column, table: Int): Column =
+      (0 until bits).map { p =>
+        when(dotLit(v, planes(table * bits + p)) > 0, shiftleft(lit(1), p))
+          .otherwise(lit(0))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val banded = emb.select(
+      col("vec_id"), col("v"),
+      explode(array((0 until 2).map(l =>
+        struct(lit(l).as("tbl"), bucket16(col("v"), l).as("bucket"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.tbl"), col("e.bucket"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    val cand = l.join(r,
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
+    val va = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val vb = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= minSim)
+      .select("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Corpus embeddings are near-uniform random, so at sim≥0.95 this
+    * is expected (and correct) to be empty on the harness data; the
+    * ScalaTest suite pins retrieval on planted near-identical
+    * vectors. Rows-only per contract. */
+  val embedDedup: Q = Q(
+    "q_dedup_embedding",
+    (s, dir) => {
+      val (_, base) = queriesAndBase(s, dir)
+      cosineNearDupPairs(base, 0.95)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, embedDedup)
 }

@@ -206,7 +206,51 @@ object Relational {
       SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** TPC-H-Q3-shaped flagship: segment-filtered customer ⋈ orders ⋈
+    * lineitem, revenue per order, top-10. The fact-side joins key on
+    * custkey/orderkey; customer is broadcast; the per-order aggregate
+    * is map-side combinable; the final top-10 is
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  val tpchQ3: Q = Q(
+    "q_tpch_q3",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("2000-01-01").cast("date"))
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '2000-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue_cents DESC, l_orderkey ASC
+      LIMIT 10"""))
+
+  /** CUBE grouping sets — all 4 subtotal combinations. */
+  val cubeAgg: Q = Q(
+    "q_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     groupAgg, joinAgg, semiJoin, antiJoin, windowTopN,
-    intersectKeys, exceptKeys, distinctPairs, rollupAgg, distinctCount)
+    intersectKeys, exceptKeys, distinctPairs, rollupAgg, distinctCount,
+    tpchQ3, cubeAgg)
 }

@@ -75,6 +75,30 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
   }
 
+  test("embedding near-dup pairs: planted near-identical vectors retrieved, noise excluded") {
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val originals = (0 until 10).map(i => (i.toLong, unit()))
+    // near-copy at cosine ~0.9995 (tiny jitter)
+    val copies = originals.map { case (id, v) =>
+      (100L + id, v.zip(Array.fill(64)(rnd.nextGaussian() * 0.01)).map { case (a, e) => a + e })
+    }
+    val noise = (0 until 300).map(i => (1000L + i, unit()))
+    val emb = (originals ++ copies ++ noise).toDF("vec_id", "v")
+    val pairs = Similarity.cosineNearDupPairs(emb, 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val wanted = originals.map { case (id, _) => (id, 100L + id) }.toSet
+    val hit = (pairs & wanted).size
+    assert(hit >= 8, s"retrieved $hit/10 planted near-dup pairs")
+    // verification step: nothing below the cosine threshold leaks through
+    assert(pairs.forall { case (a, b) => wanted.contains((a, b)) },
+      s"unexpected pairs: ${pairs -- wanted}")
+  }
+
   test("cosine similarity of a vector with itself is 1.0") {
     import org.apache.spark.sql.functions._
     val df = Seq(Tuple1(Array(1.0, 2.0, 3.0))).toDF("v")

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.Sinks
+
+/** Sink round-trips + partition pruning via the partitioned layout. */
+class SinksSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink").toString
+
+  test("parquet snapshot round-trip preserves rows and schema") {
+    val dir = tmp()
+    val src = Tables.load(spark, sf001, "nation")
+    Sinks.parquetSnapshot(src, s"$dir/nation")
+    val back = spark.read.parquet(s"$dir/nation")
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+  }
+
+  test("partitioned parquet: hive layout exists and pruned scan reads one partition") {
+    val dir = tmp()
+    val src = Tables.load(spark, sf001, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    Sinks.partitionedParquet(src, s"$dir/orders", "o_year")
+    assert(new java.io.File(s"$dir/orders/o_year=1997").exists())
+    val pruned = spark.read.parquet(s"$dir/orders").filter(col("o_year") === 1997)
+    val expected = src.filter(col("o_year") === 1997).count()
+    assert(pruned.count() == expected)
+    // partition pruning visible in the scan: only one o_year directory read
+    val scanStr = pruned.queryExecution.executedPlan.toString
+    assert(scanStr.contains("o_year=1997") || !scanStr.contains("o_year=1998"))
+  }
+
+  test("csv export round-trip with header") {
+    val dir = tmp()
+    val src = Tables.load(spark, sf001, "region")
+    Sinks.csvResults(src, s"$dir/region_csv")
+    val back = spark.read.option("header", "true").csv(s"$dir/region_csv")
+    assert(back.count() == src.count())
+    assert(back.columns.toSeq == src.columns.toSeq)
+  }
+
+  test("catalog registration replaces the Glue crawler (S4): SQL over the view") {
+    Sinks.registerView(Tables.load(spark, sf001, "region"), "contracts_like")
+    assert(spark.sql("SELECT count(*) FROM contracts_like").collect().head.getLong(0) == 5L)
+  }
+}
