@@ -20,14 +20,20 @@ object Similarity {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns —
+    * the composable higher-order-function form (interpreted); used
+    * for dots against non-constant vectors outside the hot path. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine via the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]): one fused primitive loop
+    * per pair instead of three interpreted array folds. Identical
+    * arithmetic (sequential dot and norms, dot/(√na·√nb)). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.CosineSimilarity(a, b)
 
   private def queriesAndBase(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = t(s, dir, "embeddings")
