@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Recency
+
+/** ScalaCheck property tests (SURVEY.md §5 item 3). Scalar-level
+  * properties run through Spark expressions on driver-built frames;
+  * frame-level properties (filter ⊆ input, topK ≡ sort.take) run on
+  * small random frames. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def check(p: org.scalacheck.Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("recency ladder is total and monotone non-increasing (property)") {
+    import spark.implicits._
+    val days = Gen.chooseNum(-5, 10000)
+    check(forAll(days, days) { (a, b) =>
+      val Seq(sa, sb) = Seq(a, b).map { d =>
+        Seq(Tuple1(d)).toDF("d")
+          .select(Recency.score(col("d"), Seq(1, 3, 5, 7))).collect().head.getInt(0)
+      }
+      (sa >= 1 && sa <= 5) && (a > b || sa >= sb)
+    })
+  }
+
+  test("trim and upper are idempotent through Spark expressions (property)") {
+    import spark.implicits._
+    check(forAll(Gen.asciiPrintableStr) { s =>
+      val r = Seq(Tuple1(s)).toDF("s")
+        .select(trim(col("s")).as("t"), upper(col("s")).as("u"),
+          trim(trim(col("s"))).as("tt"), upper(upper(col("s"))).as("uu"))
+        .collect().head
+      r.getString(0) == r.getString(2) && r.getString(1) == r.getString(3)
+    })
+  }
+
+  test("filter output is a subset of input; filter+complement partition it (property)") {
+    import spark.implicits._
+    val xs = Gen.listOfN(40, Gen.chooseNum(-100, 100))
+    check(forAll(xs) { l =>
+      val df = l.zipWithIndex.toDF("v", "id")
+      val kept = df.filter(col("v") > 0).select("id").as[Int].collect().toSet
+      val dropped = df.filter(!(col("v") > 0)).select("id").as[Int].collect().toSet
+      kept.subsetOf(l.indices.toSet) &&
+        (kept ++ dropped) == l.indices.toSet && (kept & dropped).isEmpty
+    })
+  }
+
+  test("orderBy.limit(k) equals global sort take(k) (property)") {
+    import spark.implicits._
+    val xs = Gen.listOfN(50, Gen.chooseNum(-1000, 1000))
+    check(forAll(xs) { l =>
+      val df = l.zipWithIndex.toDF("v", "id")
+      val topk = df.orderBy(col("v").desc, col("id").asc).limit(7)
+        .select("v", "id").as[(Int, Int)].collect().toSeq
+      val want = l.zipWithIndex.sortBy { case (v, i) => (-v, i) }.take(7)
+      topk == want
+    })
+  }
+}

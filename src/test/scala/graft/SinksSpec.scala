@@ -42,6 +42,24 @@ class SinksSpec extends SparkSpec {
     assert(back.columns.toSeq == src.columns.toSeq)
   }
 
+  test("bucketed co-located join: no exchange on either side") {
+    val orders = Tables.load(spark, sf001, "orders")
+    val customer = Tables.load(spark, sf001, "customer")
+    Sinks.bucketedTable(orders, "orders_b", 8, "o_custkey")
+    Sinks.bucketedTable(
+      customer.withColumn("c_custkey", col("c_custkey")), "customer_b", 8, "c_custkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val j = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(j.count() == orders.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("catalog registration replaces the Glue crawler (S4): SQL over the view") {
     Sinks.registerView(Tables.load(spark, sf001, "region"), "contracts_like")
     assert(spark.sql("SELECT count(*) FROM contracts_like").collect().head.getLong(0) == 5L)
