@@ -89,15 +89,13 @@ object Similarity {
   val LshTables = 4
   val LshBits = 8
 
-  /** Literal-expanded dot product against a constant plane: a
-    * straight-line Σ element_at(v,j)·wⱼ sum. Unlike the
-    * `zip_with`/`aggregate` form (interpreted, allocating), this is
-    * whole-stage-codegen primitive arithmetic — the difference between
-    * an interpreted and a compiled inner loop on a 100 TB scan. */
+  /** Dot against a constant plane via the native codegen'd loop
+    * ([[graft.functions.DotProduct]]); the plane ships as an array
+    * literal. (Literal Σ element_at expansion was tried and reverted:
+    * it blows past the JVM HugeMethodLimit and runs un-JIT-compiled —
+    * see DotProduct scaladoc.) */
   private def dotLit(v: Column, w: Seq[Double]): Column =
-    w.zipWithIndex.map { case (wj, j) =>
-      element_at(v, j + 1) * lit(wj)
-    }.reduce(_ + _)
+    graft.functions.DotProduct(v, typedLit(w))
 
   /** 8-bit hyperplane-sign bucket for a vector column in LSH table l. */
   def lshBucket(v: Column, table: Int): Column =
@@ -170,7 +168,9 @@ object Similarity {
         when(dotLit(v, planes(table * bits + p)) > 0, shiftleft(lit(1), p))
           .otherwise(lit(0))
       }.reduce((a, b) => a.bitwiseOR(b))
-    val banded = emb.select(
+    val par = emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val embP = emb.repartition(par)
+    val banded = embP.select(
       col("vec_id"), col("v"),
       explode(array((0 until 2).map(l =>
         struct(lit(l).as("tbl"), bucket16(col("v"), l).as("bucket"))): _*)).as("e"))
