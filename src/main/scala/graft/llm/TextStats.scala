@@ -140,5 +140,18 @@ object TextStats {
              substr(md5(text), 1, 16) AS fp16
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint)
+  /** Rolling-hash fingerprint via the custom wrapping-arithmetic
+    * expression ([[graft.functions.RollingHash]]) — not expressible in
+    * ANSI SQL on either engine, so rows-only; exact values pinned in
+    * ScalaTest against a driver-side reference implementation. */
+  val rollingFingerprint: Q = Q(
+    "q_rolling_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.RollingHash(col("text")).as("rhash64"))
+        .orderBy("doc_id"),
+    None)
+
+  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, rollingFingerprint)
 }

@@ -42,6 +42,16 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
 
+  test("rolling hash matches driver-side reference implementation (wrapping arithmetic)") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xFFL))
+    val inputs = Seq("", "a", "hello world", "the same long text " * 50)
+    val got = inputs.map(Tuple1(_)).toDF("t")
+      .select(graft.functions.RollingHash(col("t")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == inputs.map(ref))
+  }
+
   test("fingerprint md5 matches a known value") {
     val fp = Seq(Tuple1("hello")).toDF("t")
       .select(md5(col("t").cast("binary")).as("h")).collect().head.getString(0)
