@@ -17,7 +17,7 @@ object SparkEntry {
   val registry: Seq[Q] =
     ops.Parity.all ++ ops.Relational.all ++ ops.Ingest.all ++
       llm.TextStats.all ++ llm.Dedup.all ++ llm.Similarity.all ++
-      llm.Events.all ++ llm.Multimodal.all
+      llm.Ivf.all ++ llm.Events.all ++ llm.Multimodal.all
 
   /** Flagship query (reference ATHENA_SQL, E3) on sf=0.001; driver
     * smoke-checks rows>0. */

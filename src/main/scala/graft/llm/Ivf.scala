@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.DotProduct
+
+/** IVF (inverted-file) approximate nearest neighbor — the second
+  * scale path next to sign-LSH ([[Similarity.annTopK]]).
+  *
+  * Production IVF shape: the coarse quantizer (k-means centroids) is
+  * trained driver-side on a bounded SAMPLE — training cost is
+  * independent of corpus size — then shipped as literals into the
+  * plan; cluster assignment and probe-restricted search run fully
+  * distributed. With K clusters and nprobe probes, per-query work
+  * drops from N to ~N·nprobe/K while recall stays high for
+  * cluster-structured data (and, as with any ANN index, degrades
+  * toward random on structureless vectors — see Similarity scaladoc).
+  *
+  * Determinism: the sample is `orderBy(vec_id).limit(n)`, seeds are
+  * the first K sample points, Lloyd's runs a fixed iteration count —
+  * no RNG, so every run trains identical centroids.
+  */
+object Ivf {
+
+  /** Driver-side Lloyd's k-means on a deterministic sample. */
+  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 5,
+      sampleN: Int = 2000): Array[Array[Double]] = {
+    import emb.sparkSession.implicits._
+    val sample = emb.orderBy("vec_id").limit(sampleN)
+      .select("v").as[Array[Double]].collect()
+    var centroids = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- centroids.indices) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  /** argmin-L2 cluster id for a vector column against literal
+    * centroids. For unit-comparable vectors argmin ‖v-c‖² =
+    * argmax (v·c - ‖c‖²/2), so one [[DotProduct]] per centroid
+    * suffices — no per-row array allocation. Ties break to the lower
+    * cluster id via the struct ordering's second field. */
+  def clusterOf(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val norm2 = c.map(x => x * x).sum
+      struct((DotProduct(v, typedLit(c.toSeq)) - lit(norm2 / 2)).as("score"),
+        lit(-i).as("negidx"))
+    }
+    array_max(array(scored: _*)).getField("negidx") * -1
+  }
+
+  /** nprobe nearest cluster ids for a query vector, as an array. */
+  def probeClusters(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val norm2 = c.map(x => x * x).sum
+      struct((DotProduct(v, typedLit(c.toSeq)) - lit(norm2 / 2)).as("score"),
+        lit(-i).as("negidx"))
+    }
+    transform(
+      slice(reverse(array_sort(array(scored: _*))), 1, nprobe),
+      s => s.getField("negidx") * -1)
+  }
+
+  /** IVF search: assign base vectors to clusters, probe each query's
+    * nprobe nearest lists, exact cosine within the probed lists. */
+  def ivfTopK(q: DataFrame, base: DataFrame,
+      centroids: Array[Array[Double]], nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val assigned = base.withColumn("cluster", clusterOf(col("v"), centroids))
+    val probes = q
+      .withColumn("cluster", explode(probeClusters(col("qv"), centroids, nprobe)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", Similarity.cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Approximate → rows-only; recall on planted structure pinned in
+    * ScalaTest alongside the LSH variant. */
+  val annIvf: Q = Q(
+    "q_ann_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val centroids = trainCentroids(emb)
+      ivfTopK(q, emb.repartition(par), centroids)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(annIvf)
+}

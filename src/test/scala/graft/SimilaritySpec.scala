@@ -99,6 +99,35 @@ class SimilaritySpec extends SparkSpec {
       s"unexpected pairs: ${pairs -- wanted}")
   }
 
+  test("IVF ANN finds planted clustered neighbors (train on sample, probe lists)") {
+    val rnd = new scala.util.Random(23)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // 8 cluster centers; queries and their neighbors live in the same cluster
+    val centers = (0 until 8).map(_ => unit())
+    def member(c: Array[Double]): Array[Double] =
+      c.zip(Array.fill(64)(rnd.nextGaussian() * 0.15)).map { case (a, e) => a + e }
+    val queries = centers.zipWithIndex.map { case (c, i) => (i.toLong, member(c)) }
+    val planted = centers.zipWithIndex.flatMap { case (c, i) =>
+      (0 until 5).map(j => (1000L + i * 10 + j, member(c))) }
+    val base = (queries.map { case (id, v) => (id, v) } ++ planted)
+      .toDF("vec_id", "v")
+    val q = queries.toDF("query_id", "qv")
+    val centroids = graft.llm.Ivf.trainCentroids(base, k = 8, iters = 5, sampleN = 48)
+    val got = graft.llm.Ivf.ivfTopK(q, base, centroids, nprobe = 2, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // each query's top-5 should be dominated by its own cluster's members
+    val hits = queries.map { case (qid, _) =>
+      val want = (0 until 5).map(j => 1000L + qid * 10 + j).toSet
+      (got.getOrElse(qid, Set.empty) & want).size
+    }.sum
+    assert(hits >= 30, s"cluster-member hits $hits/40 too low")
+  }
+
   test("cosine similarity of a vector with itself is 1.0") {
     import org.apache.spark.sql.functions._
     val df = Seq(Tuple1(Array(1.0, 2.0, 3.0))).toDF("v")
