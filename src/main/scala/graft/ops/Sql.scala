@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Q, Tables}
+
+/** SQL entry point (reference E3, `run_athena_query`
+  * `lambda_function.py:173-203`): the reference ships its final query
+  * as ANSI SQL text to Athena; here the same text runs through
+  * `spark.sql` over catalog-registered views — parse → analyze →
+  * optimize → execute inside the one SparkSession, no remote engine,
+  * no polling loop.
+  *
+  * The query text is the flagship E3 SQL transplanted onto the
+  * corpus (same shape as [[Parity.recencyTopK]], built declaratively
+  * there, as SQL text here) — Catalyst plans both identically:
+  * parquet scan with pushed CASE filter → TakeOrderedAndProject. */
+object Sql {
+
+  /** Register every corpus table as a temp view (S4: the catalog IS
+    * the crawler). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    Tables.all.foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+
+  val FlagshipSql: String = s"""
+    SELECT o_orderkey, o_orderpriority, o_orderdate, o_orderstatus, recency_score
+    FROM (
+      SELECT *, CAST(CASE WHEN d <= 30 THEN 5 WHEN d <= 90 THEN 4
+                          WHEN d <= 180 THEN 3 WHEN d <= 365 THEN 2
+                          ELSE 1 END AS BIGINT) AS recency_score
+      FROM (SELECT *, datediff(DATE '${Recency.AsOf}', CAST(o_orderdate AS DATE)) AS d
+            FROM orders)
+    )
+    WHERE recency_score >= 4
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+    LIMIT 10"""
+
+  /** E3 through the SQL surface. The oracle is the DuckDB dialect of
+    * the same statement (datediff argument order differs). */
+  val sqlFlagship: Q = Q(
+    "q_sql_flagship",
+    (s, dir) => {
+      registerAll(s, dir)
+      s.sql(FlagshipSql)
+    },
+    Some(s"""
+      SELECT o_orderkey, o_orderpriority, o_orderdate, o_orderstatus, recency_score
+      FROM (
+        SELECT *, CAST(CASE WHEN d <= 30 THEN 5 WHEN d <= 90 THEN 4
+                            WHEN d <= 180 THEN 3 WHEN d <= 365 THEN 2
+                            ELSE 1 END AS BIGINT) AS recency_score
+        FROM (SELECT *, date_diff('day', CAST(o_orderdate AS DATE), DATE '${Recency.AsOf}') AS d
+              FROM orders)
+      )
+      WHERE recency_score >= 4
+      ORDER BY o_orderdate DESC, o_orderkey DESC
+      LIMIT 10"""))
+
+  val all: Seq[Q] = Seq(sqlFlagship)
+}
