@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Scalar-function breadth beyond the reference's own F1-F12 set —
+  * the string/math/ordered-aggregate surface a reference user would
+  * reach for next. Every function here was chosen for bit-exact
+  * cross-engine semantics (SURVEY.md §7.5): no transcendentals whose
+  * libm rounding could differ (sqrt IS correctly-rounded IEEE;
+  * log/exp/pow are not), integer-exact arithmetic for mod/percentile.
+  */
+object ScalarSuite {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** String function sampler over `part`. */
+  val stringFuncs: Q = Q(
+    "q_string_funcs",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          instr(col("p_name"), "a").cast("long").as("a_pos"),
+          translate(col("p_type"), "AEO", "aeo").as("translated"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          reverse(col("p_brand")).as("rev"),
+          substring(col("p_name"), 1, 3).as("prefix3"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+          expr("split_part(p_name, ' ', 1)").as("first_token"))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey,
+             lpad(p_brand, 12, '*') AS padded,
+             CAST(instr(p_name, 'a') AS BIGINT) AS a_pos,
+             translate(p_type, 'AEO', 'aeo') AS translated,
+             regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+             reverse(p_brand) AS rev,
+             substr(p_name, 1, 3) AS prefix3,
+             concat_ws('-', p_brand, p_type) AS joined,
+             split_part(p_name, ' ', 1) AS first_token
+      FROM part ORDER BY p_partkey"""))
+
+  /** Math sampler over `lineitem` — exact-arithmetic functions only. */
+  val mathFuncs: Q = Q(
+    "q_math_funcs",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_delta"),
+          floor(col("l_extendedprice")).cast("long").as("price_floor"),
+          ceil(col("l_tax") * 100).cast("long").as("tax_ceil"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          signum(col("l_discount") - 0.04).cast("long").as("disc_sign"),
+          (round(col("l_extendedprice") * 100, 0).cast("long") % 97).as("cents_mod"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+          least(col("l_discount"), col("l_tax")).as("min_rate"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             abs(l_discount - 0.05) AS abs_delta,
+             CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+             CAST(ceil(l_tax * 100) AS BIGINT) AS tax_ceil,
+             sqrt(l_quantity) AS qty_sqrt,
+             CAST(sign(l_discount - 0.04) AS BIGINT) AS disc_sign,
+             CAST(round(l_extendedprice * 100) AS BIGINT) % 97 AS cents_mod,
+             greatest(l_discount, l_tax) AS max_rate,
+             least(l_discount, l_tax) AS min_rate
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Ordered aggregates: arg-max/arg-min on a unique ordering key
+    * (deterministic) + exact interpolated median over integer cents
+    * (both engines compute (a+b)/2 exactly in double). */
+  val orderedAggs: Q = Q(
+    "q_argmax_median",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy("o_orderstatus")
+        .agg(
+          max_by(col("o_orderpriority"), col("o_orderkey")).as("latest_priority"),
+          min_by(col("o_orderpriority"), col("o_orderkey")).as("first_priority"),
+          expr("percentile(cents, 0.5)").as("median_cents"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus,
+             max_by(o_orderpriority, o_orderkey) AS latest_priority,
+             min_by(o_orderpriority, o_orderkey) AS first_priority,
+             quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_cents
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  val all: Seq[Q] = Seq(stringFuncs, mathFuncs, orderedAggs)
+}
