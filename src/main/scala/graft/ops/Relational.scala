@@ -249,8 +249,54 @@ object Relational {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into a
+    * left-outer aggregate join (no per-row re-execution; `.explain`
+    * shows the rewritten join). The SQL surface is the point, so this
+    * one goes through `spark.sql`. */
+  val scalarSubquery: Q = Q(
+    "q_scalar_subquery",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c_custkey,
+               CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS order_cnt,
+               (SELECT CAST(max(round(o_totalprice * 100)) AS BIGINT)
+                FROM orders WHERE o_custkey = c_custkey) AS max_cents
+        FROM customer ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey,
+             CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS order_cnt,
+             (SELECT CAST(max(round(o_totalprice * 100)) AS BIGINT)
+              FROM orders WHERE o_custkey = c_custkey) AS max_cents
+      FROM customer ORDER BY c_custkey"""))
+
+  /** Pivot — per-status counts spread across priority columns. The
+    * oracle spells it as portable conditional aggregation; Spark's
+    * `pivot` names result columns by value, matched with quoted
+    * aliases. */
+  val pivotAgg: Q = Q(
+    "q_pivot",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+             CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+             CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+             CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+             CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Seq[Q] = Seq(
     groupAgg, joinAgg, semiJoin, antiJoin, windowTopN,
     intersectKeys, exceptKeys, distinctPairs, rollupAgg, distinctCount,
-    tpchQ3, cubeAgg)
+    tpchQ3, cubeAgg, scalarSubquery, pivotAgg)
 }
