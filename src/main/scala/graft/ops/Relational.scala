@@ -295,8 +295,37 @@ object Relational {
              CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Explicit GROUPING SETS with grouping() flags — the flags
+    * disambiguate subtotal-produced nulls from real nulls, which the
+    * plain rollup/cube queries cannot; also pins deterministic
+    * ordering across the mixed null pattern. Through spark.sql (the
+    * SQL surface is the natural home for grouping sets). */
+  val groupingSets: Q = Q(
+    "q_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority,
+                 o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_priority,
+               o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     groupAgg, joinAgg, semiJoin, antiJoin, windowTopN,
     intersectKeys, exceptKeys, distinctPairs, rollupAgg, distinctCount,
-    tpchQ3, cubeAgg, scalarSubquery, pivotAgg)
+    tpchQ3, cubeAgg, scalarSubquery, pivotAgg, groupingSets)
 }
