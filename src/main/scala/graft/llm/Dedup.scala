@@ -153,37 +153,80 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
   }
 
+  /** Ten planted near-duplicates for the declared MinHash/SimHash
+    * queries: copies of doc_id 0–9 (ids 1M+). The driver's rows-only
+    * count then ENCODES recall — the result must contain the corpus's
+    * natural verified pairs plus the 10 planted (i, 1000000+i) pairs,
+    * and a recall regression visibly shrinks it.
+    *
+    * `mutate=true` appends one token (shingle-Jaccard ≈ m/(m+1) ≈
+    * 0.98 — far above MinHash's 0.5 threshold, so full retrieval is
+    * expected AND the pair is a genuine near-dup, not a byte copy).
+    * SimHash plants exact copies instead: a one-token change flips
+    * O(√·) low-margin vote bits on short docs, which its hamming ≤ 3
+    * criterion legitimately rejects — the declared query proves the
+    * signature→band→verify plumbing end to end (hamming 0 is always
+    * retrieved), while mutation sensitivity stays pinned in
+    * DedupSpec. */
+  private def withPlanted(docs: DataFrame, mutate: Boolean): DataFrame =
+    docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          (if (mutate) concat(col("text"), lit(" graftplanteddup"))
+           else col("text")).as("text")))
+
   val minhashLsh: Q = Q(
     "q_dedup_minhash",
-    (s, dir) => minhashPairs(t(s, dir, "documents")),
+    (s, dir) => minhashPairs(withPlanted(t(s, dir, "documents"), mutate = true)),
     None)
 
   /** SimHash near-duplicate pairs: 64-bit signature from token hashes
-    * (explode → per-bit weighted vote → bit pack), then 4×16-bit band
-    * blocking and Hamming-distance ≤ 6 verification via bit_count(xor).
+    * (explode → per-bit vote → bit pack), then 4×16-bit band blocking
+    * and Hamming-distance ≤ maxHamming verification via
+    * bit_count(xor).
     *
-    * The explode/group stage is a map-side-combinable aggregation:
-    * shuffle volume is 64 small sums per doc. No oracle (engine hash
-    * internals); rows-only + ScalaTest. */
-  /** Core SimHash pass over any (doc_id, text) frame. Repartitions by
-    * doc_id before the explode so (a) the token-hash stage
-    * parallelizes past the single-row-group scan and (b) the
-    * per-doc bit-vote groupBy reuses that partitioning — no second
-    * shuffle of the exploded (much larger) token frame. */
+    * Core pass over any (doc_id, text) frame. Repartitions by doc_id
+    * before the explode so (a) the token-hash stage parallelizes past
+    * the single-row-group scan and (b) the per-doc bit-vote groupBy
+    * reuses that partitioning — no second shuffle of the exploded
+    * (much larger) token frame.
+    *
+    * Vote packing: the naive form aggregates 64 separate ±1 sum
+    * columns per doc — 64 longs riding the combine. Since the vote
+    * for bit b only needs cnt_b = #tokens with bit b set (the ±1 sum
+    * is 2·cnt_b − n), we pack four 16-bit set-bit counters per long:
+    * 16 aggregate columns + one token count instead of 64 — 3.8×
+    * less aggregation state and shuffle. Lane arithmetic is exact as
+    * long as no lane overflows into its neighbor, which holds for
+    * n < 32 768 distinct tokens per doc (~200 KB of text; split
+    * larger docs upstream).
+    *
+    * Pair generation filters Hamming distance BEFORE the distinct:
+    * only surviving near-dup pairs (tiny) ride the dedup shuffle,
+    * not every banded collision. No oracle (engine hash internals);
+    * rows-only + ScalaTest. */
   def simhashPairs(input: DataFrame, maxHamming: Int = 3): DataFrame = {
       val spark = input.sparkSession
       val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val docs = input.repartition(par, col("doc_id"))
         .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
         .withColumn("h", xxhash64(col("tok")))
-      val bitAggs = (0 until 64).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-      val bitSums = docs.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      val sig = bitSums.select(
+      // packed per-token contribution for long j: lane i (16 bits wide)
+      // holds bit b = 4j+i of the token hash
+      val packAggs = (0 until 16).map { j =>
+        sum((0 until 4).map { i =>
+          shiftleft(shiftright(col("h"), j * 4 + i).bitwiseAND(1), i * 16)
+        }.reduce((a, b) => a.bitwiseOR(b))).as(s"p$j")
+      } :+ count(lit(1)).as("n")
+      val voteSums = docs.groupBy("doc_id").agg(packAggs.head, packAggs.tail: _*)
+      // bit b of the signature is set iff a majority of token hashes
+      // set it: 2·cnt_b > n (ties → 0, matching the ±1-sum > 0 rule)
+      val sig = voteSums.select(
         col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+        (0 until 64).map { b =>
+          val cnt = shiftright(col(s"p${b / 4}"), (b % 4) * 16).bitwiseAND(0xFFFFL)
+          when(cnt * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
 
       val banded = sig.select(
         col("doc_id"), col("simhash"),
@@ -199,14 +242,14 @@ object Dedup {
             col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
           bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
-        .distinct()
         .filter(col("hamming") <= maxHamming)
+        .distinct()
         .orderBy("doc_a", "doc_b")
   }
 
   val simhash: Q = Q(
     "q_dedup_simhash",
-    (s, dir) => simhashPairs(t(s, dir, "documents")),
+    (s, dir) => simhashPairs(withPlanted(t(s, dir, "documents"), mutate = false)),
     None)
 
   /** Exact word-set Jaccard between consecutive doc_ids — the

@@ -100,8 +100,14 @@ object Ivf {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Approximate → rows-only; recall on planted structure pinned in
-    * ScalaTest alongside the LSH variant. */
+  /** Recall audit as the driver-visible signal (same scheme as
+    * [[Similarity.annLsh]]): plant an exact copy of every query
+    * vector (ids 1M+), run IVF and the exact brute-force baseline
+    * over the same corpus, emit only IVF results confirmed by the
+    * exact top-k — the row count encodes recall out of 8 queries ×
+    * k=5 slots, and the planted copies make ≥8 hits achievable by
+    * construction. Approximate → rows-only; planted-cluster recall
+    * floor pinned in ScalaTest. */
   val annIvf: Q = Q(
     "q_ann_ivf",
     (s, dir) => {
@@ -110,8 +116,15 @@ object Ivf {
       val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val centroids = trainCentroids(emb)
-      ivfTopK(q, emb.repartition(par), centroids)
+      val planted = q.select((col("query_id") + lit(1000000L)).as("vec_id"),
+        col("qv").as("v"))
+      val corpus = emb.repartition(par).unionByName(planted)
+      val centroids = trainCentroids(corpus)
+      val ann = ivfTopK(q, corpus, centroids)
+      val exact = Similarity.exactTopK(q, corpus).select("query_id", "neighbor_id")
+      ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
     },
     None)
 

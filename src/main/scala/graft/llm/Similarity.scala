@@ -46,24 +46,30 @@ object Similarity {
     (q, emb.repartition(par))
   }
 
-  /** Brute-force cosine top-k: broadcast the (tiny) query set against
-    * the full corpus — the fact side streams through map-side, one
-    * shuffle of 8×N (query_id, sim) pairs into the per-query top-k
+  /** Exact brute-force cosine top-k over arbitrary (query_id, qv) /
+    * (vec_id, v) frames: broadcast the (tiny) query set against the
+    * full corpus — the fact side streams through map-side, one
+    * shuffle of |q|×N (query_id, sim) pairs into the per-query top-k
     * window. At 100 TB the broadcast side is unchanged and the scan
-    * side scales linearly; no cross-corpus shuffle ever happens. */
+    * side scales linearly; no cross-corpus shuffle ever happens.
+    * Doubles as the ground-truth oracle for the ANN recall audits. */
+  def exactTopK(q: DataFrame, base: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   val cosineTopK: Q = Q(
     "q_cosine_topk",
     (s, dir) => {
       val (q, base) = queriesAndBase(s, dir)
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      base.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim", cosine(col("v"), col("qv")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
-        .orderBy("query_id", "rank")
+      exactTopK(q, base)
     },
     Some("""
       SELECT query_id, rank, neighbor_id FROM (
@@ -114,6 +120,27 @@ object Similarity {
         struct(lit(l).as("tbl"), lshBucket(col(vCol), l).as("bucket"))): _*)).as("e"))
       .select(col(idCol), col(vCol), col("e.tbl"), col("e.bucket"))
 
+  /** Multi-probe bucketing for the QUERY side: each table probes the
+    * query's own bucket plus all 8 one-bit-flip neighbors. A true
+    * neighbor whose signs differ from the query's on exactly one
+    * plane — the dominant miss mode — is then still retrieved, which
+    * lifts per-table recall ~6× at moderate angles. The fan-out
+    * (9 probes × L tables) lands entirely on the broadcast-side
+    * frame of ≤ a few rows; the corpus side still materializes ONE
+    * bucket per table, so candidate generation stays linear in N. */
+  private def bucketedProbed(df: DataFrame, idCol: String, vCol: String): DataFrame = {
+    val entries = for {
+      l <- 0 until LshTables
+      flip <- -1 until LshBits
+    } yield {
+      val b = lshBucket(col(vCol), l)
+      val probe = if (flip < 0) b else b.bitwiseXOR(shiftleft(lit(1), flip))
+      struct(lit(l).as("tbl"), probe.as("bucket"))
+    }
+    df.select(col(idCol), col(vCol), explode(array(entries: _*)).as("e"))
+      .select(col(idCol), col(vCol), col("e.tbl"), col("e.bucket"))
+  }
+
   /** LSH-bucketed approximate NN core over arbitrary query/base
     * frames — the scale path: both sides hash into 4×256 sign
     * buckets; candidates are only pairs sharing a bucket in some
@@ -125,31 +152,66 @@ object Similarity {
     * vectors (median top-5 cosine ≈0.32 in this corpus) every ANN
     * index degrades toward brute force; use [[cosineTopK]] there.
     * ScalaTest pins ~full recall on planted high-sim neighbors. */
-  def annTopK(q: DataFrame, base: DataFrame, k: Int = 5): DataFrame = {
-    val qb = bucketed(q, "query_id", "qv").drop("qv")
-    val bb = bucketed(base, "vec_id", "v").drop("v")
-    val cand = bb.join(broadcast(qb), Seq("tbl", "bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id").distinct()
+  /** Execution shape (one pass per side, no recovery joins): each
+    * side computes (id, vector, tbl, bucket) ONCE and the vector rides
+    * the broadcast-hash candidate join, so scoring needs no re-join of
+    * `base`/`q` to refetch dropped vectors. The corpus side never
+    * shuffles for the join (query buckets broadcast); duplicates from
+    * multi-table collisions are scored (one fused cosine each — cheap)
+    * and deduped afterwards on the three scalar columns, keeping
+    * vectors out of the distinct shuffle.
+    *
+    * Skew guard: the bucket self-pairing is quadratic within a
+    * bucket, so one skewed bucket (near-duplicate pile-ups at 100 TB)
+    * would dominate the stage. A tiny (tbl, bucket, n) aggregate is
+    * broadcast back and oversized buckets are thinned
+    * deterministically by id-hash to ~`maxBucket` members — bounded
+    * work per bucket at the cost of recall only inside pathological
+    * buckets. The size aggregate re-derives buckets from the scan
+    * (signatures are cheap fused dot products); a real pipeline
+    * materializes signatures once and reuses them across queries. */
+  def annTopK(q: DataFrame, base: DataFrame, k: Int = 5, maxBucket: Int = 4096): DataFrame = {
+    val qb = bucketedProbed(q, "query_id", "qv")
+    val bbAll = bucketed(base, "vec_id", "v")
+    val sizes = bbAll.groupBy("tbl", "bucket").agg(count(lit(1)).as("bucket_n"))
+    val keepEvery = greatest(lit(1L),
+      ceil(col("bucket_n").cast("double") / maxBucket).cast("long"))
+    val bb = bbAll.join(broadcast(sizes), Seq("tbl", "bucket"))
+      .filter(pmod(xxhash64(col("vec_id"), col("tbl")), keepEvery) === 0)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
-    cand
-      .join(base, Seq("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
+    bb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("v"), col("qv")))
+      .select("query_id", "vec_id", "sim")
+      .distinct()
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
   }
 
-  /** Approximate → rows-only check (no oracle); behavior pinned in
-    * ScalaTest on planted structure. */
+  /** Recall audit as the driver-visible signal: plant one exact copy
+    * of every query vector into the corpus (ids 1M+), run the LSH
+    * index AND the exact brute-force baseline over the same corpus,
+    * and emit only the ANN results confirmed by the exact top-k. The
+    * row count IS the measurement — hits out of 8 queries × k=5 slots
+    * (planted copies guarantee ≥8 retrievable true neighbors; a recall
+    * regression shrinks the result). Approximate → rows-only check (no
+    * DuckDB oracle expresses the index); planted-recall floor pinned
+    * in ScalaTest. */
   val annLsh: Q = Q(
     "q_ann_lsh",
     (s, dir) => {
       val (q, base) = queriesAndBase(s, dir)
-      annTopK(q, base)
+      val planted = q.select((col("query_id") + lit(1000000L)).as("vec_id"),
+        col("qv").as("v"))
+      val corpus = base.unionByName(planted)
+      val ann = annTopK(q, corpus)
+      val exact = exactTopK(q, corpus).select("query_id", "neighbor_id")
+      ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
     },
     None)
 
@@ -191,15 +253,22 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Corpus embeddings are near-uniform random, so at sim≥0.95 this
-    * is expected (and correct) to be empty on the harness data; the
-    * ScalaTest suite pins retrieval on planted near-identical
-    * vectors. Rows-only per contract. */
+  /** Corpus embeddings are near-uniform random, so at sim≥0.95 the
+    * raw corpus yields no pairs — which made the driver's rows-only
+    * check vacuous. Five exact duplicates of vec_id 0–4 are planted
+    * (ids 1M+) so the expected output is exactly the five
+    * (i, 1000000+i) pairs at sim 1.0: a deterministic retrieval check
+    * the driver can see (0 rows now MEANS broken). False positives
+    * remain impossible (exact-cosine verification ≥ minSim).
+    * ScalaTest additionally pins jittered near-dup retrieval and
+    * noise exclusion. Rows-only per contract. */
   val embedDedup: Q = Q(
     "q_dedup_embedding",
     (s, dir) => {
       val (_, base) = queriesAndBase(s, dir)
-      cosineNearDupPairs(base, 0.95)
+      val planted = base.filter(col("vec_id") < 5)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("v"))
+      cosineNearDupPairs(base.unionByName(planted), 0.95)
     },
     None)
 

@@ -206,6 +206,33 @@ object Relational {
       SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Approximate distinct count (HLL++, SURVEY.md §2d HLL row) with a
+    * driver-checkable bound: the Spark side emits the exact count and
+    * a boolean asserting the sketch landed within 5% of it; the
+    * oracle emits the exact count and literal TRUE. The hash compare
+    * therefore FAILS if the sketch ever drifts out of range — a real
+    * accuracy check on an engine-specific value no cross-engine
+    * oracle could reproduce directly. rsd=0.02 ⇒ the 5% bound is
+    * ~2.5σ. At 100 TB this is the count-distinct to reach for: fixed
+    * sketch size per group, map-side combinable, no exact-distinct
+    * expansion shuffle. */
+  val approxDistinct: Q = Q(
+    "q_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("within_5pct"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             TRUE AS within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** TPC-H-Q3-shaped flagship: segment-filtered customer ⋈ orders ⋈
     * lineitem, revenue per order, top-10. The fact-side joins key on
     * custkey/orderkey; customer is broadcast; the per-order aggregate
@@ -235,6 +262,81 @@ object Relational {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue_cents DESC, l_orderkey ASC
       LIMIT 10"""))
+
+  /** TPC-H-Q5-shaped 6-way join: region-filtered nation ⋈ supplier ⋈
+    * customer ⋈ orders ⋈ lineitem, revenue per nation. The only
+    * fact-fact shuffle is lineitem ⋈ orders on orderkey; supplier,
+    * nation, and region are broadcast, and customer is left to the
+    * optimizer (auto-broadcast at harness scale; at 100 TB AQE picks
+    * a shuffle join for it — the plan degrades gracefully instead of
+    * OOMing on a forced broadcast). The c_nationkey = s_nationkey
+    * constraint is Q5's "local supplier" semantics. */
+  val tpchQ5: Q = Q(
+    "q_tpch_q5",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name").asc)
+    },
+    Some("""
+      SELECT n_name,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY revenue_cents DESC, n_name ASC"""))
+
+  /** TPC-H-Q18-shaped HAVING over grouped sums: large-quantity orders
+    * (per-order lineitem quantity sum > 300) joined back to customer.
+    * The HAVING runs as a filter over a map-side-combinable aggregate
+    * BEFORE the joins — the fact table collapses to qualifying
+    * orderkeys first, so downstream joins see ~1% of the rows. */
+  val tpchQ18: Q = Q(
+    "q_tpch_q18",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), cents("o_totalprice").as("total_cents"),
+          col("sum_qty"))
+        .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+    Some("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, sum_qty
+      FROM orders
+      JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 300) big
+        ON o_orderkey = big.l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_cents DESC, o_orderkey ASC
+      LIMIT 100"""))
 
   /** CUBE grouping sets — all 4 subtotal combinations. */
   val cubeAgg: Q = Q(
@@ -327,5 +429,6 @@ object Relational {
   val all: Seq[Q] = Seq(
     groupAgg, joinAgg, semiJoin, antiJoin, windowTopN,
     intersectKeys, exceptKeys, distinctPairs, rollupAgg, distinctCount,
-    tpchQ3, cubeAgg, scalarSubquery, pivotAgg, groupingSets)
+    approxDistinct, tpchQ3, tpchQ5, tpchQ18, cubeAgg, scalarSubquery,
+    pivotAgg, groupingSets)
 }

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
 
 /** Sink surface (SURVEY.md §2a S2/S3/S6): parquet, CSV, and
   * partitioned-parquet writers.
@@ -48,4 +50,39 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(name)
+
+  /** Partition-pruning proof, end to end: events written hive-layout
+    * partitioned by event date ([[partitionedParquet]]), read back
+    * with a single-date filter, aggregated. The date filter resolves
+    * against the directory layout — the scan lists ONE date directory
+    * out of 30 (`PartitionFilters` in the plan, asserted in
+    * PlanSpec), which is the 100 TB mechanism that turns a day-scoped
+    * query over years of data into a 0.1% scan. The repartition by
+    * event_date before the write yields one file per date directory
+    * (writer-side clustering), not #tasks × #dates fragments.
+    *
+    * The oracle runs the same filter+aggregate over the ORIGINAL
+    * unpartitioned table, so the round trip through the partitioned
+    * layout is itself under hash check. */
+  val partitionPruned: Q = Q(
+    "q_partition_pruned",
+    (s: SparkSession, dir: String) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date"
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+      partitionedParquet(ev.repartition(col("event_date")), out, "event_date")
+      s.read.parquet(out)
+        .filter(col("event_date") === lit(java.sql.Date.valueOf("2024-01-15")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(partitionPruned)
 }

@@ -62,4 +62,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("partitioned read prunes to the filtered date directory") {
+    val df = q("q_partition_pruned")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"), s"no partition filter on event_date:\n$p")
+    // the data filter must NOT degrade to a post-scan row filter on ts
+    assert(pf.nonEmpty, p)
+  }
+
+  test("ANN LSH core is two broadcast joins, no vector-recovery joins") {
+    import spark.implicits._
+    val base = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d)))).toDF("vec_id", "v")
+    val qdf = (0 until 2).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d)))).toDF("query_id", "qv")
+    val df = llm.Similarity.annTopK(qdf, base, k = 3)
+    df.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" —
+    // count joins only in the final executed section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+      .findAllIn(p).size
+    // bucket-size-cap join + query-bucket candidate join; the round-1
+    // shape had two extra joins re-fetching vectors dropped before the
+    // candidate distinct
+    assert(joins == 2, s"expected 2 joins, found $joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("TPC-H Q5/Q18 shapes: broadcast dims, partial aggregation, no cartesian") {
+    for (name <- Seq("q_tpch_q5", "q_tpch_q18")) {
+      val p = finalPlan(q(name))
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(p.contains("partial_"), s"$name:\n$p")
+    }
+  }
 }
