@@ -114,10 +114,17 @@ object Dedup {
           xxhash64(col("s")).as("h1"), xxhash64(col("s"), lit(1)).as("h2"))
       val minAggs = (0 until hashes).map(i =>
         min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"g$i"))
+      // Persist the signature table: the banded self-join references it
+      // on both sides, and without materialization each side re-runs
+      // the explode+aggregate (and separately re-compiles its large
+      // codegen unit). Signatures are 64 longs/doc — the standard
+      // "materialize the sketch, then index it" shape; MEMORY_AND_DISK
+      // spills rather than OOMs at corpus scale.
       val sigs = exploded.groupBy("doc_id")
         .agg(minAggs.head, minAggs.tail: _*)
         .select(col("doc_id"),
           array((0 until hashes).map(i => col(s"g$i")): _*).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // band key: xxhash64 over the band's signature slice
       val banded = sigs.select(
@@ -221,12 +228,16 @@ object Dedup {
       val voteSums = docs.groupBy("doc_id").agg(packAggs.head, packAggs.tail: _*)
       // bit b of the signature is set iff a majority of token hashes
       // set it: 2·cnt_b > n (ties → 0, matching the ±1-sum > 0 rule)
+      // persisted for the same self-join reason as MinHash's `sigs`:
+      // one signature computation (and one codegen compile of the
+      // packed-vote aggregate) instead of one per join side
       val sig = voteSums.select(
         col("doc_id"),
         (0 until 64).map { b =>
           val cnt = shiftright(col(s"p${b / 4}"), (b % 4) * 16).bitwiseAND(0xFFFFL)
           when(cnt * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
         }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       val banded = sig.select(
         col("doc_id"), col("simhash"),

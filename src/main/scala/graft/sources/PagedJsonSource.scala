@@ -23,15 +23,20 @@ import graft.ops.Ingest
   * pages and a `max_records` truncation cap.
   *
   * The reference fetches `api.sam.gov` over HTTP; this harness build
-  * has zero egress, so the page payload comes from the embedded SAM
-  * fixture ([[Ingest.fixture]]) — the transport is a function of
-  * (pageIndex, pageSize) exactly like an HTTP pager, and swapping in
-  * a real HTTP fetch changes only [[PagePartitionReader.pageRecords]].
-  * Schema is the explicit SAM StructType (no inference — SURVEY.md §1
-  * makes the implicit reference schema explicit).
+  * has zero egress, so the page payload comes from either the
+  * embedded SAM fixture ([[Ingest.fixture]], default) or — via the
+  * `path` option — a JSON-lines file, so multi-partition paging is
+  * exercised with real volume, not just the 9-row fixture. Either
+  * transport is a function of (pageIndex, pageSize) exactly like an
+  * HTTP pager, and swapping in a real HTTP fetch changes only
+  * [[PagePartitionReader.pageRecords]]. Schema is the explicit SAM
+  * StructType (no inference — SURVEY.md §1 makes the implicit
+  * reference schema explicit).
   *
   * Usage: spark.read.format("graft.sources.PagedJsonSource")
-  *   .option("page_size", 3).option("max_records", 500).load()
+  *   .option("page_size", 3).option("max_records", 500)
+  *   .option("path", "/path/records.jsonl")   // optional
+  *   .load()
   */
 class PagedJsonSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -55,19 +60,28 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
     new ScanBuilder with Scan with Batch {
       private val pageSize = options.getInt("page_size", 100)
       private val maxRecords = options.getInt("max_records", 500)
+      private val path = Option(options.get("path"))
 
       override def build(): Scan = this
       override def readSchema(): StructType = schema0
       override def toBatch: Batch = this
 
       /** One InputPartition per page — the unit of parallel fetch.
-        * Page count derives from the (known) fixture size here; an
-        * HTTP variant would read a totalRecords field from page 0 or
-        * fetch until a short page. */
+        * Page count derives from the known record total (fixture
+        * size, or a driver-side line count of the JSON-lines file —
+        * the analog of reading a totalRecords field from page 0 of a
+        * paged API; an HTTP variant without one would fetch until a
+        * short page). */
       override def planInputPartitions(): Array[InputPartition] = {
-        val total = math.min(Ingest.fixture.size, maxRecords)
+        val available = path match {
+          case Some(p) =>
+            val s = java.nio.file.Files.lines(java.nio.file.Paths.get(p))
+            try s.count().toInt finally s.close()
+          case None => Ingest.fixture.size
+        }
+        val total = math.min(available, maxRecords)
         val pages = (total + pageSize - 1) / pageSize
-        (0 until pages).map(i => PagePartition(i, pageSize, total): InputPartition).toArray
+        (0 until pages).map(i => PagePartition(i, pageSize, total, path): InputPartition).toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
@@ -83,8 +97,8 @@ final class PagedReaderFactory(schema: StructType)
     new PagePartitionReader(partition.asInstanceOf[PagePartition], schema)
 }
 
-final case class PagePartition(page: Int, pageSize: Int, total: Int)
-    extends InputPartition
+final case class PagePartition(page: Int, pageSize: Int, total: Int,
+    path: Option[String]) extends InputPartition
 
 /** Parses one page of JSON records into InternalRows against the
   * explicit schema (strings + one nested struct). Missing keys and
@@ -95,11 +109,21 @@ final class PagePartitionReader(p: PagePartition, schema: StructType)
 
   private val mapper = new ObjectMapper()
 
-  /** The page payload — swap for an HTTP GET in a connected build. */
+  /** The page payload — swap for an HTTP GET in a connected build.
+    * The JSON-lines branch skips to its page offset and reads only
+    * `pageSize` lines on the executor — each page task touches its
+    * slice, the file is never loaded whole. */
   private def pageRecords: Seq[String] = {
-    val from = p.page * p.pageSize
-    val until = math.min(from + p.pageSize, p.total)
-    if (from >= until) Seq.empty else Ingest.fixture.slice(from, until)
+    val from = p.page.toLong * p.pageSize
+    val until = math.min(from + p.pageSize, p.total.toLong)
+    if (from >= until) Seq.empty
+    else p.path match {
+      case Some(f) =>
+        val s = java.nio.file.Files.lines(java.nio.file.Paths.get(f))
+        try s.skip(from).limit(until - from).iterator().asScala.toSeq
+        finally s.close()
+      case None => Ingest.fixture.slice(from.toInt, until.toInt)
+    }
   }
 
   private val it = pageRecords.iterator

@@ -37,6 +37,35 @@ class PagedSourceSpec extends SparkSpec {
     assert(n7.isNullAt(n7.fieldIndex("naicsCode")))
   }
 
+  test("JSON-lines path option pages real volume across partitions") {
+    // 1200 generated SAM-shaped records — far past the 9-row fixture,
+    // so parallel page fetch is exercised with real data movement
+    val f = java.nio.file.Files.createTempFile("graft_paged", ".jsonl")
+    val lines = (0 until 1200).map { i =>
+      s"""{"noticeId":"G%04d","title":"  Notice $i  ","solicitationNumber":"S$i",""".format(i) +
+        s""""fullParentPathName":"AGENCY ${i % 7}","postedDate":"2024-0${i % 9 + 1}-15",""" +
+        s""""typeOfSetAsideDescription":"${if (i % 3 == 0) "Service-Disabled Veteran-Owned Small Business Set-Aside" else "Total Small Business"}",""" +
+        s""""naicsCode":"5415${i % 10}","officeAddress":{"city":"City${i % 5}","state":"s${i % 50}"},"uiLink":"https://x/${i}"}"""
+    }
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes)
+    try {
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("page_size", 250).option("max_records", 100000)
+        .option("path", f.toString).load()
+      assert(df.rdd.getNumPartitions == 5) // ceil(1200/250)
+      assert(df.count() == 1200)
+      // records parse against the explicit schema wherever they land
+      assert(df.filter(df("officeAddress.city") === "City3").count() == 240)
+      assert(df.filter(df("typeOfSetAsideDescription").contains("Veteran-Owned")).count() == 400)
+      // the cap truncates the file exactly like the fixture
+      val capped = spark.read.format("graft.sources.PagedJsonSource")
+        .option("page_size", 250).option("max_records", 900)
+        .option("path", f.toString).load()
+      assert(capped.count() == 900)
+      assert(capped.rdd.getNumPartitions == 4)
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("source -> transform chain == from_json pipeline output") {
     val viaSource = SparkEntry.queries("q_rest_ingest")(spark, "")
       .collect().map(_.toSeq).toSeq
