@@ -84,5 +84,32 @@ object Sinks {
       FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
       GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(partitionPruned)
+  /** Bucketed-table lifecycle under oracle check: orders and customer
+    * written as 8-bucket tables on the customer key, then joined and
+    * aggregated ON that key. Both the join and the per-customer
+    * aggregation can consume the bucketing (zero added Exchange on
+    * the sort-merge path — pinned in SinksSpec with broadcast off);
+    * the oracle compares the result against a plain join+GROUP BY on
+    * the raw parquet, so the write→catalog→read round trip is itself
+    * hash-checked. At 100 TB this is the pay-the-shuffle-once layout
+    * for any fact table repeatedly joined on one key. */
+  val bucketedJoin: Q = Q(
+    "q_bucketed_join",
+    (s: SparkSession, dir: String) => {
+      bucketedTable(Tables.load(s, dir, "orders"), "graft_orders_b", 8, "o_custkey")
+      bucketedTable(Tables.load(s, dir, "customer"), "graft_customer_b", 8, "c_custkey")
+      s.table("graft_orders_b")
+        .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_cents"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, CAST(count(*) AS BIGINT) AS order_cnt,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey"""))
+
+  val all: Seq[Q] = Seq(partitionPruned, bucketedJoin)
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
 
 /** Skew-handling utilities — the salting pattern for hot keys.
   *
@@ -29,4 +30,24 @@ object Skew {
       .agg(count(lit(1)).as("__cnt"), sum(col(valueCol)).as("__sum"))
       .groupBy(col(key))
       .agg(sum(col("__cnt")).as("cnt"), sum(col("__sum")).as("total"))
+
+  /** Salting under full oracle check: lineitem's 3-value returnflag is
+    * exactly the pathological-cardinality shape salting exists for
+    * (3 keys over 32+ reducers — direct groupBy leaves the cluster
+    * idle and one reducer per key swamped). The salted two-phase
+    * result must equal a plain GROUP BY bit for bit: counts are
+    * integers and l_quantity is integer-valued, so the double sums
+    * are order-insensitive and hash-comparable. */
+  val skewSalted: Q = Q(
+    "q_skew_salted",
+    (s, dir) =>
+      saltedCountSum(Tables.load(s, dir, "lineitem"),
+        key = "l_returnflag", idCol = "l_orderkey", valueCol = "l_quantity")
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+             sum(l_quantity) AS total
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(skewSalted)
 }
