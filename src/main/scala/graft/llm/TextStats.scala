@@ -140,6 +140,38 @@ object TextStats {
              substr(md5(text), 1, 16) AS fp16
       FROM documents ORDER BY doc_id"""))
 
+  /** Repetition ratio — the boilerplate/spam signal: share of the
+    * document taken by its single most frequent token. Two-level
+    * aggregation, both map-side combinable: (doc, token) counts, then
+    * per-doc sum/max. The ratio divides two exact longs, so the
+    * double is bit-identical cross-engine. */
+  val repetitionRatio: Q = Q(
+    "q_repetition_ratio",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tok"), max(col("c")).as("max_tok"))
+        .select(col("doc_id"),
+          col("n_tok").cast("long").as("n_tokens"),
+          col("max_tok").cast("long").as("max_tok_cnt"),
+          (col("max_tok").cast("double") / nullif(col("n_tok"), lit(0)))
+            .as("repetition_ratio"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+             CAST(max_tok AS BIGINT) AS max_tok_cnt,
+             CAST(max_tok AS DOUBLE) / nullif(n_tok, 0) AS repetition_ratio
+      FROM (
+        SELECT doc_id, sum(c) AS n_tok, max(c) AS max_tok FROM (
+          SELECT doc_id, tok, count(*) AS c FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents
+          ) GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+      ) ORDER BY doc_id"""))
+
   /** Rolling-hash fingerprint via the custom wrapping-arithmetic
     * expression ([[graft.functions.RollingHash]]) — not expressible in
     * ANSI SQL on either engine, so rows-only; exact values pinned in
@@ -153,5 +185,6 @@ object TextStats {
         .orderBy("doc_id"),
     None)
 
-  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint, rollingFingerprint)
+  val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
+    repetitionRatio, rollingFingerprint)
 }

@@ -46,10 +46,20 @@ object Sinks {
     * exchange on either side — the shuffle is paid once at write
     * time and amortized over every subsequent join/aggregation on
     * that key. Verified by plan inspection in SinksSpec. */
-  def bucketedTable(df: DataFrame, name: String, buckets: Int, key: String): Unit =
+  def bucketedTable(df: DataFrame, name: String, buckets: Int, key: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a fresh (in-memory) catalog forgets tables but the filesystem
+    // keeps their directories; clear an orphaned location or
+    // saveAsTable refuses with LOCATION_ALREADY_EXISTS
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(name)
+  }
 
   /** Partition-pruning proof, end to end: events written hive-layout
     * partitioned by event date ([[partitionedParquet]]), read back
