@@ -7,13 +7,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // keep typed imperative aggregates (MinHashAgg, median/mode) on
+      // the hash path at full group cardinality — see MinHashAgg docs
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/session warmup so the first measured query doesn't
-    // absorb startup cost (~6s otherwise lands on an arbitrary query)
+    // absorb startup cost (~6s otherwise lands on an arbitrary query).
+    // Touch each execution pattern once — agg, scan, shuffle join,
+    // window, explode, global sort — so their operator/codegen
+    // infrastructure is compiled before any query is timed.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val warm = spark.range(1000L).selectExpr("id", "id % 97 AS k", "'a b c' AS s")
+    warm.join(warm.selectExpr("k AS k2", "id AS id2"), org.apache.spark.sql.functions.expr("k = k2")).count()
+    warm.selectExpr("k", "id", "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
+      .where("rn <= 2").count()
+    warm.selectExpr("explode(split(s, ' ')) AS t").distinct().orderBy("t").count()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -67,11 +67,6 @@ object Dedup {
         .otherwise(array(concat_ws(" ", tok))))
   }
 
-  /** rotl(b, i) for a long column — Java shifts are mod-64, so the
-    * i=0 case degenerates cleanly to b itself. */
-  private def rotl(b: Column, i: Int): Column =
-    shiftleft(b, i).bitwiseOR(shiftrightunsigned(b, 64 - i))
-
   /** MinHash + banded LSH near-duplicate pairs, exact-Jaccard
     * verified. Core pass over any (doc_id, text) frame — factored out
     * so tests can feed planted fixtures.
@@ -107,23 +102,29 @@ object Dedup {
       val spark = input.sparkSession
       val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val hashes = bands * rows
+      // MinHashAgg runs through ObjectHashAggregate, whose default
+      // 128-distinct-key fallback would demote the signature pass to
+      // SORT-based aggregation (sorting the full exploded shingle
+      // stream — catastrophic). One signature buffer is 512 bytes, so
+      // millions of in-flight groups per task are fine; raise the
+      // threshold so the hash path holds at corpus cardinality.
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
 
       val exploded = input.repartition(par)
         .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
         .select(col("doc_id"),
           xxhash64(col("s")).as("h1"), xxhash64(col("s"), lit(1)).as("h2"))
-      val minAggs = (0 until hashes).map(i =>
-        min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"g$i"))
       // Persist the signature table: the banded self-join references it
       // on both sides, and without materialization each side re-runs
-      // the explode+aggregate (and separately re-compiles its large
-      // codegen unit). Signatures are 64 longs/doc — the standard
-      // "materialize the sketch, then index it" shape; MEMORY_AND_DISK
-      // spills rather than OOMs at corpus scale.
+      // the explode+aggregate. Signatures are 64 longs/doc — the
+      // standard "materialize the sketch, then index it" shape;
+      // MEMORY_AND_DISK spills rather than OOMs at corpus scale.
+      // The signature itself is [[graft.functions.MinHashAgg]], the
+      // typed imperative aggregate — bit-identical to 64 declarative
+      // min(h1 ^ rotl(h2, i)) columns (equivalence pinned in
+      // DedupSpec) without their pathological codegen-compile cost.
       val sigs = exploded.groupBy("doc_id")
-        .agg(minAggs.head, minAggs.tail: _*)
-        .select(col("doc_id"),
-          array((0 until hashes).map(i => col(s"g$i")): _*).as("sig"))
+        .agg(graft.functions.MinHashAgg(col("h1"), col("h2"), hashes).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // band key: xxhash64 over the band's signature slice

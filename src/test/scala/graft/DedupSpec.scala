@@ -41,6 +41,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("MinHashAgg imperative aggregate == 64 declarative min(h1 ^ rotl(h2,i)) columns") {
+    import org.apache.spark.sql.functions._
+    def rotl(b: org.apache.spark.sql.Column, i: Int) =
+      shiftleft(b, i).bitwiseOR(shiftrightunsigned(b, 64 - i))
+    val docs = Tables.load(spark, sf001, "documents").select("doc_id", "text").limit(50)
+    val exploded = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h1"), xxhash64(col("s"), lit(1)).as("h2"))
+    val viaAgg = exploded.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg(col("h1"), col("h2"), 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val minCols = (0 until 64).map(i => min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"g$i"))
+    val viaCols = exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(r.getLong).toSeq).toMap
+    assert(viaAgg.keySet == viaCols.keySet)
+    for ((id, sig) <- viaAgg) assert(sig == viaCols(id), s"doc $id signature mismatch")
+  }
+
   test("minhash LSH recall >= 0.8 vs exact all-pairs jaccard on sf0.001") {
     val docs = Tables.load(spark, sf001, "documents").select("doc_id", "text")
     // exact ground truth: all-pairs 5-gram jaccard >= 0.5 (500 docs -> 125k pairs)
