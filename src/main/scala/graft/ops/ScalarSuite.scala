@@ -94,5 +94,59 @@ object ScalarSuite {
              quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_cents
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  val all: Seq[Q] = Seq(stringFuncs, mathFuncs, orderedAggs)
+  /** Approximate percentile (t-digest class) under a driver-checkable
+    * bound, mirroring q_approx_distinct's scheme: Spark emits the
+    * exact interpolated median and a boolean asserting the sketch
+    * landed within 5% of it; the oracle emits exact + TRUE, so the
+    * hash compare fails if the sketch drifts. accuracy=10000 ⇒ rank
+    * error ≤ 1e-4 — the 5% value bound is enormous slack on this
+    * distribution. The sketch, not exact percentile, is what runs at
+    * 100 TB: fixed state per group, map-side combinable, no full sort
+    * of the column. */
+  val approxPercentile: Q = Q(
+    "q_approx_percentile",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(cents, 0.5)").as("exact_median_cents"),
+          expr("approx_percentile(cents, 0.5, 10000)").as("approx"))
+        .select(col("o_orderstatus"), col("exact_median_cents"),
+          (abs(col("approx") - col("exact_median_cents")) /
+            col("exact_median_cents") <= 0.05).as("within_5pct"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus,
+             quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS exact_median_cents,
+             TRUE AS within_5pct
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Array-function breadth (SURVEY §2h "array fns" row): distinct /
+    * sort / slice / join / membership over tokenized text. String
+    * ordering is UTF-8 binary on both engines (UTF-8 byte order equals
+    * codepoint order, so the zh documents sort identically). */
+  val arrayFuncs: Q = Q(
+    "q_array_funcs",
+    (s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val dis = array_distinct(toks)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(dis).cast("long").as("n_distinct"),
+          array_join(slice(array_sort(dis), 1, 3), ",").as("first3"),
+          array_contains(toks, "the").as("has_the"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
+             list_contains(toks, 'the') AS has_the
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(stringFuncs, mathFuncs, orderedAggs, approxPercentile, arrayFuncs)
 }
