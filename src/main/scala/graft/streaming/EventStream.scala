@@ -43,6 +43,16 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id", "ts")
 
+  /** Stream-static enrichment join: every micro-batch of the stream
+    * joins the (small, broadcast) static dimension — the streaming
+    * analog of the reference's naics lookup (J1) and the standard way
+    * to attach slowly-changing reference data to a live stream. A
+    * stream-static equi-join is stateless: no watermark needed on the
+    * static side, no state store involvement, so it scales with the
+    * stream alone. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Per-user running event count via mapGroupsWithState — the
     * custom-state escape hatch (KeyValueGroupedDataset) for logic the
     * built-in windowed aggregates can't express. Emits (user_id,

@@ -65,6 +65,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dimension join enriches micro-batches; unmatched keys keep null") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "interaction"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.enrichWithDim(stream, dim, "event_type")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, ts("2024-01-01 00:10:00"), "click")))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        (2L, ts("2024-01-01 00:20:00"), "view"),
+        (3L, ts("2024-01-01 00:30:00"), "purchase"))) // not in dim -> null
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("event_id", "category").as[(Long, Option[String])]
+        .collect().toMap
+      assert(got == Map(1L -> Some("interaction"), 2L -> Some("impression"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running per-user counts accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
