@@ -272,5 +272,33 @@ object Similarity {
     },
     None)
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, embedDedup)
+  /** Embedding QA stats — the sanity pass a pipeline runs before any
+    * similarity work (catch zero/NaN/denormalized vectors at ingest).
+    * Sequential-fold sums keep the doubles bit-identical to DuckDB's
+    * list_sum/list_transform fold, so even the norms hash-match. */
+  val vectorStats: Q = Q(
+    "q_vector_stats",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      emb.select(
+        col("vec_id"),
+        size(col("v")).cast("long").as("dim"),
+        norm(col("v")).as("l2_norm"),
+        (aggregate(col("v"), lit(0.0), (a, x) => a + x) / size(col("v"))).as("mean"),
+        array_min(col("v")).as("min_c"),
+        array_max(col("v")).as("max_c"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      SELECT vec_id,
+             CAST(len(v) AS BIGINT) AS dim,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS l2_norm,
+             list_sum(v) / len(v) AS mean,
+             list_min(v) AS min_c,
+             list_max(v) AS max_c
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, embedDedup, vectorStats)
 }

@@ -128,6 +128,28 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 30, s"cluster-member hits $hits/40 too low")
   }
 
+  test("ANN bucket-size cap thins a pathological bucket deterministically, still returns k") {
+    // 400 identical vectors collapse into ONE bucket per table — the
+    // quadratic-pairing skew case the cap exists for
+    val v = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val base = (0 until 400).map(i => (i.toLong, v)).toDF("vec_id", "v")
+    val q = Seq((9999L, v)).toDF("query_id", "qv")
+    def run(cap: Int): Seq[Long] =
+      Similarity.annTopK(q, base, k = 5, maxBucket = cap)
+        .select("neighbor_id").as[Long].collect().toSeq
+    val capped = run(50)
+    val uncapped = run(1000000)
+    // top-k still fully served from the thinned bucket
+    assert(capped.length == 5, s"capped run returned $capped")
+    // all sims are 1.0, so the uncapped tie-break takes the 5 lowest
+    // ids; the cap's hash-thinning must have removed some of those —
+    // proof the guard engaged rather than being a no-op
+    assert(uncapped == (0L until 5L).toSeq, s"uncapped: $uncapped")
+    assert(capped != uncapped, "cap did not engage")
+    // deterministic: same thinning every run
+    assert(run(50) == capped)
+  }
+
   test("cosine similarity of a vector with itself is 1.0") {
     import org.apache.spark.sql.functions._
     val df = Seq(Tuple1(Array(1.0, 2.0, 3.0))).toDF("v")
