@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 object Bench {
+
+  /** Sum one SQLMetric across the executed plan, descending through
+    * AQE wrappers (AdaptiveSparkPlanExec holds the final plan; each
+    * materialized QueryStageExec holds its stage subtree) and
+    * subqueries. Valid after the plan has executed. */
+  private def sumMetric(root: SparkPlan, key: String): Long = {
+    var total = 0L
+    def walk(p: SparkPlan): Unit = {
+      p.metrics.get(key).foreach(m => total += m.value)
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(root)
+    total
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,18 +57,32 @@ object Bench {
       // work (a 15k-row global sort "ran" in 0.13s). toRdd is the
       // final SparkPlan's row RDD: sorts, windows, and projections all
       // execute; only the driver-side collect of results is skipped.
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (shuffle, spill) =
+        try {
+          val df = fn(spark, sfDir)
+          df.queryExecution.toRdd.count()
+          val plan = df.queryExecution.executedPlan
+          (sumMetric(plan, "shuffleBytesWritten"), sumMetric(plan, "spillSize"))
+        } catch { case e: Throwable =>
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          (0L, 0L)
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop any frames the query persisted so no query's cache taxes
+      // its successors (the dedup/ANN ops persist intermediates that
+      // would otherwise stay pinned for the rest of the session)
+      spark.catalog.clearCache()
+      (name, sec, shuffle, spill)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Long, Long)) => String): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2.toString)
+    val shuf = jmap(_._3.toString)
+    val spill = jmap(_._4.toString)
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuf,"spill_bytes":$spill,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,7 +19,8 @@ object SparkEntry {
       ops.Sinks.all ++ ops.Skew.all ++ ops.AsOfJoin.all ++
       ops.ScalarSuite.all ++ ops.WindowSuite.all ++
       llm.TextStats.all ++ llm.Dedup.all ++ llm.Similarity.all ++
-      llm.Ivf.all ++ llm.Events.all ++ llm.Multimodal.all ++ llm.Sampling.all
+      llm.Ivf.all ++ llm.Events.all ++ llm.Multimodal.all ++ llm.Sampling.all ++
+      streaming.EventStream.all
 
   /** Flagship query (reference ATHENA_SQL, E3) on sf=0.001; driver
     * smoke-checks rows>0. */

@@ -102,14 +102,15 @@ object Dedup {
       val spark = input.sparkSession
       val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val hashes = bands * rows
-      // MinHashAgg runs through ObjectHashAggregate, whose default
-      // 128-distinct-key fallback would demote the signature pass to
-      // SORT-based aggregation (sorting the full exploded shingle
-      // stream — catastrophic). One signature buffer is 512 bytes, so
-      // millions of in-flight groups per task are fine; raise the
-      // threshold so the hash path holds at corpus cardinality.
-      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-
+      // Session requirement (set by Bench/Verify/TestSpark at session
+      // build, NOT mutated here — an operator must not silently change
+      // aggregation behavior for the caller's other queries):
+      // spark.sql.objectHashAggregate.sortBased.fallbackThreshold must
+      // exceed per-task group cardinality, or ObjectHashAggregate's
+      // default 128-distinct-key fallback demotes the MinHashAgg
+      // signature pass to SORT-based aggregation (sorting the full
+      // exploded shingle stream — catastrophic). One signature buffer
+      // is 512 bytes, so millions of in-flight groups per task are fine.
       val exploded = input.repartition(par)
         .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
         .select(col("doc_id"),
@@ -206,8 +207,13 @@ object Dedup {
     * 16 aggregate columns + one token count instead of 64 — 3.8×
     * less aggregation state and shuffle. Lane arithmetic is exact as
     * long as no lane overflows into its neighbor, which holds for
-    * n < 32 768 distinct tokens per doc (~200 KB of text; split
-    * larger docs upstream).
+    * n < 32 768 distinct tokens per doc — GUARDED below: the distinct
+    * token array is capped at 32 767 entries before the vote, so an
+    * oversize doc (~200 KB+ of text) degrades to a signature over its
+    * first 32 767 distinct tokens instead of silently corrupting all
+    * 64 bits (the top lane would otherwise overflow into the long's
+    * sign bit). Near-dup detection over a 32 767-token prefix remains
+    * meaningful; corpora of such docs should split them upstream.
     *
     * Pair generation filters Hamming distance BEFORE the distinct:
     * only surviving near-dup pairs (tiny) ride the dedup shuffle,
@@ -217,7 +223,12 @@ object Dedup {
       val spark = input.sparkSession
       val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val docs = input.repartition(par, col("doc_id"))
-        .select(col("doc_id"), explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+        // slice = the lane-overflow guard: ≤ 32 767 distinct tokens
+        // per doc keeps every 16-bit vote counter below 2¹⁵ (see
+        // scaladoc) — without it the top lane (bits 48-63) overflows
+        // the long sign bit and corrupts the signature silently
+        .select(col("doc_id"),
+          explode(slice(array_distinct(split(trim(col("text")), "\\s+")), 1, 32767)).as("tok"))
         .withColumn("h", xxhash64(col("tok")))
       // packed per-token contribution for long j: lane i (16 bits wide)
       // holds bit b = 4j+i of the token hash

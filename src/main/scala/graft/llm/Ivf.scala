@@ -118,7 +118,12 @@ object Ivf {
       val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val planted = q.select((col("query_id") + lit(1000000L)).as("vec_id"),
         col("qv").as("v"))
+      // three consumers — the training sample collect, the IVF cluster
+      // assignment, and the exact ground-truth baseline — share one
+      // persisted corpus instead of three parquet scans (Bench/Verify
+      // clearCache() after the query materializes)
       val corpus = emb.repartition(par).unionByName(planted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val centroids = trainCentroids(corpus)
       val ann = ivfTopK(q, corpus, centroids)
       val exact = Similarity.exactTopK(q, corpus).select("query_id", "neighbor_id")

@@ -121,24 +121,30 @@ object Similarity {
       .select(col(idCol), col(vCol), col("e.tbl"), col("e.bucket"))
 
   /** Multi-probe bucketing for the QUERY side: each table probes the
-    * query's own bucket plus all 8 one-bit-flip neighbors. A true
-    * neighbor whose signs differ from the query's on exactly one
-    * plane — the dominant miss mode — is then still retrieved, which
-    * lifts per-table recall ~6× at moderate angles. The fan-out
-    * (9 probes × L tables) lands entirely on the broadcast-side
-    * frame of ≤ a few rows; the corpus side still materializes ONE
-    * bucket per table, so candidate generation stays linear in N. */
+    * query's own bucket plus every 1-bit and 2-bit flip neighbor
+    * (1+8+28 = 37 probes/table). A true neighbor whose signs differ
+    * from the query's on at most two planes — the dominant miss modes
+    * at moderate angles — is then still retrieved: at the corpus's
+    * observed geometry (p≈0.6 per-plane agreement) per-table recall
+    * rises from ~0.02 (exact bucket) to ~0.33 (≤2 flips), ~0.80 over
+    * 4 tables. The fan-out lands entirely on the broadcast-side frame
+    * of ≤ a few rows; the corpus side still materializes ONE bucket
+    * per table, so candidate generation stays linear in N. Each
+    * table's bucket is computed once (first projection), then the 37
+    * probe keys are pure XOR masks over it. */
   private def bucketedProbed(df: DataFrame, idCol: String, vCol: String): DataFrame = {
-    val entries = for {
-      l <- 0 until LshTables
-      flip <- -1 until LshBits
-    } yield {
-      val b = lshBucket(col(vCol), l)
-      val probe = if (flip < 0) b else b.bitwiseXOR(shiftleft(lit(1), flip))
-      struct(lit(l).as("tbl"), probe.as("bucket"))
-    }
-    df.select(col(idCol), col(vCol), explode(array(entries: _*)).as("e"))
-      .select(col(idCol), col(vCol), col("e.tbl"), col("e.bucket"))
+    val masks: Seq[Int] =
+      0 +: (0 until LshBits).map(1 << _) ++: (for {
+        i <- 0 until LshBits; j <- i + 1 until LshBits
+      } yield (1 << i) | (1 << j))
+    val tabled = df.select(
+      col(idCol), col(vCol),
+      explode(array((0 until LshTables).map(l =>
+        struct(lit(l).as("tbl"), lshBucket(col(vCol), l).as("b0"))): _*)).as("e"))
+      .select(col(idCol), col(vCol), col("e.tbl"), col("e.b0"))
+    tabled.select(
+      col(idCol), col(vCol), col("tbl"),
+      explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
   }
 
   /** LSH-bucketed approximate NN core over arbitrary query/base
@@ -167,12 +173,15 @@ object Similarity {
     * broadcast back and oversized buckets are thinned
     * deterministically by id-hash to ~`maxBucket` members — bounded
     * work per bucket at the cost of recall only inside pathological
-    * buckets. The size aggregate re-derives buckets from the scan
-    * (signatures are cheap fused dot products); a real pipeline
-    * materializes signatures once and reuses them across queries. */
+    * buckets. The bucketed corpus frame is persisted (spill-safe) so
+    * the size aggregate and the candidate join share ONE signature
+    * computation — the "materialize the sketch, then index it" shape;
+    * callers running multiple queries in a session should
+    * `clearCache()` between them (Bench/Verify do). */
   def annTopK(q: DataFrame, base: DataFrame, k: Int = 5, maxBucket: Int = 4096): DataFrame = {
     val qb = bucketedProbed(q, "query_id", "qv")
     val bbAll = bucketed(base, "vec_id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = bbAll.groupBy("tbl", "bucket").agg(count(lit(1)).as("bucket_n"))
     val keepEvery = greatest(lit(1L),
       ceil(col("bucket_n").cast("double") / maxBucket).cast("long"))
@@ -206,7 +215,12 @@ object Similarity {
       val (q, base) = queriesAndBase(s, dir)
       val planted = q.select((col("query_id") + lit(1000000L)).as("vec_id"),
         col("qv").as("v"))
+      // the LSH index path and the exact ground-truth baseline both
+      // consume the planted corpus — persist it so the parquet scan,
+      // cast, and union run once, not once per side (Bench/Verify
+      // clearCache() after the query materializes)
       val corpus = base.unionByName(planted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ann = annTopK(q, corpus)
       val exact = exactTopK(q, corpus).select("query_id", "neighbor_id")
       ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")

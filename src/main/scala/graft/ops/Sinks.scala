@@ -56,7 +56,15 @@ object Sinks {
       spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode(SaveMode.Overwrite)
+    // Writer-side clustering: repartition by the bucket key into
+    // exactly `buckets` partitions. Spark's bucket id is the same
+    // Murmur3-hash pmod used by HashPartitioning, so each write task
+    // then holds exactly one bucket and emits ONE file — without this
+    // every upstream task writes a fragment per bucket it touches
+    // (tasks × buckets small files, the classic bucketed-write
+    // amplification).
+    df.repartition(buckets, col(key))
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(name)
   }

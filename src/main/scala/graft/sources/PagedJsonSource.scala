@@ -68,20 +68,44 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
 
       /** One InputPartition per page — the unit of parallel fetch.
         * Page count derives from the known record total (fixture
-        * size, or a driver-side line count of the JSON-lines file —
-        * the analog of reading a totalRecords field from page 0 of a
+        * size, or a driver-side scan of the JSON-lines file — the
+        * analog of reading a totalRecords field from page 0 of a
         * paged API; an HTTP variant without one would fetch until a
-        * short page). */
+        * short page). The same single driver pass records the BYTE
+        * OFFSET where each page starts, so executor page tasks seek
+        * straight to their slice — without offsets a `skip(n)` still
+        * parses every preceding line, making total work O(pages ×
+        * file) instead of O(file). */
       override def planInputPartitions(): Array[InputPartition] = {
-        val available = path match {
+        val (available, offsets): (Int, Array[Long]) = path match {
           case Some(p) =>
-            val s = java.nio.file.Files.lines(java.nio.file.Paths.get(p))
-            try s.count().toInt finally s.close()
-          case None => Ingest.fixture.size
+            val in = new java.io.BufferedInputStream(
+              java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p)), 1 << 16)
+            try {
+              val offs = scala.collection.mutable.ArrayBuffer(0L)
+              var lines = 0; var pos = 0L; var lastNl = true
+              var b = in.read()
+              while (b >= 0) {
+                pos += 1
+                lastNl = b == '\n'
+                if (lastNl) {
+                  lines += 1
+                  if (lines % pageSize == 0) offs += pos
+                }
+                b = in.read()
+              }
+              // a final line without trailing newline still counts
+              // (matching Files.lines semantics)
+              if (!lastNl && pos > 0) lines += 1
+              (lines, offs.toArray)
+            } finally in.close()
+          case None => (Ingest.fixture.size, Array(0L))
         }
         val total = math.min(available, maxRecords)
         val pages = (total + pageSize - 1) / pageSize
-        (0 until pages).map(i => PagePartition(i, pageSize, total, path): InputPartition).toArray
+        (0 until pages).map(i =>
+          PagePartition(i, pageSize, total, path,
+            offsets(math.min(i, offsets.length - 1))): InputPartition).toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
@@ -98,7 +122,7 @@ final class PagedReaderFactory(schema: StructType)
 }
 
 final case class PagePartition(page: Int, pageSize: Int, total: Int,
-    path: Option[String]) extends InputPartition
+    path: Option[String], startByte: Long) extends InputPartition
 
 /** Parses one page of JSON records into InternalRows against the
   * explicit schema (strings + one nested struct). Missing keys and
@@ -110,18 +134,24 @@ final class PagePartitionReader(p: PagePartition, schema: StructType)
   private val mapper = new ObjectMapper()
 
   /** The page payload — swap for an HTTP GET in a connected build.
-    * The JSON-lines branch skips to its page offset and reads only
-    * `pageSize` lines on the executor — each page task touches its
-    * slice, the file is never loaded whole. */
+    * The JSON-lines branch SEEKS to the page's precomputed byte
+    * offset (recorded during the driver's planning pass) and reads
+    * only `pageSize` lines — each task touches exactly its slice of
+    * the file; preceding pages are never read, let alone parsed. */
   private def pageRecords: Seq[String] = {
     val from = p.page.toLong * p.pageSize
     val until = math.min(from + p.pageSize, p.total.toLong)
     if (from >= until) Seq.empty
     else p.path match {
       case Some(f) =>
-        val s = java.nio.file.Files.lines(java.nio.file.Paths.get(f))
-        try s.skip(from).limit(until - from).iterator().asScala.toSeq
-        finally s.close()
+        val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(f))
+        try {
+          in.skipNBytes(p.startByte)
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+          Iterator.continually(br.readLine()).takeWhile(_ != null)
+            .take((until - from).toInt).toSeq
+        } finally in.close()
       case None => Ingest.fixture.slice(from.toInt, until.toInt)
     }
   }

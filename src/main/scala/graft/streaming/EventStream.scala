@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.{Q, Tables}
 
 /** Structured Streaming surface of the engine.
   *
@@ -72,4 +73,47 @@ object EventStream {
           (userId, n)
       }
   }
+
+  /** Driver-visible streaming entry (SURVEY.md §2i): [[hourlyCounts]]
+    * executed as an actual StreamingQuery — file source →
+    * `Trigger.AvailableNow` → in-memory table sink — then compared by
+    * the driver against the SAME oracle SQL as the batch
+    * `q_time_window`. That promotes the streaming≡batch claim from a
+    * ScalaTest assertion to a driver-hash-checked record.
+    *
+    * Complete output mode because AvailableNow drains a finite
+    * backlog: append mode would withhold every window still inside
+    * the 2-hour watermark at end-of-input, which is backfill-wrong.
+    * On an unbounded production stream the same aggregation runs in
+    * append/update mode with the watermark bounding state; here the
+    * result set (hours × event types) is small by construction, which
+    * is what complete mode requires.
+    *
+    * The events table is staged to a parquet DIRECTORY first because
+    * the file stream source lists directories (the harness table is a
+    * single file); on a real deployment the directory is the landing
+    * zone and the batch stage disappears. */
+  val streamWindow: Q = Q(
+    "q_stream_window",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
+      ev.write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(ev.schema).parquet(stage)
+      val sink = "graft_stream_window"
+      val sq = hourlyCounts(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink).orderBy("window_start", "event_type")
+    },
+    Some("""
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  val all: Seq[Q] = Seq(streamWindow)
 }

@@ -69,8 +69,16 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("event_date"), s"no partition filter on event_date:\n$p")
-    // the data filter must NOT degrade to a post-scan row filter on ts
-    assert(pf.nonEmpty, p)
+    // the date predicate must resolve ONLY against the directory
+    // layout — it must not additionally (or instead) survive as a
+    // pushed/post-scan row filter on the data columns
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val dataF = "DataFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!pushed.contains("event_date") && !pushed.contains("ts") &&
+      !dataF.contains("event_date") && !dataF.contains("ts"),
+      s"date filter degraded to a data filter:\npushed=[$pushed] data=[$dataF]")
   }
 
   test("ANN LSH core is two broadcast joins, no vector-recovery joins") {

@@ -11,6 +11,9 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // session requirement of the typed imperative aggregates
+    // (MinHashAgg, median/mode) — see graft.llm.Dedup.minhashPairs
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)

@@ -44,6 +44,15 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q_stream_window (driver entry, AvailableNow file stream) == batch q_time_window") {
+    val streamed = SparkEntry.queries("q_stream_window")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q_time_window")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops repeated event ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
