@@ -77,12 +77,21 @@ object Bench {
     }
     def jmap(f: ((String, Double, Long, Long)) => String): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = jmap(_._2.toString)
-    val shuf = jmap(_._3.toString)
-    val spill = jmap(_._4.toString)
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuf,"spill_bytes":$spill,"errors":$errs,"sf":"$sfDir"}""")
+    // Full-precision per-query attribution (secs + shuffle/spill bytes)
+    // goes to a file; the stdout contract line must stay short — the
+    // harness captures only the tail of the run output, so a line that
+    // grows past ~1.9 kB gets its head truncated and fails to parse.
+    val detail = jmap(r => s"""{"sec":${r._2},"shuffle_bytes":${r._3},"spill_bytes":${r._4}}""")
+    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"errors":$errs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detailJson.getBytes("UTF-8"))
+    def r2(d: Double): String = "%.2f".format(d)
+    val qs = jmap(r => r2(r._2))
+    val shufMb = results.map(_._3).sum / (1024 * 1024)
+    val spillMb = results.map(_._4).sum / (1024 * 1024)
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"shuffle_mb":$shufMb,"spill_mb":$spillMb,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
