@@ -20,6 +20,7 @@ object SparkEntry {
       ops.ScalarSuite.all ++ ops.WindowSuite.all ++
       llm.TextStats.all ++ llm.Dedup.all ++ llm.Similarity.all ++
       llm.Ivf.all ++ llm.Events.all ++ llm.Multimodal.all ++ llm.Sampling.all ++
+      llm.Curation.all ++
       streaming.EventStream.all
 
   /** Flagship query (reference ATHENA_SQL, E3) on sf=0.001; driver

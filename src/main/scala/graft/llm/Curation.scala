@@ -1,0 +1,179 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: boilerplate/stopword stripping, train/test
+  * contamination detection, sequence packing, and a deterministic
+  * seeded corpus shuffle.
+  *
+  * All four are fully oracled (the Spark∩DuckDB dialect can express
+  * them end-to-end) and built from native expressions — higher-order
+  * array functions (`filter`/`array_join`), window aggregates, and
+  * hash joins. Zero UDFs, zero driver-side loops.
+  *
+  * Scale notes, per operator, are on each member. The common theme:
+  * every shape here is a narrow scan plus at most one hash shuffle on
+  * a derived key (fingerprint, shard, seeded hash) — nothing is
+  * all-pairs and nothing funnels through the driver.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Stopword/boilerplate strip: drop filler tokens and emit the
+    * cleaned text's fingerprint plus kept/dropped counts.
+    *
+    * `filter` + `array_join` are Catalyst higher-order functions — the
+    * lambda runs inside the row pipeline with no serialization
+    * boundary, so at 100 TB this stays a single narrow scan stage
+    * (only the declared ORDER BY shuffles, and a production pipeline
+    * drops it). */
+  val stopwordStrip: Q = Q(
+    "q_stopword_strip",
+    (s, dir) => {
+      val tok = toks(col("text"))
+      val kept = filter(tok, x => !x.isin("a", "the"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(kept).cast("long").as("n_kept"),
+          (size(tok) - size(kept)).cast("long").as("n_dropped"),
+          md5(array_join(kept, " ").cast("binary")).as("clean_sig"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x NOT IN ('a','the'))) AS BIGINT) AS n_kept,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) -
+                  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x NOT IN ('a','the'))) AS BIGINT) AS n_dropped,
+             md5(array_to_string(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                             x -> x NOT IN ('a','the')), ' ')) AS clean_sig
+      FROM documents ORDER BY doc_id"""))
+
+  /** Train/test contamination detection via offset-aligned content
+    * fingerprints.
+    *
+    * The corpus is split train/test by the same deterministic
+    * [[Sampling.hashBucket]] the split operator uses; three train
+    * documents are re-planted into the test side (new ids) as known
+    * leaks, so the query's output is non-vacuous and the oracle
+    * recomputes the identical plant. Each document yields up to 8
+    * md5 fingerprints of aligned 32-char windows; test fingerprints
+    * hash-join train fingerprints and matches aggregate per test doc.
+    *
+    * Scale shape: fingerprinting is a scan (8 rows out per doc, 16
+    * bytes each — constant bytes per document, never the text itself);
+    * the join shuffles only (doc_id, fp) pairs on fp. This is the
+    * cheap aligned first-pass contamination filter; unaligned
+    * near-duplicate leakage is [[Dedup.minhashPairs]]'s job — the two
+    * compose into the standard two-stage decontamination sweep. */
+  val contamination: Q = Q(
+    "q_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Sampling.hashBucket(col("doc_id"))
+      val train = docs.where(bkt < 80).select("doc_id", "text")
+      val planted = train.orderBy("doc_id").limit(3)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val test = docs.where(bkt >= 90).select("doc_id", "text").unionAll(planted)
+      def fps(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("k"), col("text"))
+          .where(length(col("text")) >= (col("k") + 1) * 32)
+          .select(col("doc_id"),
+            md5(expr("substr(text, k*32+1, 32)").cast("binary")).as("fp"))
+          .distinct()
+      fps(test).as("f")
+        .join(fps(train).as("g"), "fp")
+        .groupBy(col("f.doc_id").as("test_id"))
+        .agg(countDistinct(col("g.doc_id")).as("n_train_docs"))
+        .orderBy("test_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bkt
+        FROM documents),
+      train AS (SELECT doc_id, text FROM b WHERE bkt < 80),
+      planted AS (SELECT doc_id + 100000 AS doc_id, text FROM train ORDER BY doc_id LIMIT 3),
+      test AS (SELECT doc_id, text FROM b WHERE bkt >= 90 UNION ALL SELECT * FROM planted),
+      ks AS (SELECT k FROM generate_series(0, 7) s(k)),
+      trainfp AS (SELECT DISTINCT t.doc_id, md5(substr(t.text, k.k*32+1, 32)) AS fp
+                  FROM train t, ks k WHERE length(t.text) >= (k.k+1)*32),
+      testfp AS (SELECT DISTINCT t.doc_id, md5(substr(t.text, k.k*32+1, 32)) AS fp
+                 FROM test t, ks k WHERE length(t.text) >= (k.k+1)*32)
+      SELECT f.doc_id AS test_id, CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_train_docs
+      FROM testfp f JOIN trainfp g USING (fp)
+      GROUP BY f.doc_id ORDER BY test_id"""))
+
+  /** Sequence packing: concat-and-split documents into fixed token
+    * budgets, the standard LM-pretraining packing scheme. Documents
+    * are streamed per source shard in doc_id order; a running token
+    * total assigns each document to pack `floor(prefix/budget)`.
+    *
+    * One window shuffle partitioned by the shard key — pack ids never
+    * coordinate across shards, so 100 TB packs with shard-level
+    * parallelism and no global sort. (A global packing order would
+    * serialize the corpus through one partition; per-shard is what
+    * production pipelines do.) */
+  val packSequences: Q = Q(
+    "q_pack_sequences",
+    (s, dir) => {
+      val n = size(toks(col("text"))).cast("long")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), n.as("n_tok"))
+        .withColumn("pack_id",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / 256.0).cast("long"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+        .orderBy("source", "pack_id")
+    },
+    Some("""
+      SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+      FROM (
+        SELECT source, doc_id, n_tok,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                    / 256.0) AS BIGINT) AS pack_id
+        FROM (SELECT source, doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+              FROM documents)
+      ) GROUP BY source, pack_id ORDER BY source, pack_id"""))
+
+  /** Deterministic seeded corpus shuffle: order the corpus by the md5
+    * of a seed + key. Reproducible across engines, re-runs, and
+    * backfills (pure function of the key — no rand(), no persisted
+    * permutation table), and changing the seed literal is a full
+    * reshuffle.
+    *
+    * At scale this is exactly a distributed range-partitioned sort on
+    * a uniform key — the best case for Spark's sort machinery, and the
+    * uniformity of md5 guarantees balanced range partitions. No global
+    * row_number (that would funnel 100 TB through one window
+    * partition); training readers consume the sorted files in order. */
+  val corpusShuffle: Q = Q(
+    "q_corpus_shuffle",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
+            .as("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id"),
+    Some("""
+      SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents ORDER BY shuffle_key, doc_id"""))
+
+  val all: Seq[Q] = Seq(stopwordStrip, contamination, packSequences, corpusShuffle)
+}

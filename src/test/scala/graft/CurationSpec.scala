@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the corpus-curation operators (llm.Curation) that the
+  * row-hash oracle can't express directly. */
+class CurationSpec extends SparkSpec {
+
+  test("contamination flags all three planted leaks") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val bkt = llm.Sampling.hashBucket(col("doc_id"))
+    val plantedIds = docs.where(bkt < 80).orderBy("doc_id").limit(3)
+      .select((col("doc_id") + 100000L).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(plantedIds.size == 3)
+    val out = llm.Curation.contamination.fn(spark, sf001)
+    val flagged = out.select("test_id").collect().map(_.getLong(0)).toSet
+    assert(plantedIds.subsetOf(flagged),
+      s"planted $plantedIds not all in flagged $flagged")
+    // a planted leak matches at least its own source document
+    val counts = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plantedIds.foreach(id => assert(counts(id) >= 1))
+  }
+
+  test("sequence packing conserves tokens and respects shard budgets") {
+    val out = llm.Curation.packSequences.fn(spark, sf001).collect()
+    val docs = Tables.load(spark, sf001, "documents")
+    val totalTok = docs
+      .select(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .head().getLong(0)
+    assert(out.map(_.getAs[Long]("sum_tokens")).sum == totalTok,
+      "every token lands in exactly one pack")
+    // within a shard: pack ids are dense from 0, and every pack except
+    // the last starts because the previous one crossed the budget —
+    // so each non-final pack holds >= 256 tokens minus one straddling
+    // document's worth; check the cheap dense-prefix property exactly.
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head == 0L && ids.zipWithIndex.forall { case (id, i) => id == i.toLong })
+    }
+  }
+
+  test("corpus shuffle is a deterministic permutation") {
+    val a = llm.Curation.corpusShuffle.fn(spark, sf001).collect()
+    val b = llm.Curation.corpusShuffle.fn(spark, sf001).collect()
+    assert(a.toSeq == b.toSeq, "same seed, same order")
+    val n = Tables.load(spark, sf001, "documents").count()
+    assert(a.map(_.getLong(0)).distinct.length.toLong == n, "permutation")
+    // and it is not the identity order (the hash actually shuffles)
+    assert(!a.map(_.getLong(0)).zipWithIndex.forall { case (id, i) => id == i.toLong })
+  }
+
+  test("stopword strip keeps counts consistent") {
+    val out = llm.Curation.stopwordStrip.fn(spark, sf001)
+    val docs = Tables.load(spark, sf001, "documents")
+    val bad = out.join(docs, "doc_id")
+      .where(col("n_kept") + col("n_dropped") =!=
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .count()
+    assert(bad == 0L, "kept + dropped == total tokens, per document")
+  }
+}
