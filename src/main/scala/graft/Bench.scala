@@ -87,11 +87,16 @@ object Bench {
     val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detailJson.getBytes("UTF-8"))
-    def r2(d: Double): String = "%.2f".format(d)
-    val qs = jmap(r => r2(r._2))
     val shufMb = results.map(_._3).sum / (1024 * 1024)
     val spillMb = results.map(_._4).sum / (1024 * 1024)
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"shuffle_mb":$shufMb,"spill_mb":$spillMb,"errors":$errs,"sf":"$sfDir"}""")
+    // emit at the highest precision that keeps the line under the
+    // harness's ~2 kB tail-capture (minus sbt's trailing lines)
+    val line = Seq(2, 1, 0).iterator.map { dp =>
+      val fmt = s"%.${dp}f"
+      val qs = jmap(r => fmt.format(r._2))
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"shuffle_mb":$shufMb,"spill_mb":$spillMb,"errors":$errs,"sf":"$sfDir"}"""
+    }.find(_.length <= 1850).getOrElse("""{"metric":"total","value":%.2f,"unit":"sec","sf":"%s"}""".format(total, sfDir))
+    println(line)
     spark.stop()
   }
 }

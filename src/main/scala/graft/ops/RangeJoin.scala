@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Range (interval) join via time-bin blocking.
+  *
+  * The query: pairs of events by the same user whose timestamps lie
+  * within `windowSec` seconds of each other — the temporal
+  * co-occurrence primitive behind burst detection, co-click mining,
+  * and near-simultaneous-action features.
+  *
+  * A naive range join is O(n²) per user (DuckDB's oracle below does
+  * exactly that — fine at oracle scale, fatal at 100 TB). The Spark
+  * plan blocks time into `windowSec`-wide bins and probes each left
+  * event into bins {b−1, b, b+1}: a pair within the window can differ
+  * by at most one bin (bins are exactly window-wide), so the equi-join
+  * on (user_id, bin) sees every qualifying pair — and sees it exactly
+  * once, because the probe bins are distinct and the right event's bin
+  * is fixed; the `a.event_id < b.event_id` orientation already makes
+  * the pair unordered, so no post-join dedup shuffle is needed.
+  *
+  * Cost shape: 3× replication of one side into an equi-join keyed on
+  * (user, bin) — shuffle-partitionable, AQE-skew-splittable, no
+  * BroadcastNestedLoop/Cartesian anywhere (PlanSpec pins this). At
+  * 100 TB the bin key adds time-locality to the shuffle, so a day of
+  * events co-locates regardless of user-key skew.
+  */
+object RangeJoin {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Core pass: same-key pairs within `windowSec` seconds, counted per
+    * key. `df` needs (user_id, event_id, ts). */
+  def pairsWithin(df: DataFrame, windowSec: Int): DataFrame = {
+    val ev = df.select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("sec"))
+      .withColumn("bin", expr(s"sec div $windowSec"))
+    val probes = ev.select(col("user_id"), col("event_id"), col("sec"),
+      explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("pbin"))
+    probes.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.pbin") === col("b.bin") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("a.sec") - col("b.sec")) <= windowSec)
+      .select(col("a.user_id").as("user_id"),
+        col("a.event_id").as("id_a"), col("b.event_id").as("id_b"))
+  }
+
+  val rangeJoin: Q = Q(
+    "q_range_join",
+    (s, dir) =>
+      pairsWithin(t(s, dir, "events"), 1800)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(desc("n_pairs"), col("user_id"))
+        .limit(100),
+    Some("""
+      SELECT a.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_id < b.event_id
+       AND abs(date_diff('second', a.ts, b.ts)) <= 1800
+      GROUP BY a.user_id
+      ORDER BY n_pairs DESC, user_id LIMIT 100"""))
+
+  val all: Seq[Q] = Seq(rangeJoin)
+}
