@@ -111,10 +111,18 @@ object Dedup {
       // signature pass to SORT-based aggregation (sorting the full
       // exploded shingle stream — catastrophic). One signature buffer
       // is 512 bytes, so millions of in-flight groups per task are fine.
+      // Persisted: this (doc_id, shingle-hash) table is the single
+      // materialization of the text — signatures aggregate it AND the
+      // exact-Jaccard verify semi-joins it, so the string shingling
+      // (the most expensive codegen in the operator: HOF transform +
+      // concat_ws + string hashing) runs and compiles exactly once.
+      // 24 bytes/shingle, no text column — MEMORY_AND_DISK spills
+      // rather than OOMs at corpus scale.
       val exploded = input.repartition(par)
         .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
         .select(col("doc_id"),
           xxhash64(col("s")).as("h1"), xxhash64(col("s"), lit(1)).as("h2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Persist the signature table: the banded self-join references it
       // on both sides, and without materialization each side re-runs
       // the explode+aggregate. Signatures are 64 longs/doc — the
@@ -128,12 +136,17 @@ object Dedup {
         .agg(graft.functions.MinHashAgg(col("h1"), col("h2"), hashes).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-      // band key: xxhash64 over the band's signature slice
+      // band key: xxhash64 over the band's signature values, passed as
+      // `rows` scalar longs rather than an array slice — hashing an
+      // array column generates a recursive array-walk per band (16×
+      // the code volume, most of this stage's JIT bill); scalar args
+      // stay primitive straight-line codegen
       val banded = sigs.select(
         col("doc_id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("e"))
+            xxhash64((0 until rows).map(rr =>
+              element_at(col("sig"), b * rows + rr + 1)): _*).as("bh"))): _*)).as("e"))
         .select(col("doc_id"), col("e.band"), col("e.bh"))
 
       val l = banded.alias("l")
@@ -144,12 +157,19 @@ object Dedup {
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
 
-      // verify candidates with exact Jaccard — shingle sets computed
-      // only for docs that appear in some candidate pair
+      // verify candidates with exact Jaccard over the 64-bit shingle
+      // hashes (h1), materialized only for docs in some candidate
+      // pair. Set equality: `shingles` is already array_distinct'd, so
+      // (doc_id, h1) is the shingle set under a collision-free hash —
+      // Jaccard over hash sets ≡ Jaccard over string sets up to 2⁻⁶⁴
+      // collisions. Reusing the persisted `exploded` means the verify
+      // path never touches text again (and never compiles the string
+      // shingling a second time — that recompile was the single
+      // largest JIT cost in the operator).
       val candIds = candidates
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-      val candSh = input.join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      val candSh = exploded.join(candIds, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_set(col("h1")).as("sh"))
       val sa = candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val sb = candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       candidates.join(sa, "doc_a").join(sb, "doc_b")
@@ -243,12 +263,14 @@ object Dedup {
       // persisted for the same self-join reason as MinHash's `sigs`:
       // one signature computation (and one codegen compile of the
       // packed-vote aggregate) instead of one per join side
+      // vote→bit fold via the custom SimhashFromVotes codegen loop:
+      // the declarative 64-term when().reduce(bitwiseOR) form generated
+      // hundreds of branches whose JIT compile dominated this
+      // operator's cold-run cost (equivalence pinned in DedupSpec)
       val sig = voteSums.select(
         col("doc_id"),
-        (0 until 64).map { b =>
-          val cnt = shiftright(col(s"p${b / 4}"), (b % 4) * 16).bitwiseAND(0xFFFFL)
-          when(cnt * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+        graft.functions.SimhashFromVotes(
+          array((0 until 16).map(j => col(s"p$j")): _*), col("n")).as("simhash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       val banded = sig.select(

@@ -41,6 +41,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("SimhashFromVotes codegen loop == declarative 64-term when() OR-reduce") {
+    import org.apache.spark.sql.functions._
+    // random lane-packed vote counters + token counts; each lane is a
+    // 16-bit count, n bounded so majorities land on both sides
+    val rows = (1 to 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      val packed = Seq.fill(16)((0 until 4).map(l =>
+        (rnd.nextInt(1000).toLong & 0xFFFFL) << (l * 16)).reduce(_ | _))
+      (i.toLong, packed, rnd.nextInt(2000).toLong + 1L)
+    }.toDF("id", "packed", "n")
+    val viaExpr = rows.select(col("id"),
+      graft.functions.SimhashFromVotes(col("packed"), col("n")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val viaTree = rows.select(col("id"),
+      (0 until 64).map { b =>
+        val cnt = shiftright(element_at(col("packed"), b / 4 + 1), (b % 4) * 16)
+          .bitwiseAND(0xFFFFL)
+        when(cnt * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaTree)
+  }
+
   test("MinHashAgg imperative aggregate == 64 declarative min(h1 ^ rotl(h2,i)) columns") {
     import org.apache.spark.sql.functions._
     def rotl(b: org.apache.spark.sql.Column, i: Int) =
