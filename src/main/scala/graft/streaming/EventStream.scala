@@ -96,7 +96,11 @@ object EventStream {
   val streamWindow: Q = Q(
     "q_stream_window",
     (s, dir) => {
+      // stage only the columns the window aggregate reads: the file
+      // stream source can't column-prune across the staging boundary,
+      // and writing the full events table tripled the staging cost
       val ev = Tables.load(s, dir, "events")
+        .select("ts", "event_type", "value")
       val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
       ev.write.mode("overwrite").parquet(stage)
       val stream = s.readStream.schema(ev.schema).parquet(stage)

@@ -23,6 +23,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("binned range join ≡ naive join on random frames (property)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    import spark.implicits._
+    // events clustered tightly in time so window boundaries (dt
+    // exactly == window, same-second ties, same-user bursts) are hit
+    val gen = Gen.listOfN(60, for {
+      user <- Gen.chooseNum(1L, 4L)
+      sec <- Gen.chooseNum(0L, 400L)
+    } yield (user, sec))
+    val p = forAll(gen) { evs =>
+      val df = evs.zipWithIndex
+        .map { case ((u, sec), i) => (u, i.toLong, new java.sql.Timestamp(sec * 1000)) }
+        .toDF("user_id", "event_id", "ts")
+      val fast = ops.RangeJoin.pairsWithin(df, 100)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val naive = evs.zipWithIndex.flatMap { case ((u1, s1), i1) =>
+        evs.zipWithIndex.collect {
+          case ((u2, s2), i2) if u1 == u2 && i1 < i2 && math.abs(s1 - s2) <= 100 =>
+            (i1.toLong, i2.toLong)
+        }
+      }.toSet
+      fast == naive
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("binned range join never plans a nested-loop or cartesian join") {
     val df = SparkEntry.queries("q_range_join")(spark, sf001)
     df.collect()
