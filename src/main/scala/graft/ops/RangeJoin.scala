@@ -38,11 +38,15 @@ object RangeJoin {
     val ev = df.select(col("user_id"), col("event_id"),
       unix_timestamp(col("ts")).as("sec"))
       .withColumn("bin", expr(s"sec div $windowSec"))
+    // probe column named like BinnedRangeJoinRule's marker so the
+    // optimizer rule recognizes this join as already-binned and
+    // doesn't stack a second (redundant) bin layer on it
     val probes = ev.select(col("user_id"), col("event_id"), col("sec"),
-      explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("pbin"))
+      explode(array(col("bin") - 1, col("bin"), col("bin") + 1))
+        .as(graft.plans.BinnedRangeJoinRule.ProbeBinName))
     probes.as("a").join(ev.as("b"),
         col("a.user_id") === col("b.user_id") &&
-          col("a.pbin") === col("b.bin") &&
+          col(s"a.${graft.plans.BinnedRangeJoinRule.ProbeBinName}") === col("b.bin") &&
           col("a.event_id") < col("b.event_id") &&
           abs(col("a.sec") - col("b.sec")) <= windowSec)
       .select(col("a.user_id").as("user_id"),
@@ -66,5 +70,45 @@ object RangeJoin {
       GROUP BY a.user_id
       ORDER BY n_pairs DESC, user_id LIMIT 100"""))
 
-  val all: Seq[Q] = Seq(rangeJoin)
+  /** The same range join written NAIVELY — a plain join whose
+    * condition carries the `abs(sec_a - sec_b) <= window` range
+    * predicate with no blocking — relying on
+    * [[graft.plans.BinnedRangeJoinRule]] to inject the bin equi-key
+    * during optimization. Same oracle as [[rangeJoin]]; the spec pins
+    * that the optimized plan contains the Generate/bin join rather
+    * than a per-user quadratic post-filter. This is the
+    * user-experience form: ad-hoc SQL gets the scale-safe plan
+    * without knowing the trick. */
+  val rangeJoinAuto: Q = Q(
+    "q_range_join_auto",
+    (s, dir) => {
+      // idempotent per-session registration (the driver's sessions
+      // don't configure spark.sql.extensions; the experimental batch
+      // is the documented live-session hook for optimizer rules)
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoinRule
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      val b = ev.select(col("user_id").as("u2"), col("event_id").as("e2"),
+        col("sec").as("s2"))
+      ev.join(b,
+          col("user_id") === col("u2") &&
+            col("event_id") < col("e2") &&
+            abs(col("sec") - col("s2")) <= lit(1800L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(desc("n_pairs"), col("user_id"))
+        .limit(100)
+    },
+    Some("""
+      SELECT a.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_id < b.event_id
+       AND abs(date_diff('second', a.ts, b.ts)) <= 1800
+      GROUP BY a.user_id
+      ORDER BY n_pairs DESC, user_id LIMIT 100"""))
+
+  val all: Seq[Q] = Seq(rangeJoin, rangeJoinAuto)
 }

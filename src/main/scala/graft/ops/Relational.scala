@@ -233,6 +233,50 @@ object Relational {
              TRUE AS within_5pct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** TPC-H-Q1-shaped pricing summary: the canonical scan-heavy
+    * aggregate — one pass over lineitem, shipdate filter pushed to the
+    * scan, 2-key groupBy with 8 aggregates, all map-side combinable
+    * (the reduce shuffle carries 4 rows). Money sums in exact cents /
+    * basis points; the averages divide those exact sums, so the
+    * doubles are bit-identical across engines. */
+  val tpchQ1: Q = Q(
+    "q_tpch_q1",
+    (s, dir) => {
+      def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge_cents"),
+          sum(round(col("l_discount") * 10000, 0).cast("long")).as("sum_disc_bp"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty_cents"), col("sum_base_cents"),
+          col("sum_disc_cents"), col("sum_charge_cents"),
+          (col("sum_qty_cents").cast("double") / 100.0 / col("count_order")).as("avg_qty"),
+          (col("sum_base_cents").cast("double") / 100.0 / col("count_order")).as("avg_price"),
+          (col("sum_disc_bp").cast("double") / 10000.0 / col("count_order")).as("avg_disc"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+             CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*) AS avg_disc,
+             CAST(count(*) AS BIGINT) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
   /** TPC-H-Q3-shaped flagship: segment-filtered customer ⋈ orders ⋈
     * lineitem, revenue per order, top-10. The fact-side joins key on
     * custkey/orderkey; customer is broadcast; the per-order aggregate
@@ -429,6 +473,6 @@ object Relational {
   val all: Seq[Q] = Seq(
     groupAgg, joinAgg, semiJoin, antiJoin, windowTopN,
     intersectKeys, exceptKeys, distinctPairs, rollupAgg, distinctCount,
-    approxDistinct, tpchQ3, tpchQ5, tpchQ18, cubeAgg, scalarSubquery,
+    approxDistinct, tpchQ1, tpchQ3, tpchQ5, tpchQ18, cubeAgg, scalarSubquery,
     pivotAgg, groupingSets)
 }

@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+
+/** Optimizer rule: rewrite a naive range join into the time-bin
+  * blocked form of [[graft.ops.RangeJoin]] automatically.
+  *
+  * A user writing `a JOIN b ON ... AND abs(a.sec - b.sec) <= K` gets,
+  * without the rule, either a BroadcastNestedLoopJoin (no other equi
+  * conjunct — quadratic, fatal at scale) or a hash join on the
+  * remaining equi keys with the range check as a post-filter
+  * (quadratic per key group). The rule adds the derived equi key the
+  * human expert would: bin one side into K-wide intervals
+  * (`floor(sec/K)`), explode the other side's probe bins
+  * {b−1, b, b+1}, and join on bin equality. Two rows within K differ
+  * by at most one bin (intervals are K wide), so every qualifying
+  * pair survives; the probe bins are distinct and the build side's
+  * bin is a function of its row, so no pair is duplicated; the
+  * original range conjunct stays in the condition, so no false pair
+  * survives. The rewrite is therefore bag-equivalent to the naive
+  * join — pinned by spec against both the hand-written operator and
+  * a rule-disabled run.
+  *
+  * Scope guards: inner joins only; the range conjunct must be
+  * `abs(x − y) <= lit` over integer/long expressions with x and y
+  * from opposite sides; fires once per join (the injected
+  * `__graft_pbin` attribute marks a rewritten plan — the hand-built
+  * [[graft.ops.RangeJoin.pairsWithin]] uses the same name to opt
+  * out).
+  *
+  * Registration: `GraftExtensions` for
+  * `spark.sql.extensions`-configured sessions, or
+  * `spark.experimental.extraOptimizations` on a live session (how
+  * the driver-facing query installs it — both run in the
+  * user-provided optimizer batch).
+  */
+object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val ProbeBinName = "__graft_pbin"
+  private val BuildBinName = "__graft_bin"
+
+  private def isIntegral(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  /** floor(sec / k) over doubles: unix-epoch magnitudes are exact in
+    * double, and floor semantics keep every bin exactly k wide (a
+    * truncating integer div would double-width the bin at zero). */
+  private def binOf(sec: Expression, k: Long): Expression =
+    Floor(Divide(Cast(sec, org.apache.spark.sql.types.DoubleType),
+      Literal(k.toDouble)))
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !cond.references.exists(_.name == ProbeBinName) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val ranged = conjuncts.collectFirst {
+        case c @ LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(w, t))
+            if (t == LongType || t == IntegerType) &&
+              isIntegral(x) && isIntegral(y) &&
+              x.references.nonEmpty && y.references.nonEmpty =>
+          val k = w match {
+            case i: java.lang.Integer => i.longValue
+            case l: java.lang.Long => l.longValue
+          }
+          val sides =
+            if (x.references.subsetOf(left.outputSet) &&
+              y.references.subsetOf(right.outputSet)) Some((x, y))
+            else if (y.references.subsetOf(left.outputSet) &&
+              x.references.subsetOf(right.outputSet)) Some((y, x))
+            else None
+          (c, sides, k)
+      }
+      ranged match {
+        case Some((_, Some((lt, rt)), k)) if k > 0 =>
+          // probe side: left gains bin, then explodes {bin-1, bin, bin+1}
+          val binL = Alias(binOf(asLong(lt), k), BuildBinName)()
+          val leftBinned = Project(left.output :+ binL, left)
+          val b = binL.toAttribute
+          val probes = CreateArray(Seq(
+            new Subtract(b, Literal(1L)), b, new Add(b, Literal(1L))))
+          val pbin = AttributeReference(ProbeBinName, LongType,
+            nullable = probes.dataType.asInstanceOf[ArrayType].containsNull ||
+              b.nullable)()
+          val generated = Generate(Explode(probes), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(pbin),
+            child = leftBinned)
+          // build side: right gains its own bin
+          val binR = Alias(binOf(asLong(rt), k), BuildBinName + "_r")()
+          val rightBinned = Project(right.output :+ binR, right)
+          // original condition (incl. the range conjunct) + bin equality
+          val newCond = And(cond, EqualTo(pbin, binR.toAttribute))
+          val newJoin = Join(generated, rightBinned, Inner, Some(newCond), hint)
+          Project(j.output, newJoin)
+        case _ => j
+      }
+  }
+}
+
+/** `spark.sql.extensions` entry point (zero-arg class):
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => BinnedRangeJoinRule)
+}

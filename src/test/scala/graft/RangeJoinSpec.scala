@@ -58,4 +58,41 @@ class RangeJoinSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("BinnedRangeJoinRule rewrites a naive range join and preserves its result") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+    val b = ev.select(col("user_id").as("u2"), col("event_id").as("e2"),
+      col("sec").as("s2"))
+    def naive() = ev.join(b,
+      col("user_id") === col("u2") && col("event_id") < col("e2") &&
+        abs(col("sec") - col("s2")) <= lit(1800L))
+      .select(col("event_id"), col("e2"))
+    // rule off: baseline rows
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      before.filterNot(_ == plans.BinnedRangeJoinRule)
+    val expected = naive().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.BinnedRangeJoinRule
+      val df = naive()
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, "rule-on rows == rule-off rows")
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains(plans.BinnedRangeJoinRule.ProbeBinName),
+        s"rewrite did not fire:\n$opt")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Generate"), p)
+    } finally {
+      spark.experimental.extraOptimizations = before
+    }
+  }
+
+  test("q_range_join_auto rewrite ≡ hand-built q_range_join output") {
+    val auto = SparkEntry.queries("q_range_join_auto")(spark, sf001).collect()
+    val hand = SparkEntry.queries("q_range_join")(spark, sf001).collect()
+    assert(auto.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      hand.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
 }
