@@ -119,5 +119,46 @@ object EventStream {
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
-  val all: Seq[Q] = Seq(streamWindow)
+  /** Driver-visible streaming dedup: the events table staged TWICE
+    * (every event is a planted duplicate — the overlapping-lookback
+    * re-ingest of the reference's daily EventBridge runs,
+    * `lambda_function.py:18-21`), streamed through
+    * `dropDuplicates(event_id, ts)`, then aggregated per event_type.
+    * The oracle aggregates the ORIGINAL single-copy table, so the
+    * result hash-matches iff the streaming state dropped exactly the
+    * 100% duplicate load. Append mode: dedup emits rows as they
+    * arrive; the memory sink accumulates them and the per-type counts
+    * are computed batch-side on the sink table.
+    *
+    * At scale the dedup state is one key per event inside the
+    * watermark horizon, partitioned by the state-store shuffle — the
+    * standard exactly-once re-ingest guard in front of an append-only
+    * landing zone. */
+  val streamDedup: Q = Q(
+    "q_stream_dedup",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "event_type")
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup"
+      ev.unionAll(ev).write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(ev.schema).parquet(stage)
+      val sink = "graft_stream_dedup_sink"
+      val sq = dedupEvents(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("event_id")).as("n_ids"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(streamWindow, streamDedup)
 }
