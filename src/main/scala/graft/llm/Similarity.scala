@@ -121,22 +121,27 @@ object Similarity {
       .select(col(idCol), col(vCol), col("e.tbl"), col("e.bucket"))
 
   /** Multi-probe bucketing for the QUERY side: each table probes the
-    * query's own bucket plus every 1-bit and 2-bit flip neighbor
-    * (1+8+28 = 37 probes/table). A true neighbor whose signs differ
-    * from the query's on at most two planes — the dominant miss modes
-    * at moderate angles — is then still retrieved: at the corpus's
-    * observed geometry (p≈0.6 per-plane agreement) per-table recall
-    * rises from ~0.02 (exact bucket) to ~0.33 (≤2 flips), ~0.80 over
-    * 4 tables. The fan-out lands entirely on the broadcast-side frame
-    * of ≤ a few rows; the corpus side still materializes ONE bucket
-    * per table, so candidate generation stays linear in N. Each
-    * table's bucket is computed once (first projection), then the 37
-    * probe keys are pure XOR masks over it. */
+    * query's own bucket plus every 1-, 2-, and 3-bit flip neighbor
+    * (1+8+28+56 = 93 probes/table). A true neighbor whose signs
+    * differ from the query's on at most three planes — the dominant
+    * miss modes at moderate angles — is then still retrieved: at the
+    * corpus's observed geometry (p≈0.6 per-plane agreement) per-table
+    * retrieval mass over ≤3 flips covers the bulk of the sign-error
+    * binomial, and the four tables multiply it. The fan-out lands
+    * entirely on the broadcast-side frame of ≤ a few rows — probe
+    * work scales with QUERY count, corpus work with N, which is the
+    * right asymmetry at 100 TB (more probes beats more tables: extra
+    * tables double the index build and its shuffle; extra probes are
+    * free XOR masks over an already-computed bucket). The corpus side
+    * still materializes ONE bucket per table, so candidate generation
+    * stays linear in N. */
   private def bucketedProbed(df: DataFrame, idCol: String, vCol: String): DataFrame = {
     val masks: Seq[Int] =
-      0 +: (0 until LshBits).map(1 << _) ++: (for {
+      0 +: (0 until LshBits).map(1 << _) ++: ((for {
         i <- 0 until LshBits; j <- i + 1 until LshBits
-      } yield (1 << i) | (1 << j))
+      } yield (1 << i) | (1 << j)) ++ (for {
+        i <- 0 until LshBits; j <- i + 1 until LshBits; l <- j + 1 until LshBits
+      } yield (1 << i) | (1 << j) | (1 << l)))
     val tabled = df.select(
       col(idCol), col(vCol),
       explode(array((0 until LshTables).map(l =>
