@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Mergeable-sketch operators — the pre-aggregation pattern that makes
+  * interactive analytics on 100 TB affordable: build small sketches
+  * per shard once (map-side combinable aggregates), store/ship the
+  * sketch bytes, and answer later queries by merging sketches instead
+  * of rescanning rows.
+  *
+  * Both queries follow the repo's approximate-op evidence rule: the
+  * sketch estimate is checked against the exactly-computed truth
+  * inside the query, and the oracle recomputes the exact side plus a
+  * literal-TRUE bound column — so the driver hash FAILS if the sketch
+  * ever drifts out of its error budget.
+  */
+object Sketches {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Per-shard HLL sketch table → merged global estimate
+    * (`hll_sketch_agg` / `hll_union_agg`, Apache DataSketches). The
+    * grouped sketch frame is what a 100 TB deployment materializes
+    * per day/partition: distinct-customer counts for any shard
+    * combination then cost a sketch merge (bytes per shard), not a
+    * rescan. Checked per shard AND for the cross-shard union —
+    * distinct counts don't add across shards, which is exactly what
+    * the union sketch gets right. */
+  val hllMerge: Q = Q(
+    "q_sketch_merge",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val sketches = o.groupBy("o_orderpriority")
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+      val per = sketches.select(
+        col("o_orderpriority"),
+        col("exact_cust"),
+        (abs(expr("hll_sketch_estimate(sk)") - col("exact_cust"))
+          .cast("double") / col("exact_cust") <= 0.05).as("within_5pct"))
+      val global = sketches.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .crossJoin(o.agg(countDistinct(col("o_custkey")).as("exact_cust")))
+        .select(lit("__ALL__").as("o_orderpriority"), col("exact_cust"),
+          (abs(col("est") - col("exact_cust")).cast("double") /
+            col("exact_cust") <= 0.05).as("within_5pct"))
+      per.unionByName(global).orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+             TRUE AS within_5pct
+      FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT '__ALL__' AS o_orderpriority,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+             TRUE AS within_5pct
+      FROM orders
+      ORDER BY o_orderpriority"""))
+
+  /** Heavy hitters audited by a Count-Min sketch: the exact top-10
+    * part keys (the oracle side) are re-estimated from a CMS built in
+    * one distributed aggregate; the CMS guarantee — estimate never
+    * undercounts, overcounts by at most ε·N with probability 1−δ —
+    * becomes the hash-checked `within_bound` column.
+    *
+    * The collect here is the POINT of the sketch: 20 KB of sketch
+    * bytes leave the cluster, not the 100 TB keyspace; estimating a
+    * candidate's frequency is then a driver/broadcast-side array
+    * lookup. (`df.stat.countMinSketch` wraps the same aggregate; the
+    * SQL form keeps the build inside the declarative plan.) */
+  val cmsHeavyHitters: Q = Q(
+    "q_heavy_hitters",
+    (s, dir) => {
+      val eps = 0.001
+      val li = t(s, dir, "lineitem")
+      val total = li.count()
+      val skBytes = li.select(
+        expr(s"count_min_sketch(l_partkey, ${eps}d, 0.99d, 42) AS sk"))
+        .head().getAs[Array[Byte]]("sk")
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("l_partkey"))
+        .limit(10)
+      val rows = top.collect().map { r =>
+        val key = r.getLong(0); val exact = r.getLong(1)
+        val est = cms.estimateCount(key)
+        (key, exact, est >= exact && est <= exact + (eps * total).toLong)
+      }
+      s.createDataFrame(rows.toSeq)
+        .toDF("l_partkey", "exact_cnt", "within_bound")
+        .orderBy(desc("exact_cnt"), col("l_partkey"))
+    },
+    Some("""
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS within_bound
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_cnt DESC, l_partkey LIMIT 10"""))
+
+  val all: Seq[Q] = Seq(hllMerge, cmsHeavyHitters)
+}
