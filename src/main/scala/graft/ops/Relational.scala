@@ -277,6 +277,32 @@ object Relational {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** UNPIVOT (wide → long): part metrics melted into (metric, value)
+    * rows via `Dataset.unpivot` — a Generate (expand) over the row,
+    * no shuffle beyond the declared ORDER BY. Values are cast to a
+    * common type up front (unpivot requires it); cents-exact so the
+    * doubles hash identically. The oracle uses the portable
+    * UNION ALL formulation rather than DuckDB's UNPIVOT syntax. */
+  val unpivotParts: Q = Q(
+    "q_unpivot",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100, 0).cast("long").as("retail_cents"),
+          col("p_size").cast("long").as("size_units"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retail_cents"), col("size_units")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric"),
+    Some("""
+      SELECT p_partkey, metric, value FROM (
+        SELECT p_partkey, 'retail_cents' AS metric,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'size_units' AS metric,
+               CAST(p_size AS BIGINT) AS value FROM part
+      ) ORDER BY p_partkey, metric"""))
+
   /** TPC-H-Q3-shaped flagship: segment-filtered customer ⋈ orders ⋈
     * lineitem, revenue per order, top-10. The fact-side joins key on
     * custkey/orderkey; customer is broadcast; the per-order aggregate
@@ -473,6 +499,6 @@ object Relational {
   val all: Seq[Q] = Seq(
     groupAgg, joinAgg, semiJoin, antiJoin, windowTopN,
     intersectKeys, exceptKeys, distinctPairs, rollupAgg, distinctCount,
-    approxDistinct, tpchQ1, tpchQ3, tpchQ5, tpchQ18, cubeAgg, scalarSubquery,
+    approxDistinct, tpchQ1, tpchQ3, tpchQ5, tpchQ18, cubeAgg, scalarSubquery, unpivotParts,
     pivotAgg, groupingSets)
 }

@@ -109,4 +109,23 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("partial_"), s"$name:\n$p")
     }
   }
+
+  test("curation scans prune to the columns they read") {
+    // contamination touches only (doc_id, text); pack_sequences only
+    // (source, doc_id, text) — the other document columns (lang,
+    // n_chars) must not reach any parquet scan
+    for (name <- Seq("q_contamination", "q_pack_sequences")) {
+      val p = q(name).queryExecution.executedPlan.toString
+      val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      assert(reads.nonEmpty, s"$name: no ReadSchema lines\n$p")
+      assert(!reads.contains("lang"), s"$name reads lang:\n$reads")
+      assert(!reads.contains("n_chars"), s"$name reads n_chars:\n$reads")
+    }
+  }
+
+  test("contamination joins on fingerprints — never a cartesian of documents") {
+    val p = finalPlan(q("q_contamination"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
