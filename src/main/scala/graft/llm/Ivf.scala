@@ -82,7 +82,7 @@ object Ivf {
   /** IVF search: assign base vectors to clusters, probe each query's
     * nprobe nearest lists, exact cosine within the probed lists. */
   def ivfTopK(q: DataFrame, base: DataFrame,
-      centroids: Array[Array[Double]], nprobe: Int = 4, k: Int = 5): DataFrame = {
+      centroids: Array[Array[Double]], nprobe: Int = 6, k: Int = 5): DataFrame = {
     val assigned = base.withColumn("cluster", clusterOf(col("v"), centroids))
     val probes = q
       .withColumn("cluster", explode(probeClusters(col("qv"), centroids, nprobe)))
