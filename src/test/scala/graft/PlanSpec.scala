@@ -110,6 +110,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H Q1: shipdate filter pushed to the scan, partial aggregation") {
+    val df = q("q_tpch_q1")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+    assert(p.contains("partial_"), p)
+    val reads = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!reads.contains("l_orderkey"), reads)
+  }
+
   test("curation scans prune to the columns they read") {
     // contamination touches only (doc_id, text); pack_sequences only
     // (source, doc_id, text) — the other document columns (lang,
