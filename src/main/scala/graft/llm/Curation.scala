@@ -175,5 +175,57 @@ object Curation {
       SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
       FROM documents ORDER BY shuffle_key, doc_id"""))
 
-  val all: Seq[Q] = Seq(stopwordStrip, contamination, packSequences, corpusShuffle)
+  /** The composed curation pipeline a training run actually executes:
+    * language filter → token-count quality gate → exact dedup (keep
+    * the lowest doc_id per distinct text) → deterministic train/
+    * valid/test split → per-split document and token totals.
+    *
+    * Each stage is an operator proven elsewhere in this module /
+    * [[Sampling]] / [[Dedup]]; this query pins that they COMPOSE —
+    * same filters, same hash split, one declarative plan. Shape at
+    * 100 TB: scan-filter (pushed predicates) → one dedup shuffle on
+    * the text hash → map-side-combinable split aggregate. No stage
+    * funnels through the driver. */
+  val curationPipeline: Q = Q(
+    "q_curation_pipeline",
+    (s, dir) => {
+      val nTok = size(toks(col("text"))).cast("long")
+      val kept = t(s, dir, "documents")
+        .where(col("lang") === "en")
+        .select(col("doc_id"), col("text"), nTok.as("n_tok"))
+        .where(col("n_tok").between(10, 1000))
+      val deduped = kept
+        .groupBy(md5(col("text").cast("binary")).as("sig"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("n_tok")).as("n_tok"))
+      val b = Sampling.hashBucket(col("doc_id"))
+      val split = when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+      deduped.select(split.as("split"), col("n_tok"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+        .orderBy("split")
+    },
+    Some("""
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+      FROM (
+        SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+                    ELSE 'test' END AS split, n_tok
+        FROM (
+          SELECT doc_id, n_tok,
+                 (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                  ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS b
+          FROM (
+            SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok
+            FROM (
+              SELECT doc_id, text,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+              FROM documents WHERE lang = 'en'
+            ) WHERE n_tok BETWEEN 10 AND 1000
+            GROUP BY md5(text)
+          )
+        )
+      ) GROUP BY split ORDER BY split"""))
+
+  val all: Seq[Q] =
+    Seq(stopwordStrip, contamination, packSequences, corpusShuffle, curationPipeline)
 }
