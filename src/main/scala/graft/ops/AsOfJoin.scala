@@ -22,14 +22,19 @@ import graft.{Q, Tables}
 object AsOfJoin {
 
   /** @param valueCols right-side columns to carry (emitted as
-    *                  `asof_<name>`); all other right columns drop. */
+    *                  `asof_<name>`); all other right columns drop.
+    * @param forward false = backward as-of (greatest right time ≤
+    *                left time, the default point-in-time lookup);
+    *                true = forward as-of (smallest right time ≥ left
+    *                time — "next reading after the order") — the same
+    *                single-shuffle sweep run time-descending. */
   def asofJoinLast(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], timeCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String], forward: Boolean = false): DataFrame = {
     val leftCols = left.columns
     // tag sides; right rows sort before left rows at equal time so an
-    // exactly-simultaneous right row is visible (inclusive <=)
+    // exactly-simultaneous right row is visible (inclusive <= / >=)
     val rTagged = right.select(
       (keyCols.map(col) :+ col(timeCol).as("__t") :+ lit(0).as("__side")) ++
         valueCols.map(c => col(c).as(s"__v_$c")) ++
@@ -41,7 +46,7 @@ object AsOfJoin {
         leftCols.filterNot(c => keyCols.contains(c)).map(col): _*)
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = rTagged.unionByName(lTagged)
       .select(col("*") +: valueCols.map(c =>
@@ -71,5 +76,28 @@ object AsOfJoin {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id"""))
 
-  val all: Seq[Q] = Seq(purchaseAsofClick)
+  /** Forward as-of: for each purchase, the value of the user's FIRST
+    * click at or after the purchase time ("what did they do next"). */
+  val purchaseAsofNextClick: Q = Q(
+    "q_asof_forward",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = events.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      asofJoinLast(purchases, clicks, Seq("user_id"), "ts", Seq("value"),
+        forward = true)
+        .select(col("event_id"), col("user_id"),
+          col("asof_value").as("next_click_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, c.value AS next_click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY p.event_id"""))
+
+  val all: Seq[Q] = Seq(purchaseAsofClick, purchaseAsofNextClick)
 }

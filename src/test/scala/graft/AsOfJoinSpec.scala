@@ -70,6 +70,40 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("property: forward as-of equals brute force on random frames") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val key = Gen.chooseNum(0L, 2L)
+    val time = Gen.chooseNum(0, 8)
+    def rows[A](g: Gen[A]) = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, g))
+    val leftGen = rows(Gen.zip(key, time))
+    val rightGen = rows(Gen.zip(key, time, Gen.chooseNum(0, 4)))
+    val prop = forAll(leftGen, rightGen) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new Timestamp(t * 1000L)) }
+        .toDF("event_id", "user_id", "ts")
+      val right = rs.map { case (k, t, v) => (k, new Timestamp(t * 1000L), v.toDouble) }
+        .toDF("user_id", "ts", "value")
+      val got = AsOfJoin.asofJoinLast(left, right, Seq("user_id"), "ts", Seq("value"),
+        forward = true)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      // mirror law: each value is some right row at the MIN time >=
+      // the left time for that key
+      got.size == ls.length && ls.zipWithIndex.forall { case ((k, t), i) =>
+        val cand = rs.filter { case (rk, rt, _) => rk == k && rt >= t }
+        if (cand.isEmpty) got(i.toLong).isEmpty
+        else {
+          val minT = cand.map(_._2).min
+          val valid = cand.collect { case (_, rt, v) if rt == minT => v.toDouble }.toSet
+          got(i.toLong).exists(valid.contains)
+        }
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("empty right side yields all-null as-of values (left outer)") {
     val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq.empty[(Long, Timestamp, Double)].toDF("user_id", "ts", "value")
