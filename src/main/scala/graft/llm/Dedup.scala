@@ -325,5 +325,87 @@ object Dedup {
         ON b.doc_id = a.doc_id + 1
       ORDER BY doc_a"""))
 
-  val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs)
+  /** Connected components by iterative min-label propagation — the
+    * step that turns pairwise near-dup output into DEDUP CLUSTERS
+    * (keep one representative per component, drop the rest).
+    *
+    * General algorithm over any undirected edge list: every vertex
+    * starts labeled with its own id; each round every vertex takes the
+    * min of its label and its neighbors' labels; converged when no
+    * label changes. The driver loop is the legitimate iterative-
+    * algorithm driver (same as Lloyd's in [[Ivf]]): each round is a
+    * fully distributed join+aggregate, the driver only counts changed
+    * labels. `localCheckpoint` truncates lineage each round —
+    * without it the plan doubles per iteration and the 10th round
+    * optimizes a 2¹⁰-node tree (production would checkpoint to
+    * reliable storage). Converges in O(component diameter) rounds;
+    * at 100 TB with adversarial diameters you'd switch to star-
+    * contraction (GraphFrames' CC), but near-dup clusters are
+    * small-diameter by construction. */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      maxIter: Int = 100): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val msgs = und.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
+        .select(col("e.dst").as("id"), col("l.label").as("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Driver-visible clustering query: consecutive-id word-Jaccard
+    * edges (threshold 0.7, same arithmetic as [[jaccardPairs]] so the
+    * doubles are bit-identical to the oracle's), general CC over
+    * them, multi-document clusters summarized. Because this edge set
+    * only links consecutive ids, components are intervals — which is
+    * what lets plain SQL (gaps-and-islands window) oracle the GENERAL
+    * iterative algorithm exactly: the min-label of an island is its
+    * first doc_id on both sides. */
+  val dedupClusters: Q = Q(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("w"))
+      val a = docs.select(col("doc_id").as("src"), col("w").as("wa"))
+      val b = docs.select(col("doc_id").as("dst"), col("w").as("wb"))
+      val edges = a.join(b, col("dst") === col("src") + 1)
+        .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+        .filter(col("inter").cast("double") /
+          nullif(size(col("wa")) + size(col("wb")) - col("inter"), lit(0)) >= 0.7)
+        .select("src", "dst")
+      val labels = connectedComponents(edges, docs.select(col("doc_id").as("id")))
+      labels.groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("component")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w
+                 FROM documents),
+      e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+            WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+                  nullif(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)), 0) >= 0.7),
+      marks AS (SELECT doc_id,
+                       CASE WHEN doc_id IN (SELECT dst FROM e) THEN 0 ELSE 1 END AS ng
+                FROM d),
+      grp AS (SELECT doc_id,
+                     sum(ng) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS g
+              FROM marks)
+      SELECT min(doc_id) AS component, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(doc_id) AS BIGINT) AS max_doc
+      FROM grp GROUP BY g HAVING count(*) >= 2
+      ORDER BY component"""))
+
+  val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs, dedupClusters)
 }

@@ -82,6 +82,43 @@ class DedupSpec extends SparkSpec {
     for ((id, sig) <- viaAgg) assert(sig == viaCols(id), s"doc $id signature mismatch")
   }
 
+  test("connected components handles non-interval graphs (long-range edges)") {
+    // edges deliberately NOT consecutive: {1-5, 5-9}, {2-3}; 4, 6 isolated
+    val edges = Seq((1L, 5L), (5L, 9L), (2L, 3L)).toDF("src", "dst")
+    val vertices = (1L to 9L).toDF("id")
+    val labels = Dedup.connectedComponents(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(5L) == 1L && labels(9L) == 1L)
+    assert(labels(2L) == 2L && labels(3L) == 2L)
+    assert(labels(4L) == 4L && labels(6L) == 6L)
+  }
+
+  test("property: connected components == union-find on random graphs") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val n = 12
+    val edgeGen = Gen.chooseNum(0, 14).flatMap(m =>
+      Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L))))
+    val prop = forAll(edgeGen) { es =>
+      val cleaned = es.filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      cleaned.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+      val edges =
+        if (cleaned.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else cleaned.toDF("src", "dst")
+      val got = Dedup.connectedComponents(edges, (0L until n.toLong).toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("minhash LSH recall >= 0.8 vs exact all-pairs jaccard on sf0.001") {
     val docs = Tables.load(spark, sf001, "documents").select("doc_id", "text")
     // exact ground truth: all-pairs 5-gram jaccard >= 0.5 (500 docs -> 125k pairs)
