@@ -344,20 +344,32 @@ object Dedup {
     * small-diameter by construction. */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       maxIter: Int = 100): DataFrame = {
+    // materialize the (possibly expensive) edge derivation ONCE —
+    // every round joins this frame, and without the checkpoint each
+    // round would recompute the whole upstream edge plan
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val msgs = und.as("e").join(labels.as("l"), col("e.src") === col("l.id"))
+    // convergence via the monotone invariant: labels only ever
+    // decrease, so the propagation has fixpointed iff Σlabels is
+    // unchanged — one scalar aggregate per round instead of a
+    // join+filter+count over the label tables
+    def propagate(ls: DataFrame): DataFrame = {
+      val msgs = und.as("e").join(ls.as("l"), col("e.src") === col("l.id"))
         .select(col("e.dst").as("id"), col("l.label").as("label"))
-      val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      ls.unionByName(msgs).groupBy("id").agg(min(col("label")).as("label"))
+    }
+    var prevSum = Long.MinValue
+    var curSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var i = 0
+    while (curSum != prevSum && i < maxIter) {
+      // two hops per materialization: same total hops to converge,
+      // half the checkpoint+aggregate job count (per-job scheduling
+      // overhead dominates at interactive scale)
+      labels = propagate(propagate(labels)).localCheckpoint()
+      prevSum = curSum
+      curSum = labels.agg(sum(col("label"))).head().getLong(0)
       i += 1
     }
     labels
