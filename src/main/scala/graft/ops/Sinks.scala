@@ -129,5 +129,30 @@ object Sinks {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey"""))
 
-  val all: Seq[Q] = Seq(partitionPruned, bucketedJoin)
+  /** ORC sink/source round trip under hash check: the supplier table
+    * written as ORC (Spark's built-in alternative columnar format —
+    * same vectorized reader and predicate-pushdown machinery as
+    * parquet), read back with a pushed filter, aggregated, and
+    * compared against the oracle computed on the ORIGINAL parquet
+    * table — so the ORC write+read must be lossless for the hash to
+    * match. */
+  val orcRoundTrip: Q = Q(
+    "q_orc_roundtrip",
+    (s: SparkSession, dir: String) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_supplier_orc"
+      Tables.load(s, dir, "supplier").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("s_acctbal") * 100, 0).cast("long")).as("bal_cents"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s_nationkey, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+      FROM supplier WHERE s_acctbal > 0
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  val all: Seq[Q] = Seq(partitionPruned, bucketedJoin, orcRoundTrip)
 }
