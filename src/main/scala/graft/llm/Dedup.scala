@@ -78,14 +78,14 @@ object Dedup {
     * (only false negatives are possible, the standard MinHash trade).
     *
     * Execution shape, chosen for 100 TB:
-    *  - signatures via explode(shingles) → hash-aggregate with 64
-    *    primitive `min` columns over gᵢ = h1 XOR rotl(h2, i). Two
-    *    string hashes per shingle (vs 64 in the naive per-seed form);
-    *    the whole stage is codegen'd primitive arithmetic with
-    *    map-side partial aggregation — no interpreted higher-order
-    *    functions, no per-row array allocation. XOR-rotate rather
-    *    than the usual h1+i·h2 family because ANSI mode raises on
-    *    long overflow; shifts/xor cannot overflow.
+    *  - shingle identities via the fused [[graft.functions.ShingleHashes]]
+    *    byte-pass (no shingle strings ever materialize), then
+    *    explode → hash-aggregate over gᵢ = h1 XOR rotl(h2, i): the
+    *    whole stage is codegen'd primitive arithmetic with map-side
+    *    partial aggregation — no interpreted higher-order functions,
+    *    no per-row string allocation. XOR-rotate rather than the
+    *    usual h1+i·h2 family because ANSI mode raises on long
+    *    overflow; shifts/xor cannot overflow.
     *  - the input is round-robin repartitioned first: the harness
     *    parquet is one row group = one scan task, and on a real
     *    cluster this evens doc-length skew.
@@ -113,15 +113,20 @@ object Dedup {
       // is 512 bytes, so millions of in-flight groups per task are fine.
       // Persisted: this (doc_id, shingle-hash) table is the single
       // materialization of the text — signatures aggregate it AND the
-      // exact-Jaccard verify semi-joins it, so the string shingling
-      // (the most expensive codegen in the operator: HOF transform +
-      // concat_ws + string hashing) runs and compiles exactly once.
-      // 24 bytes/shingle, no text column — MEMORY_AND_DISK spills
-      // rather than OOMs at corpus scale.
+      // exact-Jaccard verify semi-joins it, so the shingling runs and
+      // compiles exactly once. 24 bytes/shingle, no text column —
+      // MEMORY_AND_DISK spills rather than OOMs at corpus scale.
+      // Shingling is [[graft.functions.ShingleHashes]] — one fused
+      // byte-level pass per doc (token hashes zero-copy, window hashes
+      // from token hashes) instead of the interpreted HOF chain that
+      // materialized every 5-gram as a string before hashing it; h1 IS
+      // the shingle's set identity (Jaccard over h1 ≡ Jaccard over
+      // shingle strings, pinned in DedupSpec), h2 the independent
+      // second hash the XOR-rotate family derives from.
       val exploded = input.repartition(par)
-        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
         .select(col("doc_id"),
-          xxhash64(col("s")).as("h1"), xxhash64(col("s"), lit(1)).as("h2"))
+          explode(graft.functions.ShingleHashes(col("text"), 5)).as("h1"))
+        .select(col("doc_id"), col("h1"), xxhash64(col("h1"), lit(1)).as("h2"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Persist the signature table: the banded self-join references it
       // on both sides, and without materialization each side re-runs

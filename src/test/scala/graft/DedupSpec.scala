@@ -82,6 +82,33 @@ class DedupSpec extends SparkSpec {
     for ((id, sig) <- viaAgg) assert(sig == viaCols(id), s"doc $id signature mismatch")
   }
 
+  test("ShingleHashes byte-pass == string shingles: set sizes and pairwise jaccard") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf001, "documents").select("doc_id", "text").limit(100)
+    // set identity: same cardinality per doc as the string form
+    // (collision-free hash => same distinct count)
+    val sizes = docs.select(
+      col("doc_id"),
+      size(Dedup.shingles(col("text"))).as("s_str"),
+      size(graft.functions.ShingleHashes(col("text"), 5)).as("s_hash"))
+      .filter(col("s_str") =!= col("s_hash")).count()
+    assert(sizes == 0L, "shingle-hash set cardinality diverged from string shingles")
+    // jaccard between consecutive docs must agree exactly both ways
+    val str = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val hsh = docs.select(col("doc_id"), graft.functions.ShingleHashes(col("text"), 5).as("sh"))
+    def jac(df: org.apache.spark.sql.DataFrame) = {
+      val a = df.select(col("doc_id").as("a"), col("sh").as("sa"))
+      val b = df.select(col("doc_id").as("b"), col("sh").as("sb"))
+      a.join(b, col("b") === col("a") + 1)
+        .select(col("a"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            (size(col("sa")) + size(col("sb")) -
+              size(array_intersect(col("sa"), col("sb"))))).as("j"))
+        .as[(Long, Double)].collect().toMap
+    }
+    assert(jac(str) == jac(hsh))
+  }
+
   test("connected components handles non-interval graphs (long-range edges)") {
     // edges deliberately NOT consecutive: {1-5, 5-9}, {2-3}; 4, 6 isolated
     val edges = Seq((1L, 5L), (5L, 9L), (2L, 3L)).toDF("src", "dst")
