@@ -15,9 +15,10 @@ object SparkEntry {
 
   /** Full registry, assembled from the operator modules. */
   val registry: Seq[Q] =
-    ops.Parity.all ++ ops.Relational.all ++ ops.Ingest.all ++ ops.Sql.all ++
+    ops.Parity.all ++ ops.Relational.all ++ ops.TpchSuite.all ++ ops.Ingest.all ++ ops.Sql.all ++
       ops.Sinks.all ++ ops.Skew.all ++ ops.AsOfJoin.all ++ ops.RangeJoin.all ++
       ops.ScalarSuite.all ++ ops.WindowSuite.all ++ ops.Sketches.all ++
+      ops.Merge.all ++
       llm.TextStats.all ++ llm.Dedup.all ++ llm.Similarity.all ++
       llm.Ivf.all ++ llm.Events.all ++ llm.Multimodal.all ++ llm.Sampling.all ++
       llm.Curation.all ++

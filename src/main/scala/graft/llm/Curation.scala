@@ -226,6 +226,47 @@ object Curation {
         )
       ) GROUP BY split ORDER BY split"""))
 
+  /** PII redaction: regex-scrub emails then digit runs, emitting
+    * redaction counts and the cleaned text's fingerprint. The corpus
+    * is synthetic and clean, so deterministic "PII" is PLANTED first
+    * (an email and a numeric ref derived from doc_id, identically on
+    * both engines) — every row exercises both patterns, so the hash
+    * check is non-vacuous on every document.
+    *
+    * Patterns stay in the Java∩RE2 common subset (character classes,
+    * `+`) so Spark and DuckDB agree byte-for-byte. Shape: pure narrow
+    * scan — regexp_replace is codegen'd per row, nothing shuffles but
+    * the declared ORDER BY. */
+  val redactPii: Q = Q(
+    "q_redact_pii",
+    (s, dir) => {
+      val email = "[A-Za-z0-9.]+@[A-Za-z0-9.]+"
+      val dirty = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com ref "),
+        (col("doc_id") * 7).cast("string"))
+      val clean = regexp_replace(
+        regexp_replace(dirty, email, "<EMAIL>"), "[0-9]+", "<NUM>")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (size(split(dirty, email)) - 1).cast("long").as("n_emails"),
+          length(clean).cast("long").as("clean_len"),
+          md5(clean.cast("binary")).as("clean_sig"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(d, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) - 1 AS BIGINT) AS n_emails,
+             CAST(length(regexp_replace(regexp_replace(d, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                                        '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS clean_len,
+             md5(regexp_replace(regexp_replace(d, '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                                '[0-9]+', '<NUM>', 'g')) AS clean_sig
+      FROM (
+        SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com ref ' || CAST(doc_id * 7 AS VARCHAR) AS d
+        FROM documents
+      ) ORDER BY doc_id"""))
+
   val all: Seq[Q] =
-    Seq(stopwordStrip, contamination, packSequences, corpusShuffle, curationPipeline)
+    Seq(stopwordStrip, contamination, packSequences, corpusShuffle,
+      curationPipeline, redactPii)
 }

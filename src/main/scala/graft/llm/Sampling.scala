@@ -85,5 +85,40 @@ object Sampling {
       ) WHERE rn <= 50
       ORDER BY event_type, rn"""))
 
-  val all: Seq[Q] = Seq(trainTestSplit, stratified)
+  /** Quality-weighted (importance) sampling: each document is kept
+    * with probability `min(n_chars, 1000)/1000` — longer docs are
+    * likelier to survive, the standard quality-proportional
+    * downsampling for training mixes. The coin is a deterministic
+    * md5-derived value in [0,1000) (hex chars 3–4, independent of
+    * [[hashBucket]]'s chars 1–2), so the sample is a pure function of
+    * the key: reproducible across runs, engines, and backfills — no
+    * rand(), no seed coordination. Output aggregates per source so
+    * the oracle hash pins the COMPLETE keep/drop assignment (any
+    * flipped doc shifts counts or id extremes). */
+  val weighted: Q = Q(
+    "q_weighted_sample",
+    (s, dir) => {
+      val hex = md5(col("doc_id").cast("string").cast("binary"))
+      val coin = (ascii(substring(hex, 3, 1)) * 256 + ascii(substring(hex, 4, 1))) % 1000
+      val keep = coin < least(col("n_chars"), lit(1000L))
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("total"),
+          sum(when(keep, 1L).otherwise(0L)).as("kept"),
+          min(when(keep, col("doc_id"))).as("min_kept_id"),
+          max(when(keep, col("doc_id"))).as("max_kept_id"))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN coin < least(n_chars, 1000) THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             CAST(min(CASE WHEN coin < least(n_chars, 1000) THEN doc_id END) AS BIGINT) AS min_kept_id,
+             CAST(max(CASE WHEN coin < least(n_chars, 1000) THEN doc_id END) AS BIGINT) AS max_kept_id
+      FROM (
+        SELECT *, (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 256 +
+                   ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 1000 AS coin
+        FROM documents
+      ) GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted)
 }

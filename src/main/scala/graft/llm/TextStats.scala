@@ -185,6 +185,28 @@ object TextStats {
         .orderBy("doc_id"),
     None)
 
+  /** Vocabulary building: corpus-wide token frequencies, top-100.
+    * The tokenizer-training / vocab-pruning primitive. Shape: explode
+    * → two-level hash aggregate — the map-side partial collapses each
+    * task to its DISTINCT tokens (Zipf makes that tiny relative to
+    * token count), so the shuffle carries vocabulary, not corpus;
+    * top-100 is TakeOrderedAndProject. For the skewed-head-token
+    * worst case at 100 TB the CMS variant ([[graft.ops.Sketches]]
+    * heavy hitters) bounds shuffle at sketch size. */
+  val vocabTopK: Q = Q(
+    "q_vocab_topk",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(100),
+    Some("""
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+      ) GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 100"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
-    repetitionRatio, rollingFingerprint)
+    repetitionRatio, rollingFingerprint, vocabTopK)
 }

@@ -154,5 +154,62 @@ object Sinks {
       FROM supplier WHERE s_acctbal > 0
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
-  val all: Seq[Q] = Seq(partitionPruned, bucketedJoin, orcRoundTrip)
+  /** CSV sink/source round trip (S6 surface, promoted to an oracled
+    * query): write `part` as headered CSV, read it back under an
+    * EXPLICIT StructType (CSV carries no types — production always
+    * declares the schema; inference is a second full scan and a
+    * type-drift hazard), aggregate, and hash-compare against the
+    * oracle over the ORIGINAL parquet — a lossless-round-trip proof.
+    * Doubles survive because Spark writes the shortest
+    * representation that parses back to the same IEEE value. */
+  val csvRoundTrip: Q = Q(
+    "q_csv_roundtrip",
+    (s: SparkSession, dir: String) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_csv"
+      Tables.load(s, dir, "part").write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.schema(
+          "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, " +
+            "p_size INT, p_retailprice DOUBLE")
+        .option("header", "true").csv(out)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("p_size").cast("long")).as("size_sum"),
+          sum(round(col("p_retailprice") * 100, 0).cast("long")).as("retail_cents"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum,
+             CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
+      FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** JSON-lines sink/source round trip: write `customer` as JSON,
+    * read back under an explicit schema (same rationale as CSV), and
+    * hash-check an aggregate against the original table. JSON is the
+    * interchange format of the reference's ingest side (S1/F12);
+    * this proves the WRITE direction preserves values exactly. */
+  val jsonRoundTrip: Q = Q(
+    "q_json_roundtrip",
+    (s: SparkSession, dir: String) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_customer_json"
+      Tables.load(s, dir, "customer").write.mode("overwrite").json(out)
+      s.read.schema(
+          "c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+            "c_acctbal DOUBLE, c_mktsegment STRING")
+        .json(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("c_acctbal") * 100, 0).cast("long")).as("bal_cents"),
+          min(col("c_custkey")).as("min_key"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+             CAST(min(c_custkey) AS BIGINT) AS min_key
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  val all: Seq[Q] = Seq(partitionPruned, bucketedJoin, orcRoundTrip,
+    csvRoundTrip, jsonRoundTrip)
 }

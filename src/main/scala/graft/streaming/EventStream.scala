@@ -160,5 +160,62 @@ object EventStream {
              CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(streamWindow, streamDedup)
+  /** Driver-visible streaming SESSION windows: gap-based (30 min)
+    * per-user sessions via `session_window` — the state store MERGES
+    * adjacent windows as events arrive, which tumbling windows can't
+    * express and batch needs a full gaps-and-islands window scan for.
+    *
+    * Gap semantics pinned by the oracle: Spark merges an event into a
+    * session iff it lands strictly inside `last_event + gap`, so the
+    * islands form uses `diff >= 1800 → new session` (note
+    * [[graft.llm.Events.sessionize]]'s batch query deliberately uses
+    * `> 1800` — the two definitions differ only at exactly-gap
+    * spacing, absent from this corpus but asserted correctly here).
+    * Complete mode for the same finite-backlog reason as
+    * [[streamWindow]]; session_window.end = max(ts) + gap by
+    * definition, which the oracle reproduces arithmetically. */
+  val streamSessions: Q = Q(
+    "q_stream_sessions",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events").select("ts", "user_id")
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sessions"
+      ev.write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(ev.schema).parquet(stage)
+      val sink = "graft_stream_sessions_sink"
+      val sq = stream
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      s.table(sink).orderBy("user_id", "session_start")
+    },
+    Some("""
+      SELECT min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR date_diff('second', prev_ts, ts) >= 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, ts, event_id,
+                   lag(ts, 1) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS prev_ts
+            FROM events)))
+      GROUP BY user_id, g ORDER BY user_id, session_start"""))
+
+  val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions)
 }
