@@ -207,6 +207,49 @@ object TextStats {
         SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
       ) GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 100"""))
 
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-20 vocabulary — the tokenizer-coverage / quality-gate metric
+    * (high OOV ⇒ noise, wrong language, or tokenizer mismatch).
+    *
+    * Two passes over the token stream (vocab build, then membership),
+    * both map-side combinable; the vocabulary is top-K by
+    * construction, so its join side is broadcast — membership never
+    * shuffles the corpus. The rate divides two exact integers once,
+    * so the double is bit-identical across engines. A production run
+    * persists the exploded token frame to share it between the
+    * passes; at harness scale recomputing the split is cheaper than
+    * the cache write. */
+  val oovRate: Q = Q(
+    "q_oov_rate",
+    (s, dir) => {
+      val tokens = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val vocab = tokens.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(20)
+        .select(col("tok").as("v_tok"))
+      tokens.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("v_tok").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      v AS (
+        SELECT tok AS v_tok FROM (
+          SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+          ORDER BY cnt DESC, tok ASC LIMIT 20))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+               count(*) AS oov_rate
+      FROM tok LEFT JOIN v ON tok = v_tok
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
-    repetitionRatio, rollingFingerprint, vocabTopK)
+    repetitionRatio, rollingFingerprint, vocabTopK, oovRate)
 }

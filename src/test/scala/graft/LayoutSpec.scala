@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrderValue
+
+/** Z-order expression correctness + the layout property the operator
+  * exists for: clustered writes tighten per-file key ranges on BOTH
+  * dimensions (⇒ min/max pruning works for 2-D box predicates). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Bit-at-a-time reference interleave. */
+  private def refInterleave(a: Long, b: Long): Long =
+    (0 until 32).foldLeft(0L) { (acc, i) =>
+      acc | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+    }
+
+  test("ZOrderValue matches the bit-at-a-time reference (known + random values)") {
+    assert(ZOrderValue.interleave(0L, 0L) == 0L)
+    assert(ZOrderValue.interleave(1L, 0L) == 1L)
+    assert(ZOrderValue.interleave(0L, 1L) == 2L)
+    assert(ZOrderValue.interleave(0xFFFFFFFFL, 0L) == 0x5555555555555555L)
+    assert(ZOrderValue.interleave(0L, 0xFFFFFFFFL) == 0xAAAAAAAAAAAAAAAAL)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val a = rnd.nextLong() & 0xFFFFFFFFL
+      val b = rnd.nextLong() & 0xFFFFFFFFL
+      assert(ZOrderValue.interleave(a, b) == refInterleave(a, b), s"($a,$b)")
+    }
+  }
+
+  test("ZOrderValue expression (codegen path) == object method") {
+    val rows = (1 to 500).map(i => (i.toLong * 7919 % 4096, i.toLong * 104729 % 4096))
+      .toDF("a", "b")
+    val got = rows.select(ZOrderValue(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    val want = rows.as[(Long, Long)].collect()
+      .map { case (a, b) => ZOrderValue.interleave(a, b) }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("z-ordered write tightens per-file ranges on the second dimension") {
+    // 64×64 uniform grid; 16 output files. A linear sort on x leaves
+    // every file spanning y's full range; Z-order tiles the plane so
+    // each file covers ~a quarter of it per dimension.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val zPath = s"$tmp/graft_layout_z"
+    val linPath = s"$tmp/graft_layout_lin"
+    ops.Layout.zorderWrite(grid, col("x"), col("y"), zPath, 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linPath)
+    def sumYRanges(path: String): Long = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(files.length == 16, s"$path: ${files.length} files")
+      files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("y").cast("long"), max("y").cast("long")).head()
+        r.getLong(1) - r.getLong(0)
+      }.sum
+    }
+    val zSum = sumYRanges(zPath)
+    val linSum = sumYRanges(linPath)
+    // linear: every file spans y∈[0,63] ⇒ sum = 16·63 = 1008.
+    // z-order: 16 equal-count Z-ranges tile 4×4 ⇒ y-range ≈ 15/file.
+    assert(linSum >= 15L * 16, s"linear layout unexpectedly tight: $linSum")
+    assert(zSum * 2 < linSum, s"z-order did not tighten ranges: z=$zSum lin=$linSum")
+  }
+}

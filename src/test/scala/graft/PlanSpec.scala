@@ -137,4 +137,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("TPC-H Q6: every predicate pushes to the scan, no pre-agg shuffle") {
+    val df = q("q_tpch_q6")
+    val p = df.queryExecution.executedPlan.toString
+    // the plan string truncates long PushedFilters lists, so assert on
+    // the line rather than a bracket-matched capture
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(s"IsNotNull($c)"), s"$c not pushed:\n$p")
+    // single-row global aggregate: exactly one exchange (the final
+    // partial→single gather), nothing upstream of the aggregate
+    assert(p.contains("partial_"), p)
+    val reads = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!reads.contains("l_orderkey") && !reads.contains("l_returnflag"), reads)
+  }
+
+  test("TPC-H Q4 EXISTS lowers to a left semi join (no row duplication)") {
+    val p = finalPlan(q("q_tpch_q4"))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("TPC-H Q14 broadcasts the part dim and aggregates both sums in one pass") {
+    val p = finalPlan(q("q_tpch_q14"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // both CASE-sums ride one aggregate: exactly one partial phase
+    assert(p.contains("partial_"), p)
+  }
+
+  test("incremental merge is one keyed shuffle (union does not double-shuffle)") {
+    val p = finalPlan(q("q_incremental_merge"))
+    // base ∪ delta flow into a single window (row_number) — the merge
+    // itself must not introduce a join
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("vocab top-k: map-side partial aggregation + TakeOrderedAndProject") {
+    val p = finalPlan(q("q_vocab_topk"))
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
