@@ -20,7 +20,7 @@ object SparkEntry {
       ops.ScalarSuite.all ++ ops.WindowSuite.all ++ ops.Sketches.all ++
       ops.Merge.all ++ ops.Layout.all ++
       llm.TextStats.all ++ llm.Dedup.all ++ llm.Similarity.all ++
-      llm.Ivf.all ++ llm.Events.all ++ llm.Multimodal.all ++ llm.Sampling.all ++
+      llm.Ivf.all ++ llm.Pq.all ++ llm.Events.all ++ llm.Multimodal.all ++ llm.Sampling.all ++
       llm.Curation.all ++
       streaming.EventStream.all
 

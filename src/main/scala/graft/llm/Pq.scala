@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Product quantization (PQ) — the compressed-vector ANN path next to
+  * sign-LSH ([[Similarity.annTopK]]) and IVF ([[Ivf]]).
+  *
+  * PQ splits each d-dim vector into m subspaces and k-means-quantizes
+  * each subspace independently: a vector becomes m small codes
+  * (m=8, k=16 ⇒ 8×4 bits = 4 BYTES per 64-dim vector, a 64×
+  * compression over float32). Search scores the exact query against
+  * RECONSTRUCTED base vectors (asymmetric distance), so the corpus
+  * scan reads codes, not vectors — at 100 TB that is the difference
+  * between scanning 400 GB of codes and 25 TB of floats, which is
+  * why PQ is the memory tier under every production ANN system
+  * (IVF-PQ composes the two: coarse lists from [[Ivf]], residual
+  * codes from here).
+  *
+  * Training mirrors [[Ivf.trainCentroids]]: driver-side Lloyd's per
+  * subspace on a bounded deterministic sample (cost independent of
+  * corpus size), codebooks shipped as plan literals; encoding and
+  * search run fully distributed.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: m × k × (d/m), trained by deterministic
+    * Lloyd's (sample = first sampleN by vec_id, seeds = first k
+    * sub-vectors, fixed iterations — no RNG). */
+  def trainCodebooks(emb: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 5, sampleN: Int = 2000): Array[Array[Array[Double]]] = {
+    import emb.sparkSession.implicits._
+    val sample = emb.orderBy("vec_id").limit(sampleN)
+      .select("v").as[Array[Double]].collect()
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sub = d / m
+    Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      var cents = subs.take(k).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Long](k)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          for (c <- cents.indices) {
+            var dist = 0.0; var i = 0
+            while (i < sub) { val t = v(i) - cents(c)(i); dist += t * t; i += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.indices.map(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))).toArray
+      }
+      cents
+    }
+  }
+
+  /** PQ code of a vector column: array of m sub-codes, each the
+    * argmin-L2 centroid of its subspace — the fused
+    * [[graft.functions.PqEncode]] expression (the declarative
+    * 128-dot-product tree form paid more in codegen compilation than
+    * execution; see PqCodec scaladoc). */
+  def encode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqEncode(v, codebooks)
+
+  /** Reconstructed (decoded) vector from a PQ code column: the
+    * concatenation of each subspace's selected centroid. */
+  def reconstruct(code: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    flatten(array(codebooks.zipWithIndex.map { case (cents, j) =>
+      element_at(typedLit(cents.map(_.toSeq).toSeq), element_at(code, j + 1) + 1)
+    }: _*))
+
+  /** Asymmetric top-k: exact query vectors scored against the
+    * reconstructed corpus. Same broadcast-queries × streamed-corpus
+    * shape as [[Similarity.exactTopK]] — no corpus shuffle; the scan
+    * side carries codes plus one reconstruction per row. */
+  def pqTopK(q: DataFrame, base: DataFrame,
+      codebooks: Array[Array[Array[Double]]], k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coded = base.select(col("vec_id"), encode(col("v"), codebooks).as("code"))
+    val recon = coded.select(col("vec_id"),
+      reconstruct(col("code"), codebooks).as("rv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    recon.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", Similarity.cosine(col("rv"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Recall audit, same scheme as [[Ivf.annIvf]]: plant exact copies
+    * of the 8 query vectors, run PQ search and the exact baseline
+    * over the same persisted corpus, emit only exact-confirmed PQ
+    * hits — the row count IS the recall measurement (of 40 slots).
+    * Approximate + engine-internal ⇒ rows-only; reconstruction
+    * quality and planted retrieval are pinned in PqSpec. */
+  val annPq: Q = Q(
+    "q_ann_pq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val planted = q.select((col("query_id") + lit(1000000L)).as("vec_id"),
+        col("qv").as("v"))
+      val corpus = emb.repartition(par).unionByName(planted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val codebooks = trainCodebooks(corpus)
+      val pq = pqTopK(q, corpus, codebooks)
+      val exact = Similarity.exactTopK(q, corpus).select("query_id", "neighbor_id")
+      pq.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(annPq)
+}

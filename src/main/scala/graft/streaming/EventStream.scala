@@ -217,5 +217,70 @@ object EventStream {
             FROM events)))
       GROUP BY user_id, g ORDER BY user_id, session_start"""))
 
-  val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions)
+  /** Driver-visible STREAM-STREAM join: click→purchase attribution
+    * within a 1-hour window — two live streams (filtered views of the
+    * same staged landing zone), watermarked on both sides, joined on
+    * user with an event-time range condition. This is the stateful
+    * shape tumbling windows and stream-static joins can't express:
+    * BOTH sides buffer in the state store, and the watermark + time
+    * bound together give Spark the eviction proof (a click older than
+    * watermark − 1 h can never match a future purchase, so its state
+    * is dropped — bounded state on an unbounded stream).
+    *
+    * Append mode: inner-join rows emit once matched. The oracle is
+    * the batch twin over the original events table — streaming ≡
+    * batch, hash-checked by the driver. */
+  val streamJoin: Q = Q(
+    "q_stream_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join"
+      ev.write.mode("overwrite").parquet(stage)
+      def src() = s.readStream.schema(ev.schema).parquet(stage)
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+      val sink = "graft_stream_join_sink"
+      // A stream-stream join keeps FOUR state stores per shuffle
+      // partition (keyToNumValues + keyWithIndexToValue per side),
+      // each snapshotted per micro-batch — at 32 partitions the store
+      // commit overhead dominates this micro-benchmark (~9s of pure
+      // bookkeeping measured). State-partition count is fixed from
+      // the conf at query START, so narrow it for the join and
+      // restore after; on a real deployment this is exactly the knob
+      // sized to stream volume, independently of the batch default.
+      val savedPartitions = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val sq =
+        try {
+          clicks.join(purchases,
+              col("user_id") === col("p_user") &&
+                col("purchase_ts") >= col("click_ts") &&
+                col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+            .select(col("click_id"), col("purchase_id"), col("user_id"),
+              col("click_ts"), col("purchase_ts"))
+            .writeStream.format("memory").queryName(sink)
+            .outputMode(OutputMode.Append)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+      sq.awaitTermination()
+      s.table(sink).orderBy("click_id", "purchase_id")
+    },
+    Some("""
+      SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+             a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id"""))
+
+  val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin)
 }
