@@ -282,5 +282,48 @@ object EventStream {
        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id"""))
 
-  val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin)
+  /** Driver-visible custom state: [[runningUserCounts]]
+    * (mapGroupsWithState) over the live stream, Update mode into the
+    * memory sink. Each micro-batch emits every touched user's count
+    * SO FAR; counts are monotone, so the per-user MAX across emitted
+    * updates equals the final total — which is exactly the batch
+    * `GROUP BY user_id` the oracle runs. This promotes the last
+    * spec-only streaming primitive (arbitrary keyed state) into the
+    * driver's hash-checked record: every §2i surface — tumbling
+    * window, dedup, session window, stream-stream join, custom
+    * state — now has a batch-equivalent oracle row. */
+  val streamState: Q = Q(
+    "q_stream_state",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events").select("user_id", "ts")
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_state"
+      ev.write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(ev.schema).parquet(stage)
+        .as[(Long, java.sql.Timestamp)]
+      val sink = "graft_stream_state_sink"
+      // same state-partition narrowing rationale as [[streamJoin]]
+      val savedPartitions = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val sq =
+        try {
+          runningUserCounts(stream)
+            .toDF("user_id", "events_so_far")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode(OutputMode.Update)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+      sq.awaitTermination()
+      s.table(sink)
+        .groupBy("user_id")
+        .agg(max(col("events_so_far")).as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
+    streamState)
 }
