@@ -75,22 +75,36 @@ object Pq {
       element_at(typedLit(cents.map(_.toSeq).toSeq), element_at(code, j + 1) + 1)
     }: _*))
 
-  /** Asymmetric top-k: exact query vectors scored against the
-    * reconstructed corpus. Same broadcast-queries × streamed-corpus
-    * shape as [[Similarity.exactTopK]] — no corpus shuffle; the scan
-    * side carries codes plus one reconstruction per row. */
+  /** Two-stage PQ search: (1) asymmetric scan — exact query vectors
+    * scored against the RECONSTRUCTED corpus (same broadcast-queries ×
+    * streamed-corpus shape as [[Similarity.exactTopK]]; the scan side
+    * reads codes, not vectors) — keeps a per-query shortlist; (2)
+    * exact rerank — original vectors are fetched ONLY for shortlist
+    * members (a semi-join-sized lookup, queries×shortlist rows) and
+    * the final top-k is ordered by true cosine. This is the
+    * production PQ pipeline: the compressed scan bounds I/O, the
+    * rerank restores exact ordering among survivors, and recall is
+    * limited only by shortlist membership. */
   def pqTopK(q: DataFrame, base: DataFrame,
-      codebooks: Array[Array[Array[Double]]], k: Int = 5): DataFrame = {
+      codebooks: Array[Array[Array[Double]]], k: Int = 5,
+      shortlist: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val coded = base.select(col("vec_id"), encode(col("v"), codebooks).as("code"))
     val recon = coded.select(col("vec_id"),
       reconstruct(col("code"), codebooks).as("rv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    recon.crossJoin(broadcast(q))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("psim").desc, col("vec_id").asc)
+    val short = recon.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", Similarity.cosine(col("rv"), col("qv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("psim", Similarity.cosine(col("rv"), col("qv")))
+      .withColumn("prank", row_number().over(wApprox))
+      .filter(col("prank") <= shortlist)
+      .select("query_id", "vec_id", "qv")
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    short.join(base, Seq("vec_id"))
+      .withColumn("sim", Similarity.cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
@@ -118,7 +132,11 @@ object Pq {
       val corpus = emb.repartition(par).unionByName(planted)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val codebooks = trainCodebooks(corpus)
-      val pq = pqTopK(q, corpus, codebooks)
+      // shortlist 50 ≈ 1% of the corpus: rerank cost is queries×50
+      // exact cosines — negligible — while recall becomes limited
+      // only by whether the true neighbor survives 64× compression
+      // into the top-1% of PQ scores
+      val pq = pqTopK(q, corpus, codebooks, k = 5, shortlist = 50)
       val exact = Similarity.exactTopK(q, corpus).select("query_id", "neighbor_id")
       pq.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .select("query_id", "rank", "neighbor_id")

@@ -496,9 +496,41 @@ object Relational {
       ORDER BY g_status, g_priority,
                o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
 
+  /** Grouped top-k via the bounded-heap [[graft.functions.TopKAgg]]
+    * typed aggregate — the scalable alternative to `q_window_topn`'s
+    * `row_number() <= k` formulation. The window form shuffles every
+    * row and sorts each key partition; the aggregate form keeps ≤ k
+    * rows per key per task map-side and shuffles only those (the
+    * grouped analog of TakeOrderedAndProject's per-partition heaps).
+    * Same answer, hash-checked against the window oracle; the
+    * equivalence on adversarial tie distributions is property-tested
+    * in PropertySpec. */
+  val topkPerKey: Q = Q(
+    "q_topk_per_key",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.TopKAgg(cents("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.sort_key").as("total_cents"), col("col.id").as("o_orderkey"))
+        .orderBy("o_orderpriority", "rank"),
+    Some("""
+      SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, total_cents, o_orderkey
+      FROM (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+               o_orderkey,
+               row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                             o_orderkey ASC) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_orderpriority, rank"""))
+
   val all: Seq[Q] = Seq(
     groupAgg, joinAgg, semiJoin, antiJoin, windowTopN,
     intersectKeys, exceptKeys, distinctPairs, rollupAgg, distinctCount,
     approxDistinct, tpchQ1, tpchQ3, tpchQ5, tpchQ18, cubeAgg, scalarSubquery, unpivotParts,
-    pivotAgg, groupingSets)
+    pivotAgg, groupingSets, topkPerKey)
 }

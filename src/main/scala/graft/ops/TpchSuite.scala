@@ -182,5 +182,112 @@ object TpchSuite {
       WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"""))
 
-  val all: Seq[Q] = Seq(q4, q6, q10, q12, q14)
+  /** Q19: the disjunctive (OR-of-ANDs) predicate join. The equi-key
+    * (partkey) must still drive a hash join with the disjunction as a
+    * post-join filter — a planner that degrades to a nested-loop over
+    * the OR branches is wrong at any scale. Each branch pairs a part
+    * attribute with a lineitem attribute, so neither side can
+    * evaluate the disjunction alone. */
+  val q19: Q = Q(
+    "q_tpch_q19",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      val branch1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+      val branch2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+      val branch3 = col("p_brand") === "Brand#34" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(branch1 || branch2 || branch3)
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""))
+
+  /** Q15-shaped top supplier: quarterly revenue per supplier, keep
+    * the supplier(s) achieving the maximum — an aggregate compared
+    * against the aggregate-of-the-aggregate. The max is a 1-row
+    * broadcast against the revenue table (computed once, not per
+    * row); exact-cents revenue makes the equality portable. */
+  val q15: Q = Q(
+    "q_tpch_q15",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("total_rev_cents"))
+      val top = rev.agg(max(col("total_rev_cents")).as("max_rev"))
+      val su = t(s, dir, "supplier")
+      rev.join(broadcast(top), col("total_rev_cents") === col("max_rev"))
+        .join(su, col("l_suppkey") === su("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_rev_cents
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+      ORDER BY s_suppkey"""))
+
+  /** Q22-shaped: above-average customers with no orders, per nation.
+    * The average comparison is CROSS-MULTIPLIED into pure integer
+    * arithmetic (bal_cents · n > total_cents, both BIGINT) so no
+    * division-derived double ever enters the hash — the portable way
+    * to compare against a mean exactly. The no-orders test is a LEFT
+    * ANTI join on custkey; the global (n, total) pair is a 1-row
+    * broadcast. */
+  val q22: Q = Q(
+    "q_tpch_q22",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          cents(col("c_acctbal")).as("bal_cents"))
+      val pos = c.filter(col("bal_cents") > 0)
+        .agg(count(lit(1)).as("n_pos"), sum(col("bal_cents")).as("total_cents"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      c.crossJoin(broadcast(pos))
+        .filter(col("bal_cents") * col("n_pos") > col("total_cents"))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("sum_bal_cents"))
+        .orderBy("c_nationkey")
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer),
+      pos AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pos,
+               CAST(sum(bal_cents) AS BIGINT) AS total_cents
+        FROM c WHERE bal_cents > 0)
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+      FROM c, pos
+      WHERE bal_cents * n_pos > total_cents
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  val all: Seq[Q] = Seq(q4, q6, q10, q12, q14, q19, q15, q22)
 }

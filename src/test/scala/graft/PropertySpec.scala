@@ -64,4 +64,31 @@ class PropertySpec extends AnyFunSuite {
       topk == want
     })
   }
+
+  test("TopKAgg bounded-heap aggregate == window row_number form (property, heavy ties)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // narrow value range forces duplicate sort keys so the id
+    // tie-break is exercised; few groups so merge paths fire
+    val rows = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 200L)))
+    check(forAll(rows) { l =>
+      l.isEmpty || {
+        val df = l.zipWithIndex
+          .map { case ((g, v, _), i) => (g, v, i.toLong) }
+          .toDF("g", "v", "id").repartition(8)
+        val viaAgg = df.groupBy("g")
+          .agg(graft.functions.TopKAgg(col("v"), col("id"), 4).as("top"))
+          .select(col("g"), posexplode(col("top")))
+          .select(col("g"), col("pos"), col("col.sort_key"), col("col.id"))
+          .as[(Long, Int, Long, Long)].collect().toSet
+        val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+        val viaWindow = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+          .select(col("g"), (col("rn") - 1).cast("int"), col("v"), col("id"))
+          .as[(Long, Int, Long, Long)].collect().toSet
+        viaAgg == viaWindow
+      }
+    })
+  }
 }
