@@ -266,7 +266,78 @@ object Curation {
         FROM documents
       ) ORDER BY doc_id"""))
 
+  /** Corpus bigram statistics, top-50 — the n-gram LM / collocation
+    * primitive. Bigrams are built in-row from consecutive tokens (a
+    * narrow transform; nothing joins on position), then counted by
+    * the same vocabulary-not-corpus two-level aggregate as
+    * [[TextStats.vocabTopK]]. The oracle reconstructs the identical
+    * pairs via unnested start positions + 1-based list indexing — a
+    * different formulation that must agree bigram-for-bigram. */
+  val bigramTopK: Q = Q(
+    "q_bigram_topk",
+    (s, dir) => {
+      val tok = toks(col("text"))
+      val bigrams = when(size(tok) >= 2,
+        transform(sequence(lit(0), size(tok) - 2),
+          i => concat(element_at(tok, i + 1), lit(" "), element_at(tok, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      t(s, dir, "documents")
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(50)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d)
+      SELECT toks[i] || ' ' || toks[i + 1] AS bigram,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 50"""))
+
+  /** Document chunking: overlapping 50-token windows with stride 40
+    * (10-token overlap) — the RAG / long-context ingestion primitive.
+    * Chunk count is pure integer arithmetic
+    * (⌈max(n−50,0)/40⌉ + 1, computed with `div` so both engines
+    * agree exactly); each chunk is a per-row array slice — a narrow
+    * Generate, no shuffle beyond the declared ORDER BY, so chunking
+    * a 100 TB corpus is a single scan-shaped pass. Output carries
+    * each chunk's token count and content fingerprint, so the hash
+    * pins boundaries, overlap, and the short-tail chunk behavior. */
+  val chunkDocs: Q = Q(
+    "q_chunk_docs",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("chunk_id",
+          explode(sequence(lit(1), expr("((greatest(n - 50, 0) + 39) div 40) + 1"))))
+        .withColumn("chunk",
+          concat_ws(" ", slice(col("toks"), (col("chunk_id") - 1) * 40 + 1, lit(50))))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"),
+          md5(col("chunk").cast("binary")).as("chunk_sig"))
+        .orderBy("doc_id", "chunk_id"),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, toks,
+               unnest(range(1, ((greatest(n - 50, 0) + 39) // 40) + 2)) AS chunk_id
+        FROM d)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(list_slice(toks, (chunk_id - 1) * 40 + 1,
+                                 (chunk_id - 1) * 40 + 50)) AS BIGINT) AS n_chunk_tokens,
+             md5(array_to_string(list_slice(toks, (chunk_id - 1) * 40 + 1,
+                                            (chunk_id - 1) * 40 + 50), ' ')) AS chunk_sig
+      FROM c ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, packSequences, corpusShuffle,
-      curationPipeline, redactPii)
+      curationPipeline, redactPii, bigramTopK, chunkDocs)
 }

@@ -349,6 +349,20 @@ object Dedup {
     * small-diameter by construction. */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       maxIter: Int = 100): DataFrame = {
+    // Iteration parallelism is sized to the LABEL table, not the
+    // session default: every round is ~a dozen scheduled jobs over a
+    // frame of #vertices rows, so at harness scale 32-partition
+    // rounds are pure task-scheduling overhead (~40% of the query's
+    // wall-clock). One partition per 64k vertices, floor 4 — the
+    // same rule yields thousands of partitions at billion-vertex
+    // scale, where it matters. The conf is restored after the loop
+    // (the iteration's joins/aggregates read it at plan time).
+    val spark = edges.sparkSession
+    val nV = vertices.count()
+    val iterPar = math.max(4L, nV / 65536L).toString
+    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", iterPar)
+    try {
     // materialize the (possibly expensive) edge derivation ONCE —
     // every round joins this frame, and without the checkpoint each
     // round would recompute the whole upstream edge plan
@@ -360,24 +374,41 @@ object Dedup {
     // decrease, so the propagation has fixpointed iff Σlabels is
     // unchanged — one scalar aggregate per round instead of a
     // join+filter+count over the label tables
+    // join-based rather than union-based: aggregate only the MESSAGE
+    // stream (edge endpoints), then left-join the deltas back — the
+    // full label table never rides the min() aggregate, and keeping
+    // Union out of the iterated lineage sidesteps an analyzer
+    // constraint-rewrite failure when the jump self-joins the plan
     def propagate(ls: DataFrame): DataFrame = {
       val msgs = und.as("e").join(ls.as("l"), col("e.src") === col("l.id"))
-        .select(col("e.dst").as("id"), col("l.label").as("label"))
-      ls.unionByName(msgs).groupBy("id").agg(min(col("label")).as("label"))
+        .groupBy(col("e.dst").as("id")).agg(min(col("l.label")).as("mlabel"))
+      ls.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("mlabel"), col("label"))).as("label"))
     }
+    // pointer jumping: label(v) ← label(label(v)). The label table is
+    // a function id→label whose values are themselves vertex ids, so
+    // the self-join is 1:1 and the hop is one shuffle; composed with
+    // a propagate step the frontier reach DOUBLES per round —
+    // O(log diameter) materialized rounds instead of O(diameter),
+    // which is what makes min-label propagation viable on long chains
+    // (labels are monotone: label(x) ≤ x, so b.label ≤ a.label and
+    // the jump needs no min()).
+    def jump(ls: DataFrame): DataFrame =
+      ls.as("a").join(ls.as("b"), col("a.label") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.label").as("label"))
     var prevSum = Long.MinValue
     var curSum = labels.agg(sum(col("label"))).head().getLong(0)
     var i = 0
     while (curSum != prevSum && i < maxIter) {
-      // two hops per materialization: same total hops to converge,
-      // half the checkpoint+aggregate job count (per-job scheduling
-      // overhead dominates at interactive scale)
-      labels = propagate(propagate(labels)).localCheckpoint()
+      // one neighbor hop + one pointer jump per materialization
+      labels = jump(propagate(labels)).localCheckpoint()
       prevSum = curSum
       curSum = labels.agg(sum(col("label"))).head().getLong(0)
       i += 1
     }
     labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
   }
 
   /** Driver-visible clustering query: consecutive-id word-Jaccard

@@ -180,4 +180,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("grouped top-k aggregate: ObjectHashAggregate with a partial phase, no window sort") {
+    val p = finalPlan(q("q_topk_per_key"))
+    // the bounded heap must combine map-side (partial_topk_agg before
+    // the exchange) and must NOT degrade to the window formulation
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topk_agg"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
