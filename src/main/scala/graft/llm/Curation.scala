@@ -275,19 +275,17 @@ object Curation {
     * different formulation that must agree bigram-for-bigram. */
   val bigramTopK: Q = Q(
     "q_bigram_topk",
-    (s, dir) => {
-      val tok = toks(col("text"))
-      val bigrams = when(size(tok) >= 2,
-        transform(sequence(lit(0), size(tok) - 2),
-          i => concat(element_at(tok, i + 1), lit(" "), element_at(tok, i + 2))))
-        .otherwise(array().cast("array<string>"))
+    (s, dir) =>
       t(s, dir, "documents")
-        .select(explode(bigrams).as("bigram"))
+        // fused byte-pass expression — the declarative HOF form
+        // (transform + 2×element_at per bigram) ran on the
+        // interpreted path and was this query's entire cost; see
+        // [[graft.functions.WordBigrams]] (equivalence spec'd)
+        .select(explode(graft.functions.WordBigrams(col("text"))).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
-        .limit(50)
-    },
+        .limit(50),
     Some("""
       WITH d AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

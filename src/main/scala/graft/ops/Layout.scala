@@ -68,5 +68,52 @@ object Layout {
         AND l_suppkey >= 10 AND l_suppkey < 60
       GROUP BY l_suppkey ORDER BY l_suppkey"""))
 
-  val all: Seq[Q] = Seq(zorderLayout)
+  /** Small-file compaction: rewrite a fragmented directory into
+    * size-targeted files. The silent killer of 100 TB pipelines is a
+    * producer that emits per-task files (here simulated with a
+    * 64-way write of one sf-table): every downstream scan pays file
+    * listing, footer reads, and scheduler overhead per fragment.
+    * Compaction = read → repartition(⌈bytes/target⌉) → rewrite; the
+    * target count derives from actual input bytes, so the same code
+    * yields one file here and thousands at scale. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val src = spark.read.parquet(inPath)
+    val bytes = src.inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    src.repartition(nOut).write.mode("overwrite").parquet(outPath)
+    nOut
+  }
+
+  /** Driver query: fragment events 64 ways, compact, aggregate the
+    * compacted copy against the oracle over the original table —
+    * layout-invariant, so the hash proves compaction is lossless
+    * (the file-count collapse itself is pinned in LayoutSpec). */
+  val compactFiles: Q = Q(
+    "q_compact_files",
+    (s: SparkSession, dir: String) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val fragged = s"$tmp/graft_events_fragmented"
+      val compacted = s"$tmp/graft_events_compacted"
+      Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "value")
+        .repartition(64)
+        .write.mode("overwrite").parquet(fragged)
+      compact(s, fragged, compacted)
+      s.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100, 0).cast("long")).as("value_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+             CAST(min(event_id) AS BIGINT) AS min_id,
+             CAST(max(event_id) AS BIGINT) AS max_id
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(zorderLayout, compactFiles)
 }

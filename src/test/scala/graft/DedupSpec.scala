@@ -109,6 +109,27 @@ class DedupSpec extends SparkSpec {
     assert(jac(str) == jac(hsh))
   }
 
+  test("WordBigrams byte-pass == declarative transform over split tokens") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf001, "documents").select("doc_id", "text").limit(100)
+      .unionByName(Seq((9000001L, "  one  "), (9000002L, "a b"), (9000003L, ""),
+        (9000004L, " x\ty\nz ")).toDF("doc_id", "text"))
+    val tok = split(trim(col("text")), "\\s+")
+    val declarative = when(size(tok) >= 2,
+      transform(sequence(lit(0), size(tok) - 2),
+        i => concat(element_at(tok, i + 1), lit(" "), element_at(tok, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val rows = docs.select(col("doc_id"),
+      graft.functions.WordBigrams(col("text")).as("fused"),
+      declarative.as("decl"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    for ((id, fused, decl) <- rows)
+      // the declarative form's degenerate docs ("" / one token) yield
+      // [] via the otherwise-branch; for "" split gives [""] (1 token)
+      // on both paths, so expectations align exactly
+      assert(fused == decl, s"doc $id: $fused vs $decl")
+  }
+
   test("connected components handles non-interval graphs (long-range edges)") {
     // edges deliberately NOT consecutive: {1-5, 5-9}, {2-3}; 4, 6 isolated
     val edges = Seq((1L, 5L), (5L, 9L), (2L, 3L)).toDF("src", "dst")

@@ -68,4 +68,24 @@ class LayoutSpec extends SparkSpec {
     assert(linSum >= 15L * 16, s"linear layout unexpectedly tight: $linSum")
     assert(zSum * 2 < linSum, s"z-order did not tighten ranges: z=$zSum lin=$linSum")
   }
+
+  test("compaction collapses a fragmented directory, content-preserving") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val fragged = s"$tmp/graft_spec_fragmented"
+    val compacted = s"$tmp/graft_spec_compacted"
+    val src = Tables.load(spark, sf001, "events").select("event_id", "value")
+    src.repartition(32).write.mode("overwrite").parquet(fragged)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(fragged) == 32)
+    val nOut = ops.Layout.compact(spark, fragged, compacted)
+    assert(nOut == 1 && parts(compacted) == 1, s"nOut=$nOut parts=${parts(compacted)}")
+    val a = spark.read.parquet(compacted)
+      .agg(count("*"), sum("event_id"), sum(round(col("value") * 100, 0).cast("long")))
+      .head()
+    val b = src
+      .agg(count("*"), sum("event_id"), sum(round(col("value") * 100, 0).cast("long")))
+      .head()
+    assert(a == b, s"content changed: $a vs $b")
+  }
 }
