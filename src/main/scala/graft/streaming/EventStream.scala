@@ -24,6 +24,22 @@ import graft.{Q, Tables}
   */
 object EventStream {
 
+  /** Run `body` (a streaming-query start) under a narrowed
+    * state-partition count, restoring the session default after.
+    * Stateful operators fix their state-store partition count from
+    * `spark.sql.shuffle.partitions` at query START, and every store
+    * partition pays a snapshot/commit per micro-batch — at the
+    * harness's stream volumes the 32-partition default is pure
+    * bookkeeping (measured 2-4× of some queries' wall-clock). On a
+    * real deployment this is the knob sized to stream volume,
+    * independently of the batch default. */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** Streaming twin of q_time_window (hourly tumbling window ×
     * event_type), late data admitted up to 2 hours. */
   def hourlyCounts(events: DataFrame): DataFrame =
@@ -105,11 +121,13 @@ object EventStream {
       ev.write.mode("overwrite").parquet(stage)
       val stream = s.readStream.schema(ev.schema).parquet(stage)
       val sink = "graft_stream_window"
-      val sq = hourlyCounts(stream)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val sq = withStatePartitions(s, 4) {
+        hourlyCounts(stream)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       sq.awaitTermination()
       s.table(sink).orderBy("window_start", "event_type")
     },
@@ -143,11 +161,13 @@ object EventStream {
       ev.unionAll(ev).write.mode("overwrite").parquet(stage)
       val stream = s.readStream.schema(ev.schema).parquet(stage)
       val sink = "graft_stream_dedup_sink"
-      val sq = dedupEvents(stream)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val sq = withStatePartitions(s, 4) {
+        dedupEvents(stream)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       sq.awaitTermination()
       s.table(sink)
         .groupBy("event_type")
@@ -182,17 +202,19 @@ object EventStream {
       ev.write.mode("overwrite").parquet(stage)
       val stream = s.readStream.schema(ev.schema).parquet(stage)
       val sink = "graft_stream_sessions_sink"
-      val sq = stream
-        .withWatermark("ts", "2 hours")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"),
-          col("user_id"), col("n_events"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Complete)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val sq = withStatePartitions(s, 4) {
+        stream
+          .withWatermark("ts", "2 hours")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("user_id"), col("n_events"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       sq.awaitTermination()
       s.table(sink).orderBy("user_id", "session_start")
     },
@@ -248,28 +270,21 @@ object EventStream {
         .withWatermark("purchase_ts", "2 hours")
       val sink = "graft_stream_join_sink"
       // A stream-stream join keeps FOUR state stores per shuffle
-      // partition (keyToNumValues + keyWithIndexToValue per side),
-      // each snapshotted per micro-batch — at 32 partitions the store
-      // commit overhead dominates this micro-benchmark (~9s of pure
-      // bookkeeping measured). State-partition count is fixed from
-      // the conf at query START, so narrow it for the join and
-      // restore after; on a real deployment this is exactly the knob
-      // sized to stream volume, independently of the batch default.
-      val savedPartitions = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val sq =
-        try {
-          clicks.join(purchases,
-              col("user_id") === col("p_user") &&
-                col("purchase_ts") >= col("click_ts") &&
-                col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-            .select(col("click_id"), col("purchase_id"), col("user_id"),
-              col("click_ts"), col("purchase_ts"))
-            .writeStream.format("memory").queryName(sink)
-            .outputMode(OutputMode.Append)
-            .trigger(Trigger.AvailableNow())
-            .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+      // partition (keyToNumValues + keyWithIndexToValue per side) —
+      // the heaviest case of the [[withStatePartitions]] rationale
+      // (~9s of pure store-commit bookkeeping measured at 32).
+      val sq = withStatePartitions(s, 4) {
+        clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            col("click_ts"), col("purchase_ts"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       sq.awaitTermination()
       s.table(sink).orderBy("click_id", "purchase_id")
     },
@@ -302,18 +317,14 @@ object EventStream {
       val stream = s.readStream.schema(ev.schema).parquet(stage)
         .as[(Long, java.sql.Timestamp)]
       val sink = "graft_stream_state_sink"
-      // same state-partition narrowing rationale as [[streamJoin]]
-      val savedPartitions = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val sq =
-        try {
-          runningUserCounts(stream)
-            .toDF("user_id", "events_so_far")
-            .writeStream.format("memory").queryName(sink)
-            .outputMode(OutputMode.Update)
-            .trigger(Trigger.AvailableNow())
-            .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+      val sq = withStatePartitions(s, 4) {
+        runningUserCounts(stream)
+          .toDF("user_id", "events_so_far")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Update)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       sq.awaitTermination()
       s.table(sink)
         .groupBy("user_id")
