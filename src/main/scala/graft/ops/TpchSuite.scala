@@ -289,5 +289,42 @@ object TpchSuite {
                           AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
       GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
-  val all: Seq[Q] = Seq(q4, q6, q10, q12, q14, q19, q15, q22)
+  /** Q17: small-quantity-order revenue — each lineitem compares
+    * against 20% of ITS PART's average quantity. The correlated
+    * aggregate decorrelates into a per-part (count, sum) join, and
+    * the `qty < 0.2·avg` comparison cross-multiplies into pure
+    * BIGINT arithmetic (`5·qty·cnt < sum_qty`, all exact cents —
+    * same no-division discipline as Q22). avg_yearly divides the
+    * exact total once at the end. */
+  val q17: Q = Q(
+    "q_tpch_q17",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+      val perPart = l.groupBy(col("l_partkey").as("pp_partkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(perPart, l("l_partkey") === col("pp_partkey"))
+        .filter(cents(col("l_quantity")) * 5 * col("cnt") < col("sum_qty_cents"))
+        .agg(sum(cents(col("l_extendedprice"))).as("total_cents"),
+          count(lit(1)).as("n_rows"))
+        .select(col("total_cents"), col("n_rows"),
+          (col("total_cents").cast("double") / 7.0).as("avg_yearly_cents"))
+    },
+    Some("""
+      WITH pp AS (
+        SELECT l_partkey AS pp_partkey, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+        FROM lineitem GROUP BY l_partkey)
+      SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 7.0 AS avg_yearly_cents
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN pp ON l_partkey = pp_partkey
+      WHERE p_brand = 'Brand#23'
+        AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * cnt < sum_qty_cents"""))
+
+  val all: Seq[Q] = Seq(q4, q6, q10, q12, q14, q19, q15, q17, q22)
 }
