@@ -181,6 +181,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("z-order read-back pushes the 2-D box filter to the scan") {
+    val df = q("q_zorder_layout")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_partkey") && pushed.contains("l_suppkey"),
+      s"box filter not pushed:\n$p")
+  }
+
   test("grouped top-k aggregate: ObjectHashAggregate with a partial phase, no window sort") {
     val p = finalPlan(q("q_topk_per_key"))
     // the bounded heap must combine map-side (partial_topk_agg before
