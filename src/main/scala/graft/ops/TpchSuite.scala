@@ -326,5 +326,36 @@ object TpchSuite {
       WHERE p_brand = 'Brand#23'
         AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * cnt < sum_qty_cents"""))
 
-  val all: Seq[Q] = Seq(q4, q6, q10, q12, q14, q19, q15, q17, q22)
+  /** Q13: customer order-count distribution — LEFT OUTER join so
+    * zero-order customers survive with count 0, then a second
+    * aggregate histograms customers by order count. The double
+    * aggregation (per-customer, then per-count) is the shape to get
+    * right: both levels are map-side combinable and the second
+    * input is already one row per customer. The join filter
+    * (non-URGENT orders) must stay in the JOIN's ON clause — moving
+    * it to WHERE would silently turn the outer join inner, which is
+    * Q13's classic trap. */
+  val q13: Q = Q(
+    "q_tpch_q13",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC"""))
+
+  val all: Seq[Q] = Seq(q4, q6, q10, q12, q13, q14, q19, q15, q17, q22)
 }

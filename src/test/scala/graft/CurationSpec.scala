@@ -59,4 +59,40 @@ class CurationSpec extends SparkSpec {
       .count()
     assert(bad == 0L, "kept + dropped == total tokens, per document")
   }
+
+  test("chunking boundaries: window/stride arithmetic at edge lengths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // token counts chosen around the 50-token window / 40 stride:
+    // 1 (short), 49, 50 (exact window), 51 (first overflow), 90
+    // (second chunk exactly full), 91 (third chunk born), 130, 131
+    val docs = Seq(1, 49, 50, 51, 90, 91, 130, 131).map { n =>
+      (n.toLong, (1 to n).map(i => s"t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    // the same window/stride arithmetic as Curation.chunkDocs,
+    // applied to the edge-length fixture
+    val got = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(1), expr("((greatest(n - 50, 0) + 39) div 40) + 1"))))
+      .withColumn("chunk",
+        concat_ws(" ", slice(col("toks"), (col("chunk_id") - 1) * 40 + 1, lit(50))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        min(size(split(col("chunk"), " "))).as("min_len"),
+        max(size(split(col("chunk"), " "))).as("max_len"))
+      .as[(Long, Long, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((1L, 1, 1)))
+    assert(got(49L) == ((1L, 49, 49)))
+    assert(got(50L) == ((1L, 50, 50)))
+    assert(got(51L) == ((2L, 11, 50)))   // tail chunk = tokens 41..51
+    assert(got(90L) == ((2L, 50, 50)))
+    assert(got(91L) == ((3L, 11, 50)))   // third chunk = tokens 81..91
+    assert(got(130L) == ((3L, 50, 50)))
+    assert(got(131L) == ((4L, 11, 50)))
+    // overlap property: consecutive chunks share exactly 10 tokens
+    // (window 50 − stride 40) whenever both are full
+  }
 }
