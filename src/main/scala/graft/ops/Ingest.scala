@@ -195,5 +195,45 @@ object Ingest {
     },
     samPipeline.oracle)
 
-  val all: Seq[Q] = Seq(samPipeline, restIngest)
+  /** Error-tolerant ingest: PERMISSIVE JSON parsing with a corrupt-
+    * record column — the row-level analog of the reference's
+    * `errors="coerce"` (F4: bad values become null and the row
+    * SURVIVES; here bad RECORDS become a quarantine row instead of
+    * failing the job — at 100 TB a fail-on-first-bad-byte ingest
+    * never finishes). The landing zone is customer re-staged as
+    * JSON-lines plus 25 deterministically planted garbage lines;
+    * valid rows must parse losslessly (per-segment counts match the
+    * oracle over the ORIGINAL table) and the corrupt count must be
+    * exactly the plant — over- or under-quarantine both break the
+    * hash. */
+  val badRecords: Q = Q(
+    "q_bad_records",
+    (s, _dir) => {
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_bad_records"
+      graft.Tables.load(s, _dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").json(stage)
+      s.range(25)
+        .select(concat(lit("{corrupt json line #"), col("id")).as("value"))
+        .write.mode("append").text(stage)
+      s.read
+        .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(stage)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_corrupt"))
+        .orderBy(asc_nulls_first("segment"))
+    },
+    Some("""
+      SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS n_corrupt
+      FROM customer GROUP BY c_mktsegment
+      UNION ALL
+      SELECT NULL AS segment, CAST(25 AS BIGINT) AS n_rows,
+             CAST(25 AS BIGINT) AS n_corrupt
+      ORDER BY segment ASC NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(samPipeline, restIngest, badRecords)
 }
