@@ -357,5 +357,214 @@ object TpchSuite {
       GROUP BY c_count
       ORDER BY custdist DESC, c_count DESC"""))
 
-  val all: Seq[Q] = Seq(q4, q6, q10, q12, q13, q14, q19, q15, q17, q22)
+  /** Q7: bilateral shipping volume between two nations, by year. The
+    * shape under test: a 4-way fact chain (lineitem–supplier,
+    * lineitem–orders–customer) closed by TWO broadcast joins against
+    * the same dim (nation, aliased per side) with a disjunctive
+    * nation-pair predicate that neither side can evaluate alone. At
+    * scale both nation joins are broadcasts, so the only shuffles are
+    * the two fact-fact joins; the pair filter prunes before the
+    * aggregate. Year extraction groups on a derived column without
+    * breaking map-side combine. */
+  val q7: Q = Q(
+    "q_tpch_q7",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("n1_key"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("n2_key"),
+        col("n_name").as("cust_nation"))
+      val su = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val pair = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+      l.join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(pair)
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3"""))
+
+  /** Q8: national market share — the ratio of one nation's revenue to
+    * all revenue per year, over a 6-table join (region restricts the
+    * CUSTOMER side; the supplier side stays global so the conditional
+    * numerator is decided per row by the supplier's nation). Both
+    * numerator and denominator ride one aggregate as exact cents;
+    * the share divides once at the end. region→nation→customer is a
+    * broadcast chain — the region filter reaches the customer join
+    * key without touching a fact shuffle. */
+  val q8: Q = Q(
+    "q_tpch_q8",
+    (s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val nCust = t(s, dir, "nation").select(col("n_nationkey").as("nc_key"),
+        col("n_regionkey").as("nc_region"))
+      val nSupp = t(s, dir, "nation").select(col("n_nationkey").as("ns_key"),
+        col("n_name").as("supp_nation"))
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      val vol = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(nCust), col("c_nationkey") === col("nc_key"))
+        .join(broadcast(r), col("nc_region") === r("r_regionkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(nSupp), col("s_nationkey") === col("ns_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0L))
+          .as("nation_cents"),
+          sum(vol).as("total_cents"))
+        .select(col("o_year"), col("nation_cents"), col("total_cents"),
+          (col("nation_cents").cast("double") / col("total_cents").cast("double"))
+            .as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+                           THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS nation_cents,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+                           THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE) /
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region ON nc.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  /** Q9-shaped product-type profit by nation and year. The synthetic
+    * schema has no partsupp, so supply cost is adapted to
+    * 10% of p_retailprice per unit (reference Q9 uses
+    * ps_supplycost·l_quantity); the PLAN SHAPE — a name-filtered part
+    * dim broadcast into the fact, supplier nation resolved via two
+    * more joins, profit aggregated by (nation, year) — is preserved.
+    * Profit stays exact: both terms are rounded to cents BEFORE the
+    * subtraction, so the Spark and DuckDB sums are bit-identical. */
+  val q9: Q = Q(
+    "q_tpch_q9",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").contains("gear"))
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val profit = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+        cents(col("p_retailprice") * lit(0.1) * col("l_quantity"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""
+      SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+                      - CAST(round(p_retailprice * 0.1 * l_quantity * 100) AS BIGINT)) AS BIGINT) AS profit_cents
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%gear%'
+      GROUP BY 1, 2
+      ORDER BY nation, o_year DESC"""))
+
+  /** Q21-shaped waiting-supplier count: suppliers whose lineitem was
+    * the ONLY late one in a multi-supplier finished order. Lateness is
+    * adapted (shipped >30 days after order date — the schema lacks
+    * commit/receipt dates) but the signature double self-join
+    * survives: an EXISTS (some other supplier in the order → LEFT
+    * SEMI on orderkey with suppkey≠ as join filter) stacked with a
+    * NOT EXISTS (no OTHER late supplier → LEFT ANTI on the same key
+    * shape). Both self-joins shuffle lineitem by orderkey once each;
+    * neither duplicates fact rows into the aggregate. */
+  val q21: Q = Q(
+    "q_tpch_q21",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val l = t(s, dir, "lineitem")
+      val flagged = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(l("l_orderkey"), l("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("late"))
+      val l1 = flagged.filter(col("late"))
+        .select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1"))
+      val l2 = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = flagged.filter(col("late"))
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      val su = t(s, dir, "supplier")
+      l1.join(l2, col("k1") === col("k2") && col("s1") =!= col("s2"), "left_semi")
+        .join(l3, col("k1") === col("k3") && col("s1") =!= col("s3"), "left_anti")
+        .join(su, col("s1") === su("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F')
+      SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM flagged l1
+      JOIN supplier ON l1.l_suppkey = s_suppkey
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM flagged l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.late)
+      GROUP BY s_suppkey, s_name
+      ORDER BY numwait DESC, s_suppkey ASC
+      LIMIT 20"""))
+
+  val all: Seq[Q] =
+    Seq(q4, q6, q7, q8, q9, q10, q12, q13, q14, q19, q15, q17, q21, q22)
 }
