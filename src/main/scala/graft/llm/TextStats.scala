@@ -250,6 +250,64 @@ object TextStats {
       FROM tok LEFT JOIN v ON tok = v_tok
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Per-document surprisal under a corpus-derived add-one-smoothed
+    * unigram language model — the classic perplexity-based quality
+    * filter (low-probability documents are noise; abnormally
+    * high-probability ones are boilerplate). Two passes: (1) build
+    * the LM — token counts plus one (vocab_size, total_tokens) row
+    * cross-joined in as a 1-row broadcast; (2) score — every token
+    * joins its corpus probability and the per-token surprisal
+    * -ln p(tok) sums per document.
+    *
+    * Scale shape: the LM build is a map-side-combinable count; the
+    * scoring join keys on the token, so a skewed stopword key is the
+    * risk at 100 TB — AQE skew-split handles it (at harness scale the
+    * vocab side auto-broadcasts and there is no corpus shuffle at
+    * all). The surprisal is rounded to integer micro-nats PER TOKEN
+    * before summing, so the per-doc totals are exact BIGINTs and
+    * hash-portably comparable; the readable mean divides the exact
+    * sum once. */
+  val lmSurprisal: Q = Q(
+    "q_lm_surprisal",
+    (s, dir) => {
+      val tokens = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val counts = tokens.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(count(lit(1)).as("vocab_n"), sum(col("cnt")).as("total_n"))
+      val lm = counts.crossJoin(broadcast(stats))
+        .select(col("tok").as("lm_tok"),
+          round(-log((col("cnt") + lit(1.0)) /
+            (col("total_n") + col("vocab_n")).cast("double")) * 1e6, 0)
+            .cast("long").as("surprisal_micro"))
+      tokens.join(lm, col("tok") === col("lm_tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("surprisal_micro")).as("total_surprisal_micro"))
+        .select(col("doc_id"), col("n_tokens"), col("total_surprisal_micro"),
+          (col("total_surprisal_micro").cast("double") / col("n_tokens") / 1e6)
+            .as("mean_surprisal_nats"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab_n,
+               CAST(sum(cnt) AS BIGINT) AS total_n FROM counts),
+      lm AS (
+        SELECT tok AS lm_tok,
+               CAST(round(-ln((cnt + 1.0) / CAST(total_n + vocab_n AS DOUBLE)) * 1e6) AS BIGINT)
+                 AS surprisal_micro
+        FROM counts, stats)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(surprisal_micro) AS BIGINT) AS total_surprisal_micro,
+             CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
+      FROM tok JOIN lm ON tok = lm_tok
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
-    repetitionRatio, rollingFingerprint, vocabTopK, oovRate)
+    repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal)
 }

@@ -198,4 +198,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_topk_agg"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("TPC-H Q7/Q8: nation dims broadcast on both sides, no cartesian") {
+    for (name <- Seq("q_tpch_q7", "q_tpch_q8")) {
+      val p = finalPlan(q(name))
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
+  test("TPC-H Q21: EXISTS/NOT EXISTS lower to left semi + left anti self-joins") {
+    val p = finalPlan(q("q_tpch_q21"))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("LM surprisal: scoring join is token-keyed, never a cartesian of tokens") {
+    val p = finalPlan(q("q_lm_surprisal"))
+    // the 1-row (vocab_n, total_n) stats frame is the ONLY permitted
+    // nested-loop broadcast; the token-probability join must be keyed
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
