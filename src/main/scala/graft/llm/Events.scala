@@ -108,5 +108,102 @@ object Events {
             FROM events)))
       GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize)
+  /** Ordered funnel: view → click-after-view → purchase-after-click,
+    * with strict event-time ordering between stages (a click BEFORE
+    * the first view does not count — the semantic that separates a
+    * funnel from three independent counts). Each stage is a per-user
+    * min over a type-filtered slice joined to the previous stage's
+    * frontier, so the work per stage shrinks monotonically; all joins
+    * key on user_id (co-partitioned at scale, auto-broadcast at
+    * harness scale — the frontier frames are one row per surviving
+    * user). Stages are time-bounded (next stage within 24 h) so the
+    * funnel genuinely narrows; time-to-convert sums exact SECONDS
+    * (bigint), and the stage counts assemble via 1-row broadcast
+    * cross-joins. */
+  val funnel: Q = Q(
+    "q_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"))
+        .agg(min(col("ts")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, col("user_id") === col("v_user"))
+        .filter(col("ts") > col("v_ts") &&
+          col("ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id").as("c_user"))
+        .agg(min(col("ts")).as("c_ts"), min(col("v_ts")).as("cv_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, col("user_id") === col("c_user"))
+        .filter(col("ts") > col("c_ts") &&
+          col("ts") <= col("c_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id").as("p_user"))
+        .agg(min(col("ts")).as("p_ts"), min(col("cv_ts")).as("pv_ts"))
+      val nv = v.agg(count(lit(1)).as("n_view"))
+      val nc = c.agg(count(lit(1)).as("n_click_after_view"))
+      val np = p.agg(count(lit(1)).as("n_full_funnel"),
+        sum(unix_timestamp(col("p_ts")) - unix_timestamp(col("pv_ts")))
+          .as("total_convert_secs"))
+      nv.crossJoin(broadcast(nc)).crossJoin(broadcast(np))
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id AS v_user, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT user_id AS c_user, min(ts) AS c_ts, min(v_ts) AS cv_ts
+        FROM events JOIN v ON user_id = v_user AND ts > v_ts
+                          AND ts <= v_ts + INTERVAL 24 HOUR
+        WHERE event_type = 'click' GROUP BY user_id),
+      p AS (
+        SELECT user_id AS p_user, min(ts) AS p_ts, min(cv_ts) AS pv_ts
+        FROM events JOIN c ON user_id = c_user AND ts > c_ts
+                          AND ts <= c_ts + INTERVAL 24 HOUR
+        WHERE event_type = 'purchase' GROUP BY user_id)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+             (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after_view,
+             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel,
+             (SELECT CAST(sum(date_diff('second', pv_ts, p_ts)) AS BIGINT) FROM p)
+               AS total_convert_secs"""))
+
+  /** Cohort retention: users bucketed by first-seen week, counted in
+    * every week they return — the (cohort_week, active_week) matrix
+    * behind any retention curve. Weeks are integer day-offsets from a
+    * pinned origin divided by 7 (never calendar week-of-year, whose
+    * start-of-week convention differs across engines). Shape: the
+    * first-seen frame is one row per user joined back on user_id
+    * (co-partitioned at scale); the per-(user, week) de-dup runs
+    * BEFORE the count so the final aggregate never sees duplicate
+    * user-weeks — both aggregates map-side combine. */
+  val cohortRetention: Q = Q(
+    "q_cohort_retention",
+    (s, dir) => {
+      val origin = lit("2024-01-01").cast("date")
+      val e = t(s, dir, "events")
+      val firstSeen = e.groupBy(col("user_id").as("f_user"))
+        .agg(min(to_date(col("ts"))).as("first_day"))
+      e.select(col("user_id"), to_date(col("ts")).as("day"))
+        .join(firstSeen, col("user_id") === col("f_user"))
+        .select(col("user_id"),
+          floor(datediff(col("first_day"), origin) / 7).cast("long").as("cohort_week"),
+          floor(datediff(col("day"), origin) / 7).cast("long").as("active_week"))
+        .distinct()
+        .groupBy("cohort_week", "active_week")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "active_week")
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id AS f_user, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id)
+      SELECT cohort_week, active_week, CAST(count(*) AS BIGINT) AS n_users
+      FROM (
+        SELECT DISTINCT user_id,
+               CAST(floor(date_diff('day', DATE '2024-01-01', first_day) / 7.0) AS BIGINT) AS cohort_week,
+               CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS active_week
+        FROM events JOIN f ON user_id = f_user)
+      GROUP BY cohort_week, active_week
+      ORDER BY cohort_week, active_week"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention)
 }
