@@ -70,5 +70,64 @@ object Merge {
       SELECT o_orderkey, version, total_cents, o_orderstatus
       FROM merged WHERE rn = 1 ORDER BY o_orderkey"""))
 
-  val all: Seq[Q] = Seq(incrementalMerge)
+  /** Snapshot diff — the change-data-capture COMPLEMENT of the merge:
+    * given yesterday's and today's snapshots, emit what was added,
+    * removed, and changed (with before/after values). One full outer
+    * join on the key — the single keyed shuffle both sides pay; with
+    * both snapshots bucketed by key (ops/Sinks layout) the diff is
+    * shuffle-free. Unchanged rows are filtered OUT so the output is
+    * the delta, not the world — at 100 TB the diff is what ships.
+    *
+    * Driver query derives both snapshots deterministically from
+    * orders: new adds keys ≡0 (mod 11) that old lacks, drops keys ≡0
+    * (mod 5), and reprices keys ≡0 (mod 7) +10% exact cents. */
+  val snapshotDiff: Q = Q(
+    "q_snapshot_diff",
+    (s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
+      val old = base.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey").as("old_key"), col("total_cents").as("old_cents"))
+      val neu = base.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("new_key"),
+          when(col("o_orderkey") % 7 === 0,
+            col("total_cents") + expr("total_cents div 10"))
+            .otherwise(col("total_cents")).as("new_cents"))
+      old.join(neu, col("old_key") === col("new_key"), "full_outer")
+        .select(coalesce(col("old_key"), col("new_key")).as("key"),
+          when(col("old_key").isNull, "added")
+            .when(col("new_key").isNull, "removed")
+            .when(col("old_cents") =!= col("new_cents"), "changed")
+            .otherwise("unchanged").as("change"),
+          col("old_cents"), col("new_cents"))
+        .filter(col("change") =!= "unchanged")
+        .orderBy("key")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM orders),
+      old AS (
+        SELECT o_orderkey AS old_key, total_cents AS old_cents
+        FROM base WHERE o_orderkey % 11 <> 0),
+      neu AS (
+        SELECT o_orderkey AS new_key,
+               CASE WHEN o_orderkey % 7 = 0 THEN total_cents + total_cents // 10
+                    ELSE total_cents END AS new_cents
+        FROM base WHERE o_orderkey % 5 <> 0)
+      SELECT coalesce(old_key, new_key) AS key,
+             CASE WHEN old_key IS NULL THEN 'added'
+                  WHEN new_key IS NULL THEN 'removed'
+                  WHEN old_cents <> new_cents THEN 'changed'
+                  ELSE 'unchanged' END AS change,
+             old_cents, new_cents
+      FROM old FULL OUTER JOIN neu ON old_key = new_key
+      WHERE CASE WHEN old_key IS NULL THEN 'added'
+                 WHEN new_key IS NULL THEN 'removed'
+                 WHEN old_cents <> new_cents THEN 'changed'
+                 ELSE 'unchanged' END <> 'unchanged'
+      ORDER BY key"""))
+
+  val all: Seq[Q] = Seq(incrementalMerge, snapshotDiff)
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Dataset profiling — the "what is in this table" operators every
+  * engine needs before any pipeline is trusted: per-column summary
+  * stats in one scan, and a value histogram with DATA-DERIVED bounds.
+  * The reference profiles implicitly (pandas `describe` during
+  * development); here profiling is a first-class declarative query so
+  * it runs distributed at corpus scale.
+  */
+object Profile {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** One-scan table profile, long format: every metric rides a single
+    * wide aggregate (count / null-count / approx-free exact distincts
+    * / min / max / cents-exact sum) and then pivots to (metric, value)
+    * rows via `stack` — no per-column re-scan, no driver loop over
+    * columns. All metrics are exact BIGINTs so the hash is portable.
+    *
+    * Scale shape: count-distinct on two key columns makes this a
+    * two-phase (partial distinct, then merge) aggregate; everything
+    * else map-side combines. At 100 TB you'd swap exact distincts for
+    * the HLL sketch column (ops/Sketches) — same query shape. */
+  val profileStats: Q = Q(
+    "q_profile_stats",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("o_orderkey")).as("orderkey_distinct"),
+          count_distinct(col("o_custkey")).as("custkey_distinct"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("custkey_nulls"),
+          count_distinct(col("o_orderstatus")).as("status_distinct"),
+          min(round(col("o_totalprice") * 100, 0).cast("long")).as("price_min_cents"),
+          max(round(col("o_totalprice") * 100, 0).cast("long")).as("price_max_cents"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("price_sum_cents"))
+        .selectExpr(
+          """stack(8,
+               'n_rows', n_rows,
+               'orderkey_distinct', orderkey_distinct,
+               'custkey_distinct', custkey_distinct,
+               'custkey_nulls', custkey_nulls,
+               'status_distinct', status_distinct,
+               'price_min_cents', price_min_cents,
+               'price_max_cents', price_max_cents,
+               'price_sum_cents', price_sum_cents) AS (metric, value)""")
+        .orderBy("metric"),
+    Some("""
+      WITH a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS orderkey_distinct,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_nulls,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+               CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_min_cents,
+               CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_max_cents,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_sum_cents
+        FROM orders)
+      SELECT metric, value FROM (
+        SELECT 'n_rows' AS metric, n_rows AS value FROM a
+        UNION ALL SELECT 'orderkey_distinct', orderkey_distinct FROM a
+        UNION ALL SELECT 'custkey_distinct', custkey_distinct FROM a
+        UNION ALL SELECT 'custkey_nulls', custkey_nulls FROM a
+        UNION ALL SELECT 'status_distinct', status_distinct FROM a
+        UNION ALL SELECT 'price_min_cents', price_min_cents FROM a
+        UNION ALL SELECT 'price_max_cents', price_max_cents FROM a
+        UNION ALL SELECT 'price_sum_cents', price_sum_cents FROM a)
+      ORDER BY metric"""))
+
+  /** Equi-width histogram with bounds derived FROM THE DATA: pass 1
+    * computes (min, max) as one 1-row frame, broadcast into pass 2's
+    * binning — never collected to the driver. Binning arithmetic
+    * stays on exact integer cents; the bin index divides once in
+    * binary64 (exact-int operands ≪ 2^53, so the floor is
+    * bit-identical across engines). The +1 on the span keeps the max
+    * value inside the last bin without a `least()` clamp.
+    *
+    * Scale: two scans of one column (or one scan + cached stats);
+    * the histogram aggregate map-side combines into ≤10 rows. */
+  val histogram: Q = Q(
+    "q_histogram",
+    (s, dir) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val o = t(s, dir, "orders").select(cents.as("c"))
+      val stats = o.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+      o.crossJoin(broadcast(stats))
+        .select(floor((col("c") - col("lo")).cast("double") * 10.0 /
+          (col("hi") - col("lo") + 1).cast("double")).cast("long").as("bin"),
+          col("c"), col("lo"), col("hi"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min(col("c")).as("bin_min_cents"),
+          max(col("c")).as("bin_max_cents"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      stats AS (
+        SELECT CAST(min(c) AS BIGINT) AS lo, CAST(max(c) AS BIGINT) AS hi FROM c)
+      SELECT CAST(floor(CAST(c - lo AS DOUBLE) * 10.0 / CAST(hi - lo + 1 AS DOUBLE)) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(c) AS BIGINT) AS bin_min_cents,
+             CAST(max(c) AS BIGINT) AS bin_max_cents
+      FROM c, stats
+      GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Q] = Seq(profileStats, histogram)
+}
