@@ -215,6 +215,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("fuzzy join blocks on the suffix key — hash join, not a quadratic nested loop") {
+    val p = finalPlan(q("q_fuzzy_join"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("LM surprisal: scoring join is token-keyed, never a cartesian of tokens") {
     val p = finalPlan(q("q_lm_surprisal"))
     // the 1-row (vocab_n, total_n) stats frame is the ONLY permitted
