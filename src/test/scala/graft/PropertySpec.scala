@@ -65,6 +65,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("upsertLatest == last-writer-wins map semantics (property)") {
+    import spark.implicits._
+    // keys collide across base/delta; versions collide within a key so
+    // the window tiebreak path is exercised only where the contract
+    // (unique key+version) holds — generate unique versions per key
+    val rows = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(-50L, 50L)))
+    check(forAll(rows, rows) { (b, d) =>
+      def dedupe(l: List[(Long, Long)], vOff: Long) =
+        l.distinctBy(_._1).map { case (k, x) => (k, vOff, x) }
+      val base = dedupe(b, 0L)
+      val delta = dedupe(d, 1L)
+      val got = graft.ops.Merge.upsertLatest(
+          base.toDF("k", "version", "x"), delta.toDF("k", "version", "x"),
+          Seq("k"), "version")
+        .select("k", "version", "x").as[(Long, Long, Long)].collect().toSet
+      val want = (base.map(r => r._1 -> r) ++ delta.map(r => r._1 -> r)).toMap.values.toSet
+      got == want
+    })
+  }
+
   test("TopKAgg bounded-heap aggregate == window row_number form (property, heavy ties)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
