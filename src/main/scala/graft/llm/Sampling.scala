@@ -120,5 +120,81 @@ object Sampling {
         FROM documents
       ) GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted)
+  /** Balanced mixture sampling — downsample every source to the size
+    * of the smallest so the training mix is uniform across sources
+    * (the "source rebalancing" step of corpus assembly; any target
+    * share vector works by swapping the per-mil formula). Per-source
+    * keep rates derive from two tiny aggregates (per-source counts,
+    * global min) broadcast back onto the corpus — the full scan is
+    * touched exactly once and nothing ever collects to the driver.
+    * The keep decision is a deterministic UNIFORM md5 coin — hex
+    * chars 5–8 decoded to their nibble values, so all 1000 outcomes
+    * are reachable (the ascii-weighted coin of the other samplers is
+    * fine against coarse thresholds but too sparse for a 58‰ rate) —
+    * independent of the split and weighted-sample coins,
+    * so membership is a pure function of doc_id: reproducible across
+    * runs, engines, and backfills. The output pins exact membership
+    * (sum of kept ids), not just counts. The driver query rebalances
+    * a skewed source-tier labeling (the raw harness sources are
+    * uniform, which would make every keep rate 1000‰). */
+  val mixture: Q = Q(
+    "q_mixture_sample",
+    (s, dir) => {
+      // the harness corpus is uniform across sources, so a skewed
+      // "tier" label (3 singleton sources vs one 17-source pool)
+      // makes the rebalance genuinely differential
+      val d = t(s, dir, "documents")
+        .withColumn("tier",
+          when(col("source").isin("src0", "src1", "src2"), col("source"))
+            .otherwise("rest"))
+      val counts = d.groupBy(col("tier").as("c_src"))
+        .agg(count(lit(1)).as("src_total"))
+      val minTot = counts.agg(min(col("src_total")).as("min_total"))
+      val rates = counts.crossJoin(broadcast(minTot))
+        .select(col("c_src"),
+          expr("1000 * min_total div src_total").as("permil"))
+      val hex = md5(col("doc_id").cast("string").cast("binary"))
+      def nib(i: Int) = {
+        val a = ascii(substring(hex, i, 1))
+        a - when(a >= 97, 87).otherwise(48)
+      }
+      val coin = (nib(5) * 4096 + nib(6) * 256 + nib(7) * 16 + nib(8)) % 1000
+      d.join(broadcast(rates), col("tier") === col("c_src"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("total"),
+          min(col("permil")).as("permil"),
+          sum(when(coin < col("permil"), 1L).otherwise(0L)).as("kept"),
+          sum(when(coin < col("permil"), col("doc_id"))).as("sum_kept_ids"))
+        .orderBy("tier")
+    },
+    Some("""
+      WITH tiered AS (
+        SELECT *, CASE WHEN source IN ('src0','src1','src2') THEN source
+                       ELSE 'rest' END AS tier
+        FROM documents),
+      counts AS (
+        SELECT tier AS c_src, CAST(count(*) AS BIGINT) AS src_total
+        FROM tiered GROUP BY tier),
+      rates AS (
+        SELECT c_src, CAST(1000 * (SELECT min(src_total) FROM counts) // src_total AS BIGINT) AS permil
+        FROM counts),
+      coined AS (
+        SELECT *, ((a5 - CASE WHEN a5 >= 97 THEN 87 ELSE 48 END) * 4096 +
+                   (a6 - CASE WHEN a6 >= 97 THEN 87 ELSE 48 END) * 256 +
+                   (a7 - CASE WHEN a7 >= 97 THEN 87 ELSE 48 END) * 16 +
+                   (a8 - CASE WHEN a8 >= 97 THEN 87 ELSE 48 END)) % 1000 AS coin
+        FROM (
+          SELECT *, ascii(substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) AS a5,
+                    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) AS a6,
+                    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) AS a7,
+                    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) AS a8
+          FROM tiered))
+      SELECT tier, CAST(count(*) AS BIGINT) AS total,
+             CAST(min(permil) AS BIGINT) AS permil,
+             CAST(sum(CASE WHEN coin < permil THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             CAST(sum(CASE WHEN coin < permil THEN doc_id END) AS BIGINT) AS sum_kept_ids
+      FROM coined JOIN rates ON tier = c_src
+      GROUP BY tier ORDER BY tier"""))
+
+  val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture)
 }

