@@ -85,6 +85,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("snapshot full-outer diff == brute-force map diff (property)") {
+    import spark.implicits._
+    val rows = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 3L)))
+    check(forAll(rows, rows) { (o, n) =>
+      val old = o.distinctBy(_._1)
+      val neu = n.distinctBy(_._1)
+      val got = old.toDF("k", "v").select(col("k").as("old_key"), col("v").as("old_v"))
+        .join(neu.toDF("k", "v").select(col("k").as("new_key"), col("v").as("new_v")),
+          col("old_key") === col("new_key"), "full_outer")
+        .select(coalesce(col("old_key"), col("new_key")).as("key"),
+          when(col("old_key").isNull, "added")
+            .when(col("new_key").isNull, "removed")
+            .when(col("old_v") =!= col("new_v"), "changed")
+            .otherwise("unchanged").as("change"))
+        .filter(col("change") =!= "unchanged")
+        .as[(Long, String)].collect().toSet
+      val om = old.toMap; val nm = neu.toMap
+      val want =
+        (nm.keySet -- om.keySet).map(_ -> "added") ++
+          (om.keySet -- nm.keySet).map(_ -> "removed") ++
+          (om.keySet & nm.keySet).filter(k => om(k) != nm(k)).map(_ -> "changed")
+      got == want
+    })
+  }
+
   test("TopKAgg bounded-heap aggregate == window row_number form (property, heavy ties)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
