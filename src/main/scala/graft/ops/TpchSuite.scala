@@ -565,6 +565,61 @@ object TpchSuite {
       ORDER BY numwait DESC, s_suppkey ASC
       LIMIT 20"""))
 
+  /** Q20-shaped excess-shipper list: suppliers that shipped MORE THAN
+    * TWICE the per-supplier average quantity of some name-filtered
+    * part in 1996 (the synthetic schema has no partsupp, so shipped
+    * quantity stands in for stocked quantity; the reference's
+    * availqty > ½·Σqty becomes qty·n_supp > 2·Σqty). The shape under
+    * test: an EXISTS whose subject is itself an AGGREGATE over a
+    * second aggregate's threshold — two stacked groupBys joined on
+    * the part key, the comparison cross-multiplied into exact-cents
+    * BIGINTs (the no-division discipline of Q17/Q22), and the
+    * surviving (supp, part) pairs collapsed into a LEFT SEMI against
+    * the supplier dim so no supplier row ever duplicates. */
+  val q20: Q = Q(
+    "q_tpch_q20",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").contains("gear"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      val perSupp = l.groupBy(col("l_partkey").as("ps_part"), col("l_suppkey").as("ps_supp"))
+        .agg(sum(cents(col("l_quantity"))).as("supp_qty_cents"))
+      val perPart = perSupp.groupBy(col("ps_part").as("pp_part"))
+        .agg(sum(col("supp_qty_cents")).as("part_qty_cents"),
+          count(lit(1)).as("n_supp"))
+      val excess = perSupp.join(perPart, col("ps_part") === col("pp_part"))
+        .filter(col("supp_qty_cents") * col("n_supp") > col("part_qty_cents") * 2)
+        .select(col("ps_supp"))
+      val su = t(s, dir, "supplier")
+      su.join(excess, su("s_suppkey") === col("ps_supp"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      WITH l AS (
+        SELECT l_partkey, l_suppkey, CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%gear%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+      per_supp AS (
+        SELECT l_partkey AS ps_part, l_suppkey AS ps_supp,
+               CAST(sum(qty_cents) AS BIGINT) AS supp_qty_cents
+        FROM l GROUP BY 1, 2),
+      per_part AS (
+        SELECT ps_part AS pp_part, CAST(sum(supp_qty_cents) AS BIGINT) AS part_qty_cents,
+               CAST(count(*) AS BIGINT) AS n_supp
+        FROM per_supp GROUP BY 1)
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE EXISTS (
+        SELECT 1 FROM per_supp JOIN per_part ON ps_part = pp_part
+        WHERE ps_supp = s_suppkey
+          AND supp_qty_cents * n_supp > part_qty_cents * 2)
+      ORDER BY s_suppkey"""))
+
   val all: Seq[Q] =
-    Seq(q4, q6, q7, q8, q9, q10, q12, q13, q14, q19, q15, q17, q21, q22)
+    Seq(q4, q6, q7, q8, q9, q10, q12, q13, q14, q19, q15, q17, q20, q21, q22)
 }

@@ -215,6 +215,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("TPC-H Q20: aggregate-threshold EXISTS is a semi join, no supplier duplication") {
+    val p = finalPlan(q("q_tpch_q20"))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("fuzzy join blocks on the suffix key — hash join, not a quadratic nested loop") {
     val p = finalPlan(q("q_fuzzy_join"))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
