@@ -103,5 +103,42 @@ object WindowSuite {
       FROM documents WHERE doc_id < 50
       ORDER BY doc_id, token"""))
 
-  val all: Seq[Q] = Seq(windowFuncs, dateParts, explodeTokens)
+  /** Event-time RANGE frame: per-user trailing-1-hour moving sum and
+    * event count — the frame is bounded by a TIME interval, not a row
+    * count, so bursts widen the window's row membership (the property
+    * a rows-frame can't express). Spark's rangeBetween needs a
+    * numeric ordering column, so the frame orders on epoch seconds
+    * (exact long); DuckDB mirrors with RANGE ... PRECEDING over the
+    * same integer. One shuffle on the partition key; ties inside a
+    * range frame aggregate identically on both engines because the
+    * frame is value-bounded (peer rows share the frame), unlike a
+    * rows-frame where tie order would diverge. */
+  val movingAvg: Q = Q(
+    "q_moving_avg",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .select(col("user_id"), col("event_id"), col("epoch_s"),
+          sum(col("cents")).over(w).as("trail_1h_cents"),
+          count(lit(1)).over(w).as("trail_1h_n"))
+        .orderBy("user_id", "epoch_s", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, epoch_s,
+             CAST(sum(cents) OVER w AS BIGINT) AS trail_1h_cents,
+             CAST(count(*) OVER w AS BIGINT) AS trail_1h_n
+      FROM (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, epoch_s, event_id"""))
+
+  val all: Seq[Q] = Seq(windowFuncs, dateParts, explodeTokens, movingAvg)
 }
