@@ -620,6 +620,74 @@ object TpchSuite {
           AND supp_qty_cents * n_supp > part_qty_cents * 2)
       ORDER BY s_suppkey"""))
 
+  /** Q11-shaped important-part list: parts whose shipped value
+    * exceeds a FRACTION OF THE GLOBAL TOTAL (reference Q11 uses
+    * partsupp stock value; shipped lineitem value stands in). The
+    * shape under test: HAVING compared against a scalar subquery of
+    * the SAME aggregation — the global total must be computed once
+    * (a 1-row broadcast against the per-part aggregate), never
+    * per-group, and the threshold comparison cross-multiplies into
+    * exact BIGINT arithmetic (value·20000 > total·11 — 1.1× the mean
+    * share, splitting the part population ~1:2) so no
+    * division-derived double enters the hash. */
+  val q11: Q = Q(
+    "q_tpch_q11",
+    (s, dir) => {
+      val perPart = t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(cents(col("l_extendedprice"))).as("value_cents"))
+      val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_cents") * 20000 > col("total_cents") * 11)
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("l_partkey").asc)
+    },
+    Some("""
+      WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey, value_cents
+      FROM per_part
+      WHERE value_cents * 20000 > (SELECT sum(value_cents) FROM per_part) * 11
+      ORDER BY value_cents DESC, l_partkey ASC"""))
+
+  /** Q16-shaped supplier diversity count: distinct suppliers per
+    * (brand, type, size) over the lineitem part-supplier relation
+    * (the schema's stand-in for partsupp), EXCLUDING a blocklisted
+    * supplier set via LEFT ANTI before the count. The shape: the
+    * exclusion must anti-join the (part, supp) pairs BEFORE the
+    * count-distinct aggregate (post-hoc subtraction can't know which
+    * groups a blocked supplier touched), and count(DISTINCT) over the
+    * deduplicated pair relation is two-phase — partial distinct on
+    * (group, supp), then merge — so the shuffle carries pairs, not
+    * lineitems. */
+  val q16: Q = Q(
+    "q_tpch_q16",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_size").isin(1, 5, 9, 13))
+      val blocked = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("b_key"))
+      val pairs = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+        .join(broadcast(blocked), col("l_suppkey") === col("b_key"), "left_anti")
+      pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)
+    },
+    Some("""
+      SELECT p_brand, p_type, p_size,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_size IN (1, 5, 9, 13)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC"""))
+
   val all: Seq[Q] =
-    Seq(q4, q6, q7, q8, q9, q10, q12, q13, q14, q19, q15, q17, q20, q21, q22)
+    Seq(q4, q6, q7, q8, q9, q10, q11, q12, q13, q14, q16, q19, q15, q17, q20, q21, q22)
 }
