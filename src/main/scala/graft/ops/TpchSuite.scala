@@ -688,6 +688,61 @@ object TpchSuite {
       GROUP BY p_brand, p_type, p_size
       ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC"""))
 
+  /** Q2-shaped minimum-cost supplier: for every size-filtered part,
+    * the EUROPE supplier with the lowest total shipped cost for that
+    * part (shipped lineitem cost stands in for ps_supplycost). The
+    * signature shape: a correlated MIN over a dim-restricted
+    * subquery, decorrelated into a per-part aggregate joined back on
+    * (part, cost = min_cost) — the same equality-against-an-aggregate
+    * discipline as Q15, but per group instead of global, and the
+    * region restriction must apply INSIDE the min (a supplier outside
+    * EUROPE must not set the floor). Ties on min cost keep all
+    * achieving suppliers, exactly as the reference query does. */
+  val q2: Q = Q(
+    "q_tpch_q2",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_size") === 9)
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val n = t(s, dir, "nation")
+      val su = t(s, dir, "supplier")
+      val perPS = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .join(su, col("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("p_partkey").as("partkey"), col("s_suppkey").as("suppkey"),
+          col("s_name"), col("n_name"), col("s_acctbal"))
+        .agg(sum(cents(col("l_extendedprice"))).as("cost_cents"))
+      val minPerPart = perPS.groupBy(col("partkey").as("m_part"))
+        .agg(min(col("cost_cents")).as("min_cost"))
+      perPS.join(minPerPart,
+          col("partkey") === col("m_part") && col("cost_cents") === col("min_cost"))
+        .select(col("partkey"), col("suppkey"), col("s_name"), col("n_name"),
+          cents(col("s_acctbal")).as("bal_cents"), col("cost_cents"))
+        .orderBy(col("bal_cents").desc, col("n_name").asc, col("s_name").asc,
+          col("partkey").asc)
+    },
+    Some("""
+      WITH per_ps AS (
+        SELECT p_partkey AS partkey, s_suppkey AS suppkey, s_name, n_name, s_acctbal,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size = 9 AND r_name = 'EUROPE'
+        GROUP BY 1, 2, 3, 4, 5),
+      min_per_part AS (
+        SELECT partkey AS m_part, CAST(min(cost_cents) AS BIGINT) AS min_cost
+        FROM per_ps GROUP BY partkey)
+      SELECT partkey, suppkey, s_name, n_name,
+             CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents, cost_cents
+      FROM per_ps JOIN min_per_part
+        ON partkey = m_part AND cost_cents = min_cost
+      ORDER BY bal_cents DESC, n_name ASC, s_name ASC, partkey ASC"""))
+
   val all: Seq[Q] =
-    Seq(q4, q6, q7, q8, q9, q10, q11, q12, q13, q14, q16, q19, q15, q17, q20, q21, q22)
+    Seq(q2, q4, q6, q7, q8, q9, q10, q11, q12, q13, q14, q16, q19, q15, q17,
+      q20, q21, q22)
 }
