@@ -199,8 +199,8 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
-  test("TPC-H Q7/Q8: nation dims broadcast on both sides, no cartesian") {
-    for (name <- Seq("q_tpch_q7", "q_tpch_q8")) {
+  test("TPC-H Q7/Q8/Q2: nation dims broadcast on both sides, no cartesian") {
+    for (name <- Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q2")) {
       val p = finalPlan(q(name))
       assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
