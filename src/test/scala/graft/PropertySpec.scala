@@ -85,6 +85,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("suffix-blocked fuzzy join recovers every corruption outside the block key (property)") {
+    import spark.implicits._
+    // names = random 8-char prefix + unique 3-digit suffix; corrupt one
+    // prefix char (never the suffix) — the blocked join's recall
+    // contract: any ≤2-edit corruption that leaves the block intact is
+    // always recovered, and every reported pair satisfies both the
+    // block equality and the distance bound
+    val prefixes = Gen.listOfN(12, Gen.stringOfN(8, Gen.oneOf('a', 'b')))
+    val posGen = Gen.chooseNum(0, 7)
+    check(forAll(prefixes, posGen, Gen.oneOf('x', 'y')) { (ps, pos, c) =>
+      val clean = ps.zipWithIndex.map { case (p, i) => (i.toLong, f"$p%s${i}%03d") }
+      val dirty = clean.map { case (i, n) =>
+        (i, n.updated(pos, if (n(pos) == c) 'z' else c))
+      }
+      val got = dirty.toDF("d_id", "d_name")
+        .join(clean.toDF("k_id", "k_name"),
+          substring(col("d_name"), -3, 3) === substring(col("k_name"), -3, 3) &&
+            levenshtein(col("d_name"), col("k_name")) <= 2)
+        .select("d_id", "k_id").as[(Long, Long)].collect().toSet
+      // every row recovers its own original; suffixes are unique so no
+      // cross-row pair shares a block
+      got == clean.map(r => (r._1, r._1)).toSet
+    })
+  }
+
   test("snapshot full-outer diff == brute-force map diff (property)") {
     import spark.implicits._
     val rows = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 3L)))
