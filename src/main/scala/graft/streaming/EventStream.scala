@@ -335,6 +335,109 @@ object EventStream {
       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Per-user funnel state for [[funnelStates]]: the min view time,
+    * the candidate click/purchase times still inside the funnel
+    * horizon, and a monotone events-seen counter that versions each
+    * emission. Times are epoch MICROS (exact — never Timestamp
+    * millis, which drop the sub-milli precision the strict `>`
+    * comparisons depend on). */
+  final case class FunnelState(minView: Option[Long], clicks: List[Long],
+    purchases: List[Long], nSeen: Long)
+
+  private val H = 86400000000L // funnel stage horizon: 24 h in micros
+
+  /** Streaming funnel (view → click ≤24 h → purchase ≤24 h): a keyed
+    * state machine that stays EXACT under arbitrary arrival order —
+    * micro-batches split the file list however they like, and an
+    * earlier view arriving late can both admit previously-ineligible
+    * clicks and retract a previously-valid purchase. Stage membership
+    * is therefore NOT monotone, so each batch re-evaluates the funnel
+    * from retained candidates and emits a snapshot versioned by the
+    * strictly-increasing events-seen counter; the reader keeps each
+    * user's highest-version row (`max_by`), which is the evaluation
+    * over the user's complete history.
+    *
+    * State is bounded without losing exactness: the min view only
+    * DECREASES, so the click window (v, v+24h] and purchase reach
+    * (v, v+48h] only move left — any candidate beyond the current
+    * bound is dead forever and is pruned each batch. A production
+    * deployment adds the watermark-driven lower bound (views older
+    * than the watermark cannot arrive) to expire idle users via an
+    * event-time timeout. */
+  def funnelStates(events: Dataset[(Long, String, Long)]): Dataset[(Long, Long, Boolean, Boolean, Boolean, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[(Long, String, Long)], gs: GroupState[FunnelState]) =>
+          var st = gs.getOption.getOrElse(FunnelState(None, Nil, Nil, 0L))
+          batch.foreach { case (_, typ, t) =>
+            st = typ match {
+              case "view" =>
+                val v = Some(st.minView.fold(t)(math.min(_, t)))
+                st.copy(minView = v, nSeen = st.nSeen + 1)
+              case "click" => st.copy(clicks = t :: st.clicks, nSeen = st.nSeen + 1)
+              case "purchase" => st.copy(purchases = t :: st.purchases, nSeen = st.nSeen + 1)
+              case _ => st.copy(nSeen = st.nSeen + 1)
+            }
+          }
+          // prune candidates past the (left-moving) horizon bounds
+          st = st.minView.fold(st) { v =>
+            st.copy(clicks = st.clicks.filter(_ <= v + H),
+              purchases = st.purchases.filter(_ <= v + 2 * H))
+          }
+          gs.update(st)
+          val cOpt = st.minView.flatMap { v =>
+            st.clicks.filter(t => t > v && t <= v + H).minOption
+          }
+          val pOpt = cOpt.flatMap { c =>
+            st.purchases.filter(t => t > c && t <= c + H).minOption
+          }
+          val secs = (for { v <- st.minView; p <- pOpt }
+            yield Math.floorDiv(p, 1000000L) - Math.floorDiv(v, 1000000L)).getOrElse(0L)
+          (userId, st.nSeen, st.minView.isDefined, cOpt.isDefined, pOpt.isDefined, secs)
+      }
+  }
+
+  /** Driver-visible streaming funnel: [[funnelStates]] over the live
+    * stream (Update mode), highest-version snapshot per user taken
+    * with `max_by`, stage totals hash-compared against the SAME
+    * oracle as the batch `q_funnel` — the strongest equivalence claim
+    * on this surface: a multi-stage, non-monotone state machine whose
+    * streamed result must equal the batch join chain bit-for-bit. */
+  val streamFunnel: Q = Q(
+    "q_stream_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_funnel"
+      ev.write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(ev.schema).parquet(stage)
+        .as[(Long, String, Long)]
+      val sink = "graft_stream_funnel_sink"
+      val sq = withStatePartitions(s, 4) {
+        funnelStates(stream)
+          .toDF("user_id", "n_seen", "has_v", "has_c", "has_p", "secs")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Update)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      sq.awaitTermination()
+      s.table(sink)
+        .groupBy("user_id")
+        .agg(max_by(struct(col("has_v"), col("has_c"), col("has_p"), col("secs")),
+          col("n_seen")).as("last"))
+        .agg(sum(when(col("last.has_v"), 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("last.has_c"), 1L).otherwise(0L)).as("n_click_after_view"),
+          sum(when(col("last.has_p"), 1L).otherwise(0L)).as("n_full_funnel"),
+          sum(when(col("last.has_p"), col("last.secs")).otherwise(0L))
+            .as("total_convert_secs"))
+    },
+    graft.llm.Events.funnel.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
-    streamState)
+    streamState, streamFunnel)
 }
