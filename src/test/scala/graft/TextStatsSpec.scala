@@ -57,4 +57,23 @@ class TextStatsSpec extends SparkSpec {
       .select(md5(col("t").cast("binary")).as("h")).collect().head.getString(0)
     assert(fp == "5d41402abc4b2a76b9719d911017c592")
   }
+
+  test("LM surprisal: covers every doc, bounded by the smoothed-model extremes") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val rows = TextStats.lmSurprisal.fn(spark, sf001).collect()
+    assert(rows.length == docs.count())
+    // add-one smoothing bounds per-token surprisal to
+    // (-ln((maxCnt+1)/(N+V)), ln(N+V)/... ]; the mean must sit strictly
+    // inside (0, ln((N+V)/2)] — count ≥ 1 for every in-corpus token
+    val toks = docs.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val n = toks.count()
+    val v = toks.distinct().count()
+    val maxMean = math.log((n + v) / 2.0)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val mean = r.getAs[Double]("mean_surprisal_nats")
+      assert(nTok > 0)
+      assert(mean > 0.0 && mean <= maxMean, s"mean $mean outside (0, $maxMean]")
+    }
+  }
 }
