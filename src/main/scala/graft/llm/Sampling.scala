@@ -196,5 +196,42 @@ object Sampling {
       FROM coined JOIN rates ON tier = c_src
       GROUP BY tier ORDER BY tier"""))
 
-  val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture)
+  /** Deterministic mergeable reservoir: the per-group k-sample is the
+    * k documents with the SMALLEST md5-derived priority — a bottom-k
+    * sketch, so it composes the way a random reservoir cannot:
+    * sample(A ∪ B) = merge(sample(A), sample(B)), shards sample
+    * independently and union exactly (the merge is
+    * `functions/TopKAgg`'s buffer merge, ≤k rows per task on the
+    * wire), and a backfill reproduces the identical sample because
+    * priority is a pure function of the key. The priority is the
+    * first 48 bits of md5 as a BIGINT (conv/hex-cast — identical in
+    * both engines); the oracle is the window row_number formulation
+    * the aggregate exists to avoid. */
+  val reservoir: Q = Q(
+    "q_reservoir_sample",
+    (s, dir) => {
+      val hex = md5(col("doc_id").cast("string").cast("binary"))
+      val pri = conv(substring(hex, 1, 12), 16, 10).cast("long")
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), pri.as("priority"))
+        .groupBy("source")
+        .agg(graft.functions.TopKAgg(-col("priority"), col("doc_id"), 5).as("sample"))
+        .select(col("source"), posexplode(col("sample")))
+        .select(col("source"), col("pos").cast("long").as("rn"),
+          (-col("col.sort_key")).as("priority"), col("col.id").as("doc_id"))
+        .orderBy("source", "rn")
+    },
+    Some("""
+      SELECT source, rn, priority, doc_id FROM (
+        SELECT source, doc_id, priority,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY priority ASC, doc_id ASC) AS BIGINT) - 1 AS rn
+        FROM (
+          SELECT source, doc_id,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS priority
+          FROM documents))
+      WHERE rn < 5
+      ORDER BY source, rn"""))
+
+  val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir)
 }
