@@ -110,5 +110,53 @@ object Profile {
       FROM c, stats
       GROUP BY 1 ORDER BY 1"""))
 
-  val all: Seq[Q] = Seq(profileStats, histogram)
+  /** Statistical outlier detection, EXACTLY: a value is a 3σ outlier
+    * in its group iff (x·n − Σx)² > 9·(n·Σx² − (Σx)²) — the z-score
+    * test cross-multiplied until every term is integer arithmetic on
+    * exact cents, so no sqrt, no mean, no variance double ever enters
+    * the comparison (the repo's no-division discipline applied to
+    * second moments). Per-group (n, Σx, Σx²) is one
+    * map-side-combinable aggregate broadcast back onto the scan; the
+    * magnitudes stay far under 2^63 for the events value domain
+    * (cents ≤ 10⁴, n ≤ 10⁵), which ANSI mode would loudly enforce if
+    * the domain grew. Output: per-group outlier counts + extremes, so
+    * the hash pins every flag decision. */
+  val outliers: Q = Q(
+    "q_outliers",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val stats = e.groupBy(col("event_type").as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      val dev = col("c") * col("n") - col("s1")
+      val isOut = dev * dev > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1"))
+      e.join(broadcast(stats), col("event_type") === col("g"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+          min(when(isOut, col("event_id"))).as("min_outlier_id"),
+          max(when(isOut, col("c"))).as("max_outlier_cents"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      stats AS (
+        SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        FROM e GROUP BY event_type)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN (c*n - s1)*(c*n - s1) > 9*(n*s2 - s1*s1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             CAST(min(CASE WHEN (c*n - s1)*(c*n - s1) > 9*(n*s2 - s1*s1)
+                           THEN event_id END) AS BIGINT) AS min_outlier_id,
+             CAST(max(CASE WHEN (c*n - s1)*(c*n - s1) > 9*(n*s2 - s1*s1)
+                           THEN c END) AS BIGINT) AS max_outlier_cents
+      FROM e JOIN stats ON event_type = g
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(profileStats, histogram, outliers)
 }
