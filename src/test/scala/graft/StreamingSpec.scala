@@ -116,4 +116,51 @@ class StreamingSpec extends SparkSpec {
       assert(last(8L) == 1L)
     } finally q.stop()
   }
+
+  test("checkpoint restart resumes keyed state exactly once (no reprocessing, no loss)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = System.getProperty("java.io.tmpdir")
+    val dir = s"$tmp/graft_ckpt_events"
+    val ck = s"$tmp/graft_ckpt_state"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(dir, ck).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+
+    val phase1 = Seq((7L, ts("2024-01-01 00:10:00")), (7L, ts("2024-01-01 00:11:00")),
+      (8L, ts("2024-01-01 00:12:00")))
+    val phase2 = Seq((8L, ts("2024-01-01 00:13:00")), (7L, ts("2024-01-01 00:14:00")),
+      (9L, ts("2024-01-01 00:15:00")))
+    val schema = phase1.toDF("user_id", "ts").schema
+
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // restart-capable sink, draining each micro-batch into a buffer
+    def run(): Map[Long, Long] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val stream = spark.readStream.schema(schema).parquet(dir)
+        .as[(Long, Timestamp)]
+      val q = EventStream.runningUserCounts(stream)
+        .toDF("user_id", "events_so_far")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized { buf ++= df.as[(Long, Long)].collect() }
+          () // Unit return disambiguates the Scala/Java foreachBatch overloads
+        }
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    }
+
+    phase1.toDF("user_id", "ts").repartition(1).write.mode("append").parquet(dir)
+    val p1 = run()
+    assert(p1 == Map(7L -> 2L, 8L -> 1L))
+
+    phase2.toDF("user_id", "ts").repartition(1).write.mode("append").parquet(dir)
+    val p2 = run()
+    // counts continue from the restored state: phase-1 files are NOT
+    // re-read (7 would be 1, 8 would be 1 from scratch) and no state
+    // is lost (7 reaches its all-data total of 3)
+    assert(p2 == Map(7L -> 3L, 8L -> 2L, 9L -> 1L))
+  }
 }
