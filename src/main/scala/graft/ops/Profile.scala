@@ -158,5 +158,53 @@ object Profile {
       FROM e JOIN stats ON event_type = g
       GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(profileStats, histogram, outliers)
+  /** Referential-integrity audit — the dbt-style constraint checks a
+    * pipeline runs before trusting a snapshot: FK orphan counts
+    * (child keys with no parent — LEFT ANTI, must be zero on sound
+    * data, and a zero PROVEN by the same hash discipline as any other
+    * result), unreferenced-parent counts (dimension rows no fact ever
+    * touches — the reverse ANTI, legitimately non-zero), and key
+    * coverage cardinalities. Every check is an anti-join or a
+    * count-distinct on the key columns only — at 100 TB the scans are
+    * single-column and the joins shuffle keys, not rows. Long metric
+    * format so new constraints append rows, not columns. */
+  val integrityCheck: Q = Q(
+    "q_integrity_check",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val p = t(s, dir, "part").select(col("p_partkey"))
+      val orphanOrders = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v")).select(lit("orders_orphan_custkey").as("metric"), col("v"))
+      val orphanLines = l.join(p, l("l_partkey") === p("p_partkey"), "left_anti")
+        .agg(count(lit(1)).as("v")).select(lit("lineitem_orphan_partkey").as("metric"), col("v"))
+      val orphanLineOrders = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v")).select(lit("lineitem_orphan_orderkey").as("metric"), col("v"))
+      val childlessCust = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v")).select(lit("customers_without_orders").as("metric"), col("v"))
+      val coverage = o.agg(count_distinct(col("o_custkey")).as("v"))
+        .select(lit("orders_distinct_custkeys").as("metric"), col("v"))
+      orphanOrders.unionByName(orphanLines).unionByName(orphanLineOrders)
+        .unionByName(childlessCust).unionByName(coverage)
+        .orderBy("metric")
+    },
+    Some("""
+      SELECT metric, CAST(v AS BIGINT) AS v FROM (
+        SELECT 'orders_orphan_custkey' AS metric, count(*) AS v FROM orders
+          WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        UNION ALL
+        SELECT 'lineitem_orphan_partkey', count(*) FROM lineitem
+          WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem
+          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT 'customers_without_orders', count(*) FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT 'orders_distinct_custkeys', count(DISTINCT o_custkey) FROM orders)
+      ORDER BY metric"""))
+
+  val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck)
 }
