@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt run` as JSON. sbt's
+// default BufferedOutput relays forked output through its logger,
+// prefixing every line with "[info] " / "[error] " — which breaks that
+// parse (BENCH parsed:null rounds 1-5). StdoutOutput inherits the
+// parent's raw streams: program stdout arrives verbatim, unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
