@@ -1,5 +1,9 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -7,70 +11,146 @@ import graft.{Q, Tables}
 /** Multimodal-column plumbing: media payloads as opaque `binary`
   * columns with typed metadata, decoded per-partition in typed Scala.
   *
-  * The container has no image/audio codecs, so the decode /
-  * feature-extract steps are clearly-marked deterministic STUBs
-  * (`fakeDecode`, `sampleFrames`) — what is REAL and tested is the
-  * Spark-side plumbing a 100 TB media pipeline needs: binary column
-  * schema, per-partition batched processing via `mapPartitions` on a
-  * typed Dataset (one decoder init per partition, not per row — the
+  * The codec is REAL: each document row is materialised as a genuine
+  * PNG (encoded with `javax.imageio` — deflate IDAT, full file
+  * format) whose dimensions and gradient colors are pure functions of
+  * `doc_id`, then decoded back with `ImageIO.read` inside
+  * `mapPartitions`. Because the image content is a closed-form
+  * function of the id, the DuckDB oracle recomputes width / height /
+  * pixel checksum in SQL — a hash match proves the bytes really went
+  * through PNG encode → decode → per-pixel inspection, not arithmetic
+  * on payload length.
+  *
+  * The Spark-side shape is what a 100 TB media pipeline needs: binary
+  * column schema, per-partition batched processing via `mapPartitions`
+  * on a typed Dataset (one codec init per partition, not per row — the
   * pattern a JNI codec requires), and explicit output schemas carried
   * by case-class Encoders.
-  *
-  * The stubs are pure arithmetic on the payload bytes, so both
-  * pipelines still have DuckDB oracles — the plumbing is verified
-  * end-to-end even though no real codec runs.
   */
 object Multimodal {
 
+  // ImageIO must not spill its read/write cache to disk temp files on
+  // executors, and must work headless.
+  System.setProperty("java.awt.headless", "true")
+  ImageIO.setUseCache(false)
+
   /** Typed metadata record produced by the decode+resize stage. */
   final case class MediaMeta(
-      doc_id: Long, n_bytes: Long, width: Long, height: Long,
-      resized_w: Long, resized_h: Long, format: String)
+      doc_id: Long, width: Long, height: Long,
+      resized_w: Long, resized_h: Long, pix_sum: Long, format: String)
 
-  /** Sampled-frame record: k evenly-spaced payload probes (stands in
-    * for video frame extraction). */
+  /** Sampled-frame record: per-row pixel sums at 4 evenly-spaced
+    * scanlines of the decoded image (stands in for video frame
+    * extraction — each "frame" is genuinely decoded pixel data). */
   final case class FrameSample(
       doc_id: Long, f0: Long, f1: Long, f2: Long, f3: Long)
 
-  /** STUB decoder — stands in for e.g. an image codec. Deterministic
-    * arithmetic on payload length + first byte; the resize step fits
-    * width to 224 preserving aspect ratio (integer math). Replace
-    * with a real codec binding in production. */
-  def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
-    val n = payload.length.toLong
-    val first = if (payload.isEmpty) 0L else (payload(0) & 0xFFL)
-    val w = 64L + n % 577L
-    val h = 64L + first % 481L
-    val fmt = (n % 3) match {
-      case 0 => "png"
-      case 1 => "jpeg"
-      case _ => "webp"
+  /** Image geometry/color as pure functions of the id — the contract
+    * shared by the synthesiser and the SQL oracle. Dims stay tiny
+    * (8..32) so encode/decode cost is bounded per row. */
+  def widthOf(id: Long): Int  = (8 + id % 25).toInt
+  def heightOf(id: Long): Int = (8 + (id / 7) % 25).toInt
+  def baseR(id: Long): Int    = (id % 224).toInt
+  def baseG(id: Long): Int    = (id * 31 % 224).toInt
+  def baseB(id: Long): Int    = (id * 131 % 256).toInt
+
+  /** Encode a real PNG for the id: gradient r = baseR + x,
+    * g = baseG + y, b = baseB (no channel ever wraps: base ≤ 223,
+    * coord ≤ 31). */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = widthOf(id); val h = heightOf(id)
+    val (r0, g0, b0) = (baseR(id), baseG(id), baseB(id))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((r0 + x) << 16) | ((g0 + y) << 8) | b0)
+        x += 1
+      }
+      y += 1
     }
-    MediaMeta(docId, n, w, h, 224L, math.max(1L, h * 224L / w), fmt)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** STUB frame sampler — probes 4 evenly spaced payload bytes (a
-    * real implementation would decode k frames per video). */
-  def sampleFrames(docId: Long, payload: Array[Byte]): FrameSample = {
-    val n = payload.length
-    def at(i: Int): Long =
-      if (n == 0) 0L else (payload((i * n) / 4) & 0xFFL)
-    FrameSample(docId, at(0), at(1), at(2), at(3))
+  /** Sniff the container format from magic bytes (the only metadata
+    * read without a full decode). */
+  def sniffFormat(payload: Array[Byte]): String =
+    if (payload.length >= 8 &&
+      (payload(0) & 0xFF) == 0x89 && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G') "png"
+    else if (payload.length >= 3 && (payload(0) & 0xFF) == 0xFF &&
+      (payload(1) & 0xFF) == 0xD8) "jpeg"
+    else "unknown"
+
+  /** REAL decode: parse the PNG, checksum every pixel, and resize to
+    * width 224 with a genuine Graphics2D scale (reported dims come
+    * from the resized image object, not arithmetic). */
+  def decodeImage(id: Long, payload: Array[Byte]): MediaMeta = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"undecodable payload for doc $id")
+    val w = img.getWidth; val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val rw = 224
+    val rh = math.max(1, (h.toLong * rw / w).toInt)
+    val resized = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
+    val g2 = resized.createGraphics()
+    try g2.drawImage(img, 0, 0, rw, rh, null) finally g2.dispose()
+    MediaMeta(id, w, h, resized.getWidth.toLong, resized.getHeight.toLong,
+      sum, sniffFormat(payload))
   }
 
-  private def payloads(s: SparkSession, dir: String) =
+  /** REAL frame sampling: decode once, probe 4 evenly-spaced
+    * scanlines, each frame value = that row's pixel sum. */
+  def sampleFrames(id: Long, payload: Array[Byte]): FrameSample = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"undecodable payload for doc $id")
+    val w = img.getWidth; val h = img.getHeight
+    def rowSum(i: Int): Long = {
+      val y = (i * h) / 4
+      var sum = 0L; var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      sum
+    }
+    FrameSample(id, rowSum(0), rowSum(1), rowSum(2), rowSum(3))
+  }
+
+  /** documents → genuine PNG payloads as an opaque binary column.
+    * Encoder state (none needed for ImageIO, but the init point is
+    * where a JNI codec would allocate) is per-partition. */
+  def payloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthPng(id))))
+      .toDF("doc_id", "payload")
+  }
 
-  /** documents.text reinterpreted as a binary media payload →
-    * per-partition decode+resize → typed metadata table. */
+  /** binary media column → per-partition decode+resize → typed
+    * metadata table. */
   def decodePipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     payloads(s, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init point (real codecs allocate here, once)
-        it.map { case (id, payload) => fakeDecode(id, payload) }
+        it.map { case (id, payload) => decodeImage(id, payload) }
       }
       .toDF()
       .orderBy("doc_id")
@@ -86,38 +166,49 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // Closed forms shared by both oracles (DuckDB SQL):
+  //   width  = 8 + doc_id % 25          height = 8 + (doc_id // 7) % 25
+  //   baseR  = doc_id % 224             baseG  = doc_id * 31 % 224
+  //   baseB  = doc_id * 131 % 256
+  //   row y pixel sum = w*baseR + w*(w-1)/2 + w*(baseG + y) + w*baseB
+  //   total pixel sum = h*(w*baseR + w*(w-1)/2)
+  //                   + w*(h*baseG + h*(h-1)/2) + w*h*baseB
+  private val geomCte = """
+      WITH g AS (
+        SELECT doc_id,
+               8 + doc_id % 25 AS w,
+               8 + (doc_id // 7) % 25 AS h,
+               doc_id % 224 AS r0,
+               doc_id * 31 % 224 AS g0,
+               doc_id * 131 % 256 AS b0
+        FROM documents
+      )"""
+
   val decode: Q = Q(
     "q_multimodal_decode",
     (s, dir) => decodePipeline(s, dir),
-    // ascii corpus → octet length == char length; mirror of fakeDecode
-    Some("""
+    Some(geomCte + """
       SELECT doc_id,
-             CAST(n AS BIGINT) AS n_bytes,
              CAST(w AS BIGINT) AS width,
              CAST(h AS BIGINT) AS height,
              CAST(224 AS BIGINT) AS resized_w,
              CAST(greatest(1, (h * 224) // w) AS BIGINT) AS resized_h,
-             CASE CAST(n % 3 AS INT) WHEN 0 THEN 'png'
-                  WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
-      FROM (
-        SELECT doc_id, strlen(text) AS n,
-               64 + strlen(text) % 577 AS w,
-               64 + (CASE WHEN strlen(text) = 0 THEN 0
-                          ELSE ascii(substr(text, 1, 1)) END) % 481 AS h
-        FROM documents
-      ) ORDER BY doc_id"""))
+             CAST(h * (w * r0 + w * (w - 1) // 2)
+                + w * (h * g0 + h * (h - 1) // 2)
+                + w * h * b0 AS BIGINT) AS pix_sum,
+             'png' AS format
+      FROM g ORDER BY doc_id"""))
 
   val frames: Q = Q(
     "q_multimodal_frames",
     (s, dir) => framePipeline(s, dir),
-    Some("""
+    Some(geomCte + """
       SELECT doc_id,
-             CAST(CASE WHEN n = 0 THEN 0 ELSE ascii(substr(text, 1 + (0 * n) // 4, 1)) END AS BIGINT) AS f0,
-             CAST(CASE WHEN n = 0 THEN 0 ELSE ascii(substr(text, 1 + (1 * n) // 4, 1)) END AS BIGINT) AS f1,
-             CAST(CASE WHEN n = 0 THEN 0 ELSE ascii(substr(text, 1 + (2 * n) // 4, 1)) END AS BIGINT) AS f2,
-             CAST(CASE WHEN n = 0 THEN 0 ELSE ascii(substr(text, 1 + (3 * n) // 4, 1)) END AS BIGINT) AS f3
-      FROM (SELECT doc_id, text, strlen(text) AS n FROM documents)
-      ORDER BY doc_id"""))
+             CAST(w * r0 + w * (w - 1) // 2 + w * (g0 + (0 * h) // 4) + w * b0 AS BIGINT) AS f0,
+             CAST(w * r0 + w * (w - 1) // 2 + w * (g0 + (1 * h) // 4) + w * b0 AS BIGINT) AS f1,
+             CAST(w * r0 + w * (w - 1) // 2 + w * (g0 + (2 * h) // 4) + w * b0 AS BIGINT) AS f2,
+             CAST(w * r0 + w * (w - 1) // 2 + w * (g0 + (3 * h) // 4) + w * b0 AS BIGINT) AS f3
+      FROM g ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(decode, frames)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.llm.Multimodal
+import graft.llm.Multimodal.{FrameSample, MediaMeta}
+
+/** Real-codec checks for the multimodal pipelines: the payloads are
+  * genuine PNGs and the metadata comes from `ImageIO.read`, not from
+  * arithmetic on the payload bytes. */
+class MultimodalSpec extends SparkSpec {
+
+  test("M001 synthPng emits a genuine PNG container") {
+    val png = Multimodal.synthPng(42L)
+    // PNG signature \x89PNG\r\n\x1a\n + IHDR chunk
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    assert(new String(png.slice(12, 16), "US-ASCII") == "IHDR")
+    assert(Multimodal.sniffFormat(png) == "png")
+  }
+
+  test("M002 decodeImage recovers exact dims and per-pixel gradient checksum") {
+    for (id <- Seq(0L, 7L, 42L, 223L, 499L)) {
+      val m = Multimodal.decodeImage(id, Multimodal.synthPng(id))
+      val w = Multimodal.widthOf(id).toLong
+      val h = Multimodal.heightOf(id).toLong
+      assert(m.width == w && m.height == h, s"dims for $id")
+      assert(m.resized_w == 224L && m.resized_h == math.max(1L, h * 224L / w))
+      val expectSum = h * (w * Multimodal.baseR(id) + w * (w - 1) / 2) +
+        w * (h * Multimodal.baseG(id) + h * (h - 1) / 2) +
+        w * h * Multimodal.baseB(id)
+      assert(m.pix_sum == expectSum, s"pix_sum for $id")
+      assert(m.format == "png")
+    }
+  }
+
+  test("M003 decodeImage rejects a non-image payload") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(1L, Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("M004 decodePipeline matches the closed form at sf0.001") {
+    val got = Multimodal.decodePipeline(spark, sf001).collect()
+    assert(got.length > 0)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val expect = Multimodal.decodeImage(id, Multimodal.synthPng(id))
+      assert(r.getLong(1) == expect.width && r.getLong(2) == expect.height)
+      assert(r.getLong(5) == expect.pix_sum)
+      assert(r.getString(6) == "png")
+    }
+  }
+
+  test("M005 framePipeline row sums match direct per-row decode") {
+    val got = Multimodal.framePipeline(spark, sf001).collect()
+    assert(got.length > 0)
+    got.take(25).foreach { r =>
+      val id = r.getLong(0)
+      val f = Multimodal.sampleFrames(id, Multimodal.synthPng(id))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((f.f0, f.f1, f.f2, f.f3)))
+    }
+  }
+}
