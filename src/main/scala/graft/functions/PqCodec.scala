@@ -76,6 +76,21 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // Array fields compare by reference under case-class equality, which
+  // would make two identical encodes semantically unequal — breaking
+  // Catalyst canonicalization / common-subexpression reuse. Compare
+  // the codebooks by value instead.
+  override def equals(other: Any): Boolean = other match {
+    case that: PqEncode =>
+      child == that.child && java.util.Arrays.deepEquals(
+        codebooks.asInstanceOf[Array[AnyRef]],
+        that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
 }
 
 object PqEncode {

@@ -10,47 +10,63 @@ import graft.functions.DotProduct
   * scale path next to sign-LSH ([[Similarity.annTopK]]).
   *
   * Production IVF shape: the coarse quantizer (k-means centroids) is
-  * trained driver-side on a bounded SAMPLE — training cost is
-  * independent of corpus size — then shipped as literals into the
-  * plan; cluster assignment and probe-restricted search run fully
-  * distributed. With K clusters and nprobe probes, per-query work
-  * drops from N to ~N·nprobe/K while recall stays high for
-  * cluster-structured data (and, as with any ANN index, degrades
+  * trained by DISTRIBUTED Lloyd's rounds on a bounded deterministic
+  * sample — assignment is a map over the sample, the per-cluster mean
+  * is a groupBy aggregate, and only the k centroids themselves ever
+  * return to the driver (never the sample vectors), so the same code
+  * trains on a 100 TB corpus without a driver bottleneck. Centroids
+  * ship as plan literals; cluster assignment and probe-restricted
+  * search run fully distributed. With K clusters and nprobe probes,
+  * per-query work drops from N to ~N·nprobe/K while recall stays high
+  * for cluster-structured data (and, as with any ANN index, degrades
   * toward random on structureless vectors — see Similarity scaladoc).
   *
   * Determinism: the sample is `orderBy(vec_id).limit(n)`, seeds are
-  * the first K sample points, Lloyd's runs a fixed iteration count —
-  * no RNG, so every run trains identical centroids.
+  * the first K sample points, Lloyd's runs a fixed iteration count,
+  * and each cluster's running sum is folded in ascending `vec_id`
+  * order (`sort_array` + `aggregate`, a sequential left fold), so the
+  * floating-point addition sequence — and therefore every trained
+  * centroid — is bit-identical run to run and bit-identical to a
+  * sequential driver-side loop over the same sample (pinned in
+  * IvfPqTrainingSpec).
   */
 object Ivf {
 
-  /** Driver-side Lloyd's k-means on a deterministic sample. */
+  /** Element-wise mean of grouped vectors, summed in ascending id
+    * order: `aggregate(sort_array(collect_list(struct(id, v))), 0⃗, +)`.
+    * The group is a cluster of the BOUNDED training sample, so
+    * collect_list is capped by sampleN, not the corpus. */
+  private[llm] def orderedMeanAgg(d: Int): Column =
+    aggregate(
+      sort_array(collect_list(struct(col("vec_id").as("id"), col("sv").as("v")))),
+      array_repeat(lit(0.0d), d),
+      (acc, x) => zip_with(acc, x.getField("v"), (a, b) => a + b)).as("s")
+
+  /** Distributed Lloyd's k-means on a deterministic bounded sample. */
   def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 5,
       sampleN: Int = 2000): Array[Array[Double]] = {
-    import emb.sparkSession.implicits._
     val sample = emb.orderBy("vec_id").limit(sampleN)
-      .select("v").as[Array[Double]].collect()
-    var centroids = sample.take(k).map(_.clone())
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
-      val counts = new Array[Long](k)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
-        for (c <- centroids.indices) {
-          var d = 0.0; var i = 0
-          while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-        }
-        counts(best) += 1
-        var i = 0
-        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      .select(col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = sample.select(size(col("v"))).head().getInt(0)
+      // seeds = the first k sample vectors: k rows — the same bounded
+      // driver payload as the k centroids every round ships anyway
+      var centroids: Array[Array[Double]] = sample.orderBy("vec_id").limit(k)
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      for (_ <- 0 until iters) {
+        val next = sample
+          .withColumn("cluster", clusterOf(col("v"), centroids))
+          .withColumn("sv", col("v"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n"), orderedMeanAgg(d))
+          .select(col("cluster"), transform(col("s"), x => x / col("n")).as("mean"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        centroids = centroids.indices.map(c => next.getOrElse(c, centroids(c))).toArray
       }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
-      }.toArray
-    }
-    centroids
+      centroids
+    } finally sample.unpersist()
   }
 
   /** argmin-L2 cluster id for a vector column against literal

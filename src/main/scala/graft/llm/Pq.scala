@@ -18,46 +18,58 @@ import graft.{Q, Tables}
   * (IVF-PQ composes the two: coarse lists from [[Ivf]], residual
   * codes from here).
   *
-  * Training mirrors [[Ivf.trainCentroids]]: driver-side Lloyd's per
-  * subspace on a bounded deterministic sample (cost independent of
-  * corpus size), codebooks shipped as plan literals; encoding and
-  * search run fully distributed.
+  * Training mirrors [[Ivf.trainCentroids]]: DISTRIBUTED Lloyd's on a
+  * bounded deterministic sample — each round assigns every sample
+  * vector to its m sub-codes in one pass ([[graft.functions.PqEncode]]
+  * with the current codebooks), explodes to (subspace, code,
+  * sub-vector), and takes per-cell means with a groupBy aggregate
+  * whose sum folds in ascending `vec_id` order, so codebooks are
+  * bit-identical run to run and to a sequential driver loop (pinned
+  * in IvfPqTrainingSpec). Only the m×k codebook cells return to the
+  * driver — never sample vectors — so training scales to any corpus.
+  * Codebooks ship as plan literals; encoding and search run fully
+  * distributed.
   */
 object Pq {
 
   /** Per-subspace codebooks: m × k × (d/m), trained by deterministic
-    * Lloyd's (sample = first sampleN by vec_id, seeds = first k
-    * sub-vectors, fixed iterations — no RNG). */
+    * distributed Lloyd's (sample = first sampleN by vec_id, seeds =
+    * first k sub-vectors, fixed iterations, ordered folds — no RNG). */
   def trainCodebooks(emb: DataFrame, m: Int = 8, k: Int = 16,
       iters: Int = 5, sampleN: Int = 2000): Array[Array[Array[Double]]] = {
-    import emb.sparkSession.implicits._
     val sample = emb.orderBy("vec_id").limit(sampleN)
-      .select("v").as[Array[Double]].collect()
-    val d = sample.head.length
-    require(d % m == 0, s"dim $d not divisible by m=$m")
-    val sub = d / m
-    Array.tabulate(m) { j =>
-      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
-      var cents = subs.take(k).map(_.clone())
-      for (_ <- 0 until iters) {
-        val sums = Array.fill(k)(new Array[Double](sub))
-        val counts = new Array[Long](k)
-        subs.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          for (c <- cents.indices) {
-            var dist = 0.0; var i = 0
-            while (i < sub) { val t = v(i) - cents(c)(i); dist += t * t; i += 1 }
-            if (dist < bestD) { bestD = dist; best = c }
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < sub) { sums(best)(i) += v(i); i += 1 }
-        }
-        cents = cents.indices.map(c =>
-          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))).toArray
+      .select(col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = sample.select(size(col("v"))).head().getInt(0)
+      require(d % m == 0, s"dim $d not divisible by m=$m")
+      val sub = d / m
+      var cb: Array[Array[Array[Double]]] = {
+        val seeds = sample.orderBy("vec_id").limit(k)
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+        Array.tabulate(m)(j =>
+          seeds.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)))
       }
-      cents
-    }
+      for (_ <- 0 until iters) {
+        // one distributed pass assigns ALL m subspaces (fused encode),
+        // then a single groupBy((subspace, code)) re-centers every
+        // codebook cell; m×k mean rows come back to the driver
+        val next = sample
+          .select(col("vec_id"), col("v"),
+            posexplode(encode(col("v"), cb)))
+          .select(col("vec_id"), col("pos"), col("col").as("code"),
+            slice(col("v"), col("pos") * lit(sub) + lit(1), lit(sub)).as("sv"))
+          .groupBy("pos", "code")
+          .agg(count(lit(1)).as("n"), Ivf.orderedMeanAgg(sub))
+          .select(col("pos"), col("code"),
+            transform(col("s"), x => x / col("n")).as("mean"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+        cb = Array.tabulate(m)(j =>
+          Array.tabulate(k)(c => next.getOrElse((j, c), cb(j)(c))))
+      }
+      cb
+    } finally sample.unpersist()
   }
 
   /** PQ code of a vector column: array of m sub-codes, each the
@@ -132,11 +144,11 @@ object Pq {
       val corpus = emb.repartition(par).unionByName(planted)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val codebooks = trainCodebooks(corpus)
-      // shortlist 50 ≈ 1% of the corpus: rerank cost is queries×50
-      // exact cosines — negligible — while recall becomes limited
-      // only by whether the true neighbor survives 64× compression
-      // into the top-1% of PQ scores
-      val pq = pqTopK(q, corpus, codebooks, k = 5, shortlist = 50)
+      // shortlist 150: rerank cost is queries×150 exact cosines —
+      // negligible — while recall becomes limited only by whether the
+      // true neighbor survives 64× compression into the top PQ scores
+      // (50 left ~18% of true top-5 below the cut on this corpus)
+      val pq = pqTopK(q, corpus, codebooks, k = 5, shortlist = 150)
       val exact = Similarity.exactTopK(q, corpus).select("query_id", "neighbor_id")
       pq.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
         .select("query_id", "rank", "neighbor_id")

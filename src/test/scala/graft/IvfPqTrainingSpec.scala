@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PqEncode
+import graft.llm.{Ivf, Pq}
+
+/** Distributed Lloyd's training must be bit-identical to a sequential
+  * driver-side loop over the same ordered sample: same seeds, same
+  * assignment score (dot − ‖c‖²/2, first-best-wins), per-cluster sums
+  * folded in ascending vec_id order, same mean division. */
+class IvfPqTrainingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf001, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def sampleVecs(n: Int): Array[Array[Double]] =
+    emb.orderBy("vec_id").limit(n).select("v").as[Array[Double]].collect()
+
+  private def bits(a: Array[Double]): Seq[Long] =
+    a.toSeq.map(java.lang.Double.doubleToRawLongBits)
+
+  /** Sequential reference: identical math to the distributed path. */
+  private def refCentroids(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    var cents = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val norms = cents.map(c => c.map(x => x * x).sum / 2)
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        for (c <- cents.indices) {
+          var dot = 0.0; var i = 0
+          while (i < v.length) { dot += v(i) * cents(c)(i); i += 1 }
+          val score = dot - norms(c)
+          if (score > bestScore) { bestScore = score; best = c }
+        }
+        counts(best) += 1
+        var i = 0; while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map(c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))).toArray
+    }
+    cents
+  }
+
+  private def refCodebooks(sample: Array[Array[Double]], m: Int, k: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val d = sample.head.length; val sub = d / m
+    var cb = Array.tabulate(m)(j =>
+      sample.take(k).map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)))
+    for (_ <- 0 until iters) {
+      val norms = cb.map(_.map(c => c.map(x => x * x).sum / 2))
+      val sums = Array.fill(m, k)(new Array[Double](sub))
+      val counts = Array.fill(m, k)(0L)
+      sample.foreach { v =>
+        for (j <- 0 until m) {
+          var best = 0; var bestScore = Double.NegativeInfinity
+          for (c <- 0 until k) {
+            var dot = 0.0; var i = 0
+            while (i < sub) { dot += v(j * sub + i) * cb(j)(c)(i); i += 1 }
+            val score = dot - norms(j)(c)
+            if (score > bestScore) { bestScore = score; best = c }
+          }
+          counts(j)(best) += 1
+          var i = 0; while (i < sub) { sums(j)(best)(i) += v(j * sub + i); i += 1 }
+        }
+      }
+      cb = Array.tabulate(m)(j => Array.tabulate(k)(c =>
+        if (counts(j)(c) == 0) cb(j)(c) else sums(j)(c).map(_ / counts(j)(c))))
+    }
+    cb
+  }
+
+  test("T001 distributed IVF centroids bit-identical to sequential reference") {
+    val got = Ivf.trainCentroids(emb, k = 16, iters = 5, sampleN = 2000)
+    val want = refCentroids(sampleVecs(2000), k = 16, iters = 5)
+    assert(got.length == want.length)
+    for (c <- got.indices)
+      assert(bits(got(c)) == bits(want(c)), s"centroid $c differs")
+  }
+
+  test("T002 distributed PQ codebooks bit-identical to sequential reference") {
+    val got = Pq.trainCodebooks(emb, m = 8, k = 16, iters = 5, sampleN = 2000)
+    val want = refCodebooks(sampleVecs(2000), m = 8, k = 16, iters = 5)
+    for (j <- got.indices; c <- got(j).indices)
+      assert(bits(got(j)(c)) == bits(want(j)(c)), s"cell ($j,$c) differs")
+  }
+
+  test("T003 PqEncode compares by codebook value, not array reference") {
+    val cbA = Array.tabulate(2, 4, 8)((j, c, i) => j * 32 + c * 8 + i * 0.5)
+    val cbB = Array.tabulate(2, 4, 8)((j, c, i) => j * 32 + c * 8 + i * 0.5)
+    val child = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(Seq.tabulate(16)(_.toDouble),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val a = PqEncode(child, cbA)
+    val b = PqEncode(child, cbB)
+    assert(a == b, "deep-equal codebooks must make expressions equal")
+    assert(a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    val c2 = PqEncode(child, cbA.map(_.map(_.map(_ + 1.0))))
+    assert(a != c2)
+  }
+}
