@@ -141,9 +141,12 @@ object Events {
         .agg(min(col("ts")).as("p_ts"), min(col("cv_ts")).as("pv_ts"))
       val nv = v.agg(count(lit(1)).as("n_view"))
       val nc = c.agg(count(lit(1)).as("n_click_after_view"))
+      // coalesce: an empty final stage must read 0 converted seconds,
+      // not NULL, so batch / streaming / oracle agree on zero-funnel
+      // corpora (sum over no rows is NULL)
       val np = p.agg(count(lit(1)).as("n_full_funnel"),
-        sum(unix_timestamp(col("p_ts")) - unix_timestamp(col("pv_ts")))
-          .as("total_convert_secs"))
+        coalesce(sum(unix_timestamp(col("p_ts")) - unix_timestamp(col("pv_ts"))),
+          lit(0L)).as("total_convert_secs"))
       nv.crossJoin(broadcast(nc)).crossJoin(broadcast(np))
     },
     Some("""
@@ -163,7 +166,7 @@ object Events {
       SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
              (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after_view,
              (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel,
-             (SELECT CAST(sum(date_diff('second', pv_ts, p_ts)) AS BIGINT) FROM p)
+             COALESCE((SELECT CAST(sum(date_diff('second', pv_ts, p_ts)) AS BIGINT) FROM p), 0)
                AS total_convert_secs"""))
 
   /** Cohort retention: users bucketed by first-seen week, counted in

@@ -430,10 +430,14 @@ object EventStream {
         .groupBy("user_id")
         .agg(max_by(struct(col("has_v"), col("has_c"), col("has_p"), col("secs")),
           col("n_seen")).as("last"))
-        .agg(sum(when(col("last.has_v"), 1L).otherwise(0L)).as("n_view"),
-          sum(when(col("last.has_c"), 1L).otherwise(0L)).as("n_click_after_view"),
-          sum(when(col("last.has_p"), 1L).otherwise(0L)).as("n_full_funnel"),
-          sum(when(col("last.has_p"), col("last.secs")).otherwise(0L))
+        // coalesce: on a corpus with no funnel events at all the sink
+        // has zero users and ungrouped sums go NULL — the oracle's
+        // counts read 0, so emit 0 here too (matches the batch
+        // q_funnel coalesce on total_convert_secs)
+        .agg(coalesce(sum(when(col("last.has_v"), 1L).otherwise(0L)), lit(0L)).as("n_view"),
+          coalesce(sum(when(col("last.has_c"), 1L).otherwise(0L)), lit(0L)).as("n_click_after_view"),
+          coalesce(sum(when(col("last.has_p"), 1L).otherwise(0L)), lit(0L)).as("n_full_funnel"),
+          coalesce(sum(when(col("last.has_p"), col("last.secs")).otherwise(0L)), lit(0L))
             .as("total_convert_secs"))
     },
     graft.llm.Events.funnel.oracle)

@@ -163,4 +163,25 @@ class StreamingSpec extends SparkSpec {
     // is lost (7 reaches its all-data total of 3)
     assert(p2 == Map(7L -> 3L, 8L -> 2L, 9L -> 1L))
   }
+
+  test("funnel on a zero-completion corpus: streaming == batch, sums 0 not NULL") {
+    // views + one valid click, ZERO purchases: the final funnel stage
+    // is empty, so an uncoalesced SUM would diverge (NULL on the
+    // scalar-subquery oracle side, 0 on the streaming side)
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_fix").toString
+    val rows = Seq(
+      (1L, ts("2024-03-01 00:00:00"), 10L, "view", 1.0, "{}"),
+      (2L, ts("2024-03-01 00:30:00"), 10L, "click", 1.0, "{}"),
+      (3L, ts("2024-03-01 00:05:00"), 11L, "view", 1.0, "{}"),
+      // click BEFORE user 12's only view: not a click-after-view
+      (4L, ts("2024-03-01 00:01:00"), 12L, "click", 1.0, "{}"),
+      (5L, ts("2024-03-01 00:02:00"), 12L, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.llm.Events.funnel.fn(spark, dir).head()
+    val streamed = EventStream.streamFunnel.fn(spark, dir).head()
+    assert(batch.toSeq == streamed.toSeq)
+    // n_view, n_click_after_view, n_full_funnel, total_convert_secs
+    assert(batch.toSeq == Seq(3L, 1L, 0L, 0L))
+  }
 }
