@@ -29,6 +29,16 @@ object Tables {
   }
 }
 
+/** Per-application staging paths: every scratch directory an operator
+  * writes carries the applicationId, so two harness runs on the same
+  * machine can never clobber each other's staging (each Spark app has
+  * a unique id; within one app, reuse across queries is intended —
+  * overwrite mode refreshes the content). */
+object Staging {
+  def dir(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${name}_${s.sparkContext.applicationId}"
+}
+
 /** One registered query: Spark builder + optional DuckDB oracle SQL.
   *
   * Determinism contract (SURVEY.md §5): pinned as-of dates (never

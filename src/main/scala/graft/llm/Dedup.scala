@@ -355,21 +355,29 @@ object Dedup {
     // rounds are pure task-scheduling overhead (~40% of the query's
     // wall-clock). One partition per 64k vertices, floor 4 — the
     // same rule yields thousands of partitions at billion-vertex
-    // scale, where it matters. The conf is restored after the loop
-    // (the iteration's joins/aggregates read it at plan time).
-    val spark = edges.sparkSession
+    // scale, where it matters. The override lives in a CLONED session
+    // (same SparkContext, private SQLConf) so concurrent queries on
+    // the caller's session never plan under the wrong parallelism;
+    // the iterated frames are rebound into the clone via their RDDs
+    // (already materialized — every round localCheckpoints anyway)
+    // and the result is rebound to the caller's session on the way
+    // out.
+    val origin = edges.sparkSession
     val nV = vertices.count()
     val iterPar = math.max(4L, nV / 65536L).toString
-    val savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val spark = origin.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", iterPar)
-    try {
+    def rebind(s: SparkSession, df: DataFrame): DataFrame =
+      s.createDataFrame(df.rdd, df.schema)
     // materialize the (possibly expensive) edge derivation ONCE —
     // every round joins this frame, and without the checkpoint each
-    // round would recompute the whole upstream edge plan
-    val und = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // round would recompute the whole upstream edge plan (the
+    // derivation itself still plans under the caller's session)
+    val und = rebind(spark, edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
       .localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
+    var labels = rebind(spark, vertices.select(col("id")))
+      .select(col("id"), col("id").as("label")).localCheckpoint()
     // convergence via the monotone invariant: labels only ever
     // decrease, so the propagation has fixpointed iff Σlabels is
     // unchanged — one scalar aggregate per round instead of a
@@ -407,8 +415,7 @@ object Dedup {
       curSum = labels.agg(sum(col("label"))).head().getLong(0)
       i += 1
     }
-    labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+    rebind(origin, labels)
   }
 
   /** Driver-visible clustering query: consecutive-id word-Jaccard

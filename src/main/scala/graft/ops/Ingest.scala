@@ -209,7 +209,7 @@ object Ingest {
   val badRecords: Q = Q(
     "q_bad_records",
     (s, _dir) => {
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_bad_records"
+      val stage = graft.Staging.dir(s, "graft_bad_records")
       graft.Tables.load(s, _dir, "customer")
         .select("c_custkey", "c_mktsegment", "c_acctbal")
         .write.mode("overwrite").json(stage)

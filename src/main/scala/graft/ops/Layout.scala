@@ -42,7 +42,7 @@ object Layout {
   val zorderLayout: Q = Q(
     "q_zorder_layout",
     (s: SparkSession, dir: String) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lineitem_zorder"
+      val out = graft.Staging.dir(s, "graft_lineitem_zorder")
       // suppkey's domain is ~20× narrower than partkey's — scale it up
       // so both dimensions contribute comparable bit positions to the
       // Morton value (raw widths would let partkey's high bits dominate
@@ -79,8 +79,14 @@ object Layout {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val src = spark.read.parquet(inPath)
-    val bytes = src.inputFiles
-      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    // size via the Hadoop FileSystem API, not java.io.File — the
+    // input may live on any scheme (s3a://, hdfs://, file:), and the
+    // FS object is resolved per URI (Hadoop caches instances)
+    val hconf = spark.sessionState.newHadoopConf()
+    val bytes = src.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     src.repartition(nOut).write.mode("overwrite").parquet(outPath)
     nOut
@@ -93,9 +99,8 @@ object Layout {
   val compactFiles: Q = Q(
     "q_compact_files",
     (s: SparkSession, dir: String) => {
-      val tmp = System.getProperty("java.io.tmpdir")
-      val fragged = s"$tmp/graft_events_fragmented"
-      val compacted = s"$tmp/graft_events_compacted"
+      val fragged = graft.Staging.dir(s, "graft_events_fragmented")
+      val compacted = graft.Staging.dir(s, "graft_events_compacted")
       Tables.load(s, dir, "events")
         .select("event_id", "event_type", "value")
         .repartition(64)

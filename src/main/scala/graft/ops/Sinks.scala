@@ -85,7 +85,7 @@ object Sinks {
   val partitionPruned: Q = Q(
     "q_partition_pruned",
     (s: SparkSession, dir: String) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_events_by_date"
+      val out = graft.Staging.dir(s, "graft_events_by_date")
       val ev = Tables.load(s, dir, "events")
         .withColumn("event_date", to_date(col("ts")))
       partitionedParquet(ev.repartition(col("event_date")), out, "event_date")
@@ -139,7 +139,7 @@ object Sinks {
   val orcRoundTrip: Q = Q(
     "q_orc_roundtrip",
     (s: SparkSession, dir: String) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_supplier_orc"
+      val out = graft.Staging.dir(s, "graft_supplier_orc")
       Tables.load(s, dir, "supplier").write.mode("overwrite").orc(out)
       s.read.orc(out)
         .filter(col("s_acctbal") > 0)
@@ -165,7 +165,7 @@ object Sinks {
   val csvRoundTrip: Q = Q(
     "q_csv_roundtrip",
     (s: SparkSession, dir: String) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_csv"
+      val out = graft.Staging.dir(s, "graft_part_csv")
       Tables.load(s, dir, "part").write.mode("overwrite")
         .option("header", "true").csv(out)
       s.read.schema(
@@ -192,7 +192,7 @@ object Sinks {
   val jsonRoundTrip: Q = Q(
     "q_json_roundtrip",
     (s: SparkSession, dir: String) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_customer_json"
+      val out = graft.Staging.dir(s, "graft_customer_json")
       Tables.load(s, dir, "customer").write.mode("overwrite").json(out)
       s.read.schema(
           "c_custkey BIGINT, c_name STRING, c_nationkey INT, " +

@@ -24,21 +24,31 @@ import graft.{Q, Tables}
   */
 object EventStream {
 
-  /** Run `body` (a streaming-query start) under a narrowed
-    * state-partition count, restoring the session default after.
-    * Stateful operators fix their state-store partition count from
+  /** A cloned session (same SparkContext, private SQLConf) with a
+    * narrowed state-partition count for one streaming run. Stateful
+    * operators fix their state-store partition count from
     * `spark.sql.shuffle.partitions` at query START, and every store
     * partition pays a snapshot/commit per micro-batch — at the
     * harness's stream volumes the 32-partition default is pure
     * bookkeeping (measured 2-4× of some queries' wall-clock). On a
     * real deployment this is the knob sized to stream volume,
-    * independently of the batch default. */
-  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
-      n: Int)(body: => T): T = {
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    * independently of the batch default. Scoping it to a clone keeps
+    * the caller's session conf untouched (concurrent queries keep
+    * their parallelism) and gives each run its own
+    * StreamingQueryManager + catalog, so memory-sink names can't
+    * collide across overlapping runs. */
+  private def narrowedSession(s: org.apache.spark.sql.SparkSession,
+      n: Int): org.apache.spark.sql.SparkSession = {
+    val local = s.newSession()
+    local.conf.set("spark.sql.shuffle.partitions", n.toString)
+    local
   }
+
+  /** Per-application staging dir for a streaming source: the file
+    * stream source lists directories, so the harness table is staged
+    * once per run ([[graft.Staging]] isolates concurrent runs). */
+  private def stagePath(s: org.apache.spark.sql.SparkSession, name: String): String =
+    graft.Staging.dir(s, name)
 
   /** Streaming twin of q_time_window (hourly tumbling window ×
     * event_type), late data admitted up to 2 hours. */
@@ -117,19 +127,18 @@ object EventStream {
       // and writing the full events table tripled the staging cost
       val ev = Tables.load(s, dir, "events")
         .select("ts", "event_type", "value")
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
+      val stage = stagePath(s, "graft_stream_events")
       ev.write.mode("overwrite").parquet(stage)
-      val stream = s.readStream.schema(ev.schema).parquet(stage)
+      val local = narrowedSession(s, 4)
+      val stream = local.readStream.schema(ev.schema).parquet(stage)
       val sink = "graft_stream_window"
-      val sq = withStatePartitions(s, 4) {
-        hourlyCounts(stream)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(OutputMode.Complete)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      }
+      val sq = hourlyCounts(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
       sq.awaitTermination()
-      s.table(sink).orderBy("window_start", "event_type")
+      local.table(sink).orderBy("window_start", "event_type")
     },
     Some("""
       SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -157,19 +166,18 @@ object EventStream {
     (s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .select("event_id", "ts", "event_type")
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup"
+      val stage = stagePath(s, "graft_stream_dedup")
       ev.unionAll(ev).write.mode("overwrite").parquet(stage)
-      val stream = s.readStream.schema(ev.schema).parquet(stage)
+      val local = narrowedSession(s, 4)
+      val stream = local.readStream.schema(ev.schema).parquet(stage)
       val sink = "graft_stream_dedup_sink"
-      val sq = withStatePartitions(s, 4) {
-        dedupEvents(stream)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(OutputMode.Append)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      }
+      val sq = dedupEvents(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
       sq.awaitTermination()
-      s.table(sink)
+      local.table(sink)
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),
           countDistinct(col("event_id")).as("n_ids"))
@@ -198,25 +206,24 @@ object EventStream {
     "q_stream_sessions",
     (s, dir) => {
       val ev = Tables.load(s, dir, "events").select("ts", "user_id")
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sessions"
+      val stage = stagePath(s, "graft_stream_sessions")
       ev.write.mode("overwrite").parquet(stage)
-      val stream = s.readStream.schema(ev.schema).parquet(stage)
+      val local = narrowedSession(s, 4)
+      val stream = local.readStream.schema(ev.schema).parquet(stage)
       val sink = "graft_stream_sessions_sink"
-      val sq = withStatePartitions(s, 4) {
-        stream
-          .withWatermark("ts", "2 hours")
-          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(col("session_window.start").as("session_start"),
-            col("session_window.end").as("session_end"),
-            col("user_id"), col("n_events"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(OutputMode.Complete)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      }
+      val sq = stream
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
       sq.awaitTermination()
-      s.table(sink).orderBy("user_id", "session_start")
+      local.table(sink).orderBy("user_id", "session_start")
     },
     Some("""
       SELECT min(ts) AS session_start,
@@ -257,9 +264,10 @@ object EventStream {
     (s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .select("event_id", "ts", "user_id", "event_type")
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join"
+      val stage = stagePath(s, "graft_stream_join")
       ev.write.mode("overwrite").parquet(stage)
-      def src() = s.readStream.schema(ev.schema).parquet(stage)
+      val local = narrowedSession(s, 4)
+      def src() = local.readStream.schema(ev.schema).parquet(stage)
       val clicks = src().filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
@@ -271,22 +279,20 @@ object EventStream {
       val sink = "graft_stream_join_sink"
       // A stream-stream join keeps FOUR state stores per shuffle
       // partition (keyToNumValues + keyWithIndexToValue per side) —
-      // the heaviest case of the [[withStatePartitions]] rationale
+      // the heaviest case of the [[narrowedSession]] rationale
       // (~9s of pure store-commit bookkeeping measured at 32).
-      val sq = withStatePartitions(s, 4) {
-        clicks.join(purchases,
-            col("user_id") === col("p_user") &&
-              col("purchase_ts") >= col("click_ts") &&
-              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-          .select(col("click_id"), col("purchase_id"), col("user_id"),
-            col("click_ts"), col("purchase_ts"))
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(OutputMode.Append)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      }
+      val sq = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
       sq.awaitTermination()
-      s.table(sink).orderBy("click_id", "purchase_id")
+      local.table(sink).orderBy("click_id", "purchase_id")
     },
     Some("""
       SELECT a.event_id AS click_id, b.event_id AS purchase_id,
@@ -312,21 +318,20 @@ object EventStream {
     (s, dir) => {
       import s.implicits._
       val ev = Tables.load(s, dir, "events").select("user_id", "ts")
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_state"
+      val stage = stagePath(s, "graft_stream_state")
       ev.write.mode("overwrite").parquet(stage)
-      val stream = s.readStream.schema(ev.schema).parquet(stage)
+      val local = narrowedSession(s, 4)
+      val stream = local.readStream.schema(ev.schema).parquet(stage)
         .as[(Long, java.sql.Timestamp)]
       val sink = "graft_stream_state_sink"
-      val sq = withStatePartitions(s, 4) {
-        runningUserCounts(stream)
-          .toDF("user_id", "events_so_far")
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(OutputMode.Update)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      }
+      val sq = runningUserCounts(stream)
+        .toDF("user_id", "events_so_far")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
       sq.awaitTermination()
-      s.table(sink)
+      local.table(sink)
         .groupBy("user_id")
         .agg(max(col("events_so_far")).as("n_events"))
         .orderBy("user_id")
@@ -412,21 +417,20 @@ object EventStream {
       val ev = Tables.load(s, dir, "events")
         .filter(col("event_type").isin("view", "click", "purchase"))
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_funnel"
+      val stage = stagePath(s, "graft_stream_funnel")
       ev.write.mode("overwrite").parquet(stage)
-      val stream = s.readStream.schema(ev.schema).parquet(stage)
+      val local = narrowedSession(s, 4)
+      val stream = local.readStream.schema(ev.schema).parquet(stage)
         .as[(Long, String, Long)]
       val sink = "graft_stream_funnel_sink"
-      val sq = withStatePartitions(s, 4) {
-        funnelStates(stream)
-          .toDF("user_id", "n_seen", "has_v", "has_c", "has_p", "secs")
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(OutputMode.Update)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      }
+      val sq = funnelStates(stream)
+        .toDF("user_id", "n_seen", "has_v", "has_c", "has_p", "secs")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
       sq.awaitTermination()
-      s.table(sink)
+      local.table(sink)
         .groupBy("user_id")
         .agg(max_by(struct(col("has_v"), col("has_c"), col("has_p"), col("secs")),
           col("n_seen")).as("last"))

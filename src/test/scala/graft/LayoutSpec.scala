@@ -88,4 +88,18 @@ class LayoutSpec extends SparkSpec {
       .head()
     assert(a == b, s"content changed: $a vs $b")
   }
+
+  test("compaction sizing is scheme-independent (explicit file:// URI input)") {
+    // java.io.File(URI) chokes on authority-qualified URIs; the
+    // Hadoop FileSystem path must size any scheme the reader accepts
+    val tmp = System.getProperty("java.io.tmpdir")
+    val fragged = s"file://$tmp/graft_spec_fragged_uri"
+    val compacted = s"$tmp/graft_spec_compacted_uri"
+    Tables.load(spark, sf001, "events").select("event_id", "value")
+      .repartition(8).write.mode("overwrite").parquet(fragged)
+    val nOut = ops.Layout.compact(spark, fragged, compacted)
+    assert(nOut == 1)
+    assert(spark.read.parquet(compacted).count() ==
+      Tables.load(spark, sf001, "events").count())
+  }
 }
