@@ -22,20 +22,33 @@ import graft.ops.Ingest
   * reference's serial `offset += limit` loop), with `limit`-sized
   * pages and a `max_records` truncation cap.
   *
-  * The reference fetches `api.sam.gov` over HTTP; this harness build
-  * has zero egress, so the page payload comes from either the
-  * embedded SAM fixture ([[Ingest.fixture]], default) or — via the
-  * `path` option — a JSON-lines file, so multi-partition paging is
-  * exercised with real volume, not just the 9-row fixture. Either
-  * transport is a function of (pageIndex, pageSize) exactly like an
-  * HTTP pager, and swapping in a real HTTP fetch changes only
-  * [[PagePartitionReader.pageRecords]]. Schema is the explicit SAM
-  * StructType (no inference — SURVEY.md §1 makes the implicit
-  * reference schema explicit).
+  * Three transports, selected by option:
+  *
+  *  - default: the embedded SAM fixture ([[Ingest.fixture]]);
+  *  - `path`: a JSON-lines file, so multi-partition paging is
+  *    exercised with real volume (one InputPartition per page, byte
+  *    offsets precomputed at planning);
+  *  - `url`: REAL HTTP with the reference's exact pager semantics
+  *    (reference `lambda_function.py:29-54`): serial `offset += limit`
+  *    loop, `timeout_ms` connect/read timeout (default 10 000 ms,
+  *    `:40` — a timeout PROPAGATES and fails the read, like the
+  *    reference's uncaught requests exception), a non-200 response
+  *    stops the loop KEEPING the records fetched so far (`:41-43`),
+  *    and the loop ends on a short page or at `max_records`
+  *    (`:49,54`). Offset-paged HTTP APIs are inherently serial (page
+  *    N+1's existence is only known after page N), so the url
+  *    transport is ONE InputPartition per pager; at scale,
+  *    parallelism comes from running many pagers — one per predicate
+  *    shard (date range / keyword), the standard pattern for such
+  *    APIs — not from splitting one offset sequence.
+  *
+  * Schema is the explicit SAM StructType (no inference — SURVEY.md §1
+  * makes the implicit reference schema explicit).
   *
   * Usage: spark.read.format("graft.sources.PagedJsonSource")
   *   .option("page_size", 3).option("max_records", 500)
   *   .option("path", "/path/records.jsonl")   // optional
+  *   .option("url", "http://host/search")     // optional (wins over path)
   *   .load()
   */
 class PagedJsonSource extends TableProvider {
@@ -61,6 +74,9 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
       private val pageSize = options.getInt("page_size", 100)
       private val maxRecords = options.getInt("max_records", 500)
       private val path = Option(options.get("path"))
+      private val url = Option(options.get("url"))
+      // reference timeout=10 s (lambda_function.py:40)
+      private val timeoutMs = options.getInt("timeout_ms", 10000)
 
       override def build(): Scan = this
       override def readSchema(): StructType = schema0
@@ -77,6 +93,10 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
         * parses every preceding line, making total work O(pages ×
         * file) instead of O(file). */
       override def planInputPartitions(): Array[InputPartition] = {
+        // HTTP: one serial pager (see class scaladoc — offset paging
+        // cannot be split; shard the QUERY, not the offsets)
+        if (url.isDefined)
+          return Array(HttpPagerPartition(url.get, pageSize, maxRecords, timeoutMs))
         val (available, offsets): (Int, Array[Long]) = path match {
           case Some(p) =>
             val in = new java.io.BufferedInputStream(
@@ -118,11 +138,87 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
 final class PagedReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PagePartitionReader(partition.asInstanceOf[PagePartition], schema)
+    partition match {
+      case hp: HttpPagerPartition => new HttpPagerReader(hp, schema)
+      case pp: PagePartition => new PagePartitionReader(pp, schema)
+    }
 }
 
 final case class PagePartition(page: Int, pageSize: Int, total: Int,
     path: Option[String], startByte: Long) extends InputPartition
+
+final case class HttpPagerPartition(url: String, pageSize: Int,
+    maxRecords: Int, timeoutMs: Int) extends InputPartition
+
+/** Converts one SAM JSON record node into an InternalRow against the
+  * explicit schema (strings + one nested struct). Missing keys and
+  * JSON nulls both surface as SQL NULL — the documented deviation
+  * from CPython's dict.get-default (see [[Ingest]] scaladoc). */
+private[sources] object SamRowParser {
+  private def utf8(n: JsonNode, field: String): AnyRef = {
+    val v = n.get(field)
+    if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
+  }
+
+  def toRow(n: JsonNode, schema: StructType): InternalRow = {
+    val values: Array[Any] = schema.fields.map[Any] {
+      case StructField(name, StringType, _, _) => utf8(n, name)
+      case StructField(name, st: StructType, _, _) =>
+        val sub = n.get(name)
+        if (sub == null || sub.isNull) null
+        else new GenericInternalRow(st.fields.map[Any](f => utf8(sub, f.name)))
+      case f => throw new IllegalArgumentException(s"unsupported field $f")
+    }
+    new GenericInternalRow(values)
+  }
+}
+
+/** The reference's fetch loop over a live socket (`lambda_function
+  * .py:29-54`): GET `url?limit=&offset=`, parse `opportunitiesData`,
+  * stop on short page / `maxRecords`; non-200 ends the loop keeping
+  * everything already fetched; a connect/read timeout propagates and
+  * fails the task (the reference's `timeout=10` is uncaught). Pages
+  * are fetched lazily — one page buffered at a time, `maxRecords`
+  * bounds memory. */
+final class HttpPagerReader(p: HttpPagerPartition, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private var emitted = 0
+  private var offset = 0
+  private var done = false
+  private var buf: Iterator[JsonNode] = Iterator.empty
+  private var current: InternalRow = _
+
+  private def fetchPage(): Unit = {
+    val sep = if (p.url.contains("?")) "&" else "?"
+    val conn = java.net.URI.create(s"${p.url}${sep}limit=${p.pageSize}&offset=$offset")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(p.timeoutMs)
+    conn.setReadTimeout(p.timeoutMs)
+    try {
+      if (conn.getResponseCode != 200) { done = true; return } // keep partial (:41-43)
+      val body = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val arr = mapper.readTree(body).path("opportunitiesData")
+      val n = if (arr.isArray) arr.size() else 0
+      if (n < p.pageSize) done = true                          // short page (:49)
+      offset += p.pageSize
+      buf = (0 until n).iterator.map(arr.get)
+    } finally conn.disconnect()
+  }
+
+  override def next(): Boolean = {
+    if (emitted >= p.maxRecords) return false                  // cap (:49,54)
+    while (!buf.hasNext && !done) fetchPage()
+    if (buf.hasNext) {
+      current = SamRowParser.toRow(buf.next(), schema); emitted += 1; true
+    } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
 
 /** Parses one page of JSON records into InternalRows against the
   * explicit schema (strings + one nested struct). Missing keys and
@@ -159,26 +255,10 @@ final class PagePartitionReader(p: PagePartition, schema: StructType)
   private val it = pageRecords.iterator
   private var current: InternalRow = _
 
-  private def utf8(n: JsonNode, field: String): AnyRef = {
-    val v = n.get(field)
-    if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
-  }
-
-  private def toRow(json: String): InternalRow = {
-    val n = mapper.readTree(json)
-    val values: Array[Any] = schema.fields.map[Any] {
-      case StructField(name, StringType, _, _) => utf8(n, name)
-      case StructField(name, st: StructType, _, _) =>
-        val sub = n.get(name)
-        if (sub == null || sub.isNull) null
-        else new GenericInternalRow(st.fields.map[Any](f => utf8(sub, f.name)))
-      case f => throw new IllegalArgumentException(s"unsupported field $f")
-    }
-    new GenericInternalRow(values)
-  }
-
   override def next(): Boolean =
-    if (it.hasNext) { current = toRow(it.next()); true } else false
+    if (it.hasNext) {
+      current = SamRowParser.toRow(mapper.readTree(it.next()), schema); true
+    } else false
 
   override def get(): InternalRow = current
   override def close(): Unit = ()

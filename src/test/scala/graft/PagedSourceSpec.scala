@@ -66,6 +66,82 @@ class PagedSourceSpec extends SparkSpec {
     } finally java.nio.file.Files.delete(f)
   }
 
+  // ---- real-HTTP transport: the reference's pager over a live socket ----
+
+  /** In-process HTTP server answering GET ?limit=&offset= with SAM
+    * pages drawn from `records`, via per-offset behavior overrides. */
+  private def withServer(records: Seq[String],
+      behavior: Int => Option[com.sun.net.httpserver.HttpExchange => Unit])(
+      body: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/search", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+      val limit = params("limit").toInt
+      val offset = params("offset").toInt
+      behavior(offset) match {
+        case Some(custom) => custom(ex)
+        case None =>
+          val page = records.slice(offset, offset + limit)
+          val payload = s"""{"totalRecords":${records.size},"opportunitiesData":[${page.mkString(",")}]}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, payload.length)
+          ex.getResponseBody.write(payload)
+          ex.close()
+      }
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/search")
+    finally server.stop(0)
+  }
+
+  private def httpRead(url: String, pageSize: Int = 4,
+      maxRecords: Int = 500, timeoutMs: Int = 10000) =
+    spark.read.format("graft.sources.PagedJsonSource")
+      .option("page_size", pageSize).option("max_records", maxRecords)
+      .option("timeout_ms", timeoutMs).option("url", url).load()
+
+  test("HTTP happy path: serial offset pager drains all pages (reference :29-54)") {
+    withServer(Ingest.fixture, _ => None) { url =>
+      val rows = httpRead(url, pageSize = 4).collect()
+      assert(rows.length == Ingest.fixture.size) // 4+4+1: short page ends loop
+      val direct = read(100, 500).collect()
+      assert(rows.map(_.toString).sorted.toSeq == direct.map(_.toString).sorted.toSeq,
+        "HTTP transport must parse identically to the fixture transport")
+      // max_records cap applies to the HTTP pager too (:54)
+      assert(httpRead(url, pageSize = 4, maxRecords = 5).count() == 5)
+    }
+  }
+
+  test("HTTP mid-pagination 500: partial results kept, read succeeds (reference :41-43)") {
+    withServer(Ingest.fixture, offset =>
+      if (offset == 4) Some { ex =>
+        ex.sendResponseHeaders(500, -1); ex.close()
+      } else None) { url =>
+      val rows = httpRead(url, pageSize = 4).collect()
+      assert(rows.length == 4, s"expected the pre-failure prefix, got ${rows.length}")
+      assert(rows.map(_.getString(0)).toSet == Set("N001", "N002", "N003", "N004"))
+    }
+  }
+
+  test("HTTP timeout propagates and fails the read (reference :40)") {
+    withServer(Ingest.fixture, offset =>
+      if (offset == 0) Some { ex =>
+        Thread.sleep(3000)
+        ex.sendResponseHeaders(200, -1); ex.close()
+      } else None) { url =>
+      val e = intercept[Exception] { httpRead(url, timeoutMs = 250).collect() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[java.net.SocketTimeoutException]),
+        s"expected SocketTimeoutException in cause chain, got $e")
+    }
+  }
+
   test("source -> transform chain == from_json pipeline output") {
     val viaSource = SparkEntry.queries("q_rest_ingest")(spark, "")
       .collect().map(_.toSeq).toSeq
