@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Sparse text retrieval — BM25 scoring over the documents corpus.
+  *
+  * The retrieval counterpart to the dense paths ([[Similarity]] /
+  * [[Ivf]] / [[Pq]]): a training-data pipeline uses BM25 both for
+  * corpus search and as the lexical side of hybrid retrieval /
+  * hard-negative mining. Everything is declarative DataFrame ops, so
+  * the whole pipeline is one Catalyst plan.
+  *
+  * Scale shape: the per-(doc, term) frame is corpus-sized, so the
+  * FIRST operation against it is a broadcast semi-join with the query
+  * terms — document-frequency and score work touch only matching
+  * postings after that. Doc-length and postings join co-partition on
+  * doc_id; the final top-k is a per-query window over scored docs.
+  *
+  * Determinism: per-term BM25 contributions are rounded to integer
+  * MICRO units before the per-doc sum (the [[TextStats]] micro-nats
+  * trick), so cross-engine float summation order cannot perturb the
+  * hash; ties in the top-k break on doc_id.
+  */
+object Retrieval {
+
+  // BM25 free parameters (the standard Robertson defaults, k1=1.2
+  // b=0.75) appear as the same decimal literals here and in the
+  // oracle SQL: both engines parse them to identical doubles, whereas
+  // a computed k1+1 can land 1 ulp away from a parsed 2.2 (the sum
+  // falls exactly on a rounding boundary).
+
+  /** Fixed query workload: common terms exercise low-idf scoring,
+    * 'dup' (df≈5% of docs) exercises the rare-term path. */
+  val queryList: Seq[(Int, String)] = Seq(
+    0 -> "hash join table",
+    1 -> "scan filter query dup",
+    2 -> "stream window batch")
+
+  /** (doc_id, tok) postings: whitespace tokens of trimmed text,
+    * empty tokens dropped (empty docs contribute no postings). */
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** BM25 top-k per query: score = Σ_terms idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)), idf = ln(1 + (N−df+½)/(df+½)). */
+  def bm25TopK(s: SparkSession, docs: DataFrame, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val post = postings(docs)
+    val tf = post.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = post.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val qterms = queryList.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("tok"))
+    // prune the corpus-sized postings to query terms FIRST (broadcast
+    // semi-join), then everything downstream is query-sized
+    val matched = tf.join(broadcast(qterms), Seq("tok"))
+    val df_ = matched.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val scored = matched
+      .join(broadcast(df_), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("m", round(
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") * col("n") / col("s"))) *
+          lit(1000000.0), 0).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("m")).as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_micro")
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25: Q = Q(
+    "q_bm25_topk",
+    (s, dir) => bm25TopK(s, Tables.load(s, dir, "documents")),
+    Some("""
+      WITH post AS (
+        SELECT doc_id, t AS tok
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+              FROM documents)
+        WHERE t <> ''),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM post GROUP BY doc_id, tok),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM post GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl),
+      q AS (
+        SELECT 0 AS query_id, unnest(['hash','join','table']) AS tok
+        UNION ALL
+        SELECT 1, unnest(['scan','filter','query','dup'])
+        UNION ALL
+        SELECT 2, unnest(['stream','window','batch'])),
+      matched AS (SELECT q.query_id, tf.doc_id, tf.tok, tf.tf
+                  FROM tf JOIN q ON tf.tok = q.tok),
+      df_ AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM matched GROUP BY tok),
+      scored AS (
+        SELECT m.query_id, m.doc_id,
+               CAST(round(
+                 ln(1.0 + (stats.n - df_.df + 0.5) / (df_.df + 0.5)) *
+                 m.tf * 2.2 /
+                 (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl * stats.n / stats.s)) *
+                 1000000.0) AS BIGINT) AS m
+        FROM matched m
+        JOIN df_ ON m.tok = df_.tok
+        JOIN dl ON m.doc_id = dl.doc_id
+        CROSS JOIN stats),
+      agg AS (SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+              FROM scored GROUP BY query_id, doc_id),
+      ranked AS (SELECT query_id, doc_id, score_micro,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+                 FROM agg)
+      SELECT query_id, rank, doc_id, score_micro
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
+  val all: Seq[Q] = Seq(bm25)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.llm.Retrieval
+
+/** BM25 semantics on a hand-computed fixture plus invariants on the
+  * real documents table. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Hand-checkable corpus: 3 docs, query workload fixed in Retrieval.
+  // doc 10 contains 'hash' and 'join'; doc 11 contains 'join' twice;
+  // doc 12 matches nothing.
+  private val fixture = Seq(
+    (10L, "hash join"),
+    (11L, "join join probe"),
+    (12L, "nothing relevant here")
+  ).toDF("doc_id", "text")
+
+  private def bm25(tf: Long, df: Long, n: Long, dl: Long, avgdl: Double): Double = {
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+  }
+
+  test("BM25 scores match a hand-computed oracle on the fixture") {
+    val got = Retrieval.bm25TopK(spark, fixture, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // query 0 = "hash join table": only docs 10, 11 match any term
+    val q0 = got.filter(_._1 == 0)
+    assert(q0.map(_._3).toSet == Set(10L, 11L))
+
+    // expected micro scores (n=3 docs, avgdl=(2+3+3)/3)
+    val avgdl = 8.0 / 3.0
+    val d10 = math.round((bm25(1, 1, 3, 2, avgdl) + bm25(1, 2, 3, 2, avgdl)) * 1e6)
+    // rounding happens per-term then sums, mirror that
+    val d10terms = math.round(bm25(1, 1, 3, 2, avgdl) * 1e6) + math.round(bm25(1, 2, 3, 2, avgdl) * 1e6)
+    val d11terms = math.round(bm25(2, 2, 3, 3, avgdl) * 1e6)
+    val scores = q0.map(r => r._3 -> r._4).toMap
+    assert(scores(10L) == d10terms, s"doc10: got ${scores(10L)} want $d10terms (unrounded-sum variant was $d10)")
+    assert(scores(11L) == d11terms)
+    // doc 10 hits the rare term 'hash' (df=1) so it must outrank doc 11
+    assert(q0.sortBy(_._2).head._3 == 10L)
+  }
+
+  test("rank is dense 1..k per query, ordered by score desc then doc_id") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val rows = Retrieval.bm25TopK(spark, docs, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.keySet == Set(0, 1, 2))
+    byQuery.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      // score non-increasing with rank; ties broken by ascending doc_id
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ =>
+      }
+    }
+  }
+
+  test("docs with no query term never appear") {
+    val got = Retrieval.bm25TopK(spark, fixture, k = 10).collect()
+    assert(!got.exists(_.getLong(2) == 12L))
+  }
+}
