@@ -123,5 +123,173 @@ object Retrieval {
       FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
-  val all: Seq[Q] = Seq(bm25)
+  /** Query documents for the doc-as-query ("more like this") family:
+    * each query is an existing corpus doc, so BOTH the lexical side
+    * (its tokens) and the dense side (its embedding — vec_id is
+    * doc_id) are defined without an external embedder. */
+  val queryDocIds: Seq[Long] = Seq(0L, 1L, 2L)
+
+  /** Lexical ranking for doc-as-query BM25: the query's term set is
+    * the DISTINCT tokens of the query doc; document frequency is
+    * computed over all matching docs BEFORE the self-doc exclusion so
+    * idf stays the true corpus idf. Same broadcast-prune-first shape
+    * as [[bm25TopK]]. Emits (query_id, doc_id, lex_rank ≤ k). */
+  def lexRanked(s: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    val post = postings(docs)
+    val qterms = post.filter(col("doc_id").isInCollection(queryDocIds))
+      .select(col("doc_id").as("query_id"), col("tok")).distinct()
+    val tf = post.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = post.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val matched = tf.join(broadcast(qterms), Seq("tok"))
+    val df_ = matched.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val scored = matched
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df_), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("m", round(
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") * col("n") / col("s"))) *
+          lit(1000000.0), 0).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("m")).as("score_micro"))
+      .withColumn("lex_rank", row_number().over(w).cast("long"))
+      .filter(col("lex_rank") <= k)
+      .select("query_id", "doc_id", "lex_rank")
+  }
+
+  /** Dense ranking for the same query docs: exact cosine top-k via
+    * [[Similarity.exactTopK]] (broadcast queries, streamed corpus).
+    * Emits (query_id, doc_id, dense_rank ≤ k). */
+  def denseRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id").isInCollection(queryDocIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    Similarity.exactTopK(q, emb.repartition(par), k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+  }
+
+  // Shared oracle-SQL fragments for the doc-as-query family (DuckDB
+  // dialect ∩ nothing Spark-side — these are oracle-only CTEs).
+  private val lexRankedSql: String = """
+      post AS (
+        SELECT doc_id, t AS tok
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+              FROM documents)
+        WHERE t <> ''),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             FROM post GROUP BY doc_id, tok),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM post GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl),
+      q AS (SELECT DISTINCT doc_id AS query_id, tok FROM post WHERE doc_id IN (0, 1, 2)),
+      matched AS (SELECT q.query_id, tf.doc_id, tf.tok, tf.tf
+                  FROM tf JOIN q ON tf.tok = q.tok),
+      df_ AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM matched GROUP BY tok),
+      scored AS (
+        SELECT m.query_id, m.doc_id,
+               CAST(round(
+                 ln(1.0 + (stats.n - df_.df + 0.5) / (df_.df + 0.5)) *
+                 m.tf * 2.2 /
+                 (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl * stats.n / stats.s)) *
+                 1000000.0) AS BIGINT) AS m
+        FROM matched m
+        JOIN df_ ON m.tok = df_.tok
+        JOIN dl ON m.doc_id = dl.doc_id
+        CROSS JOIN stats
+        WHERE m.doc_id <> m.query_id),
+      agg AS (SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+              FROM scored GROUP BY query_id, doc_id),
+      lex AS (SELECT query_id, doc_id, lex_rank FROM (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS lex_rank
+                FROM agg) WHERE lex_rank <= 20)"""
+
+  private def denseRankedSql(k: Int): String = s"""
+      dense AS (SELECT query_id, doc_id, dense_rank FROM (
+                SELECT q.vec_id AS query_id, b.vec_id AS doc_id,
+                       CAST(row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                         CAST(q.embedding AS DOUBLE[])) DESC,
+                                  b.vec_id ASC) AS BIGINT) AS dense_rank
+                FROM embeddings b CROSS JOIN embeddings q
+                WHERE q.vec_id IN (0, 1, 2) AND b.vec_id <> q.vec_id)
+                WHERE dense_rank <= $k)"""
+
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al.'s
+    * k=60) of the lexical and dense rankings. Each side contributes
+    * round(1e6/(60+rank)) — an integer — so the fused score is an
+    * exact integer sum regardless of join/sum order. Candidates from
+    * either side survive (full outer join); top-10 per query. */
+  def hybridTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val lex = lexRanked(s, docs, 20)
+    val den = denseRanked(s, dir, 20)
+    val contrib = (r: Column) =>
+      coalesce(round(lit(1000000.0) / (lit(60) + r), 0).cast("long"), lit(0L))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro", contrib(col("lex_rank")) + contrib(col("dense_rank")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id", "rrf_micro")
+      .orderBy("query_id", "rank")
+  }
+
+  val hybrid: Q = Q(
+    "q_hybrid_rrf",
+    (s, dir) => hybridTopK(s, dir),
+    Some(s"""
+      WITH $lexRankedSql,
+      ${denseRankedSql(20)},
+      fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               coalesce(CAST(round(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0) +
+               coalesce(CAST(round(1000000.0 / (60 + d.dense_rank)) AS BIGINT), 0) AS rrf_micro
+        FROM lex l FULL OUTER JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+      ranked AS (SELECT query_id, doc_id, rrf_micro,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rank
+                 FROM fused)
+      SELECT query_id, rank, doc_id, rrf_micro
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
+  /** Hard-negative mining: lexical top-20 candidates the dense ranker
+    * does NOT place in its top-5 — lexically plausible but
+    * semantically distant, the classic negatives for contrastive
+    * retrieval training. Anti-join keeps it one shuffle over the
+    * (already tiny) candidate sets. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    lexRanked(s, docs, 20)
+      .join(denseRanked(s, dir, 5), Seq("query_id", "doc_id"), "left_anti")
+      .select("query_id", "lex_rank", "doc_id")
+      .orderBy("query_id", "lex_rank")
+  }
+
+  val negatives: Q = Q(
+    "q_hard_negatives",
+    (s, dir) => hardNegatives(s, dir),
+    Some(s"""
+      WITH $lexRankedSql,
+      ${denseRankedSql(5)}
+      SELECT l.query_id, l.lex_rank, l.doc_id
+      FROM lex l
+      WHERE NOT EXISTS (SELECT 1 FROM dense d
+                        WHERE d.query_id = l.query_id AND d.doc_id = l.doc_id)
+      ORDER BY l.query_id, l.lex_rank"""))
+
+  val all: Seq[Q] = Seq(bm25, hybrid, negatives)
 }

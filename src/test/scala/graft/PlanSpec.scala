@@ -236,4 +236,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("BM25: query-term prune is a broadcast hash join, no cartesian anywhere") {
+    for (name <- Seq("q_bm25_topk", "q_hybrid_rrf", "q_hard_negatives")) {
+      val p = finalPlan(q(name))
+      // the corpus-sized postings frame must meet the (tiny) query
+      // term set through a broadcast hash join — the prune that keeps
+      // everything downstream query-sized at 100 TB; the only
+      // permitted nested-loop broadcast is the 1-row corpus stats
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
 }

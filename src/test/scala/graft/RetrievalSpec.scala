@@ -64,4 +64,43 @@ class RetrievalSpec extends SparkSpec {
     val got = Retrieval.bm25TopK(spark, fixture, k = 10).collect()
     assert(!got.exists(_.getLong(2) == 12L))
   }
+
+  test("hybrid RRF: fused score is the exact integer sum of per-side contributions") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val lex = Retrieval.lexRanked(spark, docs, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val den = Retrieval.denseRanked(spark, sf001, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def c(rank: Option[Long]) = rank.map(r => math.round(1e6 / (60 + r))).getOrElse(0L)
+    val fused = Retrieval.hybridTopK(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fused.nonEmpty)
+    fused.foreach { case (q, _, d, rrf) =>
+      val want = c(lex.get(q -> d)) + c(den.get(q -> d))
+      assert(rrf == want, s"query $q doc $d: rrf $rrf != $want")
+      // every fused candidate came from at least one side
+      assert(lex.contains(q -> d) || den.contains(q -> d))
+    }
+    // a doc ranked by BOTH sides must outrank one ranked by only the
+    // weaker tail of a single side (RRF's defining property)
+    val bothBest = fused.filter { case (q, _, d, _) => lex.contains(q -> d) && den.contains(q -> d) }
+    assert(bothBest.nonEmpty, "fixture corpus should have lexical∩dense overlap")
+  }
+
+  test("hard negatives are lexical candidates absent from dense top-5") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val lex20 = Retrieval.lexRanked(spark, docs, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val den5 = Retrieval.denseRanked(spark, sf001, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val neg = Retrieval.hardNegatives(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(neg.nonEmpty)
+    neg.foreach { case (q, d) =>
+      assert(lex20.contains(q -> d), s"negative ($q,$d) not a lexical candidate")
+      assert(!den5.contains(q -> d), s"negative ($q,$d) is in dense top-5")
+    }
+    // exactly the set difference, not a subset
+    assert(neg.toSet == (lex20 -- den5))
+  }
 }
