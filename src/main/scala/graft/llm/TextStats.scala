@@ -308,6 +308,69 @@ object TextStats {
       FROM tok JOIN lm ON tok = lm_tok
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** N-gram novelty: the share of a doc's DISTINCT token 3-grams
+    * first seen in that doc, under doc_id arrival order — the
+    * contribution-scoring view of near-duplication (a doc that only
+    * re-states earlier corpus content scores ~0). A gram's first
+    * owner is min(doc_id); one grouped aggregate over the distinct
+    * (doc, gram) frame plus one gram-keyed join back — the shuffle
+    * carries the corpus VOCABULARY of grams, never the corpus text,
+    * and the join key is the gram hash, so AQE's skew split handles
+    * stop-gram hot keys at scale. Emitted as exact integer counts +
+    * a permille so the hash is float-free. */
+  def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      // consecutive-token 3-grams over the empty-filtered, renumbered
+      // token stream; the gram STRING is the cross-engine key (a
+      // 100 TB deployment would key on xxhash64(gram) to shuffle
+      // 8 bytes/gram — the counts are identical, but the oracle
+      // needs the same key text on both engines)
+      val grams = docs
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("g2", lead(col("tok"), 1).over(byPos))
+        .withColumn("g3", lead(col("tok"), 2).over(byPos))
+        .filter(col("g3").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("g2"), col("g3")).as("gram"))
+        .distinct()
+      val firstOwner = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstOwner, Seq("gram"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("total_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel_grams"))
+        .withColumn("novelty_permille",
+          round(col("novel_grams") * lit(1000.0) / col("total_grams"), 0).cast("long"))
+        .select("doc_id", "total_grams", "novel_grams", "novelty_permille")
+        .orderBy("doc_id")
+  }
+
+  val ngramNovelty: Q = Q(
+    "q_ngram_novelty",
+    (s, dir) => ngramNoveltyOf(t(s, dir, "documents")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, t AS tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY o) AS i
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t,
+                     generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS o
+              FROM documents)
+        WHERE t <> ''),
+      grams AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      first_owner AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS total_grams,
+             CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+             CAST(round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1000.0 / count(*)) AS BIGINT) AS novelty_permille
+      FROM grams g JOIN first_owner f ON g.gram = f.gram
+      GROUP BY g.doc_id ORDER BY g.doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
-    repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal)
+    repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
+    ngramNovelty)
 }

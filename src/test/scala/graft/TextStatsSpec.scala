@@ -76,4 +76,28 @@ class TextStatsSpec extends SparkSpec {
       assert(mean > 0.0 && mean <= maxMean, s"mean $mean outside (0, $maxMean]")
     }
   }
+
+  test("n-gram novelty: first owner wins, exact copies score zero") {
+    val docs = Seq(
+      (0L, "a b c d"),       // grams "a b c","b c d" — both first here
+      (1L, "a b c x"),       // "a b c" seen in doc 0, "b c x" novel
+      (2L, "a b c d"),       // exact copy of doc 0 — nothing novel
+      (3L, "q r")            // <3 tokens — no grams, no output row
+    ).toDF("doc_id", "text")
+    val got = TextStats.ngramNoveltyOf(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got(0L) == ((2L, 2L, 1000L)))
+    assert(got(1L) == ((2L, 1L, 500L)))
+    assert(got(2L) == ((2L, 0L, 0L)))
+  }
+
+  test("n-gram novelty: repeated gram within one doc counts once (distinct grams)") {
+    val docs = Seq(
+      (0L, "a b c a b c a b c") // grams: abc,bca,cab,abc,bca,cab,abc -> 3 distinct
+    ).toDF("doc_id", "text")
+    val r = TextStats.ngramNoveltyOf(docs).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 1000L)
+  }
 }
