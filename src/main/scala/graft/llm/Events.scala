@@ -208,5 +208,41 @@ object Events {
       GROUP BY cohort_week, active_week
       ORDER BY cohort_week, active_week"""))
 
-  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention)
+  /** Event-type transition matrix: (src → next) counts per user
+    * stream plus a per-source permille — the bigram statistics of
+    * behavioral sequences (sequence-model data prep). One lead-window
+    * pass keyed on user_id, then a grouped count over the (≤|types|²)
+    * pair space: the second shuffle carries 25 keys, not events. */
+  def transitionsOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val bySrc = Window.partitionBy("src_type")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("permille",
+        round(col("n") * lit(1000.0) / sum(col("n")).over(bySrc), 0).cast("long"))
+      .orderBy("src_type", "dst_type")
+  }
+
+  val transitions: Q = Q(
+    "q_event_transitions",
+    (s, dir) => transitionsOf(t(s, dir, "events")),
+    Some("""
+      WITH pairs AS (
+        SELECT event_type AS src_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS dst_type
+        FROM events),
+      agg AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+              FROM pairs WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type)
+      SELECT src_type, dst_type, n,
+             CAST(round(n * 1000.0 / sum(n) OVER (PARTITION BY src_type)) AS BIGINT) AS permille
+      FROM agg ORDER BY src_type, dst_type"""))
+
+  val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
+    transitions)
 }

@@ -233,5 +233,31 @@ object Sampling {
       WHERE rn < 5
       ORDER BY source, rn"""))
 
-  val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir)
+  /** Inverse-frequency class weights over the labeled embedding set:
+    * weight(c) = total / (k·n_c), the standard balanced-loss
+    * reweighting, emitted as exact integer micro units. Two tiny
+    * aggregates (per-label counts, then a 1-row total broadcast) —
+    * nothing here scales with the corpus beyond the first groupBy. */
+  val classWeights: Q = Q(
+    "q_class_weights",
+    (s, dir) => {
+      val lab = t(s, dir, "embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val tot = lab.agg(sum(col("n")).as("total"), count(lit(1)).as("k"))
+      lab.crossJoin(broadcast(tot))
+        .withColumn("weight_micro",
+          round(col("total") * lit(1000000.0) / (col("k") * col("n")), 0).cast("long"))
+        .select(col("label").cast("long").as("label"), col("n"), col("weight_micro"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH lab AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+                   FROM embeddings GROUP BY label),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS k FROM lab)
+      SELECT CAST(label AS BIGINT) AS label, n,
+             CAST(round(total * 1000000.0 / (k * n)) AS BIGINT) AS weight_micro
+      FROM lab CROSS JOIN tot ORDER BY label"""))
+
+  val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir,
+    classWeights)
 }
