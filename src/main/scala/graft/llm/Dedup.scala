@@ -418,27 +418,36 @@ object Dedup {
     rebind(origin, labels)
   }
 
-  /** Driver-visible clustering query: consecutive-id word-Jaccard
-    * edges (threshold 0.7, same arithmetic as [[jaccardPairs]] so the
-    * doubles are bit-identical to the oracle's), general CC over
-    * them, multi-document clusters summarized. Because this edge set
-    * only links consecutive ids, components are intervals — which is
-    * what lets plain SQL (gaps-and-islands window) oracle the GENERAL
-    * iterative algorithm exactly: the min-label of an island is its
-    * first doc_id on both sides. */
+  /** (doc_id, distinct-word-set) projection shared by the clustering
+    * queries. */
+  def wordSets(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      array_distinct(split(trim(col("text")), "\\s+")).as("w"))
+
+  /** Consecutive-id word-Jaccard edges (threshold 0.7, same
+    * arithmetic as [[jaccardPairs]] so the doubles are bit-identical
+    * to the oracle's). Linking only id-adjacent docs makes components
+    * intervals, which is what lets plain SQL (gaps-and-islands
+    * window) oracle the GENERAL iterative CC algorithm exactly: the
+    * min-label of an island is its first doc_id on both sides. */
+  def consecutiveJaccardEdges(docs: DataFrame): DataFrame = {
+    val a = docs.select(col("doc_id").as("src"), col("w").as("wa"))
+    val b = docs.select(col("doc_id").as("dst"), col("w").as("wb"))
+    a.join(b, col("dst") === col("src") + 1)
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+      .filter(col("inter").cast("double") /
+        nullif(size(col("wa")) + size(col("wb")) - col("inter"), lit(0)) >= 0.7)
+      .select("src", "dst")
+  }
+
+  /** Driver-visible clustering query: [[consecutiveJaccardEdges]] +
+    * general CC, multi-document clusters summarized. */
   val dedupClusters: Q = Q(
     "q_dedup_clusters",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("w"))
-      val a = docs.select(col("doc_id").as("src"), col("w").as("wa"))
-      val b = docs.select(col("doc_id").as("dst"), col("w").as("wb"))
-      val edges = a.join(b, col("dst") === col("src") + 1)
-        .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
-        .filter(col("inter").cast("double") /
-          nullif(size(col("wa")) + size(col("wb")) - col("inter"), lit(0)) >= 0.7)
-        .select("src", "dst")
-      val labels = connectedComponents(edges, docs.select(col("doc_id").as("id")))
+      val docs = wordSets(t(s, dir, "documents"))
+      val labels = connectedComponents(
+        consecutiveJaccardEdges(docs), docs.select(col("doc_id").as("id")))
       labels.groupBy(col("label").as("component"))
         .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
         .filter(col("n_docs") >= 2)

@@ -258,6 +258,47 @@ object Sampling {
              CAST(round(total * 1000000.0 / (k * n)) AS BIGINT) AS weight_micro
       FROM lab CROSS JOIN tot ORDER BY label"""))
 
+  /** Leakage-free train/valid/test split: hash-bucket on the doc's
+    * near-dup COMPONENT label (from the general iterative CC over
+    * word-Jaccard edges), not the doc id — so a near-duplicate pair
+    * can never straddle train and test, the classic eval-contamination
+    * channel a per-doc split leaves open. Emits the full per-doc
+    * assignment, so the oracle hash-checks every component label the
+    * iterative algorithm produced. */
+  val clusterSplit: Q = Q(
+    "q_cluster_split",
+    (s, dir) => {
+      val docs = Dedup.wordSets(t(s, dir, "documents"))
+      val labels = Dedup.connectedComponents(
+        Dedup.consecutiveJaccardEdges(docs), docs.select(col("doc_id").as("id")))
+      val b = hashBucket(col("label"))
+      val split = when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+      labels.select(col("id").as("doc_id"), col("label").as("component"),
+          split.as("split"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w
+                 FROM documents),
+      e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+            WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+                  nullif(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)), 0) >= 0.7),
+      marks AS (SELECT doc_id,
+                       CASE WHEN doc_id IN (SELECT dst FROM e) THEN 0 ELSE 1 END AS ng
+                FROM d),
+      grp AS (SELECT doc_id,
+                     sum(ng) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS g
+              FROM marks),
+      comp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS component FROM grp)
+      SELECT doc_id, CAST(component AS BIGINT) AS component,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+      FROM (SELECT doc_id, component,
+                   (ascii(substr(md5(CAST(component AS VARCHAR)), 1, 1)) * 256 +
+                    ascii(substr(md5(CAST(component AS VARCHAR)), 2, 1))) % 100 AS b
+            FROM comp)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir,
-    classWeights)
+    classWeights, clusterSplit)
 }

@@ -188,4 +188,19 @@ class DedupSpec extends SparkSpec {
     val recall = found.size.toDouble / truth.size
     assert(recall >= 0.8, s"recall $recall too low (${found.size}/${truth.size})")
   }
+
+  test("cluster-aware split: no near-dup component straddles train/valid/test") {
+    val rows = SparkEntry.queries("q_cluster_split")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length > 0)
+    val byComponent = rows.groupBy(_._2)
+    byComponent.foreach { case (c, docs) =>
+      assert(docs.map(_._3).distinct.length == 1,
+        s"component $c split across ${docs.map(_._3).distinct.mkString(",")}")
+    }
+    // the property is only non-vacuous if multi-doc components exist
+    assert(byComponent.exists(_._2.length >= 2), "corpus should contain near-dup clusters")
+    // and all three splits are populated
+    assert(rows.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "valid"))
+  }
 }
