@@ -335,7 +335,38 @@ object Curation {
                                             (chunk_id - 1) * 40 + 50), ' ')) AS chunk_sig
       FROM c ORDER BY doc_id, chunk_id"""))
 
+  /** Unicode NFC normalization via the custom
+    * [[graft.functions.NfcNormalize]] expression (Spark has no
+    * built-in normalizer; byte-keyed dedup/fingerprinting treats
+    * composed é and decomposed e+U+0301 as different documents unless
+    * this pass runs first). The corpus is ASCII, so the query
+    * decorates every doc with a decomposed suffix — the oracle's
+    * `nfc_normalize` must agree on the char collapse AND the md5 of
+    * the normalized bytes, which makes the expression's output
+    * hash-checked end-to-end, not just its length arithmetic. */
+  val normalizeText: Q = Q(
+    "q_normalize_text",
+    (s, dir) =>
+      t(s, dir, "documents")
+        // "e" + U+0301 combining acute: two code points that NFC
+        // composes into one
+        .select(col("doc_id"), concat(col("text"), lit(" caf"), lit("e\u0301")).as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("chars_raw"),
+          graft.functions.NfcNormalize(col("raw")).as("norm"))
+        .select(col("doc_id"), col("chars_raw"),
+          length(col("norm")).cast("long").as("chars_nfc"),
+          md5(col("norm").cast("binary")).as("nfc_md5"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(length(raw) AS BIGINT) AS chars_raw,
+             CAST(length(nfc_normalize(raw)) AS BIGINT) AS chars_nfc,
+             md5(nfc_normalize(raw)) AS nfc_md5
+      FROM (SELECT doc_id, text || ' caf' || 'e' || chr(769) AS raw FROM documents)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, packSequences, corpusShuffle,
-      curationPipeline, redactPii, bigramTopK, chunkDocs)
+      curationPipeline, redactPii, bigramTopK, chunkDocs, normalizeText)
 }
