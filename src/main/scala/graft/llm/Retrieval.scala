@@ -51,13 +51,17 @@ object Retrieval {
   def bm25TopK(s: SparkSession, docs: DataFrame, k: Int = 10): DataFrame = {
     import s.implicits._
     val post = postings(docs)
-    val tf = post.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dl = post.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
     val qterms = queryList.toDF("query_id", "qtext")
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("tok"))
-    // prune the corpus-sized postings to query terms FIRST (broadcast
-    // semi-join), then everything downstream is query-sized
+    // prune the corpus-sized postings to query terms BEFORE the tf
+    // aggregate: the broadcast hash join is map-side, so the tf
+    // shuffle carries only matching postings — aggregating first
+    // would shuffle the whole corpus's (doc, tok) pairs to compute
+    // counts the prune then throws away
+    val tf = post.join(broadcast(qterms.select("tok").distinct()), Seq("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val matched = tf.join(broadcast(qterms), Seq("tok"))
     val df_ = matched.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     val scored = matched
@@ -138,9 +142,11 @@ object Retrieval {
     val post = postings(docs)
     val qterms = post.filter(col("doc_id").isInCollection(queryDocIds))
       .select(col("doc_id").as("query_id"), col("tok")).distinct()
-    val tf = post.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dl = post.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    // same prune-before-aggregate shape as [[bm25TopK]]
+    val tf = post.join(broadcast(qterms.select("tok").distinct()), Seq("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val matched = tf.join(broadcast(qterms), Seq("tok"))
     val df_ = matched.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     val scored = matched
