@@ -210,5 +210,54 @@ object Multimodal {
              CAST(w * r0 + w * (w - 1) // 2 + w * (g0 + (3 * h) // 4) + w * b0 AS BIGINT) AS f3
       FROM g ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(decode, frames)
+  /** Media-LAKE round trip: the payloads are written as one genuine
+    * .png FILE per document (id in the file name — the layout object
+    * stores and media crawlers produce), then read back through
+    * Spark's `binaryFile` DataSource (path/length/content schema,
+    * glob-filtered scan) and decoded. Oracled against the same
+    * closed-form geometry as [[decode]], so a hash match proves the
+    * file round trip is lossless end-to-end: encode → filesystem →
+    * binaryFile scan → PNG decode → per-pixel checksum.
+    *
+    * At 100 TB this is the real ingestion shape — media arrives as
+    * object-store files, not rows — and `binaryFile` scans
+    * parallelize by file the way parquet scans split by row group.
+    * Writes go executor-side (foreachPartition), one writer per file
+    * (doc_id partitions the name space), staging isolated per run via
+    * [[graft.Staging]]. */
+  val lake: Q = Q(
+    "q_multimodal_lake",
+    (s, dir) => {
+      import s.implicits._
+      val out = graft.Staging.dir(s, "graft_media_lake")
+      payloads(s, dir).as[(Long, Array[Byte])].foreachPartition {
+        (it: Iterator[(Long, Array[Byte])]) =>
+          val base = java.nio.file.Paths.get(out)
+          java.nio.file.Files.createDirectories(base)
+          it.foreach { case (id, png) =>
+            java.nio.file.Files.write(base.resolve(f"doc_$id%06d.png"), png)
+          }
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(out)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(it => it.map { case (id, p) => decodeImage(id, p) })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some(geomCte + """
+      SELECT doc_id,
+             CAST(w AS BIGINT) AS width,
+             CAST(h AS BIGINT) AS height,
+             CAST(224 AS BIGINT) AS resized_w,
+             CAST(greatest(1, (h * 224) // w) AS BIGINT) AS resized_h,
+             CAST(h * (w * r0 + w * (w - 1) // 2)
+                + w * (h * g0 + h * (h - 1) // 2)
+                + w * h * b0 AS BIGINT) AS pix_sum,
+             'png' AS format
+      FROM g ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(decode, frames, lake)
 }

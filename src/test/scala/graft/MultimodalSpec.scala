@@ -59,4 +59,18 @@ class MultimodalSpec extends SparkSpec {
         ((f.f0, f.f1, f.f2, f.f3)))
     }
   }
+
+  test("M006 media-lake round trip: binaryFile read-back decodes identically to in-memory") {
+    val lake = SparkEntry.queries("q_multimodal_lake")(spark, sf001).collect()
+    val direct = Multimodal.decodePipeline(spark, sf001).collect()
+    assert(lake.length == direct.length && lake.length > 0)
+    assert(lake.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+    // the staging dir really contains one .png file per document
+    val out = java.nio.file.Paths.get(
+      Staging.dir(spark, "graft_media_lake"))
+    val files = java.nio.file.Files.list(out).iterator()
+    var n = 0
+    while (files.hasNext) { assert(files.next().toString.endsWith(".png")); n += 1 }
+    assert(n == lake.length)
+  }
 }
