@@ -366,7 +366,79 @@ object Curation {
       FROM (SELECT doc_id, text || ' caf' || 'e' || chr(769) AS raw FROM documents)
       ORDER BY doc_id"""))
 
+  /** Corpus-level segment dedup (the cross-document analog of C4's
+    * line dedup): every non-overlapping 10-token segment is kept at
+    * its FIRST occurrence in corpus order and dropped everywhere
+    * else — including repeats later in the same document. The harness
+    * corpus has no verbatim cross-doc segments, so the query plants 5
+    * exact document copies (`doc_id + 1000000`); keep-first must drop
+    * every segment of every copy, and the oracle hash pins that
+    * together with each original's untouched fingerprint.
+    *
+    * Scale shape: explode to segments → ONE hash shuffle keyed by the
+    * segment digest (the same key exact dedup shuffles on; ownership
+    * is a `min` over the occurrence position, map-side combinable) →
+    * one groupBy back to documents. Nothing is all-pairs and the
+    * segment text itself never rides the ownership shuffle — only the
+    * 16-byte digest and a position long do. */
+  val segmentDedup: Q = Q(
+    "q_segment_dedup",
+    (s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val d = base.unionAll(copies)
+      val segs = d
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("n_segs", floor(size(col("tk")) / 10).cast("long"))
+        .filter(col("n_segs") > 0)
+        .select(col("doc_id"), col("tk"), col("n_segs"),
+          explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"))
+        .select(col("doc_id"), col("seg_idx"),
+          md5(array_join(
+            slice(col("tk"), (col("seg_idx") * 10 + 1).cast("int"), lit(10)), " ")
+            .cast("binary")).as("h"))
+        .withColumn("pos", col("doc_id") * 1000000L + col("seg_idx"))
+      val firstPos = min(col("pos")).over(Window.partitionBy(col("h")))
+      segs
+        .withColumn("kept", col("pos") === firstPos)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dup"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(col("kept"),
+                struct(col("seg_idx"), col("h"))))),
+              x => x.getField("h")), " ").cast("binary")).as("clean_sig"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5),
+      tokd AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        FROM base),
+      segs AS (
+        SELECT doc_id, seg_idx,
+               md5(array_to_string(list_slice(tk, seg_idx * 10 + 1, seg_idx * 10 + 10), ' ')) AS h,
+               doc_id * 1000000 + seg_idx AS pos
+        FROM (SELECT doc_id, tk,
+                     unnest(range(CAST(len(tk) // 10 AS BIGINT))) AS seg_idx
+              FROM tokd
+              WHERE len(tk) >= 10)),
+      owned AS (
+        SELECT doc_id, seg_idx, h,
+               pos = min(pos) OVER (PARTITION BY h) AS kept
+        FROM segs)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+             CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+             md5(coalesce(string_agg(CASE WHEN kept THEN h END, ' ' ORDER BY seg_idx), '')) AS clean_sig
+      FROM owned GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, packSequences, corpusShuffle,
-      curationPipeline, redactPii, bigramTopK, chunkDocs, normalizeText)
+      curationPipeline, redactPii, bigramTopK, chunkDocs, normalizeText,
+      segmentDedup)
 }

@@ -299,6 +299,80 @@ object Sampling {
             FROM comp)
       ORDER BY doc_id"""))
 
+  /** Temperature-scaled language rebalancing — the multilingual
+    * sampling rule (sample language l with probability ∝ n_l^α,
+    * α = 0.5): low-resource languages are upweighted RELATIVE to
+    * their share, high-resource ones downweighted, without ever
+    * flattening to uniform the way [[mixture]]'s equal-share
+    * rebalance does. Keep rates derive from one per-language count
+    * aggregate: the α-scaled share is `floor(sqrt(n_l)·1e6)` — sqrt
+    * is IEEE-correctly-rounded, so the micro-unit integer is
+    * bit-identical in every engine — and all downstream arithmetic
+    * (share sum, per-language target, permille rate) is exact BIGINT,
+    * so the sample is a pure function of (doc_id, corpus counts):
+    * reproducible across runs, engines, and backfills. The coin is
+    * the nibble-decoded md5 chars 9–12, independent of the split
+    * (1–2), weighted (3–4), and mixture (5–8) coins. Targets half the
+    * corpus; per-language keep permille is capped at 1000. */
+  val temperature: Q = Q(
+    "q_temperature_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val counts = d.groupBy(col("lang").as("c_lang")).agg(count(lit(1)).as("n_l"))
+      val scaled = counts.withColumn("s_l",
+        floor(sqrt(col("n_l").cast("double")) * 1000000.0).cast("long"))
+      val totals = scaled.agg(sum(col("s_l")).as("s_tot"), sum(col("n_l")).as("n_tot"))
+      val rates = scaled.crossJoin(broadcast(totals))
+        .select(col("c_lang"),
+          least(lit(1000L),
+            expr("1000 * ((n_tot div 2) * s_l div s_tot) div n_l")).as("permil"))
+      val hex = md5(col("doc_id").cast("string").cast("binary"))
+      def nib(i: Int) = {
+        val a = ascii(substring(hex, i, 1))
+        a - when(a >= 97, 87).otherwise(48)
+      }
+      val coin = (nib(9) * 4096 + nib(10) * 256 + nib(11) * 16 + nib(12)) % 1000
+      d.join(broadcast(rates), col("lang") === col("c_lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"),
+          min(col("permil")).as("permil"),
+          sum(when(coin < col("permil"), 1L).otherwise(0L)).as("kept"),
+          sum(when(coin < col("permil"), col("doc_id"))).as("sum_kept_ids"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT lang AS c_lang, CAST(count(*) AS BIGINT) AS n_l
+        FROM documents GROUP BY lang),
+      scaled AS (
+        SELECT c_lang, n_l,
+               CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_l
+        FROM counts),
+      totals AS (
+        SELECT CAST(sum(s_l) AS BIGINT) AS s_tot, CAST(sum(n_l) AS BIGINT) AS n_tot
+        FROM scaled),
+      rates AS (
+        SELECT c_lang,
+               least(1000, 1000 * ((n_tot // 2) * s_l // s_tot) // n_l) AS permil
+        FROM scaled CROSS JOIN totals),
+      coined AS (
+        SELECT *, ((a9 - CASE WHEN a9 >= 97 THEN 87 ELSE 48 END) * 4096 +
+                   (a10 - CASE WHEN a10 >= 97 THEN 87 ELSE 48 END) * 256 +
+                   (a11 - CASE WHEN a11 >= 97 THEN 87 ELSE 48 END) * 16 +
+                   (a12 - CASE WHEN a12 >= 97 THEN 87 ELSE 48 END)) % 1000 AS coin
+        FROM (
+          SELECT *, ascii(substr(md5(CAST(doc_id AS VARCHAR)), 9, 1)) AS a9,
+                    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 10, 1)) AS a10,
+                    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 11, 1)) AS a11,
+                    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 12, 1)) AS a12
+          FROM documents))
+      SELECT lang, CAST(count(*) AS BIGINT) AS total,
+             CAST(min(permil) AS BIGINT) AS permil,
+             CAST(sum(CASE WHEN coin < permil THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             CAST(sum(CASE WHEN coin < permil THEN doc_id END) AS BIGINT) AS sum_kept_ids
+      FROM coined JOIN rates ON lang = c_lang
+      GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir,
-    classWeights, clusterSplit)
+    classWeights, clusterSplit, temperature)
 }

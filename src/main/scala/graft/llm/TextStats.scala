@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -370,7 +371,53 @@ object TextStats {
       FROM grams g JOIN first_owner f ON g.gram = f.gram
       GROUP BY g.doc_id ORDER BY g.doc_id"""))
 
+  /** Top-p (nucleus) vocabulary: the smallest count-descending token
+    * prefix covering ≥90% of corpus token mass — the truncation rule
+    * tokenizer-vocabulary builds and nucleus sampling share. A token
+    * is in the nucleus iff the cumulative mass BEFORE it is under the
+    * ⌈0.9·total⌉ target (so the boundary token that crosses the
+    * target is included, and nothing after it).
+    *
+    * Scale shape: the corpus collapses to the vocabulary table in one
+    * two-level aggregate (shuffle carries distinct tokens); the
+    * cumulative window and total then run over vocabulary-sized
+    * frames only. Everything is exact BIGINT token counts, so the
+    * prefix boundary is deterministic. */
+  val vocabNucleus: Q = Q(
+    "q_vocab_nucleus",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("n_tot"))
+      val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+      counts
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") - col("cnt") < expr("(9 * n_tot + 9) div 10"))
+        .select(col("rank"), col("tok"), col("cnt"), col("cum"))
+        .orderBy("rank")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ) GROUP BY tok),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tot FROM counts),
+      ranked AS (
+        SELECT tok, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank,
+               CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM counts)
+      SELECT rank, tok, cnt, cum
+      FROM ranked CROSS JOIN tot
+      WHERE cum - cnt < (9 * n_tot + 9) // 10
+      ORDER BY rank"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
-    ngramNovelty)
+    ngramNovelty, vocabNucleus)
 }

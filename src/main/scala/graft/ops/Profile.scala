@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -206,5 +207,98 @@ object Profile {
         SELECT 'orders_distinct_custkeys', count(DISTINCT o_custkey) FROM orders)
       ORDER BY metric"""))
 
-  val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck)
+  /** Per-group z-score normalization in integer milli-units — the
+    * feature-standardization pass a training pipeline runs per
+    * category. Same cross-multiplication discipline as [[outliers]]:
+    * the numerator `n·x − Σx` and the variance term `n·Σx² − (Σx)²`
+    * are exact BIGINTs built from exact-cents sums (one tiny grouped
+    * aggregate broadcast back onto the scan), and the only floating
+    * steps are a correctly-rounded sqrt, one division, and a floor —
+    * each deterministic IEEE-754, so all 15k per-event z-scores
+    * hash-match across engines. At 100+ TB per group the raw moments
+    * overflow BIGINT; the swap-in is mean-centered moments (shift by
+    * a per-group pivot before squaring), same two-phase shape. */
+  val groupZscore: Q = Q(
+    "q_group_zscore",
+    (s, dir) => {
+      val cents = round(col("value") * 100, 0).cast("long")
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), cents.as("c"))
+      val stats = e.groupBy(col("event_type").as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      val z = floor(lit(1000.0) *
+        (col("n") * col("c") - col("s1")).cast("double") /
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")))
+        .cast("long")
+      e.join(broadcast(stats), col("event_type") === col("g"))
+        .select(col("event_id"), col("event_type"), col("c"), z.as("z_milli"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      stats AS (
+        SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        FROM e GROUP BY event_type)
+      SELECT event_id, event_type, c,
+             CAST(floor(1000.0 * CAST(n * c - s1 AS DOUBLE) /
+                        sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) AS z_milli
+      FROM e JOIN stats ON event_type = g
+      ORDER BY event_id"""))
+
+  /** Winsorization: clip `n_chars` to the exact [p5, p95] corpus
+    * percentiles — outlier taming before length-based quality
+    * scoring. The percentiles use the rank definition "smallest value
+    * whose cumulative count reaches ⌈q·n⌉", computed WITHOUT a global
+    * row sort: counts collapse to the distinct-value table first (523
+    * values here; bounded by the value domain, not the corpus), the
+    * cumulative sum runs over that tiny table, and the two thresholds
+    * come back as a 1-row broadcast onto one corpus scan. Exact
+    * integer everything, so every clip decision is in the hash. At
+    * truly unbounded domains the swap-in is `approx_percentile`
+    * (bound-checked in q_approx_percentile) — same broadcast shape. */
+  val winsorize: Q = Q(
+    "q_winsorize",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val tot = d.agg(count(lit(1)).as("n_tot"))
+      val cum = d.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val thresholds = cum.crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") >= expr("(n_tot + 19) div 20"), col("v"))).as("p5"),
+          min(when(col("cum") >= expr("(19 * n_tot + 19) div 20"), col("v"))).as("p95"))
+      val clipped = greatest(col("p5"), least(col("p95"), col("n_chars")))
+      d.crossJoin(broadcast(thresholds))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"),
+          min(col("p5")).as("p5"), min(col("p95")).as("p95"),
+          sum(when(col("n_chars") < col("p5"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("n_chars") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+          sum(clipped).as("sum_clipped"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+      cum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars)),
+      thresholds AS (
+        SELECT min(CASE WHEN cum >= (n_tot + 19) // 20 THEN v END) AS p5,
+               min(CASE WHEN cum >= (19 * n_tot + 19) // 20 THEN v END) AS p95
+        FROM cum CROSS JOIN tot)
+      SELECT lang, CAST(count(*) AS BIGINT) AS total,
+             CAST(min(p5) AS BIGINT) AS p5, CAST(min(p95) AS BIGINT) AS p95,
+             CAST(sum(CASE WHEN n_chars < p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             CAST(sum(CASE WHEN n_chars > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             CAST(sum(greatest(p5, least(p95, n_chars))) AS BIGINT) AS sum_clipped
+      FROM documents CROSS JOIN thresholds
+      GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
+    groupZscore, winsorize)
 }

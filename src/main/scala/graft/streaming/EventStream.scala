@@ -446,6 +446,77 @@ object EventStream {
     },
     graft.llm.Events.funnel.oracle)
 
+  /** Driver-visible EXACTLY-ONCE sink: foreachBatch writing each
+    * micro-batch to its own `batch=<id>` partition in overwrite mode —
+    * the idempotent-sink pattern (a replayed batch id overwrites its
+    * own partition, never appends a duplicate) that, combined with
+    * the checkpointed source offsets, gives end-to-end exactly-once
+    * on a file sink. The query demonstrates BOTH halves: the staged
+    * source is split into multiple micro-batches (`maxFilesPerTrigger`),
+    * and after the first AvailableNow run terminates the stream is
+    * STARTED AGAIN from the same checkpoint — the restart replays
+    * nothing, so the merged table still holds every event exactly
+    * once. The output pins that: per-user event counts (any
+    * double-processing doubles them) plus the keep-latest row per
+    * user (the CDC-merge view), hash-checked against the batch twin.
+    *
+    * The source is staged only if absent, so a re-invocation in the
+    * same app is a genuine no-op restart (new staged files would look
+    * like new data — correct streaming behavior, but then the run
+    * would not be testing recovery). */
+  val streamMerge: Q = Q(
+    "q_stream_merge",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val stage = stagePath(s, "graft_stream_merge_src")
+      val target = stagePath(s, "graft_stream_merge_tgt")
+      val ckpt = stagePath(s, "graft_stream_merge_ckpt")
+      val stageP = new org.apache.hadoop.fs.Path(stage)
+      val fs = stageP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(stageP))
+        ev.repartition(8).write.mode("overwrite").parquet(stage)
+      val local = narrowedSession(s, 4)
+      val writeBatch: (DataFrame, Long) => Unit =
+        (batch, id) => batch.write.mode("overwrite").parquet(s"$target/batch=$id")
+      def run(): Unit = {
+        val sq = local.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "3").parquet(stage)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(writeBatch)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+      run() // first run: N micro-batches, one partition each
+      run() // restart from the same checkpoint: replays NOTHING
+      local.read.parquet(target)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max_by(struct(col("event_type"), col("cents"), col("ts")),
+            struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("n_events"),
+          col("last.event_type").as("last_type"),
+          col("last.cents").as("last_cents"), col("last.ts").as("last_ts"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      last AS (
+        SELECT user_id, event_type AS last_type, cents AS last_cents, ts AS last_ts
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+        WHERE rn = 1),
+      cnt AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM e GROUP BY user_id)
+      SELECT c.user_id AS user_id, n_events, last_type, last_cents, last_ts
+      FROM cnt c JOIN last l ON c.user_id = l.user_id
+      ORDER BY c.user_id"""))
+
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
-    streamState, streamFunnel)
+    streamState, streamFunnel, streamMerge)
 }

@@ -95,4 +95,37 @@ class CurationSpec extends SparkSpec {
     // overlap property: consecutive chunks share exactly 10 tokens
     // (window 50 − stride 40) whenever both are full
   }
+
+  test("segment dedup: planted copies lose every segment, keep-first is exact") {
+    val out = llm.Curation.segmentDedup.fn(spark, sf001).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // every planted verbatim copy (doc_id >= 1000000) is fully
+    // deduplicated: all segments dropped, empty-clean fingerprint
+    val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+    val copies = out.filter(_.getLong(0) >= 1000000L)
+    assert(copies.length == 5)
+    copies.foreach { r =>
+      assert(r.getAs[Long]("n_dup") == r.getAs[Long]("n_segs"))
+      assert(r.getAs[String]("clean_sig") == md5Empty)
+      // and its original kept at least one segment
+      val orig = byId(r.getLong(0) - 1000000L)
+      assert(orig.getAs[Long]("n_dup") < orig.getAs[Long]("n_segs"))
+    }
+    // keep-first means each distinct segment survives exactly once:
+    // Σ(kept per doc) == global distinct segment count
+    val docs = Tables.load(spark, sf001, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val distinctSegs = docs.unionAll(planted)
+      .select(split(trim(col("text")), "\\s+").as("tk"))
+      .withColumn("n_segs", floor(size(col("tk")) / 10).cast("long"))
+      .filter(col("n_segs") > 0)
+      .select(col("tk"), explode(sequence(lit(0L), col("n_segs") - 1)).as("i"))
+      .select(concat_ws(" ",
+        slice(col("tk"), (col("i") * 10 + 1).cast("int"), lit(10))).as("seg"))
+      .distinct().count()
+    val keptTotal = out.map(r => r.getAs[Long]("n_segs") - r.getAs[Long]("n_dup")).sum
+    assert(keptTotal == distinctSegs,
+      s"kept $keptTotal != distinct segments $distinctSegs")
+  }
 }

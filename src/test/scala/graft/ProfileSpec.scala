@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the profiling/normalization operators (ops.Profile)
+  * beyond the row-hash oracle: statistical properties of the z-score
+  * and the clip-bound semantics of winsorization. */
+class ProfileSpec extends SparkSpec {
+
+  test("group z-score: per-group mean ~0, scale ~1000, order-preserving") {
+    val out = ops.Profile.groupZscore.fn(spark, sf001)
+    val stats = out.groupBy("event_type")
+      .agg(avg(col("z_milli")).as("m"),
+        stddev_pop(col("z_milli")).as("sd"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      // floor() biases each z down by <1 milli, so the mean sits in
+      // (-1, 0]; the population scale is 1000 milli by construction
+      assert(math.abs(r.getAs[Double]("m")) < 1.0, s"mean off: $r")
+      assert(math.abs(r.getAs[Double]("sd") - 1000.0) < 10.0, s"scale off: $r")
+    }
+    // z is monotone in the raw value within a group
+    val inverted = out.as("a").join(out.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.c") < col("b.c") && col("a.z_milli") > col("b.z_milli"))
+      .count()
+    assert(inverted == 0L, "z-score must preserve value order within a group")
+  }
+
+  test("winsorize: thresholds bound the clipped sum, clip counts are non-vacuous") {
+    val out = ops.Profile.winsorize.fn(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val p5 = out.head.getAs[Long]("p5")
+    val p95 = out.head.getAs[Long]("p95")
+    assert(p5 < p95)
+    // the rank definition: ~5% of the corpus sits strictly below p5,
+    // ~5% strictly above p95 (ties can only shrink the tails)
+    val total = out.map(_.getAs[Long]("total")).sum
+    val low = out.map(_.getAs[Long]("n_low")).sum
+    val high = out.map(_.getAs[Long]("n_high")).sum
+    assert(low > 0 && low <= total / 20, s"low tail $low of $total")
+    assert(high > 0 && high <= total / 20, s"high tail $high of $total")
+    out.foreach { r =>
+      val n = r.getAs[Long]("total")
+      val sum = r.getAs[Long]("sum_clipped")
+      assert(sum >= n * p5 && sum <= n * p95, s"clipped sum outside bounds: $r")
+    }
+    // and the exact percentile matches the sort-based definition
+    val chars = Tables.load(spark, sf001, "documents")
+      .select(col("n_chars")).orderBy("n_chars")
+      .collect().map(_.getLong(0))
+    val k5 = (chars.length + 19) / 20
+    val k95 = (19 * chars.length + 19) / 20
+    assert(p5 == chars(k5 - 1), "p5 == value at rank ceil(0.05 n)")
+    assert(p95 == chars(k95 - 1), "p95 == value at rank ceil(0.95 n)")
+  }
+
+  test("temperature sampling: alpha=0.5 upweights low-resource languages") {
+    val out = llm.Sampling.temperature.fn(spark, sf001).collect()
+    val byLang = out.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("total"), r.getAs[Long]("permil"), r.getAs[Long]("kept"))).toMap
+    val (maxLang, (maxN, maxPermil, _)) = byLang.maxBy(_._2._1)
+    byLang.foreach { case (lang, (n, permil, kept)) =>
+      if (lang != maxLang && n < maxN)
+        assert(permil > maxPermil,
+          s"$lang (n=$n) must keep a higher share than $maxLang (n=$maxN)")
+      // the md5 coin is uniform: kept/total tracks permil/1000 loosely
+      val expect = n * permil / 1000.0
+      assert(math.abs(kept - expect) <= math.max(8.0, expect * 0.5),
+        s"$lang kept $kept vs expected ~$expect")
+    }
+  }
+}

@@ -184,4 +184,26 @@ class StreamingSpec extends SparkSpec {
     // n_view, n_click_after_view, n_full_funnel, total_convert_secs
     assert(batch.toSeq == Seq(3L, 1L, 0L, 0L))
   }
+
+  test("exactly-once merge sink: multi-batch, restart replays nothing, re-run idempotent") {
+    val first = EventStream.streamMerge.fn(spark, sf001).collect()
+    // the sink actually split into multiple micro-batch partitions
+    // (8 staged files / 3 per trigger); a single-batch run would not
+    // exercise batch-id idempotence
+    val target = new java.io.File(Staging.dir(spark, "graft_stream_merge_tgt"))
+    val batchDirs = target.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("batch="))
+    assert(batchDirs.length >= 2, s"expected multi-batch sink, got ${batchDirs.length}")
+    // every event landed exactly once: per-user counts sum to the table
+    val nEvents = Tables.load(spark, sf001, "events").count()
+    assert(first.map(_.getAs[Long]("n_events")).sum == nEvents)
+    // a full re-invocation (source already staged, checkpoint already
+    // at the end) processes nothing and returns the identical result
+    val second = EventStream.streamMerge.fn(spark, sf001).collect()
+    assert(first.toSeq == second.toSeq)
+    val after = target.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(after.toSeq == batchDirs.map(_.getName).sorted.toSeq,
+      "no new batch partitions on a checkpointed re-run")
+  }
 }

@@ -93,6 +93,23 @@ class TextStatsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 0L, 0L)))
   }
 
+  test("vocab nucleus: smallest prefix reaching 90% mass, nothing after it") {
+    val out = llm.TextStats.vocabNucleus.fn(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val ranks = out.map(_.getAs[Long]("rank"))
+    assert(ranks.toSeq == (1L to ranks.length.toLong), "contiguous rank prefix")
+    val total = Tables.load(spark, sf001, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("t")).count()
+    val vocabSize = Tables.load(spark, sf001, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("t")).distinct().count()
+    val target = (9 * total + 9) / 10
+    val lastCum = out.last.getAs[Long]("cum")
+    val lastCnt = out.last.getAs[Long]("cnt")
+    assert(lastCum >= target, "the prefix covers the 90% target")
+    assert(lastCum - lastCnt < target, "the boundary token is necessary")
+    assert(out.length.toLong < vocabSize, "nucleus strictly truncates the vocabulary")
+  }
+
   test("n-gram novelty: repeated gram within one doc counts once (distinct grams)") {
     val docs = Seq(
       (0L, "a b c a b c a b c") // grams: abc,bca,cab,abc,bca,cab,abc -> 3 distinct
