@@ -319,5 +319,50 @@ object Similarity {
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       ORDER BY vec_id"""))
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, embedDedup, vectorStats)
+  /** Distributed Gram matrix XᵀX over the embedding corpus — the
+    * front-end of PCA / whitening / OPQ rotation training: 64×64
+    * pairwise coordinate products summed over every vector. Exact by
+    * quantization: each coordinate becomes round(x·1e6) micro-units
+    * (one correctly-rounded double multiply + round, so the BIGINT is
+    * engine-identical), and the Gram entries are then exact integer
+    * sums — the hash pins all 2 080 upper-triangle cells.
+    *
+    * Scale shape: posexplode to (vector, coordinate) pairs, self-join
+    * on vec_id (row-local — Spark plans a single shuffle keyed by
+    * vec_id and the join blows up only by the fixed 64×65/2 factor,
+    * never corpus×corpus), then one dim²-sized aggregate: the shuffle
+    * out of the join carries d²·|corpus| rows but the RESULT is
+    * d²-sized, so partial aggregation collapses it map-side. At
+    * billion-vector scale the swap-in is a per-partition outer-product
+    * accumulator (mapPartitions over primitive arrays) feeding the
+    * same d²-key aggregate — identical output, fewer materialized
+    * pairs. */
+  val gramMatrix: Q = Q(
+    "q_gram_matrix",
+    (s, dir) => {
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")))
+        .select(col("vec_id"), col("pos").cast("long").as("i"),
+          round(col("col") * 1000000.0, 0).cast("long").as("q"))
+      q.as("a").join(q.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a.q") * col("b.q")).as("gram_micro2"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM embeddings)
+      SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.q * b.q) AS BIGINT) AS gram_micro2
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i ORDER BY i, j"""))
+
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, embedDedup, vectorStats, gramMatrix)
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Iterative graph analytics over relational data. The reference has
+  * no graph surface; this is north-star breadth alongside
+  * [[graft.llm.Dedup.connectedComponents]] — and the determinism
+  * story is the interesting part: PageRank is usually float-valued
+  * and iteration-order-dependent, but with ranks held in integer
+  * pico-units and every division a floor, the fixpoint trajectory is
+  * bit-identical in any engine, so even an ITERATIVE algorithm gets a
+  * full hash oracle (the oracle unrolls the same five iterations as
+  * chained CTEs — no vendor recursive-CTE semantics relied on).
+  */
+object Graph {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** PageRank (d = 0.85, 5 iterations) over the bipartite
+    * customer↔supplier purchase graph: an edge per distinct
+    * (customer, supplier) pair observed in lineitem⋈orders, in both
+    * directions so no vertex dangles. Vertex ids are disjointly
+    * encoded (customer → 2k, supplier → 2k+1).
+    *
+    * Rank arithmetic is exact integer pico-units (SCALE = 1e12):
+    * init = SCALE div N; each round
+    * r'(v) = teleport + (85 · Σ_{u→v} (r(u) div deg(u))) div 100 with
+    * teleport = (15 · (SCALE div N)) div 100. Floor losses are part
+    * of the definition, so the trajectory is engine-independent.
+    *
+    * Scale shape: one edge-build join, then per iteration ONE shuffle
+    * (contributions grouped by dst) against the persisted edge+degree
+    * frames and a 1-row broadcast teleport; the rank table is
+    * vertex-sized, never edge-sized. This is the same iterative
+    * discipline as [[graft.llm.Dedup.connectedComponents]] (which
+    * localCheckpoints per round because its round count is
+    * data-dependent; 5 fixed rounds keep the plan tree bounded here). */
+  /** The iteration core: symmetric `(src, dst)` edges in, vertex
+    * ranks `(v, r)` in integer pico-units out. Vertices are the
+    * distinct sources (symmetric edges ⇒ no dangling mass). */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).persist()
+    // symmetric edges ⇒ vertex set = distinct sources = deg's keys
+    val verts = deg.select(col("src").as("v"))
+    val tele = deg.agg(count(lit(1)).as("n"))
+      .select(col("n"), expr("(15 * (1000000000000 div n)) div 100").as("t"))
+    var pr = verts.crossJoin(broadcast(tele))
+      .select(col("v"), expr("1000000000000 div n").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(deg, "src")
+        .join(pr.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(expr("r div d")).as("contrib"))
+      pr = verts.join(contrib, Seq("v"), "left")
+        .crossJoin(broadcast(tele))
+        .select(col("v"),
+          expr("t + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100").as("r"))
+    }
+    pr
+  }
+
+  val pagerank: Q = Q(
+    "q_pagerank",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+      val edges = cs.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        .unionAll(cs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      pageRank(edges, 5).select(
+          when(col("v") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+          expr("v div 2").as("id"), col("r"))
+        .orderBy("kind", "id")
+    },
+    Some("""
+      WITH cs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c * 2 AS src, p * 2 + 1 AS dst FROM cs
+        UNION ALL
+        SELECT p * 2 + 1 AS src, c * 2 AS dst FROM cs),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+      verts AS (SELECT src AS v FROM deg),
+      tele AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      (15 * (1000000000000 // count(*))) // 100 AS t
+               FROM verts),
+      pr0 AS (SELECT v, 1000000000000 // (SELECT n FROM tele) AS r FROM verts),
+      pr1 AS (SELECT verts.v AS v,
+                     (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM edges e JOIN deg d ON e.src = d.src JOIN pr0 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr2 AS (SELECT verts.v AS v,
+                     (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM edges e JOIN deg d ON e.src = d.src JOIN pr1 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr3 AS (SELECT verts.v AS v,
+                     (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM edges e JOIN deg d ON e.src = d.src JOIN pr2 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr4 AS (SELECT verts.v AS v,
+                     (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM edges e JOIN deg d ON e.src = d.src JOIN pr3 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr5 AS (SELECT verts.v AS v,
+                     (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM edges e JOIN deg d ON e.src = d.src JOIN pr4 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v)
+      SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+             v // 2 AS id, r
+      FROM pr5 ORDER BY kind, id"""))
+
+  val all: Seq[Q] = Seq(pagerank)
+}

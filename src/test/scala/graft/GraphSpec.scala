@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the integer-arithmetic PageRank (ops.Graph) beyond
+  * the unrolled-SQL hash oracle. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SCALE = 1000000000000L
+
+  test("pagerank on a star: the hub outranks the leaves, ranks are ordered by degree") {
+    // undirected star a(0)–b(1), a–c(2), a–d(3): hub sends 1/3 to each
+    // leaf, every leaf sends everything back to the hub
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val pr = ops.Graph.pageRank(edges, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.size == 4)
+    assert(Seq(1L, 2L, 3L).map(pr).distinct.size == 1, "leaves are symmetric")
+    assert(pr(0L) > pr(1L), "hub outranks leaves")
+    // closed form at the fixpoint: hub = (1-d)/4 + d*3*(leaf/1... ) —
+    // just pin conservation instead: floor losses only ever LOSE mass
+    val total = pr.values.sum
+    assert(total <= SCALE && total > SCALE - 1000L * pr.size,
+      s"rank mass conserved up to floor losses, got $total")
+  }
+
+  test("pagerank on a ring is uniform and equals the teleport fixpoint") {
+    // 4-ring: every vertex has degree 2 in each direction; perfect
+    // symmetry means every iteration keeps ranks equal, and the
+    // integer fixpoint is r = t + (85*r) div 100 reached from r0 = S/4
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val pr = ops.Graph.pageRank(ring, 5).collect().map(_.getLong(1))
+    assert(pr.distinct.length == 1, "symmetric graph, equal ranks")
+    var r = SCALE / 4
+    val t = (15L * (SCALE / 4)) / 100
+    for (_ <- 1 to 5) {
+      // each vertex receives two contributions of r div 2
+      r = t + (85L * (2L * (r / 2))) / 100
+    }
+    assert(pr.head == r, s"integer trajectory mismatch: got ${pr.head}, want $r")
+  }
+
+  test("gram matrix: diagonal matches per-coordinate sums of squares, full triangle present") {
+    val out = llm.Similarity.gramMatrix.fn(spark, sf001).collect()
+    val dim = 64
+    assert(out.length == dim * (dim + 1) / 2, "full upper triangle")
+    val nVec = Tables.load(spark, sf001, "embeddings").count()
+    assert(out.forall(_.getAs[Long]("n") == nVec), "every cell sums over every vector")
+    // recompute one diagonal cell independently
+    val d0 = Tables.load(spark, sf001, "embeddings")
+      .select(element_at(col("embedding").cast("array<double>"), 1).as("x"))
+      .select(round(col("x") * 1000000.0, 0).cast("long").as("q"))
+      .agg(sum(col("q") * col("q"))).head().getLong(0)
+    val cell = out.find(r => r.getAs[Long]("i") == 0L && r.getAs[Long]("j") == 0L).get
+    assert(cell.getAs[Long]("gram_micro2") == d0)
+  }
+}
