@@ -21,7 +21,7 @@ object SparkEntry {
       ops.Merge.all ++ ops.Layout.all ++ ops.TypedApi.all ++ ops.Profile.all ++
       ops.FuzzyJoin.all ++ ops.Graph.all ++
       llm.TextStats.all ++ llm.Dedup.all ++ llm.Similarity.all ++
-      llm.Ivf.all ++ llm.Pq.all ++ llm.Events.all ++ llm.Multimodal.all ++ llm.Sampling.all ++
+      llm.Ivf.all ++ llm.Pq.all ++ llm.IvfPq.all ++ llm.Events.all ++ llm.Multimodal.all ++ llm.Sampling.all ++
       llm.Curation.all ++ llm.Retrieval.all ++
       streaming.EventStream.all
 

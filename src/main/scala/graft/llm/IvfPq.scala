@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** IVF-PQ — the composed two-level ANN index every production vector
+  * system ships (coarse inverted lists from [[Ivf]], product-quantized
+  * RESIDUAL codes from [[Pq]]): probe bounds how much of the corpus a
+  * query touches, compression bounds what each touched row costs.
+  *
+  * Residual encoding is the part that makes the composition more than
+  * the sum: PQ codebooks are trained on `v − centroid(v)` — the
+  * within-cell displacement, which has far less variance than the raw
+  * vectors — so the same 4-byte code budget quantizes a much tighter
+  * distribution. Search reconstructs `centroid + decode(code)` inside
+  * probed lists only, shortlists by asymmetric cosine, and exact
+  * reranking restores true ordering among survivors.
+  *
+  * All determinism machinery is inherited: bounded ordered training
+  * samples, fixed Lloyd's iterations, ordered float folds — so
+  * centroids, codebooks, and therefore every code are bit-identical
+  * run to run. Scale shape: training ships only k centroids + m×k
+  * codebook cells to the driver; indexing is one map pass; a query
+  * touches ~nprobe/K of the corpus reading codes (4 B/vector), not
+  * floats — at 100 TB that is the difference between a 400 GB and a
+  * 25 TB scan, on top of the 16× probe cut. */
+object IvfPq {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Recall audit, same scheme as [[Ivf.annIvf]]/[[Pq.annPq]]: plant
+    * exact copies of the 8 query vectors, emit only exact-confirmed
+    * IVF-PQ hits — the row count IS the recall (of 40 slots).
+    * Approximate + engine-internal ⇒ rows-only; the planted-recall
+    * floor is pinned in PqSpec. */
+  val annIvfPq: Q = Q(
+    "q_ann_ivfpq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val planted = q.select((col("query_id") + lit(1000000L)).as("vec_id"),
+        col("qv").as("v"))
+      val corpus = emb.repartition(par).unionByName(planted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val centroids = Ivf.trainCentroids(corpus)
+      val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+      // residual frame: cluster assignment + within-cell displacement,
+      // persisted because it feeds BOTH codebook training and indexing
+      val resid = corpus
+        .withColumn("cluster", Ivf.clusterOf(col("v"), centroids))
+        .withColumn("res", zip_with(col("v"),
+          element_at(centLit, col("cluster") + 1), (a, b) => a - b))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val codebooks = Pq.trainCodebooks(resid.select(col("vec_id"), col("res").as("v")))
+      // the index: (cluster, 4-byte residual code) per vector; search
+      // reconstructs centroid + decode(code) inside probed lists only
+      val recon = resid
+        .select(col("vec_id"), col("cluster"),
+          Pq.encode(col("res"), codebooks).as("code"))
+        .select(col("vec_id"), col("cluster"),
+          zip_with(Pq.reconstruct(col("code"), codebooks),
+            element_at(centLit, col("cluster") + 1), (a, b) => a + b).as("rv"))
+      // quantization error stacks on top of probe misses here, so both
+      // query-side knobs open slightly wider than the single-level
+      // indexes (nprobe 8 vs IVF's 6, shortlist 80 vs PQ's 20); both
+      // scale with queries, not corpus
+      val probes = q.withColumn("cluster",
+        explode(Ivf.probeClusters(col("qv"), centroids, nprobe = 8)))
+      val wApprox = Window.partitionBy("query_id")
+        .orderBy(col("psim").desc, col("vec_id").asc)
+      val short = recon.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("psim", Similarity.cosine(col("rv"), col("qv")))
+        .withColumn("prank", row_number().over(wApprox))
+        .filter(col("prank") <= 80)
+        .select("query_id", "vec_id", "qv")
+      val wExact = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val ann = short.join(corpus, Seq("vec_id"))
+        .withColumn("sim", Similarity.cosine(col("v"), col("qv")))
+        .withColumn("rank", row_number().over(wExact).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      val exact = Similarity.exactTopK(q, corpus).select("query_id", "neighbor_id")
+      ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(annIvfPq)
+}

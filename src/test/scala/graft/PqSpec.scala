@@ -75,4 +75,21 @@ class PqSpec extends SparkSpec {
     for ((qid, _, nid) <- hits)
       assert(nid % 4 == qid % 4, s"query $qid retrieved off-cluster $nid")
   }
+
+  test("IVF-PQ recall audit floor: planted copies are retrievable through both levels") {
+    // the composed index must at minimum recover the planted exact
+    // copy of each query (same cell as the query by construction,
+    // zero residual distance) plus most true neighbors — the driver
+    // row count IS recall/40; pin a conservative floor here
+    val rows = llm.IvfPq.annIvfPq.fn(spark, sf001).collect()
+    assert(rows.length >= 30, s"IVF-PQ recall ${rows.length}/40 below floor")
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 8, "every query returns confirmed hits")
+    // the planted copy (query_id + 1000000) is cosine-1 identical, so
+    // it must appear among each query's confirmed neighbors
+    byQuery.foreach { case (qid, hs) =>
+      assert(hs.exists(_.getAs[Long]("neighbor_id") == qid + 1000000L),
+        s"query $qid lost its planted copy")
+    }
+  }
 }
