@@ -297,5 +297,77 @@ object Retrieval {
                         WHERE d.query_id = l.query_id AND d.doc_id = l.doc_id)
       ORDER BY l.query_id, l.lex_rank"""))
 
-  val all: Seq[Q] = Seq(bm25, hybrid, negatives)
+  /** Hashing-trick TF-IDF featurization: every token is hashed into a
+    * fixed 32-bucket feature space (md5-derived, engine-portable), so
+    * the feature map has CONSTANT width no matter how large the
+    * vocabulary grows — the standard featurizer when the vocabulary
+    * is unbounded or streaming (no vocabulary table to build, ship,
+    * or keep consistent). Bucket idf is ln((N+1)/(df+1)) in floored
+    * integer micro-nats (the [[TextStats]] lmSurprisal discipline, so
+    * the log-derived totals stay hash-portable); per-document output
+    * pins the non-zero feature count, the dominant feature (ties to
+    * the lower bucket), and the exact total feature mass.
+    *
+    * Scale shape: one explode → (doc, bucket) two-level aggregate
+    * (shuffle carries at most docs×32 rows after map-side combine),
+    * a 32-row idf table broadcast back, and one per-doc aggregate.
+    * Nothing is vocabulary-sized, which is the point of the trick. */
+  val hashedTfidf: Q = Q(
+    "q_hashed_tfidf",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val hex = md5(col("tok").cast("binary"))
+      def nib(i: Int) = {
+        val a = ascii(substring(hex, i, 1))
+        a - when(a >= 97, 87).otherwise(48)
+      }
+      val tf = d.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"), ((nib(1) * 16 + nib(2)) % 32).cast("long").as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      val nTot = d.agg(count(lit(1)).as("n_tot"))
+      val idf = tf.groupBy("b").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nTot))
+        .select(col("b"), floor(lit(1000000.0) *
+          log((col("n_tot") + 1).cast("double") / (col("df") + 1).cast("double")))
+          .cast("long").as("idf_micro"))
+      tf.join(broadcast(idf), "b")
+        .select(col("doc_id"), col("b"), (col("tf") * col("idf_micro")).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"),
+          max(struct(col("w"), (-col("b")).as("nb"))).as("top"),
+          sum(col("w")).as("total_micro"))
+        .select(col("doc_id"), col("nnz"), (-col("top.nb")).as("top_bucket"),
+          col("top.w").as("top_micro"), col("total_micro"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      tf AS (
+        SELECT doc_id,
+               ((ascii(substr(md5(tok), 1, 1)) -
+                 CASE WHEN ascii(substr(md5(tok), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+                (ascii(substr(md5(tok), 2, 1)) -
+                 CASE WHEN ascii(substr(md5(tok), 2, 1)) >= 97 THEN 87 ELSE 48 END)) % 32 AS b,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, b),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+      idf AS (
+        SELECT b, CAST(floor(1000000.0 *
+                 ln(CAST(n_tot + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)))
+               AS BIGINT) AS idf_micro
+        FROM (SELECT b, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY b)
+        CROSS JOIN n),
+      w AS (
+        SELECT doc_id, b, tf * idf_micro AS w
+        FROM tf JOIN idf USING (b))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+             arg_max(b, w * 32 - b) AS top_bucket,
+             max(w) AS top_micro,
+             CAST(sum(w) AS BIGINT) AS total_micro
+      FROM w GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(bm25, hybrid, negatives, hashedTfidf)
 }

@@ -327,29 +327,28 @@ object Similarity {
     * engine-identical), and the Gram entries are then exact integer
     * sums — the hash pins all 2 080 upper-triangle cells.
     *
-    * Scale shape: posexplode to (vector, coordinate) pairs, self-join
-    * on vec_id (row-local — Spark plans a single shuffle keyed by
-    * vec_id and the join blows up only by the fixed 64×65/2 factor,
-    * never corpus×corpus), then one dim²-sized aggregate: the shuffle
-    * out of the join carries d²·|corpus| rows but the RESULT is
-    * d²-sized, so partial aggregation collapses it map-side. At
-    * billion-vector scale the swap-in is a per-partition outer-product
-    * accumulator (mapPartitions over primitive arrays) feeding the
-    * same d²-key aggregate — identical output, fewer materialized
-    * pairs. */
+    * Scale shape: ZERO joins — the 64×65/2 coordinate pairs are
+    * generated row-locally by nested `transform` lambdas (the outer
+    * product never leaves the row pipeline), and the only shuffle is
+    * the final d²-keyed aggregate, whose map-side partials collapse
+    * each task to at most 2 080 rows regardless of corpus size. The
+    * self-join formulation (what the oracle SQL runs) would shuffle
+    * the corpus twice to co-locate coordinates that were never apart. */
   val gramMatrix: Q = Q(
     "q_gram_matrix",
     (s, dir) => {
-      val q = t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          posexplode(col("embedding").cast("array<double>")))
-        .select(col("vec_id"), col("pos").cast("long").as("i"),
-          round(col("col") * 1000000.0, 0).cast("long").as("q"))
-      q.as("a").join(q.as("b"),
-          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
-        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("a.q") * col("b.q")).as("gram_micro2"))
+      val quant = transform(col("embedding").cast("array<double>"),
+        x => round(x * 1000000.0, 0).cast("long"))
+      val pairs = flatten(transform(sequence(lit(0), lit(63)), i =>
+        transform(sequence(i, lit(63)), j =>
+          struct(i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at(col("q"), (i + 1).cast("int")) *
+              element_at(col("q"), (j + 1).cast("int"))).as("p")))))
+      t(s, dir, "embeddings")
+        .select(quant.as("q"))
+        .select(explode(pairs).as("c"))
+        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("c.p")).as("gram_micro2"))
         .orderBy("i", "j")
     },
     Some("""

@@ -103,4 +103,20 @@ class RetrievalSpec extends SparkSpec {
     // exactly the set difference, not a subset
     assert(neg.toSet == (lex20 -- den5))
   }
+
+  test("hashed tf-idf: fixed feature width, dominant feature consistent, mass additive") {
+    val out = Retrieval.hashedTfidf.fn(spark, sf001).collect()
+    val nDocs = Tables.load(spark, sf001, "documents").count()
+    assert(out.length.toLong == nDocs, "every document featurized")
+    out.foreach { r =>
+      assert(r.getAs[Long]("nnz") >= 1 && r.getAs[Long]("nnz") <= 32,
+        "feature width is the fixed 32-bucket space")
+      val b = r.getAs[Long]("top_bucket")
+      assert(b >= 0 && b < 32)
+      assert(r.getAs[Long]("top_micro") <= r.getAs[Long]("total_micro"))
+      // dominant feature times nnz bounds the total from above
+      assert(r.getAs[Long]("total_micro") <=
+        r.getAs[Long]("top_micro") * r.getAs[Long]("nnz"))
+    }
+  }
 }
