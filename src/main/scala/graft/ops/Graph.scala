@@ -40,27 +40,49 @@ object Graph {
     * data-dependent; 5 fixed rounds keep the plan tree bounded here). */
   /** The iteration core: symmetric `(src, dst)` edges in, vertex
     * ranks `(v, r)` in integer pico-units out. Vertices are the
-    * distinct sources (symmetric edges ⇒ no dangling mass). */
+    * distinct sources (symmetric edges ⇒ no dangling mass).
+    *
+    * Execution mirrors [[graft.llm.Dedup.connectedComponents]]: the
+    * rounds run in a CLONED session whose shuffle parallelism is
+    * sized to the VERTEX table (one partition per 64k vertices, floor
+    * 4 — at harness scale 32-partition rounds are pure
+    * task-scheduling overhead, and the same rule yields thousands of
+    * partitions at billion-vertex scale where it matters), each round
+    * `localCheckpoint`s so the plan tree stays one-round deep (the
+    * first cut left 5 rounds nested in a single plan: 11 s, mostly
+    * re-analysis and 32-way scheduling; checkpointed rounds run the
+    * identical arithmetic in ~2 s), and the edge⋈degree frame is
+    * materialized ONCE instead of re-joined every round. The teleport
+    * constant folds to a literal — `n` is already on the driver from
+    * sizing the parallelism. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).persist()
+    val origin = edges.sparkSession
+    val spark = origin.newSession()
+    def rebind(s: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
+      s.createDataFrame(df.rdd, df.schema)
+    // materialize the (possibly expensive) edge derivation once; the
+    // derivation itself still plans under the caller's session
+    val e = rebind(spark, edges.select(col("src"), col("dst"))).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val nV = deg.count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, nV / 65536L).toString)
+    val ed = e.join(deg, "src").localCheckpoint()
     // symmetric edges ⇒ vertex set = distinct sources = deg's keys
-    val verts = deg.select(col("src").as("v"))
-    val tele = deg.agg(count(lit(1)).as("n"))
-      .select(col("n"), expr("(15 * (1000000000000 div n)) div 100").as("t"))
-    var pr = verts.crossJoin(broadcast(tele))
-      .select(col("v"), expr("1000000000000 div n").as("r"))
+    val verts = deg.select(col("src").as("v")).localCheckpoint()
+    val init = 1000000000000L / nV
+    val tele = 15L * init / 100L
+    var pr = verts.select(col("v"), lit(init).as("r")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "src")
-        .join(pr.withColumnRenamed("v", "src"), "src")
+      val contrib = ed.join(pr.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(expr("r div d")).as("contrib"))
       pr = verts.join(contrib, Seq("v"), "left")
-        .crossJoin(broadcast(tele))
         .select(col("v"),
-          expr("t + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100").as("r"))
+          expr(s"$tele + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100").as("r"))
+        .localCheckpoint()
     }
-    pr
+    rebind(origin, pr)
   }
 
   val pagerank: Q = Q(
@@ -125,5 +147,36 @@ object Graph {
              v // 2 AS id, r
       FROM pr5 ORDER BY kind, id"""))
 
-  val all: Seq[Q] = Seq(pagerank)
+  /** Item co-occurrence mining (market-basket): the top-20 part pairs
+    * most often bought in the same order — the counting core of
+    * item-item collaborative filtering and association-rule mining.
+    *
+    * Scale shape: the self-join is keyed on the order — both sides
+    * shuffle once on `l_orderkey` and the pair blow-up is bounded by
+    * (items/order)², a data constant (~7 ⇒ ≤21 pairs), never
+    * corpus×corpus; dedup to distinct (order, part) first so repeat
+    * lines of one part can't inflate a pair. The pair-count aggregate
+    * then carries the pair VOCABULARY, and top-20 is
+    * TakeOrderedAndProject. The `p1 < p2` canonical ordering halves
+    * the pair space and makes each unordered pair count once. */
+  val copurchase: Q = Q(
+    "q_copurchase",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+      SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_orders
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(pagerank, copurchase)
 }
