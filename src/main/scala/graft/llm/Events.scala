@@ -243,6 +243,50 @@ object Events {
              CAST(round(n * 1000.0 / sum(n) OVER (PARTITION BY src_type)) AS BIGINT) AS permille
       FROM agg ORDER BY src_type, dst_type"""))
 
+  /** Calendar-spine gap filling: densify a sparse daily series onto
+    * the table's full day range so downstream window math (moving
+    * averages, period-over-period) sees every day, zero-filled. The
+    * sparse series is high-value purchases (value > 300 — 5 of 30
+    * days at sf0.01, so the gap path is genuinely exercised); the
+    * spine bounds come from the UNFILTERED table, generated by
+    * `sequence(min_day, max_day)` exploded from a 1-row aggregate —
+    * the spine is derived, never hand-written, and its length is the
+    * date span, not the row count, so this is scan + 1-row broadcast
+    * + explode at any corpus size. */
+  val dateSpine: Q = Q(
+    "q_date_spine",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val daily = ev
+        .filter(col("event_type") === "purchase" && col("value") > 300)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n"), lit(0L)).as("n_purchases"),
+          coalesce(col("cents"), lit(0L)).as("revenue_cents"),
+          col("n").isNull.as("is_gap"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+      spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+      daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' AND value > 300
+        GROUP BY CAST(ts AS DATE))
+      SELECT day, coalesce(n, 0) AS n_purchases, coalesce(cents, 0) AS revenue_cents,
+             n IS NULL AS is_gap
+      FROM spine LEFT JOIN daily USING (day)
+      ORDER BY day"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
-    transitions)
+    transitions, dateSpine)
 }

@@ -299,6 +299,55 @@ object Profile {
       FROM documents CROSS JOIN thresholds
       GROUP BY lang ORDER BY lang"""))
 
+  /** Equi-depth (quantile) binning: assign every document to its
+    * n_chars quartile and emit per-bin stats — the complement of
+    * [[histogram]]'s equi-width bins (quantile bins adapt to the
+    * distribution; width bins adapt to the range). Boundaries use the
+    * same ceil-rank percentile definition as [[winsorize]], computed
+    * over the distinct-value table (domain-bounded, no global row
+    * sort) and broadcast back as one row. Bin populations differ only
+    * by boundary ties, and every per-bin stat is an exact BIGINT, so
+    * the whole binning function is in the hash. */
+  val quantileBins: Q = Q(
+    "q_quantile_bins",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val tot = d.agg(count(lit(1)).as("n_tot"))
+      val cum = d.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bounds = cum.crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") >= expr("(n_tot + 3) div 4"), col("v"))).as("q1"),
+          min(when(col("cum") >= expr("(2 * n_tot + 3) div 4"), col("v"))).as("q2"),
+          min(when(col("cum") >= expr("(3 * n_tot + 3) div 4"), col("v"))).as("q3"))
+      val bin = when(col("n_chars") <= col("q1"), 1L)
+        .when(col("n_chars") <= col("q2"), 2L)
+        .when(col("n_chars") <= col("q3"), 3L).otherwise(4L)
+      d.crossJoin(broadcast(bounds))
+        .groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+      cum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars)),
+      bounds AS (
+        SELECT min(CASE WHEN cum >= (n_tot + 3) // 4 THEN v END) AS q1,
+               min(CASE WHEN cum >= (2 * n_tot + 3) // 4 THEN v END) AS q2,
+               min(CASE WHEN cum >= (3 * n_tot + 3) // 4 THEN v END) AS q3
+        FROM cum CROSS JOIN tot)
+      SELECT CAST(CASE WHEN n_chars <= q1 THEN 1 WHEN n_chars <= q2 THEN 2
+                       WHEN n_chars <= q3 THEN 3 ELSE 4 END AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents CROSS JOIN bounds
+      GROUP BY 1 ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
-    groupZscore, winsorize)
+    groupZscore, winsorize, quantileBins)
 }

@@ -37,4 +37,22 @@ class EventsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq == Seq(("a", "b", 1L)))
   }
+
+  test("date spine: dense day coverage, gaps zero-filled and flagged") {
+    val out = Events.dateSpine.fn(spark, sf001).collect()
+    val days = out.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    // dense: consecutive days, no holes, spanning the table's range
+    days.sliding(2).foreach { case Array(a, b) =>
+      assert(b == a.plusDays(1), s"spine hole between $a and $b")
+    }
+    out.foreach { r =>
+      if (r.getAs[Boolean]("is_gap")) {
+        assert(r.getAs[Long]("n_purchases") == 0L)
+        assert(r.getAs[Long]("revenue_cents") == 0L)
+      } else assert(r.getAs[Long]("n_purchases") > 0L)
+    }
+    // the sf0.001 series is entirely below the threshold: every day
+    // is a gap, the degenerate all-zero spine must still be dense
+    assert(out.nonEmpty)
+  }
 }

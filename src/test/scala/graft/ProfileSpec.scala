@@ -57,6 +57,23 @@ class ProfileSpec extends SparkSpec {
     assert(p95 == chars(k95 - 1), "p95 == value at rank ceil(0.95 n)")
   }
 
+  test("quantile bins: contiguous coverage, populations near n/4 up to boundary ties") {
+    val out = ops.Profile.quantileBins.fn(spark, sf001).collect()
+    assert(out.map(_.getAs[Long]("bin")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val n = out.map(_.getAs[Long]("n_docs")).sum
+    out.foreach { r =>
+      // equi-depth up to ties on the boundary values: each bin holds
+      // 25% give or take the heaviest tied value's population
+      assert(math.abs(r.getAs[Long]("n_docs") - n / 4) <= n / 10, s"bin off: $r")
+    }
+    // bins tile the value range without overlap
+    val ranges = out.sortBy(_.getAs[Long]("bin"))
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, "bins must not overlap")
+    }
+  }
+
   test("temperature sampling: alpha=0.5 upweights low-resource languages") {
     val out = llm.Sampling.temperature.fn(spark, sf001).collect()
     val byLang = out.map(r => r.getAs[String]("lang") ->
