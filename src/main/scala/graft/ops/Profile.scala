@@ -348,6 +348,52 @@ object Profile {
       FROM documents CROSS JOIN bounds
       GROUP BY 1 ORDER BY bin"""))
 
+  /** In-flight data-quality counters via Spark's `Observation` API:
+    * the metrics ride the SAME job that materializes the pipeline's
+    * real output — no second scan, no extra action — which is how a
+    * production pipeline affords per-batch quality telemetry on a
+    * 100 TB pass (a separate profiling query would double the I/O).
+    * Here the "pipeline" filters orders to a status and the observed
+    * aggregates (row/priority/extrema/cents-sum counters) are captured
+    * during its parquet-write-shaped action; the query then RETURNS
+    * the captured counters as a 1-row frame, and the oracle recomputes
+    * them relationally — proving the observed values equal what a
+    * dedicated aggregation query would have found. */
+  val observedMetrics: Q = Q(
+    "q_observed_metrics",
+    (s, dir) => {
+      val obs = new org.apache.spark.sql.Observation("graft_quality")
+      val pipeline = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .observe(obs,
+          count(lit(1)).as("rows"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("urgent_rows"),
+          max(round(col("o_totalprice") * 100, 0).cast("long")).as("max_cents"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("total_cents"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"))
+      // the action the metrics ride on — a DATAFRAME action is
+      // required (Observation delivers through the
+      // QueryExecutionListener, which RDD-level actions like
+      // queryExecution.toRdd never fire — obs.get would block
+      // forever); the noop sink materializes every row without
+      // writing anything
+      pipeline.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("rows").asInstanceOf[Long],
+        m("urgent_rows").asInstanceOf[Long],
+        m("max_cents").asInstanceOf[Long],
+        m("total_cents").asInstanceOf[Long]))
+        .toDF("rows", "urgent_rows", "max_cents", "total_cents")
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS rows,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_rows,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders WHERE o_orderstatus = 'F'"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
-    groupZscore, winsorize, quantileBins)
+    groupZscore, winsorize, quantileBins, observedMetrics)
 }
