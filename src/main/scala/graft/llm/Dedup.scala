@@ -471,5 +471,57 @@ object Dedup {
       FROM grp GROUP BY g HAVING count(*) >= 2
       ORDER BY component"""))
 
-  val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs, dedupClusters)
+  /** Canonical-representative selection — the step AFTER clustering
+    * that actually emits the deduplicated corpus: within each near-dup
+    * component keep the BEST member (longest text, ties to the lower
+    * doc_id), not the arbitrary lowest id. This quality-aware keep
+    * rule is what production dedup pipelines run (dropping the richer
+    * duplicate is a real data loss); the selection is a max_by over a
+    * (quality, -id) struct inside the per-component aggregate — no
+    * second pass, no window re-sort over members. Emits EVERY
+    * component (including singletons) with its canonical member and
+    * the per-component chars kept/dropped, so the hash pins the
+    * complete keep/drop decision for the corpus. */
+  val dedupCanonical: Q = Q(
+    "q_dedup_canonical",
+    (s, dir) => {
+      val docs = wordSets(t(s, dir, "documents"))
+      val labels = connectedComponents(
+        consecutiveJaccardEdges(docs), docs.select(col("doc_id").as("id")))
+      val chars = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      labels.join(chars, labels("id") === chars("doc_id"))
+        .groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(col("component"), col("n_docs"),
+          (-col("best.nid")).as("canonical_id"),
+          col("best.n_chars").as("canonical_chars"),
+          (col("total_chars") - col("best.n_chars")).as("dropped_chars"))
+        .orderBy("component")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w
+                 FROM documents),
+      e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+            WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+                  nullif(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)), 0) >= 0.7),
+      marks AS (SELECT doc_id,
+                       CASE WHEN doc_id IN (SELECT dst FROM e) THEN 0 ELSE 1 END AS ng
+                FROM d),
+      grp AS (SELECT doc_id,
+                     sum(ng) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS g
+              FROM marks),
+      m AS (SELECT g, doc_id, n_chars
+            FROM grp JOIN documents USING (doc_id))
+      SELECT CAST(min(doc_id) AS BIGINT) AS component,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             arg_max(doc_id, n_chars * 100000000 - doc_id) AS canonical_id,
+             CAST(max(n_chars) AS BIGINT) AS canonical_chars,
+             CAST(sum(n_chars) - max(n_chars) AS BIGINT) AS dropped_chars
+      FROM m GROUP BY g ORDER BY component"""))
+
+  val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs,
+    dedupClusters, dedupCanonical)
 }
