@@ -248,4 +248,32 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
     }
   }
+
+  test("Gram matrix is join-free: the outer product never leaves the row pipeline") {
+    val p = finalPlan(q("q_gram_matrix"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("hashed tf-idf: the 32-row idf table broadcasts, never a shuffle join") {
+    val p = finalPlan(q("q_hashed_tfidf"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("co-purchase self-join is order-keyed (hash join, no nested loop)") {
+    val p = finalPlan(q("q_copurchase"))
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("segment dedup: ownership is one hash-partitioned window, no self-join") {
+    val p = finalPlan(q("q_segment_dedup"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+  }
 }
