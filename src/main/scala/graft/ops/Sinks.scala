@@ -210,6 +210,47 @@ object Sinks {
              CAST(min(c_custkey) AS BIGINT) AS min_key
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Schema evolution across parquet generations: generation v1 wrote
+    * 3 columns, generation v2 added `o_orderpriority` — the normal
+    * life of any long-lived lake table. `mergeSchema` reconciles the
+    * footers at read time and back-fills the missing column with
+    * nulls for v1 rows, so old data keeps serving without a rewrite.
+    * The aggregate pins exactly that: null-priority count == the v1
+    * generation's row count, totals lossless across both generations.
+    *
+    * Scale note: mergeSchema footer reconciliation costs one metadata
+    * pass over file footers (driver-side, proportional to file count,
+    * not bytes) — on a 100 TB table you enable it per-read or declare
+    * the merged schema in the catalog instead of rescanning. */
+  val schemaEvolution: Q = Q(
+    "q_schema_evolution",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderpriority"))
+      val out = graft.Staging.dir(s, "graft_orders_evolving")
+      // generation 1: the schema before the column existed
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "cents")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      // generation 2: the widened schema
+      o.filter(col("o_orderkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(col("cents")).as("total_cents"),
+          max(col("o_orderpriority")).as("max_priority"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             max(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS max_priority
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
   val all: Seq[Q] = Seq(partitionPruned, bucketedJoin, orcRoundTrip,
-    csvRoundTrip, jsonRoundTrip)
+    csvRoundTrip, jsonRoundTrip, schemaEvolution)
 }
