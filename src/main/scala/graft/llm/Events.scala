@@ -287,6 +287,41 @@ object Events {
       FROM spine LEFT JOIN daily USING (day)
       ORDER BY day"""))
 
+  /** Semi-structured access through Spark 4's VARIANT type:
+    * `parse_json` encodes the props JSON into the engine's binary
+    * variant form ONCE, and every subsequent `variant_get` path reads
+    * the encoded tree — the engine-level upgrade over
+    * [[jsonExtract]]'s `get_json_object`, which re-parses the text on
+    * every extraction (on a 100 TB event log with several extracted
+    * fields, parse-once-read-many is the difference in scan CPU).
+    * Typed extraction (`$.k` as BIGINT) happens inside the variant
+    * reader, no string round trip. The oracle reproduces the same
+    * result through DuckDB's JSON path functions — proving the
+    * variant encode/decode is lossless for the value domain. */
+  val variantJson: Q = Q(
+    "q_variant_json",
+    (s, dir) => {
+      val k = variant_get(parse_json(col("props")), "$.k", "bigint")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(expr("k % 5").as("k_mod"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          sum(col("cents")).as("sum_cents"),
+          count_distinct(col("event_type")).as("n_types"))
+        .orderBy("k_mod")
+    },
+    Some("""
+      SELECT k % 5 AS k_mod, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             CAST(max(k) AS BIGINT) AS max_k,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      GROUP BY k % 5 ORDER BY k_mod"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
-    transitions, dateSpine)
+    transitions, dateSpine, variantJson)
 }
