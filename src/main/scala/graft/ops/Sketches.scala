@@ -99,5 +99,49 @@ object Sketches {
       FROM lineitem GROUP BY l_partkey
       ORDER BY exact_cnt DESC, l_partkey LIMIT 10"""))
 
-  val all: Seq[Q] = Seq(hllMerge, cmsHeavyHitters)
+  /** Bloom-sketch join pre-pruning — the third sketch family next to
+    * HLL and CMS, and the one that changes JOIN cost: the dim side's
+    * key set collapses to a few-KB Bloom filter
+    * ([[graft.functions.BloomAgg]], the same expression pair behind
+    * AQE's runtime row filters), which broadcasts onto the fact scan
+    * and drops non-joining rows BEFORE any shuffle. False positives
+    * survive the probe but die in the exact confirming join, so the
+    * result is IDENTICAL to the plain join — which is exactly what
+    * the oracle asserts (the plain join, no bloom anywhere). At
+    * 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling the ~selectivity fraction that can match. */
+  val bloomPrune: Q = Q(
+    "q_bloom_prune",
+    (s, dir) => {
+      val dim = t(s, dir, "supplier")
+        .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+      // the built filter is a few-KB binary; `might_contain` requires
+      // a CONSTANT filter (or scalar subquery), so it ships to the
+      // driver once and re-enters the plan as a literal — the same
+      // bounded sketch-collect the CMS heavy-hitter query uses, and
+      // size-independent of the fact table by construction
+      val bfBytes = dim.agg(
+        graft.functions.BloomAgg.build(xxhash64(col("s_suppkey")), 1000L, 16384L).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      // an EMPTY dim aggregates to a null filter — prune everything,
+      // which is exactly what the plain join would return
+      val probe = if (bfBytes == null) lit(false)
+        else graft.functions.BloomAgg.mightContain(lit(bfBytes), xxhash64(col("l_suppkey")))
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .filter(probe)
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("sum_cents"))
+        .orderBy("l_suppkey")
+    },
+    Some("""
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 3
+      GROUP BY l_suppkey ORDER BY l_suppkey"""))
+
+  val all: Seq[Q] = Seq(hllMerge, cmsHeavyHitters, bloomPrune)
 }

@@ -37,4 +37,23 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(merged - exact).toDouble / exact <= 0.05,
       s"estimate $merged drifted >5% from exact $exact")
   }
+
+  test("bloom prune: no false negatives, genuine pruning, result == plain join") {
+    val dim = Tables.load(spark, sf001, "supplier")
+      .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+    val bf = dim.agg(graft.functions.BloomAgg
+        .build(xxhash64(col("s_suppkey")), 1000L, 16384L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val li = Tables.load(spark, sf001, "lineitem").select(col("l_suppkey"))
+    val total = li.count()
+    val pass = li.filter(graft.functions.BloomAgg
+      .mightContain(lit(bf), xxhash64(col("l_suppkey")))).count()
+    val matched = li.join(dim, col("l_suppkey") === col("s_suppkey")).count()
+    assert(pass >= matched, "a Bloom filter can never drop a true match")
+    assert(pass < total, s"the filter must actually prune ($pass of $total passed)")
+    // and the full query's exact confirming join erases false positives
+    val got = ops.Sketches.bloomPrune.fn(spark, sf001)
+      .agg(sum(col("n_lines"))).head().getLong(0)
+    assert(got == matched)
+  }
 }
