@@ -322,6 +322,73 @@ object Events {
       FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       GROUP BY k % 5 ORDER BY k_mod"""))
 
+  /** Overlapping-interval union (coverage): each event opens a 5-min
+    * activity interval; per user, transitively-overlapping intervals
+    * merge into islands and the query reports island count, total
+    * covered seconds, and the longest stretch — the "how much wall
+    * time was this user active" metric that point-gap sessionization
+    * ([[sessionize]]) cannot express (intervals can overlap and
+    * nest; gaps between POINTS don't see that).
+    *
+    * The merge is the standard running-max sweep: an interval starts
+    * a new island iff its start exceeds the max end of everything
+    * before it — two windows (prefix-max, then prefix-sum) over the
+    * same (user, time) ordering, so the whole operator is one
+    * user-keyed shuffle. All arithmetic on integer epoch seconds. */
+  val intervalMerge: Q = Q(
+    "q_interval_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val span = 300L
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("s0"))
+        .withColumn("e0", col("s0") + span)
+      val order = Window.partitionBy("user_id")
+        .orderBy(col("s0").asc, col("event_id").asc)
+      val prevMax = max(col("e0")).over(
+        order.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = ev
+        .withColumn("new_island",
+          when(col("s0") > coalesce(prevMax, lit(Long.MinValue)), 1L).otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s0")).as("start"), max(col("e0")).as("end"))
+      islands.groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("end") - col("start")).as("covered_secs"),
+          max(col("end") - col("start")).as("longest_secs"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s0,
+               CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e0
+        FROM events),
+      marked AS (
+        SELECT user_id, s0, e0,
+               CASE WHEN s0 > coalesce(max(e0) OVER (PARTITION BY user_id
+                         ORDER BY s0 ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -9223372036854775807) THEN 1 ELSE 0 END AS new_island,
+               event_id
+        FROM iv),
+      grouped AS (
+        SELECT user_id, s0, e0,
+               sum(new_island) OVER (PARTITION BY user_id
+                    ORDER BY s0 ASC, event_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked),
+      islands AS (
+        SELECT user_id, island, min(s0) AS start, max(e0) AS "end"
+        FROM grouped GROUP BY user_id, island)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+             CAST(sum("end" - start) AS BIGINT) AS covered_secs,
+             CAST(max("end" - start) AS BIGINT) AS longest_secs
+      FROM islands GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
-    transitions, dateSpine, variantJson)
+    transitions, dateSpine, variantJson, intervalMerge)
 }
