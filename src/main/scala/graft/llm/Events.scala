@@ -389,6 +389,52 @@ object Events {
              CAST(max("end" - start) AS BIGINT) AS longest_secs
       FROM islands GROUP BY user_id ORDER BY user_id"""))
 
+  /** Two-proportion A/B significance, EXACTLY: cohorts by user-id
+    * parity, conversion = "user has ≥1 purchase", and the 95% z-test
+    * cross-multiplied until every term is integer — from
+    * z² = (c₁n₂−c₂n₁)²(n₁+n₂) / (n₁n₂c(n−c)) the decision becomes
+    * 10000·(c₁n₂−c₂n₁)²·(n₁+n₂) > 38416·n₁n₂·c·(n−c), so the
+    * significance flag is engine-exact (the [[graft.ops.Profile]]
+    * outlier discipline applied to experiment analytics). Magnitudes
+    * fit BIGINT through ~10⁴ users per cohort; past that the exact
+    * test stops mattering and the double z is fine — documented trade.
+    * One users-sized aggregate, then 1-row arithmetic. */
+  val abTest: Q = Q(
+    "q_ab_test",
+    (s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+        .withColumn("cohort", col("user_id") % 2)
+      val stats = users.groupBy("cohort")
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+      val a = stats.filter(col("cohort") === 0)
+        .select(col("n").as("n1"), col("c").as("c1"))
+      val b = stats.filter(col("cohort") === 1)
+        .select(col("n").as("n2"), col("c").as("c2"))
+      a.crossJoin(broadcast(b))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"),
+          (lit(10000L) * (col("c1") * col("n2") - col("c2") * col("n1")) *
+            (col("c1") * col("n2") - col("c2") * col("n1")) * (col("n1") + col("n2")) >
+            lit(38416L) * col("n1") * col("n2") * (col("c1") + col("c2")) *
+              (col("n1") + col("n2") - col("c1") - col("c2"))).as("significant_95"))
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+               user_id % 2 AS cohort
+        FROM events GROUP BY user_id),
+      stats AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS c
+        FROM users GROUP BY cohort),
+      a AS (SELECT n AS n1, c AS c1 FROM stats WHERE cohort = 0),
+      b AS (SELECT n AS n2, c AS c2 FROM stats WHERE cohort = 1)
+      SELECT n1, c1, n2, c2,
+             10000 * (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1 + n2) >
+               38416 * n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2) AS significant_95
+      FROM a CROSS JOIN b"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
-    transitions, dateSpine, variantJson, intervalMerge)
+    transitions, dateSpine, variantJson, intervalMerge, abTest)
 }
