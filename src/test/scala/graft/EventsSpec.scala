@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions._
 import graft.llm.Events
 
 /** Transition-matrix semantics on a hand-computed event stream. */
@@ -36,6 +37,39 @@ class EventsSpec extends SparkSpec {
     val got = Events.transitionsOf(events)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.toSeq == Seq(("a", "b", 1L)))
+  }
+
+  test("interval merge == brute-force coverage on seeded random intervals") {
+    // the running-max sweep must agree with per-second brute force on
+    // arbitrary overlap patterns (nesting, chains, duplicates, gaps)
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val span = 50L
+    val rows = (0 until 300).map { i =>
+      (i.toLong, (i % 5).toLong, rnd.nextInt(2000).toLong)
+    } // (event_id, user_id, start-second)
+    val order = Window.partitionBy("user_id").orderBy(col("s0").asc, col("event_id").asc)
+    val prevMax = max(col("e0")).over(order.rowsBetween(Window.unboundedPreceding, -1))
+    val got = rows.toDF("event_id", "user_id", "s0")
+      .withColumn("e0", col("s0") + span)
+      .withColumn("ni", when(col("s0") > coalesce(prevMax, lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min(col("s0")).as("s"), max(col("e0")).as("e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("e") - col("s")).as("covered"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_._2).foreach { case (user, rs) =>
+      val secs = rs.flatMap { case (_, _, s) => s until (s + span) }.toSet
+      val (n, covered) = got(user)
+      assert(covered == secs.size.toLong, s"user $user covered")
+      // islands == number of maximal runs in the covered-second set
+      val runs = secs.toSeq.sorted.foldLeft((0, Long.MinValue)) {
+        case ((k, prev), s) => (if (s == prev + 1) k else k + 1, s)
+      }._1
+      assert(n == runs.toLong, s"user $user islands")
+    }
   }
 
   test("date spine: dense day coverage, gaps zero-filled and flagged") {

@@ -45,6 +45,34 @@ class GraphSpec extends SparkSpec {
     assert(pr.head == r, s"integer trajectory mismatch: got ${pr.head}, want $r")
   }
 
+  test("pagerank == sequential reference on seeded random graphs") {
+    // the distributed rounds must reproduce the EXACT integer
+    // trajectory of a single-threaded reference loop — on arbitrary
+    // graph shapes, not just the symmetric fixtures above
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val nV = 12 + rnd.nextInt(20)
+      val undirected = (0 until (nV * 2)).map { _ =>
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val edges = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val got = ops.Graph.pageRank(edges.toDF("src", "dst"), 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: same arithmetic, driver-side maps
+      val verts = edges.map(_._1).distinct.sorted
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val init = SCALE / verts.size
+      val t = 15L * init / 100L
+      var pr = verts.map(_ -> init).toMap
+      for (_ <- 1 to 5) {
+        val contrib = edges.groupBy(_._2).view.mapValues(
+          _.map { case (u, _) => pr(u) / deg(u) }.sum).toMap
+        pr = verts.map(v => v -> (t + 85L * contrib.getOrElse(v, 0L) / 100L)).toMap
+      }
+      assert(got == pr, s"seed $seed: distributed != reference")
+    }
+  }
+
   test("gram matrix: diagonal matches per-coordinate sums of squares, full triangle present") {
     val out = llm.Similarity.gramMatrix.fn(spark, sf001).collect()
     val dim = 64
