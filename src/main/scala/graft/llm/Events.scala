@@ -435,6 +435,34 @@ object Events {
                38416 * n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2) AS significant_95
       FROM a CROSS JOIN b"""))
 
+  /** SLIDING event-time window (2 h size, 1 h slide): every event
+    * lands in exactly two overlapping windows — the aggregation shape
+    * tumbling windows can't express (a tumbling window partitions;
+    * a sliding window multiplies). Spark's `window()` generates the
+    * per-event window memberships inline (a Generate, no self-join);
+    * the oracle reproduces the same two hour-aligned starts per event
+    * arithmetically. Counts and exact cents per (window, type). */
+  val slidingWindow: Q = Q(
+    "q_sliding_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("cnt"), col("sum_cents"))
+        .orderBy("w_start", "event_type"),
+    Some("""
+      SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM (
+        SELECT event_type, value,
+               unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS w_start
+        FROM events)
+      GROUP BY w_start, event_type
+      ORDER BY w_start, event_type"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
-    transitions, dateSpine, variantJson, intervalMerge, abTest)
+    transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow)
 }

@@ -517,6 +517,43 @@ object EventStream {
       FROM cnt c JOIN last l ON c.user_id = l.user_id
       ORDER BY c.user_id"""))
 
+  /** Streaming corrupt-record quarantine — the streaming twin of the
+    * batch PERMISSIVE ingest (`q_bad_records`): the landing zone mixes
+    * valid JSON-lines with 25 planted garbage lines, the file STREAM
+    * parses under the same explicit schema + corrupt-record column,
+    * and the rolling per-segment aggregate pins that every valid row
+    * survives and exactly the planted 25 land in quarantine — no row
+    * silently dropped mid-stream, which is the property a production
+    * ingest stream must prove before anyone trusts its output. */
+  val streamQuarantine: Q = Q(
+    "q_stream_quarantine",
+    (s, dir) => {
+      val stage = stagePath(s, "graft_stream_quarantine")
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite").json(stage)
+      s.range(25)
+        .select(concat(lit("{corrupt json line #"), col("id")).as("value"))
+        .write.mode("append").text(stage)
+      val local = narrowedSession(s, 4)
+      val sink = "graft_stream_quarantine_sink"
+      val sq = local.readStream
+        .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(stage)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_corrupt"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      local.table(sink).orderBy(asc_nulls_first("segment"))
+    },
+    graft.ops.Ingest.badRecords.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
-    streamState, streamFunnel, streamMerge)
+    streamState, streamFunnel, streamMerge, streamQuarantine)
 }
