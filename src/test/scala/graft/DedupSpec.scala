@@ -203,4 +203,22 @@ class DedupSpec extends SparkSpec {
     // and all three splits are populated
     assert(rows.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "valid"))
   }
+
+  test("canonical selection keeps the longest member of every component") {
+    val out = llm.Dedup.dedupCanonical.fn(spark, sf001).collect()
+    val chars = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getAs[Long]("n_docs")).sum == chars.size.toLong,
+      "every document belongs to exactly one component")
+    out.foreach { r =>
+      val canonical = r.getAs[Long]("canonical_id")
+      assert(r.getAs[Long]("canonical_chars") == chars(canonical))
+      // within multi-doc components the canonical is at least as long
+      // as the component head (the min-id member)
+      if (r.getAs[Long]("n_docs") > 1)
+        assert(chars(canonical) >= chars(r.getAs[Long]("component")),
+          s"component ${r.getAs[Long]("component")} kept a shorter member")
+    }
+  }
 }

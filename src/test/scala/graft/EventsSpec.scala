@@ -72,6 +72,34 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("A/B significance: integer decision matches the double z-test") {
+    val out = Events.abTest.fn(spark, sf001).head()
+    val (n1, c1, n2, c2) = (out.getAs[Long]("n1"), out.getAs[Long]("c1"),
+      out.getAs[Long]("n2"), out.getAs[Long]("c2"))
+    assert(n1 > 0 && n2 > 0 && c1 <= n1 && c2 <= n2)
+    val p1 = c1.toDouble / n1; val p2 = c2.toDouble / n2
+    val p = (c1 + c2).toDouble / (n1 + n2)
+    val z2 = math.pow(p1 - p2, 2) / (p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+    assert(out.getAs[Boolean]("significant_95") == (z2 > 3.8416),
+      s"integer test disagrees with double z² = $z2")
+  }
+
+  test("variant extraction == get_json_object on every event") {
+    val ev = Tables.load(spark, sf001, "events")
+    val mismatch = ev.select(
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("a"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(mismatch == 0L)
+  }
+
+  test("sliding window: every event lands in exactly two windows") {
+    val n = Tables.load(spark, sf001, "events").count()
+    val windowed = Events.slidingWindow.fn(spark, sf001)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(windowed == 2 * n, s"expected 2x$n memberships, got $windowed")
+  }
+
   test("date spine: dense day coverage, gaps zero-filled and flagged") {
     val out = Events.dateSpine.fn(spark, sf001).collect()
     val days = out.map(_.getAs[java.sql.Date]("day").toLocalDate)

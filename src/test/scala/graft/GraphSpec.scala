@@ -73,6 +73,22 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("co-purchase: hand-built baskets, canonical pair order, distinct-first") {
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), // dup line of part 20 must count once
+      (2L, 10L), (2L, 20L),
+      (3L, 20L), (3L, 10L), (3L, 30L), // order irrelevant: pair stored p1<p2
+      (4L, 40L) // singleton basket contributes nothing
+    ).toDF("o", "p")
+    val pairs = li.distinct().as("a")
+      .join(li.distinct().as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((10L, 20L) -> 3L, (10L, 30L) -> 1L, (20L, 30L) -> 1L))
+  }
+
   test("gram matrix: diagonal matches per-coordinate sums of squares, full triangle present") {
     val out = llm.Similarity.gramMatrix.fn(spark, sf001).collect()
     val dim = 64

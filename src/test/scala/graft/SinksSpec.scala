@@ -64,4 +64,13 @@ class SinksSpec extends SparkSpec {
     Sinks.registerView(Tables.load(spark, sf001, "region"), "contracts_like")
     assert(spark.sql("SELECT count(*) FROM contracts_like").collect().head.getLong(0) == 5L)
   }
+
+  test("schema evolution: legacy generation null-backfills, nothing lost") {
+    val out = Sinks.schemaEvolution.fn(spark, sf001).collect()
+    val o = Tables.load(spark, sf001, "orders")
+    val legacy = o.filter(col("o_orderkey") % 2 === 0).count()
+    assert(out.map(_.getAs[Long]("n_legacy")).sum == legacy,
+      "null priorities == exactly the pre-column generation's rows")
+    assert(out.map(_.getAs[Long]("n_orders")).sum == o.count(), "no rows lost")
+  }
 }
