@@ -327,28 +327,27 @@ object Similarity {
     * engine-identical), and the Gram entries are then exact integer
     * sums — the hash pins all 2 080 upper-triangle cells.
     *
-    * Scale shape: ZERO joins — the 64×65/2 coordinate pairs are
-    * generated row-locally by nested `transform` lambdas (the outer
-    * product never leaves the row pipeline), and the only shuffle is
-    * the final d²-keyed aggregate, whose map-side partials collapse
-    * each task to at most 2 080 rows regardless of corpus size. The
-    * self-join formulation (what the oracle SQL runs) would shuffle
-    * the corpus twice to co-locate coordinates that were never apart. */
+    * Scale shape: ZERO joins and ZERO exploded intermediates — the
+    * whole outer product lives inside [[graft.functions.GramAgg]], a
+    * typed imperative aggregate whose buffer is one flat
+    * long[d(d+1)/2] triangle per task (the first cut exploded
+    * d(d+1)/2 struct rows per vector before re-collapsing them:
+    * correct and join-free, but the 10M-row intermediate at sf0.1
+    * dominated wall-clock). Map-side combine through
+    * ObjectHashAggregate means the shuffle carries ONE triangle per
+    * task regardless of corpus size; the self-join formulation the
+    * oracle SQL runs would shuffle the corpus twice instead. */
   val gramMatrix: Q = Q(
     "q_gram_matrix",
     (s, dir) => {
       val quant = transform(col("embedding").cast("array<double>"),
         x => round(x * 1000000.0, 0).cast("long"))
-      val pairs = flatten(transform(sequence(lit(0), lit(63)), i =>
-        transform(sequence(i, lit(63)), j =>
-          struct(i.cast("long").as("i"), j.cast("long").as("j"),
-            (element_at(col("q"), (i + 1).cast("int")) *
-              element_at(col("q"), (j + 1).cast("int"))).as("p")))))
       t(s, dir, "embeddings")
         .select(quant.as("q"))
-        .select(explode(pairs).as("c"))
-        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-        .agg(count(lit(1)).as("n"), sum(col("c.p")).as("gram_micro2"))
+        .agg(graft.functions.GramAgg(col("q"), 64).as("g"))
+        .select(explode(col("g")).as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"),
+          col("c.n").as("n"), col("c.s").as("gram_micro2"))
         .orderBy("i", "j")
     },
     Some("""

@@ -103,4 +103,22 @@ class GraphSpec extends SparkSpec {
     val cell = out.find(r => r.getAs[Long]("i") == 0L && r.getAs[Long]("j") == 0L).get
     assert(cell.getAs[Long]("gram_micro2") == d0)
   }
+
+  test("GramAgg == the declarative explode formulation, cell for cell") {
+    val quant = transform(col("embedding").cast("array<double>"),
+      x => round(x * 1000000.0, 0).cast("long"))
+    val base = Tables.load(spark, sf001, "embeddings").select(quant.as("q"))
+    val viaAgg = llm.Similarity.gramMatrix.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val pairs = flatten(transform(sequence(lit(0), lit(63)), i =>
+      transform(sequence(i, lit(63)), j =>
+        struct(i.cast("long").as("i"), j.cast("long").as("j"),
+          (element_at(col("q"), (i + 1).cast("int")) *
+            element_at(col("q"), (j + 1).cast("int"))).as("p")))))
+    val viaExplode = base.select(explode(pairs).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("c.p")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(viaAgg == viaExplode)
+  }
 }
