@@ -48,11 +48,13 @@ object Graph {
     * 4 — at harness scale 32-partition rounds are pure
     * task-scheduling overhead, and the same rule yields thousands of
     * partitions at billion-vertex scale where it matters), each round
-    * `localCheckpoint`s so the plan tree stays one-round deep (the
-    * first cut left 5 rounds nested in a single plan: 11 s, mostly
-    * re-analysis and 32-way scheduling; checkpointed rounds run the
-    * identical arithmetic in ~2 s), and the edge⋈degree frame is
-    * materialized ONCE instead of re-joined every round. The teleport
+    * `localCheckpoint`s LAZILY so the plan tree stays one-round deep
+    * (the first cut left 5 rounds nested in a single plan: 11 s,
+    * mostly re-analysis and 32-way scheduling; eager per-round
+    * checkpoints cut that to ~5 s but paid a driver action barrier
+    * per round — lazy keeps the flat plans AND the single final
+    * action), and the edge⋈degree frame is materialized ONCE instead
+    * of re-joined every round. The teleport
     * constant folds to a literal — `n` is already on the driver from
     * sizing the parallelism. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
@@ -67,12 +69,17 @@ object Graph {
     val nV = deg.count()
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(4L, nV / 65536L).toString)
-    val ed = e.join(deg, "src").localCheckpoint()
+    // LAZY checkpoints from here down: they still cut the lineage (so
+    // the plan tree stays one-round deep and analysis cost is linear
+    // in rounds), but nothing materializes until the caller's single
+    // final action — the eager variant paid a driver round trip per
+    // round (8 action barriers, ~1.5 s of pure scheduling at sf0.1)
+    val ed = e.join(deg, "src").localCheckpoint(false)
     // symmetric edges ⇒ vertex set = distinct sources = deg's keys
-    val verts = deg.select(col("src").as("v")).localCheckpoint()
+    val verts = deg.select(col("src").as("v")).localCheckpoint(false)
     val init = 1000000000000L / nV
     val tele = 15L * init / 100L
-    var pr = verts.select(col("v"), lit(init).as("r")).localCheckpoint()
+    var pr = verts.select(col("v"), lit(init).as("r")).localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contrib = ed.join(pr.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
@@ -80,7 +87,7 @@ object Graph {
       pr = verts.join(contrib, Seq("v"), "left")
         .select(col("v"),
           expr(s"$tele + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100").as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     rebind(origin, pr)
   }
