@@ -148,5 +148,31 @@ object ScalarSuite {
             FROM documents)
       ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(stringFuncs, mathFuncs, orderedAggs, approxPercentile, arrayFuncs)
+  /** Regex scalar family over document text: group extraction,
+    * occurrence counting, and removal — the patterns every text
+    * pipeline leans on (redaction uses regexp_replace already; this
+    * pins the broader surface under the cross-engine hash). Patterns
+    * stay in the Java∩RE2 subset (no lookaround, no backrefs) so both
+    * engines compile them identically; word-boundary `\b` is in both. */
+  val regexSuite: Q = Q(
+    "q_regex_suite",
+    (s, dir) =>
+      graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "(\\w+)\\s+(\\w+)", 2).as("second_tok"),
+          regexp_count(col("text"), lit("\\bdata\\b")).cast("long").as("n_data"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+            .as("len_no_vowels"),
+          regexp_like(col("text"), lit("join.*join")).as("has_two_joins"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             regexp_extract(text, '(\w+)\s+(\w+)', 2) AS second_tok,
+             CAST(len(regexp_extract_all(text, '\bdata\b')) AS BIGINT) AS n_data,
+             CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS len_no_vowels,
+             regexp_matches(text, 'join.*join') AS has_two_joins
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(stringFuncs, mathFuncs, orderedAggs, approxPercentile,
+    arrayFuncs, regexSuite)
 }
