@@ -211,7 +211,9 @@ object Dedup {
 
   val minhashLsh: Q = Q(
     "q_dedup_minhash",
-    (s, dir) => minhashPairs(withPlanted(t(s, dir, "documents"), mutate = true)),
+    (s, dir) => RecallAudit.assertPlantedPairs(
+      minhashPairs(withPlanted(t(s, dir, "documents"), mutate = true)),
+      "doc_a", "doc_b", plantN = 10, what = "MinHash-LSH"),
     None)
 
   /** SimHash near-duplicate pairs: 64-bit signature from token hashes
@@ -299,7 +301,9 @@ object Dedup {
 
   val simhash: Q = Q(
     "q_dedup_simhash",
-    (s, dir) => simhashPairs(withPlanted(t(s, dir, "documents"), mutate = false)),
+    (s, dir) => RecallAudit.assertPlantedPairs(
+      simhashPairs(withPlanted(t(s, dir, "documents"), mutate = false)),
+      "doc_a", "doc_b", plantN = 10, what = "SimHash"),
     None)
 
   /** Exact word-set Jaccard between consecutive doc_ids — the

@@ -34,20 +34,14 @@ object IvfPq {
   /** Recall audit, same scheme as [[Ivf.annIvf]]/[[Pq.annPq]]: plant
     * exact copies of the 8 query vectors, emit only exact-confirmed
     * IVF-PQ hits — the row count IS the recall (of 40 slots).
-    * Approximate + engine-internal ⇒ rows-only; the planted-recall
-    * floor is pinned in PqSpec. */
+    * Approximate + engine-internal ⇒ rows-only; the recall floor
+    * (≥37/40, observed 39) is asserted INSIDE the query via
+    * [[RecallAudit.annAudit]], so the driver's `err` field catches
+    * silent degradation. */
   val annIvfPq: Q = Q(
     "q_ann_ivfpq",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val planted = q.select((col("query_id") + lit(1000000L)).as("vec_id"),
-        col("qv").as("v"))
-      val corpus = emb.repartition(par).unionByName(planted)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (s, dir) => RecallAudit.annAudit(s, dir, floor = 37, what = "IVF-PQ") {
+      (q, corpus) =>
       val centroids = Ivf.trainCentroids(corpus)
       val centLit = typedLit(centroids.map(_.toSeq).toSeq)
       // residual frame: cluster assignment + within-cell displacement,
@@ -57,40 +51,44 @@ object IvfPq {
         .withColumn("res", zip_with(col("v"),
           element_at(centLit, col("cluster") + 1), (a, b) => a - b))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val codebooks = Pq.trainCodebooks(resid.select(col("vec_id"), col("res").as("v")))
-      // the index: (cluster, 4-byte residual code) per vector; search
-      // reconstructs centroid + decode(code) inside probed lists only
-      val recon = resid
-        .select(col("vec_id"), col("cluster"),
-          Pq.encode(col("res"), codebooks).as("code"))
-        .select(col("vec_id"), col("cluster"),
-          zip_with(Pq.reconstruct(col("code"), codebooks),
-            element_at(centLit, col("cluster") + 1), (a, b) => a + b).as("rv"))
-      // quantization error stacks on top of probe misses here, so both
-      // query-side knobs open slightly wider than the single-level
-      // indexes (nprobe 8 vs IVF's 6, shortlist 80 vs PQ's 20); both
-      // scale with queries, not corpus
-      val probes = q.withColumn("cluster",
-        explode(Ivf.probeClusters(col("qv"), centroids, nprobe = 8)))
-      val wApprox = Window.partitionBy("query_id")
-        .orderBy(col("psim").desc, col("vec_id").asc)
-      val short = recon.join(broadcast(probes), Seq("cluster"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("psim", Similarity.cosine(col("rv"), col("qv")))
-        .withColumn("prank", row_number().over(wApprox))
-        .filter(col("prank") <= 80)
-        .select("query_id", "vec_id", "qv")
-      val wExact = Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      val ann = short.join(corpus, Seq("vec_id"))
-        .withColumn("sim", Similarity.cosine(col("v"), col("qv")))
-        .withColumn("rank", row_number().over(wExact).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
-      val exact = Similarity.exactTopK(q, corpus).select("query_id", "neighbor_id")
-      ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
+      try {
+        val codebooks = Pq.trainCodebooks(resid.select(col("vec_id"), col("res").as("v")))
+        // the index: (cluster, 4-byte residual code) per vector; search
+        // reconstructs centroid + decode(code) inside probed lists only
+        val recon = resid
+          .select(col("vec_id"), col("cluster"),
+            Pq.encode(col("res"), codebooks).as("code"))
+          .select(col("vec_id"), col("cluster"),
+            zip_with(Pq.reconstruct(col("code"), codebooks),
+              element_at(centLit, col("cluster") + 1), (a, b) => a + b).as("rv"))
+        // quantization error stacks on top of probe misses here, so both
+        // query-side knobs open slightly wider than the single-level
+        // indexes (nprobe 8 vs IVF's 6, shortlist 80 vs PQ's 20); both
+        // scale with queries, not corpus
+        val probes = q.withColumn("cluster",
+          explode(Ivf.probeClusters(col("qv"), centroids, nprobe = 8)))
+        val wApprox = Window.partitionBy("query_id")
+          .orderBy(col("psim").desc, col("vec_id").asc)
+        val short = recon.join(broadcast(probes), Seq("cluster"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("psim", Similarity.cosine(col("rv"), col("qv")))
+          .withColumn("prank", row_number().over(wApprox))
+          .filter(col("prank") <= 80)
+          .select("query_id", "vec_id", "qv")
+          // the shortlist is queries×80 rows; materializing it here
+          // lets resid/its cached blocks be released before the exact
+          // rerank + confirm stages run (repeated invocations in a
+          // long-lived app no longer pin a corpus-sized residual frame)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        short.count()
+        val wExact = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        short.join(corpus, Seq("vec_id"))
+          .withColumn("sim", Similarity.cosine(col("v"), col("qv")))
+          .withColumn("rank", row_number().over(wExact).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      } finally resid.unpersist()
     },
     None)
 

@@ -129,30 +129,20 @@ object Pq {
     * of the 8 query vectors, run PQ search and the exact baseline
     * over the same persisted corpus, emit only exact-confirmed PQ
     * hits — the row count IS the recall measurement (of 40 slots).
-    * Approximate + engine-internal ⇒ rows-only; reconstruction
-    * quality and planted retrieval are pinned in PqSpec. */
+    * Approximate + engine-internal ⇒ rows-only; the recall floor
+    * (≥37/40, observed 39) is asserted INSIDE the query via
+    * [[RecallAudit.annAudit]], so the driver's `err` field catches
+    * silent degradation; reconstruction quality is pinned in PqSpec. */
   val annPq: Q = Q(
     "q_ann_pq",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val planted = q.select((col("query_id") + lit(1000000L)).as("vec_id"),
-        col("qv").as("v"))
-      val corpus = emb.repartition(par).unionByName(planted)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val codebooks = trainCodebooks(corpus)
-      // shortlist 150: rerank cost is queries×150 exact cosines —
-      // negligible — while recall becomes limited only by whether the
-      // true neighbor survives 64× compression into the top PQ scores
-      // (50 left ~18% of true top-5 below the cut on this corpus)
-      val pq = pqTopK(q, corpus, codebooks, k = 5, shortlist = 150)
-      val exact = Similarity.exactTopK(q, corpus).select("query_id", "neighbor_id")
-      pq.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
+    (s, dir) => RecallAudit.annAudit(s, dir, floor = 37, what = "PQ") {
+      (q, corpus) =>
+        val codebooks = trainCodebooks(corpus)
+        // shortlist 150: rerank cost is queries×150 exact cosines —
+        // negligible — while recall becomes limited only by whether the
+        // true neighbor survives 64× compression into the top PQ scores
+        // (50 left ~18% of true top-5 below the cut on this corpus)
+        pqTopK(q, corpus, codebooks, k = 5, shortlist = 150)
     },
     None)
 

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Shared plant-and-confirm scaffolding for the approximate-index
+  * recall audits ([[Similarity.annLsh]], [[Ivf.annIvf]], [[Pq.annPq]],
+  * [[IvfPq.annIvfPq]]) plus the self-checking floor every rows-only
+  * query enforces.
+  *
+  * Rows-only queries have no DuckDB oracle, so the driver's
+  * correctness harness records `spark_rows` and compares nothing — a
+  * silent recall regression (40 → 25 confirmed hits) would sail
+  * through looking green. The fix is to make the query its own
+  * harness: after the exact-confirm join, the result is materialized
+  * ONCE ([[assertFloor]]) and the query THROWS below its pinned
+  * recall floor, so degradation lands in the driver's `err` field
+  * instead of only in ScalaTest. The persisted frame is returned, so
+  * the assertion costs no second execution when the caller writes the
+  * result out.
+  */
+object RecallAudit {
+
+  /** Materialize `df`, assert it carries at least `floor` rows, and
+    * return the persisted frame (the caller's write reuses the cache;
+    * Bench/Verify `clearCache()` after each query materializes).
+    * Throws `IllegalStateException` below the floor — the signal the
+    * driver's `err` field records for rows-only queries. */
+  def assertFloor(df: DataFrame, floor: Long, what: String): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = p.count()
+    if (n < floor)
+      throw new IllegalStateException(
+        s"$what recall degraded: $n confirmed rows < pinned floor $floor")
+    p
+  }
+
+  /** Planted-pair floor for the near-dup audits: the result must
+    * contain every (i, 1e6+i) planted pair — plants are constructed
+    * to be retrievable (exact copies / single-token mutations), so
+    * any miss is an index regression, not data geometry. Asserts on
+    * a filter of the materialized result, then returns the full
+    * persisted frame unchanged. */
+  def assertPlantedPairs(pairs: DataFrame, aCol: String, bCol: String,
+      plantN: Long, what: String): DataFrame = {
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val recovered = p.filter(
+      col(bCol) >= 1000000L && col(aCol) === col(bCol) - 1000000L).count()
+    if (recovered < plantN)
+      throw new IllegalStateException(
+        s"$what planted-duplicate recall degraded: $recovered of $plantN planted pairs recovered")
+    p
+  }
+
+  /** The scaffold all four ANN audits share: load embeddings, take
+    * vec_id < 8 as queries, plant one exact copy of each query into
+    * the corpus at id 1e6+i (guaranteeing ≥8 retrievable true
+    * neighbors), persist the corpus ONCE for every consumer (index
+    * build, index search, exact baseline), run the index under audit,
+    * keep only hits confirmed by the exact brute-force top-k, and
+    * enforce the pinned recall floor (of 8 queries × k=5 slots).
+    *
+    * `index` receives (queries(query_id, qv), corpus(vec_id, v)) and
+    * returns (query_id, rank, neighbor_id). */
+  def annAudit(s: SparkSession, dir: String, floor: Long, what: String)(
+      index: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // round-robin repartition: the harness parquet is a single row
+    // group (one scan task); every downstream stage should use all cores
+    val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val planted = q.select((col("query_id") + lit(1000000L)).as("vec_id"),
+      col("qv").as("v"))
+    val corpus = emb.repartition(par).unionByName(planted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ann = index(q, corpus)
+    val exact = Similarity.exactTopK(q, corpus).select("query_id", "neighbor_id")
+    val confirmed = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+    val out = assertFloor(confirmed, floor, what)
+    // assertFloor materialized (and cached) the confirmed result, so
+    // the corpus-sized cache is dead weight from here — release it
+    // rather than pinning one corpus per invocation in a long-lived app
+    corpus.unpersist()
+    out
+  }
+}

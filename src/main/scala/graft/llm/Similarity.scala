@@ -212,25 +212,14 @@ object Similarity {
     * row count IS the measurement — hits out of 8 queries × k=5 slots
     * (planted copies guarantee ≥8 retrievable true neighbors; a recall
     * regression shrinks the result). Approximate → rows-only check (no
-    * DuckDB oracle expresses the index); planted-recall floor pinned
-    * in ScalaTest. */
+    * DuckDB oracle expresses the index); the recall floor (≥38/40,
+    * observed 40) is asserted INSIDE the query ([[RecallAudit]]), so
+    * the driver's `err` field — not just ScalaTest — catches silent
+    * degradation. Scaffold shared via [[RecallAudit.annAudit]]. */
   val annLsh: Q = Q(
     "q_ann_lsh",
-    (s, dir) => {
-      val (q, base) = queriesAndBase(s, dir)
-      val planted = q.select((col("query_id") + lit(1000000L)).as("vec_id"),
-        col("qv").as("v"))
-      // the LSH index path and the exact ground-truth baseline both
-      // consume the planted corpus — persist it so the parquet scan,
-      // cast, and union run once, not once per side (Bench/Verify
-      // clearCache() after the query materializes)
-      val corpus = base.unionByName(planted)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ann = annTopK(q, corpus)
-      val exact = exactTopK(q, corpus).select("query_id", "neighbor_id")
-      ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
+    (s, dir) => RecallAudit.annAudit(s, dir, floor = 38, what = "LSH") {
+      (q, corpus) => annTopK(q, corpus)
     },
     None)
 
@@ -277,17 +266,21 @@ object Similarity {
     * check vacuous. Five exact duplicates of vec_id 0–4 are planted
     * (ids 1M+) so the expected output is exactly the five
     * (i, 1000000+i) pairs at sim 1.0: a deterministic retrieval check
-    * the driver can see (0 rows now MEANS broken). False positives
-    * remain impossible (exact-cosine verification ≥ minSim).
-    * ScalaTest additionally pins jittered near-dup retrieval and
-    * noise exclusion. Rows-only per contract. */
+    * the driver can see (0 rows now MEANS broken), enforced in-query
+    * by [[RecallAudit.assertPlantedPairs]] — all 5 planted pairs must
+    * be recovered or the query throws into the driver's `err` field.
+    * False positives remain impossible (exact-cosine verification ≥
+    * minSim). ScalaTest additionally pins jittered near-dup retrieval
+    * and noise exclusion. Rows-only per contract. */
   val embedDedup: Q = Q(
     "q_dedup_embedding",
     (s, dir) => {
       val (_, base) = queriesAndBase(s, dir)
       val planted = base.filter(col("vec_id") < 5)
         .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("v"))
-      cosineNearDupPairs(base.unionByName(planted), 0.95)
+      RecallAudit.assertPlantedPairs(
+        cosineNearDupPairs(base.unionByName(planted), 0.95),
+        "vec_a", "vec_b", plantN = 5, what = "embedding near-dup")
     },
     None)
 
