@@ -344,10 +344,11 @@ object Dedup {
     * label changes. The driver loop is the legitimate iterative-
     * algorithm driver (same as Lloyd's in [[Ivf]]): each round is a
     * fully distributed join+aggregate, the driver only counts changed
-    * labels. `localCheckpoint` truncates lineage each round —
+    * labels. [[graft.Checkpoints.cut]] truncates lineage each round —
     * without it the plan doubles per iteration and the 10th round
-    * optimizes a 2¹⁰-node tree (production would checkpoint to
-    * reliable storage). Converges in O(component diameter) rounds;
+    * optimizes a 2¹⁰-node tree; under `graft.checkpoint.reliable`
+    * the cuts write to durable storage so a cluster run survives
+    * executor loss. Converges in O(component diameter) rounds;
     * at 100 TB with adversarial diameters you'd switch to star-
     * contraction (GraphFrames' CC), but near-dup clusters are
     * small-diameter by construction. */
@@ -370,6 +371,7 @@ object Dedup {
     val nV = vertices.count()
     val iterPar = math.max(4L, nV / 65536L).toString
     val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
     spark.conf.set("spark.sql.shuffle.partitions", iterPar)
     def rebind(s: SparkSession, df: DataFrame): DataFrame =
       s.createDataFrame(df.rdd, df.schema)
@@ -377,11 +379,14 @@ object Dedup {
     // every round joins this frame, and without the checkpoint each
     // round would recompute the whole upstream edge plan (the
     // derivation itself still plans under the caller's session)
-    val und = rebind(spark, edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
-      .localCheckpoint()
-    var labels = rebind(spark, vertices.select(col("id")))
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+    // lineage cuts via graft.Checkpoints: localCheckpoint by default,
+    // reliable checkpoint() under graft.checkpoint.reliable (cluster
+    // mode — survives executor loss mid-iteration)
+    val und = graft.Checkpoints.cut(
+      rebind(spark, edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))))
+    var labels = graft.Checkpoints.cut(rebind(spark, vertices.select(col("id")))
+      .select(col("id"), col("id").as("label")))
     // convergence via the monotone invariant: labels only ever
     // decrease, so the propagation has fixpointed iff Σlabels is
     // unchanged — one scalar aggregate per round instead of a
@@ -414,7 +419,7 @@ object Dedup {
     var i = 0
     while (curSum != prevSum && i < maxIter) {
       // one neighbor hop + one pointer jump per materialization
-      labels = jump(propagate(labels)).localCheckpoint()
+      labels = graft.Checkpoints.cut(jump(propagate(labels)))
       prevSum = curSum
       curSum = labels.agg(sum(col("label"))).head().getLong(0)
       i += 1

@@ -60,13 +60,22 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val origin = edges.sparkSession
     val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
     def rebind(s: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
       s.createDataFrame(df.rdd, df.schema)
     // materialize the (possibly expensive) edge derivation once; the
-    // derivation itself still plans under the caller's session
-    val e = rebind(spark, edges.select(col("src"), col("dst"))).localCheckpoint()
+    // derivation itself still plans under the caller's session.
+    // Lineage cuts go through graft.Checkpoints: localCheckpoint by
+    // default, reliable checkpoint() under graft.checkpoint.reliable
+    // (cluster mode — survives executor loss mid-iteration)
+    val e = graft.Checkpoints.cut(rebind(spark, edges.select(col("src"), col("dst"))))
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val nV = deg.count()
+    // empty graph: no vertices means no ranks (and division by nV
+    // below would throw) — return the empty (v, r) frame early
+    if (nV == 0L)
+      return rebind(origin,
+        deg.select(col("src").as("v"), lit(0L).as("r")))
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(4L, nV / 65536L).toString)
     // LAZY checkpoints from here down: they still cut the lineage (so
@@ -74,20 +83,21 @@ object Graph {
     // in rounds), but nothing materializes until the caller's single
     // final action — the eager variant paid a driver round trip per
     // round (8 action barriers, ~1.5 s of pure scheduling at sf0.1)
-    val ed = e.join(deg, "src").localCheckpoint(false)
+    val ed = graft.Checkpoints.cut(e.join(deg, "src"), eager = false)
     // symmetric edges ⇒ vertex set = distinct sources = deg's keys
-    val verts = deg.select(col("src").as("v")).localCheckpoint(false)
+    val verts = graft.Checkpoints.cut(deg.select(col("src").as("v")), eager = false)
     val init = 1000000000000L / nV
     val tele = 15L * init / 100L
-    var pr = verts.select(col("v"), lit(init).as("r")).localCheckpoint(false)
+    var pr = graft.Checkpoints.cut(verts.select(col("v"), lit(init).as("r")), eager = false)
     for (_ <- 1 to iters) {
       val contrib = ed.join(pr.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(expr("r div d")).as("contrib"))
-      pr = verts.join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          expr(s"$tele + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100").as("r"))
-        .localCheckpoint(false)
+      pr = graft.Checkpoints.cut(
+        verts.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            expr(s"$tele + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100").as("r")),
+        eager = false)
     }
     rebind(origin, pr)
   }
