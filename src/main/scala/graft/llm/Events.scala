@@ -311,7 +311,11 @@ object Events {
           max(col("k")).as("max_k"),
           sum(col("cents")).as("sum_cents"),
           count_distinct(col("event_type")).as("n_types"))
-        .orderBy("k_mod")
+        // explicit null placement: Spark defaults asc NULLS FIRST but
+        // DuckDB defaults NULLS LAST — current data has no null $.k,
+        // but the convention (see q_bad_records) is to never rely on
+        // engine-default null ordering in an oracled sort
+        .orderBy(asc_nulls_first("k_mod"))
     },
     Some("""
       SELECT k % 5 AS k_mod, CAST(count(*) AS BIGINT) AS cnt,
@@ -320,7 +324,7 @@ object Events {
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
              CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
       FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-      GROUP BY k % 5 ORDER BY k_mod"""))
+      GROUP BY k % 5 ORDER BY k_mod NULLS FIRST"""))
 
   /** Overlapping-interval union (coverage): each event opens a 5-min
     * activity interval; per user, transitively-overlapping intervals

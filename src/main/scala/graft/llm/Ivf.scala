@@ -21,8 +21,10 @@ import graft.functions.DotProduct
   * for cluster-structured data (and, as with any ANN index, degrades
   * toward random on structureless vectors — see Similarity scaladoc).
   *
-  * Determinism: the sample is `orderBy(vec_id).limit(n)`, seeds are
-  * the first K sample points, Lloyd's runs a fixed iteration count,
+  * Determinism: the sample is an md5-bucket filter on `vec_id`
+  * (unbiased, a pure function of the id — [[Ivf.trainingSample]]),
+  * seeds are the first K sample points by id, Lloyd's runs a fixed
+  * iteration count,
   * and each cluster's running sum is folded in ascending `vec_id`
   * order (`sort_array` + `aggregate`, a sequential left fold), so the
   * floating-point addition sequence — and therefore every trained
@@ -42,11 +44,30 @@ object Ivf {
       array_repeat(lit(0.0d), d),
       (acc, x) => zip_with(acc, x.getField("v"), (a, b) => a + b)).as("s")
 
+  /** Deterministic UNBIASED training sample of ~sampleN expected
+    * rows: keep rows whose 16-bit md5 bucket of `vec_id` falls below
+    * ceil(65536·sampleN/n). A pure function of the id — bit-identical
+    * run to run, engine-portable (md5+substr+conv exist everywhere,
+    * the same scheme as [[Sampling.hashBucket]]) — without the
+    * ingest-order bias of the previous `orderBy(vec_id).limit(n)`
+    * prefix: at real scale ids correlate with ingest time/source, and
+    * a prefix sample trains the quantizer on one shard of the
+    * distribution. Corpora at or under sampleN pass through whole. */
+  private[graft] def trainingSample(emb: DataFrame, sampleN: Int): DataFrame = {
+    val n = emb.count()
+    if (n <= sampleN) emb
+    else {
+      val keep = (sampleN.toLong * 65536L + n - 1) / n // ceil
+      emb.filter(
+        conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 4), 16, 10)
+          .cast("long") < keep)
+    }
+  }
+
   /** Distributed Lloyd's k-means on a deterministic bounded sample. */
   def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 5,
       sampleN: Int = 2000): Array[Array[Double]] = {
-    val sample = emb.orderBy("vec_id").limit(sampleN)
-      .select(col("vec_id"), col("v"))
+    val sample = trainingSample(emb.select(col("vec_id"), col("v")), sampleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val d = sample.select(size(col("v"))).head().getInt(0)
@@ -122,10 +143,10 @@ object Ivf {
     * over the same corpus, emit only IVF results confirmed by the
     * exact top-k — the row count encodes recall out of 8 queries ×
     * k=5 slots, and the planted copies make ≥8 hits achievable by
-    * construction. Approximate → rows-only; the recall floor (≥36/40,
-    * observed 38) is asserted INSIDE the query via
-    * [[RecallAudit.annAudit]], so the driver's `err` field catches
-    * silent degradation. */
+    * construction. Approximate → rows-only; floors asserted INSIDE
+    * the query via [[RecallAudit.annAudit]] (8/8 planted copies
+    * always, plus total ≥36 — observed 38 at sf0.01, 40 at sf0.1),
+    * so the driver's `err` field catches silent degradation. */
   val annIvf: Q = Q(
     "q_ann_ivf",
     (s, dir) => RecallAudit.annAudit(s, dir, floor = 36, what = "IVF") {

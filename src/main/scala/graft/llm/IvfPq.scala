@@ -34,13 +34,14 @@ object IvfPq {
   /** Recall audit, same scheme as [[Ivf.annIvf]]/[[Pq.annPq]]: plant
     * exact copies of the 8 query vectors, emit only exact-confirmed
     * IVF-PQ hits — the row count IS the recall (of 40 slots).
-    * Approximate + engine-internal ⇒ rows-only; the recall floor
-    * (≥37/40, observed 39) is asserted INSIDE the query via
-    * [[RecallAudit.annAudit]], so the driver's `err` field catches
-    * silent degradation. */
+    * Approximate + engine-internal ⇒ rows-only; floors asserted
+    * INSIDE the query via [[RecallAudit.annAudit]] (8/8 planted
+    * copies always, plus total ≥35 — observed 39 at sf0.01, 37 at
+    * sf0.1), so the driver's `err` field catches silent
+    * degradation. */
   val annIvfPq: Q = Q(
     "q_ann_ivfpq",
-    (s, dir) => RecallAudit.annAudit(s, dir, floor = 37, what = "IVF-PQ") {
+    (s, dir) => RecallAudit.annAudit(s, dir, floor = 35, what = "IVF-PQ") {
       (q, corpus) =>
       val centroids = Ivf.trainCentroids(corpus)
       val centLit = typedLit(centroids.map(_.toSeq).toSeq)

@@ -59,11 +59,28 @@ object RecallAudit {
     * neighbors), persist the corpus ONCE for every consumer (index
     * build, index search, exact baseline), run the index under audit,
     * keep only hits confirmed by the exact brute-force top-k, and
-    * enforce the pinned recall floor (of 8 queries × k=5 slots).
+    * enforce TWO floors:
+    *
+    *  - `plantedFloor` (default all 8): every planted exact copy must
+    *    be retrieved. SCALE-INVARIANT — an exact copy scores sim 1.0
+    *    under any of the index transforms (its sketch/code/bucket
+    *    equals the query's own), so a planted miss always means broken
+    *    plumbing, never data geometry. This is the sharp signal.
+    *  - `floor` on total confirmed hits (of 8 queries × k=5 slots):
+    *    calibrated to hold at EVERY harness scale the driver runs
+    *    (correctness at sf0.01 AND bench at sf0.1), with ~2 hits of
+    *    margin — natural-neighbor recall at fixed index parameters
+    *    legitimately declines as the corpus grows (fixed shortlist /
+    *    probe budgets cover a shrinking corpus fraction; these
+    *    embeddings are near-uniform, the hardest geometry), and a
+    *    floor that trips on scale rather than degradation would
+    *    train operators to ignore it. Code regressions crater recall
+    *    toward single digits, far below any calibrated floor.
     *
     * `index` receives (queries(query_id, qv), corpus(vec_id, v)) and
     * returns (query_id, rank, neighbor_id). */
-  def annAudit(s: SparkSession, dir: String, floor: Long, what: String)(
+  def annAudit(s: SparkSession, dir: String, floor: Long, what: String,
+      plantedFloor: Long = 8)(
       index: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -82,6 +99,10 @@ object RecallAudit {
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
     val out = assertFloor(confirmed, floor, what)
+    val plantedHits = out.filter(col("neighbor_id") >= 1000000L).count()
+    if (plantedHits < plantedFloor)
+      throw new IllegalStateException(
+        s"$what index plumbing broken: $plantedHits of $plantedFloor planted exact copies retrieved")
     // assertFloor materialized (and cached) the confirmed result, so
     // the corpus-sized cache is dead weight from here — release it
     // rather than pinning one corpus per invocation in a long-lived app

@@ -212,10 +212,11 @@ object Similarity {
     * row count IS the measurement — hits out of 8 queries × k=5 slots
     * (planted copies guarantee ≥8 retrievable true neighbors; a recall
     * regression shrinks the result). Approximate → rows-only check (no
-    * DuckDB oracle expresses the index); the recall floor (≥38/40,
-    * observed 40) is asserted INSIDE the query ([[RecallAudit]]), so
-    * the driver's `err` field — not just ScalaTest — catches silent
-    * degradation. Scaffold shared via [[RecallAudit.annAudit]]. */
+    * DuckDB oracle expresses the index); floors asserted INSIDE the
+    * query via [[RecallAudit.annAudit]] (8/8 planted copies always,
+    * plus total ≥38 — observed 40 at sf0.01, 39 at sf0.1), so the
+    * driver's `err` field — not just ScalaTest — catches silent
+    * degradation. */
   val annLsh: Q = Q(
     "q_ann_lsh",
     (s, dir) => RecallAudit.annAudit(s, dir, floor = 38, what = "LSH") {

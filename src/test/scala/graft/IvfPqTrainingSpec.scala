@@ -88,6 +88,51 @@ class IvfPqTrainingSpec extends SparkSpec {
       assert(bits(got(j)(c)) == bits(want(j)(c)), s"cell ($j,$c) differs")
   }
 
+  test("T004 trainingSample passes small corpora through whole") {
+    val ids = Ivf.trainingSample(emb, sampleN = 2000)
+      .select("vec_id").as[Long].collect().sorted
+    assert(ids.length === emb.count())
+  }
+
+  test("T005 trainingSample md5-bucket path: unbiased, deterministic, ~sampleN") {
+    // synthetic 8000-row corpus, ids deliberately ingest-ordered so a
+    // prefix sample would see only the "early" shard
+    val big = spark.range(8000).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(2.0)).as("v"))
+    val s1 = Ivf.trainingSample(big, sampleN = 2000)
+      .select("vec_id").as[Long].collect().sorted
+    val s2 = Ivf.trainingSample(big, sampleN = 2000)
+      .select("vec_id").as[Long].collect().sorted
+    assert(s1.toSeq === s2.toSeq, "sample must be bit-identical across runs")
+    // expected 2000 of 8000; binomial(8000, ~0.25) stays well inside
+    assert(s1.length > 1700 && s1.length < 2300, s"got ${s1.length}")
+    // unbiased across ingest order: roughly half the sample under the
+    // id midpoint (a prefix sample would put 100% there)
+    val early = s1.count(_ < 4000)
+    assert(early > s1.length * 35 / 100 && early < s1.length * 65 / 100,
+      s"$early of ${s1.length} below id midpoint — ingest-order bias")
+    // the rule is the documented pure function of vec_id: first 4 md5
+    // hex chars of the id string as a 16-bit bucket under the ceil cut
+    val mdRef = java.security.MessageDigest.getInstance("MD5")
+    val keep = (2000L * 65536L + 7999L) / 8000L
+    def bucket(id: Long): Long = {
+      val hex = mdRef.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16)
+    }
+    val want = (0L until 8000L).filter(bucket(_) < keep)
+    assert(s1.toSeq === want, "sample must equal the documented md5 rule")
+  }
+
+  test("T006 centroids trained on a bucket sample are run-to-run bit-identical") {
+    val big = spark.range(4000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => sin(col("id") * (i + lit(1)))).as("v"))
+    val a = Ivf.trainCentroids(big, k = 4, iters = 3, sampleN = 1000)
+    val b = Ivf.trainCentroids(big, k = 4, iters = 3, sampleN = 1000)
+    for (c <- a.indices) assert(bits(a(c)) == bits(b(c)), s"centroid $c differs")
+  }
+
   test("T003 PqEncode compares by codebook value, not array reference") {
     val cbA = Array.tabulate(2, 4, 8)((j, c, i) => j * 32 + c * 8 + i * 0.5)
     val cbB = Array.tabulate(2, 4, 8)((j, c, i) => j * 32 + c * 8 + i * 0.5)

@@ -65,6 +65,18 @@ class RecallAuditSpec extends SparkSpec {
     }
   }
 
+  test("annAudit trips the planted-copy floor when plants are missed") {
+    // an index that is blind to the planted ids — natural-neighbor
+    // hits keep the total floor green, but 0/8 planted must throw
+    val e = intercept[IllegalStateException] {
+      RecallAudit.annAudit(spark, sf001, floor = 1, what = "plant-blind") {
+        (q, corpus) =>
+          graft.llm.Similarity.exactTopK(q, corpus.filter(col("vec_id") < 1000000L))
+      }
+    }
+    assert(e.getMessage.contains("planted exact copies"))
+  }
+
   test("annAudit passes a genuine index through unchanged (LSH shape)") {
     val out = RecallAudit.annAudit(spark, sf001, floor = 1, what = "lsh-smoke") {
       (q, corpus) => graft.llm.Similarity.annTopK(q, corpus)
