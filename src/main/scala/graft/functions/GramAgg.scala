@@ -25,8 +25,17 @@ import org.apache.spark.sql.types._
   * triangle per task. Same output, bit for bit (GraphSpec pins
   * agg ≡ explode form).
   *
-  * Null vectors and null coordinates are skipped defensively (the
-  * quantization upstream never produces them). */
+  * Input contract: NULL vectors are skipped (standard SQL aggregate
+  * null semantics); a vector of the WRONG LENGTH or with a NULL
+  * coordinate throws — silently excluding it would skew `n` and the
+  * sums relative to the explode/self-join formulation, the kind of
+  * divergence that must fail loudly, not hash-mismatch downstream.
+  *
+  * Dimension envelope: the buffer is one flat long[d(d+1)/2 + 1] per
+  * aggregation state — 2 081 longs (~16 KB) at d=64, 32 897 (~263 KB)
+  * at d=256 (map-side combine still holds; pinned in GramAggSpec).
+  * Beyond ~1k dims the triangle crosses ~4 MB/state and the explode
+  * or a blocked outer product becomes the better shape. */
 case class GramAgg(
     child: Expression,
     dim: Int,
@@ -35,6 +44,13 @@ case class GramAgg(
   extends TypedImperativeAggregate[Array[Long]] {
 
   private val cells = dim * (dim + 1) / 2
+
+  // static schema check: when the array type guarantees non-null
+  // elements the per-row null scan is skipped entirely
+  private lazy val mayHaveNullElements = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -54,21 +70,32 @@ case class GramAgg(
     val v = child.eval(row)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == dim) {
-        buf(0) += 1L
-        val q = arr.toLongArray()
+      if (arr.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"gram_agg: vector of length ${arr.numElements()} in a dim=$dim aggregate" +
+            " — ragged input would silently skew n and the sums")
+      if (mayHaveNullElements) {
         var i = 0
-        var idx = 1
         while (i < dim) {
-          val qi = q(i)
-          var j = i
-          while (j < dim) {
-            buf(idx) += qi * q(j)
-            idx += 1
-            j += 1
-          }
+          if (arr.isNullAt(i))
+            throw new IllegalArgumentException(
+              s"gram_agg: null coordinate at index $i (dim=$dim)")
           i += 1
         }
+      }
+      buf(0) += 1L
+      val q = arr.toLongArray()
+      var i = 0
+      var idx = 1
+      while (i < dim) {
+        val qi = q(i)
+        var j = i
+        while (j < dim) {
+          buf(idx) += qi * q(j)
+          idx += 1
+          j += 1
+        }
+        i += 1
       }
     }
     buf

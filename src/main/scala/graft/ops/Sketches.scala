@@ -43,7 +43,7 @@ object Sketches {
           .cast("double") / col("exact_cust") <= 0.05).as("within_5pct"))
       val global = sketches.agg(
         expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
-        .crossJoin(o.agg(countDistinct(col("o_custkey")).as("exact_cust")))
+        .crossJoin(broadcast(o.agg(countDistinct(col("o_custkey")).as("exact_cust"))))
         .select(lit("__ALL__").as("o_orderpriority"), col("exact_cust"),
           (abs(col("est") - col("exact_cust")).cast("double") /
             col("exact_cust") <= 0.05).as("within_5pct"))
