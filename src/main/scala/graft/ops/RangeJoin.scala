@@ -82,12 +82,7 @@ object RangeJoin {
   val rangeJoinAuto: Q = Q(
     "q_range_join_auto",
     (s, dir) => {
-      // idempotent per-session registration (the driver's sessions
-      // don't configure spark.sql.extensions; the experimental batch
-      // is the documented live-session hook for optimizer rules)
-      if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoinRule))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoinRule
+      installRule(s)
       val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
         unix_timestamp(col("ts")).as("sec"))
       val b = ev.select(col("user_id").as("u2"), col("event_id").as("e2"),
@@ -110,5 +105,49 @@ object RangeJoin {
       GROUP BY a.user_id
       ORDER BY n_pairs DESC, user_id LIMIT 100"""))
 
-  val all: Seq[Q] = Seq(rangeJoin, rangeJoinAuto)
+  /** The rewrite-to-the-rule registration shared by the auto
+    * queries: the driver's sessions don't configure
+    * `spark.sql.extensions`, and the experimental batch is the
+    * documented live-session hook for optimizer rules. */
+  private def installRule(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoinRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoinRule
+
+  /** The range join in the BETWEEN spelling — `a.sec BETWEEN b.sec −
+    * W AND b.sec + W` — which Spark parses into the paired-inequality
+    * conjuncts [[graft.plans.BinnedRangeJoinRule]] normalizes into
+    * difference bounds. Same semantics and oracle as
+    * [[rangeJoinAuto]]; declared separately because this is the form
+    * ad-hoc SQL users actually write (nobody writes abs() when
+    * BETWEEN reads better), and the rule firing on it is what makes
+    * the scale-safe plan the default user experience. RangeJoinSpec
+    * pins that the rewrite fires (Generate + bin key in the plan). */
+  val rangeJoinBetween: Q = Q(
+    "q_range_join_between",
+    (s, dir) => {
+      installRule(s)
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      val b = ev.select(col("user_id").as("u2"), col("event_id").as("e2"),
+        col("sec").as("s2"))
+      ev.join(b,
+          col("user_id") === col("u2") &&
+            col("event_id") < col("e2") &&
+            col("sec").between(col("s2") - lit(1800L), col("s2") + lit(1800L)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(desc("n_pairs"), col("user_id"))
+        .limit(100)
+    },
+    Some("""
+      SELECT a.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_id < b.event_id
+       AND date_diff('second', b.ts, a.ts) BETWEEN -1800 AND 1800
+      GROUP BY a.user_id
+      ORDER BY n_pairs DESC, user_id LIMIT 100"""))
+
+  val all: Seq[Q] = Seq(rangeJoin, rangeJoinAuto, rangeJoinBetween)
 }

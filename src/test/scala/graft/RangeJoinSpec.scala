@@ -89,6 +89,83 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  /** Shared harness for the new conjunct spellings: build the naive
+    * join under `cond`, check rule-off rows == rule-on rows AND that
+    * the rewrite fired (probe-bin attribute + Generate in the plan). */
+  private def checkRewrite(mkCond: (
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): Unit = {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+    val b = ev.select(col("user_id").as("u2"), col("event_id").as("e2"),
+      col("sec").as("s2"))
+    def naive() = ev.join(b,
+      col("user_id") === col("u2") && col("event_id") < col("e2") &&
+        mkCond(col("sec"), col("s2")))
+      .select(col("event_id"), col("e2"))
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      before.filterNot(_ == plans.BinnedRangeJoinRule)
+    val expected = naive().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.BinnedRangeJoinRule
+      val df = naive()
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, "rule-on rows == rule-off rows")
+      assert(expected.nonEmpty, "fixture must produce in-window pairs")
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains(plans.BinnedRangeJoinRule.ProbeBinName),
+        s"rewrite did not fire:\n$opt")
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("rule fires on the BETWEEN form") {
+    checkRewrite((a, b) => a.between(b - lit(1800L), b + lit(1800L)))
+  }
+
+  test("rule fires on the paired-inequality form") {
+    checkRewrite((a, b) => a >= b - lit(1800L) && a <= b + lit(1800L))
+  }
+
+  test("rule fires on the subtraction-pair form") {
+    checkRewrite((a, b) => a - b <= lit(1800L) && b - a <= lit(1800L))
+  }
+
+  test("rule fires on strict inequalities, tightened by one") {
+    checkRewrite((a, b) => a < b + lit(1801L) && a > b - lit(1801L))
+  }
+
+  test("rule fires on an asymmetric window (bins at the wider bound)") {
+    checkRewrite((a, b) => a - b <= lit(600L) && b - a <= lit(1800L))
+  }
+
+  test("rule does NOT fire on a one-sided bound (unbounded range)") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+    val b = ev.select(col("user_id").as("u2"), col("event_id").as("e2"),
+      col("sec").as("s2"))
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      before.filterNot(_ == plans.BinnedRangeJoinRule) :+ plans.BinnedRangeJoinRule
+    try {
+      val df = ev.join(b,
+        col("user_id") === col("u2") && col("sec") <= col("s2") + lit(1800L))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains(plans.BinnedRangeJoinRule.ProbeBinName),
+        s"one-sided bound must not be binned:\n$opt")
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("q_range_join_between ≡ hand-built q_range_join output, rewrite fires") {
+    val between = SparkEntry.queries("q_range_join_between")(spark, sf001)
+    val hand = SparkEntry.queries("q_range_join")(spark, sf001).collect()
+    assert(between.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      hand.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(between.queryExecution.optimizedPlan.toString
+      .contains(plans.BinnedRangeJoinRule.ProbeBinName))
+  }
+
   test("q_range_join_auto rewrite ≡ hand-built q_range_join output") {
     val auto = SparkEntry.queries("q_range_join_auto")(spark, sf001).collect()
     val hand = SparkEntry.queries("q_range_join")(spark, sf001).collect()
