@@ -76,12 +76,6 @@ object IvfPq {
           .withColumn("prank", row_number().over(wApprox))
           .filter(col("prank") <= 80)
           .select("query_id", "vec_id", "qv")
-          // the shortlist is queries×80 rows; materializing it here
-          // lets resid/its cached blocks be released before the exact
-          // rerank + confirm stages run (repeated invocations in a
-          // long-lived app no longer pin a corpus-sized residual frame)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        short.count()
         val wExact = Window.partitionBy("query_id")
           .orderBy(col("sim").desc, col("vec_id").asc)
         short.join(corpus, Seq("vec_id"))
@@ -90,6 +84,12 @@ object IvfPq {
           .filter(col("rank") <= 5)
           .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       } finally resid.unpersist()
+      // unpersist is lazy and the search plan hasn't materialized yet:
+      // codebook training already ran its jobs against the cached
+      // residuals, and the one search-side consumer (recon) recomputes
+      // them map-side from the still-cached corpus — a cheap pass that
+      // buys back a corpus-sized cache entry per invocation without
+      // adding a driver action barrier mid-query
     },
     None)
 

@@ -45,8 +45,9 @@ object RecallAudit {
   def assertPlantedPairs(pairs: DataFrame, aCol: String, bCol: String,
       plantN: Long, what: String): DataFrame = {
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val recovered = p.filter(
-      col(bCol) >= 1000000L && col(aCol) === col(bCol) - 1000000L).count()
+    // one action materializes the cache AND measures plant recovery
+    val recovered = p.agg(count(when(
+      col(bCol) >= 1000000L && col(aCol) === col(bCol) - 1000000L, 1))).head().getLong(0)
     if (recovered < plantN)
       throw new IllegalStateException(
         s"$what planted-duplicate recall degraded: $recovered of $plantN planted pairs recovered")
@@ -98,14 +99,22 @@ object RecallAudit {
     val confirmed = ann.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
-    val out = assertFloor(confirmed, floor, what)
-    val plantedHits = out.filter(col("neighbor_id") >= 1000000L).count()
+    val out = confirmed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE action materializes the cached result and measures both
+    // floors — the audit costs a single extra job over the un-floored
+    // form, not one per assertion
+    val row = out.agg(count(lit(1)),
+      count(when(col("neighbor_id") >= 1000000L, 1))).head()
+    val (n, plantedHits) = (row.getLong(0), row.getLong(1))
+    if (n < floor)
+      throw new IllegalStateException(
+        s"$what recall degraded: $n confirmed rows < pinned floor $floor")
     if (plantedHits < plantedFloor)
       throw new IllegalStateException(
         s"$what index plumbing broken: $plantedHits of $plantedFloor planted exact copies retrieved")
-    // assertFloor materialized (and cached) the confirmed result, so
-    // the corpus-sized cache is dead weight from here — release it
-    // rather than pinning one corpus per invocation in a long-lived app
+    // the materialized confirmed result is cached, so the corpus-sized
+    // cache is dead weight from here — release it rather than pinning
+    // one corpus per invocation in a long-lived app
     corpus.unpersist()
     out
   }

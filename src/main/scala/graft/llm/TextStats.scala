@@ -176,14 +176,26 @@ object TextStats {
   /** Rolling-hash fingerprint via the custom wrapping-arithmetic
     * expression ([[graft.functions.RollingHash]]) — not expressible in
     * ANSI SQL on either engine, so rows-only; exact values pinned in
-    * ScalaTest against a driver-side reference implementation. */
+    * ScalaTest against a driver-side reference implementation. The
+    * structural invariant — EXACTLY one fingerprint per document — is
+    * asserted in-query ([[RecallAudit.assertFloor]] pattern, same as
+    * the other rows-only queries), so a silent row drop reaches the
+    * driver's `err` field. */
   val rollingFingerprint: Q = Q(
     "q_rolling_fingerprint",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val out = RecallAudit.assertFloor(
+        docs.select(col("doc_id"),
           graft.functions.RollingHash(col("text")).as("rhash64"))
-        .orderBy("doc_id"),
+          .orderBy("doc_id"),
+        nDocs, what = "rolling fingerprint")
+      if (out.count() > nDocs)
+        throw new IllegalStateException(
+          s"rolling fingerprint produced ${out.count()} rows for $nDocs documents")
+      out
+    },
     None)
 
   /** Vocabulary building: corpus-wide token frequencies, top-100.
