@@ -437,8 +437,54 @@ object Curation {
              md5(coalesce(string_agg(CASE WHEN kept THEN h END, ' ' ORDER BY seg_idx), '')) AS clean_sig
       FROM owned GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Curriculum ordering: interleave difficulty quartiles so every
+    * training window sees a mix of short and long documents — the
+    * deterministic "curriculum shuffle" between a pure
+    * easy-to-hard sort (which starves late training of easy examples)
+    * and a random shuffle (which ignores difficulty entirely).
+    *
+    * Difficulty here = token count (the cheap universal proxy);
+    * quartile via ntile(4) under the total order (n_tokens, doc_id),
+    * then position = (rank_within_quartile − 1)·4 + quartile.
+    * Scale shape: both windows run over the STATS projection
+    * (doc_id, n_tokens — 16 bytes/doc), never the text; even a 100 TB
+    * corpus's stats table is a routine sort, and the text is later
+    * laid out by range-partitioning on the computed position (same
+    * write shape as [[corpusShuffle]]'s md5 key). Everything is
+    * integer arithmetic → full hash oracle. */
+  val curriculumOrder: Q = Q(
+    "q_curriculum_order",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val byDifficulty = Window.orderBy(col("n_tokens").asc, col("doc_id").asc)
+      val withinBucket = Window.partitionBy(col("bucket"))
+        .orderBy(col("n_tokens").asc, col("doc_id").asc)
+      docs
+        .withColumn("bucket", ntile(4).over(byDifficulty).cast("long"))
+        .withColumn("pos",
+          (row_number().over(withinBucket).cast("long") - 1) * 4 + col("bucket"))
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pos"))
+        .orderBy("pos")
+    },
+    Some("""
+      WITH sized AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      bucketed AS (
+        SELECT doc_id, n_tokens,
+               CAST(ntile(4) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT) AS bucket
+        FROM sized)
+      SELECT doc_id, n_tokens, bucket,
+             CAST((row_number() OVER (PARTITION BY bucket
+                     ORDER BY n_tokens ASC, doc_id ASC) - 1) * 4 + bucket AS BIGINT) AS pos
+      FROM bucketed ORDER BY pos"""))
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, packSequences, corpusShuffle,
       curationPipeline, redactPii, bigramTopK, chunkDocs, normalizeText,
-      segmentDedup)
+      segmentDedup, curriculumOrder)
 }

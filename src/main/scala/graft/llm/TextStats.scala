@@ -429,7 +429,89 @@ object TextStats {
       WHERE cum - cnt < (9 * n_tot + 9) // 10
       ORDER BY rank"""))
 
+  /** Distribution-shift detection between two corpus shards: add-1
+    * smoothed unigram KL divergence in BOTH directions — the "did
+    * this ingest batch drift from the reference corpus" gate a
+    * training pipeline runs before mixing new data in.
+    *
+    * Shards come from an independent md5 coin on doc_id (hex chars
+    * 13–14; chars 1–12 are allocated to the split/weighted/mixture/
+    * temperature coins), so shard membership is a pure function of
+    * the id on any engine. Determinism follows the [[lmSurprisal]]
+    * recipe: all numerators/denominators stay exact BIGINTs, each
+    * token contributes ONE rounded micro-nat term
+    * round(1e6 · p̂ · ln(ratio of BIGINT products)), and the KL totals
+    * are exact integer sums of those terms. One token-level shuffle
+    * (the per-token shard counts aggregate in a single pass via
+    * conditional counts); the per-token KL terms join only against a
+    * broadcast 1-row stats frame. Scale note: the BIGINT cross
+    * products (ca+1)·(Nb+V) bound the token count at ~3·10⁹ per shard
+    * before overflow; past that, rearrange to ln-sums
+    * (ln(ca+1)+ln(Nb+V)−…) at the cost of three extra roundings. */
+  val klDivergence: Q = Q(
+    "q_kl_divergence",
+    (s, dir) => {
+      val hex = md5(col("doc_id").cast("string").cast("binary"))
+      val shard = (ascii(substring(hex, 13, 1)) * 256 +
+        ascii(substring(hex, 14, 1))) % 2
+      val toks = t(s, dir, "documents")
+        .select(shard.as("shard"), explode(tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(
+        count(when(col("shard") === 0, 1)).as("ca"),
+        count(when(col("shard") === 1, 1)).as("cb"))
+      val stats = counts.agg(count(lit(1)).as("vocab_n"),
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val terms = counts.crossJoin(broadcast(stats))
+        .select(col("vocab_n"), col("na"), col("nb"),
+          round(log(((col("ca") + 1) * (col("nb") + col("vocab_n"))).cast("double") /
+              ((col("cb") + 1) * (col("na") + col("vocab_n"))).cast("double")) *
+            ((col("ca") + 1).cast("double") / (col("na") + col("vocab_n")).cast("double")) *
+            1e6, 0).cast("long").as("t_ab"),
+          round(log(((col("cb") + 1) * (col("na") + col("vocab_n"))).cast("double") /
+              ((col("ca") + 1) * (col("nb") + col("vocab_n"))).cast("double")) *
+            ((col("cb") + 1).cast("double") / (col("nb") + col("vocab_n")).cast("double")) *
+            1e6, 0).cast("long").as("t_ba"))
+      terms.groupBy("vocab_n", "na", "nb")
+        .agg(sum(col("t_ab")).as("kl_ab_micro"), sum(col("t_ba")).as("kl_ba_micro"))
+        .select(col("vocab_n"), col("na"), col("nb"),
+          col("kl_ab_micro"), col("kl_ba_micro"),
+          (col("kl_ab_micro").cast("double") / 1e6).as("kl_ab_nats"),
+          (col("kl_ba_micro").cast("double") / 1e6).as("kl_ba_nats"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 13, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 14, 1))) % 2 AS shard,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      counts AS (
+        SELECT tok,
+               CAST(count(CASE WHEN shard = 0 THEN 1 END) AS BIGINT) AS ca,
+               CAST(count(CASE WHEN shard = 1 THEN 1 END) AS BIGINT) AS cb
+        FROM tok GROUP BY tok),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab_n,
+               CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        FROM counts),
+      terms AS (
+        SELECT vocab_n, na, nb,
+               CAST(round(ln(CAST((ca + 1) * (nb + vocab_n) AS DOUBLE) /
+                              CAST((cb + 1) * (na + vocab_n) AS DOUBLE)) *
+                          (CAST(ca + 1 AS DOUBLE) / CAST(na + vocab_n AS DOUBLE)) *
+                          1e6) AS BIGINT) AS t_ab,
+               CAST(round(ln(CAST((cb + 1) * (na + vocab_n) AS DOUBLE) /
+                              CAST((ca + 1) * (nb + vocab_n) AS DOUBLE)) *
+                          (CAST(cb + 1 AS DOUBLE) / CAST(nb + vocab_n AS DOUBLE)) *
+                          1e6) AS BIGINT) AS t_ba
+        FROM counts CROSS JOIN stats)
+      SELECT vocab_n, na, nb,
+             CAST(sum(t_ab) AS BIGINT) AS kl_ab_micro,
+             CAST(sum(t_ba) AS BIGINT) AS kl_ba_micro,
+             CAST(sum(t_ab) AS DOUBLE) / 1e6 AS kl_ab_nats,
+             CAST(sum(t_ba) AS DOUBLE) / 1e6 AS kl_ba_nats
+      FROM terms GROUP BY vocab_n, na, nb"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
-    ngramNovelty, vocabNucleus)
+    ngramNovelty, vocabNucleus, klDivergence)
 }

