@@ -285,6 +285,61 @@ object Similarity {
     },
     None)
 
+  /** Cluster-blocked near-duplicate pairs — the SemDeDup shape:
+    * k-means-cluster the corpus with the IVF coarse quantizer, then
+    * exact-cosine-verify only WITHIN clusters. The alternative
+    * blocking strategy to [[cosineNearDupPairs]]'s sign-LSH: LSH
+    * blocks by random hyperplanes (recall guaranteed
+    * probabilistically, no training), clustering blocks by learned
+    * structure (tighter candidate sets on clustered data, needs the
+    * training pass). An exact duplicate always shares its source's
+    * cluster (identical vector ⇒ identical argmin), so exact-copy
+    * recall is structural, not probabilistic.
+    *
+    * Scale shape: one cluster-keyed shuffle per side; within-cluster
+    * pairing is (N/k)² per cluster, so k grows with the corpus
+    * (production SemDeDup runs k ≈ √N or larger); a skewed cluster
+    * would concentrate quadratic work exactly like a hot LSH bucket —
+    * the same deterministic thinning as [[annTopK]]'s `maxBucket`
+    * applies if cluster sizes skew. */
+  def clusterNearDupPairs(emb: DataFrame, centroids: Array[Array[Double]],
+      minSim: Double): DataFrame = {
+    val assigned = emb.withColumn("cluster", Ivf.clusterOf(col("v"), centroids))
+    val l = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("v").as("va"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("v").as("vb"))
+    l.join(r, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= minSim)
+      .select("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Driver query for [[clusterNearDupPairs]]: same planted-copy
+    * scheme as [[embedDedup]] (5 exact duplicates at ids 1M+), so the
+    * expected result contains exactly the five (i, 1e6+i) pairs at
+    * sim 1.0 — enforced in-query by
+    * [[RecallAudit.assertPlantedPairs]]. Rows-only per contract
+    * (trained centroids aren't SQL-expressible). */
+  val semanticDedup: Q = Q(
+    "q_dedup_semantic",
+    (s, dir) => {
+      val (_, base) = queriesAndBase(s, dir)
+      val planted = base.filter(col("vec_id") < 5)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("v"))
+      val corpus = base.unionByName(planted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val centroids = Ivf.trainCentroids(corpus)
+      val out = RecallAudit.assertPlantedPairs(
+        clusterNearDupPairs(corpus, centroids, 0.95),
+        "vec_a", "vec_b", plantN = 5, what = "semantic (cluster-blocked) dedup")
+      corpus.unpersist()
+      out
+    },
+    None)
+
   /** Embedding QA stats — the sanity pass a pipeline runs before any
     * similarity work (catch zero/NaN/denormalized vectors at ingest).
     * Sequential-fold sums keep the doubles bit-identical to DuckDB's
@@ -356,5 +411,6 @@ object Similarity {
       FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY a.i, b.i ORDER BY i, j"""))
 
-  val all: Seq[Q] = Seq(cosineTopK, annLsh, embedDedup, vectorStats, gramMatrix)
+  val all: Seq[Q] = Seq(cosineTopK, annLsh, embedDedup, semanticDedup,
+    vectorStats, gramMatrix)
 }

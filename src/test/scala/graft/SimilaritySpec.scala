@@ -99,6 +99,35 @@ class SimilaritySpec extends SparkSpec {
       s"unexpected pairs: ${pairs -- wanted}")
   }
 
+  test("cluster-blocked (SemDeDup) near-dup: exact copies structural, no false positives") {
+    val rnd = new scala.util.Random(13)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val originals = (0 until 10).map(i => (i.toLong, unit()))
+    val copies = originals.map { case (id, v) => (100L + id, v) } // exact
+    val noise = (0 until 300).map(i => (1000L + i, unit()))
+    val emb = (originals ++ copies ++ noise).toDF("vec_id", "v")
+    val centroids = graft.llm.Ivf.trainCentroids(emb, k = 8, iters = 3, sampleN = 400)
+    val pairs = Similarity.clusterNearDupPairs(emb, centroids, 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val wanted = originals.map { case (id, _) => (id, 100L + id) }.toSet
+    // exact copies share the source's cluster BY CONSTRUCTION
+    // (identical vector => identical argmin), so recall is 10/10, not
+    // probabilistic
+    assert((pairs & wanted) == wanted, s"missed: ${wanted -- pairs}")
+    assert(pairs.forall(wanted.contains), s"unexpected: ${pairs -- wanted}")
+  }
+
+  test("q_dedup_semantic recovers all five planted corpus duplicates") {
+    val out = Similarity.semanticDedup.fn(spark, sf001)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert((0 until 5).forall(i => out.contains((i.toLong, 1000000L + i))))
+    spark.catalog.clearCache()
+  }
+
   test("IVF ANN finds planted clustered neighbors (train on sample, probe lists)") {
     val rnd = new scala.util.Random(23)
     def unit(): Array[Double] = {
