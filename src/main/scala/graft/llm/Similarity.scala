@@ -340,6 +340,64 @@ object Similarity {
     },
     None)
 
+  /** Per-dimension int8 affine quantization audit — the embedding
+    * STORAGE compression primitive (PQ compresses for search;
+    * int8-per-dim is what vector stores ship for 4× memory cut at
+    * ~exact recall): code = round((x − min_d)/((max_d − min_d)/255)),
+    * dequant = min_d + code·scale, plus reconstruction-error stats.
+    *
+    * Fully hash-oracled despite the float arithmetic: per-dim min/max
+    * of float-derived doubles are exact; each element contributes ONE
+    * rounded code (IEEE ops in identical order both engines, round
+    * half-away on non-negative values — the repo-wide cents recipe)
+    * and ONE nano-scaled error integer; everything aggregates as
+    * BIGINT sums/maxes. Scale shape: one explode + two 64-group
+    * aggregates; the bounds frame (64 rows) broadcasts back — the
+    * corpus never shuffles twice. */
+  val int8Quantize: Q = Q(
+    "q_int8_quantize",
+    (s, dir) => {
+      val exploded = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")))
+        .select(col("pos").cast("long").as("dim"), col("col").as("x"))
+      val bounds = exploded.groupBy("dim")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val scale = (col("mx") - col("mn")) / lit(255.0)
+      val code = when(col("mx") === col("mn"), lit(0L))
+        .otherwise(round((col("x") - col("mn")) / scale, 0).cast("long"))
+      val coded = exploded.join(broadcast(bounds), Seq("dim"))
+        .withColumn("code", code)
+        .withColumn("err_nano",
+          round(abs(col("mn") + col("code") * scale - col("x")) * lit(1e9), 0)
+            .cast("long"))
+      coded.groupBy("dim")
+        .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+          count(lit(1)).as("n"),
+          sum(col("code")).as("sum_code"),
+          max(col("err_nano")).as("max_err_nano"),
+          sum(col("err_nano")).as("sum_err_nano"))
+        .orderBy("dim")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+      b AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+      coded AS (
+        SELECT ex.dim, x, mn, mx,
+               CASE WHEN mx = mn THEN 0
+                    ELSE CAST(round((x - mn) / ((mx - mn) / 255.0)) AS BIGINT)
+               END AS code
+        FROM ex JOIN b ON ex.dim = b.dim)
+      SELECT dim, min(mn) AS mn, max(mx) AS mx,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(code) AS BIGINT) AS sum_code,
+             CAST(max(CAST(round(abs(mn + code * ((mx - mn) / 255.0) - x) * 1e9) AS BIGINT)) AS BIGINT) AS max_err_nano,
+             CAST(sum(CAST(round(abs(mn + code * ((mx - mn) / 255.0) - x) * 1e9) AS BIGINT)) AS BIGINT) AS sum_err_nano
+      FROM coded GROUP BY dim ORDER BY dim"""))
+
   /** Embedding QA stats — the sanity pass a pipeline runs before any
     * similarity work (catch zero/NaN/denormalized vectors at ingest).
     * Sequential-fold sums keep the doubles bit-identical to DuckDB's
@@ -412,5 +470,5 @@ object Similarity {
       GROUP BY a.i, b.i ORDER BY i, j"""))
 
   val all: Seq[Q] = Seq(cosineTopK, annLsh, embedDedup, semanticDedup,
-    vectorStats, gramMatrix)
+    vectorStats, gramMatrix, int8Quantize)
 }

@@ -128,6 +128,21 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("int8 quantization: error never exceeds half a step, codes span the range") {
+    val rows = Similarity.int8Quantize.fn(spark, sf001).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+      val n = r.getLong(3)
+      val halfStepNano = (mx - mn) / 255.0 / 2.0 * 1e9
+      assert(r.getLong(5) <= math.ceil(halfStepNano).toLong + 1,
+        s"dim ${r.getLong(0)}: max err ${r.getLong(5)} > half step $halfStepNano")
+      // mean code near 127.5 for roughly symmetric data; just bound it
+      val meanCode = r.getLong(4).toDouble / n
+      assert(meanCode > 20 && meanCode < 235, s"degenerate code distribution: $meanCode")
+    }
+  }
+
   test("IVF ANN finds planted clustered neighbors (train on sample, probe lists)") {
     val rnd = new scala.util.Random(23)
     def unit(): Array[Double] = {
