@@ -276,4 +276,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("cluster-blocked semantic dedup joins on the cluster key, never cartesian") {
+    import spark.implicits._
+    val emb = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d)))).toDF("vec_id", "v")
+    val centroids = llm.Ivf.trainCentroids(emb, k = 4, iters = 2, sampleN = 64)
+    val p = finalPlan(llm.Similarity.clusterNearDupPairs(emb, centroids, 0.95))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("KL divergence: per-token terms join only a broadcast 1-row stats frame") {
+    val p = finalPlan(q("q_kl_divergence"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the stats frame rides a broadcast nested-loop (1 row) or the
+    // cross join collapses under AQE — either way no shuffle join
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("int8 quantize: bounds broadcast back, corpus shuffles once") {
+    val p = finalPlan(q("q_int8_quantize"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
