@@ -398,6 +398,68 @@ object Similarity {
              CAST(sum(CAST(round(abs(mn + code * ((mx - mn) / 255.0) - x) * 1e9) AS BIGINT)) AS BIGINT) AS sum_err_nano
       FROM coded GROUP BY dim ORDER BY dim"""))
 
+  /** Matryoshka truncation audit: how much of the exact top-k
+    * survives when retrieval runs on a PREFIX of the embedding
+    * dimensions (16 of 64 here) — the evaluation a pipeline runs
+    * before adopting truncated (MRL-style) embeddings for the cheap
+    * first-stage scan. Emits per-query overlap counts between the
+    * full-dimension top-5 and the 16-dim-prefix top-5.
+    *
+    * Fully hash-oracled: both rankings are row_number windows over
+    * the same deterministic cosine (ties broken by id), and the
+    * overlap is an integer join-count — no floats in the output.
+    * Scale shape: same broadcast-queries × streamed-corpus pass as
+    * [[exactTopK]], twice (once per dimensionality), then a
+    * queries×k-sized join — the corpus never shuffles. */
+  val matryoshkaAudit: Q = Q(
+    "q_matryoshka_audit",
+    (s, dir) => {
+      val (q, base) = queriesAndBase(s, dir)
+      val corpus = base
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val full = exactTopK(q, corpus)
+        .select(col("query_id"), col("neighbor_id"))
+      val qTrunc = q.select(col("query_id"), slice(col("qv"), 1, 16).as("qv"))
+      val bTrunc = corpus.select(col("vec_id"), slice(col("v"), 1, 16).as("v"))
+      val trunc = exactTopK(qTrunc, bTrunc)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = full.join(trunc, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_kept"))
+      val out = full.groupBy("query_id").agg(count(lit(1)).as("k"))
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"), col("k"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("query_id")
+      out
+    },
+    Some("""
+      WITH fullk AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])) DESC,
+                            b.vec_id ASC) AS rank
+          FROM embeddings b, embeddings q
+          WHERE q.vec_id < 8 AND b.vec_id <> q.vec_id
+        ) WHERE rank <= 5),
+      trunck AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(b.embedding[1:16] AS DOUBLE[]),
+                                                   CAST(q.embedding[1:16] AS DOUBLE[])) DESC,
+                            b.vec_id ASC) AS rank
+          FROM embeddings b, embeddings q
+          WHERE q.vec_id < 8 AND b.vec_id <> q.vec_id
+        ) WHERE rank <= 5)
+      SELECT f.query_id,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(t.neighbor_id) AS BIGINT) AS n_kept
+      FROM fullk f LEFT JOIN trunck t
+        ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+      GROUP BY f.query_id ORDER BY f.query_id"""))
+
   /** Embedding QA stats — the sanity pass a pipeline runs before any
     * similarity work (catch zero/NaN/denormalized vectors at ingest).
     * Sequential-fold sums keep the doubles bit-identical to DuckDB's
@@ -470,5 +532,5 @@ object Similarity {
       GROUP BY a.i, b.i ORDER BY i, j"""))
 
   val all: Seq[Q] = Seq(cosineTopK, annLsh, embedDedup, semanticDedup,
-    vectorStats, gramMatrix, int8Quantize)
+    vectorStats, gramMatrix, int8Quantize, matryoshkaAudit)
 }
