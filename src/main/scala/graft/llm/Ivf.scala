@@ -64,10 +64,33 @@ object Ivf {
     }
   }
 
+  /** Rebind the bounded training sample into a CLONED session whose
+    * shuffle parallelism matches the SAMPLE size, not the corpus
+    * session's default: every Lloyd's round is a job over ≤sampleN
+    * rows, and at 32 map + 32 reduce tasks per round the 10+ training
+    * rounds of the composed indexes were pure task-scheduling
+    * overhead (the same sizing rule as connectedComponents/pageRank —
+    * one partition per ~512 sample rows, floor 4). Determinism is
+    * untouched: per-cluster sums fold in ascending vec_id order
+    * INSIDE the aggregate (sort_array), so partitioning never reaches
+    * the arithmetic (pinned in IvfPqTrainingSpec). */
+  private[llm] def sampleSession(sample: DataFrame, sampleN: Int): DataFrame = {
+    val origin = sample.sparkSession
+    val clone = origin.newSession()
+    val p = math.max(4, sampleN / 512)
+    clone.conf.set("spark.sql.shuffle.partitions", p.toString)
+    // aggregation-behavior conf the typed/ordered aggregates rely on
+    // rides along (newSession starts from context defaults)
+    origin.conf.getOption("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+      .foreach(clone.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", _))
+    clone.createDataFrame(sample.repartition(p).rdd, sample.schema)
+  }
+
   /** Distributed Lloyd's k-means on a deterministic bounded sample. */
   def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 5,
       sampleN: Int = 2000): Array[Array[Double]] = {
-    val sample = trainingSample(emb.select(col("vec_id"), col("v")), sampleN)
+    val sample = sampleSession(
+      trainingSample(emb.select(col("vec_id"), col("v")), sampleN), sampleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val d = sample.select(size(col("v"))).head().getInt(0)

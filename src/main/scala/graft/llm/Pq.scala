@@ -38,9 +38,11 @@ object Pq {
     * sub-vectors by id, fixed iterations, ordered folds — no RNG). */
   def trainCodebooks(emb: DataFrame, m: Int = 8, k: Int = 16,
       iters: Int = 5, sampleN: Int = 2000): Array[Array[Array[Double]]] = {
-    // same unbiased md5-bucket sample as the coarse quantizer's —
-    // see [[Ivf.trainingSample]]
-    val sample = Ivf.trainingSample(emb.select(col("vec_id"), col("v")), sampleN)
+    // same unbiased md5-bucket sample as the coarse quantizer's
+    // ([[Ivf.trainingSample]]), iterated in the same sample-sized
+    // cloned session ([[Ivf.sampleSession]])
+    val sample = Ivf.sampleSession(
+      Ivf.trainingSample(emb.select(col("vec_id"), col("v")), sampleN), sampleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val d = sample.select(size(col("v"))).head().getInt(0)
