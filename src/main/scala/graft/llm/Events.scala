@@ -467,6 +467,58 @@ object Events {
       GROUP BY w_start, event_type
       ORDER BY w_start, event_type"""))
 
+  /** Preference-pair mining — the DPO/RLHF data-prep primitive: per
+    * group (user), pick the best- and worst-scored items as a
+    * (chosen, rejected) pair with the score gap. One groupBy with
+    * map-side-combinable max_by/min_by — a single shuffle of
+    * per-group 4-long state, never the event rows.
+    *
+    * Determinism: scores become exact cents; tie-breaks are encoded
+    * ARITHMETICALLY into the argmax key (cents·10⁷ − event_id prefers
+    * the LOWER id among equal-cent maxima; cents·10⁷ + event_id the
+    * lower id among minima) because DuckDB's arg_max over a composite
+    * needs a scalar key — the 10⁷ stride holds while event ids stay
+    * below it (they do at every sf; ANSI overflow would raise, not
+    * corrupt). Degenerate pairs (all of a user's events equal-scored)
+    * are kept with delta 0 — downstream filters choose their margin. */
+  val preferencePairs: Q = Q(
+    "q_preference_pairs",
+    (s, dir) => {
+      val cents = round(col("value") * 100, 0).cast("long")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), cents.as("cents"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          max_by(col("event_id"), col("cents") * 10000000L - col("event_id"))
+            .as("chosen_id"),
+          max(col("cents")).as("chosen_cents"),
+          min_by(col("event_id"), col("cents") * 10000000L + col("event_id"))
+            .as("rejected_id"),
+          min(col("cents")).as("rejected_cents"))
+        .filter(col("n_events") >= 2)
+        .select(col("user_id"), col("n_events"), col("chosen_id"),
+          col("rejected_id"), col("chosen_cents"), col("rejected_cents"),
+          (col("chosen_cents") - col("rejected_cents")).as("delta_cents"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, n_events, chosen_id, rejected_id,
+             chosen_cents, rejected_cents,
+             CAST(chosen_cents - rejected_cents AS BIGINT) AS delta_cents
+      FROM (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               arg_max(event_id, cents * 10000000 - event_id) AS chosen_id,
+               CAST(max(cents) AS BIGINT) AS chosen_cents,
+               arg_min(event_id, cents * 10000000 + event_id) AS rejected_id,
+               CAST(min(cents) AS BIGINT) AS rejected_cents
+        FROM (SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        GROUP BY user_id)
+      WHERE n_events >= 2 ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
-    transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow)
+    transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
+    preferencePairs)
 }
