@@ -299,12 +299,28 @@ object Similarity {
     * Scale shape: one cluster-keyed shuffle per side; within-cluster
     * pairing is (N/k)² per cluster, so k grows with the corpus
     * (production SemDeDup runs k ≈ √N or larger); a skewed cluster
-    * would concentrate quadratic work exactly like a hot LSH bucket —
-    * the same deterministic thinning as [[annTopK]]'s `maxBucket`
-    * applies if cluster sizes skew. */
+    * would concentrate quadratic work exactly like a hot LSH bucket,
+    * so oversized clusters are thinned deterministically to
+    * ~`maxCluster` members by id-hash — the same guard as
+    * [[annTopK]]'s `maxBucket` (recall loss only inside clusters
+    * beyond the cap; SimilaritySpec pins the bound on a pathological
+    * all-identical corpus). */
   def clusterNearDupPairs(emb: DataFrame, centroids: Array[Array[Double]],
-      minSim: Double): DataFrame = {
-    val assigned = emb.withColumn("cluster", Ivf.clusterOf(col("v"), centroids))
+      minSim: Double, maxCluster: Int = 65536): DataFrame = {
+    val assignedAll = emb.withColumn("cluster", Ivf.clusterOf(col("v"), centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // skew guard, same shape as annTopK's maxBucket: within-cluster
+    // pairing is quadratic, so one pathological cluster (a pile of
+    // boilerplate duplicates at 100 TB) would own the stage wall-clock;
+    // oversized clusters are thinned deterministically by id-hash to
+    // ~maxCluster members — bounded work at the cost of recall only
+    // inside clusters that exceed the cap (the persisted assignment is
+    // shared by the size aggregate and both join sides)
+    val sizes = assignedAll.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+    val keepEvery = greatest(lit(1L),
+      ceil(col("cluster_n").cast("double") / maxCluster).cast("long"))
+    val assigned = assignedAll.join(broadcast(sizes), Seq("cluster"))
+      .filter(pmod(xxhash64(col("vec_id"), col("cluster")), keepEvery) === 0)
     val l = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
       col("v").as("va"))
     val r = assigned.select(col("cluster"), col("vec_id").as("vec_b"),

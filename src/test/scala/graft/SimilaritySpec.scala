@@ -128,6 +128,36 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("cluster cap thins a pathological all-identical cluster deterministically") {
+    // 500 identical vectors land in ONE cluster — the quadratic skew
+    // case; cap at 50 bounds the pair stage at ~50² instead of 500²
+    val v = Array.tabulate(64)(i => math.cos(i + 1.0))
+    val emb = (0 until 500).map(i => (i.toLong, v)).toDF("vec_id", "v")
+    val centroids = graft.llm.Ivf.trainCentroids(emb, k = 4, iters = 1, sampleN = 500)
+    val capped = Similarity.clusterNearDupPairs(emb, centroids, 0.99, maxCluster = 50)
+      .count()
+    val full = Similarity.clusterNearDupPairs(emb, centroids, 0.99).count()
+    assert(full === 500L * 499 / 2, "uncapped sees every pair")
+    // thinning keeps ~1/10 of members => ~1/100 of pairs; bound loosely
+    assert(capped < full / 20, s"cap did not bound the pair blow-up: $capped")
+    assert(capped > 0, "thinned cluster still produces pairs")
+    // deterministic: same cap, same result
+    assert(capped === Similarity.clusterNearDupPairs(emb, centroids, 0.99,
+      maxCluster = 50).count())
+    spark.catalog.clearCache()
+  }
+
+  test("preference pairs: chosen dominates rejected, ids differ when delta > 0") {
+    val out = graft.llm.Events.preferencePairs.fn(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (chosen, rejected) = (r.getLong(2), r.getLong(3))
+      val (cc, rc, delta) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(cc >= rc && delta === cc - rc)
+      if (delta > 0) assert(chosen != rejected)
+    }
+  }
+
   test("int8 quantization: error never exceeds half a step, codes span the range") {
     val rows = Similarity.int8Quantize.fn(spark, sf001).collect()
     assert(rows.length === 64)
