@@ -483,8 +483,70 @@ object Curation {
                      ORDER BY n_tokens ASC, doc_id ASC) - 1) * 4 + bucket AS BIGINT) AS pos
       FROM bucketed ORDER BY pos"""))
 
+  /** Span-corruption masking schedule (the T5/BERT denoising
+    * data-prep primitive): each token flips an independent
+    * deterministic 15% coin — md5 of (doc_id, position), so the mask
+    * REPLAYS identically on any engine or rerun (the property that
+    * makes corruption auditable: a training example can be
+    * reconstructed bit-exactly from raw data + this rule). Emits the
+    * per-document schedule stats: tokens, masked count, SPAN count
+    * (runs of consecutive masked tokens — a lag window over token
+    * positions within the doc), and masked permille.
+    *
+    * Scale shape: one explode, one per-doc window (partitioned by
+    * doc_id — no global sort), one aggregate; all integers → full
+    * hash oracle. */
+  val spanCorruption: Q = Q(
+    "q_span_corruption",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      val hex = md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("pos").cast("string")).cast("binary"))
+      val coin = (ascii(substring(hex, 1, 1)) * 256 +
+        ascii(substring(hex, 2, 1))) % 100
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      toks
+        .withColumn("m", (coin < 15).cast("long"))
+        .withColumn("span_start",
+          (col("m") === 1 &&
+            coalesce(lag(col("m"), 1).over(w), lit(0L)) === 0).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("m")).as("n_masked"),
+          sum(col("span_start")).as("n_spans"))
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+          expr("(n_masked * 1000) div n_tokens").as("mask_permille"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS BIGINT) AS pos
+        FROM documents),
+      coined AS (
+        SELECT doc_id, pos,
+               CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 1)) * 256 +
+                          ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 2, 1))) % 100 < 15
+                    THEN 1 ELSE 0 END AS m
+        FROM toks),
+      flagged AS (
+        SELECT doc_id, m,
+               CASE WHEN m = 1 AND coalesce(lag(m, 1) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+                    THEN 1 ELSE 0 END AS span_start
+        FROM coined)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(m) AS BIGINT) AS n_masked,
+             CAST(sum(span_start) AS BIGINT) AS n_spans,
+             CAST(sum(m) * 1000 // count(*) AS BIGINT) AS mask_permille
+      FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, packSequences, corpusShuffle,
       curationPipeline, redactPii, bigramTopK, chunkDocs, normalizeText,
-      segmentDedup, curriculumOrder)
+      segmentDedup, curriculumOrder, spanCorruption)
 }
