@@ -129,5 +129,59 @@ object Merge {
                  ELSE 'unchanged' END <> 'unchanged'
       ORDER BY key"""))
 
-  val all: Seq[Q] = Seq(incrementalMerge, snapshotDiff)
+  /** Incremental aggregate rollup — the other half of snapshot
+    * maintenance ([[upsertLatest]] maintains ROWS; this maintains an
+    * AGGREGATE): a standing per-group summary absorbs a delta batch
+    * without rescanning history. Works for any algebraic aggregate —
+    * keep the (sum, count, min, max) parts, merge part-wise, derive
+    * the final metric (avg = sum/count) only at read time. At 100 TB
+    * this is the difference between a daily full-table rollup scan
+    * and touching yesterday's summary (group-cardinality-sized) plus
+    * one day of delta.
+    *
+    * The declared query materializes the "historical" summary to
+    * per-app staging parquet (a genuine persisted-state round trip,
+    * not a cached frame), aggregates the delta batch, merges, and
+    * derives. Oracle = the full recompute over all events — the hash
+    * proves merged-incremental ≡ recompute exactly (integer cents,
+    * BIGINT parts). */
+  val incrementalRollup: Q = Q(
+    "q_incremental_rollup",
+    (s, dir) => {
+      val cents = round(col("value") * 100, 0).cast("long")
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), cents.as("cents"))
+      // deterministic batch boundary: last ~1/8 of events by id is
+      // "today's delta", the rest is settled history
+      val cut = ev.agg(expr(
+        "max(event_id) - (max(event_id) - min(event_id) + 1) div 8").as("c"))
+        .head().getLong(0)
+      def parts(df: DataFrame): DataFrame =
+        df.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      val stateDir = graft.Staging.dir(s, "graft_rollup_state")
+      parts(ev.filter(col("event_id") <= cut))
+        .write.mode("overwrite").parquet(stateDir)
+      val history = s.read.parquet(stateDir)
+      val delta = parts(ev.filter(col("event_id") > cut))
+      history.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+          min(col("min_cents")).as("min_cents"), max(col("max_cents")).as("max_cents"))
+        .select(col("event_type"), col("n"), col("sum_cents"),
+          col("min_cents"), col("max_cents"),
+          expr("sum_cents div n").as("avg_cents_floor"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(min(cents) AS BIGINT) AS min_cents,
+             CAST(max(cents) AS BIGINT) AS max_cents,
+             CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents_floor
+      FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(incrementalMerge, snapshotDiff, incrementalRollup)
 }
