@@ -511,7 +511,83 @@ object TextStats {
              CAST(sum(t_ba) AS DOUBLE) / 1e6 AS kl_ba_nats
       FROM terms GROUP BY vocab_n, na, nb"""))
 
+  /** Held-out perplexity — the non-leaky counterpart of
+    * [[lmSurprisal]] (which scores in-sample): the add-1 unigram LM
+    * trains on the TRAIN shard of the canonical 80/10/10 split
+    * ([[Sampling.hashBucket]] < 80, the same coin as
+    * q_train_test_split), and scores only the TEST shard (bucket ≥
+    * 90). Unseen test tokens hit the smoothing floor 1/(N+V) and are
+    * counted as OOV — the per-doc report (tokens, OOV, total/mean
+    * surprisal) is THE quality gate for a corpus refresh: a drifting
+    * ingest shows up as rising held-out surprisal before any model
+    * ever trains on it.
+    *
+    * Determinism: the [[lmSurprisal]] micro-nat recipe (one rounded
+    * integer per token, BIGINT sums; the mean is derived from exact
+    * integers). Scale: LM counts aggregate the train shard once
+    * (shuffle carries vocabulary); scoring joins test tokens against
+    * the vocabulary-sized LM frame. */
+  val heldoutPerplexity: Q = Q(
+    "q_heldout_perplexity",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("b", Sampling.hashBucket(col("doc_id")))
+      val trainToks = docs.filter(col("b") < 80)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val counts = trainToks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(count(lit(1)).as("vocab_n"), sum(col("cnt")).as("total_n"))
+      val testToks = docs.filter(col("b") >= 90)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      testToks
+        .join(counts.withColumnRenamed("tok", "lm_tok"),
+          col("tok") === col("lm_tok"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          when(col("cnt").isNull, 1L).otherwise(0L).as("oov"),
+          round(-log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+            (col("total_n") + col("vocab_n")).cast("double")) * 1e6, 0)
+            .cast("long").as("surprisal_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("oov")).as("n_oov"),
+          sum(col("surprisal_micro")).as("total_surprisal_micro"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("total_surprisal_micro"),
+          (col("total_surprisal_micro").cast("double") / col("n_tokens") / 1e6)
+            .as("mean_surprisal_nats"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH bucketed AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS b
+        FROM documents),
+      train_tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM bucketed WHERE b < 80),
+      counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM train_tok GROUP BY tok),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab_n,
+               CAST(sum(cnt) AS BIGINT) AS total_n FROM counts),
+      test_tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM bucketed WHERE b >= 90),
+      scored AS (
+        SELECT t.doc_id,
+               CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+               CAST(round(-ln((coalesce(c.cnt, 0) + 1.0) /
+                 CAST(total_n + vocab_n AS DOUBLE)) * 1e6) AS BIGINT) AS surprisal_micro
+        FROM test_tok t LEFT JOIN counts c ON t.tok = c.tok CROSS JOIN stats)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             CAST(sum(surprisal_micro) AS BIGINT) AS total_surprisal_micro,
+             CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
-    ngramNovelty, vocabNucleus, klDivergence)
+    ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity)
 }
