@@ -587,7 +587,58 @@ object TextStats {
              CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Corpus unigram entropy + effective vocabulary: H = −Σ p ln p
+    * over the token distribution, and exp(H) — "how many tokens the
+    * corpus behaves like it has" — the diversity metric that drops
+    * when dedup misses boilerplate or a crawl loops (Zipf corpora sit
+    * far below |V|; a collapsing exp(H) flags repetition before eye-
+    * balling ever would). Companion to [[klDivergence]]: KL compares
+    * two corpora, entropy summarizes one.
+    *
+    * Same micro-nat recipe: one rounded integer term per VOCABULARY
+    * entry (round(1e6·(cnt/N)·ln(N/cnt)) — all inputs exact BIGINTs),
+    * entropy is their exact integer sum, the nats/effective-vocab
+    * doubles derive from that integer. One token aggregate (shuffle
+    * carries vocabulary), one 1-row stats broadcast. */
+  val unigramEntropy: Q = Q(
+    "q_unigram_entropy",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(count(lit(1)).as("vocab_n"), sum(col("cnt")).as("total_n"))
+      counts.crossJoin(broadcast(stats))
+        .select(col("vocab_n"), col("total_n"),
+          round((col("cnt").cast("double") / col("total_n").cast("double")) *
+            log(col("total_n").cast("double") / col("cnt").cast("double")) * 1e6, 0)
+            .cast("long").as("term_micro"))
+        .groupBy("vocab_n", "total_n")
+        .agg(sum(col("term_micro")).as("entropy_micro"))
+        .select(col("vocab_n"), col("total_n"), col("entropy_micro"),
+          (col("entropy_micro").cast("double") / 1e6).as("entropy_nats"),
+          exp(col("entropy_micro").cast("double") / 1e6).as("effective_vocab"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents) GROUP BY tok),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab_n,
+               CAST(sum(cnt) AS BIGINT) AS total_n FROM counts),
+      terms AS (
+        SELECT vocab_n, total_n,
+               CAST(round((CAST(cnt AS DOUBLE) / CAST(total_n AS DOUBLE)) *
+                 ln(CAST(total_n AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS term_micro
+        FROM counts CROSS JOIN stats)
+      SELECT vocab_n, total_n,
+             CAST(sum(term_micro) AS BIGINT) AS entropy_micro,
+             CAST(sum(term_micro) AS DOUBLE) / 1e6 AS entropy_nats,
+             exp(CAST(sum(term_micro) AS DOUBLE) / 1e6) AS effective_vocab
+      FROM terms GROUP BY vocab_n, total_n"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
-    ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity)
+    ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
+    unigramEntropy)
 }
