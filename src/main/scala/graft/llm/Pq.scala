@@ -135,22 +135,24 @@ object Pq {
     * hits — the row count IS the recall measurement (of 40 slots).
     * Approximate + engine-internal ⇒ rows-only; floors asserted
     * INSIDE the query via [[RecallAudit.annAudit]] (8/8 planted
-    * copies always, plus total ≥32 — observed 39 at sf0.01, 34 at
-    * sf0.1: plain PQ's fixed shortlist covers a shrinking corpus
-    * fraction as data grows, the steepest scale slope of the four
-    * indexes because it has no probe structure to lean on), so the
-    * driver's `err` field catches silent degradation; reconstruction
-    * quality is pinned in PqSpec. */
+    * copies always, plus total ≥34 — observed 39 at sf0.01, 36 at
+    * sf0.1: plain PQ's shortlist covers a shrinking corpus fraction
+    * as data grows, the steepest scale slope of the four indexes
+    * because it has no probe structure to lean on), so the driver's
+    * `err` field catches silent degradation; reconstruction quality
+    * is pinned in PqSpec. */
   val annPq: Q = Q(
     "q_ann_pq",
-    (s, dir) => RecallAudit.annAudit(s, dir, floor = 32, what = "PQ") {
+    (s, dir) => RecallAudit.annAudit(s, dir, floor = 34, what = "PQ") {
       (q, corpus) =>
         val codebooks = trainCodebooks(corpus)
-        // shortlist 150: rerank cost is queries×150 exact cosines —
-        // negligible — while recall becomes limited only by whether the
-        // true neighbor survives 64× compression into the top PQ scores
-        // (50 left ~18% of true top-5 below the cut on this corpus)
-        pqTopK(q, corpus, codebooks, k = 5, shortlist = 150)
+        // shortlist 300: rerank cost is queries×300 exact cosines —
+        // negligible, and selection is a window over the scan the
+        // compressed pass does anyway — while recall becomes limited
+        // only by whether the true neighbor survives 64× compression
+        // into the top PQ scores (150 left ~15% of true top-5 below
+        // the cut at the 2k-corpus scale; 300 recovers 36/40 there)
+        pqTopK(q, corpus, codebooks, k = 5, shortlist = 300)
     },
     None)
 
