@@ -444,28 +444,43 @@ object Curation {
     * and a random shuffle (which ignores difficulty entirely).
     *
     * Difficulty here = token count (the cheap universal proxy);
-    * quartile via ntile(4) under the total order (n_tokens, doc_id),
-    * then position = (rank_within_quartile − 1)·4 + quartile.
-    * Scale shape: both windows run over the STATS projection
-    * (doc_id, n_tokens — 16 bytes/doc), never the text; even a 100 TB
-    * corpus's stats table is a routine sort, and the text is later
-    * laid out by range-partitioning on the computed position (same
-    * write shape as [[corpusShuffle]]'s md5 key). Everything is
-    * integer arithmetic → full hash oracle. */
+    * quartile = ntile(4) semantics under the total order (n_tokens,
+    * doc_id), then position = (rank_within_quartile − 1)·4 + quartile.
+    *
+    * Scale shape: the naive spelling — `ntile(4)` over an
+    * unpartitioned window — executes in a SINGLE task (Spark does not
+    * distribute a global window), so it is exactly the plan that dies
+    * at 1 B documents. Instead the global rank r comes from
+    * [[graft.ops.Ranks.globalOrder]] (range-partitioned sort + local
+    * rank + broadcast partition offsets — fully distributed), and
+    * both the quartile and the within-quartile rank are pure
+    * ARITHMETIC on r given the broadcast total N: with base = N div 4
+    * and rem = N mod 4 (ntile gives the first rem buckets base+1
+    * rows), bucket(r) is a two-case integer division and the bucket's
+    * start offset is (b−1)·base + min(b−1, rem). No corpus-sized
+    * window anywhere in the plan (guarded in PlanSpec); everything is
+    * integer → full hash oracle, identical to the ntile spelling the
+    * DuckDB oracle still uses. */
   val curriculumOrder: Q = Q(
     "q_curriculum_order",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-      val byDifficulty = Window.orderBy(col("n_tokens").asc, col("doc_id").asc)
-      val withinBucket = Window.partitionBy(col("bucket"))
-        .orderBy(col("n_tokens").asc, col("doc_id").asc)
-      docs
-        .withColumn("bucket", ntile(4).over(byDifficulty).cast("long"))
+      val tot = docs.agg(count(lit(1)).as("n_tot"))
+      val ranked = graft.ops.Ranks.globalOrder(docs,
+        Seq(col("n_tokens").asc, col("doc_id").asc), "r")
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("base", expr("n_tot div 4"))
+        .withColumn("rem", col("n_tot") % 4)
+        // ntile(4): first `rem` buckets hold base+1 rows, the rest base
+        .withColumn("bucket",
+          when(col("r") <= col("rem") * (col("base") + 1L),
+            expr("(r - 1) div (base + 1)") + 1L)
+            .otherwise(col("rem") + expr("(r - rem * (base + 1) - 1) div base") + 1L))
         .withColumn("pos",
-          (row_number().over(withinBucket).cast("long") - 1) * 4 + col("bucket"))
+          (col("r") - (col("bucket") - 1L) * col("base")
+            - least(col("bucket") - 1L, col("rem")) - 1L) * 4L + col("bucket"))
         .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pos"))
         .orderBy("pos")
     },

@@ -391,10 +391,15 @@ object TextStats {
     * target is included, and nothing after it).
     *
     * Scale shape: the corpus collapses to the vocabulary table in one
-    * two-level aggregate (shuffle carries distinct tokens); the
-    * cumulative window and total then run over vocabulary-sized
-    * frames only. Everything is exact BIGINT token counts, so the
-    * prefix boundary is deterministic. */
+    * two-level aggregate (shuffle carries distinct tokens); the rank
+    * and cumulative mass then come from
+    * [[graft.ops.Ranks.globalOrder]]'s two-level prefix scan
+    * (range-partitioned sort + local running sum + broadcast
+    * partition offsets) rather than an unpartitioned window — a real
+    * tokenizer vocabulary is 10⁷ rows, and a single-task cumulative
+    * window over it is the same scale defect as a corpus-sized one
+    * (guarded in PlanSpec). Everything is exact BIGINT token counts,
+    * so the prefix boundary is deterministic. */
   val vocabNucleus: Q = Q(
     "q_vocab_nucleus",
     (s, dir) => {
@@ -402,11 +407,9 @@ object TextStats {
         .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
       val tot = counts.agg(sum(col("cnt")).as("n_tot"))
-      val w = Window.orderBy(col("cnt").desc, col("tok").asc)
-      counts
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .withColumn("cum", sum(col("cnt")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      graft.ops.Ranks.globalOrder(counts,
+          Seq(col("cnt").desc, col("tok").asc), "rank",
+          runningSum = Some((col("cnt"), "cum")))
         .crossJoin(broadcast(tot))
         .filter(col("cum") - col("cnt") < expr("(9 * n_tot + 9) div 10"))
         .select(col("rank"), col("tok"), col("cnt"), col("cum"))

@@ -148,4 +148,24 @@ class CurationSpec extends SparkSpec {
     for ((_, members) <- byPos.groupBy(_._3))
       assert(members.map(_._2).toSeq == members.map(_._2).sorted.toSeq)
   }
+
+  test("curriculum order: distributed-rank arithmetic ≡ the ntile window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val byDifficulty = Window.orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val withinBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val reference = docs
+      .withColumn("bucket", ntile(4).over(byDifficulty).cast("long"))
+      .withColumn("pos",
+        (row_number().over(withinBucket).cast("long") - 1) * 4 + col("bucket"))
+      .select("doc_id", "n_tokens", "bucket", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = llm.Curation.curriculumOrder.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == reference)
+  }
 }

@@ -296,6 +296,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("registry-wide: no unpartitioned window over a corpus-sized input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // An unpartitioned window executes in ONE task, so it is only
+    // acceptable over an input an Aggregate has already collapsed to
+    // group cardinality (distinct-value tables in winsorize/quantile
+    // bins, the P-row partition-offset frames in ops.Ranks). A Window
+    // with empty partitionSpec whose subtree reaches a leaf without
+    // crossing an Aggregate is a corpus-sized single-task stage — the
+    // exact plan shape that killed q_curriculum_order's first
+    // spelling — and fails this sweep. Constructing a query is lazy
+    // for most of the registry; the eager ones (recall floors,
+    // iterative training, state writes, stream replays) cost their
+    // sf0.001 runtime here, which is what makes the sweep complete.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf001).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+          s"$name: window [${w.windowExpressions.map(_.name).mkString(", ")}] " +
+            "has empty partitionSpec over a non-aggregated input"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("curriculum order and vocab nucleus: distributed two-level scan, no global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (name <- Seq("q_curriculum_order", "q_vocab_nucleus")) {
+      val plan = SparkEntry.queries(name)(spark, sf001).queryExecution.optimizedPlan
+      val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      // the only unpartitioned window left is the P-row partition-offset
+      // prefix sum, which sits directly over a groupBy(__pid) aggregate
+      assert(globals.nonEmpty, s"$name: expected the P-row offset window")
+      globals.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"$name: corpus-sized unpartitioned window:\n$w")
+      }
+    }
+  }
+
   test("int8 quantize: bounds broadcast back, corpus shuffles once") {
     val p = finalPlan(q("q_int8_quantize"))
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)

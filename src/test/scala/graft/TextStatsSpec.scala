@@ -110,6 +110,27 @@ class TextStatsSpec extends SparkSpec {
     assert(out.length.toLong < vocabSize, "nucleus strictly truncates the vocabulary")
   }
 
+  test("vocab nucleus: distributed prefix scan ≡ the unpartitioned window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.load(spark, sf001, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n_tot"))
+    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+    val reference = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") - col("cnt") < expr("(9 * n_tot + 9) div 10"))
+      .select("rank", "tok", "cnt", "cum")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = llm.TextStats.vocabNucleus.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == reference)
+  }
+
   test("n-gram novelty: repeated gram within one doc counts once (distinct grams)") {
     val docs = Seq(
       (0L, "a b c a b c a b c") // grams: abc,bca,cab,abc,bca,cab,abc -> 3 distinct
