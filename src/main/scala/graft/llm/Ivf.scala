@@ -172,7 +172,7 @@ object Ivf {
     * so the driver's `err` field catches silent degradation. */
   val annIvf: Q = Q(
     "q_ann_ivf",
-    (s, dir) => RecallAudit.annAudit(s, dir, floor = 36, what = "IVF") {
+    (s, dir) => RecallAudit.annAudit(s, dir, floor = RecallAudit.IvfFloor, what = "IVF") {
       (q, corpus) =>
         val centroids = trainCentroids(corpus)
         ivfTopK(q, corpus, centroids)

@@ -41,7 +41,7 @@ object IvfPq {
     * degradation. */
   val annIvfPq: Q = Q(
     "q_ann_ivfpq",
-    (s, dir) => RecallAudit.annAudit(s, dir, floor = 35, what = "IVF-PQ") {
+    (s, dir) => RecallAudit.annAudit(s, dir, floor = RecallAudit.IvfPqFloor, what = "IVF-PQ") {
       (q, corpus) =>
       val centroids = Ivf.trainCentroids(corpus)
       val centLit = typedLit(centroids.map(_.toSeq).toSeq)

@@ -143,7 +143,7 @@ object Pq {
     * is pinned in PqSpec. */
   val annPq: Q = Q(
     "q_ann_pq",
-    (s, dir) => RecallAudit.annAudit(s, dir, floor = 34, what = "PQ") {
+    (s, dir) => RecallAudit.annAudit(s, dir, floor = RecallAudit.PqFloor, what = "PQ") {
       (q, corpus) =>
         val codebooks = trainCodebooks(corpus)
         // shortlist 300: rerank cost is queries×300 exact cosines —

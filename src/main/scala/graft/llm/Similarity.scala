@@ -219,7 +219,7 @@ object Similarity {
     * degradation. */
   val annLsh: Q = Q(
     "q_ann_lsh",
-    (s, dir) => RecallAudit.annAudit(s, dir, floor = 38, what = "LSH") {
+    (s, dir) => RecallAudit.annAudit(s, dir, floor = RecallAudit.LshFloor, what = "LSH") {
       (q, corpus) => annTopK(q, corpus)
     },
     None)

@@ -77,6 +77,26 @@ class RecallAuditSpec extends SparkSpec {
     assert(e.getMessage.contains("planted exact copies"))
   }
 
+  test("floor margins: every ANN audit measures ≥ floor+1 at sf0.001 AND sf0.01") {
+    // The PQ floor sat 2 below its sf0.1 measurement in round 9 — one
+    // more data-growth step away from a false alarm. This pins the
+    // margin at both test scales so erosion surfaces in `sbt test`
+    // BEFORE a driver run records an `err`. (The measured value IS the
+    // declared query's row count: annAudit returns only confirmed
+    // hits.)
+    val audits = Seq(
+      ("q_ann_lsh", RecallAudit.LshFloor),
+      ("q_ann_ivf", RecallAudit.IvfFloor),
+      ("q_ann_pq", RecallAudit.PqFloor),
+      ("q_ann_ivfpq", RecallAudit.IvfPqFloor))
+    for (dir <- Seq(sf001, "/root/testdata/sf0.01"); (name, floor) <- audits) {
+      val measured = SparkEntry.queries(name)(spark, dir).count()
+      assert(measured >= floor + 1,
+        s"$name at $dir: measured $measured has no margin above floor $floor")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("annAudit passes a genuine index through unchanged (LSH shape)") {
     val out = RecallAudit.annAudit(spark, sf001, floor = 1, what = "lsh-smoke") {
       (q, corpus) => graft.llm.Similarity.annTopK(q, corpus)
