@@ -43,7 +43,7 @@ object IvfPq {
     "q_ann_ivfpq",
     (s, dir) => RecallAudit.annAudit(s, dir, floor = RecallAudit.IvfPqFloor, what = "IVF-PQ") {
       (q, corpus) =>
-      val centroids = Ivf.trainCentroids(corpus)
+      val centroids = Ivf.trainCentroidsMemo(s"$dir#ann", corpus)
       val centLit = typedLit(centroids.map(_.toSeq).toSeq)
       // residual frame: cluster assignment + within-cell displacement,
       // persisted because it feeds BOTH codebook training and indexing
@@ -53,7 +53,8 @@ object IvfPq {
           element_at(centLit, col("cluster") + 1), (a, b) => a - b))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val codebooks = Pq.trainCodebooks(resid.select(col("vec_id"), col("res").as("v")))
+        val codebooks = Pq.trainCodebooksMemo(s"$dir#ann-resid",
+          resid.select(col("vec_id"), col("res").as("v")))
         // the index: (cluster, 4-byte residual code) per vector; search
         // reconstructs centroid + decode(code) inside probed lists only
         val recon = resid

@@ -76,6 +76,19 @@ object Pq {
     } finally sample.unpersist()
   }
 
+  /** Driver-side memo of trained codebooks — same soundness argument
+    * and keying contract as [[Ivf.trainCentroidsMemo]] (training is
+    * bit-identical for a fixed input construction; the tag must name
+    * the construction: "ann-raw" = codebooks over the annAudit corpus
+    * vectors, "ann-resid" = codebooks over its IVF residuals). Holds
+    * m×k×(d/m) doubles per entry, never data. */
+  private val codebookMemo =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]()
+  def trainCodebooksMemo(key: String, emb: DataFrame, m: Int = 8,
+      k: Int = 16, iters: Int = 5, sampleN: Int = 2000): Array[Array[Array[Double]]] =
+    codebookMemo.getOrElseUpdate(s"$key#$m#$k#$iters#$sampleN",
+      trainCodebooks(emb, m, k, iters, sampleN))
+
   /** PQ code of a vector column: array of m sub-codes, each the
     * argmin-L2 centroid of its subspace — the fused
     * [[graft.functions.PqEncode]] expression (the declarative
@@ -145,7 +158,7 @@ object Pq {
     "q_ann_pq",
     (s, dir) => RecallAudit.annAudit(s, dir, floor = RecallAudit.PqFloor, what = "PQ") {
       (q, corpus) =>
-        val codebooks = trainCodebooks(corpus)
+        val codebooks = trainCodebooksMemo(s"$dir#ann-raw", corpus)
         // shortlist 300: rerank cost is queries×300 exact cosines —
         // negligible, and selection is a window over the scan the
         // compressed pass does anyway — while recall becomes limited

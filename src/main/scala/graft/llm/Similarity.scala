@@ -347,7 +347,7 @@ object Similarity {
         .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("v"))
       val corpus = base.unionByName(planted)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val centroids = Ivf.trainCentroids(corpus)
+      val centroids = Ivf.trainCentroidsMemo(s"$dir#sem5", corpus)
       val out = RecallAudit.assertPlantedPairs(
         clusterNearDupPairs(corpus, centroids, 0.95),
         "vec_a", "vec_b", plantN = 5, what = "semantic (cluster-blocked) dedup")

@@ -133,6 +133,27 @@ class IvfPqTrainingSpec extends SparkSpec {
     for (c <- a.indices) assert(bits(a(c)) == bits(b(c)), s"centroid $c differs")
   }
 
+  test("T007 training memo returns bit-identical artifacts and caches per key") {
+    // memoization must be a pure cost optimization: the memoized
+    // artifact bit-equals a fresh training run on the same input, the
+    // second lookup returns the cached instance (no retraining), and
+    // distinct keys never collide
+    val fresh = Ivf.trainCentroids(emb, k = 4, iters = 2, sampleN = 500)
+    val memo1 = Ivf.trainCentroidsMemo("spec#memoA", emb, k = 4, iters = 2, sampleN = 500)
+    val memo2 = Ivf.trainCentroidsMemo("spec#memoA", emb, k = 4, iters = 2, sampleN = 500)
+    for (c <- fresh.indices)
+      assert(bits(fresh(c)) == bits(memo1(c)), s"memoized centroid $c differs from fresh")
+    assert(memo1 eq memo2, "same key must return the cached instance")
+    // hyperparameters ride the key: a different k cannot collide
+    val memoK8 = Ivf.trainCentroidsMemo("spec#memoA", emb, k = 8, iters = 2, sampleN = 500)
+    assert(memoK8.length == 8 && memo1.length == 4)
+    val cbFresh = Pq.trainCodebooks(emb, m = 8, k = 4, iters = 2, sampleN = 500)
+    val cbMemo = Pq.trainCodebooksMemo("spec#memoB", emb, m = 8, k = 4, iters = 2, sampleN = 500)
+    for (j <- cbFresh.indices; c <- cbFresh(j).indices)
+      assert(bits(cbFresh(j)(c)) == bits(cbMemo(j)(c)), s"memoized codebook ($j,$c) differs")
+    assert(cbMemo eq Pq.trainCodebooksMemo("spec#memoB", emb, m = 8, k = 4, iters = 2, sampleN = 500))
+  }
+
   test("T003 PqEncode compares by codebook value, not array reference") {
     val cbA = Array.tabulate(2, 4, 8)((j, c, i) => j * 32 + c * 8 + i * 0.5)
     val cbB = Array.tabulate(2, 4, 8)((j, c, i) => j * 32 + c * 8 + i * 0.5)
