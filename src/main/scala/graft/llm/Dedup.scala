@@ -101,59 +101,14 @@ object Dedup {
       bands: Int = 16, rows: Int = 4): DataFrame = {
       val spark = input.sparkSession
       val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val hashes = bands * rows
-      // Session requirement (set by Bench/Verify/TestSpark at session
-      // build, NOT mutated here — an operator must not silently change
-      // aggregation behavior for the caller's other queries):
-      // spark.sql.objectHashAggregate.sortBased.fallbackThreshold must
-      // exceed per-task group cardinality, or ObjectHashAggregate's
-      // default 128-distinct-key fallback demotes the MinHashAgg
-      // signature pass to SORT-based aggregation (sorting the full
-      // exploded shingle stream — catastrophic). One signature buffer
-      // is 512 bytes, so millions of in-flight groups per task are fine.
       // Persisted: this (doc_id, shingle-hash) table is the single
       // materialization of the text — signatures aggregate it AND the
       // exact-Jaccard verify semi-joins it, so the shingling runs and
       // compiles exactly once. 24 bytes/shingle, no text column —
       // MEMORY_AND_DISK spills rather than OOMs at corpus scale.
-      // Shingling is [[graft.functions.ShingleHashes]] — one fused
-      // byte-level pass per doc (token hashes zero-copy, window hashes
-      // from token hashes) instead of the interpreted HOF chain that
-      // materialized every 5-gram as a string before hashing it; h1 IS
-      // the shingle's set identity (Jaccard over h1 ≡ Jaccard over
-      // shingle strings, pinned in DedupSpec), h2 the independent
-      // second hash the XOR-rotate family derives from.
-      val exploded = input.repartition(par)
-        .select(col("doc_id"),
-          explode(graft.functions.ShingleHashes(col("text"), 5)).as("h1"))
-        .select(col("doc_id"), col("h1"), xxhash64(col("h1"), lit(1)).as("h2"))
+      val exploded = shingleFrame(input, par)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Persist the signature table: the banded self-join references it
-      // on both sides, and without materialization each side re-runs
-      // the explode+aggregate. Signatures are 64 longs/doc — the
-      // standard "materialize the sketch, then index it" shape;
-      // MEMORY_AND_DISK spills rather than OOMs at corpus scale.
-      // The signature itself is [[graft.functions.MinHashAgg]], the
-      // typed imperative aggregate — bit-identical to 64 declarative
-      // min(h1 ^ rotl(h2, i)) columns (equivalence pinned in
-      // DedupSpec) without their pathological codegen-compile cost.
-      val sigs = exploded.groupBy("doc_id")
-        .agg(graft.functions.MinHashAgg(col("h1"), col("h2"), hashes).as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-      // band key: xxhash64 over the band's signature values, passed as
-      // `rows` scalar longs rather than an array slice — hashing an
-      // array column generates a recursive array-walk per band (16×
-      // the code volume, most of this stage's JIT bill); scalar args
-      // stay primitive straight-line codegen
-      val banded = sigs.select(
-        col("doc_id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64((0 until rows).map(rr =>
-              element_at(col("sig"), b * rows + rr + 1)): _*).as("bh"))): _*)).as("e"))
-        .select(col("doc_id"), col("e.band"), col("e.bh"))
-
+      val banded = bandedSignatures(exploded, bands, rows)
       val l = banded.alias("l")
       val r = banded.alias("r")
       val candidates = l.join(r,
@@ -161,30 +116,97 @@ object Dedup {
             col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
+      verifyJaccard(candidates, exploded, threshold)
+  }
 
-      // verify candidates with exact Jaccard over the 64-bit shingle
-      // hashes (h1), materialized only for docs in some candidate
-      // pair. Set equality: `shingles` is already array_distinct'd, so
-      // (doc_id, h1) is the shingle set under a collision-free hash —
-      // Jaccard over hash sets ≡ Jaccard over string sets up to 2⁻⁶⁴
-      // collisions. Reusing the persisted `exploded` means the verify
-      // path never touches text again (and never compiles the string
-      // shingling a second time — that recompile was the single
-      // largest JIT cost in the operator).
-      val candIds = candidates
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-      val candSh = exploded.join(candIds, Seq("doc_id"), "left_semi")
-        .groupBy("doc_id").agg(collect_set(col("h1")).as("sh"))
-      val sa = candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val sb = candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      candidates.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard",
-          col("inter").cast("double") /
-            nullif(size(col("sh_a")) + size(col("sh_b")) - col("inter"), lit(0)))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+  /** Exploded 64-bit shingle-hash table (doc_id, h1, h2) — the single
+    * text materialization every MinHash stage derives from.
+    *
+    * Shingling is [[graft.functions.ShingleHashes]] — one fused
+    * byte-level pass per doc (token hashes zero-copy, window hashes
+    * from token hashes) instead of the interpreted HOF chain that
+    * materialized every 5-gram as a string before hashing it; h1 IS
+    * the shingle's set identity (Jaccard over h1 ≡ Jaccard over
+    * shingle strings, pinned in DedupSpec), h2 the independent
+    * second hash the XOR-rotate family derives from. The input is
+    * round-robin repartitioned first: the harness parquet is one row
+    * group = one scan task, and on a real cluster this evens
+    * doc-length skew. Callers persist (every consumer reads it at
+    * least twice). */
+  private[graft] def shingleFrame(input: DataFrame, par: Int): DataFrame =
+    input.repartition(par)
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(col("text"), 5)).as("h1"))
+      .select(col("doc_id"), col("h1"), xxhash64(col("h1"), lit(1)).as("h2"))
+
+  /** Banded MinHash signature table (doc_id, band, bh) from an
+    * exploded shingle frame — the LSH index rows, and exactly what
+    * the incremental state store persists per document (constant
+    * bytes per doc, independent of doc length).
+    *
+    * Session requirement (set by Bench/Verify/TestSpark at session
+    * build, NOT mutated here — an operator must not silently change
+    * aggregation behavior for the caller's other queries):
+    * spark.sql.objectHashAggregate.sortBased.fallbackThreshold must
+    * exceed per-task group cardinality, or ObjectHashAggregate's
+    * default 128-distinct-key fallback demotes the MinHashAgg
+    * signature pass to SORT-based aggregation (sorting the full
+    * exploded shingle stream — catastrophic). One signature buffer
+    * is 512 bytes, so millions of in-flight groups per task are fine.
+    *
+    * The intermediate signature aggregate is persisted: band
+    * consumers reference the banded frame on both join sides, and
+    * without materialization each side re-runs the explode+aggregate.
+    * Signatures are 64 longs/doc — the standard "materialize the
+    * sketch, then index it" shape. The signature itself is
+    * [[graft.functions.MinHashAgg]], the typed imperative aggregate —
+    * bit-identical to 64 declarative min(h1 ^ rotl(h2, i)) columns
+    * (equivalence pinned in DedupSpec) without their pathological
+    * codegen-compile cost. Band key: xxhash64 over the band's
+    * signature values, passed as `rows` scalar longs rather than an
+    * array slice — hashing an array column generates a recursive
+    * array-walk per band (16× the code volume, most of this stage's
+    * JIT bill); scalar args stay primitive straight-line codegen. */
+  private[graft] def bandedSignatures(exploded: DataFrame,
+      bands: Int, rows: Int): DataFrame = {
+    val sigs = exploded.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg(col("h1"), col("h2"), bands * rows).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rows).map(rr =>
+            element_at(col("sig"), b * rows + rr + 1)): _*).as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs over the 64-bit
+    * shingle hashes (h1), materialized only for docs in some
+    * candidate pair. Set equality: the shingle frame is distinct per
+    * doc, so (doc_id, h1) is the shingle set under a collision-free
+    * hash — Jaccard over hash sets ≡ Jaccard over string sets up to
+    * 2⁻⁶⁴ collisions. `shingleSrc` must cover every doc id appearing
+    * in `candidates`; reusing an already-persisted frame means the
+    * verify path never touches text again (and never compiles the
+    * shingling a second time — that recompile was the single largest
+    * JIT cost in the operator). */
+  private[llm] def verifyJaccard(candidates: DataFrame, shingleSrc: DataFrame,
+      threshold: Double): DataFrame = {
+    val candIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val candSh = shingleSrc.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("h1")).as("sh"))
+    val sa = candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          nullif(size(col("sh_a")) + size(col("sh_b")) - col("inter"), lit(0)))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Ten planted near-duplicates for the declared MinHash/SimHash
@@ -202,7 +224,7 @@ object Dedup {
     * signature→band→verify plumbing end to end (hamming 0 is always
     * retrieved), while mutation sensitivity stays pinned in
     * DedupSpec. */
-  private def withPlanted(docs: DataFrame, mutate: Boolean): DataFrame =
+  private[graft] def withPlanted(docs: DataFrame, mutate: Boolean): DataFrame =
     docs.select("doc_id", "text").unionByName(
       docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
@@ -333,6 +355,133 @@ object Dedup {
       JOIN (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents) b
         ON b.doc_id = a.doc_id + 1
       ORDER BY doc_a"""))
+
+  /** One delta batch of MinHash near-dup pairs against a STANDING
+    * band-table state — today's documents versus all history without
+    * re-shingling, re-hashing, or re-banding a byte of history. The
+    * production dedup loop at 100 TB: the state store holds 16 small
+    * (doc_id, band, bh) rows per historical document (constant bytes,
+    * independent of doc length — [[bandedSignatures]]); a delta batch
+    * is banded, joined against state ∪ its own bands on (band, bh),
+    * and only candidate pairs are exact-verified. History TEXT is
+    * touched solely for candidate partners (a semi-join point lookup,
+    * candidate-sized), so absorbing a day's delta costs
+    * O(delta + candidates), not O(corpus). The caller maintains state
+    * by appending the delta's bands after the run (plain parquet
+    * append / union-overwrite — see IncrementalDedupSpec's two-batch
+    * proof that the loop composes).
+    *
+    * Determinism: banding is a pure function of text
+    * ([[graft.functions.ShingleHashes]] + [[graft.functions.MinHashAgg]]),
+    * so state rows computed yesterday are bit-identical to what a full
+    * recompute would band today — delta-vs-state candidates are
+    * EXACTLY the full-recompute candidates that involve a delta doc,
+    * and the verified pairs match the full recompute restricted to
+    * delta-involving pairs (pinned in IncrementalDedupSpec at both
+    * one- and two-batch depth).
+    *
+    * `histText` must expose (doc_id, text) for any historical doc that
+    * can appear as a candidate (in production, the corpus table the
+    * state indexes). Pair orientation is (least, greatest) so the
+    * output is identical to [[minhashPairs]]' `doc_a < doc_b` form
+    * regardless of id ordering between batches. */
+  def deltaMinhashPairs(state: DataFrame, delta: DataFrame, histText: DataFrame,
+      threshold: Double = 0.5, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val spark = delta.sparkSession
+    val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val deltaShingles = shingleFrame(delta, par)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaBands = bandedSignatures(deltaShingles, bands, rows)
+    val allBands = state.select("doc_id", "band", "bh").unionByName(deltaBands)
+    val l = allBands.alias("l")
+    val r = deltaBands.alias("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") =!= col("r.doc_id"))
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
+      .distinct()
+    // candidate HISTORY partners (ids not in the delta) are
+    // re-shingled point-wise for the exact verify — candidate-sized
+    // work against the corpus table, never a history scan
+    val candHistIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+    val histShingles = shingleFrame(
+      histText.join(candHistIds, Seq("doc_id"), "left_semi"), par)
+    verifyJaccard(candidates, deltaShingles.unionByName(histShingles), threshold)
+  }
+
+  /** Incremental EXACT dedup against a persisted content-signature
+    * store — the cross-run counterpart of [[exact]], same state shape
+    * as [[graft.ops.Merge.incrementalRollup]]: the store keeps one
+    * (content_hash, keep_id, dup_cnt) row per distinct content (group-
+    * cardinality-sized, 16-byte digests — never text), a delta batch
+    * aggregates its own signatures, and the merge is part-wise
+    * (min keep survivor policy + count sum, both algebraic). Absorbing
+    * a day's delta touches the summary plus the delta — the full
+    * corpus is never rescanned.
+    *
+    * The declared query materializes the "historical" store to
+    * per-app staging parquet (a genuine persisted-state round trip),
+    * merges the last ~1/8 of documents as the delta, and emits the
+    * merged dup-group table. The DuckDB oracle is the FULL-CORPUS
+    * recompute (identical SQL to [[exact]]'s), so the driver's hash
+    * match re-proves delta+state ≡ full recompute every round. */
+  val incrementalExact: Q = Q(
+    "q_dedup_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // deterministic batch boundary: last ~1/8 of documents by id is
+      // "today's delta", the rest is settled history
+      val cut = docs.agg(expr(
+        "max(doc_id) - (max(doc_id) - min(doc_id) + 1) div 8").as("c"))
+        .head().getLong(0)
+      def parts(df: DataFrame): DataFrame =
+        df.groupBy(md5(col("text").cast("binary")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      val stateDir = graft.Staging.dir(s, "graft_dedup_sig_state")
+      parts(docs.filter(col("doc_id") <= cut)).write.mode("overwrite").parquet(stateDir)
+      s.read.parquet(stateDir)
+        .unionByName(parts(docs.filter(col("doc_id") > cut)))
+        .groupBy("content_hash")
+        .agg(min(col("keep_id")).as("keep_id"), sum(col("dup_cnt")).as("dup_cnt"))
+        .select("keep_id", "content_hash", "dup_cnt")
+        .orderBy("keep_id")
+    },
+    Some("""
+      SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+             md5(text) AS content_hash,
+             CAST(count(*) AS BIGINT) AS dup_cnt
+      FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
+
+  /** Incremental MinHash near-dup as the driver-visible signal: build
+    * the band-table state from history (in production it already
+    * exists from the previous run), dedup the delta batch against it
+    * via [[deltaMinhashPairs]]. The 10 planted near-dups are copies of
+    * HISTORY docs (ids 0–9 ≤ cut) planted into the DELTA (ids 1M+), so
+    * the planted floor certifies exactly the delta-vs-history recall
+    * path the state store exists for. Rows-only per contract (MinHash
+    * internals aren't DuckDB-expressible); delta+state ≡ full
+    * recompute is pinned in IncrementalDedupSpec. */
+  val incrementalMinhash: Q = Q(
+    "q_dedup_incremental_minhash",
+    (s, dir) => {
+      val docs = withPlanted(t(s, dir, "documents"), mutate = true)
+      val cut = docs.filter(col("doc_id") < 1000000L).agg(expr(
+        "max(doc_id) - (max(doc_id) - min(doc_id) + 1) div 8").as("c"))
+        .head().getLong(0)
+      val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val hist = docs.filter(col("doc_id") <= cut)
+      val stateDir = graft.Staging.dir(s, "graft_dedup_band_state")
+      bandedSignatures(shingleFrame(hist, par), bands = 16, rows = 4)
+        .write.mode("overwrite").parquet(stateDir)
+      RecallAudit.assertPlantedPairs(
+        deltaMinhashPairs(s.read.parquet(stateDir),
+          docs.filter(col("doc_id") > cut), hist),
+        "doc_a", "doc_b", plantN = 10, what = "incremental MinHash")
+    },
+    None)
 
   /** Connected components by iterative min-label propagation — the
     * step that turns pairwise near-dup output into DEDUP CLUSTERS
@@ -532,5 +681,5 @@ object Dedup {
       FROM m GROUP BY g ORDER BY component"""))
 
   val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs,
-    dedupClusters, dedupCanonical)
+    dedupClusters, dedupCanonical, incrementalExact, incrementalMinhash)
 }
