@@ -52,8 +52,25 @@ object Checkpoints {
     if (reliable(df)) {
       val s = df.sparkSession
       val sc = s.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(s.conf.get(DirKey, Staging.dir(s, "checkpoints")))
+      if (sc.getCheckpointDir.isEmpty) s.conf.getOption(DirKey) match {
+        case Some(dir) => sc.setCheckpointDir(dir)
+        case None if sc.isLocal =>
+          // single-node: a tmpdir staging path is as durable as the
+          // node itself, so it is an acceptable default
+          sc.setCheckpointDir(Staging.dir(s, "checkpoints"))
+        case None =>
+          // on a cluster, a driver-local java.io.tmpdir fallback would
+          // WRITE checkpoints nowhere durable — executors cannot read
+          // the driver's /tmp, and the whole point of reliable mode is
+          // surviving executor loss. Refuse loudly instead of
+          // checkpointing into a path that silently voids the
+          // guarantee. (For long-lived apps, pair with
+          // spark.cleaner.referenceTracking.cleanCheckpoints=true so
+          // out-of-scope checkpoint files are collected.)
+          throw new IllegalStateException(
+            s"$ReliableKey=true on a non-local master requires $DirKey " +
+              "to point at durable shared storage (HDFS/S3A)")
+      }
       df.checkpoint(eager)
     } else df.localCheckpoint(eager)
 }

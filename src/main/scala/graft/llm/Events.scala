@@ -474,13 +474,17 @@ object Events {
     * per-group 4-long state, never the event rows.
     *
     * Determinism: scores become exact cents; tie-breaks are encoded
-    * ARITHMETICALLY into the argmax key (cents·10⁷ − event_id prefers
-    * the LOWER id among equal-cent maxima; cents·10⁷ + event_id the
-    * lower id among minima) because DuckDB's arg_max over a composite
-    * needs a scalar key — the 10⁷ stride holds while event ids stay
-    * below it (they do at every sf; ANSI overflow would raise, not
-    * corrupt). Degenerate pairs (all of a user's events equal-scored)
-    * are kept with delta 0 — downstream filters choose their margin. */
+    * ARITHMETICALLY into the SAME key for both sides (cents·10⁷ −
+    * event_id: max_by prefers the LOWER id among equal-cent maxima,
+    * min_by the HIGHER id among equal-cent minima) because DuckDB's
+    * arg_max over a composite needs a scalar key — the 10⁷ stride
+    * holds while event ids stay below it (they do at every sf; ANSI
+    * overflow would raise, not corrupt). Opposite tie directions mean
+    * chosen_id ≠ rejected_id whenever the group has ≥2 events, even
+    * when every event is equal-scored — a DPO pair must reference two
+    * distinct events, so an all-equal group yields its extreme ids
+    * with delta 0 rather than a degenerate self-pair (downstream
+    * filters choose their margin). */
   val preferencePairs: Q = Q(
     "q_preference_pairs",
     (s, dir) => {
@@ -493,7 +497,7 @@ object Events {
           max_by(col("event_id"), col("cents") * 10000000L - col("event_id"))
             .as("chosen_id"),
           max(col("cents")).as("chosen_cents"),
-          min_by(col("event_id"), col("cents") * 10000000L + col("event_id"))
+          min_by(col("event_id"), col("cents") * 10000000L - col("event_id"))
             .as("rejected_id"),
           min(col("cents")).as("rejected_cents"))
         .filter(col("n_events") >= 2)
@@ -511,7 +515,7 @@ object Events {
                CAST(count(*) AS BIGINT) AS n_events,
                arg_max(event_id, cents * 10000000 - event_id) AS chosen_id,
                CAST(max(cents) AS BIGINT) AS chosen_cents,
-               arg_min(event_id, cents * 10000000 + event_id) AS rejected_id,
+               arg_min(event_id, cents * 10000000 - event_id) AS rejected_id,
                CAST(min(cents) AS BIGINT) AS rejected_cents
         FROM (SELECT user_id, event_id,
                      CAST(round(value * 100) AS BIGINT) AS cents FROM events)

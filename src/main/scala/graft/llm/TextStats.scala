@@ -186,14 +186,16 @@ object TextStats {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val nDocs = docs.count()
-      val out = RecallAudit.assertFloor(
-        docs.select(col("doc_id"),
+      val out = docs.select(col("doc_id"),
           graft.functions.RollingHash(col("text")).as("rhash64"))
-          .orderBy("doc_id"),
-        nDocs, what = "rolling fingerprint")
-      if (out.count() > nDocs)
+        .orderBy("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one action materializes the cache AND checks the exact-count
+      // invariant in both directions (a drop OR a duplication throws)
+      val n = out.count()
+      if (n != nDocs)
         throw new IllegalStateException(
-          s"rolling fingerprint produced ${out.count()} rows for $nDocs documents")
+          s"rolling fingerprint produced $n rows for $nDocs documents")
       out
     },
     None)

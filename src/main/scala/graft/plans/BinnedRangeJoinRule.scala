@@ -101,9 +101,14 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThanOrEqual(x, Add(y, IntegralLit(k), _)) => Seq((y, x, -k))
       case GreaterThanOrEqual(x, Add(IntegralLit(k), y, _)) => Seq((y, x, -k))
       case GreaterThan(x, Subtract(y, IntegralLit(k), _)) => Seq((y, x, k - 1))
+      case LessThan(x, Subtract(y, IntegralLit(k), _)) => Seq((x, y, -k - 1))
+      case GreaterThan(x, Add(y, IntegralLit(k), _)) => Seq((y, x, -k - 1))
+      case GreaterThan(x, Add(IntegralLit(k), y, _)) => Seq((y, x, -k - 1))
       // literal on the left: k <= x − y etc. mirror to the above
       case GreaterThanOrEqual(IntegralLit(k), Subtract(x, y, _)) => Seq((x, y, k))
       case LessThanOrEqual(IntegralLit(k), Subtract(x, y, _)) => Seq((y, x, -k))
+      case GreaterThan(IntegralLit(k), Subtract(x, y, _)) => Seq((x, y, k - 1))
+      case LessThan(IntegralLit(k), Subtract(x, y, _)) => Seq((y, x, -k - 1))
       case _ => Seq.empty
     }
 

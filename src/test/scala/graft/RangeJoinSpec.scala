@@ -140,6 +140,24 @@ class RangeJoinSpec extends SparkSpec {
     checkRewrite((a, b) => a - b <= lit(600L) && b - a <= lit(1800L))
   }
 
+  test("rule fires on the mirrored strict side-window x < y − k") {
+    // window [y−1800, y−600): LessThan(x, Subtract(y, k)) is the
+    // mirror of the handled GreaterThan spelling
+    checkRewrite((a, b) => a < b - lit(600L) && a > b - lit(1800L))
+  }
+
+  test("rule fires on the mirrored strict side-window x > y + k") {
+    // roles swapped so the window agrees with the harness's
+    // event_id < e2 orientation (ids correlate with time): the
+    // conjuncts still parse as GreaterThan(x, Add(y, k)) /
+    // LessThan(x, Add(y, k)) with x = the right side's seconds
+    checkRewrite((a, b) => b > a + lit(600L) && b < a + lit(1800L))
+  }
+
+  test("rule fires on strict literal-on-left spellings") {
+    checkRewrite((a, b) => lit(1800L) > a - b && lit(1800L) > b - a)
+  }
+
   test("rule does NOT fire on a one-sided bound (unbounded range)") {
     val ev = Tables.load(spark, sf001, "events")
       .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))

@@ -147,15 +147,34 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("preference pairs: chosen dominates rejected, ids differ when delta > 0") {
+  test("preference pairs: chosen dominates rejected, ids always distinct") {
     val out = graft.llm.Events.preferencePairs.fn(spark, sf001).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val (chosen, rejected) = (r.getLong(2), r.getLong(3))
       val (cc, rc, delta) = (r.getLong(4), r.getLong(5), r.getLong(6))
       assert(cc >= rc && delta === cc - rc)
-      if (delta > 0) assert(chosen != rejected)
+      // every emitted group has >= 2 events, so a DPO pair must
+      // reference two DISTINCT events even when all scores tie
+      // (opposite tie directions in the shared argmax key)
+      assert(chosen != rejected)
     }
+  }
+
+  test("preference pairs: all-equal-scored group yields extreme ids, not a self-pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 5.0))
+      .toDF("user_id", "event_id", "value")
+    val cents = round(col("value") * 100, 0).cast("long")
+    val row = ev.select(col("user_id"), col("event_id"), cents.as("cents"))
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_id"), col("cents") * 10000000L - col("event_id")).as("chosen_id"),
+        min_by(col("event_id"), col("cents") * 10000000L - col("event_id")).as("rejected_id"))
+      .head()
+    assert(row.getLong(1) === 10L, "chosen = lowest id among equal maxima")
+    assert(row.getLong(2) === 12L, "rejected = highest id among equal minima")
   }
 
   test("int8 quantization: error never exceeds half a step, codes span the range") {
