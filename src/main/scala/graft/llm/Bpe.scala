@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Distributed BPE (byte-pair-encoding) merge training — the
+  * tokenizer-training primitive of every modern LLM data pipeline,
+  * in the shape that scales: merges are learned from the
+  * WORD-FREQUENCY TABLE, not the corpus. The corpus is touched
+  * exactly once (token explode → word counts); every Lloyd's-style
+  * round after that — pair counting, argmax, merge application — runs
+  * over the vocabulary-sized table, so a 100 TB corpus trains at the
+  * cost of its distinct-word table (Zipf makes that millions of rows,
+  * not billions), and shuffles carry (symbol-pair, count) rows only.
+  *
+  * Semantics match the reference BPE trainer (Sennrich et al. 2016 —
+  * public): each round counts adjacent symbol pairs weighted by word
+  * frequency, merges the globally most frequent pair everywhere
+  * (greedy left-to-right, non-overlapping), and repeats. Words start
+  * as character sequences; no end-of-word marker is added (the
+  * in-word merge dynamics are identical; markers are a tokenizer
+  * packaging concern).
+  *
+  * Determinism: the argmax tie-breaks by (count desc, left asc,
+  * right asc) — a total order over pairs — and merge application is a
+  * sequential left fold per word (`aggregate`, the same ordered-fold
+  * device as [[Ivf.orderedMeanAgg]]), so the learned merge list is
+  * bit-identical run to run and identical to a sequential driver-side
+  * reference (pinned in BpeSpec). Only k (pair, count) rows ever
+  * return to the driver — the legitimate iterative-driver pattern
+  * ([[Ivf.trainCentroids]], [[Dedup.connectedComponents]]).
+  *
+  * Rows-only per contract: an iterative argmax isn't expressible as
+  * one DuckDB query; the declared query asserts its own structural
+  * floor (exactly k distinct merges, all with positive corpus
+  * support) and BpeSpec pins the full merge list against the
+  * reference implementation.
+  */
+object Bpe {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Word → its character-symbol sequence (array of 1-char strings). */
+  private[llm] def charSyms(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Adjacent symbol pairs of a sequence as (l, r) structs; empty for
+    * single-symbol sequences (`sequence(1, 0)` would count DOWN, so
+    * the short case is guarded explicitly). */
+  private[llm] def pairStructs(syms: Column): Column =
+    when(size(syms) < 2,
+      array().cast("array<struct<l:string,r:string>>"))
+      .otherwise(transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("l"),
+          element_at(syms, i + 1).as("r"))))
+
+  /** Apply one merge (l, r) → l+r greedily left-to-right without
+    * overlap: a sequential left fold that either fuses the incoming
+    * symbol into the accumulator's last element or appends it. After
+    * a fuse the last element is l+r, which can never equal l again
+    * (r is non-empty), so "aaaa" under (a,a) correctly becomes
+    * [aa, aa], not [aa, aa, a]-style overcounts. */
+  private[graft] def applyMerge(syms: Column, l: String, r: String): Column =
+    when(size(syms) < 2, syms).otherwise(
+      aggregate(
+        slice(syms, lit(2), size(syms) - 1),
+        slice(syms, 1, 1),
+        (acc, s) =>
+          when(element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s)))))
+
+  /** Train `k` merges over any (doc_id, text) frame. Returns the
+    * ordered merge list (left, right, weighted pair count). */
+  def trainMerges(docs: DataFrame, k: Int = 8): Seq[(String, String, Long)] = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var tbl = words
+      .select(col("cnt"), charSyms(col("w")).as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    try {
+      for (_ <- 1 to k) {
+        val best = tbl
+          .select(col("cnt"), explode(pairStructs(col("syms"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+          .take(1)
+        best.headOption match {
+          case None => return merges.toSeq // every word fully merged
+          case Some(row) =>
+            val (l, r, pc) = (row.getString(0), row.getString(1), row.getLong(2))
+            merges += ((l, r, pc))
+            // materialize the merged table and cut lineage — the same
+            // flat-plan iteration discipline as connectedComponents
+            // (each round's fold would otherwise nest one level deeper)
+            val next = graft.Checkpoints.cut(
+              tbl.withColumn("syms", applyMerge(col("syms"), l, r)))
+            tbl.unpersist()
+            tbl = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+      }
+      merges.toSeq
+    } finally tbl.unpersist()
+  }
+
+  /** Driver query: the first 8 learned merges with their corpus
+    * support. Self-checking (rows-only): exactly k DISTINCT merges,
+    * every one backed by a positive weighted pair count — a broken
+    * fold or a nondeterministic argmax shows up as a short, duplicated
+    * or zero-support merge list in the driver's `err` field. */
+  val bpeMerges: Q = Q(
+    "q_bpe_merges",
+    (s, dir) => {
+      val k = 8
+      val merges = trainMerges(t(s, dir, "documents"), k)
+      if (merges.size != k)
+        throw new IllegalStateException(
+          s"BPE training degraded: ${merges.size} of $k merges learned")
+      if (merges.map(m => (m._1, m._2)).distinct.size != k)
+        throw new IllegalStateException("BPE merge list contains duplicates")
+      if (merges.exists(_._3 <= 0))
+        throw new IllegalStateException("BPE merge with non-positive support")
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r, pc), i) => (i + 1L, l, r, pc) }
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(bpeMerges)
+}

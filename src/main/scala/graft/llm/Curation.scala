@@ -560,8 +560,93 @@ object Curation {
              CAST(sum(m) * 1000 // count(*) AS BIGINT) AS mask_permille
       FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** DSIR-style importance scoring for data selection (Data Selection
+    * via Importance Resampling, Xie et al. 2023 — the public
+    * domain-targeting recipe): every document in the RAW pool is
+    * scored by its log-likelihood ratio under an add-1-smoothed
+    * unigram LM of the TARGET domain versus one of the raw pool, and
+    * the top-k highest-importance documents are selected — "find raw
+    * web text that looks like the target domain". The target shard is
+    * a deterministic md5 coin on `doc_id` (hex chars 15–16, a ~1/4
+    * slice — positions disjoint from every other coin in the repo),
+    * standing in for the curated domain corpus a production run would
+    * supply.
+    *
+    * Determinism: the repo's micro-nat recipe — each token contributes
+    * round(1e6·ln((ct+1)(Nr+V) / ((cr+1)(Nt+V)))) computed from exact
+    * BIGINT cross products (one IEEE ln + one rounding per term, in
+    * identical order on both engines), summed as BIGINT per document;
+    * ties on the integer score break by doc_id. Same ~3·10⁹-token
+    * envelope as [[TextStats.klDivergence]] before the cross products
+    * need the ln-sum rearrangement.
+    *
+    * Scale shape: one token aggregate whose shuffle carries the
+    * VOCABULARY (never the corpus), a vocabulary-sized join back to
+    * raw tokens, a 1-row stats broadcast, and TakeOrderedAndProject
+    * for the top-k — no all-pairs stage, nothing driver-side. */
+  val dsirSelect: Q = Q(
+    "q_dsir_select",
+    (s, dir) => {
+      val hex = md5(col("doc_id").cast("string").cast("binary"))
+      val isTarget = ((ascii(substring(hex, 15, 1)) * 256 +
+        ascii(substring(hex, 16, 1))) % 4 === 0)
+      val toksAll = t(s, dir, "documents")
+        .select(col("doc_id"), isTarget.as("is_target"),
+          explode(toks(col("text"))).as("tok"))
+      val counts = toksAll.groupBy("tok").agg(
+        count(when(col("is_target"), 1)).as("ct"),
+        count(when(!col("is_target"), 1)).as("cr"))
+      val stats = counts.agg(count(lit(1)).as("vocab_n"),
+        sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+      toksAll.filter(!col("is_target"))
+        .join(counts, Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(log(((col("ct") + 1) * (col("nr") + col("vocab_n"))).cast("double") /
+              ((col("cr") + 1) * (col("nt") + col("vocab_n"))).cast("double")) *
+            1e6, 0).cast("long").as("term_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("term_micro")).as("importance_micro"))
+        .orderBy(col("importance_micro").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("n_tokens"), col("importance_micro"),
+          (col("importance_micro").cast("double") / 1e6).as("importance_nats"))
+    },
+    Some("""
+      WITH coined AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 15, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 16, 1))) % 4 = 0 AS is_target
+        FROM documents),
+      tok AS (
+        SELECT doc_id, is_target,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM coined),
+      counts AS (
+        SELECT tok,
+               CAST(count(CASE WHEN is_target THEN 1 END) AS BIGINT) AS ct,
+               CAST(count(CASE WHEN NOT is_target THEN 1 END) AS BIGINT) AS cr
+        FROM tok GROUP BY tok),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab_n,
+               CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+        FROM counts),
+      scored AS (
+        SELECT t.doc_id,
+               CAST(round(ln(CAST((c.ct + 1) * (nr + vocab_n) AS DOUBLE) /
+                              CAST((c.cr + 1) * (nt + vocab_n) AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS term_micro
+        FROM tok t JOIN counts c ON t.tok = c.tok CROSS JOIN stats
+        WHERE NOT t.is_target)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(term_micro) AS BIGINT) AS importance_micro,
+             CAST(sum(term_micro) AS DOUBLE) / 1e6 AS importance_nats
+      FROM scored GROUP BY doc_id
+      ORDER BY importance_micro DESC, doc_id LIMIT 100"""))
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, packSequences, corpusShuffle,
       curationPipeline, redactPii, bigramTopK, chunkDocs, normalizeText,
-      segmentDedup, curriculumOrder, spanCorruption)
+      segmentDedup, curriculumOrder, spanCorruption, dsirSelect)
 }

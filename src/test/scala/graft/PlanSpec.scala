@@ -138,6 +138,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("incremental minhash dedup joins on band keys — never a cartesian") {
+    val p = finalPlan(q("q_dedup_incremental_minhash"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("TPC-H Q6: every predicate pushes to the scan, no pre-agg shuffle") {
     val df = q("q_tpch_q6")
     val p = df.queryExecution.executedPlan.toString
