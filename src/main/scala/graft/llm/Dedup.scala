@@ -98,7 +98,8 @@ object Dedup {
     * the ScalaTest suite pins behavior on planted near-dups instead
     * (driver records the weaker rows-only check, per contract). */
   def minhashPairs(input: DataFrame, threshold: Double = 0.5,
-      bands: Int = 16, rows: Int = 4): DataFrame = {
+      bands: Int = 16, rows: Int = 4,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
       val spark = input.sparkSession
       val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       // Persisted: this (doc_id, shingle-hash) table is the single
@@ -106,9 +107,11 @@ object Dedup {
       // exact-Jaccard verify semi-joins it, so the shingling runs and
       // compiles exactly once. 24 bytes/shingle, no text column —
       // MEMORY_AND_DISK spills rather than OOMs at corpus scale.
-      val exploded = shingleFrame(input, par)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = bandedSignatures(exploded, bands, rows)
+      // Tracked in `handles`: the returned plan still references it,
+      // so release belongs to whoever materializes the result.
+      val exploded = handles.track(shingleFrame(input, par)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val banded = bandedSignatures(exploded, bands, rows, handles)
       val l = banded.alias("l")
       val r = banded.alias("r")
       val candidates = l.join(r,
@@ -168,10 +171,11 @@ object Dedup {
     * array-walk per band (16× the code volume, most of this stage's
     * JIT bill); scalar args stay primitive straight-line codegen. */
   private[graft] def bandedSignatures(exploded: DataFrame,
-      bands: Int, rows: Int): DataFrame = {
-    val sigs = exploded.groupBy("doc_id")
+      bands: Int, rows: Int,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
+    val sigs = handles.track(exploded.groupBy("doc_id")
       .agg(graft.functions.MinHashAgg(col("h1"), col("h2"), bands * rows).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     sigs.select(
       col("doc_id"),
       explode(array((0 until bands).map(b =>
@@ -233,9 +237,17 @@ object Dedup {
 
   val minhashLsh: Q = Q(
     "q_dedup_minhash",
-    (s, dir) => RecallAudit.assertPlantedPairs(
-      minhashPairs(withPlanted(t(s, dir, "documents"), mutate = true)),
-      "doc_a", "doc_b", plantN = 10, what = "MinHash-LSH"),
+    (s, dir) => {
+      val handles = new graft.CacheHandles
+      val out = RecallAudit.assertPlantedPairs(
+        minhashPairs(withPlanted(t(s, dir, "documents"), mutate = true),
+          handles = handles),
+        "doc_a", "doc_b", plantN = 10, what = "MinHash-LSH")
+      // the floor assert materialized (and cached) the result, so the
+      // shingle/signature intermediates are dead weight — release them
+      handles.releaseAll()
+      out
+    },
     None)
 
   /** SimHash near-duplicate pairs: 64-bit signature from token hashes
@@ -268,7 +280,8 @@ object Dedup {
     * only surviving near-dup pairs (tiny) ride the dedup shuffle,
     * not every banded collision. No oracle (engine hash internals);
     * rows-only + ScalaTest. */
-  def simhashPairs(input: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(input: DataFrame, maxHamming: Int = 3,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
       val spark = input.sparkSession
       val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val docs = input.repartition(par, col("doc_id"))
@@ -296,11 +309,11 @@ object Dedup {
       // the declarative 64-term when().reduce(bitwiseOR) form generated
       // hundreds of branches whose JIT compile dominated this
       // operator's cold-run cost (equivalence pinned in DedupSpec)
-      val sig = voteSums.select(
+      val sig = handles.track(voteSums.select(
         col("doc_id"),
         graft.functions.SimhashFromVotes(
           array((0 until 16).map(j => col(s"p$j")): _*), col("n")).as("simhash"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
       val banded = sig.select(
         col("doc_id"), col("simhash"),
@@ -323,9 +336,15 @@ object Dedup {
 
   val simhash: Q = Q(
     "q_dedup_simhash",
-    (s, dir) => RecallAudit.assertPlantedPairs(
-      simhashPairs(withPlanted(t(s, dir, "documents"), mutate = false)),
-      "doc_a", "doc_b", plantN = 10, what = "SimHash"),
+    (s, dir) => {
+      val handles = new graft.CacheHandles
+      val out = RecallAudit.assertPlantedPairs(
+        simhashPairs(withPlanted(t(s, dir, "documents"), mutate = false),
+          handles = handles),
+        "doc_a", "doc_b", plantN = 10, what = "SimHash")
+      handles.releaseAll()
+      out
+    },
     None)
 
   /** Exact word-set Jaccard between consecutive doc_ids — the
@@ -386,25 +405,26 @@ object Dedup {
     * output is identical to [[minhashPairs]]' `doc_a < doc_b` form
     * regardless of id ordering between batches. */
   def deltaMinhashPairs(state: DataFrame, delta: DataFrame, histText: DataFrame,
-      threshold: Double = 0.5, bands: Int = 16, rows: Int = 4): DataFrame = {
+      threshold: Double = 0.5, bands: Int = 16, rows: Int = 4,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
     val spark = delta.sparkSession
     val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val deltaShingles = shingleFrame(delta, par)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deltaBands = bandedSignatures(deltaShingles, bands, rows)
+    val deltaShingles = handles.track(shingleFrame(delta, par)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deltaBands = bandedSignatures(deltaShingles, bands, rows, handles)
     val allBands = state.select("doc_id", "band", "bh").unionByName(deltaBands)
     val l = allBands.alias("l")
     val r = deltaBands.alias("r")
     // persisted: three consumers (verify ids, the verify join, the
     // history-partner lookup) would each otherwise re-run the
     // state-scan + band join + distinct; the frame is candidate-sized
-    val candidates = l.join(r,
+    val candidates = handles.track(l.join(r,
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") =!= col("r.doc_id"))
       .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
         greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // candidate HISTORY partners (ids not in the delta) are
     // re-shingled point-wise for the exact verify — candidate-sized
     // work against the corpus table, never a history scan
@@ -490,10 +510,13 @@ object Dedup {
       if (!fs.exists(statePath))
         bandedSignatures(shingleFrame(hist, par), bands = 16, rows = 4)
           .write.mode("overwrite").parquet(stateDir)
-      RecallAudit.assertPlantedPairs(
+      val handles = new graft.CacheHandles
+      val out = RecallAudit.assertPlantedPairs(
         deltaMinhashPairs(s.read.parquet(stateDir),
-          docs.filter(col("doc_id") > cut), hist),
+          docs.filter(col("doc_id") > cut), hist, handles = handles),
         "doc_a", "doc_b", plantN = 10, what = "incremental MinHash")
+      handles.releaseAll()
+      out
     },
     None)
 

@@ -183,10 +183,11 @@ object Similarity {
     * computation — the "materialize the sketch, then index it" shape;
     * callers running multiple queries in a session should
     * `clearCache()` between them (Bench/Verify do). */
-  def annTopK(q: DataFrame, base: DataFrame, k: Int = 5, maxBucket: Int = 4096): DataFrame = {
+  def annTopK(q: DataFrame, base: DataFrame, k: Int = 5, maxBucket: Int = 4096,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
     val qb = bucketedProbed(q, "query_id", "qv")
-    val bbAll = bucketed(base, "vec_id", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bbAll = handles.track(bucketed(base, "vec_id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = bbAll.groupBy("tbl", "bucket").agg(count(lit(1)).as("bucket_n"))
     val keepEvery = greatest(lit(1L),
       ceil(col("bucket_n").cast("double") / maxBucket).cast("long"))
@@ -219,8 +220,17 @@ object Similarity {
     * degradation. */
   val annLsh: Q = Q(
     "q_ann_lsh",
-    (s, dir) => RecallAudit.annAudit(s, dir, floor = RecallAudit.LshFloor, what = "LSH") {
-      (q, corpus) => annTopK(q, corpus)
+    (s, dir) => {
+      val handles = new graft.CacheHandles
+      // annAudit materializes the confirmed result before returning,
+      // so the bucketed-signature cache inside annTopK is releasable
+      // the moment it hands the frame back
+      val out = RecallAudit.annAudit(s, dir,
+        floor = RecallAudit.LshFloor, what = "LSH") {
+        (q, corpus) => annTopK(q, corpus, handles = handles)
+      }
+      handles.releaseAll()
+      out
     },
     None)
 
@@ -306,9 +316,11 @@ object Similarity {
     * beyond the cap; SimilaritySpec pins the bound on a pathological
     * all-identical corpus). */
   def clusterNearDupPairs(emb: DataFrame, centroids: Array[Array[Double]],
-      minSim: Double, maxCluster: Int = 65536): DataFrame = {
-    val assignedAll = emb.withColumn("cluster", Ivf.clusterOf(col("v"), centroids))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minSim: Double, maxCluster: Int = 65536,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
+    val assignedAll = handles.track(
+      emb.withColumn("cluster", Ivf.clusterOf(col("v"), centroids))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // skew guard, same shape as annTopK's maxBucket: within-cluster
     // pairing is quadratic, so one pathological cluster (a pile of
     // boilerplate duplicates at 100 TB) would own the stage wall-clock;
@@ -348,10 +360,14 @@ object Similarity {
       val corpus = base.unionByName(planted)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val centroids = Ivf.trainCentroidsMemo(s"$dir#sem5", corpus)
+      val handles = new graft.CacheHandles
       val out = RecallAudit.assertPlantedPairs(
-        clusterNearDupPairs(corpus, centroids, 0.95),
+        clusterNearDupPairs(corpus, centroids, 0.95, handles = handles),
         "vec_a", "vec_b", plantN = 5, what = "semantic (cluster-blocked) dedup")
+      // the assert materialized the pair frame; both the corpus cache
+      // and the cluster-assignment cache are now dead weight
       corpus.unpersist()
+      handles.releaseAll()
       out
     },
     None)
@@ -446,7 +462,12 @@ object Similarity {
         .select(col("query_id"), col("k"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("query_id")
-      out
+      // materialize the 8-row result (one per query — assertFloor also
+      // checks that invariant), then drop the corpus cache both
+      // exactTopK passes shared rather than leaving it to clearCache
+      val checked = RecallAudit.assertFloor(out, 8, "matryoshka audit")
+      corpus.unpersist()
+      checked
     },
     Some("""
       WITH fullk AS (

@@ -191,7 +191,9 @@ object TextStats {
         .orderBy("doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one action materializes the cache AND checks the exact-count
-      // invariant in both directions (a drop OR a duplication throws)
+      // invariant in both directions (a drop OR a duplication throws);
+      // the cached frame IS the returned result, so release belongs to
+      // the harness (Bench/Verify clearCache after materializing)
       val n = out.count()
       if (n != nDocs)
         throw new IllegalStateException(
