@@ -461,9 +461,12 @@ object Curation {
     * window anywhere in the plan (guarded in PlanSpec); everything is
     * integer → full hash oracle, identical to the ntile spelling the
     * DuckDB oracle still uses. */
-  val curriculumOrder: Q = Q(
-    "q_curriculum_order",
-    (s, dir) => {
+  /** The curriculum-ordered corpus frame (doc_id, n_tokens, bucket,
+    * pos) shared by [[curriculumOrder]] (emit the schedule) and
+    * [[curriculumWrite]] (materialize the layout). `pos` is a dense
+    * permutation of 1..N — the interleave guarantees every length-4
+    * window of the order touches all four difficulty quartiles. */
+  private[graft] def curriculumOrdered(s: SparkSession, dir: String): DataFrame = {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
@@ -482,8 +485,11 @@ object Curation {
           (col("r") - (col("bucket") - 1L) * col("base")
             - least(col("bucket") - 1L, col("rem")) - 1L) * 4L + col("bucket"))
         .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pos"))
-        .orderBy("pos")
-    },
+  }
+
+  val curriculumOrder: Q = Q(
+    "q_curriculum_order",
+    (s, dir) => curriculumOrdered(s, dir).orderBy("pos"),
     Some("""
       WITH sized AS (
         SELECT doc_id,
@@ -497,6 +503,61 @@ object Curation {
              CAST((row_number() OVER (PARTITION BY bucket
                      ORDER BY n_tokens ASC, doc_id ASC) - 1) * 4 + bucket AS BIGINT) AS pos
       FROM bucketed ORDER BY pos"""))
+
+  /** Materialize the curriculum as a physical LAYOUT: range-partition
+    * the ordered corpus on `pos` and sort within partitions, so each
+    * output file owns one contiguous slice of the training order — the
+    * trainer streams files in name-order and replays the curriculum
+    * with zero read-time shuffle. Same shuffle-to-layout device as
+    * [[graft.ops.Layout.zorderWrite]] (range partition + in-partition
+    * sort), applied to the 1-D training-position key; at 100 TB
+    * `numFiles` becomes thousands and each range-partition task writes
+    * one bounded file. The per-file contiguity/coverage invariant is
+    * pinned in CurationSpec via `input_file_name()`. */
+  def writeCurriculum(ordered: DataFrame, path: String, numFiles: Int): Unit =
+    ordered
+      .repartitionByRange(numFiles, col("pos"))
+      .sortWithinPartitions("pos")
+      .write.mode("overwrite").parquet(path)
+
+  /** Driver query for [[writeCurriculum]]: write the layout, read it
+    * BACK, and aggregate per difficulty quartile. The result is
+    * layout-invariant — the oracle computes the same per-bucket stats
+    * from the raw table with the ntile spelling — so the hash match
+    * proves the shuffle-to-layout round trip is lossless end to end
+    * (source → distributed rank → range-partitioned write → scan). */
+  val curriculumWrite: Q = Q(
+    "q_curriculum_write",
+    (s, dir) => {
+      val out = graft.Staging.dir(s,
+        "graft_curriculum_layout_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      writeCurriculum(curriculumOrdered(s, dir), out, 8)
+      s.read.parquet(out)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH sized AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      bucketed AS (
+        SELECT doc_id, n_tokens,
+               CAST(ntile(4) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT) AS bucket
+        FROM sized),
+      positioned AS (
+        SELECT bucket, n_tokens,
+               CAST((row_number() OVER (PARTITION BY bucket
+                       ORDER BY n_tokens ASC, doc_id ASC) - 1) * 4 + bucket AS BIGINT) AS pos
+        FROM bucketed)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(min(pos) AS BIGINT) AS min_pos,
+             CAST(max(pos) AS BIGINT) AS max_pos
+      FROM positioned GROUP BY bucket ORDER BY bucket"""))
 
   /** Span-corruption masking schedule (the T5/BERT denoising
     * data-prep primitive): each token flips an independent
@@ -648,5 +709,6 @@ object Curation {
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, packSequences, corpusShuffle,
       curationPipeline, redactPii, bigramTopK, chunkDocs, normalizeText,
-      segmentDedup, curriculumOrder, spanCorruption, dsirSelect)
+      segmentDedup, curriculumOrder, curriculumWrite, spanCorruption,
+      dsirSelect)
 }

@@ -168,4 +168,32 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == reference)
   }
+
+  test("curriculum write: every file owns a contiguous pos slice; files abut and cover 1..N") {
+    val out = Staging.dir(spark, "graft_curriculum_layout_spec")
+    llm.Curation.writeCurriculum(
+      llm.Curation.curriculumOrdered(spark, sf001), out, 6)
+    val byFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("f"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"), r.getAs[Long]("n")))
+    val total = byFile.map(_._4).sum
+    assert(total === 500L)
+    // pos is a dense permutation of 1..N, so a file whose row count
+    // equals its (hi - lo + 1) span holds a CONTIGUOUS slice of the
+    // training order — the trainer can stream it without gaps
+    for ((f, lo, hi, n) <- byFile)
+      assert(n == hi - lo + 1, s"$f: $n rows over span [$lo,$hi]")
+    // files are disjoint, abut exactly, and jointly cover 1..N —
+    // streaming them in lo-order replays the whole curriculum
+    val sorted = byFile.sortBy(_._2)
+    assert(sorted.head._2 == 1L)
+    assert(sorted.last._3 == total)
+    for (Seq(a, b) <- sorted.toSeq.sliding(2))
+      assert(b._2 == a._3 + 1, s"gap/overlap between ${a._1} and ${b._1}")
+    // the range write actually fanned out (not one monolithic file)
+    assert(byFile.length > 1)
+  }
 }
