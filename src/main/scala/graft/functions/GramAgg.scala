@@ -34,8 +34,10 @@ import org.apache.spark.sql.types._
   * Dimension envelope: the buffer is one flat long[d(d+1)/2 + 1] per
   * aggregation state — 2 081 longs (~16 KB) at d=64, 32 897 (~263 KB)
   * at d=256 (map-side combine still holds; pinned in GramAggSpec).
-  * Beyond ~1k dims the triangle crosses ~4 MB/state and the explode
-  * or a blocked outer product becomes the better shape. */
+  * Beyond ~1k dims the triangle crosses ~4 MB/state — switch to
+  * [[BlockedGram.gram]], which computes the same triangle in bs×bs
+  * [[CrossGramAgg]] rectangles with bounded state at any d
+  * (bit-equivalence pinned in GramAggSpec). */
 case class GramAgg(
     child: Expression,
     dim: Int,

@@ -61,6 +61,31 @@ class GramAggSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("null coordinate"))
   }
 
+  test("blocked form (d=256, bs=64) is bit-identical to the monolithic triangle") {
+    val d = 256
+    val n = 30
+    val rows = (0 until n).map(r => (0 until d).map(i => ((r * 17 + i * 13) % 9 - 4).toLong))
+    val df = rows.map(v => Tuple1(v)).toDF("q").repartition(8)
+    def cellMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val mono = cellMap(df.agg(GramAgg(col("q"), d).as("g"))
+      .select(explode(col("g")).as("c"))
+      .select("c.i", "c.j", "c.n", "c.s").collect())
+    val blocked = cellMap(graft.functions.BlockedGram.gram(df, col("q"), d, bs = 64)
+      .select("i", "j", "n", "s").collect())
+    assert(blocked.size === d * (d + 1) / 2)
+    assert(blocked === mono)
+  }
+
+  test("blocked form skips null vectors and map-side combines") {
+    val df = Seq(Some(Seq(1L, 2L, 3L, 4L)), None, Some(Seq(5L, 6L, 7L, 8L)))
+      .map(Tuple1(_)).toDF("q").repartition(2)
+    val out = graft.functions.BlockedGram.gram(df, col("q"), 4, bs = 2)
+    assert(out.collect().forall(_.getAs[Long]("n") == 2L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
   test("null vectors are skipped per SQL aggregate semantics") {
     val df = Seq(Some(Seq(1L, 2L)), None, Some(Seq(3L, 4L))).map(Tuple1(_)).toDF("q")
     val got = df.agg(GramAgg(col("q"), 2).as("g"))
