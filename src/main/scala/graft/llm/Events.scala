@@ -522,7 +522,60 @@ object Events {
         GROUP BY user_id)
       WHERE n_events >= 2 ORDER BY user_id"""))
 
+  /** Group-relative advantage — the GRPO/RLOO reward-normalization
+    * primitive: each sampled response's reward is centered (and
+    * variance-contextualized) against its OWN prompt group, so
+    * per-prompt difficulty cancels without a learned value model.
+    * Groups are users here; rewards are the event's exact cents.
+    *
+    * Determinism: the float form (r−μ)/σ is not cross-engine exact,
+    * so the output carries INTEGER-EXACT scaled forms instead —
+    * `adv_num = n·r − Σr` (that is n·(r−μ), BIGINT) and the group's
+    * `var_num = n·Σr² − (Σr)²` (n²·σ²_population, BIGINT) — consumers
+    * divide at the precision they choose. Overflow envelope: with
+    * cents ≤ 10⁵ the BIGINT bound holds to n ≈ 5·10⁴ rewards per
+    * group — two orders above any real GRPO group size (8–64), raised
+    * (ANSI) rather than corrupted beyond it.
+    *
+    * Scale shape: one groupBy carrying 3-long state (map-side
+    * combinable) + a broadcast-ready join of per-group stats back to
+    * the event rows — on a cluster this is the canonical
+    * aggregate-then-rejoin; no window, no skew (group cardinality is
+    * the user population). */
+  val groupAdvantage: Q = Q(
+    "q_group_advantage",
+    (s, dir) => {
+      val cents = round(col("value") * 100, 0).cast("long")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), cents.as("cents"))
+      val stats = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("cents") * col("cents")).as("ss"))
+        .filter(col("n") >= 2)
+      ev.join(broadcast(stats), "user_id")
+        .select(col("event_id"), col("user_id"), col("cents"),
+          col("n").as("group_n"),
+          (col("n") * col("cents") - col("s")).as("adv_num"),
+          (col("n") * col("ss") - col("s") * col("s")).as("var_num"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, cents, n AS group_n,
+             CAST(n * cents - s AS BIGINT) AS adv_num,
+             CAST(n * ss - s * s AS BIGINT) AS var_num
+      FROM (SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents FROM events) e
+      JOIN (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS ss
+        FROM (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events)
+        GROUP BY user_id HAVING count(*) >= 2) g
+      USING (user_id)
+      ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
-    preferencePairs)
+    preferencePairs, groupAdvantage)
 }

@@ -644,8 +644,92 @@ object TextStats {
              exp(CAST(sum(term_micro) AS DOUBLE) / 1e6) AS effective_vocab
       FROM terms GROUP BY vocab_n, total_n"""))
 
+  /** Composite quality gate — the Gopher-rules filtering shape
+    * (Rae et al. 2021, public): a document survives only if it clears
+    * EVERY heuristic, and the output carries a reason BITMASK so a
+    * pipeline can audit exactly which rule dropped each document
+    * (the thing a bare boolean can't do). Rules, all integer-exact
+    * via cross-multiplication (no float thresholds to drift
+    * cross-engine):
+    *   bit 1 — token count outside [10, 100 000]
+    *   bit 2 — mean token length outside [2, 8]  (2·n ≤ chars ≤ 8·n)
+    *   bit 4 — top token exceeds 20 % of tokens  (5·max ≤ n)
+    *   bit 8 — stopword share under 2 %          (50·stop ≥ n)
+    * Scale shape: one explode + two map-side-combinable aggregations
+    * (the [[repetitionRatio]] plan) — per-doc state is 4 longs, so
+    * the gate over 100 TB is a scan plus doc-keyed combine, no join,
+    * no window. */
+  /** Stopword list shared by the gate and the stump probe
+    * ([[Classifier]]) — the two must agree on what "stopword"
+    * means for the probe's exact-recovery claim to hold. */
+  private[llm] val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document token statistics — the shared front half of
+    * [[qualityGate]] and [[Classifier.qualityStump]]: one explode +
+    * two map-side-combinable aggregations collapsing each document to
+    * 4 longs (token count, summed token chars, top-token count,
+    * stopword count). */
+  private[llm] def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tok"),
+        sum(col("c") * length(col("tok"))).as("n_word_chars"),
+        max(col("c")).as("max_cnt"),
+        sum(when(col("tok").isin(StopWords: _*), col("c")).otherwise(0L))
+          .as("stop_cnt"))
+
+  val qualityGate: Q = Q(
+    "q_quality_gate",
+    (s, dir) => {
+      tokenStats(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("n_tok").cast("long").as("n_tok"),
+          col("n_word_chars").cast("long").as("n_word_chars"),
+          col("max_cnt").cast("long").as("max_cnt"),
+          col("stop_cnt").cast("long").as("stop_cnt"),
+          (when(col("n_tok") < 10 || col("n_tok") > 100000L, 1L).otherwise(0L)
+            + when(lit(2) * col("n_tok") > col("n_word_chars")
+                || col("n_word_chars") > lit(8) * col("n_tok"), 2L).otherwise(0L)
+            + when(lit(5) * col("max_cnt") > col("n_tok"), 4L).otherwise(0L)
+            + when(lit(50) * col("stop_cnt") < col("n_tok"), 8L).otherwise(0L))
+            .cast("long").as("drop_mask"))
+        .withColumn("keep", col("drop_mask") === 0L)
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, n_tok, n_word_chars, max_cnt, stop_cnt,
+             CAST((CASE WHEN n_tok < 10 OR n_tok > 100000 THEN 1 ELSE 0 END)
+                + (CASE WHEN 2 * n_tok > n_word_chars
+                         OR n_word_chars > 8 * n_tok THEN 2 ELSE 0 END)
+                + (CASE WHEN 5 * max_cnt > n_tok THEN 4 ELSE 0 END)
+                + (CASE WHEN 50 * stop_cnt < n_tok THEN 8 ELSE 0 END)
+               AS BIGINT) AS drop_mask,
+             ((CASE WHEN n_tok < 10 OR n_tok > 100000 THEN 1 ELSE 0 END)
+                + (CASE WHEN 2 * n_tok > n_word_chars
+                         OR n_word_chars > 8 * n_tok THEN 2 ELSE 0 END)
+                + (CASE WHEN 5 * max_cnt > n_tok THEN 4 ELSE 0 END)
+                + (CASE WHEN 50 * stop_cnt < n_tok THEN 8 ELSE 0 END)) = 0
+               AS keep
+      FROM (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tok,
+               CAST(sum(c * length(tok)) AS BIGINT) AS n_word_chars,
+               CAST(max(c) AS BIGINT) AS max_cnt,
+               CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+                             THEN c ELSE 0 END) AS BIGINT) AS stop_cnt
+        FROM (
+          SELECT doc_id, tok, count(*) AS c FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents
+          ) GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+      ) ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
-    unigramEntropy)
+    unigramEntropy, qualityGate)
 }
