@@ -644,21 +644,6 @@ object TextStats {
              exp(CAST(sum(term_micro) AS DOUBLE) / 1e6) AS effective_vocab
       FROM terms GROUP BY vocab_n, total_n"""))
 
-  /** Composite quality gate — the Gopher-rules filtering shape
-    * (Rae et al. 2021, public): a document survives only if it clears
-    * EVERY heuristic, and the output carries a reason BITMASK so a
-    * pipeline can audit exactly which rule dropped each document
-    * (the thing a bare boolean can't do). Rules, all integer-exact
-    * via cross-multiplication (no float thresholds to drift
-    * cross-engine):
-    *   bit 1 — token count outside [10, 100 000]
-    *   bit 2 — mean token length outside [2, 8]  (2·n ≤ chars ≤ 8·n)
-    *   bit 4 — top token exceeds 20 % of tokens  (5·max ≤ n)
-    *   bit 8 — stopword share under 2 %          (50·stop ≥ n)
-    * Scale shape: one explode + two map-side-combinable aggregations
-    * (the [[repetitionRatio]] plan) — per-doc state is 4 longs, so
-    * the gate over 100 TB is a scan plus doc-keyed combine, no join,
-    * no window. */
   /** Stopword list shared by the gate and the stump probe
     * ([[Classifier]]) — the two must agree on what "stopword"
     * means for the probe's exact-recovery claim to hold. */
@@ -681,6 +666,21 @@ object TextStats {
         sum(when(col("tok").isin(StopWords: _*), col("c")).otherwise(0L))
           .as("stop_cnt"))
 
+  /** Composite quality gate — the Gopher-rules filtering shape
+    * (Rae et al. 2021, public): a document survives only if it clears
+    * EVERY heuristic, and the output carries a reason BITMASK so a
+    * pipeline can audit exactly which rule dropped each document
+    * (the thing a bare boolean can't do). Rules, all integer-exact
+    * via cross-multiplication (no float thresholds to drift
+    * cross-engine):
+    *   bit 1 — token count outside [10, 100 000]
+    *   bit 2 — mean token length outside [2, 8]  (2·n ≤ chars ≤ 8·n)
+    *   bit 4 — top token exceeds 20 % of tokens  (5·max ≤ n)
+    *   bit 8 — stopword share under 2 %          (50·stop ≥ n)
+    * Scale shape: one explode + two map-side-combinable aggregations
+    * (the [[repetitionRatio]] plan) — per-doc state is 4 longs, so
+    * the gate over 100 TB is a scan plus doc-keyed combine, no join,
+    * no window. */
   val qualityGate: Q = Q(
     "q_quality_gate",
     (s, dir) => {
