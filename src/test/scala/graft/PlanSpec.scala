@@ -347,4 +347,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("group advantage: per-group stats broadcast back onto events") {
+    val p = finalPlan(q("q_group_advantage"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("quality gate is join-free: one scan, doc-keyed combines only") {
+    val p = finalPlan(q("q_quality_gate"))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial"), p) // map-side combine on both levels
+  }
+
+  test("stump split-finder windows only the feature histogram") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = SparkEntry.queries("q_quality_stump")(spark, sf001)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      // every window is feature-partitioned AND runs over the
+      // aggregated (feature, value) histogram, never document rows
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w")
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window over non-aggregated input:\n$w")
+    }
+  }
 }
