@@ -63,9 +63,14 @@ object Classifier {
     "q_quality_stump",
     (s, dir) => {
       val feats = featureFrame(t(s, dir, "documents"))
-      val long_ = Seq("stop_ratio_m", "rep_ratio_m", "mean_wlen_c", "n_tok")
-        .map(f => feats.select(lit(f).as("feature"), col(f).as("v"), col("y")))
-        .reduce(_ unionAll _)
+      // ONE corpus pass: explode each document's 4 (feature, value)
+      // pairs in-row — a union of 4 per-feature selects would replay
+      // the tokenStats scan+aggregate subplan once per feature
+      val long_ = feats
+        .select(col("y"), explode(array(
+          Seq("stop_ratio_m", "rep_ratio_m", "mean_wlen_c", "n_tok").map(f =>
+            struct(lit(f).as("feature"), col(f).as("v"))): _*)).as("fv"))
+        .select(col("fv.feature").as("feature"), col("fv.v").as("v"), col("y"))
       val hist = long_
         .groupBy("feature", "v")
         .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"),

@@ -645,35 +645,42 @@ object Curation {
     * VOCABULARY (never the corpus), a vocabulary-sized join back to
     * raw tokens, a 1-row stats broadcast, and TakeOrderedAndProject
     * for the top-k — no all-pairs stage, nothing driver-side. */
+  /** Per-document DSIR importance scores over the raw (non-target)
+    * pool — the shared front of [[dsirSelect]] (top-k) and
+    * [[importanceResample]] (weight-proportional acceptance).
+    * Returns (doc_id, n_tokens, importance_micro). */
+  private[llm] def dsirScores(s: SparkSession, dir: String): DataFrame = {
+    val hex = md5(col("doc_id").cast("string").cast("binary"))
+    val isTarget = ((ascii(substring(hex, 15, 1)) * 256 +
+      ascii(substring(hex, 16, 1))) % 4 === 0)
+    val toksAll = t(s, dir, "documents")
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(toks(col("text"))).as("tok"))
+    val counts = toksAll.groupBy("tok").agg(
+      count(when(col("is_target"), 1)).as("ct"),
+      count(when(!col("is_target"), 1)).as("cr"))
+    val stats = counts.agg(count(lit(1)).as("vocab_n"),
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    toksAll.filter(!col("is_target"))
+      .join(counts, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(log(((col("ct") + 1) * (col("nr") + col("vocab_n"))).cast("double") /
+            ((col("cr") + 1) * (col("nt") + col("vocab_n"))).cast("double")) *
+          1e6, 0).cast("long").as("term_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("term_micro")).as("importance_micro"))
+  }
+
   val dsirSelect: Q = Q(
     "q_dsir_select",
-    (s, dir) => {
-      val hex = md5(col("doc_id").cast("string").cast("binary"))
-      val isTarget = ((ascii(substring(hex, 15, 1)) * 256 +
-        ascii(substring(hex, 16, 1))) % 4 === 0)
-      val toksAll = t(s, dir, "documents")
-        .select(col("doc_id"), isTarget.as("is_target"),
-          explode(toks(col("text"))).as("tok"))
-      val counts = toksAll.groupBy("tok").agg(
-        count(when(col("is_target"), 1)).as("ct"),
-        count(when(!col("is_target"), 1)).as("cr"))
-      val stats = counts.agg(count(lit(1)).as("vocab_n"),
-        sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-      toksAll.filter(!col("is_target"))
-        .join(counts, Seq("tok"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          round(log(((col("ct") + 1) * (col("nr") + col("vocab_n"))).cast("double") /
-              ((col("cr") + 1) * (col("nt") + col("vocab_n"))).cast("double")) *
-            1e6, 0).cast("long").as("term_micro"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("term_micro")).as("importance_micro"))
+    (s, dir) =>
+      dsirScores(s, dir)
         .orderBy(col("importance_micro").desc, col("doc_id"))
         .limit(100)
         .select(col("doc_id"), col("n_tokens"), col("importance_micro"),
-          (col("importance_micro").cast("double") / 1e6).as("importance_nats"))
-    },
+          (col("importance_micro").cast("double") / 1e6).as("importance_nats")),
     Some("""
       WITH coined AS (
         SELECT doc_id, text,
@@ -706,9 +713,81 @@ object Curation {
       FROM scored GROUP BY doc_id
       ORDER BY importance_micro DESC, doc_id LIMIT 100"""))
 
+  /** DSIR importance RESAMPLING — the paper's actual selection rule
+    * (top-k is the simplification): each raw-pool document is
+    * accepted with probability proportional to its importance weight
+    * exp(importance), capped at 1. Deterministic acceptance: the
+    * per-mille threshold is round(1000·exp(imp_nats)) — one IEEE exp
+    * + one rounding on the exact micro-nat integer, the same
+    * both-engines contract as the repo's micro-nat ln terms — and the
+    * coin is an md5 per-mille on hex chars 13–14 (positions disjoint
+    * from every other coin in the repo), so both engines accept the
+    * identical document set and the hash pins the whole rule.
+    *
+    * Scale shape: [[dsirScores]]'s vocabulary-shuffle scoring plus a
+    * per-row coin compare — no new shuffle, no driver round trip; a
+    * 100 TB raw pool resamples in the same pass that scores it. */
+  val importanceResample: Q = Q(
+    "q_importance_resample",
+    (s, dir) => {
+      val hex = md5(col("doc_id").cast("string").cast("binary"))
+      val coin = (ascii(substring(hex, 13, 1)) * 256 +
+        ascii(substring(hex, 14, 1))) % 1000
+      dsirScores(s, dir)
+        .withColumn("accept_permille",
+          least(lit(1000L),
+            round(exp(col("importance_micro").cast("double") / 1e6) * 1000.0, 0)
+              .cast("long")))
+        .withColumn("coin", coin.cast("long"))
+        .filter(col("coin") < col("accept_permille"))
+        .select(col("doc_id"), col("n_tokens"), col("importance_micro"),
+          col("accept_permille"), col("coin"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH coined AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 15, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 16, 1))) % 4 = 0 AS is_target
+        FROM documents),
+      tok AS (
+        SELECT doc_id, is_target,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM coined),
+      counts AS (
+        SELECT tok,
+               CAST(count(CASE WHEN is_target THEN 1 END) AS BIGINT) AS ct,
+               CAST(count(CASE WHEN NOT is_target THEN 1 END) AS BIGINT) AS cr
+        FROM tok GROUP BY tok),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab_n,
+               CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+        FROM counts),
+      scored AS (
+        SELECT t.doc_id,
+               CAST(round(ln(CAST((c.ct + 1) * (nr + vocab_n) AS DOUBLE) /
+                              CAST((c.cr + 1) * (nt + vocab_n) AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS term_micro
+        FROM tok t JOIN counts c ON t.tok = c.tok CROSS JOIN stats
+        WHERE NOT t.is_target),
+      docs AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(term_micro) AS BIGINT) AS importance_micro
+        FROM scored GROUP BY doc_id),
+      gated AS (
+        SELECT doc_id, n_tokens, importance_micro,
+               least(1000, CAST(round(exp(CAST(importance_micro AS DOUBLE) / 1e6)
+                                      * 1000.0) AS BIGINT)) AS accept_permille,
+               CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 13, 1)) * 256 +
+                     ascii(substr(md5(CAST(doc_id AS VARCHAR)), 14, 1))) % 1000
+                 AS BIGINT) AS coin
+        FROM docs)
+      SELECT doc_id, n_tokens, importance_micro, accept_permille, coin
+      FROM gated WHERE coin < accept_permille ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, packSequences, corpusShuffle,
       curationPipeline, redactPii, bigramTopK, chunkDocs, normalizeText,
       segmentDedup, curriculumOrder, curriculumWrite, spanCorruption,
-      dsirSelect)
+      dsirSelect, importanceResample)
 }
