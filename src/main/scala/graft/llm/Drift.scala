@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Embedding-distribution drift monitoring — the check a production
+  * pipeline runs when a new embedding batch lands (model swap, corpus
+  * shift, broken preprocessing): per-dimension Population Stability
+  * Index between two shards, PSI_d = Σ_bins (p−q)·ln(p/q), with
+  * equal-width bins from the global per-dimension range.
+  *
+  * Determinism is the repo's exact-rational recipe: with add-1 bin
+  * smoothing, p−q over common denominator (nA+B)(nB+B) has the exact
+  * BIGINT numerator (cA+1)(nB+B) − (cB+1)(nA+B), and ln(p/q) =
+  * ln((cA+1)(nB+B) / ((cB+1)(nA+B))) is one IEEE ln of a ratio of
+  * exact BIGINT cross products, rounded once to micro-nats — so each
+  * bin term is a product of two engine-identical integers and the
+  * hash pins every per-dimension PSI numerator exactly. The shard
+  * coin is an md5 per-bit on vec_id hex chars 5–6 (disjoint from
+  * [[Ivf.trainingSample]]'s 1–4); bin edges derive from exact
+  * per-dimension float min/max via one double multiply/divide — the
+  * same single-IEEE-op contract both engines honor.
+  *
+  * Scale shape: one narrow posexplode (scan-shaped, like the token
+  * explode every text query does), map-side-combinable counts keyed
+  * by (dim, bin, shard) — the shuffle carries at most dims×bins×2
+  * rows — then a broadcast of the 1-row totals. Nothing corpus-sized
+  * shuffles; a 100 TB embedding lake pays one scan. Overflow: bin
+  * counts ≤ corpus rows n, numerators are O(n²·ln_micro) ≤ ~10¹⁸ at
+  * n ≈ 3·10⁵ per shard pair — beyond that, pre-divide the cross
+  * products (documented envelope, ANSI raises rather than corrupts). */
+object Drift {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** md5 parity coin on vec_id hex chars 5–6 — shard A membership. */
+  private[graft] def shardA: org.apache.spark.sql.Column = {
+    val hex = md5(col("vec_id").cast("string").cast("binary"))
+    (ascii(substring(hex, 5, 1)) * 256 + ascii(substring(hex, 6, 1))) % 2 === 0
+  }
+
+  /** Per-dimension PSI between two embedding shards of `emb`
+    * (columns: vec_id, embedding). Factored so DriftSpec can plant a
+    * genuinely shifted dimension and watch only that PSI move. */
+  private[graft] def psi(emb: DataFrame, bins: Int = 10): DataFrame = {
+      val cells = emb
+        .select(shardA.as("in_a"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      val ranges = cells.groupBy("dim")
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val binned = cells.join(broadcast(ranges), "dim")
+        .select(col("dim"), col("in_a"),
+          least(lit(bins - 1), floor((col("x") - col("lo")) * bins /
+            nullif(col("hi") - col("lo"), lit(0.0))).cast("int")).as("bin"))
+      val counts = binned.groupBy("dim", "bin")
+        .agg(count(when(col("in_a"), 1)).as("ca"),
+          count(when(!col("in_a"), 1)).as("cb"))
+      // per-dimension shard totals (each vector lands in exactly one
+      // bin per dimension, so these equal the shard vector counts)
+      val tot = counts.groupBy("dim")
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      counts.join(broadcast(tot), "dim")
+        .select(col("dim"), col("ca"), col("cb"), col("na"), col("nb"),
+          (((col("ca") + 1) * (col("nb") + bins) -
+            (col("cb") + 1) * (col("na") + bins)) *
+            round(log(((col("ca") + 1) * (col("nb") + bins)).cast("double") /
+              ((col("cb") + 1) * (col("na") + bins)).cast("double")) * 1e6, 0)
+              .cast("long")).as("term_num"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("term_num")).as("psi_num"),
+          max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+        .select(col("dim").cast("long").as("dim"), col("n_bins"),
+          col("psi_num"),
+          (col("psi_num").cast("double") /
+            ((col("n_a") + bins) * (col("n_b") + bins)).cast("double") / 1e6)
+            .as("psi"))
+        .orderBy("dim")
+  }
+
+  /** Per-dimension PSI between two deterministic embedding shards. */
+  val embeddingDrift: Q = Q(
+    "q_embedding_drift",
+    (s, dir) => psi(t(s, dir, "embeddings")),
+    Some("""
+      WITH cells AS (
+        SELECT (ascii(substr(md5(CAST(vec_id AS VARCHAR)), 5, 1)) * 256 +
+                ascii(substr(md5(CAST(vec_id AS VARCHAR)), 6, 1))) % 2 = 0 AS in_a,
+               generate_subscripts(v, 1) - 1 AS dim,
+               unnest(v) AS x
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+      ranges AS (
+        SELECT dim, min(x) AS lo, max(x) AS hi FROM cells GROUP BY dim),
+      binned AS (
+        SELECT c.dim, c.in_a,
+               least(9, CAST(floor((c.x - r.lo) * 10 /
+                 nullif(r.hi - r.lo, 0.0)) AS INTEGER)) AS bin
+        FROM cells c JOIN ranges r ON c.dim = r.dim),
+      counts AS (
+        SELECT dim, bin,
+               CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS ca,
+               CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS cb
+        FROM binned GROUP BY dim, bin),
+      tot AS (
+        SELECT dim, CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb
+        FROM counts GROUP BY dim),
+      terms AS (
+        SELECT c.dim, ca, cb, na, nb,
+               ((ca + 1) * (nb + 10) - (cb + 1) * (na + 10)) *
+               CAST(round(ln(CAST((ca + 1) * (nb + 10) AS DOUBLE) /
+                             CAST((cb + 1) * (na + 10) AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS term_num
+        FROM counts c JOIN tot USING (dim))
+      SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(sum(term_num) AS BIGINT) AS psi_num,
+             CAST(sum(term_num) AS DOUBLE) /
+               CAST((max(na) + 10) * (max(nb) + 10) AS DOUBLE) / 1e6 AS psi
+      FROM terms GROUP BY dim ORDER BY dim"""))
+
+  val all: Seq[Q] = Seq(embeddingDrift)
+}
