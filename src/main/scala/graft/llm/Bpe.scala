@@ -85,7 +85,7 @@ object Bpe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     try {
-      for (_ <- 1 to k) {
+      for (round <- 1 to k) {
         val best = tbl
           .select(col("cnt"), explode(pairStructs(col("syms"))).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
@@ -99,11 +99,16 @@ object Bpe {
             merges += ((l, r, pc))
             // materialize the merged table and cut lineage — the same
             // flat-plan iteration discipline as connectedComponents
-            // (each round's fold would otherwise nest one level deeper)
-            val next = graft.Checkpoints.cut(
-              tbl.withColumn("syms", applyMerge(col("syms"), l, r)))
-            tbl.unpersist()
-            tbl = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // (each round's fold would otherwise nest one level
+            // deeper). Skipped after the FINAL merge: no later round
+            // reads the table, so that materialization would be dead
+            // work (applying the learned list is the encoder's job).
+            if (round < k) {
+              val next = graft.Checkpoints.cut(
+                tbl.withColumn("syms", applyMerge(col("syms"), l, r)))
+              tbl.unpersist()
+              tbl = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            }
         }
       }
       merges.toSeq

@@ -735,9 +735,14 @@ object Curation {
         ascii(substring(hex, 14, 1))) % 1000
       dsirScores(s, dir)
         .withColumn("accept_permille",
+          // cap in NAT space before exp: any importance ≥ 0 already
+          // means certain acceptance, and exp of a large positive
+          // importance would overflow to Infinity — which Spark's
+          // cast caps but DuckDB's raises on, a cross-engine
+          // divergence. exp(≤0) ≤ 1 can never overflow.
           least(lit(1000L),
-            round(exp(col("importance_micro").cast("double") / 1e6) * 1000.0, 0)
-              .cast("long")))
+            round(exp(least(col("importance_micro"), lit(0L)).cast("double") / 1e6)
+              * 1000.0, 0).cast("long")))
         .withColumn("coin", coin.cast("long"))
         .filter(col("coin") < col("accept_permille"))
         .select(col("doc_id"), col("n_tokens"), col("importance_micro"),
@@ -776,8 +781,8 @@ object Curation {
         FROM scored GROUP BY doc_id),
       gated AS (
         SELECT doc_id, n_tokens, importance_micro,
-               least(1000, CAST(round(exp(CAST(importance_micro AS DOUBLE) / 1e6)
-                                      * 1000.0) AS BIGINT)) AS accept_permille,
+               least(1000, CAST(round(exp(CAST(least(importance_micro, 0) AS DOUBLE)
+                                          / 1e6) * 1000.0) AS BIGINT)) AS accept_permille,
                CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 13, 1)) * 256 +
                      ascii(substr(md5(CAST(doc_id AS VARCHAR)), 14, 1))) % 1000
                  AS BIGINT) AS coin

@@ -22,11 +22,14 @@ import graft.{Q, Tables}
   * per-dimension float min/max via one double multiply/divide — the
   * same single-IEEE-op contract both engines honor.
   *
-  * Scale shape: one narrow posexplode (scan-shaped, like the token
+  * Scale shape: narrow posexplode passes (scan-shaped, like the token
   * explode every text query does), map-side-combinable counts keyed
   * by (dim, bin, shard) — the shuffle carries at most dims×bins×2
-  * rows — then a broadcast of the 1-row totals. Nothing corpus-sized
-  * shuffles; a 100 TB embedding lake pays one scan. Overflow: bin
+  * rows — then per-dimension totals join back onto the persisted
+  * counts table. Nothing corpus-sized shuffles; a 100 TB embedding
+  * lake pays TWO scans — one to discover per-dimension ranges, one to
+  * bin (a production monitor that pins bin edges from a reference
+  * snapshot collapses it to one). Overflow: bin
   * counts ≤ corpus rows n, numerators are O(n²·ln_micro) ≤ ~10¹⁸ at
   * n ≈ 3·10⁵ per shard pair — beyond that, pre-divide the cross
   * products (documented envelope, ANSI raises rather than corrupts). */
@@ -54,9 +57,14 @@ object Drift {
         .select(col("dim"), col("in_a"),
           least(lit(bins - 1), floor((col("x") - col("lo")) * bins /
             nullif(col("hi") - col("lo"), lit(0.0))).cast("int")).as("bin"))
+      // persisted: the totals aggregate AND the final join both read
+      // this dims×bins table — without the (tiny) cache each would
+      // re-run the full explode+count pipeline; the harness's
+      // per-query clearCache releases it (Bench/Verify discipline)
       val counts = binned.groupBy("dim", "bin")
         .agg(count(when(col("in_a"), 1)).as("ca"),
           count(when(!col("in_a"), 1)).as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // per-dimension shard totals (each vector lands in exactly one
       // bin per dimension, so these equal the shard vector counts)
       val tot = counts.groupBy("dim")

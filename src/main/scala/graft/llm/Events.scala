@@ -538,10 +538,13 @@ object Events {
     * (ANSI) rather than corrupted beyond it.
     *
     * Scale shape: one groupBy carrying 3-long state (map-side
-    * combinable) + a broadcast-ready join of per-group stats back to
-    * the event rows — on a cluster this is the canonical
-    * aggregate-then-rejoin; no window, no skew (group cardinality is
-    * the user population). */
+    * combinable) + a join of per-group stats back to the event rows —
+    * the canonical aggregate-then-rejoin; no window, no skew. The
+    * stats side is deliberately UNHINTED: group cardinality is the
+    * user population, which may not fit a broadcast at corpus scale —
+    * the planner broadcasts it while it is small (AQE at harness
+    * scale, pinned in PlanSpec) and falls back to a keyed shuffle
+    * join when it is not. */
   val groupAdvantage: Q = Q(
     "q_group_advantage",
     (s, dir) => {
@@ -552,7 +555,7 @@ object Events {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
           sum(col("cents") * col("cents")).as("ss"))
         .filter(col("n") >= 2)
-      ev.join(broadcast(stats), "user_id")
+      ev.join(stats, "user_id")
         .select(col("event_id"), col("user_id"), col("cents"),
           col("n").as("group_n"),
           (col("n") * col("cents") - col("s")).as("adv_num"),

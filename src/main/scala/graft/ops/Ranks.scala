@@ -41,8 +41,18 @@ object Ranks {
       runningSum: Option[(Column, String)] = None): DataFrame = {
     val s = df.sparkSession
     val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parted = df.repartitionByRange(par, order: _*)
-      .withColumn("__pid", spark_partition_id().cast("long"))
+    // MATERIALIZE the ranged frame once (lineage cut) before fanning
+    // out to the offsets branch and the join branch. Both branches
+    // embed this subtree; RangePartitioner samples boundaries with an
+    // RDD-id-derived seed, so two INDEPENDENT executions could place
+    // rows in different partitions and pair offsets from one
+    // partitioning with __pid from another. Canonicalized exchange
+    // reuse happens to collapse the two today, but a correctness
+    // property must not hang off an optimizer optimization — the cut
+    // guarantees every consumer reads the same materialized layout.
+    val parted = graft.Checkpoints.cut(
+      df.repartitionByRange(par, order: _*)
+        .withColumn("__pid", spark_partition_id().cast("long")))
     val w = Window.partitionBy("__pid").orderBy(order: _*)
     val cumFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = runningSum.foldLeft(
