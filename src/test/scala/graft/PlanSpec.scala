@@ -360,6 +360,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), p) // map-side combine on both levels
   }
 
+  test("embedding drift: histogram-keyed joins only, no corpus-sized shuffle join") {
+    val p = finalPlan(q("q_embedding_drift"))
+    assert(!p.contains("CartesianProduct"), p)
+    // ranges (64 rows) broadcasts onto the cell stream; the final
+    // totals join runs on the dims×bins table — tiny either way
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("importance resample: vocabulary hash join + 1-row stats broadcast, no cartesian") {
+    val p = finalPlan(q("q_importance_resample"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Broadcast"), p) // the 1-row stats frame
+  }
+
   test("stump split-finder windows only the feature histogram") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = SparkEntry.queries("q_quality_stump")(spark, sf001)
