@@ -43,7 +43,7 @@ object Bpe {
     Tables.load(s, dir, n)
 
   /** Word → its character-symbol sequence (array of 1-char strings). */
-  private[llm] def charSyms(w: Column): Column =
+  private[graft] def charSyms(w: Column): Column =
     transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
 
   /** Adjacent symbol pairs of a sequence as (l, r) structs; empty for
