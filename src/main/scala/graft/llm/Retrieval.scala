@@ -369,5 +369,88 @@ object Retrieval {
              CAST(sum(w) AS BIGINT) AS total_micro
       FROM w GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(bm25, hybrid, negatives, hashedTfidf)
+  /** NDCG@10 ranking-quality evaluation — the retrieval family's eval
+    * metric: how well does the LEXICAL ranker approximate the DENSE
+    * (embedding-cosine) ranking it is standing in for? Graded
+    * relevance labels come from the dense ranking's tiers (dense rank
+    * 1–3 → rel 3, 4–10 → rel 2, 11–20 → rel 1, unranked → 0), gains
+    * are the standard 2^rel − 1, and each position's discount is
+    * 1/ln(rank+1) — the exact NDCG a retrieval pipeline reports when
+    * judging a cheap first-stage ranker against its expensive
+    * ground-truth stage.
+    *
+    * Determinism: gains are exact small integers; each positional
+    * discount is ONE rounded integer micro term
+    * round(1e6/ln(rank+1)), so DCG/IDCG are exact BIGINT dot
+    * products, and NDCG is surfaced as exact integer parts-per-
+    * million via BIGINT division (`div` / `//` truncate identically
+    * on positives) — no float sum ever crosses an engine boundary.
+    *
+    * Scale shape: the rankers carry the real cost (their plans are
+    * justified at [[lexRanked]]/[[denseRanked]]); everything here
+    * joins k·|queries|-row frames — label join is broadcast-sized,
+    * the ideal-ordering window is over ≤20 rows per query. */
+  val ndcgEval: Q = Q(
+    "q_ndcg_eval",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val relTier = when(col("dense_rank") <= 3, 3L)
+        .when(col("dense_rank") <= 10, 2L).otherwise(1L)
+      val rel = denseRanked(s, dir, 20)
+        .select(col("query_id"), col("doc_id"), relTier.as("rel"))
+      def gain(r: Column) =
+        round(pow(lit(2.0), r), 0).cast("long") - 1L
+      def disc(rank: Column) =
+        round(lit(1000000.0) / log(rank.cast("double") + lit(1.0)), 0).cast("long")
+      val dcg = lexRanked(s, docs, 20).filter(col("lex_rank") <= 10)
+        .join(broadcast(rel), Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"),
+          (gain(coalesce(col("rel"), lit(0L))) * disc(col("lex_rank"))).as("term"))
+        .groupBy("query_id").agg(sum(col("term")).as("dcg_micro"))
+      val wIdeal = Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("doc_id").asc)
+      val idcg = rel
+        .withColumn("irank", row_number().over(wIdeal).cast("long"))
+        .filter(col("irank") <= 10)
+        .select(col("query_id"), (gain(col("rel")) * disc(col("irank"))).as("term"))
+        .groupBy("query_id").agg(sum(col("term")).as("idcg_micro"))
+      dcg.join(idcg, "query_id")
+        .select(col("query_id"), col("dcg_micro"), col("idcg_micro"),
+          expr("dcg_micro * 1000000 div idcg_micro").as("ndcg_ppm"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH $lexRankedSql,
+      ${denseRankedSql(20)},
+      rel AS (
+        SELECT query_id, doc_id,
+               CASE WHEN dense_rank <= 3 THEN 3
+                    WHEN dense_rank <= 10 THEN 2 ELSE 1 END AS rel
+        FROM dense),
+      dcg AS (
+        SELECT l.query_id,
+               CAST(sum((CAST(round(pow(2.0, coalesce(r.rel, 0))) AS BIGINT) - 1) *
+                        CAST(round(1000000.0 / ln(l.lex_rank + 1.0)) AS BIGINT))
+                 AS BIGINT) AS dcg_micro
+        FROM lex l LEFT JOIN rel r
+          ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+        WHERE l.lex_rank <= 10
+        GROUP BY l.query_id),
+      ideal AS (
+        SELECT query_id, rel,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS irank
+        FROM rel),
+      idcg AS (
+        SELECT query_id,
+               CAST(sum((CAST(round(pow(2.0, rel)) AS BIGINT) - 1) *
+                        CAST(round(1000000.0 / ln(irank + 1.0)) AS BIGINT))
+                 AS BIGINT) AS idcg_micro
+        FROM ideal WHERE irank <= 10 GROUP BY query_id)
+      SELECT d.query_id, d.dcg_micro, i.idcg_micro,
+             CAST(d.dcg_micro * 1000000 // i.idcg_micro AS BIGINT) AS ndcg_ppm
+      FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+      ORDER BY d.query_id"""))
+
+  val all: Seq[Q] = Seq(bm25, hybrid, negatives, hashedTfidf, ndcgEval)
 }

@@ -119,4 +119,46 @@ class RetrievalSpec extends SparkSpec {
         r.getAs[Long]("top_micro") * r.getAs[Long]("nnz"))
     }
   }
+
+  test("NDCG@10 equals an independent Scala recomputation from the component rankings") {
+    val out = Retrieval.ndcgEval.fn(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("dcg_micro"),
+        r.getAs[Long]("idcg_micro"), r.getAs[Long]("ndcg_ppm")))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L), "one row per query doc")
+
+    val docs = Tables.load(spark, sf001, "documents")
+    val rel = Retrieval.denseRanked(spark, sf001, 20).collect()
+      .map { r =>
+        val dr = r.getAs[Long]("dense_rank")
+        (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+          (if (dr <= 3) 3L else if (dr <= 10) 2L else 1L)
+      }.toMap
+    val lex10 = Retrieval.lexRanked(spark, docs, 20).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("lex_rank")))
+      .filter(_._3 <= 10)
+    def disc(rank: Long) = math.round(1e6 / math.log(rank + 1.0))
+    def gain(g: Long) = (1L << g) - 1
+
+    val wantDcg = lex10.groupBy(_._1).view.mapValues(_.map { case (q, d, rk) =>
+      gain(rel.getOrElse((q, d), 0L)) * disc(rk)
+    }.sum).toMap
+    val wantIdcg = rel.toSeq.groupBy(_._1._1).view.mapValues {
+      _.map { case ((_, d), g) => (g, d) }
+        .sortBy { case (g, d) => (-g, d) }.take(10).zipWithIndex
+        .map { case ((g, _), i) => gain(g) * disc(i + 1L) }.sum
+    }.toMap
+
+    out.foreach { case (q, dcg, idcg, ppm) =>
+      assert(dcg == wantDcg(q), s"dcg query $q")
+      assert(idcg == wantIdcg(q), s"idcg query $q")
+      assert(ppm == dcg * 1000000L / idcg, "exact integer ppm")
+      // dcg (and so ppm) CAN be 0 — a lexical top-10 disjoint from the
+      // dense top-20 is exactly what the metric is built to expose
+      assert(dcg <= idcg && ppm >= 0L && ppm <= 1000000L, "ndcg bounds")
+    }
+    // 20 graded docs exist per query, so the ideal top-10 prefix is the
+    // same gain profile (3×7, 7×3) for every query — idcg is constant
+    assert(out.map(_._3).distinct.length == 1)
+  }
 }
