@@ -161,5 +161,80 @@ object Classifier {
       FROM scored JOIN best USING (feature)
       GROUP BY feature ORDER BY feature"""))
 
-  val all: Seq[Q] = Seq(qualityStump)
+  /** Multi-class classifier evaluation — the confusion-matrix /
+    * precision-recall harness every model-driven curation filter
+    * needs before its predictions gate data: per class, gold count,
+    * predicted count, TP/FP/FN, and precision/recall/F1. Registered
+    * over the [[TextStats.langId]] heuristic against the gold `lang`
+    * column, so the evaluated classifier is itself engine-native and
+    * the whole evaluation is DuckDB-oracled.
+    *
+    * Determinism: every metric is surfaced as exact integer
+    * parts-per-million via BIGINT division (F1 = 2·tp/(n_pred+n_gold)
+    * exactly, since fp+fn = n_pred+n_gold−2·tp) — no float ratio
+    * crosses the engine boundary. Zero-support classes (a label never
+    * predicted, or predicted but absent from gold) report 0 rather
+    * than dividing by zero.
+    *
+    * Scale shape: one corpus pass fans into three map-side-combinable
+    * aggregates keyed by class; everything after is class-domain
+    * (≤ |langs|+1 rows), so the planner broadcasts the joins. Nothing
+    * corpus-sized is joined, windowed, or collected. */
+  val evalMetrics: Q = Q(
+    "q_eval_metrics",
+    (s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("lang").as("gold"), TextStats.langPred.as("pred"))
+      val classes = per.select(col("gold").as("cls"))
+        .union(per.select(col("pred").as("cls"))).distinct()
+      val goldN = per.groupBy(col("gold").as("cls")).agg(count(lit(1)).as("n_gold"))
+      val predN = per.groupBy(col("pred").as("cls")).agg(count(lit(1)).as("n_pred"))
+      val tp = per.filter(col("gold") === col("pred"))
+        .groupBy(col("gold").as("cls")).agg(count(lit(1)).as("tp"))
+      classes
+        .join(goldN, Seq("cls"), "left")
+        .join(predN, Seq("cls"), "left")
+        .join(tp, Seq("cls"), "left")
+        .select(col("cls"),
+          coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("fp", col("n_pred") - col("tp"))
+        .withColumn("fn", col("n_gold") - col("tp"))
+        .withColumn("precision_ppm",
+          when(col("n_pred") === 0L, 0L).otherwise(expr("tp * 1000000 div n_pred")))
+        .withColumn("recall_ppm",
+          when(col("n_gold") === 0L, 0L).otherwise(expr("tp * 1000000 div n_gold")))
+        .withColumn("f1_ppm",
+          expr("2 * tp * 1000000 div (n_pred + n_gold)"))
+        .orderBy("cls")
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT lang AS gold,
+          ${TextStats.langPredSql} AS pred
+        FROM documents),
+      cls AS (SELECT gold AS cls FROM per UNION SELECT pred FROM per),
+      g AS (SELECT gold AS cls, CAST(count(*) AS BIGINT) AS n_gold FROM per GROUP BY gold),
+      p AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred FROM per GROUP BY pred),
+      tp_ AS (SELECT gold AS cls, CAST(count(*) AS BIGINT) AS tp
+              FROM per WHERE gold = pred GROUP BY gold),
+      j AS (
+        SELECT cls.cls,
+               CAST(coalesce(g.n_gold, 0) AS BIGINT) AS n_gold,
+               CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(coalesce(tp_.tp, 0) AS BIGINT) AS tp
+        FROM cls LEFT JOIN g USING (cls) LEFT JOIN p USING (cls)
+                 LEFT JOIN tp_ USING (cls))
+      SELECT cls, n_gold, n_pred, tp,
+             CAST(n_pred - tp AS BIGINT) AS fp,
+             CAST(n_gold - tp AS BIGINT) AS fn,
+             CAST(CASE WHEN n_pred = 0 THEN 0
+                       ELSE tp * 1000000 // n_pred END AS BIGINT) AS precision_ppm,
+             CAST(CASE WHEN n_gold = 0 THEN 0
+                       ELSE tp * 1000000 // n_gold END AS BIGINT) AS recall_ppm,
+             CAST(2 * tp * 1000000 // (n_pred + n_gold) AS BIGINT) AS f1_ppm
+      FROM j ORDER BY cls"""))
+
+  val all: Seq[Q] = Seq(qualityStump, evalMetrics)
 }

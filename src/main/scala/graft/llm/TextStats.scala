@@ -90,27 +90,22 @@ object TextStats {
   /** Language-ID heuristic: stopword/marker n-gram scan (padded-text
     * contains), CASE-priority decision. Deterministic; mirrored
     * verbatim in the oracle. */
-  val langId: Q = Q(
-    "q_lang_id",
-    (s, dir) => {
-      val padded = concat(lit(" "), col("text"), lit(" "))
-      def hasAny(ws: Seq[String]): Column =
-        ws.map(w => padded.contains(s" $w ")).reduce(_ || _)
-      val pred =
-        when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
-          .when(hasAny(Seq("der", "und", "nicht", "das")), "de")
-          .when(hasAny(Seq("le", "la", "et", "les")), "fr")
-          .when(hasAny(Seq("el", "los", "las", "es")), "es")
-          .when(hasAny(Seq("the", "and", "of", "to")), "en")
-          .otherwise("und")
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), pred.as("lang_pred"),
-          (pred === col("lang")).as("agree"))
-        .orderBy("doc_id")
-    },
-    Some("""
-      SELECT doc_id, lang, lang_pred, (lang_pred = lang) AS agree FROM (
-        SELECT doc_id, lang,
+  /** The lang-ID decision expression, shared with
+    * [[Classifier.evalMetrics]]'s registered evaluation. */
+  private[llm] def langPred: Column = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def hasAny(ws: Seq[String]): Column =
+      ws.map(w => padded.contains(s" $w ")).reduce(_ || _)
+    when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(hasAny(Seq("der", "und", "nicht", "das")), "de")
+      .when(hasAny(Seq("le", "la", "et", "les")), "fr")
+      .when(hasAny(Seq("el", "los", "las", "es")), "es")
+      .when(hasAny(Seq("the", "and", "of", "to")), "en")
+      .otherwise("und")
+  }
+
+  /** DuckDB mirror of [[langPred]] (oracle-only fragment). */
+  private[llm] val langPredSql: String = """
           CASE
             WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
             WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ')
@@ -121,7 +116,21 @@ object TextStats {
               OR contains(' ' || text || ' ', ' las ') OR contains(' ' || text || ' ', ' es ') THEN 'es'
             WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' and ')
               OR contains(' ' || text || ' ', ' of ') OR contains(' ' || text || ' ', ' to ') THEN 'en'
-            ELSE 'und' END AS lang_pred
+            ELSE 'und' END"""
+
+  val langId: Q = Q(
+    "q_lang_id",
+    (s, dir) => {
+      val pred = langPred
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), pred.as("lang_pred"),
+          (pred === col("lang")).as("agree"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, lang, lang_pred, (lang_pred = lang) AS agree FROM (
+        SELECT doc_id, lang,
+          $langPredSql AS lang_pred
         FROM documents
       ) ORDER BY doc_id"""))
 
@@ -728,8 +737,73 @@ object TextStats {
         ) GROUP BY doc_id
       ) ORDER BY doc_id"""))
 
+  /** Class-based TF-IDF (c-TF-IDF, the BERTopic topic-labeling
+    * recipe): treat each `source` as one class, score every term by
+    * tf_{t,c} · ln(1 + A/f_t) where A is the average tokens per class
+    * and f_t the corpus frequency, and keep each class's top-5 — the
+    * "what characterizes this data source / cluster" primitive a
+    * curation pipeline runs to label its domains before choosing a
+    * mixture.
+    *
+    * Determinism: A/f_t is one double division of exact BIGINTs and
+    * each (class, term) contributes ONE rounded micro term, so the
+    * ranking key is an exact BIGINT on both engines; ties break on
+    * the token string.
+    *
+    * Scale shape: the tf aggregate is the [[vocabTopK]] explode →
+    * two-level hash aggregate (shuffle carries vocabulary × classes,
+    * never corpus); f_t re-aggregates the already-vocabulary-sized tf
+    * frame; global stats are a 1-row broadcast crossJoin. The top-5
+    * window partitions by class over the vocabulary-sized scored
+    * frame — the [[vocabNucleus]] vocabulary-domain envelope, not a
+    * corpus-sized window. */
+  private[graft] def topicTermsOf(docs: DataFrame): DataFrame = {
+      val tf = docs
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      val ft = tf.groupBy("tok").agg(sum(col("tf")).as("ft"))
+      val stats = tf.agg(sum(col("tf")).as("tot"),
+        countDistinct(col("source")).as("nc"))
+      val scored = tf.join(ft, "tok").crossJoin(broadcast(stats))
+        .select(col("source"), col("tok"), col("tf"),
+          round(col("tf") * log(lit(1.0) +
+              col("tot").cast("double") / (col("nc") * col("ft")).cast("double")) *
+            lit(1000000.0), 0).cast("long").as("score_micro"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_micro").desc, col("tok").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("source", "rank", "tok", "tf", "score_micro")
+        .orderBy("source", "rank")
+  }
+
+  val topicTerms: Q = Q(
+    "q_topic_terms",
+    (s, dir) => topicTermsOf(t(s, dir, "documents")),
+    Some("""
+      WITH tf AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+          SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents) GROUP BY source, tok),
+      ft AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY tok),
+      stats AS (SELECT CAST(sum(tf) AS BIGINT) AS tot,
+                       CAST(count(DISTINCT source) AS BIGINT) AS nc FROM tf),
+      scored AS (
+        SELECT source, tok, tf,
+               CAST(round(tf * ln(1.0 + CAST(tot AS DOUBLE) / CAST(nc * ft AS DOUBLE)) *
+                 1000000.0) AS BIGINT) AS score_micro
+        FROM tf JOIN ft USING (tok) CROSS JOIN stats),
+      ranked AS (
+        SELECT source, tok, tf, score_micro,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY score_micro DESC, tok ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT source, rank, tok, tf, score_micro
+      FROM ranked WHERE rank <= 5
+      ORDER BY source, rank"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
-    unigramEntropy, qualityGate)
+    unigramEntropy, qualityGate, topicTerms)
 }

@@ -90,4 +90,27 @@ class ClassifierSpec extends SparkSpec {
     val one = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
     assert(Bpe.trainMerges(one, 3).isEmpty)
   }
+
+  test("eval metrics equal a confusion matrix recomputed from q_lang_id rows") {
+    val per = llm.TextStats.langId.fn(spark, sf001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_pred")))
+    val classes = (per.map(_._1) ++ per.map(_._2)).distinct.sorted
+    val got = llm.Classifier.evalMetrics.fn(spark, sf001).collect()
+      .map(r => r.getAs[String]("cls") -> r).toMap
+    assert(got.keys.toSeq.sorted == classes.toSeq)
+    classes.foreach { c =>
+      val nGold = per.count(_._1 == c).toLong
+      val nPred = per.count(_._2 == c).toLong
+      val tp = per.count(p => p._1 == c && p._2 == c).toLong
+      val r = got(c)
+      assert(r.getAs[Long]("n_gold") == nGold && r.getAs[Long]("n_pred") == nPred
+        && r.getAs[Long]("tp") == tp, s"counts for $c")
+      assert(r.getAs[Long]("fp") == nPred - tp && r.getAs[Long]("fn") == nGold - tp)
+      assert(r.getAs[Long]("precision_ppm") ==
+        (if (nPred == 0) 0L else tp * 1000000L / nPred), s"precision for $c")
+      assert(r.getAs[Long]("recall_ppm") ==
+        (if (nGold == 0) 0L else tp * 1000000L / nGold), s"recall for $c")
+      assert(r.getAs[Long]("f1_ppm") == 2L * tp * 1000000L / (nPred + nGold))
+    }
+  }
 }

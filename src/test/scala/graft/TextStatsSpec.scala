@@ -164,4 +164,27 @@ class TextStatsSpec extends SparkSpec {
       count(when(col("shard") === 1, 1)).as("cb"))
     assert(counts.filter(col("ca") =!= col("cb")).count() === 0)
   }
+
+  test("c-TF-IDF topic terms match a hand-computed fixture") {
+    // source A: tokens x x shared | source B: y shared
+    // tot=5, nc=2, A(avg per class)=2.5; f(x)=2, f(y)=1, f(shared)=2
+    val docs = Seq(
+      (0L, "x x shared", "A"),
+      (1L, "y shared", "B")
+    ).toDF("doc_id", "text", "source")
+    def score(tf: Long, ft: Long): Long =
+      math.round(tf * math.log(1.0 + 5.0 / (2.0 * ft)) * 1e6)
+    val got = llm.TextStats.topicTermsOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val want = Seq(
+      ("A", 1L, "x", 2L, score(2, 2)),      // 2·ln(1+2.5/2)
+      ("A", 2L, "shared", 1L, score(1, 2)), // 1·ln(1+2.5/2)
+      ("B", 1L, "y", 1L, score(1, 1)),      // 1·ln(1+2.5/1)
+      ("B", 2L, "shared", 1L, score(1, 2)))
+    assert(got == want)
+    // the class-exclusive term outranks the shared one in both classes
+    assert(got.filter(_._1 == "A").minBy(_._2)._3 == "x")
+    assert(got.filter(_._1 == "B").minBy(_._2)._3 == "y")
+  }
 }
