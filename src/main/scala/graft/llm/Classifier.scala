@@ -57,6 +57,30 @@ object Classifier {
         when(lit(50) * col("stop_cnt") >= col("n_tok"), 1L).otherwise(-1L)
           .as("y"))
 
+  /** DuckDB mirror of [[featureFrame]] (oracle-only CTE fragment,
+    * shared by every query evaluating the stump features). */
+  private val featsSql: String = """feats AS (
+        SELECT doc_id,
+               1000 * stop_cnt // n_tok AS stop_ratio_m,
+               1000 * max_cnt // n_tok AS rep_ratio_m,
+               100 * n_word_chars // n_tok AS mean_wlen_c,
+               n_tok,
+               CASE WHEN 50 * stop_cnt >= n_tok THEN 1 ELSE -1 END AS y
+        FROM (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tok,
+                 CAST(sum(c * length(tok)) AS BIGINT) AS n_word_chars,
+                 CAST(max(c) AS BIGINT) AS max_cnt,
+                 CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+                               THEN c ELSE 0 END) AS BIGINT) AS stop_cnt
+          FROM (
+            SELECT doc_id, tok, count(*) AS c FROM (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents
+            ) GROUP BY doc_id, tok
+          ) GROUP BY doc_id))"""
+
   /** For each feature: the accuracy-optimal stump under each
     * polarity, as (feature, n, pos, best/threshold per polarity). */
   val qualityStump: Q = Q(
@@ -99,28 +123,8 @@ object Classifier {
           min(when(col("c_le") === col("bl"), col("v"))).as("thr_le"))
         .orderBy("feature")
     },
-    Some("""
-      WITH feats AS (
-        SELECT doc_id,
-               1000 * stop_cnt // n_tok AS stop_ratio_m,
-               1000 * max_cnt // n_tok AS rep_ratio_m,
-               100 * n_word_chars // n_tok AS mean_wlen_c,
-               n_tok,
-               CASE WHEN 50 * stop_cnt >= n_tok THEN 1 ELSE -1 END AS y
-        FROM (
-          SELECT doc_id,
-                 CAST(sum(c) AS BIGINT) AS n_tok,
-                 CAST(sum(c * length(tok)) AS BIGINT) AS n_word_chars,
-                 CAST(max(c) AS BIGINT) AS max_cnt,
-                 CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
-                               THEN c ELSE 0 END) AS BIGINT) AS stop_cnt
-          FROM (
-            SELECT doc_id, tok, count(*) AS c FROM (
-              SELECT doc_id,
-                     unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-              FROM documents
-            ) GROUP BY doc_id, tok
-          ) GROUP BY doc_id)),
+    Some(s"""
+      WITH $featsSql,
       lng AS (
         SELECT 'stop_ratio_m' AS feature, stop_ratio_m AS v, y FROM feats
         UNION ALL
@@ -236,5 +240,201 @@ object Classifier {
              CAST(2 * tp * 1000000 // (n_pred + n_gold) AS BIGINT) AS f1_ppm
       FROM j ORDER BY cls"""))
 
-  val all: Seq[Q] = Seq(qualityStump, evalMetrics)
+  /** ROC-AUC per feature via the Mann-Whitney rank-sum identity —
+    * the threshold-free ranking-quality measure for every scalar
+    * quality signal before it gates data (the stump's accuracy is
+    * one operating point; AUC is the whole curve). For each of the
+    * four stump features: AUC of the feature as a score for the
+    * stopword label, exact under ties via midranks.
+    *
+    * AUC = U / (n⁺·n⁻) with U = Σ_pos midrank − n⁺(n⁺+1)/2. Midranks
+    * come from the DISTINCT-VALUE histogram: a tied group occupying
+    * ranks [cum−cnt+1, cum] has 2·midrank = 2·cum − cnt + 1, so
+    * everything up to the final ratio is exact BIGINT arithmetic.
+    * The ratio itself is ONE IEEE division of exact BIGINTs then
+    * round — the established cross-engine contract; u2 stays exact
+    * to ~2·10⁹ documents (Σpos·r2 ≤ 2N², the [[TextStats]] KL
+    * envelope class).
+    *
+    * Scale shape: identical to [[qualityStump]] — one corpus scan
+    * melts 4 (feature, value) pairs in-row, the cumulative window
+    * runs over the feature-partitioned DISTINCT-VALUE table
+    * (domain-bounded), and the AUC falls out of a 4-row aggregate.
+    * Nothing corpus-sized is sorted or windowed.
+    *
+    * stop_ratio_m expresses the label exactly (⌊1000s/n⌋ ≥ 20 ⟺ y),
+    * so its AUC must be exactly 1.0 — an in-hash self-check that the
+    * rank machinery is right. */
+  private[graft] def featureAucOf(feats: DataFrame): DataFrame = {
+      val long_ = feats
+        .select(col("y"), explode(array(
+          Seq("stop_ratio_m", "rep_ratio_m", "mean_wlen_c", "n_tok").map(f =>
+            struct(lit(f).as("feature"), col(f).as("v"))): _*)).as("fv"))
+        .select(col("fv.feature").as("feature"), col("fv.v").as("v"), col("y"))
+      val hist = long_
+        .groupBy("feature", "v")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"))
+      val w = Window.partitionBy("feature").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("r2", lit(2L) * col("cum") - col("cnt") + lit(1L))
+        .groupBy("feature")
+        .agg(sum(col("pos")).as("n_pos"),
+          sum(col("cnt") - col("pos")).as("n_neg"),
+          sum(col("pos") * col("r2")).as("rank2_pos"))
+        .withColumn("u2", col("rank2_pos") - col("n_pos") * (col("n_pos") + lit(1L)))
+        .withColumn("auc_ppm",
+          when(col("n_pos") === 0L || col("n_neg") === 0L, 0L)
+            .otherwise(round(col("u2").cast("double") /
+              ((lit(2.0) * col("n_pos").cast("double")) * col("n_neg").cast("double")) *
+              lit(1000000.0), 0).cast("long")))
+        .select("feature", "n_pos", "n_neg", "u2", "auc_ppm")
+        .orderBy("feature")
+  }
+
+  val rocAuc: Q = Q(
+    "q_roc_auc",
+    (s, dir) => featureAucOf(featureFrame(t(s, dir, "documents"))),
+    Some(s"""
+      WITH $featsSql,
+      lng AS (
+        SELECT 'stop_ratio_m' AS feature, stop_ratio_m AS v, y FROM feats
+        UNION ALL SELECT 'rep_ratio_m', rep_ratio_m, y FROM feats
+        UNION ALL SELECT 'mean_wlen_c', mean_wlen_c, y FROM feats
+        UNION ALL SELECT 'n_tok', n_tok, y FROM feats),
+      hist AS (
+        SELECT feature, v, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM lng GROUP BY feature, v),
+      ranked AS (
+        SELECT feature, pos, cnt,
+               2 * sum(cnt) OVER (PARTITION BY feature ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) - cnt + 1 AS r2
+        FROM hist),
+      agg AS (
+        SELECT feature,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+               CAST(sum(pos * r2) AS BIGINT) AS rank2_pos
+        FROM ranked GROUP BY feature)
+      SELECT feature, n_pos, n_neg,
+             CAST(rank2_pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+             CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                  ELSE round(CAST(rank2_pos - n_pos * (n_pos + 1) AS DOUBLE) /
+                       ((2.0 * CAST(n_pos AS DOUBLE)) * CAST(n_neg AS DOUBLE)) *
+                       1000000.0) END AS BIGINT) AS auc_ppm
+      FROM agg ORDER BY feature"""))
+
+  /** Calibration / reliability diagram of a per-mille confidence
+    * score against the stopword label, plus the calibration-in-the-
+    * large summary row — the "is this quality score a probability"
+    * check run before using model scores to weight or threshold a
+    * corpus. Confidence = min(1000, 50·stop_ratio_m) (the stump
+    * margin scaled so the decision boundary sits at 1000), binned
+    * into 10 equal-width bins; per bin: count, positives, summed
+    * confidence, and exact-integer accuracy / mean-confidence / gap
+    * in ppm. The ROLLUP total row (bin = −1) carries the overall
+    * accuracy-vs-confidence gap.
+    *
+    * Everything is floor-division BIGINT arithmetic (1e6·n⁺ and
+    * 1000·Σconf stay exact to ~10¹² rows), and the ROLLUP computes
+    * bins + total in ONE corpus aggregate — no second scan for the
+    * summary. */
+  val calibration: Q = Q(
+    "q_calibration",
+    (s, dir) => {
+      val feats = featureFrame(t(s, dir, "documents"))
+      feats
+        .select(
+          least(lit(9L), expr("least(1000, 50 * stop_ratio_m) div 100")).as("bin"),
+          when(col("y") === 1L, 1L).otherwise(0L).as("pos"),
+          least(lit(1000L), lit(50L) * col("stop_ratio_m")).as("conf_m"))
+        .rollup("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(col("pos")).as("n_pos"),
+          sum(col("conf_m")).as("sum_conf"))
+        .select(coalesce(col("bin"), lit(-1L)).as("bin"),
+          col("n"), col("n_pos"), col("sum_conf"))
+        .withColumn("acc_ppm", expr("1000000 * n_pos div n"))
+        .withColumn("conf_ppm", expr("1000 * sum_conf div n"))
+        .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH $featsSql,
+      scored AS (
+        SELECT least(9, least(1000, 50 * stop_ratio_m) // 100) AS bin,
+               CASE WHEN y = 1 THEN 1 ELSE 0 END AS pos,
+               least(1000, 50 * stop_ratio_m) AS conf_m
+        FROM feats),
+      g AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(conf_m) AS BIGINT) AS sum_conf
+        FROM scored GROUP BY ROLLUP(bin))
+      SELECT CAST(coalesce(bin, -1) AS BIGINT) AS bin, n, n_pos, sum_conf,
+             CAST(1000000 * n_pos // n AS BIGINT) AS acc_ppm,
+             CAST(1000 * sum_conf // n AS BIGINT) AS conf_ppm,
+             CAST(abs(1000 * sum_conf // n - 1000000 * n_pos // n) AS BIGINT) AS gap_ppm
+      FROM g ORDER BY bin"""))
+
+  /** Cohen's kappa for the lang-ID classifier — chance-corrected
+    * agreement between predictions and gold labels, the single-number
+    * complement to [[evalMetrics]]'s per-class table (accuracy alone
+    * overstates a classifier that parrots the majority class).
+    *
+    * κ = (N·agree − Σ_c n_gold(c)·n_pred(c)) / (N² − Σ_c ...): both
+    * numerator and denominator are exact BIGINTs (N² caps the
+    * envelope at ~3·10⁹ documents, the established class), and the
+    * final ratio is one IEEE division + round to ppm. Accuracy ppm
+    * stays pure floor division.
+    *
+    * Scale shape: one corpus aggregate for (N, agree), two class-keyed
+    * aggregates for the marginals, then everything is class-domain
+    * (≤ |langs| rows) and 1-row arithmetic. */
+  val cohensKappa: Q = Q(
+    "q_cohens_kappa",
+    (s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("lang").as("gold"), TextStats.langPred.as("pred"))
+      val overall = per.agg(count(lit(1)).as("n"),
+        sum(when(col("gold") === col("pred"), 1L).otherwise(0L)).as("n_agree"))
+      val chance = per.groupBy(col("gold").as("cls")).agg(count(lit(1)).as("ng"))
+        .join(per.groupBy(col("pred").as("cls")).agg(count(lit(1)).as("np")), "cls")
+        .agg(sum(col("ng") * col("np")).as("chance_cross"))
+      overall.crossJoin(broadcast(chance))
+        .select(col("n"), col("n_agree"),
+          coalesce(col("chance_cross"), lit(0L)).as("chance_cross"))
+        .withColumn("accuracy_ppm", expr("1000000 * n_agree div n"))
+        .withColumn("kappa_ppm",
+          when(col("n") * col("n") === col("chance_cross"), 0L)
+            .otherwise(round((col("n") * col("n_agree") - col("chance_cross")).cast("double") /
+              (col("n") * col("n") - col("chance_cross")).cast("double") *
+              lit(1000000.0), 0).cast("long")))
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT lang AS gold, ${TextStats.langPredSql} AS pred FROM documents),
+      overall AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM per),
+      chance AS (
+        SELECT CAST(coalesce(sum(ng * np), 0) AS BIGINT) AS chance_cross FROM (
+          SELECT g.cls, g.ng, p.np FROM
+            (SELECT gold AS cls, count(*) AS ng FROM per GROUP BY gold) g
+            JOIN (SELECT pred AS cls, count(*) AS np FROM per GROUP BY pred) p
+            USING (cls)))
+      SELECT n, n_agree, chance_cross,
+             CAST(1000000 * n_agree // n AS BIGINT) AS accuracy_ppm,
+             CAST(CASE WHEN n * n = chance_cross THEN 0
+                  ELSE round(CAST(n * n_agree - chance_cross AS DOUBLE) /
+                       CAST(n * n - chance_cross AS DOUBLE) * 1000000.0)
+                  END AS BIGINT) AS kappa_ppm
+      FROM overall CROSS JOIN chance"""))
+
+  val all: Seq[Q] = Seq(qualityStump, evalMetrics, rocAuc, calibration,
+    cohensKappa)
 }

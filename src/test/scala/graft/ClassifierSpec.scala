@@ -91,6 +91,73 @@ class ClassifierSpec extends SparkSpec {
     assert(Bpe.trainMerges(one, 3).isEmpty)
   }
 
+  test("feature AUC equals brute-force pair counting under heavy ties") {
+    import spark.implicits._
+    // ties within and across classes exercise the midrank path
+    val feats = Seq(
+      (1L, 5L, 5L, 10L, 1L), (2L, 5L, 4L, 10L, -1L), (3L, 7L, 4L, 12L, 1L),
+      (4L, 7L, 3L, 15L, -1L), (5L, 2L, 3L, 15L, 1L), (6L, 2L, 2L, 15L, -1L),
+      (6L, 9L, 2L, 20L, 1L), (1L, 9L, 1L, 20L, -1L)
+    ).toDF("stop_ratio_m", "rep_ratio_m", "mean_wlen_c", "n_tok", "y")
+    val got = llm.Classifier.featureAucOf(feats).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = feats.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    for ((fname, fi) <- Seq("stop_ratio_m" -> 0, "rep_ratio_m" -> 1,
+      "mean_wlen_c" -> 2, "n_tok" -> 3)) {
+      val pos = rows.filter(_._5 == 1L).map(_.productElement(fi).asInstanceOf[Long])
+      val neg = rows.filter(_._5 == -1L).map(_.productElement(fi).asInstanceOf[Long])
+      // u2 = 2·U = Σ_pairs (2 if p > n, 1 if tie, 0 otherwise)
+      val u2 = (for (p <- pos; q <- neg)
+        yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+      val aucPpm = math.round(u2.toDouble /
+        ((2.0 * pos.length) * neg.length) * 1000000.0)
+      assert(got(fname) == ((pos.length.toLong, neg.length.toLong, u2, aucPpm)),
+        s"feature $fname")
+    }
+  }
+
+  test("calibration bins and rollup total recompute from the feature frame") {
+    val feats = Classifier.featureFrame(
+      Tables.load(spark, sf001, "documents")).collect()
+      .map(r => (r.getLong(1), r.getLong(5)))  // (stop_ratio_m, y)
+    val scored = feats.map { case (srm, y) =>
+      val conf = math.min(1000L, 50L * srm)
+      (math.min(9L, conf / 100), if (y == 1L) 1L else 0L, conf)
+    }
+    val got = Classifier.calibration.fn(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    val bins = scored.groupBy(_._1).view.mapValues(_.toSeq).toSeq :+
+      (-1L -> scored.toSeq)
+    assert(got.keys.toSet == bins.map(_._1).toSet)
+    for ((bin, members) <- bins) {
+      val n = members.size.toLong
+      val nPos = members.map(_._2).sum
+      val sumConf = members.map(_._3).sum
+      val acc = 1000000L * nPos / n
+      val conf = 1000L * sumConf / n
+      assert(got(bin) == ((n, nPos, sumConf, acc, conf, math.abs(conf - acc))),
+        s"bin $bin")
+    }
+  }
+
+  test("Cohen's kappa recomputes from the q_lang_id confusion counts") {
+    val per = llm.TextStats.langId.fn(spark, sf001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_pred")))
+    val n = per.length.toLong
+    val agree = per.count(p => p._1 == p._2).toLong
+    val chance = per.groupBy(_._1).map { case (c, g) =>
+      g.length.toLong * per.count(_._2 == c) }.sum
+    val r = Classifier.cohensKappa.fn(spark, sf001).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == agree && r.getLong(2) == chance)
+    assert(r.getLong(3) == 1000000L * agree / n)
+    assert(r.getLong(4) == math.round(
+      (n * agree - chance).toDouble / (n * n - chance).toDouble * 1000000.0))
+  }
+
   test("eval metrics equal a confusion matrix recomputed from q_lang_id rows") {
     val per = llm.TextStats.langId.fn(spark, sf001).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_pred")))
