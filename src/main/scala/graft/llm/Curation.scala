@@ -296,6 +296,80 @@ object Curation {
              CAST(count(*) AS BIGINT) AS cnt
       FROM c GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 50"""))
 
+  /** PMI-scored collocations — pointwise mutual information
+    * ln(p(xy)/(p(x)p(y))) over in-row consecutive-token bigrams, the
+    * phrase-mining primitive behind tokenizer vocab curation and
+    * Word2Phrase-style preprocessing (raw bigram counts surface "of
+    * the"; PMI surfaces the genuinely associated pairs).
+    *
+    * Determinism: PMI factors as ln((c_xy·N_uni)/(c_x·c_y)) +
+    * ln(N_uni/N_big) so every BIGINT product stays within the
+    * ~3·10⁹-token envelope (the [[TextStats.klDivergence]] class —
+    * the naive single-ratio form c_xy·N_uni² overflows at ~10⁹
+    * tokens); both engines evaluate the identical two-ln expression
+    * and round once to integer micro-nats. Ties break on the bigram
+    * string. A min-count floor of 5 keeps the estimator out of the
+    * noise floor (PMI of singletons is maximal by construction).
+    *
+    * Scale shape: bigram and unigram counts are the
+    * vocabulary-not-corpus two-level aggregates of [[bigramTopK]] /
+    * [[TextStats.vocabTopK]]; the count joins are vocabulary-keyed;
+    * the global totals ride two 1-row broadcasts; top-30 is
+    * TakeOrderedAndProject. Nothing corpus-sized shuffles. */
+  private[graft] def pmiOf(docs: DataFrame): DataFrame = {
+      val big = docs
+        .select(explode(graft.functions.WordBigrams(col("text"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      val uni = docs
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val nb = big.agg(sum(col("cnt")).as("n_big"))
+      val nu = uni.agg(sum(col("c")).as("n_uni"))
+      big.filter(col("cnt") >= 5)
+        .withColumn("x", split(col("bigram"), " ").getItem(0))
+        .withColumn("y", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("tok").as("x"), col("c").as("cx")), "x")
+        .join(uni.select(col("tok").as("y"), col("c").as("cy")), "y")
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .withColumn("pmi_micro",
+          round((log((col("cnt") * col("n_uni")).cast("double") /
+              (col("cx") * col("cy")).cast("double")) +
+            log(col("n_uni").cast("double") / col("n_big").cast("double"))) *
+            lit(1000000.0), 0).cast("long"))
+        .select("bigram", "cnt", "cx", "cy", "pmi_micro")
+        .orderBy(col("pmi_micro").desc, col("bigram").asc)
+        .limit(30)
+  }
+
+  val pmiCollocations: Q = Q(
+    "q_pmi_bigrams",
+    (s, dir) => pmiOf(t(s, dir, "documents")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      big AS (
+        SELECT toks[i] || ' ' || toks[i + 1] AS bigram,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d)
+        GROUP BY 1),
+      uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+      nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_big FROM big),
+      nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni)
+      SELECT bigram, cnt, cx.c AS cx, cy.c AS cy,
+             CAST(round((ln(CAST(cnt * n_uni AS DOUBLE) /
+                            CAST(cx.c * cy.c AS DOUBLE)) +
+                         ln(CAST(n_uni AS DOUBLE) / CAST(n_big AS DOUBLE))) *
+                        1000000.0) AS BIGINT) AS pmi_micro
+      FROM big
+      JOIN uni cx ON cx.tok = split_part(bigram, ' ', 1)
+      JOIN uni cy ON cy.tok = split_part(bigram, ' ', 2)
+      CROSS JOIN nb CROSS JOIN nu
+      WHERE cnt >= 5
+      ORDER BY pmi_micro DESC, bigram ASC LIMIT 30"""))
+
   /** Document chunking: overlapping 50-token windows with stride 40
     * (10-token overlap) — the RAG / long-context ingestion primitive.
     * Chunk count is pure integer arithmetic
@@ -792,7 +866,8 @@ object Curation {
 
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, packSequences, corpusShuffle,
-      curationPipeline, redactPii, bigramTopK, chunkDocs, normalizeText,
+      curationPipeline, redactPii, bigramTopK, pmiCollocations, chunkDocs,
+      normalizeText,
       segmentDedup, curriculumOrder, curriculumWrite, spanCorruption,
       dsirSelect, importanceResample)
 }

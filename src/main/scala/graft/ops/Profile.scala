@@ -348,6 +348,70 @@ object Profile {
       FROM documents CROSS JOIN bounds
       GROUP BY 1 ORDER BY bin"""))
 
+  /** Chi-square test of independence between two categorical columns
+    * (lang × source) — the "is my metadata balanced or confounded"
+    * audit a mixture designer runs before trusting per-source or
+    * per-language statistics (a source that over-samples one language
+    * confounds both axes). Emits the full contingency table with
+    * per-cell expected counts and chi-square terms, plus the summed
+    * statistic pinned on every row.
+    *
+    * Determinism: the deviation N·O − R·C is exact BIGINT (products
+    * bounded to ~3·10⁹ rows — the established envelope class); each
+    * cell's term (N·O−R·C)²/(N·R·C) and expectation R·C/N are then a
+    * fixed-shape chain of IEEE double ops + one round to micro units,
+    * identical on both engines (the all-BIGINT form N·R·C overflows
+    * at ~2·10⁶ rows, so the doubles are the scale-correct choice).
+    * The statistic is the exact integer sum of the rounded terms.
+    *
+    * Scale shape: ONE corpus-scan aggregate produces the contingency
+    * cells; marginals and the total re-aggregate the CELL table
+    * (category-domain-sized, ≤ |lang|·|source| rows), so the joins and
+    * the unpartitioned window all run over aggregated domain-bounded
+    * input. */
+  val chi2Independence: Q = Q(
+    "q_chi2_assoc",
+    (s, dir) => {
+      val cells = t(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy("lang").agg(sum(col("obs")).as("r"))
+      val ct = cells.groupBy("source").agg(sum(col("obs")).as("c"))
+      val tot = cells.agg(sum(col("obs")).as("n"))
+      val dd = (col("n") * col("obs") - col("r") * col("c")).cast("double")
+      val scored = cells.join(rt, "lang").join(ct, "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("e_micro",
+          round((col("r") * col("c")).cast("double") / col("n").cast("double") *
+            lit(1000000.0), 0).cast("long"))
+        .withColumn("term_micro",
+          round(dd * dd /
+            ((col("n").cast("double") * col("r").cast("double")) * col("c").cast("double")) *
+            lit(1000000.0), 0).cast("long"))
+      scored
+        .withColumn("chi2_micro",
+          sum(col("term_micro")).over(Window.partitionBy()))
+        .select("lang", "source", "obs", "e_micro", "term_micro", "chi2_micro")
+        .orderBy("lang", "source")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+        FROM documents GROUP BY lang, source),
+      rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS r FROM cells GROUP BY lang),
+      ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS c FROM cells GROUP BY source),
+      tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+      scored AS (
+        SELECT lang, source, obs,
+               CAST(round(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) *
+                          1000000.0) AS BIGINT) AS e_micro,
+               CAST(round(CAST(n * obs - r * c AS DOUBLE) * CAST(n * obs - r * c AS DOUBLE) /
+                          ((CAST(n AS DOUBLE) * CAST(r AS DOUBLE)) * CAST(c AS DOUBLE)) *
+                          1000000.0) AS BIGINT) AS term_micro
+        FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot)
+      SELECT lang, source, obs, e_micro, term_micro,
+             CAST(sum(term_micro) OVER () AS BIGINT) AS chi2_micro
+      FROM scored ORDER BY lang, source"""))
+
   /** In-flight data-quality counters via Spark's `Observation` API:
     * the metrics ride the SAME job that materializes the pipeline's
     * real output — no second scan, no extra action — which is how a
@@ -395,5 +459,5 @@ object Profile {
       FROM orders WHERE o_orderstatus = 'F'"""))
 
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
-    groupZscore, winsorize, quantileBins, observedMetrics)
+    groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics)
 }

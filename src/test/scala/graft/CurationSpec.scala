@@ -169,6 +169,33 @@ class CurationSpec extends SparkSpec {
     assert(got == reference)
   }
 
+  test("PMI collocations match a hand-computed fixture and rank association over frequency") {
+    import spark.implicits._
+    // "a b" is frequent but independent filler; "x y" always co-occurs.
+    // 5 copies of each pattern clear the min-count floor.
+    val docs = Seq.tabulate(5)(i =>
+      (i.toLong, "a b a c x y a b a d x y", "src")
+    ).toDF("doc_id", "text", "source")
+    val got = llm.Curation.pmiOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // per doc: 12 tokens, 11 bigrams; corpus: nUni = 60, nBig = 55
+    val uni = Map("a" -> 20L, "b" -> 10L, "c" -> 5L, "d" -> 5L,
+      "x" -> 10L, "y" -> 10L)
+    def pmi(cxy: Long, cx: Long, cy: Long): Long =
+      math.round((math.log(cxy * 60.0 / (cx * cy)) +
+        math.log(60.0 / 55.0)) * 1000000.0)
+    val want = Map(
+      ("x y") -> (10L, uni("x"), uni("y"), pmi(10, 10, 10)),
+      ("a b") -> (10L, uni("a"), uni("b"), pmi(10, 20, 10)))
+    for ((bg, w) <- want)
+      assert(got.find(_._1 == bg).map(t => (t._2, t._3, t._4, t._5)) ==
+        Some(w), s"bigram $bg")
+    // perfect association outranks the frequent-but-diluted pair
+    val rank = got.map(_._1).toSeq
+    assert(rank.indexOf("x y") < rank.indexOf("a b"))
+  }
+
   test("curriculum write: every file owns a contiguous pos slice; files abut and cover 1..N") {
     val out = Staging.dir(spark, "graft_curriculum_layout_spec")
     llm.Curation.writeCurriculum(

@@ -89,4 +89,28 @@ class ProfileSpec extends SparkSpec {
         s"$lang kept $kept vs expected ~$expect")
     }
   }
+
+  test("chi-square cells recompute from raw contingency counts; statistic is their sum") {
+    val raw = Tables.load(spark, sf001, "documents")
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = raw.length.toLong
+    val rt = raw.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cells = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = ops.Profile.chi2Independence.fn(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == cells.keySet)
+    // same IEEE op order as the query: (n·o − r·c)² / ((n·r)·c), ×1e6, round
+    val terms = cells.map { case ((l, s), o) =>
+      val (r, c) = (rt(l), ct(s))
+      val dd = (n * o - r * c).toDouble
+      (l, s) -> (math.round((r * c).toDouble / n.toDouble * 1000000.0),
+        math.round(dd * dd / ((n.toDouble * r.toDouble) * c.toDouble) * 1000000.0))
+    }
+    val chi2 = terms.values.map(_._2).sum
+    for (((l, s), (e, term)) <- terms)
+      assert(got((l, s)) == ((cells((l, s)), e, term, chi2)), s"cell ($l,$s)")
+  }
 }
