@@ -30,6 +30,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables.load's NTZ→TIMESTAMP normalization (and every pinned
+      // date computation) assumes a UTC session, like Verify/tests.
+      .config("spark.sql.session.timeZone", "UTC")
       // keep typed imperative aggregates (MinHashAgg, median/mode) on
       // the hash path at full group cardinality — see MinHashAgg docs
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")

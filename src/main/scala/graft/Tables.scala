@@ -16,16 +16,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Load one corpus table, normalizing timestamp physical encodings.
+    *
+    * Contract: FIXTURES.md declares `events.ts` (and any other
+    * timestamp column) as `timestamp` — the LOADER, not each
+    * downstream operator, owns delivering Spark `TimestampType`.
+    * The corpus generator has shipped three physical encodings so
+    * far, and all three must surface identically:
+    *
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it outright; with
+    *     `nanosAsLong` it surfaces as LongType nanos, which we
+    *     truncate to micros — the same truncation DuckDB applies,
+    *     so oracle comparisons stay exact.
+    *   - timestamp[us] without timezone (isAdjustedToUTC=false):
+    *     surfaces as TIMESTAMP_NTZ, which `withWatermark` /
+    *     `unix_micros` reject. Cast to TimestampType: the callers
+    *     (Verify/Bench/tests) force a UTC session, so the NTZ wall
+    *     clock IS the UTC instant and every value is unchanged.
+    *   - timestamp[us] UTC-adjusted: already TimestampType; no-op.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
-    // rejects; read nanos as long and truncate to micros — the same
-    // truncation DuckDB applies, so oracle comparisons stay exact.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType
+            if name == "events" && f.name == "ts" =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
+    }
   }
 }
 
