@@ -201,8 +201,18 @@ object Dedup {
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val candSh = shingleSrc.join(candIds, Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("h1")).as("sh"))
-    val sa = candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    verifyJaccardSets(candidates, candSh, threshold)
+  }
+
+  /** Tail of [[verifyJaccard]] over PRE-BUILT shingle sets
+    * (doc_id, sh: array<long>) — the path the incremental state store
+    * takes: history sets come off parquet already aggregated, so no
+    * collect_set shuffle runs for them. `candSets` must cover every
+    * doc id appearing in `candidates`. */
+  private[llm] def verifyJaccardSets(candidates: DataFrame, candSets: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = candSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = candSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     candidates.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -406,7 +416,28 @@ object Dedup {
     * regardless of id ordering between batches. */
   def deltaMinhashPairs(state: DataFrame, delta: DataFrame, histText: DataFrame,
       threshold: Double = 0.5, bands: Int = 16, rows: Int = 4,
-      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame =
+    deltaMinhashCore(state, delta, Left(histText), threshold, bands, rows, handles)
+
+  /** [[deltaMinhashPairs]] against a persisted SHINGLE-SET store
+    * (doc_id, sh: array<long>) instead of the history text — the
+    * production warm path: candidate history partners come off the
+    * state store already aggregated (a candidate-sized parquet point
+    * lookup), so absorbing a delta touches NO history text and runs
+    * no collect_set shuffle for history docs. The store is a pure
+    * function of history content (same determinism argument as the
+    * band store) and costs ~8 bytes per distinct shingle — the
+    * standard "persist the index's verification payload" trade. */
+  def deltaMinhashPairsWithStore(state: DataFrame, delta: DataFrame,
+      histShingleSets: DataFrame,
+      threshold: Double = 0.5, bands: Int = 16, rows: Int = 4,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame =
+    deltaMinhashCore(state, delta, Right(histShingleSets), threshold, bands, rows, handles)
+
+  private def deltaMinhashCore(state: DataFrame, delta: DataFrame,
+      hist: Either[DataFrame, DataFrame],
+      threshold: Double, bands: Int, rows: Int,
+      handles: graft.CacheHandles): DataFrame = {
     val spark = delta.sparkSession
     val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val deltaShingles = handles.track(shingleFrame(delta, par)
@@ -425,15 +456,34 @@ object Dedup {
         greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // candidate HISTORY partners (ids not in the delta) are
-    // re-shingled point-wise for the exact verify — candidate-sized
-    // work against the corpus table, never a history scan
-    val candHistIds = candidates
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-      .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
-    val histShingles = shingleFrame(
-      histText.join(candHistIds, Seq("doc_id"), "left_semi"), par)
-    verifyJaccard(candidates, deltaShingles.unionByName(histShingles), threshold)
+    // no distinct: both consumers are semi/anti joins (dedup-free by
+    // construction) — a distinct here is a pure extra shuffle
+    val candIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    hist match {
+      case Left(histText) =>
+        // candidate HISTORY partners (ids not in the delta) are
+        // re-shingled point-wise for the exact verify — candidate-
+        // sized work against the corpus table, never a history scan.
+        // The anti-join matters here: in production histText is the
+        // full corpus table (delta included post-append), and without
+        // it delta docs would be re-shingled from text.
+        val candHistIds = candIds
+          .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+        val histShingles = shingleFrame(
+          histText.join(candHistIds, Seq("doc_id"), "left_semi"), par)
+        verifyJaccard(candidates, deltaShingles.unionByName(histShingles), threshold)
+      case Right(sets) =>
+        // warm path: history verification sets come straight off the
+        // state store; only the DELTA's sets are aggregated here. No
+        // delta anti-join needed — the store holds exactly the
+        // history ids (delta∩history is empty by the batch contract),
+        // so the two semi-joins partition candIds between them.
+        val deltaSets = deltaShingles.join(candIds, Seq("doc_id"), "left_semi")
+          .groupBy("doc_id").agg(collect_set(col("h1")).as("sh"))
+        val histSets = sets.join(candIds, Seq("doc_id"), "left_semi")
+        verifyJaccardSets(candidates, deltaSets.unionByName(histSets), threshold)
+    }
   }
 
   /** Incremental EXACT dedup against a persisted content-signature
@@ -494,26 +544,50 @@ object Dedup {
     * Rows-only per contract (MinHash internals aren't
     * DuckDB-expressible); delta+state ≡ full recompute is pinned in
     * IncrementalDedupSpec. */
+  private val cutCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   val incrementalMinhash: Q = Q(
     "q_dedup_incremental_minhash",
     (s, dir) => {
-      val docs = withPlanted(t(s, dir, "documents"), mutate = true)
-      val cut = docs.filter(col("doc_id") < 1000000L).agg(expr(
-        "max(doc_id) - (max(doc_id) - min(doc_id) + 1) div 8").as("c"))
-        .head().getLong(0)
+      // cut over the RAW table (plants have ids ≥ 1M and live in the
+      // delta by construction) — one tiny min/max agg, no union plan.
+      // Memoized per application+corpus: the boundary is a pure
+      // function of the immutable corpus, and the repeated min/max
+      // scan job was pure overhead on the warm path.
+      val cut = cutCache.getOrElseUpdate(
+        s.sparkContext.applicationId + "|" + dir,
+        t(s, dir, "documents").agg(expr(
+          "max(doc_id) - (max(doc_id) - min(doc_id) + 1) div 8").as("c"))
+          .head().getLong(0))
       val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val hist = docs.filter(col("doc_id") <= cut)
       val stateDir = graft.Staging.dir(s,
         "graft_dedup_band_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       val statePath = new org.apache.hadoop.fs.Path(stateDir)
       val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(statePath))
-        bandedSignatures(shingleFrame(hist, par), bands = 16, rows = 4)
-          .write.mode("overwrite").parquet(stateDir)
+      if (!fs.exists(statePath)) {
+        // first touch per application+corpus: build BOTH state
+        // surfaces off one persisted history shingle pass — the band
+        // index (16 rows/doc) and the verification shingle-set store
+        // (8 B/distinct shingle). Production maintains both by
+        // appending each absorbed delta's rows.
+        val hist = t(s, dir, "documents")
+          .select(col("doc_id"), col("text")).filter(col("doc_id") <= cut)
+        val buildHandles = new graft.CacheHandles
+        val histSh = buildHandles.track(shingleFrame(hist, par)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        bandedSignatures(histSh, bands = 16, rows = 4, buildHandles)
+          .write.mode("overwrite").parquet(s"$stateDir/bands")
+        histSh.groupBy("doc_id").agg(collect_set(col("h1")).as("sh"))
+          .write.mode("overwrite").parquet(s"$stateDir/shingle_sets")
+        buildHandles.releaseAll()
+      }
+      val docs = withPlanted(t(s, dir, "documents"), mutate = true)
       val handles = new graft.CacheHandles
       val out = RecallAudit.assertPlantedPairs(
-        deltaMinhashPairs(s.read.parquet(stateDir),
-          docs.filter(col("doc_id") > cut), hist, handles = handles),
+        deltaMinhashPairsWithStore(s.read.parquet(s"$stateDir/bands"),
+          docs.filter(col("doc_id") > cut),
+          s.read.parquet(s"$stateDir/shingle_sets"), handles = handles),
         "doc_a", "doc_b", plantN = 10, what = "incremental MinHash")
       handles.releaseAll()
       out

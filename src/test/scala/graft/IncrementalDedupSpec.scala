@@ -85,6 +85,31 @@ class IncrementalDedupSpec extends SparkSpec {
       "two-batch incremental union diverged from full recompute")
   }
 
+  test("shingle-set store path equals the history-text path pair-for-pair") {
+    val corpus = Dedup.withPlanted(docs, mutate = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cut = cutOf(corpus.filter(col("doc_id") < 1000000L))
+    val hist = corpus.filter(col("doc_id") <= cut)
+    val delta = corpus.filter(col("doc_id") > cut)
+    val stateDir = stage("store")
+    val histSh = Dedup.shingleFrame(hist, 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.bandedSignatures(histSh, bands = 16, rows = 4)
+      .write.mode("overwrite").parquet(s"$stateDir/bands")
+    histSh.groupBy("doc_id").agg(collect_set(col("h1")).as("sh"))
+      .write.mode("overwrite").parquet(s"$stateDir/shingle_sets")
+    histSh.unpersist()
+    val viaStore = Dedup.deltaMinhashPairsWithStore(
+      spark.read.parquet(s"$stateDir/bands"), delta,
+      spark.read.parquet(s"$stateDir/shingle_sets")).collect().toSeq
+    val viaText = Dedup.deltaMinhashPairs(
+      spark.read.parquet(s"$stateDir/bands"), delta, hist).collect().toSeq
+    corpus.unpersist()
+    assert(viaStore.nonEmpty, "planted cross-boundary near-dups must surface")
+    assert(viaStore == viaText,
+      "shingle-set store verify diverged from history-text verify")
+  }
+
   test("declared incremental MinHash query recovers all ten planted cross-boundary pairs") {
     val out = Dedup.incrementalMinhash.fn(spark, sf001)
     val planted = out.filter(col("doc_b") >= 1000000L &&
