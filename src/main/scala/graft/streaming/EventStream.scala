@@ -554,6 +554,41 @@ object EventStream {
     },
     graft.ops.Ingest.badRecords.oracle)
 
+  /** NTZ event-time parity: the SAME hourly window aggregate as
+    * [[streamWindow]], but the staged source deliberately stores `ts`
+    * as TIMESTAMP_NTZ (the encoding the corpus generator switched to
+    * in round 10) and the stream normalizes it back to TIMESTAMP
+    * in-stream — the exact cast `Tables.load` applies at the batch
+    * boundary, here proven through the streaming path: watermark +
+    * windowed state + AvailableNow drain. Shares [[streamWindow]]'s
+    * oracle, so the driver hash-checks that BOTH physical encodings
+    * produce identical results end-to-end (the UTC session makes the
+    * NTZ wall clock the UTC instant; a timezone regression or a lossy
+    * cast would hash-mismatch here before it could hide in the
+    * loader). The cast is a stateless projection ahead of the
+    * watermark, so it adds nothing to state size at scale. */
+  val streamNtz: Q = Q(
+    "q_stream_ntz_window",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts").cast("timestamp_ntz").as("ts"),
+          col("event_type"), col("value"))
+      val stage = stagePath(s, "graft_stream_ntz")
+      ev.write.mode("overwrite").parquet(stage)
+      val local = narrowedSession(s, 4)
+      val stream = local.readStream.schema(ev.schema).parquet(stage)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val sink = "graft_stream_ntz_window"
+      val sq = hourlyCounts(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      local.table(sink).orderBy("window_start", "event_type")
+    },
+    streamWindow.oracle)
+
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
-    streamState, streamFunnel, streamMerge, streamQuarantine)
+    streamState, streamFunnel, streamMerge, streamQuarantine, streamNtz)
 }
