@@ -115,6 +115,76 @@ object Curation {
       FROM testfp f JOIN trainfp g USING (fp)
       GROUP BY f.doc_id ORDER BY test_id"""))
 
+  /** UNALIGNED decontamination: sliding word 13-gram overlap between
+    * the test shard and the train shard — the second stage of the
+    * standard two-stage sweep ([[contamination]]'s offset-aligned
+    * fingerprints are the cheap first pass; this catches leaks that
+    * any insertion/deletion shifts off the 32-char alignment grid).
+    * The classic eval-decontamination rule (13-gram collision ⇒
+    * flag) from the GPT-3/PaLM data pipelines.
+    *
+    * Three train documents are re-planted into the test side with a
+    * one-token prefix — deliberately constructed so EVERY aligned
+    * window misses (the prefix shifts all byte offsets) while their
+    * interior 13-grams still collide: the query proves the unaligned
+    * pass catches exactly what the aligned pass cannot.
+    *
+    * Scale shape: each doc emits (tokens − 12) 16-byte gram digests —
+    * linear in corpus tokens, never the text itself; the join
+    * shuffles (doc_id, digest) keyed on the digest, so skewed
+    * boilerplate grams are AQE skew-split. At 100 TB the digest would
+    * be xxhash64 (8 bytes, no hex); md5 here because the oracle needs
+    * an engine-portable hash, same shape. */
+  val ngramContamination: Q = Q(
+    "q_ngram_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bkt = Sampling.hashBucket(col("doc_id"))
+      val train = docs.where(bkt < 80).select("doc_id", "text")
+      val planted = train.orderBy("doc_id").limit(3)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("leadshift "), col("text")).as("text"))
+      val test = docs.where(bkt >= 90).select("doc_id", "text").unionAll(planted)
+      val n = 13
+      def grams(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .where(size(col("w")) >= n)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("w")) - n),
+              i => md5(concat_ws(" ", slice(col("w"), i + lit(1), lit(n)))
+                .cast("binary")))).as("g"))
+          .distinct()
+      grams(test).as("f")
+        .join(grams(train).as("tr"), col("f.g") === col("tr.g"))
+        .groupBy(col("f.doc_id").as("test_id"))
+        .agg(countDistinct(col("f.g")).as("n_hit_grams"),
+          countDistinct(col("tr.doc_id")).as("n_train_docs"))
+        .orderBy("test_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bkt
+        FROM documents),
+      train AS (SELECT doc_id, text FROM b WHERE bkt < 80),
+      planted AS (SELECT doc_id + 200000 AS doc_id, 'leadshift ' || text AS text
+                  FROM train ORDER BY doc_id LIMIT 3),
+      test AS (SELECT doc_id, text FROM b WHERE bkt >= 90 UNION ALL SELECT * FROM planted),
+      tw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM train),
+      sw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM test),
+      traing AS (SELECT DISTINCT t.doc_id,
+                        md5(array_to_string(t.w[s.k+1:s.k+13], ' ')) AS g
+                 FROM tw t, unnest(generate_series(0, len(t.w) - 13)) AS s(k)),
+      testg AS (SELECT DISTINCT t.doc_id,
+                       md5(array_to_string(t.w[s.k+1:s.k+13], ' ')) AS g
+                FROM sw t, unnest(generate_series(0, len(t.w) - 13)) AS s(k))
+      SELECT f.doc_id AS test_id,
+             CAST(count(DISTINCT f.g) AS BIGINT) AS n_hit_grams,
+             CAST(count(DISTINCT g2.doc_id) AS BIGINT) AS n_train_docs
+      FROM testg f JOIN traing g2 ON f.g = g2.g
+      GROUP BY f.doc_id ORDER BY test_id"""))
+
   /** Sequence packing: concat-and-split documents into fixed token
     * budgets, the standard LM-pretraining packing scheme. Documents
     * are streamed per source shard in doc_id order; a running token
@@ -865,7 +935,7 @@ object Curation {
       FROM gated WHERE coin < accept_permille ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(stopwordStrip, contamination, packSequences, corpusShuffle,
+    Seq(stopwordStrip, contamination, ngramContamination, packSequences, corpusShuffle,
       curationPipeline, redactPii, bigramTopK, pmiCollocations, chunkDocs,
       normalizeText,
       segmentDedup, curriculumOrder, curriculumWrite, spanCorruption,

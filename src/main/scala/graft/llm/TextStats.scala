@@ -603,6 +603,94 @@ object TextStats {
              CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Held-out CONDITIONAL perplexity under an add-one-smoothed bigram
+    * LM — the minimal n>1 form of the CCNet/KenLM fluency filter
+    * ([[heldoutPerplexity]]'s unigram model scores word frequency;
+    * this scores word ORDER: a shuffled document keeps its unigram
+    * surprisal but blows up its bigram surprisal). LM trained on the
+    * 80% hash-bucket train shard, scored on the held-out test shard:
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), where c(w1·) counts w1 as
+    * a bigram PREFIX in train and V is the train token vocabulary.
+    *
+    * Scale shape: both count tables are train-vocabulary-sized
+    * map-side-combinable aggregates; scoring joins key on the bigram
+    * / prefix token (AQE skew-split for stopword prefixes; at harness
+    * scale both sides auto-broadcast). Per-bigram terms are rounded
+    * to integer micro-nats before summing — per-doc totals are exact
+    * BIGINTs, one IEEE division at the end (the established
+    * both-engines contract). */
+  val bigramPerplexity: Q = Q(
+    "q_lm_bigram",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("b", Sampling.hashBucket(col("doc_id")))
+      def bigramFrame(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("w")) - 2),
+              i => struct(
+                concat_ws(" ", slice(col("w"), i + lit(1), lit(2))).as("bg"),
+                element_at(col("w"), i + lit(1)).as("w1")))).as("e"))
+          .select(col("doc_id"), col("e.bg").as("bg"), col("e.w1").as("w1"))
+      val trainBg = bigramFrame(docs.filter(col("b") < 80))
+      val c12 = trainBg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      val c1 = trainBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        .withColumnRenamed("w1", "p1")
+      val vstats = docs.filter(col("b") < 80)
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .agg(countDistinct(col("tok")).as("vocab_n"))
+      bigramFrame(docs.filter(col("b") >= 90))
+        .join(c12, Seq("bg"), "left")
+        .join(c1, col("w1") === col("p1"), "left")
+        .crossJoin(broadcast(vstats))
+        .select(col("doc_id"),
+          round(-log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("vocab_n")).cast("double")) * 1e6, 0)
+            .cast("long").as("surprisal_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("surprisal_micro")).as("total_surprisal_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("total_surprisal_micro"),
+          (col("total_surprisal_micro").cast("double") / col("n_bigrams") / 1e6)
+            .as("mean_surprisal_nats"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH bucketed AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS b
+        FROM documents),
+      trainw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM bucketed WHERE b < 80),
+      testw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM bucketed WHERE b >= 90),
+      trbg AS (SELECT t.doc_id, t.w[s.k+1] || ' ' || t.w[s.k+2] AS bg,
+                      t.w[s.k+1] AS w1
+               FROM trainw t, unnest(generate_series(0, len(t.w) - 2)) AS s(k)
+               WHERE len(t.w) >= 2),
+      c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM trbg GROUP BY bg),
+      c1 AS (SELECT w1 AS p1, CAST(count(*) AS BIGINT) AS c1 FROM trbg GROUP BY w1),
+      vs AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_n
+             FROM (SELECT unnest(w) AS tok FROM trainw)),
+      tsbg AS (SELECT t.doc_id, t.w[s.k+1] || ' ' || t.w[s.k+2] AS bg,
+                      t.w[s.k+1] AS w1
+               FROM testw t, unnest(generate_series(0, len(t.w) - 2)) AS s(k)
+               WHERE len(t.w) >= 2),
+      scored AS (
+        SELECT t.doc_id,
+               CAST(round(-ln((coalesce(c12.c12, 0) + 1.0) /
+                 CAST(coalesce(c1.c1, 0) + vocab_n AS DOUBLE)) * 1e6) AS BIGINT)
+                 AS surprisal_micro
+        FROM tsbg t LEFT JOIN c12 USING (bg) LEFT JOIN c1 ON t.w1 = c1.p1
+        CROSS JOIN vs)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(surprisal_micro) AS BIGINT) AS total_surprisal_micro,
+             CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Corpus unigram entropy + effective vocabulary: H = −Σ p ln p
     * over the token distribution, and exp(H) — "how many tokens the
     * corpus behaves like it has" — the diversity metric that drops
@@ -805,5 +893,5 @@ object TextStats {
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
-    unigramEntropy, qualityGate, topicTerms)
+    bigramPerplexity, unigramEntropy, qualityGate, topicTerms)
 }

@@ -6,6 +6,39 @@ import org.apache.spark.sql.functions._
   * row-hash oracle can't express directly. */
 class CurationSpec extends SparkSpec {
 
+  test("ngram contamination catches the shift-planted leaks the aligned pass misses") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val bkt = llm.Sampling.hashBucket(col("doc_id"))
+    val plantedIds = docs.where(bkt < 80).orderBy("doc_id").limit(3)
+      .select((col("doc_id") + 200000L).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(plantedIds.size == 3)
+    val out = llm.Curation.ngramContamination.fn(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- plantedIds) {
+      assert(out.contains(id), s"shift-planted leak $id not flagged")
+      // a one-token prefix costs at most the plant's leading grams;
+      // the interior 13-grams of a 10+-token doc still collide
+      assert(out(id) >= 1L, s"leak $id flagged with zero gram hits")
+    }
+    // the POINT of the unaligned pass: the same shift-planted texts
+    // are invisible to offset-aligned 32-char fingerprints (every
+    // byte offset moved by len("leadshift ")), so stage 2 catches
+    // exactly what stage 1 cannot — computed here with stage 1's own
+    // fingerprint rule
+    val train = docs.where(bkt < 80).select(col("doc_id"), col("text"))
+    val shifted = train.orderBy("doc_id").limit(3)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("leadshift "), col("text")).as("text"))
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("k"), col("text"))
+        .where(length(col("text")) >= (col("k") + 1) * 32)
+        .select(col("doc_id"), md5(expr("substr(text, k*32+1, 32)").cast("binary")).as("fp"))
+    val alignedHits = fps(shifted).join(fps(train), "fp").count()
+    assert(alignedHits == 0L,
+      s"aligned fingerprints unexpectedly caught the shifted plants ($alignedHits hits)")
+  }
+
   test("contamination flags all three planted leaks") {
     val docs = Tables.load(spark, sf001, "documents")
     val bkt = llm.Sampling.hashBucket(col("doc_id"))

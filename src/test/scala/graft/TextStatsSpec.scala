@@ -9,6 +9,40 @@ import graft.llm.TextStats
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bigram LM: per-doc bigram count is tokens-1; word order moves the score") {
+    val out = TextStats.bigramPerplexity.fn(spark, sf001)
+      .select("doc_id", "n_bigrams", "total_surprisal_micro")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // every scored doc: n_bigrams == token count - 1, surprisal > 0
+    val toks = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((id, nb, tot) <- out) {
+      assert(nb == toks(id) - 1, s"doc $id: $nb bigrams for ${toks(id)} tokens")
+      assert(tot > 0L, s"doc $id: non-positive surprisal")
+    }
+    // the property that distinguishes the bigram LM from the unigram
+    // one: REVERSING a test doc's tokens preserves its unigram
+    // distribution but must change its bigram surprisal (reversed
+    // word pairs are almost surely unseen in train). Rescore one doc
+    // both ways with the query's own formula inputs, via a corpus
+    // where that doc's text is reversed.
+    val docId = out.head._1
+    val docs = Tables.load(spark, sf001, "documents")
+    val reversed = docs.select(col("doc_id"),
+      when(col("doc_id") === docId,
+        concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))))
+        .otherwise(col("text")).as("text"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bigram_rev").toString
+    reversed.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val revTot = TextStats.bigramPerplexity.fn(spark, dir2)
+      .where(col("doc_id") === docId)
+      .select("total_surprisal_micro").collect().head.getLong(0)
+    assert(revTot != out.head._3,
+      "reversing token order left the bigram surprisal unchanged")
+  }
+
   test("whitespace tokenization: multi-space collapse, trim") {
     val n = Seq(Tuple1("  a  b   c ")).toDF("t")
       .select(size(TextStats.tokens(col("t"))).as("n")).collect().head.getInt(0)
