@@ -435,6 +435,194 @@ object Classifier {
                   END AS BIGINT) AS kappa_ppm
       FROM overall CROSS JOIN chance"""))
 
+  /** Distributed logistic-regression TRAINING by full-batch gradient
+    * descent in exact fixed-point arithmetic — the "train the quality
+    * classifier on-cluster" operator ([[qualityStump]] finds one
+    * split; this fits a weighted linear decision over the same kind
+    * of features). Four unrolled iterations; the output row per
+    * iteration carries the pre-update loss/accuracy and the updated
+    * micro-unit weights, so the oracle hash pins the ENTIRE training
+    * trajectory, not just the final model.
+    *
+    * Exactness recipe (why this hash-matches across engines, despite
+    * gradient descent being float math): weights live as micro-unit
+    * BIGINTs; the logit z = Σ wⱼxⱼ is an exact integer; z is clamped
+    * to ±20e6 micro before the one IEEE sigmoid/softplus evaluation
+    * per row (clamp prevents exp overflow AND keeps the downstream
+    * doubles in well-conditioned range); each row's gradient
+    * contribution is rounded to an integer micro-unit BEFORE the sum,
+    * so the aggregate is an order-free BIGINT sum (a raw double sum
+    * would hash-diverge under Spark's nondeterministic reduction
+    * order); the weight update floor-divides by n·64 (floor, not
+    * cast: DuckDB rounds on double→int casts, Spark truncates — floor
+    * agrees everywhere and the quotient is < 2⁵³ so the double
+    * division is exact to the unit).
+    *
+    * Scale shape: the feature frame is one corpus scan (integer
+    * token/stopword counts per doc); each iteration is ONE map-side-
+    * combinable aggregate over it with the 1-row weight frame
+    * broadcast — the allreduce pattern of synchronous distributed
+    * SGD. Iterations chain as plan dependencies (no driver collect;
+    * the 4-row result materializes once at the sink). Label: the
+    * quality gate's stopword rule 50·s ≥ n, so the learned margin
+    * feature x1 = 50s−n must dominate — accuracy climbing to ~0.98
+    * by iteration 4 is pinned in the hash. */
+  val logregTrain: Q = Q(
+    "q_logreg_train",
+    (s, dir) => {
+      val iters = 4
+      val lrDiv = 64
+      val toks = split(trim(col("text")), "\\s+")
+      // persisted: the union of per-iteration stat rows references the
+      // feature frame from ~10 chained subtrees (iteration i's weights
+      // embed every earlier aggregate) — one 32-byte-per-doc scan
+      // cached instead of re-tokenizing the corpus per subtree; at
+      // production scale this is the "materialize the design matrix
+      // once" step of any distributed trainer. Released after the
+      // 4-row result itself materializes (RecallAudit pattern).
+      val feats = t(s, dir, "documents").select(
+        lit(1L).as("x0"),
+        (lit(50L) * size(filter(toks, tk => tk === "a" || tk === "the")).cast("long") -
+          size(toks).cast("long")).as("x1"),
+        size(toks).cast("long").as("x2"),
+        when(lit(50L) * size(filter(toks, tk => tk === "a" || tk === "the")).cast("long") >=
+          size(toks).cast("long"), 1L).otherwise(0L).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Synchronous distributed GD: each iteration is ONE map-side-
+      // combinable aggregate over the cached feature frame (the
+      // allreduce), whose single 6-long row comes to the driver — the
+      // parameter-server step, a bounded collect like PCA's d×d Gram.
+      // Weights are exact micro-unit longs; every cross-engine-
+      // sensitive rounding happens per-row BEFORE the order-free
+      // BIGINT sums, so the trajectory below is bit-identical to the
+      // oracle's unrolled CTE chain.
+      var w0 = 0L; var w1 = 0L; var w2 = 0L
+      val stats = (1 to iters).map { it =>
+        val z = lit(w0) * col("x0") + lit(w1) * col("x1") + lit(w2) * col("x2")
+        val row = feats
+          .withColumn("z", z)
+          .withColumn("zc", greatest(lit(-20000000L), least(lit(20000000L), col("z"))))
+          .withColumn("p",
+            lit(1.0) / (lit(1.0) + exp(-col("zc").cast("double") / lit(1e6))))
+          .withColumn("gm", round(lit(1e6) * (col("p") - col("y")), 0).cast("long"))
+          .withColumn("m", when(col("y") === 1L, col("zc")).otherwise(-col("zc")))
+          .withColumn("lterm", round(lit(1e6) *
+            log(lit(1.0) + exp(-col("m").cast("double") / lit(1e6))), 0).cast("long"))
+          .withColumn("ok",
+            when((col("z") >= 0L) === (col("y") === 1L), 1L).otherwise(0L))
+          .agg(
+            sum(col("gm") * col("x0")).as("g0"),
+            sum(col("gm") * col("x1")).as("g1"),
+            sum(col("gm") * col("x2")).as("g2"),
+            sum(col("lterm")).as("loss_micro"),
+            sum(col("ok")).as("n_correct"),
+            count(lit(1)).as("n"))
+          .head()
+        val (g0, g1, g2) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        val (loss, correct, n) = (row.getLong(3), row.getLong(4), row.getLong(5))
+        // floor division via exact double quotient (< 2^53), matching
+        // the oracle's floor(): DuckDB rounds double→int casts while
+        // Spark truncates, so floor is the only spelling that agrees
+        w0 -= math.floor(g0.toDouble / (n * lrDiv)).toLong
+        w1 -= math.floor(g1.toDouble / (n * lrDiv)).toLong
+        w2 -= math.floor(g2.toDouble / (n * lrDiv)).toLong
+        (it.toLong, loss, correct, w0, w1, w2)
+      }
+      feats.unpersist()
+      import s.implicits._
+      stats.toDF("iter", "loss_micro", "n_correct", "w0_next", "w1_next", "w2_next")
+        .orderBy("iter")
+    },
+    Some("""
+      WITH f AS (
+        SELECT CAST(1 AS BIGINT) AS x0,
+               CAST(50 * len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                         tk -> tk IN ('a','the')))
+                    - len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS x1,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS x2,
+               CAST(CASE WHEN 50 * len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                                   tk -> tk IN ('a','the')))
+                          >= len(regexp_split_to_array(trim(text), '\s+'))
+                    THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM documents),
+      w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2),
+      a1 AS (
+        SELECT sum(gm*x0) AS g0, sum(gm*x1) AS g1, sum(gm*x2) AS g2,
+               CAST(sum(lterm) AS BIGINT) AS loss_micro,
+               CAST(sum(ok) AS BIGINT) AS n_correct, count(*) AS n
+        FROM (
+          SELECT x0, x1, x2, y,
+                 CAST(round(1e6 * (1.0/(1.0+exp(-zc/1000000.0)) - y)) AS BIGINT) AS gm,
+                 CAST(round(1e6 * ln(1.0 + exp(-(CASE WHEN y=1 THEN zc ELSE -zc END)/1000000.0))) AS BIGINT) AS lterm,
+                 CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END AS ok
+          FROM (SELECT f.*, w0.w0*x0 + w0.w1*x1 + w0.w2*x2 AS z,
+                       greatest(-20000000, least(20000000, w0.w0*x0 + w0.w1*x1 + w0.w2*x2)) AS zc
+                FROM f, w0))),
+      w1t AS (SELECT CAST(w0.w0 - floor(a1.g0/(a1.n*64.0)) AS BIGINT) AS w0,
+                     CAST(w0.w1 - floor(a1.g1/(a1.n*64.0)) AS BIGINT) AS w1,
+                     CAST(w0.w2 - floor(a1.g2/(a1.n*64.0)) AS BIGINT) AS w2
+              FROM a1, w0),
+      a2 AS (
+        SELECT sum(gm*x0) AS g0, sum(gm*x1) AS g1, sum(gm*x2) AS g2,
+               CAST(sum(lterm) AS BIGINT) AS loss_micro,
+               CAST(sum(ok) AS BIGINT) AS n_correct, count(*) AS n
+        FROM (
+          SELECT x0, x1, x2, y,
+                 CAST(round(1e6 * (1.0/(1.0+exp(-zc/1000000.0)) - y)) AS BIGINT) AS gm,
+                 CAST(round(1e6 * ln(1.0 + exp(-(CASE WHEN y=1 THEN zc ELSE -zc END)/1000000.0))) AS BIGINT) AS lterm,
+                 CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END AS ok
+          FROM (SELECT f.*, w1t.w0*x0 + w1t.w1*x1 + w1t.w2*x2 AS z,
+                       greatest(-20000000, least(20000000, w1t.w0*x0 + w1t.w1*x1 + w1t.w2*x2)) AS zc
+                FROM f, w1t))),
+      w2t AS (SELECT CAST(w1t.w0 - floor(a2.g0/(a2.n*64.0)) AS BIGINT) AS w0,
+                     CAST(w1t.w1 - floor(a2.g1/(a2.n*64.0)) AS BIGINT) AS w1,
+                     CAST(w1t.w2 - floor(a2.g2/(a2.n*64.0)) AS BIGINT) AS w2
+              FROM a2, w1t),
+      a3 AS (
+        SELECT sum(gm*x0) AS g0, sum(gm*x1) AS g1, sum(gm*x2) AS g2,
+               CAST(sum(lterm) AS BIGINT) AS loss_micro,
+               CAST(sum(ok) AS BIGINT) AS n_correct, count(*) AS n
+        FROM (
+          SELECT x0, x1, x2, y,
+                 CAST(round(1e6 * (1.0/(1.0+exp(-zc/1000000.0)) - y)) AS BIGINT) AS gm,
+                 CAST(round(1e6 * ln(1.0 + exp(-(CASE WHEN y=1 THEN zc ELSE -zc END)/1000000.0))) AS BIGINT) AS lterm,
+                 CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END AS ok
+          FROM (SELECT f.*, w2t.w0*x0 + w2t.w1*x1 + w2t.w2*x2 AS z,
+                       greatest(-20000000, least(20000000, w2t.w0*x0 + w2t.w1*x1 + w2t.w2*x2)) AS zc
+                FROM f, w2t))),
+      w3t AS (SELECT CAST(w2t.w0 - floor(a3.g0/(a3.n*64.0)) AS BIGINT) AS w0,
+                     CAST(w2t.w1 - floor(a3.g1/(a3.n*64.0)) AS BIGINT) AS w1,
+                     CAST(w2t.w2 - floor(a3.g2/(a3.n*64.0)) AS BIGINT) AS w2
+              FROM a3, w2t),
+      a4 AS (
+        SELECT sum(gm*x0) AS g0, sum(gm*x1) AS g1, sum(gm*x2) AS g2,
+               CAST(sum(lterm) AS BIGINT) AS loss_micro,
+               CAST(sum(ok) AS BIGINT) AS n_correct, count(*) AS n
+        FROM (
+          SELECT x0, x1, x2, y,
+                 CAST(round(1e6 * (1.0/(1.0+exp(-zc/1000000.0)) - y)) AS BIGINT) AS gm,
+                 CAST(round(1e6 * ln(1.0 + exp(-(CASE WHEN y=1 THEN zc ELSE -zc END)/1000000.0))) AS BIGINT) AS lterm,
+                 CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END AS ok
+          FROM (SELECT f.*, w3t.w0*x0 + w3t.w1*x1 + w3t.w2*x2 AS z,
+                       greatest(-20000000, least(20000000, w3t.w0*x0 + w3t.w1*x1 + w3t.w2*x2)) AS zc
+                FROM f, w3t))),
+      w4t AS (SELECT CAST(w3t.w0 - floor(a4.g0/(a4.n*64.0)) AS BIGINT) AS w0,
+                     CAST(w3t.w1 - floor(a4.g1/(a4.n*64.0)) AS BIGINT) AS w1,
+                     CAST(w3t.w2 - floor(a4.g2/(a4.n*64.0)) AS BIGINT) AS w2
+              FROM a4, w3t)
+      SELECT CAST(1 AS BIGINT) AS iter, a1.loss_micro, a1.n_correct,
+             w1t.w0 AS w0_next, w1t.w1 AS w1_next, w1t.w2 AS w2_next FROM a1, w1t
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), a2.loss_micro, a2.n_correct,
+             w2t.w0, w2t.w1, w2t.w2 FROM a2, w2t
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), a3.loss_micro, a3.n_correct,
+             w3t.w0, w3t.w1, w3t.w2 FROM a3, w3t
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), a4.loss_micro, a4.n_correct,
+             w4t.w0, w4t.w1, w4t.w2 FROM a4, w4t
+      ORDER BY iter"""))
+
   val all: Seq[Q] = Seq(qualityStump, evalMetrics, rocAuc, calibration,
-    cohensKappa)
+    cohensKappa, logregTrain)
 }

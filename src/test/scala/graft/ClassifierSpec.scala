@@ -180,4 +180,43 @@ class ClassifierSpec extends SparkSpec {
       assert(r.getAs[Long]("f1_ppm") == 2L * tp * 1000000L / (nPred + nGold))
     }
   }
+
+  test("logreg training trajectory equals a sequential reference; accuracy improves") {
+    val out = Classifier.logregTrain.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // independent driver-side replay of the exact fixed-point recipe
+    val feats = Tables.load(spark, sf001, "documents")
+      .select(org.apache.spark.sql.functions.expr(
+        "size(filter(split(trim(text), '\\\\s+'), tk -> tk IN ('a','the')))").as("s"),
+        org.apache.spark.sql.functions.expr(
+          "size(split(trim(text), '\\\\s+'))").as("n"))
+      .collect().map(r => {
+        val s = r.getInt(0).toLong; val n = r.getInt(1).toLong
+        (1L, 50L * s - n, n, if (50L * s >= n) 1L else 0L)
+      })
+    var w = Array(0L, 0L, 0L)
+    val ref = (1 to 4).map { it =>
+      var g = Array(0L, 0L, 0L); var loss = 0L; var correct = 0L
+      for ((x0, x1, x2, y) <- feats) {
+        val z = w(0) * x0 + w(1) * x1 + w(2) * x2
+        val zc = math.max(-20000000L, math.min(20000000L, z))
+        val p = 1.0 / (1.0 + math.exp(-zc.toDouble / 1e6))
+        val gm = math.round(1e6 * (p - y))
+        g = Array(g(0) + gm * x0, g(1) + gm * x1, g(2) + gm * x2)
+        val m = if (y == 1L) zc else -zc
+        loss += math.round(1e6 * math.log(1.0 + math.exp(-m.toDouble / 1e6)))
+        correct += (if ((z >= 0) == (y == 1L)) 1L else 0L)
+      }
+      val nrows = feats.length.toLong
+      w = Array.tabulate(3)(j => w(j) - math.floor(g(j).toDouble / (nrows * 64)).toLong)
+      (it.toLong, loss, correct, w(0), w(1), w(2))
+    }
+    assert(out.toSeq == ref,
+      s"distributed trajectory diverged from sequential reference:\n$out\nvs\n$ref")
+    // word of the label is in the features: training must actually learn
+    assert(out.last._3 > out.head._3, "accuracy did not improve over training")
+    assert(out.last._2 < out.head._2, "loss did not decrease over training")
+  }
 }
