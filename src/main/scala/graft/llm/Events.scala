@@ -412,10 +412,14 @@ object Events {
         .withColumn("cohort", col("user_id") % 2)
       val stats = users.groupBy("cohort")
         .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+      // limit(1) is a no-op on these ≤1-row frames (cohort is the
+      // group key), but it makes the bound PROVABLE in the plan
+      // (maxRows=1), which the registry-wide cross-join sweep demands
+      // of every condition-less join
       val a = stats.filter(col("cohort") === 0)
-        .select(col("n").as("n1"), col("c").as("c1"))
+        .select(col("n").as("n1"), col("c").as("c1")).limit(1)
       val b = stats.filter(col("cohort") === 1)
-        .select(col("n").as("n2"), col("c").as("c2"))
+        .select(col("n").as("n2"), col("c").as("c2")).limit(1)
       a.crossJoin(broadcast(b))
         .select(col("n1"), col("c1"), col("n2"), col("c2"),
           (lit(10000L) * (col("c1") * col("n2") - col("c2") * col("n1")) *

@@ -302,19 +302,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p)
   }
 
-  test("registry-wide: no unpartitioned window over a corpus-sized input") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    // An unpartitioned window executes in ONE task, so it is only
-    // acceptable over an input an Aggregate has already collapsed to
-    // group cardinality (distinct-value tables in winsorize/quantile
-    // bins, the P-row partition-offset frames in ops.Ranks). A Window
-    // with empty partitionSpec whose subtree reaches a leaf without
-    // crossing an Aggregate is a corpus-sized single-task stage — the
-    // exact plan shape that killed q_curriculum_order's first
-    // spelling — and fails this sweep. Constructing a query is lazy
-    // for most of the registry; the eager ones (recall floors,
-    // iterative training, state writes, stream replays) cost their
-    // sf0.001 runtime here, which is what makes the sweep complete.
+  test("registry-wide: no corpus-sized global window, no unbounded cross join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    // Two structural scale-killers, swept over every declared query in
+    // one construction pass (constructing a query is lazy for most of
+    // the registry; the eager ones — recall floors, iterative
+    // training, state writes, stream replays — cost their sf0.001
+    // runtime here, which is what makes the sweep complete):
+    //
+    // 1. An unpartitioned window executes in ONE task, so it is only
+    //    acceptable over an input an Aggregate has already collapsed
+    //    to group cardinality (distinct-value tables in winsorize/
+    //    quantile bins, the P-row partition-offset frames in
+    //    ops.Ranks). The exact shape that killed q_curriculum_order's
+    //    first spelling.
+    // 2. A condition-less join (cross join) is quadratic unless one
+    //    side is PROVABLY bounded in the plan itself — maxRows known
+    //    and ≤64 (the 1-row stats frames, k-centroid frames, bounded
+    //    limits). "It happens to be small at this SF" does not count:
+    //    maxRows must bound it at any scale.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf001).queryExecution.optimizedPlan
       plan.collect {
@@ -322,6 +328,10 @@ class PlanSpec extends SparkSpec {
             w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
           s"$name: window [${w.windowExpressions.map(_.name).mkString(", ")}] " +
             "has empty partitionSpec over a non-aggregated input"
+        case j: Join if j.condition.isEmpty &&
+            !j.left.maxRows.exists(_ <= 64) && !j.right.maxRows.exists(_ <= 64) =>
+          s"$name: condition-less join with no provably-bounded side " +
+            s"(left.maxRows=${j.left.maxRows}, right.maxRows=${j.right.maxRows})"
       }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))

@@ -64,6 +64,58 @@ class TablesSpec extends SparkSpec {
     assert(got.schema("o_touched").dataType == TimestampType)
   }
 
+  test("corpus contract canary: every table loads with the FIXTURES.md schema") {
+    // The full data-boundary contract, one assertion per (table,
+    // column): if the corpus generator drifts ANY physical type again
+    // (r10: events.ts nanos→micros-NTZ), this fails in `sbt test`
+    // with the exact column named, before 190+ driver queries do.
+    import org.apache.spark.sql.types._
+    val expected: Map[String, Seq[(String, DataType)]] = Map(
+      "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampType, "o_orderpriority" -> StringType),
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampType),
+      "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+    assert(expected.keySet == Tables.all.toSet)
+    for (name <- Tables.all) {
+      val got = Tables.load(spark, sf001, name).schema
+      for ((colName, dt) <- expected(name)) {
+        assert(got.fieldNames.contains(colName), s"$name: missing column $colName")
+        val gdt = got(colName).dataType
+        val ok = (gdt, dt) match {
+          // element nullability is a writer detail, not a contract term
+          case (ArrayType(a, _), ArrayType(b, _)) => a == b
+          case _ => gdt == dt
+        }
+        assert(ok, s"$name.$colName: expected $dt, corpus now delivers $gdt")
+      }
+      assert(Tables.load(spark, sf001, name).limit(1).count() == 1L,
+        s"$name: empty at sf0.001")
+    }
+  }
+
   test("driver corpus: events.ts loads as TIMESTAMP at sf0.001") {
     val got = Tables.load(spark, sf001, "events")
     assert(got.schema("ts").dataType == TimestampType)
