@@ -373,6 +373,94 @@ object Sampling {
       FROM coined JOIN rates ON lang = c_lang
       GROUP BY lang ORDER BY lang"""))
 
+  /** UniMax-style budget water-filling over languages (Chung et al.
+    * 2023): given a total document budget B, every language keeps all
+    * its documents up to a common cap level t, chosen so the
+    * allocations exactly exhaust B — small languages are taken whole,
+    * the head language(s) absorb the cut. The standard alternative to
+    * temperature sampling ([[temperature]]) when over-epoching small
+    * languages must be bounded.
+    *
+    * Closed form instead of the iterative description: sort languages
+    * by count ascending; k* is the largest k where granting every
+    * remaining language at least c₍ₖ₎ still fits the budget
+    * (c₍ₖ₎·(L−k+1) + S₍ₖ₋₁₎ ≤ B); languages ranked ≤ k* are taken
+    * whole; the rest get t = (B − S₍ₖ＊₎) div (L − k*), with the
+    * division remainder granted one extra document each to the first
+    * r capped languages in rank order, so Σ alloc ≡ B exactly.
+    *
+    * All integer arithmetic over the language-cardinality aggregate:
+    * the windows and the two 1-row broadcasts run over L rows, the
+    * corpus contributes one map-side-combinable count scan.
+    * B = (3·total) div 4 — deep enough that the four tail languages
+    * fit whole and the head language takes the entire cut. */
+  val unimaxAlloc: Q = Q(
+    "q_unimax_alloc",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val stats = counts.agg(
+        sum(col("c")).as("total"), count(lit(1)).as("nlangs"))
+        .select(col("total"), col("nlangs"),
+          expr("(3 * total) div 4").as("budget"))
+      val w = Window.orderBy(col("c").asc, col("lang").asc)
+      val ranked = counts
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("s_before",
+          coalesce(sum(col("c")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(stats))
+        .withColumn("affordable",
+          col("c") * (col("nlangs") - col("rk") + 1) + col("s_before") <= col("budget"))
+      val kstar = ranked.agg(
+        coalesce(max(when(col("affordable"), col("rk"))), lit(0L)).as("kstar"),
+        // s_before + c is increasing in rk, so this max IS the prefix
+        // sum at k* (0 when nothing is affordable)
+        coalesce(max(when(col("affordable"), col("s_before") + col("c"))), lit(0L))
+          .as("s_star"))
+      ranked.crossJoin(broadcast(kstar))
+        .withColumn("t", expr("(budget - s_star) div (nlangs - kstar)"))
+        .withColumn("r", col("budget") - col("s_star") - col("t") * (col("nlangs") - col("kstar")))
+        .select(col("lang"), col("c").as("n_docs"),
+          when(col("rk") <= col("kstar"), col("c"))
+            .otherwise(col("t") +
+              when(col("rk") - col("kstar") <= col("r"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
+      stats AS (
+        SELECT CAST(sum(c) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS nlangs,
+               CAST((3 * sum(c)) // 4 AS BIGINT) AS budget
+        FROM counts),
+      ranked AS (
+        SELECT lang, c,
+               CAST(row_number() OVER (ORDER BY c, lang) AS BIGINT) AS rk,
+               CAST(coalesce(sum(c) OVER (ORDER BY c, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s_before,
+               total, nlangs, budget
+        FROM counts, stats),
+      flagged AS (
+        SELECT *, c * (nlangs - rk + 1) + s_before <= budget AS affordable
+        FROM ranked),
+      kstar AS (
+        SELECT CAST(coalesce(max(CASE WHEN affordable THEN rk END), 0) AS BIGINT) AS kstar,
+               CAST(coalesce(max(CASE WHEN affordable THEN s_before + c END), 0) AS BIGINT) AS s_star
+        FROM flagged)
+      SELECT lang, c AS n_docs,
+             CAST(CASE WHEN rk <= kstar THEN c
+                  ELSE (budget - s_star) // (nlangs - kstar) +
+                       (CASE WHEN rk - kstar <=
+                          budget - s_star -
+                          ((budget - s_star) // (nlangs - kstar)) * (nlangs - kstar)
+                        THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS alloc
+      FROM flagged, kstar
+      ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir,
-    classWeights, clusterSplit, temperature)
+    classWeights, clusterSplit, temperature, unimaxAlloc)
 }
