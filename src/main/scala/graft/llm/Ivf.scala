@@ -202,5 +202,90 @@ object Ivf {
     },
     None)
 
-  val all: Seq[Q] = Seq(annIvf)
+  /** INCREMENTAL IVF index maintenance: absorb a delta batch of new
+    * vectors into a standing index WITHOUT retraining — the
+    * production serving loop (an index is trained once, then ingests
+    * arrivals for days; periodic retrains are a separate offline
+    * job). Centroids are trained on HISTORY only and frozen; the
+    * postings store (vec_id, cluster, v) persists per
+    * application+corpus and is built on first touch; a delta batch
+    * (last ~1/8 of vectors + the 8 planted query copies) is
+    * ASSIGNED to the frozen centroids — delta-sized work, history
+    * never re-embedded or re-assigned — and searched as state ∪
+    * delta.
+    *
+    * The audit is the sharp one for this path: the planted copies
+    * ride in the DELTA, so retrieving all 8 proves delta-ingested
+    * vectors are reachable through the frozen index (assignment uses
+    * the same argmin the query's best probe uses, so an exact copy
+    * lands in the probed cluster structurally). Results are
+    * exact-confirmed against the shared brute-force baseline; total
+    * floor is calibrated separately from [[annIvf]]'s because the
+    * frozen history-trained centroids legitimately differ from a
+    * full-corpus retrain. Rows-only per contract. */
+  val annIvfIncremental: Q = Q(
+    "q_ann_ivf_incremental",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val cut = emb.agg(expr(
+        "max(vec_id) - (max(vec_id) - min(vec_id) + 1) div 8").as("c"))
+        .head().getLong(0)
+      val hist = emb.filter(col("vec_id") <= cut)
+      val centroids = trainCentroidsMemo(s"$dir#annInc", hist)
+      val stateDir = graft.Staging.dir(s,
+        "graft_ivf_postings_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val statePath = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(statePath))
+        hist.repartition(par)
+          .withColumn("cluster", clusterOf(col("v"), centroids))
+          .select("vec_id", "cluster", "v")
+          .write.mode("overwrite").parquet(stateDir)
+      val planted = q.select((col("query_id") + lit(1000000L)).as("vec_id"),
+        col("qv").as("v"))
+      val delta = emb.filter(col("vec_id") > cut).unionByName(planted)
+        .withColumn("cluster", clusterOf(col("v"), centroids))
+        .select("vec_id", "cluster", "v")
+      val assigned = s.read.parquet(stateDir).unionByName(delta)
+      val probes = q.withColumn("cluster",
+        explode(probeClusters(col("qv"), centroids, 6)))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val ann = assigned.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", Similarity.cosine(col("v"), col("qv")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      // exact-confirm + floors, mirroring RecallAudit.annAudit: the
+      // baseline corpus (full embeddings + the 8 plants) is content-
+      // identical to the other ANN audits', so the memoized exact
+      // rows are shared across the whole family
+      val corpus = emb.repartition(par).unionByName(planted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = RecallAudit.exactBaseline(s, dir, q, corpus)
+      val confirmed = ann
+        .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left_semi")
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val row = confirmed.agg(count(lit(1)),
+        count(when(col("neighbor_id") === col("query_id") + 1000000L, 1))).head()
+      val (n, plantedHits) = (row.getLong(0), row.getLong(1))
+      if (n < RecallAudit.IvfIncFloor)
+        throw new IllegalStateException(
+          s"incremental IVF recall degraded: $n confirmed rows < pinned floor ${RecallAudit.IvfIncFloor}")
+      if (plantedHits < 8)
+        throw new IllegalStateException(
+          s"incremental IVF delta-ingest broken: $plantedHits of 8 delta-planted copies retrieved")
+      corpus.unpersist()
+      confirmed
+    },
+    None)
+
+  val all: Seq[Q] = Seq(annIvf, annIvfIncremental)
 }

@@ -33,6 +33,7 @@ object RecallAudit {
   val IvfFloor = 36L
   val PqFloor = 34L
   val IvfPqFloor = 35L
+  val IvfIncFloor = 35L
 
   /** Exact brute-force top-k over the planted corpus, collected ONCE
     * per scale directory and per (k, nQueries) shape. The exact
@@ -46,6 +47,23 @@ object RecallAudit {
     * FRAME between queries). */
   private val exactCache =
     scala.collection.concurrent.TrieMap[(String, Int), Array[org.apache.spark.sql.Row]]()
+
+  /** The memoized exact brute-force top-5 baseline as a DataFrame —
+    * shared by [[annAudit]] and the incremental-index audit (both run
+    * over the identical planted corpus for a given scale dir, so the
+    * cache key is sound). Computes once per (dir, k) per app. */
+  private[llm] def exactBaseline(s: SparkSession, dir: String,
+      q: DataFrame, corpus: DataFrame): DataFrame = {
+    val exactRows = exactCache.getOrElseUpdate((dir, 5),
+      Similarity.exactTopK(q, corpus).select("query_id", "neighbor_id").collect())
+    s.createDataFrame(
+      java.util.Arrays.asList(exactRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 
   /** Materialize `df`, assert it carries at least `floor` rows, and
     * return the persisted frame (the caller's write reuses the cache;
@@ -120,15 +138,7 @@ object RecallAudit {
     val corpus = emb.repartition(par).unionByName(planted)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ann = index(q, corpus)
-    val exactRows = exactCache.getOrElseUpdate((dir, 5),
-      Similarity.exactTopK(q, corpus).select("query_id", "neighbor_id").collect())
-    val exact = s.createDataFrame(
-      java.util.Arrays.asList(exactRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("neighbor_id",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    val exact = exactBaseline(s, dir, q, corpus)
     val confirmed = ann.join(broadcast(exact), Seq("query_id", "neighbor_id"), "left_semi")
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")

@@ -88,7 +88,8 @@ class RecallAuditSpec extends SparkSpec {
       ("q_ann_lsh", RecallAudit.LshFloor),
       ("q_ann_ivf", RecallAudit.IvfFloor),
       ("q_ann_pq", RecallAudit.PqFloor),
-      ("q_ann_ivfpq", RecallAudit.IvfPqFloor))
+      ("q_ann_ivfpq", RecallAudit.IvfPqFloor),
+      ("q_ann_ivf_incremental", RecallAudit.IvfIncFloor))
     for (dir <- Seq(sf001, "/root/testdata/sf0.01"); (name, floor) <- audits) {
       val measured = SparkEntry.queries(name)(spark, dir).count()
       assert(measured >= floor + 1,
