@@ -121,4 +121,30 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(viaAgg == viaExplode)
   }
+
+  test("triangle stats: K4 + pendant path fixture, hand-countable") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles), pendant path 4-5-6 (no new
+    // triangles): 8 edges, degrees 3,3,3,4,2,1 →
+    // wedges 3·C(3,2) + C(4,2) + C(2,2→1) = 9 + 6 + 1 = 16
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val row = ops.Graph.triangleStats(edges).collect().head
+    assert(row.getLong(0) == 6L, s"vertices: $row")
+    assert(row.getLong(1) == 8L, s"edges: $row")
+    assert(row.getLong(2) == 16L, s"wedges: $row")
+    assert(row.getLong(3) == 4L, s"triangles: $row")
+    assert(row.getLong(4) == 3000L * 4 / 16, s"clustering: $row")
+  }
+
+  test("triangle stats: triangle-free bipartite graph counts zero") {
+    import spark.implicits._
+    // K2,3: 6 edges, no odd cycles — any nonzero count is a closure bug
+    val edges = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L), (2L, 30L))
+      .toDF("u", "v")
+    val row = ops.Graph.triangleStats(edges).collect().head
+    assert(row.getLong(3) == 0L, s"bipartite graph has no triangles: $row")
+    assert(row.getLong(2) == 2L * 3 + 3L * 1, s"wedges: $row") // deg 3,3,2,2,2
+  }
 }
