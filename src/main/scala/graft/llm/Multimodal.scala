@@ -259,5 +259,103 @@ object Multimodal {
              'png' AS format
       FROM g ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(decode, frames, lake)
+  /** Typed record from the audio decode+feature stage: per-quarter
+    * frame energies (Σ s²) and the peak absolute sample. */
+  final case class AudioMeta(
+      doc_id: Long, n_samples: Long, sample_rate: Long,
+      e0: Long, e1: Long, e2: Long, e3: Long, peak: Long)
+
+  /** Deterministic 16-bit PCM waveform: sample i of doc `id` is
+    * ((id·37 + 13·i²) mod 4001) − 2000 — integer-exact, closed-form
+    * in SQL, and within int16 range. Length 256 + (id%128)·4 keeps
+    * every clip divisible into 4 equal frames. The contract shared by
+    * the synthesiser and the oracle. */
+  def nSamplesOf(id: Long): Int = (256 + (id % 128) * 4).toInt
+  def sampleOf(id: Long, i: Int): Short =
+    (((id * 37 + 13L * i * i) % 4001) - 2000).toShort
+
+  /** Encode a REAL RIFF/WAVE file (44-byte canonical header +
+    * PCM16LE mono @16 kHz) for the id. */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = nSamplesOf(id)
+    val bytes = new Array[Byte](44 + n * 2)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n * 2)
+    bb.put("WAVE".getBytes("US-ASCII")); bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16); bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(16000); bb.putInt(16000 * 2) // rate, byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(n * 2)
+    var i = 0
+    while (i < n) { bb.putShort(sampleOf(id, i)); i += 1 }
+    bytes
+  }
+
+  /** Parse the WAV back (strict header validation — a corrupt byte
+    * throws into the driver's err field) and extract per-quarter
+    * frame energies + peak from the decoded samples. */
+  def decodeWav(id: Long, payload: Array[Byte]): AudioMeta = {
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    require(tag() == "RIFF", s"doc $id: not RIFF"); bb.getInt()
+    require(tag() == "WAVE", s"doc $id: not WAVE")
+    require(tag() == "fmt ", s"doc $id: missing fmt chunk")
+    require(bb.getInt() == 16 && bb.getShort() == 1 && bb.getShort() == 1,
+      s"doc $id: not mono PCM")
+    val rate = bb.getInt(); bb.getInt(); bb.getShort(); bb.getShort()
+    require(tag() == "data", s"doc $id: missing data chunk")
+    val n = bb.getInt() / 2
+    val frame = n / 4
+    val e = new Array[Long](4); var peak = 0L
+    var i = 0
+    while (i < n) {
+      val s = bb.getShort().toLong
+      e(i / frame) += s * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      i += 1
+    }
+    AudioMeta(id, n.toLong, rate.toLong, e(0), e(1), e(2), e(3), peak)
+  }
+
+  /** Audio counterpart of [[decode]]: binary WAV column →
+    * per-partition parse + frame-energy extraction. The codec is a
+    * real file format (canonical RIFF header, PCM16LE payload) and
+    * the waveform is a closed-form function of the id, so the DuckDB
+    * oracle recomputes every frame energy per-sample via
+    * generate_series — a hash match proves the bytes round-tripped
+    * through WAV encode → parse → per-sample DSP, not arithmetic on
+    * payload length. Same 100 TB shape as the image path: opaque
+    * binary column, one decoder init per partition, typed output
+    * schema via the case-class Encoder. */
+  val audio: Q = Q(
+    "q_multimodal_audio",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(it => it.map(id => (id, synthWav(id))))
+        .toDF("doc_id", "payload")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(it => it.map { case (id, p) => decodeWav(id, p) })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, 256 + (doc_id % 128) * 4 AS n FROM documents),
+      s AS (
+        SELECT doc_id, n, t.k AS i,
+               (doc_id * 37 + 13 * t.k * t.k) % 4001 - 2000 AS v
+        FROM g, unnest(generate_series(0, n - 1)) AS t(k))
+      SELECT doc_id,
+             CAST(max(n) AS BIGINT) AS n_samples,
+             CAST(16000 AS BIGINT) AS sample_rate,
+             CAST(sum(CASE WHEN i < n // 4 THEN v * v END) AS BIGINT) AS e0,
+             CAST(sum(CASE WHEN i >= n // 4 AND i < n // 2 THEN v * v END) AS BIGINT) AS e1,
+             CAST(sum(CASE WHEN i >= n // 2 AND i < 3 * n // 4 THEN v * v END) AS BIGINT) AS e2,
+             CAST(sum(CASE WHEN i >= 3 * n // 4 THEN v * v END) AS BIGINT) AS e3,
+             CAST(max(abs(v)) AS BIGINT) AS peak
+      FROM s GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(decode, frames, lake, audio)
 }

@@ -73,4 +73,25 @@ class MultimodalSpec extends SparkSpec {
     while (files.hasNext) { assert(files.next().toString.endsWith(".png")); n += 1 }
     assert(n == lake.length)
   }
+
+  test("WAV round trip: parse equals the direct waveform formula") {
+    for (id <- Seq(0L, 1L, 127L, 4999L)) {
+      val m = Multimodal.decodeWav(id, Multimodal.synthWav(id))
+      val n = Multimodal.nSamplesOf(id)
+      assert(m.n_samples == n && m.sample_rate == 16000L)
+      val samples = (0 until n).map(i => Multimodal.sampleOf(id, i).toLong)
+      val frame = n / 4
+      for (k <- 0 until 4) {
+        val e = samples.slice(k * frame, (k + 1) * frame).map(s => s * s).sum
+        assert(Seq(m.e0, m.e1, m.e2, m.e3)(k) == e, s"doc $id frame $k")
+      }
+      assert(m.peak == samples.map(math.abs).max)
+    }
+  }
+
+  test("WAV parser rejects corrupted headers instead of mis-decoding") {
+    val good = Multimodal.synthWav(42L)
+    val bad = good.clone(); bad(8) = 'X'.toByte // break the WAVE tag
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(42L, bad) }
+  }
 }
