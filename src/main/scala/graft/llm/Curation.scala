@@ -934,10 +934,119 @@ object Curation {
       SELECT doc_id, n_tokens, importance_micro, accept_permille, coin
       FROM gated WHERE coin < accept_permille ORDER BY doc_id"""))
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, the
+    * group-DRO-lite form): per-SOURCE pretraining mixture weights
+    * proportional to exp(excess loss) under a fixed reference model —
+    * domains the reference finds surprising get upweighted, easy/
+    * boilerplate domains shrink. Reference model = add-one unigram LM
+    * trained on an md5-parity half of the corpus (same deterministic
+    * shard coin as q_kl_divergence); every document is scored and
+    * aggregated per source.
+    *
+    * Exactness: per-token surprisal rounds to integer micro-nats
+    * before the order-free per-domain BIGINT sums (the established
+    * contract); domain mean and corpus mean use integer division;
+    * exp(excess) rounds to integer micro-units per domain BEFORE the
+    * 20-term normalizing sum, so the softmax denominator is an exact
+    * BIGINT and weight permilles are pure integer arithmetic. Excess
+    * is clamped to ±2e6 micro-nats ahead of the one IEEE exp per
+    * domain.
+    *
+    * Scale shape: LM build is a vocabulary-sized combinable count;
+    * scoring joins key on the token (AQE skew-split for stopwords);
+    * the domain table (20 rows) takes two windowless aggregates and
+    * one 1-row broadcast. */
+  val domainReweight: Q = Q(
+    "q_domain_reweight",
+    (s, dir) => {
+      val hex = md5(col("doc_id").cast("string").cast("binary"))
+      val shard = (ascii(substring(hex, 13, 1)) * 256 +
+        ascii(substring(hex, 14, 1))) % 2
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), shard.as("shard"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val counts = docs.filter(col("shard") === 0)
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(count(lit(1)).as("vocab_n"), sum(col("cnt")).as("total_n"))
+      val lm = counts.crossJoin(broadcast(stats))
+        .select(col("tok").as("lm_tok"),
+          round(-log((col("cnt") + lit(1.0)) /
+            (col("total_n") + col("vocab_n")).cast("double")) * 1e6, 0)
+            .cast("long").as("sm"))
+      val oovStats = stats.select(
+        round(-log(lit(1.0) / (col("total_n") + col("vocab_n")).cast("double")) * 1e6, 0)
+          .cast("long").as("oov_sm"))
+      val perDomain = docs
+        .join(lm, col("tok") === col("lm_tok"), "left")
+        .crossJoin(broadcast(oovStats))
+        .select(col("source"), col("doc_id"),
+          coalesce(col("sm"), col("oov_sm")).as("sm"))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          sum(col("sm")).as("total_micro"))
+      val corpus = perDomain.agg(
+        sum(col("total_micro")).as("g_total"), sum(col("n_tokens")).as("g_tokens"))
+      val withExcess = perDomain.crossJoin(broadcast(corpus))
+        .withColumn("mean_surprisal_micro", expr("total_micro div n_tokens"))
+        .withColumn("excess_micro",
+          expr("total_micro div n_tokens - g_total div g_tokens"))
+        .withColumn("e", round(lit(1e6) *
+          exp(greatest(lit(-2000000L), least(lit(2000000L), col("excess_micro")))
+            .cast("double") / lit(1e6)), 0).cast("long"))
+      val denom = withExcess.agg(sum(col("e")).as("e_sum"))
+      withExcess.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("mean_surprisal_micro"), col("excess_micro"),
+          expr("(1000 * e) div e_sum").as("weight_permille"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, source,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 13, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 14, 1))) % 2 AS shard,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok WHERE shard = 0 GROUP BY tok),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab_n, CAST(sum(cnt) AS BIGINT) AS total_n
+        FROM counts),
+      lm AS (
+        SELECT tok AS lm_tok,
+               CAST(round(-ln((cnt + 1.0) / CAST(total_n + vocab_n AS DOUBLE)) * 1e6) AS BIGINT) AS sm
+        FROM counts, stats),
+      oov AS (
+        SELECT CAST(round(-ln(1.0 / CAST(total_n + vocab_n AS DOUBLE)) * 1e6) AS BIGINT) AS oov_sm
+        FROM stats),
+      perdom AS (
+        SELECT source, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(coalesce(sm, oov_sm)) AS BIGINT) AS total_micro
+        FROM tok t LEFT JOIN lm ON t.tok = lm.lm_tok CROSS JOIN oov
+        GROUP BY source),
+      corpus AS (
+        SELECT CAST(sum(total_micro) AS BIGINT) AS g_total,
+               CAST(sum(n_tokens) AS BIGINT) AS g_tokens FROM perdom),
+      ex AS (
+        SELECT source, n_docs, n_tokens,
+               total_micro // n_tokens AS mean_surprisal_micro,
+               total_micro // n_tokens - g_total // g_tokens AS excess_micro,
+               CAST(round(1e6 * exp(greatest(-2000000, least(2000000,
+                 total_micro // n_tokens - g_total // g_tokens)) / 1000000.0)) AS BIGINT) AS e
+        FROM perdom, corpus),
+      denom AS (SELECT CAST(sum(e) AS BIGINT) AS e_sum FROM ex)
+      SELECT source, n_docs, n_tokens,
+             CAST(mean_surprisal_micro AS BIGINT) AS mean_surprisal_micro,
+             CAST(excess_micro AS BIGINT) AS excess_micro,
+             CAST((1000 * e) // e_sum AS BIGINT) AS weight_permille
+      FROM ex, denom ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, ngramContamination, packSequences, corpusShuffle,
       curationPipeline, redactPii, bigramTopK, pmiCollocations, chunkDocs,
       normalizeText,
       segmentDedup, curriculumOrder, curriculumWrite, spanCorruption,
-      dsirSelect, importanceResample)
+      dsirSelect, importanceResample, domainReweight)
 }

@@ -39,6 +39,23 @@ class CurationSpec extends SparkSpec {
       s"aligned fingerprints unexpectedly caught the shifted plants ($alignedHits hits)")
   }
 
+  test("domain reweight: weights near-exhaustive, monotone in excess loss") {
+    val out = llm.Curation.domainReweight.fn(spark, sf001)
+      .select("source", "excess_micro", "weight_permille")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val total = out.map(_._3).sum
+    // floor division loses at most 1 permille per domain
+    assert(total <= 1000L && total >= 1000L - out.length,
+      s"weights sum $total out of the floor-rounding envelope")
+    // softmax monotonicity: a strictly more surprising domain never
+    // gets a smaller weight
+    for (Seq((sa, ea, wa), (sb, eb, wb)) <- out.sortBy(_._2).toSeq.sliding(2))
+      assert(wa <= wb, s"$sa (excess $ea, w $wa) > $sb (excess $eb, w $wb)")
+    // reweighting must actually differentiate the sources
+    assert(out.map(_._3).distinct.length > 1, "all domains got identical weights")
+  }
+
   test("contamination flags all three planted leaks") {
     val docs = Tables.load(spark, sf001, "documents")
     val bkt = llm.Sampling.hashBucket(col("doc_id"))
