@@ -303,6 +303,69 @@ object EventStream {
        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id"""))
 
+  /** LEFT OUTER stream-stream join — the semantics the inner
+    * [[streamJoin]] can't show: a click with no purchase inside its
+    * 1-hour window must still emit, null-extended, once the
+    * watermark proves no match can arrive. The outer row is emitted
+    * only when the global watermark passes the click's last possible
+    * match time (click_ts + 1 h) by the 2 h watermark delay. The
+    * global watermark is the MIN of the per-side watermarks (each
+    * side filters BEFORE withWatermark, so each tracks its own
+    * event-type's max ts — Spark's default multipleWatermarkPolicy)
+    * — so at end of a drained backlog, unmatched clicks younger than
+    * least(max click ts, max purchase ts) − 3 h are STILL WITHHELD
+    * in state. That withholding is part of the operator's contract,
+    * and the oracle states it explicitly: batch left join, keeping
+    * unmatched rows only below the eviction horizon. Null ordering
+    * pinned NULLS FIRST on both engines. */
+  val streamJoinOuter: Q = Q(
+    "q_stream_join_outer",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      val stage = stagePath(s, "graft_stream_join_outer")
+      ev.write.mode("overwrite").parquet(stage)
+      val local = narrowedSession(s, 4)
+      def src() = local.readStream.schema(ev.schema).parquet(stage)
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+      val sink = "graft_stream_join_outer_sink"
+      val sq = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      local.table(sink).orderBy(col("click_id"),
+        asc_nulls_first("purchase_id"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT least(max(CASE WHEN event_type = 'click' THEN ts END),
+                     max(CASE WHEN event_type = 'purchase' THEN ts END)) AS mx
+        FROM events)
+      SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+             a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+      FROM events a LEFT JOIN events b
+        ON a.user_id = b.user_id AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      CROSS JOIN m
+      WHERE a.event_type = 'click'
+        AND (b.event_id IS NOT NULL OR a.ts < mx - INTERVAL 3 HOUR)
+      ORDER BY click_id, purchase_id NULLS FIRST"""))
+
   /** Driver-visible custom state: [[runningUserCounts]]
     * (mapGroupsWithState) over the live stream, Update mode into the
     * memory sink. Each micro-batch emits every touched user's count
@@ -590,5 +653,6 @@ object EventStream {
     streamWindow.oracle)
 
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
-    streamState, streamFunnel, streamMerge, streamQuarantine, streamNtz)
+    streamJoinOuter, streamState, streamFunnel, streamMerge, streamQuarantine,
+    streamNtz)
 }
