@@ -691,6 +691,75 @@ object TextStats {
              CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Per-document DEFLATE compression ratio — the compressibility
+    * quality signal the Gopher/RefinedWeb pipelines use alongside the
+    * rule-based gates: highly compressible text is boilerplate or
+    * repetition (the signal catches structures n-gram ratios miss,
+    * e.g. long-period repeats), near-incompressible text is noise or
+    * binary junk. Ratio in permille of the raw UTF-8 size, flag below
+    * 300‰.
+    *
+    * One Deflater per PARTITION, reset per row — the codec-init shape
+    * a JNI compressor needs at 100 TB; the scan is embarrassingly
+    * parallel and shuffles only (id, 3 longs).
+    *
+    * No DuckDB oracle (no deflate in SQL) → rows-only, so the query
+    * SELF-CALIBRATES with two planted docs: id 2M is "spam "×400
+    * (must compress below 150‰) and id 2M+1 is 2000 chars of md5 hex
+    * stream (must stay above 400‰). Both floors throw into the
+    * driver's err field if the codec path breaks; real-corpus rows
+    * must land strictly between raw-size sanity bounds. */
+  val compressRatio: Q = Q(
+    "q_compress_ratio",
+    (s, dir) => {
+      import s.implicits._
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexStream = (0 until 63).map(i =>
+        md.digest(s"graftnoise$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString).mkString
+      val planted = Seq(
+        (2000000L, "spam " * 400),
+        (2000001L, hexStream)).toDF("doc_id", "text")
+      val out = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          // per-partition codec init (reset per row), the JNI shape
+          val deflater = new java.util.zip.Deflater(6)
+          val buf = new Array[Byte](1 << 16)
+          it.map { case (id, text) =>
+            val raw = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var comp = 0L
+            while (!deflater.finished()) comp += deflater.deflate(buf)
+            (id, raw.length.toLong, comp, 1000L * comp / math.max(1, raw.length))
+          }
+        }
+        .toDF("doc_id", "raw_bytes", "comp_bytes", "ratio_permille")
+        .withColumn("boilerplate_flag", col("ratio_permille") < 300)
+        .orderBy("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val row = out.agg(
+        max(when(col("doc_id") === 2000000L, col("ratio_permille"))),
+        max(when(col("doc_id") === 2000001L, col("ratio_permille"))),
+        count(when(col("ratio_permille") <= 0 ||
+          col("comp_bytes") > col("raw_bytes") + 64, 1))).head()
+      if (row.getLong(0) >= 150)
+        throw new IllegalStateException(
+          s"deflate floor broken: repetitive plant compressed to ${row.getLong(0)}‰ (≥150)")
+      if (row.getLong(1) <= 400)
+        throw new IllegalStateException(
+          s"deflate ceiling broken: noise plant compressed to ${row.getLong(1)}‰ (≤400)")
+      if (row.getLong(2) != 0)
+        throw new IllegalStateException(
+          s"${row.getLong(2)} docs outside the sane envelope " +
+            "(positive ratio, compressed ≤ raw + 64B stored-block overhead)")
+      out
+    },
+    None)
+
   /** Corpus unigram entropy + effective vocabulary: H = −Σ p ln p
     * over the token distribution, and exp(H) — "how many tokens the
     * corpus behaves like it has" — the diversity metric that drops
@@ -893,5 +962,5 @@ object TextStats {
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
-    bigramPerplexity, unigramEntropy, qualityGate, topicTerms)
+    bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio)
 }

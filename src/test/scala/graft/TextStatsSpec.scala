@@ -43,6 +43,26 @@ class TextStatsSpec extends SparkSpec {
       "reversing token order left the bigram surprisal unchanged")
   }
 
+  test("compression ratio separates repetition from noise; plants bracket the corpus") {
+    val out = TextStats.compressRatio.fn(spark, sf001)
+      .select("doc_id", "ratio_permille")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spamRatio = out(2000000L)
+    val noiseRatio = out(2000001L)
+    assert(spamRatio < 150L, s"repetitive plant at $spamRatio‰")
+    assert(noiseRatio > 400L, s"hex-noise plant at $noiseRatio‰")
+    // dynamic range on real text: no natural doc compresses as well
+    // as pure repetition, and the TYPICAL doc compresses better than
+    // pure noise (short high-entropy docs can individually exceed the
+    // noise plant's ratio because deflate's fixed overhead dominates
+    // tiny inputs — that is expected, not a defect)
+    val natural = out.filter(_._1 < 2000000L).values.toSeq.sorted
+    assert(natural.min > spamRatio,
+      s"a natural doc (${natural.min}‰) compressed below the repetition plant ($spamRatio‰)")
+    assert(natural(natural.size / 2) < noiseRatio,
+      s"median natural ratio ${natural(natural.size / 2)}‰ not below noise plant $noiseRatio‰")
+  }
+
   test("whitespace tokenization: multi-space collapse, trim") {
     val n = Seq(Tuple1("  a  b   c ")).toDF("t")
       .select(size(TextStats.tokens(col("t"))).as("n")).collect().head.getInt(0)
