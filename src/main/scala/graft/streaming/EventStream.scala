@@ -366,6 +366,120 @@ object EventStream {
         AND (b.event_id IS NOT NULL OR a.ts < mx - INTERVAL 3 HOUR)
       ORDER BY click_id, purchase_id NULLS FIRST"""))
 
+  /** Closed session record emitted by [[timeoutSessions]]. */
+  final case class ClosedSession(
+      user_id: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  /** Per-user session assembly via `flatMapGroupsWithState` with an
+    * EVENT-TIME TIMEOUT — the custom-state pattern the built-in
+    * `session_window` can't express: state holds OPEN session
+    * intervals per user (merged under the 1800 s gap, out-of-order
+    * safe), a session emits exactly once when the watermark proves no
+    * extending event can arrive, and idle keys are woken by the
+    * timeout — no per-batch full-state sweep.
+    *
+    * Closure predicate, used identically on data batches and timeout
+    * wakes so emission is deterministic: a session is closed iff
+    * `(end_us + gap_us) div 1000 + 1 < watermark_ms` — the
+    * millisecond form mirrors Spark's strict timeout firing test, so
+    * "fired" and "closed" can never disagree at sub-millisecond
+    * boundaries. Timeout re-arms at the earliest open session's
+    * closure time (clamped one ms above the current watermark, which
+    * keeps a boundary session withheld rather than double-counted). */
+  def timeoutSessions(ev: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      gapUs: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import ev.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    def ts(us: Long): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[List[(Long, Long, Long)]]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val incoming = batch.map(e => micros(e._2)).toList
+          val merged = (state.getOption.getOrElse(Nil) ++
+              incoming.map(t => (t, t, 1L)))
+            .sortBy(_._1)
+            .foldLeft(List.empty[(Long, Long, Long)]) { (acc, s) =>
+              acc match {
+                case h :: rest if s._1 <= h._2 + gapUs =>
+                  (h._1, math.max(h._2, s._2), h._3 + s._3) :: rest
+                case _ => s :: acc
+              }
+            }.reverse
+          def closeMs(endUs: Long): Long = (endUs + gapUs) / 1000L + 1L
+          val (closed, open) = merged.partition(s => closeMs(s._2) < wmMs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(math.max(
+              open.map(s => closeMs(s._2)).min, wmMs + 1L))
+          }
+          closed.iterator.map { case (a, b, n) => ClosedSession(user, n, ts(a), ts(b)) }
+      }
+  }
+
+  /** Driver-visible flatMapGroupsWithState-with-timeout sessions: the
+    * staged events stream sessionized by [[timeoutSessions]]. Like
+    * [[streamJoinOuter]], the oracle encodes the watermark contract
+    * explicitly: batch gaps-and-islands sessions (same 1800 s gap as
+    * q_sessionize), kept only when closed under the final watermark
+    * `max(ts)_ms − 2 h` by the same millisecond-form predicate the
+    * operator uses — sessions still inside the horizon at end of
+    * backlog remain withheld in state, by contract. */
+  val streamTimeoutSessions: Q = Q(
+    "q_stream_timeout_sessions",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events").select("user_id", "ts")
+      val stage = stagePath(s, "graft_stream_tmo_sessions")
+      ev.write.mode("overwrite").parquet(stage)
+      val local = narrowedSession(s, 4)
+      val stream = local.readStream.schema(ev.schema).parquet(stage)
+        .withWatermark("ts", "2 hours")
+        .as[(Long, java.sql.Timestamp)]
+      val sink = "graft_stream_tmo_sessions_sink"
+      val sq = timeoutSessions(stream, gapUs = 1800L * 1000000L)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      local.table(sink).orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH m AS (
+        SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events),
+      sess AS (
+        SELECT user_id, session_seq,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM (
+          SELECT user_id, ts,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (
+              SELECT user_id, ts, event_id,
+                     lag(ts, 1) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC) AS prev_ts
+              FROM events)))
+        GROUP BY user_id, session_seq)
+      SELECT user_id, n_events, session_start, session_end
+      FROM sess, m
+      WHERE (epoch_us(session_end) + 1800000000) // 1000 + 1 < wm_ms
+      ORDER BY user_id, session_start"""))
+
   /** Driver-visible custom state: [[runningUserCounts]]
     * (mapGroupsWithState) over the live stream, Update mode into the
     * memory sink. Each micro-batch emits every touched user's count
@@ -653,6 +767,6 @@ object EventStream {
     streamWindow.oracle)
 
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
-    streamJoinOuter, streamState, streamFunnel, streamMerge, streamQuarantine,
-    streamNtz)
+    streamJoinOuter, streamState, streamTimeoutSessions, streamFunnel,
+    streamMerge, streamQuarantine, streamNtz)
 }
