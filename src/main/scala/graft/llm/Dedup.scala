@@ -791,6 +791,100 @@ object Dedup {
              CAST(sum(n_chars) - max(n_chars) AS BIGINT) AS dropped_chars
       FROM m GROUP BY g ORDER BY component"""))
 
+  /** EXACT duplicate-span detection over candidate pairs — the
+    * substring-level evidence pass of the Lee et al. "Deduplicating
+    * Training Data" pipeline, reformulated for candidate pairs
+    * instead of a corpus-wide suffix array: for each candidate pair,
+    * join their positional 5-gram digests, and the longest run of
+    * consecutive matches on one alignment DIAGONAL (pos_a − pos_b
+    * constant) IS the longest shared token span (a run of L matched
+    * 5-grams spans L+4 tokens). Gaps-and-islands per (pair,
+    * diagonal) finds runs without materializing any substring.
+    *
+    * Candidate pairs here: consecutive doc ids (the corpus's natural
+    * near-dup structure, matching [[jaccardPairs]]) plus the 10
+    * planted exact copies — whose full-length spans make the output
+    * self-evidencing. At 100 TB the pair list comes from
+    * [[minhashPairs]]' LSH candidates instead; everything downstream
+    * is candidate-sized (positions of candidate docs only, shuffled
+    * on the 16-byte digest).
+    *
+    * Spans ≥ 10 tokens surface (the dedup-actionable threshold);
+    * planted copies must report their full token span. */
+  val dupSpans: Q = Q(
+    "q_dup_spans",
+    (s, dir) => {
+      val docs = withPlanted(t(s, dir, "documents"), mutate = false)
+      val pos = docs
+        .select(col("doc_id"), posexplode(expr(
+          // NB: inside a Spark SQL literal, backslash itself must be
+          // escaped — '\s+' would parse as 's+' and split on the
+          // LETTER s (caught by the oracle diff on first run)
+          """CASE WHEN size(split(trim(text), '\\s+')) >= 5
+             THEN transform(sequence(0, size(split(trim(text), '\\s+')) - 5),
+               i -> md5(cast(concat_ws(' ', slice(split(trim(text), '\\s+'), i + 1, 5)) as binary)))
+             ELSE array() END""")))
+        .select(col("doc_id"), col("pos"), col("col").as("g"))
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val pairs = ids.as("x").join(ids.as("y"),
+          col("y.doc_id") === col("x.doc_id") + 1)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .unionByName(ids.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b")))
+      val m = pos.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("g"))
+        .join(broadcast(pairs), Seq("doc_a"))
+        .join(pos.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("g")),
+          Seq("doc_b", "g"))
+        .withColumn("diag", col("pos_a") - col("pos_b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+      m.withColumn("grp", col("pos_a") - row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(count(lit(1)).as("run"))
+        .groupBy("doc_a", "doc_b")
+        .agg((max(col("run")) + 4).as("longest_run_tokens"),
+          sum(col("run")).as("n_matched_shingles"))
+        .filter(col("longest_run_tokens") >= 10)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10),
+      tw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM base),
+      pos AS (
+        SELECT t.doc_id, s.k AS pos,
+               md5(array_to_string(t.w[s.k+1:s.k+5], ' ')) AS g
+        FROM tw t, unnest(generate_series(0, len(t.w) - 5)) AS s(k)),
+      pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+        UNION ALL
+        SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+        FROM documents WHERE doc_id < 10),
+      m AS (
+        SELECT p.doc_a, p.doc_b, a.pos AS pos_a,
+               a.pos - b.pos AS diag
+        FROM pairs p
+        JOIN pos a ON a.doc_id = p.doc_a
+        JOIN pos b ON b.doc_id = p.doc_b AND b.g = a.g),
+      runs AS (
+        SELECT doc_a, doc_b, diag,
+               pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                          ORDER BY pos_a) AS grp
+        FROM m),
+      agg AS (
+        SELECT doc_a, doc_b, diag, grp, CAST(count(*) AS BIGINT) AS run
+        FROM runs GROUP BY doc_a, doc_b, diag, grp)
+      SELECT doc_a, doc_b,
+             CAST(max(run) + 4 AS BIGINT) AS longest_run_tokens,
+             CAST(sum(run) AS BIGINT) AS n_matched_shingles
+      FROM agg GROUP BY doc_a, doc_b
+      HAVING max(run) + 4 >= 10
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs,
-    dedupClusters, dedupCanonical, incrementalExact, incrementalMinhash)
+    dedupClusters, dedupCanonical, incrementalExact, incrementalMinhash,
+    dupSpans)
 }

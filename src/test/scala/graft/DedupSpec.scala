@@ -10,6 +10,21 @@ class DedupSpec extends SparkSpec {
   private val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
     "to the green hills where tall trees grow beside the cold clear river bank"
 
+  test("dup spans: planted exact copies report their full token span") {
+    import org.apache.spark.sql.functions._
+    val spans = Dedup.dupSpans.fn(spark, sf001)
+      .filter(col("doc_b") >= 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val toks = Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // an exact copy's longest shared run IS the whole document
+    for ((id, n) <- toks if n >= 10)
+      assert(spans.get(id).contains(n),
+        s"doc $id: expected full span $n, got ${spans.get(id)}")
+  }
+
   test("minhash finds a planted near-duplicate, skips unrelated text") {
     val docs = Seq(
       (1L, base),
