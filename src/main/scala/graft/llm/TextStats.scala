@@ -760,6 +760,65 @@ object TextStats {
     },
     None)
 
+  /** Spearman rank correlation between two document quality signals
+    * (length in chars vs unigram-LM total surprisal) — the standard
+    * check that a cheap signal can proxy an expensive one before you
+    * drop the expensive one from the pipeline. ρ = 1 − 6·Σd²/(n³−n)
+    * over PERMUTATION ranks (unique doc_id tiebreak, mirrored by the
+    * oracle's ROW_NUMBER — no average-rank ties to float over).
+    *
+    * Both rankings run on [[graft.ops.Ranks.globalOrder]] — the
+    * distributed two-level rank (range partition → local window →
+    * P-row offset scan), so NO corpus-sized single-task window
+    * appears (the registry sweep enforces this). Σd² is an exact
+    * BIGINT (≤ n³ < 2⁵³), so the one double division at the end is
+    * bit-identical cross-engine. */
+  val spearman: Q = Q(
+    "q_spearman_rank",
+    (s, dir) => {
+      val base = lmSurprisal.fn(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+        .select(col("doc_id"), col("n_chars"), col("total_surprisal_micro"))
+      val r1 = graft.ops.Ranks.globalOrder(base,
+        Seq(col("n_chars").asc, col("doc_id").asc), "r_chars")
+      val r2 = graft.ops.Ranks.globalOrder(
+        r1.select(col("doc_id"), col("total_surprisal_micro"), col("r_chars")),
+        Seq(col("total_surprisal_micro").asc, col("doc_id").asc), "r_surprisal")
+      r2.select((col("r_chars") - col("r_surprisal")).as("d")).agg(
+          count(lit(1)).as("n"),
+          sum(col("d") * col("d")).as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          (lit(1.0) - lit(6.0) * col("sum_d2") /
+            (col("n") * col("n") * col("n") - col("n")).cast("double")).as("spearman"))
+    },
+    Some("""
+      WITH lm_base AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM lm_base GROUP BY tok),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab_n,
+               CAST(sum(cnt) AS BIGINT) AS total_n FROM counts),
+      lm AS (
+        SELECT tok AS lm_tok,
+               CAST(round(-ln((cnt + 1.0) / CAST(total_n + vocab_n AS DOUBLE)) * 1e6) AS BIGINT)
+                 AS surprisal_micro
+        FROM counts, stats),
+      per_doc AS (
+        SELECT doc_id, CAST(sum(surprisal_micro) AS BIGINT) AS total_surprisal_micro
+        FROM lm_base JOIN lm ON tok = lm_tok GROUP BY doc_id),
+      ranked AS (
+        SELECT d.doc_id,
+               CAST(row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS BIGINT) AS r_chars,
+               CAST(row_number() OVER (ORDER BY p.total_surprisal_micro, d.doc_id) AS BIGINT) AS r_surprisal
+        FROM documents d JOIN per_doc p USING (doc_id))
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((r_chars - r_surprisal) * (r_chars - r_surprisal)) AS BIGINT) AS sum_d2,
+             1.0 - 6.0 * sum((r_chars - r_surprisal) * (r_chars - r_surprisal)) /
+               CAST(count(*) * count(*) * count(*) - count(*) AS DOUBLE) AS spearman
+      FROM ranked"""))
+
   /** Corpus unigram entropy + effective vocabulary: H = −Σ p ln p
     * over the token distribution, and exp(H) — "how many tokens the
     * corpus behaves like it has" — the diversity metric that drops
@@ -962,5 +1021,5 @@ object TextStats {
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
-    bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio)
+    bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio, spearman)
 }
