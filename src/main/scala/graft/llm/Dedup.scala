@@ -290,8 +290,13 @@ object Dedup {
     * only surviving near-dup pairs (tiny) ride the dedup shuffle,
     * not every banded collision. No oracle (engine hash internals);
     * rows-only + ScalaTest. */
-  def simhashPairs(input: DataFrame, maxHamming: Int = 3,
-      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
+  /** Per-doc 64-bit SimHash signatures (doc_id, simhash) — the stage
+    * [[simhashPairs]] builds its index from, factored out so the
+    * incremental path can persist it as state (8 bytes per doc —
+    * the cheapest possible dedup state). Persisted + tracked in
+    * `handles` (consumed from both sides of the band join). */
+  private[graft] def simhashSignatures(input: DataFrame,
+      handles: graft.CacheHandles): DataFrame = {
       val spark = input.sparkSession
       val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val docs = input.repartition(par, col("doc_id"))
@@ -319,19 +324,27 @@ object Dedup {
       // the declarative 64-term when().reduce(bitwiseOR) form generated
       // hundreds of branches whose JIT compile dominated this
       // operator's cold-run cost (equivalence pinned in DedupSpec)
-      val sig = handles.track(voteSums.select(
+      handles.track(voteSums.select(
         col("doc_id"),
         graft.functions.SimhashFromVotes(
           array((0 until 16).map(j => col(s"p$j")): _*), col("n")).as("simhash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
-      val banded = sig.select(
-        col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(k =>
-          struct(lit(k).as("band"),
-            shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("e"))
-        .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bh"))
+  /** 4×16-bit band rows (doc_id, simhash, band, bh) from a signature
+    * frame. */
+  private def simhashBands(sig: DataFrame): DataFrame =
+    sig.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"),
+          shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bh"))
 
+  def simhashPairs(input: DataFrame, maxHamming: Int = 3,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
+      val sig = simhashSignatures(input, handles)
+      val banded = simhashBands(sig)
       val l = banded.alias("l")
       val r = banded.alias("r")
       l.join(r,
@@ -791,6 +804,62 @@ object Dedup {
              CAST(sum(n_chars) - max(n_chars) AS BIGINT) AS dropped_chars
       FROM m GROUP BY g ORDER BY component"""))
 
+  /** Incremental SimHash near-dup vs a persisted SIGNATURE store —
+    * the lightest member of the incremental dedup family
+    * ([[incrementalExact]]: 16-byte digests; [[incrementalMinhash]]:
+    * band rows + shingle sets; here: ONE 8-byte signature per
+    * historical doc). Because SimHash verification is pure signature
+    * arithmetic (bit_count(xor) ≤ 3), the warm delta path touches NO
+    * history text in any stage: delta docs are signed, band keys are
+    * derived from the stored signatures on the fly, and candidates
+    * verify from the two signatures already in hand — absorbing a
+    * delta costs O(delta + candidates) with a state store of
+    * 8 bytes/doc. Ten planted exact history copies ride in the delta
+    * (hamming 0 is always retrieved), flooring the delta-vs-history
+    * path. Rows-only per contract (engine hash internals). */
+  val incrementalSimhash: Q = Q(
+    "q_dedup_incremental_simhash",
+    (s, dir) => {
+      val cut = cutCache.getOrElseUpdate(
+        s.sparkContext.applicationId + "|" + dir,
+        t(s, dir, "documents").agg(expr(
+          "max(doc_id) - (max(doc_id) - min(doc_id) + 1) div 8").as("c"))
+          .head().getLong(0))
+      val stateDir = graft.Staging.dir(s,
+        "graft_dedup_simhash_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val statePath = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(statePath)) {
+        val buildHandles = new graft.CacheHandles
+        simhashSignatures(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")).filter(col("doc_id") <= cut),
+          buildHandles)
+          .write.mode("overwrite").parquet(stateDir)
+        buildHandles.releaseAll()
+      }
+      val docs = withPlanted(t(s, dir, "documents"), mutate = false)
+      val handles = new graft.CacheHandles
+      val deltaSig = simhashSignatures(docs.filter(col("doc_id") > cut), handles)
+      val allBands = simhashBands(
+        s.read.parquet(stateDir).unionByName(deltaSig)).alias("l")
+      val deltaBands = simhashBands(deltaSig).alias("r")
+      val out = RecallAudit.assertPlantedPairs(
+        allBands.join(deltaBands,
+            col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+              col("l.doc_id") =!= col("r.doc_id"))
+          .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+            greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"),
+            bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+              .cast("long").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+          .orderBy("doc_a", "doc_b"),
+        "doc_a", "doc_b", plantN = 10, what = "incremental SimHash")
+      handles.releaseAll()
+      out
+    },
+    None)
+
   /** EXACT duplicate-span detection over candidate pairs — the
     * substring-level evidence pass of the Lee et al. "Deduplicating
     * Training Data" pipeline, reformulated for candidate pairs
@@ -886,5 +955,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs,
     dedupClusters, dedupCanonical, incrementalExact, incrementalMinhash,
-    dupSpans)
+    incrementalSimhash, dupSpans)
 }

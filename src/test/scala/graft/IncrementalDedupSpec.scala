@@ -110,6 +110,18 @@ class IncrementalDedupSpec extends SparkSpec {
       "shingle-set store verify diverged from history-text verify")
   }
 
+  test("incremental SimHash equals the full recompute on delta-involving pairs") {
+    val inc = Dedup.incrementalSimhash.fn(spark, sf001).collect().toSeq
+    val corpus = Dedup.withPlanted(docs, mutate = false)
+    val cut = cutOf(corpus.filter(col("doc_id") < 1000000L))
+    // doc_b is the greater id, so a pair involves the delta iff
+    // doc_b > cut (plants at 1M+ included)
+    val full = Dedup.simhashPairs(corpus).filter(col("doc_b") > cut)
+      .collect().toSeq
+    assert(inc.nonEmpty, "planted cross-boundary simhash dups must surface")
+    assert(inc == full, "delta-vs-state simhash pairs diverged from full recompute")
+  }
+
   test("declared incremental MinHash query recovers all ten planted cross-boundary pairs") {
     val out = Dedup.incrementalMinhash.fn(spark, sf001)
     val planted = out.filter(col("doc_b") >= 1000000L &&
