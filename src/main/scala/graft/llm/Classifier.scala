@@ -623,6 +623,78 @@ object Classifier {
              w4t.w0, w4t.w1, w4t.w2 FROM a4, w4t
       ORDER BY iter"""))
 
+  /** Mutual information I(F;Y) between each quality feature and the
+    * gate label — the feature-RANKING companion to the chi-square
+    * independence audit (chi² answers "is there any association?",
+    * MI answers "how many nats does knowing F buy about Y?" — the
+    * quantity GBDT/feature-selection pipelines actually rank by).
+    *
+    * Exactness (the established KL recipe): every (value, label)
+    * cell contributes round(1e6 · (c_vy/N) · ln(c_vy·N / (c_v·c_y)))
+    * — one IEEE ln of a ratio of exact BIGINT products (≤ 2.5·10⁷
+    * here; < 2⁵³ envelope), rounded to integer micro-nats BEFORE the
+    * order-free per-feature sum. Absent cells are exact zeros and
+    * never materialize. Cell/marginal counts come from windows over
+    * the (feature, value, label) histogram — domain-bounded, never
+    * corpus-sized. */
+  val miFeatures: Q = Q(
+    "q_mi_features",
+    (s, dir) => {
+      val feats = featureFrame(t(s, dir, "documents"))
+      val long_ = feats
+        .select(col("y"), explode(array(
+          Seq("stop_ratio_m", "rep_ratio_m", "mean_wlen_c", "n_tok").map(f =>
+            struct(lit(f).as("feature"), col(f).as("v"))): _*)).as("fv"))
+        .select(col("fv.feature").as("feature"), col("fv.v").as("v"), col("y"))
+      val cells = long_.groupBy("feature", "v", "y").agg(count(lit(1)).as("c_vy"))
+      val wv = Window.partitionBy("feature", "v")
+      val wy = Window.partitionBy("feature", "y")
+      val wf = Window.partitionBy("feature")
+      val terms = cells
+        .withColumn("c_v", sum(col("c_vy")).over(wv))
+        .withColumn("c_y", sum(col("c_vy")).over(wy))
+        .withColumn("n", sum(col("c_vy")).over(wf))
+        .withColumn("t", round(
+          log((col("c_vy") * col("n")).cast("double") /
+            (col("c_v") * col("c_y")).cast("double")) *
+            (col("c_vy").cast("double") / col("n").cast("double")) * 1e6, 0)
+          .cast("long"))
+      terms.groupBy("feature")
+        .agg(countDistinct(col("v")).as("n_values"),
+          sum(col("t")).as("mi_micro"))
+        .select(col("feature"), col("n_values"), col("mi_micro"),
+          (col("mi_micro").cast("double") / 1e6).as("mi_nats"))
+        .orderBy("feature")
+    },
+    Some(s"""
+      WITH $featsSql,
+      lng AS (
+        SELECT 'stop_ratio_m' AS feature, stop_ratio_m AS v, y FROM feats
+        UNION ALL
+        SELECT 'rep_ratio_m', rep_ratio_m, y FROM feats
+        UNION ALL
+        SELECT 'mean_wlen_c', mean_wlen_c, y FROM feats
+        UNION ALL
+        SELECT 'n_tok', n_tok, y FROM feats),
+      cells AS (
+        SELECT feature, v, y, CAST(count(*) AS BIGINT) AS c_vy
+        FROM lng GROUP BY feature, v, y),
+      terms AS (
+        SELECT feature, v,
+               CAST(round(ln(CAST(c_vy * n AS DOUBLE) / CAST(c_v * c_y AS DOUBLE)) *
+                 (CAST(c_vy AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS t
+        FROM (
+          SELECT feature, v, y, c_vy,
+                 sum(c_vy) OVER (PARTITION BY feature, v) AS c_v,
+                 sum(c_vy) OVER (PARTITION BY feature, y) AS c_y,
+                 sum(c_vy) OVER (PARTITION BY feature) AS n
+          FROM cells))
+      SELECT feature,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_values,
+             CAST(sum(t) AS BIGINT) AS mi_micro,
+             CAST(sum(t) AS DOUBLE) / 1e6 AS mi_nats
+      FROM terms GROUP BY feature ORDER BY feature"""))
+
   val all: Seq[Q] = Seq(qualityStump, evalMetrics, rocAuc, calibration,
-    cohensKappa, logregTrain)
+    cohensKappa, logregTrain, miFeatures)
 }

@@ -181,6 +181,23 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("MI ranking: stopword feature dominates (the label is its function)") {
+    val out = Classifier.miFeatures.fn(spark, sf001)
+      .select("feature", "n_values", "mi_micro")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.map(_._1).sorted ==
+      Seq("mean_wlen_c", "n_tok", "rep_ratio_m", "stop_ratio_m"))
+    val mi = out.map(t => t._1 -> t._3).toMap
+    // MI ≥ 0 up to per-cell rounding (one micro-nat per cell at most)
+    for ((f, nv, m) <- out)
+      assert(m >= -2 * nv, s"$f: MI $m below the rounding floor")
+    // the gate label is a threshold of the stopword ratio, so that
+    // feature must carry the most information about it
+    assert(mi("stop_ratio_m") == mi.values.max,
+      s"stop_ratio_m not the top feature: $mi")
+    assert(mi("stop_ratio_m") > 0L)
+  }
+
   test("logreg training trajectory equals a sequential reference; accuracy improves") {
     val out = Classifier.logregTrain.fn(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
