@@ -804,6 +804,73 @@ object Dedup {
              CAST(sum(n_chars) - max(n_chars) AS BIGINT) AS dropped_chars
       FROM m GROUP BY g ORDER BY component"""))
 
+  /** ASYMMETRIC containment scoring — the subset-duplicate signal
+    * symmetric Jaccard structurally misses: a document wholly
+    * contained in a larger one (a quoted article, a re-posted
+    * excerpt) has containment ≈ 1 in one direction while its Jaccard
+    * sits near |A|/|B| — below every symmetric near-dup threshold.
+    * c(A→B) = |A∩B|/|A| over distinct word sets, both directions
+    * emitted. Ten plants are the FIRST HALF of docs 0–9 re-planted
+    * as new docs: containment(plant→source) must be exactly 1.0
+    * (every plant token exists in its source) while the symmetric
+    * jaccard stays ≈ 0.5 — the output exhibits the exact failure
+    * mode the operator exists to catch. Candidate pairs as in
+    * [[dupSpans]] (consecutive ids + plants; LSH candidates at
+    * scale); set intersection only for candidate pairs. */
+  val containment: Q = Q(
+    "q_containment_score",
+    (s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val half = expr(
+        "concat_ws(' ', slice(split(trim(text), '\\\\s+'), 1, " +
+          "greatest(size(split(trim(text), '\\\\s+')) div 2, 1)))")
+      val docs = raw.unionByName(raw.filter(col("doc_id") < 10)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), half.as("text")))
+      val sets = docs.select(col("doc_id"),
+        array_distinct(split(trim(col("text")), "\\s+")).as("w"))
+      val ids = raw.select(col("doc_id"))
+      val pairs = ids.as("x").join(ids.as("y"),
+          col("y.doc_id") === col("x.doc_id") + 1)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .unionByName(ids.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b")))
+      pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("wa"), col("wb"))))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / nullif(size(col("wa")), lit(0))).as("c_a_in_b"),
+          (col("inter").cast("double") / nullif(size(col("wb")), lit(0))).as("c_b_in_a"),
+          (col("inter").cast("double") /
+            nullif(size(col("wa")) + size(col("wb")) - col("inter"), lit(0))).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(w[1:greatest(len(w) // 2, 1)], ' ') AS text
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id < 10)),
+      sets AS (
+        SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM base),
+      pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+        UNION ALL
+        SELECT doc_id, doc_id + 1000000 FROM documents WHERE doc_id < 10)
+      SELECT p.doc_a, p.doc_b,
+             CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / nullif(len(a.w), 0) AS c_a_in_b,
+             CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / nullif(len(b.w), 0) AS c_b_in_a,
+             CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+               nullif(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)), 0) AS jaccard
+      FROM pairs p
+      JOIN sets a ON a.doc_id = p.doc_a
+      JOIN sets b ON b.doc_id = p.doc_b
+      ORDER BY doc_a, doc_b"""))
+
   /** Incremental SimHash near-dup vs a persisted SIGNATURE store —
     * the lightest member of the incremental dedup family
     * ([[incrementalExact]]: 16-byte digests; [[incrementalMinhash]]:
@@ -955,5 +1022,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs,
     dedupClusters, dedupCanonical, incrementalExact, incrementalMinhash,
-    incrementalSimhash, dupSpans)
+    incrementalSimhash, dupSpans, containment)
 }
