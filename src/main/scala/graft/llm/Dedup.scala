@@ -951,16 +951,22 @@ object Dedup {
     "q_dup_spans",
     (s, dir) => {
       val docs = withPlanted(t(s, dir, "documents"), mutate = false)
+      // Spark-side gram identity is xxhash64 (codegen'd, no hex
+      // strings) — the digest is only ever a JOIN KEY inside this
+      // plan, so it need not match the oracle's md5: both sides just
+      // need "same 5-gram ⇒ same key". Persisted: both join sides
+      // read it.
+      // NB: inside a Spark SQL literal, backslash itself must be
+      // escaped — '\s+' would parse as 's+' and split on the
+      // LETTER s (caught by the oracle diff on first run)
       val pos = docs
         .select(col("doc_id"), posexplode(expr(
-          // NB: inside a Spark SQL literal, backslash itself must be
-          // escaped — '\s+' would parse as 's+' and split on the
-          // LETTER s (caught by the oracle diff on first run)
           """CASE WHEN size(split(trim(text), '\\s+')) >= 5
              THEN transform(sequence(0, size(split(trim(text), '\\s+')) - 5),
-               i -> md5(cast(concat_ws(' ', slice(split(trim(text), '\\s+'), i + 1, 5)) as binary)))
+               i -> xxhash64(concat_ws(' ', slice(split(trim(text), '\\s+'), i + 1, 5))))
              ELSE array() END""")))
         .select(col("doc_id"), col("pos"), col("col").as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ids = t(s, dir, "documents").select(col("doc_id"))
       val pairs = ids.as("x").join(ids.as("y"),
           col("y.doc_id") === col("x.doc_id") + 1)
@@ -974,7 +980,7 @@ object Dedup {
         .withColumn("diag", col("pos_a") - col("pos_b"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-      m.withColumn("grp", col("pos_a") - row_number().over(w))
+      val out = m.withColumn("grp", col("pos_a") - row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "grp")
         .agg(count(lit(1)).as("run"))
         .groupBy("doc_a", "doc_b")
@@ -982,6 +988,10 @@ object Dedup {
           sum(col("run")).as("n_matched_shingles"))
         .filter(col("longest_run_tokens") >= 10)
         .orderBy("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize while pos is cached
+      pos.unpersist()
+      out
     },
     Some("""
       WITH base AS (
