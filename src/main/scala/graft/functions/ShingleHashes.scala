@@ -88,6 +88,39 @@ object ShingleHasher {
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, uniq))
   }
+
+  /** POSITIONAL variant of [[compute]]: one hash per window position,
+    * in token order, NO sort-dedupe — element i is the identity of
+    * the n-gram starting at token i, so `posexplode` over it yields
+    * (position, gram-hash) directly. Docs with < n tokens emit an
+    * EMPTY array (a positional gram is undefined there — matches the
+    * span detector's CASE guard, not [[compute]]'s whole-doc
+    * fallback). Same one-pass zero-copy tokenization. */
+  def computeOrdered(text: UTF8String, n: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    val ring = new Array[Long](n)
+    var tokens = 0
+    var out = new Array[Long](math.max(16, len / 8))
+    var outLen = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(Platform.getByte(base, off + i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(Platform.getByte(base, off + i))) i += 1
+        ring(tokens % n) = XXH64.hashUnsafeBytes(base, off + start, i - start, Seed)
+        tokens += 1
+        if (tokens >= n) {
+          if (outLen == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+          out(outLen) = combine(ring, tokens % n, n, n)
+          outLen += 1
+        }
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, outLen))
+  }
 }
 
 /** Native Catalyst expression: distinct 64-bit hashes of the word
@@ -127,4 +160,33 @@ object ShingleHashes {
   /** Column-API entry point: word n-gram shingle hash set of `text`. */
   def apply(text: Column, n: Int): Column =
     toColumn(ShingleHashes(toExpression(text), n))
+}
+
+/** Positional sibling of [[ShingleHashes]]: element i is the 64-bit
+  * identity of the word n-gram STARTING AT TOKEN i (no dedupe, no
+  * sort), so `posexplode` yields (position, gram) pairs for
+  * alignment-diagonal span detection without the interpreted
+  * higher-order transform (ArrayTransform is CodegenFallback — it
+  * cost the span detector most of its runtime). < n tokens ⇒ empty
+  * array. */
+case class ShingleHashesOrdered(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_ordered"
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleHasher.computeOrdered(t.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHasher.computeOrdered($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashesOrdered {
+  /** Column-API entry point: positional word n-gram hashes of `text`. */
+  def apply(text: Column, n: Int): Column =
+    toColumn(ShingleHashesOrdered(toExpression(text), n))
 }

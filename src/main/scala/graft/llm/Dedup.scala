@@ -951,20 +951,16 @@ object Dedup {
     "q_dup_spans",
     (s, dir) => {
       val docs = withPlanted(t(s, dir, "documents"), mutate = false)
-      // Spark-side gram identity is xxhash64 (codegen'd, no hex
-      // strings) — the digest is only ever a JOIN KEY inside this
-      // plan, so it need not match the oracle's md5: both sides just
-      // need "same 5-gram ⇒ same key". Persisted: both join sides
-      // read it.
-      // NB: inside a Spark SQL literal, backslash itself must be
-      // escaped — '\s+' would parse as 's+' and split on the
-      // LETTER s (caught by the oracle diff on first run)
+      // Spark-side gram identity via the codegen'd positional shingle
+      // hasher — it is only ever a JOIN KEY inside this plan, so it
+      // need not match the oracle's md5: both sides just need
+      // "same 5-gram ⇒ same key" (the declarative
+      // transform+concat_ws+hash spelling ran on Catalyst's
+      // CodegenFallback HOF path and dominated this query's runtime).
+      // Persisted: both join sides read it.
       val pos = docs
-        .select(col("doc_id"), posexplode(expr(
-          """CASE WHEN size(split(trim(text), '\\s+')) >= 5
-             THEN transform(sequence(0, size(split(trim(text), '\\s+')) - 5),
-               i -> xxhash64(concat_ws(' ', slice(split(trim(text), '\\s+'), i + 1, 5))))
-             ELSE array() END""")))
+        .select(col("doc_id"),
+          posexplode(graft.functions.ShingleHashesOrdered(col("text"), 5)))
         .select(col("doc_id"), col("pos"), col("col").as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ids = t(s, dir, "documents").select(col("doc_id"))

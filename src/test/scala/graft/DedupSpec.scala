@@ -10,6 +10,27 @@ class DedupSpec extends SparkSpec {
   private val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
     "to the green hills where tall trees grow beside the cold clear river bank"
 
+  test("ShingleHashesOrdered: positional identity matches the gram-string form") {
+    import org.apache.spark.sql.functions._
+    // repeated grams ("a b c d e" twice) must collide by VALUE while
+    // keeping distinct positions; every other position stays unique
+    val text = "a b c d e x a b c d e y z w q"
+    val rows = Seq(Tuple1(text)).toDF("text")
+      .select(posexplode(graft.functions.ShingleHashesOrdered(col("text"), 5)))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val toks = text.split(" ")
+    assert(rows.length == toks.length - 4)
+    assert(rows.map(_._1).toSeq == (0 until rows.length))
+    val grams = (0 until rows.length).map(i => toks.slice(i, i + 5).mkString(" "))
+    for (i <- rows.indices; j <- rows.indices)
+      assert((rows(i)._2 == rows(j)._2) == (grams(i) == grams(j)),
+        s"hash equality at ($i,$j) disagrees with gram equality")
+    // < n tokens: no positional grams
+    assert(Seq(Tuple1("a b c")).toDF("text")
+      .select(graft.functions.ShingleHashesOrdered(col("text"), 5)).head()
+      .getSeq[Long](0).isEmpty)
+  }
+
   test("dup spans: planted exact copies report their full token span") {
     import org.apache.spark.sql.functions._
     val spans = Dedup.dupSpans.fn(spark, sf001)
