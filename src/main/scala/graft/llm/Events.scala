@@ -582,7 +582,80 @@ object Events {
       USING (user_id)
       ORDER BY event_id"""))
 
+  /** Multi-touch attribution — the marketing-analytics complement of
+    * [[funnel]]: for each user's FIRST purchase, split conversion
+    * credit across the touch events (view/click/signup) in the 7-day
+    * lookback, under three models at once — first-touch, last-touch,
+    * and linear. All credit is integer PERMILLE so every model sums
+    * to exactly 1000 per conversion and the whole table hash-oracles:
+    * linear gives each of the n touches 1000 div n, and the first
+    * (1000 mod n) touches by position one extra permille.
+    *
+    * Scale shape: ONE hash shuffle on `user_id` pays for the
+    * first-purchase aggregate, the touch join, and the position
+    * window (same key, one Exchange); the model arithmetic is
+    * row-local; the channel rollup at the end aggregates to
+    * channel-cardinality rows with map-side combine. No window is
+    * unpartitioned and nothing is pair-shaped. */
+  val attribution: Q = Q(
+    "q_attribution",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val conv = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("cu"))
+        .agg(min(col("ts")).as("conv_ts"))
+      val touches = e
+        .filter(col("event_type").isin("view", "click", "signup"))
+        .join(conv, col("user_id") === col("cu"))
+        .filter(col("ts") < col("conv_ts") &&
+          col("ts") >= col("conv_ts") - expr("INTERVAL 7 DAYS"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val scored = touches
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+        .select(col("user_id"), col("event_type").as("channel"),
+          when(col("pos") === 1, 1000L).otherwise(0L).as("first_pm"),
+          when(col("pos") === col("n"), 1000L).otherwise(0L).as("last_pm"),
+          (expr("1000 div n") +
+            when(col("pos") <= expr("1000 % n"), 1L).otherwise(0L)).as("linear_pm"))
+      scored.groupBy("channel")
+        .agg(sum(col("first_pm")).as("first_permille"),
+          sum(col("last_pm")).as("last_permille"),
+          sum(col("linear_pm")).as("linear_permille"),
+          countDistinct(col("user_id")).as("n_users_touched"))
+        .orderBy("channel")
+    },
+    Some("""
+      WITH conv AS (
+        SELECT user_id AS cu, min(ts) AS conv_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      touches AS (
+        SELECT e.user_id, e.event_type AS channel, e.ts, e.event_id
+        FROM events e JOIN conv ON e.user_id = conv.cu
+        WHERE e.event_type IN ('view', 'click', 'signup')
+          AND e.ts < conv.conv_ts
+          AND e.ts >= conv.conv_ts - INTERVAL 7 DAY),
+      scored AS (
+        SELECT user_id, channel,
+               CASE WHEN row_number() OVER w = 1 THEN 1000 ELSE 0 END AS first_pm,
+               CASE WHEN row_number() OVER w =
+                      count(*) OVER (PARTITION BY user_id) THEN 1000 ELSE 0 END AS last_pm,
+               1000 // count(*) OVER (PARTITION BY user_id) +
+                 CASE WHEN row_number() OVER w <=
+                        1000 % count(*) OVER (PARTITION BY user_id)
+                      THEN 1 ELSE 0 END AS linear_pm
+        FROM touches
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT channel,
+             CAST(sum(first_pm) AS BIGINT) AS first_permille,
+             CAST(sum(last_pm) AS BIGINT) AS last_permille,
+             CAST(sum(linear_pm) AS BIGINT) AS linear_permille,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_touched
+      FROM scored GROUP BY channel ORDER BY channel"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
-    preferencePairs, groupAdvantage)
+    preferencePairs, groupAdvantage, attribution)
 }

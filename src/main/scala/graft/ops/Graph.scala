@@ -297,5 +297,101 @@ object Graph {
                AS clustering_permille
       FROM vs, es, tri"""))
 
-  val all: Seq[Q] = Seq(pagerank, copurchase, triangleCount)
+  /** Multi-source BFS hop distances: `iters` rounds of min-plus
+    * relaxation (Bellman-Ford restricted to unit weights) from a
+    * source vertex set. Returns `(v, dist)` for every vertex REACHED
+    * within `iters` hops — integer-exact and engine-independent, so
+    * the iterative result takes a full hash oracle (unrolled CTEs,
+    * same pattern as [[pageRank]]).
+    *
+    * Scale shape, per round: ONE shuffle — frontier⋈edges grouped by
+    * dst, merged with the standing distances by a vertex-keyed
+    * groupBy min. The frontier frame is vertex-sized, never
+    * edge-sized; rounds run in a cloned session with vertex-sized
+    * parallelism and lazily checkpointed plans (one-round-deep
+    * lineage, single final action) exactly like [[pageRank]]. The
+    * relaxation carries the WHOLE distance table each round rather
+    * than a delta frontier — at unit weights a delta frontier halves
+    * traffic, but makes round k's input depend on k−1's materialized
+    * diff (an action barrier per round); with lazy checkpoints the
+    * full-table form keeps the one-action plan and the per-round
+    * shuffle is still vertex-bounded. */
+  def bfs(edges: DataFrame, sources: DataFrame, iters: Int): DataFrame = {
+    val origin = edges.sparkSession
+    val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
+    def rebind(s: SparkSession, df: DataFrame): DataFrame =
+      s.createDataFrame(df.rdd, df.schema)
+    val e = graft.Checkpoints.cut(rebind(spark, edges.select(col("src"), col("dst"))))
+    val nV = e.select(col("src")).distinct().count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, nV / 65536L).toString)
+    var dist = graft.Checkpoints.cut(
+      rebind(spark, sources.select(col("v"))).distinct()
+        .select(col("v"), lit(0L).as("dist")),
+      eager = false)
+    for (_ <- 1 to iters) {
+      val relaxed = e.join(dist.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
+      dist = graft.Checkpoints.cut(
+        dist.unionAll(relaxed).groupBy("v").agg(min(col("dist")).as("dist")),
+        eager = false)
+    }
+    rebind(origin, dist)
+  }
+
+  /** Driver query: 4-hop BFS over the two-year co-purchase graph
+    * ([[triangleCount]]'s edge window) from the parts ≡0 (mod 100).
+    * Emits every part within 4 hops with its hop distance; the hop
+    * histogram is the "how connected is the catalog" diagnostic. */
+  val shortestPath: Q = Q(
+    "q_shortest_path",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val edges = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      val sources = edges.select(col("src").as("v")).distinct()
+        .filter(col("v") % 100 === 0)
+      bfs(edges, sources, 4).orderBy("v")
+    },
+    Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                    AND l_shipdate < TIMESTAMP '1997-01-01'),
+      und AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      e AS (SELECT u AS src, v AS dst FROM und
+            UNION ALL
+            SELECT v AS src, u AS dst FROM und),
+      d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS dist
+             FROM e WHERE src % 100 = 0),
+      d1 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM d0
+               UNION ALL
+               SELECT e.dst AS v, d0.dist + 1 AS dist
+               FROM e JOIN d0 ON e.src = d0.v) GROUP BY v),
+      d2 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM d1
+               UNION ALL
+               SELECT e.dst AS v, d1.dist + 1 AS dist
+               FROM e JOIN d1 ON e.src = d1.v) GROUP BY v),
+      d3 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM d2
+               UNION ALL
+               SELECT e.dst AS v, d2.dist + 1 AS dist
+               FROM e JOIN d2 ON e.src = d2.v) GROUP BY v),
+      d4 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM d3
+               UNION ALL
+               SELECT e.dst AS v, d3.dist + 1 AS dist
+               FROM e JOIN d3 ON e.src = d3.v) GROUP BY v)
+      SELECT v, dist FROM d4 ORDER BY v"""))
+
+  val all: Seq[Q] = Seq(pagerank, copurchase, triangleCount, shortestPath)
 }

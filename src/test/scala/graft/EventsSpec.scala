@@ -117,4 +117,15 @@ class EventsSpec extends SparkSpec {
     // is a gap, the degenerate all-zero spine must still be dense
     assert(out.nonEmpty)
   }
+
+  test("attribution: every model's credit sums to exactly 1000 per conversion") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_attribution")(spark, sf001)
+    val row = df.agg(sum("first_permille"), sum("last_permille"),
+      sum("linear_permille")).head()
+    val (f, l, lin) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(f == l, s"first/last totals differ: $f vs $l")
+    assert(f == lin, s"first/linear totals differ: $f vs $lin")
+    assert(f > 0 && f % 1000 == 0, s"total credit is 1000 per conversion, got $f")
+  }
 }

@@ -147,4 +147,38 @@ class GraphSpec extends SparkSpec {
     assert(row.getLong(3) == 0L, s"bipartite graph has no triangles: $row")
     assert(row.getLong(2) == 2L * 3 + 3L * 1, s"wedges: $row") // deg 3,3,2,2,2
   }
+
+  test("bfs: path graph hop distances, horizon cutoff, multi-source min") {
+    import spark.implicits._
+    // path 0–1–2–3–4–5–6, symmetric edges
+    val edges = (0L until 6L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    // single source at 0, 4 rounds: vertices 0..4 reachable, 5 and 6 beyond
+    val one = ops.Graph.bfs(edges, Seq(0L).toDF("v"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // sources at both ends: distance is the min over sources
+    val two = ops.Graph.bfs(edges, Seq(0L, 6L).toDF("v"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> 2L, 5L -> 1L, 6L -> 0L))
+  }
+
+  test("bfs == sequential reference on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val und = (1 to 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val srcs = Seq(0L, 7L).filter(v => edges.exists(_._1 == v))
+    // sequential BFS to horizon 4
+    var ref = srcs.map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val nxt = edges.flatMap { case (u, v) => ref.get(u).map(d => v -> (d + 1)) }
+      ref = (ref.toSeq ++ nxt).groupBy(_._1).map { case (v, ds) => v -> ds.map(_._2).min }
+    }
+    val got = ops.Graph.bfs(edges.toDF("src", "dst"), srcs.toDF("v"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref)
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SCD Type-2 build: interval algebra on a hand-built history plus
+  * corpus-level invariants of the driver query. */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2 collapses unchanged runs and stitches intervals") {
+    // key 1: change at v2 only → [0,1], [2,current]
+    // key 2: never changes     → [0,current]
+    // key 3: changes every version → three one-version intervals
+    val snaps = Seq(
+      (1L, 0L, 100L, "A"), (1L, 1L, 100L, "A"), (1L, 2L, 150L, "A"),
+      (2L, 0L, 7L, "B"), (2L, 1L, 7L, "B"), (2L, 2L, 7L, "B"),
+      (3L, 0L, 1L, "X"), (3L, 1L, 2L, "X"), (3L, 2L, 2L, "Y"))
+      .toDF("key", "ver", "cents", "status")
+    val got = ops.Scd.scd2(snaps, "key", "ver", Seq("cents", "status"), 99L)
+      .select("key", "eff_from", "eff_to", "cents", "status", "is_current")
+      .as[(Long, Long, Long, Long, String, Long)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 100L, "A", 0L), (1L, 2L, 99L, 150L, "A", 1L),
+      (2L, 0L, 99L, 7L, "B", 1L),
+      (3L, 0L, 0L, 1L, "X", 0L), (3L, 1L, 1L, 2L, "X", 0L),
+      (3L, 2L, 99L, 2L, "Y", 1L)))
+  }
+
+  test("q_scd2 invariants: intervals tile [0,2] per key, one current row each") {
+    val df = SparkEntry.queries("q_scd2")(spark, sf001).cache()
+    try {
+      val keys = df.select("key").distinct().count()
+      // exactly one current row per key, and it ends at the mark
+      assert(df.filter(col("is_current") === 1).count() == keys)
+      assert(df.filter(col("is_current") === 1 && col("eff_to") =!= 99).count() == 0)
+      // every key's earliest interval starts at version 0
+      assert(df.groupBy("key").agg(min("eff_from").as("f"))
+        .filter(col("f") =!= 0).count() == 0)
+      // intervals are contiguous: next eff_from = prior eff_to + 1
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy("eff_from")
+      val gaps = df
+        .withColumn("prev_to", lag(col("eff_to"), 1).over(w))
+        .filter(col("prev_to").isNotNull && col("eff_from") =!= col("prev_to") + 1)
+      assert(gaps.count() == 0)
+      // the repriced+restatused keys (lcm 35) carry three intervals
+      assert(df.filter(col("key") % 35 === 0).groupBy("key").count()
+        .filter(col("count") =!= 3).count() == 0)
+    } finally df.unpersist()
+  }
+}
