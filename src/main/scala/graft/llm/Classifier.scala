@@ -695,6 +695,130 @@ object Classifier {
              CAST(sum(t) AS DOUBLE) / 1e6 AS mi_nats
       FROM terms GROUP BY feature ORDER BY feature"""))
 
+  /** Multinomial Naive Bayes, trained AND applied in one query — the
+    * classical fastText-before-fastText baseline for language ID /
+    * domain routing, here over the `documents` corpus: train token
+    * counts per language on the ≢0 (mod 5) docs, Laplace-smooth,
+    * classify the held-out ≡0 (mod 5) docs, and emit the confusion
+    * matrix. The iconic failure mode of distributed NB — drifting
+    * float log-sums that flip argmaxes between engines — is gone by
+    * the repo's micro-nat contract: each per-(token, class) weight is
+    * ONE IEEE ln of an exact integer ratio rounded to integer
+    * micro-nats, per-document scores are exact BIGINT dot products
+    * tf·w, and argmax ties break on the class name; the oracle
+    * re-derives training and inference wholesale, so the model
+    * weights AND every prediction are in the driver's hash.
+    *
+    * Unseen tokens take the class's Laplace floor ln(1/(N_c+V)) via
+    * coalesce — including tokens absent from the train vocabulary
+    * entirely (they shift every class by its floor, never select).
+    *
+    * Scale shape: training is the two-level vocabulary aggregate
+    * ((token, class) counts — never corpus-pair-shaped); inference
+    * joins test term frequencies against the weight table on the
+    * token (vocabulary-keyed, AQE-broadcastable) after a small
+    * cross join with the C-row class table; the per-doc argmax is a
+    * doc-keyed window. One corpus scan per side, one hash shuffle
+    * each on token and doc. */
+  /** NB core: train on `(doc_id, label, tok)` occurrences, classify
+    * test docs of the same shape. Returns one row per test doc:
+    * `(doc_id, label, pred)`. Factored out so specs can feed a
+    * vocabulary-separable fixture (the harness corpus shares one
+    * vocabulary across langs, so its confusion matrix mostly
+    * exercises priors — a learning proof needs separable classes). */
+  def nbClassify(train: DataFrame, test: DataFrame): DataFrame = {
+    // class totals: docs (priors) and token occurrences
+    val classes = train.groupBy(col("label").as("c"))
+      .agg(countDistinct(col("doc_id")).as("d_c"), count(lit(1)).as("n_c"))
+    val totals = classes.agg(sum(col("d_c")).as("d_all"))
+    val vocabN = train.agg(countDistinct(col("tok")).as("v_n"))
+    val cls = classes.crossJoin(broadcast(totals)).crossJoin(broadcast(vocabN))
+      .select(col("c"), col("n_c"), col("v_n"),
+        round(log(col("d_c").cast("double") / col("d_all").cast("double")) * 1e6, 0)
+          .cast("long").as("prior_micro"),
+        round(log(lit(1.0) / (col("n_c") + col("v_n")).cast("double")) * 1e6, 0)
+          .cast("long").as("floor_micro"))
+    val weights = train.groupBy(col("tok"), col("label").as("c"))
+      .agg(count(lit(1)).as("c_tc"))
+      .join(cls, Seq("c"))
+      .select(col("tok"), col("c"),
+        round(log((col("c_tc") + 1).cast("double") /
+          (col("n_c") + col("v_n")).cast("double")) * 1e6, 0)
+          .cast("long").as("w_micro"))
+    val tf = test.groupBy(col("doc_id"), col("label"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .crossJoin(cls.select(col("c"), col("prior_micro"), col("floor_micro")))
+      .join(weights, Seq("tok", "c"), "left")
+      .groupBy(col("doc_id"), col("label"), col("c"))
+      .agg((max(col("prior_micro")) +
+        sum(col("tf") * coalesce(col("w_micro"), col("floor_micro")))).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("c").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label"), col("c").as("pred"))
+  }
+
+  val nbTrain: Q = Q(
+    "q_nb_train",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("label"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+      nbClassify(toks.filter(col("doc_id") % 5 =!= 0),
+          toks.filter(col("doc_id") % 5 === 0))
+        .groupBy(col("label").as("true_lang"), col("pred").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+      test AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+      classes AS (
+        SELECT lang AS c, count(DISTINCT doc_id) AS d_c, count(*) AS n_c
+        FROM train GROUP BY lang),
+      totals AS (SELECT sum(d_c) AS d_all FROM classes),
+      vocab AS (SELECT count(DISTINCT tok) AS v_n FROM train),
+      cls AS (
+        SELECT c, n_c, v_n,
+               CAST(round(ln(CAST(d_c AS DOUBLE) / CAST(d_all AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS prior_micro,
+               CAST(round(ln(1.0 / CAST(n_c + v_n AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS floor_micro
+        FROM classes, totals, vocab),
+      weights AS (
+        SELECT t.tok, t.c,
+               CAST(round(ln(CAST(t.c_tc + 1 AS DOUBLE) /
+                 CAST(cls.n_c + cls.v_n AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+        FROM (SELECT tok, lang AS c, count(*) AS c_tc
+              FROM train GROUP BY tok, lang) t
+        JOIN cls ON t.c = cls.c),
+      tf AS (
+        SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM test GROUP BY doc_id, lang, tok),
+      scored AS (
+        SELECT tf.doc_id, tf.lang, cls.c,
+               max(cls.prior_micro) +
+                 sum(tf.tf * coalesce(w.w_micro, cls.floor_micro)) AS score
+        FROM tf
+        CROSS JOIN cls
+        LEFT JOIN weights w ON w.tok = tf.tok AND w.c = cls.c
+        GROUP BY tf.doc_id, tf.lang, cls.c),
+      pred AS (
+        SELECT doc_id, lang, c,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, c ASC) AS rn
+        FROM scored)
+      SELECT lang AS true_lang, c AS pred_lang,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred WHERE rn = 1
+      GROUP BY lang, c ORDER BY true_lang, pred_lang"""))
+
   val all: Seq[Q] = Seq(qualityStump, evalMetrics, rocAuc, calibration,
-    cohensKappa, logregTrain, miFeatures)
+    cohensKappa, logregTrain, miFeatures, nbTrain)
 }

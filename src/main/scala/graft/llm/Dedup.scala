@@ -1026,7 +1026,103 @@ object Dedup {
       HAVING max(run) + 4 >= 10
       ORDER BY doc_a, doc_b"""))
 
+  /** Sparse cosine similarity over the 5-gram shingle space, by
+    * inverted-index join — the exact-scored cousin of the MinHash
+    * candidate path: two documents pair ONLY if they share a shingle,
+    * and each candidate pair gets the exact TF-vector cosine. The
+    * shingle space is what makes the inverted index tractable where
+    * a token-space index is not: this corpus has 31 distinct TOKENS
+    * (every doc collides with every doc — the index degenerates to
+    * all-pairs) but ~50k distinct 5-grams with df ≈ 1, so candidate
+    * volume Σ_g df(g)² stays near-linear; at 100 TB the same bound
+    * holds because shingle df is a data constant for non-duplicated
+    * text, and AQE's skew split handles the hot shingles duplication
+    * creates.
+    *
+    * Determinism: cosine is emitted SQUARED in parts-per-million by
+    * pure BIGINT arithmetic — cos²_ppm = (10⁶·dot²) div (n2a·n2b) —
+    * no sqrt, no floats, so every score is in the driver's hash.
+    * Envelope: dot ≤ shingles/doc; 10⁶·dot² needs dot < 3·10⁶ —
+    * holds to ~million-shingle docs, far past [[graft.llm.Curation]]'s
+    * chunking sizes.
+    *
+    * Planted truth: docs 0–4 get an exact copy (+1 000 000, cos² = 10⁶
+    * exactly) and a near copy (+2 000 000, five alien tokens appended
+    * — high but sub-unit cosine); the ≥ 0.5 emission floor
+    * (cos²_ppm ≥ 250 000) keeps chance shingle collisions out. */
+  val sparseCosine: Q = Q(
+    "q_sparse_cosine",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val docs = base
+        .unionByName(base.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(base.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" q0 q1 q2 q3 q4")).as("text")))
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = docs
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("g2", lead(col("tok"), 1).over(byPos))
+        .withColumn("g3", lead(col("tok"), 2).over(byPos))
+        .withColumn("g4", lead(col("tok"), 3).over(byPos))
+        .withColumn("g5", lead(col("tok"), 4).over(byPos))
+        .filter(col("g5").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), col("g2"), col("g3"), col("g4"), col("g5"))
+            .as("gram"))
+      val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+      val n2 = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+      val dot = tf.as("a").join(tf.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      dot
+        .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), "doc_a")
+        .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("dot"),
+          expr("(1000000 * dot * dot) div (n2a * n2b)").as("cos2_ppm"))
+        .filter(col("cos2_ppm") >= 250000)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      docs AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM base WHERE doc_id < 5
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' q0 q1 q2 q3 q4'
+        FROM base WHERE doc_id < 5),
+      d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM docs),
+      pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+              FROM d WHERE len(toks) >= 5),
+      grams AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] AS gram
+        FROM pos),
+      tf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+             FROM grams GROUP BY doc_id, gram),
+      n2 AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+             FROM tf GROUP BY doc_id),
+      dot AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        FROM tf a JOIN tf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b, dot,
+             CAST((1000000 * dot * dot) // (na.n2 * nb.n2) AS BIGINT) AS cos2_ppm
+      FROM dot
+      JOIN n2 na ON na.doc_id = doc_a
+      JOIN n2 nb ON nb.doc_id = doc_b
+      WHERE (1000000 * dot * dot) // (na.n2 * nb.n2) >= 250000
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs,
     dedupClusters, dedupCanonical, incrementalExact, incrementalMinhash,
-    incrementalSimhash, dupSpans, containment)
+    incrementalSimhash, dupSpans, containment, sparseCosine)
 }

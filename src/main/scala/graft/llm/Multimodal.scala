@@ -357,5 +357,126 @@ object Multimodal {
              CAST(max(abs(v)) AS BIGINT) AS peak
       FROM s GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(decode, frames, lake, audio)
+  // ── Perceptual-hash near-duplicate detection ────────────────────────
+
+  /** Deterministic per-pixel texture: a splitmix-style avalanche of
+    * (id, x, y) → 8-bit gray. Textured images make pHash DISCRIMINATIVE
+    * — the smooth gradients above all hash alike (their DCT mass is one
+    * low-frequency ramp), which is realistic for pHash-on-solid-color
+    * but useless for testing near-dup SEPARATION. */
+  def textureAt(id: Long, x: Int, y: Int): Int = {
+    var h = id * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
+      y * 0x165667B19E3779F9L
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    (h & 0xFFL).toInt
+  }
+
+  /** Genuine 64×64 gray PNG of the id's texture; `perturb` nudges 9
+    * scattered pixels by +4 gray — the "re-encoded thumbnail"
+    * stand-in whose pHash must stay within a few bits of the
+    * original. */
+  def synthTexturedPng(id: Long, perturb: Boolean): Array[Byte] = {
+    val n = 64
+    val img = new BufferedImage(n, n, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until n; x <- 0 until n) {
+      var g = textureAt(id, x, y)
+      if (perturb && (y * n + x) % 499 == 0) g = (g + 4) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** DCT perceptual hash of a decoded image: gray → 2×2 box-mean
+    * downscale to 32×32 (integer-exact) → top-left 8×8 of the 2-D
+    * DCT-II → threshold each of the 64 coefficients against the lower
+    * median of the 63 AC coefficients → 64-bit signature. Double
+    * arithmetic is IEEE-deterministic on a fixed summation order, so
+    * the signature is bit-stable across runs and partitionings. */
+  def phashOf(payload: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "pHash: undecodable payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 32 && h >= 32, s"pHash: image too small ${w}x$h")
+    // integer box-mean to 32×32 (floor boundaries — exact, no resampler)
+    val g = Array.ofDim[Double](32, 32)
+    for (by <- 0 until 32; bx <- 0 until 32) {
+      val (x0, x1) = (bx * w / 32, (bx + 1) * w / 32)
+      val (y0, y1) = (by * h / 32, (by + 1) * h / 32)
+      var sum = 0L
+      for (y <- y0 until y1; x <- x0 until x1)
+        sum += img.getRGB(x, y) & 0xFF
+      g(by)(bx) = sum.toDouble / ((x1 - x0) * (y1 - y0))
+    }
+    val coefs = new Array[Double](64)
+    for (u <- 0 until 8; v <- 0 until 8) {
+      var acc = 0.0
+      for (y <- 0 until 32; x <- 0 until 32)
+        acc += g(y)(x) *
+          math.cos((2 * y + 1) * u * math.Pi / 64.0) *
+          math.cos((2 * x + 1) * v * math.Pi / 64.0)
+      coefs(u * 8 + v) = acc
+    }
+    val med = coefs.drop(1).sorted.apply(31) // lower median of the 63 AC terms
+    var bits = 0L
+    for (i <- 0 until 64) if (coefs(i) > med) bits |= 1L << i
+    bits
+  }
+
+  /** pHash near-dup pairs over any `(doc_id, phash)` frame: 4×16-bit
+    * band blocking (a candidate pair must agree on ≥1 band) then exact
+    * Hamming verification ≤ `maxHamming` — the [[graft.llm.Dedup]]
+    * SimHash discipline applied to image signatures. Banding keys the
+    * ONLY shuffle; nothing is all-pairs. */
+  def phashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sigs.select(
+        col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("band"),
+            shiftright(col("phash"), k * 16).bitwiseAND(0xFFFFL).as("bh"))): _*))
+          .as("e"))
+      .select(col("doc_id"), col("phash"), col("e.band"), col("e.bh"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Image near-duplicate detection end-to-end: synthesize a textured
+    * PNG per document, plant 5 exact byte copies (+1 000 000 — pHash
+    * identical by construction, the scale-invariant floor) and 5
+    * pixel-perturbed re-encodes (+2 000 000 — the near-dup case pHash
+    * exists for), decode + hash per-partition, band-block, verify
+    * Hamming. Rows-only by contract (a 2-D DCT has no reasonable SQL
+    * form); MultimodalSpec pins hash determinism, copy identity,
+    * perturbation proximity, and non-dup separation. */
+  val phash: Q = Q(
+    "q_multimodal_phash",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      val sigs = ids
+        .mapPartitions(_.flatMap { id =>
+          val base = (id, synthTexturedPng(id, perturb = false))
+          if (id < 5)
+            Iterator(base,
+              (id + 1000000L, synthTexturedPng(id, perturb = false)),
+              (id + 2000000L, synthTexturedPng(id, perturb = true)))
+          else Iterator(base)
+        })
+        .mapPartitions(_.map { case (id, png) => (id, phashOf(png)) })
+        .toDF("doc_id", "phash")
+      RecallAudit.assertPlantedPairs(
+        phashPairs(sigs, maxHamming = 16), "doc_a", "doc_b",
+        plantN = 5, what = "pHash")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(decode, frames, lake, audio, phash)
 }

@@ -236,4 +236,44 @@ class ClassifierSpec extends SparkSpec {
     assert(out.last._3 > out.head._3, "accuracy did not improve over training")
     assert(out.last._2 < out.head._2, "loss did not decrease over training")
   }
+
+  test("naive Bayes learns separable vocabularies perfectly, survives unseen tokens") {
+    import spark.implicits._
+    def occ(rows: Seq[(Long, String, String)]) = rows.flatMap { case (id, lab, text) =>
+      text.split(" ").map(tok => (id, lab, tok))
+    }.toDF("doc_id", "label", "tok")
+    val train = occ(Seq(
+      (1L, "A", "aa bb cc aa"), (2L, "A", "bb cc aa bb"), (3L, "A", "cc aa"),
+      (4L, "B", "xx yy zz"), (5L, "B", "yy zz xx yy"), (6L, "B", "zz xx")))
+    val test = occ(Seq(
+      (10L, "A", "aa bb"), (11L, "A", "cc cc aa"),
+      (12L, "B", "xx zz"), (13L, "B", "yy UNSEEN zz")))
+    val got = ops_nb(train, test)
+    assert(got == Map(10L -> "A", 11L -> "A", 12L -> "B", 13L -> "B"))
+  }
+
+  test("naive Bayes argmax tie breaks on the class name") {
+    import spark.implicits._
+    // perfectly symmetric classes: every score ties, "A" < "B" wins
+    val train = Seq((1L, "A", "tt"), (2L, "B", "tt"))
+      .toDF("doc_id", "label", "tok")
+    val test = Seq((9L, "B", "tt")).toDF("doc_id", "label", "tok")
+    assert(ops_nb(train, test) == Map(9L -> "A"))
+  }
+
+  private def ops_nb(train: org.apache.spark.sql.DataFrame,
+      test: org.apache.spark.sql.DataFrame): Map[Long, String] = {
+    import spark.implicits._
+    llm.Classifier.nbClassify(train, test)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+  }
+
+  test("q_nb_train confusion matrix accounts for every held-out doc") {
+    import org.apache.spark.sql.functions._
+    val m = SparkEntry.queries("q_nb_train")(spark, sf001)
+      .agg(sum("n_docs")).head().getLong(0)
+    val held = Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(m == held, s"matrix covers $m of $held held-out docs")
+  }
 }

@@ -257,4 +257,23 @@ class DedupSpec extends SparkSpec {
           s"component ${r.getAs[Long]("component")} kept a shorter member")
     }
   }
+
+  test("sparse cosine: exact copies score 1e6, near copies high-but-sub-unit") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_sparse_cosine")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val byPair = out.map { case (a, b, c) => (a, b) -> c }.toMap
+    for (id <- 0L until 5L) {
+      assert(byPair.get((id, id + 1000000L)).contains(1000000L),
+        s"exact copy of $id must score cos2_ppm = 1e6: ${byPair.get((id, id + 1000000L))}")
+      val near = byPair.get((id, id + 2000000L))
+      assert(near.exists(c => c >= 250000L && c < 1000000L),
+        s"near copy of $id must be high but sub-unit: $near")
+      // the exact and near copies of the same base doc also pair up
+      assert(byPair.contains((id + 1000000L, id + 2000000L)),
+        s"copy pair ($id+1M, $id+2M) missing")
+    }
+    // emission floor respected
+    assert(out.forall(_._3 >= 250000L))
+  }
 }

@@ -94,4 +94,32 @@ class MultimodalSpec extends SparkSpec {
     val bad = good.clone(); bad(8) = 'X'.toByte // break the WAVE tag
     intercept[IllegalArgumentException] { Multimodal.decodeWav(42L, bad) }
   }
+
+  test("pHash: deterministic, identical on byte copies, near on perturbed re-encodes") {
+    import graft.llm.Multimodal._
+    val ids = Seq(3L, 17L, 99L, 1234L)
+    for (id <- ids) {
+      val png = synthTexturedPng(id, perturb = false)
+      assert(phashOf(png) == phashOf(synthTexturedPng(id, perturb = false)),
+        s"pHash not deterministic for $id")
+      val d = java.lang.Long.bitCount(
+        phashOf(png) ^ phashOf(synthTexturedPng(id, perturb = true)))
+      assert(d <= 16, s"perturbed copy of $id drifted $d bits")
+    }
+    // distinct textures are far apart: avg pairwise distance near 32
+    val hashes = ids.map(id => phashOf(synthTexturedPng(id, perturb = false)))
+    val dists = for (a <- hashes; b <- hashes if a != b)
+      yield java.lang.Long.bitCount(a ^ b)
+    assert(dists.min > 16, s"unrelated textures too close: ${dists.min}")
+  }
+
+  test("q_multimodal_phash finds every planted copy, emits no self-pairs") {
+    val out = SparkEntry.queries("q_multimodal_phash")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (id <- 0L until 5L)
+      assert(out.exists(p => p._1 == id && p._2 == id + 1000000L && p._3 == 0L),
+        s"planted exact copy of $id missing or nonzero-distance")
+    assert(out.forall(p => p._1 < p._2), "pair order violated")
+    assert(out.forall(_._3 <= 16), "hamming cap violated")
+  }
 }
