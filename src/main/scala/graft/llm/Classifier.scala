@@ -819,6 +819,66 @@ object Classifier {
       FROM pred WHERE rn = 1
       GROUP BY lang, c ORDER BY true_lang, pred_lang"""))
 
+  /** Decile gains/lift table — the campaign-targeting complement of
+    * [[rocAuc]]: rank the population by a model score, cut it into 10
+    * equal-depth deciles, and report per-decile positive capture and
+    * lift. The ranking is [[graft.ops.Ranks.globalOrder]] WITH its
+    * running-sum channel (rank and cumulative positives fall out of
+    * the same two-level scan — no unpartitioned window anywhere), the
+    * decile boundary is pure integer arithmetic on the global rank,
+    * and lift/capture are exact integer permille, so the whole table
+    * hash-oracles against DuckDB's single-window formulation.
+    *
+    * Score = order value in exact cents, label = fulfilled status —
+    * "does order size predict fulfillment" — with the order key as
+    * the determinism tiebreaker. */
+  val liftCurve: Q = Q(
+    "q_lift_curve",
+    (s, dir) => {
+      val scored = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("score"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("label"))
+      val ranked = graft.ops.Ranks.globalOrder(scored,
+        Seq(col("score").desc, col("o_orderkey").asc), "rank",
+        runningSum = Some((col("label"), "cum_pos")))
+      val tot = ranked.agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((rank - 1) * 10) div n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_d"), sum(col("label")).as("pos_d"),
+          max(col("cum_pos")).as("cum_pos"),
+          max(col("n")).as("n"), max(col("pos")).as("pos"))
+        .select(col("decile"), col("n_d"), col("pos_d"),
+          expr("(cum_pos * 1000) div pos").as("capture_permille"),
+          expr("(pos_d * n * 1000) div (n_d * pos)").as("lift_permille"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders),
+      ranked AS (
+        SELECT *,
+               CAST(row_number() OVER w AS BIGINT) AS rank,
+               CAST(sum(label) OVER (ORDER BY score DESC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_pos
+        FROM scored
+        WINDOW w AS (ORDER BY score DESC, o_orderkey ASC)),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(label) AS BIGINT) AS pos FROM scored)
+      SELECT ((rank - 1) * 10) // n AS decile,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(label) AS BIGINT) AS pos_d,
+             (max(cum_pos) * 1000) // pos AS capture_permille,
+             (sum(label) * max(n) * 1000) // (count(*) * pos) AS lift_permille
+      FROM ranked CROSS JOIN tot
+      GROUP BY ((rank - 1) * 10) // n, pos
+      ORDER BY decile"""))
+
   val all: Seq[Q] = Seq(qualityStump, evalMetrics, rocAuc, calibration,
-    cohensKappa, logregTrain, miFeatures, nbTrain)
+    cohensKappa, logregTrain, miFeatures, nbTrain, liftCurve)
 }

@@ -655,7 +655,108 @@ object Events {
              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_touched
       FROM scored GROUP BY channel ORDER BY channel"""))
 
+  /** CUPED covariate adjustment over a per-user experiment frame
+    * `(user_id, variant, pre, post)` — variant ∈ {0, 1}, pre/post in
+    * exact integer cents. Returns the 1-row stats frame with every
+    * moment in BIGINT (n·Σxy − Σx·Σy forms, the [[abTest]]/
+    * groupAdvantage integer-moment discipline) and the final adjusted
+    * uplift as ONE composed IEEE expression over those exact integers
+    * — identical text on both engines, so it hashes.
+    *
+    * θ = cov(pre, post)/var(pre) POOLED over both variants (the
+    * standard CUPED estimator — using per-variant θ would bias the
+    * uplift); adjusted uplift = (ȳ₂−ȳ₁) − θ·(x̄₂−x̄₁). The whole
+    * computation is two corpus-keyed aggregates and a broadcast —
+    * nothing per-pair, nothing driver-side. */
+  def cupedOf(users: DataFrame): DataFrame = {
+    val pooled = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
+      sum(col("pre") * col("pre")).as("sxx"),
+      sum(col("pre") * col("post")).as("sxy"))
+    val byVar = users.groupBy("variant")
+      .agg(count(lit(1)).as("nv"), sum(col("pre")).as("sxv"),
+        sum(col("post")).as("syv"))
+    val a = byVar.filter(col("variant") === 0)
+      .select(col("nv").as("n1"), col("sxv").as("sx1"), col("syv").as("sy1"))
+      .limit(1)
+    val b = byVar.filter(col("variant") === 1)
+      .select(col("nv").as("n2"), col("sxv").as("sx2"), col("syv").as("sy2"))
+      .limit(1)
+    pooled.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .select(col("n"), col("n1"), col("n2"),
+        col("sx1"), col("sy1"), col("sx2"), col("sy2"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("theta_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("theta_den"),
+        round((
+          (col("sy2").cast("double") / col("n2").cast("double") -
+            col("sy1").cast("double") / col("n1").cast("double")) -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          (col("sx2").cast("double") / col("n2").cast("double") -
+            col("sx1").cast("double") / col("n1").cast("double"))) * 1e6, 0)
+          .cast("long").as("adjusted_uplift_micro"),
+        round((col("sy2").cast("double") / col("n2").cast("double") -
+          col("sy1").cast("double") / col("n1").cast("double")) * 1e6, 0)
+          .cast("long").as("raw_uplift_micro"))
+  }
+
+  /** Driver query: users split by id parity ([[abTest]]'s cohorts);
+    * pre = exact cents of events before the pinned 2024-07-01
+    * midpoint, post = cents after. Pre-period spend strongly predicts
+    * post-period spend user-by-user, which is exactly the correlation
+    * CUPED exists to subtract. */
+  val cuped: Q = Q(
+    "q_cuped",
+    (s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("ts") < lit("2024-07-01").cast("timestamp"),
+            round(col("value") * 100, 0).cast("long"))), lit(0L)).as("pre"),
+          coalesce(sum(when(col("ts") >= lit("2024-07-01").cast("timestamp"),
+            round(col("value") * 100, 0).cast("long"))), lit(0L)).as("post"))
+        .withColumn("variant", col("user_id") % 2)
+      cupedOf(users)
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-07-01'
+                 THEN CAST(round(value * 100) AS BIGINT) END), 0) AS pre,
+               coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-07-01'
+                 THEN CAST(round(value * 100) AS BIGINT) END), 0) AS post,
+               user_id % 2 AS variant
+        FROM events GROUP BY user_id),
+      pooled AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pre) AS BIGINT) AS sx, CAST(sum(post) AS BIGINT) AS sy,
+               CAST(sum(pre * pre) AS BIGINT) AS sxx,
+               CAST(sum(pre * post) AS BIGINT) AS sxy
+        FROM users),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(pre) AS BIGINT) AS sx1,
+                   CAST(sum(post) AS BIGINT) AS sy1
+            FROM users WHERE variant = 0),
+      b AS (SELECT CAST(count(*) AS BIGINT) AS n2, CAST(sum(pre) AS BIGINT) AS sx2,
+                   CAST(sum(post) AS BIGINT) AS sy2
+            FROM users WHERE variant = 1)
+      SELECT n, n1, n2, sx1, sy1, sx2, sy2,
+             n * sxy - sx * sy AS theta_num,
+             n * sxx - sx * sx AS theta_den,
+             CAST(round((
+               (CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+                CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)) -
+               (CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE)) *
+               (CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+                CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))) * 1e6)
+               AS BIGINT) AS adjusted_uplift_micro,
+             CAST(round((CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+               CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * 1e6)
+               AS BIGINT) AS raw_uplift_micro
+      FROM pooled CROSS JOIN a CROSS JOIN b"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
-    preferencePairs, groupAdvantage, attribution)
+    preferencePairs, groupAdvantage, attribution, cuped)
 }

@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Privacy-preserving release primitives — what sits between a
+  * 100 TB events store and anything that leaves it: differentially
+  * private noisy counts and k-anonymity suppression audits. The
+  * reference publishes raw aggregates; these are the operators a
+  * production release pipeline adds on top.
+  */
+object Privacy {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Differentially-private daily event histogram under the Laplace
+    * mechanism (ε = 1, sensitivity 1 ⇒ scale b = 1), made
+    * hash-oracled by DERANDOMIZING the noise draw the way the repo's
+    * sampling queries derandomize coins ([[Curation]]'s md5 per-mille
+    * coin): u is 16 bits of md5(cell key), the inverse-CDF transform
+    * s = 2·(u+½)/2¹⁶ − 1, noise = −sign(s)·ln(1−|s|), rounded once to
+    * integer micro-units. One ln per CELL (not per row), identical
+    * expression text both engines — the established single-IEEE-op
+    * contract. (A production deployment would swap the md5 seed for a
+    * secret per-release key; the MECHANISM — per-cell inverse-CDF
+    * Laplace, post-aggregation, sensitivity-calibrated — is what this
+    * operator implements.)
+    *
+    * Scale shape: the true histogram is one hash aggregate with
+    * map-side combine; the noise is a row-local expression on the
+    * CELL table (days × types, vocabulary-sized). Nothing else
+    * shuffles. */
+  val dpCounts: Q = Q(
+    "q_dp_counts",
+    (s, dir) => {
+      def nib(c: org.apache.spark.sql.Column, i: Int) = {
+        val a = ascii(substring(c, i, 1))
+        a - when(a >= 97, 87).otherwise(48)
+      }
+      val cells = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("true_n"))
+      val hex = md5(concat(col("event_type"), lit("|"),
+        date_format(col("day"), "yyyy-MM-dd")).cast("binary"))
+      val u = ((nib(hex, 1) * 16 + nib(hex, 2)) * 16 + nib(hex, 3)) * 16 + nib(hex, 4)
+      val sgn = (lit(2.0) * (u.cast("double") + 0.5) / 65536.0) - 1.0
+      val noise = round(
+        when(sgn < 0, log(lit(1.0) + sgn)).otherwise(-log(lit(1.0) - sgn)) * 1e6, 0)
+        .cast("long")
+      cells.select(col("day"), col("event_type"), col("true_n"),
+          (col("true_n") * 1000000L + noise).as("noisy_micro"))
+        .orderBy("day", "event_type")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS true_n
+        FROM events GROUP BY 1, 2),
+      seeded AS (
+        SELECT *,
+               md5(event_type || '|' || strftime(day, '%Y-%m-%d')) AS hex
+        FROM cells),
+      drawn AS (
+        SELECT day, event_type, true_n,
+               2.0 * (((
+                 (ascii(substr(hex, 1, 1)) - CASE WHEN ascii(substr(hex, 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+                 (ascii(substr(hex, 2, 1)) - CASE WHEN ascii(substr(hex, 2, 1)) >= 97 THEN 87 ELSE 48 END)) * 16 +
+                 (ascii(substr(hex, 3, 1)) - CASE WHEN ascii(substr(hex, 3, 1)) >= 97 THEN 87 ELSE 48 END)) * 16 +
+                 (ascii(substr(hex, 4, 1)) - CASE WHEN ascii(substr(hex, 4, 1)) >= 97 THEN 87 ELSE 48 END)
+                 + 0.5) / 65536.0 - 1.0 AS s
+        FROM seeded)
+      SELECT day, event_type, true_n,
+             true_n * 1000000 +
+               CAST(round(CASE WHEN s < 0 THEN ln(1.0 + s)
+                               ELSE -ln(1.0 - s) END * 1e6) AS BIGINT)
+               AS noisy_micro
+      FROM drawn ORDER BY day, event_type"""))
+
+  /** k-anonymity audit over the quasi-identifier (market segment,
+    * nation): every equivalence class with fewer than k = 10 members
+    * must be SUPPRESSED before release. Emits per-class sizes with
+    * the release decision plus the suppression tally — the audit
+    * artifact a release gate signs off on. One hash aggregate; the
+    * class table is QI-cardinality. */
+  val kAnonymity: Q = Q(
+    "q_k_anonymity",
+    (s, dir) => {
+      val k = 10L
+      val classes = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("segment"), col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("class_n"))
+      classes
+        .select(col("segment"), col("nation"), col("class_n"),
+          when(col("class_n") < k, 1L).otherwise(0L).as("suppressed"))
+        .orderBy("segment", "nation")
+    },
+    Some("""
+      SELECT c_mktsegment AS segment,
+             CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(count(*) AS BIGINT) AS class_n,
+             CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT) AS suppressed
+      FROM customer
+      GROUP BY c_mktsegment, c_nationkey
+      ORDER BY segment, nation"""))
+
+  val all: Seq[Q] = Seq(dpCounts, kAnonymity)
+}

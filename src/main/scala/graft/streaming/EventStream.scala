@@ -766,7 +766,57 @@ object EventStream {
     },
     streamWindow.oracle)
 
+  /** Driver-visible stream-static enrichment: the events stream joins
+    * a static dimension ([[enrichWithDim]] — broadcast left join, the
+    * streaming analog of the reference's naics lookup J1) inside an
+    * actual StreamingQuery, then the sink table aggregates per
+    * dimension attribute batch-side. The dimension is derived
+    * deterministically from the corpus (event_type → its length as a
+    * weight), so the oracle reproduces the whole enrich+rollup in
+    * SQL: a hash match proves every micro-batch saw the complete
+    * broadcast dimension.
+    *
+    * The join is STATELESS — no watermark, no state store; at scale
+    * it costs one broadcast per micro-batch re-plan and nothing per
+    * row beyond the probe, which is why stream-static is the
+    * preferred enrichment shape wherever the dim fits an executor. */
+  val streamEnrich: Q = Q(
+    "q_stream_enrich",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("ts", "event_type", "value")
+      val stage = stagePath(s, "graft_stream_enrich_ev")
+      ev.write.mode("overwrite").parquet(stage)
+      val local = narrowedSession(s, 4)
+      val dim = local.createDataFrame(
+        ev.select(col("event_type")).distinct()
+          .collect().map(r => r.getString(0))
+          .sorted.map(t => (t, t.length.toLong)).toSeq)
+        .toDF("event_type", "weight")
+      val stream = local.readStream.schema(ev.schema).parquet(stage)
+      val sink = "graft_stream_enrich"
+      val sq = enrichWithDim(stream, dim, "event_type")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      local.table(sink)
+        .groupBy("event_type")
+        .agg(max(col("weight")).as("weight"), count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100, 0).cast("long") * col("weight"))
+            .as("weighted_cents"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(length(event_type) AS BIGINT) AS weight,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(round(value * 100) AS BIGINT) * length(event_type))
+               AS BIGINT) AS weighted_cents
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
     streamJoinOuter, streamState, streamTimeoutSessions, streamFunnel,
-    streamMerge, streamQuarantine, streamNtz)
+    streamMerge, streamQuarantine, streamNtz, streamEnrich)
 }

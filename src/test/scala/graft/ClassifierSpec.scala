@@ -276,4 +276,17 @@ class ClassifierSpec extends SparkSpec {
       .filter(col("doc_id") % 5 === 0).count()
     assert(m == held, s"matrix covers $m of $held held-out docs")
   }
+
+  test("lift curve: deciles tile the population, capture is monotone to 1000") {
+    val rows = SparkEntry.queries("q_lift_curve")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (0L until 10L).toSeq, "all ten deciles present")
+    val n = Tables.load(spark, sf001, "orders").count()
+    assert(rows.map(_._2).sum == n, "deciles tile the orders table")
+    // equal-depth up to integer rounding
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    val captures = rows.map(_._4)
+    assert(captures.zip(captures.tail).forall { case (a, b) => a <= b })
+    assert(captures.last == 1000L, s"final capture ${captures.last}")
+  }
 }

@@ -128,4 +128,26 @@ class EventsSpec extends SparkSpec {
     assert(f == lin, s"first/linear totals differ: $f vs $lin")
     assert(f > 0 && f % 1000 == 0, s"total credit is 1000 per conversion, got $f")
   }
+
+  test("CUPED removes the pre-period bias the raw uplift carries") {
+    import spark.implicits._
+    // post = 3*pre exactly, plus a true effect of 7 cents on variant 1;
+    // variant 1 also has shifted pre (the imbalance CUPED corrects)
+    val users = Seq(
+      (1L, 0L, 10L, 30L), (2L, 0L, 20L, 60L), (3L, 0L, 30L, 90L),
+      (4L, 1L, 20L, 67L), (5L, 1L, 30L, 97L), (6L, 1L, 40L, 127L))
+      .toDF("user_id", "variant", "pre", "post")
+    val r = graft.llm.Events.cupedOf(users).head()
+    val thetaNum = r.getAs[Long]("theta_num")
+    val thetaDen = r.getAs[Long]("theta_den")
+    assert(thetaNum == 10530L && thetaDen == 3300L, s"moments: $thetaNum/$thetaDen")
+    val adj = r.getAs[Long]("adjusted_uplift_micro")
+    val raw = r.getAs[Long]("raw_uplift_micro")
+    assert(raw == 37000000L, s"raw uplift: $raw")
+    val expect = math.round((37.0 - 10530.0 / 3300.0 * 10.0) * 1e6)
+    assert(adj == expect, s"adjusted uplift: $adj vs $expect")
+    // pooled theta over-corrects here (variant correlates with pre),
+    // but adjusted must still land closer to the true effect of 7
+    assert(math.abs(adj - 7000000L) < math.abs(raw - 7000000L))
+  }
 }
