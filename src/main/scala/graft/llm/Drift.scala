@@ -129,5 +129,84 @@ object Drift {
                CAST((max(na) + 10) * (max(nb) + 10) AS DOUBLE) / 1e6 AS psi
       FROM terms GROUP BY dim ORDER BY dim"""))
 
-  val all: Seq[Q] = Seq(embeddingDrift)
+  /** Two-sample Kolmogorov–Smirnov drift test on a SCALAR pipeline
+    * signal (the companion to [[embeddingDrift]]'s per-dimension PSI):
+    * did the per-user spend distribution shift between two cohorts?
+    * KS is the right monitor when the signal is one number per entity
+    * and no binning choice should be able to hide the drift — D =
+    * sup_x |F₁(x) − F₂(x)| sees every quantile at once.
+    *
+    * EXACT: spend is summed in cents (BIGINT); the empirical CDFs are
+    * cumulative counts over the DISTINCT-spend table, so D's numerator
+    * is max |c₁(x)·n₂ − c₂(x)·n₁| — pure BIGINT cross-multiplication,
+    * no division until the final surfaced ppm. The α=0.05 decision
+    * D > 1.358·√((n₁+n₂)/(n₁n₂)) squares to the integer predicate
+    * 250000·D_num² > 461041·(n₁+n₂)·n₁·n₂ (1.358² = 461041/250000) —
+    * engine-exact like [[Events.abTest]]'s z². Fits BIGINT through
+    * ~2.4·10³ users per cohort; past that the exact flag stops
+    * mattering and the double form is fine — documented trade.
+    *
+    * Scale shape: one users-sized aggregate (map-side combinable),
+    * one distinct-value aggregate, then the only unpartitioned window
+    * runs over the distinct-spend table an Aggregate already
+    * collapsed (the winsorize envelope); totals are a broadcast 1-row
+    * frame. Nothing corpus-sized sorts in one task. */
+  /** Exact KS over a (spend BIGINT, in_a boolean) entity frame —
+    * factored so KsSpec can plant a shifted cohort. */
+  private[graft] def ks(users: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = users.groupBy("spend")
+      .agg(count(when(col("in_a"), 1)).as("c1"),
+        count(when(!col("in_a"), 1)).as("c2"))
+    val w = Window.orderBy("spend")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+    val tot = vals.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2")).limit(1)
+    cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("d_num"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        expr("d_num * 1000000 div (n1 * n2)").as("ks_ppm"),
+        (lit(250000L) * col("d_num") * col("d_num") >
+          lit(461041L) * (col("n1") + col("n2")) * col("n1") * col("n2"))
+          .as("drifted_95"))
+  }
+
+  val ksDrift: Q = Q(
+    "q_ks_drift",
+    (s, dir) => ks(
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+        .withColumn("in_a", col("user_id") % 2 === 0)),
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend,
+               user_id % 2 = 0 AS in_a
+        FROM events GROUP BY user_id),
+      vals AS (
+        SELECT spend,
+               CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS c1,
+               CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS c2
+        FROM users GROUP BY spend),
+      cum AS (
+        SELECT spend,
+               sum(c1) OVER (ORDER BY spend ROWS UNBOUNDED PRECEDING) AS f1,
+               sum(c2) OVER (ORDER BY spend ROWS UNBOUNDED PRECEDING) AS f2
+        FROM vals),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM vals),
+      d AS (
+        SELECT max(abs(f1 * n2 - f2 * n1)) AS d_num,
+               max(n1) AS n1, max(n2) AS n2
+        FROM cum CROSS JOIN tot)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(d_num AS BIGINT) AS d_num,
+             CAST(d_num * 1000000 // (n1 * n2) AS BIGINT) AS ks_ppm,
+             250000 * d_num * d_num > 461041 * (n1 + n2) * n1 * n2 AS drifted_95
+      FROM d"""))
+
+  val all: Seq[Q] = Seq(embeddingDrift, ksDrift)
 }

@@ -756,7 +756,92 @@ object Events {
                AS BIGINT) AS raw_uplift_micro
       FROM pooled CROSS JOIN a CROSS JOIN b"""))
 
+  /** Distribution-free permutation test on the cohort mean-spend
+    * difference — the significance machinery [[abTest]]'s z-test
+    * can't honestly provide when per-user spend is heavy-tailed
+    * (conversion flags are Bernoulli; spend is not). R=64 label
+    * permutations, each a deterministic md5 coin on (user_id, round),
+    * re-split the users and the observed |mean gap| is ranked against
+    * the permuted ones; the p-value is (#{perm ≥ obs}+1)/(R+1), here
+    * surfaced as the raw exceedance count so no division crosses an
+    * engine boundary.
+    *
+    * EXACT: spends are cents BIGINTs and mean comparisons cross-
+    * multiply — |s₁/n₁ − s₂/n₂| ≥ |S₁/N₁ − S₂/N₂| becomes
+    * |s₁n₂−s₂n₁|·N₁N₂ ≥ |S₁N₂−S₂N₁|·n₁n₂ — so every permutation
+    * verdict is an integer predicate. Fits BIGINT while total-cents ×
+    * cohort-size × cohort-size² ≲ 9·10¹⁸ (~3·10⁴ users at this spend
+    * scale); past that, pre-divide by a common spend unit.
+    *
+    * Scale shape: ONE users-sized aggregate off the corpus, then the
+    * permutation fan-out multiplies the users table by R — a
+    * users×64 frame that aggregates straight back down to 64 rows
+    * with map-side combine. The observed split is a broadcast 1-row
+    * frame. Nothing corpus-sized is replayed per permutation. */
+  val permutationTest: Q = Q(
+    "q_permutation_test",
+    (s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+      val obs = users
+        .agg(
+          sum(when(col("user_id") % 2 === 0, col("spend")).otherwise(0L)).as("os1"),
+          count(when(col("user_id") % 2 === 0, 1)).as("on1"),
+          sum(when(col("user_id") % 2 =!= 0, col("spend")).otherwise(0L)).as("os2"),
+          count(when(col("user_id") % 2 =!= 0, 1)).as("on2"))
+        .limit(1)
+      val coin = ascii(substring(
+        md5(concat(col("user_id").cast("string"), lit(":"), col("r").cast("string"))
+          .cast("binary")), 1, 1)) % 2 === 0
+      users
+        .withColumn("r", explode(sequence(lit(1), lit(64))))
+        .withColumn("in_a", coin)
+        .groupBy("r")
+        .agg(
+          sum(when(col("in_a"), col("spend")).otherwise(0L)).as("ps1"),
+          count(when(col("in_a"), 1)).as("pn1"),
+          sum(when(!col("in_a"), col("spend")).otherwise(0L)).as("ps2"),
+          count(when(!col("in_a"), 1)).as("pn2"))
+        .crossJoin(broadcast(obs))
+        .select(col("r").cast("long").as("r"),
+          col("pn1"), col("pn2"),
+          abs(col("ps1") * col("pn2") - col("ps2") * col("pn1")).as("perm_num"),
+          (abs(col("ps1") * col("pn2") - col("ps2") * col("pn1")) * col("on1") * col("on2") >=
+            abs(col("os1") * col("on2") - col("os2") * col("on1")) * col("pn1") * col("pn2"))
+            .as("ge_obs"))
+        .orderBy("r")
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+        FROM events GROUP BY user_id),
+      obs AS (
+        SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN spend ELSE 0 END) AS BIGINT) AS os1,
+               CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS on1,
+               CAST(sum(CASE WHEN user_id % 2 <> 0 THEN spend ELSE 0 END) AS BIGINT) AS os2,
+               CAST(count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS BIGINT) AS on2
+        FROM users),
+      perms AS (
+        SELECT r, user_id, spend,
+               ascii(substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 1)) % 2 = 0 AS in_a
+        FROM users CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS r)),
+      per_r AS (
+        SELECT r,
+               CAST(sum(CASE WHEN in_a THEN spend ELSE 0 END) AS BIGINT) AS ps1,
+               CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS pn1,
+               CAST(sum(CASE WHEN NOT in_a THEN spend ELSE 0 END) AS BIGINT) AS ps2,
+               CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS pn2
+        FROM perms GROUP BY r)
+      SELECT CAST(r AS BIGINT) AS r, pn1, pn2,
+             CAST(abs(ps1 * pn2 - ps2 * pn1) AS BIGINT) AS perm_num,
+             abs(ps1 * pn2 - ps2 * pn1) * on1 * on2 >=
+               abs(os1 * on2 - os2 * on1) * pn1 * pn2 AS ge_obs
+      FROM per_r CROSS JOIN obs
+      ORDER BY r"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
-    preferencePairs, groupAdvantage, attribution, cuped)
+    preferencePairs, groupAdvantage, attribution, cuped, permutationTest)
 }

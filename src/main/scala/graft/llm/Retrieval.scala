@@ -452,5 +452,61 @@ object Retrieval {
       FROM dcg d JOIN idcg i ON d.query_id = i.query_id
       ORDER BY d.query_id"""))
 
-  val all: Seq[Q] = Seq(bm25, hybrid, negatives, hashedTfidf, ndcgEval)
+  /** MRR / hit@k ranking evaluation — the early-precision companion
+    * to [[ndcgEval]] (which grades the whole top-10; MRR grades how
+    * fast the FIRST relevant document surfaces, the metric that
+    * matters for retrieval-augmented generation where only the first
+    * hit enters the context window). Ground truth is the dense
+    * cosine top-10 (doc-as-query, self excluded); the graded system
+    * is the lexical BM25 ranking.
+    *
+    * Determinism: ranks are exact integers from both rankers, the
+    * reciprocal rank is surfaced as 1000000 div rank (BIGINT
+    * truncation, identical in both engines), and hits are 0/1 maxes —
+    * no float ever crosses an engine boundary.
+    *
+    * Scale shape: identical to [[ndcgEval]] — the rankers carry the
+    * cost; this stage joins two k·|queries|-row frames (broadcast-
+    * sized) and aggregates per query. */
+  val mrrEval: Q = Q(
+    "q_mrr_eval",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val rel = denseRanked(s, dir, 10)
+        .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
+      lexRanked(s, docs, 20)
+        .join(broadcast(rel), Seq("query_id", "doc_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          coalesce(min(when(col("rel") === 1L, col("lex_rank"))), lit(0L))
+            .as("first_rel_rank"),
+          sum(coalesce(col("rel"), lit(0L))).as("n_rel_in20"),
+          max(when(col("rel") === 1L && col("lex_rank") <= 1, 1L).otherwise(0L)).as("hit1"),
+          max(when(col("rel") === 1L && col("lex_rank") <= 5, 1L).otherwise(0L)).as("hit5"),
+          max(when(col("rel") === 1L && col("lex_rank") <= 10, 1L).otherwise(0L)).as("hit10"))
+        .select(col("query_id"), col("first_rel_rank"),
+          when(col("first_rel_rank") > 0,
+            expr("1000000 div first_rel_rank")).otherwise(0L).as("rr_micro"),
+          col("n_rel_in20"), col("hit1"), col("hit5"), col("hit10"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH $lexRankedSql,
+      ${denseRankedSql(10)}
+      SELECT l.query_id,
+             CAST(coalesce(min(CASE WHEN d.doc_id IS NOT NULL THEN l.lex_rank END), 0) AS BIGINT)
+               AS first_rel_rank,
+             CAST(CASE WHEN coalesce(min(CASE WHEN d.doc_id IS NOT NULL THEN l.lex_rank END), 0) > 0
+                  THEN 1000000 // min(CASE WHEN d.doc_id IS NOT NULL THEN l.lex_rank END)
+                  ELSE 0 END AS BIGINT) AS rr_micro,
+             CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_in20,
+             CAST(max(CASE WHEN d.doc_id IS NOT NULL AND l.lex_rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hit1,
+             CAST(max(CASE WHEN d.doc_id IS NOT NULL AND l.lex_rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hit5,
+             CAST(max(CASE WHEN d.doc_id IS NOT NULL AND l.lex_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hit10
+      FROM lex l LEFT JOIN dense d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+      GROUP BY l.query_id
+      ORDER BY l.query_id"""))
+
+  val all: Seq[Q] = Seq(bm25, hybrid, negatives, hashedTfidf, ndcgEval, mrrEval)
 }

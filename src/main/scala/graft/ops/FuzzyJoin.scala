@@ -62,5 +62,64 @@ object FuzzyJoin {
        AND levenshtein(d_name, k_name) <= 2
       ORDER BY d_key, k_key"""))
 
-  val all: Seq[Q] = Seq(fuzzyNameJoin)
+  /** Sorted-neighborhood entity resolution — the OTHER classic
+    * blocking paradigm next to [[fuzzyNameJoin]]'s key blocking:
+    * globally sort on a domain key, then only rows within a fixed
+    * window w of each other become candidates. Where key blocking's
+    * cost is Σ_b |block|² (quadratic in a hot block), sorted
+    * neighborhood is HARD-BOUNDED at w·n candidates regardless of
+    * skew — the guarantee that matters when a 100 TB identifier
+    * column has a pathological common value.
+    *
+    * Sort key: the REVERSED name (suffix-first), so identifiers that
+    * differ only in leading digits become neighbors. Window w=4;
+    * match = levenshtein ≤ 1.
+    *
+    * Scale shape: the global rank comes from [[Ranks.globalOrder]]'s
+    * two-level scan (no single-task window); candidate generation is
+    * an EQUI-join — each right row re-keys to its own block and its
+    * predecessor block, so "within w ranks" never becomes a range
+    * join — then the rank-gap filter trims the corner pairs. The
+    * O(len²) distance runs on ≤ w·n pairs total. */
+  val sortedNeighborhood: Q = Q(
+    "q_sorted_neighborhood",
+    (s, dir) => {
+      val w = 4
+      val ranked = graft.ops.Ranks.globalOrder(
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), reverse(col("c_name")).as("skey")),
+        Seq(col("skey"), col("c_custkey")), "rnk")
+        .withColumn("blk", expr(s"(rnk - 1) div $w"))
+      val a = ranked.select(col("blk").as("j_blk"), col("rnk").as("a_rnk"),
+        col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+      val b = ranked.select(
+        explode(array(col("blk"), col("blk") - 1)).as("j_blk"),
+        col("rnk").as("b_rnk"),
+        col("c_custkey").as("b_key"), col("c_name").as("b_name"))
+      a.join(b, Seq("j_blk"))
+        .filter(col("b_rnk") - col("a_rnk") > 0 &&
+          col("b_rnk") - col("a_rnk") <= w &&
+          levenshtein(col("a_name"), col("b_name")) <= 1)
+        .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
+          (col("b_rnk") - col("a_rnk")).as("gap"),
+          levenshtein(col("a_name"), col("b_name")).cast("int").as("dist"))
+        // no dedup needed: a keys only to its own block, so each
+        // (a, b) pair meets on exactly one j_blk value
+        .orderBy("a_key", "b_key")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT c_custkey, c_name,
+               CAST(row_number() OVER (ORDER BY reverse(c_name), c_custkey) AS BIGINT) AS rnk
+        FROM customer)
+      SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+             a.c_name AS a_name, b.c_name AS b_name,
+             CAST(b.rnk - a.rnk AS BIGINT) AS gap,
+             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM ranked a JOIN ranked b
+        ON b.rnk - a.rnk BETWEEN 1 AND 4
+       AND levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY a_key, b_key"""))
+
+  val all: Seq[Q] = Seq(fuzzyNameJoin, sortedNeighborhood)
 }

@@ -458,6 +458,61 @@ object Profile {
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       FROM orders WHERE o_orderstatus = 'F'"""))
 
+  /** Benford first-significant-digit audit — the forensic data-quality
+    * check for any monetary/measure column: natural multiplicative
+    * data follows P(d) = log₁₀(1+1/d); fabricated, truncated, or
+    * generator-uniform data does not, and the per-digit deviation
+    * table says WHICH digits are off. (The corpus's uniform price
+    * generator is exactly the kind of distribution this audit is
+    * built to flag — the large deviations in the output are the
+    * finding, not a bug.)
+    *
+    * EXACT: prices go to cents (BIGINT) and the first digit comes
+    * from the decimal string of that integer — no log10/pow float
+    * path that could disagree at a power-of-ten boundary. Expected
+    * probabilities are the nine micro-unit literals (they sum to
+    * exactly 1 000 000); observed shares are BIGINT div. One
+    * digit-keyed aggregate (map-side combinable, 9 groups), then
+    * 9-row arithmetic against a broadcast 1-row total. */
+  val benford: Q = Q(
+    "q_benford",
+    (s, dir) => {
+      val expMicro = typedLit(Map(
+        1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+        6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L))
+      val digits = t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("obs"))
+      val tot = digits.agg(sum(col("obs")).as("n")).limit(1)
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("obs"),
+          expr("obs * 1000000 div n").as("obs_micro"),
+          expMicro(col("digit")).as("exp_micro"),
+          abs(expr("obs * 1000000 div n") - expMicro(col("digit"))).as("dev_micro"))
+        .orderBy("digit")
+    },
+    Some("""
+      WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+      digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM cents GROUP BY 1),
+      tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM digits),
+      exp AS (
+        SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+               unnest([301030,176091,124939,96910,79181,66947,57992,51153,45757]) AS exp_micro)
+      SELECT d.digit, d.obs,
+             CAST(d.obs * 1000000 // t.n AS BIGINT) AS obs_micro,
+             CAST(e.exp_micro AS BIGINT) AS exp_micro,
+             CAST(abs(d.obs * 1000000 // t.n - e.exp_micro) AS BIGINT) AS dev_micro
+      FROM digits d CROSS JOIN tot t JOIN exp e ON d.digit = e.digit
+      ORDER BY d.digit"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
-    groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics)
+    groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics,
+    benford)
 }
