@@ -1043,10 +1043,118 @@ object Curation {
              CAST((1000 * e) // e_sum AS BIGINT) AS weight_permille
       FROM ex, denom ORDER BY source"""))
 
+  /** Per-source dataset card — the "datasheets for datasets"
+    * governance row a corpus release ships with: volume (docs,
+    * tokens), language spread (distinct langs, majority lang,
+    * language-distribution entropy), length profile (mean and exact
+    * median chars), and duplication (docs minus distinct text
+    * digests). One row per source, every column engine-exact.
+    *
+    * Determinism: entropy is the repo's micro-nat recipe — each lang
+    * contributes c·round(ln(n/c)·1e6), summed exactly and floor-
+    * divided by n; the median is the smallest length whose cumulative
+    * count reaches ⌈n/2⌉, computed over the per-source distinct-length
+    * table (the winsorize window envelope); the majority lang
+    * tiebreaks alphabetically.
+    *
+    * Scale shape: three source-keyed aggregates off one corpus scan
+    * each (docs stats, lang histogram, length histogram) plus a
+    * digest distinct — all map-side combinable, all joined on the
+    * ~|sources| keyspace. The only windows run over per-source
+    * aggregated histograms, never documents. */
+  val datasetCard: Q = Q(
+    "q_dataset_card",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_distinct_texts"))
+      val langHist = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val wTop = Window.partitionBy("source")
+        .orderBy(col("c").desc, col("lang").asc)
+      val topLang = langHist
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      val entropy = langHist
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(max(col("n")).as("n"),
+          sum(col("c") *
+            round(log(col("n").cast("double") / col("c").cast("double")) * 1e6, 0)
+              .cast("long")).as("h_num"))
+        .select(col("source"), expr("h_num div n").as("lang_entropy_micro"))
+      val lenHist = d.groupBy(col("source"), col("n_chars").as("len"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("source").orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("source")
+      val p50 = lenHist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wTot))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy("source").agg(min(col("len")).as("p50_chars"))
+      base.join(topLang, "source").join(entropy, "source").join(p50, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"), col("top_lang"), col("lang_entropy_micro"),
+          expr("(n_tokens * 1000000) div n_docs").as("mean_tokens_micro"),
+          col("p50_chars"),
+          (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH base AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        FROM documents GROUP BY source),
+      lang_hist AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang),
+      top_lang AS (
+        SELECT source, lang AS top_lang FROM (
+          SELECT source, lang,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY c DESC, lang ASC) AS rn
+          FROM lang_hist) WHERE rn = 1),
+      entropy AS (
+        SELECT source,
+               CAST(sum(c * CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6)
+                 AS BIGINT)) // max(n) AS BIGINT) AS lang_entropy_micro
+        FROM (SELECT source, c,
+                     sum(c) OVER (PARTITION BY source) AS n
+              FROM lang_hist)
+        GROUP BY source),
+      len_hist AS (
+        SELECT source, n_chars AS len, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars),
+      p50 AS (
+        SELECT source, CAST(min(len) AS BIGINT) AS p50_chars FROM (
+          SELECT source, len,
+                 sum(c) OVER (PARTITION BY source ORDER BY len
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY source) AS n
+          FROM len_hist)
+        WHERE cum * 2 >= n GROUP BY source)
+      SELECT b.source, b.n_docs, b.n_tokens, b.n_langs, t.top_lang,
+             e.lang_entropy_micro,
+             CAST((b.n_tokens * 1000000) // b.n_docs AS BIGINT) AS mean_tokens_micro,
+             p.p50_chars,
+             CAST(b.n_docs - b.n_distinct_texts AS BIGINT) AS n_dup_docs
+      FROM base b
+      JOIN top_lang t ON b.source = t.source
+      JOIN entropy e ON b.source = e.source
+      JOIN p50 p ON b.source = p.source
+      ORDER BY b.source"""))
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, ngramContamination, packSequences, corpusShuffle,
       curationPipeline, redactPii, bigramTopK, pmiCollocations, chunkDocs,
       normalizeText,
       segmentDedup, curriculumOrder, curriculumWrite, spanCorruption,
-      dsirSelect, importanceResample, domainReweight)
+      dsirSelect, importanceResample, domainReweight, datasetCard)
 }

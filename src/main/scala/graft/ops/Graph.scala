@@ -393,5 +393,92 @@ object Graph {
                FROM e JOIN d3 ON e.src = d3.v) GROUP BY v)
       SELECT v, dist FROM d4 ORDER BY v"""))
 
-  val all: Seq[Q] = Seq(pagerank, copurchase, triangleCount, shortestPath)
+  /** Synchronous min-label propagation (3 fixed rounds) — the
+    * community-seeding primitive next to [[pagerank]] (influence) and
+    * [[graft.llm.Dedup.connectedComponents]] (exact components,
+    * data-dependent round count): after k rounds every vertex holds
+    * the smallest vertex id within k hops, so the label table IS the
+    * "who is near whom" sketch at radius k. Fixed rounds keep the
+    * whole trajectory hash-oracled (the oracle unrolls the same three
+    * rounds as chained CTEs) where a converge-loop would leave the
+    * round count data-dependent and unoracleable.
+    *
+    * Scale shape: the [[pageRank]] iterative discipline — cloned
+    * session with vertex-sized parallelism, one dst-keyed shuffle per
+    * round against the once-materialized edge frame, lazy lineage
+    * cuts so the plan stays one round deep. The label table is
+    * vertex-sized; nothing edge²-shaped exists. */
+  def labelProp(edges: DataFrame, iters: Int): DataFrame = {
+    val origin = edges.sparkSession
+    val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
+    def rebind(s: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
+      s.createDataFrame(df.rdd, df.schema)
+    val e = graft.Checkpoints.cut(rebind(spark, edges.select(col("src"), col("dst"))))
+    val verts = graft.Checkpoints.cut(
+      e.select(col("src").as("v")).distinct(), eager = false)
+    val nV = verts.count()
+    if (nV == 0L) return rebind(origin, verts.select(col("v"), lit(0L).as("label")))
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, nV / 65536L).toString)
+    var lab = graft.Checkpoints.cut(
+      verts.select(col("v"), col("v").as("label")), eager = false)
+    for (_ <- 1 to iters) {
+      val nbrMin = e.join(lab.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("label")).as("nbr"))
+      lab = graft.Checkpoints.cut(
+        lab.join(nbrMin, Seq("v"), "left")
+          .select(col("v"), least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label")),
+        eager = false)
+    }
+    rebind(origin, lab)
+  }
+
+  val labelPropagation: Q = Q(
+    "q_label_prop",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+      val edges = cs.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        .unionAll(cs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      labelProp(edges, 3).select(
+          when(col("v") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+          expr("v div 2").as("id"), col("label"))
+        .orderBy("kind", "id")
+    },
+    Some("""
+      WITH cs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c * 2 AS src, p * 2 + 1 AS dst FROM cs
+        UNION ALL
+        SELECT p * 2 + 1 AS src, c * 2 AS dst FROM cs),
+      verts AS (SELECT DISTINCT src AS v FROM edges),
+      lp0 AS (SELECT v, v AS label FROM verts),
+      lp1 AS (SELECT l.v, least(l.label, coalesce(m.nbr, l.label)) AS label
+              FROM lp0 l LEFT JOIN (
+                SELECT e.dst AS v, min(p.label) AS nbr
+                FROM edges e JOIN lp0 p ON p.v = e.src GROUP BY e.dst) m
+                ON l.v = m.v),
+      lp2 AS (SELECT l.v, least(l.label, coalesce(m.nbr, l.label)) AS label
+              FROM lp1 l LEFT JOIN (
+                SELECT e.dst AS v, min(p.label) AS nbr
+                FROM edges e JOIN lp1 p ON p.v = e.src GROUP BY e.dst) m
+                ON l.v = m.v),
+      lp3 AS (SELECT l.v, least(l.label, coalesce(m.nbr, l.label)) AS label
+              FROM lp2 l LEFT JOIN (
+                SELECT e.dst AS v, min(p.label) AS nbr
+                FROM edges e JOIN lp2 p ON p.v = e.src GROUP BY e.dst) m
+                ON l.v = m.v)
+      SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+             CAST(v // 2 AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+      FROM lp3 ORDER BY kind, id"""))
+
+  val all: Seq[Q] = Seq(pagerank, copurchase, triangleCount, shortestPath,
+    labelPropagation)
 }

@@ -181,4 +181,44 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == ref)
   }
+
+  test("label propagation: path graph labels spread exactly k hops") {
+    // path 0-1-2-3-4-5-6-7 (symmetric): after 3 rounds vertex v holds
+    // min(0, v-3) ... i.e. max(0, v-3); vertex 7 cannot yet see 0
+    val edges = (0L until 7L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val got = ops.Graph.labelProp(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    (0L to 7L).foreach { v =>
+      assert(got(v) == math.max(0L, v - 3), s"v=$v got ${got(v)}")
+    }
+  }
+
+  test("label propagation: two components never share labels") {
+    val compA = (0L until 5L).flatMap(i => Seq((i, (i + 1) % 5), ((i + 1) % 5, i)))
+    val compB = (10L until 15L).flatMap(i =>
+      Seq((i, 10L + (i + 1) % 5), (10L + (i + 1) % 5, i)))
+    val got = ops.Graph.labelProp((compA ++ compB).toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    // 5-cycles: radius ≤ 2 from the minimum, so 3 rounds converge
+    (0L until 5L).foreach(v => assert(got(v) == 0L, s"v=$v got ${got(v)}"))
+    (10L until 15L).foreach(v => assert(got(v) == 10L, s"v=$v got ${got(v)}"))
+  }
+
+  test("label propagation == sequential reference on a seeded random graph") {
+    val rnd = new scala.util.Random(23)
+    val und = (1 to 100).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    var ref = edges.map(_._1).distinct.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      val upd = edges.flatMap { case (u, v) => Some(v -> ref(u)) }
+      ref = ref.map { case (v, l) =>
+        v -> math.min(l, upd.filter(_._1 == v).map(_._2).minOption.getOrElse(l))
+      }
+    }
+    val got = ops.Graph.labelProp(edges.toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref)
+  }
 }
