@@ -1151,10 +1151,99 @@ object Curation {
       JOIN p50 p ON b.source = p.source
       ORDER BY b.source"""))
 
+  /** Per-source boilerplate SEGMENT removal — the C4/CCNet "strip the
+    * template" pass: a fixed 5-token segmentation of every document,
+    * a (source, segment) frequency table, and removal of any segment
+    * text shared by ≥ 10 distinct documents of the SAME source
+    * (navigation banners, footers, cookie notices — content that
+    * repeats across a domain but isn't a document-level duplicate).
+    * A deterministic per-source banner is planted at the head of
+    * every document so the operator provably fires: the banner is the
+    * one segment every doc of a source shares, detection must flag
+    * exactly it, and each doc's cleaned fingerprint must equal its
+    * pre-banner content — self-proving against the DuckDB oracle.
+    *
+    * Fixed-stride segments (not sliding n-grams) make removal
+    * well-defined — every token belongs to exactly one segment, so
+    * "strip flagged segments, keep the rest in order" reassembles
+    * deterministically on both engines via an ordered aggregate.
+    *
+    * Shape at 100 TB: segmentation is a narrow per-row transform
+    * (sequence/slice HOFs, no UDF); the frequency table shuffles on
+    * (source, segment-text) — in production that key would be
+    * xxhash64(segment) carrying 8 bytes — and is distinct-segment-
+    * sized, far smaller than the corpus; the flag set joins back as a
+    * hash anti-join on the same key. Nothing is pairwise; per-doc
+    * reassembly is one partial-aggregatable groupBy(doc_id). */
+  /** Core boilerplate pass over any (doc_id, source, text) frame —
+    * factored so tests can feed hand-built corpora. `minDocs` is the
+    * "shared by this many distinct docs of one source" flag
+    * threshold. */
+  def boilerplateStripOf(docs: DataFrame, minDocs: Int): DataFrame = {
+    val w = toks(col("text"))
+    val segs = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(
+          sequence(lit(0), ((size(w) + lit(4)) / lit(5)).cast("int") - 1),
+          i => concat_ws(" ", slice(w, i * 5 + 1, lit(5))))).as(Seq("seg", "seg_str")))
+    val flagged = segs.groupBy("source", "seg_str")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("source", "seg_str")
+    val kept = segs.join(flagged, Seq("source", "seg_str"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seg_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("seg"), col("seg_str")))),
+            x => x.getField("seg_str"))).cast("binary")).as("clean_sig"))
+    docs.select(col("doc_id"),
+        ((size(toks(col("text"))) + lit(4)) / lit(5)).cast("long").as("n_seg_total"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_seg_total"),
+        coalesce(col("n_seg_kept"), lit(0L)).as("n_seg_kept"),
+        coalesce(col("clean_sig"), md5(lit("").cast("binary"))).as("clean_sig"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateStrip: Q = Q(
+    "q_boilerplate_strip",
+    (s, dir) =>
+      boilerplateStripOf(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            concat(concat(lit("bnr_"), col("source")),
+              lit(" follow like share subscribe "), col("text")).as("text")),
+        minDocs = 10),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               'bnr_' || source || ' follow like share subscribe ' || text AS text
+        FROM documents),
+      w AS (SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\s+') AS w FROM d),
+      tok AS (SELECT doc_id, source, unnest(w) AS tok,
+                     generate_subscripts(w, 1) - 1 AS pos FROM w),
+      seg AS (SELECT doc_id, source, pos // 5 AS seg,
+                     string_agg(tok, ' ' ORDER BY pos) AS seg_str
+              FROM tok GROUP BY doc_id, source, pos // 5),
+      flag AS (SELECT source, seg_str FROM seg
+               GROUP BY source, seg_str HAVING count(DISTINCT doc_id) >= 10),
+      kept AS (SELECT s.* FROM seg s
+               WHERE NOT EXISTS (SELECT 1 FROM flag f
+                 WHERE f.source = s.source AND f.seg_str = s.seg_str)),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg_kept,
+                     md5(string_agg(seg_str, ' ' ORDER BY seg)) AS clean_sig
+              FROM kept GROUP BY doc_id)
+      SELECT w.doc_id, CAST((len(w.w) + 4) // 5 AS BIGINT) AS n_seg_total,
+             coalesce(a.n_seg_kept, 0) AS n_seg_kept,
+             coalesce(a.clean_sig, md5('')) AS clean_sig
+      FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id
+      ORDER BY w.doc_id"""))
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, ngramContamination, packSequences, corpusShuffle,
       curationPipeline, redactPii, bigramTopK, pmiCollocations, chunkDocs,
       normalizeText,
       segmentDedup, curriculumOrder, curriculumWrite, spanCorruption,
-      dsirSelect, importanceResample, domainReweight, datasetCard)
+      dsirSelect, importanceResample, domainReweight, datasetCard, boilerplateStrip)
 }

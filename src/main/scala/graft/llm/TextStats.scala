@@ -1018,8 +1018,85 @@ object TextStats {
       FROM ranked WHERE rank <= 5
       ORDER BY source, rank"""))
 
+  /** RHO-style excess-surprisal data selection: score every document
+    * by `loss_general − loss_reference` under two unigram add-1 LMs —
+    * the general LM trained on the WHOLE corpus, the reference LM on
+    * the clean domain (here `lang = 'en'` as the clean proxy) — and
+    * keep the top-N. High excess means "the general model finds this
+    * hard but the clean model doesn't": learnable, in-domain data —
+    * the selectable-language-modeling criterion (Lin et al., RHO-1),
+    * computed batch-side instead of with neural LMs.
+    *
+    * Shape at 100 TB: both LMs are VOCABULARY-sized count tables, and
+    * the reference counts left-join onto the general table once
+    * (vocab-sized), so the corpus token stream is scanned once and
+    * joined against a single LM frame carrying both surprisals. The
+    * shared smoothing vocabulary is the full-corpus vocabulary, so
+    * unseen-in-reference tokens get the principled count-0 add-1 mass
+    * instead of a special case. Micro-nat BIGINT arithmetic end to
+    * end — one final rank over exact integers, no float ordering. */
+  /** Core excess-surprisal pass over any (doc_id, lang, text) frame —
+    * factored so tests can feed hand-built corpora. Returns ALL docs
+    * scored (callers rank/limit). */
+  def rhoScoresOf(docs: DataFrame): DataFrame = {
+      val toks = docs
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+      val gen = toks.groupBy("tok").agg(count(lit(1)).as("c_gen"))
+      val ref = toks.filter(col("lang") === "en")
+        .groupBy("tok").agg(count(lit(1)).as("c_ref"))
+      val stats = gen.agg(count(lit(1)).as("vocab_n"),
+        sum(col("c_gen")).as("total_gen"))
+        .crossJoin(ref.agg(sum(col("c_ref")).as("total_ref")))
+      // one vocab-sized LM frame carrying BOTH surprisals
+      val lm = gen.join(ref, Seq("tok"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("tok").as("lm_tok"),
+          round(-log((col("c_gen") + lit(1.0)) /
+            (col("total_gen") + col("vocab_n")).cast("double")) * 1e6, 0)
+            .cast("long").as("s_gen"),
+          round(-log((coalesce(col("c_ref"), lit(0L)) + lit(1.0)) /
+            (col("total_ref") + col("vocab_n")).cast("double")) * 1e6, 0)
+            .cast("long").as("s_ref"))
+      toks.join(lm, col("tok") === col("lm_tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("s_gen") - col("s_ref")).as("excess_micro"))
+  }
+
+  val rhoSelect: Q = Q(
+    "q_rho_select",
+    (s, dir) =>
+      rhoScoresOf(t(s, dir, "documents"))
+        .orderBy(col("excess_micro").desc, col("doc_id").asc)
+        .limit(100),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents),
+      gen AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_gen FROM tok GROUP BY tok),
+      ref AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_ref
+              FROM tok WHERE lang = 'en' GROUP BY tok),
+      stats AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM gen) AS vocab_n,
+               (SELECT CAST(sum(c_gen) AS BIGINT) FROM gen) AS total_gen,
+               (SELECT CAST(sum(c_ref) AS BIGINT) FROM ref) AS total_ref),
+      lm AS (
+        SELECT g.tok AS lm_tok,
+               CAST(round(-ln((g.c_gen + 1.0) /
+                 CAST(total_gen + vocab_n AS DOUBLE)) * 1e6) AS BIGINT) AS s_gen,
+               CAST(round(-ln((coalesce(r.c_ref, 0) + 1.0) /
+                 CAST(total_ref + vocab_n AS DOUBLE)) * 1e6) AS BIGINT) AS s_ref
+        FROM gen g LEFT JOIN ref r ON g.tok = r.tok CROSS JOIN stats)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(s_gen - s_ref) AS BIGINT) AS excess_micro
+      FROM tok JOIN lm ON tok = lm_tok
+      GROUP BY doc_id
+      ORDER BY excess_micro DESC, doc_id ASC LIMIT 100"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
-    bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio, spearman)
+    bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
+    spearman, rhoSelect)
 }

@@ -479,6 +479,70 @@ object Graph {
              CAST(v // 2 AS BIGINT) AS id, CAST(label AS BIGINT) AS label
       FROM lp3 ORDER BY kind, id"""))
 
+  /** Common-neighbor link prediction over the co-purchase graph:
+    * score every NON-adjacent part pair by how many parts are
+    * adjacent to both ("friend of a friend" recommendation — the
+    * classic Liben-Nowell/Kleinberg baseline), and keep the top-20.
+    * Existing edges are anti-joined away, so the output is genuinely
+    * predicted links, not a restatement of the adjacency.
+    *
+    * The graph is bounded to a pinned ship-date year — the
+    * production framing ("recommend from recent co-purchases") and
+    * the scale control in one: wedge enumeration is inherently
+    * Σ deg(w)² at each center w, so the feasible-at-100 TB plan
+    * bounds the neighborhood (a time window here; a deterministic
+    * per-vertex top-d neighbor cap is the general tool) BEFORE the
+    * wedge self-join rather than filtering after. Within the window
+    * everything is hash joins on vertex keys: edges build from one
+    * order-keyed self-join, wedges from one center-keyed self-join,
+    * and AQE's skew split handles residual hub centers. Scores are
+    * exact integer counts — ranking is float-free. */
+  /** Core common-neighbor pass over any canonical undirected edge
+    * list (p1 < p2, no duplicates): score all non-adjacent pairs by
+    * shared-neighbor count. Factored so tests can feed hand-built
+    * graphs. */
+  def commonNeighborScores(e: DataFrame): DataFrame = {
+    // symmetric neighbor list: every undirected edge in both roles
+    val nb = e.select(col("p1").as("ctr"), col("p2").as("nbr"))
+      .unionByName(e.select(col("p2").as("ctr"), col("p1").as("nbr")))
+    val wedges = nb.as("x").join(nb.as("y"),
+        col("x.ctr") === col("y.ctr") && col("x.nbr") < col("y.nbr"))
+      .groupBy(col("x.nbr").as("p1"), col("y.nbr").as("p2"))
+      .agg(count(lit(1)).as("cn"))
+    wedges.join(e, Seq("p1", "p2"), "left_anti")
+  }
+
+  val linkPredict: Q = Q(
+    "q_link_predict",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2")).distinct()
+      commonNeighborScores(e)
+        .orderBy(col("cn").desc, col("p1").asc, col("p2").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+      e AS (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      nb AS (
+        SELECT p1 AS ctr, p2 AS nbr FROM e
+        UNION ALL SELECT p2 AS ctr, p1 AS nbr FROM e),
+      wedges AS (
+        SELECT x.nbr AS p1, y.nbr AS p2, CAST(count(*) AS BIGINT) AS cn
+        FROM nb x JOIN nb y ON x.ctr = y.ctr AND x.nbr < y.nbr
+        GROUP BY x.nbr, y.nbr)
+      SELECT w.p1, w.p2, w.cn FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.p1 = w.p1 AND e.p2 = w.p2)
+      ORDER BY w.cn DESC, w.p1 ASC, w.p2 ASC LIMIT 20"""))
+
   val all: Seq[Q] = Seq(pagerank, copurchase, triangleCount, shortestPath,
-    labelPropagation)
+    labelPropagation, linkPredict)
 }

@@ -273,4 +273,33 @@ class CurationSpec extends SparkSpec {
     // the range write actually fanned out (not one monolithic file)
     assert(byFile.length > 1)
   }
+
+  test("boilerplate strip removes exactly the shared banner, keeps unique content intact") {
+    import spark.implicits._
+    // 10 docs of srcA share a 5-token banner + have unique bodies;
+    // 2 docs of srcB carry the SAME banner text but are below the
+    // per-source threshold, so srcB keeps it
+    val a = (0 until 10).map(i =>
+      (i.toLong, "srcA", s"join our newsletter today now body$i one two three four"))
+    val b = Seq((100L, "srcB", "join our newsletter today now other stuff here pad pad"),
+      (101L, "srcB", "join our newsletter today now more words go here pad"))
+    val docs = (a ++ b).toDF("doc_id", "source", "text")
+    val out = llm.Curation.boilerplateStripOf(docs, minDocs = 10)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // srcA: 2 segments total, banner stripped, body kept
+    for (i <- 0 until 10) {
+      val (_, tot, kept, sig) = out(i.toLong)
+      assert(tot == 2L && kept == 1L, s"doc $i: want 2 segs, 1 kept; got $tot/$kept")
+      val bodySig = docs.where(col("doc_id") === i.toLong)
+        .select(md5(concat_ws(" ",
+          org.apache.spark.sql.functions.slice(split(col("text"), " "), 6, 5))
+          .cast("binary"))).head().getString(0)
+      assert(sig == bodySig, s"doc $i: cleaned content is exactly the post-banner body")
+    }
+    // srcB: below threshold — nothing stripped
+    for (id <- Seq(100L, 101L)) {
+      val (_, tot, kept, _) = out(id)
+      assert(tot == kept, s"doc $id: sub-threshold source must keep all segments")
+    }
+  }
 }

@@ -221,4 +221,29 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == ref)
   }
+
+  test("link prediction: square graph predicts the two diagonals, path predicts endpoints") {
+    // square 1-2-3-4-1: non-edges are the diagonals (1,3) and (2,4),
+    // each with BOTH off-diagonal vertices as common neighbors
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("p1", "p2")
+    val sq = ops.Graph.commonNeighborScores(square)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sq == Set((1L, 3L, 2L), (2L, 4L, 2L)))
+    // path 1-2-3: single predicted link (1,3) through center 2;
+    // the existing edges must NOT appear in the output
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("p1", "p2")
+    val pa = ops.Graph.commonNeighborScores(path)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pa == Set((1L, 3L, 1L)))
+  }
+
+  test("link prediction on the corpus graph returns non-adjacent pairs only") {
+    val top = ops.Graph.linkPredict.fn(spark, sf001)
+    val rows = top.collect()
+    assert(rows.nonEmpty, "pinned-year co-purchase graph yields predictions")
+    assert(rows.forall(_.getLong(2) >= 1L))
+    // ranked: cn non-increasing
+    val cns = rows.map(_.getLong(2))
+    assert(cns.zip(cns.tail).forall { case (a, b) => a >= b })
+  }
 }

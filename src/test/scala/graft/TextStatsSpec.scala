@@ -241,4 +241,28 @@ class TextStatsSpec extends SparkSpec {
     assert(got.filter(_._1 == "A").minBy(_._2)._3 == "x")
     assert(got.filter(_._1 == "B").minBy(_._2)._3 == "y")
   }
+
+  test("rho select ranks in-domain docs above reference-unseen noise") {
+    // reference domain (en) speaks "alpha beta"; the general corpus
+    // additionally has lots of "noise" tokens that en never uses.
+    // excess = s_gen − s_ref: in-domain tokens are MORE probable
+    // under the reference than the diluted general model ⇒ positive
+    // excess (selected — RHO's "clean and still learnable" signal);
+    // ref-unseen tokens take the huge smoothed s_ref ⇒ strongly
+    // negative excess (deprioritized).
+    val docs = (
+      (0 until 8).map(i => (i.toLong, "en", "alpha beta alpha beta")) ++
+      (10 until 18).map(i => (i.toLong, "de", "noise noise noise noise")) :+
+      (20L, "de", "alpha beta alpha beta") // out-of-domain doc, in-domain words
+    ).toDF("doc_id", "lang", "text")
+    val got = llm.TextStats.rhoScoresOf(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // every in-domain doc outranks every noise doc
+    val cleanMin = ((0 until 8).map(i => got(i.toLong)) :+ got(20L)).min
+    val noiseMax = (10 until 18).map(i => got(i.toLong)).max
+    assert(cleanMin > 0L, s"in-domain docs carry positive excess, got $cleanMin")
+    assert(noiseMax < 0L, s"ref-unseen docs carry negative excess, got $noiseMax")
+    // identical text ⇒ identical score regardless of the doc's own lang
+    assert(got(20L) == got(0L))
+  }
 }
