@@ -1181,27 +1181,35 @@ object Curation {
     * threshold. */
   def boilerplateStripOf(docs: DataFrame, minDocs: Int): DataFrame = {
     val w = toks(col("text"))
+    // persisted not needed: the two consumers below are one narrow
+    // aggregation and one join off the SAME shuffle-free projection —
+    // Spark recomputes the cheap scan rather than caching corpus text
     val segs = docs
       .select(col("doc_id"), col("source"),
         posexplode(transform(
           sequence(lit(0), ((size(w) + lit(4)) / lit(5)).cast("int") - 1),
           i => concat_ws(" ", slice(w, i * 5 + 1, lit(5))))).as(Seq("seg", "seg_str")))
+    // the flag table is segments-shared-by-≥minDocs — bounded by
+    // (total segments / minDocs), in practice the per-source template
+    // set: small enough to broadcast, which keeps the corpus-sized
+    // side unshuffled for the mark join
     val flagged = segs.groupBy("source", "seg_str")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select("source", "seg_str")
-    val kept = segs.join(flagged, Seq("source", "seg_str"), "left_anti")
+      .select(col("source"), col("seg_str"), lit(1).as("boil"))
+    // ONE corpus-keyed aggregation does totals, kept-counts, and the
+    // ordered reassembly fingerprint — no second scan, no join-back
+    segs.join(broadcast(flagged), Seq("source", "seg_str"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_seg_kept"),
+      .agg(count(lit(1)).as("n_seg_total"),
+        count(when(col("boil").isNull, 1)).as("n_seg_kept"),
         md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("seg"), col("seg_str")))),
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("seg"), col("seg_str"),
+                coalesce(col("boil"), lit(0)).as("b")))),
+              x => x.getField("b") === 0),
             x => x.getField("seg_str"))).cast("binary")).as("clean_sig"))
-    docs.select(col("doc_id"),
-        ((size(toks(col("text"))) + lit(4)) / lit(5)).cast("long").as("n_seg_total"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_seg_total"),
-        coalesce(col("n_seg_kept"), lit(0L)).as("n_seg_kept"),
-        coalesce(col("clean_sig"), md5(lit("").cast("binary"))).as("clean_sig"))
       .orderBy("doc_id")
   }
 

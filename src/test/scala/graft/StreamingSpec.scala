@@ -206,4 +206,25 @@ class StreamingSpec extends SparkSpec {
     assert(after.toSeq == batchDirs.map(_.getName).sorted.toSeq,
       "no new batch partitions on a checkpointed re-run")
   }
+
+  test("late-data policy: stragglers quarantined against the committed watermark, never counted") {
+    val out = EventStream.streamLate.fn(spark, sf001).collect()
+    assert(out.nonEmpty)
+    // batch-side ground truth for the replay's arithmetic split
+    val ev = Tables.load(spark, sf001, "events")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val lateCut = new Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val isLate = col("event_id") % 5 === 0 && col("ts") < lit(lateCut)
+    val wantLate = ev.filter(isLate).count()
+    val wantOnTime = ev.count() - wantLate
+    assert(wantLate > 0, "corpus must actually contain stragglers for the test to bite")
+    assert(out.map(_.getAs[Long]("n_late_dropped")).sum == wantLate,
+      "every straggler lands in quarantine accounting")
+    assert(out.map(_.getAs[Long]("n_ontime")).sum == wantOnTime,
+      "admitted rows are exactly the on-time partition (horizon row filtered)")
+    // quarantined rows contribute NOTHING to the value totals
+    val wantCents = ev.filter(!isLate)
+      .agg(sum(round(col("value") * 100, 0).cast("long"))).head().getLong(0)
+    assert(out.map(_.getAs[Long]("cents_ontime")).sum == wantCents)
+  }
 }
