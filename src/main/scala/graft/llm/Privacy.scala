@@ -105,5 +105,105 @@ object Privacy {
       GROUP BY c_mktsegment, c_nationkey
       ORDER BY segment, nation"""))
 
-  val all: Seq[Q] = Seq(dpCounts, kAnonymity)
+  /** Differentially-private MEDIAN per event_type under the
+    * EXPONENTIAL mechanism (McSherry–Talwar), derandomized like
+    * [[dpCounts]]: candidates are the group's distinct cent values,
+    * utility u(c) = −|2·#below(c) + #eq(c) − n| (how far c's span
+    * sits from the true middle, in ranks — integer, sensitivity 2),
+    * weight ∝ exp(ε·u/4) rounded to micro-units, and the draw picks
+    * the first candidate whose cumulative weight passes a 16-bit
+    * md5(event_type) coin scaled onto the exact total. Everything
+    * after the one libm `exp` is BIGINT arithmetic — cumulative sums,
+    * the coin cross-multiplication, the argmin — so both engines walk
+    * the identical selection, and the driver hash certifies the whole
+    * mechanism, not just its output shape.
+    *
+    * Scale shape: candidates form the group's DISTINCT-VALUE table
+    * (the winsorize/quantile-bin precedent — group-cardinality, not
+    * corpus-cardinality); the rank prefix-sum is a window over that
+    * table partitioned by group; the coin join is per-group 1-row.
+    * exp's concentration does the statistical work: candidates far
+    * from the median round to weight 0 and never win. */
+  /** Core mechanism over any (event_type, c) value frame — factored
+    * so tests can feed hand-built distributions. */
+  def dpMedianOf(vals: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      def nib(c: org.apache.spark.sql.Column, i: Int) = {
+        val a = ascii(substring(c, i, 1))
+        a - when(a >= 97, 87).otherwise(48)
+      }
+      val cand = vals.groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      val byVal = Window.partitionBy("event_type").orderBy("c")
+      val scored = cand
+        .withColumn("below", coalesce(sum(col("cnt")).over(
+          byVal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy("event_type")))
+        .withColumn("w_micro",
+          round(exp(lit(0.025) *
+            -abs(lit(2) * col("below") + col("cnt") - col("n"))) * 1e6, 0)
+            .cast("long"))
+        .withColumn("cumw", sum(col("w_micro")).over(
+          byVal.rowsBetween(Window.unboundedPreceding, 0)))
+      val hex = md5(col("event_type").cast("binary"))
+      val u16 = ((nib(hex, 1) * 16 + nib(hex, 2)) * 16 + nib(hex, 3)) * 16 + nib(hex, 4)
+      val drawn = scored
+        .withColumn("total_w", max(col("cumw")).over(
+          Window.partitionBy("event_type")))
+        .withColumn("coin_num", u16.cast("long") * col("total_w"))
+        // integer division — Spark's `/` is double division, and the
+        // numerator can exceed 2^53 where doubles drop ulps
+        .withColumn("target", expr("coin_num div 65536"))
+        .filter(col("cumw") > col("target"))
+      drawn.groupBy("event_type")
+        .agg(min(col("c")).as("dp_median_cents"),
+          max(col("n")).as("n_rows"),
+          max(col("total_w")).as("weight_total_micro"))
+        .orderBy("event_type")
+  }
+
+  val dpMedian: Q = Q(
+    "q_dp_median",
+    (s, dir) =>
+      dpMedianOf(t(s, dir, "events")
+        .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("c"))),
+    Some("""
+      WITH vals AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      cand AS (
+        SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY 1, 2),
+      scored AS (
+        SELECT *,
+               CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+               CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM cand),
+      weighted AS (
+        SELECT *,
+               CAST(round(exp(0.025 * -abs(2 * below + cnt - n)) * 1e6) AS BIGINT)
+                 AS w_micro
+        FROM scored),
+      cum AS (
+        SELECT *,
+               CAST(sum(w_micro) OVER (PARTITION BY event_type ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+               CAST(sum(w_micro) OVER (PARTITION BY event_type) AS BIGINT) AS total_w
+        FROM weighted),
+      coin AS (
+        SELECT *,
+               ((((ascii(substr(md5(event_type), 1, 1)) - CASE WHEN ascii(substr(md5(event_type), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+                  (ascii(substr(md5(event_type), 2, 1)) - CASE WHEN ascii(substr(md5(event_type), 2, 1)) >= 97 THEN 87 ELSE 48 END)) * 16 +
+                  (ascii(substr(md5(event_type), 3, 1)) - CASE WHEN ascii(substr(md5(event_type), 3, 1)) >= 97 THEN 87 ELSE 48 END)) * 16 +
+                  (ascii(substr(md5(event_type), 4, 1)) - CASE WHEN ascii(substr(md5(event_type), 4, 1)) >= 97 THEN 87 ELSE 48 END))
+                 * total_w // 65536 AS target
+        FROM cum)
+      SELECT event_type,
+             CAST(min(c) FILTER (WHERE cumw > target) AS BIGINT) AS dp_median_cents,
+             CAST(max(n) AS BIGINT) AS n_rows,
+             CAST(max(total_w) AS BIGINT) AS weight_total_micro
+      FROM coin
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(dpCounts, kAnonymity, dpMedian)
 }
