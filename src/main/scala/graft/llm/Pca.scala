@@ -166,5 +166,87 @@ object Pca {
     },
     None)
 
-  val all: Seq[Q] = Seq(pcaProject)
+  /** Johnson–Lindenstrauss RANDOM projection — the training-free
+    * counterpart of [[pcaProject]]: 64-d embeddings to k = 16
+    * dimensions via a ±1 sign matrix (Achlioptas), with the JL
+    * norm-preservation guarantee audited per vector. Where PCA pays a
+    * Gram pass to learn directions, JL pays nothing: the sign matrix
+    * is a pure function of (i, j) — md5 first-nibble parity, the
+    * repo's standard derandomized coin — so every engine and every
+    * executor regenerates it identically, no broadcast state at all.
+    *
+    * Exactness: elements quantize to micro-units FIRST
+    * (round(x·1e6) as BIGINT); each projected coordinate is then an
+    * INTEGER dot product with ±1 — associative, overflow-safe
+    * (|p| ≤ 64·6e5·1e6 « 2^63), and identical under any summation
+    * order, which is precisely what float folds can't promise across
+    * engines. The audit emits Σ_j p_j² against k·‖x‖² as an exact
+    * integer permille — E[ratio] = 1000 under the JL distribution,
+    * and the div-first spelling keeps every intermediate inside
+    * BIGINT. Fully oracled: DuckDB rebuilds the same sign matrix from
+    * range()×range() and must reproduce every projected integer.
+    *
+    * Scale shape: ONE narrow scan, zero joins, zero shuffles beyond
+    * the declared ORDER BY — the projection a 100 TB pipeline runs as
+    * a map stage in front of ANN indexing when there is no budget for
+    * a training pass. */
+  val jlProject: Q = Q(
+    "q_jl_project",
+    (s, dir) => {
+      val d = 64
+      val k = 16
+      // md5 first-hex-char parity: +1 even, −1 odd — must match the
+      // oracle's ascii(substr(md5(i || '_' || j), 1, 1)) % 2
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def sign(i: Int, j: Int): Long = {
+        val hex = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0).toInt % 2 == 0) 1L else -1L
+      }
+      val signs: Seq[Seq[Long]] =
+        (0 until k).map(j => (0 until d).map(i => sign(i, j)))
+      val xm = transform(col("embedding"),
+        x => round(x.cast("double") * 1e6, 0).cast("long"))
+      val projs = transform(typedLit(signs),
+        srow => aggregate(zip_with(xm, srow, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), xm.as("xm"), projs.as("p"))
+        .select(col("vec_id"),
+          aggregate(transform(col("xm"), x => x * x), lit(0L), (a, v) => a + v)
+            .as("norm2_micro2"),
+          aggregate(transform(col("p"), x => x * x), lit(0L), (a, v) => a + v)
+            .as("proj2_sum_micro2"),
+          element_at(col("p"), 1).as("p0_micro"))
+        // div-first keeps every intermediate inside BIGINT (1000·proj2
+        // would overflow); nullif guards the zero-vector edge in both
+        // engines identically
+        .withColumn("jl_ratio_permille", expr(
+          "proj2_sum_micro2 div nullif((16 * norm2_micro2) div 1000, 0)"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH el AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xm
+        FROM embeddings),
+      signs AS (
+        SELECT i.range AS i, j.range AS j,
+               CASE WHEN ascii(substr(md5(i.range || '_' || j.range), 1, 1)) % 2 = 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS s
+        FROM range(64) i, range(16) j),
+      proj AS (
+        SELECT vec_id, j, CAST(sum(xm * s) AS BIGINT) AS p
+        FROM el JOIN signs USING (i) GROUP BY 1, 2),
+      pa AS (SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS proj2,
+                    CAST(min(CASE WHEN j = 0 THEN p END) AS BIGINT) AS p0
+             FROM proj GROUP BY 1),
+      na AS (SELECT vec_id, CAST(sum(xm * xm) AS BIGINT) AS norm2 FROM el GROUP BY 1)
+      SELECT na.vec_id AS vec_id, norm2 AS norm2_micro2, proj2 AS proj2_sum_micro2,
+             p0 AS p0_micro,
+             CAST(proj2 // nullif((16 * norm2) // 1000, 0) AS BIGINT)
+               AS jl_ratio_permille
+      FROM na JOIN pa USING (vec_id) ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(pcaProject, jlProject)
 }

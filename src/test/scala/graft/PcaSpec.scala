@@ -64,4 +64,34 @@ class PcaSpec extends SparkSpec {
     }
     assert(vars == vars.sorted.reverse, s"unordered: $vars")
   }
+
+  test("JL projection: sign convention reproducible, norm ratios inside the k=16 envelope") {
+    import org.apache.spark.sql.functions._
+    val out = llm.Pca.jlProject.fn(spark, sf001).collect()
+    assert(out.nonEmpty)
+    // reproduce p_0 for the first vector with an independent spelling
+    // of the md5-parity sign matrix — pins the (i,j) orientation
+    val first = out.head
+    val vecId = first.getLong(0)
+    val emb = Tables.load(spark, sf001, "embeddings")
+      .filter(col("vec_id") === vecId).select("embedding")
+      .head().getSeq[Float](0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Long = {
+      val hex = md.digest(s"${i}_${j}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.charAt(0).toInt % 2 == 0) 1L else -1L
+    }
+    val want = emb.zipWithIndex.map { case (x, i) =>
+      math.round(x.toDouble * 1e6) * sign(i, 0)
+    }.sum
+    assert(first.getAs[Long]("p0_micro") == want)
+    // JL guarantee, audited: E[ratio] = 1000; with k = 16 the χ²
+    // tails put every vector inside [100, 4000] with overwhelming
+    // probability and the corpus mean within ±15%
+    val ratios = out.map(_.getAs[Long]("jl_ratio_permille"))
+    assert(ratios.forall(r => r >= 100 && r <= 4000),
+      s"ratio outside envelope: ${ratios.min}..${ratios.max}")
+    val mean = ratios.sum.toDouble / ratios.length
+    assert(mean > 850 && mean < 1150, s"mean ratio $mean drifted from 1000")
+  }
 }
