@@ -461,6 +461,126 @@ object Sampling {
       FROM flagged, kstar
       ORDER BY lang"""))
 
+  /** Greedy k-center CORESET selection over the embedding corpus —
+    * diverse-subset selection (Gonzalez' 2-approximation): seed with
+    * the lowest vec_id, then k−1 times pick the point FARTHEST from
+    * every chosen center (ties to the lowest id) and record the
+    * coverage radius after each pick. The audit row per round is what
+    * a curation pipeline signs off on: radius must be non-increasing,
+    * and the final radius bounds how well k exemplars cover the
+    * corpus (facility-location-style data pruning, cluster seeding,
+    * eval-set diversification).
+    *
+    * Distributed shape: distances live in exact micro-unit BIGINT
+    * (d² = Σ(Δmicro)², overflow-safe at 64 dims), each round is ONE
+    * narrow scan — the new center ships as a literal array into a
+    * zip_with fold, `least` folds it into the running min-distance —
+    * and the argmax is a 1-row TakeOrdered action. k driver rows and
+    * k bounded collects; the corpus never shuffles at all. At 100 TB
+    * the k scans are the cost — the standard trade for exact greedy
+    * k-center (sampling the argmax would break the 2-approximation).
+    *
+    * Fully oracled: the DuckDB twin unrolls the same k rounds as
+    * chained CTEs on the identical integer arithmetic (the labelProp/
+    * pageRank precedent for iterative algorithms), so the driver hash
+    * certifies every pick and every radius, not just the shape. */
+  /** Core greedy pass over any (vec_id, embedding: array<float>)
+    * frame — factored so tests can feed hand-built geometries. */
+  def kcenterOf(vecs: DataFrame, k: Int): DataFrame = {
+      val s = vecs.sparkSession
+      val xm = transform(col("embedding"),
+        x => round(x.cast("double") * 1e6, 0).cast("long"))
+      val base = vecs
+        .select(col("vec_id"), xm.as("xm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val first = base.orderBy("vec_id").limit(1)
+          .select("vec_id", "xm").head()
+        var centerId = first.getLong(0)
+        var centerXm = first.getSeq[Long](1).toIndexedSeq
+        var cur = base.withColumn("mind", lit(Long.MaxValue))
+        val rows = (1 to k).map { r =>
+          val c = typedLit(centerXm)
+          cur = cur.withColumn("mind", least(col("mind"),
+            aggregate(zip_with(col("xm"), c, (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, v) => acc + v)))
+          // one bounded action: the farthest point IS next round's
+          // center and its distance IS this round's coverage radius
+          val top = cur.orderBy(col("mind").desc, col("vec_id").asc)
+            .select("vec_id", "mind", "xm").limit(1).head()
+          val row = (r.toLong, centerId, top.getLong(1))
+          centerId = top.getLong(0)
+          centerXm = top.getSeq[Long](2).toIndexedSeq
+          row
+        }
+        import s.implicits._
+        rows.toDF("k_round", "center_id", "radius_micro2")
+          .orderBy("k_round")
+      } finally base.unpersist()
+  }
+
+  val coresetKCenter: Q = Q(
+    "q_coreset_kcenter",
+    (s, dir) => kcenterOf(t(s, dir, "embeddings"), 8),
+    Some("""
+      WITH el AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xm
+        FROM embeddings),
+      c1 AS (SELECT min(vec_id) AS c FROM el),
+      m1 AS (SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
+             FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c1)
+             GROUP BY a.vec_id),
+      c2 AS (SELECT vec_id AS c, d2 AS r FROM m1 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m2 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m1 m JOIN (
+               SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
+               FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c2)
+               GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
+      c3 AS (SELECT vec_id AS c, d2 AS r FROM m2 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m3 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m2 m JOIN (
+               SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
+               FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c3)
+               GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
+      c4 AS (SELECT vec_id AS c, d2 AS r FROM m3 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m4 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m3 m JOIN (
+               SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
+               FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c4)
+               GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
+      c5 AS (SELECT vec_id AS c, d2 AS r FROM m4 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m5 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m4 m JOIN (
+               SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
+               FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c5)
+               GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
+      c6 AS (SELECT vec_id AS c, d2 AS r FROM m5 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m6 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m5 m JOIN (
+               SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
+               FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c6)
+               GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
+      c7 AS (SELECT vec_id AS c, d2 AS r FROM m6 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m7 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m6 m JOIN (
+               SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
+               FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c7)
+               GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
+      c8 AS (SELECT vec_id AS c, d2 AS r FROM m7 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m8 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m7 m JOIN (
+               SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
+               FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c8)
+               GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
+      c9 AS (SELECT vec_id AS c, d2 AS r FROM m8 ORDER BY d2 DESC, vec_id ASC LIMIT 1)
+      SELECT CAST(k_round AS BIGINT) AS k_round,
+             CAST(center_id AS BIGINT) AS center_id,
+             CAST(radius_micro2 AS BIGINT) AS radius_micro2
+      FROM (
+        SELECT 1 AS k_round, (SELECT c FROM c1) AS center_id, (SELECT r FROM c2) AS radius_micro2
+        UNION ALL SELECT 2, (SELECT c FROM c2), (SELECT r FROM c3)
+        UNION ALL SELECT 3, (SELECT c FROM c3), (SELECT r FROM c4)
+        UNION ALL SELECT 4, (SELECT c FROM c4), (SELECT r FROM c5)
+        UNION ALL SELECT 5, (SELECT c FROM c5), (SELECT r FROM c6)
+        UNION ALL SELECT 6, (SELECT c FROM c6), (SELECT r FROM c7)
+        UNION ALL SELECT 7, (SELECT c FROM c7), (SELECT r FROM c8)
+        UNION ALL SELECT 8, (SELECT c FROM c8), (SELECT r FROM c9)
+      ) ORDER BY k_round"""))
+
   val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir,
-    classWeights, clusterSplit, temperature, unimaxAlloc)
+    classWeights, clusterSplit, temperature, unimaxAlloc, coresetKCenter)
 }

@@ -512,7 +512,68 @@ object Profile {
       FROM digits d CROSS JOIN tot t JOIN exp e ON d.digit = e.digit
       ORDER BY d.digit"""))
 
+  /** Robust (median/MAD) anomaly audit per event_type — the
+    * heavy-tail-safe twin of [[outliers]]' z-score pass: mean/stddev
+    * move with every extreme value, so a burst of anomalies inflates
+    * σ and hides itself; the median and the median absolute deviation
+    * have 50% breakdown and keep flagging. Flag rule:
+    * |c − median| > 5·MAD.
+    *
+    * Exactness across engines: the interpolated median of integers is
+    * either an integer or an exact .5 — DOUBLING it before the cast
+    * makes every quantity BIGINT (med×2, dev×2, MAD×4), and the flag
+    * comparison cross-multiplies (2·dev2 > 5·mad4 ⟺ dev > 5·MAD) so
+    * no division ever happens. Both engines interpolate the same way
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`), proven by
+    * q_argmax_median's hash since round 6.
+    *
+    * Scale: two grouped exact percentiles + two broadcast joins of
+    * group-cardinality stat frames. Exact percentile sorts within
+    * groups — the 100 TB swap is `approx_percentile` (fixed-state
+    * sketch, map-side combinable; see q_approx_percentile for the
+    * driver-checked error bound); the flag arithmetic is unchanged. */
+  val anomalyMad: Q = Q(
+    "q_anomaly_mad",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("c"))
+      val med = e.groupBy("event_type")
+        .agg(expr("cast(round(percentile(c, 0.5D) * 2) as bigint)").as("med2"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev2", abs(lit(2) * col("c") - col("med2")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("cast(round(percentile(dev2, 0.5D) * 2) as bigint)").as("mad4"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("med2")).as("med_x2_cents"),
+          max(col("mad4")).as("mad_x4_cents"),
+          sum(when(lit(2) * col("dev2") > lit(5) * col("mad4"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      med AS (
+        SELECT event_type, CAST(round(quantile_cont(c, 0.5) * 2) AS BIGINT) AS med2
+        FROM e GROUP BY 1),
+      dev AS (
+        SELECT e.event_type, c, abs(2 * c - med2) AS dev2, med2
+        FROM e JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type, CAST(round(quantile_cont(dev2, 0.5) * 2) AS BIGINT) AS mad4
+        FROM dev GROUP BY 1)
+      SELECT d.event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(max(d.med2) AS BIGINT) AS med_x2_cents,
+             CAST(max(m.mad4) AS BIGINT) AS mad_x4_cents,
+             CAST(sum(CASE WHEN 2 * d.dev2 > 5 * m.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM dev d JOIN mad m USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
     groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics,
-    benford)
+    benford, anomalyMad)
 }

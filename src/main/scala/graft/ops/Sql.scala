@@ -63,5 +63,42 @@ object Sql {
       ORDER BY o_orderdate DESC, o_orderkey DESC
       LIMIT 10"""))
 
-  val all: Seq[Q] = Seq(sqlFlagship)
+  /** Correlated LATERAL subquery through the SQL surface: top-3
+    * orders per BUILDING-segment customer, written the way an
+    * analyst writes it — `FROM customer, LATERAL (SELECT ... WHERE
+    * o_custkey = c_custkey ORDER BY ... LIMIT 3)` — and left to the
+    * optimizer. Catalyst DECORRELATES the lateral into a ranked
+    * window over a hash join (DuckDB plans the same shape), so the
+    * per-row subquery the text describes never executes per row:
+    * at 100 TB this is one shuffle on the join key plus a bounded
+    * per-key sort, not O(customers) subplans. The per-group LIMIT
+    * inside a lateral is the SQL idiom the window-function spelling
+    * (`q_window_topn`) expresses relationally — declaring BOTH
+    * surfaces and hash-matching them against the same engine pins
+    * that the dialect intersection really is one semantics. */
+  val lateralTopK: Q = Q(
+    "q_lateral_topk",
+    (s, dir) => {
+      register(s, dir, "customer", "orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, price_cents DESC, t.o_orderkey""")
+    },
+    Some("""
+      SELECT c.c_custkey, t.o_orderkey,
+             CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3) t
+      WHERE c.c_mktsegment = 'BUILDING'
+      ORDER BY c.c_custkey, price_cents DESC, t.o_orderkey"""))
+
+  val all: Seq[Q] = Seq(sqlFlagship, lateralTopK)
 }

@@ -50,6 +50,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("LATERAL per-key top-3 decorrelates to a ranked join, not per-row subplans") {
+    val p = finalPlan(q("q_lateral_topk"))
+    // the lateral's ORDER BY ... LIMIT inside a correlation must
+    // lower to a window/rank over a join — never a nested-loop of
+    // per-customer subqueries, never a cartesian
+    assert(p.contains("Window"), p)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("as-of join is one window sweep, not a theta join") {
     val p = finalPlan(q("q_asof_join"))
     assert(p.contains("Window"), p)

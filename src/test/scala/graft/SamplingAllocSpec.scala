@@ -32,4 +32,34 @@ class SamplingAllocSpec extends SparkSpec {
       assert(whole.map(_._2).max <= capped.map(_._3).min,
         s"a whole language exceeds the cap level: whole=${whole.toSeq} capped=${capped.toSeq}")
   }
+
+  test("k-center coreset: greedy picks the farthest point each round, radius non-increasing") {
+    import spark.implicits._
+    // 1-D geometry (63 zero dims): points at 0, 0.001, 0.010, 0.011 —
+    // greedy from id 0 must pick 11-milli (farthest), then 10-milli's
+    // neighborhood collapses: min-dist of 1-milli and 10-milli is
+    // (1 milli)² each, tie broken by lowest id
+    def v(x: Double) = Array.fill(63)(0.0f) :+ x.toFloat
+    val vecs = Seq(
+      (0L, v(0.0)), (1L, v(0.001)), (10L, v(0.010)), (11L, v(0.011))
+    ).toDF("vec_id", "embedding")
+    val out = llm.Sampling.kcenterOf(vecs, 3)
+      .as[(Long, Long, Long)].collect()
+    val m = 1000L // 0.001 in micro units
+    assert(out(0) == ((1L, 0L, (11 * m) * (11 * m))),
+      s"round 1: center 0, radius to the far end; got ${out(0)}")
+    assert(out(1) == ((2L, 11L, m * m)),
+      s"round 2: farthest point becomes center, ties collapse to 1-milli²; got ${out(1)}")
+    // round 3: remaining candidates 1 and 10 tie at 1-milli² — lowest
+    // id (1) is picked as center; radius stays 1-milli² (point 10)
+    assert(out(2) == ((3L, 1L, m * m)), s"round 3: got ${out(2)}")
+    // corpus run: radii never increase and all centers are distinct
+    val corpus = llm.Sampling.kcenterOf(
+      Tables.load(spark, sf001, "embeddings"), 8)
+      .as[(Long, Long, Long)].collect()
+    val radii = corpus.map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radius increased: ${radii.toSeq}")
+    assert(corpus.map(_._2).distinct.length == corpus.length)
+  }
 }
