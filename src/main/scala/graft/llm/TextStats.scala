@@ -1094,9 +1094,132 @@ object TextStats {
       GROUP BY doc_id
       ORDER BY excess_micro DESC, doc_id ASC LIMIT 100"""))
 
+  /** Interpolated KNESER–NEY bigram LM heldout scoring — the step
+    * past [[bigramPerplexity]]'s add-1: absolute discounting
+    * (d = 0.75) with the CONTINUATION-count backoff ("how many
+    * distinct contexts precede w2", not "how often w2 occurs") that
+    * makes KN the strongest count-based smoother. Every KN statistic
+    * is a grouped count over the train bigram table — c(w1w2),
+    * c(w1·), N1+(w1·), N1+(·w2), N1+(··) — so the model "trains" as
+    * four vocabulary-sized aggregations; the continuation
+    * distribution takes an add-1 floor over (N1+(··) + V) so unseen
+    * words keep finite surprisal. Scoring joins each heldout bigram
+    * against the three stat frames on its own keys (bg, w1, w2) —
+    * token-keyed hash joins, never corpus-pairwise.
+    *
+    * Determinism: counts are BIGINT; the probability is a FIXED
+    * parenthesization of IEEE double ops — both engines evaluate
+    * `(max(c12−d,0)/c1) + (((d·N1+(w1·))/c1)·pc)` in the identical
+    * order, and one final −ln rounds to micro-nats, the repo's
+    * established cross-engine-exact envelope. */
+  /** Core KN scoring over explicit (doc_id, text) train/heldout
+    * frames — factored so tests can inject corpora that exercise the
+    * continuation-count backoff directly. */
+  def kneserNeyOf(train: DataFrame, test: DataFrame): DataFrame = {
+      def bigramFrame(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("w")) - 2),
+              i => struct(
+                concat_ws(" ", slice(col("w"), i + lit(1), lit(2))).as("bg"),
+                element_at(col("w"), i + lit(1)).as("w1"),
+                element_at(col("w"), i + lit(2)).as("w2")))).as("e"))
+          .select(col("doc_id"), col("e.bg").as("bg"),
+            col("e.w1").as("w1"), col("e.w2").as("w2"))
+      val trbg = bigramFrame(train)
+      val c12 = trbg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      val w1stats = trbg.groupBy("w1")
+        .agg(count(lit(1)).as("c1"), countDistinct(col("bg")).as("n1p_fw"))
+        .withColumnRenamed("w1", "p1")
+      val cont = trbg.select("w1", "w2").distinct()
+      val w2stats = cont.groupBy("w2")
+        .agg(count(lit(1)).as("n1p_pw"))
+        .withColumnRenamed("w2", "p2")
+      val globals = cont.agg(count(lit(1)).as("dd"))
+        .crossJoin(train
+          .select(explode(tokens(col("text"))).as("tok"))
+          .agg(countDistinct(col("tok")).as("vocab_n")))
+      val pc = (coalesce(col("n1p_pw"), lit(0L)) + lit(1.0)) /
+        (col("dd") + col("vocab_n")).cast("double")
+      val c1d = col("c1").cast("double")
+      val pkn = when(coalesce(col("c1"), lit(0L)) > 0,
+        (greatest(coalesce(col("c12"), lit(0L)) - lit(0.75), lit(0.0)) / c1d) +
+          (((lit(0.75) * col("n1p_fw")) / c1d) * pc))
+        .otherwise(pc)
+      bigramFrame(test)
+        .join(c12, Seq("bg"), "left")
+        .join(w1stats, col("w1") === col("p1"), "left")
+        .join(w2stats, col("w2") === col("p2"), "left")
+        .crossJoin(broadcast(globals))
+        .select(col("doc_id"),
+          round(-log(pkn) * 1e6, 0).cast("long").as("surprisal_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("surprisal_micro")).as("total_surprisal_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("total_surprisal_micro"),
+          (col("total_surprisal_micro").cast("double") / col("n_bigrams") / 1e6)
+            .as("mean_surprisal_nats"))
+        .orderBy("doc_id")
+  }
+
+  val kneserNey: Q = Q(
+    "q_lm_kneser_ney",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("b", Sampling.hashBucket(col("doc_id")))
+      kneserNeyOf(docs.filter(col("b") < 80), docs.filter(col("b") >= 90))
+    },
+    Some("""
+      WITH bucketed AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS b
+        FROM documents),
+      trainw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM bucketed WHERE b < 80),
+      testw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM bucketed WHERE b >= 90),
+      trbg AS (SELECT t.doc_id, t.w[s.k+1] || ' ' || t.w[s.k+2] AS bg,
+                      t.w[s.k+1] AS w1, t.w[s.k+2] AS w2
+               FROM trainw t, unnest(generate_series(0, len(t.w) - 2)) AS s(k)
+               WHERE len(t.w) >= 2),
+      c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM trbg GROUP BY bg),
+      w1s AS (SELECT w1 AS p1, CAST(count(*) AS BIGINT) AS c1,
+                     CAST(count(DISTINCT bg) AS BIGINT) AS n1p_fw
+              FROM trbg GROUP BY w1),
+      cont AS (SELECT DISTINCT w1, w2 FROM trbg),
+      w2s AS (SELECT w2 AS p2, CAST(count(*) AS BIGINT) AS n1p_pw
+              FROM cont GROUP BY w2),
+      gl AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cont) AS dd,
+                    (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+                     FROM (SELECT unnest(w) AS tok FROM trainw)) AS vocab_n),
+      tsbg AS (SELECT t.doc_id, t.w[s.k+1] || ' ' || t.w[s.k+2] AS bg,
+                      t.w[s.k+1] AS w1, t.w[s.k+2] AS w2
+               FROM testw t, unnest(generate_series(0, len(t.w) - 2)) AS s(k)
+               WHERE len(t.w) >= 2),
+      scored AS (
+        SELECT t.doc_id,
+               CAST(round(-ln(
+                 CASE WHEN coalesce(w1s.c1, 0) > 0 THEN
+                   (greatest(coalesce(c12.c12, 0) - 0.75, 0.0) / CAST(w1s.c1 AS DOUBLE)) +
+                     (((0.75 * w1s.n1p_fw) / CAST(w1s.c1 AS DOUBLE)) *
+                      ((coalesce(w2s.n1p_pw, 0) + 1.0) / CAST(dd + vocab_n AS DOUBLE)))
+                 ELSE ((coalesce(w2s.n1p_pw, 0) + 1.0) / CAST(dd + vocab_n AS DOUBLE))
+                 END) * 1e6) AS BIGINT) AS surprisal_micro
+        FROM tsbg t LEFT JOIN c12 USING (bg)
+                    LEFT JOIN w1s ON t.w1 = w1s.p1
+                    LEFT JOIN w2s ON t.w2 = w2s.p2
+        CROSS JOIN gl)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(surprisal_micro) AS BIGINT) AS total_surprisal_micro,
+             CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
-    spearman, rhoSelect)
+    spearman, rhoSelect, kneserNey)
 }

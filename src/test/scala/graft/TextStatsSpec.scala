@@ -265,4 +265,29 @@ class TextStatsSpec extends SparkSpec {
     // identical text ⇒ identical score regardless of the doc's own lang
     assert(got(20L) == got(0L))
   }
+
+  test("Kneser-Ney: continuation counts beat raw frequency in the backoff") {
+    // train: "b" follows THREE distinct contexts but occurs only 3
+    // times; "e" occurs 10 times but only ever follows itself. A
+    // frequency backoff would call unseen-context "e" more likely
+    // than unseen-context "b"; KN's continuation counts say the
+    // opposite — that is the defining property of the smoother.
+    val train = Seq(
+      (1L, "a b"), (2L, "c b"), (3L, "d b"),
+      (4L, "e e e e e e e e e e")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "a b"), // seen bigram: cheap
+      (101L, "z e"), // unseen context z: pure continuation backoff to p_cont(e)
+      (102L, "z b")  // unseen context z: pure continuation backoff to p_cont(b)
+    ).toDF("doc_id", "text")
+    val got = llm.TextStats.kneserNeyOf(train, test).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // identical unseen context: continuation-favored "b" (3 contexts)
+    // must be cheaper than frequency-favored "e" (1 context, 10 hits)
+    assert(got(102L) < got(101L),
+      s"KN must rank many-context b above one-context e: ${got.toSeq.sorted}")
+    // a seen bigram stays cheaper than any backoff
+    assert(got(100L) < got(102L))
+  }
 }
