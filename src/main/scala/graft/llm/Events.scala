@@ -841,7 +841,101 @@ object Events {
       FROM per_r CROSS JOIN obs
       ORDER BY r"""))
 
+  /** POISSON-BOOTSTRAP confidence intervals for the per-type mean —
+    * the bootstrap that actually runs at 100 TB: true resampling
+    * draws n-with-replacement (a global coordination), the Poisson
+    * approximation gives every row an INDEPENDENT Poisson(1)
+    * multiplicity per resample, so B = 100 bootstrap replicas
+    * materialize as one row-local explode and aggregate straight back
+    * down with map-side combine — no resample ever sees the corpus.
+    *
+    * Derandomized end to end with ZERO floating point: the Poisson(1)
+    * inverse CDF is pre-discretized onto the repo's 16-bit md5 coin
+    * as integer thresholds (u16 < 24109 → 0 copies, < 48219 → 1, …,
+    * ≤ 65535 → 7), each replica mean is the exact integer
+    * (Σwc·10⁶) div Σw, and the 95% interval is nearest-rank order
+    * statistics (3rd / 50th / 98th of 100) picked by a
+    * group-partitioned row_number — both engines walk identical
+    * BIGINTs from coin to CI. */
+  val bootstrapCi: Q = Q(
+    "q_bootstrap_ci",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def nib(c: org.apache.spark.sql.Column, i: Int) = {
+        val a = ascii(substring(c, i, 1))
+        a - when(a >= 97, 87).otherwise(48)
+      }
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val hex = md5(concat(col("event_id").cast("string"), lit("_"),
+        col("b").cast("string")).cast("binary"))
+      val u16 = ((nib(hex, 1) * 16 + nib(hex, 2)) * 16 + nib(hex, 3)) * 16 + nib(hex, 4)
+      val w = when(u16 < 24109, 0L).when(u16 < 48219, 1L)
+        .when(u16 < 60273, 2L).when(u16 < 64292, 3L)
+        .when(u16 < 65296, 4L).when(u16 < 65497, 5L)
+        .when(u16 < 65531, 6L).otherwise(7L)
+      val means = e.withColumn("b", explode(sequence(lit(0), lit(99))))
+        .withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(sum(col("w") * col("c")).as("sc"), sum(col("w")).as("sw"))
+        .select(col("event_type"), col("b"),
+          expr("(sc * 1000000) div nullif(sw, 0)").as("mean_micro"))
+      val rn = row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("mean_micro").asc, col("b").asc))
+      val ci = means.withColumn("rn", rn)
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === 3, col("mean_micro"))).as("ci_lo_micro"),
+          max(when(col("rn") === 50, col("mean_micro"))).as("ci_med_micro"),
+          max(when(col("rn") === 98, col("mean_micro"))).as("ci_hi_micro"))
+      e.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("(sum(c) * 1000000) div count(1)").as("point_mean_micro"))
+        .join(ci, Seq("event_type"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      rep AS (
+        SELECT e.*, b.range AS b,
+               ((((ascii(substr(md5(event_id || '_' || b.range), 1, 1)) - CASE WHEN ascii(substr(md5(event_id || '_' || b.range), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+                  (ascii(substr(md5(event_id || '_' || b.range), 2, 1)) - CASE WHEN ascii(substr(md5(event_id || '_' || b.range), 2, 1)) >= 97 THEN 87 ELSE 48 END)) * 16 +
+                  (ascii(substr(md5(event_id || '_' || b.range), 3, 1)) - CASE WHEN ascii(substr(md5(event_id || '_' || b.range), 3, 1)) >= 97 THEN 87 ELSE 48 END)) * 16 +
+                  (ascii(substr(md5(event_id || '_' || b.range), 4, 1)) - CASE WHEN ascii(substr(md5(event_id || '_' || b.range), 4, 1)) >= 97 THEN 87 ELSE 48 END))
+                 AS u16
+        FROM e, range(100) b),
+      wt AS (
+        SELECT event_type, b, c,
+               CASE WHEN u16 < 24109 THEN 0 WHEN u16 < 48219 THEN 1
+                    WHEN u16 < 60273 THEN 2 WHEN u16 < 64292 THEN 3
+                    WHEN u16 < 65296 THEN 4 WHEN u16 < 65497 THEN 5
+                    WHEN u16 < 65531 THEN 6 ELSE 7 END AS w
+        FROM rep),
+      means AS (
+        SELECT event_type, b,
+               CAST((sum(w * c) * 1000000) // nullif(sum(w), 0) AS BIGINT) AS mean_micro
+        FROM wt GROUP BY 1, 2),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY mean_micro ASC, b ASC) AS rn
+        FROM means),
+      ci AS (
+        SELECT event_type,
+               CAST(max(CASE WHEN rn = 3 THEN mean_micro END) AS BIGINT) AS ci_lo_micro,
+               CAST(max(CASE WHEN rn = 50 THEN mean_micro END) AS BIGINT) AS ci_med_micro,
+               CAST(max(CASE WHEN rn = 98 THEN mean_micro END) AS BIGINT) AS ci_hi_micro
+        FROM ranked GROUP BY 1),
+      pt AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST((sum(c) * 1000000) // count(*) AS BIGINT) AS point_mean_micro
+        FROM e GROUP BY 1)
+      SELECT pt.event_type AS event_type, n_rows, point_mean_micro,
+             ci_lo_micro, ci_med_micro, ci_hi_micro
+      FROM pt JOIN ci USING (event_type) ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
-    preferencePairs, groupAdvantage, attribution, cuped, permutationTest)
+    preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi)
 }

@@ -150,4 +150,21 @@ class EventsSpec extends SparkSpec {
     // but adjusted must still land closer to the true effect of 7
     assert(math.abs(adj - 7000000L) < math.abs(raw - 7000000L))
   }
+
+  test("Poisson bootstrap CI: ordered bounds that bracket the point estimate") {
+    val out = llm.Events.bootstrapCi.fn(spark, sf001).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (typ, n, point, lo, med, hi) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lo <= med && med <= hi, s"$typ: unordered CI ($lo, $med, $hi)")
+      assert(lo <= point && point <= hi,
+        s"$typ: point $point outside 95% CI [$lo, $hi]")
+      // CI width scales like σ/√n — sanity-bound it: nonzero (the
+      // resamples genuinely vary) and far below the data range
+      assert(hi > lo, s"$typ: degenerate interval")
+      assert(hi - lo < 20000L * 1000000L / math.max(1L, math.round(math.sqrt(n.toDouble))),
+        s"$typ: CI width ${hi - lo} implausibly wide for n=$n")
+    }
+  }
 }
