@@ -935,7 +935,77 @@ object Events {
              ci_lo_micro, ci_med_micro, ci_hi_micro
       FROM pt JOIN ci USING (event_type) ORDER BY event_type"""))
 
+  /** CUSUM change-point detection on the per-type daily value series
+    * — "did the metric shift, and when?": the classic cumulative-sum
+    * statistic C_t = Σ_{d≤t}(x̄_d − x̄)·n_d peaks at the day the level
+    * changes; its argmax is the estimated change point and its
+    * magnitude ranks how sharp the break is. Everything stays exact:
+    * the deviation is cross-multiplied (s_d·N − n_d·S — no division,
+    * no float), the cumulative sum is a day-ordered window over the
+    * DAILY table (group-cardinality — ~30 rows per type, never the
+    * corpus), and the argmax takes |C_t| descending with the earliest
+    * day as tiebreak. The corpus aggregates once; detection runs on
+    * the tiny daily frame — the shape that holds at any scale.
+    *
+    * Magnitude units: cents·rows (the cross-multiplied C_t); compare
+    * within a series, not across types with different volumes. */
+  /** Core CUSUM pass over any (event_type, day, sd, nd) daily frame —
+    * factored so tests can plant level shifts. Convention: the
+    * reported change day is the LAST day of the pre-shift regime
+    * (where |C_t| peaks). */
+  def cusumDetect(daily: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val tot = daily.groupBy(col("event_type").as("tt"))
+        .agg(sum(col("sd")).as("bigS"), sum(col("nd")).as("bigN"))
+      val cum = daily.join(broadcast(tot), col("event_type") === col("tt"))
+        .withColumn("cusum", sum(col("sd") * col("bigN") - col("nd") * col("bigS"))
+          .over(Window.partitionBy("event_type").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      cum.withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum")).desc, col("day").asc)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          max(when(col("rn") === 1, col("day"))).as("change_day"),
+          max(when(col("rn") === 1, abs(col("cusum")))).as("cusum_abs"))
+        .orderBy("event_type")
+  }
+
+  val changepoint: Q = Q(
+    "q_changepoint",
+    (s, dir) =>
+      cusumDetect(t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("sd"),
+          count(lit(1)).as("nd"))),
+    Some("""
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sd,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM events GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type AS tt, CAST(sum(sd) AS BIGINT) AS bigS,
+               CAST(sum(nd) AS BIGINT) AS bigN
+        FROM daily GROUP BY 1),
+      cum AS (
+        SELECT daily.*,
+               CAST(sum(sd * bigN - nd * bigS)
+                 OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+        FROM daily JOIN tot ON event_type = tt),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY abs(cusum) DESC, day ASC) AS rn
+        FROM cum)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             max(CASE WHEN rn = 1 THEN day END) AS change_day,
+             CAST(max(CASE WHEN rn = 1 THEN abs(cusum) END) AS BIGINT) AS cusum_abs
+      FROM ranked
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
-    preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi)
+    preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
+    changepoint)
 }

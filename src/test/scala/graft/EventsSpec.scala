@@ -167,4 +167,24 @@ class EventsSpec extends SparkSpec {
         s"$typ: CI width ${hi - lo} implausibly wide for n=$n")
     }
   }
+
+  test("CUSUM change point lands on the last pre-shift day with the exact peak") {
+    import java.sql.Timestamp
+    // level 100 for days 1-5, level 200 for days 6-10: CUSUM walks to
+    // -2500 at day 5 (S=1500, N=10, dev=±500) and back to 0
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val daily = (1 to 10).map(d =>
+      ("x", day(d), if (d <= 5) 100L else 200L, 1L))
+      .toDF("event_type", "day", "sd", "nd")
+    val got = llm.Events.cusumDetect(daily).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 10L)
+    assert(r.getTimestamp(2) == day(5), s"change day ${r.getTimestamp(2)}")
+    assert(r.getLong(3) == 2500L, s"peak ${r.getLong(3)}")
+    // a flat series peaks at zero: no spurious change signal
+    val flat = (1 to 10).map(d => ("y", day(d), 100L, 1L))
+      .toDF("event_type", "day", "sd", "nd")
+    assert(llm.Events.cusumDetect(flat).head().getLong(3) == 0L)
+  }
 }
