@@ -1004,8 +1004,78 @@ object Events {
       FROM ranked
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** Lag-k AUTOCORRELATION of the per-type daily mean series (lags 1
+    * and 7 — momentum and weekly seasonality), the time-series twin
+    * of [[changepoint]]: everything reduces to six exact integer sums
+    * over the lag-joined daily frame (n, Σx, Σy, Σxy, Σx², Σy²) and
+    * the Pearson pieces cross-multiply in BIGINT. Daily means enter
+    * as exact MILLI-cents ((sd·10³) div nd) — sized so n·Σxy stays
+    * inside 2⁶³ at any realistic volume. The one non-integer step is
+    * the final r = num / √(varx·vary): multiply and √ are
+    * IEEE-correctly-rounded (unlike libm ln/exp there is no
+    * implementation latitude at all), so both engines produce the
+    * bit-identical double, rounded once into permille. The lag join
+    * is a day-shift self-join of the ~30-row daily table —
+    * group-cardinality everywhere. */
+  /** Core ACF pass over any (event_type, day, m) daily frame —
+    * factored so tests can plant seasonal series. */
+  def acfOf(daily: DataFrame): DataFrame = {
+      def acf(lag: Int): DataFrame = {
+        val lagged = daily.select(col("event_type").as("lt"),
+          date_add(col("day"), lag).as("ld"), col("m").as("my"))
+        daily.join(lagged,
+            col("event_type") === col("lt") && col("day").cast("date") === col("ld"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("m")).as("sx"), sum(col("my")).as("sy"),
+            sum(col("m") * col("my")).as("sxy"),
+            sum(col("m") * col("m")).as("sxx"), sum(col("my") * col("my")).as("syy"))
+          .select(col("event_type"), lit(lag.toLong).as("lag"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("varx"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("vary"))
+      }
+      acf(1).unionByName(acf(7))
+        .select(col("event_type"), col("lag"), col("n"),
+          expr("""cast(round(1000.0 * num /
+                  nullif(sqrt(cast(varx as double) * cast(vary as double)), 0.0))
+                  as bigint)""").as("r_permille"))
+        .orderBy("event_type", "lag")
+  }
+
+  val autocorr: Q = Q(
+    "q_autocorr",
+    (s, dir) =>
+      acfOf(t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(expr("(sum(cast(round(value * 100) as bigint)) * 1000) div count(1)")
+          .as("m"))),
+    Some("""
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST((sum(CAST(round(value * 100) AS BIGINT)) * 1000) // count(*)
+                 AS BIGINT) AS m
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type, l.lag, a.m AS x, b.m AS y
+        FROM daily a
+        JOIN (VALUES (1), (7)) l(lag) ON true
+        JOIN daily b ON b.event_type = a.event_type
+                    AND CAST(b.day AS DATE) + l.lag = CAST(a.day AS DATE)),
+      stats AS (
+        SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1, 2)
+      SELECT event_type, lag, n,
+             CAST(round(1000.0 * (n * sxy - sx * sy) /
+               nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                           CAST(n * syy - sy * sy AS DOUBLE)), 0.0)) AS BIGINT)
+               AS r_permille
+      FROM stats ORDER BY event_type, lag"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
-    changepoint)
+    changepoint, autocorr)
 }

@@ -187,4 +187,16 @@ class EventsSpec extends SparkSpec {
       .toDF("event_type", "day", "sd", "nd")
     assert(llm.Events.cusumDetect(flat).head().getLong(3) == 0L)
   }
+
+  test("ACF finds planted weekly seasonality: r(7) near 1000, r(1) well below") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // period-7 sawtooth over four weeks: identical value every 7th day
+    val season = (1 to 28).map(d => ("x", day(d), 1000L + 300L * (d % 7)))
+      .toDF("event_type", "day", "m")
+    val got = llm.Events.acfOf(season).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got(7L) == 1000L, s"perfect period-7 series must have r(7)=1000, got ${got(7L)}")
+    assert(got(1L) < 500L, s"lag-1 of a sawtooth is weak, got ${got(1L)}")
+  }
 }
