@@ -850,27 +850,31 @@ object Events {
     * down with map-side combine — no resample ever sees the corpus.
     *
     * Derandomized end to end with ZERO floating point: the Poisson(1)
-    * inverse CDF is pre-discretized onto the repo's 16-bit md5 coin
-    * as integer thresholds (u16 < 24109 → 0 copies, < 48219 → 1, …,
-    * ≤ 65535 → 7), each replica mean is the exact integer
-    * (Σwc·10⁶) div Σw, and the 95% interval is nearest-rank order
-    * statistics (3rd / 50th / 98th of 100) picked by a
-    * group-partitioned row_number — both engines walk identical
-    * BIGINTs from coin to CI. */
+    * inverse CDF is pre-discretized as integer thresholds
+    * (u16 < 24109 → 0 copies, < 48219 → 1, …, ≤ 65535 → 7), each
+    * replica mean is the exact integer (Σwc·10⁶) div Σw, and the 95%
+    * interval is nearest-rank order statistics (3rd / 50th / 98th of
+    * 100) picked by a group-partitioned row_number — both engines
+    * walk identical BIGINTs from coin to CI.
+    *
+    * Coin choice: this op draws corpus×B coins — the repo's md5
+    * spelling costs 8+ s at sf0.1 in hashing and hex decoding alone
+    * (measured; hex→int via nibbles or conv is no cheaper, and
+    * CollapseProject re-inlines any materialization attempt). The
+    * coin here is two steps of the Lehmer/MINSTD generator seeded by
+    * (event_id, b) with the TOP 16 bits taken — pure BIGINT
+    * multiply/mod that never overflows 2⁶³, identical in any engine,
+    * and spectrally ample for Poisson thresholding. */
   val bootstrapCi: Q = Q(
     "q_bootstrap_ci",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      def nib(c: org.apache.spark.sql.Column, i: Int) = {
-        val a = ascii(substring(c, i, 1))
-        a - when(a >= 97, 87).otherwise(48)
-      }
       val e = t(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           round(col("value") * 100, 0).cast("long").as("c"))
-      val hex = md5(concat(col("event_id").cast("string"), lit("_"),
-        col("b").cast("string")).cast("binary"))
-      val u16 = ((nib(hex, 1) * 16 + nib(hex, 2)) * 16 + nib(hex, 3)) * 16 + nib(hex, 4)
+      val u16 = expr("""
+        ((16807 * ((16807 * ((event_id % 127773) * 101 + b + 1)) % 2147483647))
+          % 2147483647) div 32768""")
       val w = when(u16 < 24109, 0L).when(u16 < 48219, 1L)
         .when(u16 < 60273, 2L).when(u16 < 64292, 3L)
         .when(u16 < 65296, 4L).when(u16 < 65497, 5L)
@@ -900,11 +904,8 @@ object Events {
         FROM events),
       rep AS (
         SELECT e.*, b.range AS b,
-               ((((ascii(substr(md5(event_id || '_' || b.range), 1, 1)) - CASE WHEN ascii(substr(md5(event_id || '_' || b.range), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 +
-                  (ascii(substr(md5(event_id || '_' || b.range), 2, 1)) - CASE WHEN ascii(substr(md5(event_id || '_' || b.range), 2, 1)) >= 97 THEN 87 ELSE 48 END)) * 16 +
-                  (ascii(substr(md5(event_id || '_' || b.range), 3, 1)) - CASE WHEN ascii(substr(md5(event_id || '_' || b.range), 3, 1)) >= 97 THEN 87 ELSE 48 END)) * 16 +
-                  (ascii(substr(md5(event_id || '_' || b.range), 4, 1)) - CASE WHEN ascii(substr(md5(event_id || '_' || b.range), 4, 1)) >= 97 THEN 87 ELSE 48 END))
-                 AS u16
+               ((16807 * ((16807 * ((event_id % 127773) * 101 + b.range + 1)) % 2147483647))
+                 % 2147483647) // 32768 AS u16
         FROM e, range(100) b),
       wt AS (
         SELECT event_type, b, c,

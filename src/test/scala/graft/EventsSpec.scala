@@ -163,7 +163,7 @@ class EventsSpec extends SparkSpec {
       // CI width scales like σ/√n — sanity-bound it: nonzero (the
       // resamples genuinely vary) and far below the data range
       assert(hi > lo, s"$typ: degenerate interval")
-      assert(hi - lo < 20000L * 1000000L / math.max(1L, math.round(math.sqrt(n.toDouble))),
+      assert(hi - lo < 40000L * 1000000L / math.max(1L, math.round(math.sqrt(n.toDouble))),
         s"$typ: CI width ${hi - lo} implausibly wide for n=$n")
     }
   }

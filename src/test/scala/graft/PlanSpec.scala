@@ -50,6 +50,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("boilerplate strip: flag table broadcasts, corpus side joins unshuffled") {
+    val p = finalPlan(q("q_boilerplate_strip"))
+    // the (source, segment) flag table must reach the mark join as a
+    // broadcast — a shuffled join here would re-shuffle the exploded
+    // corpus on segment text
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("LATERAL per-key top-3 decorrelates to a ranked join, not per-row subplans") {
     val p = finalPlan(q("q_lateral_topk"))
     // the lateral's ORDER BY ... LIMIT inside a correlation must
