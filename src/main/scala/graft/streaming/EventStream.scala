@@ -933,7 +933,100 @@ object EventStream {
       FROM events, mx
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** One Misra–Gries update: exact-increment when tracked, admit
+    * while below capacity, otherwise the classic decrement-all step.
+    * Pure function — unit-tested directly; the estimate for any key
+    * is within [true − n/(k+1), true]. */
+  def mgAdd(m: Map[Long, Long], x: Long, k: Int): Map[Long, Long] =
+    if (m.contains(x)) m.updated(x, m(x) + 1L)
+    else if (m.size < k) m.updated(x, 1L)
+    else m.flatMap { case (u, c) => if (c > 1L) Some(u -> (c - 1L)) else None }
+
+  /** Streaming HEAVY HITTERS under bounded state — Misra–Gries(64)
+    * per shard (user_id mod 32), merged by summing per-shard
+    * estimates: the frequent-items shape that holds on an unbounded
+    * stream where exact per-user counting cannot (state is ≤ 64
+    * entries per shard FOREVER, vs one entry per user ever seen). A
+    * planted hot user carrying ~5% of corpus volume is appended to
+    * the landing zone; the merged sketch must surface it at rank 1
+    * with its estimate inside the MG envelope
+    * [true − Σ_shards n_shard/(k+1), true] — asserted IN-QUERY, so a
+    * broken decrement path throws into the driver's err field rather
+    * than shipping a wrong sketch. Rows-only per contract (MG is
+    * order-dependent within the envelope, so no cross-engine hash);
+    * near-uniform background users correctly do NOT qualify — the
+    * sketch's job is to separate the heavy tail, not to count.
+    *
+    * Each micro-batch's group input is sorted (ts, event_id) before
+    * folding so the demo is run-to-run deterministic; production MG
+    * needs no order — ANY arrival order satisfies the envelope. The
+    * sort buffers one batch-shard, the STATE stays capped at k. */
+  val streamHeavyHitters: Q = Q(
+    "q_stream_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val nBase = ev.count() // bounded 1-row action: plant sizing
+      val hotN = math.max(200L, nBase / 20)
+      val hotUser = 9999999L
+      val hot = s.range(hotN).select(
+        (col("id") + 5000000L).as("event_id"),
+        lit(java.sql.Timestamp.valueOf("2024-01-15 12:00:00")).as("ts"),
+        lit(hotUser).as("user_id"))
+      val stage = stagePath(s, "graft_stream_hh")
+      ev.unionByName(hot).write.mode("overwrite").parquet(stage)
+      val local = narrowedSession(s, 4)
+      val sink = "graft_stream_hh_sink"
+      val k = 64
+      val sq = local.readStream.schema(ev.schema).parquet(stage)
+        .as[(Long, java.sql.Timestamp, Long)]
+        .groupByKey(r => java.lang.Math.floorMod(r._3, 32L))
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (shard: Long, batch: Iterator[(Long, java.sql.Timestamp, Long)],
+           gs: GroupState[(Map[Long, Long], Long)]) =>
+            var (m, np) = gs.getOption.getOrElse((Map.empty[Long, Long], 0L))
+            batch.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach { r =>
+              m = mgAdd(m, r._3, k); np += 1L
+            }
+            gs.update((m, np))
+            val users = m.keys.toSeq.sorted
+            (shard, np, users, users.map(m))
+        }
+        .toDF("shard", "n_proc", "users", "ests")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val latest = local.table(sink)
+        .groupBy("shard")
+        .agg(max_by(struct(col("n_proc"), col("users"), col("ests")), col("n_proc"))
+          .as("z"))
+        .select(col("shard"), col("z.n_proc").as("n_proc"),
+          col("z.users").as("users"), col("z.ests").as("ests"))
+      val errBound = latest.agg(sum(expr(s"n_proc div ${k + 1}"))).head().getLong(0)
+      val top = latest
+        .select(explode(arrays_zip(col("users"), col("ests"))).as("e"))
+        .select(col("e.users").as("user_id"), col("e.ests").as("est"))
+        .groupBy("user_id").agg(sum(col("est")).as("est"))
+        .withColumn("err_bound", lit(errBound))
+        .orderBy(col("est").desc, col("user_id").asc)
+        .limit(5)
+      // MG envelope floor on the planted hot user: rank 1, estimate
+      // within [true − bound, true]
+      val head = top.head()
+      require(head.getLong(0) == hotUser,
+        s"planted heavy hitter not at rank 1: got ${head.getLong(0)}")
+      val est = head.getLong(1)
+      require(est <= hotN && est >= hotN - errBound,
+        s"MG envelope violated: est=$est true=$hotN bound=$errBound")
+      top
+    },
+    None)
+
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
     streamJoinOuter, streamState, streamTimeoutSessions, streamFunnel,
-    streamMerge, streamQuarantine, streamNtz, streamEnrich, streamLate)
+    streamMerge, streamQuarantine, streamNtz, streamEnrich, streamLate,
+    streamHeavyHitters)
 }

@@ -227,4 +227,26 @@ class StreamingSpec extends SparkSpec {
       .agg(sum(round(col("value") * 100, 0).cast("long"))).head().getLong(0)
     assert(out.map(_.getAs[Long]("cents_ontime")).sum == wantCents)
   }
+
+  test("Misra-Gries update obeys the frequency envelope on every prefix") {
+    // deterministic skewed stream: key 1 is the majority element
+    val stream = Seq.tabulate(400)(i => if (i % 3 != 2) 1L else (i % 17).toLong + 2L)
+    var m = Map.empty[Long, Long]
+    val k = 4
+    val truth = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    stream.zipWithIndex.foreach { case (x, i) =>
+      m = EventStream.mgAdd(m, x, k)
+      truth(x) += 1L
+      val n = i + 1L
+      assert(m.size <= k, s"state exceeded capacity at $n")
+      // every key's estimate within [true - n/(k+1), true]
+      (truth.keySet ++ m.keySet).foreach { u =>
+        val est = m.getOrElse(u, 0L)
+        assert(est <= truth(u), s"overestimate for $u at $n")
+        assert(est >= truth(u) - n / (k + 1), s"underestimate beyond envelope for $u at $n")
+      }
+    }
+    // the majority element must be tracked with a dominant estimate
+    assert(m.contains(1L) && m(1L) > m.filterNot(_._1 == 1L).values.maxOption.getOrElse(0L))
+  }
 }
