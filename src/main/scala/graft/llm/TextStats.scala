@@ -1042,14 +1042,18 @@ object TextStats {
       val toks = docs
         .select(col("doc_id"), col("lang"),
           explode(tokens(col("text"))).as("tok"))
-      val gen = toks.groupBy("tok").agg(count(lit(1)).as("c_gen"))
-      val ref = toks.filter(col("lang") === "en")
-        .groupBy("tok").agg(count(lit(1)).as("c_ref"))
+      // ONE aggregation of the token stream yields both models'
+      // counts (the reference count is a conditional sum), so the
+      // corpus is scanned once for training and once for scoring —
+      // never per-model
+      val gen = toks.groupBy("tok")
+        .agg(count(lit(1)).as("c_gen"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_ref"))
       val stats = gen.agg(count(lit(1)).as("vocab_n"),
-        sum(col("c_gen")).as("total_gen"))
-        .crossJoin(ref.agg(sum(col("c_ref")).as("total_ref")))
+        sum(col("c_gen")).as("total_gen"),
+        sum(col("c_ref")).as("total_ref"))
       // one vocab-sized LM frame carrying BOTH surprisals
-      val lm = gen.join(ref, Seq("tok"), "left")
+      val lm = gen
         .crossJoin(broadcast(stats))
         .select(col("tok").as("lm_tok"),
           round(-log((col("c_gen") + lit(1.0)) /
