@@ -573,7 +573,70 @@ object Profile {
       FROM dev d JOIN mad m USING (event_type)
       GROUP BY d.event_type ORDER BY d.event_type"""))
 
+  /** Freshness / completeness SLA audit per event stream — the two
+    * staleness questions an ingest dashboard answers before anyone
+    * trusts a table: how far behind the clock is each source
+    * (minutes from a pinned as-of to its frontier max(ts)), and did
+    * any source silently skip days (distinct days present vs the
+    * corpus-wide day span)? Both are exact integers: the lag is an
+    * epoch-seconds difference div 60, completeness is a permille
+    * cross-division, and the two release flags are the comparisons a
+    * gate scripts against. One grouped aggregate over the corpus +
+    * one broadcast of the 1-row global day-count — scan-shaped at
+    * any scale. As-of is PINNED (2024-02-01, just past the corpus
+    * frontier) per the repo's determinism contract — a production
+    * deployment swaps in current_timestamp and nothing else. */
+  val freshnessSla: Q = Q(
+    "q_freshness_sla",
+    (s, dir) => {
+      val asOf = lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      val e = t(s, dir, "events")
+      val globalDays = e.agg(
+        countDistinct(date_trunc("day", col("ts"))).as("days_global"))
+      e.groupBy("event_type")
+        .agg(max(col("ts")).as("frontier_ts"),
+          countDistinct(date_trunc("day", col("ts"))).as("days_present"),
+          count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(globalDays))
+        // unix_timestamp floors to whole seconds; the oracle floors
+        // epoch() the same way so fractional-second frontiers can't
+        // straddle a minute boundary differently across engines
+        .select(col("event_type"), col("frontier_ts"), col("n_rows"),
+          ((unix_timestamp(asOf) - unix_timestamp(col("frontier_ts")))
+            .cast("long")).as("secs_behind"),
+          col("days_present"), col("days_global"))
+        .withColumn("minutes_behind", expr("secs_behind div 60"))
+        .drop("secs_behind")
+        .withColumn("completeness_permille",
+          expr("(1000 * days_present) div days_global"))
+        .withColumn("fresh", (col("minutes_behind") <= 2880L).cast("long"))
+        .withColumn("complete",
+          (col("days_present") === col("days_global")).cast("long"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH g AS (
+        SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS days_global
+        FROM events)
+      SELECT event_type,
+             max(ts) AS frontier_ts,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST((CAST(floor(epoch(TIMESTAMP '2024-02-01 00:00:00')) AS BIGINT)
+                   - CAST(floor(epoch(max(ts))) AS BIGINT)) // 60
+               AS BIGINT) AS minutes_behind,
+             CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS days_present,
+             days_global,
+             CAST((1000 * count(DISTINCT date_trunc('day', ts))) // days_global
+               AS BIGINT) AS completeness_permille,
+             CAST(CASE WHEN (CAST(floor(epoch(TIMESTAMP '2024-02-01 00:00:00')) AS BIGINT)
+                             - CAST(floor(epoch(max(ts))) AS BIGINT)) // 60
+                            <= 2880 THEN 1 ELSE 0 END AS BIGINT) AS fresh,
+             CAST(CASE WHEN count(DISTINCT date_trunc('day', ts)) = days_global
+                       THEN 1 ELSE 0 END AS BIGINT) AS complete
+      FROM events, g
+      GROUP BY event_type, days_global ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
     groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics,
-    benford, anomalyMad)
+    benford, anomalyMad, freshnessSla)
 }
