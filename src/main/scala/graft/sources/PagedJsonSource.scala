@@ -70,7 +70,7 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
       private val pageSize = options.getInt("page_size", 100)
       private val maxRecords = options.getInt("max_records", 500)
       private val path = Option(options.get("path"))
@@ -78,8 +78,19 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
       // reference timeout=10 s (lambda_function.py:40)
       private val timeoutMs = options.getInt("timeout_ms", 10000)
 
+      /** Column pruning pushed INTO the source: the row parser fills
+        * exactly the requested fields (nested officeAddress subfields
+        * included — Catalyst passes a pruned struct), so a 2-column
+        * projection never materializes the other 7 strings per
+        * record. Over a paged API this is the difference between
+        * shipping the whole payload into rows and shipping the
+        * projection — the DSv2 analog of parquet's ReadSchema. */
+      private var required: StructType = schema0
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): Scan = this
-      override def readSchema(): StructType = schema0
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
       /** One InputPartition per page — the unit of parallel fetch.
@@ -129,7 +140,7 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new PagedReaderFactory(schema0)
+        new PagedReaderFactory(required)
     }
 }
 

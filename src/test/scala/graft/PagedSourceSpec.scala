@@ -149,4 +149,22 @@ class PagedSourceSpec extends SparkSpec {
     assert(viaSource == viaJson)
     assert(viaSource.size == 5)
   }
+
+  test("column pruning pushes into the source: the scan reads only projected fields") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("page_size", 3).load()
+      .select("title", "naicsCode")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val read = scans.head.scan.readSchema().fieldNames.toSeq
+    assert(read == Seq("title", "naicsCode"),
+      s"source read schema not pruned: $read")
+    // pruned results identical to the full-scan projection
+    val full = spark.read.format("graft.sources.PagedJsonSource")
+      .option("page_size", 3).load().collect()
+      .map(r => (r.getAs[String]("title"), r.getAs[String]("naicsCode"))).toSeq
+    val pruned = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pruned == full)
+  }
 }
