@@ -70,7 +70,8 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
+        with SupportsPushDownLimit {
       private val pageSize = options.getInt("page_size", 100)
       private val maxRecords = options.getInt("max_records", 500)
       private val path = Option(options.get("path"))
@@ -89,6 +90,18 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
+      /** LIMIT pushed into the pager: `df.limit(n)` tightens the
+        * record cap BEFORE partition planning, so pages past the
+        * limit are never planned, fetched, or parsed — the
+        * `max_records` truncation semantics (reference :49,54)
+        * driven by the query instead of an option. Partial push
+        * (return false) would also be correct; returning true is
+        * exact here because pages preserve record order and the
+        * planner caps the page count. */
+      private var limit: Int = Int.MaxValue
+      override def pushLimit(n: Int): Boolean = { limit = n; true }
+      override def isPartiallyPushed(): Boolean = false
+
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
@@ -106,8 +119,9 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
       override def planInputPartitions(): Array[InputPartition] = {
         // HTTP: one serial pager (see class scaladoc — offset paging
         // cannot be split; shard the QUERY, not the offsets)
+        val cap = math.min(maxRecords.toLong, limit.toLong).toInt
         if (url.isDefined)
-          return Array(HttpPagerPartition(url.get, pageSize, maxRecords, timeoutMs))
+          return Array(HttpPagerPartition(url.get, pageSize, cap, timeoutMs))
         val (available, offsets): (Int, Array[Long]) = path match {
           case Some(p) =>
             val in = new java.io.BufferedInputStream(
@@ -132,7 +146,7 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
             } finally in.close()
           case None => (Ingest.fixture.size, Array(0L))
         }
-        val total = math.min(available, maxRecords)
+        val total = math.min(available, cap)
         val pages = (total + pageSize - 1) / pageSize
         (0 until pages).map(i =>
           PagePartition(i, pageSize, total, path,

@@ -167,4 +167,24 @@ class PagedSourceSpec extends SparkSpec {
     val pruned = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(pruned == full)
   }
+
+  test("limit pushes into the pager: pages past the limit are never planned") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // 20-record JSON-lines file, page_size 3: a full scan plans 7
+    // pages; limit(7) must plan exactly ceil(7/3) = 3
+    val f = java.nio.file.Files.createTempFile("paged_limit", ".jsonl")
+    val lines = (0 until 20).map(i => s"""{"noticeId":"n$i","title":"t$i"}""")
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    val base = spark.read.format("graft.sources.PagedJsonSource")
+      .option("page_size", 3).option("path", f.toString)
+    assert(scanOf(base.load()).inputRDD.getNumPartitions == 7)
+    val limited = base.load().limit(7)
+    assert(scanOf(limited).inputRDD.getNumPartitions == 3,
+      limited.queryExecution.executedPlan.toString)
+    val got = limited.collect().map(_.getAs[String]("noticeId")).toSeq
+    assert(got == (0 until 7).map(i => s"n$i"))
+    java.nio.file.Files.delete(f)
+  }
 }
