@@ -71,7 +71,7 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
-        with SupportsPushDownLimit {
+        with SupportsPushDownLimit with SupportsPushDownAggregates {
       private val pageSize = options.getInt("page_size", 100)
       private val maxRecords = options.getInt("max_records", 500)
       private val path = Option(options.get("path"))
@@ -102,8 +102,32 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
       override def pushLimit(n: Int): Boolean = { limit = n; true }
       override def isPartiallyPushed(): Boolean = false
 
+      /** COUNT(*) answered at PLANNING time: the fixture size / the
+        * JSON-lines line count are already known from the planning
+        * pass, so an ungrouped count never fetches or parses a single
+        * record — one metadata partition emits the capped total. The
+        * HTTP pager declines the push (its total is only discoverable
+        * by paging, which is exactly the work pushdown exists to
+        * avoid). */
+      private var countStar = false
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        url.isEmpty && agg.groupByExpressions().isEmpty &&
+          agg.aggregateExpressions().length == 1 &&
+          agg.aggregateExpressions()(0)
+            .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        val ok = supportCompletePushDown(agg)
+        if (ok) countStar = true
+        ok
+      }
+
       override def build(): Scan = this
-      override def readSchema(): StructType = required
+      override def readSchema(): StructType =
+        if (countStar)
+          StructType(Seq(StructField("count(*)", org.apache.spark.sql.types.LongType)))
+        else required
       override def toBatch: Batch = this
 
       /** One InputPartition per page — the unit of parallel fetch.
@@ -147,6 +171,7 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
           case None => (Ingest.fixture.size, Array(0L))
         }
         val total = math.min(available, cap)
+        if (countStar) return Array(CountPartition(total.toLong))
         val pages = (total + pageSize - 1) / pageSize
         (0 until pages).map(i =>
           PagePartition(i, pageSize, total, path,
@@ -166,8 +191,19 @@ final class PagedReaderFactory(schema: StructType)
     partition match {
       case hp: HttpPagerPartition => new HttpPagerReader(hp, schema)
       case pp: PagePartition => new PagePartitionReader(pp, schema)
+      case cp: CountPartition => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean =
+          if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow =
+          new GenericInternalRow(Array[Any](cp.total))
+        override def close(): Unit = ()
+      }
     }
 }
+
+/** Planning-time COUNT(*) answer — one row, zero records parsed. */
+final case class CountPartition(total: Long) extends InputPartition
 
 final case class PagePartition(page: Int, pageSize: Int, total: Int,
     path: Option[String], startByte: Long) extends InputPartition

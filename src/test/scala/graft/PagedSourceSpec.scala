@@ -187,4 +187,28 @@ class PagedSourceSpec extends SparkSpec {
     assert(got == (0 until 7).map(i => s"n$i"))
     java.nio.file.Files.delete(f)
   }
+
+  test("COUNT(*) pushes to the source: answered at planning, zero records parsed") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val f = java.nio.file.Files.createTempFile("paged_count", ".jsonl")
+    val lines = (0 until 23).map(i => s"""{"noticeId":"n$i"}""")
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes)
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("page_size", 3).option("path", f.toString).load()
+    val cnt = df.groupBy().count()
+    val scans = cnt.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, cnt.queryExecution.executedPlan.toString)
+    // the scan's output IS the aggregate — one metadata partition,
+    // not ceil(23/3) = 8 page readers
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("count(*)"),
+      scans.head.scan.readSchema().treeString)
+    assert(scans.head.inputRDD.getNumPartitions == 1)
+    assert(cnt.collect().head.getLong(0) == 23L)
+    // max_records still caps the pushed answer
+    val capped = spark.read.format("graft.sources.PagedJsonSource")
+      .option("page_size", 3).option("max_records", 10).option("path", f.toString)
+      .load().count()
+    assert(capped == 10L)
+    java.nio.file.Files.delete(f)
+  }
 }
