@@ -161,4 +161,61 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  private def checkFew(p: org.scalacheck.Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("k-center greedy: radii non-increasing, centers distinct, seeded at min id (property)") {
+    import spark.implicits._
+    val pts = Gen.nonEmptyListOf(Gen.chooseNum(-500, 500)).map(_.take(10).distinct)
+    checkFew(forAll(pts) { xs =>
+      val vecs = xs.zipWithIndex
+        .map { case (x, i) => (i.toLong, Array(x / 1000.0f)) }
+        .toDF("vec_id", "embedding")
+      val k = math.min(3, xs.length)
+      val out = llm.Sampling.kcenterOf(vecs, k)
+        .as[(Long, Long, Long)].collect()
+      val radii = out.map(_._3)
+      out.length == k &&
+        out.head._2 == 0L &&
+        radii.zip(radii.tail).forall { case (a, b) => a >= b } &&
+        out.map(_._2).distinct.length == k
+    })
+  }
+
+  test("ACF is shift-invariant and bounded by ±1000 permille (property)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    val series = Gen.listOfN(10, Gen.chooseNum(0L, 1000L))
+    val shift = Gen.chooseNum(1L, 100000L)
+    checkFew(forAll(series, shift) { (ms, c) =>
+      def frame(off: Long) = ms.zipWithIndex
+        .map { case (m, d) => ("x", day(d), m + off) }.toDF("event_type", "day", "m")
+      def rows(off: Long) = llm.Events.acfOf(frame(off)).collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      val base = rows(0L)
+      base == rows(c) &&
+        base.forall { case (_, r) => r.forall(v => v >= -1000L && v <= 1000L) }
+    })
+  }
+
+  test("CUSUM scales linearly with the series and keeps its change day (property)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    val series = Gen.listOfN(8, Gen.chooseNum(0L, 1000L))
+    val scale = Gen.chooseNum(2L, 50L)
+    checkFew(forAll(series, scale) { (ms, c) =>
+      def detect(f: Long => Long) = llm.Events.cusumDetect(
+        ms.zipWithIndex.map { case (m, d) => ("x", day(d), f(m), 1L) }
+          .toDF("event_type", "day", "sd", "nd")).collect().head
+      val base = detect(identity)
+      val scaled = detect(_ * c)
+      scaled.getLong(3) == base.getLong(3) * c &&
+        scaled.getTimestamp(2) == base.getTimestamp(2)
+    })
+  }
 }
