@@ -1075,8 +1075,86 @@ object Events {
                AS r_permille
       FROM stats ORDER BY event_type, lag"""))
 
+  /** WELCH'S t-test on per-user spend between the two experiment arms
+    * (user-id parity, the same split as [[permutationTest]]) — the
+    * parametric complement to the permutation p-value: unequal
+    * variances, Welch–Satterthwaite degrees of freedom. Everything up
+    * to the final statistic is exact integer sums (n, Σx, Σx² per
+    * arm in one grouped pass); the t and df computations are FIXED
+    * parenthesizations of IEEE +,−,×,÷,√ — all correctly-rounded
+    * operations with zero libm latitude (the q_autocorr precedent) —
+    * rounded once into milli-units. Sample variance via the exact
+    * cross-multiplied form (n·Σx² − (Σx)²) div-free in the numerator
+    * so catastrophic cancellation can't differ across engines. */
+  /** Core Welch pass over any (arm_a: boolean, spend: long) frame —
+    * factored so tests can hand-check the statistic. */
+  def welchOf(users: DataFrame): DataFrame = {
+      users.groupBy("arm_a")
+        .agg(count(lit(1)).as("n"), sum(col("spend")).as("sx"),
+          sum(col("spend") * col("spend")).as("sxx"))
+        .groupBy()
+        .agg(
+          max(when(col("arm_a"), col("n"))).as("n1"),
+          max(when(col("arm_a"), col("sx"))).as("s1"),
+          max(when(col("arm_a"), col("sxx"))).as("q1"),
+          max(when(!col("arm_a"), col("n"))).as("n2"),
+          max(when(!col("arm_a"), col("sx"))).as("s2"),
+          max(when(!col("arm_a"), col("sxx"))).as("q2"))
+        // v_i = s_i²/n_i (sample variance over n): exact integer
+        // numerator, then one fixed-order double division chain;
+        // squares below are explicit multiplications — pow() is libm
+        // and carries implementation latitude, x*x does not
+        .withColumn("v1", expr(
+          "cast(n1 * q1 - s1 * s1 as double) / (cast(n1 as double) * n1 * (n1 - 1))"))
+        .withColumn("v2", expr(
+          "cast(n2 * q2 - s2 * s2 as double) / (cast(n2 as double) * n2 * (n2 - 1))"))
+        .select(col("n1"), col("n2"),
+          expr("""cast(round(1000.0 *
+            ((cast(s1 as double) / n1) - (cast(s2 as double) / n2)) / sqrt(v1 + v2))
+            as bigint)""").as("t_milli"),
+          expr("""cast(round(1000.0 * ((v1 + v2) * (v1 + v2)) /
+            ((v1 * v1) / (n1 - 1) + (v2 * v2) / (n2 - 1))) as bigint)""").as("df_milli"))
+  }
+
+  val welchTTest: Q = Q(
+    "q_welch_ttest",
+    (s, dir) =>
+      welchOf(t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+        .select((col("user_id") % 2 === 0).as("arm_a"), col("spend"))),
+    Some("""
+      WITH users AS (
+        SELECT user_id % 2 = 0 AS arm_a,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+        FROM events GROUP BY user_id),
+      arms AS (
+        SELECT arm_a, CAST(count(*) AS BIGINT) AS n, CAST(sum(spend) AS BIGINT) AS sx,
+               CAST(sum(spend * spend) AS BIGINT) AS sxx
+        FROM users GROUP BY arm_a),
+      wide AS (
+        SELECT max(CASE WHEN arm_a THEN n END) AS n1,
+               max(CASE WHEN arm_a THEN sx END) AS s1,
+               max(CASE WHEN arm_a THEN sxx END) AS q1,
+               max(CASE WHEN NOT arm_a THEN n END) AS n2,
+               max(CASE WHEN NOT arm_a THEN sx END) AS s2,
+               max(CASE WHEN NOT arm_a THEN sxx END) AS q2
+        FROM arms),
+      vv AS (
+        SELECT *,
+               CAST(n1 * q1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS v1,
+               CAST(n2 * q2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS v2
+        FROM wide)
+      SELECT n1, n2,
+             CAST(round(1000.0 *
+               ((CAST(s1 AS DOUBLE) / n1) - (CAST(s2 AS DOUBLE) / n2)) / sqrt(v1 + v2))
+               AS BIGINT) AS t_milli,
+             CAST(round(1000.0 * ((v1 + v2) * (v1 + v2)) /
+               ((v1 * v1) / (n1 - 1) + (v2 * v2) / (n2 - 1))) AS BIGINT) AS df_milli
+      FROM vv"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
-    changepoint, autocorr)
+    changepoint, autocorr, welchTTest)
 }

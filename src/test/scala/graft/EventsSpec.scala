@@ -188,6 +188,17 @@ class EventsSpec extends SparkSpec {
     assert(llm.Events.cusumDetect(flat).head().getLong(3) == 0L)
   }
 
+  test("Welch t-test matches the textbook hand computation") {
+    // arms {10,12,14} vs {20,22,24}: equal sample variances 4,
+    // v_i = 4/3 each, t = -10/sqrt(8/3) = -6.1237, Welch df = 4
+    val users = Seq((true, 10L), (true, 12L), (true, 14L),
+      (false, 20L), (false, 22L), (false, 24L)).toDF("arm_a", "spend")
+    val r = llm.Events.welchOf(users).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == -6124L, s"t_milli ${r.getLong(2)}")
+    assert(r.getLong(3) == 4000L, s"df_milli ${r.getLong(3)}")
+  }
+
   test("ACF finds planted weekly seasonality: r(7) near 1000, r(1) well below") {
     import java.sql.Timestamp
     def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
