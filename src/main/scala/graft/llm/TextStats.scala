@@ -1221,9 +1221,151 @@ object TextStats {
              CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** TRIGRAM scoring under STUPID BACKOFF (Brants et al. 2007) — the
+    * smoothing built FOR distributed engines: score(w₃|w₁w₂) =
+    * c₁₂₃/c₁₂, backing off to α·c₂₃/c₂, then α·α·c₃/N (α = 0.4).
+    * No discount mass to renormalize means every stat is a plain
+    * grouped count and scoring is three left joins — exactly why
+    * web-scale MapReduce LMs chose it over Kneser–Ney, whose
+    * continuation normalization needs coordinated count-of-count
+    * passes (this engine ships BOTH: [[kneserNey]] when quality
+    * wins, this when the corpus is the web). Scores are not
+    * normalized probabilities, so the output is the standard
+    * backoff-LM log-score in micro-units plus a per-doc histogram of
+    * which backoff level fired — the coverage diagnostic that tells
+    * you whether the trigram table is earning its storage.
+    *
+    * Shape at 100 TB: three count tables (trigram/bigram/unigram
+    * vocabulary-sized), heldout trigrams join each on its own key —
+    * token-keyed hash joins, AQE-splittable, nothing pairwise. */
+  /** Core stupid-backoff pass over explicit train/heldout (doc_id,
+    * text) frames — factored for hand-corpus specs. */
+  def stupidBackoffOf(train: DataFrame, held0: DataFrame): DataFrame = {
+      def gramFrame(df: DataFrame, n: Int): DataFrame =
+        df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .where(size(col("w")) >= n)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("w")) - n),
+              i => concat_ws(" ", slice(col("w"), i + lit(1), lit(n))))).as("g"))
+      val c3 = gramFrame(train, 3).groupBy("g").agg(count(lit(1)).as("c123"))
+        .withColumnRenamed("g", "g3")
+      val c2 = gramFrame(train, 2).groupBy("g").agg(count(lit(1)).as("c12"))
+        .withColumnRenamed("g", "g2")
+      val c1 = gramFrame(train, 1).groupBy("g").agg(count(lit(1)).as("c1"))
+        .withColumnRenamed("g", "g1")
+      val nTot = train.select(explode(tokens(col("text"))).as("tok"))
+        .agg(count(lit(1)).as("n_total"))
+      val held = held0
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("w")) - 3),
+            i => struct(
+              concat_ws(" ", slice(col("w"), i + lit(1), lit(3))).as("tri"),
+              concat_ws(" ", slice(col("w"), i + lit(1), lit(2))).as("ctx"),
+              concat_ws(" ", slice(col("w"), i + lit(2), lit(2))).as("bi"),
+              element_at(col("w"), i + lit(2)).as("mid"),
+              element_at(col("w"), i + lit(3)).as("last")))).as("e"))
+        .select(col("doc_id"), col("e.tri").as("tri"), col("e.ctx").as("ctx"),
+          col("e.bi").as("bi"), col("e.mid").as("mid"), col("e.last").as("last"))
+      held
+        .join(c3, col("tri") === col("g3"), "left")
+        .join(c2.withColumnRenamed("c12", "cctx"), col("ctx") === col("g2"), "left")
+        .join(c2.withColumnRenamed("g2", "g2b").withColumnRenamed("c12", "c23"),
+          col("bi") === col("g2b"), "left")
+        .join(c1.withColumnRenamed("c1", "cmid"), col("mid") === col("g1"), "left")
+        .join(c1.withColumnRenamed("g1", "g1b").withColumnRenamed("c1", "clast"),
+          col("last") === col("g1b"), "left")
+        .crossJoin(broadcast(nTot))
+        .select(col("doc_id"),
+          when(coalesce(col("c123"), lit(0L)) > 0, lit(0L))
+            .when(coalesce(col("c23"), lit(0L)) > 0, lit(1L))
+            .otherwise(lit(2L)).as("level"),
+          round(-log(
+            when(coalesce(col("c123"), lit(0L)) > 0,
+              col("c123").cast("double") / col("cctx").cast("double"))
+            .when(coalesce(col("c23"), lit(0L)) > 0,
+              lit(0.4) * (col("c23").cast("double") / col("cmid").cast("double")))
+            .otherwise(
+              lit(0.4) * lit(0.4) *
+                ((coalesce(col("clast"), lit(0L)) + lit(1.0)) /
+                  (col("n_total") + lit(1.0))))) * 1e6, 0)
+            .cast("long").as("score_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(col("score_micro")).as("total_score_micro"),
+          sum(when(col("level") === 0L, 1L).otherwise(0L)).as("n_trigram_hits"),
+          sum(when(col("level") === 1L, 1L).otherwise(0L)).as("n_bigram_backoffs"),
+          sum(when(col("level") === 2L, 1L).otherwise(0L)).as("n_unigram_backoffs"))
+        .orderBy("doc_id")
+  }
+
+  val stupidBackoff: Q = Q(
+    "q_lm_stupid_backoff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("b", Sampling.hashBucket(col("doc_id")))
+      stupidBackoffOf(docs.filter(col("b") < 80), docs.filter(col("b") >= 90))
+    },
+    Some("""
+      WITH bucketed AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS b
+        FROM documents),
+      trainw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM bucketed WHERE b < 80),
+      testw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM bucketed WHERE b >= 90),
+      c3 AS (SELECT g3, CAST(count(*) AS BIGINT) AS c123 FROM (
+               SELECT t.w[s.k+1] || ' ' || t.w[s.k+2] || ' ' || t.w[s.k+3] AS g3
+               FROM trainw t, unnest(generate_series(0, len(t.w) - 3)) AS s(k)
+               WHERE len(t.w) >= 3) GROUP BY g3),
+      c2 AS (SELECT g2, CAST(count(*) AS BIGINT) AS c12 FROM (
+               SELECT t.w[s.k+1] || ' ' || t.w[s.k+2] AS g2
+               FROM trainw t, unnest(generate_series(0, len(t.w) - 2)) AS s(k)
+               WHERE len(t.w) >= 2) GROUP BY g2),
+      c1 AS (SELECT g1, CAST(count(*) AS BIGINT) AS c1 FROM (
+               SELECT unnest(w) AS g1 FROM trainw) GROUP BY g1),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+             FROM (SELECT unnest(w) AS tok FROM trainw)),
+      held AS (
+        SELECT t.doc_id,
+               t.w[s.k+1] || ' ' || t.w[s.k+2] || ' ' || t.w[s.k+3] AS tri,
+               t.w[s.k+1] || ' ' || t.w[s.k+2] AS ctx,
+               t.w[s.k+2] || ' ' || t.w[s.k+3] AS bi,
+               t.w[s.k+2] AS mid, t.w[s.k+3] AS last
+        FROM testw t, unnest(generate_series(0, len(t.w) - 3)) AS s(k)
+        WHERE len(t.w) >= 3),
+      scored AS (
+        SELECT h.doc_id,
+               CASE WHEN coalesce(a.c123, 0) > 0 THEN 0
+                    WHEN coalesce(bb.c12, 0) > 0 THEN 1 ELSE 2 END AS level,
+               CAST(round(-ln(
+                 CASE WHEN coalesce(a.c123, 0) > 0
+                        THEN CAST(a.c123 AS DOUBLE) / CAST(x.c12 AS DOUBLE)
+                      WHEN coalesce(bb.c12, 0) > 0
+                        THEN 0.4 * (CAST(bb.c12 AS DOUBLE) / CAST(m.c1 AS DOUBLE))
+                      ELSE 0.4 * 0.4 *
+                        ((coalesce(l.c1, 0) + 1.0) / (n_total + 1.0))
+                 END) * 1e6) AS BIGINT) AS score_micro
+        FROM held h
+        LEFT JOIN c3 a ON h.tri = a.g3
+        LEFT JOIN c2 x ON h.ctx = x.g2
+        LEFT JOIN c2 bb ON h.bi = bb.g2
+        LEFT JOIN c1 m ON h.mid = m.g1
+        LEFT JOIN c1 l ON h.last = l.g1
+        CROSS JOIN nt)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(score_micro) AS BIGINT) AS total_score_micro,
+             CAST(sum(CASE WHEN level = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_trigram_hits,
+             CAST(sum(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bigram_backoffs,
+             CAST(sum(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unigram_backoffs
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
-    spearman, rhoSelect, kneserNey)
+    spearman, rhoSelect, kneserNey, stupidBackoff)
 }

@@ -290,4 +290,23 @@ class TextStatsSpec extends SparkSpec {
     // a seen bigram stays cheaper than any backoff
     assert(got(100L) < got(102L))
   }
+
+  test("stupid backoff: each level fires where it should, with hand-checked scores") {
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val held = Seq(
+      (10L, "a b c"), // seen trigram: c123/cctx = 2/2 → score 0
+      (11L, "z b c"), // trigram miss, bigram "b c" seen: 0.4·2/2
+      (12L, "z z q")  // everything unseen: 0.16·(0+1)/(6+1)
+    ).toDF("doc_id", "text")
+    val got = llm.TextStats.stupidBackoffOf(train, held).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(10L) == ((0L, 1L, 0L, 0L)), s"trigram hit: ${got(10L)}")
+    assert(got(11L)._2 == 0L && got(11L)._3 == 1L, s"bigram backoff: ${got(11L)}")
+    assert(got(12L)._4 == 1L, s"unigram backoff: ${got(12L)}")
+    assert(got(11L)._1 == math.round(-math.log(0.4 * (2.0 / 2.0)) * 1e6),
+      s"bigram score: ${got(11L)._1}")
+    assert(got(12L)._1 == math.round(-math.log(0.4 * 0.4 * (1.0 / 7.0)) * 1e6),
+      s"unigram score: ${got(12L)._1}")
+  }
 }
