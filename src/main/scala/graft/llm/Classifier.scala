@@ -878,7 +878,7 @@ object Classifier {
              CAST(count(*) AS BIGINT) AS n_d,
              CAST(sum(label) AS BIGINT) AS pos_d,
              (max(cum_pos) * 1000) // pos AS capture_permille,
-             (sum(label) * max(n) * 1000) // (count(*) * pos) AS lift_permille
+             (CAST(sum(label) AS BIGINT) * max(n) * 1000) // (count(*) * pos) AS lift_permille
       FROM ranked CROSS JOIN tot
       GROUP BY ((rank - 1) * 10) // n, pos
       ORDER BY decile"""))

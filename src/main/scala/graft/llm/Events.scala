@@ -885,8 +885,12 @@ object Events {
         .agg(sum(col("w") * col("c")).as("sc"), sum(col("w")).as("sw"))
         .select(col("event_type"), col("b"),
           expr("(sc * 1000000) div nullif(sw, 0)").as("mean_micro"))
+      // NULL replica means (all-zero Poisson draws, P = e^-n per
+      // replica) rank LAST by convention — Spark's ASC default is
+      // NULLS FIRST but DuckDB's is NULLS LAST, so the null position
+      // must be pinned explicitly or the nearest-rank picks diverge.
       val rn = row_number().over(Window.partitionBy("event_type")
-        .orderBy(col("mean_micro").asc, col("b").asc))
+        .orderBy(col("mean_micro").asc_nulls_last, col("b").asc))
       val ci = means.withColumn("rn", rn)
         .groupBy("event_type")
         .agg(max(when(col("rn") === 3, col("mean_micro"))).as("ci_lo_micro"),
@@ -920,7 +924,7 @@ object Events {
         FROM wt GROUP BY 1, 2),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY event_type
-                    ORDER BY mean_micro ASC, b ASC) AS rn
+                    ORDER BY mean_micro ASC NULLS LAST, b ASC) AS rn
         FROM means),
       ci AS (
         SELECT event_type,
@@ -1083,9 +1087,12 @@ object Events {
     * arm in one grouped pass); the t and df computations are FIXED
     * parenthesizations of IEEE +,−,×,÷,√ — all correctly-rounded
     * operations with zero libm latitude (the q_autocorr precedent) —
-    * rounded once into milli-units. Sample variance via the exact
-    * cross-multiplied form (n·Σx² − (Σx)²) div-free in the numerator
-    * so catastrophic cancellation can't differ across engines. */
+    * rounded once into milli-units. Sample variance via the
+    * cross-multiplied form (n·Σx² − (Σx)²), evaluated in DOUBLE with
+    * a fixed parenthesization on both engines: BIGINT would be exact
+    * only while (Σx)² < 2⁶³ (arm spend ≲ 3·10⁹ cents ≈ $30 M), past
+    * which Spark wraps silently and DuckDB errors — the double chain
+    * is engine-identical at every volume. */
   /** Core Welch pass over any (arm_a: boolean, spend: long) frame —
     * factored so tests can hand-check the statistic. */
   def welchOf(users: DataFrame): DataFrame = {
@@ -1100,14 +1107,20 @@ object Events {
           max(when(!col("arm_a"), col("n"))).as("n2"),
           max(when(!col("arm_a"), col("sx"))).as("s2"),
           max(when(!col("arm_a"), col("sxx"))).as("q2"))
-        // v_i = s_i²/n_i (sample variance over n): exact integer
-        // numerator, then one fixed-order double division chain;
-        // squares below are explicit multiplications — pow() is libm
+        // v_i numerator n·Σx² − (Σx)² computed in DOUBLE, not BIGINT:
+        // once an arm's total spend passes ~3·10⁹ cents, (Σx)²
+        // exceeds 2⁶³ and BIGINT would wrap silently in Spark while
+        // DuckDB raises — casting each factor first keeps both
+        // engines on the same fixed-order IEEE chain at any spend
+        // volume (precision loss is immaterial inside a double-valued
+        // t/df). Squares are explicit multiplications — pow() is libm
         // and carries implementation latitude, x*x does not
         .withColumn("v1", expr(
-          "cast(n1 * q1 - s1 * s1 as double) / (cast(n1 as double) * n1 * (n1 - 1))"))
+          """(cast(n1 as double) * q1 - cast(s1 as double) * s1)
+             / (cast(n1 as double) * n1 * (n1 - 1))"""))
         .withColumn("v2", expr(
-          "cast(n2 * q2 - s2 * s2 as double) / (cast(n2 as double) * n2 * (n2 - 1))"))
+          """(cast(n2 as double) * q2 - cast(s2 as double) * s2)
+             / (cast(n2 as double) * n2 * (n2 - 1))"""))
         .select(col("n1"), col("n2"),
           expr("""cast(round(1000.0 *
             ((cast(s1 as double) / n1) - (cast(s2 as double) / n2)) / sqrt(v1 + v2))
@@ -1142,8 +1155,10 @@ object Events {
         FROM arms),
       vv AS (
         SELECT *,
-               CAST(n1 * q1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS v1,
-               CAST(n2 * q2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS v2
+               (CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                 / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS v1,
+               (CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)
+                 / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS v2
         FROM wide)
       SELECT n1, n2,
              CAST(round(1000.0 *

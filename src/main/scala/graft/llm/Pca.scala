@@ -177,10 +177,16 @@ object Pca {
     *
     * Exactness: elements quantize to micro-units FIRST
     * (round(x·1e6) as BIGINT); each projected coordinate is then an
-    * INTEGER dot product with ±1 — associative, overflow-safe
-    * (|p| ≤ 64·6e5·1e6 « 2^63), and identical under any summation
-    * order, which is precisely what float folds can't promise across
-    * engines. The audit emits Σ_j p_j² against k·‖x‖² as an exact
+    * INTEGER dot product with ±1 — associative, and identical under
+    * any summation order, which is precisely what float folds can't
+    * promise across engines. PRECONDITION (the real overflow
+    * envelope): components must be unit-scale, |x_i| ≤ ~1, as
+    * produced by L2-normalized embeddings — then |p_j| ≤ 64·1·10⁶ =
+    * 6.4e7, so p² ≤ 4.1e15 and Σ_j p² ≤ 16·4.1e15 ≈ 6.6e16 « 2⁶³.
+    * The binding constraint is the SQUARING in the audit, not the
+    * dot product: un-normalized embeddings with |x| ≈ 6e5 would keep
+    * |p| inside BIGINT but overflow p², wrapping silently in Spark
+    * while DuckDB errors. Feed this op normalized vectors only. The audit emits Σ_j p_j² against k·‖x‖² as an exact
     * integer permille — E[ratio] = 1000 under the JL distribution,
     * and the div-first spelling keeps every intermediate inside
     * BIGINT. Fully oracled: DuckDB rebuilds the same sign matrix from

@@ -967,9 +967,14 @@ object EventStream {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"))
-      val nBase = ev.count() // bounded 1-row action: plant sizing
+      // bounded 1-row action: plant sizing + collision-free hot id —
+      // max(user_id)+1 can never pre-exist in the data, so the MG
+      // envelope assertion (est ≤ hotN) cannot be tripped by a real
+      // user sharing the planted id
+      val sizing = ev.agg(count(lit(1)).as("n"), max(col("user_id")).as("mx")).head()
+      val nBase = sizing.getLong(0)
       val hotN = math.max(200L, nBase / 20)
-      val hotUser = 9999999L
+      val hotUser = sizing.getLong(1) + 1L
       val hot = s.range(hotN).select(
         (col("id") + 5000000L).as("event_id"),
         lit(java.sql.Timestamp.valueOf("2024-01-15 12:00:00")).as("ts"),

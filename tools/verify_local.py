@@ -10,6 +10,38 @@ plausible driver tolerance.
 import json, sys, glob, os
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def type_key(t: pa.DataType) -> str:
+    """Canonical type label for driver-hash-equivalence comparison.
+
+    The driver hashes at the pandas level, which normalizes integer
+    width (int32 == int64), date vs timestamp (both -> datetime64),
+    timestamp unit/tz, and string width class — r11 evidence: queries
+    differing in exactly those ways all hash-pass. What pandas does
+    NOT normalize is decimal (it becomes a Python-object column), so
+    decimal128(38,0) vs int64 — the class behind the r11
+    q_lift_curve hash-fail — stays distinct and FAILS here.
+    """
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "datetime"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_key(t.value_type)}>"
+    return str(t)
+
+
+def is_wide(t: pa.DataType) -> bool:
+    """DuckDB-widened numeric (HUGEINT -> decimal128(38,0) etc.) that no
+    Spark query legitimately emits — always a missing-cast defect."""
+    return pa.types.is_decimal(t) and t.precision > 18
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -30,6 +62,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails, passes, rows_only = [], [], []
+    # Registry-wide DESCRIBE sweep: every oracle's output types are
+    # checked even when the Spark side produced no parquet (e.g. a
+    # query erred and was skipped) — a widened column can never hide.
+    for name in sorted(oracle):
+        try:
+            desc = con.sql(f"DESCRIBE {oracle[name]}").df()
+        except Exception:
+            continue  # oracle error surfaces in the per-query loop below
+        wide = [f"{r.column_name}: {r.column_type}" for r in desc.itertuples()
+                if "HUGEINT" in r.column_type or "DECIMAL(38" in r.column_type]
+        if wide:
+            fails.append((name, "SWEEP widened oracle column(s): " + "; ".join(wide)))
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         spark_df = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
@@ -37,13 +81,31 @@ def main(sf_dir: str, out_dir: str) -> int:
             rows_only.append((name, len(spark_df)))
             continue
         try:
-            duck_df = con.sql(oracle[name]).df()
+            duck_tbl = con.sql(oracle[name]).fetch_arrow_table()
+            duck_df = duck_tbl.to_pandas()
         except Exception as e:
             fails.append((name, f"oracle error: {str(e)[:200]}"))
             continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             fails.append((name, f"columns {list(a.columns)} vs {list(b.columns)}"))
+            continue
+        # Type gate: the driver's hash is type-sensitive. Compare the
+        # DuckDB arrow schema against the Spark-written parquet schema
+        # column-by-column; also hard-fail any DuckDB-widened numeric.
+        spark_schema = {f.name: f.type
+                        for p in sorted(glob.glob(f"{d}/*.parquet"))
+                        for f in pq.read_schema(p)}
+        duck_schema = {f.name: f.type for f in duck_tbl.schema}
+        type_diffs = []
+        for c in sorted(duck_schema):
+            dt = duck_schema[c]
+            if is_wide(dt):
+                type_diffs.append(f"{c}: oracle widened to {dt} (missing CAST ... AS BIGINT)")
+            elif c in spark_schema and type_key(spark_schema[c]) != type_key(dt):
+                type_diffs.append(f"{c}: spark {spark_schema[c]} vs oracle {dt}")
+        if type_diffs:
+            fails.append((name, "TYPE " + "; ".join(type_diffs)[:280]))
             continue
         if len(a) != len(b):
             fails.append((name, f"rowcount {len(a)} vs {len(b)}"))
