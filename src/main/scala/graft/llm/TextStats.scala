@@ -1221,6 +1221,188 @@ object TextStats {
              CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** TRIGRAM interpolated KNESER–NEY with RECURSIVE backoff — the
+    * full three-level chain the bigram model ([[kneserNey]]) stops
+    * short of: P(w₃|w₁w₂) discounts the trigram count and backs off
+    * into the bigram-level CONTINUATION model, which itself discounts
+    * and backs off into the unigram continuation distribution:
+    *
+    *   P₃ = max(c(w₁w₂w₃)−d,0)/c(w₁w₂) + (d·N1+(w₁w₂·)/c(w₁w₂))·P₂
+    *   P₂ = max(N1+(·w₂w₃)−d,0)/N1+(·w₂·) + (d·N1+(w₂·)/N1+(·w₂·))·P₁
+    *   P₁ = (N1+(·w₃)+1)/(N1+(··)+V)        (add-1 floor, d = 0.75)
+    *
+    * — the mid level counts CONTEXTS TYPES, not occurrences (the KN
+    * insight applied recursively): N1+(·w₂w₃) is "how many distinct
+    * w₁ complete this bigram", N1+(·w₂·) its normalizer. Unseen
+    * context c(w₁w₂)=0 falls through to P₂; unseen middle w₂ falls
+    * through to P₁ — every heldout trigram gets finite surprisal.
+    *
+    * Shape at 100 TB: every statistic is ONE grouped count over the
+    * train trigram/bigram type tables — c(w₁w₂w₃), {c(w₁w₂),
+    * N1+(w₁w₂·)}, N1+(·w₂w₃), N1+(·w₂·), {N1+(w₂·), N1+(·w₃)},
+    * N1+(··), V — seven vocabulary-sized frames; scoring left-joins
+    * each heldout trigram on its own key (tri / ctx / w₂w₃ / w₂ /
+    * w₃): token-keyed hash joins, AQE-splittable, nothing pairwise.
+    * Determinism: counts are BIGINT, the probability is the same
+    * FIXED IEEE parenthesization as the bigram model evaluated
+    * bottom-up (P₁ into P₂ into P₃), one −ln rounded to micro-nats. */
+  /** Core trigram-KN pass over explicit (doc_id, text) train/heldout
+    * frames — factored so specs can hand-check the recursion and
+    * compare against [[kneserNeyOf]] on the same corpus. */
+  def kneserNeyTrigramOf(train: DataFrame, test: DataFrame): DataFrame = {
+      def triFrame(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .where(size(col("w")) >= 3)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("w")) - 3),
+              i => struct(
+                concat_ws(" ", slice(col("w"), i + lit(1), lit(3))).as("tri"),
+                concat_ws(" ", slice(col("w"), i + lit(1), lit(2))).as("ctx"),
+                concat_ws(" ", slice(col("w"), i + lit(2), lit(2))).as("mid"),
+                element_at(col("w"), i + lit(2)).as("w2"),
+                element_at(col("w"), i + lit(3)).as("w3")))).as("e"))
+          .select(col("doc_id"), col("e.tri").as("tri"), col("e.ctx").as("ctx"),
+            col("e.mid").as("mid"), col("e.w2").as("w2"), col("e.w3").as("w3"))
+      def bgTypes(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+            i => struct(element_at(col("w"), i + lit(1)).as("b1"),
+              element_at(col("w"), i + lit(2)).as("b2")))).as("e"))
+          .select(col("e.b1").as("b1"), col("e.b2").as("b2")).distinct()
+      val trtri = triFrame(train)
+      val c123 = trtri.groupBy("tri").agg(count(lit(1)).as("c123"))
+        .withColumnRenamed("tri", "k3")
+      val ctxStats = trtri.groupBy("ctx")
+        .agg(count(lit(1)).as("cctx"), countDistinct(col("tri")).as("n1p_fw3"))
+        .withColumnRenamed("ctx", "kc")
+      // distinct trigram TYPES: tokens contain no whitespace (split
+      // on \s+), so the space-joined tri string is injective in
+      // (w1,w2,w3) and one distinct pass feeds both mid-level stats
+      val triTypes = trtri.select("tri", "mid", "w2").distinct()
+      val mid23 = triTypes.groupBy("mid").agg(count(lit(1)).as("n1p_m23"))
+        .withColumnRenamed("mid", "km")
+      val mid2 = triTypes.groupBy("w2").agg(count(lit(1)).as("n1p_m2"))
+        .withColumnRenamed("w2", "k2")
+      val bgT = bgTypes(train)
+      val fw2 = bgT.groupBy("b1").agg(count(lit(1)).as("n1p_fw2"))
+      val pw3 = bgT.groupBy("b2").agg(count(lit(1)).as("n1p_pw3"))
+      val globals = bgT.agg(count(lit(1)).as("dd"))
+        .crossJoin(train
+          .select(explode(tokens(col("text"))).as("tok"))
+          .agg(countDistinct(col("tok")).as("vocab_n")))
+      val p1 = (coalesce(col("n1p_pw3"), lit(0L)) + lit(1.0)) /
+        (col("dd") + col("vocab_n")).cast("double")
+      val m2d = col("n1p_m2").cast("double")
+      val p2 = when(coalesce(col("n1p_m2"), lit(0L)) > 0,
+        (greatest(coalesce(col("n1p_m23"), lit(0L)) - lit(0.75), lit(0.0)) / m2d) +
+          (((lit(0.75) * coalesce(col("n1p_fw2"), lit(0L))) / m2d) * p1))
+        .otherwise(p1)
+      val cd = col("cctx").cast("double")
+      val p3 = when(coalesce(col("cctx"), lit(0L)) > 0,
+        (greatest(coalesce(col("c123"), lit(0L)) - lit(0.75), lit(0.0)) / cd) +
+          (((lit(0.75) * col("n1p_fw3")) / cd) * p2))
+        .otherwise(p2)
+      triFrame(test)
+        .join(c123, col("tri") === col("k3"), "left")
+        .join(ctxStats, col("ctx") === col("kc"), "left")
+        .join(mid23, col("mid") === col("km"), "left")
+        .join(mid2, col("w2") === col("k2"), "left")
+        .join(fw2, col("w2") === col("b1"), "left")
+        .join(pw3, col("w3") === col("b2"), "left")
+        .crossJoin(broadcast(globals))
+        .select(col("doc_id"),
+          round(-log(p3) * 1e6, 0).cast("long").as("surprisal_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(col("surprisal_micro")).as("total_surprisal_micro"))
+        .select(col("doc_id"), col("n_trigrams"), col("total_surprisal_micro"),
+          (col("total_surprisal_micro").cast("double") / col("n_trigrams") / 1e6)
+            .as("mean_surprisal_nats"))
+        .orderBy("doc_id")
+  }
+
+  val kneserNeyTrigram: Q = Q(
+    "q_lm_kn_trigram",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("b", Sampling.hashBucket(col("doc_id")))
+      kneserNeyTrigramOf(docs.filter(col("b") < 80), docs.filter(col("b") >= 90))
+    },
+    Some("""
+      WITH bucketed AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS b
+        FROM documents),
+      trainw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM bucketed WHERE b < 80),
+      testw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM bucketed WHERE b >= 90),
+      trtri AS (SELECT t.doc_id,
+                       t.w[s.k+1] || ' ' || t.w[s.k+2] || ' ' || t.w[s.k+3] AS tri,
+                       t.w[s.k+1] || ' ' || t.w[s.k+2] AS ctx,
+                       t.w[s.k+2] || ' ' || t.w[s.k+3] AS mid,
+                       t.w[s.k+2] AS w2, t.w[s.k+3] AS w3
+                FROM trainw t, unnest(generate_series(0, len(t.w) - 3)) AS s(k)
+                WHERE len(t.w) >= 3),
+      c123 AS (SELECT tri AS k3, CAST(count(*) AS BIGINT) AS c123
+               FROM trtri GROUP BY tri),
+      ctxs AS (SELECT ctx AS kc, CAST(count(*) AS BIGINT) AS cctx,
+                      CAST(count(DISTINCT tri) AS BIGINT) AS n1p_fw3
+               FROM trtri GROUP BY ctx),
+      tt AS (SELECT DISTINCT tri, mid, w2 FROM trtri),
+      m23 AS (SELECT mid AS km, CAST(count(*) AS BIGINT) AS n1p_m23
+              FROM tt GROUP BY mid),
+      m2 AS (SELECT w2 AS k2, CAST(count(*) AS BIGINT) AS n1p_m2
+             FROM tt GROUP BY w2),
+      bgt AS (SELECT DISTINCT t.w[s.k+1] AS b1, t.w[s.k+2] AS b2
+              FROM trainw t, unnest(generate_series(0, len(t.w) - 2)) AS s(k)
+              WHERE len(t.w) >= 2),
+      fw2 AS (SELECT b1, CAST(count(*) AS BIGINT) AS n1p_fw2 FROM bgt GROUP BY b1),
+      pw3 AS (SELECT b2, CAST(count(*) AS BIGINT) AS n1p_pw3 FROM bgt GROUP BY b2),
+      gl AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bgt) AS dd,
+                    (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+                     FROM (SELECT unnest(w) AS tok FROM trainw)) AS vocab_n),
+      tstri AS (SELECT t.doc_id,
+                       t.w[s.k+1] || ' ' || t.w[s.k+2] || ' ' || t.w[s.k+3] AS tri,
+                       t.w[s.k+1] || ' ' || t.w[s.k+2] AS ctx,
+                       t.w[s.k+2] || ' ' || t.w[s.k+3] AS mid,
+                       t.w[s.k+2] AS w2, t.w[s.k+3] AS w3
+                FROM testw t, unnest(generate_series(0, len(t.w) - 3)) AS s(k)
+                WHERE len(t.w) >= 3),
+      scored AS (
+        SELECT h.doc_id,
+               CAST(round(-ln(
+                 CASE WHEN coalesce(c.cctx, 0) > 0 THEN
+                   (greatest(coalesce(a.c123, 0) - 0.75, 0.0) / CAST(c.cctx AS DOUBLE)) +
+                     (((0.75 * c.n1p_fw3) / CAST(c.cctx AS DOUBLE)) *
+                      (CASE WHEN coalesce(m.n1p_m2, 0) > 0 THEN
+                         (greatest(coalesce(x.n1p_m23, 0) - 0.75, 0.0) / CAST(m.n1p_m2 AS DOUBLE)) +
+                           (((0.75 * coalesce(f.n1p_fw2, 0)) / CAST(m.n1p_m2 AS DOUBLE)) *
+                            ((coalesce(p.n1p_pw3, 0) + 1.0) / CAST(dd + vocab_n AS DOUBLE)))
+                       ELSE ((coalesce(p.n1p_pw3, 0) + 1.0) / CAST(dd + vocab_n AS DOUBLE))
+                       END))
+                 WHEN coalesce(m.n1p_m2, 0) > 0 THEN
+                   (greatest(coalesce(x.n1p_m23, 0) - 0.75, 0.0) / CAST(m.n1p_m2 AS DOUBLE)) +
+                     (((0.75 * coalesce(f.n1p_fw2, 0)) / CAST(m.n1p_m2 AS DOUBLE)) *
+                      ((coalesce(p.n1p_pw3, 0) + 1.0) / CAST(dd + vocab_n AS DOUBLE)))
+                 ELSE ((coalesce(p.n1p_pw3, 0) + 1.0) / CAST(dd + vocab_n AS DOUBLE))
+                 END) * 1e6) AS BIGINT) AS surprisal_micro
+        FROM tstri h
+        LEFT JOIN c123 a ON h.tri = a.k3
+        LEFT JOIN ctxs c ON h.ctx = c.kc
+        LEFT JOIN m23 x ON h.mid = x.km
+        LEFT JOIN m2 m ON h.w2 = m.k2
+        LEFT JOIN fw2 f ON h.w2 = f.b1
+        LEFT JOIN pw3 p ON h.w3 = p.b2
+        CROSS JOIN gl)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(surprisal_micro) AS BIGINT) AS total_surprisal_micro,
+             CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   /** TRIGRAM scoring under STUPID BACKOFF (Brants et al. 2007) — the
     * smoothing built FOR distributed engines: score(w₃|w₁w₂) =
     * c₁₂₃/c₁₂, backing off to α·c₂₃/c₂, then α·α·c₃/N (α = 0.4).
@@ -1367,5 +1549,5 @@ object TextStats {
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
-    spearman, rhoSelect, kneserNey, stupidBackoff)
+    spearman, rhoSelect, kneserNey, kneserNeyTrigram, stupidBackoff)
 }

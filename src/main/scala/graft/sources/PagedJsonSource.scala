@@ -71,7 +71,8 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
-        with SupportsPushDownLimit with SupportsPushDownAggregates {
+        with SupportsPushDownLimit with SupportsPushDownOffset
+        with SupportsPushDownAggregates {
       private val pageSize = options.getInt("page_size", 100)
       private val maxRecords = options.getInt("max_records", 500)
       private val path = Option(options.get("path"))
@@ -101,6 +102,22 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
       private var limit: Int = Int.MaxValue
       override def pushLimit(n: Int): Boolean = { limit = n; true }
       override def isPartiallyPushed(): Boolean = false
+
+      /** OFFSET pushed into the pager — completes the pushdown
+        * quartet (prune / LIMIT / COUNT(*) / OFFSET). Spark only
+        * pushes OFFSET after the adjacent LIMIT (if any) was fully
+        * pushed, and the limit it pushes is always counted from row
+        * 0 of the stream (for `df.offset(n).limit(m)` it pushes
+        * `limit(n + m)` then `offset(n)`; for `df.limit(m).offset(n)`
+        * it pushes `limit(m)` then `offset(n)`) — so the emitted
+        * range is uniformly `[offset, min(max_records, limit))`.
+        * Planning skips WHOLE pages below the offset (their bytes are
+        * never read); when `offset % page_size ≠ 0` the first planned
+        * page seeks to its precomputed byte offset and drops the
+        * in-page prefix — the re-alignment is `drop` lines within ONE
+        * page, never a scan of the skipped pages. */
+      private var offset: Int = 0
+      override def pushOffset(n: Int): Boolean = { offset = n; true }
 
       /** COUNT(*) answered at PLANNING time: the fixture size / the
         * JSON-lines line count are already known from the planning
@@ -145,7 +162,7 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
         // cannot be split; shard the QUERY, not the offsets)
         val cap = math.min(maxRecords.toLong, limit.toLong).toInt
         if (url.isDefined)
-          return Array(HttpPagerPartition(url.get, pageSize, cap, timeoutMs))
+          return Array(HttpPagerPartition(url.get, pageSize, offset, cap, timeoutMs))
         val (available, offsets): (Int, Array[Long]) = path match {
           case Some(p) =>
             val in = new java.io.BufferedInputStream(
@@ -171,11 +188,15 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
           case None => (Ingest.fixture.size, Array(0L))
         }
         val total = math.min(available, cap)
-        if (countStar) return Array(CountPartition(total.toLong))
+        if (countStar) return Array(CountPartition(math.max(total - offset, 0).toLong))
+        // pages wholly below the pushed offset are never planned;
+        // the first surviving page drops its in-page prefix
+        val firstPage = offset / pageSize
         val pages = (total + pageSize - 1) / pageSize
-        (0 until pages).map(i =>
+        (firstPage until pages).map(i =>
           PagePartition(i, pageSize, total, path,
-            offsets(math.min(i, offsets.length - 1))): InputPartition).toArray
+            offsets(math.min(i, offsets.length - 1)),
+            if (i == firstPage) offset - firstPage * pageSize else 0): InputPartition).toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
@@ -205,11 +226,15 @@ final class PagedReaderFactory(schema: StructType)
 /** Planning-time COUNT(*) answer — one row, zero records parsed. */
 final case class CountPartition(total: Long) extends InputPartition
 
+/** `drop` = in-page records to skip (non-zero only on the first
+  * planned page, when the pushed OFFSET is not page-aligned). */
 final case class PagePartition(page: Int, pageSize: Int, total: Int,
-    path: Option[String], startByte: Long) extends InputPartition
+    path: Option[String], startByte: Long, drop: Int) extends InputPartition
 
+/** `startOffset` = pushed OFFSET (the pager starts its API offset
+  * there); `maxRecords` = absolute cap counted from stream row 0. */
 final case class HttpPagerPartition(url: String, pageSize: Int,
-    maxRecords: Int, timeoutMs: Int) extends InputPartition
+    startOffset: Int, maxRecords: Int, timeoutMs: Int) extends InputPartition
 
 /** Converts one SAM JSON record node into an InternalRow against the
   * explicit schema (strings + one nested struct). Missing keys and
@@ -246,7 +271,7 @@ final class HttpPagerReader(p: HttpPagerPartition, schema: StructType)
 
   private val mapper = new ObjectMapper()
   private var emitted = 0
-  private var offset = 0
+  private var offset = p.startOffset
   private var done = false
   private var buf: Iterator[JsonNode] = Iterator.empty
   private var current: InternalRow = _
@@ -270,7 +295,9 @@ final class HttpPagerReader(p: HttpPagerPartition, schema: StructType)
   }
 
   override def next(): Boolean = {
-    if (emitted >= p.maxRecords) return false                  // cap (:49,54)
+    // cap (:49,54) — absolute: records skipped by the pushed offset
+    // still count against the stream's truncation budget
+    if (p.startOffset + emitted >= p.maxRecords) return false
     while (!buf.hasNext && !done) fetchPage()
     if (buf.hasNext) {
       current = SamRowParser.toRow(buf.next(), schema); emitted += 1; true
@@ -296,17 +323,19 @@ final class PagePartitionReader(p: PagePartition, schema: StructType)
     * only `pageSize` lines — each task touches exactly its slice of
     * the file; preceding pages are never read, let alone parsed. */
   private def pageRecords: Seq[String] = {
-    val from = p.page.toLong * p.pageSize
-    val until = math.min(from + p.pageSize, p.total.toLong)
+    val pageStart = p.page.toLong * p.pageSize
+    val from = pageStart + p.drop // first planned page: skip offset prefix
+    val until = math.min(pageStart + p.pageSize, p.total.toLong)
     if (from >= until) Seq.empty
     else p.path match {
       case Some(f) =>
         val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(f))
         try {
-          in.skipNBytes(p.startByte)
+          in.skipNBytes(p.startByte) // byte offset of the PAGE start
           val br = new java.io.BufferedReader(
             new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
           Iterator.continually(br.readLine()).takeWhile(_ != null)
+            .drop(p.drop) // in-page re-alignment when offset % page_size != 0
             .take((until - from).toInt).toSeq
         } finally in.close()
       case None => Ingest.fixture.slice(from.toInt, until.toInt)

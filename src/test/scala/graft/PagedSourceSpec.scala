@@ -188,6 +188,75 @@ class PagedSourceSpec extends SparkSpec {
     java.nio.file.Files.delete(f)
   }
 
+  test("OFFSET pushes into the pager: skipped pages are never planned") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val f = java.nio.file.Files.createTempFile("paged_offset", ".jsonl")
+    val lines = (0 until 20).map(i => s"""{"noticeId":"n$i","title":"t$i"}""")
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    val base = spark.read.format("graft.sources.PagedJsonSource")
+      .option("page_size", 3).option("path", f.toString)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.getAs[String]("noticeId")).toSeq
+    try {
+      // page-aligned offset: pages 0,1 never planned (7 - 2 = 5 left)
+      val aligned = base.load().offset(6)
+      assert(scanOf(aligned).inputRDD.getNumPartitions == 5,
+        aligned.queryExecution.executedPlan.toString)
+      assert(ids(aligned) == (6 until 20).map(i => s"n$i"))
+      // the Offset operator is gone from the plan (fully pushed)
+      assert(!aligned.queryExecution.executedPlan.toString.contains("Offset"),
+        aligned.queryExecution.executedPlan.toString)
+
+      // UNALIGNED offset (7 % 3 != 0): page 2 is planned with an
+      // in-page drop of 1; pages 0-1 still skipped
+      val unaligned = base.load().offset(7)
+      assert(scanOf(unaligned).inputRDD.getNumPartitions == 5)
+      assert(ids(unaligned) == (7 until 20).map(i => s"n$i"))
+
+      // df.offset(n).limit(m) == rows [n, n+m)
+      val offLim = base.load().offset(7).limit(5)
+      assert(ids(offLim) == (7 until 12).map(i => s"n$i"))
+      // df.limit(m).offset(n) == rows [n, m)
+      val limOff = base.load().limit(12).offset(7)
+      assert(ids(limOff) == (7 until 12).map(i => s"n$i"))
+
+      // SQL LIMIT m OFFSET n == rows [n, n+m)
+      base.load().createOrReplaceTempView("paged_offset_v")
+      val sqlRows = spark.sql(
+        "SELECT noticeId FROM paged_offset_v LIMIT 4 OFFSET 10")
+        .collect().map(_.getString(0)).toSeq
+      assert(sqlRows == (10 until 14).map(i => s"n$i"))
+
+      // offset past the data -> zero partitions, zero rows
+      val past = base.load().offset(25)
+      assert(ids(past).isEmpty)
+
+      // max_records caps BEFORE the query offset: rows [4, 10)
+      val capped = spark.read.format("graft.sources.PagedJsonSource")
+        .option("page_size", 3).option("max_records", 10)
+        .option("path", f.toString).load().offset(4)
+      assert(ids(capped) == (4 until 10).map(i => s"n$i"))
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("HTTP pager starts at the pushed offset: prior pages never requested") {
+    val seen = scala.collection.mutable.Set[Int]()
+    withServer(Ingest.fixture, offset => { seen.synchronized { seen += offset }; None }) { url =>
+      val rows = httpRead(url, pageSize = 3).offset(5)
+        .collect().map(_.getString(0)).toSeq
+      assert(rows == Ingest.fixture.indices.drop(5).map(i => f"N${i + 1}%03d"))
+      assert(seen.synchronized(seen.toSet) == Set(5, 8),
+        s"pager must begin at the pushed offset, requested: $seen")
+      // offset + max_records: cap counted from stream row 0 -> [2, 6)
+      seen.synchronized(seen.clear())
+      val capped = httpRead(url, pageSize = 3, maxRecords = 6).offset(2)
+        .collect().map(_.getString(0)).toSeq
+      assert(capped == Seq("N003", "N004", "N005", "N006"))
+    }
+  }
+
   test("COUNT(*) pushes to the source: answered at planning, zero records parsed") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val f = java.nio.file.Files.createTempFile("paged_count", ".jsonl")

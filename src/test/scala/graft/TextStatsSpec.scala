@@ -291,6 +291,53 @@ class TextStatsSpec extends SparkSpec {
     assert(got(100L) < got(102L))
   }
 
+  test("trigram KN: recursive backoff chain fires level by level, hand-checked") {
+    val train = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // stats by hand: c123(abc)=2, cctx(ab)=2, N1+(ab·)=1;
+    // mid level: N1+(·bc)=1, N1+(·b·)=1, N1+(b·)=1;
+    // unigram: N1+(·c)=1, N1+(··)=4 bigram types, V=5
+    val p1c = (1 + 1.0) / 9.0
+    val p2cb = (1 - 0.75) / 1.0 + ((0.75 * 1) / 1.0) * p1c
+    val p3 = (2 - 0.75) / 2.0 + ((0.75 * 1) / 2.0) * p2cb
+    val held = Seq(
+      (10L, "a b c"), // seen trigram: full three-level interpolation
+      (11L, "z b c"), // unseen context "z b": falls to P2(c|b)
+      (12L, "z q c")  // unseen middle q: falls to P1(c)
+    ).toDF("doc_id", "text")
+    val got = llm.TextStats.kneserNeyTrigramOf(train, held).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(10L) == math.round(-math.log(p3) * 1e6), s"P3: ${got(10L)}")
+    assert(got(11L) == math.round(-math.log(p2cb) * 1e6), s"P2: ${got(11L)}")
+    assert(got(12L) == math.round(-math.log(p1c) * 1e6), s"P1: ${got(12L)}")
+    // deeper context must price the seen trigram below both backoffs
+    assert(got(10L) < got(11L) && got(11L) < got(12L))
+  }
+
+  test("trigram KN beats bigram KN perplexity on a heldout shard with trigram structure") {
+    // The testdata documents are an ORDER-FREE unigram soup (words
+    // drawn independently), where no model above unigram can win —
+    // measured: trigram 3.51 vs bigram 3.43 nats at sf0.001, both
+    // within noise of each other. The trigram advantage is a property
+    // of CONDITIONAL structure, so the corpus here plants it: phrases
+    // "aᵢ x bᵢ" share the ambiguous middle token x — given x alone
+    // the bigram model spreads mass over all 8 continuations, while
+    // the trigram context (aᵢ, x) pins bᵢ almost deterministically.
+    val phrases = (0 until 8).map(i => s"a$i x b$i")
+    def doc(id: Long, seed: Int): (Long, String) =
+      (id, (0 until 12).map(j => phrases((seed * 7 + j * 3) % 8)).mkString(" "))
+    val train = (0 until 40).map(i => doc(i.toLong, i)).toDF("doc_id", "text")
+    val held = (0 until 10).map(i => doc(100L + i, i * 5 + 1)).toDF("doc_id", "text")
+    def corpusMean(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.agg(sum(col("total_surprisal_micro")), sum(df.columns
+        .find(c => c == "n_bigrams" || c == "n_trigrams").map(col).get)).head()
+      r.getLong(0).toDouble / r.getLong(1) / 1e6
+    }
+    val bi = corpusMean(llm.TextStats.kneserNeyOf(train, held))
+    val tri = corpusMean(llm.TextStats.kneserNeyTrigramOf(train, held))
+    assert(tri < bi,
+      f"trigram KN must price heldout below bigram KN: tri=$tri%.4f bi=$bi%.4f nats")
+  }
+
   test("stupid backoff: each level fires where it should, with hand-checked scores") {
     val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
     val held = Seq(
