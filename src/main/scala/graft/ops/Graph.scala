@@ -59,10 +59,48 @@ object Graph {
     * sizing the parallelism. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val origin = edges.sparkSession
+    pageRankIterates(edges, iters) match {
+      case None => emptyRanks(origin)
+      case Some((_, iterates)) => rebind(origin, iterates.last)
+    }
+  }
+
+  /** The full per-iteration rank TRAJECTORY `(v, iter, r)` for
+    * iter = 0..iters — the state surface [[incrementalPageRank]]
+    * consumes: a delta batch can only skip work it can compare
+    * against, so the persisted state keeps every intermediate rank
+    * frame, not just the fixpoint ((iters+1) vertex-sized frames —
+    * at a billion vertices, ~48 GB of (long, int, long) parquet per
+    * iteration count of 5: cheap against the edge set it indexes). */
+  def pageRankTrajectory(edges: DataFrame, iters: Int): DataFrame = {
+    val origin = edges.sparkSession
+    pageRankIterates(edges, iters) match {
+      case None => emptyRanks(origin).select(col("v"), lit(0).as("iter"), col("r"))
+      case Some((_, iterates)) =>
+        rebind(origin, iterates.zipWithIndex.map { case (df, i) =>
+          df.select(col("v"), lit(i).as("iter"), col("r"))
+        }.reduce(_.unionByName(_)))
+    }
+  }
+
+  private def rebind(s: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(df.rdd, df.schema)
+
+  private def emptyRanks(origin: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    origin.createDataFrame(origin.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("v", LongType), StructField("r", LongType))))
+  }
+
+  /** Iteration core shared by [[pageRank]] and [[pageRankTrajectory]]:
+    * cloned session with vertex-sized parallelism, lazy lineage cuts,
+    * returns the (v, r) frame of EVERY iteration 0..iters (all bound
+    * to the cloned session). None for the empty graph. */
+  private def pageRankIterates(
+      edges: DataFrame, iters: Int): Option[(SparkSession, Seq[DataFrame])] = {
+    val origin = edges.sparkSession
     val spark = origin.newSession()
     graft.Checkpoints.propagate(origin, spark)
-    def rebind(s: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
-      s.createDataFrame(df.rdd, df.schema)
     // materialize the (possibly expensive) edge derivation once; the
     // derivation itself still plans under the caller's session.
     // Lineage cuts go through graft.Checkpoints: localCheckpoint by
@@ -72,10 +110,8 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val nV = deg.count()
     // empty graph: no vertices means no ranks (and division by nV
-    // below would throw) — return the empty (v, r) frame early
-    if (nV == 0L)
-      return rebind(origin,
-        deg.select(col("src").as("v"), lit(0L).as("r")))
+    // below would throw)
+    if (nV == 0L) return None
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(4L, nV / 65536L).toString)
     // LAZY checkpoints from here down: they still cut the lineage (so
@@ -89,6 +125,7 @@ object Graph {
     val init = 1000000000000L / nV
     val tele = 15L * init / 100L
     var pr = graft.Checkpoints.cut(verts.select(col("v"), lit(init).as("r")), eager = false)
+    val iterates = scala.collection.mutable.ArrayBuffer(pr)
     for (_ <- 1 to iters) {
       val contrib = ed.join(pr.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
@@ -98,8 +135,9 @@ object Graph {
           .select(col("v"),
             expr(s"$tele + (85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100").as("r")),
         eager = false)
+      iterates += pr
     }
-    rebind(origin, pr)
+    Some((spark, iterates.toSeq))
   }
 
   val pagerank: Q = Q(
@@ -543,6 +581,224 @@ object Graph {
       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.p1 = w.p1 AND e.p2 = w.p2)
       ORDER BY w.cn DESC, w.p1 ASC, w.p2 ASC LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(pagerank, copurchase, triangleCount, shortestPath,
-    labelPropagation, linkPredict)
+  /** INCREMENTAL PageRank — absorb a DELTA EDGE BATCH against the
+    * persisted rank trajectory of the settled graph, recomputing only
+    * the CHANGE FRONTIER per iteration (the [[graft.llm.Dedup]]
+    * incremental pattern applied to an iterative algorithm): the
+    * integer pico-rank arithmetic makes "changed" a well-defined
+    * bit-equality, so delta+state is EXACTLY the full recompute.
+    *
+    * Per iteration i the only vertices whose r_i can differ from the
+    * stored trajectory are out-neighbors of (a) vertices whose degree
+    * the delta changed and (b) vertices whose r_{i-1} changed —
+    * recompute those candidates from their FULL in-neighborhood
+    * (stored ranks overridden by the previous round's changed set),
+    * then VALUE-COMPARE against the stored r_i and carry forward only
+    * actual changes. Floor arithmetic absorbs sub-pico perturbations,
+    * so the frontier can SHRINK as it propagates — the comparison is
+    * what keeps far regions of the graph untouched.
+    *
+    * PRECONDITION (required, not assumed): every delta endpoint
+    * already exists in the settled graph. A new vertex changes N,
+    * which renormalizes init and teleport for EVERY vertex — the
+    * correct incremental answer IS the full recompute, so this
+    * operator refuses rather than silently degrade
+    * (vertex-arrival batches run [[pageRankTrajectory]] instead).
+    *
+    * Cost shape: O(Σᵢ |N(frontierᵢ)| + their in-edges), touched via
+    * frontier-keyed semi-joins against the edge state — point lookups
+    * on a dst-bucketed edge table at scale, never an edge scan per
+    * round. On low-diameter graphs (the bipartite demo below) the
+    * frontier saturates in ~2 hops and the win is bounded; on the
+    * sparse high-diameter graphs incremental PageRank exists for
+    * (web/social deltas), the frontier stays a neighborhood.
+    *
+    * Inputs: `histEdges` the settled symmetric edge list, `histDeg`
+    * its persisted (src, d) degrees, `histTraj` the persisted
+    * (v, iter, r) trajectory ([[pageRankTrajectory]]), `deltaEdges`
+    * the new symmetric edges (disjoint from history). Returns the
+    * UPDATED trajectory — the next round's state; final ranks are
+    * `iter = iters`. Delta+state ≡ full is pinned in GraphSpec at
+    * two-batch depth and re-proven by the driver every round
+    * (q_pagerank_incremental's oracle is the full recompute). */
+  def incrementalPageRank(histEdges: DataFrame, deltaEdges: DataFrame,
+      histDeg: DataFrame, histTraj: DataFrame, iters: Int): DataFrame = {
+    val origin = deltaEdges.sparkSession
+    val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
+    val dE = graft.Checkpoints.cut(
+      rebind(spark, deltaEdges.select(col("src"), col("dst"))))
+    val hE = rebind(spark, histEdges.select(col("src"), col("dst")))
+    val deg0 = rebind(spark, histDeg.select(col("src"), col("d")))
+    val traj = rebind(spark, histTraj.select(col("v"), col("iter"), col("r")))
+    def trajAt(i: Int): DataFrame =
+      traj.filter(col("iter") === i).select(col("v"), col("r"))
+    // settled-vertex precondition: symmetric edges ⇒ endpoints = srcs
+    val fDeg = graft.Checkpoints.cut(dE.select("src").distinct())
+    val newEnds = fDeg.join(deg0.select("src"), Seq("src"), "left_anti").count()
+    require(newEnds == 0L,
+      s"incremental PageRank requires a settled vertex set: $newEnds delta " +
+        "endpoint(s) unseen in history (a new vertex renormalizes teleport " +
+        "for every rank — run the full pageRankTrajectory instead)")
+    val nV = deg0.count()
+    require(nV > 0L, "empty history state")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, nV / 65536L).toString)
+    val init = 1000000000000L / nV
+    val tele = 15L * init / 100L
+    val degDelta = dE.groupBy("src").agg(count(lit(1)).as("dd"))
+    val deg = graft.Checkpoints.cut(
+      deg0.join(degDelta, Seq("src"), "left")
+        .select(col("src"),
+          (col("d") + coalesce(col("dd"), lit(0L))).as("d")), eager = false)
+    val unionE = hE.unionByName(dE)
+    var dirty: Option[DataFrame] = None // changed (v, r) at iter i-1
+    val changed = scala.collection.mutable.Map.empty[Int, DataFrame]
+    for (i <- 1 to iters) {
+      val seeds = dirty match {
+        case None => fDeg
+        case Some(d0) => fDeg.unionByName(d0.select(col("v").as("src"))).distinct()
+      }
+      // candidates: out-neighbors of the seed set under the UNION
+      // edges (new edges originate at degree-changed endpoints, so
+      // new-in-edge targets are already covered)
+      val cand = unionE.join(seeds, Seq("src"), "left_semi")
+        .select(col("dst").as("v")).distinct()
+      // full in-neighborhood of the candidates — candidate-keyed
+      // semi-join against the edge state, never an edge scan
+      val inE = unionE.join(cand.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      val rPrevEff = {
+        val stored = trajAt(i - 1)
+          .join(inE.select(col("src").as("v")).distinct(), Seq("v"), "left_semi")
+        dirty match {
+          case None => stored
+          case Some(d0) =>
+            stored.join(d0.withColumnRenamed("r", "r_chg"), Seq("v"), "left")
+              .select(col("v"), coalesce(col("r_chg"), col("r")).as("r"))
+        }
+      }
+      val contrib = inE.join(deg, "src")
+        .join(rPrevEff.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(expr("r div d")).as("contrib"))
+      val rNew = cand.join(contrib, Seq("v"))
+        .select(col("v"), expr(s"$tele + (85 * contrib) div 100").as("r"))
+      val d1 = graft.Checkpoints.cut(
+        rNew.join(trajAt(i).withColumnRenamed("r", "r_old"), Seq("v"))
+          .filter(col("r") =!= col("r_old"))
+          .select(col("v"), col("r")), eager = false)
+      dirty = Some(d1)
+      changed(i) = d1
+    }
+    val updated = (0 to iters).map { i =>
+      changed.get(i) match {
+        case None => trajAt(i).select(col("v"), lit(i).as("iter"), col("r"))
+        case Some(d1) =>
+          trajAt(i).join(d1.withColumnRenamed("r", "r_new"), Seq("v"), "left")
+            .select(col("v"), lit(i).as("iter"),
+              coalesce(col("r_new"), col("r")).as("r"))
+      }
+    }.reduce(_.unionByName(_))
+    rebind(origin, updated)
+  }
+
+  /** Driver-visible incremental PageRank: the last 1/16 of the
+    * customer↔supplier pairs (by a deterministic key hash) is "this
+    * batch's new purchase relationships", restricted to endpoints the
+    * settled graph already knows (the operator's stated domain — see
+    * [[incrementalPageRank]]); the trajectory/degree/edge state is
+    * staged to parquet on first touch per application+corpus and
+    * REUSED thereafter, so repeated executions measure the warm
+    * delta-absorption path, exactly like
+    * [[graft.llm.Dedup.incrementalMinhash]]. The DuckDB oracle is the
+    * FULL 5-iteration recompute over the union graph — the driver's
+    * hash re-proves delta+state ≡ full every round. */
+  val pagerankIncremental: Q = Q(
+    "q_pagerank_incremental",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+      val marked = cs.withColumn("is_delta", expr("(c * 131 + p) % 16 = 7"))
+      val hist = marked.filter(!col("is_delta")).select("c", "p")
+      val delta = marked.filter(col("is_delta")).select("c", "p")
+        .join(hist.select("c").distinct(), Seq("c"), "left_semi")
+        .join(hist.select("p").distinct(), Seq("p"), "left_semi")
+      def sym(df: DataFrame): DataFrame =
+        df.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+          .unionAll(df.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      val stateDir = graft.Staging.dir(s,
+        "graft_pagerank_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val statePath = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(statePath)) {
+        sym(hist).write.mode("overwrite").parquet(s"$stateDir/edges")
+        val eSt = s.read.parquet(s"$stateDir/edges")
+        pageRankTrajectory(eSt, 5).write.mode("overwrite").parquet(s"$stateDir/traj")
+        eSt.groupBy("src").agg(count(lit(1)).as("d"))
+          .write.mode("overwrite").parquet(s"$stateDir/deg")
+      }
+      incrementalPageRank(s.read.parquet(s"$stateDir/edges"), sym(delta),
+          s.read.parquet(s"$stateDir/deg"), s.read.parquet(s"$stateDir/traj"), 5)
+        .filter(col("iter") === 5)
+        .select(
+          when(col("v") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+          expr("v div 2").as("id"), col("r"))
+        .orderBy("kind", "id")
+    },
+    Some("""
+      WITH cs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      hist AS (SELECT c, p FROM cs WHERE (c * 131 + p) % 16 <> 7),
+      keepd AS (SELECT c, p FROM cs WHERE (c * 131 + p) % 16 = 7
+                AND c IN (SELECT c FROM hist) AND p IN (SELECT p FROM hist)),
+      keep AS (SELECT c, p FROM hist UNION ALL SELECT c, p FROM keepd),
+      edges AS (
+        SELECT c * 2 AS src, p * 2 + 1 AS dst FROM keep
+        UNION ALL
+        SELECT p * 2 + 1 AS src, c * 2 AS dst FROM keep),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+      verts AS (SELECT src AS v FROM deg),
+      tele AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      (15 * (1000000000000 // count(*))) // 100 AS t
+               FROM verts),
+      pr0 AS (SELECT v, 1000000000000 // (SELECT n FROM tele) AS r FROM verts),
+      pr1 AS (SELECT verts.v AS v,
+                     (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM edges e JOIN deg d ON e.src = d.src JOIN pr0 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr2 AS (SELECT verts.v AS v,
+                     (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM edges e JOIN deg d ON e.src = d.src JOIN pr1 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr3 AS (SELECT verts.v AS v,
+                     (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM edges e JOIN deg d ON e.src = d.src JOIN pr2 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr4 AS (SELECT verts.v AS v,
+                     (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM edges e JOIN deg d ON e.src = d.src JOIN pr3 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr5 AS (SELECT verts.v AS v,
+                     (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM edges e JOIN deg d ON e.src = d.src JOIN pr4 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v)
+      SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+             v // 2 AS id, r
+      FROM pr5 ORDER BY kind, id"""))
+
+  val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
+    shortestPath, labelPropagation, linkPredict)
 }

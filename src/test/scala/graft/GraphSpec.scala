@@ -222,6 +222,43 @@ class GraphSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  private def symDF(pairs: Seq[(Long, Long)]) =
+    pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+
+  private def trajSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("incremental pagerank: delta+state ≡ full recompute at two-batch depth") {
+    val e0 = symDF(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 6L), (2L, 6L), (6L, 7L), (7L, 8L)))
+    val d1 = symDF(Seq((1L, 3L), (4L, 6L))) // settled endpoints only
+    val d2 = symDF(Seq((2L, 5L), (7L, 1L)))
+    def degOf(e: org.apache.spark.sql.DataFrame) =
+      e.groupBy("src").agg(count(lit(1)).as("d"))
+    // batch 1: incremental against the bootstrap state
+    val traj0 = ops.Graph.pageRankTrajectory(e0, 5)
+    val inc1 = ops.Graph.incrementalPageRank(e0, d1, degOf(e0), traj0, 5)
+    val e1 = e0.unionByName(d1)
+    assert(trajSet(inc1) == trajSet(ops.Graph.pageRankTrajectory(e1, 5)),
+      "batch-1 incremental trajectory must equal the full recompute")
+    // batch 2: state = batch 1's OUTPUT — the absorption loop composes
+    val inc2 = ops.Graph.incrementalPageRank(e1, d2, degOf(e1), inc1, 5)
+    assert(trajSet(inc2) ==
+      trajSet(ops.Graph.pageRankTrajectory(e1.unionByName(d2), 5)),
+      "batch-2 incremental (on incremental state) must equal the full recompute")
+  }
+
+  test("incremental pagerank refuses vertex-adding deltas (teleport renormalizes)") {
+    val e0 = symDF(Seq((1L, 2L), (2L, 3L)))
+    val traj0 = ops.Graph.pageRankTrajectory(e0, 5)
+    val deg0 = e0.groupBy("src").agg(count(lit(1)).as("d"))
+    val bad = symDF(Seq((3L, 99L))) // 99 unseen in history
+    val ex = intercept[IllegalArgumentException] {
+      ops.Graph.incrementalPageRank(e0, bad, deg0, traj0, 5).collect()
+    }
+    assert(ex.getMessage.contains("settled vertex set"), ex.getMessage)
+  }
+
   test("link prediction: square graph predicts the two diagonals, path predicts endpoints") {
     // square 1-2-3-4-1: non-edges are the diagonals (1,3) and (2,4),
     // each with BOTH off-diagonal vertices as common neighbors
