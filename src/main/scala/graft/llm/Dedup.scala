@@ -1122,7 +1122,120 @@ object Dedup {
       WHERE (1000000 * dot * dot) // (na.n2 * nb.n2) >= 250000
       ORDER BY doc_a, doc_b"""))
 
+  /** SUFFIX-SORT long-substring dedup — corpus-wide discovery of long
+    * duplicated token spans WITHOUT candidate pairs (the Lee et al.
+    * "Deduplicating Training Data" ExactSubstr shape, where
+    * [[dupSpans]] needs a pair list first): every token position
+    * emits its BLOCKED SUFFIX (the next B = 30 tokens — bounded row
+    * state, the "blocked" in blocked-suffix), the corpus of suffixes
+    * is GLOBALLY SORTED lexicographically, and each suffix is
+    * compared only to its sorted NEIGHBOR — any token span of length
+    * ≥ L duplicated across two documents makes their suffixes
+    * contiguous in sorted order, so some adjacent cross-document pair
+    * has LCP ≥ L. Adjacent-pair LCP is exactly the suffix-array +
+    * LCP-array construction, re-expressed as a sort the engine
+    * already scales instead of pointer chasing it cannot.
+    *
+    * Scale shape: the sort is [[graft.ops.Ranks.globalOrder]] (range
+    * partition + per-partition rank + P-row offset scan — NEVER an
+    * unpartitioned window), adjacency is a rank self-join, and every
+    * row is ≤ B tokens wide, so the working set is a constant factor
+    * of the corpus; there is no pairwise stage anywhere. Reported
+    * LCP saturates at B (a 200-token duplicate reports 30) — B is
+    * the "how long is long" knob, not a correctness bound, since any
+    * dup ≥ L ≤ B surfaces.
+    *
+    * Fully hash-oracled (stronger than the rows-only contract near-
+    * dup ops need): ties in the sort are broken by (doc_id, pos), so
+    * adjacency is deterministic and DuckDB reproduces pair-for-pair,
+    * LCP-for-LCP. Ten planted 25-token excerpts (doc i's tokens
+    * 3..27 wrapped in unique filler, ids 2M+i) must each surface —
+    * their presence is part of the hashed result. */
+  /** Core suffix-sort LCP pass over any (doc_id, text) frame —
+    * factored so DedupSpec can compare against a driver-side
+    * longest-common-substring reference. Pair attribution is
+    * ADJACENCY-based: a span shared by more than two documents may
+    * attribute to a chain of pairs (A–C, C–B instead of A–B) because
+    * only sorted neighbors are compared — span DISCOVERY (some pair
+    * reporting ≥ minLcp) is the dedup-actionable guarantee, and is
+    * exact. Reported LCP saturates at `block`. */
+  def suffixLcpPairs(docs: DataFrame, block: Int = 30, minLcp: Int = 15): DataFrame = {
+      val sfx = docs
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .where(size(col("w")) >= 1)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("w")) - 1),
+            i => slice(col("w"), i + lit(1), lit(block)))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("sa"))
+        .withColumn("skey", concat_ws(" ", col("sa")))
+      val ranked = graft.ops.Ranks.globalOrder(sfx,
+        Seq(col("skey"), col("doc_id"), col("pos")), "rk")
+      val eqArr = zip_with(col("x.sa"), col("y.sa"), (a, b) => a === b)
+      val firstDiff = array_position(eqArr, lit(false))
+      val lcp = when(firstDiff === 0,
+        least(size(col("x.sa")), size(col("y.sa"))).cast("long"))
+        .otherwise(firstDiff - 1)
+      ranked.as("x").join(ranked.as("y"), col("y.rk") === col("x.rk") + 1)
+        .where(col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+          lcp.as("lcp"))
+        .filter(col("lcp") >= minLcp)
+        .groupBy("doc_a", "doc_b")
+        .agg(max(col("lcp")).as("max_lcp_tokens"),
+          count(lit(1)).as("n_adjacencies"))
+        .orderBy("doc_a", "doc_b")
+  }
+
+  val suffixDedup: Q = Q(
+    "q_dedup_suffix",
+    (s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          concat_ws(" ",
+            concat(lit("zfill"), col("doc_id")),
+            concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 3, 25)),
+            concat(lit("qfill"), col("doc_id"))).as("text"))
+      suffixLcpPairs(base.unionByName(planted))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               'zfill' || doc_id || ' ' ||
+               array_to_string((regexp_split_to_array(trim(text), '\s+'))[3:27], ' ') ||
+               ' qfill' || doc_id AS text
+        FROM documents WHERE doc_id < 10),
+      tw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM base),
+      sfx AS (
+        SELECT t.doc_id, CAST(s.k AS BIGINT) AS pos,
+               t.w[s.k+1 : s.k+30] AS sa,
+               array_to_string(t.w[s.k+1 : s.k+30], ' ') AS skey
+        FROM tw t, unnest(generate_series(0, len(t.w) - 1)) AS s(k)
+        WHERE len(t.w) >= 1),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY skey, doc_id, pos) AS rk FROM sfx),
+      adj AS (
+        SELECT x.doc_id AS da, y.doc_id AS db, x.sa AS sa, y.sa AS sb
+        FROM ranked x JOIN ranked y ON y.rk = x.rk + 1
+        WHERE x.doc_id <> y.doc_id),
+      lcps AS (
+        SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+               CAST(coalesce(
+                 nullif(list_position(list_transform(list_zip(sa, sb),
+                   x -> x[1] IS NOT DISTINCT FROM x[2]), false), 0) - 1,
+                 least(len(sa), len(sb))) AS BIGINT) AS lcp
+        FROM adj)
+      SELECT doc_a, doc_b,
+             CAST(max(lcp) AS BIGINT) AS max_lcp_tokens,
+             CAST(count(*) AS BIGINT) AS n_adjacencies
+      FROM lcps WHERE lcp >= 15
+      GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs,
     dedupClusters, dedupCanonical, incrementalExact, incrementalMinhash,
-    incrementalSimhash, dupSpans, containment, sparseCosine)
+    incrementalSimhash, dupSpans, containment, sparseCosine, suffixDedup)
 }

@@ -258,6 +258,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("suffix dedup: adjacent-LCP pairs match a brute-force LCS reference") {
+    import org.apache.spark.sql.functions._
+    // unique shared spans per pair, so adjacency attribution is exact
+    def toks(prefix: String, n: Int): Seq[String] = (0 until n).map(i => s"$prefix$i")
+    val shared1 = toks("s", 18)  // A-B share 18 tokens
+    val shared2 = toks("t", 40)  // D-E share 40 tokens -> capped at block 30
+    val docs = Seq(
+      (1L, (toks("a", 6) ++ shared1 ++ toks("b", 5)).mkString(" ")),  // A
+      (2L, (toks("c", 3) ++ shared1 ++ toks("d", 9)).mkString(" ")),  // B
+      (3L, toks("e", 40).mkString(" ")),                              // C: no overlap
+      (4L, (toks("f", 2) ++ shared2).mkString(" ")),                  // D
+      (5L, (shared2 ++ toks("g", 4)).mkString(" "))                   // E
+    ).toDF("doc_id", "text")
+    // driver-side reference: classic DP longest common token substring,
+    // capped at the block bound
+    def lcs(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      l = math.min(lcs(texts(a), texts(b)), 30) if l >= 15
+    } yield (a, b) -> l.toLong).toMap
+    val got = Dedup.suffixLcpPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"suffix-sort pairs must match the DP reference: got $got expected $expected")
+    assert(expected((4L, 5L)) == 30L, "block bound must cap the reported LCP")
+    assert(expected((1L, 2L)) == 18L)
+  }
+
+  test("suffix dedup: an exact copy reports the block-capped full-length span") {
+    import org.apache.spark.sql.functions._
+    val text = (0 until 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val got = Dedup.suffixLcpPairs(docs).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == 30L) // min(50, block 30)
+    // every suffix position is adjacent to its twin, but only those
+    // long enough to clear minLcp=15 qualify: positions 0..35 (the
+    // tail suffixes are themselves shorter than the threshold)
+    assert(got.head.getLong(3) == 36L)
+  }
+
   test("sparse cosine: exact copies score 1e6, near copies high-but-sub-unit") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q_sparse_cosine")(spark, sf001)
