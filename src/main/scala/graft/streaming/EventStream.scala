@@ -366,6 +366,97 @@ object EventStream {
         AND (b.event_id IS NOT NULL OR a.ts < mx - INTERVAL 3 HOUR)
       ORDER BY click_id, purchase_id NULLS FIRST"""))
 
+  /** Stream-stream FULL-outer join — closes the streaming join
+    * matrix next to [[streamJoin]] (inner) and [[streamJoinOuter]]
+    * (left): unmatched rows emit from BOTH sides, each when its own
+    * state is provably dead, so the oracle must account for BOTH
+    * state TTLs against the min-watermark horizon.
+    *
+    * State-TTL accounting (the both-side eviction arithmetic): the
+    * global watermark is the MIN over both inputs of max(ts) − 2 h
+    * (`least(max click, max purchase) − 2 h` — a source that lags
+    * holds the whole join's horizon back). From the join condition
+    * `purchase_ts ∈ [click_ts, click_ts + 1 h]`:
+    *  - a CLICK can still match future purchases while
+    *    click_ts + 1 h ≥ wm, so its unmatched row emits once
+    *    click_ts < wm − 1 h = least(maxes) − 3 h;
+    *  - a PURCHASE can still match future clicks while
+    *    purchase_ts ≥ wm (a matching click is never newer than the
+    *    purchase), so its unmatched row emits once
+    *    purchase_ts < wm = least(maxes) − 2 h.
+    * Rows inside their horizon at end of backlog stay withheld in
+    * state, by contract — the oracle's two WHERE bounds are exactly
+    * the two eviction predicates, which is what makes a FULL-outer
+    * replay hash-reproducible at all. */
+  val streamJoinFull: Q = Q(
+    "q_stream_join_full",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      val stage = stagePath(s, "graft_stream_join_full")
+      ev.write.mode("overwrite").parquet(stage)
+      val local = narrowedSession(s, 4)
+      def src() = local.readStream.schema(ev.schema).parquet(stage)
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = src().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+      val sink = "graft_stream_join_full_sink"
+      val sq = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "full_outer")
+        .select(col("click_id"), col("purchase_id"),
+          coalesce(col("user_id"), col("p_user")).as("user_id"),
+          col("click_ts"), col("purchase_ts"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      local.table(sink).orderBy(asc_nulls_last("click_id"),
+        asc_nulls_first("purchase_id"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT least(max(CASE WHEN event_type = 'click' THEN ts END),
+                     max(CASE WHEN event_type = 'purchase' THEN ts END)) AS mx
+        FROM events),
+      matched AS (
+        SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+               a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        WHERE a.event_type = 'click'),
+      click_only AS (
+        SELECT a.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id,
+               a.user_id, a.ts AS click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+        FROM events a CROSS JOIN m
+        WHERE a.event_type = 'click' AND a.ts < mx - INTERVAL 3 HOUR
+          AND NOT EXISTS (
+            SELECT 1 FROM events b
+            WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)),
+      purchase_only AS (
+        SELECT CAST(NULL AS BIGINT) AS click_id, b.event_id AS purchase_id,
+               b.user_id, CAST(NULL AS TIMESTAMP) AS click_ts, b.ts AS purchase_ts
+        FROM events b CROSS JOIN m
+        WHERE b.event_type = 'purchase' AND b.ts < mx - INTERVAL 2 HOUR
+          AND NOT EXISTS (
+            SELECT 1 FROM events a
+            WHERE a.user_id = b.user_id AND a.event_type = 'click'
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR))
+      SELECT * FROM matched
+      UNION ALL SELECT * FROM click_only
+      UNION ALL SELECT * FROM purchase_only
+      ORDER BY click_id NULLS LAST, purchase_id NULLS FIRST"""))
+
   /** Closed session record emitted by [[timeoutSessions]]. */
   final case class ClosedSession(
       user_id: Long, n_events: Long,
@@ -1031,7 +1122,7 @@ object EventStream {
     None)
 
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
-    streamJoinOuter, streamState, streamTimeoutSessions, streamFunnel,
+    streamJoinOuter, streamJoinFull, streamState, streamTimeoutSessions, streamFunnel,
     streamMerge, streamQuarantine, streamNtz, streamEnrich, streamLate,
     streamHeavyHitters)
 }
