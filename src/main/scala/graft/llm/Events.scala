@@ -1168,8 +1168,72 @@ object Events {
                ((v1 * v1) / (n1 - 1) + (v2 * v2) / (n2 - 1))) AS BIGINT) AS df_milli
       FROM vv"""))
 
+  /** Per-group EXPONENTIALLY WEIGHTED moving average over the
+    * per-type daily spend series (α = 1/5) — the trend-following
+    * smoother next to [[changepoint]]'s level detector. The EWMA
+    * recursion e_t = (2·x_t + 8·e_{t−1}) div 10 (seed e_1 = x_1,
+    * milli-cent units) is INHERENTLY SEQUENTIAL — a float spelling
+    * via decayed-weight sums would hang cross-engine equality on
+    * summation order, and an integer common-denominator form
+    * overflows 2⁶³ by t ≈ 20 — so the fold runs as `flatMapGroups`
+    * over each type's day-sorted series: exact BIGINT floor steps,
+    * identical in any engine. The oracle is the same recursion as a
+    * DuckDB recursive CTE stepping rn → rn+1.
+    *
+    * Scale shape: the corpus aggregates ONCE to the daily frame
+    * (map-side combine, group×day cardinality); the sequential fold
+    * touches only that frame, each group a calendar-bounded series —
+    * the one shape where per-group sequential state is free.
+    * Envelope: |daily cents| < 2⁶³/10⁴ (≈ $9·10¹⁴/day/type) keeps
+    * 2·x·1000 + 8·e inside BIGINT. */
+  /** Core EWMA pass over any (event_type, day, x) daily frame —
+    * factored for hand-series specs. */
+  def ewmaOf(daily: DataFrame): DataFrame = {
+      val s = daily.sparkSession
+      import s.implicits._
+      daily.select(col("event_type"), col("day"), col("x"))
+        .as[(String, java.sql.Timestamp, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (typ, rows) =>
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          var e = 0L
+          sorted.zipWithIndex.map { case ((_, day, x), i) =>
+            e = if (i == 0) x * 1000L
+                else Math.floorDiv(2L * x * 1000L + 8L * e, 10L)
+            (typ, day, x, e)
+          }
+        }
+        .toDF("event_type", "day", "cents", "ewma_milli")
+        .orderBy("event_type", "day")
+  }
+
+  val ewma: Q = Q(
+    "q_ewma",
+    (s, dir) =>
+      ewmaOf(t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))),
+    Some("""
+      WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      numbered AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily),
+      rec AS (
+        SELECT event_type, day, rn, x, x * 1000 AS ewma_milli
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT d.event_type, d.day, d.rn, d.x,
+               (2 * d.x * 1000 + 8 * r.ewma_milli) // 10
+        FROM numbered d JOIN rec r
+          ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+      SELECT event_type, day, x AS cents, CAST(ewma_milli AS BIGINT) AS ewma_milli
+      FROM rec ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
-    changepoint, autocorr, welchTTest)
+    changepoint, autocorr, welchTTest, ewma)
 }

@@ -199,6 +199,35 @@ class EventsSpec extends SparkSpec {
     assert(r.getLong(3) == 4000L, s"df_milli ${r.getLong(3)}")
   }
 
+  test("EWMA: hand-checked integer recursion, per-group isolation, step response") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val daily = Seq(
+      ("a", day(1), 10L), ("a", day(2), 20L), ("a", day(3), 30L),
+      ("b", day(1), 100L), ("b", day(2), 100L)
+    ).toDF("event_type", "day", "x")
+    val got = llm.Events.ewmaOf(daily).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)) -> r.getLong(3)).toMap
+    // e1 = 10·1000; e2 = (2·20000 + 8·10000) div 10; e3 = (2·30000 + 8·12000) div 10
+    assert(got(("a", "2024-01-01")) == 10000L)
+    assert(got(("a", "2024-01-02")) == 12000L)
+    assert(got(("a", "2024-01-03")) == 15600L)
+    // groups fold independently: a's values never leak into b's seed
+    assert(got(("b", "2024-01-01")) == 100000L)
+    assert(got(("b", "2024-01-02")) == 100000L)
+    // a constant series is a fixpoint; a step converges toward the new
+    // level without overshoot
+    val step = ((1 to 5).map(d => ("s", day(d), 100L)) ++
+      (6 to 15).map(d => ("s", day(d), 200L))).toDF("event_type", "day", "x")
+    val es = llm.Events.ewmaOf(step).collect().map(_.getLong(3))
+    assert(es.take(5).forall(_ == 100000L))
+    assert(es.drop(5).zip(es.drop(6)).forall { case (p, n) => n >= p },
+      "monotone approach to the step level")
+    // ten steps close 1 - 0.8^10 ≈ 89.3% of the gap (floors shave a few milli)
+    assert(es.last <= 200000L && es.last > 185000L,
+      s"converged near the new level, got ${es.last}")
+  }
+
   test("ACF finds planted weekly seasonality: r(7) near 1000, r(1) well below") {
     import java.sql.Timestamp
     def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
