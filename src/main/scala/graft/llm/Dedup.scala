@@ -687,14 +687,24 @@ object Dedup {
     def jump(ls: DataFrame): DataFrame =
       ls.as("a").join(ls.as("b"), col("a.label") === col("b.id"))
         .select(col("a.id").as("id"), col("b.label").as("label"))
+    // empty vertex set: sum() is NULL and there is nothing to
+    // propagate — return the empty (id, label) frame as-is
+    // (incrementalComponents hits this on a no-merge delta)
+    def labelSum(ls: DataFrame): Option[Long] = {
+      val r = ls.agg(sum(col("label"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
     var prevSum = Long.MinValue
-    var curSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var curSum = labelSum(labels) match {
+      case None => return rebind(origin, labels)
+      case Some(x) => x
+    }
     var i = 0
     while (curSum != prevSum && i < maxIter) {
       // one neighbor hop + one pointer jump per materialization
       labels = graft.Checkpoints.cut(jump(propagate(labels)))
       prevSum = curSum
-      curSum = labels.agg(sum(col("label"))).head().getLong(0)
+      curSum = labelSum(labels).get // non-empty here: checked above
       i += 1
     }
     rebind(origin, labels)
@@ -731,6 +741,93 @@ object Dedup {
       val labels = connectedComponents(
         consecutiveJaccardEdges(docs), docs.select(col("doc_id").as("id")))
       labels.groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("component")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS w
+                 FROM documents),
+      e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+            WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+                  nullif(len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)), 0) >= 0.7),
+      marks AS (SELECT doc_id,
+                       CASE WHEN doc_id IN (SELECT dst FROM e) THEN 0 ELSE 1 END AS ng
+                FROM d),
+      grp AS (SELECT doc_id,
+                     sum(ng) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS g
+              FROM marks)
+      SELECT min(doc_id) AS component, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(doc_id) AS BIGINT) AS max_doc
+      FROM grp GROUP BY g HAVING count(*) >= 2
+      ORDER BY component"""))
+
+  /** INCREMENTAL connected components — absorb a delta edge batch
+    * against persisted labels WITHOUT re-propagating the settled
+    * graph: CC's labels are min-vertex-ids, and merging components is
+    * itself a components problem on the (tiny) LABEL GRAPH — one
+    * node per touched component, one edge per delta edge whose
+    * endpoints carry different labels. Run the full iterative CC on
+    * that delta-bounded graph, then relabel the state with a
+    * BROADCAST map (merge set ≤ delta size, so the state table is
+    * touched by one scan+broadcast-join — never shuffled, never
+    * re-propagated). Unlike PageRank there is no teleport coupling:
+    * NEW vertices are fine (they enter labeled by their own id) and
+    * the result is EXACTLY the full recompute — label(v) = min id in
+    * v's component either way, at any batch depth (pinned in
+    * DedupSpec; the declared query's oracle is the full graph's
+    * islands). */
+  def incrementalComponents(stateLabels: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    val ends = deltaEdges.select(col("src").as("v"))
+      .unionByName(deltaEdges.select(col("dst").as("v"))).distinct()
+    val endLabels = ends
+      .join(stateLabels.select(col("id").as("v"), col("label")), Seq("v"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+    val lblEdges = deltaEdges
+      .join(endLabels.select(col("v").as("src"), col("label").as("la")), Seq("src"))
+      .join(endLabels.select(col("v").as("dst"), col("label").as("lb")), Seq("dst"))
+      .select(col("la").as("src"), col("lb").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val lblVerts = lblEdges.select(col("src").as("id"))
+      .unionByName(lblEdges.select(col("dst").as("id"))).distinct()
+    // identity rows drop out: only genuine merges ride the broadcast
+    val merged = connectedComponents(lblEdges, lblVerts)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as("label"), col("label").as("nl"))
+    val newVerts = ends
+      .join(stateLabels.select(col("id").as("v")), Seq("v"), "left_anti")
+      .select(col("v").as("id"), col("v").as("label"))
+    stateLabels.select("id", "label").unionByName(newVerts)
+      .join(broadcast(merged), Seq("label"), "left")
+      .select(col("id"), coalesce(col("nl"), col("label")).as("label"))
+  }
+
+  /** Driver-visible incremental CC: the near-dup graph's edges whose
+    * lower endpoint falls in hash bucket 7 of 16 are "today's newly
+    * discovered near-dup pairs"; history labels are staged on first
+    * touch per application+corpus and reused (the
+    * [[incrementalMinhash]] warm-path convention). The oracle is
+    * [[dedupClusters]]' full-graph islands — the union graph IS that
+    * query's graph, so the driver hash re-proves delta+state ≡ full
+    * every round. */
+  val ccIncremental: Q = Q(
+    "q_cc_incremental",
+    (s, dir) => {
+      val docs = wordSets(t(s, dir, "documents"))
+      val edges = consecutiveJaccardEdges(docs)
+      val hist = edges.filter(col("src") % 16 =!= 7)
+      val delta = edges.filter(col("src") % 16 === 7)
+      val stateDir = graft.Staging.dir(s,
+        "graft_cc_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val statePath = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(statePath)) {
+        connectedComponents(hist, docs.select(col("doc_id").as("id")))
+          .write.mode("overwrite").parquet(stateDir)
+      }
+      incrementalComponents(s.read.parquet(stateDir), delta)
+        .groupBy(col("label").as("component"))
         .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
         .filter(col("n_docs") >= 2)
         .orderBy("component")
@@ -1237,5 +1334,6 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs,
     dedupClusters, dedupCanonical, incrementalExact, incrementalMinhash,
-    incrementalSimhash, dupSpans, containment, sparseCosine, suffixDedup)
+    incrementalSimhash, dupSpans, containment, sparseCosine, suffixDedup,
+    ccIncremental)
 }

@@ -258,6 +258,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental CC: delta+state ≡ full recompute at two-batch depth, new vertices included") {
+    import org.apache.spark.sql.functions._
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e0 = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val v0 = (1L to 8L).toDF("id") // 7, 8 isolated
+    val state0 = Dedup.connectedComponents(e0, v0)
+    // batch 1: merge {1,2}+{3,4}; NEW vertex 9 joins {5,6}
+    val d1 = Seq((2L, 3L), (6L, 9L)).toDF("src", "dst")
+    val inc1 = Dedup.incrementalComponents(state0, d1)
+    val full1 = Dedup.connectedComponents(e0.unionByName(d1), (1L to 9L).toDF("id"))
+    assert(labelsOf(inc1) == labelsOf(full1),
+      "batch-1 incremental labels must equal the full recompute")
+    // batch 2 on batch 1's OUTPUT: chain-merge {1..4}+{5,6,9}; a
+    // brand-new two-vertex component arrives whole
+    val d2 = Seq((4L, 5L), (10L, 11L)).toDF("src", "dst")
+    val inc2 = Dedup.incrementalComponents(inc1, d2)
+    val full2 = Dedup.connectedComponents(
+      e0.unionByName(d1).unionByName(d2), ((1L to 11L)).toDF("id"))
+    assert(labelsOf(inc2) == labelsOf(full2),
+      "batch-2 incremental (on incremental state) must equal the full recompute")
+    // the giant merged component is labeled by its min vertex id
+    assert(labelsOf(inc2).filter(_._2 == 1L).map(_._1) == Set(1L, 2L, 3L, 4L, 5L, 6L, 9L))
+  }
+
+  test("incremental CC: empty delta is the identity on state") {
+    import org.apache.spark.sql.functions._
+    val e0 = Seq((1L, 2L)).toDF("src", "dst")
+    val state = Dedup.connectedComponents(e0, (1L to 3L).toDF("id"))
+    val out = Dedup.incrementalComponents(state,
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      state.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("suffix dedup: adjacent-LCP pairs match a brute-force LCS reference") {
     import org.apache.spark.sql.functions._
     // unique shared spans per pair, so adjacency attribution is exact
