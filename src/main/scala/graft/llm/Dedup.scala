@@ -1257,6 +1257,12 @@ object Dedup {
     * reporting ≥ minLcp) is the dedup-actionable guarantee, and is
     * exact. Reported LCP saturates at `block`. */
   def suffixLcpPairs(docs: DataFrame, block: Int = 30, minLcp: Int = 15): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val s = docs.sparkSession
+      val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      // the token array IS the sort key (Spark and DuckDB both order
+      // arrays element-wise lexicographically) — carrying a joined
+      // string copy would double every shuffled row's width
       val sfx = docs
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
         .where(size(col("w")) >= 1)
@@ -1265,18 +1271,51 @@ object Dedup {
             i => slice(col("w"), i + lit(1), lit(block)))))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("sa"))
-        .withColumn("skey", concat_ws(" ", col("sa")))
-      val ranked = graft.ops.Ranks.globalOrder(sfx,
-        Seq(col("skey"), col("doc_id"), col("pos")), "rk")
-      val eqArr = zip_with(col("x.sa"), col("y.sa"), (a, b) => a === b)
+      // ONE corpus shuffle: range-partition into global order, then
+      // successors are partition-LOCAL (lead) except the P partition
+      // boundaries, which stitch through a ≤2P-row frame — the
+      // Ranks.globalOrder discipline without the rank self-join's
+      // second full shuffle. Adjacency in the total order is invariant
+      // to where the range boundaries land.
+      val order = Seq(col("sa"), col("doc_id"), col("pos"))
+      val parted = graft.Checkpoints.cut(
+        sfx.repartitionByRange(par, order: _*)
+          .withColumn("__pid", spark_partition_id().cast("long")))
+      val w = Window.partitionBy("__pid").orderBy(order: _*)
+      val wDesc = Window.partitionBy("__pid")
+        .orderBy(col("sa").desc, col("doc_id").desc, col("pos").desc)
+      val local = parted
+        .withColumn("n_sa", lead(col("sa"), 1).over(w))
+        .withColumn("n_doc", lead(col("doc_id"), 1).over(w))
+        .filter(col("n_sa").isNotNull)
+        .select(col("doc_id"), col("sa"), col("n_doc"), col("n_sa"))
+      // boundary stitch: firsts sort before lasts at equal keys (tag
+      // 0 < 1), so in the ordered tiny frame every LAST row's
+      // successor is the FIRST row of the next non-empty partition —
+      // singleton and empty partitions included. The unpartitioned
+      // window runs over ≤2P rows, never the corpus.
+      val firsts = parted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("pos"), col("sa"), lit(0).as("__tag"))
+      val lasts = parted.withColumn("__rn", row_number().over(wDesc))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("pos"), col("sa"), lit(1).as("__tag"))
+      val tinyW = Window.orderBy(col("sa"), col("doc_id"), col("pos"), col("__tag"))
+      val boundary = firsts.unionByName(lasts)
+        .withColumn("n_sa", lead(col("sa"), 1).over(tinyW))
+        .withColumn("n_doc", lead(col("doc_id"), 1).over(tinyW))
+        .withColumn("n_tag", lead(col("__tag"), 1).over(tinyW))
+        .filter(col("__tag") === 1 && col("n_tag") === 0)
+        .select(col("doc_id"), col("sa"), col("n_doc"), col("n_sa"))
+      val eqArr = zip_with(col("sa"), col("n_sa"), (a, b) => a === b)
       val firstDiff = array_position(eqArr, lit(false))
       val lcp = when(firstDiff === 0,
-        least(size(col("x.sa")), size(col("y.sa"))).cast("long"))
+        least(size(col("sa")), size(col("n_sa"))).cast("long"))
         .otherwise(firstDiff - 1)
-      ranked.as("x").join(ranked.as("y"), col("y.rk") === col("x.rk") + 1)
-        .where(col("x.doc_id") =!= col("y.doc_id"))
-        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+      local.unionByName(boundary)
+        .where(col("doc_id") =!= col("n_doc"))
+        .select(least(col("doc_id"), col("n_doc")).as("doc_a"),
+          greatest(col("doc_id"), col("n_doc")).as("doc_b"),
           lcp.as("lcp"))
         .filter(col("lcp") >= minLcp)
         .groupBy("doc_a", "doc_b")
@@ -1309,12 +1348,11 @@ object Dedup {
       tw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM base),
       sfx AS (
         SELECT t.doc_id, CAST(s.k AS BIGINT) AS pos,
-               t.w[s.k+1 : s.k+30] AS sa,
-               array_to_string(t.w[s.k+1 : s.k+30], ' ') AS skey
+               t.w[s.k+1 : s.k+30] AS sa
         FROM tw t, unnest(generate_series(0, len(t.w) - 1)) AS s(k)
         WHERE len(t.w) >= 1),
       ranked AS (
-        SELECT *, row_number() OVER (ORDER BY skey, doc_id, pos) AS rk FROM sfx),
+        SELECT *, row_number() OVER (ORDER BY sa, doc_id, pos) AS rk FROM sfx),
       adj AS (
         SELECT x.doc_id AS da, y.doc_id AS db, x.sa AS sa, y.sa AS sb
         FROM ranked x JOIN ranked y ON y.rk = x.rk + 1

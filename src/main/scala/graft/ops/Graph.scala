@@ -628,9 +628,15 @@ object Graph {
     graft.Checkpoints.propagate(origin, spark)
     val dE = graft.Checkpoints.cut(
       rebind(spark, deltaEdges.select(col("src"), col("dst"))))
-    val hE = rebind(spark, histEdges.select(col("src"), col("dst")))
-    val deg0 = rebind(spark, histDeg.select(col("src"), col("d")))
-    val traj = rebind(spark, histTraj.select(col("v"), col("iter"), col("r")))
+    // materialize each state surface ONCE: the loop touches edges and
+    // degrees every round and the trajectory twice per round — without
+    // the cuts each reference would re-run the caller's scan
+    val hE = graft.Checkpoints.cut(
+      rebind(spark, histEdges.select(col("src"), col("dst"))))
+    val deg0 = graft.Checkpoints.cut(
+      rebind(spark, histDeg.select(col("src"), col("d"))))
+    val traj = graft.Checkpoints.cut(
+      rebind(spark, histTraj.select(col("v"), col("iter"), col("r"))))
     def trajAt(i: Int): DataFrame =
       traj.filter(col("iter") === i).select(col("v"), col("r"))
     // settled-vertex precondition: symmetric edges ⇒ endpoints = srcs
@@ -655,9 +661,10 @@ object Graph {
     var dirty: Option[DataFrame] = None // changed (v, r) at iter i-1
     val changed = scala.collection.mutable.Map.empty[Int, DataFrame]
     for (i <- 1 to iters) {
+      // no distinct on seeds: the semi-join below dedups for free
       val seeds = dirty match {
         case None => fDeg
-        case Some(d0) => fDeg.unionByName(d0.select(col("v").as("src"))).distinct()
+        case Some(d0) => fDeg.unionByName(d0.select(col("v").as("src")))
       }
       // candidates: out-neighbors of the seed set under the UNION
       // edges (new edges originate at degree-changed endpoints, so
@@ -669,7 +676,7 @@ object Graph {
       val inE = unionE.join(cand.select(col("v").as("dst")), Seq("dst"), "left_semi")
       val rPrevEff = {
         val stored = trajAt(i - 1)
-          .join(inE.select(col("src").as("v")).distinct(), Seq("v"), "left_semi")
+          .join(inE.select(col("src").as("v")), Seq("v"), "left_semi")
         dirty match {
           case None => stored
           case Some(d0) =>
@@ -702,63 +709,86 @@ object Graph {
     rebind(origin, updated)
   }
 
-  /** Driver-visible incremental PageRank: the last 1/16 of the
-    * customer↔supplier pairs (by a deterministic key hash) is "this
-    * batch's new purchase relationships", restricted to endpoints the
-    * settled graph already knows (the operator's stated domain — see
-    * [[incrementalPageRank]]); the trajectory/degree/edge state is
-    * staged to parquet on first touch per application+corpus and
-    * REUSED thereafter, so repeated executions measure the warm
-    * delta-absorption path, exactly like
-    * [[graft.llm.Dedup.incrementalMinhash]]. The DuckDB oracle is the
-    * FULL 5-iteration recompute over the union graph — the driver's
-    * hash re-proves delta+state ≡ full every round. */
+  /** Driver-visible incremental PageRank over the part k-NN
+    * co-purchase graph (each part keeps its top-3 most-co-ordered
+    * partners, symmetrized) — SPARSE by construction (undirected
+    * degree ≈ 3–15), which is the graph class incremental PageRank
+    * exists for: the change frontier grows by a bounded factor per
+    * hop instead of saturating through bipartite hubs in two. One
+    * pair in ~1024 (by a deterministic key hash, endpoints restricted
+    * to the settled graph — the operator's stated domain) is "today's
+    * newly discovered relationships". ALL state — edges, the delta
+    * batch itself, degrees, trajectory — is staged to parquet on
+    * first touch per application+corpus, so repeated executions
+    * measure the warm absorption path: state reads + frontier
+    * iterations, zero corpus scans (in production the delta arrives
+    * as a file; deriving it from the corpus is bootstrap scaffolding,
+    * exactly like [[graft.llm.Dedup.incrementalMinhash]]'s band
+    * store). The DuckDB oracle is the FULL 5-iteration recompute over
+    * the union graph — the driver's hash re-proves delta+state ≡ full
+    * every round. */
   val pagerankIncremental: Q = Q(
     "q_pagerank_incremental",
     (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
-      val marked = cs.withColumn("is_delta", expr("(c * 131 + p) % 16 = 7"))
-      val hist = marked.filter(!col("is_delta")).select("c", "p")
-      val delta = marked.filter(col("is_delta")).select("c", "p")
-        .join(hist.select("c").distinct(), Seq("c"), "left_semi")
-        .join(hist.select("p").distinct(), Seq("p"), "left_semi")
-      def sym(df: DataFrame): DataFrame =
-        df.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
-          .unionAll(df.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
       val stateDir = graft.Staging.dir(s,
         "graft_pagerank_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       val statePath = new org.apache.hadoop.fs.Path(stateDir)
       val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(statePath)) {
+        val op = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val co = op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+          .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+          .agg(count(lit(1)).as("cnt"))
+        val wKnn = org.apache.spark.sql.expressions.Window
+          .partitionBy("x").orderBy(col("cnt").desc, col("y").asc)
+        val knn = co.withColumn("rn", row_number().over(wKnn))
+          .filter(col("rn") <= 3).select("x", "y")
+        val und = knn.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")).distinct()
+        val hist = und.filter((col("a") * 131 + col("b")) % 1024 =!= 7)
+        val hv = hist.select(col("a").as("v"))
+          .unionByName(hist.select(col("b").as("v"))).distinct()
+        val delta = und.filter((col("a") * 131 + col("b")) % 1024 === 7)
+          .join(hv.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(hv.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        def sym(df: DataFrame): DataFrame =
+          df.select(col("a").as("src"), col("b").as("dst"))
+            .unionAll(df.select(col("b").as("src"), col("a").as("dst")))
         sym(hist).write.mode("overwrite").parquet(s"$stateDir/edges")
+        sym(delta).write.mode("overwrite").parquet(s"$stateDir/delta")
         val eSt = s.read.parquet(s"$stateDir/edges")
         pageRankTrajectory(eSt, 5).write.mode("overwrite").parquet(s"$stateDir/traj")
         eSt.groupBy("src").agg(count(lit(1)).as("d"))
           .write.mode("overwrite").parquet(s"$stateDir/deg")
       }
-      incrementalPageRank(s.read.parquet(s"$stateDir/edges"), sym(delta),
+      incrementalPageRank(s.read.parquet(s"$stateDir/edges"),
+          s.read.parquet(s"$stateDir/delta"),
           s.read.parquet(s"$stateDir/deg"), s.read.parquet(s"$stateDir/traj"), 5)
         .filter(col("iter") === 5)
-        .select(
-          when(col("v") % 2 === 0, "customer").otherwise("supplier").as("kind"),
-          expr("v div 2").as("id"), col("r"))
-        .orderBy("kind", "id")
+        .select(col("v").as("part_id"), col("r"))
+        .orderBy("part_id")
     },
     Some("""
-      WITH cs AS (
-        SELECT DISTINCT o_custkey AS c, l_suppkey AS p
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      hist AS (SELECT c, p FROM cs WHERE (c * 131 + p) % 16 <> 7),
-      keepd AS (SELECT c, p FROM cs WHERE (c * 131 + p) % 16 = 7
-                AND c IN (SELECT c FROM hist) AND p IN (SELECT p FROM hist)),
-      keep AS (SELECT c, p FROM hist UNION ALL SELECT c, p FROM keepd),
+      WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      co AS (SELECT a.p AS x, b.p AS y, CAST(count(*) AS BIGINT) AS cnt
+             FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+             GROUP BY a.p, b.p),
+      knn AS (SELECT x, y FROM (
+                SELECT x, y, row_number() OVER (PARTITION BY x
+                         ORDER BY cnt DESC, y ASC) AS rn
+                FROM co) WHERE rn <= 3),
+      und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM knn),
+      hist AS (SELECT a, b FROM und WHERE (a * 131 + b) % 1024 <> 7),
+      hv AS (SELECT a AS v FROM hist UNION SELECT b AS v FROM hist),
+      keepd AS (SELECT a, b FROM und WHERE (a * 131 + b) % 1024 = 7
+                AND a IN (SELECT v FROM hv) AND b IN (SELECT v FROM hv)),
+      keep AS (SELECT a, b FROM hist UNION ALL SELECT a, b FROM keepd),
       edges AS (
-        SELECT c * 2 AS src, p * 2 + 1 AS dst FROM keep
+        SELECT a AS src, b AS dst FROM keep
         UNION ALL
-        SELECT p * 2 + 1 AS src, c * 2 AS dst FROM keep),
+        SELECT b AS src, a AS dst FROM keep),
       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
       verts AS (SELECT src AS v FROM deg),
       tele AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -795,9 +825,8 @@ object Graph {
                 SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
                 FROM edges e JOIN deg d ON e.src = d.src JOIN pr4 p ON p.v = e.src
                 GROUP BY e.dst) c ON verts.v = c.v)
-      SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
-             v // 2 AS id, r
-      FROM pr5 ORDER BY kind, id"""))
+      SELECT v AS part_id, r
+      FROM pr5 ORDER BY part_id"""))
 
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
     shortestPath, labelPropagation, linkPredict)
