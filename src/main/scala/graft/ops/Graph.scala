@@ -668,12 +668,12 @@ object Graph {
       }
       // candidates: out-neighbors of the seed set under the UNION
       // edges (new edges originate at degree-changed endpoints, so
-      // new-in-edge targets are already covered)
-      val cand = unionE.join(seeds, Seq("src"), "left_semi")
-        .select(col("dst").as("v")).distinct()
+      // new-in-edge targets are already covered). No distinct — the
+      // semi-join probe and the contrib groupBy both dedup for free.
+      val candDst = unionE.join(seeds, Seq("src"), "left_semi").select(col("dst"))
       // full in-neighborhood of the candidates — candidate-keyed
       // semi-join against the edge state, never an edge scan
-      val inE = unionE.join(cand.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      val inE = unionE.join(candDst, Seq("dst"), "left_semi")
       val rPrevEff = {
         val stored = trajAt(i - 1)
           .join(inE.select(col("src").as("v")), Seq("v"), "left_semi")
@@ -688,7 +688,9 @@ object Graph {
         .join(rPrevEff.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(sum(expr("r div d")).as("contrib"))
-      val rNew = cand.join(contrib, Seq("v"))
+      // contrib's keys ARE the candidate set (every candidate has at
+      // least one in-edge) — no separate cand frame to join back
+      val rNew = contrib
         .select(col("v"), expr(s"$tele + (85 * contrib) div 100").as("r"))
       val d1 = graft.Checkpoints.cut(
         rNew.join(trajAt(i).withColumnRenamed("r", "r_old"), Seq("v"))
@@ -747,10 +749,10 @@ object Graph {
           .filter(col("rn") <= 3).select("x", "y")
         val und = knn.select(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b")).distinct()
-        val hist = und.filter((col("a") * 131 + col("b")) % 1024 =!= 7)
+        val hist = und.filter((col("a") * 131 + col("b")) % 2048 =!= 7)
         val hv = hist.select(col("a").as("v"))
           .unionByName(hist.select(col("b").as("v"))).distinct()
-        val delta = und.filter((col("a") * 131 + col("b")) % 1024 === 7)
+        val delta = und.filter((col("a") * 131 + col("b")) % 2048 === 7)
           .join(hv.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(hv.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         def sym(df: DataFrame): DataFrame =
@@ -780,9 +782,9 @@ object Graph {
                          ORDER BY cnt DESC, y ASC) AS rn
                 FROM co) WHERE rn <= 3),
       und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM knn),
-      hist AS (SELECT a, b FROM und WHERE (a * 131 + b) % 1024 <> 7),
+      hist AS (SELECT a, b FROM und WHERE (a * 131 + b) % 2048 <> 7),
       hv AS (SELECT a AS v FROM hist UNION SELECT b AS v FROM hist),
-      keepd AS (SELECT a, b FROM und WHERE (a * 131 + b) % 1024 = 7
+      keepd AS (SELECT a, b FROM und WHERE (a * 131 + b) % 2048 = 7
                 AND a IN (SELECT v FROM hv) AND b IN (SELECT v FROM hv)),
       keep AS (SELECT a, b FROM hist UNION ALL SELECT a, b FROM keepd),
       edges AS (

@@ -228,6 +228,43 @@ class EventsSpec extends SparkSpec {
       s"converged near the new level, got ${es.last}")
   }
 
+  test("Holt: hand-checked level/trend recursion incl. negative-trend truncation") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val daily = Seq(
+      ("a", day(1), 10L), ("a", day(2), 20L), ("a", day(3), 30L),
+      ("n", day(1), 7L), ("n", day(2), 3L), ("n", day(3), 3L)
+    ).toDF("event_type", "day", "x")
+    val got = llm.Events.holtOf(daily).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // rising series: l2=(2·20000+8·10000)/10, b2=(2·2000)/10, ...
+    assert(got(("a", "2024-01-01")) == ((10000L, 0L, 10000L)))
+    assert(got(("a", "2024-01-02")) == ((12000L, 400L, 12400L)))
+    assert(got(("a", "2024-01-03")) == ((15920L, 1104L, 17024L)))
+    // falling series pins TRUNCATION on negatives: at t3,
+    // b = -2816/10 = -281 (floor would give -282) — Spark div and
+    // DuckDB // both truncate toward zero, so the fold must too
+    assert(got(("n", "2024-01-02")) == ((6200L, -160L, 6040L)))
+    assert(got(("n", "2024-01-03"))._2 == -281L,
+      s"negative trend must truncate toward zero, got ${got(("n", "2024-01-03"))}")
+  }
+
+  test("Holt tracks a linear ramp where EWMA lags behind it") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val ramp = (1 to 28).map(d => ("r", day(d), 100L * d)).toDF("event_type", "day", "x")
+    val holtLast = llm.Events.holtOf(ramp).collect().last
+    val ewmaLast = llm.Events.ewmaOf(ramp).collect().last
+    val next = 100L * 29 * 1000L // the true next value, in milli-cents
+    val holtErr = math.abs(holtLast.getLong(5) - next)
+    val ewmaErr = math.abs(ewmaLast.getLong(3) - next)
+    // the trend accumulator closes the slope lag the single smoother
+    // structurally cannot: EWMA trails a ramp by ~(1-α)/α = 4 slopes
+    assert(holtErr * 4 < ewmaErr,
+      s"Holt forecast err $holtErr must be well under EWMA err $ewmaErr")
+  }
+
   test("ACF finds planted weekly seasonality: r(7) near 1000, r(1) well below") {
     import java.sql.Timestamp
     def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
