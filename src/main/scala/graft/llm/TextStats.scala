@@ -1221,6 +1221,179 @@ object TextStats {
              CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** MODIFIED Kneser–Ney (Chen & Goodman 1999) — the last rung of the
+    * KN ladder: instead of one fixed discount, THREE count-dependent
+    * discounts estimated from the corpus's own count-of-counts
+    * n_k = |{bigram types with count k}|:
+    *
+    *   Y  = n₁/(n₁+2n₂)
+    *   D₁ = 1 − 2Y·n₂/n₁   D₂ = 2 − 3Y·n₃/n₂   D₃₊ = 3 − 4Y·n₄/n₃
+    *
+    * applied by count bucket (c=1 → D₁, c=2 → D₂, c≥3 → D₃₊), with
+    * the leftover mass γ(w₁) = D₁N₁(w₁·)+D₂N₂(w₁·)+D₃₊N₃₊(w₁·)
+    * interpolating the continuation distribution (same add-1 floor as
+    * [[kneserNey]]). Singleton-heavy corpora (web text) discount
+    * hapax bigrams harder than frequent ones — the quality edge over
+    * the fixed 0.75.
+    *
+    * Degenerate-corpus guard (stated, not assumed): each Dₖ's
+    * estimator divides by n₁/n₂/n₃; when that count-of-count is zero
+    * the corpus carries no evidence for the level and Dₖ falls back
+    * to the plain-KN 0.75 — an identical CASE on both engines, so the
+    * guard itself is hash-pinned.
+    *
+    * Shape at 100 TB: the count-of-counts is ONE extra 4-row
+    * aggregate over the bigram-type table; per-w₁ bucket counts ride
+    * the existing w₁ grouping; everything else is [[kneserNeyOf]]'s
+    * token-keyed join scoring. */
+  /** Core modified-KN pass over explicit train/heldout frames. */
+  def kneserNeyModOf(train: DataFrame, test: DataFrame): DataFrame = {
+      def bigramFrame(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .where(size(col("w")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("w")) - 2),
+              i => struct(
+                concat_ws(" ", slice(col("w"), i + lit(1), lit(2))).as("bg"),
+                element_at(col("w"), i + lit(1)).as("w1"),
+                element_at(col("w"), i + lit(2)).as("w2")))).as("e"))
+          .select(col("doc_id"), col("e.bg").as("bg"),
+            col("e.w1").as("w1"), col("e.w2").as("w2"))
+      val trbg = bigramFrame(train)
+      val types = trbg.groupBy("bg", "w1", "w2").agg(count(lit(1)).as("c12"))
+      val c12 = types.select(col("bg").as("kbg"), col("c12"))
+      val w1stats = types.groupBy("w1")
+        .agg(sum(col("c12")).as("c1"),
+          sum(when(col("c12") === 1, 1L).otherwise(0L)).as("nb1"),
+          sum(when(col("c12") === 2, 1L).otherwise(0L)).as("nb2"),
+          sum(when(col("c12") >= 3, 1L).otherwise(0L)).as("nb3p"))
+        .withColumnRenamed("w1", "p1")
+      val w2stats = types.groupBy("w2").agg(count(lit(1)).as("n1p_pw"))
+        .withColumnRenamed("w2", "p2")
+      val globals = types.agg(
+          sum(when(col("c12") === 1, 1L).otherwise(0L)).as("nn1"),
+          sum(when(col("c12") === 2, 1L).otherwise(0L)).as("nn2"),
+          sum(when(col("c12") === 3, 1L).otherwise(0L)).as("nn3"),
+          sum(when(col("c12") === 4, 1L).otherwise(0L)).as("nn4"),
+          count(lit(1)).as("dd"))
+        .crossJoin(train
+          .select(explode(tokens(col("text"))).as("tok"))
+          .agg(countDistinct(col("tok")).as("vocab_n")))
+        .withColumn("y", when(col("nn1") > 0,
+          col("nn1").cast("double") / (col("nn1") + lit(2) * col("nn2"))).otherwise(0.0))
+        .withColumn("d1", when(col("nn1") > 0,
+          lit(1.0) - (lit(2.0) * col("y") * col("nn2")) / col("nn1")).otherwise(0.75))
+        .withColumn("d2", when(col("nn2") > 0,
+          lit(2.0) - (lit(3.0) * col("y") * col("nn3")) / col("nn2")).otherwise(0.75))
+        .withColumn("d3", when(col("nn3") > 0,
+          lit(3.0) - (lit(4.0) * col("y") * col("nn4")) / col("nn3")).otherwise(0.75))
+      val disc = when(coalesce(col("c12"), lit(0L)) === 1, col("d1"))
+        .when(coalesce(col("c12"), lit(0L)) === 2, col("d2"))
+        .otherwise(col("d3"))
+      val pc = (coalesce(col("n1p_pw"), lit(0L)) + lit(1.0)) /
+        (col("dd") + col("vocab_n")).cast("double")
+      val c1d = col("c1").cast("double")
+      val gamma = (col("d1") * col("nb1") + col("d2") * col("nb2")) +
+        col("d3") * col("nb3p")
+      val pkn = when(coalesce(col("c1"), lit(0L)) > 0,
+        (greatest(coalesce(col("c12"), lit(0L)) - disc, lit(0.0)) / c1d) +
+          ((gamma / c1d) * pc))
+        .otherwise(pc)
+      bigramFrame(test)
+        .join(c12, col("bg") === col("kbg"), "left")
+        .join(w1stats, col("w1") === col("p1"), "left")
+        .join(w2stats, col("w2") === col("p2"), "left")
+        .crossJoin(broadcast(globals))
+        .select(col("doc_id"),
+          round(-log(pkn) * 1e6, 0).cast("long").as("surprisal_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("surprisal_micro")).as("total_surprisal_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("total_surprisal_micro"),
+          (col("total_surprisal_micro").cast("double") / col("n_bigrams") / 1e6)
+            .as("mean_surprisal_nats"))
+        .orderBy("doc_id")
+  }
+
+  val kneserNeyMod: Q = Q(
+    "q_lm_kn_modified",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("b", Sampling.hashBucket(col("doc_id")))
+      kneserNeyModOf(docs.filter(col("b") < 80), docs.filter(col("b") >= 90))
+    },
+    Some("""
+      WITH bucketed AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS b
+        FROM documents),
+      trainw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM bucketed WHERE b < 80),
+      testw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM bucketed WHERE b >= 90),
+      trbg AS (SELECT t.doc_id, t.w[s.k+1] || ' ' || t.w[s.k+2] AS bg,
+                      t.w[s.k+1] AS w1, t.w[s.k+2] AS w2
+               FROM trainw t, unnest(generate_series(0, len(t.w) - 2)) AS s(k)
+               WHERE len(t.w) >= 2),
+      types AS (SELECT bg, w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM trbg GROUP BY bg, w1, w2),
+      w1s AS (SELECT w1 AS p1, CAST(sum(c12) AS BIGINT) AS c1,
+                     CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb1,
+                     CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nb2,
+                     CAST(sum(CASE WHEN c12 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nb3p
+              FROM types GROUP BY w1),
+      w2s AS (SELECT w2 AS p2, CAST(count(*) AS BIGINT) AS n1p_pw
+              FROM types GROUP BY w2),
+      gl0 AS (SELECT CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+                     CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+                     CAST(sum(CASE WHEN c12 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+                     CAST(sum(CASE WHEN c12 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+                     CAST(count(*) AS BIGINT) AS dd
+              FROM types),
+      gl1 AS (SELECT *,
+                     (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+                      FROM (SELECT unnest(w) AS tok FROM trainw)) AS vocab_n,
+                     CASE WHEN nn1 > 0
+                          THEN CAST(nn1 AS DOUBLE) / (nn1 + 2 * nn2)
+                          ELSE 0.0 END AS y
+              FROM gl0),
+      gl AS (SELECT *,
+                    CASE WHEN nn1 > 0 THEN 1.0 - (2.0 * y * nn2) / nn1
+                         ELSE 0.75 END AS d1,
+                    CASE WHEN nn2 > 0 THEN 2.0 - (3.0 * y * nn3) / nn2
+                         ELSE 0.75 END AS d2,
+                    CASE WHEN nn3 > 0 THEN 3.0 - (4.0 * y * nn4) / nn3
+                         ELSE 0.75 END AS d3
+             FROM gl1),
+      tsbg AS (SELECT t.doc_id, t.w[s.k+1] || ' ' || t.w[s.k+2] AS bg,
+                      t.w[s.k+1] AS w1, t.w[s.k+2] AS w2
+               FROM testw t, unnest(generate_series(0, len(t.w) - 2)) AS s(k)
+               WHERE len(t.w) >= 2),
+      scored AS (
+        SELECT h.doc_id,
+               CAST(round(-ln(
+                 CASE WHEN coalesce(s1.c1, 0) > 0 THEN
+                   (greatest(coalesce(a.c12, 0) -
+                      (CASE WHEN coalesce(a.c12, 0) = 1 THEN d1
+                            WHEN coalesce(a.c12, 0) = 2 THEN d2
+                            ELSE d3 END), 0.0) / CAST(s1.c1 AS DOUBLE)) +
+                     ((((d1 * s1.nb1 + d2 * s1.nb2) + d3 * s1.nb3p)
+                        / CAST(s1.c1 AS DOUBLE)) *
+                      ((coalesce(s2.n1p_pw, 0) + 1.0) / CAST(dd + vocab_n AS DOUBLE)))
+                 ELSE ((coalesce(s2.n1p_pw, 0) + 1.0) / CAST(dd + vocab_n AS DOUBLE))
+                 END) * 1e6) AS BIGINT) AS surprisal_micro
+        FROM tsbg h
+        LEFT JOIN types a ON h.bg = a.bg
+        LEFT JOIN w1s s1 ON h.w1 = s1.p1
+        LEFT JOIN w2s s2 ON h.w2 = s2.p2
+        CROSS JOIN gl)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(surprisal_micro) AS BIGINT) AS total_surprisal_micro,
+             CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   /** TRIGRAM interpolated KNESER–NEY with RECURSIVE backoff — the
     * full three-level chain the bigram model ([[kneserNey]]) stops
     * short of: P(w₃|w₁w₂) discounts the trigram count and backs off
@@ -1549,5 +1722,5 @@ object TextStats {
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
-    spearman, rhoSelect, kneserNey, kneserNeyTrigram, stupidBackoff)
+    spearman, rhoSelect, kneserNey, kneserNeyMod, kneserNeyTrigram, stupidBackoff)
 }

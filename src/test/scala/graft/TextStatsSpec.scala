@@ -291,6 +291,35 @@ class TextStatsSpec extends SparkSpec {
     assert(got(100L) < got(102L))
   }
 
+  test("modified KN: count-dependent discounts match the hand-computed Chen-Goodman estimates") {
+    // train "a b a b a c a c a c a d": c(ab)=c(ba)=2, c(ac)=c(ca)=3,
+    // c(ad)=1 -> count-of-counts n1=1, n2=2, n3=2, n4=0
+    val train = Seq((1L, "a b a b a c a c a c a d")).toDF("doc_id", "text")
+    // mirror the engines' exact double parenthesization
+    val y = 1.0 / (1 + 2 * 2)
+    val d1 = 1.0 - (2.0 * y * 2) / 1
+    val d2 = 2.0 - (3.0 * y * 2) / 2
+    val d3 = 3.0 - (4.0 * y * 0) / 2
+    // w1 = a: c1 = 2+3+1 = 6, N1(a.)=1, N2(a.)=1, N3+(a.)=1
+    val gammaA = (d1 * 1 + d2 * 1) + d3 * 1
+    val dd = 5.0; val v = 4.0
+    def pc(n1pPw: Long) = (n1pPw + 1.0) / (dd + v)
+    def p(c12: Long, disc: Double, n1pPw: Long) =
+      (math.max(c12 - disc, 0.0) / 6.0) + ((gammaA / 6.0) * pc(n1pPw))
+    val held = Seq(
+      (10L, "a b"), // count-2 bigram: D2 applies
+      (11L, "a c"), // count-3 bigram: D3+ applies (here 3.0 -> all mass interpolated)
+      (12L, "a d")  // hapax bigram: D1 applies
+    ).toDF("doc_id", "text")
+    val got = llm.TextStats.kneserNeyModOf(train, held).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(10L) == math.round(-math.log(p(2, d2, 1)) * 1e6), s"D2: ${got(10L)}")
+    assert(got(11L) == math.round(-math.log(p(3, d3, 1)) * 1e6), s"D3+: ${got(11L)}")
+    assert(got(12L) == math.round(-math.log(p(1, d1, 1)) * 1e6), s"D1: ${got(12L)}")
+    // the estimated discounts are ordered D1 < D2 < D3+ on this corpus
+    assert(d1 < d2 && d2 < d3)
+  }
+
   test("trigram KN: recursive backoff chain fires level by level, hand-checked") {
     val train = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     // stats by hand: c123(abc)=2, cctx(ab)=2, N1+(ab·)=1;
