@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, In, IsNotNull, IsNull, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -72,7 +73,7 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
         with SupportsPushDownLimit with SupportsPushDownOffset
-        with SupportsPushDownAggregates {
+        with SupportsPushDownFilters with SupportsPushDownAggregates {
       private val pageSize = options.getInt("page_size", 100)
       private val maxRecords = options.getInt("max_records", 500)
       private val path = Option(options.get("path"))
@@ -100,7 +101,11 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
         * exact here because pages preserve record order and the
         * planner caps the page count. */
       private var limit: Int = Int.MaxValue
-      override def pushLimit(n: Int): Boolean = { limit = n; true }
+      override def pushLimit(n: Int): Boolean =
+        // with a pushed filter, LIMIT counts FILTERED rows — which
+        // planning-time page math cannot; decline and let Spark keep
+        // the operator (filters push first, limits after)
+        if (filters.nonEmpty) false else { limit = n; true }
       override def isPartiallyPushed(): Boolean = false
 
       /** OFFSET pushed into the pager — completes the pushdown
@@ -117,7 +122,33 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
         * in-page prefix — the re-alignment is `drop` lines within ONE
         * page, never a scan of the skipped pages. */
       private var offset: Int = 0
-      override def pushOffset(n: Int): Boolean = { offset = n; true }
+      override def pushOffset(n: Int): Boolean =
+        // see pushLimit: a pushed filter changes what OFFSET counts
+        if (filters.nonEmpty) false else { offset = n; true }
+
+      /** FILTER pushdown — predicates evaluated on the parsed JSON
+        * node BEFORE an InternalRow is built, so filtered-out records
+        * never materialize (JSON-lines records must still be parsed
+        * to test, so the win is row materialization and the removed
+        * downstream FilterExec, not I/O — unlike parquet there is no
+        * sub-record layout to skip). Accepted: the NULL-REJECTING
+        * whitelist [[SamFilterEval.supported]] (EqualTo / IsNull /
+        * IsNotNull / string matchers / In, And/Or of those) — for
+        * these, two-valued "matches" coincides with SQL's IS TRUE
+        * keep-semantics on nulls; Not does NOT (NOT(x) IS TRUE needs
+        * x IS FALSE, unrecoverable from IS TRUE), so it stays
+        * residual. Pushed filters interact with the other pushdowns:
+        * LIMIT/OFFSET count FILTERED rows, which planning-time page
+        * byte offsets cannot, and a planning-time COUNT(*) would
+        * count raw records — all three decline when a filter is
+        * pushed (Spark keeps those operators; results stay exact). */
+      private var filters: Array[Filter] = Array.empty
+      override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+        val (ok, residual) = fs.partition(SamFilterEval.supported)
+        filters = ok
+        residual
+      }
+      override def pushedFilters(): Array[Filter] = filters
 
       /** COUNT(*) answered at PLANNING time: the fixture size / the
         * JSON-lines line count are already known from the planning
@@ -129,6 +160,7 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
       private var countStar = false
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        filters.isEmpty && // a planning-time count would count RAW records
         url.isEmpty && agg.groupByExpressions().isEmpty &&
           agg.aggregateExpressions().length == 1 &&
           agg.aggregateExpressions()(0)
@@ -200,18 +232,18 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new PagedReaderFactory(required)
+        new PagedReaderFactory(required, filters)
     }
 }
 
 /** Standalone factory: ships to executors, so it must be serializable
   * and must not capture the Scan/Table instances. */
-final class PagedReaderFactory(schema: StructType)
+final class PagedReaderFactory(schema: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case hp: HttpPagerPartition => new HttpPagerReader(hp, schema)
-      case pp: PagePartition => new PagePartitionReader(pp, schema)
+      case hp: HttpPagerPartition => new HttpPagerReader(hp, schema, filters)
+      case pp: PagePartition => new PagePartitionReader(pp, schema, filters)
       case cp: CountPartition => new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean =
@@ -235,6 +267,51 @@ final case class PagePartition(page: Int, pageSize: Int, total: Int,
   * there); `maxRecords` = absolute cap counted from stream row 0. */
 final case class HttpPagerPartition(url: String, pageSize: Int,
     startOffset: Int, maxRecords: Int, timeoutMs: Int) extends InputPartition
+
+/** Evaluates pushed V1 Filters against a parsed JSON record node.
+  *
+  * Only NULL-REJECTING shapes are [[supported]]: for those, the
+  * two-valued `matches` below coincides with SQL's "keep rows where
+  * the predicate IS TRUE" — a NULL field makes EqualTo/contains/In
+  * SQL-NULL and `matches` false, both dropping the row. `Not` is
+  * excluded: NOT(x) IS TRUE requires x IS FALSE, which cannot be
+  * recovered from an IS-TRUE evaluator when x is NULL (pushing it
+  * would wrongly keep NULL rows), so it stays a Spark-side residual
+  * filter. Dotted attribute names navigate the nested struct. */
+private[sources] object SamFilterEval {
+  private def strOf(n: JsonNode, attr: String): Option[String] = {
+    var cur = n
+    for (part <- attr.split("\\.")) {
+      if (cur == null) return None
+      cur = cur.get(part)
+    }
+    if (cur == null || cur.isNull) None else Some(cur.asText())
+  }
+
+  def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: IsNotNull | _: IsNull | _: StringContains |
+         _: StringStartsWith | _: StringEndsWith | _: In => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  def matches(f: Filter, n: JsonNode): Boolean = f match {
+    case EqualTo(a, v) => strOf(n, a).contains(String.valueOf(v))
+    case IsNotNull(a) => strOf(n, a).isDefined
+    case IsNull(a) => strOf(n, a).isEmpty
+    case StringContains(a, v) => strOf(n, a).exists(_.contains(v))
+    case StringStartsWith(a, v) => strOf(n, a).exists(_.startsWith(v))
+    case StringEndsWith(a, v) => strOf(n, a).exists(_.endsWith(v))
+    case In(a, vs) => strOf(n, a).exists(s => vs.exists(v => v != null && String.valueOf(v) == s))
+    case And(l, r) => matches(l, n) && matches(r, n)
+    case Or(l, r) => matches(l, n) || matches(r, n)
+    case other => throw new IllegalStateException(s"unpushable filter leaked: $other")
+  }
+
+  def matchesAll(fs: Array[Filter], n: JsonNode): Boolean =
+    fs.forall(matches(_, n))
+}
 
 /** Converts one SAM JSON record node into an InternalRow against the
   * explicit schema (strings + one nested struct). Missing keys and
@@ -266,7 +343,8 @@ private[sources] object SamRowParser {
   * fails the task (the reference's `timeout=10` is uncaught). Pages
   * are fetched lazily — one page buffered at a time, `maxRecords`
   * bounds memory. */
-final class HttpPagerReader(p: HttpPagerPartition, schema: StructType)
+final class HttpPagerReader(p: HttpPagerPartition, schema: StructType,
+    filters: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -294,14 +372,23 @@ final class HttpPagerReader(p: HttpPagerPartition, schema: StructType)
     } finally conn.disconnect()
   }
 
+  @annotation.tailrec
   override def next(): Boolean = {
     // cap (:49,54) — absolute: records skipped by the pushed offset
-    // still count against the stream's truncation budget
-    if (p.startOffset + emitted >= p.maxRecords) return false
-    while (!buf.hasNext && !done) fetchPage()
-    if (buf.hasNext) {
-      current = SamRowParser.toRow(buf.next(), schema); emitted += 1; true
-    } else false
+    // still count against the stream's truncation budget, and pushed
+    // filters drop records AFTER they are counted (the cap truncates
+    // the raw stream, not the filtered one)
+    if (p.startOffset + emitted >= p.maxRecords) false
+    else {
+      while (!buf.hasNext && !done) fetchPage()
+      if (!buf.hasNext) false
+      else {
+        val node = buf.next(); emitted += 1
+        if (SamFilterEval.matchesAll(filters, node)) {
+          current = SamRowParser.toRow(node, schema); true
+        } else next()
+      }
+    }
   }
 
   override def get(): InternalRow = current
@@ -312,7 +399,8 @@ final class HttpPagerReader(p: HttpPagerPartition, schema: StructType)
   * explicit schema (strings + one nested struct). Missing keys and
   * JSON nulls both surface as SQL NULL — the documented deviation
   * from CPython's dict.get-default (see [[Ingest]] scaladoc). */
-final class PagePartitionReader(p: PagePartition, schema: StructType)
+final class PagePartitionReader(p: PagePartition, schema: StructType,
+    filters: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -345,10 +433,16 @@ final class PagePartitionReader(p: PagePartition, schema: StructType)
   private val it = pageRecords.iterator
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (it.hasNext) {
-      current = SamRowParser.toRow(mapper.readTree(it.next()), schema); true
-    } else false
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val node = mapper.readTree(it.next())
+      if (SamFilterEval.matchesAll(filters, node)) {
+        current = SamRowParser.toRow(node, schema)
+        return true
+      }
+    }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = ()

@@ -257,6 +257,77 @@ class PagedSourceSpec extends SparkSpec {
     }
   }
 
+  test("FILTER pushes into the source: FilterExec gone, null semantics exact") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def load() = read(3, 500)
+    def filterExecs(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect { case f: FilterExec => f }
+    // equality on a nullable field: fully pushed -> no FilterExec
+    val eq = load().filter(col("naicsCode") === "541511")
+    assert(filterExecs(eq).isEmpty, eq.queryExecution.executedPlan.toString)
+    val expectedEq = load().collect()
+      .filter(r => r.getAs[String]("naicsCode") == "541511").map(_.toString).sorted.toSeq
+    assert(eq.collect().map(_.toString).sorted.toSeq == expectedEq)
+    // NULL fields drop under EqualTo (IS TRUE semantics), surface under isNull
+    assert(load().filter(col("officeAddress.city") === "Washington").collect()
+      .forall(_.getAs[org.apache.spark.sql.Row]("officeAddress") != null))
+    val nulls = load().filter(col("naicsCode").isNull)
+    assert(filterExecs(nulls).isEmpty)
+    assert(nulls.collect().map(_.getAs[String]("noticeId")).toSet ==
+      load().collect().filter(_.getAs[String]("naicsCode") == null)
+        .map(_.getAs[String]("noticeId")).toSet)
+    // contains + And: pushed as one conjunction
+    val conj = load().filter(col("typeOfSetAsideDescription").contains("Veteran") &&
+      col("naicsCode").isNotNull)
+    assert(filterExecs(conj).isEmpty)
+    // Not is NOT pushable (IS TRUE evaluator can't express IS FALSE):
+    // FilterExec stays and results remain exact, nulls dropped
+    val not = load().filter(!(col("naicsCode") === "541511"))
+    assert(filterExecs(not).nonEmpty, not.queryExecution.executedPlan.toString)
+    assert(not.collect().map(_.getAs[String]("noticeId")).toSet ==
+      load().collect().filter(r => r.getAs[String]("naicsCode") != null &&
+        r.getAs[String]("naicsCode") != "541511").map(_.getAs[String]("noticeId")).toSet)
+    // filter + limit: LIMIT counts FILTERED rows, so the source
+    // declines the limit push (all pages still planned) yet results
+    // are exact
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    val fl = load().filter(col("typeOfSetAsideDescription").isNotNull).limit(2)
+    assert(scanOf(fl).inputRDD.getNumPartitions == 3,
+      "limit must not push past a pushed filter")
+    assert(fl.count() == 2)
+    // filter + count(*): the planning-time count would count RAW
+    // records — aggregate push declines, result is the filtered count
+    val fc = load().filter(col("naicsCode").isNotNull).count()
+    assert(fc == load().collect().count(_.getAs[String]("naicsCode") != null))
+  }
+
+  test("HTTP pager applies pushed filters without breaking the raw-stream cap") {
+    import org.apache.spark.sql.functions.col
+    withServer(Ingest.fixture, _ => None) { url =>
+      val rows = httpRead(url, pageSize = 4)
+        .filter(col("typeOfSetAsideDescription").contains("Veteran"))
+        .collect()
+      val expected = read(100, 500).collect().filter { r =>
+        val v = r.getAs[String]("typeOfSetAsideDescription")
+        v != null && v.contains("Veteran")
+      }
+      assert(rows.map(_.toString).sorted.toSeq ==
+        expected.map(_.toString).sorted.toSeq)
+      // cap truncates the RAW stream before filtering: 5 raw records
+      // contain fewer Veteran rows than the full fixture
+      val capped = httpRead(url, pageSize = 4, maxRecords = 5)
+        .filter(col("typeOfSetAsideDescription").contains("Veteran")).count()
+      val cappedExpected = read(100, 5).collect().count { r =>
+        val v = r.getAs[String]("typeOfSetAsideDescription")
+        v != null && v.contains("Veteran")
+      }
+      assert(capped == cappedExpected)
+    }
+  }
+
   test("COUNT(*) pushes to the source: answered at planning, zero records parsed") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val f = java.nio.file.Files.createTempFile("paged_count", ".jsonl")
