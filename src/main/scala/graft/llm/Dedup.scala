@@ -1287,24 +1287,26 @@ object Dedup {
         sfx.repartitionByRange(par, order: _*)
           .withColumn("__pid", spark_partition_id().cast("long")))
       val w = Window.partitionBy("__pid").orderBy(order: _*)
-      val wDesc = Window.partitionBy("__pid")
-        .orderBy(col("sa").desc, col("doc_id").desc, col("pos").desc)
       val local = parted
         .withColumn("n_sa", lead(col("sa"), 1).over(w))
         .withColumn("n_doc", lead(col("doc_id"), 1).over(w))
         .filter(col("n_sa").isNotNull)
         .select(col("doc_id"), col("sa"), col("n_doc"), col("n_sa"))
-      // boundary stitch: firsts sort before lasts at equal keys (tag
-      // 0 < 1), so in the ordered tiny frame every LAST row's
-      // successor is the FIRST row of the next non-empty partition —
-      // singleton and empty partitions included. The unpartitioned
-      // window runs over ≤2P rows, never the corpus.
-      val firsts = parted.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("doc_id"), col("pos"), col("sa"), lit(0).as("__tag"))
-      val lasts = parted.withColumn("__rn", row_number().over(wDesc))
-        .filter(col("__rn") === 1)
-        .select(col("doc_id"), col("pos"), col("sa"), lit(1).as("__tag"))
+      // boundary stitch: each partition's extreme rows come from ONE
+      // min/max-struct aggregate (struct ordering = the sort order),
+      // so the stitch window below runs over a ≤2P-row AGGREGATED
+      // frame — the Ranks.globalOrder discipline, and the shape the
+      // registry-wide PlanSpec sweep certifies. Firsts sort before
+      // lasts at equal keys (tag 0 < 1), so in the ordered tiny frame
+      // every LAST row's successor is the FIRST row of the next
+      // non-empty partition — singleton partitions included.
+      val ends = parted.groupBy("__pid").agg(
+        min(struct(col("sa"), col("doc_id"), col("pos"))).as("f"),
+        max(struct(col("sa"), col("doc_id"), col("pos"))).as("l"))
+      val firsts = ends.select(col("f.doc_id").as("doc_id"),
+        col("f.pos").as("pos"), col("f.sa").as("sa"), lit(0).as("__tag"))
+      val lasts = ends.select(col("l.doc_id").as("doc_id"),
+        col("l.pos").as("pos"), col("l.sa").as("sa"), lit(1).as("__tag"))
       val tinyW = Window.orderBy(col("sa"), col("doc_id"), col("pos"), col("__tag"))
       val boundary = firsts.unionByName(lasts)
         .withColumn("n_sa", lead(col("sa"), 1).over(tinyW))
