@@ -1310,8 +1310,134 @@ object Events {
              CAST(l + b AS BIGINT) AS forecast_milli
       FROM rec ORDER BY event_type, day"""))
 
+  /** HOLT–WINTERS additive seasonal smoothing (period 7) — the third
+    * rung of the smoothing ladder after [[ewma]] (level) and [[holt]]
+    * (level+trend): a rotating 7-slot seasonal state tracks the
+    * day-of-week shape, so weekly-periodic spend forecasts without
+    * the trend model's systematic weekday error. All three smoothers
+    * share α = β = γ = 1/5 and exact BIGINT milli-cents with
+    * truncating division (the [[holtOf]] div/`//` finding):
+    *
+    *   seed (first 7 rows): m = (Σx·1000) div min(7,n);
+    *                        l = m, b = 0, s_t = x_t·1000 − m
+    *   t > 7:  l_t = (2·(x_t·1000 − s_{t−7}) + 8·(l+b)) div 10
+    *           b_t = (2·(l_t − l_prev) + 8·b) div 10
+    *           s_t = (2·(x_t·1000 − l_t) + 8·s_{t−7}) div 10
+    *   forecast_t = l_t + b_t + s_{t−6}   (one-step-ahead, t ≥ 7;
+    *                NULL before a full period exists)
+    *
+    * Same execution shape as the siblings: one corpus aggregation to
+    * the daily frame, a flatMapGroups fold per calendar-bounded
+    * series. The oracle carries the 7-slot seasonal state as a LIST
+    * column through a DuckDB recursive CTE (rotate = slice ∥ append) —
+    * the recursion is anchored at rn = 7 with the seeded state and
+    * rows 1..6 union in from the seed frame. */
+  /** Core Holt–Winters pass over any (event_type, day, x) daily frame. */
+  def holtWintersOf(daily: DataFrame): DataFrame = {
+      val s = daily.sparkSession
+      import s.implicits._
+      daily.select(col("event_type"), col("day"), col("x"))
+        .as[(String, java.sql.Timestamp, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (typ, rows) =>
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          val seedN = math.min(7, sorted.length)
+          val m = sorted.take(seedN).map(_._3 * 1000L).sum / seedN
+          val season = Array.ofDim[Long](sorted.length)
+          var l = m
+          var b = 0L
+          sorted.zipWithIndex.map { case ((_, day, x), i) =>
+            val xm = x * 1000L
+            if (i < 7) { season(i) = xm - m; l = m; b = 0L }
+            else {
+              val lPrev = l
+              l = (2L * (xm - season(i - 7)) + 8L * (lPrev + b)) / 10L
+              b = (2L * (l - lPrev) + 8L * b) / 10L
+              season(i) = (2L * (xm - l) + 8L * season(i - 7)) / 10L
+            }
+            val forecast: java.lang.Long =
+              if (i >= 6 && sorted.length >= 7) java.lang.Long.valueOf(
+                l + b + season(i - 6)) else null
+            (typ, day, x, l, b, season(i), forecast)
+          }
+        }
+        .toDF("event_type", "day", "cents", "level_milli", "trend_milli",
+          "seasonal_milli", "forecast_milli")
+        .orderBy("event_type", "day")
+  }
+
+  val holtWinters: Q = Q(
+    "q_holt_winters",
+    (s, dir) =>
+      holtWintersOf(t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))),
+    Some("""
+      WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      numbered AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily),
+      seedm AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN rn <= 7 THEN x * 1000 ELSE 0 END) //
+                    least(7, count(*)) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS n
+        FROM numbered GROUP BY event_type),
+      seeds AS (
+        SELECT d.event_type, d.day, d.rn, d.x, s.n, s.m AS l,
+               CAST(0 AS BIGINT) AS b, d.x * 1000 - s.m AS sv
+        FROM numbered d JOIN seedm s USING (event_type)
+        WHERE d.rn <= 7),
+      anchor AS (
+        SELECT event_type, CAST(7 AS BIGINT) AS rn,
+               max(CASE WHEN rn = 7 THEN l END) AS l,
+               CAST(0 AS BIGINT) AS b,
+               list(sv ORDER BY rn) AS sl
+        FROM seeds GROUP BY event_type HAVING count(*) = 7),
+      rec AS (
+        SELECT event_type, rn, l, b, sl FROM anchor
+        UNION ALL
+        SELECT d.event_type, d.rn,
+               (2 * (d.x * 1000 - r.sl[1]) + 8 * (r.l + r.b)) // 10 AS l,
+               (2 * ((2 * (d.x * 1000 - r.sl[1]) + 8 * (r.l + r.b)) // 10 - r.l)
+                  + 8 * r.b) // 10 AS b,
+               list_append(r.sl[2:7],
+                 (2 * (d.x * 1000
+                    - ((2 * (d.x * 1000 - r.sl[1]) + 8 * (r.l + r.b)) // 10))
+                  + 8 * r.sl[1]) // 10) AS sl
+        FROM numbered d JOIN rec r
+          ON d.event_type = r.event_type AND d.rn = r.rn + 1),
+      stepped AS (
+        SELECT d.event_type, d.day, d.rn, d.x, r.l, r.b,
+               r.sl[7] AS sv, r.sl[1] AS s_next
+        FROM numbered d JOIN rec r
+          ON d.event_type = r.event_type AND d.rn = r.rn
+        WHERE d.rn >= 8),
+      seed_rows AS (
+        SELECT s.event_type, s.day, s.rn, s.x, s.l, s.b, s.sv,
+               CASE WHEN s.rn >= 7 AND s.n >= 7 THEN
+                 (SELECT a.sl[1] FROM anchor a WHERE a.event_type = s.event_type)
+               ELSE NULL END AS s_next
+        FROM seeds s),
+      unioned AS (
+        SELECT event_type, day, x, l, b, sv,
+               CASE WHEN s_next IS NULL THEN NULL
+                    ELSE l + b + s_next END AS fc
+        FROM seed_rows
+        UNION ALL
+        SELECT event_type, day, x, l, b, sv, l + b + s_next AS fc
+        FROM stepped)
+      SELECT event_type, day, x AS cents,
+             CAST(l AS BIGINT) AS level_milli, CAST(b AS BIGINT) AS trend_milli,
+             CAST(sv AS BIGINT) AS seasonal_milli,
+             CAST(fc AS BIGINT) AS forecast_milli
+      FROM unioned ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
-    changepoint, autocorr, welchTTest, ewma, holt)
+    changepoint, autocorr, welchTTest, ewma, holt, holtWinters)
 }

@@ -1655,6 +1655,164 @@ object TextStats {
         .orderBy("doc_id")
   }
 
+  /** 4-GRAM stupid backoff — the trigram ladder ([[stupidBackoffOf]])
+    * extended one level: score(w₄|w₁w₂w₃) = c₁₂₃₄/c₁₂₃, backing off
+    * α·c₂₃₄/c₂₃ → α²·c₃₄/c₃ → α³·(c₄+1)/(N+1) (α = 0.4, add-1 floor
+    * at the unigram). Four count tables instead of three, scoring is
+    * seven token-keyed left joins, the per-doc histogram gains a
+    * fourth backoff level — web-scale LMs run exactly this shape at
+    * n = 5 (Brants et al.), and nothing in it is more than a grouped
+    * count, so the n+1-th level is always one more join away. */
+  def stupidBackoff4Of(train: DataFrame, held0: DataFrame): DataFrame = {
+      def gramFrame(df: DataFrame, n: Int): DataFrame =
+        df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+          .where(size(col("w")) >= n)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("w")) - n),
+              i => concat_ws(" ", slice(col("w"), i + lit(1), lit(n))))).as("g"))
+      def counts(n: Int, keyName: String, cName: String): DataFrame =
+        gramFrame(train, n).groupBy("g").agg(count(lit(1)).as(cName))
+          .withColumnRenamed("g", keyName)
+      val c4g = counts(4, "k4", "c1234")
+      val c3g = counts(3, "k3", "c3")
+      val c2g = counts(2, "k2", "c2")
+      val c1g = counts(1, "k1", "c1")
+      val nTot = train.select(explode(tokens(col("text"))).as("tok"))
+        .agg(count(lit(1)).as("n_total"))
+      val held = held0
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .where(size(col("w")) >= 4)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("w")) - 4),
+            i => struct(
+              concat_ws(" ", slice(col("w"), i + lit(1), lit(4))).as("g4"),
+              concat_ws(" ", slice(col("w"), i + lit(1), lit(3))).as("ctx3"),
+              concat_ws(" ", slice(col("w"), i + lit(2), lit(3))).as("g3"),
+              concat_ws(" ", slice(col("w"), i + lit(2), lit(2))).as("ctx2"),
+              concat_ws(" ", slice(col("w"), i + lit(3), lit(2))).as("g2"),
+              element_at(col("w"), i + lit(3)).as("ctx1"),
+              element_at(col("w"), i + lit(4)).as("last")))).as("e"))
+        .select(col("doc_id"), col("e.g4").as("g4"), col("e.ctx3").as("ctx3"),
+          col("e.g3").as("g3"), col("e.ctx2").as("ctx2"), col("e.g2").as("g2"),
+          col("e.ctx1").as("ctx1"), col("e.last").as("last"))
+      held
+        .join(c4g, col("g4") === col("k4"), "left")
+        .join(c3g.withColumnRenamed("c3", "cctx3"), col("ctx3") === col("k3"), "left")
+        .join(c3g.withColumnRenamed("k3", "k3b").withColumnRenamed("c3", "c234"),
+          col("g3") === col("k3b"), "left")
+        .join(c2g.withColumnRenamed("c2", "cctx2"), col("ctx2") === col("k2"), "left")
+        .join(c2g.withColumnRenamed("k2", "k2b").withColumnRenamed("c2", "c34"),
+          col("g2") === col("k2b"), "left")
+        .join(c1g.withColumnRenamed("c1", "cctx1"), col("ctx1") === col("k1"), "left")
+        .join(c1g.withColumnRenamed("k1", "k1b").withColumnRenamed("c1", "clast"),
+          col("last") === col("k1b"), "left")
+        .crossJoin(broadcast(nTot))
+        .select(col("doc_id"),
+          when(coalesce(col("c1234"), lit(0L)) > 0, lit(0L))
+            .when(coalesce(col("c234"), lit(0L)) > 0, lit(1L))
+            .when(coalesce(col("c34"), lit(0L)) > 0, lit(2L))
+            .otherwise(lit(3L)).as("level"),
+          round(-log(
+            when(coalesce(col("c1234"), lit(0L)) > 0,
+              col("c1234").cast("double") / col("cctx3").cast("double"))
+            .when(coalesce(col("c234"), lit(0L)) > 0,
+              lit(0.4) * (col("c234").cast("double") / col("cctx2").cast("double")))
+            .when(coalesce(col("c34"), lit(0L)) > 0,
+              lit(0.4) * lit(0.4) *
+                (col("c34").cast("double") / col("cctx1").cast("double")))
+            .otherwise(
+              lit(0.4) * lit(0.4) * lit(0.4) *
+                ((coalesce(col("clast"), lit(0L)) + lit(1.0)) /
+                  (col("n_total") + lit(1.0))))) * 1e6, 0)
+            .cast("long").as("score_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_4grams"),
+          sum(col("score_micro")).as("total_score_micro"),
+          sum(when(col("level") === 0L, 1L).otherwise(0L)).as("n_4gram_hits"),
+          sum(when(col("level") === 1L, 1L).otherwise(0L)).as("n_trigram_backoffs"),
+          sum(when(col("level") === 2L, 1L).otherwise(0L)).as("n_bigram_backoffs"),
+          sum(when(col("level") === 3L, 1L).otherwise(0L)).as("n_unigram_backoffs"))
+        .orderBy("doc_id")
+  }
+
+  val stupidBackoff4: Q = Q(
+    "q_lm_stupid_backoff4",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("b", Sampling.hashBucket(col("doc_id")))
+      stupidBackoff4Of(docs.filter(col("b") < 80), docs.filter(col("b") >= 90))
+    },
+    Some("""
+      WITH bucketed AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS b
+        FROM documents),
+      trainw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM bucketed WHERE b < 80),
+      testw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM bucketed WHERE b >= 90),
+      c4 AS (SELECT g, CAST(count(*) AS BIGINT) AS c1234 FROM (
+               SELECT t.w[s.k+1] || ' ' || t.w[s.k+2] || ' ' ||
+                        t.w[s.k+3] || ' ' || t.w[s.k+4] AS g
+               FROM trainw t, unnest(generate_series(0, len(t.w) - 4)) AS s(k)
+               WHERE len(t.w) >= 4) GROUP BY g),
+      c3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM (
+               SELECT t.w[s.k+1] || ' ' || t.w[s.k+2] || ' ' || t.w[s.k+3] AS g
+               FROM trainw t, unnest(generate_series(0, len(t.w) - 3)) AS s(k)
+               WHERE len(t.w) >= 3) GROUP BY g),
+      c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM (
+               SELECT t.w[s.k+1] || ' ' || t.w[s.k+2] AS g
+               FROM trainw t, unnest(generate_series(0, len(t.w) - 2)) AS s(k)
+               WHERE len(t.w) >= 2) GROUP BY g),
+      c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS c1 FROM (
+               SELECT unnest(w) AS g FROM trainw) GROUP BY g),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+             FROM (SELECT unnest(w) AS tok FROM trainw)),
+      held AS (
+        SELECT t.doc_id,
+               t.w[s.k+1] || ' ' || t.w[s.k+2] || ' ' ||
+                 t.w[s.k+3] || ' ' || t.w[s.k+4] AS g4,
+               t.w[s.k+1] || ' ' || t.w[s.k+2] || ' ' || t.w[s.k+3] AS ctx3,
+               t.w[s.k+2] || ' ' || t.w[s.k+3] || ' ' || t.w[s.k+4] AS g3,
+               t.w[s.k+2] || ' ' || t.w[s.k+3] AS ctx2,
+               t.w[s.k+3] || ' ' || t.w[s.k+4] AS g2,
+               t.w[s.k+3] AS ctx1, t.w[s.k+4] AS last
+        FROM testw t, unnest(generate_series(0, len(t.w) - 4)) AS s(k)
+        WHERE len(t.w) >= 4),
+      scored AS (
+        SELECT h.doc_id,
+               CASE WHEN coalesce(a.c1234, 0) > 0 THEN 0
+                    WHEN coalesce(b3.c3, 0) > 0 THEN 1
+                    WHEN coalesce(b2.c2, 0) > 0 THEN 2 ELSE 3 END AS level,
+               CAST(round(-ln(
+                 CASE WHEN coalesce(a.c1234, 0) > 0
+                        THEN CAST(a.c1234 AS DOUBLE) / CAST(x3.c3 AS DOUBLE)
+                      WHEN coalesce(b3.c3, 0) > 0
+                        THEN 0.4 * (CAST(b3.c3 AS DOUBLE) / CAST(x2.c2 AS DOUBLE))
+                      WHEN coalesce(b2.c2, 0) > 0
+                        THEN 0.4 * 0.4 *
+                          (CAST(b2.c2 AS DOUBLE) / CAST(x1.c1 AS DOUBLE))
+                      ELSE 0.4 * 0.4 * 0.4 *
+                        ((coalesce(l.c1, 0) + 1.0) / (n_total + 1.0))
+                 END) * 1e6) AS BIGINT) AS score_micro
+        FROM held h
+        LEFT JOIN c4 a ON h.g4 = a.g
+        LEFT JOIN c3 x3 ON h.ctx3 = x3.g
+        LEFT JOIN c3 b3 ON h.g3 = b3.g
+        LEFT JOIN c2 x2 ON h.ctx2 = x2.g
+        LEFT JOIN c2 b2 ON h.g2 = b2.g
+        LEFT JOIN c1 x1 ON h.ctx1 = x1.g
+        LEFT JOIN c1 l ON h.last = l.g
+        CROSS JOIN nt)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_4grams,
+             CAST(sum(score_micro) AS BIGINT) AS total_score_micro,
+             CAST(sum(CASE WHEN level = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_4gram_hits,
+             CAST(sum(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_trigram_backoffs,
+             CAST(sum(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bigram_backoffs,
+             CAST(sum(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_unigram_backoffs
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   val stupidBackoff: Q = Q(
     "q_lm_stupid_backoff",
     (s, dir) => {
@@ -1722,5 +1880,6 @@ object TextStats {
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
-    spearman, rhoSelect, kneserNey, kneserNeyMod, kneserNeyTrigram, stupidBackoff)
+    spearman, rhoSelect, kneserNey, kneserNeyMod, kneserNeyTrigram, stupidBackoff,
+    stupidBackoff4)
 }

@@ -674,15 +674,16 @@ object Graph {
       // full in-neighborhood of the candidates — candidate-keyed
       // semi-join against the edge state, never an edge scan
       val inE = unionE.join(candDst, Seq("dst"), "left_semi")
-      val rPrevEff = {
-        val stored = trajAt(i - 1)
-          .join(inE.select(col("src").as("v")), Seq("v"), "left_semi")
-        dirty match {
-          case None => stored
-          case Some(d0) =>
-            stored.join(d0.withColumnRenamed("r", "r_chg"), Seq("v"), "left")
-              .select(col("v"), coalesce(col("r_chg"), col("r")).as("r"))
-        }
+      // previous-iteration ranks: the stored frame overridden by the
+      // last round's changed set. The inner join in `contrib` below
+      // already restricts it to inE's sources — a separate semi-join
+      // pre-filter added a stage per round without removing any work
+      // the contrib join wouldn't do anyway.
+      val rPrevEff = dirty match {
+        case None => trajAt(i - 1)
+        case Some(d0) =>
+          trajAt(i - 1).join(d0.withColumnRenamed("r", "r_chg"), Seq("v"), "left")
+            .select(col("v"), coalesce(col("r_chg"), col("r")).as("r"))
       }
       val contrib = inE.join(deg, "src")
         .join(rPrevEff.withColumnRenamed("v", "src"), "src")

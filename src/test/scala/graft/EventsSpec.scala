@@ -265,6 +265,57 @@ class EventsSpec extends SparkSpec {
       s"Holt forecast err $holtErr must be well under EWMA err $ewmaErr")
   }
 
+  test("Holt-Winters: seed semantics, hand-checked step, short-series edge") {
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // 8 days: first 7 seed (m = mean), day 8 exercises one recursion step
+    val xs = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 44L)
+    val daily = xs.zipWithIndex.map { case (x, i) => ("a", day(i + 1), x) }
+      .toDF("event_type", "day", "x")
+    val got = llm.Events.holtWintersOf(daily).collect()
+      .map(r => r.getTimestamp(1).toString.take(10) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))).toMap
+    val m = xs.take(7).map(_ * 1000L).sum / 7 // 40000
+    assert(got("2024-01-01") == ((m, 0L, 10000L - m, None)))
+    // day 7 closes the first period: forecast = m + 0 + s_1
+    assert(got("2024-01-07") == ((m, 0L, 70000L - m, Some(m + (10000L - m)))))
+    // day 8 recursion: l = (2*(44000-s_1) + 8*m)/10, then b, s
+    val s1 = 10000L - m
+    val l8 = (2L * (44000L - s1) + 8L * m) / 10L
+    val b8 = (2L * (l8 - m)) / 10L
+    val s8 = (2L * (44000L - l8) + 8L * s1) / 10L
+    val s2 = 20000L - m
+    assert(got("2024-01-08") == ((l8, b8, s8, Some(l8 + b8 + s2))),
+      s"got ${got("2024-01-08")}")
+    // a series shorter than one period: seeds only, no forecast
+    val short = (1 to 4).map(d => ("s", day(d), 100L * d)).toDF("event_type", "day", "x")
+    val shortGot = llm.Events.holtWintersOf(short).collect()
+    assert(shortGot.forall(_.isNullAt(6)))
+    val ms = (1 to 4).map(_ * 100000L).sum / 4
+    assert(shortGot.map(_.getLong(3)).forall(_ == ms))
+  }
+
+  test("Holt-Winters beats Holt on a weekly-periodic series") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def day(d: Int) = new Timestamp(base + (d - 1) * 86400000L)
+    // strong period-7 shape + mild trend, 8 full weeks
+    val series = (1 to 56).map(d => ("w", day(d), 1000L + 10L * d +
+      Seq(0L, 400L, 800L, 200L, -300L, -600L, -500L)((d - 1) % 7)))
+    val daily = series.toDF("event_type", "day", "x")
+    val hw = llm.Events.holtWintersOf(daily).collect()
+    val h = llm.Events.holtOf(daily).collect()
+    // compare one-step forecast errors over the last 3 weeks
+    val actual = series.map(_._3 * 1000L)
+    def err(fcAt: Int => Option[Long]): Long =
+      (35 until 55).flatMap(i => fcAt(i).map(f => math.abs(f - actual(i + 1)))).sum
+    val hwErr = err(i => if (hw(i).isNullAt(6)) None else Some(hw(i).getLong(6)))
+    val hErr = err(i => Some(h(i).getLong(5)))
+    assert(hwErr * 2 < hErr,
+      s"seasonal model must at least halve the periodic forecast error: hw=$hwErr h=$hErr")
+  }
+
   test("ACF finds planted weekly seasonality: r(7) near 1000, r(1) well below") {
     import java.sql.Timestamp
     def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")

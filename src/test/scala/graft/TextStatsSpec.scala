@@ -367,6 +367,26 @@ class TextStatsSpec extends SparkSpec {
       f"trigram KN must price heldout below bigram KN: tri=$tri%.4f bi=$bi%.4f nats")
   }
 
+  test("4-gram stupid backoff: all four levels fire, hand-checked") {
+    val train = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    val held = Seq(
+      (10L, "a b c d"), // seen 4-gram: c1234/cctx3 = 2/2 -> score 0
+      (11L, "z b c d"), // 4-gram miss, trigram "b c d" seen: 0.4*2/2
+      (12L, "z z c d"), // down to bigram "c d": 0.16*2/2
+      (13L, "z z z q")  // everything unseen: 0.064*(0+1)/(8+1)
+    ).toDF("doc_id", "text")
+    val got = llm.TextStats.stupidBackoff4Of(train, held).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(10L) == ((0L, 1L, 0L, 0L, 0L)), s"4-gram hit: ${got(10L)}")
+    assert(got(11L)._3 == 1L && got(11L)._1 ==
+      math.round(-math.log(0.4 * (2.0 / 2.0)) * 1e6), s"trigram: ${got(11L)}")
+    assert(got(12L)._4 == 1L && got(12L)._1 ==
+      math.round(-math.log(0.4 * 0.4 * (2.0 / 2.0)) * 1e6), s"bigram: ${got(12L)}")
+    assert(got(13L)._5 == 1L && got(13L)._1 ==
+      math.round(-math.log(0.4 * 0.4 * 0.4 * (1.0 / 9.0)) * 1e6), s"unigram: ${got(13L)}")
+  }
+
   test("stupid backoff: each level fires where it should, with hand-checked scores") {
     val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
     val held = Seq(
