@@ -68,7 +68,7 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
   override def name(): String = "paged_json_fixture"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
@@ -233,7 +233,168 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
 
       override def createReaderFactory(): PartitionReaderFactory =
         new PagedReaderFactory(required, filters)
+
+      /** STREAMING read — the reference's poll-and-ingest loop as a
+        * Structured Streaming source: the offset is the BYTE POSITION
+        * in a growing JSON-lines file (the usual log-tailing
+        * contract: the writer appends whole lines), each micro-batch
+        * admits at most `stream_batch_bytes` (default 1 MiB) past the
+        * last committed position, and a batch's byte range splits
+        * into page-sized partitions at line boundaries exactly like
+        * the batch planner. Column pruning and pushed filters apply
+        * unchanged (Spark runs the same pushdown for streaming
+        * relations); LIMIT/COUNT(*) pushdown are batch-only concepts
+        * and never reach this path. Only the `path` transport
+        * streams — the embedded fixture has no growth to tail and an
+        * offset-paged HTTP API has no replayable position, which is
+        * precisely why production pagers land records into files (or
+        * a log) FIRST and stream from there. */
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        val p = path.getOrElse(throw new IllegalArgumentException(
+          "streaming requires the JSON-lines `path` transport (the fixture " +
+            "has no growth to tail; an offset-paged HTTP API has no " +
+            "replayable position — land pages to a file and stream that)"))
+        new PagedMicroBatchStream(p, pageSize,
+          options.getLong("stream_batch_bytes", 1L << 20), required, filters)
+      }
     }
+}
+
+/** Byte-position offset of [[PagedMicroBatchStream]]. */
+final case class BytePosOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** MicroBatchStream over a growing JSON-lines file: offsets are byte
+  * positions, admission control caps each batch at `batchBytes`, and
+  * [[planInputPartitions]] walks the committed byte range ONCE on the
+  * driver to split it into page-sized line-aligned slices (the same
+  * single planning pass as the batch side, restricted to the range).
+  * A line STARTING before the end offset is read whole even if it
+  * extends past it — the next batch starts at the next line start, so
+  * no record is split or double-read. */
+final class PagedMicroBatchStream(path: String, pageSize: Int,
+    batchBytes: Long, schema: StructType, filters: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  private def fileLen: Long = new java.io.File(path).length()
+  // Trigger.AvailableNow snapshots the backlog end at query start;
+  // admission control then paces batches toward exactly that target
+  // (a source implementing this itself is never wrapped, so the
+  // per-batch byte cap stays in force under AvailableNow)
+  @volatile private var availableTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(fileLen)
+
+  override def initialOffset(): SOffset = BytePosOffset(0L)
+  override def deserializeOffset(json: String): SOffset =
+    BytePosOffset(json.trim.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): SOffset = BytePosOffset(fileLen)
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[BytePosOffset].pos
+    BytePosOffset(math.min(availableTarget.getOrElse(fileLen), s + batchBytes))
+  }
+  override def reportLatestOffset(): SOffset = BytePosOffset(fileLen)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val rawFrom = start.asInstanceOf[BytePosOffset].pos
+    val until = end.asInstanceOf[BytePosOffset].pos
+    if (until <= rawFrom) return Array.empty
+    // one driver pass over the batch's byte range: record each page's
+    // starting byte and line count (lines starting before `until`
+    // belong to this batch, read whole)
+    val in = new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)), 1 << 16)
+    try {
+      // offsets are raw byte positions, so `rawFrom` can land mid-line
+      // (the previous batch read its boundary-crossing line WHOLE):
+      // if the preceding byte is not a newline, the tail of that line
+      // is already consumed — skip to the next line start. Reading
+      // one byte before `rawFrom` distinguishes "line start" from
+      // "mid-line" without any per-offset alignment bookkeeping.
+      var from = rawFrom
+      if (rawFrom > 0) {
+        in.skipNBytes(rawFrom - 1)
+        var c = in.read()
+        if (c >= 0 && c != '\n') {
+          var done = false
+          while (!done) {
+            c = in.read(); from += 1
+            if (c < 0 || c == '\n') done = true
+          }
+        }
+        if (from >= until) return Array.empty
+      }
+      val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      var pageStart = from
+      var pageLines = 0
+      var pos = from
+      var lineStart = from
+      var b = in.read()
+      while (b >= 0 && lineStart < until) {
+        pos += 1
+        if (b == '\n') {
+          pageLines += 1
+          lineStart = pos
+          if (pageLines == pageSize) {
+            parts += StreamSlicePartition(path, pageStart, pageLines)
+            pageStart = pos; pageLines = 0
+          }
+        }
+        b = in.read()
+      }
+      // trailing line without newline (end of file) still counts
+      if (b < 0 && pos > lineStart && lineStart < until) pageLines += 1
+      if (pageLines > 0) parts += StreamSlicePartition(path, pageStart, pageLines)
+      parts.toArray
+    } finally in.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StreamSliceReaderFactory(schema, filters)
+}
+
+/** One page-sized line-aligned slice of the streamed file. */
+final case class StreamSlicePartition(path: String, startByte: Long,
+    nLines: Int) extends InputPartition
+
+final class StreamSliceReaderFactory(schema: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StreamSlicePartition]
+    new PartitionReader[InternalRow] {
+      private val mapper = new ObjectMapper()
+      private val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p.path))
+      in.skipNBytes(p.startByte)
+      private val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      private var taken = 0
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (taken < p.nLines) {
+          val line = br.readLine()
+          if (line == null) return false
+          taken += 1
+          val node = mapper.readTree(line)
+          if (SamFilterEval.matchesAll(filters, node)) {
+            current = SamRowParser.toRow(node, schema)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = br.close()
+    }
+  }
 }
 
 /** Standalone factory: ships to executors, so it must be serializable

@@ -457,6 +457,59 @@ object EventStream {
       UNION ALL SELECT * FROM purchase_only
       ORDER BY click_id NULLS LAST, purchase_id NULLS FIRST"""))
 
+  /** The reference's PAGER AS A STREAM — DSv2 MicroBatchStream over a
+    * JSON-lines landing file
+    * ([[graft.sources.PagedMicroBatchStream]]): offsets are byte
+    * positions, each micro-batch admits ~¼ of the backlog
+    * (`stream_batch_bytes`), batches split into page-sized
+    * line-aligned partitions by the same single driver planning pass
+    * as the batch side. The demo lands SAM-shaped records derived
+    * from `orders` (noticeId ← 'N'+orderkey, naicsCode ←
+    * orderstatus), streams them through a Complete-mode grouped
+    * count, and REQUIRES ≥3 non-empty micro-batches in-query — a
+    * single-gulp run (admission control broken) aborts into the
+    * driver's err rather than shipping a vacuous pass. Oracled: the
+    * final counts must equal DuckDB's batch GROUP BY over orders,
+    * proving no record was split, dropped, or double-read across
+    * batch boundaries. */
+  val streamRestPager: Q = Q(
+    "q_stream_rest_pager",
+    (s, dir) => {
+      val stageDir = stagePath(s, "graft_stream_pager")
+      val o = Tables.load(s, dir, "orders")
+        .select(to_json(struct(
+          concat(lit("N"), col("o_orderkey")).as("noticeId"),
+          col("o_orderpriority").as("title"),
+          col("o_orderstatus").as("naicsCode"))).as("value"))
+      // ONE file: byte offsets address a single growing log
+      o.coalesce(1).write.mode("overwrite").text(s"$stageDir/jsonl")
+      val part = new java.io.File(s"$stageDir/jsonl").listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val local = narrowedSession(s, 4)
+      // no .schema(): the source declares the explicit SAM schema
+      // itself (a user-supplied one would need supportsExternalMetadata)
+      val stream = local.readStream.format("graft.sources.PagedJsonSource")
+        .option("path", part.toString)
+        .option("page_size", 2000)
+        .option("stream_batch_bytes", math.max(64L * 1024, part.length() / 4))
+        .load()
+      val sink = "graft_stream_pager_sink"
+      val sq = stream.groupBy(col("naicsCode").as("status"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val dataBatches = sq.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 3,
+        s"admission control must split the backlog into micro-batches, got $dataBatches")
+      local.table(sink).orderBy("status")
+    },
+    Some("""
+      SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY status"""))
+
   /** Closed session record emitted by [[timeoutSessions]]. */
   final case class ClosedSession(
       user_id: Long, n_events: Long,
@@ -1124,5 +1177,5 @@ object EventStream {
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
     streamJoinOuter, streamJoinFull, streamState, streamTimeoutSessions, streamFunnel,
     streamMerge, streamQuarantine, streamNtz, streamEnrich, streamLate,
-    streamHeavyHitters)
+    streamHeavyHitters, streamRestPager)
 }

@@ -328,6 +328,57 @@ class PagedSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming pager: unaligned byte batches never split, drop, or double-read a record") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // variable-length lines so no batch boundary can be line-aligned
+    val f = java.nio.file.Files.createTempFile("paged_stream", ".jsonl")
+    val lines = (0 until 100).map(i =>
+      s"""{"noticeId":"S%03d","title":"${"x" * (i % 17)}"}""".format(i))
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes)
+    try {
+      val stream = spark.readStream.format("graft.sources.PagedJsonSource")
+        .option("path", f.toString)
+        .option("page_size", 7)
+        .option("stream_batch_bytes", 173) // prime, guaranteed mid-line
+        .load()
+      val sink = "paged_stream_sink"
+      val sq = stream.select("noticeId")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val got = spark.table(sink).collect().map(_.getString(0)).sorted.toSeq
+      assert(got == (0 until 100).map(i => "S%03d".format(i)),
+        s"exactly-once across byte boundaries: got ${got.size} rows")
+      assert(sq.recentProgress.count(_.numInputRows > 0) >= 5,
+        "the byte cap must split the backlog into many micro-batches")
+      // pushed filters apply on the stream path too
+      val fsink = "paged_stream_fsink"
+      val fq = spark.readStream.format("graft.sources.PagedJsonSource")
+        .option("path", f.toString).option("stream_batch_bytes", 500)
+        .load()
+        .filter(col("noticeId") > "S089")
+        .writeStream.format("memory").queryName(fsink)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      fq.awaitTermination()
+      // string > is not in the pushdown whitelist, so this exercises
+      // the residual path; an IN filter exercises the pushed path
+      assert(spark.table(fsink).count() == 10)
+      val psink = "paged_stream_psink"
+      val pq = spark.readStream.format("graft.sources.PagedJsonSource")
+        .option("path", f.toString).option("stream_batch_bytes", 500)
+        .load()
+        .filter(col("noticeId").isin("S007", "S042", "S099"))
+        .writeStream.format("memory").queryName(psink)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      pq.awaitTermination()
+      assert(spark.table(psink).collect().map(_.getAs[String]("noticeId")).sorted.toSeq ==
+        Seq("S007", "S042", "S099"))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("COUNT(*) pushes to the source: answered at planning, zero records parsed") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val f = java.nio.file.Files.createTempFile("paged_count", ".jsonl")
