@@ -491,7 +491,10 @@ object EventStream {
       val stream = local.readStream.format("graft.sources.PagedJsonSource")
         .option("path", part.toString)
         .option("page_size", 2000)
-        .option("stream_batch_bytes", math.max(64L * 1024, part.length() / 4))
+        // ~¼ of the backlog per batch at ANY corpus scale (an 8 KiB
+        // floor keeps partitions sane; sf0.001's file is ~120 KiB, so
+        // a larger floor would collapse the multi-batch proof there)
+        .option("stream_batch_bytes", math.max(8L * 1024, part.length() / 4))
         .load()
       val sink = "graft_stream_pager_sink"
       val sq = stream.groupBy(col("naicsCode").as("status"))

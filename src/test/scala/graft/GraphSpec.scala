@@ -248,6 +248,35 @@ class GraphSpec extends SparkSpec {
       "batch-2 incremental (on incremental state) must equal the full recompute")
   }
 
+  test("incremental BFS: delta+state ≡ full recompute; shortcuts, new vertices, new sources") {
+    def distsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // path 0-1-2-3-4-5 with source 0 (v % 100 == 0): dists 0..4, 5 unreached
+    val e0 = symDF(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    def sourcesOf(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("src").as("v")).distinct().filter(col("v") % 100 === 0)
+    val state0 = ops.Graph.bfs(e0, sourcesOf(e0), 4)
+    // batch 1: a shortcut 0-4 (pulls 4 from dist 4 to 1, reaches 5 at 2)
+    // and a dangling new vertex 6 off 5
+    val d1 = symDF(Seq((0L, 4L), (5L, 6L)))
+    val inc1 = ops.Graph.incrementalBfs(e0, d1,
+      spark.emptyDataset[Long](org.apache.spark.sql.Encoders.scalaLong).toDF("v"),
+      state0, 4)
+    val e1 = e0.unionByName(d1)
+    assert(distsOf(inc1) == distsOf(ops.Graph.bfs(e1, sourcesOf(e1), 4)),
+      "batch-1 incremental must equal the full bounded BFS")
+    // batch 2 on batch 1's output: vertex 100 arrives — a NEW SOURCE
+    val d2 = symDF(Seq((100L, 3L)))
+    val newSrc = Seq(100L).toDF("v")
+    val inc2 = ops.Graph.incrementalBfs(e1, d2, newSrc, inc1, 4)
+    val e2 = e1.unionByName(d2)
+    assert(distsOf(inc2) == distsOf(ops.Graph.bfs(e2, sourcesOf(e2), 4)),
+      "batch-2 incremental (new source, on incremental state) must equal full")
+    // the new source is dist 0 and re-prices its neighborhood
+    assert(distsOf(inc2).contains((100L, 0L)))
+    assert(distsOf(inc2).contains((3L, 1L)))
+  }
+
   test("incremental pagerank refuses vertex-adding deltas (teleport renormalizes)") {
     val e0 = symDF(Seq((1L, 2L), (2L, 3L)))
     val traj0 = ops.Graph.pageRankTrajectory(e0, 5)
