@@ -331,6 +331,52 @@ class DedupSpec extends SparkSpec {
     assert(expected((1L, 2L)) == 18L)
   }
 
+  test("suffix dedup on random small-vocab corpora: sound pairwise, exact global max") {
+    import org.apache.spark.sql.functions._
+    // On arbitrary corpora pair ATTRIBUTION may chain through a third
+    // doc sharing the same span, so the random property asserts what
+    // holds universally: (1) soundness — every reported LCP is a real
+    // common substring, never exceeding the pair's DP LCS; (2) global
+    // completeness — the longest cross-doc span in the corpus is
+    // reported at exactly min(DP max, block), because the suffix
+    // block realizing it must contain a cross-doc adjacency.
+    def lcs(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    for (seed <- Seq(3, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("aa", "bb", "cc", "dd")
+      // low-entropy docs + one planted 20-token excerpt copy so long
+      // shared spans exist with certainty
+      val texts = (0 until 8).map(i =>
+        i.toLong -> (0 until 40).map(_ => vocab(rnd.nextInt(vocab.length)))).toMap
+      val planted = 100L -> (Seq("zz") ++ texts(0L).slice(5, 25) ++ Seq("qq"))
+      val all = texts + planted
+      val docs = all.toSeq.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.suffixLcpPairs(docs, minLcp = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // (1) soundness for every reported pair
+      got.foreach { case ((a, b), l) =>
+        assert(l <= math.min(lcs(all(a), all(b)), 30),
+          s"seed=$seed pair ($a,$b): reported $l exceeds DP ${lcs(all(a), all(b))}")
+      }
+      // (2) the corpus-wide longest cross-doc span is reported exactly
+      val ids = all.keys.toSeq.sorted
+      val dpMax = (for { a <- ids; b <- ids if a < b } yield lcs(all(a), all(b))).max
+      assert(math.min(dpMax, 30) >= 8, "fixture must contain a long span")
+      assert(got.values.max == math.min(dpMax, 30),
+        s"seed=$seed: global max ${got.values.max} != min($dpMax, 30)")
+    }
+  }
+
   test("suffix dedup: an exact copy reports the block-capped full-length span") {
     import org.apache.spark.sql.functions._
     val text = (0 until 50).map(i => s"w$i").mkString(" ")

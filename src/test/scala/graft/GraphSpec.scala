@@ -277,6 +277,51 @@ class GraphSpec extends SparkSpec {
     assert(distsOf(inc2).contains((3L, 1L)))
   }
 
+  test("incremental pagerank/CC/BFS ≡ full recompute on seeded random graphs + deltas") {
+    for (seed <- Seq(7, 23, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val nV = 30 + rnd.nextInt(20)
+      val pairs = (0 until 80).flatMap { _ =>
+        val a = rnd.nextInt(nV).toLong; val b = rnd.nextInt(nV).toLong
+        if (a == b) None else Some((math.min(a, b), math.max(a, b)))
+      }.distinct
+      val (deltaRaw, histRaw) = pairs.partition(_ => rnd.nextDouble() < 0.2)
+      assume(histRaw.nonEmpty)
+      // PageRank requires settled endpoints: vertex-adding delta
+      // pairs fold back into history, the rest form the batch
+      val histVerts = histRaw.flatMap(p => Seq(p._1, p._2)).toSet
+      val (deltaPr, displaced) = deltaRaw.partition(
+        p => histVerts(p._1) && histVerts(p._2))
+      val histPr = histRaw ++ displaced
+      def set(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+
+      val prState = ops.Graph.pageRankTrajectory(symDF(histPr), 5)
+      val prInc = ops.Graph.incrementalPageRank(symDF(histPr), symDF(deltaPr),
+        symDF(histPr).groupBy("src").agg(count(lit(1)).as("d")), prState, 5)
+      assert(set(prInc) == set(ops.Graph.pageRankTrajectory(symDF(histPr ++ deltaPr), 5)),
+        s"pagerank seed=$seed")
+
+      // CC and BFS take the RAW split — new vertices are in-domain
+      val ccState = llm.Dedup.connectedComponents(symDF(histRaw),
+        histVerts.toSeq.toDF("id"))
+      val ccInc = llm.Dedup.incrementalComponents(ccState, symDF(deltaRaw))
+      val allVerts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      assert(set(ccInc) == set(llm.Dedup.connectedComponents(
+        symDF(pairs), allVerts.toDF("id"))), s"cc seed=$seed")
+
+      def srcOf(vs: Seq[Long]) = vs.filter(_ % 5 == 0)
+      val bfsState = ops.Graph.bfs(symDF(histRaw),
+        srcOf(histVerts.toSeq).toDF("v"), 4)
+      val deltaVerts = deltaRaw.flatMap(p => Seq(p._1, p._2)).distinct
+      val newSrc = srcOf(deltaVerts.filterNot(histVerts)).toDF("v")
+      val bfsInc = ops.Graph.incrementalBfs(symDF(histRaw), symDF(deltaRaw),
+        newSrc, bfsState, 4)
+      assert(set(bfsInc) == set(ops.Graph.bfs(symDF(pairs),
+        srcOf(allVerts).toDF("v"), 4)), s"bfs seed=$seed")
+    }
+  }
+
   test("incremental pagerank refuses vertex-adding deltas (teleport renormalizes)") {
     val e0 = symDF(Seq((1L, 2L), (2L, 3L)))
     val traj0 = ops.Graph.pageRankTrajectory(e0, 5)
