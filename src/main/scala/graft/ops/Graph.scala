@@ -621,6 +621,187 @@ object Graph {
     rebind(origin, lab)
   }
 
+  /** Label-prop TRAJECTORY `(v, iter, label)` for iter = 0..iters —
+    * the state surface [[incrementalLabelProp]] compares against,
+    * mirroring [[pageRankTrajectory]]. */
+  def labelPropTrajectory(edges: DataFrame, iters: Int): DataFrame = {
+    val origin = edges.sparkSession
+    val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
+    val e = graft.Checkpoints.cut(rebind(spark, edges.select(col("src"), col("dst"))))
+    val verts = graft.Checkpoints.cut(
+      e.select(col("src").as("v")).distinct(), eager = false)
+    val nV = verts.count()
+    if (nV == 0L) return rebind(origin,
+      verts.select(col("v"), lit(0).as("iter"), lit(0L).as("label")))
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, nV / 65536L).toString)
+    var lab = graft.Checkpoints.cut(
+      verts.select(col("v"), col("v").as("label")), eager = false)
+    val iterates = scala.collection.mutable.ArrayBuffer(lab)
+    for (_ <- 1 to iters) {
+      val nbrMin = e.join(lab.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("label")).as("nbr"))
+      lab = graft.Checkpoints.cut(
+        lab.join(nbrMin, Seq("v"), "left")
+          .select(col("v"), least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label")),
+        eager = false)
+      iterates += lab
+    }
+    rebind(origin, iterates.zipWithIndex.map { case (df, i) =>
+      df.select(col("v"), lit(i).as("iter"), col("label"))
+    }.reduce(_.unionByName(_)))
+  }
+
+  /** INCREMENTAL k-round label propagation — the [[incrementalPageRank]]
+    * frontier pattern with MIN semantics: label_i(v) is the minimum
+    * vertex id within i hops, which under edge ADDITION only ever
+    * decreases, so dirty candidates are out-neighbors of the changed
+    * set PLUS the changed set itself (a label depends on its OWN
+    * previous value, unlike a PageRank contribution), value-compared
+    * against the stored trajectory. New vertices are in-domain (no
+    * teleport coupling): they enter the trajectory seeded with their
+    * own id at every iteration. Exact ≡ the full k-round propagation
+    * on the union graph at any batch depth; returns the updated
+    * trajectory (next round's state). */
+  def incrementalLabelProp(histEdges: DataFrame, deltaEdges: DataFrame,
+      histTraj: DataFrame, iters: Int): DataFrame = {
+    val origin = deltaEdges.sparkSession
+    val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
+    val dE = graft.Checkpoints.cut(
+      rebind(spark, deltaEdges.select(col("src"), col("dst"))))
+    val hE = graft.Checkpoints.cut(
+      rebind(spark, histEdges.select(col("src"), col("dst"))))
+    val traj0 = rebind(spark, histTraj.select(col("v"), col("iter"), col("label")))
+    // new vertices: trajectory rows seeded with their own id
+    val newVerts = dE.select(col("src").as("v")).distinct()
+      .join(traj0.filter(col("iter") === 0).select("v"), Seq("v"), "left_anti")
+    val traj = graft.Checkpoints.cut(traj0.unionByName(
+      newVerts.select(col("v"),
+        explode(sequence(lit(0), lit(iters))).as("iter"),
+        col("v").as("label"))))
+    def trajAt(i: Int): DataFrame =
+      traj.filter(col("iter") === i).select(col("v"), col("label"))
+    val nV = traj.filter(col("iter") === 0).count()
+    require(nV > 0L, "empty history state")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, nV / 65536L).toString)
+    val unionE = hE.unionByName(dE)
+    val fDelta = graft.Checkpoints.cut(dE.select("src").distinct())
+    var dirty: Option[DataFrame] = None
+    val changed = scala.collection.mutable.Map.empty[Int, DataFrame]
+    for (i <- 1 to iters) {
+      val seeds = dirty match {
+        case None => fDelta
+        case Some(d0) => fDelta.unionByName(d0.select(col("v").as("src")))
+      }
+      // self-carry: a changed label stays a candidate for its own
+      // next-round value, alongside its out-neighbors
+      val candDst = unionE.join(seeds, Seq("src"), "left_semi").select(col("dst"))
+        .unionByName(dirty.map(_.select(col("v").as("dst")))
+          .getOrElse(spark.emptyDataFrame.select(lit(0L).as("dst")).limit(0)))
+      val inE = unionE.join(candDst, Seq("dst"), "left_semi")
+      val labPrev = dirty match {
+        case None => trajAt(i - 1)
+        case Some(d0) =>
+          trajAt(i - 1).join(d0.withColumnRenamed("label", "l_chg"), Seq("v"), "left")
+            .select(col("v"), coalesce(col("l_chg"), col("label")).as("label"))
+      }
+      val nbrMin = inE.join(labPrev.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("label")).as("nbr"))
+      val newLab = nbrMin
+        .join(labPrev.withColumnRenamed("label", "own"), Seq("v"))
+        .select(col("v"), least(col("own"), col("nbr")).as("label"))
+      val d1 = graft.Checkpoints.cut(
+        newLab.join(trajAt(i).withColumnRenamed("label", "l_old"), Seq("v"))
+          .filter(col("label") =!= col("l_old"))
+          .select(col("v"), col("label")), eager = false)
+      dirty = Some(d1)
+      changed(i) = d1
+    }
+    val updated = (0 to iters).map { i =>
+      changed.get(i) match {
+        case None => trajAt(i).select(col("v"), lit(i).as("iter"), col("label"))
+        case Some(d1) =>
+          trajAt(i).join(d1.withColumnRenamed("label", "l_new"), Seq("v"), "left")
+            .select(col("v"), lit(i).as("iter"),
+              coalesce(col("l_new"), col("label")).as("label"))
+      }
+    }.reduce(_.unionByName(_))
+    rebind(origin, updated)
+  }
+
+  /** Driver-visible incremental label propagation: same staging
+    * convention as [[pagerankIncremental]] (edges + delta + trajectory
+    * at bootstrap, warm runs read state only); one customer↔supplier
+    * pair in ~2048 is the delta, new vertices allowed (no settled
+    * filter — min-label has no teleport coupling). Oracle = the full
+    * 3-round propagation over the union graph, which IS
+    * [[labelPropagation]]'s graph. */
+  val labelPropIncremental: Q = Q(
+    "q_label_prop_incremental",
+    (s, dir) => {
+      val stateDir = graft.Staging.dir(s,
+        "graft_labelprop_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val statePath = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(statePath)) {
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+        val hist = cs.filter((col("c") * 131 + col("p")) % 2048 =!= 7)
+        val delta = cs.filter((col("c") * 131 + col("p")) % 2048 === 7)
+        def sym(df: DataFrame): DataFrame =
+          df.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+            .unionAll(df.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        sym(hist).write.mode("overwrite").parquet(s"$stateDir/edges")
+        sym(delta).write.mode("overwrite").parquet(s"$stateDir/delta")
+        labelPropTrajectory(s.read.parquet(s"$stateDir/edges"), 3)
+          .write.mode("overwrite").parquet(s"$stateDir/traj")
+      }
+      incrementalLabelProp(s.read.parquet(s"$stateDir/edges"),
+          s.read.parquet(s"$stateDir/delta"),
+          s.read.parquet(s"$stateDir/traj"), 3)
+        .filter(col("iter") === 3)
+        .select(
+          when(col("v") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+          expr("v div 2").as("id"), col("label"))
+        .orderBy("kind", "id")
+    },
+    Some("""
+      WITH cs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c * 2 AS src, p * 2 + 1 AS dst FROM cs
+        UNION ALL
+        SELECT p * 2 + 1 AS src, c * 2 AS dst FROM cs),
+      verts AS (SELECT DISTINCT src AS v FROM edges),
+      lp0 AS (SELECT v, v AS label FROM verts),
+      lp1 AS (SELECT l.v, least(l.label, coalesce(m.nbr, l.label)) AS label
+              FROM lp0 l LEFT JOIN (
+                SELECT e.dst AS v, min(p.label) AS nbr
+                FROM edges e JOIN lp0 p ON p.v = e.src GROUP BY e.dst) m
+                ON l.v = m.v),
+      lp2 AS (SELECT l.v, least(l.label, coalesce(m.nbr, l.label)) AS label
+              FROM lp1 l LEFT JOIN (
+                SELECT e.dst AS v, min(p.label) AS nbr
+                FROM edges e JOIN lp1 p ON p.v = e.src GROUP BY e.dst) m
+                ON l.v = m.v),
+      lp3 AS (SELECT l.v, least(l.label, coalesce(m.nbr, l.label)) AS label
+              FROM lp2 l LEFT JOIN (
+                SELECT e.dst AS v, min(p.label) AS nbr
+                FROM edges e JOIN lp2 p ON p.v = e.src GROUP BY e.dst) m
+                ON l.v = m.v)
+      SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+             CAST(v // 2 AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+      FROM lp3 ORDER BY kind, id"""))
+
   val labelPropagation: Q = Q(
     "q_label_prop",
     (s, dir) => {
@@ -979,5 +1160,6 @@ object Graph {
       FROM pr5 ORDER BY part_id"""))
 
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
-    shortestPath, shortestPathIncremental, labelPropagation, linkPredict)
+    shortestPath, shortestPathIncremental, labelPropagation,
+    labelPropIncremental, linkPredict)
 }

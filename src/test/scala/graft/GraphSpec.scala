@@ -319,6 +319,12 @@ class GraphSpec extends SparkSpec {
         newSrc, bfsState, 4)
       assert(set(bfsInc) == set(ops.Graph.bfs(symDF(pairs),
         srcOf(allVerts).toDF("v"), 4)), s"bfs seed=$seed")
+
+      val lpState = ops.Graph.labelPropTrajectory(symDF(histRaw), 3)
+      val lpInc = ops.Graph.incrementalLabelProp(symDF(histRaw), symDF(deltaRaw),
+        lpState, 3)
+      assert(set(lpInc) == set(ops.Graph.labelPropTrajectory(symDF(pairs), 3)),
+        s"labelprop seed=$seed")
     }
   }
 
