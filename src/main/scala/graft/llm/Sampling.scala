@@ -233,6 +233,54 @@ object Sampling {
       WHERE rn < 5
       ORDER BY source, rn"""))
 
+  /** WEIGHTED reservoir sampling without replacement (Efraimidis–
+    * Spirakis A-ES) — k docs per source with inclusion probability
+    * proportional to document length: each doc draws a deterministic
+    * uniform u (md5 48-bit, the [[reservoir]] coin) and races with
+    * key = ln(u)/w — the exponential-race form of u^(1/w), monotone-
+    * identical and numerically saner; the per-source top-k by key IS
+    * a weight-proportional sample without replacement (the A-ES
+    * theorem), computed as one partitioned window pass. Derandomized
+    * end to end: u is a pure function of doc_id and ln is evaluated
+    * identically by both engines (the established same-host libm
+    * envelope of the LM suite), so the sample replays exactly across
+    * runs, engines, and backfills — the property production corpus
+    * assembly needs from its sampler. */
+  val weightedReservoir: Q = Q(
+    "q_weighted_reservoir",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hex = md5(col("doc_id").cast("string").cast("binary"))
+      val pri = conv(substring(hex, 1, 12), 16, 10).cast("long")
+      val w = greatest(col("n_chars"), lit(1L)).cast("double")
+      val key = log((pri + lit(1.0)) / lit(281474976710656.0)) / w
+      val rn = row_number().over(Window.partitionBy("source")
+        .orderBy(col("key").desc, col("doc_id").asc))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          greatest(col("n_chars"), lit(1L)).as("weight"), key.as("key"))
+        .withColumn("rn", rn.cast("long") - 1)
+        .filter(col("rn") < 5)
+        .select(col("source"), col("rn"), col("doc_id"), col("weight"),
+          round(col("key") * 1e6, 0).cast("long").as("key_micro"))
+        .orderBy("source", "rn")
+    },
+    Some("""
+      WITH k AS (
+        SELECT source, doc_id, greatest(n_chars, 1) AS weight,
+               ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                   + 1.0) / 281474976710656.0)
+                 / CAST(greatest(n_chars, 1) AS DOUBLE) AS key
+        FROM documents),
+      r AS (SELECT source, doc_id, weight, key,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY key DESC, doc_id ASC) AS rn
+            FROM k)
+      SELECT source, CAST(rn AS BIGINT) - 1 AS rn, doc_id,
+             CAST(weight AS BIGINT) AS weight,
+             CAST(round(key * 1e6) AS BIGINT) AS key_micro
+      FROM r WHERE rn <= 5 ORDER BY source, rn"""))
+
   /** Inverse-frequency class weights over the labeled embedding set:
     * weight(c) = total / (k·n_c), the standard balanced-loss
     * reweighting, emitted as exact integer micro units. Two tiny
@@ -582,5 +630,6 @@ object Sampling {
       ) ORDER BY k_round"""))
 
   val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir,
-    classWeights, clusterSplit, temperature, unimaxAlloc, coresetKCenter)
+    weightedReservoir, classWeights, clusterSplit, temperature, unimaxAlloc,
+    coresetKCenter)
 }

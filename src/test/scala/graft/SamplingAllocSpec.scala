@@ -33,6 +33,37 @@ class SamplingAllocSpec extends SparkSpec {
         s"a whole language exceeds the cap level: whole=${whole.toSeq} capped=${capped.toSeq}")
   }
 
+  test("weighted reservoir == driver-side A-ES reference; sample biases toward heavy docs") {
+    // exact replay: the md5-48-bit uniform and the exponential-race
+    // key recomputed on the driver must select the same top-5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val pri = java.lang.Long.parseLong(hex, 16)
+      math.log((pri + 1.0) / 281474976710656.0) / math.max(w, 1L).toDouble
+    }
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.map(r => (src, r._2, key(r._2, r._3)))
+        .sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+        .map { case ((s2, id, _), i) => (s2, i.toLong, id) }
+    }.toSet
+    val got = graft.SparkEntry.queries("q_weighted_reservoir")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"A-ES selection mismatch: ${got.diff(expected)}")
+    // weight-proportional inclusion: the sampled docs are heavier on
+    // average than the corpus (deterministic on the fixed corpus)
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    val sampledIds = got.map(_._3)
+    val sampledMean = docs.filter(d => sampledIds(d._2)).map(_._3).sum.toDouble /
+      sampledIds.size
+    assert(sampledMean > corpusMean,
+      f"sampled mean weight $sampledMean%.0f must exceed corpus mean $corpusMean%.0f")
+  }
+
   test("k-center coreset: greedy picks the farthest point each round, radius non-increasing") {
     import spark.implicits._
     // 1-D geometry (63 zero dims): points at 0, 0.001, 0.010, 0.011 —
