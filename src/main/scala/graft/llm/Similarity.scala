@@ -568,6 +568,61 @@ object Similarity {
       FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY a.i, b.i ORDER BY i, j"""))
 
+  /** INCREMENTAL Gram matrix — the algebraic-merge incremental
+    * ([[graft.llm.Dedup.incrementalExact]]'s pattern) applied to the
+    * embedding family: G = Σ x·xᵀ is ADDITIVE, so the state is the
+    * dim-bounded (i, j, n, s) cell frame of history (d(d+1)/2 rows —
+    * 2 080 at d=64, independent of corpus size) and absorbing a delta
+    * batch is one [[graft.functions.GramAgg]] pass over the delta
+    * plus a cell-wise sum merge. The corpus is never rescanned; the
+    * oracle is the FULL Gram recompute, so the driver hash re-proves
+    * state+delta ≡ full every round. The merged Gram feeds the same
+    * consumers as [[gramMatrix]] (PCA covariance, whitening) — this
+    * is how a 100 TB pipeline keeps covariance current under daily
+    * embedding arrivals. */
+  val gramIncremental: Q = Q(
+    "q_gram_incremental",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cut = emb.agg(expr(
+        "max(vec_id) - (max(vec_id) - min(vec_id) + 1) div 8").as("c"))
+        .head().getLong(0)
+      val quant = transform(col("embedding").cast("array<double>"),
+        x => round(x * 1000000.0, 0).cast("long"))
+      def gramOf(df: DataFrame): DataFrame =
+        df.select(quant.as("q"))
+          .agg(graft.functions.GramAgg(col("q"), 64).as("g"))
+          .select(explode(col("g")).as("c"))
+          .select(col("c.i").as("i"), col("c.j").as("j"),
+            col("c.n").as("n"), col("c.s").as("s"))
+      val stateDir = graft.Staging.dir(s,
+        "graft_gram_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val statePath = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(statePath)) {
+        gramOf(emb.filter(col("vec_id") <= cut))
+          .write.mode("overwrite").parquet(stateDir)
+      }
+      s.read.parquet(stateDir)
+        .unionByName(gramOf(emb.filter(col("vec_id") > cut)))
+        .groupBy("i", "j")
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("gram_micro2"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"), col("gram_micro2"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM embeddings)
+      SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.q * b.q) AS BIGINT) AS gram_micro2
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i ORDER BY i, j"""))
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, embedDedup, semanticDedup,
-    vectorStats, gramMatrix, int8Quantize, matryoshkaAudit)
+    vectorStats, gramMatrix, gramIncremental, int8Quantize, matryoshkaAudit)
 }
