@@ -62,7 +62,25 @@ object Retrieval {
     // counts the prune then throws away
     val tf = post.join(broadcast(qterms.select("tok").distinct()), Seq("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val matched = tf.join(broadcast(qterms), Seq("tok"))
+    scoreMatched(tf.join(broadcast(qterms), Seq("tok")), dl, stats, k)
+  }
+
+  /** BM25 scoring against a PREBUILT index (tf posting table + doc
+    * lengths + 1-row stats) — the query-time half of
+    * [[bm25Incremental]]: the index prunes to query terms via a
+    * broadcast semi (a token-keyed point lookup on a tok-bucketed
+    * index at scale), then scores identically to [[bm25TopK]]. */
+  def bm25FromIndex(s: SparkSession, tfIdx: DataFrame, dl: DataFrame,
+      stats: DataFrame, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val qterms = queryList.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("tok"))
+    scoreMatched(tfIdx.join(broadcast(qterms), Seq("tok")), dl, stats, k)
+  }
+
+  /** Shared scoring tail over matched (query_id, doc_id, tok, tf). */
+  private def scoreMatched(matched: DataFrame, dl: DataFrame,
+      stats: DataFrame, k: Int): DataFrame = {
     val df_ = matched.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     val scored = matched
       .join(broadcast(df_), Seq("tok"))
@@ -82,6 +100,46 @@ object Retrieval {
       .select("query_id", "rank", "doc_id", "score_micro")
       .orderBy("query_id", "rank")
   }
+
+  /** INCREMENTAL BM25 index maintenance — the inverted index IS the
+    * state: tf postings, doc lengths, and the (N, Σdl) stats row are
+    * all ADDITIVE across disjoint document batches, so absorbing a
+    * delta is one postings pass over the delta plus a plain union
+    * (documents are disjoint — no cell merge even needed; stats sum).
+    * The corpus is never re-tokenized. The oracle is [[bm25]]'s
+    * full-corpus recompute verbatim — the driver hash re-proves
+    * index+delta ≡ full scoring every round, idf and avgdl included
+    * (both shift when the delta lands; a stale-stats bug cannot
+    * hide). */
+  // lazy: shares bm25's oracle verbatim, and bm25 initializes later
+  // in this object (forced via `all`, by which point both exist)
+  lazy val bm25Incremental: Q = Q(
+    "q_bm25_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cut = docs.agg(expr(
+        "max(doc_id) - (max(doc_id) - min(doc_id) + 1) div 8").as("c"))
+        .head().getLong(0)
+      val stateDir = graft.Staging.dir(s,
+        "graft_bm25_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val statePath = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(statePath)) {
+        val hist = postings(docs.filter(col("doc_id") <= cut))
+        hist.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .write.mode("overwrite").parquet(s"$stateDir/tf")
+        hist.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+          .write.mode("overwrite").parquet(s"$stateDir/dl")
+      }
+      val deltaPost = postings(docs.filter(col("doc_id") > cut))
+      val tfIdx = s.read.parquet(s"$stateDir/tf").unionByName(
+        deltaPost.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+      val dl = s.read.parquet(s"$stateDir/dl").unionByName(
+        deltaPost.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+      bm25FromIndex(s, tfIdx, dl, stats)
+    },
+    bm25.oracle)
 
   val bm25: Q = Q(
     "q_bm25_topk",
@@ -508,5 +566,6 @@ object Retrieval {
       GROUP BY l.query_id
       ORDER BY l.query_id"""))
 
-  val all: Seq[Q] = Seq(bm25, hybrid, negatives, hashedTfidf, ndcgEval, mrrEval)
+  val all: Seq[Q] = Seq(bm25, bm25Incremental, hybrid, negatives, hashedTfidf,
+    ndcgEval, mrrEval)
 }
