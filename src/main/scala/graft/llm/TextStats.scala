@@ -1221,6 +1221,118 @@ object TextStats {
              CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** SIMPLE GOOD–TURING smoothed unigram heldout scoring — the
+    * count-of-counts estimator at the unigram level (the same n_k
+    * machinery [[kneserNeyModOf]] uses for discounts, used here to
+    * re-estimate the counts themselves): a word seen c times is
+    * priced at the ADJUSTED count c* = (c+1)·n_{c+1}/n_c for small c
+    * (the Katz cutoff: c < 5 and n_{c+1} > 0 — beyond it the
+    * estimator's own sample is too thin and MLE c/N takes over), and
+    * the probability mass Good–Turing reserves for UNSEEN words
+    * (n₁/N in total) is split evenly over the heldout shard's unseen
+    * types. Every statistic is a grouped count (vocabulary-sized c,
+    * a ≤6-row count-of-counts, two scalars) — scoring is one
+    * token-keyed left join.
+    *
+    * All divisions happen in DOUBLE with a fixed parenthesization —
+    * the established cross-engine envelope — and n_c > 0 whenever a
+    * word of count c exists, so no estimator divides by zero. */
+  def goodTuringOf(train: DataFrame, test: DataFrame): DataFrame = {
+      val trTok = train.select(explode(tokens(col("text"))).as("tok"))
+      val counts = trTok.groupBy("tok").agg(count(lit(1)).as("c"))
+        .withColumnRenamed("tok", "k")
+      val coc = counts.agg(
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("nn1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("nn2"),
+        sum(when(col("c") === 3, 1L).otherwise(0L)).as("nn3"),
+        sum(when(col("c") === 4, 1L).otherwise(0L)).as("nn4"),
+        sum(when(col("c") === 5, 1L).otherwise(0L)).as("nn5"),
+        sum(col("c")).as("bigN"))
+      val heldTok = test.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val unseen = heldTok.join(counts, col("tok") === col("k"), "left_anti")
+        .agg(countDistinct(col("tok")).as("u"))
+      val globals = coc.crossJoin(unseen)
+      def nAt(c: Int) = c match {
+        case 1 => col("nn1"); case 2 => col("nn2"); case 3 => col("nn3")
+        case 4 => col("nn4"); case 5 => col("nn5")
+      }
+      val nd = col("bigN").cast("double")
+      // c* / N by bucket; MLE past the cutoff or when n_{c+1} = 0
+      val pSeen = (1 to 4).foldRight(col("c").cast("double") / nd) { (cv, acc) =>
+        when(col("c") === cv && nAt(cv + 1) > 0,
+          ((lit(cv) + lit(1.0)) * nAt(cv + 1)) / (nAt(cv) * nd)).otherwise(acc)
+      }
+      val p = when(col("c").isNull,
+        col("nn1") / (nd * greatest(col("u"), lit(1L)))).otherwise(pSeen)
+      heldTok
+        .join(counts, col("tok") === col("k"), "left")
+        .crossJoin(broadcast(globals))
+        .select(col("doc_id"),
+          round(-log(p) * 1e6, 0).cast("long").as("surprisal_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("surprisal_micro")).as("total_surprisal_micro"))
+        .select(col("doc_id"), col("n_tokens"), col("total_surprisal_micro"),
+          (col("total_surprisal_micro").cast("double") / col("n_tokens") / 1e6)
+            .as("mean_surprisal_nats"))
+        .orderBy("doc_id")
+  }
+
+  val goodTuring: Q = Q(
+    "q_lm_good_turing",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("b", Sampling.hashBucket(col("doc_id")))
+      goodTuringOf(docs.filter(col("b") < 80), docs.filter(col("b") >= 90))
+    },
+    Some("""
+      WITH bucketed AS (
+        SELECT doc_id, text,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS b
+        FROM documents),
+      trtok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM bucketed WHERE b < 80),
+      counts AS (SELECT tok AS k, CAST(count(*) AS BIGINT) AS c
+                 FROM trtok GROUP BY tok),
+      coc AS (SELECT
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+                CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+                CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+                CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+                CAST(sum(CASE WHEN c = 5 THEN 1 ELSE 0 END) AS BIGINT) AS nn5,
+                CAST(sum(c) AS BIGINT) AS bigN
+              FROM counts),
+      heldtok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                  FROM bucketed WHERE b >= 90),
+      heldtok2 AS (SELECT doc_id, tok FROM heldtok),
+      unseen AS (SELECT CAST(count(DISTINCT h.tok) AS BIGINT) AS u
+                 FROM heldtok2 h LEFT JOIN counts ON h.tok = counts.k
+                 WHERE counts.k IS NULL),
+      scored AS (
+        SELECT h.doc_id,
+               CAST(round(-ln(
+                 CASE WHEN counts.c IS NULL
+                        THEN nn1 / (CAST(bigN AS DOUBLE) * greatest(u, 1))
+                      WHEN counts.c = 1 AND nn2 > 0
+                        THEN ((1 + 1.0) * nn2) / (nn1 * CAST(bigN AS DOUBLE))
+                      WHEN counts.c = 2 AND nn3 > 0
+                        THEN ((2 + 1.0) * nn3) / (nn2 * CAST(bigN AS DOUBLE))
+                      WHEN counts.c = 3 AND nn4 > 0
+                        THEN ((3 + 1.0) * nn4) / (nn3 * CAST(bigN AS DOUBLE))
+                      WHEN counts.c = 4 AND nn5 > 0
+                        THEN ((4 + 1.0) * nn5) / (nn4 * CAST(bigN AS DOUBLE))
+                      ELSE CAST(counts.c AS DOUBLE) / CAST(bigN AS DOUBLE)
+                 END) * 1e6) AS BIGINT) AS surprisal_micro
+        FROM heldtok2 h
+        LEFT JOIN counts ON h.tok = counts.k
+        CROSS JOIN coc CROSS JOIN unseen)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(surprisal_micro) AS BIGINT) AS total_surprisal_micro,
+             CAST(sum(surprisal_micro) AS DOUBLE) / count(*) / 1e6 AS mean_surprisal_nats
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   /** MODIFIED Kneser–Ney (Chen & Goodman 1999) — the last rung of the
     * KN ladder: instead of one fixed discount, THREE count-dependent
     * discounts estimated from the corpus's own count-of-counts
@@ -1881,5 +1993,5 @@ object TextStats {
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
     spearman, rhoSelect, kneserNey, kneserNeyMod, kneserNeyTrigram, stupidBackoff,
-    stupidBackoff4)
+    stupidBackoff4, goodTuring)
 }
