@@ -61,6 +61,18 @@ object Tables {
 object Staging {
   def dir(s: SparkSession, name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/${name}_${s.sparkContext.applicationId}"
+
+  /** True iff a bootstrap whose LAST-written parquet artifact lives at
+    * `lastArtifactDir` completed: checks that artifact's _SUCCESS
+    * marker, not the parent state dir — a mid-bootstrap failure (the
+    * first write creates the parent) would otherwise make every later
+    * execution in the application skip the bootstrap and crash on the
+    * missing artifacts. All writes are mode(overwrite), so re-running
+    * a half-finished bootstrap is clean. */
+  def ready(s: SparkSession, lastArtifactDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$lastArtifactDir/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
 }
 
 /** One registered query: Spark builder + optional DuckDB oracle SQL.

@@ -576,9 +576,7 @@ object Dedup {
       val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val stateDir = graft.Staging.dir(s,
         "graft_dedup_band_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      val statePath = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(statePath)) {
+      if (!graft.Staging.ready(s, s"$stateDir/shingle_sets")) {
         // first touch per application+corpus: build BOTH state
         // surfaces off one persisted history shingle pass — the band
         // index (16 rows/doc) and the verification shingle-set store
@@ -816,9 +814,7 @@ object Dedup {
     (s, dir) => {
       val stateDir = graft.Staging.dir(s,
         "graft_cc_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      val statePath = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(statePath)) {
+      if (!graft.Staging.ready(s, s"$stateDir/labels")) {
         // bootstrap: derive the near-dup graph ONCE, stage labels AND
         // the delta batch — warm runs read state, never re-scoring
         // Jaccard over the corpus (a production delta is an input)
@@ -996,9 +992,7 @@ object Dedup {
           .head().getLong(0))
       val stateDir = graft.Staging.dir(s,
         "graft_dedup_simhash_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      val statePath = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(statePath)) {
+      if (!graft.Staging.ready(s, stateDir)) {
         val buildHandles = new graft.CacheHandles
         simhashSignatures(t(s, dir, "documents")
           .select(col("doc_id"), col("text")).filter(col("doc_id") <= cut),

@@ -1111,10 +1111,15 @@ object Events {
         // once an arm's total spend passes ~3·10⁹ cents, (Σx)²
         // exceeds 2⁶³ and BIGINT would wrap silently in Spark while
         // DuckDB raises — casting each factor first keeps both
-        // engines on the same fixed-order IEEE chain at any spend
-        // volume (precision loss is immaterial inside a double-valued
-        // t/df). Squares are explicit multiplications — pow() is libm
-        // and carries implementation latitude, x*x does not
+        // engines on the same fixed-order IEEE chain (precision loss
+        // is immaterial inside a double-valued t/df). The REMAINING
+        // integer envelope is the q1/q2 aggregation itself:
+        // sum(spend²) is BIGINT-exact while Σx² < 2⁶³, i.e. per-user
+        // spend ≲ 3·10⁹ cents and arm RMS·√n ≲ 3·10⁹ — past that the
+        // aggregate would need its own double cast, which would trade
+        // cross-engine exactness for range and is deliberately NOT
+        // done here. Squares are explicit multiplications — pow() is
+        // libm and carries implementation latitude, x*x does not
         .withColumn("v1", expr(
           """(cast(n1 as double) * q1 - cast(s1 as double) * s1)
              / (cast(n1 as double) * n1 * (n1 - 1))"""))
@@ -1186,6 +1191,14 @@ object Events {
     * the one shape where per-group sequential state is free.
     * Envelope: |daily cents| < 2⁶³/10⁴ (≈ $9·10¹⁴/day/type) keeps
     * 2·x·1000 + 8·e inside BIGINT. */
+  /** Shared daily spend frame for the smoothing ladder — the one
+    * corpus aggregation all three smoothers fold over, factored so
+    * they can never drift apart. */
+  private def dailyCents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))
+
   /** Core EWMA pass over any (event_type, day, x) daily frame —
     * factored for hand-series specs. */
   def ewmaOf(daily: DataFrame): DataFrame = {
@@ -1212,10 +1225,7 @@ object Events {
 
   val ewma: Q = Q(
     "q_ewma",
-    (s, dir) =>
-      ewmaOf(t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))),
+    (s, dir) => ewmaOf(dailyCents(s, dir)),
     Some("""
       WITH RECURSIVE daily AS (
         SELECT event_type, date_trunc('day', ts) AS day,
@@ -1283,10 +1293,7 @@ object Events {
 
   val holt: Q = Q(
     "q_holt_trend",
-    (s, dir) =>
-      holtOf(t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))),
+    (s, dir) => holtOf(dailyCents(s, dir)),
     Some("""
       WITH RECURSIVE daily AS (
         SELECT event_type, date_trunc('day', ts) AS day,
@@ -1368,10 +1375,7 @@ object Events {
 
   val holtWinters: Q = Q(
     "q_holt_winters",
-    (s, dir) =>
-      holtWintersOf(t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("x"))),
+    (s, dir) => holtWintersOf(dailyCents(s, dir)),
     Some("""
       WITH RECURSIVE daily AS (
         SELECT event_type, date_trunc('day', ts) AS day,

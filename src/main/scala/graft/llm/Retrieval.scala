@@ -122,9 +122,7 @@ object Retrieval {
         .head().getLong(0)
       val stateDir = graft.Staging.dir(s,
         "graft_bm25_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      val statePath = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(statePath)) {
+      if (!graft.Staging.ready(s, s"$stateDir/dl")) {
         val hist = postings(docs.filter(col("doc_id") <= cut))
         hist.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
           .write.mode("overwrite").parquet(s"$stateDir/tf")

@@ -597,9 +597,7 @@ object Similarity {
             col("c.n").as("n"), col("c.s").as("s"))
       val stateDir = graft.Staging.dir(s,
         "graft_gram_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      val statePath = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(statePath)) {
+      if (!graft.Staging.ready(s, stateDir)) {
         gramOf(emb.filter(col("vec_id") <= cut))
           .write.mode("overwrite").parquet(stateDir)
       }

@@ -1230,7 +1230,10 @@ object TextStats {
     * estimator's own sample is too thin and MLE c/N takes over), and
     * the probability mass Good–Turing reserves for UNSEEN words
     * (n₁/N in total) is split evenly over the heldout shard's unseen
-    * types. Every statistic is a grouped count (vocabulary-sized c,
+    * types — with a 1/(2N) half-count floor when the train shard has
+    * NO hapaxes (n₁ = 0 leaves GT zero unseen mass; an unguarded
+    * ln(0) silently drops the token in Spark and hard-errors in
+    * DuckDB). Every statistic is a grouped count (vocabulary-sized c,
     * a ≤6-row count-of-counts, two scalars) — scoring is one
     * token-keyed left join.
     *
@@ -1262,8 +1265,13 @@ object TextStats {
         when(col("c") === cv && nAt(cv + 1) > 0,
           ((lit(cv) + lit(1.0)) * nAt(cv + 1)) / (nAt(cv) * nd)).otherwise(acc)
       }
+      // hapax-free corpora (nn1 = 0) leave Good-Turing no unseen mass
+      // — without the half-count floor the probability is 0, which
+      // Spark's log turns into a silently-dropped NULL while DuckDB
+      // hard-errors on ln(0); the floor is the same CASE both engines
       val p = when(col("c").isNull,
-        col("nn1") / (nd * greatest(col("u"), lit(1L)))).otherwise(pSeen)
+        when(col("nn1") > 0, col("nn1") / (nd * greatest(col("u"), lit(1L))))
+          .otherwise(lit(1.0) / (lit(2.0) * nd))).otherwise(pSeen)
       heldTok
         .join(counts, col("tok") === col("k"), "left")
         .crossJoin(broadcast(globals))
@@ -1312,7 +1320,9 @@ object TextStats {
       scored AS (
         SELECT h.doc_id,
                CAST(round(-ln(
-                 CASE WHEN counts.c IS NULL
+                 CASE WHEN counts.c IS NULL AND nn1 = 0
+                        THEN 1.0 / (2.0 * CAST(bigN AS DOUBLE))
+                      WHEN counts.c IS NULL
                         THEN nn1 / (CAST(bigN AS DOUBLE) * greatest(u, 1))
                       WHEN counts.c = 1 AND nn2 > 0
                         THEN ((1 + 1.0) * nn2) / (nn1 * CAST(bigN AS DOUBLE))

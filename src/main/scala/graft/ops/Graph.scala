@@ -61,7 +61,7 @@ object Graph {
     val origin = edges.sparkSession
     pageRankIterates(edges, iters) match {
       case None => emptyRanks(origin)
-      case Some((_, iterates)) => rebind(origin, iterates.last)
+      case Some(iterates) => rebind(origin, iterates.last)
     }
   }
 
@@ -76,7 +76,7 @@ object Graph {
     val origin = edges.sparkSession
     pageRankIterates(edges, iters) match {
       case None => emptyRanks(origin).select(col("v"), lit(0).as("iter"), col("r"))
-      case Some((_, iterates)) =>
+      case Some(iterates) =>
         rebind(origin, iterates.zipWithIndex.map { case (df, i) =>
           df.select(col("v"), lit(i).as("iter"), col("r"))
         }.reduce(_.unionByName(_)))
@@ -93,11 +93,11 @@ object Graph {
   }
 
   /** Iteration core shared by [[pageRank]] and [[pageRankTrajectory]]:
-    * cloned session with vertex-sized parallelism, lazy lineage cuts,
+    * cloned session with vertex-sized parallelism, lazy lineage cuts;
     * returns the (v, r) frame of EVERY iteration 0..iters (all bound
-    * to the cloned session). None for the empty graph. */
+    * to the internal cloned session). None for the empty graph. */
   private def pageRankIterates(
-      edges: DataFrame, iters: Int): Option[(SparkSession, Seq[DataFrame])] = {
+      edges: DataFrame, iters: Int): Option[Seq[DataFrame]] = {
     val origin = edges.sparkSession
     val spark = origin.newSession()
     graft.Checkpoints.propagate(origin, spark)
@@ -137,7 +137,7 @@ object Graph {
         eager = false)
       iterates += pr
     }
-    Some((spark, iterates.toSeq))
+    Some(iterates.toSeq)
   }
 
   val pagerank: Q = Q(
@@ -458,9 +458,7 @@ object Graph {
     (s, dir) => {
       val stateDir = graft.Staging.dir(s,
         "graft_bfs_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      val statePath = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(statePath)) {
+      if (!graft.Staging.ready(s, s"$stateDir/dist")) {
         val op = t(s, dir, "lineitem")
           .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
@@ -747,9 +745,7 @@ object Graph {
     (s, dir) => {
       val stateDir = graft.Staging.dir(s,
         "graft_labelprop_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      val statePath = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(statePath)) {
+      if (!graft.Staging.ready(s, s"$stateDir/traj")) {
         val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -1063,9 +1059,7 @@ object Graph {
     (s, dir) => {
       val stateDir = graft.Staging.dir(s,
         "graft_pagerank_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      val statePath = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(statePath)) {
+      if (!graft.Staging.ready(s, s"$stateDir/deg")) {
         val op = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
         val co = op.as("a").join(op.as("b"),

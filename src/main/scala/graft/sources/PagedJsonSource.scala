@@ -458,7 +458,10 @@ private[sources] object SamFilterEval {
   }
 
   def matches(f: Filter, n: JsonNode): Boolean = f match {
-    case EqualTo(a, v) => strOf(n, a).contains(String.valueOf(v))
+    // v == null mirrors SQL `x = NULL` (never true) — without the
+    // guard String.valueOf(null) would match fields holding the
+    // four-character string "null"
+    case EqualTo(a, v) => v != null && strOf(n, a).contains(String.valueOf(v))
     case IsNotNull(a) => strOf(n, a).isDefined
     case IsNull(a) => strOf(n, a).isEmpty
     case StringContains(a, v) => strOf(n, a).exists(_.contains(v))
