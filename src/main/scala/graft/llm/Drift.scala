@@ -208,5 +208,94 @@ object Drift {
              250000 * d_num * d_num > 461041 * (n1 + n2) * n1 * n2 AS drifted_95
       FROM d"""))
 
-  val all: Seq[Q] = Seq(embeddingDrift, ksDrift)
+  /** Jensen–Shannon divergence on the EVENT-TYPE MIX between two user
+    * cohorts — the categorical companion that completes the drift
+    * triptych: [[ksDrift]] watches a scalar signal, [[embeddingDrift]]
+    * watches embedding dimensions, and this watches class composition
+    * (the "did the traffic mix shift?" monitor a labeler/router runs
+    * per batch). JSD(P,Q) = ½·Σ_t [p·ln(p/m) + q·ln(q/m)] with
+    * m = (p+q)/2 — symmetric and bounded by ln 2, unlike raw KL which
+    * blows up on any class one cohort lacks.
+    *
+    * Exactness is the PSI recipe one step further: with add-1
+    * smoothing over the joint type domain D, p = (ca+1)/(na+D) and
+    * q = (cb+1)/(nb+D); writing x = (ca+1)(nb+D), y = (cb+1)(na+D),
+    * both log ratios collapse to cross products — p/m = 2x/(x+y),
+    * q/m = 2y/(x+y) — so each per-type numerator
+    * term = x·⌊1e6·ln(2x/(x+y))⌉ + y·⌊1e6·ln(2y/(x+y))⌉ is BIGINT
+    * products of engine-identical integers around one rounded IEEE ln
+    * each, and JSD = Σterm / (2·(na+D)(nb+D)·1e6). The hash pins every
+    * per-type numerator. Overflow envelope: x ≤ (na+1)(nb+D), so
+    * terms stay under 2⁶³ through ~10⁶ events per cohort ×
+    * ln-bound 0.694e6 × D ≈ 10 — beyond that pre-scale the counts
+    * (ANSI raises rather than corrupts, same contract as [[psi]]).
+    *
+    * Scale shape: one map-side-combinable count keyed by event_type
+    * (domain-bounded, D rows survive), a broadcast 1-row totals frame,
+    * and the only window runs over the D-row aggregate. Nothing
+    * corpus-sized shuffles; a 100 TB event lake pays one scan. */
+  private[graft] def jsd(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = ev
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("in_a"))
+      .groupBy("event_type")
+      .agg(count(when(col("in_a"), 1)).as("ca"),
+        count(when(!col("in_a"), 1)).as("cb"))
+    val tot = counts
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("d"))
+      .limit(1)
+    val x = (col("ca") + 1) * (col("nb") + col("d"))
+    val y = (col("cb") + 1) * (col("na") + col("d"))
+    val lnOf = (num: org.apache.spark.sql.Column) =>
+      round(log(lit(2.0) * num.cast("double") /
+        (x + y).cast("double")) * 1e6, 0).cast("long")
+    val w = Window.partitionBy()
+    counts.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("ca"), col("cb"),
+        col("na"), col("nb"), col("d"),
+        (x * lnOf(x) + y * lnOf(y)).as("term_num"))
+      .withColumn("jsd_num", sum(col("term_num")).over(w))
+      .withColumn("jsd", col("jsd_num").cast("double") /
+        (lit(2L) * (col("na") + col("d")) * (col("nb") + col("d")))
+          .cast("double") / 1e6)
+      .select(col("event_type"), col("ca"), col("cb"), col("na"), col("nb"),
+        col("term_num"), col("jsd_num"), col("jsd"))
+      .orderBy("event_type")
+  }
+
+  val jsDivergence: Q = Q(
+    "q_js_divergence",
+    (s, dir) => jsd(t(s, dir, "events")),
+    Some("""
+      WITH cells AS (
+        SELECT event_type, user_id % 2 = 0 AS in_a FROM events),
+      counts AS (
+        SELECT event_type,
+               CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS ca,
+               CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS cb
+        FROM cells GROUP BY event_type),
+      tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+               CAST(count(*) AS BIGINT) AS d
+        FROM counts),
+      terms AS (
+        SELECT event_type, ca, cb, na, nb, d,
+               (ca + 1) * (nb + d) AS x, (cb + 1) * (na + d) AS y
+        FROM counts CROSS JOIN tot),
+      nums AS (
+        SELECT event_type, ca, cb, na, nb, d,
+               x * CAST(round(ln(2.0 * CAST(x AS DOUBLE) /
+                     CAST(x + y AS DOUBLE)) * 1e6) AS BIGINT) +
+               y * CAST(round(ln(2.0 * CAST(y AS DOUBLE) /
+                     CAST(x + y AS DOUBLE)) * 1e6) AS BIGINT) AS term_num
+        FROM terms)
+      SELECT event_type, ca, cb, na, nb,
+             CAST(term_num AS BIGINT) AS term_num,
+             CAST(sum(term_num) OVER () AS BIGINT) AS jsd_num,
+             CAST(sum(term_num) OVER () AS DOUBLE) /
+               CAST(2 * (na + d) * (nb + d) AS DOUBLE) / 1e6 AS jsd
+      FROM nums ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(embeddingDrift, ksDrift, jsDivergence)
 }

@@ -43,4 +43,56 @@ class DriftSpec extends SparkSpec {
     val b = Drift.embeddingDrift.fn(spark, sf001).collect().toSeq
     assert(a == b)
   }
+
+  // --- Jensen–Shannon divergence on the event-type mix -----------------
+
+  private def jsdOf(rows: Seq[(String, Long)]): Double = {
+    val df = rows.toDF("event_type", "user_id")
+    val out = Drift.jsd(df).collect()
+    assert(out.nonEmpty)
+    // jsd is a window total — identical on every row; assert that too
+    val vals = out.map(_.getAs[Double]("jsd")).distinct
+    assert(vals.length == 1, s"jsd differs across rows: ${vals.toSeq}")
+    vals.head
+  }
+
+  test("jsd near zero when both cohorts share the same mix") {
+    // even/odd user ids get identical type counts
+    val rows = for {
+      t <- Seq("a", "b", "c"); i <- 0 until 200
+    } yield (t, i.toLong) // parity alternates evenly within each type
+    val v = jsdOf(rows)
+    assert(v >= 0.0 && v < 0.01, s"same-mix cohorts report jsd $v")
+  }
+
+  test("jsd approaches ln 2 on disjoint mixes and never exceeds it") {
+    // cohort A (even ids) only sees type "x", cohort B only "y"
+    val rows = (0 until 400).map(i =>
+      (if (i % 2 == 0) "x" else "y", i.toLong))
+    val v = jsdOf(rows)
+    assert(v > 0.5 && v <= math.log(2.0) + 1e-9,
+      s"disjoint-mix jsd out of (0.5, ln 2]: $v")
+  }
+
+  test("jsd is symmetric under cohort swap") {
+    val skewed = (0 until 300).map { i =>
+      val t = if (i % 2 == 0) { if (i % 3 == 0) "a" else "b" }
+              else { if (i % 5 == 0) "a" else "c" }
+      (t, i.toLong)
+    }
+    val swapped = skewed.map { case (t, id) => (t, id + 1) }
+    val v1 = jsdOf(skewed)
+    val v2 = jsdOf(swapped)
+    assert(math.abs(v1 - v2) < 1e-9, s"asymmetric jsd: $v1 vs $v2")
+    assert(v1 > 0.01, s"skewed mixes should register: $v1")
+  }
+
+  test("declared query: q_js_divergence sane on the harness corpus") {
+    val rows = Drift.jsDivergence.fn(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val jsd = rows.head.getAs[Double]("jsd")
+    assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-9, s"jsd out of range: $jsd")
+    // md5-free parity split of real traffic: mix should be near-identical
+    assert(jsd < 0.05, s"parity cohorts of the same corpus drifted: $jsd")
+  }
 }
