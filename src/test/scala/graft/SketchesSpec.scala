@@ -56,4 +56,71 @@ class SketchesSpec extends SparkSpec {
       .agg(sum(col("n_lines"))).head().getLong(0)
     assert(got == matched)
   }
+
+  // --- repo-owned HLL register sketch (graft.functions.HllAgg) ---------
+
+  import graft.functions.HllAgg
+  import spark.implicits._
+  private val P = 10
+
+  test("HllAgg: shard-built-then-unioned registers are IDENTICAL to one global build") {
+    val df = (0L until 20000L).map(i => (i % 7, i * 31 + 5)).toDF("shard", "key")
+    val direct = df.agg(HllAgg.build(xxhash64(col("key")), P).as("r"))
+      .head().getSeq[Int](0)
+    val merged = df.groupBy("shard")
+      .agg(HllAgg.build(xxhash64(col("key")), P).as("r"))
+      .agg(HllAgg.union(col("r"), P).as("r"))
+      .head().getSeq[Int](0)
+    assert(direct == merged, "register max is associative — merge must be lossless")
+    // and union is idempotent: merging the merged with itself changes nothing
+    val twice = df.groupBy("shard")
+      .agg(HllAgg.build(xxhash64(col("key")), P).as("r"))
+      .unionByName(df.groupBy("shard")
+        .agg(HllAgg.build(xxhash64(col("key")), P).as("r")))
+      .agg(HllAgg.union(col("r"), P).as("r"))
+      .head().getSeq[Int](0)
+    assert(twice == direct, "union must be idempotent")
+  }
+
+  test("HllAgg: estimate within the 3-sigma published envelope across regimes") {
+    val env = 3 * HllAgg.stdError(P)
+    // linear-counting regime (n << 2.5m) and raw regime (n >> 4m)
+    for (n <- Seq(100L, 1500L, 50000L)) {
+      val est = spark.range(n).select(xxhash64(col("id") * 2654435761L).as("h"))
+        .agg(HllAgg.build(col("h"), P).as("r"))
+        .select(HllAgg.estimate(col("r"), P)).head().getDouble(0)
+      assert(math.abs(est - n) / n <= env,
+        s"n=$n estimate $est outside ${env * 100}%")
+    }
+  }
+
+  test("HllAgg: null hashes are skipped, matching COUNT(DISTINCT)") {
+    val df = Seq[java.lang.Long](1L, 2L, null, 2L, null).toDF("k")
+    val withNulls = df.agg(HllAgg.build(
+      when(col("k").isNotNull, xxhash64(col("k"))), P).as("r"))
+      .head().getSeq[Int](0)
+    val without = df.na.drop().agg(HllAgg.build(xxhash64(col("k")), P).as("r"))
+      .head().getSeq[Int](0)
+    assert(withNulls == without)
+    val est = df.agg(HllAgg.build(
+        when(col("k").isNotNull, xxhash64(col("k"))), P).as("r"))
+      .select(HllAgg.estimate(col("r"), P)).head().getDouble(0)
+    assert(math.round(est) == 2L, s"2 distinct non-null keys, est $est")
+  }
+
+  test("HllAgg: empty input estimates exactly zero") {
+    val est = spark.range(0).select(xxhash64(col("id")).as("h"))
+      .agg(HllAgg.build(col("h"), P).as("r"))
+      .select(HllAgg.estimate(col("r"), P)).head().getDouble(0)
+    assert(est == 0.0)
+  }
+
+  test("declared query: q_hll_registers all envelope columns true") {
+    val rows = ops.Sketches.hllRegisters.fn(spark, sf001).collect()
+    assert(rows.length == 6) // 5 event types + __ALL__
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("users_ok") && r.getAs[Boolean]("events_ok"),
+        s"envelope violated on $r")
+    }
+  }
 }
