@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Frequent-itemset mining (a-priori, 1/2/3-itemsets) over per-order
+  * brand baskets — the market-basket classic, shaped for a 100 TB
+  * fact table.
+  *
+  * The scale design is the whole point: candidate pairs/triples are
+  * generated IN-ROW from each basket's sorted distinct-item array
+  * (higher-order `transform`/`slice` — no self-join ever touches the
+  * fact table), so support counting is a plain map-side-combinable
+  * groupBy over at most C(|basket|,k) generated rows per basket.
+  * The DuckDB oracle states the same semantics as the textbook
+  * k-way self-join on the basket table — the quadratic/cubic plan a
+  * naive engine would run and the one you could NOT afford at scale.
+  *
+  * A-priori pruning is real, not decorative: each basket array is
+  * intersected with the broadcast frequent-item set at the matching
+  * downstream threshold BEFORE pair/triple generation (downward
+  * closure makes the prune lossless — any k-itemset meeting support
+  * s has every member meeting s). The frequent-1 collect is
+  * domain-bounded (≤25 brands) like the repo's other broadcast memos.
+  *
+  * Support thresholds are integer-exact cross-multiplications
+  * (`support·100 ≥ n_baskets` = 1% for k≤2, `·500` = 2‰ for k=3) —
+  * no division, hash-identical on both engines. Basket building is
+  * ONE shuffle: lineitem ⋈ broadcast(part-dim) → groupBy(orderkey)
+  * with `collect_set` deduping in the aggregate. */
+object Itemsets {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val big = lit(100000) // slice length bound > any basket size
+
+  /** All ordered (a<b) in-row pairs of a sorted array column. */
+  private[graft] def pairsOf(items: Column): Column =
+    flatten(transform(items, (x, i) =>
+      transform(slice(items, i + 2, big), y =>
+        struct(x.as("i1"), y.as("i2")))))
+
+  /** All ordered (a<b<c) in-row triples of a sorted array column. */
+  private[graft] def triplesOf(items: Column): Column =
+    flatten(transform(items, (x, i) =>
+      flatten(transform(slice(items, i + 2, big), (y, j0) =>
+        transform(slice(items, i + j0 + 3, big), z =>
+          struct(x.as("i1"), y.as("i2"), z.as("i3")))))))
+
+  val frequentItemsets: Q = Q(
+    "q_itemsets",
+    (s, dir) => {
+      val part = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("items"))
+        .persist() // read thrice: n, freq-1, candidate gen
+      val nb = baskets.count()
+      val sup1 = baskets
+        .select(explode(col("items")).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("support"))
+        .persist()
+      // lossless a-priori prunes: members of any ≥1% pair are ≥1%
+      // items; members of any ≥2‰ triple are ≥2‰ items
+      val f1pct = sup1.filter(col("support") * 100 >= nb)
+        .agg(sort_array(collect_set(col("item")))).head().getSeq[String](0)
+      val f2pm = sup1.filter(col("support") * 500 >= nb)
+        .agg(sort_array(collect_set(col("item")))).head().getSeq[String](0)
+      val one = sup1.filter(col("support") * 100 >= nb)
+        .select(lit(1).as("k"), col("item").as("item1"),
+          lit(null).cast("string").as("item2"),
+          lit(null).cast("string").as("item3"), col("support"))
+      val two = baskets
+        .select(explode(pairsOf(array_intersect(col("items"),
+          typedlit(f1pct)))).as("p"))
+        .groupBy(col("p.i1"), col("p.i2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") * 100 >= nb)
+        .select(lit(2).as("k"), col("i1").as("item1"), col("i2").as("item2"),
+          lit(null).cast("string").as("item3"), col("support"))
+      val three = baskets
+        .select(explode(triplesOf(array_intersect(col("items"),
+          typedlit(f2pm)))).as("p"))
+        .groupBy(col("p.i1"), col("p.i2"), col("p.i3"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") * 500 >= nb)
+        .select(lit(3).as("k"), col("i1").as("item1"), col("i2").as("item2"),
+          col("i3").as("item3"), col("support"))
+      one.unionByName(two).unionByName(three)
+        .orderBy(col("k"), col("item1"), col("item2"), col("item3"))
+    },
+    Some("""
+      WITH basket AS (
+        SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      n AS (SELECT count(DISTINCT bid) AS nb FROM basket),
+      s1 AS (SELECT item, count(*) AS support FROM basket GROUP BY item),
+      s2 AS (SELECT b1.item AS item1, b2.item AS item2, count(*) AS support
+             FROM basket b1 JOIN basket b2
+               ON b1.bid = b2.bid AND b1.item < b2.item
+             GROUP BY 1, 2),
+      s3 AS (SELECT b1.item AS item1, b2.item AS item2, b3.item AS item3,
+                    count(*) AS support
+             FROM basket b1
+             JOIN basket b2 ON b1.bid = b2.bid AND b1.item < b2.item
+             JOIN basket b3 ON b1.bid = b3.bid AND b2.item < b3.item
+             GROUP BY 1, 2, 3)
+      SELECT 1 AS k, item AS item1, CAST(NULL AS VARCHAR) AS item2,
+             CAST(NULL AS VARCHAR) AS item3, CAST(support AS BIGINT) AS support
+      FROM s1, n WHERE support * 100 >= nb
+      UNION ALL
+      SELECT 2, item1, item2, CAST(NULL AS VARCHAR), CAST(support AS BIGINT)
+      FROM s2, n WHERE support * 100 >= nb
+      UNION ALL
+      SELECT 3, item1, item2, item3, CAST(support AS BIGINT)
+      FROM s3, n WHERE support * 500 >= nb
+      ORDER BY k, item1, item2, item3"""))
+
+  val all: Seq[Q] = Seq(frequentItemsets)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Itemsets
+
+/** Frequent-itemset mining: in-row candidate generation must equal
+  * the combinatorial definition, the a-priori prune must be lossless,
+  * and the declared query must satisfy downward closure. */
+class ItemsetsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairsOf / triplesOf enumerate exactly the sorted combinations") {
+    val df = Seq(Seq("a", "b", "c", "d")).toDF("items")
+    val pairs = df.select(explode(Itemsets.pairsOf(col("items"))).as("p"))
+      .select(col("p.i1"), col("p.i2")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("a","b"), ("a","c"), ("a","d"),
+      ("b","c"), ("b","d"), ("c","d")))
+    val triples = df.select(explode(Itemsets.triplesOf(col("items"))).as("p"))
+      .select(col("p.i1"), col("p.i2"), col("p.i3")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(triples == Set(("a","b","c"), ("a","b","d"),
+      ("a","c","d"), ("b","c","d")))
+    // degenerate baskets produce nothing, not errors
+    val small = Seq(Seq("x"), Seq.empty[String]).toDF("items")
+    assert(small.select(explode(Itemsets.pairsOf(col("items")))).count() == 0)
+    assert(small.select(explode(Itemsets.triplesOf(col("items")))).count() == 0)
+  }
+
+  test("support counts match a brute-force reference on synthetic baskets") {
+    // 40 baskets over 6 items, deterministic membership rule
+    val baskets: Seq[Seq[String]] = (0 until 40).map { b =>
+      (0 until 6).filter(i => (b * 7 + i * i + b * i) % 3 != 0)
+        .map(i => s"it$i")
+    }
+    val df = baskets.map(Tuple1(_)).toDF("items")
+      .select(sort_array(col("items")).as("items"))
+    val got = df.select(explode(Itemsets.pairsOf(col("items"))).as("p"))
+      .groupBy(col("p.i1"), col("p.i2")).agg(count(lit(1)).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = baskets.flatMap(b => b.sorted.combinations(2).map(c => (c(0), c(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want)
+    val got3 = df.select(explode(Itemsets.triplesOf(col("items"))).as("p"))
+      .groupBy(col("p.i1"), col("p.i2"), col("p.i3")).agg(count(lit(1)).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val want3 = baskets
+      .flatMap(b => b.sorted.combinations(3).map(c => (c(0), c(1), c(2))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got3 == want3)
+  }
+
+  test("declared query: downward closure holds on sf0.001") {
+    val rows = Itemsets.frequentItemsets.fn(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val sup = rows.filter(_.getInt(0) == 1)
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
+    // every frequent pair's support ≤ each member's 1-item support
+    // (members of a ≥1% pair are themselves ≥1%, so present in sup)
+    val pairs = rows.filter(_.getInt(0) == 2)
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val s = r.getLong(4)
+      assert(sup.contains(r.getString(1)) && sup.contains(r.getString(2)),
+        s"a-priori member missing from frequent 1-itemsets: $r")
+      assert(s <= sup(r.getString(1)) && s <= sup(r.getString(2)),
+        s"downward closure violated: $r")
+    }
+  }
+}
