@@ -1,0 +1,225 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Ridge regression, closed form — the classifier-adjacent fitting
+  * primitive a data pipeline runs to learn quality weights or probe
+  * embedding linear structure without an iterative solver.
+  *
+  * Two scale shapes, mirroring the PCA/JL pairing:
+  *
+  *  - [[ridgeDocs]] (`q_ridge`, fully ORACLED): 2 features +
+  *    intercept over documents. The normal-equations moments are nine
+  *    exact BIGINT sums in ONE map-side-combinable aggregate; the 3×3
+  *    system (G+λI)β = c is then solved by Cramer's rule IN THE PLAN,
+  *    with the determinant/adjugate double chains generated from ONE
+  *    Scala string builder that feeds both Spark's `expr()` and the
+  *    DuckDB oracle verbatim — identical parse trees, identical IEEE
+  *    evaluation order, so every rounded coefficient and every
+  *    per-document prediction hash-matches exactly. This is the
+  *    cross-engine-exactness trick the Welch/regression queries use,
+  *    promoted to a full linear solve.
+  *
+  *  - [[ridgeEmbed]] (`q_ridge_embed`, rows-only by contract): all 64
+  *    embedding dimensions + intercept against the integer label. One
+  *    [[graft.functions.GramAgg]] pass over [1e6, q₁…q₆₄, 1e6·y]
+  *    micro-vectors yields exact integer XᵀX, Xᵀy AND yᵀy
+  *    simultaneously ((d+2)(d+3)/2 cells — dimension-bounded, the
+  *    PCA collect); the dense 65×65 solve (Gaussian elimination,
+  *    partial pivoting, fixed instruction order — deterministic)
+  *    runs on the driver where it belongs, and predictions are one
+  *    codegen'd [[graft.functions.DotProduct]] scan. λ penalizes
+  *    slopes, NOT the intercept, which buys the in-query floor:
+  *    ridge's objective at the mean-predictor (slopes 0) upper-bounds
+  *    its own, so SSE(ridge) ≤ SSE(mean) MUST hold — checked from
+  *    the same Gram cells plus one aggregate over the prediction
+  *    scan, alongside a 1e-9 linear-system residual audit. A wrong
+  *    solve, a scrambled cell index, or a degraded fit throws into
+  *    the driver's err column rather than shipping plausible rows.
+  *
+  * 100 TB shape: each variant pays one moment scan + one prediction
+  * scan, zero joins beyond a broadcast of the O(d²)-sized solution.
+  * Overflow envelope (embed): cell sums are Σ(1e6·a)(1e6·b) ≤
+  * n·(1e6·max|x|)·(1e6·y_max) — with unit-scale embeddings and
+  * labels ≤ 9, BIGINT-safe through n ≈ 10⁸ rows; past that,
+  * pre-scale the quantization (ANSI raises rather than corrupts). */
+object Ridge {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- shared Spark∩DuckDB expression text (q_ridge) -----------------
+
+  /** 3×3 determinant text with a FIXED parenthesization — the same
+    * string enters Spark `expr()` and the DuckDB oracle. */
+  private def det3(m: IndexedSeq[IndexedSeq[String]]): String =
+    s"(${m(0)(0)} * (${m(1)(1)} * ${m(2)(2)} - ${m(1)(2)} * ${m(2)(1)})" +
+      s" - ${m(0)(1)} * (${m(1)(0)} * ${m(2)(2)} - ${m(1)(2)} * ${m(2)(0)})" +
+      s" + ${m(0)(2)} * (${m(1)(0)} * ${m(2)(1)} - ${m(1)(1)} * ${m(2)(0)}))"
+
+  private val lam = "1000.0"
+  private val A: IndexedSeq[IndexedSeq[String]] = IndexedSeq(
+    IndexedSeq(s"(cast(n as double) + $lam)", "cast(sx1 as double)", "cast(sx2 as double)"),
+    IndexedSeq("cast(sx1 as double)", s"(cast(s11 as double) + $lam)", "cast(s12 as double)"),
+    IndexedSeq("cast(sx2 as double)", "cast(s12 as double)", s"(cast(s22 as double) + $lam)"))
+  private val cvec = IndexedSeq("cast(sy as double)", "cast(s1y as double)", "cast(s2y as double)")
+
+  /** β_k = det(A with column k replaced by c) / det(A). */
+  private[graft] def betaSql(k: Int): String = {
+    val rep = IndexedSeq.tabulate(3, 3)((i, j) => if (j == k) cvec(i) else A(i)(j))
+    s"(${det3(rep)} / ${det3(A)})"
+  }
+
+  // feature/target text shared verbatim by both engines
+  private val x2Sql = "length(text) - length(replace(text, ' ', ''))"
+  private val ySql = "length(text) - length(replace(text, 'e', ''))"
+
+  val ridgeDocs: Q = Q(
+    "q_ridge",
+    (s, dir) => {
+      val f = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").as("x1"), expr(x2Sql).as("x2"), expr(ySql).as("y"))
+      val m = f.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+      val b = m.select(expr(betaSql(0)).as("b0"), expr(betaSql(1)).as("b1"),
+        expr(betaSql(2)).as("b2"))
+      f.crossJoin(broadcast(b))
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("y"),
+          expr("cast(round(b0 * 1e6) as bigint)").as("b0_micro"),
+          expr("cast(round(b1 * 1e6) as bigint)").as("b1_micro"),
+          expr("cast(round(b2 * 1e6) as bigint)").as("b2_micro"),
+          expr("cast(round((b0 + b1 * cast(x1 as double) + b2 * cast(x2 as double)) * 1e6) as bigint)")
+            .as("pred_micro"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id, n_chars AS x1, $x2Sql AS x2, $ySql AS y
+        FROM documents),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1 * x1) AS BIGINT) AS s11,
+               CAST(sum(x1 * x2) AS BIGINT) AS s12,
+               CAST(sum(x2 * x2) AS BIGINT) AS s22,
+               CAST(sum(x1 * y) AS BIGINT) AS s1y,
+               CAST(sum(x2 * y) AS BIGINT) AS s2y
+        FROM f),
+      b AS (
+        SELECT ${betaSql(0)} AS b0, ${betaSql(1)} AS b1, ${betaSql(2)} AS b2
+        FROM m)
+      SELECT doc_id, y,
+             CAST(round(b0 * 1e6) AS BIGINT) AS b0_micro,
+             CAST(round(b1 * 1e6) AS BIGINT) AS b1_micro,
+             CAST(round(b2 * 1e6) AS BIGINT) AS b2_micro,
+             CAST(round((b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE)) * 1e6) AS BIGINT) AS pred_micro
+      FROM f CROSS JOIN b
+      WHERE doc_id < 100
+      ORDER BY doc_id"""))
+
+  // ---- 64-dim GramAgg ridge (q_ridge_embed) --------------------------
+
+  /** Gaussian elimination with partial pivoting — fixed instruction
+    * order, pure function of its inputs. */
+  private[graft] def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val d = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    var col = 0
+    while (col < d) {
+      var piv = col
+      var r = col + 1
+      while (r < d) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      if (a(piv)(col) == 0.0)
+        throw new IllegalStateException(s"ridge system singular at column $col")
+      if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t
+        val tb = b(piv); b(piv) = b(col); b(col) = tb }
+      r = col + 1
+      while (r < d) {
+        val fct = a(r)(col) / a(col)(col)
+        if (fct != 0.0) {
+          var j = col
+          while (j < d) { a(r)(j) -= fct * a(col)(j); j += 1 }
+          b(r) -= fct * b(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](d)
+    var i = d - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < d) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  val ridgeEmbed: Q = Q(
+    "q_ridge_embed",
+    (s, dir) => {
+      val d = 64; val lambda = 1.0
+      val emb = t(s, dir, "embeddings")
+      val quant = transform(col("embedding").cast("array<double>"),
+        x => round(x * 1000000.0, 0).cast("long"))
+      val aug = concat(array(lit(1000000L)), quant,
+        array(col("label").cast("long") * 1000000L))
+      val cells = emb.select(aug.as("q"))
+        .agg(graft.functions.GramAgg(col("q"), d + 2).as("g"))
+        .select(explode(col("g")).as("c"))
+        .select(col("c.i"), col("c.j"), col("c.n"), col("c.s"))
+        .collect() // (d+2)(d+3)/2 cells — bounded by dimension, not corpus
+      val sM = Array.ofDim[Double](d + 2, d + 2)
+      var n = 0L
+      cells.foreach { r =>
+        val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+        sM(i)(j) = r.getLong(3).toDouble / 1e12; sM(j)(i) = sM(i)(j)
+        n = r.getLong(2)
+      }
+      // A = [1,x]ᵀ[1,x], c = [1,x]ᵀy, both natural units; λ on slopes only
+      val a = Array.tabulate(d + 1, d + 1)((i, j) =>
+        sM(i)(j) + (if (i == j && i > 0) lambda else 0.0))
+      val cv = Array.tabulate(d + 1)(i => sM(i)(d + 1))
+      val beta = solve(a, cv)
+      // audit 1: the solve actually satisfies its own system
+      for (i <- 0 to d) {
+        val lhs = (0 to d).map(j => a(i)(j) * beta(j)).sum
+        val scale = math.max(1.0, math.abs(cv(i)))
+        if (math.abs(lhs - cv(i)) > 1e-9 * scale)
+          throw new IllegalStateException(
+            s"ridge degraded: system residual ${lhs - cv(i)} at row $i")
+      }
+      val slopes = beta.drop(1).toSeq
+      val out = emb.select(col("vec_id"), col("label"),
+          round((lit(beta(0)) + graft.functions.DotProduct(
+            col("embedding").cast("array<double>"), typedLit(slopes)))
+            * 1000000.0, 0).cast("long").as("pred_micro"))
+        .orderBy("vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // audit 2: SSE(ridge) ≤ SSE(mean predictor) — guaranteed because
+      // λ does not penalize the intercept, so the mean predictor is a
+      // feasible point of ridge's own objective
+      val r2 = out.agg(sum(
+        (col("pred_micro").cast("double") / 1e6 - col("label").cast("double")) *
+          (col("pred_micro").cast("double") / 1e6 - col("label").cast("double"))).as("sse"))
+        .head().getDouble(0)
+      val sy = sM(0)(d + 1); val syy = sM(d + 1)(d + 1)
+      val sseMean = syy - sy * sy / n
+      if (r2 > sseMean * (1.0 + 1e-9) + 1e-6)
+        throw new IllegalStateException(
+          s"ridge degraded: SSE $r2 exceeds mean-baseline $sseMean")
+      out
+    },
+    None)
+
+  val all: Seq[Q] = Seq(ridgeDocs, ridgeEmbed)
+}
