@@ -1,0 +1,180 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
+import org.apache.spark.sql.types._
+
+/** Q-digest: a MERGEABLE quantile sketch over a bounded integer
+  * universe [0, 2^L) with a DETERMINISTIC worst-case rank-error
+  * guarantee — the member of the sketch family (HLL = distinct,
+  * CMS/Misra–Gries = frequency, q-digest = rank) whose bound is not
+  * probabilistic. KLL/t-digest trade that for generality; here the
+  * values are integer cents/counts (bounded universe is the common
+  * case for money and token-length columns), so q-digest's hard
+  * guarantee |rank(estimate) − target| ≤ n·L/k is the better
+  * contract: it can ride into a driver-hashed boolean that must
+  * NEVER flip, under any partitioning or merge order.
+  *
+  * Structure (Shrivastava et al., SenSys'04): counts on nodes of the
+  * dyadic tree over the universe (node id 1 = root, children 2i,
+  * 2i+1, leaves at depth L hold exact values). COMPRESS folds any
+  * (node, sibling, parent) triple with combined count < n/k into the
+  * parent — coarser ranges only keep mass that is individually
+  * small, which is where the error bound comes from: a rank query
+  * walks nodes in right-endpoint order and at most L ancestors per
+  * path each contribute < n/k misplaced mass.
+  *
+  * MERGE adds count maps and recompresses — associative in the
+  * bound: any merge tree yields a digest whose size stays O(k·L/...)
+  * ≈ 3k and whose error stays ≤ n·L/k for the COMBINED n. Exact node
+  * contents may differ by merge order (the bound, not the bytes, is
+  * the contract — output columns built from this sketch must be
+  * exact-side values plus bound booleans, the repo's approximate-op
+  * evidence rule).
+  *
+  * Buffer: LongMap(node id → count) + total n; compression runs when
+  * the map outgrows 6k entries and once at eval, keeping state
+  * ≈ 16 B × 3k ≈ 50 KB at k = 1024 — map-side combinable through
+  * ObjectHashAggregate like the repo's other typed aggregates. */
+case class QDigestAgg(
+    child: Expression,
+    universeBits: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QDigestAgg.Buffer] {
+  require(universeBits >= 1 && universeBits <= 40, s"universeBits=$universeBits")
+  require(k >= 16, s"k=$k too small")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "qdigest_agg"
+
+  override def createAggregationBuffer(): QDigestAgg.Buffer =
+    new QDigestAgg.Buffer(mutable.LongMap.empty[Long], 0L)
+
+  override def update(buf: QDigestAgg.Buffer, row: InternalRow): QDigestAgg.Buffer = {
+    val v = child.eval(row)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      require(x >= 0 && x < (1L << universeBits),
+        s"qdigest value $x outside [0, 2^$universeBits)")
+      val leaf = (1L << universeBits) + x
+      buf.nodes(leaf) = buf.nodes.getOrElse(leaf, 0L) + 1L
+      buf.n += 1L
+      if (buf.nodes.size > 6 * k) QDigestAgg.compress(buf, k, universeBits)
+    }
+    buf
+  }
+
+  override def merge(b1: QDigestAgg.Buffer, b2: QDigestAgg.Buffer): QDigestAgg.Buffer = {
+    b2.nodes.foreachEntry((id, c) =>
+      b1.nodes(id) = b1.nodes.getOrElse(id, 0L) + c)
+    b1.n += b2.n
+    if (b1.nodes.size > 6 * k) QDigestAgg.compress(b1, k, universeBits)
+    b1
+  }
+
+  override def eval(buf: QDigestAgg.Buffer): Any = {
+    QDigestAgg.compress(buf, k, universeBits)
+    val entries = buf.nodes.toArray.sortBy(_._1).map { case (id, c) =>
+      new GenericInternalRow(Array[Any](id, c))
+    }
+    new GenericArrayData(entries.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: QDigestAgg.Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16 + 16 * buf.nodes.size)
+    bb.putLong(buf.n)
+    bb.putLong(buf.nodes.size.toLong)
+    buf.nodes.foreachEntry { (id, c) => bb.putLong(id); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QDigestAgg.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getLong()
+    val sz = bb.getLong().toInt
+    val m = mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < sz) { m(bb.getLong()) = bb.getLong(); i += 1 }
+    new QDigestAgg.Buffer(m, n)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QDigestAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QDigestAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+object QDigestAgg {
+
+  final class Buffer(val nodes: mutable.LongMap[Long], var n: Long)
+
+  /** Fold every (node, sibling, parent) triple with combined count
+    * < ⌊n/k⌋ into the parent, bottom-up. */
+  private[functions] def compress(buf: Buffer, k: Int, bits: Int): Unit = {
+    val thr = buf.n / k
+    if (thr <= 1) return // every positive count ≥ 1 survives c < 1; thr 1 folds only empties
+    var depth = bits
+    while (depth >= 1) {
+      val lo = 1L << depth
+      val hi = lo << 1
+      // snapshot this depth's pair anchors before mutating
+      val anchors = buf.nodes.keys
+        .filter(id => id >= lo && id < hi).map(_ & ~1L).toArray.distinct.sorted
+      anchors.foreach { a =>
+        val sib = a | 1L
+        val par = a >>> 1
+        val c = buf.nodes.getOrElse(a, 0L) + buf.nodes.getOrElse(sib, 0L) +
+          buf.nodes.getOrElse(par, 0L)
+        if (c < thr) {
+          buf.nodes.remove(a); buf.nodes.remove(sib)
+          if (c > 0) buf.nodes(par) = c else buf.nodes.remove(par)
+        }
+      }
+      depth -= 1
+    }
+  }
+
+  /** Rank query over a collected digest: walk nodes in ascending
+    * right-endpoint order (narrower range first on ties), accumulate
+    * counts, return the first right endpoint whose cumulative count
+    * reaches `targetRank`. Guarantee: the true rank of the returned
+    * value differs from targetRank by at most n·bits/k. */
+  def quantile(entries: Seq[(Long, Long)], bits: Int, targetRank: Long): Long = {
+    require(entries.nonEmpty, "empty digest")
+    val spans = entries.map { case (id, c) =>
+      val depth = 63 - java.lang.Long.numberOfLeadingZeros(id)
+      val width = 1L << (bits - depth)
+      val left = (id - (1L << depth)) * width
+      (left + width - 1, left, c)
+    }.sortBy { case (r, l, _) => (r, -l) }
+    var cum = 0L
+    spans.foreach { case (r, _, c) =>
+      cum += c
+      if (cum >= targetRank) return r
+    }
+    spans.last._1
+  }
+
+  /** Column-API entry: sketch a long column with values in
+    * [0, 2^universeBits). Output: array<struct<id,cnt>>. */
+  def build(value: Column, universeBits: Int, k: Int): Column =
+    toColumn(new QDigestAgg(toExpression(value), universeBits, k)
+      .toAggregateExpression())
+}

@@ -216,5 +216,79 @@ object Sketches {
       FROM events
       ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(hllMerge, cmsHeavyHitters, bloomPrune, hllRegisters)
+  /** Rank/quantile sketch — the fourth sketch family (HLL = distinct,
+    * CMS/MG = frequency, Bloom = membership, q-digest = rank), via
+    * [[graft.functions.QDigestAgg]]: a mergeable dyadic-tree digest
+    * over integer cents with a DETERMINISTIC worst-case guarantee
+    * |rank(estimate) − target| ≤ n·L/k — not KLL's probabilistic one,
+    * which is what lets the bound ride into a driver-hashed boolean
+    * that can never legitimately flip.
+    *
+    * Shape: ONE sketch aggregate over the fact scan (50 KB state,
+    * map-side combinable), a bounded collect of ≤3k digest entries
+    * (the CMS pattern — sketch bytes leave the cluster, not the
+    * keyspace), then one more scan computing every estimate's TRUE
+    * rank as conditional sums. The exact quantiles (the oracle side)
+    * come from a cumulative window over the DISTINCT-CENTS aggregate —
+    * value-domain-sized, not corpus-sized; a deployment whose value
+    * domain outgrows one task swaps in `Ranks.globalOrder` unchanged.
+    * Rank arithmetic is integer-exact: target = ⌈φ·n/1000⌉ via
+    * (φ·n+999) div 1000, bound check |rank−target|·k ≤ n·L — no
+    * doubles anywhere. */
+  val quantileSketch: Q = Q(
+    "q_quantile_sketch",
+    (s, dir) => {
+      val bits = 24; val k = 1024
+      val phis = Seq(250, 500, 750, 900, 990)
+      val li = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .persist() // sketch pass + exact-cum pass + rank-audit pass
+      val head = li.agg(
+        graft.functions.QDigestAgg.build(col("cents"), bits, k).as("d"),
+        count(lit(1)).as("n")).head()
+      val entries = head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val n = head.getLong(1)
+      val targets = phis.map(p => (p * n + 999) / 1000)
+      val ests = targets.map(tr =>
+        graft.functions.QDigestAgg.quantile(entries, bits, tr))
+      // exact quantiles from the distinct-value cumulative frame
+      val w = org.apache.spark.sql.expressions.Window.orderBy("cents")
+      val cum = li.groupBy("cents").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+      val exact = targets.map(tr =>
+        cum.filter(col("cum") >= tr).agg(min(col("cents"))).head().getLong(0))
+      // true rank of each estimate, all in one scan
+      val rankRow = li.agg(
+        sum(when(col("cents") <= ests.head, 1L).otherwise(0L)).as("r0"),
+        ests.tail.zipWithIndex.map { case (e, i) =>
+          sum(when(col("cents") <= e, 1L).otherwise(0L)).as(s"r${i + 1}") }: _*)
+        .head()
+      val out = phis.indices.map { i =>
+        val trueRank = rankRow.getLong(i)
+        val ok = math.abs(trueRank - targets(i)) * k <= n * bits
+        (phis(i), exact(i), ok)
+      }
+      li.unpersist()
+      s.createDataFrame(out).toDF("phi_permille", "exact_cents", "ok")
+        .orderBy("phi_permille")
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      cum AS (
+        SELECT cents,
+               CAST(sum(count(*)) OVER (ORDER BY cents) AS BIGINT) AS cum
+        FROM v GROUP BY cents),
+      phi AS (SELECT * FROM (VALUES (250), (500), (750), (900), (990)) t(p)),
+      tgt AS (SELECT p, (p * n + 999) // 1000 AS target FROM phi, n)
+      SELECT p AS phi_permille,
+             (SELECT min(cents) FROM cum WHERE cum >= target) AS exact_cents,
+             TRUE AS ok
+      FROM tgt ORDER BY p"""))
+
+  val all: Seq[Q] = Seq(hllMerge, cmsHeavyHitters, bloomPrune, hllRegisters,
+    quantileSketch)
 }

@@ -115,6 +115,66 @@ class SketchesSpec extends SparkSpec {
     assert(est == 0.0)
   }
 
+  // --- q-digest quantile sketch (graft.functions.QDigestAgg) -----------
+
+  import graft.functions.QDigestAgg
+
+  private def exactRank(vals: Seq[Long], x: Long): Long = vals.count(_ <= x).toLong
+
+  test("QDigest: uncompressed digest answers ranks exactly") {
+    val vals = (1L to 100L).map(v => v * 3 % 101)
+    val df = vals.toDF("v")
+    val entries = df.agg(QDigestAgg.build(col("v"), 8, 1024).as("d"))
+      .head().getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1)))
+    // n/k < 1 → no compression → every leaf exact
+    assert(entries.size == vals.distinct.size)
+    for (tr <- Seq(1L, 25L, 50L, 99L)) {
+      val est = QDigestAgg.quantile(entries, 8, tr)
+      assert(exactRank(vals, est) >= tr && exactRank(vals, est - 1) < tr,
+        s"rank $tr → $est is not the exact quantile")
+    }
+  }
+
+  test("QDigest: compressed digest keeps the deterministic rank bound, size stays sketch-sized") {
+    val bits = 16; val k = 64
+    // skewed data: heavy mass at small values + a long uniform tail
+    val vals: Seq[Long] = (0 until 20000).map { i =>
+      if (i % 3 != 0) (i % 7).toLong else (i.toLong * 131) % 60000
+    }
+    val n = vals.size.toLong
+    for (parts <- Seq(1, 7, 32)) { // merge order must not break the bound
+      val df = vals.toDF("v").repartition(parts)
+      val entries = df.agg(QDigestAgg.build(col("v"), bits, k).as("d"))
+        .head().getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1)))
+      assert(entries.map(_._2).sum == n, "digest must conserve total mass")
+      assert(entries.size <= 3 * k + bits,
+        s"digest grew past sketch size: ${entries.size} entries")
+      for (phi <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+        val target = math.ceil(phi * n).toLong
+        val est = QDigestAgg.quantile(entries, bits, target)
+        val err = math.abs(exactRank(vals, est) - target)
+        assert(err * k <= n * bits,
+          s"parts=$parts phi=$phi: rank error $err exceeds n*L/k=${n * bits / k}")
+      }
+    }
+  }
+
+  test("QDigest: values outside the universe fail loudly") {
+    val df = Seq(5L, 300L).toDF("v")
+    val e = intercept[Exception](
+      df.agg(QDigestAgg.build(col("v"), 8, 64)).head())
+    assert(e.getMessage != null)
+  }
+
+  test("declared query: q_quantile_sketch all bound columns true") {
+    val rows = ops.Sketches.quantileSketch.fn(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getAs[Boolean]("ok"), s"bound violated on $r"))
+    // monotone: higher phi → higher (or equal) exact quantile
+    val ex = rows.sortBy(_.getAs[Int]("phi_permille")).map(_.getAs[Long]("exact_cents"))
+    assert(ex.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
   test("declared query: q_hll_registers all envelope columns true") {
     val rows = ops.Sketches.hllRegisters.fn(spark, sf001).collect()
     assert(rows.length == 6) // 5 event types + __ALL__
