@@ -289,6 +289,80 @@ object Sketches {
              TRUE AS ok
       FROM tgt ORDER BY p"""))
 
+  /** HLL SET ALGEBRA over the repo-owned register sketches: pairwise
+    * audience overlap (intersection + Jaccard) between event-type
+    * user cohorts by inclusion–exclusion — |A∩B| ≈ E(A) + E(B) −
+    * E(A∪B), where the pairwise union is the DECLARATIVE register
+    * merge `zip_with(a, b, greatest)` (element-wise max needs no
+    * custom code at the row level; [[graft.functions.HllUnionAgg]]
+    * covers the aggregate direction). This is the question overlap
+    * dashboards actually ask — "how many users did both X and Y" for
+    * every cohort pair — answered from 5 sketch rows instead of
+    * re-shuffling the corpus per pair.
+    *
+    * Error composition is the honest part: three estimates each carry
+    * the published σ = 1.04/√m, so the in-query floor bounds the
+    * intersection error by 3σ·(|A| + |B| + |A∪B|) — exact sides used
+    * for the bound scale to keep the boolean deterministic. Exact
+    * intersection/Jaccard (the oracle side) come from one
+    * distinct-(type,user) self-join; jaccard_permille is integer
+    * division on BIGINT counts, hash-identical by construction. */
+  val hllIntersect: Q = Q(
+    "q_hll_intersect",
+    (s, dir) => {
+      val p = 10
+      val env3 = 3 * graft.functions.HllAgg.stdError(p)
+      val ev = t(s, dir, "events")
+      val du = ev.filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id")).distinct()
+        .persist() // read for per-cohort sketches AND the exact overlap join
+      val sk = du.groupBy("event_type")
+        .agg(graft.functions.HllAgg.build(xxhash64(col("user_id")), p).as("regs"),
+          count(lit(1)).as("exact"))
+      val pairs = sk.select(col("event_type").as("t1"), col("regs").as("ra"),
+          col("exact").as("exact_a"))
+        .join(sk.select(col("event_type").as("t2"), col("regs").as("rb"),
+          col("exact").as("exact_b")), col("t1") < col("t2"))
+      val common = du.select(col("event_type").as("t1"), col("user_id"))
+        .join(du.select(col("event_type").as("t2"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("exact_common"))
+      def est(c: org.apache.spark.sql.Column) =
+        graft.functions.HllAgg.estimate(c, p)
+      pairs.join(broadcast(common), Seq("t1", "t2"))
+        .select(col("t1"), col("t2"), col("exact_a"), col("exact_b"),
+          col("exact_common"),
+          (abs(est(col("ra")) + est(col("rb")) -
+            est(zip_with(col("ra"), col("rb"), (x, y) => greatest(x, y))) -
+            col("exact_common").cast("double")) <=
+            lit(env3) * (col("exact_a") + col("exact_b") +
+              (col("exact_a") + col("exact_b") - col("exact_common"))).cast("double"))
+            .as("ok"))
+        .withColumn("jaccard_permille",
+          expr("1000 * exact_common div (exact_a + exact_b - exact_common)"))
+        .orderBy("t1", "t2")
+    },
+    Some("""
+      WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL),
+      s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM du GROUP BY event_type),
+      c AS (SELECT x.event_type AS t1, y.event_type AS t2,
+                   CAST(count(*) AS BIGINT) AS exact_common
+            FROM du x JOIN du y
+              ON x.user_id = y.user_id AND x.event_type < y.event_type
+            GROUP BY 1, 2)
+      SELECT c.t1, c.t2, sa.n AS exact_a, sb.n AS exact_b, c.exact_common,
+             TRUE AS ok,
+             CAST(1000 * c.exact_common // (sa.n + sb.n - c.exact_common) AS BIGINT)
+               AS jaccard_permille
+      FROM c
+      JOIN s sa ON sa.event_type = c.t1
+      JOIN s sb ON sb.event_type = c.t2
+      ORDER BY c.t1, c.t2"""))
+
   val all: Seq[Q] = Seq(hllMerge, cmsHeavyHitters, bloomPrune, hllRegisters,
-    quantileSketch)
+    quantileSketch, hllIntersect)
 }

@@ -51,6 +51,14 @@ class ItemsetsSpec extends SparkSpec {
     assert(got3 == want3)
   }
 
+  test("incremental maintenance is indistinguishable from the full recompute") {
+    val full = Itemsets.frequentItemsets.fn(spark, sf001).collect().toSeq
+    val inc = Itemsets.itemsetsIncremental.fn(spark, sf001).collect().toSeq
+    assert(full.nonEmpty)
+    assert(inc == full,
+      s"incremental diverged: ${inc.size} rows vs ${full.size}")
+  }
+
   test("declared query: downward closure holds on sf0.001") {
     val rows = Itemsets.frequentItemsets.fn(spark, sf001).collect()
     assert(rows.nonEmpty)
