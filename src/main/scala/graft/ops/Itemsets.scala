@@ -198,5 +198,70 @@ object Itemsets {
     // oracle = the FULL recompute: incremental state must be invisible
     frequentItemsets.oracle)
 
-  val all: Seq[Q] = Seq(frequentItemsets, itemsetsIncremental)
+  /** Sequential-pattern user support — for every ordered type pair
+    * (a, b), how many USERS contain "a then b" as a SUBSEQUENCE of
+    * their event stream (GSP/SPM semantics: any a-occurrence strictly
+    * before any b-occurrence — not the consecutive-bigram occurrence
+    * counts `q_event_transitions` reports).
+    *
+    * The containment test collapses to two order statistics: a user
+    * contains a→b iff first_pos(a) < last_pos(b) (an a before the
+    * final b), which also handles a = b (needs ≥2 occurrences). So
+    * the plan is: one per-user position window (the same
+    * (ts, event_id) total order every sequence query here uses), a
+    * groupBy to |users|×|types| first/last rows, and a user-keyed
+    * self-join whose per-user fan-out is bounded by |types|² ≤ 625 —
+    * corpus-size-independent after the first aggregate, the shape
+    * that survives 100 TB of events. Support thresholds stay exact:
+    * permille = 1000·n_users div total_users, BIGINT both sides. */
+  /** Core of [[seqContains]] over any (user_id, ts, event_id,
+    * event_type) frame — factored so the spec can brute-force-check
+    * subsequence containment on synthetic streams. */
+  private[graft] def seqContainsOf(ev0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = ev0.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pos = ev.withColumn("rn", row_number().over(byUser))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("rn")).as("fp"), max(col("rn")).as("lp"))
+      .persist() // both sides of the user-keyed pair join
+    val nUsers = pos.select(col("user_id")).distinct().count()
+    pos.select(col("user_id"), col("event_type").as("g1"), col("fp"))
+      .join(pos.select(col("user_id"), col("event_type").as("g2"), col("lp")),
+        Seq("user_id"))
+      .filter(col("fp") < col("lp"))
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("support_permille",
+        expr(s"1000 * n_users div ${nUsers}L"))
+      .orderBy("g1", "g2")
+  }
+
+  val seqContains: Q = Q(
+    "q_seq_contains",
+    (s, dir) => seqContainsOf(t(s, dir, "events")),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events WHERE user_id IS NOT NULL),
+      pos AS (
+        SELECT user_id, event_type,
+               CAST(min(rn) AS BIGINT) AS fp, CAST(max(rn) AS BIGINT) AS lp
+        FROM ev GROUP BY user_id, event_type),
+      n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM pos)
+      SELECT a.event_type AS g1, b.event_type AS g2,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(1000 * count(*) // max(nu) AS BIGINT) AS support_permille
+      FROM pos a
+      JOIN pos b ON a.user_id = b.user_id
+      CROSS JOIN n
+      WHERE a.fp < b.lp
+      GROUP BY a.event_type, b.event_type
+      ORDER BY g1, g2"""))
+
+  val all: Seq[Q] = Seq(frequentItemsets, itemsetsIncremental, seqContains)
 }

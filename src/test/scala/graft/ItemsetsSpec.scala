@@ -59,6 +59,33 @@ class ItemsetsSpec extends SparkSpec {
       s"incremental diverged: ${inc.size} rows vs ${full.size}")
   }
 
+  test("seq_contains matches brute-force subsequence containment") {
+    // 30 users with deterministic pseudo-random streams over 4 types
+    val types = Array("a", "b", "c", "d")
+    val streams: Map[Long, Seq[String]] = (0L until 30L).map { u =>
+      u -> (0 until ((u % 6) + 1).toInt)
+        .map(i => types(((u * 13 + i * 7 + i * i) % 4).toInt))
+    }.toMap
+    val rows = streams.toSeq.flatMap { case (u, evs) =>
+      evs.zipWithIndex.map { case (ty, i) =>
+        (u, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+          u * 100 + i, ty)
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = Itemsets.seqContainsOf(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // brute force: user contains a→b iff some a strictly precedes some b
+    val want = (for {
+      g1 <- types; g2 <- types
+      n = streams.values.count(sq =>
+        sq.zipWithIndex.exists { case (x, i) =>
+          x == g1 && sq.drop(i + 1).contains(g2) })
+      if n > 0
+    } yield (g1, g2) -> n.toLong).toMap
+    assert(got == want)
+  }
+
   test("declared query: downward closure holds on sf0.001") {
     val rows = Itemsets.frequentItemsets.fn(spark, sf001).collect()
     assert(rows.nonEmpty)
