@@ -221,5 +221,96 @@ object Ridge {
     },
     None)
 
-  val all: Seq[Q] = Seq(ridgeDocs, ridgeEmbed)
+  /** SPLIT-CONFORMAL prediction intervals on top of the ridge fit —
+    * the distribution-free uncertainty wrapper a scoring pipeline
+    * puts around any point predictor: train on fold 0, take the
+    * ⌈(n₂+1)(1−α)⌉-th smallest absolute residual on calibration
+    * fold 1 as the radius q̂, and measure realized coverage on test
+    * fold 2 (α = 0.1). The marginal guarantee E[coverage] ≥ 1−α is a
+    * theorem; the REALIZED coverage on a fixed dataset is just a
+    * number — so nothing here is a bound-boolean: every output
+    * (n_cal, q̂, covered count, coverage permille) is exact and rides
+    * the driver hash directly.
+    *
+    * Cross-engine exactness is [[ridgeDocs]]'s shared-string recipe
+    * end to end: the SAME Cramer beta text over fold-0 moments, the
+    * SAME residual text, and q̂ as an order statistic of doubles both
+    * engines computed identically (k-th smallest is value-determined
+    * even when equal scores permute). Spark takes it via
+    * orderBy+limit(k) — TakeOrderedAndProject, the distributed top-k
+    * that never materializes a global sort — and re-enters it as a
+    * literal; the fold split is doc_id % 3, deterministic and
+    * engine-shared. One moment scan + one scored scan + one top-k:
+    * the 100 TB shape. */
+  val conformal: Q = Q(
+    "q_conformal",
+    (s, dir) => {
+      val scoreSql =
+        "abs(cast(y as double) - (b0 + b1 * cast(x1 as double) + b2 * cast(x2 as double)))"
+      val f = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").as("x1"), expr(x2Sql).as("x2"), expr(ySql).as("y"),
+        (col("doc_id") % 3).as("bucket"))
+      val m = f.filter(col("bucket") === 0).agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+      val b = m.select(expr(betaSql(0)).as("b0"), expr(betaSql(1)).as("b1"),
+        expr(betaSql(2)).as("b2"))
+      val scored = f.crossJoin(broadcast(b))
+        .select(col("doc_id"), col("bucket"), expr(scoreSql).as("score"))
+        .persist()
+      val nCal = scored.filter(col("bucket") === 1).count()
+      val k = ((nCal + 1) * 9 + 9) / 10 // ⌈(n₂+1)·0.9⌉
+      val qhat = scored.filter(col("bucket") === 1)
+        .orderBy(col("score")).limit(k.toInt)
+        .agg(max(col("score"))).head().getDouble(0)
+      scored.filter(col("bucket") === 2)
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("score") <= qhat, 1L).otherwise(0L)).as("n_covered"))
+        .select(lit(nCal).as("n_cal"),
+          lit(math.round(qhat * 1e6)).as("qhat_micro"),
+          col("n_test"), col("n_covered"),
+          expr("1000 * n_covered div n_test").as("coverage_permille"))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id, n_chars AS x1, $x2Sql AS x2, $ySql AS y,
+               doc_id % 3 AS bucket
+        FROM documents),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1 * x1) AS BIGINT) AS s11,
+               CAST(sum(x1 * x2) AS BIGINT) AS s12,
+               CAST(sum(x2 * x2) AS BIGINT) AS s22,
+               CAST(sum(x1 * y) AS BIGINT) AS s1y,
+               CAST(sum(x2 * y) AS BIGINT) AS s2y
+        FROM f WHERE bucket = 0),
+      b AS (
+        SELECT ${betaSql(0)} AS b0, ${betaSql(1)} AS b1, ${betaSql(2)} AS b2
+        FROM m),
+      scored AS (
+        SELECT doc_id, bucket,
+               abs(cast(y as double) - (b0 + b1 * cast(x1 as double) + b2 * cast(x2 as double))) AS score
+        FROM f CROSS JOIN b),
+      cal AS (SELECT score FROM scored WHERE bucket = 1),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+                    ((CAST(count(*) AS BIGINT) + 1) * 9 + 9) // 10 AS k
+             FROM cal),
+      q AS (SELECT min(score) AS qhat FROM (
+              SELECT score, row_number() OVER (ORDER BY score) AS rn FROM cal)
+            WHERE rn = (SELECT k FROM kk))
+      SELECT kk.n_cal,
+             CAST(round(qhat * 1e6) AS BIGINT) AS qhat_micro,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN score <= qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             CAST(1000 * sum(CASE WHEN score <= qhat THEN 1 ELSE 0 END)
+                  // count(*) AS BIGINT) AS coverage_permille
+      FROM scored CROSS JOIN q CROSS JOIN kk
+      WHERE bucket = 2
+      GROUP BY kk.n_cal, q.qhat"""))
+
+  val all: Seq[Q] = Seq(ridgeDocs, ridgeEmbed, conformal)
 }

@@ -69,6 +69,20 @@ class RidgeSpec extends SparkSpec {
     assert(sse < 0.5 * sseMean, s"fit too weak: SSE $sse vs baseline $sseMean")
   }
 
+  test("q_conformal: realized coverage sits near the 1-alpha target") {
+    val r = Ridge.conformal.fn(spark, sf001).head()
+    val nCal = r.getAs[Long]("n_cal")
+    val qhat = r.getAs[Long]("qhat_micro")
+    val nTest = r.getAs[Long]("n_test")
+    val cov = r.getAs[Long]("coverage_permille")
+    assert(nCal > 100 && nTest > 100, "folds must be populated")
+    assert(qhat > 0, "zero-width interval means a degenerate residual set")
+    // marginal guarantee is >= 900 in expectation; realized coverage
+    // on a fixed dataset fluctuates — a collapse below 850 or a
+    // vacuous 1000 both indicate a broken quantile
+    assert(cov >= 850 && cov < 1000, s"coverage $cov out of the sane band")
+  }
+
   test("q_ridge_embed: audits pass, output deterministic, SSE beats baseline") {
     val a = Ridge.ridgeEmbed.fn(spark, sf001).collect()
     val b = Ridge.ridgeEmbed.fn(spark, sf001).collect()
