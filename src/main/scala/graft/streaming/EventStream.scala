@@ -1177,8 +1177,114 @@ object EventStream {
     },
     None)
 
+  /** STREAMING QUANTILES: the q-digest sketch
+    * ([[graft.functions.QDigestAgg]]) as the state of a streaming
+    * per-type aggregation — live latency/value percentiles, the
+    * dashboard query a 100 TB event firehose actually needs. The
+    * typed imperative aggregate rides the normal streaming-agg state
+    * store (its buffer serializes like any partial aggregate), so the
+    * running digest absorbs each micro-batch without reprocessing
+    * history — the streaming expression of the sketch's mergeability.
+    *
+    * Evidence follows the sketch contract: the digest's deterministic
+    * bound |rank(est) − target| ≤ n·L/k is checked BATCH-side against
+    * exact per-type quantiles from the staged table, and only exact
+    * values + bound booleans reach the driver hash (sketch bytes are
+    * merge-order-dependent; the bound is not). Complete output mode:
+    * AvailableNow drains a finite backlog and the result is
+    * |types| rows of sketch state. */
+  val streamQuantile: Q = Q(
+    "q_stream_quantile",
+    (s, dir) => {
+      val bits = 17; val k = 512
+      val phis = Seq(500, 900)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val stage = stagePath(s, "graft_stream_quant")
+      // 4 files + maxFilesPerTrigger(1): the digest state MUST absorb
+      // several micro-batches, not swallow the backlog in one
+      ev.repartition(4).write.mode("overwrite").parquet(stage)
+      val local = narrowedSession(s, 4)
+      val stream = local.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val sink = "graft_stream_quantile"
+      val sq = stream.groupBy("event_type")
+        .agg(graft.functions.QDigestAgg.build(col("cents"), bits, k).as("d"),
+          count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val dataBatches = sq.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 3,
+        s"streaming-quantile replay degenerated to $dataBatches data micro-batches")
+      // |types| sketch rows leave the stream; everything below is
+      // driver math on sketch bytes + one exact batch pass
+      val sketches = local.table(sink).collect().map { r =>
+        val entries = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getLong(0), e.getLong(1)))
+        (r.getString(0), entries, r.getLong(2))
+      }.sortBy(_._1)
+      val est = for {
+        (ty, entries, n) <- sketches; p <- phis
+      } yield {
+        val target = (p * n + 999) / 1000
+        (ty, p, target, n,
+          graft.functions.QDigestAgg.quantile(entries, bits, target))
+      }
+      // exact per-type quantiles from the distinct-value cum frame
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("cents")
+      val cum = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+      val tgt = s.createDataFrame(
+          est.map { case (ty, p, target, _, _) => (ty, p, target) }.toSeq)
+        .toDF("event_type", "phi_permille", "target")
+      val exact = cum.join(broadcast(tgt), Seq("event_type"))
+        .filter(col("cum") >= col("target"))
+        .groupBy("event_type", "phi_permille")
+        .agg(min(col("cents")).as("exact_cents"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // true rank of every estimate in ONE scan of the staged table
+      val rankCols = est.zipWithIndex.map { case ((ty, _, _, _, e), i) =>
+        sum(when(col("event_type") === ty && col("cents") <= e, 1L)
+          .otherwise(0L)).as(s"r$i")
+      }
+      val ranks = ev.agg(rankCols.head, rankCols.tail: _*).head()
+      val out = est.zipWithIndex.map { case ((ty, p, target, n, _), i) =>
+        val ok = math.abs(ranks.getLong(i) - target) * k <= n * bits
+        (ty, p, exact((ty, p)), ok)
+      }
+      s.createDataFrame(out.toSeq)
+        .toDF("event_type", "phi_permille", "exact_cents", "ok")
+        .orderBy("event_type", "phi_permille")
+    },
+    Some("""
+      WITH v AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM v GROUP BY event_type),
+      cum AS (
+        SELECT event_type, cents,
+               CAST(sum(count(*)) OVER (PARTITION BY event_type
+                 ORDER BY cents) AS BIGINT) AS cum
+        FROM v GROUP BY event_type, cents),
+      phi AS (SELECT * FROM (VALUES (500), (900)) t(p)),
+      tgt AS (SELECT event_type, p, (p * n + 999) // 1000 AS target
+              FROM n CROSS JOIN phi)
+      SELECT t.event_type, t.p AS phi_permille,
+             (SELECT min(cents) FROM cum c
+              WHERE c.event_type = t.event_type AND c.cum >= t.target)
+               AS exact_cents,
+             TRUE AS ok
+      FROM tgt t ORDER BY event_type, phi_permille"""))
+
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
     streamJoinOuter, streamJoinFull, streamState, streamTimeoutSessions, streamFunnel,
     streamMerge, streamQuarantine, streamNtz, streamEnrich, streamLate,
-    streamHeavyHitters, streamRestPager)
+    streamHeavyHitters, streamRestPager, streamQuantile)
 }
