@@ -883,6 +883,89 @@ object Classifier {
       GROUP BY ((rank - 1) * 10) // n, pos
       ORDER BY decile"""))
 
+  /** ISOTONIC REGRESSION (exact, fully oracled) — the monotone
+    * calibration curve P(purchase | value-level) fitted by PAVA's
+    * CLOSED FORM: fitted(i) = max_{j≤i} min_{k≥i} avg(y[j..k]), the
+    * minimax characterization of the isotonic L2 projection. The
+    * sequential pool-adjacent-violators loop everyone implements is
+    * NOT needed: over a BOUNDED score domain (m = 32 value-levels)
+    * the minimax evaluates as two grouped min/max passes over the
+    * m³ ≤ 32k (i, j, k) triples — a shape BOTH engines state
+    * declaratively, which is what makes exact isotonic regression
+    * hash-oracleable at all. (ClassifierSpec pins minimax ≡ the
+    * textbook PAVA pooling loop on randomized cases.)
+    *
+    * Scale shape: ONE corpus scan aggregates to the m-row level
+    * frame; every window/join after that is level-domain-sized
+    * (m² intervals, m³ triples — constants, not data). Interval
+    * means are single IEEE divisions of exact BIGINT prefix-sum
+    * differences (denominator ≥ 1 by construction: every interval
+    * contains its own level's rows), min/max over engine-identical
+    * doubles, rounded once to micro. A 100 TB calibration set pays
+    * the one scan. */
+  /** Minimax isotonic fit over a (level, n, n_pos) frame — factored
+    * so the spec can pin it against the textbook PAVA pooling loop on
+    * randomized level frames. */
+  private[graft] def isotonicFit(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = g
+      .withColumn("cn", sum(col("n")).over(Window.orderBy("level")))
+      .withColumn("cpos", sum(col("n_pos")).over(Window.orderBy("level")))
+      .persist() // level-domain frame: interval ends + probe side
+    val ivl = p.select(col("level").as("j"),
+        (col("cn") - col("n")).as("cn0"), (col("cpos") - col("n_pos")).as("cpos0"))
+      .join(p.select(col("level").as("k"), col("cn").as("cnk"),
+        col("cpos").as("cposk")), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cposk") - col("cpos0")).cast("double") /
+          (col("cnk") - col("cn0")).cast("double")).as("avg"))
+    val fitted = p.select(col("level").as("i"))
+      .join(ivl, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min(col("avg")).as("minavg"))
+      .groupBy("i").agg(max(col("minavg")).as("fitted"))
+    g.join(fitted, col("level") === col("i"))
+      .select(col("level"), col("n"), col("n_pos"),
+        round(col("fitted") * 1e6, 0).cast("long").as("fitted_micro"))
+      .orderBy("level")
+  }
+
+  val isotonic: Q = Q(
+    "q_isotonic",
+    (s, dir) => isotonicFit(
+      t(s, dir, "events")
+        .select(least(lit(31L), floor(col("value") / 20).cast("long")).as("level"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))),
+    Some("""
+      WITH scored AS (
+        SELECT least(31, CAST(floor(value / 20) AS BIGINT)) AS level,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events),
+      g AS (
+        SELECT level, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM scored GROUP BY level),
+      p AS (
+        SELECT level, n, n_pos,
+               CAST(sum(n) OVER (ORDER BY level) AS BIGINT) AS cn,
+               CAST(sum(n_pos) OVER (ORDER BY level) AS BIGINT) AS cpos
+        FROM g),
+      ivl AS (
+        SELECT pj.level AS j, pk.level AS k,
+               CAST(pk.cpos - (pj.cpos - pj.n_pos) AS DOUBLE) /
+                 CAST(pk.cn - (pj.cn - pj.n) AS DOUBLE) AS avg
+        FROM p pj JOIN p pk ON pj.level <= pk.level),
+      mn AS (
+        SELECT i.level AS level, ivl.j, min(ivl.avg) AS minavg
+        FROM p i JOIN ivl ON ivl.j <= i.level AND ivl.k >= i.level
+        GROUP BY i.level, ivl.j),
+      ff AS (SELECT level, max(minavg) AS fitted FROM mn GROUP BY level)
+      SELECT g.level, g.n, g.n_pos,
+             CAST(round(fitted * 1e6) AS BIGINT) AS fitted_micro
+      FROM g JOIN ff ON g.level = ff.level
+      ORDER BY g.level"""))
+
   val all: Seq[Q] = Seq(qualityStump, evalMetrics, rocAuc, calibration,
-    cohensKappa, logregTrain, miFeatures, nbTrain, liftCurve)
+    cohensKappa, logregTrain, miFeatures, nbTrain, liftCurve, isotonic)
 }

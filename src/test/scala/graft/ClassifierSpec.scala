@@ -289,4 +289,58 @@ class ClassifierSpec extends SparkSpec {
     assert(captures.zip(captures.tail).forall { case (a, b) => a <= b })
     assert(captures.last == 1000L, s"final capture ${captures.last}")
   }
+
+  // --- isotonic regression (minimax closed form) ------------------------
+
+  /** Textbook PAVA pooling loop — the independent reference. */
+  private def pavaRef(blocks: Seq[(Long, Long)]): Seq[Double] = {
+    // each pooled block: (n, pos)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    blocks.foreach { case (n, pos) =>
+      var cur = (n, pos, 1)
+      while (stack.nonEmpty && {
+        val (pn, pp, _) = stack.last
+        pp.toDouble / pn >= cur._2.toDouble / cur._1
+      }) {
+        val (pn, pp, pc) = stack.remove(stack.size - 1)
+        cur = (pn + cur._1, pp + cur._2, pc + cur._3)
+      }
+      stack += cur
+    }
+    stack.flatMap { case (n, pos, c) =>
+      Seq.fill(c)(pos.toDouble / n)
+    }.toSeq
+  }
+
+  test("minimax isotonic fit equals the PAVA pooling loop on randomized cases") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val m = 6 + rnd.nextInt(10)
+      val blocks = (0 until m).map { _ =>
+        val n = 1L + rnd.nextInt(50)
+        (n, rnd.nextInt(n.toInt + 1).toLong)
+      }
+      val g = blocks.zipWithIndex
+        .map { case ((n, pos), i) => (i.toLong, n, pos) }
+        .toDF("level", "n", "n_pos")
+      val got = Classifier.isotonicFit(g).collect()
+        .sortBy(_.getLong(0)).map(_.getLong(3))
+      val want = pavaRef(blocks).map(v => math.round(v * 1e6))
+      assert(got.toSeq == want.toSeq,
+        s"seed $seed: minimax ${got.toSeq} != PAVA ${want.toSeq}")
+    }
+  }
+
+  test("q_isotonic: monotone fit that preserves total mass") {
+    val rows = Classifier.isotonic.fn(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val fit = rows.map(_.getLong(3))
+    assert(fit.zip(fit.tail).forall { case (a, b) => a <= b }, "fit not monotone")
+    // isotonic projection preserves the grand mean over its blocks
+    val totPos = rows.map(_.getLong(2)).sum.toDouble
+    val totFit = rows.map(r => r.getLong(3) / 1e6 * r.getLong(1)).sum
+    assert(math.abs(totFit - totPos) < 1e-3 * totPos + 1.0,
+      s"mass not preserved: $totFit vs $totPos")
+  }
 }
