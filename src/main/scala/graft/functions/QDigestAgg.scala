@@ -73,7 +73,7 @@ case class QDigestAgg(
       val leaf = (1L << universeBits) + x
       buf.nodes(leaf) = buf.nodes.getOrElse(leaf, 0L) + 1L
       buf.n += 1L
-      if (buf.nodes.size > 6 * k) QDigestAgg.compress(buf, k, universeBits)
+      maybeCompress(buf)
     }
     buf
   }
@@ -82,9 +82,24 @@ case class QDigestAgg(
     b2.nodes.foreachEntry((id, c) =>
       b1.nodes(id) = b1.nodes.getOrElse(id, 0L) + c)
     b1.n += b2.n
-    if (b1.nodes.size > 6 * k) QDigestAgg.compress(b1, k, universeBits)
+    maybeCompress(b1)
     b1
   }
+
+  /** Amortized compaction: a compress pass scans every node × every
+    * depth, so invoking it per row once the map passes a fixed size
+    * is quadratic EXACTLY when thresholds are too small to fold
+    * anything (early in a partition, n/k < 2). Instead the next
+    * attempt is scheduled at double the size a failed pass left
+    * behind — total compress work stays O(size) amortized, and the
+    * map is still driven back toward 3k whenever mass makes folding
+    * possible. */
+  private def maybeCompress(buf: QDigestAgg.Buffer): Unit =
+    if (buf.nodes.size > 6 * k && buf.nodes.size >= buf.nextCompactAt) {
+      QDigestAgg.compress(buf, k, universeBits)
+      buf.nextCompactAt =
+        if (buf.nodes.size > 3 * k) buf.nodes.size.toLong * 2 else 0L
+    }
 
   override def eval(buf: QDigestAgg.Buffer): Any = {
     QDigestAgg.compress(buf, k, universeBits)
@@ -123,31 +138,49 @@ case class QDigestAgg(
 
 object QDigestAgg {
 
-  final class Buffer(val nodes: mutable.LongMap[Long], var n: Long)
+  /** `nextCompactAt` is transient scheduling state (not serialized):
+    * the map size at which the next compress attempt is worthwhile —
+    * see `maybeCompress`. */
+  final class Buffer(val nodes: mutable.LongMap[Long], var n: Long,
+      var nextCompactAt: Long = 0L)
 
   /** Fold every (node, sibling, parent) triple with combined count
-    * < ⌊n/k⌋ into the parent, bottom-up. */
+    * < ⌊n/k⌋ into the parent, bottom-up.
+    *
+    * One pass = sort the live ids DESCENDING and sweep once: ids sort
+    * deeper-first (parent = id >> 1 < id), so each node sees its
+    * subtree already folded — except parents freshly CREATED during
+    * the same sweep, which the fixpoint loop picks up on the next
+    * pass (rarely more than 2-3 passes; bounded by tree depth). This
+    * replaced a per-depth `keys.filter.map.distinct.sorted` scan that
+    * re-walked and re-allocated the whole key set `bits` times per
+    * compress call — the dominant cost of sketching a
+    * mostly-distinct 583k-value column. */
   private[functions] def compress(buf: Buffer, k: Int, bits: Int): Unit = {
     val thr = buf.n / k
     if (thr <= 1) return // every positive count ≥ 1 survives c < 1; thr 1 folds only empties
-    var depth = bits
-    while (depth >= 1) {
-      val lo = 1L << depth
-      val hi = lo << 1
-      // snapshot this depth's pair anchors before mutating
-      val anchors = buf.nodes.keys
-        .filter(id => id >= lo && id < hi).map(_ & ~1L).toArray.distinct.sorted
-      anchors.foreach { a =>
-        val sib = a | 1L
-        val par = a >>> 1
-        val c = buf.nodes.getOrElse(a, 0L) + buf.nodes.getOrElse(sib, 0L) +
-          buf.nodes.getOrElse(par, 0L)
-        if (c < thr) {
-          buf.nodes.remove(a); buf.nodes.remove(sib)
-          if (c > 0) buf.nodes(par) = c else buf.nodes.remove(par)
+    var folded = true
+    while (folded) {
+      folded = false
+      val ids = buf.nodes.keys.toArray
+      java.util.Arrays.sort(ids)
+      var i = ids.length - 1
+      while (i >= 0) {
+        val id = ids(i)
+        if (id > 1 && buf.nodes.contains(id)) {
+          val a = id & ~1L
+          val sib = a | 1L
+          val par = a >>> 1
+          val c = buf.nodes.getOrElse(a, 0L) + buf.nodes.getOrElse(sib, 0L) +
+            buf.nodes.getOrElse(par, 0L)
+          if (c < thr) {
+            buf.nodes.remove(a); buf.nodes.remove(sib)
+            if (c > 0) buf.nodes(par) = c else buf.nodes.remove(par)
+            folded = true
+          }
         }
+        i -= 1
       }
-      depth -= 1
     }
   }
 

@@ -1,0 +1,423 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Robust/nonparametric series statistics over the daily event
+  * aggregate — the estimators a metrics pipeline reaches for when OLS
+  * and Pearson are too outlier-fragile: Theil–Sen slope, Kendall τ-b,
+  * and Kaplan–Meier survival.
+  *
+  * Shared scale shape: ONE corpus scan collapses events to the
+  * day-domain (or user-domain) frame; every pairwise construction
+  * after that is over the AGGREGATE (≤ C(30,2) = 435 day pairs,
+  * user-count lifetimes), so the O(n²) the textbooks warn about is
+  * O(domain²), constant in corpus size. Order statistics are taken by
+  * row_number over engine-identical doubles (each produced by ONE
+  * IEEE division of exact BIGINT sums — the repo's standard
+  * cross-engine contract), so every median/rank selection is
+  * value-determined even when equal values permute. */
+object Robust {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Daily (day-index, revenue-cents, event-count) frame. */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+        count(lit(1)).as("n_ev"))
+      .select(
+        datediff(col("day"), lit(java.sql.Date.valueOf("2024-01-01")))
+          .cast("long").as("d"),
+        col("cents"), col("n_ev"))
+
+  /** THEIL–SEN estimator: slope = median of all C(nd,2) pairwise
+    * slopes, intercept = median of per-day residuals at that slope —
+    * the regression line a single crazy day cannot move. Median via
+    * the two-position trick (positions ⌈P/2⌉ and ⌊P/2⌋+1 coincide for
+    * odd P), averaged — identical selection on both engines. */
+  val theilSen: Q = Q(
+    "q_theil_sen",
+    (s, dir) => {
+      val dd = daily(s, dir).persist()
+      val nd = dd.count()
+      val pn = nd * (nd - 1) / 2
+      val slopes = dd.select(col("d").as("da"), col("cents").as("ca"))
+        .join(dd.select(col("d").as("db"), col("cents").as("cb")),
+          col("da") < col("db"))
+        .select(((col("cb") - col("ca")).cast("double") /
+          (col("db") - col("da")).cast("double")).as("slope"))
+      val ranked = slopes.withColumn("rn",
+        row_number().over(Window.orderBy("slope")))
+      val p1 = (pn + 1) / 2; val p2 = pn / 2 + 1
+      val slope = ranked.filter(col("rn") === p1 || col("rn") === p2)
+        .agg(avg(col("slope"))).head().getDouble(0)
+      val res = dd.select((col("cents").cast("double") -
+          lit(slope) * col("d").cast("double")).as("res"))
+        .withColumn("rn", row_number().over(Window.orderBy("res")))
+      val q1 = (nd + 1) / 2; val q2 = nd / 2 + 1
+      val icept = res.filter(col("rn") === q1 || col("rn") === q2)
+        .agg(avg(col("res"))).head().getDouble(0)
+      s.createDataFrame(Seq((nd, pn,
+          math.round(slope * 1e6), math.round(icept * 1e6))))
+        .toDF("n_days", "n_pairs", "slope_micro", "icept_micro")
+    },
+    Some("""
+      WITH dd AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                   CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS pn
+            FROM dd),
+      sl AS (
+        SELECT CAST(b.cents - a.cents AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM dd a JOIN dd b ON a.d < b.d),
+      r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM sl),
+      med AS (SELECT avg(slope) AS slope FROM r, n
+              WHERE rn = (pn + 1) // 2 OR rn = pn // 2 + 1),
+      res AS (SELECT CAST(cents AS DOUBLE) - med.slope * CAST(d AS DOUBLE) AS res
+              FROM dd, med),
+      rr AS (SELECT res, row_number() OVER (ORDER BY res) AS rn FROM res),
+      icept AS (SELECT avg(res) AS icept FROM rr, n
+                WHERE rn = (nd + 1) // 2 OR rn = nd // 2 + 1)
+      SELECT nd AS n_days, pn AS n_pairs,
+             CAST(round(med.slope * 1e6) AS BIGINT) AS slope_micro,
+             CAST(round(icept.icept * 1e6) AS BIGINT) AS icept_micro
+      FROM n, med, icept"""))
+
+  /** KENDALL τ-b between daily revenue and daily event count —
+    * rank correlation with tie correction, every count an exact
+    * BIGINT over the day-pair domain; only the final normalization
+    * touches doubles (one shared expression text). */
+  val kendall: Q = Q(
+    "q_kendall",
+    (s, dir) => {
+      val dd = daily(s, dir).persist()
+      val pairs = dd.select(col("d").as("da"), col("cents").as("xa"), col("n_ev").as("ya"))
+        .join(dd.select(col("d").as("db"), col("cents").as("xb"), col("n_ev").as("yb")),
+          col("da") < col("db"))
+      pairs.agg(
+          count(lit(1)).as("n0"),
+          sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+            (col("xa") > col("xb") && col("ya") > col("yb")), 1L).otherwise(0L)).as("nc"),
+          sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+            (col("xa") > col("xb") && col("ya") < col("yb")), 1L).otherwise(0L)).as("nd"),
+          sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+        .select(col("n0"), col("nc"), col("nd"), col("tx"), col("ty"),
+          expr("""cast(round(1000.0 * (nc - nd) /
+            sqrt(cast((n0 - tx) as double) * cast((n0 - ty) as double))) as bigint)""")
+            .as("tau_milli"))
+    },
+    Some("""
+      WITH dd AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+      p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+            FROM dd a JOIN dd b ON a.d < b.d)
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+             CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+             cast(round(1000.0 * (sum(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END)
+                                  - sum(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END)) /
+               sqrt(cast((count(*) - sum(CASE WHEN xa = xb THEN 1 ELSE 0 END)) as double) *
+                    cast((count(*) - sum(CASE WHEN ya = yb THEN 1 ELSE 0 END)) as double))) as bigint) AS tau_milli
+      FROM p"""))
+
+  /** KAPLAN–MEIER survival over user lifetimes (days between first
+    * and last event). A user whose last activity touches the table
+    * horizon is right-CENSORED (still alive when observation ended) —
+    * they leave the risk set without a death. Survival steps are
+    * exp(Σ ln((r−d)/r)) over the ordered event-time window: one IEEE
+    * ln of an exact BIGINT rational per step, the established
+    * both-engines contract; the d = r extinction step short-circuits
+    * to 0 via a windowed flag because Spark's log(0) is NULL while
+    * DuckDB's is -inf — the one divergence the guard removes. */
+  val kaplanMeier: Q = Q(
+    "q_kaplan_meier",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val users = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          max(to_date(col("ts"))).as("last_day"))
+      val horizon = users.agg(max(col("last_day"))).head().getDate(0)
+      val lifeFrame = users.select(
+          datediff(col("last_day"), col("first_day")).cast("long").as("life"),
+          when(col("last_day") === lit(horizon), 0L).otherwise(1L).as("death"))
+        .groupBy("life")
+        .agg(count(lit(1)).as("n_at"), sum(col("death")).as("d"))
+        .persist()
+      val total = lifeFrame.agg(sum(col("n_at"))).head().getLong(0)
+      val w = Window.orderBy("life")
+      val cumBefore = coalesce(
+        sum(col("n_at")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      val steps = lifeFrame
+        .withColumn("r", lit(total) - cumBefore)
+        .filter(col("d") > 0) // KM steps only at death times
+      val cw = Window.orderBy("life").rowsBetween(Window.unboundedPreceding, 0)
+      // the d = r term would be ln(0): Spark log → NULL, DuckDB ln →
+      // error — guard it to 0 on BOTH engines; the extinct flag
+      // forces the survival value itself
+      val lnTerm = when(col("d") === col("r"), lit(0.0))
+        .otherwise(log((col("r") - col("d")).cast("double") /
+          col("r").cast("double")))
+      steps
+        .withColumn("extinct", max(when(col("d") === col("r"), 1L).otherwise(0L)).over(cw))
+        .withColumn("surv_micro",
+          when(col("extinct") === 1, 0L).otherwise(
+            round(exp(sum(lnTerm).over(cw)) * 1e6, 0).cast("long")))
+        .select(col("life"), col("d"), col("r"), col("surv_micro"))
+        .orderBy("life")
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+               max(CAST(ts AS DATE)) AS last_day
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      h AS (SELECT max(last_day) AS horizon FROM u),
+      lf AS (
+        SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT) AS life,
+               CAST(count(*) AS BIGINT) AS n_at,
+               CAST(sum(CASE WHEN last_day = horizon THEN 0 ELSE 1 END) AS BIGINT) AS d
+        FROM u, h GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS total FROM lf),
+      st AS (
+        SELECT life, d,
+               total - coalesce(sum(n_at) OVER (ORDER BY life
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+        FROM lf, tot),
+      dth AS (SELECT life, d, CAST(r AS BIGINT) AS r FROM st WHERE d > 0),
+      curve AS (
+        SELECT life, d, r,
+               max(CASE WHEN d = r THEN 1 ELSE 0 END) OVER (ORDER BY life
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS extinct,
+               sum(CASE WHEN d = r THEN 0
+                        ELSE ln(CAST(r - d AS DOUBLE) / CAST(r AS DOUBLE)) END)
+                 OVER (ORDER BY life
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+        FROM dth)
+      SELECT life, d, r,
+             CASE WHEN extinct = 1 THEN 0
+                  ELSE CAST(round(exp(lnsum) * 1e6) AS BIGINT) END AS surv_micro
+      FROM curve ORDER BY life"""))
+
+  /** GROUP-SEQUENTIAL A/B monitoring (O'Brien–Fleming): the
+    * two-proportion experiment of `q_ab_test` evaluated at K = 5
+    * interim looks (cumulative 6-day windows), each tested against
+    * the OBF boundary z_k = C·√(K/k), C = 2.040 for α ≈ 0.05 — the
+    * spending schedule that makes early peeking nearly free and the
+    * audit a metrics pipeline actually needs before anyone ships a
+    * "significant at day 9" readout.
+    *
+    * Exactness is the `q_ab_test` discipline carried through the
+    * boundary: z² > C²·K/k cross-multiplies to
+    * 1000·k·(c₁n₂−c₂n₁)²·(n₁+n₂) > 20808·n₁n₂·c·(n−c) — all BIGINT,
+    * both engines, no doubles anywhere (20808 = 1000·C²·K). Overflow
+    * envelope ~10³ users per cohort (the square × corpus factors ×
+    * 5000 approaches 2⁶³ past that — ANSI raises rather than
+    * corrupts; pre-divide the day counts to extend).
+    *
+    * ONE user-level aggregate (first appearance day, first purchase
+    * day) feeds all K looks via a broadcast 5-row look frame —
+    * membership and conversion AT look k are just comparisons against
+    * the cut, so the corpus is scanned once, not once per look. */
+  val abSequential: Q = Q(
+    "q_ab_sequential",
+    (s, dir) => {
+      val day = datediff(to_date(col("ts")),
+        lit(java.sql.Date.valueOf("2024-01-01"))).cast("long")
+      val u = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), day.as("d"))
+        .groupBy("user_id")
+        .agg(min(col("d")).as("first_day"),
+          min(when(col("event_type") === "purchase", col("d"))).as("first_purch"))
+        .withColumn("cohort", col("user_id") % 2)
+      val looks = s.createDataFrame((1 to 5).map(k => (k.toLong, 6L * k)))
+        .toDF("k", "cut") // 5 rows: provably bounded side of the cross join
+      u.crossJoin(broadcast(looks))
+        .filter(col("first_day") < col("cut"))
+        .select(col("k"), col("cut"), col("cohort"),
+          when(col("first_purch") < col("cut"), 1L).otherwise(0L).as("conv"))
+        .groupBy("k", "cut")
+        .agg(
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("cohort") === 0, col("conv")).otherwise(0L)).as("c1"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("cohort") === 1, col("conv")).otherwise(0L)).as("c2"))
+        .withColumn("cross_obf", expr("""
+          1000 * k * (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1 + n2) >
+          20808 * n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)"""))
+        .orderBy("k")
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+               CAST(min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS BIGINT) AS first_day,
+               CAST(min(CASE WHEN event_type = 'purchase'
+                 THEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) END) AS BIGINT) AS first_purch,
+               user_id % 2 AS cohort
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      looks AS (SELECT * FROM (VALUES (1, 6), (2, 12), (3, 18), (4, 24), (5, 30)) t(k, cut)),
+      per AS (
+        SELECT CAST(k AS BIGINT) AS k, CAST(cut AS BIGINT) AS cut, cohort,
+               CASE WHEN first_purch < cut THEN 1 ELSE 0 END AS conv
+        FROM u CROSS JOIN looks
+        WHERE first_day < cut),
+      g AS (
+        SELECT k, cut,
+               CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS BIGINT) AS c2
+        FROM per GROUP BY k, cut)
+      SELECT k, cut, n1, c1, n2, c2,
+             1000 * k * (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1 + n2) >
+               20808 * n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2) AS cross_obf
+      FROM g ORDER BY k"""))
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) on event value cents between
+    * user-parity cohorts — the nonparametric two-sample test that
+    * doesn't care about spend outliers the way [[graft.llm.Events]]'s
+    * Welch t does. The rank machinery never ranks the corpus: ranks
+    * collapse onto the VALUE DOMAIN (group by cents → per-value
+    * cohort counts), where the tie-averaged rank of value v is
+    * (2·cum_before + c + 1)/2 — kept in DOUBLED units so
+    * 2U = Σ c_A(v)·R2(v) − n_A(n_A+1) stays exact BIGINT end to end.
+    * The tie-corrected normal approximation touches doubles only in
+    * the final z (σ² = n_An_B/12·[(n+1) − Σ(t³−t)/(n(n−1))], one
+    * shared expression text). Overflow: Σ c·R2 ≤ 2n² ≈ 2·10¹⁰ at
+    * sf0.1; t³ ≤ n³ caps the tie term at ~10⁶ rows per distinct value
+    * — both far inside BIGINT here, ANSI raises beyond. */
+  val mannWhitney: Q = Q(
+    "q_mann_whitney",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(round(col("value") * 100, 0).cast("long").as("cents"),
+          (col("user_id") % 2).as("cohort"))
+      val byVal = ev.groupBy("cents")
+        .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("ca"),
+          count(lit(1)).as("c"))
+      val w = Window.orderBy("cents")
+      val ranked = byVal.withColumn("cumb",
+        coalesce(sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      ranked.agg(
+          sum(col("ca")).as("na"),
+          sum(col("c") - col("ca")).as("nb"),
+          sum(col("ca") * (lit(2L) * col("cumb") + col("c") + 1)).as("sum_r2a"),
+          sum(col("c") * col("c") * col("c") - col("c")).as("tie3"))
+        .select(col("na"), col("nb"),
+          (col("sum_r2a") - col("na") * (col("na") + 1)).as("u2"),
+          expr("""cast(round(1000.0 *
+            (cast(sum_r2a - na * (na + 1) as double) / 2.0
+              - cast(na as double) * cast(nb as double) / 2.0) /
+            sqrt(cast(na as double) * cast(nb as double) / 12.0 *
+              (cast(na + nb + 1 as double)
+                - cast(tie3 as double) /
+                  (cast(na + nb as double) * cast(na + nb - 1 as double)))))
+            as bigint)""").as("z_milli"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               user_id % 2 AS cohort
+        FROM events WHERE user_id IS NOT NULL),
+      g AS (
+        SELECT cents,
+               CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(count(*) AS BIGINT) AS c
+        FROM v GROUP BY cents),
+      r AS (
+        SELECT ca, c,
+               CAST(coalesce(sum(c) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+        FROM g),
+      agg AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(c - ca) AS BIGINT) AS nb,
+               CAST(sum(ca * (2 * cumb + c + 1)) AS BIGINT) AS sum_r2a,
+               CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+        FROM r)
+      SELECT na, nb,
+             CAST(sum_r2a - na * (na + 1) AS BIGINT) AS u2,
+             cast(round(1000.0 *
+               (cast(sum_r2a - na * (na + 1) as double) / 2.0
+                 - cast(na as double) * cast(nb as double) / 2.0) /
+               sqrt(cast(na as double) * cast(nb as double) / 12.0 *
+                 (cast(na + nb + 1 as double)
+                   - cast(tie3 as double) /
+                     (cast(na + nb as double) * cast(na + nb - 1 as double)))))
+               as bigint) AS z_milli
+      FROM agg"""))
+
+  /** CHI-SQUARE independence (event_type × user-parity cohort) with
+    * Cramér's V — the categorical association audit next to
+    * [[kendall]]'s ordinal one. Observed/marginal counts are one
+    * domain-bounded contingency aggregate; χ² = Σ (o·n − r·c)² /
+    * (n·r·c) evaluates each cell term as ONE IEEE division of exact
+    * BIGINT cross products (o·n − r·c is integer-exact — no expected
+    * value ever materializes as a rounded float), summed over ≤10
+    * cells. V = √(χ²/(n·min(r−1,c−1))). Envelope: (o·n)² ≤ 10¹⁰ at
+    * sf0.1 per cell — BIGINT-safe through ~10⁹ events. */
+  val chiSquare: Q = Q(
+    "q_chi_square",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("event_type"), (col("user_id") % 2).as("cohort"))
+      val cells = ev.groupBy("event_type", "cohort").agg(count(lit(1)).as("o"))
+      val rowTot = ev.groupBy("event_type").agg(count(lit(1)).as("r"))
+      val colTot = ev.groupBy("cohort").agg(count(lit(1)).as("cc"))
+      val n = ev.count()
+      // each cell term micro-rounds BEFORE the sum: integer summation
+      // is order-independent where a double fold across shuffled cells
+      // is not — the PSI/JSD determinism recipe
+      cells.join(broadcast(rowTot), "event_type")
+        .join(broadcast(colTot), "cohort")
+        .select(round(((col("o") * n - col("r") * col("cc")) *
+          (col("o") * n - col("r") * col("cc"))).cast("double")
+          ./(lit(n.toDouble) * col("r").cast("double") * col("cc").cast("double"))
+          * 1e6, 0).cast("long").as("term_micro"))
+        .agg(sum(col("term_micro")).as("chi2_micro"))
+        .select(lit(n).as("n"), lit(4L).as("dof"), col("chi2_micro"),
+          round(sqrt(col("chi2_micro").cast("double") / 1e6 / n.toDouble) * 1e6, 0)
+            .cast("long").as("cramers_v_micro"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT event_type, user_id % 2 AS cohort
+        FROM events WHERE user_id IS NOT NULL),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      cells AS (SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS o
+                FROM v GROUP BY event_type, cohort),
+      rt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS r
+             FROM v GROUP BY event_type),
+      ct AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cc
+             FROM v GROUP BY cohort),
+      terms AS (
+        SELECT CAST(round(CAST((o * n - r * cc) * (o * n - r * cc) AS DOUBLE) /
+               (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(cc AS DOUBLE))
+               * 1e6) AS BIGINT) AS term_micro, n
+        FROM cells
+        JOIN rt USING (event_type)
+        JOIN ct USING (cohort)
+        CROSS JOIN n)
+      SELECT max(n) AS n, CAST(4 AS BIGINT) AS dof,
+             CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+             CAST(round(sqrt(CAST(sum(term_micro) AS DOUBLE) / 1e6 / max(n)) * 1e6)
+               AS BIGINT) AS cramers_v_micro
+      FROM terms"""))
+
+  val all: Seq[Q] = Seq(theilSen, kendall, kaplanMeier, abSequential,
+    mannWhitney, chiSquare)
+}

@@ -252,12 +252,17 @@ object Sketches {
       val targets = phis.map(p => (p * n + 999) / 1000)
       val ests = targets.map(tr =>
         graft.functions.QDigestAgg.quantile(entries, bits, tr))
-      // exact quantiles from the distinct-value cumulative frame
+      // exact quantiles from the distinct-value cumulative frame —
+      // all φ resolved in ONE action (a per-target head() would replay
+      // the cum window once per φ)
       val w = org.apache.spark.sql.expressions.Window.orderBy("cents")
       val cum = li.groupBy("cents").agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(w))
-      val exact = targets.map(tr =>
-        cum.filter(col("cum") >= tr).agg(min(col("cents"))).head().getLong(0))
+      val tgtDf = s.createDataFrame(phis.zip(targets)).toDF("phi", "target")
+      val exactMap = cum.join(broadcast(tgtDf), col("cum") >= col("target"))
+        .groupBy("phi").agg(min(col("cents")).as("q"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val exact = phis.map(exactMap)
       // true rank of each estimate, all in one scan
       val rankRow = li.agg(
         sum(when(col("cents") <= ests.head, 1L).otherwise(0L)).as("r0"),

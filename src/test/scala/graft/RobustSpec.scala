@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Robust
+
+/** Robust series statistics pinned against independent driver-side
+  * recomputations from the same day/user aggregates. */
+class RobustSpec extends SparkSpec {
+
+  private def dailyRows(dir: String): Seq[(Long, Long, Long)] =
+    Tables.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+        count(lit(1)).as("n_ev"))
+      .select(datediff(col("day"),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long"),
+        col("cents"), col("n_ev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def medianOf(v: Seq[Double]): Double = {
+    val s = v.sorted
+    val p = v.size
+    (s(((p + 1) / 2 - 1).toInt) + s((p / 2 + 1 - 1).toInt)) / 2
+  }
+
+  test("q_theil_sen equals a driver-side pairwise-median recomputation") {
+    val dd = dailyRows(sf001)
+    val slopes = for {
+      (da, ca, _) <- dd; (db, cb, _) <- dd if da < db
+    } yield (cb - ca).toDouble / (db - da).toDouble
+    val slope = medianOf(slopes)
+    val icept = medianOf(dd.map { case (d, c, _) => c.toDouble - slope * d })
+    val r = Robust.theilSen.fn(spark, sf001).head()
+    assert(r.getAs[Long]("n_days") == dd.size)
+    assert(r.getAs[Long]("n_pairs") == slopes.size)
+    assert(math.abs(r.getAs[Long]("slope_micro") - math.round(slope * 1e6)) <= 1)
+    assert(math.abs(r.getAs[Long]("icept_micro") - math.round(icept * 1e6)) <= 1)
+  }
+
+  test("q_kendall counts match brute force; tau in [-1000, 1000]") {
+    val dd = dailyRows(sf001)
+    val pairs = for {
+      (da, xa, ya) <- dd; (db, xb, yb) <- dd if da < db
+    } yield (xa, ya, xb, yb)
+    val nc = pairs.count { case (xa, ya, xb, yb) =>
+      (xa < xb && ya < yb) || (xa > xb && ya > yb) }
+    val nd = pairs.count { case (xa, ya, xb, yb) =>
+      (xa < xb && ya > yb) || (xa > xb && ya < yb) }
+    val r = Robust.kendall.fn(spark, sf001).head()
+    assert(r.getAs[Long]("n0") == pairs.size)
+    assert(r.getAs[Long]("nc") == nc && r.getAs[Long]("nd") == nd)
+    val tau = r.getAs[Long]("tau_milli")
+    assert(tau >= -1000 && tau <= 1000)
+  }
+
+  test("q_ab_sequential look table matches brute force; boundary math exact") {
+    val users = Tables.load(spark, sf001, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(min(datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("2024-01-01")))).as("fd"),
+        min(when(col("event_type") === "purchase",
+          datediff(to_date(col("ts")),
+            lit(java.sql.Date.valueOf("2024-01-01"))))).as("fp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        Option(r.get(2)).map(_.asInstanceOf[Int].toLong)))
+    val rows = Robust.abSequential.fn(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val cut = r.getAs[Long]("cut")
+      val k = r.getAs[Long]("k")
+      val in = users.filter(_._2 < cut)
+      def side(c: Long) = in.filter(_._1 % 2 == c)
+      def conv(c: Long) = side(c).count(_._3.exists(_ < cut)).toLong
+      assert(r.getAs[Long]("n1") == side(0).size, s"n1 at look $k")
+      assert(r.getAs[Long]("c1") == conv(0), s"c1 at look $k")
+      assert(r.getAs[Long]("n2") == side(1).size, s"n2 at look $k")
+      assert(r.getAs[Long]("c2") == conv(1), s"c2 at look $k")
+      // the integer inequality is exactly z² > C²K/k
+      val (n1, c1, n2, c2) = (r.getAs[Long]("n1"), r.getAs[Long]("c1"),
+        r.getAs[Long]("n2"), r.getAs[Long]("c2"))
+      val (n, c) = (n1 + n2, c1 + c2)
+      val num = (c1 * n2 - c2 * n1).toDouble
+      val z2 = num * num * n / (n1.toDouble * n2 * c * (n - c))
+      val want = z2 * k > 20.808
+      assert(r.getAs[Boolean]("cross_obf") == want, s"boundary at look $k")
+    }
+  }
+
+  test("q_mann_whitney equals a driver-side tie-averaged rank recomputation") {
+    val vals = Tables.load(spark, sf001, "events")
+      .filter(col("user_id").isNotNull)
+      .select(round(col("value") * 100, 0).cast("long"), col("user_id") % 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sorted = vals.map(_._1).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2 + 1).sum.toDouble / xs.size) }
+    val a = vals.filter(_._2 == 0).map(_._1)
+    val b = vals.filter(_._2 == 1).map(_._1)
+    val ra = a.map(rankOf).sum
+    val u = ra - a.size.toLong * (a.size + 1) / 2.0
+    val n = vals.size.toDouble
+    val ties = vals.groupBy(_._1).values.map(_.size.toLong)
+      .map(t => t * t * t - t).sum
+    val sigma = math.sqrt(a.size * b.size / 12.0 *
+      ((n + 1) - ties / (n * (n - 1))))
+    val z = (u - a.size.toDouble * b.size / 2) / sigma
+    val r = graft.ops.Robust.mannWhitney.fn(spark, sf001).head()
+    assert(r.getAs[Long]("na") == a.size && r.getAs[Long]("nb") == b.size)
+    assert(r.getAs[Long]("u2") == math.round(2 * u),
+      s"2U ${r.getAs[Long]("u2")} vs ${2 * u}")
+    assert(math.abs(r.getAs[Long]("z_milli") - math.round(z * 1000)) <= 1,
+      s"z ${r.getAs[Long]("z_milli")} vs ${z * 1000}")
+  }
+
+  test("q_chi_square equals a brute-force contingency recomputation") {
+    val cells = Tables.load(spark, sf001, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id") % 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val n = cells.size.toDouble
+    val rt = cells.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val ct = cells.groupBy(_._2).map { case (k, v) => k -> v.size.toDouble }
+    val chi2 = cells.groupBy(identity).map { case ((ty, co), xs) =>
+      val o = xs.size.toDouble
+      val term = (o * n - rt(ty) * ct(co)) * (o * n - rt(ty) * ct(co)) /
+        (n * rt(ty) * ct(co))
+      math.round(term * 1e6) // the per-cell micro rounding the query does
+    }.sum
+    val r = graft.ops.Robust.chiSquare.fn(spark, sf001).head()
+    assert(r.getAs[Long]("n") == cells.size)
+    assert(r.getAs[Long]("chi2_micro") == chi2,
+      s"chi2 ${r.getAs[Long]("chi2_micro")} vs $chi2")
+    val v = math.sqrt(chi2 / 1e6 / n)
+    assert(math.abs(r.getAs[Long]("cramers_v_micro") - math.round(v * 1e6)) <= 1)
+  }
+
+  test("q_kaplan_meier equals a sequential KM recomputation; curve monotone") {
+    val users = Tables.load(spark, sf001, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("f"), max(to_date(col("ts"))).as("l"))
+      .select(datediff(col("l"), col("f")).cast("long").as("life"), col("l"))
+      .collect().map(r => (r.getLong(0), r.getDate(1))).toSeq
+    val horizon = users.map(_._2.toLocalDate).max
+    val lives = users.map { case (life, l) =>
+      (life, l.toLocalDate != horizon) } // (lifetime, death?)
+    var atRisk = lives.size.toLong
+    var surv = 1.0
+    val want = lives.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, grp) =>
+      val d = grp.count(_._2).toLong
+      val n = grp.size.toLong
+      val r = atRisk
+      atRisk -= n
+      if (d > 0) {
+        surv = if (d == r) 0.0 else surv * (r - d).toDouble / r
+        Some((t, d, r, math.round(surv * 1e6)))
+      } else None
+    }
+    val got = Robust.kaplanMeier.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) == want.map(w => (w._1, w._2, w._3)),
+      s"risk table mismatch:\n$got\n$want")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) <= 1, s"surv at t=${g._1}: ${g._4} vs ${w._4}")
+    }
+    val curve = got.map(_._4)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b <= a },
+      "survival must be non-increasing")
+  }
+}
