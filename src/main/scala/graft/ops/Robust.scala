@@ -157,13 +157,18 @@ object Robust {
           when(col("last_day") === lit(horizon), 0L).otherwise(1L).as("death"))
         .groupBy("life")
         .agg(count(lit(1)).as("n_at"), sum(col("death")).as("d"))
-        .persist()
-      val total = lifeFrame.agg(sum(col("n_at"))).head().getLong(0)
       val w = Window.orderBy("life")
       val cumBefore = coalesce(
         sum(col("n_at")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      // the at-risk total comes from a full-frame window over the SAME
+      // lifetime aggregate (≤31 rows) rather than a separate driver
+      // action — one scan of events total, and the plan keeps its
+      // Aggregate directly under every window (a persist would hide it
+      // behind an InMemoryRelation from the registry plan sweep)
+      val total = sum(col("n_at")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
       val steps = lifeFrame
-        .withColumn("r", lit(total) - cumBefore)
+        .withColumn("r", total - cumBefore)
         .filter(col("d") > 0) // KM steps only at death times
       val cw = Window.orderBy("life").rowsBetween(Window.unboundedPreceding, 0)
       // the d = r term would be ln(0): Spark log → NULL, DuckDB ln →
