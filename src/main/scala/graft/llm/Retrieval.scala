@@ -564,6 +564,75 @@ object Retrieval {
       GROUP BY l.query_id
       ORDER BY l.query_id"""))
 
+  /** POSITIONAL PHRASE SEARCH — the inverted-index operation BM25
+    * can't answer: "these words, ADJACENT, in this order". The plan
+    * is the real positional-postings shape: one posexplode pass
+    * builds (doc, token, position) postings, each phrase prunes its
+    * term postings by a broadcast semi-join (same discipline as the
+    * BM25 scorer — the corpus-sized postings never shuffle unpruned),
+    * and adjacency is an equi-join on (doc, pos+1). A trigram phrase
+    * is the same join applied twice — the AND-merge of classic IR,
+    * stated declaratively. The oracle recomputes via 1-based array
+    * indexing (toks[i], toks[i+1]) — a different formulation that
+    * must agree occurrence-for-occurrence.
+    *
+    * Output per phrase: matching docs and total occurrences (overlap
+    * counted, e.g. "a a a" contains "a a" twice — both formulations
+    * agree by construction). */
+  /** One phrase's (n_docs, n_occurrences) over a (doc_id, pos, tok)
+    * postings frame — factored so the spec can pin overlap semantics
+    * on synthetic postings. */
+  private[graft] def phraseStats(post: DataFrame, ph: String): DataFrame = {
+    val terms = ph.split(" ")
+    val first = post.filter(col("tok") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = terms.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (term, i)) =>
+        acc.join(
+          post.filter(col("tok") === term)
+            .select(col("doc_id"), (col("pos") - (i + 1)).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(lit(ph).as("phrase"), col("n_docs"), col("n_occurrences"))
+  }
+
+  val phraseSearch: Q = Q(
+    "q_phrase_search",
+    (s, dir) => {
+      val phrases = Seq("table hash", "customer join", "slow key filter")
+      val post = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .persist() // probed once per phrase term
+      phrases.map(ph => phraseStats(post, ph))
+        .reduce(_.unionByName(_)).orderBy("phrase")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      c AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d),
+      hits AS (
+        SELECT 'table hash' AS phrase, doc_id FROM c
+        WHERE i + 1 <= len(toks) AND toks[i] = 'table' AND toks[i+1] = 'hash'
+        UNION ALL
+        SELECT 'customer join', doc_id FROM c
+        WHERE i + 1 <= len(toks) AND toks[i] = 'customer' AND toks[i+1] = 'join'
+        UNION ALL
+        SELECT 'slow key filter', doc_id FROM c
+        WHERE i + 2 <= len(toks) AND toks[i] = 'slow' AND toks[i+1] = 'key'
+          AND toks[i+2] = 'filter'),
+      ph AS (SELECT * FROM (VALUES ('table hash'), ('customer join'),
+                            ('slow key filter')) t(phrase))
+      SELECT ph.phrase,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(doc_id) AS BIGINT) AS n_occurrences
+      FROM ph LEFT JOIN hits ON ph.phrase = hits.phrase
+      GROUP BY ph.phrase ORDER BY ph.phrase"""))
+
   val all: Seq[Q] = Seq(bm25, bm25Incremental, hybrid, negatives, hashedTfidf,
-    ndcgEval, mrrEval)
+    ndcgEval, mrrEval, phraseSearch)
 }

@@ -161,4 +161,24 @@ class RetrievalSpec extends SparkSpec {
     // same gain profile (3×7, 7×3) for every query — idcg is constant
     assert(out.map(_._3).distinct.length == 1)
   }
+
+  test("phrase search: adjacency, order, and overlap semantics") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a a a b"),   // 'a a' twice (overlapping), 'a b' once
+      (2L, "b a c a"),   // 'a b' ZERO times (order matters), 'a c' once
+      (3L, "a b a b a")  // 'a b' twice, 'a b a' twice (overlapping)
+    ).toDF("doc_id", "text")
+    val post = docs.select(col("doc_id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    def stats(ph: String): (Long, Long) = {
+      val r = Retrieval.phraseStats(post, ph).head()
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"))
+    }
+    assert(stats("a a") == ((1L, 2L)), "overlapping bigram must count twice")
+    assert(stats("a b") == ((2L, 3L)))
+    assert(stats("a b a") == ((1L, 2L)), "overlapping trigram")
+    assert(stats("b a") == ((2L, 3L))) // doc2 once, doc3 twice
+    assert(stats("c b") == ((0L, 0L)), "absent phrase yields a zero row")
+  }
 }
