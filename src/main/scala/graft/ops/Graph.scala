@@ -1153,7 +1153,91 @@ object Graph {
       SELECT v AS part_id, r
       FROM pr5 ORDER BY part_id"""))
 
+  /** Exact k-CORE by iterative peeling over any canonical undirected
+    * edge list (u < v): repeatedly drop vertices whose CURRENT degree
+    * is < k until fixpoint — the unique maximal subgraph with minimum
+    * degree ≥ k (community-core extraction, the densest-region filter
+    * a co-purchase graph feeds to recommendation candidates).
+    *
+    * Each round is one degree aggregate + two key-keyed semi-joins,
+    * lineage-cut per round like every iterative operator here; the
+    * per-round count() is the convergence probe (peeling is
+    * data-dependent, unlike PageRank's fixed horizon — a fixed unroll
+    * would either waste rounds or stop early, and "stopped early"
+    * here would SILENTLY return a non-core, so non-convergence
+    * throws instead). Rounds are bounded by the peeling number of
+    * the graph, single digits on bounded-degeneracy co-purchase
+    * graphs. */
+  def kCore(edges0: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
+    val origin = edges0.sparkSession
+    val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
+    var e = graft.Checkpoints.cut(rebind(spark, edges0.select(col("u"), col("v"))))
+    var n = e.count()
+    var round = 0
+    var changed = n > 0
+    while (changed && round < maxRounds) {
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("x"))
+      val e2 = graft.Checkpoints.cut(
+        e.join(keep.withColumnRenamed("x", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("x", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")))
+      val n2 = e2.count()
+      changed = n2 < n
+      e = e2; n = n2; round += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"k-core peeling still shrinking after $maxRounds rounds")
+    rebind(origin, e)
+  }
+
+  /** Driver-visible k-core (k = 3) of the pinned-window co-purchase
+    * graph: per-vertex within-core degree. Rows-only by contract (a
+    * shrink-to-fixpoint loop is not one DuckDB query) — so the
+    * DEFINING property is the in-query floor: every reported degree
+    * must be ≥ k, checked on the final subgraph before a row ships;
+    * GraphSpec pins the peel against a sequential reference and a
+    * planted-clique construction. */
+  val kcore: Q = Q(
+    "q_kcore",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // k = exact 25th-PERCENTILE initial degree: a deterministic pure
+      // function of the data that keeps the peel biting at every SF
+      // (the windowed co-purchase degree distribution is
+      // scale-invariant — median 10 at all three SFs — and the median
+      // itself cascades the whole graph to an empty core; the lower
+      // quartile removes the sparse third and keeps a genuine core).
+      // TakeOrdered top-k, never a global sort.
+      val deg0 = edges.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val nV0 = deg0.count()
+      val k = deg0.orderBy(col("d"), col("x")).limit((nV0 / 4 + 1).toInt)
+        .agg(max(col("d"))).head().getLong(0).toInt
+      val core = kCore(edges, k)
+      val deg = core.select(explode(array(col("u"), col("v"))).as("vertex"))
+        .groupBy("vertex").agg(count(lit(1)).as("core_deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mn = deg.agg(min(col("core_deg"))).head()
+      if (!mn.isNullAt(0) && mn.getLong(0) < k)
+        throw new IllegalStateException(
+          s"k-core property violated: min within-core degree ${mn.getLong(0)} < $k")
+      deg.select(col("vertex"), col("core_deg"), lit(k.toLong).as("k"))
+        .orderBy("vertex")
+    },
+    None)
+
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
     shortestPath, shortestPathIncremental, labelPropagation,
-    labelPropIncremental, linkPredict)
+    labelPropIncremental, linkPredict, kcore)
 }

@@ -363,4 +363,50 @@ class GraphSpec extends SparkSpec {
     val cns = rows.map(_.getLong(2))
     assert(cns.zip(cns.tail).forall { case (a, b) => a >= b })
   }
+
+  /** Sequential peeling reference: the unique maximal subgraph with
+    * min degree ≥ k. */
+  private def kCoreRef(edges: Seq[(Long, Long)], k: Int): Set[Long] = {
+    var adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (x, ys) => x -> ys.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (x, ns) if ns.size < k => x }.toSet
+      changed = drop.nonEmpty
+      adj = (adj -- drop).map { case (x, ns) => x -> (ns -- drop) }
+    }
+    adj.keySet
+  }
+
+  test("k-core: planted clique survives peeling that erases the sparse rest") {
+    import spark.implicits._
+    // K6 on vertices 0..5 + a long path 10..40 (path degrees ≤ 2)
+    val clique = for (u <- 0L to 5L; v <- (u + 1) to 5L) yield (u, v)
+    val path = (10L until 40L).map(i => (i, i + 1))
+    val edges = (clique ++ path).toDF("u", "v")
+    val core = ops.Graph.kCore(edges, 5).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(core == (0L to 5L).toSet, s"5-core should be exactly the K6: $core")
+    // k beyond the clique's degree empties the graph, and that's
+    // reported as zero edges, not an error
+    assert(ops.Graph.kCore(edges, 6).count() == 0)
+  }
+
+  test("k-core == sequential reference on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = (0 until 160).map { _ =>
+        val u = rnd.nextInt(n).toLong; val v = rnd.nextInt(n).toLong
+        (math.min(u, v), math.max(u, v))
+      }.filter(e => e._1 != e._2).distinct
+      for (k <- Seq(3, 5)) {
+        val got = ops.Graph.kCore(edges.toDF("u", "v"), k).collect()
+          .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+        val want = kCoreRef(edges, k)
+        assert(got == want, s"seed $seed k $k: $got vs $want")
+      }
+    }
+  }
 }
