@@ -423,6 +423,78 @@ object Robust {
                AS BIGINT) AS cramers_v_micro
       FROM terms"""))
 
+  /** PERIODOGRAM of the daily revenue series — the DFT power spectrum
+    * a seasonality monitor runs before committing to a weekly model
+    * (the Holt–Winters queries ASSUME period 7; this MEASURES it).
+    *
+    * The determinism trick: for an N-day window every angle is a
+    * multiple of 2π/N, so the entire trig surface is a 30-entry
+    * table — computed ONCE in Scala, micro-rounded to integers, and
+    * injected verbatim into BOTH engines (a typedlit array here, a
+    * VALUES CTE interpolated from the same Scala array in the
+    * oracle). No engine ever calls cos/sin at query time, so the
+    * libm last-ulp latitude that makes float trig cross-engine-risky
+    * simply never enters: each DFT coefficient Σ xₜ·c_micro[kt mod N]
+    * is a sum of exact BIGINT products and rides the hash exactly;
+    * only the final amplitude does one sqrt on those integers.
+    *
+    * DC handling: integer-frequency bins are orthogonal to constant
+    * offsets up to the table's rounding residual (|Σ c_micro| ≤ N/2
+    * micro-units), so the series is not mean-centered; the k = 0 bin
+    * is simply not emitted. Scale shape: one corpus scan → 30-day
+    * frame → ×14 frequencies via a broadcast bounded cross join. */
+  /** DFT power table of a (d, cents) frame over an N-sample window —
+    * factored so the spec can plant a pure sinusoid and watch exactly
+    * one bin light up. */
+  private[graft] def periodogramOf(dd: DataFrame, n: Int): DataFrame = {
+    val s = dd.sparkSession
+    val cM = (0 until n).map(m => math.round(math.cos(2 * math.Pi * m / n) * 1e6))
+    val sM = (0 until n).map(m => math.round(math.sin(2 * math.Pi * m / n) * 1e6))
+    val freqs = s.createDataFrame((1 to n / 2 - 1).map(k => Tuple1(k.toLong)))
+      .toDF("k")
+    dd.crossJoin(broadcast(freqs))
+      .select(col("k"),
+        (col("cents") * element_at(typedLit(cM), ((col("k") * col("d")) % n).cast("int") + 1))
+          .as("re_term"),
+        (col("cents") * element_at(typedLit(sM), ((col("k") * col("d")) % n).cast("int") + 1))
+          .as("im_term"))
+      .groupBy("k")
+      .agg(sum(col("re_term")).as("re_num"), sum(col("im_term")).as("im_num"))
+      .withColumn("amp_cents", expr(s"""
+        cast(round(sqrt(cast(re_num as double) * cast(re_num as double)
+          + cast(im_num as double) * cast(im_num as double)) / (1e6 * $n)) as bigint)"""))
+      .orderBy("k")
+  }
+
+  val periodogram: Q = Q(
+    "q_periodogram",
+    (s, dir) => periodogramOf(daily(s, dir).select(col("d"), col("cents")), 30),
+    Some {
+      val n = 30
+      val cM = (0 until n).map(m => math.round(math.cos(2 * math.Pi * m / n) * 1e6))
+      val sM = (0 until n).map(m => math.round(math.sin(2 * math.Pi * m / n) * 1e6))
+      val trigRows = (0 until n)
+        .map(m => s"(${m}, ${cM(m)}, ${sM(m)})").mkString(", ")
+      s"""
+      WITH dd AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+      trig AS (SELECT * FROM (VALUES $trigRows) t(m, c, sn)),
+      freqs AS (SELECT unnest(range(1, ${n / 2})) AS k),
+      terms AS (
+        SELECT CAST(k AS BIGINT) AS k,
+               cents * c AS re_term, cents * sn AS im_term
+        FROM dd CROSS JOIN freqs
+        JOIN trig ON trig.m = (k * d) % $n)
+      SELECT k, CAST(sum(re_term) AS BIGINT) AS re_num,
+             CAST(sum(im_term) AS BIGINT) AS im_num,
+             cast(round(sqrt(cast(sum(re_term) as double) * cast(sum(re_term) as double)
+               + cast(sum(im_term) as double) * cast(sum(im_term) as double)) / (1e6 * $n)) as bigint)
+               AS amp_cents
+      FROM terms GROUP BY k ORDER BY k"""
+    })
+
   val all: Seq[Q] = Seq(theilSen, kendall, kaplanMeier, abSequential,
-    mannWhitney, chiSquare)
+    mannWhitney, chiSquare, periodogram)
 }

@@ -136,6 +136,22 @@ class RobustSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("cramers_v_micro") - math.round(v * 1e6)) <= 1)
   }
 
+  test("periodogram: a planted pure sinusoid lights exactly its own bin") {
+    import spark.implicits._
+    val n = 30; val f = 3; val amp = 100000.0
+    val dd = (0 until n).map(t =>
+      (t.toLong, math.round(amp * math.cos(2 * math.Pi * f * t / n))))
+      .toDF("d", "cents")
+    val rows = graft.ops.Robust.periodogramOf(dd, n).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("amp_cents")).toMap
+    // DFT of A·cos(2πft/N) has |X_f| = A·N/2 → amp_cents = A/2
+    assert(math.abs(rows(f.toLong) - amp / 2) <= amp / 200,
+      s"bin $f: ${rows(f.toLong)} vs ${amp / 2}")
+    rows.filterNot(_._1 == f.toLong).foreach { case (k, a) =>
+      assert(a <= amp / 200, s"phantom power at bin $k: $a")
+    }
+  }
+
   test("q_kaplan_meier equals a sequential KM recomputation; curve monotone") {
     val users = Tables.load(spark, sf001, "events")
       .filter(col("user_id").isNotNull)
