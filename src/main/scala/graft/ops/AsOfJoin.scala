@@ -99,5 +99,34 @@ object AsOfJoin {
         ON p.user_id = c.user_id AND p.ts <= c.ts
       ORDER BY p.event_id"""))
 
-  val all: Seq[Q] = Seq(purchaseAsofClick, purchaseAsofNextClick)
+  /** The SAME point-in-time lookup as [[purchaseAsofClick]], executed
+    * by the custom physical operator
+    * ([[graft.plans.AsofJoinPlan]]/[[graft.plans.AsofJoinExec]] — a
+    * real `SparkStrategy` + `SparkPlan` merge sweep) instead of the
+    * tagged-union window composition. Same DuckDB ASOF oracle, so the
+    * driver hash pins operator ≡ composition ≡ DuckDB three ways;
+    * AsOfJoinSpec additionally pins the plan SHAPE (an AsofJoin node,
+    * no WindowExec) and edge semantics. */
+  val purchaseAsofClickExec: Q = Q(
+    "q_asof_exec",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = events.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      graft.plans.AsofJoinPlan.join(purchases, clicks, Seq("user_id"), "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_value").as("last_click_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, c.value AS last_click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id"""))
+
+  val all: Seq[Q] = Seq(purchaseAsofClick, purchaseAsofNextClick,
+    purchaseAsofClickExec)
 }

@@ -168,6 +168,8 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 /** `spark.sql.extensions` entry point (zero-arg class):
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BinnedRangeJoinRule)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }

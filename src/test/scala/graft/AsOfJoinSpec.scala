@@ -118,4 +118,94 @@ class AsOfJoinSpec extends SparkSpec {
     // purchases with a prior click have non-null values; output keyed once per purchase
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
+
+  // --- custom physical operator (graft.plans.AsofJoinExec) -------------
+
+  test("custom exec == window composition on the fixture, both directions") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00")),
+      (3L, 8L, ts("2024-01-01 11:00:00")),
+      (4L, 7L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 09:30:00"), 10.0),
+      (7L, ts("2024-01-01 10:00:00"), 20.0),
+      (7L, ts("2024-01-01 11:30:00"), 30.0),
+      (8L, ts("2024-01-01 12:00:00"), 99.0)
+    ).toDF("user_id", "ts", "value")
+    for (fwd <- Seq(false, true)) {
+      val a = graft.plans.AsofJoinPlan
+        .join(left, right, Seq("user_id"), "ts", Seq("value"), forward = fwd)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val b = AsOfJoin.asofJoinLast(left, right, Seq("user_id"), "ts",
+          Seq("value"), forward = fwd)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      assert(a == b, s"forward=$fwd: $a vs $b")
+    }
+    // inclusive tie pinned explicitly on the exec path
+    val backward = graft.plans.AsofJoinPlan
+      .join(left, right, Seq("user_id"), "ts", Seq("value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(backward(1L) == Some(20.0) && backward(3L).isEmpty)
+  }
+
+  test("custom exec == window composition on the events table; plan has the exec, no window") {
+    val events = Tables.load(spark, sf001, "events")
+    val purchases = events.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val exec = graft.plans.AsofJoinPlan
+      .join(purchases, clicks, Seq("user_id"), "ts", Seq("value"))
+    val p = exec.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), p.take(500))
+    assert(!p.contains("Window"), "the exec path must not fall back to a window")
+    val a = exec.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(_._1).toSeq
+    val b = AsOfJoin.asofJoinLast(purchases, clicks, Seq("user_id"), "ts", Seq("value"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("custom exec: empty right side yields all-null left outer") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq.empty[(Long, Timestamp, Double)].toDF("user_id", "ts", "value")
+    val rows = graft.plans.AsofJoinPlan
+      .join(left, right, Seq("user_id"), "ts", Seq("value")).collect()
+    assert(rows.length == 1 && rows.head.isNullAt(3))
+  }
+
+  test("custom exec property: equals the window form on random frames") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val gen = for {
+      nl <- Gen.choose(0, 30); nr <- Gen.choose(0, 30)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 8L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 8L), Gen.choose(0L, 99L)))
+    } yield (ls, rs)
+    val prop = forAll(gen) { case (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t * 1000L) }
+        .toDF("event_id", "user_id", "t")
+      val right = rs.map { case (k, t, v) => (k, t * 1000L, v) }
+        .toDF("user_id", "t", "value")
+      val a = graft.plans.AsofJoinPlan
+        .join(left, right, Seq("user_id"), "t", Seq("value"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val b = AsOfJoin.asofJoinLast(left, right, Seq("user_id"), "t", Seq("value"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      a == b
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
