@@ -629,7 +629,87 @@ object Sampling {
         UNION ALL SELECT 8, (SELECT c FROM c8), (SELECT r FROM c9)
       ) ORDER BY k_round"""))
 
+  /** LENGTH-GROUPED BATCHING — the padding-waste audit behind every
+    * trainer's `group_by_length` switch: fixed-size batches padded to
+    * their longest member burn compute proportional to
+    * Σ_b (B·max_b − Σ_b tokens); batching in LENGTH order makes
+    * neighbors similar and collapses that waste. This query builds
+    * both schedules (arrival order vs length order), measures exact
+    * token waste for each, and emits the comparison — the number that
+    * justifies the shuffle.
+    *
+    * Distribution discipline: batch assignment needs a GLOBAL row
+    * position, which is `Ranks.globalOrder`'s two-level scan — never
+    * an unpartitioned window over the corpus (the oracle, running in
+    * one DuckDB process, uses the plain row_number spelling of the
+    * same total order). Waste arithmetic is all BIGINT: per batch
+    * n·max − Σ, summed. In-query floor: length-ordered waste must not
+    * exceed arrival-ordered waste (contiguous batching of a sorted
+    * sequence never pads worse — the exchange argument), enforced
+    * before rows ship. */
+  val lengthBatching: Q = Q(
+    "q_length_batching",
+    (s, dir) => {
+      val bs = 32
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      def schedule(name: String, order: Seq[org.apache.spark.sql.Column]) = {
+        val ranked = graft.ops.Ranks.globalOrder(toks, order, "rk")
+        ranked.withColumn("batch", expr(s"(rk - 1) div $bs"))
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n"), max(col("n_tok")).as("mx"),
+            sum(col("n_tok")).as("tok"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("n") * col("mx") - col("tok")).as("waste_tokens"),
+            sum(col("tok")).as("real_tokens"))
+          .select(lit(name).as("schedule"), col("n_batches"),
+            col("real_tokens"), col("waste_tokens"),
+            expr("1000 * waste_tokens div (waste_tokens + real_tokens)")
+              .as("waste_permille"))
+      }
+      val arrival = schedule("arrival", Seq(col("doc_id")))
+      val sorted = schedule("length_sorted", Seq(col("n_tok"), col("doc_id")))
+      val out = arrival.unionByName(sorted).orderBy("schedule").persist()
+      val w = out.collect().map(r =>
+        r.getAs[String]("schedule") -> r.getAs[Long]("waste_tokens")).toMap
+      if (w("length_sorted") > w("arrival"))
+        throw new IllegalStateException(
+          s"length-sorted batching padded WORSE: $w")
+      out
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      ranked AS (
+        SELECT n_tok,
+               (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b_arr,
+               (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS b_len
+        FROM toks),
+      arr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(n_tok) AS BIGINT) AS mx,
+               CAST(sum(n_tok) AS BIGINT) AS tok
+        FROM ranked GROUP BY b_arr),
+      len AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(n_tok) AS BIGINT) AS mx,
+               CAST(sum(n_tok) AS BIGINT) AS tok
+        FROM ranked GROUP BY b_len),
+      s AS (
+        SELECT 'arrival' AS schedule, CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(tok) AS BIGINT) AS real_tokens,
+               CAST(sum(n * mx - tok) AS BIGINT) AS waste_tokens
+        FROM arr
+        UNION ALL
+        SELECT 'length_sorted', CAST(count(*) AS BIGINT),
+               CAST(sum(tok) AS BIGINT), CAST(sum(n * mx - tok) AS BIGINT)
+        FROM len)
+      SELECT schedule, n_batches, real_tokens, waste_tokens,
+             CAST(1000 * waste_tokens // (waste_tokens + real_tokens) AS BIGINT)
+               AS waste_permille
+      FROM s ORDER BY schedule"""))
+
   val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir,
     weightedReservoir, classWeights, clusterSplit, temperature, unimaxAlloc,
-    coresetKCenter)
+    coresetKCenter, lengthBatching)
 }
