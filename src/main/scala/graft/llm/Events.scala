@@ -1440,8 +1440,111 @@ object Events {
              CAST(fc AS BIGINT) AS forecast_milli
       FROM unioned ORDER BY event_type, day"""))
 
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven model next
+    * to [[attribution]]'s heuristic trio (first/last/linear): build
+    * the first-order journey chain START → channels → {CONV, DROP},
+    * solve for absorption probability P(CONV), then re-solve with
+    * each channel REMOVED (every edge into it redirected to DROP) —
+    * channel credit = its removal effect 1 − P₋c/P, normalized to
+    * shares. The chain math follows the channel DOMAIN, not the
+    * corpus: transition counts are one (src,dst)-grouped aggregate
+    * (≤ 6×6 rows) after per-user lead/row_number windows, and the
+    * 4×4 absorption solves reuse [[Ridge.solve]]'s deterministic
+    * Gaussian elimination on exact BIGINT counts — a pure function of
+    * the data, identical on every run. Rows-only by contract (a
+    * family of linear solves is not one DuckDB query); in-query
+    * floors: P ∈ (0, 1], every removal effect in [0, 1] (redirecting
+    * mass into DROP cannot raise conversion), shares sum to ~1000. */
+  /** Core removal-effect computation over any (user_id, ts, event_id,
+    * event_type) frame — factored so the spec can hand-build a chain
+    * with known absorption probabilities. */
+  private[graft] def markovRemoval(ev0: DataFrame, channels: Seq[String],
+      convType: String = "purchase"): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val s = ev0.sparkSession
+      val ev = ev0.filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val firstPurch = ev.filter(col("event_type") === convType)
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+      // pre-conversion channel journey per user
+      val j = ev.filter(col("event_type").isin(channels: _*))
+        .join(firstPurch, Seq("user_id"), "left")
+        .filter(col("fp").isNull ||
+          struct(col("ts"), col("event_id")) < col("fp"))
+        .withColumn("converted", col("fp").isNotNull)
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val seqd = j
+        .withColumn("nxt", lead(col("event_type"), 1).over(byUser))
+        .withColumn("rn", row_number().over(byUser))
+      val mid = seqd.select(col("event_type").as("src"),
+        coalesce(col("nxt"),
+          when(col("converted"), "CONV").otherwise("DROP")).as("dst"))
+      val starts = seqd.filter(col("rn") === 1)
+        .select(lit("START").as("src"), col("event_type").as("dst"))
+      // users whose first purchase (or whole history) has no prior
+      // channel events: a bare START → CONV/DROP transition
+      val lonely = ev.groupBy("user_id")
+        .agg(max(when(col("event_type") === convType, 1L).otherwise(0L)).as("p"))
+        .join(j.select("user_id").distinct(), Seq("user_id"), "left_anti")
+        .select(lit("START").as("src"),
+          when(col("p") === 1, "CONV").otherwise("DROP").as("dst"))
+      val counts = mid.unionByName(starts).unionByName(lonely)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+        .collect() // ≤ (|channels|+1)² rows — domain-bounded
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val states = "START" +: channels
+      val rowSum = states.map(st =>
+        st -> states.drop(1).map(d => counts.getOrElse((st, d), 0L)).sum
+          .+(counts.getOrElse((st, "CONV"), 0L))
+          .+(counts.getOrElse((st, "DROP"), 0L))).toMap
+      // absorption probability from START with channel set `keep`
+      // (edges into a removed channel redirect to DROP)
+      def pConv(keep: Set[String]): Double = {
+        val ch = channels.filter(keep)
+        def t(src: String, dst: String): Double =
+          if (rowSum(src) == 0) 0.0
+          else counts.getOrElse((src, dst), 0L).toDouble / rowSum(src)
+        if (ch.isEmpty) t("START", "CONV")
+        else {
+          // (I − Q) x = b over the kept channels
+          val a = Array.tabulate(ch.size, ch.size)((i, k) =>
+            (if (i == k) 1.0 else 0.0) - t(ch(i), ch(k)))
+          val b = Array.tabulate(ch.size)(i => t(ch(i), "CONV"))
+          val x = Ridge.solve(a, b)
+          t("START", "CONV") +
+            ch.indices.map(i => t("START", ch(i)) * x(i)).sum
+        }
+      }
+      val pFull = pConv(channels.toSet)
+      if (!(pFull > 0.0 && pFull <= 1.0 + 1e-12))
+        throw new IllegalStateException(s"degenerate chain: P(conv) = $pFull")
+      val removals = channels.map { c =>
+        val r = 1.0 - pConv(channels.toSet - c) / pFull
+        if (r < -1e-9 || r > 1.0 + 1e-9)
+          throw new IllegalStateException(s"removal effect out of [0,1] for $c: $r")
+        c -> math.max(0.0, r)
+      }
+      val totalMicro = removals.map(r => math.round(r._2 * 1e6)).sum
+      val out = removals.map { case (c, r) =>
+        val micro = math.round(r * 1e6)
+        (c, micro, if (totalMicro == 0) 0L else 1000 * micro / totalMicro,
+          math.round(pFull * 1e6))
+      }
+      s.createDataFrame(out)
+        .toDF("channel", "removal_micro", "share_permille", "p_conv_micro")
+        .orderBy("channel")
+  }
+
+  val markovAttribution: Q = Q(
+    "q_markov_attribution",
+    (s, dir) => markovRemoval(t(s, dir, "events"),
+      Seq("click", "view", "signup", "error")),
+    None)
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
-    changepoint, autocorr, welchTTest, ewma, holt, holtWinters)
+    changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution)
 }

@@ -327,4 +327,42 @@ class EventsSpec extends SparkSpec {
     assert(got(7L) == 1000L, s"perfect period-7 series must have r(7)=1000, got ${got(7L)}")
     assert(got(1L) < 500L, s"lag-1 of a sawtooth is weak, got ${got(1L)}")
   }
+
+  test("markov attribution: hand-solvable chain gives exact removal effects") {
+    // user 1: click → purchase; user 2: view → (no purchase);
+    // user 3: purchase with no prior channel touch.
+    // Chain: START → {click ⅓, view ⅓, CONV ⅓}; click → CONV; view → DROP.
+    // P = ⅔. Removing click: P₋ = ⅓ → effect ½. Removing view: P₋ = ⅔ → 0.
+    val ev = Seq(
+      (1L, ts(10), 100L, "click"), (1L, ts(20), 101L, "purchase"),
+      (2L, ts(10), 200L, "view"),
+      (3L, ts(10), 300L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.markovRemoval(ev, Seq("click", "view")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("click") == ((500000L, 1000L, 666667L)), got("click"))
+    assert(got("view") == ((0L, 0L, 666667L)), got("view"))
+  }
+
+  test("markov attribution: post-conversion touches are excluded from the journey") {
+    // the click AFTER the purchase must not count
+    val ev = Seq(
+      (1L, ts(10), 100L, "view"), (1L, ts(20), 101L, "purchase"),
+      (1L, ts(30), 102L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.markovRemoval(ev, Seq("click", "view")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("view") == 1000000L, s"view carried the whole conversion: $got")
+    assert(got("click") == 0L, s"post-conversion click must get nothing: $got")
+  }
+
+  test("declared query: q_markov_attribution shares sum to ~1000, P in (0,1]") {
+    val rows = Events.markovAttribution.fn(spark, sf001).collect()
+    assert(rows.length == 4)
+    val shares = rows.map(_.getLong(2)).sum
+    assert(shares >= 996 && shares <= 1000, s"shares sum $shares")
+    val p = rows.head.getLong(3)
+    assert(p > 0 && p <= 1000000)
+  }
 }
