@@ -495,6 +495,103 @@ object Robust {
       FROM terms GROUP BY k ORDER BY k"""
     })
 
+  /** LOG-RANK TEST — the inferential companion to [[kaplanMeier]]:
+    * do two cohorts' survival curves differ? At every death time t,
+    * under H₀ the deaths split between cohorts hypergeometrically:
+    * e₁(t) = d·n₁/n expected cohort-1 deaths, variance
+    * v(t) = d·(n₁/n)·(n₂/n)·(n−d)/(n−1); the statistic is
+    * z = Σ(d₁−e₁)/√Σv. Every per-time term is ONE IEEE chain over
+    * exact BIGINT risk-set counts, micro-rounded BEFORE the sum (the
+    * PSI/χ² order-independence recipe), so the summed numerator and
+    * variance ride the hash exactly and only the final z divides.
+    *
+    * Risk tables come from the same shape as KM: user-domain
+    * aggregate → per-(lifetime, cohort) counts → windowed cumulative
+    * at-risk over the ≤31-row aggregate. Cohorts by user parity,
+    * censoring at the observation horizon as in [[kaplanMeier]]. */
+  val logRank: Q = Q(
+    "q_log_rank",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val users = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          max(to_date(col("ts"))).as("last_day"))
+      val horizon = users.agg(max(col("last_day"))).head().getDate(0)
+      val lf = users.select(
+          datediff(col("last_day"), col("first_day")).cast("long").as("life"),
+          when(col("last_day") === lit(horizon), 0L).otherwise(1L).as("death"),
+          (col("user_id") % 2).as("cohort"))
+        .groupBy("life")
+        .agg(
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("na1"),
+          sum(when(col("cohort") === 0, col("death")).otherwise(0L)).as("d1"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("na2"),
+          sum(when(col("cohort") === 1, col("death")).otherwise(0L)).as("d2"))
+      val w = Window.orderBy("life")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val before = w.rowsBetween(Window.unboundedPreceding, -1)
+      val risk = lf
+        .withColumn("r1", sum(col("na1")).over(full) -
+          coalesce(sum(col("na1")).over(before), lit(0L)))
+        .withColumn("r2", sum(col("na2")).over(full) -
+          coalesce(sum(col("na2")).over(before), lit(0L)))
+        .filter(col("d1") + col("d2") > 0)
+      val terms = risk.select(
+        expr("""cast(round(1e6 * (cast(d1 as double)
+          - cast(d1 + d2 as double) * cast(r1 as double) / cast(r1 + r2 as double)))
+          as bigint)""").as("oe_micro"),
+        expr("""cast(round(1e6 * cast(d1 + d2 as double)
+          * (cast(r1 as double) / cast(r1 + r2 as double))
+          * (cast(r2 as double) / cast(r1 + r2 as double))
+          * cast(r1 + r2 - d1 - d2 as double)
+          / cast(nullif(r1 + r2 - 1, 0) as double)) as bigint)""").as("v_micro"))
+      terms.agg(count(lit(1)).as("n_times"),
+          sum(col("oe_micro")).as("o_minus_e_micro"),
+          sum(col("v_micro")).as("var_micro"))
+        .select(col("n_times"), col("o_minus_e_micro"), col("var_micro"),
+          expr("""cast(round(1000.0 * cast(o_minus_e_micro as double)
+            / sqrt(1e6 * cast(var_micro as double))) as bigint)""").as("z_milli"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+               max(CAST(ts AS DATE)) AS last_day
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      h AS (SELECT max(last_day) AS horizon FROM u),
+      lf AS (
+        SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT) AS life,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na1,
+               CAST(sum(CASE WHEN user_id % 2 = 0 AND last_day <> horizon THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na2,
+               CAST(sum(CASE WHEN user_id % 2 = 1 AND last_day <> horizon THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        FROM u, h GROUP BY 1),
+      risk AS (
+        SELECT life, d1, d2,
+               CAST(sum(na1) OVER () -
+                 coalesce(sum(na1) OVER (ORDER BY life
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS r1,
+               CAST(sum(na2) OVER () -
+                 coalesce(sum(na2) OVER (ORDER BY life
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS r2
+        FROM lf),
+      terms AS (
+        SELECT
+          cast(round(1e6 * (cast(d1 as double)
+            - cast(d1 + d2 as double) * cast(r1 as double) / cast(r1 + r2 as double)))
+            as bigint) AS oe_micro,
+          cast(round(1e6 * cast(d1 + d2 as double)
+            * (cast(r1 as double) / cast(r1 + r2 as double))
+            * (cast(r2 as double) / cast(r1 + r2 as double))
+            * cast(r1 + r2 - d1 - d2 as double)
+            / cast(nullif(r1 + r2 - 1, 0) as double)) as bigint) AS v_micro
+        FROM risk WHERE d1 + d2 > 0)
+      SELECT CAST(count(*) AS BIGINT) AS n_times,
+             CAST(sum(oe_micro) AS BIGINT) AS o_minus_e_micro,
+             CAST(sum(v_micro) AS BIGINT) AS var_micro,
+             cast(round(1000.0 * cast(sum(oe_micro) as double)
+               / sqrt(1e6 * cast(sum(v_micro) as double))) as bigint) AS z_milli
+      FROM terms"""))
+
   val all: Seq[Q] = Seq(theilSen, kendall, kaplanMeier, abSequential,
-    mannWhitney, chiSquare, periodogram)
+    mannWhitney, chiSquare, periodogram, logRank)
 }

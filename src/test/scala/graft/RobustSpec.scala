@@ -152,6 +152,39 @@ class RobustSpec extends SparkSpec {
     }
   }
 
+  test("q_log_rank equals a sequential hypergeometric recomputation") {
+    val users = Tables.load(spark, sf001, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("f"), max(to_date(col("ts"))).as("l"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+    val horizon = users.map(_._3).max
+    // (lifetime, death?, cohort)
+    val lives = users.map { case (uid, f, l) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(f, l), l != horizon, uid % 2)
+    }
+    val times = lives.filter(_._2).map(_._1).distinct.sorted
+    var oe = 0L; var vv = 0L; var nT = 0L
+    times.foreach { t =>
+      val r1 = lives.count(x => x._1 >= t && x._3 == 0).toLong
+      val r2 = lives.count(x => x._1 >= t && x._3 == 1).toLong
+      val d1 = lives.count(x => x._1 == t && x._2 && x._3 == 0).toLong
+      val d2 = lives.count(x => x._1 == t && x._2 && x._3 == 1).toLong
+      val n = r1 + r2; val d = d1 + d2
+      if (d > 0) {
+        nT += 1
+        oe += math.round(1e6 * (d1.toDouble - d.toDouble * r1 / n))
+        vv += math.round(1e6 * d.toDouble * (r1.toDouble / n) * (r2.toDouble / n) *
+          (n - d) / (n - 1).toDouble)
+      }
+    }
+    val r = graft.ops.Robust.logRank.fn(spark, sf001).head()
+    assert(r.getAs[Long]("n_times") == nT)
+    assert(r.getAs[Long]("o_minus_e_micro") == oe,
+      s"O-E ${r.getAs[Long]("o_minus_e_micro")} vs $oe")
+    assert(r.getAs[Long]("var_micro") == vv)
+  }
+
   test("q_kaplan_meier equals a sequential KM recomputation; curve monotone") {
     val users = Tables.load(spark, sf001, "events")
       .filter(col("user_id").isNotNull)
