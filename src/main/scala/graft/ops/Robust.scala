@@ -62,6 +62,10 @@ object Robust {
       val q1 = (nd + 1) / 2; val q2 = nd / 2 + 1
       val icept = res.filter(col("rn") === q1 || col("rn") === q2)
         .agg(avg(col("res"))).head().getDouble(0)
+      // drop the cache entry: the daily() subplan is shared across
+      // queries, and a live cache registration would substitute
+      // InMemoryRelation into every later plan-equal sibling
+      dd.unpersist()
       s.createDataFrame(Seq((nd, pn,
           math.round(slope * 1e6), math.round(icept * 1e6))))
         .toDF("n_days", "n_pairs", "slope_micro", "icept_micro")
@@ -97,7 +101,11 @@ object Robust {
   val kendall: Q = Q(
     "q_kendall",
     (s, dir) => {
-      val dd = daily(s, dir).persist()
+      // no persist: the two sides of the self-join share one canonical
+      // aggregate subtree, which exchange reuse dedups at execution —
+      // and a live cache entry on the shared daily() subplan would
+      // leak InMemoryRelation into every later plan-equal query
+      val dd = daily(s, dir)
       val pairs = dd.select(col("d").as("da"), col("cents").as("xa"), col("n_ev").as("ya"))
         .join(dd.select(col("d").as("db"), col("cents").as("xb"), col("n_ev").as("yb")),
           col("da") < col("db"))
@@ -592,6 +600,95 @@ object Robust {
                / sqrt(1e6 * cast(sum(v_micro) as double))) as bigint) AS z_milli
       FROM terms"""))
 
+  /** SEASONAL DECOMPOSITION (STL-lite) of the daily revenue series:
+    * trend = centered 7-day moving average, seasonal = centered
+    * day-of-week means of the detrended series, remainder = the rest —
+    * the additive decomposition behind every "is Monday really down?"
+    * dashboard, stated exactly.
+    *
+    * Exactness staging: the MA stays INTEGER by working in ×7 units
+    * (sum of a 7-row frame, emitted only where the frame is full);
+    * detrended values 7·cents − Σ₇ are BIGINT; day-of-week means and
+    * their grand-mean centering are fixed double chains over the
+    * 7-row dow aggregate (frame-ordered window sum — deterministic on
+    * both engines), micro-rounded once; the remainder reconciles
+    * micro-exactly: trend + seasonal + remainder = 1e6·cents on every
+    * interior day BY CONSTRUCTION (the spec asserts it). Edges
+    * (first/last 3 days) carry null trend/remainder, the honest STL
+    * convention. One corpus scan; everything after is the 30-row
+    * day frame. */
+  val seasonalDecomp: Q = Q(
+    "q_seasonal_decomp",
+    (s, dir) => {
+      val dd = daily(s, dir).select(col("d"), col("cents"))
+      val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+      val t7 = dd
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("sum7", sum(col("cents")).over(w7))
+        .withColumn("det7",
+          when(col("n7") === 7, lit(7L) * col("cents") - col("sum7")))
+        .withColumn("dow", col("d") % 7)
+      val dows = t7.filter(col("det7").isNotNull)
+        .groupBy("dow")
+        .agg(sum(col("det7")).as("sd"), count(lit(1)).as("n"))
+      val fullFrame = Window.orderBy("dow")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val seas = dows
+        .withColumn("raw", col("sd").cast("double") /
+          (lit(7.0) * col("n").cast("double")))
+        .withColumn("grand", sum(col("raw")).over(fullFrame) / lit(7.0))
+        .select(col("dow"),
+          round((col("raw") - col("grand")) * 1e6, 0).cast("long")
+            .as("seasonal_micro"))
+      t7.join(broadcast(seas), Seq("dow"))
+        .select(col("d"), col("cents"),
+          when(col("n7") === 7,
+            round(col("sum7").cast("double") * 1e6 / 7.0, 0).cast("long"))
+            .as("trend_micro"),
+          col("seasonal_micro"),
+          when(col("n7") === 7,
+            lit(1000000L) * col("cents") -
+              round(col("sum7").cast("double") * 1e6 / 7.0, 0).cast("long") -
+              col("seasonal_micro")).as("remainder_micro"))
+        .orderBy("d")
+    },
+    Some("""
+      WITH dd AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+      t7 AS (
+        SELECT d, cents, d % 7 AS dow,
+               CAST(count(*) OVER w AS BIGINT) AS n7,
+               CAST(sum(cents) OVER w AS BIGINT) AS sum7
+        FROM dd
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      det AS (
+        SELECT dow, CAST(sum(7 * cents - sum7) AS BIGINT) AS sd,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t7 WHERE n7 = 7 GROUP BY dow),
+      seas AS (
+        SELECT dow,
+               CAST(round((raw - grand) * 1e6) AS BIGINT) AS seasonal_micro
+        FROM (
+          SELECT dow, raw,
+                 sum(raw) OVER (ORDER BY dow ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) / 7.0 AS grand
+          FROM (SELECT dow,
+                       CAST(sd AS DOUBLE) / (7.0 * CAST(n AS DOUBLE)) AS raw
+                FROM det)))
+      SELECT d, cents,
+             CASE WHEN n7 = 7
+               THEN CAST(round(CAST(sum7 AS DOUBLE) * 1e6 / 7.0) AS BIGINT) END
+               AS trend_micro,
+             seasonal_micro,
+             CASE WHEN n7 = 7
+               THEN 1000000 * cents
+                 - CAST(round(CAST(sum7 AS DOUBLE) * 1e6 / 7.0) AS BIGINT)
+                 - seasonal_micro END AS remainder_micro
+      FROM t7 JOIN seas USING (dow)
+      ORDER BY d"""))
+
   val all: Seq[Q] = Seq(theilSen, kendall, kaplanMeier, abSequential,
-    mannWhitney, chiSquare, periodogram, logRank)
+    mannWhitney, chiSquare, periodogram, logRank, seasonalDecomp)
 }

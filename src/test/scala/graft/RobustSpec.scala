@@ -152,6 +152,23 @@ class RobustSpec extends SparkSpec {
     }
   }
 
+  test("q_seasonal_decomp: components reconcile and seasonals are centered") {
+    val rows = graft.ops.Robust.seasonalDecomp.fn(spark, sf001).collect()
+    assert(rows.length == 30)
+    val interior = rows.filter(!_.isNullAt(2))
+    assert(interior.length == 24, "3-day edges on each side carry null trend")
+    // exact reconciliation on every interior day
+    interior.foreach { r =>
+      val cents = r.getLong(1)
+      val sum = r.getLong(2) + r.getLong(3) + r.getLong(4)
+      assert(sum == 1000000L * cents, s"decomposition must reconcile: $r")
+    }
+    // seasonal components centered: the 7 dow values sum to ~0
+    val seas = rows.map(r => (r.getLong(0) % 7) -> r.getLong(3)).toMap
+    assert(seas.size == 7)
+    assert(math.abs(seas.values.sum) <= 7, s"seasonals not centered: $seas")
+  }
+
   test("q_log_rank equals a sequential hypergeometric recomputation") {
     val users = Tables.load(spark, sf001, "events")
       .filter(col("user_id").isNotNull)
