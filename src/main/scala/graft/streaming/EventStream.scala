@@ -1283,8 +1283,149 @@ object EventStream {
              TRUE AS ok
       FROM tgt t ORDER BY event_type, phi_permille"""))
 
+  case class AsofEmit(purchase_id: Long, user_id: Long,
+      last_click_value: Option[Double])
+
+  /** STREAM-STREAM AS-OF JOIN — the custom batch exec's semantics
+    * ([[graft.plans.AsofJoinExec]]: latest click at-or-before each
+    * purchase, per user) made INCREMENTAL with bounded state: a
+    * flatMapGroupsWithState sweep that buffers per-user clicks and
+    * pending purchases, emits a purchase only once the watermark
+    * passes its event time (no earlier click can still arrive — the
+    * watermark contract), and evicts clicks down to "latest at-or-
+    * below the watermark plus everything newer" (exactly what any
+    * future purchase can still reference). An event-time timeout
+    * re-awakens users whose pending purchases mature in a batch that
+    * brings them no new rows. Purchases newer than the final
+    * watermark stay withheld in state, by contract — the oracle's
+    * horizon predicate, as in the other watermarked replays. */
+  def asofStream(ev: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, String, Long, Double)])
+      : org.apache.spark.sql.Dataset[AsofEmit] = {
+    import ev.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    // state: (clicks (tsUs, value) ascending, pending purchases (id, tsUs))
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, java.sql.Timestamp, String, Long, Double)],
+         state: GroupState[(List[(Long, Double)], List[(Long, Long)])]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val rows = batch.toList
+          val (clicks0, pending0) = state.getOption.getOrElse((Nil, Nil))
+          val clicks = (clicks0 ++ rows.collect {
+            case (_, t, "click", _, v) => (us(t), v) }).sortBy(c => (c._1, c._2))
+          val pending = pending0 ++ rows.collect {
+            case (_, t, "purchase", id, _) => (id, us(t)) }
+          val (ripe, keep) = pending.partition(_._2 / 1000L <= wmMs)
+          val out = ripe.sortBy(_._1).map { case (id, t) =>
+            val prior = clicks.filter(_._1 <= t)
+            AsofEmit(id, user, prior.lastOption.map(_._2))
+          }
+          // evict: latest click at-or-below the watermark + all newer
+          val below = clicks.filter(_._1 / 1000L <= wmMs)
+          val keptClicks = (if (below.nonEmpty) List(below.last) else Nil) ++
+            clicks.filter(_._1 / 1000L > wmMs)
+          if (keep.isEmpty && keptClicks.isEmpty) state.remove()
+          else {
+            state.update((keptClicks, keep))
+            if (keep.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(keep.map(_._2 / 1000L).min, wmMs + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** Driver-visible stream-stream as-of: the events table staged in
+    * RANGE-ORDERED time slices (repartitionByRange on ts → file k is
+    * a contiguous time band, discovered in band order), so the
+    * replay's watermark advances monotonically and every purchase's
+    * prior clicks land on or before its own slice — the arrival
+    * discipline a production landing zone provides. Two far-future
+    * SENTINEL click files (a user id no real event carries) then
+    * push the watermark past all real data and guarantee the flush
+    * batches in which the remaining timeouts fire — emission depends
+    * on pinned file order, never on whether the runtime happens to
+    * schedule a trailing empty batch. With the horizon forced past
+    * everything, the oracle is simply the FULL DuckDB ASOF LEFT
+    * JOIN — the identical twin of `q_asof_exec`'s, completing the
+    * as-of triangle: window composition ≡ custom physical operator ≡
+    * streaming state sweep, all three against one oracle. ≥4 data
+    * batches REQUIRED in-query. */
+  val streamAsof: Q = Q(
+    "q_stream_asof",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("event_id"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val stage = stagePath(s, "graft_stream_asof")
+      val fs = new org.apache.hadoop.fs.Path(stage)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(stage)
+      // PIN each slice's modification time in range order: the file
+      // source orders ties arbitrarily, and a later-time slice
+      // arriving early would advance the watermark past the middle
+      // slices — whose rows the stateful operator then drops as late
+      val t0 = System.currentTimeMillis()
+      fs.globStatus(new org.apache.hadoop.fs.Path(stage, "part-*"))
+        .sortBy(_.getPath.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          fs.setTimes(f.getPath, t0 + 60000L * i, -1) }
+      // two flush waves, each touching EVERY user's group: wave 1
+      // advances the watermark past all real data (computed at batch
+      // end), wave 2 re-invokes every group under that watermark so
+      // all pending purchases emit on the plain data path — no
+      // reliance on the runtime's timeout scheduling. The waves are
+      // far-future clicks on real users; no purchase follows them, so
+      // they can never become an as-of answer.
+      def sentinel(name: String, hoursAhead: Long, mtime: Long): Unit = {
+        val rows = ev.select(col("user_id")).distinct().select(
+          col("user_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + hoursAhead * 3600 * 1000))
+            .as("ts"),
+          lit("click").as("event_type"), lit(-1L).as("event_id"),
+          lit(0.0).as("value"))
+        val tmp = new org.apache.hadoop.fs.Path(s"$stage/_tmp_$name")
+        rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*"))(0).getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$stage/$name.parquet")
+        fs.rename(part, dst)
+        fs.delete(tmp, true)
+        fs.setTimes(dst, mtime, -1) // pinned to arrive AFTER the slices
+      }
+      sentinel("z1_flush", 4, System.currentTimeMillis() + 3600000L)
+      sentinel("z2_flush", 5, System.currentTimeMillis() + 7200000L)
+      val local = narrowedSession(s, 4)
+      val stream = local.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .withWatermark("ts", "2 hours")
+        .as[(Long, java.sql.Timestamp, String, Long, Double)]
+      val sink = "graft_stream_asof_sink"
+      val sq = asofStream(stream)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val dataBatches = sq.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 4,
+        s"stream-asof replay degenerated to $dataBatches data micro-batches")
+      local.table(sink).orderBy("purchase_id")
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, p.user_id, c.value AS last_click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id"""))
+
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
     streamJoinOuter, streamJoinFull, streamState, streamTimeoutSessions, streamFunnel,
     streamMerge, streamQuarantine, streamNtz, streamEnrich, streamLate,
-    streamHeavyHitters, streamRestPager, streamQuantile)
+    streamHeavyHitters, streamRestPager, streamQuantile, streamAsof)
 }
