@@ -966,6 +966,165 @@ object Classifier {
       FROM g JOIN ff ON g.level = ff.level
       ORDER BY g.level"""))
 
+  /** DEPTH-2 DECISION TREE, exactly — [[qualityStump]]'s histogram
+    * split-finder CHAINED: the root split is the accuracy-argmax over
+    * all (feature, threshold, polarity) candidates, the two branches
+    * then re-run the same exact histogram pass partitioned by branch.
+    * Target: lang = 'en' (the stump features carry stopword/wordlen
+    * signal the langId heuristic itself uses, so the splits are
+    * meaningful but NOT perfect — both levels do real work, unlike
+    * the stopword label whose root split is already pure).
+    *
+    * Determinism is the argmax discipline: winners are picked by
+    * (correct DESC, feature ASC, polarity ASC, threshold ASC) — a
+    * total order both engines state identically (Spark:
+    * TakeOrdered 1 / a row_number window over the branch-domain
+    * candidate frame; DuckDB: the same ORDER BY). Counts are all
+    * BIGINT histogram sums; no doubles anywhere.
+    *
+    * Scale shape: TWO corpus-histogram passes (one per level — the
+    * distributed-GBDT cadence), each map-side-combinable, windows
+    * only over the (feature × distinct-value) aggregate; the root
+    * pick is a bounded 1-row collect, branch assignment one
+    * doc-keyed join. Output: the fitted tree (root + per-branch
+    * splits with their best-leaf correct counts). */
+  val treeDepth2: Q = Q(
+    "q_tree_depth2",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val feats = featureFrame(docs)
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y2")), "doc_id")
+      val long = feats.select(col("doc_id"), col("y2").as("y"), explode(array(
+          Seq("stop_ratio_m", "rep_ratio_m", "mean_wlen_c", "n_tok").map(f =>
+            struct(lit(f).as("feature"), col(f).as("v"))): _*)).as("fv"))
+        .select(col("doc_id"), col("fv.feature").as("feature"),
+          col("fv.v").as("v"), col("y"))
+        .persist() // level-1 histogram + branch lookup + level-2 histogram
+      def scoredOf(df: DataFrame, extraKey: Seq[String]): DataFrame = {
+        val keys = (extraKey :+ "feature").map(col)
+        val hist = df.groupBy((extraKey ++ Seq("feature", "v")).map(col): _*)
+          .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"),
+            sum(when(col("y") === -1L, 1L).otherwise(0L)).as("neg"))
+        val w = Window.partitionBy(keys: _*).orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy(keys: _*)
+        hist
+          .withColumn("cum_pos", sum(col("pos")).over(w))
+          .withColumn("cum_neg", sum(col("neg")).over(w))
+          .withColumn("tot_pos", sum(col("pos")).over(tot))
+          .withColumn("tot_neg", sum(col("neg")).over(tot))
+          .withColumn("c_gt", col("tot_pos") - col("cum_pos") + col("cum_neg"))
+          .withColumn("c_le", col("cum_pos") + col("tot_neg") - col("cum_neg"))
+      }
+      def candidates(scored: DataFrame, extra: Seq[String]): DataFrame = {
+        val base = (extra ++ Seq("feature", "v")).map(col)
+        scored.select(base :+ lit("gt").as("pol") :+ col("c_gt").as("correct"): _*)
+          .unionByName(scored.select(
+            base :+ lit("le").as("pol") :+ col("c_le").as("correct"): _*))
+      }
+      val rootRow = candidates(scoredOf(long, Nil), Nil)
+        .orderBy(col("correct").desc, col("feature"), col("pol"), col("v"))
+        .limit(1).head()
+      val (rf, rthr, rcorrect) =
+        (rootRow.getAs[String]("feature"), rootRow.getAs[Long]("v"),
+          rootRow.getAs[Long]("correct"))
+      val nTotal = feats.count()
+      val branch = long.filter(col("feature") === rf)
+        .select(col("doc_id"),
+          when(col("v") <= rthr, "le").otherwise("gt").as("branch"))
+      val long2 = long.join(branch, "doc_id")
+      val cand2 = candidates(scoredOf(long2, Seq("branch")), Seq("branch"))
+      val wB = Window.partitionBy("branch")
+        .orderBy(col("correct").desc, col("feature"), col("pol"), col("v"))
+      val best2 = cand2.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") === 1)
+        .join(long2.groupBy("branch")
+          .agg(countDistinct(col("doc_id")).as("n")), "branch")
+        .select(col("branch").as("node"), col("feature"), col("v").as("thr"),
+          col("n"), col("correct"))
+      val rootOut = s.createDataFrame(Seq(("root", rf, rthr, nTotal, rcorrect)))
+        .toDF("node", "feature", "thr", "n", "correct")
+      rootOut.unionByName(best2).orderBy("node")
+    },
+    Some(s"""
+      WITH $featsSql,
+      f2 AS (
+        SELECT f.doc_id,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS y,
+               f.stop_ratio_m, f.rep_ratio_m, f.mean_wlen_c, f.n_tok
+        FROM feats f JOIN documents d USING (doc_id)),
+      lng AS (
+        SELECT doc_id, 'stop_ratio_m' AS feature, stop_ratio_m AS v, y FROM f2
+        UNION ALL SELECT doc_id, 'rep_ratio_m', rep_ratio_m, y FROM f2
+        UNION ALL SELECT doc_id, 'mean_wlen_c', mean_wlen_c, y FROM f2
+        UNION ALL SELECT doc_id, 'n_tok', n_tok, y FROM f2),
+      s1 AS (
+        SELECT feature, v,
+               sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+               sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS neg
+        FROM lng GROUP BY feature, v),
+      c1 AS (
+        SELECT feature, v,
+               sum(pos) OVER (PARTITION BY feature ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum_pos,
+               sum(neg) OVER (PARTITION BY feature ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum_neg,
+               sum(pos) OVER (PARTITION BY feature) AS tot_pos,
+               sum(neg) OVER (PARTITION BY feature) AS tot_neg
+        FROM s1),
+      cand1 AS (
+        SELECT feature, v, 'gt' AS pol,
+               tot_pos - cum_pos + cum_neg AS correct FROM c1
+        UNION ALL
+        SELECT feature, v, 'le', cum_pos + tot_neg - cum_neg FROM c1),
+      root AS (
+        SELECT feature, v, correct FROM cand1
+        ORDER BY correct DESC, feature, pol, v LIMIT 1),
+      br AS (
+        SELECT l.doc_id,
+               CASE WHEN l.v <= root.v THEN 'le' ELSE 'gt' END AS branch
+        FROM lng l, root WHERE l.feature = root.feature),
+      lng2 AS (SELECT l.doc_id, br.branch, l.feature, l.v, l.y
+               FROM lng l JOIN br USING (doc_id)),
+      s2 AS (
+        SELECT branch, feature, v,
+               sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+               sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS neg
+        FROM lng2 GROUP BY branch, feature, v),
+      c2 AS (
+        SELECT branch, feature, v,
+               sum(pos) OVER (PARTITION BY branch, feature ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum_pos,
+               sum(neg) OVER (PARTITION BY branch, feature ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum_neg,
+               sum(pos) OVER (PARTITION BY branch, feature) AS tot_pos,
+               sum(neg) OVER (PARTITION BY branch, feature) AS tot_neg
+        FROM s2),
+      cand2 AS (
+        SELECT branch, feature, v, 'gt' AS pol,
+               tot_pos - cum_pos + cum_neg AS correct FROM c2
+        UNION ALL
+        SELECT branch, feature, v, 'le', cum_pos + tot_neg - cum_neg FROM c2),
+      best2 AS (
+        SELECT branch, feature, v, correct,
+               row_number() OVER (PARTITION BY branch
+                 ORDER BY correct DESC, feature, pol, v) AS rk
+        FROM cand2),
+      bn AS (SELECT branch, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+             FROM lng2 GROUP BY branch),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f2)
+      SELECT 'root' AS node, root.feature, CAST(root.v AS BIGINT) AS thr,
+             nt.n, CAST(root.correct AS BIGINT) AS correct
+      FROM root, nt
+      UNION ALL
+      SELECT b.branch, b.feature, CAST(b.v AS BIGINT), bn.n,
+             CAST(b.correct AS BIGINT)
+      FROM best2 b JOIN bn USING (branch) WHERE b.rk = 1
+      ORDER BY node"""))
+
   val all: Seq[Q] = Seq(qualityStump, evalMetrics, rocAuc, calibration,
-    cohensKappa, logregTrain, miFeatures, nbTrain, liftCurve, isotonic)
+    cohensKappa, logregTrain, miFeatures, nbTrain, liftCurve, isotonic,
+    treeDepth2)
 }

@@ -332,6 +332,19 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("q_tree_depth2: branches tile the corpus and never undercut the root") {
+    val rows = Classifier.treeDepth2.fn(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("correct"))).toMap
+    assert(rows.keySet == Set("root", "le", "gt"))
+    val (nRoot, cRoot) = rows("root")
+    assert(rows("le")._1 + rows("gt")._1 == nRoot, "branches must tile the corpus")
+    // each branch's best split can at worst replicate the root's leaf
+    // labeling, so depth-2 correct >= depth-1 correct
+    val c2 = rows("le")._2 + rows("gt")._2
+    assert(c2 >= cRoot, s"depth-2 $c2 undercuts root $cRoot")
+    assert(cRoot > nRoot / 2, "root must beat the majority-class baseline")
+  }
+
   test("q_isotonic: monotone fit that preserves total mass") {
     val rows = Classifier.isotonic.fn(spark, sf001).collect()
     assert(rows.nonEmpty)
