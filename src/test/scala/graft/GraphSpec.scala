@@ -392,6 +392,60 @@ class GraphSpec extends SparkSpec {
     assert(ops.Graph.kCore(edges, 6).count() == 0)
   }
 
+  /** Sequential Brandes for the pinned source set. */
+  private def brandesRef(edges: Seq[(Long, Long)], sources: Seq[Long]): Map[Long, Double] = {
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (x, ys) => x -> ys.map(_._2) }
+    val acc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    sources.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L).withDefaultValue(0L)
+      val order = scala.collection.mutable.ArrayBuffer(s)
+      var i = 0
+      while (i < order.size) {
+        val v = order(i); i += 1
+        adj.getOrElse(v, Nil).foreach { w =>
+          if (!dist.contains(w)) { dist(w) = dist(v) + 1; order += w }
+          if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+        }
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      order.reverse.foreach { w =>
+        adj.getOrElse(w, Nil).foreach { v =>
+          if (dist.contains(v) && dist(v) == dist(w) - 1)
+            delta(v) += sigma(v).toDouble / sigma(w) * (1.0 + delta(w))
+        }
+      }
+      delta.foreach { case (v, d) => if (v != s) acc(v) += d }
+    }
+    sources.foreach(acc.remove)
+    acc.toMap
+  }
+
+  test("betweenness == sequential Brandes on fixtures and a seeded random graph") {
+    import spark.implicits._
+    // path graph 0-1-2-3-4 from source 0: delta = (3,2,1,0) on 1..4
+    val path = (0L until 4L).map(i => (i, i + 1))
+    val gotPath = ops.Graph.betweenness(path.toDF("u", "v"), Seq(0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPath == Map(1L -> 3000L, 2L -> 2000L, 3L -> 1000L, 4L -> 0L), gotPath)
+    val rnd = new scala.util.Random(101)
+    val edges = (0 until 120).map { _ =>
+      val u = rnd.nextInt(30).toLong; val v = rnd.nextInt(30).toLong
+      (math.min(u, v), math.max(u, v))
+    }.filter(e => e._1 != e._2).distinct
+    val sources = Seq(0L, 1L, 2L)
+    val got = ops.Graph.betweenness(edges.toDF("u", "v"), sources)
+      .collect().map(r => r.getLong(0) -> r.getLong(1) / 1000.0).toMap
+    val want = brandesRef(edges, sources)
+    val keys = (got.keySet ++ want.keySet).filterNot(sources.contains)
+    keys.foreach { v =>
+      val g = got.getOrElse(v, 0.0); val w = want.getOrElse(v, 0.0)
+      assert(math.abs(g - w) <= 0.002 + 1e-6 * math.abs(w),
+        s"vertex $v: $g vs $w")
+    }
+  }
+
   test("k-core == sequential reference on seeded random graphs") {
     import spark.implicits._
     for (seed <- Seq(11, 23)) {
