@@ -633,6 +633,221 @@ object Retrieval {
       FROM ph LEFT JOIN hits ON ph.phrase = hits.phrase
       GROUP BY ph.phrase ORDER BY ph.phrase"""))
 
+  /** N-SOURCE WEIGHTED reciprocal-rank fusion — [[hybrid]] generalized
+    * from the 2-way full-outer-join spelling to the union-and-regroup
+    * shape that scales to any retriever count: each source emits
+    * (query, doc, w·round(1e6/(60+rank))) contribution rows, the fuse
+    * is ONE groupBy-sum over their union. With N sources a chain of
+    * full outer joins is N−1 shuffles of widening null-padded rows;
+    * the union is a single aggregate over k·|queries|·N tiny rows —
+    * the associative formulation is the one you'd run at 100 TB fan-in.
+    *
+    * Sources over the fixed [[queryList]] workload, weights encoding
+    * a precision prior:
+    *   - BM25 top-20 (weight 3) — the graded lexical ranker;
+    *   - adjacent-bigram PHRASE ranker (weight 2): docs ranked by
+    *     total occurrences of the query's consecutive term pairs
+    *     (the positional-postings evidence BM25's bag-of-words
+    *     scoring cannot see);
+    *   - hashed-TFIDF dot product (weight 1): the 32-bucket
+    *     hashing-trick featurization scored query·doc — exact BIGINT
+    *     arithmetic end to end.
+    *
+    * Determinism: every per-source contribution is an integer (the
+    * one rounded division per rank), each source's ranks tie-break on
+    * doc_id, and the fused sum is order-free BIGINT. Scale shape: the
+    * corpus-sized positional postings are pruned by broadcast
+    * semi-joins on the query bigram vocabulary BEFORE the adjacency
+    * self-join; the tfidf side's shuffle is (doc × 32)-bounded; the
+    * fuse touches only candidate rows. */
+  val rrfWeighted: Q = Q(
+    "q_rrf_weighted",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val post = docs.select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .persist() // probed by the phrase side (twice) and the tfidf tf side
+      // source 1: BM25 top-20
+      val bm = bm25TopK(s, docs, 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      // source 2: adjacent-bigram phrase ranker
+      val bigrams = queryList.flatMap { case (qid, qtext) =>
+        val ts = qtext.split(" ")
+        ts.zip(ts.tail).map { case (a, b) => (qid, a, b) }
+      }.toDF("query_id", "t1", "t2")
+      val lhs = post.join(broadcast(
+          bigrams.select(col("t1").as("tok")).distinct()), Seq("tok"))
+        .select(col("doc_id"), col("pos"), col("tok").as("t1"))
+      val rhs = post.join(broadcast(
+          bigrams.select(col("t2").as("tok")).distinct()), Seq("tok"))
+        .select(col("doc_id"), (col("pos") - 1).as("pos"), col("tok").as("t2"))
+      val wPh = Window.partitionBy("query_id")
+        .orderBy(col("n_occ").desc, col("doc_id").asc)
+      val ph = lhs.join(rhs, Seq("doc_id", "pos"))
+        .join(broadcast(bigrams), Seq("t1", "t2"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_occ"))
+        .withColumn("rank", row_number().over(wPh).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+      // source 3: hashed-TFIDF dot product (32-bucket hashing trick)
+      val hex = md5(col("tok").cast("binary"))
+      def nib(i: Int) = {
+        val a = ascii(substring(hex, i, 1))
+        a - when(a >= 97, 87).otherwise(48)
+      }
+      val bucket = ((nib(1) * 16 + nib(2)) % 32).cast("long")
+      val tf = post.select(col("doc_id"), bucket.as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      val nTot = docs.agg(count(lit(1)).as("n_tot"))
+      val idf = tf.groupBy("b").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nTot))
+        .select(col("b"), floor(lit(1000000.0) *
+          log((col("n_tot") + 1).cast("double") / (col("df") + 1).cast("double")))
+          .cast("long").as("idf_micro"))
+      val qb = queryList.toDF("query_id", "qtext")
+        .select(col("query_id"), explode(split(col("qtext"), " ")).as("tok"))
+        .select(col("query_id"), bucket.as("b"))
+        .groupBy("query_id", "b").agg(count(lit(1)).as("qtf"))
+      val wTf = Window.partitionBy("query_id")
+        .orderBy(col("dot").desc, col("doc_id").asc)
+      val tfidfR = tf.join(broadcast(idf), Seq("b"))
+        .join(broadcast(qb), Seq("b"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("qtf") * col("tf") * col("idf_micro")).as("dot"))
+        .withColumn("rank", row_number().over(wTf).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+      val contrib = (r: Column, w: Int) =>
+        lit(w.toLong) * round(lit(1000000.0) / (lit(60) + r), 0).cast("long")
+      val contribs = bm
+        .select(col("query_id"), col("doc_id"), contrib(col("rank"), 3).as("c"))
+        .unionByName(ph.select(col("query_id"), col("doc_id"),
+          contrib(col("rank"), 2).as("c")))
+        .unionByName(tfidfR.select(col("query_id"), col("doc_id"),
+          contrib(col("rank"), 1).as("c")))
+      val wF = Window.partitionBy("query_id")
+        .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      contribs.groupBy("query_id", "doc_id")
+        .agg(sum(col("c")).as("rrf_micro"))
+        .withColumn("rank", row_number().over(wF).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "rrf_micro")
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH post AS (
+        SELECT doc_id, t AS tok
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+              FROM documents)
+        WHERE t <> ''),
+      tfl AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM post GROUP BY doc_id, tok),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM post GROUP BY doc_id),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl),
+      q AS (
+        SELECT 0 AS query_id, unnest(['hash','join','table']) AS tok
+        UNION ALL
+        SELECT 1, unnest(['scan','filter','query','dup'])
+        UNION ALL
+        SELECT 2, unnest(['stream','window','batch'])),
+      matched AS (SELECT q.query_id, tfl.doc_id, tfl.tok, tfl.tf
+                  FROM tfl JOIN q ON tfl.tok = q.tok),
+      df_ AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM matched GROUP BY tok),
+      scoredbm AS (
+        SELECT m.query_id, m.doc_id,
+               CAST(round(
+                 ln(1.0 + (stats.n - df_.df + 0.5) / (df_.df + 0.5)) *
+                 m.tf * 2.2 /
+                 (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl * stats.n / stats.s)) *
+                 1000000.0) AS BIGINT) AS m
+        FROM matched m
+        JOIN df_ ON m.tok = df_.tok
+        JOIN dl ON m.doc_id = dl.doc_id
+        CROSS JOIN stats),
+      bm AS (SELECT query_id, doc_id, rank FROM (
+               SELECT query_id, doc_id,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+               FROM (SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+                     FROM scoredbm GROUP BY query_id, doc_id))
+             WHERE rank <= 20),
+      bg AS (
+        SELECT 0 AS query_id, 'hash' AS t1, 'join' AS t2
+        UNION ALL SELECT 0, 'join', 'table'
+        UNION ALL SELECT 1, 'scan', 'filter'
+        UNION ALL SELECT 1, 'filter', 'query'
+        UNION ALL SELECT 1, 'query', 'dup'
+        UNION ALL SELECT 2, 'stream', 'window'
+        UNION ALL SELECT 2, 'window', 'batch'),
+      darr AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, toks[i] AS t1, toks[i+1] AS t2
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM darr)
+        WHERE i + 1 <= len(toks)),
+      ph AS (SELECT query_id, doc_id, rank FROM (
+               SELECT query_id, doc_id,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY n_occ DESC, doc_id ASC) AS BIGINT) AS rank
+               FROM (SELECT bg.query_id, p.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+                     FROM pairs p JOIN bg ON p.t1 = bg.t1 AND p.t2 = bg.t2
+                     GROUP BY bg.query_id, p.doc_id))
+             WHERE rank <= 20),
+      tfb AS (
+        SELECT doc_id,
+               ((ascii(substr(md5(tok), 1, 1)) -
+                 CASE WHEN ascii(substr(md5(tok), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+                (ascii(substr(md5(tok), 2, 1)) -
+                 CASE WHEN ascii(substr(md5(tok), 2, 1)) >= 97 THEN 87 ELSE 48 END)) % 32 AS b,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM post GROUP BY doc_id, b),
+      ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+      idf AS (
+        SELECT b, CAST(floor(1000000.0 *
+                 ln(CAST(n_tot + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)))
+               AS BIGINT) AS idf_micro
+        FROM (SELECT b, CAST(count(*) AS BIGINT) AS df FROM tfb GROUP BY b)
+        CROSS JOIN ntot),
+      qb AS (
+        SELECT query_id,
+               ((ascii(substr(md5(tok), 1, 1)) -
+                 CASE WHEN ascii(substr(md5(tok), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+                (ascii(substr(md5(tok), 2, 1)) -
+                 CASE WHEN ascii(substr(md5(tok), 2, 1)) >= 97 THEN 87 ELSE 48 END)) % 32 AS b,
+               CAST(count(*) AS BIGINT) AS qtf
+        FROM q GROUP BY query_id, b),
+      tfr AS (SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY dot DESC, doc_id ASC) AS BIGINT) AS rank
+                FROM (SELECT qb.query_id, t.doc_id,
+                             CAST(sum(qb.qtf * t.tf * idf.idf_micro) AS BIGINT) AS dot
+                      FROM tfb t JOIN idf USING (b) JOIN qb USING (b)
+                      GROUP BY qb.query_id, t.doc_id))
+              WHERE rank <= 20),
+      contribs AS (
+        SELECT query_id, doc_id,
+               3 * CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM bm
+        UNION ALL
+        SELECT query_id, doc_id,
+               2 * CAST(round(1000000.0 / (60 + rank)) AS BIGINT) FROM ph
+        UNION ALL
+        SELECT query_id, doc_id,
+               1 * CAST(round(1000000.0 / (60 + rank)) AS BIGINT) FROM tfr),
+      fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+                FROM contribs GROUP BY query_id, doc_id),
+      ranked AS (SELECT query_id, doc_id, rrf_micro,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rank
+                 FROM fused)
+      SELECT query_id, rank, doc_id, rrf_micro
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(bm25, bm25Incremental, hybrid, negatives, hashedTfidf,
-    ndcgEval, mrrEval, phraseSearch)
+    ndcgEval, mrrEval, phraseSearch, rrfWeighted)
 }

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Targeted local gate: compile, run graft.Verify for ONLY the named
+# queries (comma-separated $1), DuckDB-compare. Fast inner loop for
+# new-query development; the full sweep stays tools/run_verify.sh.
+set -e
+cd /root/repo
+QUERIES=$1
+SF=${2:-/root/testdata/sf0.01}
+OUT=${3:-/tmp/verify_some}
+sbt -batch compile > /tmp/sbt_compile.log 2>&1 || { tail -30 /tmp/sbt_compile.log; exit 1; }
+rm -rf "$OUT"
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g \
+  -cp "$CP" graft.Verify "$SF" "$OUT" "$QUERIES" 2>/tmp/verify_stderr.log \
+  || { tail -30 /tmp/verify_stderr.log; exit 1; }
+grep -E "\[verify\]" /tmp/verify_stderr.log || true
+python3 tools/verify_local.py "$SF" "$OUT" | grep -vE "^$" | tail -20
