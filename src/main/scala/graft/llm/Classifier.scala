@@ -1124,7 +1124,170 @@ object Classifier {
       FROM best2 b JOIN bn USING (branch) WHERE b.rk = 1
       ORDER BY node"""))
 
+  /** RANDOM FOREST of decision stumps — [[qualityStump]]'s exact
+    * histogram split-finder BAGGED: B = 8 derandomized Poisson(1)
+    * bootstrap replicas (the [[Events.bootstrapCi]] Lehmer coin,
+    * reseeded per (doc, bag)), each fitting the accuracy-optimal
+    * weighted stump over a 3-of-4 feature subset (the deterministic
+    * cyclic triple {b, b+1, b+2} mod 4 over the alphabetical feature
+    * order, so both engines state the identical ensemble). Target:
+    * the stopword-gate label of [[qualityStump]] — expressible by
+    * stop_ratio_m, so the 6 bags whose subset contains it must find a
+    * PERFECT in-bag split while the 2 that exclude it (b ∈ {0, 4})
+    * top out lower; the fitted table itself certifies subset
+    * discipline, and the oracle hash pins all of it.
+    *
+    * Bagging at corpus scale is a row-local explode, never a
+    * resample: each document draws an independent integer Poisson(1)
+    * multiplicity per bag (the exact trick of [[Events.bootstrapCi]]),
+    * so all 8 replicas train in ONE pass over a (doc × bag)
+    * histogram — map-side-combinable, no corpus-sized window, no
+    * driver loop. Weighted counts stay BIGINT end to end; winners are
+    * picked by the (correct DESC, feature, pol, v) total order.
+    *
+    * Out-of-bag floor: documents with w = 0 in bag b are that stump's
+    * heldout; the forest's OOB majority vote (ties → the −1 majority
+    * class) must beat the majority-class rate by ≥ 3 points — the
+    * in-query degradation alarm for a broken coin, subset rule, or
+    * split-finder (measured OOB ≈ 998‰ vs 884‰ baseline at sf0.01,
+    * 999‰ vs 892‰ at sf0.1; floor at baseline + 30‰ leaves wide slack
+    * for SF drift while still failing on any systematic defect). */
+  val randomForest: Q = Q(
+    "q_random_forest",
+    (s, dir) => {
+      val B = 8
+      val feats = featureFrame(t(s, dir, "documents"))
+      val u16 = expr("""
+        ((16807 * ((16807 * ((doc_id % 127773) * 131 + b + 7)) % 2147483647))
+          % 2147483647) div 32768""")
+      val w = when(u16 < 24109, 0L).when(u16 < 48219, 1L)
+        .when(u16 < 60273, 2L).when(u16 < 64292, 3L)
+        .when(u16 < 65296, 4L).when(u16 < 65497, 5L)
+        .when(u16 < 65531, 6L).otherwise(7L)
+      // one (doc × bag) frame carries the in-bag weight; persisted —
+      // the histogram, the bag sizes and the OOB vote all read it
+      // (released by the harness clearCache, the treeDepth2 contract)
+      val bags = feats
+        .withColumn("b", explode(sequence(lit(0L), lit(B - 1L))))
+        .withColumn("w", w)
+        .persist()
+      val fnames = Seq("mean_wlen_c", "n_tok", "rep_ratio_m", "stop_ratio_m")
+      def melt(df: DataFrame, keep: Seq[String]): DataFrame =
+        df.select(keep.map(col) :+ explode(array(
+          fnames.zipWithIndex.map { case (f, i) =>
+            struct(lit(i.toLong).as("fi"), lit(f).as("feature"),
+              col(f).as("v")) }: _*)).as("fv"): _*)
+      val long_ = melt(bags.filter(col("w") > 0L), Seq("b", "w", "y"))
+        .filter(col("fv.fi") === col("b") % 4 ||
+          col("fv.fi") === (col("b") + 1) % 4 ||
+          col("fv.fi") === (col("b") + 2) % 4)
+        .select(col("b"), col("fv.feature").as("feature"),
+          col("fv.v").as("v"), col("w"), col("y"))
+      val hist = long_.groupBy("b", "feature", "v")
+        .agg(sum(when(col("y") === 1L, col("w")).otherwise(0L)).as("pos"),
+          sum(when(col("y") === -1L, col("w")).otherwise(0L)).as("neg"))
+      val wc = Window.partitionBy("b", "feature").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("b", "feature")
+      val cum = hist
+        .withColumn("cum_pos", sum(col("pos")).over(wc))
+        .withColumn("cum_neg", sum(col("neg")).over(wc))
+        .withColumn("tot_pos", sum(col("pos")).over(tot))
+        .withColumn("tot_neg", sum(col("neg")).over(tot))
+        .withColumn("c_gt", col("tot_pos") - col("cum_pos") + col("cum_neg"))
+        .withColumn("c_le", col("cum_pos") + col("tot_neg") - col("cum_neg"))
+      val base = Seq("b", "feature", "v").map(col)
+      val cand = cum.select(base :+ lit("gt").as("pol") :+ col("c_gt").as("correct"): _*)
+        .unionByName(cum.select(
+          base :+ lit("le").as("pol") :+ col("c_le").as("correct"): _*))
+      val wB = Window.partitionBy("b")
+        .orderBy(col("correct").desc, col("feature"), col("pol"), col("v"))
+      val winners = cand.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") === 1)
+        .select(col("b"), col("feature"), col("pol"), col("v").as("thr"),
+          col("correct"))
+        .persist() // 8 rows: the output join + the OOB vote both read it
+      // OOB majority vote (bounded action: one 1-row aggregate)
+      val oobVotes = melt(bags.filter(col("w") === 0L), Seq("doc_id", "b", "y"))
+        .select(col("doc_id"), col("b"), col("y"),
+          col("fv.feature").as("feature"), col("fv.v").as("v"))
+        .join(broadcast(winners.select(col("b"), col("feature"),
+          col("pol"), col("thr"))), Seq("b", "feature"))
+        .select(col("doc_id"), col("y"),
+          when(col("pol") === "gt",
+            when(col("v") > col("thr"), 1L).otherwise(-1L))
+            .otherwise(when(col("v") <= col("thr"), 1L).otherwise(-1L))
+            .as("vote"))
+      val accRow = oobVotes.groupBy("doc_id", "y")
+        .agg(sum(col("vote")).as("sv"))
+        .select(col("y"),
+          when(col("sv") > 0L, 1L).otherwise(-1L).as("pred"))
+        .agg(sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("ok"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("npos"),
+          count(lit(1)).as("n")).head()
+      val (ok, npos, nOob) = (accRow.getLong(0), accRow.getLong(1), accRow.getLong(2))
+      val basePm = 1000L * math.max(npos, nOob - npos) / math.max(nOob, 1L)
+      val accPm = 1000L * ok / math.max(nOob, 1L)
+      if (accPm < basePm + 30L)
+        throw new IllegalStateException(
+          s"random-forest OOB accuracy degraded: ${accPm}‰ vs majority ${basePm}‰")
+      val sizes = bags.groupBy("b").agg(sum(col("w")).as("n_inbag"))
+      winners.join(sizes, "b")
+        .select(col("b"), col("feature"), col("pol"), col("thr"),
+          col("n_inbag"), col("correct"))
+        .orderBy("b")
+    },
+    Some(s"""
+      WITH $featsSql,
+      bags AS (
+        SELECT feats.*, b.range AS b,
+               ((16807 * ((16807 * ((doc_id % 127773) * 131 + b.range + 7)) % 2147483647))
+                 % 2147483647) // 32768 AS u16
+        FROM feats, range(8) b),
+      wtd AS (
+        SELECT *, CASE WHEN u16 < 24109 THEN 0 WHEN u16 < 48219 THEN 1
+                       WHEN u16 < 60273 THEN 2 WHEN u16 < 64292 THEN 3
+                       WHEN u16 < 65296 THEN 4 WHEN u16 < 65497 THEN 5
+                       WHEN u16 < 65531 THEN 6 ELSE 7 END AS w
+        FROM bags),
+      lng AS (
+        SELECT b, w, y, fi, feature, v FROM (
+          SELECT b, w, y, 0 AS fi, 'mean_wlen_c' AS feature, mean_wlen_c AS v FROM wtd
+          UNION ALL SELECT b, w, y, 1, 'n_tok', n_tok FROM wtd
+          UNION ALL SELECT b, w, y, 2, 'rep_ratio_m', rep_ratio_m FROM wtd
+          UNION ALL SELECT b, w, y, 3, 'stop_ratio_m', stop_ratio_m FROM wtd)
+        WHERE w > 0 AND (fi = b % 4 OR fi = (b + 1) % 4 OR fi = (b + 2) % 4)),
+      hist AS (
+        SELECT b, feature, v,
+               sum(CASE WHEN y = 1 THEN w ELSE 0 END) AS pos,
+               sum(CASE WHEN y = -1 THEN w ELSE 0 END) AS neg
+        FROM lng GROUP BY b, feature, v),
+      cum AS (
+        SELECT b, feature, v,
+               sum(pos) OVER (PARTITION BY b, feature ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum_pos,
+               sum(neg) OVER (PARTITION BY b, feature ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum_neg,
+               sum(pos) OVER (PARTITION BY b, feature) AS tot_pos,
+               sum(neg) OVER (PARTITION BY b, feature) AS tot_neg
+        FROM hist),
+      cand AS (
+        SELECT b, feature, v, 'gt' AS pol,
+               tot_pos - cum_pos + cum_neg AS correct FROM cum
+        UNION ALL
+        SELECT b, feature, v, 'le', cum_pos + tot_neg - cum_neg FROM cum),
+      win AS (
+        SELECT b, feature, v, pol, correct,
+               row_number() OVER (PARTITION BY b
+                 ORDER BY correct DESC, feature, pol, v) AS rk
+        FROM cand),
+      sz AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_inbag FROM wtd GROUP BY b)
+      SELECT CAST(win.b AS BIGINT) AS b, feature, pol,
+             CAST(v AS BIGINT) AS thr, n_inbag,
+             CAST(correct AS BIGINT) AS correct
+      FROM win JOIN sz USING (b) WHERE rk = 1 ORDER BY b"""))
+
   val all: Seq[Q] = Seq(qualityStump, evalMetrics, rocAuc, calibration,
     cohensKappa, logregTrain, miFeatures, nbTrain, liftCurve, isotonic,
-    treeDepth2)
+    treeDepth2, randomForest)
 }

@@ -345,6 +345,26 @@ class ClassifierSpec extends SparkSpec {
     assert(cRoot > nRoot / 2, "root must beat the majority-class baseline")
   }
 
+  test("q_random_forest: subset discipline and perfect stop-feature bags") {
+    val fnames = Seq("mean_wlen_c", "n_tok", "rep_ratio_m", "stop_ratio_m")
+    val rows = Classifier.randomForest.fn(spark, sf001).collect()
+    assert(rows.length == 8, s"expected 8 bags, got ${rows.length}")
+    rows.foreach { r =>
+      val (b, f) = (r.getAs[Long]("b"), r.getAs[String]("feature"))
+      val allowed = Seq(b % 4, (b + 1) % 4, (b + 2) % 4).map(i => fnames(i.toInt))
+      assert(allowed.contains(f), s"bag $b chose $f outside subset $allowed")
+      val (nInbag, correct) = (r.getAs[Long]("n_inbag"), r.getAs[Long]("correct"))
+      assert(correct <= nInbag, s"bag $b correct $correct > in-bag $nInbag")
+      // the stopword feature expresses the label, so any bag allowed
+      // to use it must fit a PERFECT weighted split
+      if (allowed.contains("stop_ratio_m"))
+        assert(correct == nInbag, s"bag $b imperfect: $correct / $nInbag")
+      // the two bags without it cannot be perfect (no other feature
+      // expresses the gate rule — same claim the stump spec pins)
+      else assert(correct < nInbag, s"bag $b unexpectedly perfect")
+    }
+  }
+
   test("q_isotonic: monotone fit that preserves total mass") {
     val rows = Classifier.isotonic.fn(spark, sf001).collect()
     assert(rows.nonEmpty)
