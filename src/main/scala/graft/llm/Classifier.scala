@@ -988,69 +988,54 @@ object Classifier {
     * pick is a bounded 1-row collect, branch assignment one
     * doc-keyed join. Output: the fitted tree (root + per-branch
     * splits with their best-leaf correct counts). */
-  val treeDepth2: Q = Q(
-    "q_tree_depth2",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val feats = featureFrame(docs)
-        .join(docs.select(col("doc_id"),
-          when(col("lang") === "en", 1L).otherwise(-1L).as("y2")), "doc_id")
-      val long = feats.select(col("doc_id"), col("y2").as("y"), explode(array(
-          Seq("stop_ratio_m", "rep_ratio_m", "mean_wlen_c", "n_tok").map(f =>
-            struct(lit(f).as("feature"), col(f).as("v"))): _*)).as("fv"))
-        .select(col("doc_id"), col("fv.feature").as("feature"),
-          col("fv.v").as("v"), col("y"))
-        .persist() // level-1 histogram + branch lookup + level-2 histogram
-      def scoredOf(df: DataFrame, extraKey: Seq[String]): DataFrame = {
-        val keys = (extraKey :+ "feature").map(col)
-        val hist = df.groupBy((extraKey ++ Seq("feature", "v")).map(col): _*)
-          .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"),
-            sum(when(col("y") === -1L, 1L).otherwise(0L)).as("neg"))
-        val w = Window.partitionBy(keys: _*).orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = Window.partitionBy(keys: _*)
-        hist
-          .withColumn("cum_pos", sum(col("pos")).over(w))
-          .withColumn("cum_neg", sum(col("neg")).over(w))
-          .withColumn("tot_pos", sum(col("pos")).over(tot))
-          .withColumn("tot_neg", sum(col("neg")).over(tot))
-          .withColumn("c_gt", col("tot_pos") - col("cum_pos") + col("cum_neg"))
-          .withColumn("c_le", col("cum_pos") + col("tot_neg") - col("cum_neg"))
-      }
-      def candidates(scored: DataFrame, extra: Seq[String]): DataFrame = {
-        val base = (extra ++ Seq("feature", "v")).map(col)
-        scored.select(base :+ lit("gt").as("pol") :+ col("c_gt").as("correct"): _*)
-          .unionByName(scored.select(
-            base :+ lit("le").as("pol") :+ col("c_le").as("correct"): _*))
-      }
-      val rootRow = candidates(scoredOf(long, Nil), Nil)
-        .orderBy(col("correct").desc, col("feature"), col("pol"), col("v"))
-        .limit(1).head()
-      val (rf, rthr, rcorrect) =
-        (rootRow.getAs[String]("feature"), rootRow.getAs[Long]("v"),
-          rootRow.getAs[Long]("correct"))
-      val nTotal = feats.count()
-      val branch = long.filter(col("feature") === rf)
-        .select(col("doc_id"),
-          when(col("v") <= rthr, "le").otherwise("gt").as("branch"))
-      val long2 = long.join(branch, "doc_id")
-      val cand2 = candidates(scoredOf(long2, Seq("branch")), Seq("branch"))
-      val wB = Window.partitionBy("branch")
-        .orderBy(col("correct").desc, col("feature"), col("pol"), col("v"))
-      val best2 = cand2.withColumn("rk", row_number().over(wB))
-        .filter(col("rk") === 1)
-        .join(long2.groupBy("branch")
-          .agg(countDistinct(col("doc_id")).as("n")), "branch")
-        .select(col("branch").as("node"), col("feature"), col("v").as("thr"),
-          col("n"), col("correct"))
-      val rootOut = s.createDataFrame(Seq(("root", rf, rthr, nTotal, rcorrect)))
-        .toDF("node", "feature", "thr", "n", "correct")
-      rootOut.unionByName(best2).orderBy("node")
-    },
-    Some(s"""
-      WITH $featsSql,
-      f2 AS (
+  /** Histogram split-scorer shared by the tree/boosting family:
+    * cumulative label counts over the (extraKey × feature, value)
+    * histogram — map-side-combinable, windows only over the
+    * domain-bounded aggregate (the [[qualityStump]] shape). */
+  private def scoredOf(df: DataFrame, extraKey: Seq[String]): DataFrame = {
+    val keys = (extraKey :+ "feature").map(col)
+    val hist = df.groupBy((extraKey ++ Seq("feature", "v")).map(col): _*)
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("neg"))
+    val w = Window.partitionBy(keys: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(keys: _*)
+    hist
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .withColumn("cum_neg", sum(col("neg")).over(w))
+      .withColumn("tot_pos", sum(col("pos")).over(tot))
+      .withColumn("tot_neg", sum(col("neg")).over(tot))
+      .withColumn("c_gt", col("tot_pos") - col("cum_pos") + col("cum_neg"))
+      .withColumn("c_le", col("cum_pos") + col("tot_neg") - col("cum_neg"))
+  }
+
+  /** Both-polarity candidate table over [[scoredOf]]'s output. */
+  private def candidatesOf(scored: DataFrame, extra: Seq[String]): DataFrame = {
+    val base = (extra ++ Seq("feature", "v")).map(col)
+    scored.select(base :+ lit("gt").as("pol") :+ col("c_gt").as("correct"): _*)
+      .unionByName(scored.select(
+        base :+ lit("le").as("pol") :+ col("c_le").as("correct"): _*))
+  }
+
+  /** The en-label (feature, value, y) long frame both [[treeDepth2]]
+    * and [[gbStep]] fit over: 4 per-feature pairs melted through ONE
+    * in-row explode (a union of per-feature selects would replay the
+    * tokenStats scan per feature). */
+  private def enLongFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val feats = featureFrame(docs)
+      .join(docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y2")), "doc_id")
+    feats.select(col("doc_id"), col("y2").as("y"), explode(array(
+        Seq("stop_ratio_m", "rep_ratio_m", "mean_wlen_c", "n_tok").map(f =>
+          struct(lit(f).as("feature"), col(f).as("v"))): _*)).as("fv"))
+      .select(col("doc_id"), col("fv.feature").as("feature"),
+        col("fv.v").as("v"), col("y"))
+  }
+
+  /** Depth-2 tree fit as a CTE chain (f2 … best2), shared verbatim by
+    * the [[treeDepth2]] and [[gbStep]] oracles. */
+  private val treeCtesSql: String = """f2 AS (
         SELECT f.doc_id,
                CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS y,
                f.stop_ratio_m, f.rep_ratio_m, f.mean_wlen_c, f.n_tok
@@ -1111,7 +1096,48 @@ object Classifier {
         SELECT branch, feature, v, correct,
                row_number() OVER (PARTITION BY branch
                  ORDER BY correct DESC, feature, pol, v) AS rk
-        FROM cand2),
+        FROM cand2)"""
+
+  val treeDepth2: Q = Q(
+    "q_tree_depth2",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = featureFrame(docs)
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y2")), "doc_id")
+      val long = feats.select(col("doc_id"), col("y2").as("y"), explode(array(
+          Seq("stop_ratio_m", "rep_ratio_m", "mean_wlen_c", "n_tok").map(f =>
+            struct(lit(f).as("feature"), col(f).as("v"))): _*)).as("fv"))
+        .select(col("doc_id"), col("fv.feature").as("feature"),
+          col("fv.v").as("v"), col("y"))
+        .persist() // level-1 histogram + branch lookup + level-2 histogram
+      val rootRow = candidatesOf(scoredOf(long, Nil), Nil)
+        .orderBy(col("correct").desc, col("feature"), col("pol"), col("v"))
+        .limit(1).head()
+      val (rf, rthr, rcorrect) =
+        (rootRow.getAs[String]("feature"), rootRow.getAs[Long]("v"),
+          rootRow.getAs[Long]("correct"))
+      val nTotal = feats.count()
+      val branch = long.filter(col("feature") === rf)
+        .select(col("doc_id"),
+          when(col("v") <= rthr, "le").otherwise("gt").as("branch"))
+      val long2 = long.join(branch, "doc_id")
+      val cand2 = candidatesOf(scoredOf(long2, Seq("branch")), Seq("branch"))
+      val wB = Window.partitionBy("branch")
+        .orderBy(col("correct").desc, col("feature"), col("pol"), col("v"))
+      val best2 = cand2.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") === 1)
+        .join(long2.groupBy("branch")
+          .agg(countDistinct(col("doc_id")).as("n")), "branch")
+        .select(col("branch").as("node"), col("feature"), col("v").as("thr"),
+          col("n"), col("correct"))
+      val rootOut = s.createDataFrame(Seq(("root", rf, rthr, nTotal, rcorrect)))
+        .toDF("node", "feature", "thr", "n", "correct")
+      rootOut.unionByName(best2).orderBy("node")
+    },
+    Some(s"""
+      WITH $featsSql,
+      $treeCtesSql,
       bn AS (SELECT branch, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
              FROM lng2 GROUP BY branch),
       nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f2)
@@ -1287,7 +1313,104 @@ object Classifier {
              CAST(correct AS BIGINT) AS correct
       FROM win JOIN sz USING (b) WHERE rk = 1 ORDER BY b"""))
 
+  /** ONE GRADIENT-BOOSTING STEP on [[treeDepth2]]'s leaves — the
+    * residual-fitting round that turns a fitted tree into a boosted
+    * scorer: squared loss on the {0,1} label, base score F₀ = the
+    * global positive rate, per-leaf value η·(rate_leaf − F₀) with
+    * shrinkage η = 1/2. The halved shrinkage makes the DOUBLED score
+    * exactly integer: 2·(F₀ + η·Δ) = F₀ + rate_leaf, so
+    * score2_micro = global_rate_micro + leaf_rate_micro — two
+    * nonnegative floor divisions, no signed division anywhere (Spark
+    * `div` truncates toward zero while DuckDB `//` floors, so a
+    * negative quotient would diverge cross-engine; this spelling
+    * makes the case unreachable). Predict 1 iff score2 ≥ 1e6.
+    *
+    * Train-accuracy floor (provable, asserted in-query): a leaf
+    * predicts 0 only when rate < 1 − F₀ and 1 only when rate ≥ 1 − F₀,
+    * so against the majority-class baseline every disagreeing leaf is
+    * on its majority side — boosted correct ≥ max(pos, n−pos) always,
+    * and a violation means the leaf assignment or arithmetic broke.
+    *
+    * Scale shape: the two histogram passes of [[treeDepth2]] plus ONE
+    * doc-keyed leaf assignment join and a 4-row aggregate; the root
+    * and branch winners are bounded collects (1 + 2 rows — the
+    * parameter-server step). Output: the per-leaf boosted scorer
+    * table, every cell BIGINT, fully oracled via the shared
+    * [[treeCtesSql]] chain. */
+  val gbStep: Q = Q(
+    "q_gb_step",
+    (s, dir) => {
+      val long = enLongFrame(s, dir)
+        .persist() // root histogram + branch lookup + level-2 + leaf join
+      val rootRow = candidatesOf(scoredOf(long, Nil), Nil)
+        .orderBy(col("correct").desc, col("feature"), col("pol"), col("v"))
+        .limit(1).head()
+      val (rf, rthr) = (rootRow.getAs[String]("feature"), rootRow.getAs[Long]("v"))
+      val branch = long.filter(col("feature") === rf)
+        .select(col("doc_id"),
+          when(col("v") <= rthr, "le").otherwise("gt").as("branch"))
+      val long2 = long.join(branch, "doc_id")
+      val wB = Window.partitionBy("branch")
+        .orderBy(col("correct").desc, col("feature"), col("pol"), col("v"))
+      val best2 = candidatesOf(scoredOf(long2, Seq("branch")), Seq("branch"))
+        .withColumn("rk", row_number().over(wB)).filter(col("rk") === 1)
+        .select(col("branch"), col("feature"), col("v")).collect()
+      // leaf = branch × side of the branch winner's threshold; one
+      // doc-keyed pass per branch over the persisted long frame
+      val leaf = best2.map { r =>
+        val (br, bf, bthr) = (r.getString(0), r.getString(1), r.getLong(2))
+        long2.filter(col("branch") === br && col("feature") === bf)
+          .select(col("doc_id"), col("y"),
+            concat(lit(br), lit("_"),
+              when(col("v") <= bthr, "le").otherwise("gt")).as("node"))
+      }.reduce(_ unionByName _)
+      val gRow = long.filter(col("feature") === "n_tok")
+        .agg(count(lit(1)).as("n_tot"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos_tot")).head()
+      val (nTot, posTot) = (gRow.getLong(0), gRow.getLong(1))
+      val grate = 1000000L * posTot / nTot
+      val la = leaf.groupBy("node")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("leaf_rate_micro", expr("1000000 * n_pos div n"))
+        .withColumn("score2_micro", col("leaf_rate_micro") + lit(grate))
+        .withColumn("pred",
+          when(col("score2_micro") >= 1000000L, 1L).otherwise(0L))
+        .withColumn("n_correct",
+          when(col("pred") === 1L, col("n_pos")).otherwise(col("n") - col("n_pos")))
+        .persist() // ≤4 rows: the floor aggregate + the output read it
+      val corr = la.agg(sum(col("n_correct"))).head().getLong(0)
+      if (corr < math.max(posTot, nTot - posTot))
+        throw new IllegalStateException(
+          s"boosted train accuracy $corr undercuts majority baseline " +
+            s"${math.max(posTot, nTot - posTot)} / $nTot")
+      la.orderBy("node")
+    },
+    Some(s"""
+      WITH $featsSql,
+      $treeCtesSql,
+      bwin AS (SELECT branch, feature AS bf, v AS bthr FROM best2 WHERE rk = 1),
+      leaf AS (
+        SELECT l.doc_id, l.y,
+               l.branch || '_' ||
+               CASE WHEN l.v <= bwin.bthr THEN 'le' ELSE 'gt' END AS node
+        FROM lng2 l JOIN bwin ON l.branch = bwin.branch AND l.feature = bwin.bf),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+                   CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos_tot
+            FROM f2),
+      la AS (SELECT node, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+             FROM leaf GROUP BY node)
+      SELECT node, n, n_pos,
+             CAST(1000000 * n_pos // n AS BIGINT) AS leaf_rate_micro,
+             CAST(1000000 * n_pos // n + 1000000 * pos_tot // n_tot AS BIGINT) AS score2_micro,
+             CAST(CASE WHEN 1000000 * n_pos // n + 1000000 * pos_tot // n_tot >= 1000000
+                  THEN 1 ELSE 0 END AS BIGINT) AS pred,
+             CAST(CASE WHEN 1000000 * n_pos // n + 1000000 * pos_tot // n_tot >= 1000000
+                  THEN n_pos ELSE n - n_pos END AS BIGINT) AS n_correct
+      FROM la, g ORDER BY node"""))
+
   val all: Seq[Q] = Seq(qualityStump, evalMetrics, rocAuc, calibration,
     cohensKappa, logregTrain, miFeatures, nbTrain, liftCurve, isotonic,
-    treeDepth2, randomForest)
+    treeDepth2, randomForest, gbStep)
 }

@@ -365,6 +365,24 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("q_gb_step: leaves tile the corpus, doubled-score identity, floor holds") {
+    val rows = Classifier.gbStep.fn(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val nDocs = Tables.load(spark, sf001, "documents").count()
+    assert(n == nDocs, s"leaves cover $n of $nDocs documents")
+    // 2·(F0 + η·Δ) = F0 + rate_leaf: score2 − leaf_rate must be the
+    // one global rate for every leaf
+    val diffs = rows.map(r =>
+      r.getAs[Long]("score2_micro") - r.getAs[Long]("leaf_rate_micro")).distinct
+    assert(diffs.length == 1, s"global-rate term not constant: ${diffs.toSeq}")
+    // the provable floor, re-derived from the output itself
+    val pos = rows.map(_.getAs[Long]("n_pos")).sum
+    val corr = rows.map(_.getAs[Long]("n_correct")).sum
+    assert(corr >= math.max(pos, n - pos),
+      s"boosted $corr undercuts majority ${math.max(pos, n - pos)}")
+  }
+
   test("q_isotonic: monotone fit that preserves total mass") {
     val rows = Classifier.isotonic.fn(spark, sf001).collect()
     assert(rows.nonEmpty)
