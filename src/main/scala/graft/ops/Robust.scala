@@ -689,6 +689,137 @@ object Robust {
       FROM t7 JOIN seas USING (dow)
       ORDER BY d"""))
 
+  /** One unrolled gradient-descent iteration of the survival-hazard
+    * fit as a CTE pair (aggregate aᵢ + weight update wᵢt) — the
+    * [[graft.llm.Classifier.logregTrain]] recipe verbatim, generated
+    * instead of hand-copied because the person-period frame replaces
+    * the document features. */
+  private def survIterCte(i: Int): String = {
+    val prev = if (i == 1) "w0t" else s"w${i - 1}t"
+    s"""a$i AS (
+        SELECT sum(gm*x0) AS g0, sum(gm*x1) AS g1, sum(gm*x2) AS g2,
+               CAST(sum(lterm) AS BIGINT) AS loss_micro,
+               CAST(sum(ok) AS BIGINT) AS n_correct, count(*) AS n
+        FROM (
+          SELECT x0, x1, x2, y,
+                 CAST(round(1e6 * (1.0/(1.0+exp(-zc/1000000.0)) - y)) AS BIGINT) AS gm,
+                 CAST(round(1e6 * ln(1.0 + exp(-(CASE WHEN y=1 THEN zc ELSE -zc END)/1000000.0))) AS BIGINT) AS lterm,
+                 CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END AS ok
+          FROM (SELECT pp.*, $prev.w0*x0 + $prev.w1*x1 + $prev.w2*x2 AS z,
+                       greatest(-20000000, least(20000000, $prev.w0*x0 + $prev.w1*x1 + $prev.w2*x2)) AS zc
+                FROM pp, $prev))),
+      w${i}t AS (SELECT CAST($prev.w0 - floor(a$i.g0/(a$i.n*64.0)) AS BIGINT) AS w0,
+                        CAST($prev.w1 - floor(a$i.g1/(a$i.n*64.0)) AS BIGINT) AS w1,
+                        CAST($prev.w2 - floor(a$i.g2/(a$i.n*64.0)) AS BIGINT) AS w2
+                 FROM a$i, $prev)"""
+  }
+
+  /** SURVIVAL REGRESSION as a discrete-time logistic hazard — the
+    * standard person-period reduction: a user alive T days
+    * contributes T+1 period rows (one per day survived), y = 1 only
+    * on the death period, and logistic regression on
+    * (1, period, cohort) fits the hazard λ(j, cohort) — the model
+    * behind "does cohort membership change churn risk, controlling
+    * for tenure?", which [[logRank]] can only answer marginally.
+    *
+    * The expansion is ONE row-local explode (sequence(0, life)) over
+    * the user-domain aggregate — person-period blowup is bounded by
+    * the ≤31-day observation window, and nothing corpus-sized is
+    * windowed or collected. Censoring at the horizon as in
+    * [[kaplanMeier]]: a censored user contributes survival rows only.
+    *
+    * The fit reuses the [[graft.llm.Classifier.logregTrain]] exactness
+    * recipe verbatim — micro-unit BIGINT weights, ±20e6 clamp before
+    * the one IEEE sigmoid per row, per-row gradient rounding BEFORE
+    * the order-free BIGINT sums, floor-divided updates — so all four
+    * unrolled iterations (loss, accuracy, weights) ride the driver's
+    * hash. Each iteration is one map-side-combinable aggregate over
+    * the persisted person-period frame: the allreduce cadence of
+    * synchronous distributed GD. */
+  val survivalLogit: Q = Q(
+    "q_survival_logit",
+    (s, dir) => {
+      val iters = 4
+      val lrDiv = 64
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val users = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          max(to_date(col("ts"))).as("last_day"))
+      val horizon = users.agg(max(col("last_day"))).head().getDate(0)
+      val pp = users.select(
+          datediff(col("last_day"), col("first_day")).cast("long").as("life"),
+          when(col("last_day") === lit(horizon), 0L).otherwise(1L).as("death"),
+          (col("user_id") % 2).as("cohort"))
+        .withColumn("j", explode(sequence(lit(0L), col("life"))))
+        .select(lit(1L).as("x0"), col("j").as("x1"), col("cohort").as("x2"),
+          when(col("j") === col("life") && col("death") === 1L, 1L)
+            .otherwise(0L).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var w0 = 0L; var w1 = 0L; var w2 = 0L
+      val stats = (1 to iters).map { it =>
+        val z = lit(w0) * col("x0") + lit(w1) * col("x1") + lit(w2) * col("x2")
+        val row = pp
+          .withColumn("z", z)
+          .withColumn("zc", greatest(lit(-20000000L), least(lit(20000000L), col("z"))))
+          .withColumn("p",
+            lit(1.0) / (lit(1.0) + exp(-col("zc").cast("double") / lit(1e6))))
+          .withColumn("gm", round(lit(1e6) * (col("p") - col("y")), 0).cast("long"))
+          .withColumn("m", when(col("y") === 1L, col("zc")).otherwise(-col("zc")))
+          .withColumn("lterm", round(lit(1e6) *
+            log(lit(1.0) + exp(-col("m").cast("double") / lit(1e6))), 0).cast("long"))
+          .withColumn("ok",
+            when((col("z") >= 0L) === (col("y") === 1L), 1L).otherwise(0L))
+          .agg(
+            sum(col("gm") * col("x0")).as("g0"),
+            sum(col("gm") * col("x1")).as("g1"),
+            sum(col("gm") * col("x2")).as("g2"),
+            sum(col("lterm")).as("loss_micro"),
+            sum(col("ok")).as("n_correct"),
+            count(lit(1)).as("n"))
+          .head()
+        val (g0, g1, g2) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        val (loss, correct) = (row.getLong(3), row.getLong(4))
+        val n = row.getLong(5)
+        w0 -= math.floor(g0.toDouble / (n * lrDiv)).toLong
+        w1 -= math.floor(g1.toDouble / (n * lrDiv)).toLong
+        w2 -= math.floor(g2.toDouble / (n * lrDiv)).toLong
+        (it.toLong, loss, correct, w0, w1, w2)
+      }
+      pp.unpersist()
+      import s.implicits._
+      stats.toDF("iter", "loss_micro", "n_correct", "w0_next", "w1_next", "w2_next")
+        .orderBy("iter")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+               max(CAST(ts AS DATE)) AS last_day
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      h AS (SELECT max(last_day) AS horizon FROM u),
+      lf AS (
+        SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT) AS life,
+               CASE WHEN last_day = horizon THEN 0 ELSE 1 END AS death,
+               CAST(user_id % 2 AS BIGINT) AS cohort
+        FROM u, h),
+      pp AS (
+        SELECT CAST(1 AS BIGINT) AS x0, CAST(j AS BIGINT) AS x1, cohort AS x2,
+               CAST(CASE WHEN j = life AND death = 1 THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM (SELECT life, death, cohort, unnest(generate_series(0, life)) AS j
+              FROM lf)),
+      w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                     CAST(0 AS BIGINT) AS w2),
+      ${(1 to 4).map(survIterCte).mkString(",\n      ")}
+      SELECT CAST(1 AS BIGINT) AS iter, a1.loss_micro, a1.n_correct,
+             w1t.w0 AS w0_next, w1t.w1 AS w1_next, w1t.w2 AS w2_next FROM a1, w1t
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), a2.loss_micro, a2.n_correct, w2t.w0, w2t.w1, w2t.w2 FROM a2, w2t
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), a3.loss_micro, a3.n_correct, w3t.w0, w3t.w1, w3t.w2 FROM a3, w3t
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), a4.loss_micro, a4.n_correct, w4t.w0, w4t.w1, w4t.w2 FROM a4, w4t
+      ORDER BY iter"""))
+
   val all: Seq[Q] = Seq(theilSen, kendall, kaplanMeier, abSequential,
-    mannWhitney, chiSquare, periodogram, logRank, seasonalDecomp)
+    mannWhitney, chiSquare, periodogram, logRank, seasonalDecomp,
+    survivalLogit)
 }

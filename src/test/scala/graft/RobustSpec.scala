@@ -235,4 +235,28 @@ class RobustSpec extends SparkSpec {
     assert(curve.zip(curve.tail).forall { case (a, b) => b <= a },
       "survival must be non-increasing")
   }
+
+  test("q_survival_logit: iteration-1 identities and monotone loss") {
+    val rows = Robust.survivalLogit.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // at w = 0 every person-period row contributes exactly
+    // round(1e6 ln 2) to the loss and predicts 1, so iteration 1's
+    // loss and accuracy are closed-form in (n_pp, n_deaths)
+    val ev = Tables.load(spark, sf001, "events").filter(col("user_id").isNotNull)
+    val users = ev.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("fd"), max(to_date(col("ts"))).as("ld"))
+    val horizon = users.agg(max(col("ld"))).head().getDate(0)
+    val lf = users.select(
+      datediff(col("ld"), col("fd")).cast("long").as("life"),
+      when(col("ld") === lit(horizon), 0L).otherwise(1L).as("death")).collect()
+    val nPp = lf.map(_.getLong(0) + 1).sum
+    val nDeaths = lf.map(_.getLong(1)).sum
+    assert(rows(0)._2 == nPp * math.round(1e6 * math.log(2.0)),
+      s"iter-1 loss ${rows(0)._2} != $nPp * ln2")
+    assert(rows(0)._3 == nDeaths, s"iter-1 correct ${rows(0)._3} != $nDeaths")
+    val losses = rows.map(_._2)
+    assert(losses.zip(losses.tail).forall { case (a, b) => b < a },
+      s"loss not strictly decreasing: ${losses.toSeq}")
+  }
 }
