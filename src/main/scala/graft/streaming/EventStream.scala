@@ -1424,8 +1424,102 @@ object EventStream {
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY purchase_id"""))
 
+  /** STREAMING DEGREE MAINTENANCE for the k-core pipeline — the
+    * [[graft.ops.Graph.kcore]] peel's input degree table maintained
+    * incrementally over an edge stream: per-vertex keyed state
+    * (mapGroupsWithState) accumulates the co-purchase degree across
+    * micro-batches (`maxFilesPerTrigger = 1` over a 3-file stage pins
+    * a 3-batch replay), so the peel's starting table is already
+    * materialized the moment the stream drains — the production shape
+    * where edges land continuously and core extraction runs on demand
+    * from maintained state, never rescanning the edge history. Counts
+    * are monotone, so the per-vertex MAX over emitted updates is the
+    * final state (the [[streamState]] argument).
+    *
+    * Replay checks, both in-query: (1) the maintained state must
+    * EXACTLY equal the batch degree aggregate over the same staged
+    * edges (full-outer mismatch count = 0 — the streaming≡batch claim
+    * as an abort, not a log line); (2) the quartile-k peel
+    * ([[graft.ops.Graph.kCore]]) seeded from the MAINTAINED table's k
+    * must satisfy the core property (min within-core degree ≥ k) with
+    * every core vertex's maintained degree bounding its within-core
+    * degree from above. Output = the maintained degree table, fully
+    * DuckDB-oracled.
+    *
+    * At scale the state is one long per vertex, partitioned by the
+    * state-store shuffle; the half-year window bounds the demo graph
+    * the way the betweenness query's does. */
+  val streamKcoreDeg: Q = Q(
+    "q_stream_kcore_deg",
+    (s, dir) => {
+      val op = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val stage = stagePath(s, "graft_stream_kcore")
+      edges.repartition(3).write.mode("overwrite").parquet(stage)
+      val local = narrowedSession(s, 4)
+      import local.implicits._
+      val stream = local.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val touches = stream
+        .select(explode(array(col("u"), col("v"))).as("vertex")).as[Long]
+      val sink = "graft_stream_kcore_sink"
+      val sq = touches.groupByKey(identity)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (v: Long, batch: Iterator[Long], st: GroupState[Long]) =>
+            val d = st.getOption.getOrElse(0L) + batch.size
+            st.update(d)
+            (v, d)
+        }
+        .toDF("vertex", "deg_so_far")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val degs = local.table(sink).groupBy("vertex")
+        .agg(max(col("deg_so_far")).as("degree"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val staged = local.read.parquet(stage)
+      val batchDeg = staged
+        .select(explode(array(col("u"), col("v"))).as("vertex"))
+        .groupBy("vertex").agg(count(lit(1)).as("bd"))
+      val mismatches = degs.join(batchDeg, Seq("vertex"), "full")
+        .filter(!(col("degree") <=> col("bd"))).count()
+      if (mismatches != 0)
+        throw new IllegalStateException(
+          s"maintained degree state diverges from batch on $mismatches vertices")
+      val nV = degs.count()
+      val k = degs.orderBy(col("degree"), col("vertex"))
+        .limit((nV / 4 + 1).toInt).agg(max(col("degree"))).head().getLong(0).toInt
+      val core = graft.ops.Graph.kCore(staged, k)
+      val coreDeg = core.select(explode(array(col("u"), col("v"))).as("vertex"))
+        .groupBy("vertex").agg(count(lit(1)).as("core_deg"))
+      val bad = coreDeg.join(degs, "vertex")
+        .filter(col("core_deg") < k || col("core_deg") > col("degree")).count()
+      if (bad != 0)
+        throw new IllegalStateException(
+          s"peel from maintained state violates the core property on $bad vertices")
+      degs.orderBy("vertex")
+    },
+    Some("""
+      WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1995-07-01'),
+      e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      touch AS (SELECT u AS vertex FROM e UNION ALL SELECT v AS vertex FROM e)
+      SELECT vertex, CAST(count(*) AS BIGINT) AS degree
+      FROM touch GROUP BY vertex ORDER BY vertex"""))
+
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
     streamJoinOuter, streamJoinFull, streamState, streamTimeoutSessions, streamFunnel,
     streamMerge, streamQuarantine, streamNtz, streamEnrich, streamLate,
-    streamHeavyHitters, streamRestPager, streamQuantile, streamAsof)
+    streamHeavyHitters, streamRestPager, streamQuantile, streamAsof, streamKcoreDeg)
 }

@@ -249,4 +249,15 @@ class StreamingSpec extends SparkSpec {
     // the majority element must be tracked with a dominant estimate
     assert(m.contains(1L) && m(1L) > m.filterNot(_._1 == 1L).values.maxOption.getOrElse(0L))
   }
+
+  test("q_stream_kcore_deg: maintained state satisfies the handshake identity") {
+    val degs = EventStream.streamKcoreDeg.fn(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("vertex"), r.getAs[Long]("degree")))
+    assert(degs.nonEmpty)
+    assert(degs.forall(_._2 >= 1), "a touched vertex has degree >= 1")
+    // every undirected edge contributes exactly 2 to the degree total
+    val total = degs.map(_._2).sum
+    assert(total % 2 == 0 && total > 0, s"odd handshake total $total")
+    assert(degs.map(_._1).distinct.length == degs.length, "one row per vertex")
+  }
 }
