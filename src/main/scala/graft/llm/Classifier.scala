@@ -1410,7 +1410,130 @@ object Classifier {
                   THEN n_pos ELSE n - n_pos END AS BIGINT) AS n_correct
       FROM la, g ORDER BY node"""))
 
+  /** K-FOLD CROSS-VALIDATION of the histogram stump — the
+    * generalization-estimate harness every model-driven curation
+    * filter needs before its threshold gates data: K = 5
+    * Lehmer-derandomized folds, each fold held out once while the
+    * stump trains on the other four, heldout accuracy reported next
+    * to train accuracy. Target lang = 'en' (the [[treeDepth2]] label:
+    * real signal, no perfectly-expressing feature — so the
+    * train-vs-heldout gap is a genuine generalization readout, not a
+    * degenerate 100%).
+    *
+    * All five folds train in ONE pass: each document's (feature,
+    * value) rows are exploded across the 4 fold-out keys ≠ its own
+    * fold (the bagging trick of [[randomForest]] with membership
+    * instead of Poisson weights), the histogram is keyed by
+    * (fold_out, feature, value), and winners fall out of one
+    * row_number per fold — never K sequential training jobs. Heldout
+    * scoring is one doc-keyed join of each fold's winner (5 rows,
+    * broadcast) against that fold's own documents. Everything BIGINT;
+    * fully DuckDB-oracled including every heldout count. */
+  val cvStump: Q = Q(
+    "q_cv_stump",
+    (s, dir) => {
+      val K = 5
+      val long = enLongFrame(s, dir)
+        .withColumn("fold", expr(
+          """((16807 * ((16807 * ((doc_id % 127773) * 167 + 11)) % 2147483647))
+            % 2147483647) % 5"""))
+        .persist() // train histogram + heldout scoring read it
+      val train = long
+        .withColumn("fold_out", explode(sequence(lit(0L), lit(K - 1L))))
+        .filter(col("fold_out") =!= col("fold"))
+      val scored = scoredOf(
+        train.select(col("fold_out"), col("feature"), col("v"), col("y")),
+        Seq("fold_out"))
+      val wF = Window.partitionBy("fold_out")
+        .orderBy(col("correct").desc, col("feature"), col("pol"), col("v"))
+      val winners = candidatesOf(scored, Seq("fold_out"))
+        .withColumn("rk", row_number().over(wF)).filter(col("rk") === 1)
+        .select(col("fold_out"), col("feature"), col("pol"),
+          col("v").as("thr"), col("correct").as("train_correct"))
+      val held = long.join(broadcast(winners),
+          long("fold") === winners("fold_out") &&
+            long("feature") === winners("feature"))
+        .select(col("fold"), col("y"),
+          when(col("pol") === "gt",
+            when(long("v") > col("thr"), 1L).otherwise(-1L))
+            .otherwise(when(long("v") <= col("thr"), 1L).otherwise(-1L))
+            .as("pred"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_held"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("held_correct"))
+      val nTrain = long.filter(col("feature") === "n_tok")
+        .withColumn("fold_out", explode(sequence(lit(0L), lit(K - 1L))))
+        .filter(col("fold_out") =!= col("fold"))
+        .groupBy("fold_out").agg(count(lit(1)).as("n_train"))
+      winners.join(nTrain, "fold_out").join(held,
+          winners("fold_out") === held("fold"))
+        .select(col("fold_out").as("fold"), col("feature"), col("pol"),
+          col("thr"), col("n_train"), col("train_correct"),
+          col("n_held"), col("held_correct"))
+        .orderBy("fold")
+    },
+    Some(s"""
+      WITH $featsSql,
+      f2 AS (
+        SELECT f.doc_id,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE -1 END AS y,
+               f.stop_ratio_m, f.rep_ratio_m, f.mean_wlen_c, f.n_tok,
+               ((16807 * ((16807 * ((f.doc_id % 127773) * 167 + 11)) % 2147483647))
+                 % 2147483647) % 5 AS fold
+        FROM feats f JOIN documents d USING (doc_id)),
+      lng AS (
+        SELECT doc_id, fold, y, feature, v FROM (
+          SELECT doc_id, fold, y, 'stop_ratio_m' AS feature, stop_ratio_m AS v FROM f2
+          UNION ALL SELECT doc_id, fold, y, 'rep_ratio_m', rep_ratio_m FROM f2
+          UNION ALL SELECT doc_id, fold, y, 'mean_wlen_c', mean_wlen_c FROM f2
+          UNION ALL SELECT doc_id, fold, y, 'n_tok', n_tok FROM f2)),
+      tr AS (
+        SELECT k.range AS fold_out, l.feature, l.v, l.y
+        FROM lng l, range(5) k WHERE k.range <> l.fold),
+      hist AS (
+        SELECT fold_out, feature, v,
+               sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+               sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS neg
+        FROM tr GROUP BY fold_out, feature, v),
+      cum AS (
+        SELECT fold_out, feature, v,
+               sum(pos) OVER (PARTITION BY fold_out, feature ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum_pos,
+               sum(neg) OVER (PARTITION BY fold_out, feature ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum_neg,
+               sum(pos) OVER (PARTITION BY fold_out, feature) AS tot_pos,
+               sum(neg) OVER (PARTITION BY fold_out, feature) AS tot_neg
+        FROM hist),
+      cand AS (
+        SELECT fold_out, feature, v, 'gt' AS pol,
+               tot_pos - cum_pos + cum_neg AS correct FROM cum
+        UNION ALL
+        SELECT fold_out, feature, v, 'le', cum_pos + tot_neg - cum_neg FROM cum),
+      win AS (
+        SELECT fold_out, feature, pol, v AS thr, correct AS train_correct,
+               row_number() OVER (PARTITION BY fold_out
+                 ORDER BY correct DESC, feature, pol, v) AS rk
+        FROM cand),
+      w5 AS (SELECT * FROM win WHERE rk = 1),
+      held AS (
+        SELECT l.fold, CAST(count(*) AS BIGINT) AS n_held,
+               CAST(sum(CASE WHEN (CASE WHEN w5.pol = 'gt'
+                      THEN CASE WHEN l.v > w5.thr THEN 1 ELSE -1 END
+                      ELSE CASE WHEN l.v <= w5.thr THEN 1 ELSE -1 END END) = l.y
+                    THEN 1 ELSE 0 END) AS BIGINT) AS held_correct
+        FROM lng l JOIN w5 ON l.fold = w5.fold_out AND l.feature = w5.feature
+        GROUP BY l.fold),
+      ntr AS (
+        SELECT k.range AS fold_out, CAST(count(*) AS BIGINT) AS n_train
+        FROM f2, range(5) k WHERE k.range <> f2.fold GROUP BY k.range)
+      SELECT CAST(w5.fold_out AS BIGINT) AS fold, w5.feature, w5.pol,
+             CAST(w5.thr AS BIGINT) AS thr, ntr.n_train,
+             CAST(w5.train_correct AS BIGINT) AS train_correct,
+             held.n_held, held.held_correct
+      FROM w5 JOIN ntr USING (fold_out) JOIN held ON held.fold = w5.fold_out
+      ORDER BY fold"""))
+
   val all: Seq[Q] = Seq(qualityStump, evalMetrics, rocAuc, calibration,
     cohensKappa, logregTrain, miFeatures, nbTrain, liftCurve, isotonic,
-    treeDepth2, randomForest, gbStep)
+    treeDepth2, randomForest, gbStep, cvStump)
 }

@@ -383,6 +383,22 @@ class ClassifierSpec extends SparkSpec {
       s"boosted $corr undercuts majority ${math.max(pos, n - pos)}")
   }
 
+  test("q_cv_stump: folds tile the corpus and train/held partition it") {
+    val rows = Classifier.cvStump.fn(spark, sf001).collect()
+    assert(rows.length == 5, s"expected 5 folds, got ${rows.length}")
+    val nDocs = Tables.load(spark, sf001, "documents").count()
+    val heldByFold = rows.map(r =>
+      r.getAs[Long]("fold") -> r.getAs[Long]("n_held")).toMap
+    assert(heldByFold.values.sum == nDocs, "heldout folds must tile the corpus")
+    rows.foreach { r =>
+      val f = r.getAs[Long]("fold")
+      assert(r.getAs[Long]("n_train") + heldByFold(f) == nDocs,
+        s"fold $f: train+held != corpus")
+      assert(r.getAs[Long]("train_correct") <= r.getAs[Long]("n_train"))
+      assert(r.getAs[Long]("held_correct") <= heldByFold(f))
+    }
+  }
+
   test("q_isotonic: monotone fit that preserves total mass") {
     val rows = Classifier.isotonic.fn(spark, sf001).collect()
     assert(rows.nonEmpty)
