@@ -848,6 +848,148 @@ object Retrieval {
       FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
+  /** One unrolled greedy MMR step as a CTE trio (remaining set →
+    * argmax pick → grown selection), shared only by the oracle —
+    * the Spark side runs the identical greedy loop on the k-bounded
+    * collected candidate frame. */
+  private def mmrStepCte(i: Int): String = {
+    val prevSel = s"sel${i - 1}"
+    s"""c$i AS (
+        SELECT c.vec_id, c.rel,
+               (SELECT max(s.sim) FROM simp s JOIN $prevSel p ON s.vb = p.vec_id
+                WHERE s.va = c.vec_id) AS maxsim
+        FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM $prevSel)),
+      p$i AS (
+        SELECT CAST($i AS BIGINT) AS step, vec_id, rel, maxsim,
+               rel - maxsim AS score2
+        FROM c$i ORDER BY rel - maxsim DESC, vec_id LIMIT 1),
+      sel$i AS (SELECT vec_id FROM $prevSel UNION ALL SELECT vec_id FROM p$i)"""
+  }
+
+  /** MMR DIVERSIFIED RERANKING (maximal marginal relevance) — the
+    * standard redundancy-vs-relevance rerank over a dense retrieval
+    * shortlist: from the query's top-20 cosine candidates, greedily
+    * pick 5, each step maximizing λ·rel − (1−λ)·max-sim-to-selected.
+    * λ = 1/2 makes the DOUBLED objective a pure integer difference
+    * (rel_micro − maxsim_micro — the [[graft.llm.Classifier.gbStep]]
+    * halving trick), so every step's argmax, pick, and score ride the
+    * driver hash with the (score DESC, vec_id ASC) total order.
+    *
+    * Cosine exactness: embeddings quantize to micro-unit BIGINTs
+    * (round(1e6·x), exact); dot products and squared norms are exact
+    * BIGINT sums; each similarity is ONE fixed-order IEEE chain
+    * 1e6·(dot / (√n2_a · √n2_b)) rounded to a micro integer — the
+    * established cross-engine contract — with all-zero vectors pinned
+    * to sim 0 on both engines.
+    *
+    * Scale shape: relevance is one broadcast-query scan (the
+    * [[Similarity.exactTopK]] shape) with a TakeOrdered top-20 —
+    * never a global sort or unpartitioned window; everything after is
+    * k-bounded (20 candidates, 190 pairwise sims, 5 greedy steps on
+    * the driver — the PCA eigensolve argument: the iterative argmax
+    * over a k² frame is driver work by construction, and shipping it
+    * to executors would just round-trip 400 rows). */
+  val mmrRerank: Q = Q(
+    "q_mmr_rerank",
+    (s, dir) => {
+      val embm = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * lit(1e6), 0).cast("long")).as("xm"))
+        .withColumn("n2",
+          aggregate(transform(col("xm"), v => v * v), lit(0L), (a, v) => a + v))
+      val qR = embm.filter(col("vec_id") === 0L).select("xm", "n2").head()
+      val qxm: Seq[Long] = qR.getSeq[Long](0)
+      val qn2: Long = qR.getLong(1)
+      val dot = aggregate(zip_with(col("xm"), typedLit(qxm), (a, b) => a * b),
+        lit(0L), (a, v) => a + v)
+      val rel = when(col("n2") === 0L || lit(qn2) === 0L, 0L)
+        .otherwise(round(lit(1e6) * (dot.cast("double") /
+          (sqrt(col("n2").cast("double")) * lit(math.sqrt(qn2.toDouble)))), 0)
+          .cast("long"))
+      val cands = embm.filter(col("vec_id") =!= 0L)
+        .withColumn("rel", rel)
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(20)
+        .select("vec_id", "rel", "xm", "n2")
+        .collect() // k-bounded shortlist: 20 rows of 64 longs
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+      def simMicro(a: (Long, Long, Seq[Long], Long),
+          b: (Long, Long, Seq[Long], Long)): Long =
+        if (a._4 == 0L || b._4 == 0L) 0L
+        else {
+          val d = a._3.zip(b._3).map { case (x, y) => x * y }.sum
+          BigDecimal(1e6 * (d.toDouble /
+            (math.sqrt(a._4.toDouble) * math.sqrt(b._4.toDouble))))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+      // the greedy trace, exactly the oracle's unrolled CTE chain
+      var selected = Vector.empty[(Long, Long, Seq[Long], Long)]
+      val trace = (1 to 5).map { step =>
+        val remaining = cands.filterNot(c => selected.exists(_._1 == c._1))
+        val scoredC = remaining.map { c =>
+          val maxsim =
+            if (selected.isEmpty) 0L else selected.map(simMicro(c, _)).max
+          (c, maxsim, c._2 - maxsim)
+        }
+        val pick = scoredC.minBy { case (c, _, sc) => (-sc, c._1) }
+        selected :+= pick._1
+        (step.toLong, pick._1._1, pick._1._2, pick._2, pick._3)
+      }
+      import s.implicits._
+      trace.toDF("step", "vec_id", "rel_micro", "maxsim_micro", "score2_micro")
+        .orderBy("step")
+    },
+    Some(s"""
+      WITH em AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(round(1e6 * x) AS BIGINT)) AS xm
+        FROM embeddings),
+      el AS (SELECT vec_id, generate_subscripts(xm, 1) AS i, unnest(xm) AS x
+             FROM em),
+      n2t AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2 FROM el
+              GROUP BY vec_id),
+      qel AS (SELECT i, x AS qx FROM el WHERE vec_id = 0),
+      qn AS (SELECT n2 AS qn2 FROM n2t WHERE vec_id = 0),
+      dots AS (
+        SELECT el.vec_id, CAST(sum(el.x * qel.qx) AS BIGINT) AS dot
+        FROM el JOIN qel USING (i) WHERE el.vec_id <> 0 GROUP BY el.vec_id),
+      relt AS (
+        SELECT d.vec_id,
+               CASE WHEN n.n2 = 0 OR qn.qn2 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(1e6 * (CAST(d.dot AS DOUBLE) /
+                      (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE)))))
+                      AS BIGINT) END AS rel
+        FROM dots d JOIN n2t n USING (vec_id), qn),
+      cand AS (SELECT vec_id, rel FROM relt ORDER BY rel DESC, vec_id LIMIT 20),
+      cel AS (SELECT el.* FROM el JOIN cand USING (vec_id)),
+      cdot AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+        FROM cel a JOIN cel b USING (i) WHERE a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id),
+      simh AS (
+        SELECT c.va, c.vb,
+               CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(1e6 * (CAST(c.dot AS DOUBLE) /
+                      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))))
+                      AS BIGINT) END AS sim
+        FROM cdot c JOIN n2t na ON na.vec_id = c.va
+                    JOIN n2t nb ON nb.vec_id = c.vb),
+      simp AS (SELECT va, vb, sim FROM simh
+               UNION ALL SELECT vb, va, sim FROM simh),
+      p1 AS (
+        SELECT CAST(1 AS BIGINT) AS step, vec_id, rel,
+               CAST(0 AS BIGINT) AS maxsim, rel AS score2
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+      sel1 AS (SELECT vec_id FROM p1),
+      ${(2 to 5).map(mmrStepCte).mkString(",\n      ")}
+      SELECT step, vec_id, rel AS rel_micro, maxsim AS maxsim_micro,
+             score2 AS score2_micro
+      FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+            UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+            UNION ALL SELECT * FROM p5)
+      ORDER BY step"""))
+
   val all: Seq[Q] = Seq(bm25, bm25Incremental, hybrid, negatives, hashedTfidf,
-    ndcgEval, mrrEval, phraseSearch, rrfWeighted)
+    ndcgEval, mrrEval, phraseSearch, rrfWeighted, mmrRerank)
 }

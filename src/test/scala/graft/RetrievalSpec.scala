@@ -181,4 +181,28 @@ class RetrievalSpec extends SparkSpec {
     assert(stats("b a") == ((2L, 3L))) // doc2 once, doc3 twice
     assert(stats("c b") == ((0L, 0L)), "absent phrase yields a zero row")
   }
+
+  test("q_mmr_rerank: distinct picks, pure-relevance first step, monotone scores") {
+    val rows = Retrieval.mmrRerank.fn(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rel_micro"), r.getAs[Long]("maxsim_micro"),
+        r.getAs[Long]("score2_micro")))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows.map(_._2).distinct.length == 5, "picks must be distinct")
+    // step 1 is pure relevance: no selected set yet
+    assert(rows(0)._4 == 0L && rows(0)._5 == rows(0)._3)
+    // greedy MMR objective is non-increasing FROM STEP 2: per-candidate
+    // maxsim only grows once the selected set is nonempty, and each
+    // step maximizes over a shrinking remainder. (Step 1→2 is exempt:
+    // the empty-set maxsim is pinned to 0 while real cosines can be
+    // negative, so step 2 may legitimately score above step 1.)
+    val scores = rows.map(_._5).drop(1)
+    assert(scores.zip(scores.tail).forall { case (a, b) => b <= a },
+      s"MMR scores not non-increasing after step 2: ${scores.toSeq}")
+    // every reported score is the stated integer identity
+    rows.foreach { case (_, _, rel, maxsim, sc) =>
+      assert(sc == rel - maxsim)
+      assert(math.abs(maxsim) <= 1000000L && math.abs(rel) <= 1000000L)
+    }
+  }
 }
