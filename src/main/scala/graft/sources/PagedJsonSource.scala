@@ -73,7 +73,8 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
         with SupportsPushDownLimit with SupportsPushDownOffset
-        with SupportsPushDownFilters with SupportsPushDownAggregates {
+        with SupportsPushDownFilters with SupportsPushDownAggregates
+        with SupportsRuntimeFiltering {
       private val pageSize = options.getInt("page_size", 100)
       private val maxRecords = options.getInt("max_records", 500)
       private val path = Option(options.get("path"))
@@ -194,7 +195,7 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
         // cannot be split; shard the QUERY, not the offsets)
         val cap = math.min(maxRecords.toLong, limit.toLong).toInt
         if (url.isDefined)
-          return Array(HttpPagerPartition(url.get, pageSize, offset, cap, timeoutMs))
+          return Array(HttpPagerPartition(url.get, pageSize, offset, cap, timeoutMs, runtimeFs))
         val (available, offsets): (Int, Array[Long]) = path match {
           case Some(p) =>
             val in = new java.io.BufferedInputStream(
@@ -228,8 +229,30 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
         (firstPage until pages).map(i =>
           PagePartition(i, pageSize, total, path,
             offsets(math.min(i, offsets.length - 1)),
-            if (i == firstPage) offset - firstPage * pageSize else 0): InputPartition).toArray
+            if (i == firstPage) offset - firstPage * pageSize else 0,
+            runtimeFs): InputPartition).toArray
       }
+
+      /** RUNTIME filtering (the DSv2 dynamic-pruning hook): when this
+        * source sits under a selective join, Spark builds the join
+        * keys at runtime and hands them here as In/EqualTo filters
+        * BEFORE partitions are read — the v2 analog of dynamic
+        * partition pruning. Semantics are best-effort pruning (the
+        * join above still filters), so applying them row-level
+        * through the same [[SamFilterEval]] whitelist is always
+        * sound — EXCEPT under a pushed LIMIT/OFFSET, where dropping
+        * rows would change WHICH first-n raw rows the scan emits;
+        * those scans advertise no filterable attributes and ignore
+        * late filters, which the contract explicitly permits. */
+      private var runtimeFs: Array[Filter] = Array.empty
+      override def filterAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        if (limit != Int.MaxValue || offset != 0 || countStar) Array.empty
+        else schema0.fields.map(f =>
+          org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+      override def filter(fs: Array[Filter]): Unit =
+        if (limit == Int.MaxValue && offset == 0 && !countStar)
+          runtimeFs = fs.filter(SamFilterEval.supported)
 
       override def createReaderFactory(): PartitionReaderFactory =
         new PagedReaderFactory(required, filters)
@@ -403,8 +426,8 @@ final class PagedReaderFactory(schema: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case hp: HttpPagerPartition => new HttpPagerReader(hp, schema, filters)
-      case pp: PagePartition => new PagePartitionReader(pp, schema, filters)
+      case hp: HttpPagerPartition => new HttpPagerReader(hp, schema, filters ++ hp.rt)
+      case pp: PagePartition => new PagePartitionReader(pp, schema, filters ++ pp.rt)
       case cp: CountPartition => new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean =
@@ -422,12 +445,14 @@ final case class CountPartition(total: Long) extends InputPartition
 /** `drop` = in-page records to skip (non-zero only on the first
   * planned page, when the pushed OFFSET is not page-aligned). */
 final case class PagePartition(page: Int, pageSize: Int, total: Int,
-    path: Option[String], startByte: Long, drop: Int) extends InputPartition
+    path: Option[String], startByte: Long, drop: Int,
+    rt: Array[Filter] = Array.empty) extends InputPartition
 
 /** `startOffset` = pushed OFFSET (the pager starts its API offset
   * there); `maxRecords` = absolute cap counted from stream row 0. */
 final case class HttpPagerPartition(url: String, pageSize: Int,
-    startOffset: Int, maxRecords: Int, timeoutMs: Int) extends InputPartition
+    startOffset: Int, maxRecords: Int, timeoutMs: Int,
+    rt: Array[Filter] = Array.empty) extends InputPartition
 
 /** Evaluates pushed V1 Filters against a parsed JSON record node.
   *

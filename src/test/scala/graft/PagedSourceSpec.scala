@@ -168,6 +168,47 @@ class PagedSourceSpec extends SparkSpec {
     assert(pruned == full)
   }
 
+  test("runtime filtering: late join-key filters prune rows; declined under LIMIT") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val f = java.nio.file.Files.createTempFile("paged_runtime", ".jsonl")
+    val lines = (0 until 20).map(i => s"""{"noticeId":"n$i","title":"t$i"}""")
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head.scan
+    val base = spark.read.format("graft.sources.PagedJsonSource")
+      .option("page_size", 3).option("path", f.toString)
+    try {
+      // plain scan advertises its columns and applies a late In filter;
+      // the read below replays BatchScanExec's own runtime-filter flow:
+      // filter(...) then RE-planned partitions through the factory
+      val df = base.load()
+      val scan = scanOf(df)
+      val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+      assert(rf.filterAttributes().map(_.describe()).contains("noticeId"))
+      rf.filter(Array[org.apache.spark.sql.sources.Filter](In("noticeId", Array("n3", "n7"))))
+      val batch = scan.toBatch
+      val factory = batch.createReaderFactory()
+      val got = batch.planInputPartitions().flatMap { pt =>
+        val r = factory.createReader(pt)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (r.next()) buf += r.get().getUTF8String(0).toString
+        r.close(); buf
+      }.toSeq
+      assert(got == Seq("n3", "n7"), s"late filter not applied: $got")
+      // a pushed LIMIT pins WHICH raw rows the scan emits: the scan
+      // must advertise nothing and ignore late filters
+      val lim = base.load().limit(7)
+      val lrf = scanOf(lim).asInstanceOf[SupportsRuntimeFiltering]
+      assert(lrf.filterAttributes().isEmpty,
+        "limit-pushed scan must not advertise runtime-filter attributes")
+      lrf.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("noticeId", "n3")))
+      assert(lim.collect().map(_.getAs[String]("noticeId")).toSeq ==
+        (0 until 7).map(i => s"n$i"))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("limit pushes into the pager: pages past the limit are never planned") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     // 20-record JSON-lines file, page_size 3: a full scan plans 7
