@@ -368,6 +368,70 @@ object Sketches {
       JOIN s sb ON sb.event_type = c.t2
       ORDER BY c.t1, c.t2"""))
 
+  /** HAND-ROLLED count-min sketch ([[graft.functions.CountMinAgg]]) —
+    * unlike `q_heavy_hitters` (Spark's built-in `count_min_sketch`,
+    * whose byte layout only supports a bound boolean), every one of
+    * the 4×256 counters here is a derandomized-hash GROUP BY the
+    * oracle recomputes, so the sketch itself is in the driver's hash:
+    * point estimates for the top-10 users are exact integers both
+    * engines derive independently.
+    *
+    * In-query floor: est ≥ exact for every probed key — the CMS
+    * never-undercount invariant, which NO hash or data change may
+    * break (an undercount means the aggregate or the hash diverged).
+    *
+    * Scale shape: ONE corpus pass through the map-side-combinable
+    * typed aggregate (8 KB buffer per task, element-wise-add merge);
+    * the exact side is a key-domain aggregate + TakeOrdered-10; the
+    * probe evaluates the collected 1024-long sketch driver-side
+    * (k-bounded). */
+  val countMin: Q = Q(
+    "q_count_min",
+    (s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"))
+      val cells = e.agg(graft.functions.CountMinAgg.build(col("user_id"))
+        .as("sk")).head().getSeq[Long](0).toIndexedSeq
+      val top = e.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("user_id"))
+        .limit(10).collect()
+      val rows = top.map { r =>
+        val key = r.getLong(0); val exact = r.getLong(1)
+        val est = graft.functions.CountMinAgg.estimate(cells, key)
+        if (est < exact)
+          throw new IllegalStateException(
+            s"count-min undercounted key $key: $est < $exact")
+        (key, exact, est, est - exact)
+      }
+      s.createDataFrame(rows.toSeq)
+        .toDF("user_id", "exact_cnt", "est_cnt", "overshoot")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+      cells AS (
+        SELECT i.range AS i,
+               ((16807 * ((16807 * ((user_id % 127773) * (31 + i.range * 2)
+                   + i.range * 7 + 3)) % 2147483647)) % 2147483647) % 256 AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM e, range(4) i GROUP BY 1, 2),
+      ex AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM e GROUP BY user_id
+        ORDER BY exact_cnt DESC, user_id LIMIT 10),
+      probe AS (
+        SELECT ex.user_id, i.range AS i,
+               ((16807 * ((16807 * ((ex.user_id % 127773) * (31 + i.range * 2)
+                   + i.range * 7 + 3)) % 2147483647)) % 2147483647) % 256 AS b
+        FROM ex, range(4) i),
+      est AS (
+        SELECT p.user_id, CAST(min(cl.c) AS BIGINT) AS est_cnt
+        FROM probe p JOIN cells cl ON cl.i = p.i AND cl.b = p.b
+        GROUP BY p.user_id)
+      SELECT ex.user_id, ex.exact_cnt, est.est_cnt,
+             CAST(est.est_cnt - ex.exact_cnt AS BIGINT) AS overshoot
+      FROM ex JOIN est USING (user_id) ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(hllMerge, cmsHeavyHitters, bloomPrune, hllRegisters,
-    quantileSketch, hllIntersect)
+    quantileSketch, hllIntersect, countMin)
 }

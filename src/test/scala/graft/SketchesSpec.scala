@@ -183,4 +183,31 @@ class SketchesSpec extends SparkSpec {
         s"envelope violated on $r")
     }
   }
+
+  test("CountMinAgg: cells equal the declarative recomputation; merge is partition-free") {
+    import graft.functions.CountMinAgg
+    import spark.implicits._
+    val keys = (Seq.fill(500)(7L) ++ (0L until 400L) ++ Seq.fill(50)(123456789L))
+    // declarative reference: per (row, bucket) counts
+    val want = Array.fill(CountMinAgg.Depth * CountMinAgg.Width)(0L)
+    keys.foreach { k =>
+      (0 until CountMinAgg.Depth).foreach { i =>
+        want(i * CountMinAgg.Width + CountMinAgg.bucket(k, i)) += 1L
+      }
+    }
+    for (parts <- Seq(1, 3, 17)) {
+      val got = keys.toDF("k").repartition(parts)
+        .agg(CountMinAgg.build(col("k"))).head().getSeq[Long](0)
+      assert(got.toArray.sameElements(want),
+        s"cells diverge from the declarative recomputation at $parts partitions")
+    }
+    // the never-undercount invariant over EVERY key, and exactness on
+    // the planted heavy hitter (its cells may still collide, so only >=)
+    val cells = want.toIndexedSeq
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, n) =>
+      assert(CountMinAgg.estimate(cells, k) >= n, s"undercount on $k")
+    }
+    assert(CountMinAgg.estimate(cells, 7L) >= 500L)
+  }
 }
