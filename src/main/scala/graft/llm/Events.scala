@@ -1543,8 +1543,108 @@ object Events {
       Seq("click", "view", "signup", "error")),
     None)
 
+  /** SPRT (Wald's sequential probability ratio test) on the per-day
+    * A/B walk — the EARLY-STOPPING complement of [[abTest]]'s fixed-
+    * horizon z-test: instead of waiting for the full sample, the
+    * log-likelihood ratio is monitored day by day and the experiment
+    * stops the first day it crosses either boundary, with type-I/II
+    * error ≤ α/β BY CONSTRUCTION (Wald's bound needs no distribution
+    * of the stopping time).
+    *
+    * Hypotheses are PINNED constants (the per-event purchase share:
+    * H₀ p₀ = 1/5 vs H₁ p₁ = 1/4), so the per-observation LLR weights
+    * are two fixed integers — L1 = round(10⁶·ln(p₁/p₀)) = 223144 for
+    * a success, L0 = round(10⁶·ln((1−p₁)/(1−p₀))) = −64539 for a
+    * failure — and the whole walk is exact BIGINT:
+    * llr(d) = cum_s·L1 + (cum_n−cum_s)·L0. Boundaries at α = β = 0.05
+    * are ±round(10⁶·ln((1−β)/α)) = ±2944439 (Wald's A = (1−β)/α,
+    * B = β/(1−α), symmetric here). No engine evaluates ln at query
+    * time — the constants are literals on BOTH sides, which is what
+    * makes a sequential-analysis query hash-oracleable at all.
+    *
+    * The walk is LINEAR in the cumulative counts, so no recursive
+    * fold is needed (unlike [[ewma]], whose state multiplies): two
+    * prefix sums over the day-domain frame give every day's LLR
+    * declaratively. `stop_day` = first boundary crossing (a
+    * partition-min over the tiny frame); `post_stop` marks data a
+    * sequential experimenter would never have collected.
+    *
+    * Scale shape: ONE corpus pass to the (cohort, day) frame
+    * (2·days rows — calendar-bounded, never data-bounded); every
+    * window after that is over that tiny frame, partitioned by
+    * cohort. Envelope: |llr| ≤ cum_n·223144, safe through ~4·10¹³
+    * events per cohort — past any 100 TB corpus. */
+  def sprtOf(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L1 = 223144L
+    val L0 = -64539L
+    val A = 2944439L
+    val w = Window.partitionBy("cohort").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = daily
+      .withColumn("cum_n", sum(col("n_d")).over(w))
+      .withColumn("cum_s", sum(col("s_d")).over(w))
+      .withColumn("llr_micro",
+        col("cum_s") * lit(L1) + (col("cum_n") - col("cum_s")) * lit(L0))
+      .withColumn("decision",
+        when(col("llr_micro") >= A, "accept_h1")
+          .when(col("llr_micro") <= -A, "accept_h0")
+          .otherwise("continue"))
+    val byCohort = Window.partitionBy("cohort")
+    walk
+      .withColumn("stop_day",
+        min(when(col("decision") =!= "continue", col("day"))).over(byCohort))
+      .withColumn("post_stop",
+        col("stop_day").isNotNull && col("day") > col("stop_day"))
+      .orderBy("cohort", "day")
+  }
+
+  val sprt: Q = Q(
+    "q_sprt",
+    (s, dir) => sprtOf(
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 2).as("cohort"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_d"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("s_d"))),
+    Some("""
+      WITH daily AS (
+        SELECT user_id % 2 AS cohort, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n_d,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS s_d
+        FROM events GROUP BY 1, 2),
+      walk AS (
+        SELECT cohort, day, n_d, s_d,
+               CAST(sum(n_d) OVER w AS BIGINT) AS cum_n,
+               CAST(sum(s_d) OVER w AS BIGINT) AS cum_s
+        FROM daily
+        WINDOW w AS (PARTITION BY cohort ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      scored AS (
+        SELECT *,
+               CAST(cum_s * 223144 + (cum_n - cum_s) * (-64539) AS BIGINT)
+                 AS llr_micro,
+               CASE WHEN cum_s * 223144 + (cum_n - cum_s) * (-64539)
+                         >= 2944439 THEN 'accept_h1'
+                    WHEN cum_s * 223144 + (cum_n - cum_s) * (-64539)
+                         <= -2944439 THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM walk),
+      stopped AS (
+        SELECT *,
+               min(CASE WHEN decision <> 'continue' THEN day END)
+                 OVER (PARTITION BY cohort) AS stop_day
+        FROM scored)
+      SELECT cohort, day, n_d, s_d, cum_n, cum_s, llr_micro, decision,
+             stop_day,
+             (stop_day IS NOT NULL AND day > stop_day) AS post_stop
+      FROM stopped ORDER BY cohort, day"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
-    changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution)
+    changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
+    sprt)
 }

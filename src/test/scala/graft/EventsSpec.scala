@@ -365,4 +365,45 @@ class EventsSpec extends SparkSpec {
     val p = rows.head.getLong(3)
     assert(p > 0 && p <= 1000000)
   }
+
+  test("SPRT walk matches a hand fold; planted signals stop on the right side") {
+    // cohort 0: pure successes -> LLR climbs 223144/event, crosses
+    // +2944439 at cum_s = 14 (13*223144 = 2900872 < A <= 14*223144).
+    // cohort 1: pure failures -> LLR falls 64539/event, crosses
+    // -2944439 at cum_n = 46 (ceil(2944439/64539)).
+    val daily = (
+      (1 to 20).map(d => (0L, ts(d * 86400), 1L, 1L)) ++   // 1 success/day
+      (1 to 60).map(d => (1L, ts(d * 86400), 1L, 0L))      // 1 failure/day
+    ).toDF("cohort", "day", "n_d", "s_d")
+    val got = Events.sprtOf(daily).collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getLong(6), r.getString(7),
+        Option(r.getTimestamp(8)), r.getBoolean(9)))
+    val c0 = got.filter(_._1 == 0L)
+    val c1 = got.filter(_._1 == 1L)
+    // hand fold of the same walk
+    c0.zipWithIndex.foreach { case ((_, _, llr, _, _, _), i) =>
+      assert(llr == (i + 1) * 223144L, s"c0 day ${i + 1}") }
+    c1.zipWithIndex.foreach { case ((_, _, llr, _, _, _), i) =>
+      assert(llr == -(i + 1) * 64539L, s"c1 day ${i + 1}") }
+    // first crossings exactly where the integer arithmetic says
+    assert(c0.indexWhere(_._4 == "accept_h1") == 13, "c0 crossing day")
+    assert(c1.indexWhere(_._4 == "accept_h0") == 45, "c1 crossing day")
+    // stop_day = that first crossing everywhere in the cohort;
+    // post_stop marks exactly the rows after it
+    assert(c0.forall(_._5.contains(ts(14 * 86400))), "c0 stop_day")
+    assert(c1.forall(_._5.contains(ts(46 * 86400))), "c1 stop_day")
+    assert(c0.count(_._6) == 6 && c1.count(_._6) == 14, "post_stop counts")
+  }
+
+  test("SPRT: a walk that never crosses keeps stop_day null, all continue") {
+    // alternate success/failure: per pair LLR moves 223144 - 64539 =
+    // +158605, needs 19 pairs to cross -- give it only 5
+    val daily = (1 to 10).map(d =>
+      (0L, ts(d * 86400), 1L, if (d % 2 == 1) 1L else 0L))
+      .toDF("cohort", "day", "n_d", "s_d")
+    val got = Events.sprtOf(daily).collect()
+    assert(got.forall(_.getString(7) == "continue"))
+    assert(got.forall(_.isNullAt(8)), "stop_day must stay null")
+    assert(got.forall(!_.getBoolean(9)), "post_stop must stay false")
+  }
 }
