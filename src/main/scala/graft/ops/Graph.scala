@@ -1354,7 +1354,153 @@ object Graph {
     },
     None)
 
+  /** DIAMETER LOWER BOUND via the double sweep (Magnien–Latapy–Habib):
+    * BFS from a pinned start u, then BFS again from the farthest
+    * vertex the first sweep found — the second eccentricity is a
+    * lower bound on the graph diameter that is tight or near-tight on
+    * real-world graphs (exact on trees), at the price of TWO BFS runs
+    * instead of the O(n) all-pairs sweeps an exact diameter needs.
+    * Both sweeps are hop-BOUNDED (H = 6): every reported distance is
+    * a true shortest-path length, so max(dist) remains a valid lower
+    * bound even when the bound truncates the sweep (then ecc = H
+    * reads "diameter ≥ H", the honest capped claim).
+    *
+    * Everything is frame-to-frame — the start vertex is a 1-row
+    * AGGREGATE frame (min vertex id: pinned, engine-independent), the
+    * second source is the first sweep's `ORDER BY dist DESC, v ASC
+    * LIMIT 1` (deterministic tiebreak), so NO driver-side collect
+    * seeds either sweep and the plan keeps provable maxRows = 1 on
+    * every condition-less join (the [[graft.llm.Events.abTest]]
+    * limit-1 discipline the registry sweep demands).
+    *
+    * Scale shape: 2 × [[bfs]] (per round: one dst-keyed vertex-sized
+    * shuffle in a cloned checkpointed session); the assembly joins
+    * are three broadcast 1-row frames per sweep. Only the start
+    * vertex's component is explored — on a disconnected graph the
+    * bound is for that component, stated in the column name contract
+    * (`reached` counts the explored ball). Cites the same co-purchase
+    * window as [[shortestPath]] (reference behavior:
+    * lambda_function.py builds one relation and filters it; graph
+    * analytics are an extension surface). */
+  /** Core double sweep over an undirected (already doubled) edge
+    * frame: start at the min vertex id, BFS (hop-bounded), re-BFS
+    * from the farthest vertex found; 2 rows (sweep, source, farthest,
+    * ecc, reached). Sweep-2 ecc is the diameter lower bound. */
+  def doubleSweep(edges0: DataFrame, hops: Int = 6): DataFrame = {
+    val s = edges0.sparkSession
+    val edges = edges0.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sweep(sources: DataFrame, n: Long): (DataFrame, DataFrame) = {
+      val d = bfs(edges, sources, hops)
+      val far = d.orderBy(col("dist").desc, col("v").asc).limit(1)
+      val row = sources.select(col("v").as("source")).limit(1)
+        .crossJoin(broadcast(far.select(col("v").as("farthest"),
+          col("dist").as("ecc")).limit(1)))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("reached"))))
+        .select(lit(n).as("sweep"), col("source"), col("farthest"),
+          col("ecc"), col("reached"))
+      (row, far)
+    }
+    val u = edges.agg(min(col("src")).as("v"))
+    val (r1, far1) = sweep(u, 1L)
+    val (r2, _) = sweep(far1.select(col("v")), 2L)
+    val out = r1.unionAll(r2).orderBy("sweep")
+    val materialized = out.collect()
+    edges.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(
+        materialized.toIndexedSeq, 1), out.schema)
+      .orderBy("sweep")
+  }
+
+  val diameterLb: Q = Q(
+    "q_diameter_lb",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      doubleSweep(und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst"))))
+    },
+    Some("""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      e AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM und
+        UNION ALL
+        SELECT v AS src, u AS dst FROM und),
+      s1 AS (SELECT CAST(min(src) AS BIGINT) AS v FROM e),
+      a0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM s1),
+      a1 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM a0 UNION ALL
+               SELECT e.dst AS v, a0.dist + 1 FROM e JOIN a0 ON e.src = a0.v)
+             GROUP BY v),
+      a2 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM a1 UNION ALL
+               SELECT e.dst AS v, a1.dist + 1 FROM e JOIN a1 ON e.src = a1.v)
+             GROUP BY v),
+      a3 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM a2 UNION ALL
+               SELECT e.dst AS v, a2.dist + 1 FROM e JOIN a2 ON e.src = a2.v)
+             GROUP BY v),
+      a4 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM a3 UNION ALL
+               SELECT e.dst AS v, a3.dist + 1 FROM e JOIN a3 ON e.src = a3.v)
+             GROUP BY v),
+      a5 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM a4 UNION ALL
+               SELECT e.dst AS v, a4.dist + 1 FROM e JOIN a4 ON e.src = a4.v)
+             GROUP BY v),
+      a6 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM a5 UNION ALL
+               SELECT e.dst AS v, a5.dist + 1 FROM e JOIN a5 ON e.src = a5.v)
+             GROUP BY v),
+      f1 AS (SELECT v, dist FROM a6 ORDER BY dist DESC, v ASC LIMIT 1),
+      b0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM f1),
+      b1 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM b0 UNION ALL
+               SELECT e.dst AS v, b0.dist + 1 FROM e JOIN b0 ON e.src = b0.v)
+             GROUP BY v),
+      b2 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM b1 UNION ALL
+               SELECT e.dst AS v, b1.dist + 1 FROM e JOIN b1 ON e.src = b1.v)
+             GROUP BY v),
+      b3 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM b2 UNION ALL
+               SELECT e.dst AS v, b2.dist + 1 FROM e JOIN b2 ON e.src = b2.v)
+             GROUP BY v),
+      b4 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM b3 UNION ALL
+               SELECT e.dst AS v, b3.dist + 1 FROM e JOIN b3 ON e.src = b3.v)
+             GROUP BY v),
+      b5 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM b4 UNION ALL
+               SELECT e.dst AS v, b4.dist + 1 FROM e JOIN b4 ON e.src = b4.v)
+             GROUP BY v),
+      b6 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM b5 UNION ALL
+               SELECT e.dst AS v, b5.dist + 1 FROM e JOIN b5 ON e.src = b5.v)
+             GROUP BY v),
+      f2 AS (SELECT v, dist FROM b6 ORDER BY dist DESC, v ASC LIMIT 1),
+      r1 AS (SELECT CAST(1 AS BIGINT) AS sweep, s1.v AS source,
+                    f1.v AS farthest, f1.dist AS ecc,
+                    (SELECT CAST(count(*) AS BIGINT) FROM a6) AS reached
+             FROM s1 CROSS JOIN f1),
+      r2 AS (SELECT CAST(2 AS BIGINT) AS sweep, f1.v AS source,
+                    f2.v AS farthest, f2.dist AS ecc,
+                    (SELECT CAST(count(*) AS BIGINT) FROM b6) AS reached
+             FROM f1 CROSS JOIN f2)
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY sweep"""))
+
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
     shortestPath, shortestPathIncremental, labelPropagation,
-    labelPropIncremental, linkPredict, kcore, betweennessQ)
+    labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb)
 }

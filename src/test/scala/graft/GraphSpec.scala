@@ -463,4 +463,37 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("double sweep finds the exact diameter of a path whose min id is interior") {
+    // path 3–1–2–4–5: min id (1) is INTERIOR, so sweep 1's ecc (3,
+    // to vertex 5) UNDERSTATES the diameter; sweep 2 from 5 walks the
+    // whole path back (ecc 4 = exact diameter). This is the case the
+    // second sweep exists for.
+    val edges = Seq((3L, 1L), (1L, 2L), (2L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = ops.Graph.doubleSweep(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 5L, 3L, 5L),   // from 1: farthest 5 at dist 3, 5 reached
+      (2L, 5L, 3L, 4L, 5L)),  // from 5: farthest 3 at dist 4 = diameter
+      got.toSeq.toString)
+  }
+
+  test("double sweep: hop bound caps ecc honestly; tiebreak picks min vertex id") {
+    // path 0..9 (diameter 9), hop bound 4: sweep 1 from 0 reaches
+    // only 0..4 (ecc capped at 4, farthest = 4); sweep 2 from 4 sees
+    // both 0 and 8 at dist 4 -> tiebreak picks the SMALLER id, 0.
+    val edges = (0L until 9L).map(i => (i, i + 1))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = ops.Graph.doubleSweep(edges, hops = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, 4L, 5L),
+      (2L, 4L, 0L, 4L, 9L)),
+      got.toSeq.toString)
+  }
 }
