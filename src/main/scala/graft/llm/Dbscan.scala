@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Density-based clustering (DBSCAN) over the embedding corpus —
+  * the clustering complement of the near-dup family: near-dup keeps
+  * ONE representative per tight component; DBSCAN names EVERY dense
+  * region (core points), attaches its fringe (border points), and
+  * calls the rest noise. The classic sequential algorithm expands
+  * clusters seed-by-seed; the distributed reformulation used here is
+  * the standard one (MR-DBSCAN lineage): DBSCAN's cluster structure
+  * is fully determined by the ε-neighbor graph, so
+  *
+  *   1. candidate ε-pairs by LEARNED blocking (the SemDeDup coarse
+  *      quantizer — [[Similarity.clusterNearDupPairs]], with its
+  *      skew-thinning guard),
+  *   2. degree count → core flag (|N_ε(p)| ≥ minPts, self included),
+  *   3. clusters = connected components of the core-core subgraph
+  *      ([[Dedup.connectedComponents]] min-label propagation),
+  *   4. border points adopt the MIN core-neighbor label (the
+  *      sequential algorithm's border assignment is arrival-order-
+  *      dependent; min-label is the deterministic pin).
+  *
+  * Blocking makes the neighbor graph approximate (a cross-block
+  * ε-pair can be missed), hence rows-only by contract — but the
+  * planted floor is structural: exact copies share their source's
+  * centroid argmin, so the planted dense blob can never be split by
+  * the blocking, only by a real regression.
+  *
+  * Scale shape: pair generation is the audited cluster-blocked join
+  * (quadratic only within capped blocks); degree/core are one
+  * pair-keyed aggregate; CC runs on the CORE subgraph only (dense
+  * regions, small diameter — CC's best case); border assignment is
+  * one semi-join + one anti-join + a min aggregate. Nothing is ever
+  * corpus². Reference: lambda_function.py has no clustering surface;
+  * this is north-star extension territory (training-data curation:
+  * topic islands + outlier mining from one pass).
+  */
+object Dbscan {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Core DBSCAN given points (vec_id) and the candidate ε-pair list
+    * (vec_a < vec_b, already sim-filtered). Returns one row per point:
+    * (id, cluster, role) with role ∈ core/border/noise and cluster =
+    * min vertex id of the component (NULL for noise). */
+  def dbscanFromPairs(points: DataFrame, pairs: DataFrame, minPts: Int,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
+    val p = handles.track(pairs.select(col("vec_a"), col("vec_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sym = p.select(col("vec_a").as("id"), col("vec_b").as("nb"))
+      .unionAll(p.select(col("vec_b").as("id"), col("vec_a").as("nb")))
+    val core = handles.track(
+      sym.groupBy("id").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") + lit(1) >= minPts).select("id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val coreEdges = p
+      .join(core.select(col("id").as("vec_a")), Seq("vec_a"), "left_semi")
+      .join(core.select(col("id").as("vec_b")), Seq("vec_b"), "left_semi")
+    val comp = Dedup.connectedComponents(
+      coreEdges.select(col("vec_a").as("src"), col("vec_b").as("dst")),
+      core)
+    // border: not core itself, adjacent to ≥1 core; min core label
+    val border = sym
+      .join(core, Seq("id"), "left_anti")
+      .join(comp.select(col("id").as("nb"), col("label").as("cluster")),
+        Seq("nb"))
+      .groupBy("id").agg(min(col("cluster")).as("cluster"))
+    val coreOut = comp.select(col("id"), col("label").as("cluster"),
+      lit("core").as("role"))
+    val borderOut = border.select(col("id"), col("cluster"),
+      lit("border").as("role"))
+    val noise = points.select(col("vec_id").as("id"))
+      .join(coreOut.select("id").unionAll(borderOut.select("id")),
+        Seq("id"), "left_anti")
+      .select(col("id"), lit(null).cast("long").as("cluster"),
+        lit("noise").as("role"))
+    coreOut.unionByName(borderOut).unionByName(noise)
+  }
+
+  /** Driver query: ε via cosine ≥ 0.95, minPts = 10, over embeddings
+    * plus a planted 12-copy blob of vector 0 at ids 2M+ — identical
+    * vectors give the blob pairwise sim 1.0 and a shared centroid
+    * argmin, so blob recovery (all 12 core, ONE cluster) is
+    * structural and asserted in-query (rows-only floor discipline).
+    * Emits the per-cluster census (n_core, n_border) plus the noise
+    * row (cluster NULL). */
+  val dbscan: Q = Q(
+    "q_dbscan",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val proto = emb.filter(col("vec_id") === 0).select(col("v")).limit(1)
+      val plants = s.range(12)
+        .select((col("id") + lit(2000000L)).as("vec_id"))
+        .crossJoin(broadcast(proto))
+      val corpus = emb.unionByName(plants)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val centroids = Ivf.trainCentroidsMemo(s"$dir#dbscan", corpus)
+      val handles = new graft.CacheHandles
+      val pairs = Similarity.clusterNearDupPairs(corpus, centroids, 0.95,
+        handles = handles)
+      val perPoint = handles.track(
+        dbscanFromPairs(corpus, pairs, minPts = 10, handles = handles)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // structural floor: every planted id core, all in ONE cluster
+      val audit = perPoint.filter(col("id") >= 2000000L)
+        .agg(count(when(col("role") === "core", 1)).as("n_core"),
+          countDistinct(col("cluster")).as("n_clusters")).head()
+      if (audit.getLong(0) < 12 || audit.getLong(1) != 1L)
+        throw new IllegalStateException(
+          s"planted DBSCAN blob degraded: ${audit.getLong(0)}/12 core, " +
+            s"${audit.getLong(1)} clusters (want 1)")
+      val out = perPoint.groupBy("cluster")
+        .agg(count(when(col("role") === "core", 1)).as("n_core"),
+          count(when(col("role") === "border", 1)).as("n_border"),
+          count(when(col("role") === "noise", 1)).as("n_noise"))
+        .orderBy(asc_nulls_first("cluster"))
+      val materialized = out.collect()
+      corpus.unpersist()
+      handles.releaseAll()
+      s.createDataFrame(s.sparkContext.parallelize(
+          materialized.toIndexedSeq, 1), out.schema)
+        .orderBy(asc_nulls_first("cluster"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(dbscan)
+}

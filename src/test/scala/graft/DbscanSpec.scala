@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Dbscan
+
+/** DBSCAN's graph reformulation against a sequential brute-force
+  * reference, plus the declared query's planted-blob recovery. */
+class DbscanSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Textbook sequential DBSCAN over an explicit neighbor list:
+    * returns (coreIds, clusterOf: id -> min-core-id component label,
+    * borderOf: id -> adopted label). */
+  private def dbscanRef(ids: Seq[Long], pairs: Seq[(Long, Long)],
+      minPts: Int): (Set[Long], Map[Long, Long], Map[Long, Long]) = {
+    val nbrs = ids.map(i => i -> scala.collection.mutable.Set.empty[Long]).toMap
+    pairs.foreach { case (a, b) => nbrs(a) += b; nbrs(b) += a }
+    val core = ids.filter(i => nbrs(i).size + 1 >= minPts).toSet
+    // components of the core-core subgraph, labeled by min member
+    var label = core.map(i => i -> i).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (a <- core; b <- nbrs(a) if core(b)) {
+        val m = math.min(label(a), label(b))
+        if (label(a) != m || label(b) != m) {
+          label += a -> m; label += b -> m; changed = true
+        }
+      }
+    }
+    val border = ids.filterNot(core)
+      .flatMap(i => {
+        val coreNb = nbrs(i).filter(core).map(label)
+        if (coreNb.isEmpty) None else Some(i -> coreNb.min)
+      }).toMap
+    (core, label, border)
+  }
+
+  test("graph DBSCAN == sequential reference on seeded random pair sets") {
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60L
+      val ids = 0L until n
+      val pairs = (0 until 260).map { _ =>
+        val a = rnd.nextInt(n.toInt).toLong; val b = rnd.nextInt(n.toInt).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val (core, label, border) = dbscanRef(ids, pairs, minPts = 5)
+      val got = Dbscan.dbscanFromPairs(
+          ids.toDF("vec_id"), pairs.toDF("vec_a", "vec_b"), minPts = 5)
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+      assert(got.length == n, "one row per point")
+      got.foreach {
+        case (id, Some(c), "core") =>
+          assert(core(id) && label(id) == c, s"core $id -> $c")
+        case (id, Some(c), "border") =>
+          assert(!core(id) && border.get(id).contains(c), s"border $id -> $c")
+        case (id, None, "noise") =>
+          assert(!core(id) && !border.contains(id), s"noise $id")
+        case other => fail(s"malformed row $other")
+      }
+    }
+  }
+
+  test("border point between two clusters adopts the MIN core label") {
+    // two 4-cliques {0,1,2,3} and {10,11,12,13} (minPts 4 -> all
+    // core), plus point 5 adjacent to one core of EACH clique: border
+    // of both, must deterministically adopt min(0, 10) = 0.
+    val clique = (xs: Seq[Long]) =>
+      for (a <- xs; b <- xs if a < b) yield (a, b)
+    val pairs = clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 5L), (5L, 10L))
+    val got = Dbscan.dbscanFromPairs(
+        (Seq(0L, 1L, 2L, 3L, 5L, 10L, 11L, 12L, 13L)).toDF("vec_id"),
+        pairs.toDF("vec_a", "vec_b"), minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toMap
+    assert(got(5L) == ((0L, "border")), got(5L).toString)
+    assert(got(0L) == ((0L, "core")) && got(10L) == ((10L, "core")))
+    // 5's two edges don't make the cliques one cluster (5 is not core)
+    assert(got(13L)._1 == 10L, "cliques must stay separate components")
+  }
+
+  test("declared query: planted blob is one all-core cluster; census is consistent") {
+    val rows = Dbscan.dbscan.fn(spark, sf001).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
+    assert(total == 512, s"census must cover all 500 + 12 planted: $total")
+    // the blob cluster exists, with >= 13 core members (12 plants +
+    // vector 0 itself, which the identical copies make core too)
+    assert(rows.exists(r => !r.isNullAt(0) && r.getLong(1) >= 13),
+      rows.map(_.toString).mkString(", "))
+  }
+}
