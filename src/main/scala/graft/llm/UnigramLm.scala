@@ -1,0 +1,228 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** One EM step of the unigram-LM tokenizer (the SentencePiece
+  * subword model, Kudo 2018) — the probabilistic alternative to
+  * [[Bpe]]'s greedy merges: a piece inventory with probabilities, a
+  * Viterbi E-step that segments every word into its maximum-
+  * likelihood piece sequence, and an M-step that re-estimates piece
+  * probabilities from the Viterbi counts. This query runs exactly ONE
+  * hard-EM step from the standard seed (substring counts), fully
+  * hash-oracled:
+  *
+  *  - seed inventory = ALL substrings of length ≤ 4 of the ≤ 12-char
+  *    vocabulary, weighted by word frequency; piece cost in integer
+  *    micro-nats, round((ln n − ln c)·10⁶) — both engines evaluate
+  *    the same two lns on the same integer-valued doubles and round
+  *    once (the [[Classifier]] naive-Bayes recipe);
+  *  - E-step: per-word Viterbi DP best(i) = min_j best(i−j) +
+  *    cost(w[i−j..i]), j ≤ 4, tie → smallest j. The word domain is
+  *    LENGTH-BOUNDED, so the oracle states the same DP as an UNROLLED
+  *    12-level CTE chain (the [[graft.ops.Graph.shortestPath]]
+  *    frontier trick applied to string positions), then backtracks
+  *    the argmin choice table 12 steps to re-derive the exact piece
+  *    path — segmentation itself rides the driver hash;
+  *  - M-step: Viterbi counts and integer-micro probabilities
+  *    (vit_count·10⁶ div total).
+  *
+  * Scale shape: one corpus tokenize+count pass; EVERYTHING after is
+  * vocab-domain (distinct words), never corpus-sized. The piece
+  * inventory is bounded by construction (≤ 48 substrings per
+  * distinct word; SentencePiece seeds then prunes to ~10⁶ pieces),
+  * so it broadcasts like [[Ivf]] centroids / [[Bpe]] merges, and the
+  * Viterbi is an embarrassingly parallel flatMap over the word
+  * frame. Envelope: vit_count·10⁶ needs vit_count < 9.2·10¹² total
+  * weighted pieces — rescale the micro unit past that.
+  *
+  * Reference: lambda_function.py has no tokenizer; extension surface
+  * (training-data pipelines tokenize to budget corpora). */
+object UnigramLm {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val MaxLen = 12
+  val MaxPiece = 4
+
+  /** Corpus word frequencies, length-capped to the DP unroll bound
+    * (both engines apply the same cap, so the cap is semantic, not a
+    * truncation). */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= MaxLen)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Seed piece inventory with integer micro-nat costs:
+    * (piece, c, cost) where c = Σ_w cnt_w · occurrences(piece, w). */
+  def pieceCosts(words: DataFrame): DataFrame = {
+    val subs = words
+      .select(col("w"), col("cnt"),
+        explode(sequence(lit(1), lit(MaxPiece))).as("ln"))
+      .select(col("w"), col("cnt"), col("ln"),
+        explode(sequence(lit(1), lit(MaxLen))).as("st"))
+      .filter(col("st") + col("ln") - 1 <= length(col("w")))
+      .select(expr("substring(w, cast(st as int), cast(ln as int))")
+        .as("piece"), col("cnt"))
+    val pieces = subs.groupBy("piece").agg(sum(col("cnt")).as("c"))
+    val tot = pieces.agg(sum(col("c")).as("n"))
+    pieces.crossJoin(broadcast(tot))
+      .withColumn("cost",
+        round((log(col("n").cast("double")) - log(col("c").cast("double")))
+          * 1e6, 0).cast("long"))
+      .select("piece", "c", "cost")
+  }
+
+  /** Viterbi piece paths: one row per (word, path piece) with the
+    * word's corpus count. The DP mirrors the oracle exactly: strict
+    * `<` with j ascending = the oracle's ORDER BY v ASC, j ASC. */
+  def viterbiPaths(words: DataFrame, costs: DataFrame): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val costMap = costs.select("piece", "cost").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = s.sparkContext.broadcast(costMap)
+    words.select(col("w"), col("cnt")).as[(String, Long)]
+      .flatMap { case (w, cnt) =>
+        val n = w.length
+        val best = Array.fill(n + 1)(Long.MaxValue)
+        best(0) = 0L
+        val choice = new Array[Int](n + 1)
+        var i = 1
+        while (i <= n) {
+          var j = 1
+          while (j <= math.min(MaxPiece, i)) {
+            if (best(i - j) != Long.MaxValue) {
+              bc.value.get(w.substring(i - j, i)) match {
+                case Some(c) if best(i - j) + c < best(i) =>
+                  best(i) = best(i - j) + c
+                  choice(i) = j
+                case _ =>
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+        var pos = n
+        while (pos > 0) {
+          val j = choice(pos)
+          out += ((w, cnt, w.substring(pos - j, pos)))
+          pos -= j
+        }
+        out
+      }.toDF("w", "cnt", "piece")
+  }
+
+  /** One hard-EM step: (piece, init_count, vit_count, prob_micro) for
+    * every piece on ≥ 1 Viterbi path. */
+  def emStep(words: DataFrame, costs: DataFrame): DataFrame = {
+    val newc = viterbiPaths(words, costs)
+      .groupBy("piece").agg(sum(col("cnt")).as("vit_count"))
+    val m = newc.agg(sum(col("vit_count")).as("m"))
+    newc.join(costs.select(col("piece"), col("c").as("init_count")),
+        Seq("piece"))
+      .crossJoin(broadcast(m))
+      .select(col("piece"), col("init_count"), col("vit_count"),
+        expr("(vit_count * 1000000) div m").as("prob_micro"))
+      .orderBy("piece")
+  }
+
+  /** The oracle's DP chain: b$i = min-cost segmentation of the first
+    * i chars, as 12 unrolled CTEs with ≤ 4 back-reference branches
+    * each — generated, not hand-typed, so the Spark fold and the SQL
+    * can only disagree if the RECURRENCE differs. */
+  private def dpCtes: String =
+    (1 to MaxLen).map { i =>
+      val branches = (1 to math.min(MaxPiece, i)).map { j =>
+        s"""SELECT b.w, b.best + c.cost AS v
+            FROM b${i - j} b JOIN words d ON d.w = b.w AND length(d.w) >= $i
+            JOIN costs c ON c.piece = substr(d.w, ${i - j + 1}, $j)"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""b$i AS (SELECT w, CAST(min(v) AS BIGINT) AS best FROM (
+            $branches) GROUP BY w)"""
+    }.mkString(",\n      ")
+
+  private def bestUnion: String =
+    (0 to MaxLen).map(i => s"SELECT w, $i AS i, best FROM b$i")
+      .mkString("\n        UNION ALL\n        ")
+
+  private def backtrackCtes: String =
+    (1 to MaxLen).map { k =>
+      s"""p$k AS (SELECT p.w, p.cnt, p.pos - ch.j AS pos,
+             substr(p.w, CAST(p.pos - ch.j + 1 AS INT), CAST(ch.j AS INT)) AS piece
+           FROM p${k - 1} p JOIN choice ch ON ch.w = p.w AND ch.i = p.pos
+           WHERE p.pos > 0)"""
+    }.mkString(",\n      ")
+
+  private def pathUnion: String =
+    (1 to MaxLen).map(k => s"SELECT cnt, piece FROM p$k")
+      .mkString("\n        UNION ALL\n        ")
+
+  val unigramEm: Q = Q(
+    "q_unigram_lm_em",
+    (s, dir) => {
+      val words = wordCounts(t(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = emStep(words, pieceCosts(words))
+      val materialized = out.collect()
+      words.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(
+          materialized.toIndexedSeq, 1), out.schema)
+        .orderBy("piece")
+    },
+    Some(s"""
+      WITH words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents) tk
+        WHERE w <> '' AND length(w) <= $MaxLen
+        GROUP BY w),
+      subs AS (
+        SELECT substr(d.w, CAST(st.range AS INT), CAST(ln.range AS INT)) AS piece,
+               d.cnt
+        FROM words d, range(1, ${MaxPiece + 1}) ln, range(1, ${MaxLen + 1}) st
+        WHERE st.range + ln.range - 1 <= length(d.w)),
+      pieces AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+                 FROM subs GROUP BY piece),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pieces),
+      costs AS MATERIALIZED (
+        SELECT piece, c,
+               CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS cost
+        FROM pieces CROSS JOIN tot),
+      b0 AS (SELECT w, CAST(0 AS BIGINT) AS best FROM words),
+      $dpCtes,
+      bestu AS MATERIALIZED (
+        $bestUnion),
+      cand AS (
+        SELECT d.w, pos.range AS i, j.range AS j, b.best + c.cost AS v
+        FROM words d, range(1, ${MaxLen + 1}) pos, range(1, ${MaxPiece + 1}) j,
+             bestu b, costs c
+        WHERE pos.range <= length(d.w) AND j.range <= pos.range
+          AND b.w = d.w AND b.i = pos.range - j.range
+          AND c.piece = substr(d.w, CAST(pos.range - j.range + 1 AS INT),
+                               CAST(j.range AS INT))),
+      choice AS MATERIALIZED (
+        SELECT w, i, j FROM (
+          SELECT w, i, j,
+                 row_number() OVER (PARTITION BY w, i ORDER BY v ASC, j ASC) AS rn
+          FROM cand) rk
+        WHERE rn = 1),
+      p0 AS (SELECT w, cnt, CAST(length(w) AS BIGINT) AS pos FROM words),
+      $backtrackCtes,
+      pathpieces AS (
+        $pathUnion),
+      newc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS vit_count
+               FROM pathpieces GROUP BY piece),
+      ntot AS (SELECT CAST(sum(vit_count) AS BIGINT) AS m FROM newc)
+      SELECT n.piece, c.c AS init_count, n.vit_count,
+             (n.vit_count * 1000000) // m AS prob_micro
+      FROM newc n JOIN costs c ON c.piece = n.piece CROSS JOIN ntot
+      ORDER BY n.piece"""))
+
+  val all: Seq[Q] = Seq(unigramEm)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.UnigramLm
+
+/** Viterbi optimality and EM-step bookkeeping of the unigram-LM
+  * tokenizer, against exhaustive enumeration. */
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** All segmentations of w into pieces of length <= 4 that exist in
+    * the cost map; returns min total cost (the tie-free ground truth
+    * the DP must achieve). */
+  private def bruteMinCost(w: String, costs: Map[String, Long]): Long = {
+    if (w.isEmpty) 0L
+    else (1 to math.min(UnigramLm.MaxPiece, w.length)).flatMap { j =>
+      costs.get(w.take(j)).flatMap { c =>
+        val rest = bruteMinCost(w.drop(j), costs)
+        if (rest == Long.MaxValue) None else Some(c + rest)
+      }
+    }.foldLeft(Long.MaxValue)(math.min)
+  }
+
+  test("viterbi paths reconstruct each word and achieve the brute-force optimum") {
+    val words = Seq(("scan", 9L), ("scans", 4L), ("table", 7L),
+      ("stable", 2L), ("a", 5L), ("tablescan", 3L)).toDF("w", "cnt")
+    val costs = UnigramLm.pieceCosts(words)
+    val costMap = costs.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val paths = UnigramLm.viterbiPaths(words, costs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val byWord = paths.groupBy(_._1)
+    Seq("scan", "scans", "table", "stable", "a", "tablescan").foreach { w =>
+      val ps = byWord(w).map(_._3)
+      // backtracking emits pieces right-to-left; total length must
+      // tile the word exactly and every piece must be a substring
+      assert(ps.map(_.length).sum == w.length, s"$w pieces $ps")
+      assert(ps.forall(w.contains(_)), s"$w pieces $ps")
+      val got = ps.map(costMap).sum
+      assert(got == bruteMinCost(w, costMap),
+        s"$w: viterbi $got != brute ${bruteMinCost(w, costMap)}")
+    }
+  }
+
+  test("single-word corpus: 'aaaa' segments as one piece; EM gives it all the mass") {
+    // counts: a=4, aa=3, aaa=2, aaaa=1, total 10; cost(aaaa) =
+    // round(ln(10/1)*1e6) = 2302585 beats every split (cheapest is
+    // aa+aa = 2*round(ln(10/3)*1e6) = 2407946)
+    val words = Seq(("aaaa", 1L)).toDF("w", "cnt")
+    val out = UnigramLm.emStep(words, UnigramLm.pieceCosts(words)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("aaaa", 1L, 1L, 1000000L)), out.toSeq.toString)
+  }
+
+  test("declared query: probabilities sum to ~1e6, viterbi mass equals corpus tokens") {
+    val words = UnigramLm.wordCounts(
+      Tables.load(spark, sf001, "documents"))
+    val totalWordLen = words
+      .agg(sum(col("cnt") * length(col("w")))).head().getLong(0)
+    val rows = UnigramLm.unigramEm.fn(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val probSum = rows.map(_.getLong(3)).sum
+    assert(probSum <= 1000000L && probSum > 1000000L - rows.length,
+      s"prob mass $probSum")
+    // every path piece covers its word exactly once, so summed
+    // vit_count * piece-length = summed word length * word count
+    val covered = rows.map(r => r.getLong(2) * r.getString(0).length).sum
+    assert(covered == totalWordLen, s"$covered vs $totalWordLen")
+  }
+}
