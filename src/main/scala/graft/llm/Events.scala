@@ -1642,9 +1642,118 @@ object Events {
              (stop_day IS NOT NULL AND day > stop_day) AS post_stop
       FROM stopped ORDER BY cohort, day"""))
 
+  /** EXACT Shapley-value attribution over the 4-channel touchpoint
+    * game — the third attribution model next to [[attribution]]'s
+    * positional rules and [[markovAttribution]]'s removal effects:
+    * channel i's credit is its average marginal contribution over
+    * every coalition ordering, the unique allocation satisfying
+    * efficiency/symmetry/dummy (Shapley 1953). Exponential in
+    * general; EXACT here because the channel set is small and fixed —
+    * the characteristic function v(S) = "conversions whose
+    * pre-purchase touchset ⊆ S" lives on 2⁴ = 16 coalition masks, a
+    * broadcast-sized domain.
+    *
+    * Everything is integer: per-user touch masks (bit per channel,
+    * touches STRICTLY before the first purchase), exact-mask counts,
+    * v by superset-sum (m & S = m), and Shapley weights scaled by
+    * 4! = 24 — w24(|S|) ∈ {6,2,2,6} — so φ24(i) = Σ_S w24·(v(S∪i) −
+    * v(S)) is exact BIGINT and efficiency (Σφ24 = 24·(v(full) −
+    * v(∅))) is an integer identity the spec pins.
+    *
+    * Scale shape: ONE user-keyed corpus aggregate to masks (the only
+    * data-sized shuffle), a 16-row count frame, then pure
+    * constant-domain joins (16×16 subset lattice, 4×8 channel ×
+    * coalition). Envelope: v ≤ #users, ×6×1000 « 2⁶³ through ~10¹⁴
+    * users. */
+  /** Core Shapley pass over any (user_id, ts, event_type) frame —
+    * factored for the hand-game spec. */
+  def shapleyOf(ev: DataFrame): DataFrame = {
+      val s = ev.sparkSession
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts")).as("pts"))
+      val tch = ev.join(fp, Seq("user_id"))
+        .filter(col("ts") < col("pts"))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("b1"),
+          max(when(col("event_type") === "view", 2L).otherwise(0L)).as("b2"),
+          max(when(col("event_type") === "signup", 4L).otherwise(0L)).as("b4"),
+          max(when(col("event_type") === "error", 8L).otherwise(0L)).as("b8"))
+      val masks = fp.join(tch, Seq("user_id"), "left")
+        .select(coalesce(col("b1") + col("b2") + col("b4") + col("b8"),
+          lit(0L)).as("mask"))
+      val cnt = masks.groupBy("mask").agg(count(lit(1)).as("n"))
+      val subsets = s.range(16).select(col("id").as("coal"))
+      val vfun = subsets
+        .join(broadcast(cnt), expr("(mask & coal) = mask"), "left")
+        .groupBy("coal").agg(coalesce(sum(col("n")), lit(0L)).as("v"))
+      val ch = s.createDataFrame(Seq(
+          ("click", 1L), ("view", 2L), ("signup", 4L), ("error", 8L)))
+        .toDF("channel", "bit")
+      val pop = expr("((coal div 1) % 2) + ((coal div 2) % 2) + " +
+        "((coal div 4) % 2) + ((coal div 8) % 2)")
+      val phi = ch.join(subsets, expr("(coal & bit) = 0"))
+        .join(vfun.select(col("coal").as("ca"), col("v").as("va")),
+          col("ca") === col("coal"))
+        .join(vfun.select(col("coal").as("cb"), col("v").as("vb")),
+          col("cb") === col("coal") + col("bit"))
+        .withColumn("w24",
+          when(pop === 0, 6L).when(pop === 1, 2L)
+            .when(pop === 2, 2L).otherwise(6L))
+        .groupBy("channel")
+        .agg(sum(col("w24") * (col("vb") - col("va"))).as("phi24"))
+      val tot = phi.agg(sum(col("phi24")).as("tp"))
+      phi.crossJoin(broadcast(tot))
+        .select(col("channel"), col("phi24"),
+          expr("(phi24 * 1000) div nullif(tp, 0)").as("share_permille"))
+        .orderBy("channel")
+  }
+
+  val shapleyAttribution: Q = Q(
+    "q_shapley",
+    (s, dir) => shapleyOf(t(s, dir, "events")),
+    Some("""
+      WITH fp AS (SELECT user_id, min(ts) AS pts FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id),
+      tch AS (
+        SELECT e.user_id,
+               max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS b1,
+               max(CASE WHEN e.event_type = 'view' THEN 2 ELSE 0 END) AS b2,
+               max(CASE WHEN e.event_type = 'signup' THEN 4 ELSE 0 END) AS b4,
+               max(CASE WHEN e.event_type = 'error' THEN 8 ELSE 0 END) AS b8
+        FROM events e JOIN fp ON fp.user_id = e.user_id AND e.ts < fp.pts
+        GROUP BY e.user_id),
+      masks AS (
+        SELECT coalesce(t.b1 + t.b2 + t.b4 + t.b8, 0) AS mask
+        FROM fp LEFT JOIN tch t ON t.user_id = fp.user_id),
+      cnt AS (SELECT mask, CAST(count(*) AS BIGINT) AS n
+              FROM masks GROUP BY mask),
+      subsets AS (SELECT CAST(range AS BIGINT) AS coal FROM range(0, 16)),
+      vfun AS (
+        SELECT s.coal, CAST(coalesce(sum(c.n), 0) AS BIGINT) AS v
+        FROM subsets s LEFT JOIN cnt c ON (c.mask & s.coal) = c.mask
+        GROUP BY s.coal),
+      ch AS (SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+               ('view', CAST(2 AS BIGINT)), ('signup', CAST(4 AS BIGINT)),
+               ('error', CAST(8 AS BIGINT))) AS t(channel, bit)),
+      phi AS (
+        SELECT ch.channel,
+               CAST(sum((CASE ((s.coal // 1) % 2) + ((s.coal // 2) % 2)
+                            + ((s.coal // 4) % 2) + ((s.coal // 8) % 2)
+                         WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+                         ELSE 6 END)
+                    * (vb.v - va.v)) AS BIGINT) AS phi24
+        FROM ch JOIN subsets s ON (s.coal & ch.bit) = 0
+        JOIN vfun va ON va.coal = s.coal
+        JOIN vfun vb ON vb.coal = s.coal + ch.bit
+        GROUP BY ch.channel),
+      tot AS (SELECT CAST(sum(phi24) AS BIGINT) AS tp FROM phi)
+      SELECT channel, phi24,
+             CAST((phi24 * 1000) // nullif(tp, 0) AS BIGINT) AS share_permille
+      FROM phi CROSS JOIN tot ORDER BY channel"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
-    sprt)
+    sprt, shapleyAttribution)
 }

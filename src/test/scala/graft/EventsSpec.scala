@@ -395,6 +395,64 @@ class EventsSpec extends SparkSpec {
     assert(c0.count(_._6) == 6 && c1.count(_._6) == 14, "post_stop counts")
   }
 
+  test("shapley: hand game — symmetric channels split, dummies get zero, efficiency holds") {
+    // u1: click->purchase (mask 1), u2: view->purchase (mask 2),
+    // u3: click+view->purchase (mask 3), u4: click only NO purchase
+    // (excluded), u5: purchase untouched (mask 0).
+    // click/view are symmetric -> equal credit; signup/error are
+    // dummy channels -> exactly 0.
+    val ev = Seq(
+      (1L, ts(10), 100L, "click"), (1L, ts(20), 101L, "purchase"),
+      (2L, ts(10), 200L, "view"), (2L, ts(20), 201L, "purchase"),
+      (3L, ts(10), 300L, "click"), (3L, ts(15), 301L, "view"),
+      (3L, ts(20), 302L, "purchase"),
+      (4L, ts(10), 400L, "click"),
+      (5L, ts(10), 500L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.shapleyOf(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("click") == ((36L, 500L)), got("click").toString)
+    assert(got("view") == ((36L, 500L)), got("view").toString)
+    assert(got("signup") == ((0L, 0L)), got("signup").toString)
+    assert(got("error") == ((0L, 0L)), got("error").toString)
+  }
+
+  test("shapley == permutation-average brute force on seeded random mask games") {
+    // reference: phi(i) = avg over all 4! channel orderings of the
+    // marginal v(pred(i) + i) - v(pred(i)) — the DEFINITION, distinct
+    // from the subset-weight formula the query uses
+    val bits = Seq(1L, 2L, 4L, 8L)
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 3) {
+      val masks = Seq.fill(40)(rnd.nextInt(16).toLong)
+      def v(sMask: Long): Long = masks.count(m => (m & sMask) == m).toLong
+      val perms = bits.permutations.toSeq
+      val want = bits.map { b =>
+        val sum24 = perms.map { p =>
+          val pred = p.takeWhile(_ != b).foldLeft(0L)(_ | _)
+          v(pred | b) - v(pred)
+        }.sum
+        b -> sum24 // 4! = 24 permutations: sum IS phi24
+      }.toMap
+      // feed the same masks through events: user k touches mask bits
+      // then purchases
+      val names = Map(1L -> "click", 2L -> "view", 4L -> "signup", 8L -> "error")
+      val ev = masks.zipWithIndex.flatMap { case (m, u) =>
+        val touches = bits.filter(b => (m & b) != 0).zipWithIndex.map {
+          case (b, i) => (u.toLong, ts(10 + i), u * 10L + i, names(b))
+        }
+        touches :+ ((u.toLong, ts(20), u * 10L + 9, "purchase"))
+      }.toDF("user_id", "ts", "event_id", "event_type")
+      val got = Events.shapleyOf(ev).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      bits.foreach { b =>
+        assert(got(names(b)) == want(b), s"${names(b)}: ${got(names(b))} vs ${want(b)}")
+      }
+      // efficiency: total credit = 24 * (v(full) - v(empty))
+      assert(got.values.sum == 24L * (v(15L) - v(0L)), "efficiency identity")
+    }
+  }
+
   test("SPRT: a walk that never crosses keeps stop_day null, all continue") {
     // alternate success/failure: per pair LLR moves 223144 - 64539 =
     // +158605, needs 19 pairs to cross -- give it only 5
