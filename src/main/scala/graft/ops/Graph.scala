@@ -1354,6 +1354,100 @@ object Graph {
     },
     None)
 
+  /** Hop-bounded Bellman–Ford — [[bfs]] generalized to WEIGHTED
+    * edges: after k rounds dist(v) = the cheapest cost of any path of
+    * ≤ k edges, exactly (the textbook k-round relaxation invariant).
+    * Hop-bounding sidesteps negative-cycle divergence structurally
+    * (weights here are positive anyway) and keeps the whole
+    * trajectory engine-reproducible for the unrolled-CTE oracle.
+    *
+    * Scale shape identical to [[bfs]]: per round ONE dst-keyed
+    * vertex-sized shuffle (frontier⋈edges, min-merge with the
+    * standing table), cloned session, lazy lineage cuts. */
+  def bellmanFord(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    val origin = edges.sparkSession
+    val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
+    def rebind(s: SparkSession, df: DataFrame): DataFrame =
+      s.createDataFrame(df.rdd, df.schema)
+    val e = graft.Checkpoints.cut(
+      rebind(spark, edges.select(col("src"), col("dst"), col("w"))))
+    val nV = e.select(col("src")).distinct().count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, nV / 65536L).toString)
+    var dist = graft.Checkpoints.cut(
+      rebind(spark, sources.select(col("v"))).distinct()
+        .select(col("v"), lit(0L).as("dist")),
+      eager = false)
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(dist.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
+      dist = graft.Checkpoints.cut(
+        dist.unionAll(relaxed).groupBy("v").agg(min(col("dist")).as("dist")),
+        eager = false)
+    }
+    rebind(origin, dist)
+  }
+
+  /** Driver query: cheapest 4-hop paths over the co-purchase graph
+    * under the similarity→distance transform w = 10⁶ div co_count —
+    * strongly co-purchased parts are "close", so the distance table
+    * reads "how related is this part to the seed catalog" with path
+    * STRENGTH, not just hop reach ([[shortestPath]]'s unit-weight
+    * complement; the cheapest path is often NOT the fewest-hop path,
+    * pinned in GraphSpec). Seeds = parts ≡ 0 (mod 100). Envelope:
+    * dist ≤ 4·10⁶ « 2⁶³. */
+  val cheapestPath: Q = Q(
+    "q_cheapest_path",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("co"))
+        .select(col("u"), col("v"), expr("1000000 div co").as("w"))
+      val edges = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      val sources = edges.select(col("src").as("v")).distinct()
+        .filter(col("v") % 100 === 0)
+      bellmanFord(edges, sources, 4).orderBy("v")
+    },
+    Some("""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+      und AS MATERIALIZED (
+        SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS co
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p),
+      e AS MATERIALIZED (
+        SELECT u AS src, v AS dst, 1000000 // co AS w FROM und
+        UNION ALL
+        SELECT v AS src, u AS dst, 1000000 // co AS w FROM und),
+      d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS dist
+             FROM e WHERE src % 100 = 0),
+      d1 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM d0 UNION ALL
+               SELECT e.dst AS v, d0.dist + e.w FROM e JOIN d0 ON e.src = d0.v)
+             GROUP BY v),
+      d2 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM d1 UNION ALL
+               SELECT e.dst AS v, d1.dist + e.w FROM e JOIN d1 ON e.src = d1.v)
+             GROUP BY v),
+      d3 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM d2 UNION ALL
+               SELECT e.dst AS v, d2.dist + e.w FROM e JOIN d2 ON e.src = d2.v)
+             GROUP BY v),
+      d4 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+               SELECT v, dist FROM d3 UNION ALL
+               SELECT e.dst AS v, d3.dist + e.w FROM e JOIN d3 ON e.src = d3.v)
+             GROUP BY v)
+      SELECT v, dist FROM d4 ORDER BY v"""))
+
   /** DIAMETER LOWER BOUND via the double sweep (Magnien–Latapy–Habib):
     * BFS from a pinned start u, then BFS again from the farthest
     * vertex the first sweep found — the second eccentricity is a
@@ -1502,5 +1596,6 @@ object Graph {
 
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
     shortestPath, shortestPathIncremental, labelPropagation,
-    labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb)
+    labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb,
+    cheapestPath)
 }

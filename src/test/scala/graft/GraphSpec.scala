@@ -464,6 +464,42 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("bellman-ford: cheapest path beats fewest hops; hop bound is exact") {
+    // 0 -> 1 -> 2 via w=10 each, plus a direct 0 -> 2 at w=100:
+    // 2 rounds find 20 through the middle, 1 round can only see the
+    // direct edge (100). Hop-bounded semantics, exactly.
+    val edges = Seq((0L, 1L, 10L), (1L, 2L, 10L), (0L, 2L, 100L))
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val sources = Seq(0L).toDF("v")
+    def run(r: Int) = ops.Graph.bellmanFord(edges, sources, r).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(2) == Map(0L -> 0L, 1L -> 10L, 2L -> 20L), run(2).toString)
+    assert(run(1) == Map(0L -> 0L, 1L -> 10L, 2L -> 100L), run(1).toString)
+  }
+
+  test("bellman-ford == sequential reference on a seeded random weighted graph") {
+    val rnd = new scala.util.Random(13)
+    val n = 30
+    val edges = (0 until 120).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, (1 + rnd.nextInt(50)).toLong)
+    }.filter(e => e._1 != e._2)
+    val rounds = 4
+    // reference: k-round relaxation from vertex 0
+    var ref = Map(0L -> 0L)
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.flatMap { case (a, b, w) =>
+        ref.get(a).map(d => b -> (d + w))
+      }
+      ref = (ref.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (v, ds) => v -> ds.map(_._2).min }
+    }
+    val got = ops.Graph.bellmanFord(
+        edges.toDF("src", "dst", "w"), Seq(0L).toDF("v"), rounds)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == ref, s"$got vs $ref")
+  }
+
   test("double sweep finds the exact diameter of a path whose min id is interior") {
     // path 3–1–2–4–5: min id (1) is INTERIOR, so sweep 1's ecc (3,
     // to vertex 5) UNDERSTATES the diameter; sweep 2 from 5 walks the
