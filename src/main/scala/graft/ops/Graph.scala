@@ -1448,6 +1448,117 @@ object Graph {
              GROUP BY v)
       SELECT v, dist FROM d4 ORDER BY v"""))
 
+  /** Earliest-arrival TEMPORAL reachability — BFS over a temporal
+    * graph where each edge carries an activation time and a valid
+    * path must be TIME-RESPECTING (non-decreasing edge times): being
+    * connected is not enough, the connection must exist in the right
+    * order. arr(v) after k rounds = the earliest time any
+    * time-respecting path of ≤ k edges reaches v — the relaxation
+    * arr(dst) = min{ t | (src,dst,t) ∈ E, t ≥ arr(src) } is monotone
+    * (lowering arr(src) only ever ENABLES more edges), so the k-round
+    * table is well-defined and the oracle unrolls it like [[bfs]]
+    * with the t ≥ arr guard in the join.
+    *
+    * Scale shape: identical to [[bfs]] — per round one dst-keyed
+    * shuffle of frontier⋈edges (the time guard rides the join
+    * condition, pruned before the aggregate), vertex-sized state,
+    * cloned session, lazy lineage cuts. */
+  def temporalReach(edges: DataFrame, sources: DataFrame,
+      rounds: Int): DataFrame = {
+    val origin = edges.sparkSession
+    val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
+    def rebind(s: SparkSession, df: DataFrame): DataFrame =
+      s.createDataFrame(df.rdd, df.schema)
+    val e = graft.Checkpoints.cut(
+      rebind(spark, edges.select(col("src"), col("dst"), col("t"))))
+    val nV = e.select(col("src")).distinct().count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, nV / 65536L).toString)
+    var arr = graft.Checkpoints.cut(
+      rebind(spark, sources.select(col("v"))).distinct()
+        .select(col("v"), lit(0L).as("arr")),
+      eager = false)
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(arr.withColumnRenamed("v", "src"), "src")
+        .filter(col("t") >= col("arr"))
+        .select(col("dst").as("v"), col("t").as("arr"))
+      arr = graft.Checkpoints.cut(
+        arr.unionAll(relaxed).groupBy("v").agg(min(col("arr")).as("arr")),
+        eager = false)
+    }
+    rebind(origin, arr)
+  }
+
+  /** Driver query: earliest-arrival spread over the TEMPORAL
+    * co-purchase graph — each co-purchase edge activates on its
+    * order date (days since 1995-01-01), so arr(v) reads "the
+    * earliest day part v could have been reached from the seed
+    * catalog by a chain of chronologically consistent co-purchases"
+    * (the influence/contagion primitive static reach overstates:
+    * a 1996 edge can't forward what arrives in 1997 — pinned in
+    * GraphSpec). Seeds = parts ≡ 0 (mod 100) at day 0. */
+  val temporalReachQ: Q = Q(
+    "q_temporal_reach",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ord = t(s, dir, "orders").select(col("o_orderkey").as("o"),
+        datediff(to_date(col("o_orderdate")),
+          lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("t"))
+      val und = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .join(ord, "o")
+        .select(col("a.p").as("u"), col("b.p").as("v"), col("t")).distinct()
+      val edges = und.select(col("u").as("src"), col("v").as("dst"), col("t"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("t")))
+      val sources = edges.select(col("src").as("v")).distinct()
+        .filter(col("v") % 100 === 0)
+      temporalReach(edges, sources, 4).orderBy("v")
+    },
+    Some("""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+      ord AS (SELECT o_orderkey AS o,
+                     CAST(date_diff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+              FROM orders),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v, ord.t
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        JOIN ord ON ord.o = a.o),
+      e AS MATERIALIZED (
+        SELECT u AS src, v AS dst, t FROM und
+        UNION ALL
+        SELECT v AS src, u AS dst, t FROM und),
+      a0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS arr
+             FROM e WHERE src % 100 = 0),
+      a1 AS (SELECT v, CAST(min(arr) AS BIGINT) AS arr FROM (
+               SELECT v, arr FROM a0 UNION ALL
+               SELECT e.dst AS v, e.t AS arr
+               FROM e JOIN a0 ON e.src = a0.v AND e.t >= a0.arr)
+             GROUP BY v),
+      a2 AS (SELECT v, CAST(min(arr) AS BIGINT) AS arr FROM (
+               SELECT v, arr FROM a1 UNION ALL
+               SELECT e.dst AS v, e.t AS arr
+               FROM e JOIN a1 ON e.src = a1.v AND e.t >= a1.arr)
+             GROUP BY v),
+      a3 AS (SELECT v, CAST(min(arr) AS BIGINT) AS arr FROM (
+               SELECT v, arr FROM a2 UNION ALL
+               SELECT e.dst AS v, e.t AS arr
+               FROM e JOIN a2 ON e.src = a2.v AND e.t >= a2.arr)
+             GROUP BY v),
+      a4 AS (SELECT v, CAST(min(arr) AS BIGINT) AS arr FROM (
+               SELECT v, arr FROM a3 UNION ALL
+               SELECT e.dst AS v, e.t AS arr
+               FROM e JOIN a3 ON e.src = a3.v AND e.t >= a3.arr)
+             GROUP BY v)
+      SELECT v, arr FROM a4 ORDER BY v"""))
+
   /** DIAMETER LOWER BOUND via the double sweep (Magnien–Latapy–Habib):
     * BFS from a pinned start u, then BFS again from the farthest
     * vertex the first sweep found — the second eccentricity is a
@@ -1597,5 +1708,5 @@ object Graph {
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
     shortestPath, shortestPathIncremental, labelPropagation,
     labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb,
-    cheapestPath)
+    cheapestPath, temporalReachQ)
 }

@@ -500,6 +500,41 @@ class GraphSpec extends SparkSpec {
     assert(got == ref, s"$got vs $ref")
   }
 
+  test("temporal reach: a chronologically inverted path does NOT transmit") {
+    // 0-1 active at day 5, 1-2 active at day 3 only: static reach
+    // says 2 is connected, temporal says no (3 < 5). Adding a later
+    // 1-2 edge at day 7 opens it with arrival 7, not 3.
+    val base = Seq((0L, 1L, 5L), (1L, 2L, 3L))
+    def run(extra: Seq[(Long, Long, Long)]) = ops.Graph.temporalReach(
+        (base ++ extra).flatMap { case (a, b, t) => Seq((a, b, t), (b, a, t)) }
+          .toDF("src", "dst", "t"),
+        Seq(0L).toDF("v"), 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(Nil) == Map(0L -> 0L, 1L -> 5L), run(Nil).toString)
+    assert(run(Seq((1L, 2L, 7L))) == Map(0L -> 0L, 1L -> 5L, 2L -> 7L))
+  }
+
+  test("temporal reach == sequential reference on a seeded random temporal graph") {
+    val rnd = new scala.util.Random(29)
+    val n = 25
+    val edges = (0 until 150).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(30).toLong)
+    }.filter(e => e._1 != e._2).distinct
+    val rounds = 4
+    var ref = Map(0L -> 0L)
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.flatMap { case (a, b, t) =>
+        ref.get(a).filter(_ <= t).map(_ => b -> t)
+      }
+      ref = (ref.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (v, ts) => v -> ts.map(_._2).min }
+    }
+    val got = ops.Graph.temporalReach(
+        edges.toDF("src", "dst", "t"), Seq(0L).toDF("v"), rounds)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == ref, s"$got vs $ref")
+  }
+
   test("double sweep finds the exact diameter of a path whose min id is interior") {
     // path 3–1–2–4–5: min id (1) is INTERIOR, so sweep 1's ecc (3,
     // to vertex 5) UNDERSTATES the diameter; sweep 2 from 5 walks the
