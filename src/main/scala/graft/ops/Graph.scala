@@ -1559,6 +1559,98 @@ object Graph {
              GROUP BY v)
       SELECT v, arr FROM a4 ORDER BY v"""))
 
+  /** HITS hubs & authorities (Kleinberg) on a DIRECTED edge frame —
+    * the mutually-recursive centrality pagerank can't express:
+    * authority(v) = Σ hub(u) over in-edges, hub(u) = Σ authority(v)
+    * over out-edges, alternated with per-round normalization. Here
+    * the graph is the customer→supplier bipartite digraph, so hubs
+    * live on customers (breadth of sourcing) and authorities on
+    * suppliers (breadth of demand) — the two sides never mix.
+    *
+    * Integer discipline: scores sum-normalize to 10⁶ micro each
+    * round (score·10⁶ div Σ, truncation deterministic both engines),
+    * so the whole 2-round trajectory hash-oracles as unrolled CTEs
+    * with scalar-subquery totals. Envelope: raw(v) ≤ 10⁶·deg_max,
+    * ×10⁶ in the normalize < 2⁶³ through deg_max ~ 10⁶.
+    *
+    * Scale shape: each half-round is ONE edge⋈score join grouped by
+    * the opposite endpoint (vertex-sized shuffle) + a 1-row total
+    * broadcast back; 2 rounds = 4 such steps, a fixed shallow plan
+    * (no iteration session needed). */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nC = e.select(col("src")).distinct().count()
+    val Scale = 1000000L
+    def normalize(raw: DataFrame, idCol: String, vCol: String): DataFrame = {
+      val tot = raw.agg(sum(col(vCol)).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(idCol), expr(s"($vCol * $Scale) div tot").as(vCol))
+    }
+    var h = e.select(col("src")).distinct()
+      .select(col("src"), lit(Scale / math.max(1L, nC)).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to rounds) {
+      a = normalize(
+        e.join(h, "src").groupBy("dst").agg(sum(col("h")).as("a")),
+        "dst", "a")
+      h = normalize(
+        e.join(a, "dst").groupBy("src").agg(sum(col("a")).as("h")),
+        "src", "h")
+    }
+    val out = a.select(lit("authority").as("kind"), col("dst").as("id"),
+        col("a").as("score"))
+      .unionAll(h.select(lit("hub").as("kind"), col("src").as("id"),
+        col("h").as("score")))
+      .orderBy("kind", "id")
+    val materialized = out.collect()
+    e.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(
+        materialized.toIndexedSeq, math.max(1, s.sparkContext.defaultParallelism / 4)),
+      out.schema).orderBy("kind", "id")
+  }
+
+  /** Driver query: 2-round HITS over the distinct customer→supplier
+    * sourcing digraph ([[pagerank]]'s relation kept DIRECTED instead
+    * of symmetrized). */
+  val hitsQ: Q = Q(
+    "q_hits",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst")).distinct()
+      hits(cs, 2)
+    },
+    Some("""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      h0 AS (SELECT src, CAST(1000000 // (SELECT count(DISTINCT src) FROM e)
+                          AS BIGINT) AS h
+             FROM (SELECT DISTINCT src FROM e) c),
+      a1r AS (SELECT e.dst, CAST(sum(h0.h) AS BIGINT) AS a
+              FROM e JOIN h0 ON h0.src = e.src GROUP BY e.dst),
+      a1 AS (SELECT dst, CAST((a * 1000000) // (SELECT sum(a) FROM a1r)
+                          AS BIGINT) AS a FROM a1r),
+      h1r AS (SELECT e.src, CAST(sum(a1.a) AS BIGINT) AS h
+              FROM e JOIN a1 ON a1.dst = e.dst GROUP BY e.src),
+      h1 AS (SELECT src, CAST((h * 1000000) // (SELECT sum(h) FROM h1r)
+                          AS BIGINT) AS h FROM h1r),
+      a2r AS (SELECT e.dst, CAST(sum(h1.h) AS BIGINT) AS a
+              FROM e JOIN h1 ON h1.src = e.src GROUP BY e.dst),
+      a2 AS (SELECT dst, CAST((a * 1000000) // (SELECT sum(a) FROM a2r)
+                          AS BIGINT) AS a FROM a2r),
+      h2r AS (SELECT e.src, CAST(sum(a2.a) AS BIGINT) AS h
+              FROM e JOIN a2 ON a2.dst = e.dst GROUP BY e.src),
+      h2 AS (SELECT src, CAST((h * 1000000) // (SELECT sum(h) FROM h2r)
+                          AS BIGINT) AS h FROM h2r)
+      SELECT 'authority' AS kind, dst AS id, a AS score FROM a2
+      UNION ALL
+      SELECT 'hub' AS kind, src AS id, h AS score FROM h2
+      ORDER BY kind, id"""))
+
   /** DIAMETER LOWER BOUND via the double sweep (Magnien–Latapy–Habib):
     * BFS from a pinned start u, then BFS again from the farthest
     * vertex the first sweep found — the second eccentricity is a
@@ -1708,5 +1800,5 @@ object Graph {
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
     shortestPath, shortestPathIncremental, labelPropagation,
     labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb,
-    cheapestPath, temporalReachQ)
+    cheapestPath, temporalReachQ, hitsQ)
 }

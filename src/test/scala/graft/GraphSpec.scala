@@ -535,6 +535,50 @@ class GraphSpec extends SparkSpec {
     assert(got == ref, s"$got vs $ref")
   }
 
+  test("hits: broad sourcing makes the hub, broad demand makes the authority") {
+    // c1 -> {s1, s2, s3}, c2 -> {s1}: c1 is the stronger hub;
+    // s1 (bought by both) the stronger authority; s2 == s3 symmetric.
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("src", "dst")
+    val got = ops.Graph.hits(e, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("hub", 1L)) > got(("hub", 2L)), got.toString)
+    assert(got(("authority", 10L)) > got(("authority", 11L)), got.toString)
+    assert(got(("authority", 11L)) == got(("authority", 12L)), got.toString)
+    // sum-normalized micro masses (truncation may shave a few micro)
+    val hubs = got.collect { case (("hub", _), v) => v }.sum
+    val auths = got.collect { case (("authority", _), v) => v }.sum
+    assert(hubs > 999990L && hubs <= 1000000L, s"hub mass $hubs")
+    assert(auths > 999990L && auths <= 1000000L, s"authority mass $auths")
+  }
+
+  test("hits == sequential double-iteration reference on a seeded random digraph") {
+    val rnd = new scala.util.Random(41)
+    val edges = (0 until 80).map { _ =>
+      (rnd.nextInt(12).toLong, (100 + rnd.nextInt(12)).toLong)
+    }.distinct
+    // sequential reference with the same integer normalization
+    val srcs = edges.map(_._1).distinct.sorted
+    var h = srcs.map(_ -> 1000000L / srcs.size).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val ar = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => h(e._1)).sum }
+      val as = ar.values.sum
+      a = ar.map { case (d, v) => d -> v * 1000000L / as }
+      val hr = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => a(e._2)).sum }
+      val hs = hr.values.sum
+      h = hr.map { case (s, v) => s -> v * 1000000L / hs }
+    }
+    val got = ops.Graph.hits(edges.toDF("src", "dst"), 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    a.foreach { case (d, v) =>
+      assert(got(("authority", d)) == v, s"authority $d") }
+    h.foreach { case (s, v) =>
+      assert(got(("hub", s)) == v, s"hub $s") }
+  }
+
   test("double sweep finds the exact diameter of a path whose min id is interior") {
     // path 3–1–2–4–5: min id (1) is INTERIOR, so sweep 1's ecc (3,
     // to vertex 5) UNDERSTATES the diameter; sweep 2 from 5 walks the
