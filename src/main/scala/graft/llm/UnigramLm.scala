@@ -131,36 +131,67 @@ object UnigramLm {
       .orderBy("piece")
   }
 
-  /** The oracle's DP chain: b$i = min-cost segmentation of the first
-    * i chars, as 12 unrolled CTEs with ≤ 4 back-reference branches
-    * each — generated, not hand-typed, so the Spark fold and the SQL
-    * can only disagree if the RECURRENCE differs. */
-  private def dpCtes: String =
+  /** The oracle's DP chain: ${x}b$i = min-cost segmentation of the
+    * first i chars under cost table `$costs`, as 12 unrolled CTEs
+    * with ≤ 4 back-reference branches each — GENERATED, not
+    * hand-typed, so the Spark fold and the SQL can only disagree if
+    * the RECURRENCE differs; the prefix `x` lets one oracle chain two
+    * independent E-steps (round 2 prunes + re-costs + re-segments). */
+  private def dpCtes(x: String, costs: String): String =
     (1 to MaxLen).map { i =>
       val branches = (1 to math.min(MaxPiece, i)).map { j =>
         s"""SELECT b.w, b.best + c.cost AS v
-            FROM b${i - j} b JOIN words d ON d.w = b.w AND length(d.w) >= $i
-            JOIN costs c ON c.piece = substr(d.w, ${i - j + 1}, $j)"""
+            FROM ${x}b${i - j} b JOIN words d ON d.w = b.w AND length(d.w) >= $i
+            JOIN $costs c ON c.piece = substr(d.w, ${i - j + 1}, $j)"""
       }.mkString("\n            UNION ALL\n            ")
-      s"""b$i AS (SELECT w, CAST(min(v) AS BIGINT) AS best FROM (
+      s"""${x}b$i AS (SELECT w, CAST(min(v) AS BIGINT) AS best FROM (
             $branches) GROUP BY w)"""
     }.mkString(",\n      ")
 
-  private def bestUnion: String =
-    (0 to MaxLen).map(i => s"SELECT w, $i AS i, best FROM b$i")
+  private def bestUnion(x: String): String =
+    (0 to MaxLen).map(i => s"SELECT w, $i AS i, best FROM ${x}b$i")
       .mkString("\n        UNION ALL\n        ")
 
-  private def backtrackCtes: String =
+  private def backtrackCtes(x: String): String =
     (1 to MaxLen).map { k =>
-      s"""p$k AS (SELECT p.w, p.cnt, p.pos - ch.j AS pos,
+      s"""${x}p$k AS (SELECT p.w, p.cnt, p.pos - ch.j AS pos,
              substr(p.w, CAST(p.pos - ch.j + 1 AS INT), CAST(ch.j AS INT)) AS piece
-           FROM p${k - 1} p JOIN choice ch ON ch.w = p.w AND ch.i = p.pos
+           FROM ${x}p${k - 1} p JOIN ${x}choice ch ON ch.w = p.w AND ch.i = p.pos
            WHERE p.pos > 0)"""
     }.mkString(",\n      ")
 
-  private def pathUnion: String =
-    (1 to MaxLen).map(k => s"SELECT cnt, piece FROM p$k")
+  private def pathUnion(x: String): String =
+    (1 to MaxLen).map(k => s"SELECT cnt, piece FROM ${x}p$k")
       .mkString("\n        UNION ALL\n        ")
+
+  /** One full generated E-step (DP + argmin choice + backtrack +
+    * path recount) under `$costs`, CTE-prefixed by `x`. Produces
+    * `${x}newc(piece, vit_count)`. */
+  private def eStepCtes(x: String, costs: String): String = s"""
+      ${x}b0 AS (SELECT w, CAST(0 AS BIGINT) AS best FROM words),
+      ${dpCtes(x, costs)},
+      ${x}bestu AS MATERIALIZED (
+        ${bestUnion(x)}),
+      ${x}cand AS (
+        SELECT d.w, pos.range AS i, j.range AS j, b.best + c.cost AS v
+        FROM words d, range(1, ${MaxLen + 1}) pos, range(1, ${MaxPiece + 1}) j,
+             ${x}bestu b, $costs c
+        WHERE pos.range <= length(d.w) AND j.range <= pos.range
+          AND b.w = d.w AND b.i = pos.range - j.range
+          AND c.piece = substr(d.w, CAST(pos.range - j.range + 1 AS INT),
+                               CAST(j.range AS INT))),
+      ${x}choice AS MATERIALIZED (
+        SELECT w, i, j FROM (
+          SELECT w, i, j,
+                 row_number() OVER (PARTITION BY w, i ORDER BY v ASC, j ASC) AS rn
+          FROM ${x}cand) rk
+        WHERE rn = 1),
+      ${x}p0 AS (SELECT w, cnt, CAST(length(w) AS BIGINT) AS pos FROM words),
+      ${backtrackCtes(x)},
+      ${x}pathpieces AS (
+        ${pathUnion(x)}),
+      ${x}newc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS vit_count
+               FROM ${x}pathpieces GROUP BY piece)"""
 
   val unigramEm: Q = Q(
     "q_unigram_lm_em",
@@ -194,35 +225,106 @@ object UnigramLm {
                CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
                  * 1000000) AS BIGINT) AS cost
         FROM pieces CROSS JOIN tot),
-      b0 AS (SELECT w, CAST(0 AS BIGINT) AS best FROM words),
-      $dpCtes,
-      bestu AS MATERIALIZED (
-        $bestUnion),
-      cand AS (
-        SELECT d.w, pos.range AS i, j.range AS j, b.best + c.cost AS v
-        FROM words d, range(1, ${MaxLen + 1}) pos, range(1, ${MaxPiece + 1}) j,
-             bestu b, costs c
-        WHERE pos.range <= length(d.w) AND j.range <= pos.range
-          AND b.w = d.w AND b.i = pos.range - j.range
-          AND c.piece = substr(d.w, CAST(pos.range - j.range + 1 AS INT),
-                               CAST(j.range AS INT))),
-      choice AS MATERIALIZED (
-        SELECT w, i, j FROM (
-          SELECT w, i, j,
-                 row_number() OVER (PARTITION BY w, i ORDER BY v ASC, j ASC) AS rn
-          FROM cand) rk
-        WHERE rn = 1),
-      p0 AS (SELECT w, cnt, CAST(length(w) AS BIGINT) AS pos FROM words),
-      $backtrackCtes,
-      pathpieces AS (
-        $pathUnion),
-      newc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS vit_count
-               FROM pathpieces GROUP BY piece),
+      ${eStepCtes("", "costs")},
       ntot AS (SELECT CAST(sum(vit_count) AS BIGINT) AS m FROM newc)
       SELECT n.piece, c.c AS init_count, n.vit_count,
              (n.vit_count * 1000000) // m AS prob_micro
       FROM newc n JOIN costs c ON c.piece = n.piece CROSS JOIN ntot
       ORDER BY n.piece"""))
 
-  val all: Seq[Q] = Seq(unigramEm)
+  /** Round-2 inventory: prune round-1 pieces that earned fewer than
+    * `MinCount` Viterbi hits (single-char pieces are ALWAYS kept so
+    * segmentation stays total — the SentencePiece invariant), then
+    * re-cost from add-one-smoothed Viterbi counts. */
+  val MinCount = 2L
+
+  def prunedCosts(costs1: DataFrame, vit1: DataFrame): DataFrame = {
+    val kept = costs1.select("piece")
+      .join(vit1, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("vit_count"), lit(0L)).as("vit1"))
+      .filter(length(col("piece")) === 1 || col("vit1") >= MinCount)
+    val w2 = kept.select(col("piece"), col("vit1"),
+      (col("vit1") + 1L).as("c"))
+    val tot2 = w2.agg(sum(col("c")).as("n"))
+    w2.crossJoin(broadcast(tot2))
+      .withColumn("cost",
+        round((log(col("n").cast("double")) - log(col("c").cast("double")))
+          * 1e6, 0).cast("long"))
+      .select("piece", "vit1", "c", "cost")
+  }
+
+  /** SECOND EM iteration WITH PRUNING — the step that makes it EM and
+    * not a one-shot score: round 1's Viterbi counts become the new
+    * (smoothed) unigram estimates, pieces the segmenter never used
+    * are dropped from the inventory (the SentencePiece shrink step),
+    * and the corpus re-segments under the re-costed table. Emits
+    * (piece, vit1, vit2, prob2_micro) for every piece on a round-2
+    * path; the oracle chains TWO generated E-steps — same DP, two
+    * cost tables. Scale shape identical to [[unigramEm]] (the second
+    * E-step adds one more vocab-domain pass, nothing corpus-sized). */
+  val unigramEm2: Q = Q(
+    "q_unigram_lm_em2",
+    (s, dir) => {
+      val words = wordCounts(t(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val costs1 = pieceCosts(words)
+      val vit1 = viterbiPaths(words, costs1)
+        .groupBy("piece").agg(sum(col("cnt")).as("vit_count"))
+      val costs2 = prunedCosts(costs1, vit1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vit2 = viterbiPaths(words, costs2)
+        .groupBy("piece").agg(sum(col("cnt")).as("vit2"))
+      val m2 = vit2.agg(sum(col("vit2")).as("m"))
+      val out = vit2
+        .join(costs2.select(col("piece"), col("vit1")), Seq("piece"))
+        .crossJoin(broadcast(m2))
+        .select(col("piece"), col("vit1"), col("vit2"),
+          expr("(vit2 * 1000000) div m").as("prob2_micro"))
+        .orderBy("piece")
+      val materialized = out.collect()
+      words.unpersist()
+      costs2.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(
+          materialized.toIndexedSeq, 1), out.schema)
+        .orderBy("piece")
+    },
+    Some(s"""
+      WITH words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents) tk
+        WHERE w <> '' AND length(w) <= $MaxLen
+        GROUP BY w),
+      subs AS (
+        SELECT substr(d.w, CAST(st.range AS INT), CAST(ln.range AS INT)) AS piece,
+               d.cnt
+        FROM words d, range(1, ${MaxPiece + 1}) ln, range(1, ${MaxLen + 1}) st
+        WHERE st.range + ln.range - 1 <= length(d.w)),
+      pieces AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+                 FROM subs GROUP BY piece),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pieces),
+      costs AS MATERIALIZED (
+        SELECT piece, c,
+               CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS cost
+        FROM pieces CROSS JOIN tot),
+      ${eStepCtes("", "costs")},
+      kept AS (
+        SELECT p.piece, CAST(coalesce(n.vit_count, 0) AS BIGINT) AS vit1
+        FROM pieces p LEFT JOIN newc n ON n.piece = p.piece
+        WHERE length(p.piece) = 1 OR coalesce(n.vit_count, 0) >= $MinCount),
+      tot2 AS (SELECT CAST(sum(vit1 + 1) AS BIGINT) AS n FROM kept),
+      costs2 AS MATERIALIZED (
+        SELECT piece, vit1, CAST(vit1 + 1 AS BIGINT) AS c,
+               CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(vit1 + 1 AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS cost
+        FROM kept CROSS JOIN tot2),
+      ${eStepCtes("r", "costs2")},
+      ntot2 AS (SELECT CAST(sum(vit_count) AS BIGINT) AS m FROM rnewc)
+      SELECT n.piece, k.vit1, n.vit_count AS vit2,
+             (n.vit_count * 1000000) // m AS prob2_micro
+      FROM rnewc n JOIN kept k ON k.piece = n.piece CROSS JOIN ntot2
+      ORDER BY n.piece"""))
+
+  val all: Seq[Q] = Seq(unigramEm, unigramEm2)
 }

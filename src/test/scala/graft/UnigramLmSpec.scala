@@ -66,4 +66,40 @@ class UnigramLmSpec extends SparkSpec {
     val covered = rows.map(r => r.getLong(2) * r.getString(0).length).sum
     assert(covered == totalWordLen, s"$covered vs $totalWordLen")
   }
+
+  test("round 2: pruning respects the floor, keeps chars, and still tiles the corpus") {
+    val words = UnigramLm.wordCounts(
+      Tables.load(spark, sf001, "documents"))
+    val totalWordLen = words
+      .agg(sum(col("cnt") * length(col("w")))).head().getLong(0)
+    val rows = UnigramLm.unigramEm2.fn(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every surviving multi-char piece earned its keep in round 1
+    rows.foreach { case (p, vit1, _, _) =>
+      assert(p.length == 1 || vit1 >= UnigramLm.MinCount, s"$p vit1=$vit1")
+    }
+    // the round-2 segmentation still tiles every word exactly
+    val covered = rows.map(r => r._3 * r._1.length).sum
+    assert(covered == totalWordLen, s"$covered vs $totalWordLen")
+    val probSum = rows.map(_._4).sum
+    assert(probSum <= 1000000L && probSum > 1000000L - rows.length)
+  }
+
+  test("round 2 re-segments under the new costs: a round-1 underdog can win") {
+    // corpus: "ab" x 6 and "abab" x 1. Round 1: 'abab' (count 1,
+    // expensive) loses to cheaper splits; after re-costing from
+    // viterbi counts, 'ab' (heavily used in round 1) becomes very
+    // cheap, so 'abab' must segment as ab+ab in round 2.
+    val words = Seq(("ab", 6L), ("abab", 1L)).toDF("w", "cnt")
+    val costs1 = UnigramLm.pieceCosts(words)
+    val vit1 = UnigramLm.viterbiPaths(words, costs1)
+      .groupBy("piece").agg(sum(col("cnt")).as("vit_count"))
+    val costs2 = UnigramLm.prunedCosts(costs1, vit1)
+    val paths2 = UnigramLm.viterbiPaths(words, costs2).collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    val ababPieces = paths2.filter(_._1 == "abab").map(_._2).sorted
+    assert(ababPieces.toSeq == Seq("ab", "ab"),
+      s"abab must re-segment as ab+ab: ${ababPieces.toSeq}")
+  }
 }
