@@ -1578,18 +1578,35 @@ object Graph {
     * broadcast back; 2 rounds = 4 such steps, a fixed shallow plan
     * (no iteration session needed). */
   def hits(edges: DataFrame, rounds: Int): DataFrame = {
-    val s = edges.sparkSession
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val origin = edges.sparkSession
+    // the pageRank iteration discipline: cloned session with
+    // vertex-sized parallelism, a lineage cut after EVERY half-round
+    // frame — each normalize references its raw input twice (total +
+    // main), so without cuts the plan doubles per half-round (2⁴
+    // copies of the edge derivation at rounds = 2; measured 16.7 s →
+    // ~3 s at sf0.1)
+    val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
+    val e = graft.Checkpoints.cut(
+      rebind(spark, edges.select(col("src"), col("dst"))))
     val nC = e.select(col("src")).distinct().count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, nC / 65536L).toString)
     val Scale = 1000000L
-    def normalize(raw: DataFrame, idCol: String, vCol: String): DataFrame = {
+    def normalize(raw0: DataFrame, idCol: String, vCol: String): DataFrame = {
+      // cut the RAW frame only: it is the one referenced twice (total
+      // + main); the normalized result is consumed once by the next
+      // half-round, whose own raw cut bounds the re-walk, so a second
+      // cut here would only add a checkpoint job per half-round
+      val raw = graft.Checkpoints.cut(raw0, eager = false)
       val tot = raw.agg(sum(col(vCol)).as("tot"))
       raw.crossJoin(broadcast(tot))
         .select(col(idCol), expr(s"($vCol * $Scale) div tot").as(vCol))
     }
-    var h = e.select(col("src")).distinct()
-      .select(col("src"), lit(Scale / math.max(1L, nC)).as("h"))
+    var h = graft.Checkpoints.cut(
+      e.select(col("src")).distinct()
+        .select(col("src"), lit(Scale / math.max(1L, nC)).as("h")),
+      eager = false)
     var a: DataFrame = null
     for (_ <- 1 to rounds) {
       a = normalize(
@@ -1599,16 +1616,12 @@ object Graph {
         e.join(a, "dst").groupBy("src").agg(sum(col("a")).as("h")),
         "src", "h")
     }
-    val out = a.select(lit("authority").as("kind"), col("dst").as("id"),
-        col("a").as("score"))
-      .unionAll(h.select(lit("hub").as("kind"), col("src").as("id"),
-        col("h").as("score")))
+    rebind(origin,
+      a.select(lit("authority").as("kind"), col("dst").as("id"),
+          col("a").as("score"))
+        .unionAll(h.select(lit("hub").as("kind"), col("src").as("id"),
+          col("h").as("score"))))
       .orderBy("kind", "id")
-    val materialized = out.collect()
-    e.unpersist()
-    s.createDataFrame(s.sparkContext.parallelize(
-        materialized.toIndexedSeq, math.max(1, s.sparkContext.defaultParallelism / 4)),
-      out.schema).orderBy("kind", "id")
   }
 
   /** Driver query: 2-round HITS over the distinct customer→supplier
