@@ -43,18 +43,36 @@ object Dbscan {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** ε-pair degrees from a canonical (vec_a < vec_b) pair list — the
+    * per-point neighbor counts DBSCAN's core test reads, exposed so
+    * the incremental path can maintain them additively. */
+  def pairDegrees(pairs: DataFrame): DataFrame =
+    pairs.select(col("vec_a").as("id"))
+      .unionAll(pairs.select(col("vec_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+
   /** Core DBSCAN given points (vec_id) and the candidate ε-pair list
     * (vec_a < vec_b, already sim-filtered). Returns one row per point:
     * (id, cluster, role) with role ∈ core/border/noise and cluster =
     * min vertex id of the component (NULL for noise). */
   def dbscanFromPairs(points: DataFrame, pairs: DataFrame, minPts: Int,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame =
+    dbscanFromDegrees(points, pairs, pairDegrees(pairs), minPts, handles)
+
+  /** [[dbscanFromPairs]] with an externally supplied degree frame —
+    * the incremental entry point (state degrees + delta contributions
+    * instead of a recount). The degree frame MUST equal
+    * [[pairDegrees]] of `pairs` for DBSCAN semantics to hold; the
+    * incremental query asserts exactly that in-query. */
+  def dbscanFromDegrees(points: DataFrame, pairs: DataFrame,
+      degrees: DataFrame, minPts: Int,
       handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
     val p = handles.track(pairs.select(col("vec_a"), col("vec_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sym = p.select(col("vec_a").as("id"), col("vec_b").as("nb"))
       .unionAll(p.select(col("vec_b").as("id"), col("vec_a").as("nb")))
     val core = handles.track(
-      sym.groupBy("id").agg(count(lit(1)).as("deg"))
+      degrees
         .filter(col("deg") + lit(1) >= minPts).select("id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val coreEdges = p
@@ -128,5 +146,141 @@ object Dbscan {
     },
     None)
 
-  val all: Seq[Q] = Seq(dbscan)
+  /** Canonical ε-pairs among a block-ASSIGNED frame (vec_id, v,
+    * block): within-block quadratic join, sim-filtered — the
+    * [[Similarity.clusterNearDupPairs]] core WITHOUT the skew-thinning
+    * guard, because the incremental contract (state pairs + delta
+    * pairs ≡ full pairs under FROZEN assignment) requires a pair
+    * policy that is a pure function of the assigned frame; a
+    * size-dependent thinning would make history epochs and the union
+    * corpus disagree about which pairs exist. Callers own bounding
+    * block sizes (here: trained blocks over near-uniform embeddings).
+    * `left` restricts the left side (the delta) — pass the full frame
+    * for a from-scratch build. */
+  def pairsAmongAssigned(left: DataFrame, all: DataFrame,
+      minSim: Double): DataFrame =
+    left.select(col("block"), col("vec_id").as("vec_l"), col("v").as("vl"))
+      .join(all.select(col("block"), col("vec_id").as("vec_r"),
+        col("v").as("vr")), Seq("block"))
+      .filter(col("vec_l") =!= col("vec_r"))
+      .filter(Similarity.cosine(col("vl"), col("vr")) >= minSim)
+      .select(least(col("vec_l"), col("vec_r")).as("vec_a"),
+        greatest(col("vec_l"), col("vec_r")).as("vec_b"))
+      .distinct()
+
+  /** INCREMENTAL DBSCAN — absorb an embedding delta batch against
+    * persisted state, the [[Dedup.deltaMinhashPairsWithStore]]
+    * pattern applied to density clustering. State (staged parquet at
+    * bootstrap) = the history's block ASSIGNMENT (the verification
+    * payload: delta×history pairing needs history vectors), its
+    * canonical ε-PAIR list, and its DEGREE table. A delta batch then
+    * costs: one delta-side blocked join (delta × (history ∪ delta) —
+    * the quadratic piece is DELTA-sized, never corpus²), an additive
+    * degree merge (state + delta-pair contributions: degrees only
+    * grow under insertion, DBSCAN's insertion monotonicity), and the
+    * graph phase over the pair-domain store (core set grows,
+    * components only merge; CC re-runs over the PAIR STORE because a
+    * merge cascade is non-local — pair-domain work, not corpus work).
+    *
+    * The centroid inventory is FROZEN at bootstrap (production
+    * freezes the quantizer; retraining shifts every block boundary),
+    * which is what makes incremental ≡ full EXACT — asserted IN-QUERY
+    * two ways (the q_stream_kcore_deg discipline): the maintained
+    * degree table full-outer-matches a from-scratch recount, and the
+    * state∪delta pair set full-outer-matches the from-scratch blocked
+    * join over the union corpus. Plus the planted-blob structural
+    * floor on the final clustering. Rows-only by contract (trained
+    * centroids aren't SQL-expressible). */
+  val dbscanIncremental: Q = Q(
+    "q_dbscan_incremental",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cut = emb.agg(expr(
+        "max(vec_id) - (max(vec_id) - min(vec_id) + 1) div 8").as("c"))
+        .head().getLong(0)
+      val hist = emb.filter(col("vec_id") <= cut)
+      val proto = emb.filter(col("vec_id") === 0).select(col("v")).limit(1)
+      val plants = s.range(12)
+        .select((col("id") + lit(2000000L)).as("vec_id"))
+        .crossJoin(broadcast(proto))
+      val delta = emb.filter(col("vec_id") > cut).unionByName(plants)
+      val centroids = Ivf.trainCentroidsMemo(s"$dir#dbscan_inc", hist)
+      val stateDir = graft.Staging.dir(s,
+        "graft_dbscan_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      if (!graft.Staging.ready(s, s"$stateDir/pairs")) {
+        val histA = hist.withColumn("block",
+          Ivf.clusterOf(col("v"), centroids))
+        histA.write.mode("overwrite").parquet(s"$stateDir/assign")
+        val histPairs = pairsAmongAssigned(histA, histA, 0.95)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairDegrees(histPairs).write.mode("overwrite")
+          .parquet(s"$stateDir/deg")
+        histPairs.write.mode("overwrite").parquet(s"$stateDir/pairs")
+        histPairs.unpersist()
+      }
+      val histA = s.read.parquet(s"$stateDir/assign")
+      val statePairs = s.read.parquet(s"$stateDir/pairs")
+      val stateDeg = s.read.parquet(s"$stateDir/deg")
+      val handles = new graft.CacheHandles
+      val deltaA = handles.track(
+        delta.withColumn("block", Ivf.clusterOf(col("v"), centroids))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val allA = handles.track(histA.unionByName(deltaA)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // the delta-sided blocked join: every new pair touches >= 1
+      // delta point, so state pairs (hist-hist) and delta pairs
+      // partition the union pair set
+      val deltaPairs = handles.track(
+        pairsAmongAssigned(deltaA, allA, 0.95)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val allPairs = statePairs.unionByName(deltaPairs)
+      val incrDeg = stateDeg
+        .unionByName(pairDegrees(deltaPairs))
+        .groupBy("id").agg(sum(col("deg")).as("deg"))
+      // in-query proof 1: maintained degrees == from-scratch recount
+      val degMismatch = incrDeg
+        .join(pairDegrees(allPairs).withColumnRenamed("deg", "deg_full"),
+          Seq("id"), "full_outer")
+        .filter(col("deg").isNull || col("deg_full").isNull ||
+          col("deg") =!= col("deg_full")).count()
+      if (degMismatch != 0L)
+        throw new IllegalStateException(
+          s"incremental degree table diverged on $degMismatch ids")
+      // in-query proof 2: state + delta pairs == from-scratch blocked
+      // join over the union corpus under the frozen assignment
+      val fullPairs = pairsAmongAssigned(allA, allA, 0.95)
+      val pairMismatch = allPairs.withColumn("m", lit(1))
+        .join(fullPairs.withColumn("f", lit(1)),
+          Seq("vec_a", "vec_b"), "full_outer")
+        .filter(col("m").isNull || col("f").isNull).count()
+      if (pairMismatch != 0L)
+        throw new IllegalStateException(
+          s"pair store diverged from full recompute on $pairMismatch pairs")
+      val points = hist.unionByName(delta)
+      val perPoint = handles.track(
+        dbscanFromDegrees(points, allPairs, incrDeg, minPts = 10,
+            handles = handles)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val audit = perPoint.filter(col("id") >= 2000000L)
+        .agg(count(when(col("role") === "core", 1)).as("n_core"),
+          countDistinct(col("cluster")).as("n_clusters")).head()
+      if (audit.getLong(0) < 12 || audit.getLong(1) != 1L)
+        throw new IllegalStateException(
+          s"planted DBSCAN blob degraded: ${audit.getLong(0)}/12 core, " +
+            s"${audit.getLong(1)} clusters (want 1)")
+      val out = perPoint.groupBy("cluster")
+        .agg(count(when(col("role") === "core", 1)).as("n_core"),
+          count(when(col("role") === "border", 1)).as("n_border"),
+          count(when(col("role") === "noise", 1)).as("n_noise"))
+        .orderBy(asc_nulls_first("cluster"))
+      val materialized = out.collect()
+      handles.releaseAll()
+      s.createDataFrame(s.sparkContext.parallelize(
+          materialized.toIndexedSeq, 1), out.schema)
+        .orderBy(asc_nulls_first("cluster"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(dbscan, dbscanIncremental)
 }

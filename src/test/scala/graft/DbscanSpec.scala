@@ -83,6 +83,41 @@ class DbscanSpec extends SparkSpec {
     assert(got(13L)._1 == 10L, "cliques must stay separate components")
   }
 
+  test("incremental delta+state == from-scratch DBSCAN, point for point") {
+    import graft.llm.Dbscan
+    val rnd = new scala.util.Random(47)
+    // synthetic assigned frame: 3 blocks, 2-d vectors in [0,1)^2
+    val pts = (0L until 50L).map { i =>
+      (i, Seq(rnd.nextDouble(), rnd.nextDouble()), (i % 3).toString)
+    }
+    val df = pts.toDF("vec_id", "v", "block")
+    val hist = df.filter(col("vec_id") < 40)
+    val delta = df.filter(col("vec_id") >= 40)
+    val minSim = 0.98
+    val statePairs = Dbscan.pairsAmongAssigned(hist, hist, minSim)
+    val deltaPairs = Dbscan.pairsAmongAssigned(delta, df, minSim)
+    val incrDeg = Dbscan.pairDegrees(statePairs)
+      .unionByName(Dbscan.pairDegrees(deltaPairs))
+      .groupBy("id").agg(sum(col("deg")).as("deg"))
+    val incr = Dbscan.dbscanFromDegrees(df, statePairs.unionByName(deltaPairs),
+        incrDeg, minPts = 3)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toSet
+    val full = Dbscan.dbscanFromPairs(df,
+        Dbscan.pairsAmongAssigned(df, df, minSim), minPts = 3)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toSet
+    assert(incr == full, s"incremental diverged: ${incr.diff(full)} / ${full.diff(incr)}")
+  }
+
+  test("declared incremental query: in-query proofs pass, census covers the union") {
+    val rows = graft.llm.Dbscan.dbscanIncremental.fn(spark, sf001).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
+    assert(total == 512, s"census must cover 500 + 12 planted: $total")
+    assert(rows.exists(r => !r.isNullAt(0) && r.getLong(1) >= 13),
+      rows.map(_.toString).mkString(", "))
+  }
+
   test("declared query: planted blob is one all-core cluster; census is consistent") {
     val rows = Dbscan.dbscan.fn(spark, sf001).collect()
     val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
