@@ -24,7 +24,7 @@ object SparkEntry {
       llm.Ivf.all ++ llm.Pq.all ++ llm.IvfPq.all ++ llm.Events.all ++ llm.Multimodal.all ++ llm.Sampling.all ++
       llm.Curation.all ++ llm.Retrieval.all ++ llm.Bpe.all ++ llm.Classifier.all ++ llm.Pca.all ++ llm.Drift.all ++
       llm.Privacy.all ++ llm.WordEmbed.all ++ llm.Ridge.all ++ llm.Dbscan.all ++
-      llm.UnigramLm.all ++ llm.TextRank.all ++
+      llm.UnigramLm.all ++ llm.TextRank.all ++ llm.Als.all ++
       streaming.EventStream.all
 
   /** Flagship query (reference ATHENA_SQL, E3) on sf=0.001; driver

@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** One full ALS round (k = 2) on the customer×part implicit-feedback
+  * matrix — matrix factorization, the collaborative-filtering
+  * primitive next to the content-side ANN family: r(c,p) = purchase
+  * count, item factors seeded DETERMINISTICALLY from the part id, one
+  * alternation (solve every user against frozen items, then re-solve
+  * every item against the just-solved users), fully HASH-ORACLED.
+  *
+  * What makes an iterative double-valued factorization exact across
+  * engines (the [[Ridge.ridgeDocs]] discipline, applied twice):
+  *
+  *  - factors live in INTEGER units (seed items in micro, solved
+  *    users rounded to nano), so every normal-equation moment
+  *    (Σqqᵀ, Σrq, Σuuᵀ, Σru) is an exact BIGINT sum — aggregation
+  *    ORDER cannot perturb anything;
+  *  - each 2×2 solve is Cramer's rule in doubles generated from ONE
+  *    shared string builder — identical parse trees and IEEE
+  *    evaluation order in Spark `expr()` and DuckDB;
+  *  - the only rounding is one `round(x·1e9)` per factor component,
+  *    on values far from the half-ulp boundary.
+  *
+  * The emitted table is the re-solved ITEM side (sampled p ≡ 0 mod
+  * 50): since each new item factor aggregates the solved factors of
+  * ALL its users, the user half-step is transitively pinned by the
+  * same hash. Scale shape: two grouped aggregates over the ratings
+  * frame (user-keyed, then item-keyed — one shuffle each), a
+  * broadcast-joined seed table, zero driver-side math. Overflow
+  * envelope: item moments ≤ parts/user·(10⁶)² — BIGINT-safe to 10⁶
+  * items per user; user moments ≤ users/item·(~10⁵)² — safe to 10⁸
+  * users per item (u components are ~10⁴ nano with these seeds).
+  * Reference: no factorization surface in lambda_function.py;
+  * north-star extension (recsys-style relevance signals for corpus
+  * curation). */
+object Als {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Shared Spark∩DuckDB Cramer-2×2 text: solve
+    * (A + λI) x = b for component `k` (0/1), with A/b columns named
+    * (a11, a12, a22, b1, b2). λ enters in the SQUARED unit of the
+    * frozen side's factors. */
+  private[graft] def cramer2(k: Int, lam: String): String = {
+    val det = s"(((cast(a11 as double) + $lam) * (cast(a22 as double) + $lam))" +
+      s" - (cast(a12 as double) * cast(a12 as double)))"
+    val num =
+      if (k == 0)
+        s"((cast(a22 as double) + $lam) * cast(b1 as double)" +
+          s" - cast(a12 as double) * cast(b2 as double))"
+      else
+        s"((cast(a11 as double) + $lam) * cast(b2 as double)" +
+          s" - cast(a12 as double) * cast(b1 as double))"
+    s"($num / $det)"
+  }
+
+  // item seeds: integer micro units derived from the part id — the
+  // exact text runs on both engines
+  private val q1Sql = "cast(((p * 131) % 97) * 10000 + 1000 as bigint)"
+  private val q2Sql = "cast(((p * 257) % 101) * 10000 + 1000 as bigint)"
+  private val LamUser = "1e12" // q ~ 1e6 micro ⇒ q² ~ 1e12
+  private val LamItem = "1e8"  // u ~ 1e4 nano  ⇒ u² ~ 1e8
+
+  val alsStep: Q = Q(
+    "q_als_step",
+    (s, dir) => {
+      val r = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("r"))
+      val q = r.select("p").distinct()
+        .select(col("p"), expr(q1Sql).as("q1"), expr(q2Sql).as("q2"))
+      val rq = r.join(q, Seq("p"))
+      // user half-step: per-customer exact moments, Cramer solve,
+      // round to integer nano
+      val users = rq.groupBy("c")
+        .agg(sum(col("q1") * col("q1")).as("a11"),
+          sum(col("q1") * col("q2")).as("a12"),
+          sum(col("q2") * col("q2")).as("a22"),
+          sum(col("r") * col("q1")).as("b1"),
+          sum(col("r") * col("q2")).as("b2"))
+        .select(col("c"),
+          expr(s"cast(round(${cramer2(0, LamUser)} * 1e9) as bigint)").as("u1"),
+          expr(s"cast(round(${cramer2(1, LamUser)} * 1e9) as bigint)").as("u2"))
+      // item half-step: per-part exact moments over the SOLVED users
+      val ru = r.join(users, Seq("c"))
+      val items = ru.groupBy("p")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("u1") * col("u1")).as("a11"),
+          sum(col("u1") * col("u2")).as("a12"),
+          sum(col("u2") * col("u2")).as("a22"),
+          sum(col("r") * col("u1")).as("b1"),
+          sum(col("r") * col("u2")).as("b2"))
+        .select(col("p"), col("n_users"),
+          expr(s"cast(round(${cramer2(0, LamItem)} * 1e9) as bigint)")
+            .as("q1_new_nano"),
+          expr(s"cast(round(${cramer2(1, LamItem)} * 1e9) as bigint)")
+            .as("q2_new_nano"))
+      items.join(q, Seq("p"))
+        .filter(col("p") % 50 === 0)
+        .select(col("p"), col("n_users"), col("q1"), col("q2"),
+          col("q1_new_nano"), col("q2_new_nano"))
+        .orderBy("p")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT o_custkey AS c, l_partkey AS p, CAST(count(*) AS BIGINT) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      q AS (
+        SELECT p, $q1Sql AS q1, $q2Sql AS q2
+        FROM (SELECT DISTINCT p FROM r) dp),
+      mu AS (
+        SELECT c,
+               CAST(sum(q1 * q1) AS BIGINT) AS a11,
+               CAST(sum(q1 * q2) AS BIGINT) AS a12,
+               CAST(sum(q2 * q2) AS BIGINT) AS a22,
+               CAST(sum(r * q1) AS BIGINT) AS b1,
+               CAST(sum(r * q2) AS BIGINT) AS b2
+        FROM r JOIN q USING (p) GROUP BY c),
+      u AS (
+        SELECT c,
+               CAST(round(${cramer2(0, LamUser)} * 1e9) AS BIGINT) AS u1,
+               CAST(round(${cramer2(1, LamUser)} * 1e9) AS BIGINT) AS u2
+        FROM mu),
+      mi AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(u1 * u1) AS BIGINT) AS a11,
+               CAST(sum(u1 * u2) AS BIGINT) AS a12,
+               CAST(sum(u2 * u2) AS BIGINT) AS a22,
+               CAST(sum(r * u1) AS BIGINT) AS b1,
+               CAST(sum(r * u2) AS BIGINT) AS b2
+        FROM r JOIN u USING (c) GROUP BY p),
+      i2 AS (
+        SELECT p, n_users,
+               CAST(round(${cramer2(0, LamItem)} * 1e9) AS BIGINT) AS q1_new_nano,
+               CAST(round(${cramer2(1, LamItem)} * 1e9) AS BIGINT) AS q2_new_nano
+        FROM mi)
+      SELECT i2.p, i2.n_users, q.q1, q.q2, i2.q1_new_nano, i2.q2_new_nano
+      FROM i2 JOIN q ON q.p = i2.p
+      WHERE i2.p % 50 = 0
+      ORDER BY i2.p"""))
+
+  val all: Seq[Q] = Seq(alsStep)
+}
