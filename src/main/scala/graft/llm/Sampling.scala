@@ -709,7 +709,67 @@ object Sampling {
                AS waste_permille
       FROM s ORDER BY schedule"""))
 
+  /** MERGEABLE weighted reservoir — [[weightedReservoir]]'s A-ExpJ
+    * sampler re-expressed as a bounded typed aggregate instead of a
+    * per-source window: the Efraimidis–Spirakis priority key is a
+    * pure function of (doc_id, weight) (derandomized md5 coin, the
+    * repo convention), so per-group top-k BY THAT KEY is a
+    * semilattice — build-then-merge over any partitioning equals the
+    * global build exactly, which is what lets the one-pass
+    * [[graft.functions.TopKAgg]] replace the window.
+    *
+    * Keys are quantized to integer micro BEFORE selection (both
+    * engines order by key_micro desc, doc_id asc), so the sampler's
+    * total order is engine-exact by construction rather than by IEEE
+    * coincidence — the micro-quantized A-ExpJ variant, documented
+    * semantics, not an approximation of the window query.
+    *
+    * Scale shape vs [[weightedReservoir]]: the window formulation
+    * shuffles EVERY row to its source's partition and sorts; this one
+    * is map-side combinable — each task carries ≤ k rows per source
+    * into the shuffle, nothing is globally sorted. The weight column
+    * rides back on a k·sources-bounded join. */
+  val reservoirMerge: Q = Q(
+    "q_reservoir_merge",
+    (s, dir) => {
+      val hex = md5(col("doc_id").cast("string").cast("binary"))
+      val pri = conv(substring(hex, 1, 12), 16, 10).cast("long")
+      val w = greatest(col("n_chars"), lit(1L)).cast("double")
+      val keyMicro = round(
+        log((pri + lit(1.0)) / lit(281474976710656.0)) / w * 1e6, 0)
+        .cast("long")
+      val sampled = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), keyMicro.as("key_micro"))
+        .groupBy("source")
+        .agg(graft.functions.TopKAgg(col("key_micro"), col("doc_id"), 5)
+          .as("res"))
+        .select(col("source"), posexplode(col("res")))
+        .select(col("source"), col("pos").cast("long").as("rn"),
+          col("col.id").as("doc_id"), col("col.sort_key").as("key_micro"))
+      sampled
+        .join(t(s, dir, "documents")
+          .select(col("doc_id"),
+            greatest(col("n_chars"), lit(1L)).as("weight")), Seq("doc_id"))
+        .select(col("source"), col("rn"), col("doc_id"), col("weight"),
+          col("key_micro"))
+        .orderBy("source", "rn")
+    },
+    Some("""
+      WITH k AS (
+        SELECT source, doc_id, greatest(n_chars, 1) AS weight,
+               CAST(round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                   + 1.0) / 281474976710656.0)
+                 / CAST(greatest(n_chars, 1) AS DOUBLE) * 1e6) AS BIGINT) AS key_micro
+        FROM documents),
+      r AS (SELECT source, doc_id, weight, key_micro,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY key_micro DESC, doc_id ASC) AS rn
+            FROM k)
+      SELECT source, CAST(rn AS BIGINT) - 1 AS rn, doc_id,
+             CAST(weight AS BIGINT) AS weight, key_micro
+      FROM r WHERE rn <= 5 ORDER BY source, rn"""))
+
   val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir,
     weightedReservoir, classWeights, clusterSplit, temperature, unimaxAlloc,
-    coresetKCenter, lengthBatching)
+    coresetKCenter, lengthBatching, reservoirMerge)
 }

@@ -93,4 +93,29 @@ class SamplingAllocSpec extends SparkSpec {
       s"radius increased: ${radii.toSeq}")
     assert(corpus.map(_._2).distinct.length == corpus.length)
   }
+
+  test("mergeable reservoir: any partitioning of the build equals the global sample") {
+    import spark.implicits._
+    // deterministic micro keys: the sampler's total order is integral,
+    // so build-then-merge must be EXACT at every partition count
+    val rows = (0L until 400L).map(i => (s"src${i % 4}", i, (i * 7919) % 100003))
+    val df = rows.toDF("source", "doc_id", "key_micro")
+    def sample(parts: Int) = df.repartition(parts)
+      .groupBy("source")
+      .agg(graft.functions.TopKAgg(col("key_micro"), col("doc_id"), 5).as("res"))
+      .select(col("source"), posexplode(col("res")))
+      .select(col("source"), col("pos"), col("col.id"), col("col.sort_key"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val want = sample(1)
+    for (parts <- Seq(3, 17)) assert(sample(parts) == want, s"parts=$parts")
+    // and it equals the window formulation on the same keys
+    import org.apache.spark.sql.expressions.Window
+    val win = df.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("key_micro").desc, col("doc_id").asc)))
+      .filter(col("rn") <= 5)
+      .select(col("source"), (col("rn") - 1).cast("int").as("pos"),
+        col("doc_id"), col("key_micro"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want == win, "aggregate formulation diverged from the window")
+  }
 }
