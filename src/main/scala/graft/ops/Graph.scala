@@ -1664,6 +1664,107 @@ object Graph {
       SELECT 'hub' AS kind, src AS id, h AS score FROM h2
       ORDER BY kind, id"""))
 
+  /** Truncated TEMPORAL KATZ: count time-respecting WALKS of ≤ 3
+    * edges from the seed set to each vertex — the "how much
+    * chronologically consistent influence arrives here" weight that
+    * [[temporalReachQ]]'s binary earliest-arrival flattens. Walk
+    * counting (unlike path counting) has a clean DP over the
+    * (vertex, last-edge-time) state: W₁(v,t) = seed out-edges at time
+    * t ≥ 0; W_{r+1}(v,t) = Σ over edges (u→v,t) of Σ_{t'≤t} W_r(u,t')
+    * — every count an exact BIGINT, so 3 unrolled rounds hash-oracle.
+    *
+    * Scale shape: each round is ONE src-keyed join of the edge frame
+    * against the (vertex,time)-keyed walk frame — the t' ≤ t guard
+    * rides the join as a per-vertex filter (both sides co-located by
+    * the equality key; the quadratic-in-times blowup is bounded by
+    * per-vertex ACTIVITY, and the 100 TB refinement is a per-vertex
+    * sorted prefix sum consumed as-of, the [[graft.ops.AsOfJoin]]
+    * machinery). Envelope: counts ≤ seeds·deg³ — BIGINT-safe through
+    * ~10⁵ average temporal degree. */
+  def temporalWalkCounts(edges: DataFrame, sources: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = e.join(sources.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+      .filter(col("t") >= 0)
+      .groupBy(col("dst").as("v"), col("t")).agg(count(lit(1)).as("w"))
+    val layers = scala.collection.mutable.ArrayBuffer(w)
+    for (_ <- 2 to rounds) {
+      w = e.as("e").join(w.as("p"),
+          col("e.src") === col("p.v") && col("p.t") <= col("e.t"))
+        .groupBy(col("e.dst").as("v"), col("e.t").as("t"))
+        .agg(sum(col("p.w")).as("w"))
+      layers += w
+    }
+    val out = layers.reduce(_.unionByName(_))
+      .groupBy("v").agg(sum(col("w")).as("walks"))
+      .orderBy("v")
+    val materialized = out.collect()
+    e.unpersist()
+    val s = edges.sparkSession
+    s.createDataFrame(s.sparkContext.parallelize(
+        materialized.toIndexedSeq,
+        math.max(1, s.sparkContext.defaultParallelism / 4)), out.schema)
+      .orderBy("v")
+  }
+
+  /** Driver query: ≤3-edge time-respecting walk counts over the
+    * dated co-purchase graph, seeds = parts ≡ 0 (mod 100) available
+    * from day 0 (edges dated before the window's epoch are unusable
+    * from a seed — same convention as [[temporalReachQ]]). */
+  val temporalKatz: Q = Q(
+    "q_temporal_katz",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val ord = t(s, dir, "orders").select(col("o_orderkey").as("o"),
+        datediff(to_date(col("o_orderdate")),
+          lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("t"))
+      val und = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .join(ord, "o")
+        .select(col("a.p").as("u"), col("b.p").as("v"), col("t")).distinct()
+      val edges = und.select(col("u").as("src"), col("v").as("dst"), col("t"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("t")))
+      val sources = edges.select(col("src").as("v")).distinct()
+        .filter(col("v") % 100 === 0)
+      temporalWalkCounts(edges, sources, 3)
+    },
+    Some("""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+      ord AS (SELECT o_orderkey AS o,
+                     CAST(date_diff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+              FROM orders),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v, ord.t
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        JOIN ord ON ord.o = a.o),
+      e AS MATERIALIZED (
+        SELECT u AS src, v AS dst, t FROM und
+        UNION ALL
+        SELECT v AS src, u AS dst, t FROM und),
+      seeds AS (SELECT DISTINCT src AS v FROM e WHERE src % 100 = 0),
+      w1 AS (SELECT e.dst AS v, e.t, CAST(count(*) AS BIGINT) AS w
+             FROM e JOIN seeds s ON s.v = e.src
+             WHERE e.t >= 0 GROUP BY e.dst, e.t),
+      w2 AS (SELECT e.dst AS v, e.t, CAST(sum(p.w) AS BIGINT) AS w
+             FROM e JOIN w1 p ON e.src = p.v AND p.t <= e.t
+             GROUP BY e.dst, e.t),
+      w3 AS (SELECT e.dst AS v, e.t, CAST(sum(p.w) AS BIGINT) AS w
+             FROM e JOIN w2 p ON e.src = p.v AND p.t <= e.t
+             GROUP BY e.dst, e.t)
+      SELECT v, CAST(sum(w) AS BIGINT) AS walks FROM (
+        SELECT v, w FROM w1
+        UNION ALL SELECT v, w FROM w2
+        UNION ALL SELECT v, w FROM w3) u
+      GROUP BY v ORDER BY v"""))
+
   /** DIAMETER LOWER BOUND via the double sweep (Magnien–Latapy–Habib):
     * BFS from a pinned start u, then BFS again from the farthest
     * vertex the first sweep found — the second eccentricity is a
@@ -1813,5 +1914,5 @@ object Graph {
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
     shortestPath, shortestPathIncremental, labelPropagation,
     labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb,
-    cheapestPath, temporalReachQ, hitsQ)
+    cheapestPath, temporalReachQ, hitsQ, temporalKatz)
 }

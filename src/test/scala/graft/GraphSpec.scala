@@ -579,6 +579,37 @@ class GraphSpec extends SparkSpec {
       assert(got(("hub", s)) == v, s"hub $s") }
   }
 
+  test("temporal katz: walk counts match hand enumeration, time order enforced") {
+    // seed 0. edges: 0->1@t1, 1->2@t2, 1->2@t0 (inverted), 0->2@t3.
+    // walks (<=3 edges): to 1: [0-1@1] = 1.
+    // to 2: [0-2@3] = 1, [0-1@1, 1-2@2] = 1 (t2>=t1 ok);
+    //       [0-1@1, 1-2@0] invalid (0 < 1). total 2.
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 2L), (1L, 2L, 0L), (0L, 2L, 3L))
+      .toDF("src", "dst", "t")
+    val got = ops.Graph.temporalWalkCounts(edges, Seq(0L).toDF("v"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L), got.toString)
+  }
+
+  test("temporal katz == sequential walk enumeration on a seeded random temporal graph") {
+    val rnd = new scala.util.Random(61)
+    val edges = (0 until 60).map { _ =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong, rnd.nextInt(8).toLong)
+    }.filter(e => e._1 != e._2).distinct
+    // brute force: enumerate all time-respecting walks of length <= 3
+    // from seed 0 (walks, not paths: vertices may repeat)
+    val out = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    def go(v: Long, tLast: Long, depth: Int): Unit =
+      if (depth < 3) edges.foreach { case (a, b, t) =>
+        if (a == v && t >= tLast) { out(b) += 1; go(b, t, depth + 1) }
+      }
+    go(0L, 0L, 0)
+    val got = ops.Graph.temporalWalkCounts(
+        edges.toDF("src", "dst", "t"), Seq(0L).toDF("v"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == out.toMap, s"$got vs ${out.toMap}")
+  }
+
   test("double sweep finds the exact diameter of a path whose min id is interior") {
     // path 3–1–2–4–5: min id (1) is INTERIOR, so sweep 1's ecc (3,
     // to vertex 5) UNDERSTATES the diameter; sweep 2 from 5 walks the
