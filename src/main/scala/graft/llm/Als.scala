@@ -65,42 +65,54 @@ object Als {
   private val LamUser = "1e12" // q ~ 1e6 micro ⇒ q² ~ 1e12
   private val LamItem = "1e8"  // u ~ 1e4 nano  ⇒ u² ~ 1e8
 
+  /** (c, p, r): purchase counts — the implicit-feedback matrix. */
+  def ratings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("r"))
+
+  /** Deterministic item seeds in integer micro units. */
+  def itemSeeds(r: DataFrame): DataFrame =
+    r.select("p").distinct()
+      .select(col("p"), expr(q1Sql).as("q1"), expr(q2Sql).as("q2"))
+
+  /** User half-step: per-customer exact moments over integer item
+    * factors, Cramer solve, rounded to integer nano. */
+  def solveUsers(r: DataFrame, q: DataFrame): DataFrame =
+    r.join(q, Seq("p")).groupBy("c")
+      .agg(sum(col("q1") * col("q1")).as("a11"),
+        sum(col("q1") * col("q2")).as("a12"),
+        sum(col("q2") * col("q2")).as("a22"),
+        sum(col("r") * col("q1")).as("b1"),
+        sum(col("r") * col("q2")).as("b2"))
+      .select(col("c"),
+        expr(s"cast(round(${cramer2(0, LamUser)} * 1e9) as bigint)").as("u1"),
+        expr(s"cast(round(${cramer2(1, LamUser)} * 1e9) as bigint)").as("u2"))
+
+  /** Item half-step: per-part exact moments over the SOLVED (nano
+    * integer) users. */
+  def solveItems(r: DataFrame, users: DataFrame): DataFrame =
+    r.join(users, Seq("c")).groupBy("p")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("u1") * col("u1")).as("a11"),
+        sum(col("u1") * col("u2")).as("a12"),
+        sum(col("u2") * col("u2")).as("a22"),
+        sum(col("r") * col("u1")).as("b1"),
+        sum(col("r") * col("u2")).as("b2"))
+      .select(col("p"), col("n_users"),
+        expr(s"cast(round(${cramer2(0, LamItem)} * 1e9) as bigint)")
+          .as("q1_new_nano"),
+        expr(s"cast(round(${cramer2(1, LamItem)} * 1e9) as bigint)")
+          .as("q2_new_nano"))
+
   val alsStep: Q = Q(
     "q_als_step",
     (s, dir) => {
-      val r = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .agg(count(lit(1)).as("r"))
-      val q = r.select("p").distinct()
-        .select(col("p"), expr(q1Sql).as("q1"), expr(q2Sql).as("q2"))
-      val rq = r.join(q, Seq("p"))
-      // user half-step: per-customer exact moments, Cramer solve,
-      // round to integer nano
-      val users = rq.groupBy("c")
-        .agg(sum(col("q1") * col("q1")).as("a11"),
-          sum(col("q1") * col("q2")).as("a12"),
-          sum(col("q2") * col("q2")).as("a22"),
-          sum(col("r") * col("q1")).as("b1"),
-          sum(col("r") * col("q2")).as("b2"))
-        .select(col("c"),
-          expr(s"cast(round(${cramer2(0, LamUser)} * 1e9) as bigint)").as("u1"),
-          expr(s"cast(round(${cramer2(1, LamUser)} * 1e9) as bigint)").as("u2"))
-      // item half-step: per-part exact moments over the SOLVED users
-      val ru = r.join(users, Seq("c"))
-      val items = ru.groupBy("p")
-        .agg(count(lit(1)).as("n_users"),
-          sum(col("u1") * col("u1")).as("a11"),
-          sum(col("u1") * col("u2")).as("a12"),
-          sum(col("u2") * col("u2")).as("a22"),
-          sum(col("r") * col("u1")).as("b1"),
-          sum(col("r") * col("u2")).as("b2"))
-        .select(col("p"), col("n_users"),
-          expr(s"cast(round(${cramer2(0, LamItem)} * 1e9) as bigint)")
-            .as("q1_new_nano"),
-          expr(s"cast(round(${cramer2(1, LamItem)} * 1e9) as bigint)")
-            .as("q2_new_nano"))
+      val r = ratings(s, dir)
+      val q = itemSeeds(r)
+      val items = solveItems(r, solveUsers(r, q))
       items.join(q, Seq("p"))
         .filter(col("p") % 50 === 0)
         .select(col("p"), col("n_users"), col("q1"), col("q2"),
@@ -146,5 +158,116 @@ object Als {
       WHERE i2.p % 50 = 0
       ORDER BY i2.p"""))
 
-  val all: Seq[Q] = Seq(alsStep)
+  /** ALS DESCENT AUDIT — the convergence evidence for [[alsStep]]:
+    * evaluate the regularized objective J(U, Q) = Σ res² + λ'Σ|x|²
+    * before and after the item half-step, both in EXACT integer
+    * milli² units. The integer encodings line up by construction:
+    * pred_milli = (u_nano·f) div 10⁶ works for BOTH factor tables
+    * because the old micro item values ARE the nano encoding of the
+    * solve's variable (x_old = q_micro·10⁻⁹ in predict units), and
+    * λ' = 10⁸ over x² becomes x_nano² div 10⁴ in milli².
+    *
+    * The exact item solve minimizes each per-item objective given U,
+    * so J_after ≤ J_before up to nano-rounding and the div
+    * truncations — enforced IN-QUERY with a 0.1% slack (a real
+    * non-descent regression is macroscopic; the slack absorbs only
+    * quantization noise). The whole 1-row audit table is
+    * hash-oracled. Scale shape: two rating-frame joins + four scalar
+    * aggregates. Envelope: res_milli² ≈ 10⁹ per rating — per-corpus
+    * SSE BIGINT-safe through ~10⁹ ratings; rescale to centi past
+    * that. */
+  val alsDescent: Q = Q(
+    "q_als_descent",
+    (s, dir) => {
+      val r = ratings(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = itemSeeds(r)
+      val u = solveUsers(r, q)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qOld = q.select(col("p"), col("q1").as("f1"), col("q2").as("f2"))
+      val qNew = solveItems(r, u).select(col("p"),
+        col("q1_new_nano").as("f1"), col("q2_new_nano").as("f2"))
+      def sse(f: DataFrame): DataFrame =
+        r.join(u, Seq("c")).join(f, Seq("p"))
+          .select((col("r") * lit(1000L) -
+            expr("(u1 * f1 + u2 * f2) div 1000000")).as("res"))
+          .agg(sum(col("res") * col("res")).as("sse"))
+      def reg(f: DataFrame): DataFrame =
+        f.agg(sum(expr("(f1 * f1 + f2 * f2) div 10000")).as("reg"))
+      val row = r.agg(count(lit(1)).as("n_ratings"))
+        .crossJoin(broadcast(sse(qOld).select(col("sse").as("sse_before"))))
+        .crossJoin(broadcast(reg(qOld).select(col("reg").as("reg_before"))))
+        .crossJoin(broadcast(sse(qNew).select(col("sse").as("sse_after"))))
+        .crossJoin(broadcast(reg(qNew).select(col("reg").as("reg_after"))))
+        .select(col("n_ratings"), col("sse_before"), col("reg_before"),
+          (col("sse_before") + col("reg_before")).as("j_before"),
+          col("sse_after"), col("reg_after"),
+          (col("sse_after") + col("reg_after")).as("j_after"))
+        .withColumn("improved_permille",
+          expr("((j_before - j_after) * 1000) div nullif(j_before, 0)"))
+      val materialized = row.collect()
+      val h = materialized(0)
+      val (jb, ja) = (h.getLong(3), h.getLong(6))
+      if (ja > jb + jb / 1000L)
+        throw new IllegalStateException(
+          s"ALS item step did not descend: J $jb -> $ja")
+      r.unpersist(); u.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(
+        materialized.toIndexedSeq, 1), row.schema)
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT o_custkey AS c, l_partkey AS p, CAST(count(*) AS BIGINT) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      q AS (
+        SELECT p, $q1Sql AS q1, $q2Sql AS q2
+        FROM (SELECT DISTINCT p FROM r) dp),
+      mu AS (
+        SELECT c,
+               CAST(sum(q1 * q1) AS BIGINT) AS a11,
+               CAST(sum(q1 * q2) AS BIGINT) AS a12,
+               CAST(sum(q2 * q2) AS BIGINT) AS a22,
+               CAST(sum(r * q1) AS BIGINT) AS b1,
+               CAST(sum(r * q2) AS BIGINT) AS b2
+        FROM r JOIN q USING (p) GROUP BY c),
+      u AS (
+        SELECT c,
+               CAST(round(${cramer2(0, LamUser)} * 1e9) AS BIGINT) AS u1,
+               CAST(round(${cramer2(1, LamUser)} * 1e9) AS BIGINT) AS u2
+        FROM mu),
+      mi AS (
+        SELECT p,
+               CAST(sum(u1 * u1) AS BIGINT) AS a11,
+               CAST(sum(u1 * u2) AS BIGINT) AS a12,
+               CAST(sum(u2 * u2) AS BIGINT) AS a22,
+               CAST(sum(r * u1) AS BIGINT) AS b1,
+               CAST(sum(r * u2) AS BIGINT) AS b2
+        FROM r JOIN u USING (c) GROUP BY p),
+      i2 AS (
+        SELECT p,
+               CAST(round(${cramer2(0, LamItem)} * 1e9) AS BIGINT) AS f1,
+               CAST(round(${cramer2(1, LamItem)} * 1e9) AS BIGINT) AS f2
+        FROM mi),
+      sseb AS (SELECT CAST(sum(res * res) AS BIGINT) AS sse FROM (
+        SELECT r.r * 1000 - (u.u1 * q.q1 + u.u2 * q.q2) // 1000000 AS res
+        FROM r JOIN u USING (c) JOIN q USING (p)) tb),
+      regb AS (SELECT CAST(sum((q1 * q1 + q2 * q2) // 10000) AS BIGINT) AS reg
+               FROM q),
+      ssea AS (SELECT CAST(sum(res * res) AS BIGINT) AS sse FROM (
+        SELECT r.r * 1000 - (u.u1 * i2.f1 + u.u2 * i2.f2) // 1000000 AS res
+        FROM r JOIN u USING (c) JOIN i2 USING (p)) ta),
+      rega AS (SELECT CAST(sum((f1 * f1 + f2 * f2) // 10000) AS BIGINT) AS reg
+               FROM i2),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_ratings FROM r)
+      SELECT n_ratings,
+             sseb.sse AS sse_before, regb.reg AS reg_before,
+             CAST(sseb.sse + regb.reg AS BIGINT) AS j_before,
+             ssea.sse AS sse_after, rega.reg AS reg_after,
+             CAST(ssea.sse + rega.reg AS BIGINT) AS j_after,
+             CAST((((sseb.sse + regb.reg) - (ssea.sse + rega.reg)) * 1000)
+               // nullif(sseb.sse + regb.reg, 0) AS BIGINT) AS improved_permille
+      FROM n CROSS JOIN sseb CROSS JOIN regb CROSS JOIN ssea CROSS JOIN rega"""))
+
+  val all: Seq[Q] = Seq(alsStep, alsDescent)
 }

@@ -51,6 +51,14 @@ class AlsSpec extends SparkSpec {
     assert(math.abs(got - u1) / math.abs(u1) < 1e-12, s"$got vs $u1")
   }
 
+  test("descent audit: the item half-step strictly improves the objective here") {
+    val r = Als.alsDescent.fn(spark, sf001).head()
+    val (jb, ja) = (r.getLong(3), r.getLong(6))
+    assert(ja < jb, s"expected macroscopic descent: J $jb -> $ja")
+    assert(r.getLong(7) > 0, "improved_permille must be positive")
+    assert(r.getLong(1) >= 0 && r.getLong(4) >= 0, "SSE terms nonnegative")
+  }
+
   test("declared query: factors land in the documented nano envelope") {
     val rows = Als.alsStep.fn(spark, sf001).collect()
     assert(rows.nonEmpty)
