@@ -1765,6 +1765,130 @@ object Graph {
         UNION ALL SELECT v, w FROM w3) u
       GROUP BY v ORDER BY v"""))
 
+  /** PERSONALIZED PageRank (random walk with restart) — [[pageRank]]
+    * with the teleport mass concentrated on ONE seed vertex instead
+    * of spread uniformly: pr(v) converges to the stationary
+    * visit-rate of a walk that restarts at the seed with probability
+    * 0.15 each step, i.e. a SIMILARITY-TO-SEED score (the
+    * graph-proximity measure item-item recommenders run), not a
+    * global importance. Same integer discipline (10¹² scale, div
+    * truncation, 5 unrolled iterations) so the whole trajectory
+    * hash-oracles; same cloned-session/lazy-cut iteration shape.
+    * The seed id is one bounded driver scalar (min vertex — pinned),
+    * like [[bfs]]'s vertex count. */
+  def personalizedPageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val origin = edges.sparkSession
+    val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
+    val e = graft.Checkpoints.cut(
+      rebind(spark, edges.select(col("src"), col("dst"))))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val nV = deg.count()
+    if (nV == 0L) return emptyRanks(origin)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, nV / 65536L).toString)
+    val seedId = e.agg(min(col("src"))).head().getLong(0)
+    val M = 1000000000000L
+    val ed = graft.Checkpoints.cut(e.join(deg, "src"), eager = false)
+    val verts = graft.Checkpoints.cut(
+      deg.select(col("src").as("v")), eager = false)
+    var pr = graft.Checkpoints.cut(
+      verts.select(col("v"),
+        when(col("v") === seedId, M).otherwise(0L).as("r")),
+      eager = false)
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(pr.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(expr("r div d")).as("contrib"))
+      pr = graft.Checkpoints.cut(
+        verts.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (when(col("v") === seedId, lit(15L * M / 100L)).otherwise(0L) +
+              expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
+              .as("r")),
+        eager = false)
+    }
+    rebind(origin, pr)
+  }
+
+  /** Driver query: restart-walk similarity to the minimum part id
+    * over the co-purchase graph — every part's score reads "how close
+    * is this part to the seed under repeated co-purchase hops". */
+  val rwr: Q = Q(
+    "q_rwr_similarity",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val und = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val edges = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      personalizedPageRank(edges, 5).orderBy("v")
+    },
+    Some("""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      e AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM und
+        UNION ALL
+        SELECT v AS src, u AS dst FROM und),
+      deg AS MATERIALIZED (
+        SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+      verts AS (SELECT src AS v FROM deg),
+      s1 AS (SELECT CAST(min(src) AS BIGINT) AS sv FROM e),
+      pr0 AS (SELECT v, CAST(CASE WHEN v = (SELECT sv FROM s1)
+                         THEN 1000000000000 ELSE 0 END AS BIGINT) AS r
+              FROM verts),
+      pr1 AS (SELECT verts.v AS v,
+                     CAST(CASE WHEN verts.v = (SELECT sv FROM s1)
+                          THEN 150000000000 ELSE 0 END
+                       + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM e JOIN deg d ON e.src = d.src JOIN pr0 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr2 AS (SELECT verts.v AS v,
+                     CAST(CASE WHEN verts.v = (SELECT sv FROM s1)
+                          THEN 150000000000 ELSE 0 END
+                       + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM e JOIN deg d ON e.src = d.src JOIN pr1 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr3 AS (SELECT verts.v AS v,
+                     CAST(CASE WHEN verts.v = (SELECT sv FROM s1)
+                          THEN 150000000000 ELSE 0 END
+                       + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM e JOIN deg d ON e.src = d.src JOIN pr2 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr4 AS (SELECT verts.v AS v,
+                     CAST(CASE WHEN verts.v = (SELECT sv FROM s1)
+                          THEN 150000000000 ELSE 0 END
+                       + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM e JOIN deg d ON e.src = d.src JOIN pr3 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v),
+      pr5 AS (SELECT verts.v AS v,
+                     CAST(CASE WHEN verts.v = (SELECT sv FROM s1)
+                          THEN 150000000000 ELSE 0 END
+                       + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS r
+              FROM verts LEFT JOIN (
+                SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
+                FROM e JOIN deg d ON e.src = d.src JOIN pr4 p ON p.v = e.src
+                GROUP BY e.dst) c ON verts.v = c.v)
+      SELECT v, r FROM pr5 ORDER BY v"""))
+
   /** DIAMETER LOWER BOUND via the double sweep (Magnien–Latapy–Habib):
     * BFS from a pinned start u, then BFS again from the farthest
     * vertex the first sweep found — the second eccentricity is a
@@ -1914,5 +2038,5 @@ object Graph {
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
     shortestPath, shortestPathIncremental, labelPropagation,
     labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb,
-    cheapestPath, temporalReachQ, hitsQ, temporalKatz)
+    cheapestPath, temporalReachQ, hitsQ, temporalKatz, rwr)
 }

@@ -579,6 +579,35 @@ class GraphSpec extends SparkSpec {
       assert(got(("hub", s)) == v, s"hub $s") }
   }
 
+  test("personalized pagerank == sequential integer reference; restart pins the seed") {
+    val rnd = new scala.util.Random(67)
+    val und = (0 until 60).map { _ =>
+      val a = rnd.nextInt(15).toLong; val b = rnd.nextInt(15).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val seed = edges.map(_._1).min
+    val M = 1000000000000L
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    var ref: Map[Long, Long] = deg.keys.map(v =>
+      v -> (if (v == seed) M else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => ref(e._1) / deg(e._1)).sum }
+      ref = deg.keys.map { v =>
+        v -> ((if (v == seed) 15L * M / 100L else 0L) +
+          85L * contrib.getOrElse(v, 0L) / 100L)
+      }.toMap
+    }
+    val got = ops.Graph.personalizedPageRank(edges.toDF("src", "dst"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref, s"$got vs $ref")
+    // the restart floor: the seed always keeps at least its teleport
+    assert(got(seed) >= 15L * M / 100L)
+    // truncation only ever LOSES mass
+    assert(got.values.sum <= M)
+  }
+
   test("temporal katz: walk counts match hand enumeration, time order enforced") {
     // seed 0. edges: 0->1@t1, 1->2@t2, 1->2@t0 (inverted), 0->2@t3.
     // walks (<=3 edges): to 1: [0-1@1] = 1.
