@@ -990,6 +990,105 @@ object Retrieval {
             UNION ALL SELECT * FROM p5)
       ORDER BY step"""))
 
+  /** LATE-INTERACTION rerank (ColBERT-lite) over the BM25 shortlist —
+    * the two-stage retrieval architecture: a cheap first-stage ranker
+    * (BM25 top-20, [[lexRanked]]) produces candidates; a finer
+    * token-LEVEL scorer reranks only those. ColBERT's MaxSim is
+    * score(q,d) = Σ_{query tokens} max_{doc tokens} ⟨E(qt), E(dt)⟩;
+    * with the [[hashedTfidf]] featurizer's token embeddings (idf-
+    * scaled one-hot bucket vectors) the inner max collapses EXACTLY:
+    * ⟨qt, dt⟩ = idf(b)² iff both tokens hash to bucket b, so
+    * maxsim(qt, d) = idf(b(qt))² · [d has any token in b(qt)] — every
+    * score an exact BIGINT, the whole rerank hash-oracled. The
+    * architecture (shortlist → per-token late interaction → rerank)
+    * is the real ColBERT plumbing; only the token encoder is the
+    * hashing trick instead of a transformer (documented stand-in,
+    * same contract as the multimodal decode stubs).
+    *
+    * Scale shape: the shortlist bounds everything — candidates are
+    * 20/query; doc bucket sets are (doc × 32)-bounded and pruned by a
+    * semi-join to shortlisted docs BEFORE the interaction join; query
+    * tokens broadcast. Envelope: Σ idf_micro² ≤ 40·(ln N·10⁶)² —
+    * BIGINT-safe through N ≈ 10¹⁹ docs. */
+  val lateInteraction: Q = Q(
+    "q_late_interaction",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val post = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val hex = md5(col("tok").cast("binary"))
+      def nib(i: Int) = {
+        val a = ascii(substring(hex, i, 1))
+        a - when(a >= 97, 87).otherwise(48)
+      }
+      val bucket = ((nib(1) * 16 + nib(2)) % 32).cast("long")
+      val withB = post.select(col("doc_id"), col("tok"), bucket.as("b"))
+      val docBuckets = withB.select("doc_id", "b").distinct()
+      val nTot = docs.agg(count(lit(1)).as("n_tot"))
+      val idf = docBuckets.groupBy("b").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nTot))
+        .select(col("b"), floor(lit(1000000.0) *
+          log((col("n_tot") + 1).cast("double") / (col("df") + 1).cast("double")))
+          .cast("long").as("idf_micro"))
+      val qtok = withB.filter(col("doc_id").isInCollection(queryDocIds))
+        .select(col("doc_id").as("query_id"), col("tok"), col("b")).distinct()
+        .join(broadcast(idf), Seq("b"))
+      val shortlist = lexRanked(s, docs, 20)
+      val candBuckets = docBuckets
+        .join(shortlist.select(col("doc_id")).distinct(), Seq("doc_id"),
+          "left_semi")
+      val li = shortlist
+        .join(broadcast(qtok), Seq("query_id"))
+        .join(candBuckets.withColumn("present", lit(1L)), Seq("doc_id", "b"),
+          "left")
+        .groupBy("query_id", "doc_id", "lex_rank")
+        .agg(sum(when(col("present").isNotNull,
+          col("idf_micro") * col("idf_micro")).otherwise(0L)).as("li_score"))
+      li.withColumn("li_rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("li_score").desc, col("lex_rank").asc)).cast("long"))
+        .select(col("query_id"), col("li_rank"), col("doc_id"),
+          col("lex_rank"), col("li_score"))
+        .orderBy("query_id", "li_rank")
+    },
+    Some(s"""
+      WITH $lexRankedSql,
+      bt AS (
+        SELECT doc_id, tok,
+               ((ascii(substr(md5(tok), 1, 1)) -
+                 CASE WHEN ascii(substr(md5(tok), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 +
+                (ascii(substr(md5(tok), 2, 1)) -
+                 CASE WHEN ascii(substr(md5(tok), 2, 1)) >= 97 THEN 87 ELSE 48 END)) % 32 AS b
+        FROM post),
+      db AS (SELECT DISTINCT doc_id, b FROM bt),
+      n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+      idf2 AS (
+        SELECT b, CAST(floor(1000000.0 *
+                 ln(CAST(n_tot + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)))
+               AS BIGINT) AS idf_micro
+        FROM (SELECT b, CAST(count(*) AS BIGINT) AS df FROM db GROUP BY b) dfq
+        CROSS JOIN n2),
+      qt AS (
+        SELECT DISTINCT bt.doc_id AS query_id, bt.tok, bt.b, idf2.idf_micro
+        FROM bt JOIN idf2 USING (b)
+        WHERE bt.doc_id IN (0, 1, 2)),
+      li AS (
+        SELECT l.query_id, l.doc_id, l.lex_rank,
+               CAST(sum(CASE WHEN EXISTS (
+                   SELECT 1 FROM db WHERE db.doc_id = l.doc_id AND db.b = qt.b)
+                 THEN qt.idf_micro * qt.idf_micro ELSE 0 END) AS BIGINT)
+                 AS li_score
+        FROM lex l JOIN qt ON qt.query_id = l.query_id
+        GROUP BY l.query_id, l.doc_id, l.lex_rank)
+      SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY li_score DESC, lex_rank ASC) AS BIGINT) AS li_rank,
+             doc_id, lex_rank, li_score
+      FROM li
+      ORDER BY query_id, li_rank"""))
+
   val all: Seq[Q] = Seq(bm25, bm25Incremental, hybrid, negatives, hashedTfidf,
-    ndcgEval, mrrEval, phraseSearch, rrfWeighted, mmrRerank)
+    ndcgEval, mrrEval, phraseSearch, rrfWeighted, mmrRerank, lateInteraction)
 }

@@ -205,4 +205,22 @@ class RetrievalSpec extends SparkSpec {
       assert(math.abs(maxsim) <= 1000000L && math.abs(rel) <= 1000000L)
     }
   }
+
+  test("late interaction: rank order matches score order, scores decompose over query buckets") {
+    val rows = llm.Retrieval.lateInteraction.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to rs.length).toSeq, s"q$q ranks")
+      // scores non-increasing in li_rank; ties broken by lex_rank asc
+      byRank.sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 > b._5 || (a._5 == b._5 && a._4 < b._4),
+          s"q$q order violated: $a then $b")
+        case _ =>
+      }
+      assert(byRank.head._5 > 0, s"q$q top li_score must be positive")
+      assert(rs.length <= 20, s"q$q shortlist bound")
+    }
+  }
 }
