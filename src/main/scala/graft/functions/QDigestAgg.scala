@@ -210,4 +210,108 @@ object QDigestAgg {
   def build(value: Column, universeBits: Int, k: Int): Column =
     toColumn(new QDigestAgg(toExpression(value), universeBits, k)
       .toAggregateExpression())
+
+  /** Column-API entry: UNION already-built digests (the second level
+    * of a sketch store — per-shard digests persisted, combined at
+    * query time without touching raw data). */
+  def union(digest: Column, universeBits: Int, k: Int): Column =
+    toColumn(new QDigestUnionAgg(toExpression(digest), universeBits, k)
+      .toAggregateExpression())
+}
+
+/** Second-level q-digest aggregate: each INPUT ROW is itself a
+  * digest (`array<struct<id,cnt>>`, [[QDigestAgg]]'s output), and the
+  * aggregate unions them — count maps add, then recompress. This is
+  * what makes the q-digest a sketch-STORE citizen like
+  * [[HllUnionAgg]]: per-day/per-shard digests persist once, and any
+  * grouping of shards answers quantile queries without a raw-data
+  * pass. Error composes to the standard mergeability bound: each
+  * input carries ≤ nᵢ·L/k misplaced mass and the union's own
+  * compression adds ≤ n·L/k, so rank estimates from the combined
+  * digest are audited against 2·n·L/k. */
+case class QDigestUnionAgg(
+    child: Expression,
+    universeBits: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QDigestAgg.Buffer] {
+  require(universeBits >= 1 && universeBits <= 40, s"universeBits=$universeBits")
+  require(k >= 16, s"k=$k too small")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "qdigest_union_agg"
+
+  override def createAggregationBuffer(): QDigestAgg.Buffer =
+    new QDigestAgg.Buffer(mutable.LongMap.empty[Long], 0L)
+
+  override def update(buf: QDigestAgg.Buffer, row: InternalRow): QDigestAgg.Buffer = {
+    val v = child.eval(row)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val e = arr.getStruct(i, 2)
+        val id = e.getLong(0); val c = e.getLong(1)
+        buf.nodes(id) = buf.nodes.getOrElse(id, 0L) + c
+        buf.n += c
+        i += 1
+      }
+      maybeCompress(buf)
+    }
+    buf
+  }
+
+  override def merge(b1: QDigestAgg.Buffer, b2: QDigestAgg.Buffer): QDigestAgg.Buffer = {
+    b2.nodes.foreachEntry((id, c) =>
+      b1.nodes(id) = b1.nodes.getOrElse(id, 0L) + c)
+    b1.n += b2.n
+    maybeCompress(b1)
+    b1
+  }
+
+  private def maybeCompress(buf: QDigestAgg.Buffer): Unit =
+    if (buf.nodes.size > 6 * k && buf.nodes.size >= buf.nextCompactAt) {
+      QDigestAgg.compress(buf, k, universeBits)
+      buf.nextCompactAt =
+        if (buf.nodes.size > 3 * k) buf.nodes.size.toLong * 2 else 0L
+    }
+
+  override def eval(buf: QDigestAgg.Buffer): Any = {
+    QDigestAgg.compress(buf, k, universeBits)
+    val entries = buf.nodes.toArray.sortBy(_._1).map { case (id, c) =>
+      new GenericInternalRow(Array[Any](id, c))
+    }
+    new GenericArrayData(entries.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: QDigestAgg.Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16 + 16 * buf.nodes.size)
+    bb.putLong(buf.n)
+    bb.putLong(buf.nodes.size.toLong)
+    buf.nodes.foreachEntry { (id, c) => bb.putLong(id); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QDigestAgg.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getLong()
+    val sz = bb.getLong().toInt
+    val m = mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < sz) { m(bb.getLong()) = bb.getLong(); i += 1 }
+    new QDigestAgg.Buffer(m, n)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QDigestUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QDigestUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
 }

@@ -432,6 +432,91 @@ object Sketches {
              CAST(est.est_cnt - ex.exact_cnt AS BIGINT) AS overshoot
       FROM ex JOIN est USING (user_id) ORDER BY user_id"""))
 
+  /** Q-DIGEST SKETCH STORE — the two-level quantile workflow
+    * [[quantileSketch]] builds in one pass, done the way a sketch
+    * store runs it: per-supplier-shard digests built ONCE (the persisted
+    * per-shard artifacts), then combined by
+    * [[graft.functions.QDigestUnionAgg]] WITHOUT touching raw data.
+    * Mirrors `q_sketch_merge`'s HLL discipline for rank queries:
+    * digest bytes are merge-order-dependent, so only EXACT quantiles
+    * and the audited bound booleans reach the hash; the union path's
+    * estimates are checked against the composed envelope 2·n·L/k
+    * (per-shard compression ≤ nᵢL/k summed + the union's own
+    * recompression).
+    *
+    * Scale shape: one corpus pass to 8 shard digests (map-side
+    * combinable), one 7-row union aggregate, exact side = the same
+    * distinct-value cum frame as [[quantileSketch]]. At 100 TB the
+    * shard digests would be yesterday's persisted parquet and ONLY
+    * the union aggregate runs per query. */
+  val qdigestUnion: Q = Q(
+    "q_qdigest_union",
+    (s, dir) => {
+      val bits = 24; val k = 1024
+      val phis = Seq(250, 500, 750, 900, 990)
+      val li = t(s, dir, "lineitem")
+        .select((col("l_suppkey") % 8).as("src"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .persist()
+      val perSrc = li.groupBy("src")
+        .agg(graft.functions.QDigestAgg.build(col("cents"), bits, k).as("d"),
+          count(lit(1)).as("n"))
+      val head = perSrc.agg(
+        graft.functions.QDigestAgg.union(col("d"), bits, k).as("d"),
+        sum(col("n")).as("n"), count(lit(1)).as("n_shards")).head()
+      val entries = head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val n = head.getLong(1)
+      val nShards = head.getLong(2)
+      val targets = phis.map(p => (p * n + 999) / 1000)
+      val ests = targets.map(tr =>
+        graft.functions.QDigestAgg.quantile(entries, bits, tr))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("cents")
+      val cum = li.groupBy("cents").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+      val tgtDf = s.createDataFrame(phis.zip(targets)).toDF("phi", "target")
+      val exactMap = cum.join(broadcast(tgtDf), col("cum") >= col("target"))
+        .groupBy("phi").agg(min(col("cents")).as("q"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val exact = phis.map(exactMap)
+      val rankRow = li.agg(
+        sum(when(col("cents") <= ests.head, 1L).otherwise(0L)).as("r0"),
+        ests.tail.zipWithIndex.map { case (e, i) =>
+          sum(when(col("cents") <= e, 1L).otherwise(0L)).as(s"r${i + 1}") }: _*)
+        .head()
+      val out = phis.indices.map { i =>
+        val trueRank = rankRow.getLong(i)
+        val ok = math.abs(trueRank - targets(i)) * k <= 2L * n * bits
+        (phis(i), nShards, exact(i), ok)
+      }
+      li.unpersist()
+      s.createDataFrame(out)
+        .toDF("phi_permille", "n_shards", "exact_cents", "ok")
+        .orderBy("phi_permille")
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_suppkey % 8 AS src
+        FROM lineitem),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      shards AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_shards FROM v),
+      cum AS (
+        SELECT cents,
+               CAST(sum(count(*)) OVER (ORDER BY cents) AS BIGINT) AS cum
+        FROM v GROUP BY cents),
+      phis AS (SELECT p AS phi
+               FROM (VALUES (250), (500), (750), (900), (990)) t(p)),
+      tgt AS (SELECT phi, (phi * n.n + 999) // 1000 AS target
+              FROM phis CROSS JOIN n)
+      SELECT t.phi AS phi_permille,
+             (SELECT n_shards FROM shards) AS n_shards,
+             CAST(min(c.cents) AS BIGINT) AS exact_cents,
+             TRUE AS ok
+      FROM tgt t JOIN cum c ON c.cum >= t.target
+      GROUP BY t.phi
+      ORDER BY phi_permille"""))
+
   val all: Seq[Q] = Seq(hllMerge, cmsHeavyHitters, bloomPrune, hllRegisters,
-    quantileSketch, hllIntersect, countMin)
+    quantileSketch, hllIntersect, countMin, qdigestUnion)
 }

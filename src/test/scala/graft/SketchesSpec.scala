@@ -210,4 +210,35 @@ class SketchesSpec extends SparkSpec {
     }
     assert(CountMinAgg.estimate(cells, 7L) >= 500L)
   }
+
+  test("QDigestUnionAgg: shard-then-union answers rank queries within the composed bound") {
+    import graft.functions.QDigestAgg
+    import spark.implicits._
+    val bits = 16; val k = 64
+    // skewed synthetic: heavy mass at low values, a thin far tail,
+    // split across 4 uneven shards
+    val rnd = new scala.util.Random(71)
+    val vals = (Seq.fill(4000)(rnd.nextInt(100).toLong) ++
+      Seq.fill(400)(1000L + rnd.nextInt(5000)) ++
+      Seq.fill(40)(60000L + rnd.nextInt(500)))
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (s"shard${i % 4}", v) }.toDF("src", "v")
+    val perShard = df.groupBy("src")
+      .agg(QDigestAgg.build(col("v"), bits, k).as("d"))
+    val head = perShard
+      .agg(QDigestAgg.union(col("d"), bits, k).as("d")).head()
+    val entries = head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = vals.length.toLong
+    // total mass survives the union exactly
+    assert(entries.map(_._2).sum == n, "mass lost in union")
+    val sorted = vals.sorted
+    for (phi <- Seq(250, 500, 900, 990)) {
+      val target = (phi * n + 999) / 1000
+      val est = QDigestAgg.quantile(entries, bits, target)
+      val trueRank = sorted.count(_ <= est).toLong
+      assert(math.abs(trueRank - target) * k <= 2L * n * bits,
+        s"phi $phi: rank $trueRank vs target $target outside 2nL/k")
+    }
+  }
 }
