@@ -312,5 +312,108 @@ object Ridge {
       WHERE bucket = 2
       GROUP BY kk.n_cal, q.qhat"""))
 
-  val all: Seq[Q] = Seq(ridgeDocs, ridgeEmbed, conformal)
+  /** MONDRIAN (stratified) split-conformal — [[conformal]] with the
+    * calibration done PER STRATUM (lang): one global ridge fit, but
+    * each group earns its own radius q̂_g from its own calibration
+    * scores, so the 1−α guarantee holds WITHIN every stratum instead
+    * of only marginally (the fairness property plain conformal lacks:
+    * an easy majority group can otherwise subsidize coverage the
+    * hard minority never receives). Same shared-string exactness
+    * end to end; the per-group order statistic is a lang-partitioned
+    * row_number (group-bounded, never a global sort) and the k-th
+    * smallest VALUE is tie-insensitive. Strata where
+    * ⌈(n_cal+1)(1−α)⌉ > n_cal have q̂ = ∞ by definition and are
+    * excluded by the same filter on both engines (none at harness
+    * scales). One moment scan + one scored scan + group-sized
+    * windows: the 100 TB shape. */
+  val conformalStratified: Q = Q(
+    "q_conformal_stratified",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scoreSql =
+        "abs(cast(y as double) - (b0 + b1 * cast(x1 as double) + b2 * cast(x2 as double)))"
+      val f = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars").as("x1"), expr(x2Sql).as("x2"), expr(ySql).as("y"),
+        (col("doc_id") % 3).as("bucket"))
+      val m = f.filter(col("bucket") === 0).agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+      val b = m.select(expr(betaSql(0)).as("b0"), expr(betaSql(1)).as("b1"),
+        expr(betaSql(2)).as("b2"))
+      val scored = f.crossJoin(broadcast(b))
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          expr(scoreSql).as("score"))
+        .persist()
+      val cal = scored.filter(col("bucket") === 1)
+      val kg = cal.groupBy("lang").agg(count(lit(1)).as("n_cal"))
+        .withColumn("k", expr("((n_cal + 1) * 9 + 9) div 10"))
+        .filter(col("k") <= col("n_cal"))
+      val ranked = cal.withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy("score"))
+          .cast("long"))
+      val qhat = ranked.join(broadcast(kg), Seq("lang"))
+        .filter(col("rn") === col("k"))
+        .groupBy("lang", "n_cal").agg(min(col("score")).as("qhat"))
+      scored.filter(col("bucket") === 2)
+        .join(broadcast(qhat), Seq("lang"))
+        .groupBy("lang", "n_cal", "qhat")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("score") <= col("qhat"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .select(col("lang"), col("n_cal"),
+          round(col("qhat") * 1e6, 0).cast("long").as("qhat_micro"),
+          col("n_test"), col("n_covered"),
+          expr("1000 * n_covered div n_test").as("coverage_permille"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id, lang, n_chars AS x1, $x2Sql AS x2, $ySql AS y,
+               doc_id % 3 AS bucket
+        FROM documents),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1 * x1) AS BIGINT) AS s11,
+               CAST(sum(x1 * x2) AS BIGINT) AS s12,
+               CAST(sum(x2 * x2) AS BIGINT) AS s22,
+               CAST(sum(x1 * y) AS BIGINT) AS s1y,
+               CAST(sum(x2 * y) AS BIGINT) AS s2y
+        FROM f WHERE bucket = 0),
+      b AS (
+        SELECT ${betaSql(0)} AS b0, ${betaSql(1)} AS b1, ${betaSql(2)} AS b2
+        FROM m),
+      scored AS (
+        SELECT doc_id, lang, bucket,
+               abs(cast(y as double) - (b0 + b1 * cast(x1 as double) + b2 * cast(x2 as double))) AS score
+        FROM f CROSS JOIN b),
+      cal AS (SELECT lang, score FROM scored WHERE bucket = 1),
+      kg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cal,
+                    ((CAST(count(*) AS BIGINT) + 1) * 9 + 9) // 10 AS k
+             FROM cal GROUP BY lang
+             HAVING ((CAST(count(*) AS BIGINT) + 1) * 9 + 9) // 10
+                    <= CAST(count(*) AS BIGINT)),
+      ranked AS (SELECT lang, score,
+                        CAST(row_number() OVER (PARTITION BY lang
+                          ORDER BY score) AS BIGINT) AS rn
+                 FROM cal),
+      q AS (SELECT r.lang, kg.n_cal, min(r.score) AS qhat
+            FROM ranked r JOIN kg ON kg.lang = r.lang AND r.rn = kg.k
+            GROUP BY r.lang, kg.n_cal)
+      SELECT s.lang, q.n_cal,
+             CAST(round(q.qhat * 1e6) AS BIGINT) AS qhat_micro,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN s.score <= q.qhat THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_covered,
+             CAST(1000 * sum(CASE WHEN s.score <= q.qhat THEN 1 ELSE 0 END)
+                  // count(*) AS BIGINT) AS coverage_permille
+      FROM scored s JOIN q ON q.lang = s.lang
+      WHERE s.bucket = 2
+      GROUP BY s.lang, q.n_cal, q.qhat
+      ORDER BY s.lang"""))
+
+  val all: Seq[Q] = Seq(ridgeDocs, ridgeEmbed, conformal, conformalStratified)
 }

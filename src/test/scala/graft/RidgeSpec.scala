@@ -91,4 +91,22 @@ class RidgeSpec extends SparkSpec {
     val preds = a.map(_.getAs[Long]("pred_micro") / 1e6)
     assert(preds.forall(p => p > -20 && p < 30), "predictions off the label scale")
   }
+
+  test("q_conformal_stratified: every stratum earns its own finite radius and sane coverage") {
+    val rows = Ridge.conformalStratified.fn(spark, sf001).collect()
+    assert(rows.length >= 2, "expected multiple lang strata")
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("qhat_micro") > 0, s"$lang degenerate radius")
+      assert(r.getAs[Long]("n_cal") > 0 && r.getAs[Long]("n_test") > 0, lang)
+      val cov = r.getAs[Long]("coverage_permille")
+      // per-stratum guarantee is >= 900 in expectation; small strata
+      // fluctuate more than the marginal test, so the band is wider
+      assert(cov >= 750 && cov <= 1000, s"$lang coverage $cov out of band")
+    }
+    // stratification must actually differentiate: radii are per-group
+    // order statistics of different residual sets
+    assert(rows.map(_.getAs[Long]("qhat_micro")).distinct.length >= 2,
+      "all strata produced one identical radius - stratification inert")
+  }
 }
