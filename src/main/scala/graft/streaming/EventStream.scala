@@ -1518,8 +1518,82 @@ object EventStream {
       SELECT vertex, CAST(count(*) AS BIGINT) AS degree
       FROM touch GROUP BY vertex ORDER BY vertex"""))
 
+  /** STREAMING count-min — [[graft.functions.CountMinAgg]] as
+    * streaming-aggregation state across ≥ 3 REQUIRED micro-batches
+    * (the [[streamQuantile]] replay harness). Unlike the q-digest,
+    * the CMS has NO merge-order freedom: additive counters make the
+    * streamed sketch BYTE-IDENTICAL to the batch build, so this query
+    * carries `q_count_min`'s FULL hash oracle — every one of the
+    * 1024 streamed counters is pinned through the derandomized-hash
+    * GROUP BY recomputation, plus the never-undercount invariant as
+    * the in-query abort. The sketch that leaves the stream is 8 KB of
+    * state per trigger regardless of corpus size — the streaming
+    * frequency-monitoring shape. */
+  val streamCountMin: Q = Q(
+    "q_stream_count_min",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull).select(col("user_id"))
+      val stage = stagePath(s, "graft_stream_cms")
+      ev.repartition(4).write.mode("overwrite").parquet(stage)
+      val local = narrowedSession(s, 4)
+      val stream = local.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val sink = "graft_stream_cms_sink"
+      val sq = stream
+        .agg(graft.functions.CountMinAgg.build(col("user_id")).as("sk"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val dataBatches = sq.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 3,
+        s"streaming-CMS replay degenerated to $dataBatches data micro-batches")
+      val cells = local.table(sink).head().getSeq[Long](0).toIndexedSeq
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("user_id"))
+        .limit(10).collect()
+      val rows = top.map { r =>
+        val key = r.getLong(0); val exact = r.getLong(1)
+        val est = graft.functions.CountMinAgg.estimate(cells, key)
+        if (est < exact)
+          throw new IllegalStateException(
+            s"streamed count-min undercounted key $key: $est < $exact")
+        (key, exact, est, est - exact)
+      }
+      s.createDataFrame(rows.toSeq)
+        .toDF("user_id", "exact_cnt", "est_cnt", "overshoot")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+      cells AS (
+        SELECT i.range AS i,
+               ((16807 * ((16807 * ((user_id % 127773) * (31 + i.range * 2)
+                   + i.range * 7 + 3)) % 2147483647)) % 2147483647) % 256 AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM e, range(4) i GROUP BY 1, 2),
+      ex AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM e GROUP BY user_id
+        ORDER BY exact_cnt DESC, user_id LIMIT 10),
+      probe AS (
+        SELECT ex.user_id, i.range AS i,
+               ((16807 * ((16807 * ((ex.user_id % 127773) * (31 + i.range * 2)
+                   + i.range * 7 + 3)) % 2147483647)) % 2147483647) % 256 AS b
+        FROM ex, range(4) i),
+      est AS (
+        SELECT p.user_id, CAST(min(cl.c) AS BIGINT) AS est_cnt
+        FROM probe p JOIN cells cl ON cl.i = p.i AND cl.b = p.b
+        GROUP BY p.user_id)
+      SELECT ex.user_id, ex.exact_cnt, est.est_cnt,
+             CAST(est.est_cnt - ex.exact_cnt AS BIGINT) AS overshoot
+      FROM ex JOIN est USING (user_id) ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
     streamJoinOuter, streamJoinFull, streamState, streamTimeoutSessions, streamFunnel,
     streamMerge, streamQuarantine, streamNtz, streamEnrich, streamLate,
-    streamHeavyHitters, streamRestPager, streamQuantile, streamAsof, streamKcoreDeg)
+    streamHeavyHitters, streamRestPager, streamQuantile, streamAsof, streamKcoreDeg,
+    streamCountMin)
 }
