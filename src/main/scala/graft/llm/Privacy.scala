@@ -205,5 +205,79 @@ object Privacy {
       FROM coin
       GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(dpCounts, kAnonymity, dpMedian)
+  /** l-DIVERSITY audit — the release gate k-anonymity alone cannot
+    * provide: a class can have 10+ members (k-anonymous) while every
+    * member shares ONE sensitive value, so membership still discloses
+    * it (the homogeneity attack). Per QI class (segment, nation) over
+    * the sensitive attribute (order priority of the customer's
+    * orders), BOTH classic variants:
+    *
+    *  - distinct l-diversity: ≥ L well-represented sensitive values;
+    *  - entropy l-diversity: −Σ pᵢ ln pᵢ ≥ ln L, evaluated in exact
+    *    integer micro-nats via ln n − (Σ cᵢ·round(ln cᵢ·10⁶)) div n —
+    *    the [[graft.llm.Classifier]] log recipe, so the entropy and
+    *    the release decision ride the driver hash.
+    *
+    * L = 3; a class releases only if BOTH hold (entropy implies a
+    * skew guard distinct-count misses: 98 'URGENT' + 1 each of two
+    * others passes distinct-3 but fails entropy-ln 3). Classes are
+    * customers WITH orders (the sensitive attribute exists only
+    * there). Scale shape: one join shuffled on custkey, a
+    * (QI × sensitive)-cardinality aggregate, then a QI-cardinality
+    * aggregate — nothing corpus² anywhere. */
+  /** Core audit over any (segment, nation, sv) frame — factored for
+    * the homogeneity-attack spec. */
+  def lDiversityOf(joined: DataFrame): DataFrame = {
+      val svc = joined.groupBy("segment", "nation", "sv")
+        .agg(count(lit(1)).as("c"))
+      svc.groupBy("segment", "nation")
+        .agg(sum(col("c")).as("class_n"),
+          count(lit(1)).as("distinct_l"),
+          sum(col("c") *
+            round(log(col("c").cast("double")) * 1e6, 0).cast("long"))
+            .as("sclnc"))
+        .select(col("segment"), col("nation"), col("class_n"),
+          col("distinct_l"),
+          (round(log(col("class_n").cast("double")) * 1e6, 0).cast("long") -
+            expr("sclnc div class_n")).as("entropy_micro"))
+        .withColumn("released",
+          col("distinct_l") >= 3 && col("entropy_micro") >= 1098612L)
+        .orderBy("segment", "nation")
+  }
+
+  val lDiversity: Q = Q(
+    "q_l_diversity",
+    (s, dir) => lDiversityOf(
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("c_nationkey").cast("long").as("nation"),
+          col("o_orderpriority").as("sv"))),
+    Some("""
+      WITH j AS (
+        SELECT c_mktsegment AS segment,
+               CAST(c_nationkey AS BIGINT) AS nation,
+               o_orderpriority AS sv
+        FROM customer JOIN orders ON c_custkey = o_custkey),
+      svc AS (
+        SELECT segment, nation, sv, CAST(count(*) AS BIGINT) AS c
+        FROM j GROUP BY segment, nation, sv),
+      cls AS (
+        SELECT segment, nation,
+               CAST(sum(c) AS BIGINT) AS class_n,
+               CAST(count(*) AS BIGINT) AS distinct_l,
+               CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+                 AS BIGINT) AS sclnc
+        FROM svc GROUP BY segment, nation)
+      SELECT segment, nation, class_n, distinct_l,
+             CAST(CAST(round(ln(CAST(class_n AS DOUBLE)) * 1e6) AS BIGINT)
+               - sclnc // class_n AS BIGINT) AS entropy_micro,
+             (distinct_l >= 3 AND
+              CAST(round(ln(CAST(class_n AS DOUBLE)) * 1e6) AS BIGINT)
+               - sclnc // class_n >= 1098612) AS released
+      FROM cls
+      ORDER BY segment, nation"""))
+
+  val all: Seq[Q] = Seq(dpCounts, kAnonymity, dpMedian, lDiversity)
 }

@@ -56,4 +56,26 @@ class PrivacySpec extends SparkSpec {
         s"$typ: pick rank $below of $n outside the concentration envelope")
     }
   }
+
+  test("l-diversity: homogeneity attack caught by entropy where distinct-count passes") {
+    import spark.implicits._
+    // class A: 98x 'URGENT' + 1x 'HIGH' + 1x 'LOW' -> distinct_l = 3
+    // (passes the naive gate) but entropy ~ 0.12 nats << ln 3 -> the
+    // entropy gate must refuse it. class B: perfectly balanced
+    // 3-value class -> entropy exactly ln 3 (up to micro rounding).
+    val rows = (Seq.fill(98)(("A", 1L, "URGENT")) ++
+      Seq(("A", 1L, "HIGH"), ("A", 1L, "LOW")) ++
+      (1 to 30).flatMap(_ => Seq(("B", 2L, "X"), ("B", 2L, "Y"), ("B", 2L, "Z"))))
+      .toDF("segment", "nation", "sv")
+    val got = llm.Privacy.lDiversityOf(rows).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val (la, ea, ra) = got("A")
+    assert(la == 3L && !ra, s"homogeneous class must be refused: $la $ea $ra")
+    assert(ea < 1098612L, s"class A entropy $ea must sit far below ln 3")
+    val (lb, eb, rb) = got("B")
+    assert(lb == 3L && rb, s"balanced class must release: $lb $eb $rb")
+    // balanced 3-way entropy == ln 3 up to the integer-div bias
+    assert(math.abs(eb - 1098612L) <= 2L, s"class B entropy $eb")
+  }
 }
