@@ -1998,10 +1998,84 @@ object TextStats {
              CAST(sum(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unigram_backoffs
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Shared Spark∩DuckDB OLS-slope/intercept text over the exact
+    * integer moments (n, sx, sy, sxy, sxx) — one fixed-order double
+    * chain, the [[graft.llm.Ridge]] shared-string discipline for the
+    * 1-D regression. */
+  private val zipfSlopeSql =
+    "((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double))" +
+      " / (cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)))"
+  private val zipfInterceptSql =
+    s"((cast(sy as double) / cast(n as double)) - $zipfSlopeSql * (cast(sx as double) / cast(n as double)))"
+
+  /** ZIPF rank–frequency fit — the corpus-health diagnostic: natural
+    * language sits near slope −1 on the log-log rank/frequency line;
+    * template-generated or deduplicate-starved corpora drift flat
+    * (repetitious heads) or steep (truncated tails). OLS over
+    * (ln rank, ln count) with BOTH logs rounded once to integer
+    * MILLI-nats so the four moments are exact BIGINT (aggregation
+    * order can't perturb them; milli keeps xy ≈ 3·10⁸ per word —
+    * envelope safe through ~10¹⁰ vocabulary entries), and the final
+    * slope/intercept are one shared-text double chain.
+    *
+    * Scale shape: one tokenize+count pass to the vocab frame; the
+    * rank window runs over the AGGREGATED vocabulary (never the
+    * corpus), then one 5-cell moment aggregate. */
+  /** Core fit over any (w, cnt) vocabulary frame. */
+  def zipfFitOf(vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = vocab.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("w").asc))
+        .cast("long"))
+    val pts = ranked.select(
+      round(log(col("rank").cast("double")) * 1e3, 0).cast("long").as("x"),
+      round(log(col("cnt").cast("double")) * 1e3, 0).cast("long").as("y"))
+    pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_words"),
+        expr(s"cast(round($zipfSlopeSql * 1e6) as bigint)").as("slope_micro"),
+        expr(s"cast(round($zipfInterceptSql) as bigint)").as("intercept_milli"))
+  }
+
+  val zipfFit: Q = Q(
+    "q_zipf_fit",
+    (s, dir) => zipfFitOf(
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))),
+    Some(s"""
+      WITH vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents) tk
+        WHERE w <> ''
+        GROUP BY w),
+      ranked AS (
+        SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, w ASC)
+          AS BIGINT) AS rank
+        FROM vocab),
+      pts AS (
+        SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e3) AS BIGINT) AS x,
+               CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e3) AS BIGINT) AS y
+        FROM ranked),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts)
+      SELECT n AS n_words,
+             CAST(round($zipfSlopeSql * 1e6) AS BIGINT) AS slope_micro,
+             CAST(round($zipfInterceptSql) AS BIGINT) AS intercept_milli
+      FROM m"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
     spearman, rhoSelect, kneserNey, kneserNeyMod, kneserNeyTrigram, stupidBackoff,
-    stupidBackoff4, goodTuring)
+    stupidBackoff4, goodTuring, zipfFit)
 }

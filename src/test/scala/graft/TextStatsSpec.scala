@@ -428,4 +428,19 @@ class TextStatsSpec extends SparkSpec {
     assert(got(12L)._1 == math.round(-math.log(0.4 * 0.4 * (1.0 / 7.0)) * 1e6),
       s"unigram score: ${got(12L)._1}")
   }
+
+  test("zipf fit: a perfect power law recovers slope -1; uniform counts fit flat") {
+    import spark.implicits._
+    // cnt(rank) = 100000 / rank exactly on the log-log line
+    val zipf = (1 to 200).map(r => (s"w$r", (100000.0 / r).round))
+      .toDF("w", "cnt")
+    val z = llm.TextStats.zipfFitOf(zipf).head()
+    assert(z.getLong(0) == 200)
+    val slope = z.getLong(1)
+    assert(slope > -1050000 && slope < -950000, s"zipf slope $slope")
+    // uniform frequencies: the line is flat
+    val flat = (1 to 100).map(r => (s"w$r", 500L)).toDF("w", "cnt")
+    val f = llm.TextStats.zipfFitOf(flat).head()
+    assert(math.abs(f.getLong(1)) < 1000, s"flat slope ${f.getLong(1)}")
+  }
 }
