@@ -263,5 +263,98 @@ object Itemsets {
       GROUP BY a.event_type, b.event_type
       ORDER BY g1, g2"""))
 
-  val all: Seq[Q] = Seq(frequentItemsets, itemsetsIncremental, seqContains)
+  /** ASSOCIATION RULES from the frequent pairs — the step
+    * [[frequentItemsets]] stops short of: supports say which sets
+    * co-occur, rules say which DIRECTION carries signal. For every
+    * frequent pair {a,b} (≥ 1% support), both directed rules with
+    *
+    *  - confidence(a→b) = P(b|a), exact integer permille
+    *    (1000·s_ab div s_a);
+    *  - lift = P(ab)/(P(a)P(b)) and leverage = P(ab) − P(a)P(b),
+    *    each ONE fixed-order double chain over the exact BIGINT
+    *    supports (the [[graft.llm.TextStats]] zipf recipe — the
+    *    moments stay integers, only the final ratio is IEEE), so the
+    *    values hash identically at any corpus size where the raw
+    *    products would overflow BIGINT.
+    *
+    * Scale shape: supports come from the same basket-keyed aggregates
+    * as the itemsets query (pair blow-up bounded by basket size);
+    * the rule join is ITEM-DOMAIN sized (frequent pairs × 2). */
+  val assocRules: Q = Q(
+    "q_assoc_rules",
+    (s, dir) => {
+      val part = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("items"))
+        .persist()
+      val nbF = baskets.agg(count(lit(1)).as("nb"))
+      val s1 = baskets.select(explode(col("items")).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("s"))
+      val s2 = baskets.select(explode(pairsOf(col("items"))).as("p"))
+        .groupBy(col("p.i1"), col("p.i2"))
+        .agg(count(lit(1)).as("s_ab"))
+        .crossJoin(broadcast(nbF))
+        .filter(col("s_ab") * 100 >= col("nb"))
+      val directed = s2.select(col("i1").as("ante"), col("i2").as("cons"),
+          col("s_ab"), col("nb"))
+        .unionByName(s2.select(col("i2").as("ante"), col("i1").as("cons"),
+          col("s_ab"), col("nb")))
+      val out = directed
+        .join(broadcast(s1.select(col("item").as("ante"), col("s").as("s_a"))),
+          Seq("ante"))
+        .join(broadcast(s1.select(col("item").as("cons"), col("s").as("s_b"))),
+          Seq("cons"))
+        .select(col("ante"), col("cons"), col("s_ab"),
+          expr("(1000 * s_ab) div s_a").as("conf_permille"),
+          expr("cast(round(1e6 * (cast(s_ab as double) * cast(nb as double))" +
+            " / (cast(s_a as double) * cast(s_b as double))) as bigint)")
+            .as("lift_micro"),
+          expr("cast(round(1e6 * (cast(s_ab as double) / cast(nb as double)" +
+            " - (cast(s_a as double) / cast(nb as double))" +
+            " * (cast(s_b as double) / cast(nb as double)))) as bigint)")
+            .as("leverage_micro"))
+        .orderBy("ante", "cons")
+      val materialized = out.collect()
+      baskets.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(
+          materialized.toIndexedSeq, 1), out.schema)
+        .orderBy("ante", "cons")
+    },
+    Some("""
+      WITH basket AS (
+        SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      n AS (SELECT CAST(count(DISTINCT bid) AS BIGINT) AS nb FROM basket),
+      s1 AS (SELECT item, CAST(count(*) AS BIGINT) AS s
+             FROM basket GROUP BY item),
+      s2 AS (SELECT b1.item AS i1, b2.item AS i2,
+                    CAST(count(*) AS BIGINT) AS s_ab
+             FROM basket b1 JOIN basket b2
+               ON b1.bid = b2.bid AND b1.item < b2.item
+             GROUP BY 1, 2),
+      freq AS (SELECT i1, i2, s_ab, nb FROM s2 CROSS JOIN n
+               WHERE s_ab * 100 >= nb),
+      directed AS (
+        SELECT i1 AS ante, i2 AS cons, s_ab, nb FROM freq
+        UNION ALL
+        SELECT i2 AS ante, i1 AS cons, s_ab, nb FROM freq)
+      SELECT d.ante, d.cons, d.s_ab,
+             (1000 * d.s_ab) // a.s AS conf_permille,
+             CAST(round(1e6 * (cast(d.s_ab as double) * cast(d.nb as double))
+               / (cast(a.s as double) * cast(b.s as double))) AS BIGINT)
+               AS lift_micro,
+             CAST(round(1e6 * (cast(d.s_ab as double) / cast(d.nb as double)
+               - (cast(a.s as double) / cast(d.nb as double))
+               * (cast(b.s as double) / cast(d.nb as double)))) AS BIGINT)
+               AS leverage_micro
+      FROM directed d
+      JOIN s1 a ON a.item = d.ante
+      JOIN s1 b ON b.item = d.cons
+      ORDER BY d.ante, d.cons"""))
+
+  val all: Seq[Q] = Seq(frequentItemsets, itemsetsIncremental, seqContains,
+    assocRules)
 }

