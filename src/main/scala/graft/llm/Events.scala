@@ -1751,9 +1751,106 @@ object Events {
              CAST((phi24 * 1000) // nullif(tp, 0) AS BIGINT) AS share_permille
       FROM phi CROSS JOIN tot ORDER BY channel"""))
 
+  /** Shared Spark∩DuckDB text for the two-sided normal tail
+    * p = 2(1−Φ(|z|)) = erfc(|z|/√2), via Abramowitz–Stegun 7.1.26
+    * (|error| ≤ 1.5·10⁻⁷ — far inside the micro rounding): with
+    * x = |z|/√2 and t = 1/(1+0.3275911·x),
+    * erfc(x) = (a₁t + a₂t² + a₃t³ + a₄t⁴ + a₅t⁵)·e^(−x²).
+    * One polynomial + one exp, identical parse tree both engines,
+    * rounded ONCE to micro. `z` is the caller's column name. */
+  private[graft] def pTailSql(z: String): String = {
+    val x = s"(abs($z) / 1.4142135623730951)"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"(((((1.061405429 * $t - 1.453152027) * $t + 1.421413741) * $t" +
+      s" - 0.284496736) * $t + 0.254829592) * $t * exp(-($x * $x)))"
+  }
+
+  /** BENJAMINI–HOCHBERG FDR screening over the (event_type × hour)
+    * time-mix family — the multiple-testing control the sequential
+    * tests ([[sprt]], `q_ab_sequential`) don't cover: m ≈ 120
+    * simultaneous hypotheses "this cell's share of its type's events
+    * is the uniform 1/24", each a binomial z-test whose two-sided
+    * p-value comes from the shared-text [[pTailSql]] chain over exact
+    * integer counts. BH steps up: sort p ascending, find the LARGEST
+    * i with p₍ᵢ₎ ≤ i·q/m (q = 0.05 ⇒ the integer comparison
+    * p_micro·m ≤ 50000·i), and reject every rank ≤ that — controlling
+    * the expected FALSE-DISCOVERY fraction at q where per-test α
+    * would drown m tests in false positives and Bonferroni would
+    * find nothing.
+    *
+    * Everything after the one rounded p per cell is integer: ranks
+    * (total order: p, type, hour), the cross-multiplied threshold,
+    * and the step-up cutoff (a max window over the m-row family).
+    * Scale shape: one corpus pass to the (type, hour) cell frame;
+    * every window after runs over those m rows. */
+  val fdrBh: Q = Q(
+    "q_fdr_bh",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val byType = Window.partitionBy("event_type")
+      // 24e0 etc: scientific literals parse as DOUBLE in BOTH engines;
+      // plain 1.0/24.0 is DECIMAL division in Spark (DecimalType(8,6)
+      // = 0.041667 exactly) vs higher precision in DuckDB — an 8e-6
+      // divergence that flipped ~100 p_micro cells by one
+      val zSql = "((cast(c as double) - cast(nt as double) / 24e0)" +
+        " / sqrt(cast(nt as double) * (1e0/24e0) * (23e0/24e0)))"
+      val scored = cells
+        .withColumn("nt", sum(col("c")).over(byType))
+        .withColumn("p_micro",
+          expr(s"cast(round(${pTailSql(zSql)} * 1e6) as bigint)"))
+      val ranked = scored
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("p_micro").asc, col("event_type").asc,
+            col("hr").asc)).cast("long"))
+        .withColumn("m", count(lit(1)).over(
+          Window.partitionBy()))
+        .withColumn("pass", when(
+          col("p_micro") * col("m") <= lit(50000L) * col("i"), col("i"))
+          .otherwise(0L))
+      ranked
+        .withColumn("i_max", max(col("pass")).over(Window.partitionBy()))
+        .select(col("event_type"), col("hr"), col("c"), col("nt"),
+          col("p_micro"), col("i").as("bh_rank"),
+          (col("i") <= col("i_max")).as("rejected"))
+        .orderBy("event_type", "hr")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      scored AS (
+        SELECT event_type, hr, c,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS nt
+        FROM cells),
+      pv AS (
+        SELECT event_type, hr, c, nt,
+               CAST(round(${pTailSql(
+      "((cast(c as double) - cast(nt as double) / 24e0)" +
+        " / sqrt(cast(nt as double) * (1e0/24e0) * (23e0/24e0)))")} * 1e6)
+                 AS BIGINT) AS p_micro
+        FROM scored),
+      ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (ORDER BY p_micro ASC, event_type ASC,
+                 hr ASC) AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pv),
+      cut AS (
+        SELECT *,
+               CASE WHEN p_micro * m <= 50000 * i THEN i ELSE 0 END AS pass
+        FROM ranked)
+      SELECT event_type, hr, c, nt, p_micro, i AS bh_rank,
+             (i <= max(pass) OVER ()) AS rejected
+      FROM cut
+      ORDER BY event_type, hr"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
-    sprt, shapleyAttribution)
+    sprt, shapleyAttribution, fdrBh)
 }

@@ -464,4 +464,31 @@ class EventsSpec extends SparkSpec {
     assert(got.forall(_.isNullAt(8)), "stop_day must stay null")
     assert(got.forall(!_.getBoolean(9)), "post_stop must stay false")
   }
+
+  test("shared-text normal tail matches reference values to the A&S error bound") {
+    import spark.implicits._
+    // two-sided p for |z| = 0, 1.6449, 1.96, 2.5758, 3.2905
+    val want = Map(0.0 -> 1.0, 1.6449 -> 0.10, 1.96 -> 0.05,
+      2.5758 -> 0.01, 3.2905 -> 0.001)
+    val got = want.keys.toSeq.toDF("z")
+      .select(col("z"), expr(Events.pTailSql("z") + " * 1.0").as("p"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    want.foreach { case (z, p) =>
+      assert(math.abs(got(z) - p) < 3e-4, s"z=$z: ${got(z)} vs $p")
+    }
+  }
+
+  test("BH rejections form an exact rank prefix; uniform types survive screening") {
+    val rows = Events.fdrBh.fn(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    val rejected = rows.filter(_._5).map(_._4)
+    val accepted = rows.filterNot(_._5).map(_._4)
+    if (rejected.nonEmpty && accepted.nonEmpty)
+      assert(rejected.max < accepted.min,
+        "BH rejections must be a prefix of the p-value ranking")
+    // p-values are valid probabilities in micro units
+    rows.foreach { r => assert(r._3 >= 0 && r._3 <= 1000000, r.toString) }
+  }
 }
