@@ -1079,6 +1079,83 @@ object Events {
                AS r_permille
       FROM stats ORDER BY event_type, lag"""))
 
+  /** CROSS-correlation (lead–lag) between the click and purchase
+    * daily-mean series — the companion of [[autocorr]] that answers a
+    * DIFFERENT question: not "is this series periodic" but "does one
+    * series LEAD the other" (the classic funnel diagnostic: clicks
+    * moving today should show up in purchases at the lag of the
+    * conversion delay). CCF(l) = corr(click_t, purchase_{t+l}) for
+    * l ∈ −7..7; a peak at positive l reads "clicks lead purchases by
+    * l days".
+    *
+    * Exactness discipline is [[autocorr]]'s verbatim: the daily means
+    * are integer milli-cents, all five moments per lag are exact
+    * BIGINT (join on exact date arithmetic), and the Pearson ratio is
+    * ONE fixed-parenthesization double chain rounded once to
+    * permille. Envelope: n·sxx needs day-mean milli-cents < ~10⁸ per
+    * series at 10⁴ days (documented like autocorr).
+    *
+    * Scale shape: one corpus pass to the two day-domain series, then
+    * a 15-lag × day-domain join — calendar-bounded, never
+    * data-bounded. */
+  val crosscorr: Q = Q(
+    "q_crosscorr",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(expr("(sum(cast(round(value * 100) as bigint)) * 1000) div count(1)")
+          .as("m"))
+      val a = daily.filter(col("event_type") === "click")
+        .select(to_date(col("day")).as("da"), col("m").as("x"))
+      val b = daily.filter(col("event_type") === "purchase")
+        .select(to_date(col("day")).as("db"), col("m").as("y"))
+      val lags = s.range(-7, 8).select(col("id").as("lag"))
+      val pairs = a.crossJoin(broadcast(lags))
+        .join(b, expr("date_add(da, cast(lag as int)) = db"))
+      pairs.groupBy("lag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n"),
+          expr("""cast(round(1000.0 * (n * sxy - sx * sy) /
+                  nullif(sqrt(cast(n * sxx - sx * sx as double) *
+                              cast(n * syy - sy * sy as double)), 0.0))
+                  as bigint)""").as("r_permille"))
+        .orderBy("lag")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST((sum(CAST(round(value * 100) AS BIGINT)) * 1000) // count(*)
+                 AS BIGINT) AS m
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2),
+      a AS (SELECT CAST(day AS DATE) AS da, m AS x FROM daily
+            WHERE event_type = 'click'),
+      b AS (SELECT CAST(day AS DATE) AS db, m AS y FROM daily
+            WHERE event_type = 'purchase'),
+      lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-7, 8)),
+      pairs AS (
+        SELECT l.lag, a.x, b.y
+        FROM a CROSS JOIN lags l
+        JOIN b ON a.da + CAST(l.lag AS INT) = b.db),
+      stats AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY lag)
+      SELECT lag, n,
+             CAST(round(1000.0 * (n * sxy - sx * sy) /
+               nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                           CAST(n * syy - sy * sy AS DOUBLE)), 0.0)) AS BIGINT)
+               AS r_permille
+      FROM stats ORDER BY lag"""))
+
   /** WELCH'S t-test on per-user spend between the two experiment arms
     * (user-id parity, the same split as [[permutationTest]]) — the
     * parametric complement to the permutation p-value: unequal
@@ -1852,5 +1929,5 @@ object Events {
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
-    sprt, shapleyAttribution, fdrBh)
+    sprt, shapleyAttribution, fdrBh, crosscorr)
 }

@@ -491,4 +491,43 @@ class EventsSpec extends SparkSpec {
     // p-values are valid probabilities in micro units
     rows.foreach { r => assert(r._3 >= 0 && r._3 <= 1000000, r.toString) }
   }
+
+  test("cross-correlation finds a planted lead-lag relationship at the right lag") {
+    import spark.implicits._
+    // purchase series = click series shifted by 3 days (plus offset):
+    // CCF must peak at lag +3 with r == 1000 exactly
+    val base = (1 to 40).map(d => d.toLong * 13 % 97)
+    val ev = (1 to 40).flatMap { d =>
+      val ts0 = new java.sql.Timestamp(d * 86400000L)
+      val ts3 = new java.sql.Timestamp((d + 3) * 86400000L)
+      Seq(("click", ts0, base(d - 1).toDouble),
+          ("purchase", ts3, base(d - 1).toDouble + 5.0))
+    }.toDF("event_type", "ts", "value")
+    // splice the hand frame through the same aggregation the query does
+    val daily = ev
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(expr("(sum(cast(round(value * 100) as bigint)) * 1000) div count(1)").as("m"))
+    val a = daily.filter(col("event_type") === "click")
+      .select(to_date(col("day")).as("da"), col("m").as("x"))
+    val b = daily.filter(col("event_type") === "purchase")
+      .select(to_date(col("day")).as("db"), col("m").as("y"))
+    val lags = spark.range(-7, 8).select(col("id").as("lag"))
+    val r = a.crossJoin(broadcast(lags))
+      .join(b, expr("date_add(da, cast(lag as int)) = db"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"),
+        expr("""cast(round(1000.0 * (n * sxy - sx * sy) /
+                nullif(sqrt(cast(n * sxx - sx * sx as double) *
+                            cast(n * syy - sy * sy as double)), 0.0))
+                as bigint)""").as("r"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(3L) == 1000L, s"planted lag-3 must be perfect: ${r(3L)}")
+    assert(r.filter(_._1 != 3L).values.forall(v => math.abs(v) < 900),
+      s"no other lag should approach the planted one: $r")
+  }
 }
