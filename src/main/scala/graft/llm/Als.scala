@@ -269,5 +269,94 @@ object Als {
                // nullif(sseb.sse + regb.reg, 0) AS BIGINT) AS improved_permille
       FROM n CROSS JOIN sseb CROSS JOIN regb CROSS JOIN ssea CROSS JOIN rega"""))
 
-  val all: Seq[Q] = Seq(alsStep, alsDescent)
+  /** ITEM-ITEM NEIGHBORS from the learned factors — the loop
+    * factorization exists to close: after one ALS round every part
+    * has a k=2 latent vector, and "parts like this one" is a factor
+    * dot product instead of a co-purchase recount (items never bought
+    * together can still be near in factor space — the generalization
+    * collaborative filtering buys over [[graft.ops.Graph.copurchase]]
+    * counting). Top-5 per sampled item by exact BIGINT nano² dot,
+    * ties to the lower part id; fully hash-oracled on top of the
+    * [[alsStep]] CTE chain.
+    *
+    * Scale shape: the sampled query side broadcasts against the
+    * item-domain factor table (the [[Similarity.exactTopK]]
+    * brute-force discipline — the honest baseline; the ANN family is
+    * the scale path when the item domain outgrows a broadcast). */
+  val alsNeighbors: Q = Q(
+    "q_als_neighbors",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val r = ratings(s, dir)
+      val items = solveItems(r, solveUsers(r, itemSeeds(r)))
+        .select(col("p"), col("q1_new_nano").as("f1"),
+          col("q2_new_nano").as("f2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sampled = items.filter(col("p") % 100 === 0)
+        .select(col("p").as("qp"), col("f1").as("a1"), col("f2").as("a2"))
+      val out = items.join(broadcast(sampled), col("p") =!= col("qp"))
+        .select(col("qp"), col("p").as("np"),
+          (col("a1") * col("f1") + col("a2") * col("f2")).as("dot"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qp")
+            .orderBy(col("dot").desc, col("np").asc)).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qp"), col("rank"), col("np"), col("dot"))
+        .orderBy("qp", "rank")
+      val materialized = out.collect()
+      items.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(
+          materialized.toIndexedSeq, 1), out.schema)
+        .orderBy("qp", "rank")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT o_custkey AS c, l_partkey AS p, CAST(count(*) AS BIGINT) AS r
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      q AS (
+        SELECT p, $q1Sql AS q1, $q2Sql AS q2
+        FROM (SELECT DISTINCT p FROM r) dp),
+      mu AS (
+        SELECT c,
+               CAST(sum(q1 * q1) AS BIGINT) AS a11,
+               CAST(sum(q1 * q2) AS BIGINT) AS a12,
+               CAST(sum(q2 * q2) AS BIGINT) AS a22,
+               CAST(sum(r * q1) AS BIGINT) AS b1,
+               CAST(sum(r * q2) AS BIGINT) AS b2
+        FROM r JOIN q USING (p) GROUP BY c),
+      u AS (
+        SELECT c,
+               CAST(round(${cramer2(0, LamUser)} * 1e9) AS BIGINT) AS u1,
+               CAST(round(${cramer2(1, LamUser)} * 1e9) AS BIGINT) AS u2
+        FROM mu),
+      mi AS (
+        SELECT p,
+               CAST(sum(u1 * u1) AS BIGINT) AS a11,
+               CAST(sum(u1 * u2) AS BIGINT) AS a12,
+               CAST(sum(u2 * u2) AS BIGINT) AS a22,
+               CAST(sum(r * u1) AS BIGINT) AS b1,
+               CAST(sum(r * u2) AS BIGINT) AS b2
+        FROM r JOIN u USING (c) GROUP BY p),
+      i2 AS (
+        SELECT p,
+               CAST(round(${cramer2(0, LamItem)} * 1e9) AS BIGINT) AS f1,
+               CAST(round(${cramer2(1, LamItem)} * 1e9) AS BIGINT) AS f2
+        FROM mi),
+      sampled AS (SELECT p AS qp, f1 AS a1, f2 AS a2 FROM i2
+                  WHERE p % 100 = 0),
+      scored AS (
+        SELECT s.qp, i.p AS np,
+               CAST(s.a1 * i.f1 + s.a2 * i.f2 AS BIGINT) AS dot
+        FROM sampled s JOIN i2 i ON i.p <> s.qp),
+      ranked AS (
+        SELECT qp, np, dot,
+               CAST(row_number() OVER (PARTITION BY qp
+                 ORDER BY dot DESC, np ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT qp, rank, np, dot FROM ranked
+      WHERE rank <= 5
+      ORDER BY qp, rank"""))
+
+  val all: Seq[Q] = Seq(alsStep, alsDescent, alsNeighbors)
 }

@@ -71,4 +71,21 @@ class AlsSpec extends SparkSpec {
         s"implausible factor: $r")
     }
   }
+
+  test("item neighbors: top-5 per sampled item, rank order matches dot order") {
+    val rows = Als.alsNeighbors.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qp, rs) =>
+      assert(rs.length <= 5, s"$qp shortlist bound")
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq, s"$qp ranks")
+      rs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"$qp order violated: $a then $b")
+        case _ =>
+      }
+      assert(!rs.exists(_._3 == qp), s"$qp must not be its own neighbor")
+    }
+  }
 }
