@@ -1450,10 +1450,10 @@ object Events {
         .orderBy("event_type", "day")
   }
 
-  val holtWinters: Q = Q(
-    "q_holt_winters",
-    (s, dir) => holtWintersOf(dailyCents(s, dir)),
-    Some("""
+  /** The Holt–Winters recursive-CTE chain (through `unioned`),
+    * factored so [[holtWinters]] and [[forecastBacktest]] share one
+    * oracle text. */
+  private val holtWintersCtes: String = """
       WITH RECURSIVE daily AS (
         SELECT event_type, date_trunc('day', ts) AS day,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
@@ -1510,7 +1510,12 @@ object Events {
         FROM seed_rows
         UNION ALL
         SELECT event_type, day, x, l, b, sv, l + b + s_next AS fc
-        FROM stepped)
+        FROM stepped)"""
+
+  val holtWinters: Q = Q(
+    "q_holt_winters",
+    (s, dir) => holtWintersOf(dailyCents(s, dir)),
+    Some(s"""$holtWintersCtes
       SELECT event_type, day, x AS cents,
              CAST(l AS BIGINT) AS level_milli, CAST(b AS BIGINT) AS trend_milli,
              CAST(sv AS BIGINT) AS seasonal_milli,
@@ -1925,9 +1930,62 @@ object Events {
       FROM cut
       ORDER BY event_type, hr"""))
 
+  /** WALK-FORWARD FORECAST BACKTEST — the audit every forecasting
+    * stack owes its users: does the fitted smoother actually beat the
+    * SEASONAL-NAIVE baseline ŷ_t = y_{t−7} (same weekday last week),
+    * the bar M-competition practice sets before a model earns its
+    * keep? One-step-ahead Holt–Winters predictions
+    * ([[holtWintersOf]]'s forecast column, lagged one row so each day
+    * is scored by what the model said YESTERDAY — no peeking) against
+    * the naive lag-7, per type, exact integer milli MAE on the shared
+    * evaluation window (day ≥ 8, where both predictors exist). The
+    * verdict boolean compares the SUMS (same n — equivalent to MAE,
+    * no division rounding in the decision). Fully hash-oracled via
+    * the shared Holt–Winters recursive-CTE chain.
+    *
+    * Scale shape: the smoother's per-type fold plus two lag windows
+    * over the calendar-bounded daily frame. */
+  val forecastBacktest: Q = Q(
+    "q_forecast_backtest",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val bt = holtWintersOf(dailyCents(s, dir))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("y7", lag(col("cents"), 7).over(w))
+        .withColumn("fprev", lag(col("forecast_milli"), 1).over(w))
+        .filter(col("rn") >= 8)
+      bt.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("cents") * 1000L - col("y7") * 1000L)).as("sn"),
+          sum(abs(col("cents") * 1000L - col("fprev"))).as("sh"))
+        .select(col("event_type"), col("n_days"),
+          expr("sn div n_days").as("mae_naive_milli"),
+          expr("sh div n_days").as("mae_hw_milli"),
+          (col("sh") <= col("sn")).as("hw_beats_naive"))
+        .orderBy("event_type")
+    },
+    Some(s"""$holtWintersCtes,
+      bt AS (
+        SELECT event_type, day, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+               lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7,
+               lag(fc, 1) OVER (PARTITION BY event_type ORDER BY day) AS fprev
+        FROM unioned)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(abs(x * 1000 - y7 * 1000)) // count(*) AS BIGINT)
+               AS mae_naive_milli,
+             CAST(sum(abs(x * 1000 - fprev)) // count(*) AS BIGINT)
+               AS mae_hw_milli,
+             (CAST(sum(abs(x * 1000 - fprev)) AS BIGINT)
+               <= CAST(sum(abs(x * 1000 - y7 * 1000)) AS BIGINT))
+               AS hw_beats_naive
+      FROM bt WHERE rn >= 8
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
-    sprt, shapleyAttribution, fdrBh, crosscorr)
+    sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest)
 }

@@ -530,4 +530,30 @@ class EventsSpec extends SparkSpec {
     assert(r.filter(_._1 != 3L).values.forall(v => math.abs(v) < 900),
       s"no other lag should approach the planted one: $r")
   }
+
+  test("forecast backtest: HW beats the seasonal naive on a ramp, not on a pure cycle") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def backtest(daily: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      Events.holtWintersOf(daily)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("y7", lag(col("cents"), 7).over(w))
+        .withColumn("fprev", lag(col("forecast_milli"), 1).over(w))
+        .filter(col("rn") >= 8)
+        .groupBy("event_type")
+        .agg(sum(abs(col("cents") * 1000L - col("y7") * 1000L)).as("sn"),
+          sum(abs(col("cents") * 1000L - col("fprev"))).as("sh"))
+        .head()
+    }
+    def series(f: Int => Long) = (1 to 60).map(d =>
+      ("t", new java.sql.Timestamp(d * 86400000L), f(d))).toDF("event_type", "day", "x")
+    // steady ramp: naive is off by a constant 7 units/day, HW tracks it
+    val ramp = backtest(series(d => 1000L + 10L * d))
+    assert(ramp.getLong(2) < ramp.getLong(1),
+      s"HW must beat naive on a ramp: hw=${ramp.getLong(2)} naive=${ramp.getLong(1)}")
+    // pure weekly cycle: the naive predictor is PERFECT (error 0)
+    val cyc = backtest(series(d => 1000L + 100L * (d % 7)))
+    assert(cyc.getLong(1) == 0L, s"naive must be exact on a pure cycle: ${cyc.getLong(1)}")
+  }
 }
