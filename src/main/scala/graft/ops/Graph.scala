@@ -1889,6 +1889,83 @@ object Graph {
                 GROUP BY e.dst) c ON verts.v = c.v)
       SELECT v, r FROM pr5 ORDER BY v"""))
 
+  /** Greedy step CTEs for [[greedyMatching]]'s oracle: step i picks
+    * the heaviest remaining edge with BOTH endpoints free. */
+  private def matchStepCte(i: Int): String = {
+    val prev = s"selv${i - 1}"
+    s"""p$i AS MATERIALIZED (
+        SELECT CAST($i AS BIGINT) AS step, e.s, e.c, e.cents
+        FROM short e
+        WHERE e.s NOT IN (SELECT s FROM $prev)
+          AND e.c NOT IN (SELECT c FROM $prev)
+        ORDER BY e.cents DESC, e.s ASC, e.c ASC LIMIT 1),
+      selv$i AS MATERIALIZED (SELECT s, c FROM $prev
+                 UNION ALL SELECT s, c FROM p$i)"""
+  }
+
+  /** GREEDY weighted bipartite matching — assign each supplier to at
+    * most one customer (and vice versa) maximizing matched volume,
+    * the assignment primitive behind dedupe-style entity pairing and
+    * capacity planning. Exact max-weight matching is
+    * Hungarian-algorithm territory; the sorted GREEDY is the
+    * distributed-friendly standard with a PROVEN 1/2-approximation
+    * (each greedy pick blocks at most two optimal edges, neither
+    * heavier — pinned against brute force in GraphSpec). The trace
+    * is the [[graft.llm.Retrieval]] MMR discipline: a k-bounded
+    * shortlist (top-30 edges by exact cents volume via
+    * TakeOrdered), a ≤10-step greedy that is driver work by
+    * construction, and an oracle that unrolls the same argmax steps —
+    * every pick and its volume rides the driver hash.
+    *
+    * Scale shape: the (supplier, customer) volume aggregate is one
+    * corpus-keyed shuffle; the shortlist is TakeOrderedAndProject;
+    * the greedy touches 30 collected rows. At full scale the greedy
+    * runs over a per-partition shortlist union — same contract, the
+    * final ≤2k-row trace still fits one task. */
+  val greedyMatching: Q = Q(
+    "q_greedy_matching",
+    (s, dir) => {
+      val vol = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val short = vol
+        .orderBy(col("cents").desc, col("s").asc, col("c").asc)
+        .limit(30)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val usedS = scala.collection.mutable.Set.empty[Long]
+      val usedC = scala.collection.mutable.Set.empty[Long]
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var step = 1L
+      // same total order as the shortlist sort: heaviest first
+      short.sortBy { case (sk, ck, w) => (-w, sk, ck) }.foreach {
+        case (sk, ck, w) =>
+          if (step <= 10 && !usedS(sk) && !usedC(ck)) {
+            picks += ((step, sk, ck, w))
+            usedS += sk; usedC += ck; step += 1
+          }
+      }
+      s.createDataFrame(picks.toSeq).toDF("step", "s", "c", "cents")
+        .orderBy("step")
+    },
+    Some(s"""
+      WITH vol AS (
+        SELECT l_suppkey AS s, o_custkey AS c,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      short AS MATERIALIZED (
+        SELECT s, c, cents FROM vol
+        ORDER BY cents DESC, s ASC, c ASC LIMIT 30),
+      selv0 AS (SELECT CAST(NULL AS BIGINT) AS s, CAST(NULL AS BIGINT) AS c
+                WHERE false),
+      ${(1 to 10).map(matchStepCte).mkString(",\n      ")}
+      SELECT step, s, c, cents FROM (
+        ${(1 to 10).map(i => s"SELECT * FROM p$i").mkString("\n        UNION ALL ")})
+      u ORDER BY step"""))
+
   /** DIAMETER LOWER BOUND via the double sweep (Magnien–Latapy–Habib):
     * BFS from a pinned start u, then BFS again from the farthest
     * vertex the first sweep found — the second eccentricity is a
@@ -2038,5 +2115,5 @@ object Graph {
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
     shortestPath, shortestPathIncremental, labelPropagation,
     labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb,
-    cheapestPath, temporalReachQ, hitsQ, temporalKatz, rwr)
+    cheapestPath, temporalReachQ, hitsQ, temporalKatz, rwr, greedyMatching)
 }

@@ -671,4 +671,36 @@ class GraphSpec extends SparkSpec {
       (2L, 4L, 0L, 4L, 9L)),
       got.toSeq.toString)
   }
+
+  test("greedy matching earns its 1/2-approximation bound on seeded random instances") {
+    // sequential reference greedy + brute-force optimum over all
+    // matchings of a small bipartite instance
+    val rnd = new scala.util.Random(83)
+    for (_ <- 1 to 3) {
+      val edges = (for (a <- 0 until 6; b <- 0 until 6 if rnd.nextBoolean())
+        yield (a.toLong, b.toLong, (1 + rnd.nextInt(1000)).toLong)).toSeq
+      if (edges.nonEmpty) {
+        // greedy in (w desc, s, c) order
+        val us = scala.collection.mutable.Set.empty[Long]
+        val uc = scala.collection.mutable.Set.empty[Long]
+        var greedy = 0L
+        edges.sortBy { case (a, b, w) => (-w, a, b) }.foreach { case (a, b, w) =>
+          if (!us(a) && !uc(b)) { greedy += w; us += a; uc += b }
+        }
+        // brute force optimum (<= 36 edges: recursive search)
+        def opt(rem: Seq[(Long, Long, Long)], sa: Set[Long], sb: Set[Long]): Long =
+          rem match {
+            case Seq() => 0L
+            case e +: rest =>
+              val skip = opt(rest, sa, sb)
+              if (!sa(e._1) && !sb(e._2))
+                math.max(skip, e._3 + opt(rest, sa + e._1, sb + e._2))
+              else skip
+          }
+        val best = opt(edges, Set.empty, Set.empty)
+        assert(2 * greedy >= best,
+          s"greedy $greedy below half of optimum $best")
+      }
+    }
+  }
 }
