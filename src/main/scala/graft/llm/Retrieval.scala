@@ -854,16 +854,16 @@ object Retrieval {
     * collected candidate frame. */
   private def mmrStepCte(i: Int): String = {
     val prevSel = s"sel${i - 1}"
-    s"""c$i AS (
+    s"""c$i AS MATERIALIZED (
         SELECT c.vec_id, c.rel,
                (SELECT max(s.sim) FROM simp s JOIN $prevSel p ON s.vb = p.vec_id
                 WHERE s.va = c.vec_id) AS maxsim
         FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM $prevSel)),
-      p$i AS (
+      p$i AS MATERIALIZED (
         SELECT CAST($i AS BIGINT) AS step, vec_id, rel, maxsim,
                rel - maxsim AS score2
         FROM c$i ORDER BY rel - maxsim DESC, vec_id LIMIT 1),
-      sel$i AS (SELECT vec_id FROM $prevSel UNION ALL SELECT vec_id FROM p$i)"""
+      sel$i AS MATERIALIZED (SELECT vec_id FROM $prevSel UNION ALL SELECT vec_id FROM p$i)"""
   }
 
   /** MMR DIVERSIFIED RERANKING (maximal marginal relevance) — the
@@ -940,34 +940,34 @@ object Retrieval {
         .orderBy("step")
     },
     Some(s"""
-      WITH em AS (
+      WITH em AS MATERIALIZED (
         SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]),
                               x -> CAST(round(1e6 * x) AS BIGINT)) AS xm
         FROM embeddings),
-      el AS (SELECT vec_id, generate_subscripts(xm, 1) AS i, unnest(xm) AS x
+      el AS MATERIALIZED (SELECT vec_id, generate_subscripts(xm, 1) AS i, unnest(xm) AS x
              FROM em),
-      n2t AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2 FROM el
+      n2t AS MATERIALIZED (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2 FROM el
               GROUP BY vec_id),
-      qel AS (SELECT i, x AS qx FROM el WHERE vec_id = 0),
-      qn AS (SELECT n2 AS qn2 FROM n2t WHERE vec_id = 0),
-      dots AS (
+      qel AS MATERIALIZED (SELECT i, x AS qx FROM el WHERE vec_id = 0),
+      qn AS MATERIALIZED (SELECT n2 AS qn2 FROM n2t WHERE vec_id = 0),
+      dots AS MATERIALIZED (
         SELECT el.vec_id, CAST(sum(el.x * qel.qx) AS BIGINT) AS dot
         FROM el JOIN qel USING (i) WHERE el.vec_id <> 0 GROUP BY el.vec_id),
-      relt AS (
+      relt AS MATERIALIZED (
         SELECT d.vec_id,
                CASE WHEN n.n2 = 0 OR qn.qn2 = 0 THEN CAST(0 AS BIGINT)
                     ELSE CAST(round(1e6 * (CAST(d.dot AS DOUBLE) /
                       (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE)))))
                       AS BIGINT) END AS rel
         FROM dots d JOIN n2t n USING (vec_id), qn),
-      cand AS (SELECT vec_id, rel FROM relt ORDER BY rel DESC, vec_id LIMIT 20),
-      cel AS (SELECT el.* FROM el JOIN cand USING (vec_id)),
-      cdot AS (
+      cand AS MATERIALIZED (SELECT vec_id, rel FROM relt ORDER BY rel DESC, vec_id LIMIT 20),
+      cel AS MATERIALIZED (SELECT el.* FROM el JOIN cand USING (vec_id)),
+      cdot AS MATERIALIZED (
         SELECT a.vec_id AS va, b.vec_id AS vb, CAST(sum(a.x * b.x) AS BIGINT) AS dot
         FROM cel a JOIN cel b USING (i) WHERE a.vec_id < b.vec_id
         GROUP BY a.vec_id, b.vec_id),
-      simh AS (
+      simh AS MATERIALIZED (
         SELECT c.va, c.vb,
                CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN CAST(0 AS BIGINT)
                     ELSE CAST(round(1e6 * (CAST(c.dot AS DOUBLE) /
@@ -975,13 +975,13 @@ object Retrieval {
                       AS BIGINT) END AS sim
         FROM cdot c JOIN n2t na ON na.vec_id = c.va
                     JOIN n2t nb ON nb.vec_id = c.vb),
-      simp AS (SELECT va, vb, sim FROM simh
+      simp AS MATERIALIZED (SELECT va, vb, sim FROM simh
                UNION ALL SELECT vb, va, sim FROM simh),
-      p1 AS (
+      p1 AS MATERIALIZED (
         SELECT CAST(1 AS BIGINT) AS step, vec_id, rel,
                CAST(0 AS BIGINT) AS maxsim, rel AS score2
         FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
-      sel1 AS (SELECT vec_id FROM p1),
+      sel1 AS MATERIALIZED (SELECT vec_id FROM p1),
       ${(2 to 5).map(mmrStepCte).mkString(",\n      ")}
       SELECT step, vec_id, rel AS rel_micro, maxsim AS maxsim_micro,
              score2 AS score2_micro

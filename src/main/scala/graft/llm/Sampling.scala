@@ -575,46 +575,46 @@ object Sampling {
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xm
         FROM embeddings),
-      c1 AS (SELECT min(vec_id) AS c FROM el),
-      m1 AS (SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
+      c1 AS MATERIALIZED (SELECT min(vec_id) AS c FROM el),
+      m1 AS MATERIALIZED (SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
              FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c1)
              GROUP BY a.vec_id),
-      c2 AS (SELECT vec_id AS c, d2 AS r FROM m1 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
-      m2 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m1 m JOIN (
+      c2 AS MATERIALIZED (SELECT vec_id AS c, d2 AS r FROM m1 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m2 AS MATERIALIZED (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m1 m JOIN (
                SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
                FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c2)
                GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
-      c3 AS (SELECT vec_id AS c, d2 AS r FROM m2 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
-      m3 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m2 m JOIN (
+      c3 AS MATERIALIZED (SELECT vec_id AS c, d2 AS r FROM m2 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m3 AS MATERIALIZED (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m2 m JOIN (
                SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
                FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c3)
                GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
-      c4 AS (SELECT vec_id AS c, d2 AS r FROM m3 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
-      m4 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m3 m JOIN (
+      c4 AS MATERIALIZED (SELECT vec_id AS c, d2 AS r FROM m3 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m4 AS MATERIALIZED (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m3 m JOIN (
                SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
                FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c4)
                GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
-      c5 AS (SELECT vec_id AS c, d2 AS r FROM m4 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
-      m5 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m4 m JOIN (
+      c5 AS MATERIALIZED (SELECT vec_id AS c, d2 AS r FROM m4 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m5 AS MATERIALIZED (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m4 m JOIN (
                SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
                FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c5)
                GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
-      c6 AS (SELECT vec_id AS c, d2 AS r FROM m5 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
-      m6 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m5 m JOIN (
+      c6 AS MATERIALIZED (SELECT vec_id AS c, d2 AS r FROM m5 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m6 AS MATERIALIZED (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m5 m JOIN (
                SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
                FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c6)
                GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
-      c7 AS (SELECT vec_id AS c, d2 AS r FROM m6 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
-      m7 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m6 m JOIN (
+      c7 AS MATERIALIZED (SELECT vec_id AS c, d2 AS r FROM m6 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m7 AS MATERIALIZED (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m6 m JOIN (
                SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
                FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c7)
                GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
-      c8 AS (SELECT vec_id AS c, d2 AS r FROM m7 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
-      m8 AS (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m7 m JOIN (
+      c8 AS MATERIALIZED (SELECT vec_id AS c, d2 AS r FROM m7 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      m8 AS MATERIALIZED (SELECT m.vec_id, least(m.d2, x.d2) AS d2 FROM m7 m JOIN (
                SELECT a.vec_id, CAST(sum((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2
                FROM el a JOIN el b ON a.i = b.i AND b.vec_id = (SELECT c FROM c8)
                GROUP BY a.vec_id) x ON m.vec_id = x.vec_id),
-      c9 AS (SELECT vec_id AS c, d2 AS r FROM m8 ORDER BY d2 DESC, vec_id ASC LIMIT 1)
+      c9 AS MATERIALIZED (SELECT vec_id AS c, d2 AS r FROM m8 ORDER BY d2 DESC, vec_id ASC LIMIT 1)
       SELECT CAST(k_round AS BIGINT) AS k_round,
              CAST(center_id AS BIGINT) AS center_id,
              CAST(radius_micro2 AS BIGINT) AS radius_micro2

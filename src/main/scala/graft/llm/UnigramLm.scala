@@ -144,7 +144,7 @@ object UnigramLm {
             FROM ${x}b${i - j} b JOIN words d ON d.w = b.w AND length(d.w) >= $i
             JOIN $costs c ON c.piece = substr(d.w, ${i - j + 1}, $j)"""
       }.mkString("\n            UNION ALL\n            ")
-      s"""${x}b$i AS (SELECT w, CAST(min(v) AS BIGINT) AS best FROM (
+      s"""${x}b$i AS MATERIALIZED (SELECT w, CAST(min(v) AS BIGINT) AS best FROM (
             $branches) GROUP BY w)"""
     }.mkString(",\n      ")
 
@@ -154,7 +154,7 @@ object UnigramLm {
 
   private def backtrackCtes(x: String): String =
     (1 to MaxLen).map { k =>
-      s"""${x}p$k AS (SELECT p.w, p.cnt, p.pos - ch.j AS pos,
+      s"""${x}p$k AS MATERIALIZED (SELECT p.w, p.cnt, p.pos - ch.j AS pos,
              substr(p.w, CAST(p.pos - ch.j + 1 AS INT), CAST(ch.j AS INT)) AS piece
            FROM ${x}p${k - 1} p JOIN ${x}choice ch ON ch.w = p.w AND ch.i = p.pos
            WHERE p.pos > 0)"""
@@ -172,7 +172,7 @@ object UnigramLm {
       ${dpCtes(x, costs)},
       ${x}bestu AS MATERIALIZED (
         ${bestUnion(x)}),
-      ${x}cand AS (
+      ${x}cand AS MATERIALIZED (
         SELECT d.w, pos.range AS i, j.range AS j, b.best + c.cost AS v
         FROM words d, range(1, ${MaxLen + 1}) pos, range(1, ${MaxPiece + 1}) j,
              ${x}bestu b, $costs c
@@ -188,9 +188,9 @@ object UnigramLm {
         WHERE rn = 1),
       ${x}p0 AS (SELECT w, cnt, CAST(length(w) AS BIGINT) AS pos FROM words),
       ${backtrackCtes(x)},
-      ${x}pathpieces AS (
+      ${x}pathpieces AS MATERIALIZED (
         ${pathUnion(x)}),
-      ${x}newc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS vit_count
+      ${x}newc AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS vit_count
                FROM ${x}pathpieces GROUP BY piece)"""
 
   val unigramEm: Q = Q(
@@ -212,12 +212,12 @@ object UnigramLm {
           FROM documents) tk
         WHERE w <> '' AND length(w) <= $MaxLen
         GROUP BY w),
-      subs AS (
+      subs AS MATERIALIZED (
         SELECT substr(d.w, CAST(st.range AS INT), CAST(ln.range AS INT)) AS piece,
                d.cnt
         FROM words d, range(1, ${MaxPiece + 1}) ln, range(1, ${MaxLen + 1}) st
         WHERE st.range + ln.range - 1 <= length(d.w)),
-      pieces AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+      pieces AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
                  FROM subs GROUP BY piece),
       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pieces),
       costs AS MATERIALIZED (
@@ -295,12 +295,12 @@ object UnigramLm {
           FROM documents) tk
         WHERE w <> '' AND length(w) <= $MaxLen
         GROUP BY w),
-      subs AS (
+      subs AS MATERIALIZED (
         SELECT substr(d.w, CAST(st.range AS INT), CAST(ln.range AS INT)) AS piece,
                d.cnt
         FROM words d, range(1, ${MaxPiece + 1}) ln, range(1, ${MaxLen + 1}) st
         WHERE st.range + ln.range - 1 <= length(d.w)),
-      pieces AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+      pieces AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
                  FROM subs GROUP BY piece),
       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pieces),
       costs AS MATERIALIZED (
@@ -309,7 +309,7 @@ object UnigramLm {
                  * 1000000) AS BIGINT) AS cost
         FROM pieces CROSS JOIN tot),
       ${eStepCtes("", "costs")},
-      kept AS (
+      kept AS MATERIALIZED (
         SELECT p.piece, CAST(coalesce(n.vit_count, 0) AS BIGINT) AS vit1
         FROM pieces p LEFT JOIN newc n ON n.piece = p.piece
         WHERE length(p.piece) = 1 OR coalesce(n.vit_count, 0) >= $MinCount),

@@ -1097,54 +1097,54 @@ object Graph {
     },
     Some("""
       WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      co AS (SELECT a.p AS x, b.p AS y, CAST(count(*) AS BIGINT) AS cnt
+      co AS MATERIALIZED (SELECT a.p AS x, b.p AS y, CAST(count(*) AS BIGINT) AS cnt
              FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
              GROUP BY a.p, b.p),
-      knn AS (SELECT x, y FROM (
+      knn AS MATERIALIZED (SELECT x, y FROM (
                 SELECT x, y, row_number() OVER (PARTITION BY x
                          ORDER BY cnt DESC, y ASC) AS rn
                 FROM co) WHERE rn <= 3),
-      und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM knn),
-      hist AS (SELECT a, b FROM und WHERE (a * 131 + b) % 2048 <> 7),
-      hv AS (SELECT a AS v FROM hist UNION SELECT b AS v FROM hist),
-      keepd AS (SELECT a, b FROM und WHERE (a * 131 + b) % 2048 = 7
+      und AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM knn),
+      hist AS MATERIALIZED (SELECT a, b FROM und WHERE (a * 131 + b) % 2048 <> 7),
+      hv AS MATERIALIZED (SELECT a AS v FROM hist UNION SELECT b AS v FROM hist),
+      keepd AS MATERIALIZED (SELECT a, b FROM und WHERE (a * 131 + b) % 2048 = 7
                 AND a IN (SELECT v FROM hv) AND b IN (SELECT v FROM hv)),
-      keep AS (SELECT a, b FROM hist UNION ALL SELECT a, b FROM keepd),
-      edges AS (
+      keep AS MATERIALIZED (SELECT a, b FROM hist UNION ALL SELECT a, b FROM keepd),
+      edges AS MATERIALIZED (
         SELECT a AS src, b AS dst FROM keep
         UNION ALL
         SELECT b AS src, a AS dst FROM keep),
-      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
-      verts AS (SELECT src AS v FROM deg),
-      tele AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+      verts AS MATERIALIZED (SELECT src AS v FROM deg),
+      tele AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
                       (15 * (1000000000000 // count(*))) // 100 AS t
                FROM verts),
-      pr0 AS (SELECT v, 1000000000000 // (SELECT n FROM tele) AS r FROM verts),
-      pr1 AS (SELECT verts.v AS v,
+      pr0 AS MATERIALIZED (SELECT v, 1000000000000 // (SELECT n FROM tele) AS r FROM verts),
+      pr1 AS MATERIALIZED (SELECT verts.v AS v,
                      (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
               FROM verts LEFT JOIN (
                 SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
                 FROM edges e JOIN deg d ON e.src = d.src JOIN pr0 p ON p.v = e.src
                 GROUP BY e.dst) c ON verts.v = c.v),
-      pr2 AS (SELECT verts.v AS v,
+      pr2 AS MATERIALIZED (SELECT verts.v AS v,
                      (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
               FROM verts LEFT JOIN (
                 SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
                 FROM edges e JOIN deg d ON e.src = d.src JOIN pr1 p ON p.v = e.src
                 GROUP BY e.dst) c ON verts.v = c.v),
-      pr3 AS (SELECT verts.v AS v,
+      pr3 AS MATERIALIZED (SELECT verts.v AS v,
                      (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
               FROM verts LEFT JOIN (
                 SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
                 FROM edges e JOIN deg d ON e.src = d.src JOIN pr2 p ON p.v = e.src
                 GROUP BY e.dst) c ON verts.v = c.v),
-      pr4 AS (SELECT verts.v AS v,
+      pr4 AS MATERIALIZED (SELECT verts.v AS v,
                      (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
               FROM verts LEFT JOIN (
                 SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
                 FROM edges e JOIN deg d ON e.src = d.src JOIN pr3 p ON p.v = e.src
                 GROUP BY e.dst) c ON verts.v = c.v),
-      pr5 AS (SELECT verts.v AS v,
+      pr5 AS MATERIALIZED (SELECT verts.v AS v,
                      (SELECT t FROM tele) + (85 * coalesce(c.contrib, 0)) // 100 AS r
               FROM verts LEFT JOIN (
                 SELECT e.dst AS v, CAST(sum(p.r // d.d) AS BIGINT) AS contrib
@@ -2049,64 +2049,64 @@ object Graph {
         SELECT u AS src, v AS dst FROM und
         UNION ALL
         SELECT v AS src, u AS dst FROM und),
-      s1 AS (SELECT CAST(min(src) AS BIGINT) AS v FROM e),
-      a0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM s1),
-      a1 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      s1 AS MATERIALIZED (SELECT CAST(min(src) AS BIGINT) AS v FROM e),
+      a0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS dist FROM s1),
+      a1 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM a0 UNION ALL
                SELECT e.dst AS v, a0.dist + 1 FROM e JOIN a0 ON e.src = a0.v)
              GROUP BY v),
-      a2 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      a2 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM a1 UNION ALL
                SELECT e.dst AS v, a1.dist + 1 FROM e JOIN a1 ON e.src = a1.v)
              GROUP BY v),
-      a3 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      a3 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM a2 UNION ALL
                SELECT e.dst AS v, a2.dist + 1 FROM e JOIN a2 ON e.src = a2.v)
              GROUP BY v),
-      a4 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      a4 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM a3 UNION ALL
                SELECT e.dst AS v, a3.dist + 1 FROM e JOIN a3 ON e.src = a3.v)
              GROUP BY v),
-      a5 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      a5 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM a4 UNION ALL
                SELECT e.dst AS v, a4.dist + 1 FROM e JOIN a4 ON e.src = a4.v)
              GROUP BY v),
-      a6 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      a6 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM a5 UNION ALL
                SELECT e.dst AS v, a5.dist + 1 FROM e JOIN a5 ON e.src = a5.v)
              GROUP BY v),
-      f1 AS (SELECT v, dist FROM a6 ORDER BY dist DESC, v ASC LIMIT 1),
-      b0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM f1),
-      b1 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      f1 AS MATERIALIZED (SELECT v, dist FROM a6 ORDER BY dist DESC, v ASC LIMIT 1),
+      b0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS dist FROM f1),
+      b1 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM b0 UNION ALL
                SELECT e.dst AS v, b0.dist + 1 FROM e JOIN b0 ON e.src = b0.v)
              GROUP BY v),
-      b2 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      b2 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM b1 UNION ALL
                SELECT e.dst AS v, b1.dist + 1 FROM e JOIN b1 ON e.src = b1.v)
              GROUP BY v),
-      b3 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      b3 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM b2 UNION ALL
                SELECT e.dst AS v, b2.dist + 1 FROM e JOIN b2 ON e.src = b2.v)
              GROUP BY v),
-      b4 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      b4 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM b3 UNION ALL
                SELECT e.dst AS v, b3.dist + 1 FROM e JOIN b3 ON e.src = b3.v)
              GROUP BY v),
-      b5 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      b5 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM b4 UNION ALL
                SELECT e.dst AS v, b4.dist + 1 FROM e JOIN b4 ON e.src = b4.v)
              GROUP BY v),
-      b6 AS (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+      b6 AS MATERIALIZED (SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
                SELECT v, dist FROM b5 UNION ALL
                SELECT e.dst AS v, b5.dist + 1 FROM e JOIN b5 ON e.src = b5.v)
              GROUP BY v),
-      f2 AS (SELECT v, dist FROM b6 ORDER BY dist DESC, v ASC LIMIT 1),
-      r1 AS (SELECT CAST(1 AS BIGINT) AS sweep, s1.v AS source,
+      f2 AS MATERIALIZED (SELECT v, dist FROM b6 ORDER BY dist DESC, v ASC LIMIT 1),
+      r1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS sweep, s1.v AS source,
                     f1.v AS farthest, f1.dist AS ecc,
                     (SELECT CAST(count(*) AS BIGINT) FROM a6) AS reached
              FROM s1 CROSS JOIN f1),
-      r2 AS (SELECT CAST(2 AS BIGINT) AS sweep, f1.v AS source,
+      r2 AS MATERIALIZED (SELECT CAST(2 AS BIGINT) AS sweep, f1.v AS source,
                     f2.v AS farthest, f2.dist AS ecc,
                     (SELECT CAST(count(*) AS BIGINT) FROM b6) AS reached
              FROM f1 CROSS JOIN f2)

@@ -94,16 +94,16 @@ object Itemsets {
         .orderBy(col("k"), col("item1"), col("item2"), col("item3"))
     },
     Some("""
-      WITH basket AS (
+      WITH basket AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS bid, p_brand AS item
         FROM lineitem JOIN part ON l_partkey = p_partkey),
-      n AS (SELECT count(DISTINCT bid) AS nb FROM basket),
-      s1 AS (SELECT item, count(*) AS support FROM basket GROUP BY item),
-      s2 AS (SELECT b1.item AS item1, b2.item AS item2, count(*) AS support
+      n AS MATERIALIZED (SELECT count(DISTINCT bid) AS nb FROM basket),
+      s1 AS MATERIALIZED (SELECT item, count(*) AS support FROM basket GROUP BY item),
+      s2 AS MATERIALIZED (SELECT b1.item AS item1, b2.item AS item2, count(*) AS support
              FROM basket b1 JOIN basket b2
                ON b1.bid = b2.bid AND b1.item < b2.item
              GROUP BY 1, 2),
-      s3 AS (SELECT b1.item AS item1, b2.item AS item2, b3.item AS item3,
+      s3 AS MATERIALIZED (SELECT b1.item AS item1, b2.item AS item2, b3.item AS item3,
                     count(*) AS support
              FROM basket b1
              JOIN basket b2 ON b1.bid = b2.bid AND b1.item < b2.item
@@ -243,16 +243,16 @@ object Itemsets {
     "q_seq_contains",
     (s, dir) => seqContainsOf(t(s, dir, "events")),
     Some("""
-      WITH ev AS (
+      WITH ev AS MATERIALIZED (
         SELECT user_id, event_type,
                row_number() OVER (PARTITION BY user_id
                  ORDER BY ts ASC, event_id ASC) AS rn
         FROM events WHERE user_id IS NOT NULL),
-      pos AS (
+      pos AS MATERIALIZED (
         SELECT user_id, event_type,
                CAST(min(rn) AS BIGINT) AS fp, CAST(max(rn) AS BIGINT) AS lp
         FROM ev GROUP BY user_id, event_type),
-      n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM pos)
+      n AS MATERIALIZED (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM pos)
       SELECT a.event_type AS g1, b.event_type AS g2,
              CAST(count(*) AS BIGINT) AS n_users,
              CAST(1000 * count(*) // max(nu) AS BIGINT) AS support_permille

@@ -7,8 +7,13 @@ compares: column names (sorted), row counts, and value hashes over
 rows sorted by all columns. Exact float equality — stricter than any
 plausible driver tolerance.
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
+
+# Per-oracle DuckDB wall budget (seconds). The registry has ~300
+# oracles; the driver's whole verify step must fit a fixed budget, so
+# any single oracle beyond this is a defect regardless of correctness.
+SLOW_ORACLE_S = 10.0
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -61,7 +66,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    fails, passes, rows_only = [], [], []
+    fails, passes, rows_only, oracle_times = [], [], [], []
     # Registry-wide DESCRIBE sweep: every oracle's output types are
     # checked even when the Spark side produced no parquet (e.g. a
     # query erred and was skipped) — a widened column can never hide.
@@ -81,10 +86,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             rows_only.append((name, len(spark_df)))
             continue
         try:
+            t0 = time.monotonic()
             duck_tbl = con.sql(oracle[name]).fetch_arrow_table()
+            oracle_s = time.monotonic() - t0
             duck_df = duck_tbl.to_pandas()
         except Exception as e:
             fails.append((name, f"oracle error: {str(e)[:200]}"))
+            continue
+        # Budget tripwire: the driver's verify step has a finite wall
+        # budget for the WHOLE registry. One planner-exploding oracle
+        # (un-MATERIALIZED step-CTE chains — the r12 class that zeroed
+        # CORRECTNESS_r12) can eat it alone, so an expensive oracle is
+        # a FAIL here even when its values match.
+        if oracle_s > SLOW_ORACLE_S:
+            fails.append((name, f"SLOW oracle: {oracle_s:.1f}s > {SLOW_ORACLE_S}s budget"
+                          " (materialize step CTEs / cut the unroll)"))
             continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
@@ -125,13 +141,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             fails.append((name, "; ".join(diff_cols)[:300]))
         else:
             passes.append((name, len(a)))
+        oracle_times.append((oracle_s, name))
     for n, r in passes:
         print(f"PASS  {n} ({r} rows)")
     for n, r in rows_only:
         print(f"ROWS  {n} ({r} rows, no oracle)")
     for n, msg in fails:
         print(f"FAIL  {n}: {msg}")
-    print(f"\n{len(passes)} pass, {len(rows_only)} rows-only, {len(fails)} fail")
+    oracle_times.sort(reverse=True)
+    print(f"\noracle wall total {sum(t for t, _ in oracle_times):.1f}s; slowest: "
+          + ", ".join(f"{n} {t:.1f}s" for t, n in oracle_times[:5]))
+    print(f"{len(passes)} pass, {len(rows_only)} rows-only, {len(fails)} fail")
     return 1 if fails else 0
 
 
