@@ -51,13 +51,26 @@ object Verify {
     // time; light queries still overlap freely around them.
     val heavyPermit = new java.util.concurrent.Semaphore(1)
     val heavySet = Set("q_als_step", "q_als_descent", "q_als_neighbors",
-      "q_dbscan", "q_dbscan_incremental", "q_unigram_lm_em",
-      "q_unigram_lm_em2", "q_textrank", "q_dedup_suffix", "q_betweenness",
+      "q_dbscan", "q_dbscan_incremental", "q_cluster_stability",
+      "q_unigram_lm_em", "q_unigram_lm_em2", "q_unigram_lm_em3",
+      "q_textrank", "q_dedup_suffix", "q_betweenness",
       "q_kcore", "q_pagerank", "q_pagerank_incremental", "q_diameter_lb",
       "q_gb_step", "q_tree_depth2", "q_cv_stump", "q_random_forest",
       "q_itemsets", "q_itemsets_incremental", "q_compact_files")
     def isHeavy(name: String): Boolean =
       name.startsWith("q_stream_") || heavySet.contains(name)
+    // Cache hygiene without cross-thread invalidation: catalog
+    // .clearCache() is APPLICATION-wide (the CacheManager is shared
+    // state), so a worker clearing after its own query used to yank
+    // cached plans out from under a query mid-flight on another
+    // thread — observed once as a silently EMPTY q_embedding_drift
+    // dump (r13). Queries hold the READ side of a RW-lock while they
+    // run; a finished worker clears the cache only if the WRITE side
+    // is free AND uncontended (tryLock — no query in flight, no
+    // stall). Clears become quiescent-point-only; between
+    // opportunities, stray persisted frames just accumulate a few
+    // sf0.01-sized MB.
+    val cacheLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
     (1 to threads).foreach { _ =>
       pool.submit(new Runnable {
         override def run(): Unit = {
@@ -67,16 +80,21 @@ object Verify {
             val heavy = isHeavy(q.name)
             if (heavy) heavyPermit.acquire()
             val t0 = System.nanoTime()
+            cacheLock.readLock().lock()
             try q.fn(session, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/${q.name}")
             catch { case e: Throwable =>
               System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
             } finally {
+              cacheLock.readLock().unlock()
               // drop per-query persisted frames (dedup/ANN signature
-              // caches) so no query's cache pressures its successors;
-              // a concurrent query losing a cached block just
-              // recomputes it — same values, SURVEY §5 determinism
-              try session.catalog.clearCache() catch { case _: Throwable => }
+              // caches) so no query's cache pressures its successors —
+              // but ONLY at a quiescent point (no reader in flight)
+              if (cacheLock.writeLock().tryLock()) {
+                try session.catalog.clearCache()
+                catch { case _: Throwable => }
+                finally cacheLock.writeLock().unlock()
+              }
               if (heavy) heavyPermit.release()
             }
             System.err.println(

@@ -282,5 +282,101 @@ object Dbscan {
     },
     None)
 
-  val all: Seq[Q] = Seq(dbscan, dbscanIncremental)
+  /** HDBSCAN-style CLUSTER STABILITY — how the density landscape
+    * fragments as ε tightens, computed hierarchically the way HDBSCAN
+    * reads its condensed tree: the ε-pair list is built ONCE at the
+    * loosest level WITH its similarity kept, and each tighter level
+    * is a pure sim-threshold FILTER of that one list (never a second
+    * quadratic pass) — so the three DBSCAN runs share one blocked
+    * join, and tighter levels are free refinements. For every BASE
+    * cluster (loosest level, label = min core id) the query emits,
+    * per level: how many of its core points stay core
+    * (`n_still_core`), how many fragments they split into
+    * (`n_fragments` — 0 when the cluster dissolves entirely), and the
+    * integer-permille persistence — the HDBSCAN stability signal that
+    * separates a genuine dense island (persists across levels) from a
+    * threshold artifact (shatters immediately).
+    *
+    * Rows-only by the same contract as [[dbscan]] (trained-centroid
+    * blocking is not SQL-expressible), with the planted-blob floor
+    * enforced at EVERY level in-query: the 12 identical copies have
+    * pairwise sim exactly 1.0, so they must be core and mono-cluster
+    * at all thresholds — a blob split at any level is a real
+    * regression, not blocking noise.
+    *
+    * Scale shape: one blocked quadratic join (the audited
+    * [[Similarity.clusterNearDupPairs]] with its skew cap), one
+    * persisted pair list reused 3×, per-level degree aggregates and
+    * core-subgraph CC (dense regions, CC's best case), and a
+    * label-domain rollup. Adding a level costs one filter + one CC on
+    * a shrinking graph — never another corpus pass. */
+  val Levels = Seq(900, 950, 980)
+
+  /** Per-(base cluster, level) persistence census over per-level
+    * DBSCAN outputs (id, cluster, role): base = the FIRST level's
+    * cores; each level reports how many base cores stay core, how
+    * many fragments they split into, and integer-permille
+    * persistence. Factored so DbscanSpec can drive it with
+    * hand-built pair lists. */
+  def stabilityRollup(perLevel: Seq[(Int, DataFrame)]): DataFrame = {
+    val base = perLevel.head._2.filter(col("role") === "core")
+      .select(col("id"), col("cluster").as("base_cluster"))
+    perLevel.map { case (lp, pp) =>
+      val lvlCore = pp.filter(col("role") === "core")
+        .select(col("id"), col("cluster").as("lvl_cluster"))
+      base.join(lvlCore, Seq("id"), "left")
+        .groupBy("base_cluster")
+        .agg(count(lit(1)).as("n_base_core"),
+          count(col("lvl_cluster")).as("n_still_core"),
+          countDistinct(col("lvl_cluster")).as("n_fragments"))
+        .select(lit(lp.toLong).as("level_permille"), col("base_cluster"),
+          col("n_base_core"), col("n_still_core"), col("n_fragments"),
+          expr("n_still_core * 1000 div n_base_core")
+            .as("persist_permille"))
+    }.reduce(_ unionByName _).orderBy("base_cluster", "level_permille")
+  }
+
+  val clusterStability: Q = Q(
+    "q_cluster_stability",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val proto = emb.filter(col("vec_id") === 0).select(col("v")).limit(1)
+      val plants = s.range(12)
+        .select((col("id") + lit(2000000L)).as("vec_id"))
+        .crossJoin(broadcast(proto))
+      val corpus = emb.unionByName(plants)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val centroids = Ivf.trainCentroidsMemo(s"$dir#dbscan", corpus)
+      val handles = new graft.CacheHandles
+      val pairs = handles.track(
+        Similarity.clusterNearDupPairs(corpus, centroids,
+            Levels.min / 1000.0, handles = handles)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val perLevel = Levels.map { lp =>
+        val pp = handles.track(
+          dbscanFromPairs(corpus, pairs.filter(col("sim") >= lp / 1000.0),
+              minPts = 10, handles = handles)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // structural floor at EVERY level: blob all-core, one cluster
+        val audit = pp.filter(col("id") >= 2000000L)
+          .agg(count(when(col("role") === "core", 1)).as("n_core"),
+            countDistinct(col("cluster")).as("n_clusters")).head()
+        if (audit.getLong(0) < 12 || audit.getLong(1) != 1L)
+          throw new IllegalStateException(
+            s"planted blob degraded at level $lp: " +
+              s"${audit.getLong(0)}/12 core, ${audit.getLong(1)} clusters")
+        lp -> pp
+      }
+      val out = stabilityRollup(perLevel)
+      val materialized = out.collect()
+      corpus.unpersist()
+      handles.releaseAll()
+      s.createDataFrame(s.sparkContext.parallelize(
+          materialized.toIndexedSeq, 1), out.schema)
+        .orderBy("base_cluster", "level_permille")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(dbscan, dbscanIncremental, clusterStability)
 }

@@ -326,5 +326,140 @@ object UnigramLm {
       FROM rnewc n JOIN kept k ON k.piece = n.piece CROSS JOIN ntot2
       ORDER BY n.piece"""))
 
-  val all: Seq[Q] = Seq(unigramEm, unigramEm2)
+  /** Maximum-likelihood recost from a Viterbi count frame: the
+    * pieces the segmenter actually used become the whole inventory
+    * (support(vit) — no smoothing, no floor), cost = −ln(vit/m) in
+    * integer micro-nats. This is the recost under which hard-EM
+    * monotonicity is a THEOREM: the round-t segmentation uses only
+    * pieces with vit ≥ 1, so it stays feasible under the shrunk
+    * inventory, Gibbs' inequality gives T(seg_t, cost_{t+1}) ≤
+    * T(seg_t, cost_t), and Viterbi under cost_{t+1} can only improve
+    * further. ([[prunedCosts]]' add-one smoothing + MinCount floor —
+    * the SentencePiece production recipe — trades that guarantee for
+    * robustness; this path exists so the guarantee itself is
+    * testable.) */
+  def mlCosts(vit: DataFrame): DataFrame = {
+    val tot = vit.agg(sum(col("vit_count")).as("n"))
+    vit.crossJoin(broadcast(tot))
+      .withColumn("cost",
+        round((log(col("n").cast("double")) - log(col("vit_count").cast("double")))
+          * 1e6, 0).cast("long"))
+      .select(col("piece"), col("vit_count").as("c"), col("cost"))
+  }
+
+  /** THREE chained hard-EM iterations as a CONVERGENCE audit: the
+    * per-round corpus Viterbi cost T_t = Σ_pieces vit_t·cost_t must
+    * be non-increasing (hard-EM monotonicity under ML recosting, see
+    * [[mlCosts]]) — a violation beyond the micro-nat rounding slack
+    * THROWS in-query, so a broken E- or M-step can never ship a
+    * plausible-looking cost table. Emits one row per round:
+    * (round, n_pieces, m_tokens, corpus_cost_micro) — inventory
+    * shrink, segmentation granularity, and the descending cost
+    * trajectory all ride the driver hash.
+    *
+    * Rounding slack: each piece cost is rounded once to the nearest
+    * micro-nat (error ≤ ½ per weighted path piece), so the exact-real
+    * inequality T_{t+1} ≤ T_t can be violated by at most
+    * (m_t + m_{t+1})/2 micro-nats; the audit allows m_t + m_{t+1} —
+    * ~10⁻⁷ of T relative, still sharp.
+    *
+    * Scale shape identical to [[unigramEm2]]: each added round is one
+    * more vocab-domain Viterbi flatMap + piece-keyed count, nothing
+    * corpus-sized beyond the single word-count pass; the oracle
+    * chains three generated E-steps (prefixes "", "r", "s") with two
+    * ML recost CTEs between them. */
+  val unigramEm3: Q = Q(
+    "q_unigram_lm_em3",
+    (s, dir) => {
+      val words = wordCounts(t(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def vitOf(costs: DataFrame): DataFrame =
+        viterbiPaths(words, costs)
+          .groupBy("piece").agg(sum(col("cnt")).as("vit_count"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def statsOf(round: Int, vit: DataFrame, costs: DataFrame): DataFrame =
+        vit.join(costs.select("piece", "cost"), Seq("piece"))
+          .agg(count(lit(1)).as("n_pieces"),
+            sum(col("vit_count")).as("m_tokens"),
+            sum(col("vit_count") * col("cost")).as("corpus_cost_micro"))
+          .select(lit(round.toLong).as("round"), col("n_pieces"),
+            col("m_tokens"), col("corpus_cost_micro"))
+      val costs1 = pieceCosts(words)
+      val vit1 = vitOf(costs1)
+      val costs2 = mlCosts(vit1)
+      val vit2 = vitOf(costs2)
+      val costs3 = mlCosts(vit2)
+      val vit3 = vitOf(costs3)
+      val out = statsOf(1, vit1, costs1)
+        .unionByName(statsOf(2, vit2, costs2))
+        .unionByName(statsOf(3, vit3, costs3))
+        .orderBy("round")
+      val rows = out.collect()
+      words.unpersist(); vit1.unpersist(); vit2.unpersist(); vit3.unpersist()
+      // hard-EM monotonicity abort: cost must not rise past rounding slack
+      rows.sliding(2).foreach { case Array(a, b) =>
+        val (ta, tb) = (a.getLong(3), b.getLong(3))
+        val slack = a.getLong(2) + b.getLong(2)
+        if (tb > ta + slack)
+          throw new IllegalStateException(
+            s"hard-EM cost rose: round ${a.getLong(0)} cost $ta -> " +
+              s"round ${b.getLong(0)} cost $tb (slack $slack)")
+      }
+      s.createDataFrame(s.sparkContext.parallelize(
+          rows.toIndexedSeq, 1), out.schema)
+        .orderBy("round")
+    },
+    Some(s"""
+      WITH words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents) tk
+        WHERE w <> '' AND length(w) <= $MaxLen
+        GROUP BY w),
+      subs AS MATERIALIZED (
+        SELECT substr(d.w, CAST(st.range AS INT), CAST(ln.range AS INT)) AS piece,
+               d.cnt
+        FROM words d, range(1, ${MaxPiece + 1}) ln, range(1, ${MaxLen + 1}) st
+        WHERE st.range + ln.range - 1 <= length(d.w)),
+      pieces AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+                 FROM subs GROUP BY piece),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pieces),
+      costs AS MATERIALIZED (
+        SELECT piece, c,
+               CAST(round((ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS cost
+        FROM pieces CROSS JOIN tot),
+      ${eStepCtes("", "costs")},
+      m1 AS (SELECT CAST(sum(vit_count) AS BIGINT) AS m FROM newc),
+      costs2 AS MATERIALIZED (
+        SELECT piece, vit_count AS c,
+               CAST(round((ln(CAST(m AS DOUBLE)) - ln(CAST(vit_count AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS cost
+        FROM newc CROSS JOIN m1),
+      ${eStepCtes("r", "costs2")},
+      m2 AS (SELECT CAST(sum(vit_count) AS BIGINT) AS m FROM rnewc),
+      costs3 AS MATERIALIZED (
+        SELECT piece, vit_count AS c,
+               CAST(round((ln(CAST(m AS DOUBLE)) - ln(CAST(vit_count AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS cost
+        FROM rnewc CROSS JOIN m2),
+      ${eStepCtes("s", "costs3")}
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_pieces,
+               CAST(sum(n.vit_count) AS BIGINT) AS m_tokens,
+               CAST(sum(n.vit_count * c.cost) AS BIGINT) AS corpus_cost_micro
+        FROM newc n JOIN costs c ON c.piece = n.piece
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(sum(n.vit_count) AS BIGINT),
+               CAST(sum(n.vit_count * c.cost) AS BIGINT)
+        FROM rnewc n JOIN costs2 c ON c.piece = n.piece
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(sum(n.vit_count) AS BIGINT),
+               CAST(sum(n.vit_count * c.cost) AS BIGINT)
+        FROM snewc n JOIN costs3 c ON c.piece = n.piece)
+      ORDER BY round"""))
+
+  val all: Seq[Q] = Seq(unigramEm, unigramEm2, unigramEm3)
 }

@@ -127,4 +127,28 @@ class DbscanSpec extends SparkSpec {
     assert(rows.exists(r => !r.isNullAt(0) && r.getLong(1) >= 13),
       rows.map(_.toString).mkString(", "))
   }
+
+  test("stability rollup: a bridged pair of blobs persists whole at the loose level and fragments at the tight one") {
+    // two 4-cliques {0..3} and {10..13}: intra-clique sim 0.99,
+    // the bridge 3-10 sim 0.92 — one base cluster at 0.90 that
+    // splits into exactly two fragments at 0.95
+    val ids = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L)
+    val points = ids.map(i => (i, Seq(0.0))).toDF("vec_id", "v")
+    val clique = (g: Seq[Long]) =>
+      for (a <- g; b <- g if a < b) yield (a, b, 0.99)
+    val pairs = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((3L, 10L, 0.92)))
+      .toDF("vec_a", "vec_b", "sim")
+    val perLevel = Seq(900, 950).map { lp =>
+      lp -> Dbscan.dbscanFromPairs(points,
+        pairs.filter(col("sim") >= lp / 1000.0), minPts = 3)
+    }
+    val rows = Dbscan.stabilityRollup(perLevel).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // one base cluster (min id 0), all 8 core at 900
+    assert(rows.toSeq == Seq(
+      (900L, 0L, 8L, 8L, 1L, 1000L),
+      (950L, 0L, 8L, 8L, 2L, 1000L)), rows.toSeq.toString)
+  }
 }

@@ -703,4 +703,36 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("modularity: two disconnected triangles under the component split score exactly 1/2") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val edges = und.toDF("src", "dst")
+      .unionAll(und.map(_.swap).toDF("src", "dst"))
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("v", "label")
+    val rows = ops.Graph.modularityOf(edges, lab).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // per triangle: din = 6 directed rows, dsum = 6, m2 = 12:
+    // q_num = 6*12 - 36 = 36; permille = 36000 div 144 = 250 each,
+    // total Q = 500 permille = the textbook 1/2
+    assert(rows.toSeq == Seq((1L, 3L, 6L, 6L, 36L, 250L),
+      (4L, 3L, 6L, 6L, 36L, 250L)), rows.toSeq.toString)
+  }
+
+  test("modularity: splitting a triangle scores negative, truncation matches div semantics") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = und.toDF("src", "dst")
+      .unionAll(und.map(_.swap).toDF("src", "dst"))
+    val lab = Seq((1L, 1L), (2L, 2L), (3L, 2L)).toDF("v", "label")
+    val rows = ops.Graph.modularityOf(edges, lab).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    // m2 = 6; c1: din 0, dsum 2 -> q_num -4; c2: din 2, dsum 4 ->
+    // q_num 2*6-16 = -4; permille = -4000 div 36 = -111 (TRUNCATED,
+    // the Spark-div == DuckDB-// contract on negatives)
+    assert(rows.toSeq == Seq((1L, -4L, -111L), (2L, -4L, -111L)),
+      rows.toSeq.toString)
+  }
 }

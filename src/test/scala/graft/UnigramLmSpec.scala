@@ -102,4 +102,48 @@ class UnigramLmSpec extends SparkSpec {
     assert(ababPieces.toSeq == Seq("ab", "ab"),
       s"abab must re-segment as ab+ab: ${ababPieces.toSeq}")
   }
+
+  test("EM3: corpus Viterbi cost is non-increasing across three ML-recost rounds") {
+    val rows = UnigramLm.unigramEm3.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // the query's own abort allows rounding slack; the corpus case
+    // should descend outright round over round
+    assert(rows(1)._4 <= rows(0)._4,
+      s"round2 cost ${rows(1)._4} > round1 ${rows(0)._4}")
+    assert(rows(2)._4 <= rows(1)._4,
+      s"round3 cost ${rows(2)._4} > round2 ${rows(1)._4}")
+    // ML recost restricts the inventory to used pieces: n_pieces
+    // cannot grow
+    assert(rows(1)._2 <= rows(0)._2 && rows(2)._2 <= rows(1)._2,
+      rows.map(_._2).toSeq.toString)
+  }
+
+  test("EM3 hand corpus: reuse collapses segmentation onto the shared piece") {
+    // "ab" x 6 + "abab" x 1: round 1 segments abab without 'abab'
+    // sharing (seed costs), round 2's ML recost makes 'ab' dominant;
+    // by round 3 the whole corpus tiles with 'ab' pieces and the
+    // trajectory must descend strictly from round 1 to round 2.
+    val words = Seq(("ab", 6L), ("abab", 1L)).toDF("w", "cnt")
+    val costs1 = UnigramLm.pieceCosts(words)
+    def vitOf(c: org.apache.spark.sql.DataFrame) =
+      UnigramLm.viterbiPaths(words, c)
+        .groupBy("piece").agg(sum(col("cnt")).as("vit_count"))
+    def totOf(vit: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame): Long =
+      vit.join(c.select("piece", "cost"), Seq("piece"))
+        .agg(sum(col("vit_count") * col("cost"))).head().getLong(0)
+    val vit1 = vitOf(costs1)
+    val costs2 = UnigramLm.mlCosts(vit1)
+    val vit2 = vitOf(costs2)
+    val costs3 = UnigramLm.mlCosts(vit2)
+    val vit3 = vitOf(costs3)
+    val (t1, t2, t3) = (totOf(vit1, costs1), totOf(vit2, costs2),
+      totOf(vit3, costs3))
+    assert(t2 < t1, s"expected strict descent, got $t1 -> $t2")
+    assert(t3 <= t2 + (vit2.agg(sum(col("vit_count"))).head().getLong(0) * 2),
+      s"$t2 -> $t3")
+    val pieces3 = vit3.collect().map(r => r.getString(0)).toSet
+    assert(pieces3 == Set("ab"), pieces3.toString)
+  }
 }
