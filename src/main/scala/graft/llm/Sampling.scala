@@ -769,7 +769,133 @@ object Sampling {
              CAST(weight AS BIGINT) AS weight, key_micro
       FROM r WHERE rn <= 5 ORDER BY source, rn"""))
 
+  /** GREEDY MAX-COVERAGE data selection — pick K documents that
+    * together cover the most distinct vocabulary, the submodular
+    * selection primitive behind "choose a small seed set that
+    * represents the corpus" (vocabulary coverage for tokenizer
+    * training, eval-set seeding, annotation budgeting). Greedy is the
+    * (1−1/e)-approximation — the best any polynomial algorithm
+    * guarantees — and its trace is DETERMINISTIC under the
+    * (gain DESC, doc_id ASC) total order, so every step's pick, gain,
+    * and cumulative coverage ride the driver hash; the oracle unrolls
+    * the same K steps as chained CTEs (the [[graft.llm.Retrieval]]
+    * MMR discipline). Zero-gain documents stay in the candidate frame
+    * (count of a CASE, not a filter), so the trace never stalls even
+    * after full coverage.
+    *
+    * Scale shape: each step is ONE pass over the (doc, token) frame —
+    * a token-keyed left join against the covered-token table (token-
+    * domain, never corpus-sized; Catalyst broadcasts it while small,
+    * shuffles when not) plus a doc-keyed count and a TakeOrdered-1 —
+    * K passes total, no quadratic anything. The covered table is
+    * persisted per step and the loop is K-bounded driver control,
+    * exactly the [[graft.ops.Graph.pageRank]] iterative discipline. */
+  val CoverK = 6
+
+  /** The greedy trace over a (doc_id, tok) frame: K rows of
+    * (step, doc_id, gain, covered_total), stopping early if the
+    * candidate pool empties. Factored so SamplingAllocSpec can drive
+    * a hand corpus against a brute-force reference. */
+  def greedyCoverage(dtok0: DataFrame, k: Int): Seq[(Long, Long, Long, Long)] = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dtok = dtok0.persist(MEMORY_AND_DISK)
+    var covered = dtok.select("tok").filter(lit(false))
+      .persist(MEMORY_AND_DISK)
+    var picked = Vector.empty[Long]
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val gains = dtok
+        .filter(if (picked.isEmpty) lit(true)
+          else !col("doc_id").isin(picked: _*))
+        .join(covered.withColumn("c", lit(1)), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(when(col("c").isNull, 1)).as("gain"))
+      gains.orderBy(col("gain").desc, col("doc_id").asc)
+        .limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(pick) =>
+          val (pickId, gain) = (pick.getLong(0), pick.getLong(1))
+          picked :+= pickId
+          val prev = covered
+          covered = prev
+            .unionByName(dtok.filter(col("doc_id") === pickId).select("tok"))
+            .distinct()
+            .persist(MEMORY_AND_DISK)
+          val total = covered.count()
+          prev.unpersist()
+          trace += ((step.toLong, pickId, gain, total))
+          step += 1
+      }
+    }
+    dtok.unpersist(); covered.unpersist()
+    trace.toSeq
+  }
+
+  val coverageSelect: Q = Q(
+    "q_coverage_select",
+    (s, dir) => {
+      val dtok = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val trace = greedyCoverage(dtok, CoverK)
+      import s.implicits._
+      trace.toDF("step", "doc_id", "gain", "covered_total")
+        .coalesce(1).orderBy("step")
+    },
+    Some(s"""
+      WITH dtok AS MATERIALIZED (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents)
+        WHERE tok <> ''),
+      cov0 AS (SELECT CAST(NULL AS VARCHAR) AS tok WHERE 1 = 0),
+      picks0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0),
+      ${(1 to CoverK).map(coverageStepCte).mkString(",\n      ")}
+      SELECT step, doc_id, gain,
+             (SELECT CAST(count(*) AS BIGINT) FROM covstep
+              WHERE covstep.step <= p.step) AS covered_total
+      FROM (${(1 to CoverK).map(i => s"SELECT * FROM p$i")
+        .mkString("\n            UNION ALL ")}) p
+      ORDER BY step"""))
+
+  /** One unrolled greedy coverage step (gain per remaining doc →
+    * argmax pick → grown covered set), oracle-only. `covstep` tags
+    * each newly covered token with the step that first covered it so
+    * the final projection can state cumulative coverage without K
+    * scalar subqueries over K different tables. */
+  private def coverageStepCte(i: Int): String = {
+    val newCov = s"""SELECT DISTINCT d.tok
+             FROM dtok d JOIN p$i USING (doc_id)
+             WHERE d.tok NOT IN (SELECT tok FROM cov${i - 1})"""
+    val tail =
+      if (i == CoverK)
+        (1 to CoverK).map(j =>
+          s"SELECT CAST($j AS BIGINT) AS step, tok FROM new$j")
+          .mkString(",\n      covstep AS MATERIALIZED (", "\n        UNION ALL ", ")")
+      else ""
+    s"""g$i AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(count(CASE WHEN tok NOT IN (SELECT tok FROM cov${i - 1})
+                          THEN 1 END) AS BIGINT) AS gain
+        FROM dtok
+        WHERE doc_id NOT IN (SELECT doc_id FROM picks${i - 1})
+        GROUP BY doc_id),
+      p$i AS MATERIALIZED (
+        SELECT CAST($i AS BIGINT) AS step, doc_id, gain
+        FROM g$i ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      new$i AS MATERIALIZED (
+        $newCov),
+      cov$i AS MATERIALIZED (
+        SELECT tok FROM cov${i - 1} UNION ALL SELECT tok FROM new$i),
+      picks$i AS MATERIALIZED (
+        SELECT doc_id FROM picks${i - 1} UNION ALL SELECT doc_id FROM p$i)$tail"""
+  }
+
   val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir,
     weightedReservoir, classWeights, clusterSplit, temperature, unimaxAlloc,
-    coresetKCenter, lengthBatching, reservoirMerge)
+    coresetKCenter, lengthBatching, reservoirMerge, coverageSelect)
 }

@@ -118,4 +118,43 @@ class SamplingAllocSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(want == win, "aggregate formulation diverged from the window")
   }
+
+  test("greedy max-coverage: trace matches a brute-force greedy reference, stops when docs run out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("a", "b")),
+      (3L, Seq("c", "d")), (4L, Seq("e")))
+    val dtok = docs.flatMap { case (d, ts) => ts.map(d -> _) }
+      .toDF("doc_id", "tok")
+    val got = llm.Sampling.greedyCoverage(dtok, 6)
+    // reference greedy with the same (gain desc, doc_id asc) order
+    var covered = Set.empty[String]
+    var remaining = docs
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var st = 1L
+    while (remaining.nonEmpty) {
+      val (d, ts) = remaining.minBy { case (d, ts) =>
+        (-(ts.toSet -- covered).size, d) }
+      val gain = (ts.toSet -- covered).size.toLong
+      covered ++= ts
+      want += ((st, d, gain, covered.size.toLong))
+      remaining = remaining.filterNot(_._1 == d)
+      st += 1
+    }
+    assert(got == want.toSeq, s"got $got want $want")
+    // exactly 4 picks: the pool empties before k
+    assert(got.length == 4)
+    // submodularity sanity: gains never increase along the greedy trace
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("declared coverage query: cumulative totals equal the gain prefix sums") {
+    val rows = llm.Sampling.coverageSelect.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == llm.Sampling.CoverK)
+    val prefix = rows.map(_._3).scanLeft(0L)(_ + _).tail
+    assert(rows.map(_._4).toSeq == prefix.toSeq,
+      s"covered_total must be the prefix sum of gains: $rows")
+    assert(rows.map(_._2).distinct.length == rows.length, "picks are distinct")
+  }
 }
