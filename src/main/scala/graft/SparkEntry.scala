@@ -20,6 +20,7 @@ object SparkEntry {
       ops.ScalarSuite.all ++ ops.WindowSuite.all ++ ops.Sketches.all ++
       ops.Merge.all ++ ops.Scd.all ++ ops.Skyline.all ++ ops.Layout.all ++ ops.TypedApi.all ++ ops.Profile.all ++
       ops.FuzzyJoin.all ++ ops.Graph.all ++ ops.Itemsets.all ++ ops.Robust.all ++
+      ops.Linkage.all ++
       llm.TextStats.all ++ llm.Dedup.all ++ llm.Similarity.all ++
       llm.Ivf.all ++ llm.Pq.all ++ llm.IvfPq.all ++ llm.Events.all ++ llm.Multimodal.all ++ llm.Sampling.all ++
       llm.Curation.all ++ llm.Retrieval.all ++ llm.Bpe.all ++ llm.Classifier.all ++ llm.Pca.all ++ llm.Drift.all ++

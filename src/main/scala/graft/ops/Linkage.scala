@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Probabilistic record linkage — the Fellegi–Sunter model (JASA
+  * 1969), the standard framework behind every production entity-
+  * resolution system: candidate pairs from BLOCKING, a per-field
+  * agreement pattern γ, and a log-likelihood match weight
+  * W(γ) = Σ_f γ_f·ln(m_f/u_f) + (1−γ_f)·ln((1−m_f)/(1−u_f)) where
+  * m_f = P(agree on f | match) and u_f = P(agree on f | non-match).
+  *
+  * The demo links the customer registry against a DETERMINISTICALLY
+  * corrupted copy of itself (the planted-truth discipline: md5 coins
+  * corrupt nation on 20 % of records, segment on 30 %, balance
+  * bucket on 25 % — so ground truth is the id equijoin and every
+  * estimate is auditable). Blocking is on the UNCORRUPTED name
+  * suffix (last two digits — the "phonetic key" stand-in), so every
+  * true match shares a block (perfect blocking recall) while in-block
+  * non-matches are random w.r.t. the compared fields.
+  *
+  * Exactness: m and u are Laplace-smoothed integer ratios
+  * ((agree+1)/(n+2) — the +1 guards ln(0) when a small corpus has no
+  * in-block disagreement); each weight term is ONE IEEE ln of a ratio
+  * of exact BIGINT cross-products, rounded once to micro-nats (the
+  * [[graft.llm.Classifier]] naive-Bayes recipe), so the 8-row pattern
+  * table — counts, true-match counts, and total weight — rides the
+  * driver hash exactly.
+  *
+  * Scale shape: the A⋈B candidate join is BLOCKED (quadratic only
+  * within a block, the classic linkage scale control; a skewed block
+  * would take the [[graft.llm.Similarity.clusterNearDupPairs]]
+  * deterministic thinning cap), m/u estimation and the pattern rollup
+  * are aggregate-sized (2³ patterns × 4 counters), and the weight
+  * table is a broadcast 1-row frame. Nothing corpus² ever
+  * materializes; the per-pair weight assignment is a pattern-keyed
+  * lookup, not a recompute.
+  *
+  * Reference: lambda_function.py has no linkage surface; extension
+  * territory (training-data pipelines dedupe entities across noisy
+  * source registries). */
+object Linkage {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** md5 percent coin on the record id, hex chars [p, p+1] — the
+    * repo's derandomized corruption coin. */
+  private def coin(id: Column, p: Int): Column = {
+    val hex = md5(id.cast("string").cast("binary"))
+    (ascii(substring(hex, p, 1)) * 256 + ascii(substring(hex, p + 1, 1))) % 100
+  }
+
+  /** Clean registry A: (id, nation, seg, balb, blk). */
+  private def regA(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey").as("id"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("seg"),
+      expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("balb"),
+      substring(col("c_name"), -2, 2).as("blk"))
+
+  /** Corrupted registry B: same ids, md5-coin field noise. */
+  private def regB(a: DataFrame): DataFrame =
+    a.select(col("id"),
+      when(coin(col("id"), 1) < 20, (col("nation") + 1) % 25)
+        .otherwise(col("nation")).as("nation"),
+      when(coin(col("id"), 3) < 30, lit("UNKNOWN"))
+        .otherwise(col("seg")).as("seg"),
+      when(coin(col("id"), 5) < 25, col("balb") + 1)
+        .otherwise(col("balb")).as("balb"),
+      col("blk"))
+
+  val fellegiSunter: Q = Q(
+    "q_record_linkage",
+    (s, dir) => {
+      val a = regA(s, dir)
+      val b = regB(a)
+      // ground-truth matched pairs: one per id (perfect recall by
+      // construction); agreement counts for the m estimates
+      val m = a.as("a").join(b.as("b"), col("a.id") === col("b.id"))
+        .agg(count(lit(1)).as("n_m"),
+          sum(when(col("a.nation") === col("b.nation"), 1L).otherwise(0L)).as("mn"),
+          sum(when(col("a.seg") === col("b.seg"), 1L).otherwise(0L)).as("ms"),
+          sum(when(col("a.balb") === col("b.balb"), 1L).otherwise(0L)).as("mb"))
+      // blocked candidate pairs with their agreement pattern
+      val cand = a.as("a").join(b.as("b"), col("a.blk") === col("b.blk"))
+        .select(
+          when(col("a.nation") === col("b.nation"), 1L).otherwise(0L).as("gn"),
+          when(col("a.seg") === col("b.seg"), 1L).otherwise(0L).as("gs"),
+          when(col("a.balb") === col("b.balb"), 1L).otherwise(0L).as("gb"),
+          when(col("a.id") === col("b.id"), 1L).otherwise(0L).as("is_match"))
+      val u = cand.filter(col("is_match") === 0L)
+        .agg(count(lit(1)).as("n_u"),
+          sum(col("gn")).as("un"), sum(col("gs")).as("us"),
+          sum(col("gb")).as("ub"))
+      // Laplace-smoothed micro-nat weights: agree w = ln(m/u),
+      // disagree w = ln((1-m)/(1-u)), each ONE ln of a BIGINT
+      // cross-product ratio rounded once
+      def wAgree(mc: Column, uc: Column): Column =
+        round(log(((mc + 1) * (col("n_u") + 2)).cast("double") /
+          ((uc + 1) * (col("n_m") + 2)).cast("double")) * 1e6, 0).cast("long")
+      def wDis(mc: Column, uc: Column): Column =
+        round(log(((col("n_m") + 1 - mc) * (col("n_u") + 2)).cast("double") /
+          ((col("n_u") + 1 - uc) * (col("n_m") + 2)).cast("double")) * 1e6, 0)
+          .cast("long")
+      val w = m.crossJoin(u).select(
+        wAgree(col("mn"), col("un")).as("wn_a"), wDis(col("mn"), col("un")).as("wn_d"),
+        wAgree(col("ms"), col("us")).as("ws_a"), wDis(col("ms"), col("us")).as("ws_d"),
+        wAgree(col("mb"), col("ub")).as("wb_a"), wDis(col("mb"), col("ub")).as("wb_d"))
+      cand.groupBy("gn", "gs", "gb")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("is_match")).as("n_match"))
+        .crossJoin(broadcast(w))
+        .select(col("gn"), col("gs"), col("gb"), col("n_pairs"), col("n_match"),
+          (when(col("gn") === 1L, col("wn_a")).otherwise(col("wn_d")) +
+            when(col("gs") === 1L, col("ws_a")).otherwise(col("ws_d")) +
+            when(col("gb") === 1L, col("wb_a")).otherwise(col("wb_d")))
+            .as("weight_micro"))
+        .orderBy("gn", "gs", "gb")
+    },
+    Some("""
+      WITH a AS MATERIALIZED (
+        SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS balb,
+               substr(c_name, length(c_name) - 1, 2) AS blk
+        FROM customer),
+      b AS MATERIALIZED (
+        SELECT id,
+               CASE WHEN (ascii(substr(md5(CAST(id AS VARCHAR)), 1, 1)) * 256 +
+                          ascii(substr(md5(CAST(id AS VARCHAR)), 2, 1))) % 100 < 20
+                    THEN (nation + 1) % 25 ELSE nation END AS nation,
+               CASE WHEN (ascii(substr(md5(CAST(id AS VARCHAR)), 3, 1)) * 256 +
+                          ascii(substr(md5(CAST(id AS VARCHAR)), 4, 1))) % 100 < 30
+                    THEN 'UNKNOWN' ELSE seg END AS seg,
+               CASE WHEN (ascii(substr(md5(CAST(id AS VARCHAR)), 5, 1)) * 256 +
+                          ascii(substr(md5(CAST(id AS VARCHAR)), 6, 1))) % 100 < 25
+                    THEN balb + 1 ELSE balb END AS balb,
+               blk
+        FROM a),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_m,
+                   CAST(sum(CASE WHEN a.nation = b.nation THEN 1 ELSE 0 END) AS BIGINT) AS mn,
+                   CAST(sum(CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END) AS BIGINT) AS ms,
+                   CAST(sum(CASE WHEN a.balb = b.balb THEN 1 ELSE 0 END) AS BIGINT) AS mb
+            FROM a JOIN b USING (id)),
+      cand AS MATERIALIZED (
+        SELECT CASE WHEN a.nation = b.nation THEN 1 ELSE 0 END AS gn,
+               CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS gs,
+               CASE WHEN a.balb = b.balb THEN 1 ELSE 0 END AS gb,
+               CASE WHEN a.id = b.id THEN 1 ELSE 0 END AS is_match
+        FROM a JOIN b ON a.blk = b.blk),
+      u AS (SELECT CAST(count(*) AS BIGINT) AS n_u,
+                   CAST(sum(gn) AS BIGINT) AS un,
+                   CAST(sum(gs) AS BIGINT) AS us,
+                   CAST(sum(gb) AS BIGINT) AS ub
+            FROM cand WHERE is_match = 0),
+      w AS (SELECT
+              CAST(round(ln(CAST((mn + 1) * (n_u + 2) AS DOUBLE) /
+                            CAST((un + 1) * (n_m + 2) AS DOUBLE)) * 1e6) AS BIGINT) AS wn_a,
+              CAST(round(ln(CAST((n_m + 1 - mn) * (n_u + 2) AS DOUBLE) /
+                            CAST((n_u + 1 - un) * (n_m + 2) AS DOUBLE)) * 1e6) AS BIGINT) AS wn_d,
+              CAST(round(ln(CAST((ms + 1) * (n_u + 2) AS DOUBLE) /
+                            CAST((us + 1) * (n_m + 2) AS DOUBLE)) * 1e6) AS BIGINT) AS ws_a,
+              CAST(round(ln(CAST((n_m + 1 - ms) * (n_u + 2) AS DOUBLE) /
+                            CAST((n_u + 1 - us) * (n_m + 2) AS DOUBLE)) * 1e6) AS BIGINT) AS ws_d,
+              CAST(round(ln(CAST((mb + 1) * (n_u + 2) AS DOUBLE) /
+                            CAST((ub + 1) * (n_m + 2) AS DOUBLE)) * 1e6) AS BIGINT) AS wb_a,
+              CAST(round(ln(CAST((n_m + 1 - mb) * (n_u + 2) AS DOUBLE) /
+                            CAST((n_u + 1 - ub) * (n_m + 2) AS DOUBLE)) * 1e6) AS BIGINT) AS wb_d
+            FROM m CROSS JOIN u)
+      SELECT gn, gs, gb, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(is_match) AS BIGINT) AS n_match,
+             (CASE WHEN gn = 1 THEN wn_a ELSE wn_d END +
+              CASE WHEN gs = 1 THEN ws_a ELSE ws_d END +
+              CASE WHEN gb = 1 THEN wb_a ELSE wb_d END) AS weight_micro
+      FROM cand CROSS JOIN w
+      GROUP BY gn, gs, gb, wn_a, wn_d, ws_a, ws_d, wb_a, wb_d
+      ORDER BY gn, gs, gb"""))
+
+  val all: Seq[Q] = Seq(fellegiSunter)
+}
