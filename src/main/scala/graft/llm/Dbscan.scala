@@ -287,8 +287,9 @@ object Dbscan {
     * reads its condensed tree: the ε-pair list is built ONCE at the
     * loosest level WITH its similarity kept, and each tighter level
     * is a pure sim-threshold FILTER of that one list (never a second
-    * quadratic pass) — so the three DBSCAN runs share one blocked
-    * join, and tighter levels are free refinements. For every BASE
+    * quadratic pass) — and the per-level runs are STACKED into one
+    * disjoint graph ([[levelDbscan]]) so the iterative CC loop runs
+    * once for all levels. For every BASE
     * cluster (loosest level, label = min core id) the query emits,
     * per level: how many of its core points stay core
     * (`n_still_core`), how many fragments they split into
@@ -306,11 +307,70 @@ object Dbscan {
     *
     * Scale shape: one blocked quadratic join (the audited
     * [[Similarity.clusterNearDupPairs]] with its skew cap), one
-    * persisted pair list reused 3×, per-level degree aggregates and
-    * core-subgraph CC (dense regions, CC's best case), and a
-    * label-domain rollup. Adding a level costs one filter + one CC on
-    * a shrinking graph — never another corpus pass. */
+    * persisted level-exploded pair list, ONE degree aggregate and ONE
+    * core-subgraph CC across all levels (dense regions, CC's best
+    * case), and a label-domain rollup. Adding a level costs one more
+    * explode branch — never another corpus pass or CC loop. */
   val Levels = Seq(900, 950, 980)
+
+  /** ALL levels' DBSCAN in ONE pass — the level-stacked
+    * reformulation: each ε-pair is exploded to the levels whose
+    * threshold it survives, per-(level, point) degrees and core flags
+    * come from one aggregate, and the per-level core-core subgraphs
+    * are stacked into a single DISJOINT graph (vertex key =
+    * id·1000 + level — levels are 3-digit permilles and ids stay
+    * < 9·10¹⁵) so [[Dedup.connectedComponents]]'s iterative driver
+    * loop runs ONCE for every level instead of once per level (the
+    * round count becomes max-over-levels, the per-round work the sum
+    * — the fixed per-iteration scheduling cost is paid once). Labels
+    * decode back per level because min(id·1000+lvl) over a
+    * same-level component = (min id)·1000 + lvl. Returns
+    * (lvl, id, cluster, role) — role ∈ core/border/noise, cluster
+    * NULL for noise — semantically identical per level to
+    * [[dbscanFromPairs]] on the filtered pair list (DbscanSpec pins
+    * the equivalence). */
+  def levelDbscan(points: DataFrame, pairs: DataFrame, levels: Seq[Int],
+      minPts: Int,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
+    val lvls = array(levels.map(lit): _*)
+    val pairsL = handles.track(
+      pairs.withColumn("lvl",
+          explode(filter(lvls, l => col("sim") >= l.cast("double") / 1000)))
+        .select(col("lvl"), col("vec_a"), col("vec_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sym = pairsL.select(col("lvl"), col("vec_a").as("id"), col("vec_b").as("nb"))
+      .unionAll(pairsL.select(col("lvl"), col("vec_b").as("id"), col("vec_a").as("nb")))
+    val core = handles.track(
+      sym.groupBy("lvl", "id").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") + lit(1) >= minPts).select("lvl", "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val coreEdges = pairsL
+      .join(core.select(col("lvl"), col("id").as("vec_a")),
+        Seq("lvl", "vec_a"), "left_semi")
+      .join(core.select(col("lvl"), col("id").as("vec_b")),
+        Seq("lvl", "vec_b"), "left_semi")
+    val comp = Dedup.connectedComponents(
+      coreEdges.select((col("vec_a") * 1000 + col("lvl")).as("src"),
+        (col("vec_b") * 1000 + col("lvl")).as("dst")),
+      core.select((col("id") * 1000 + col("lvl")).as("id")))
+    val coreLab = comp.select((col("id") % 1000).cast("int").as("lvl"),
+      expr("id div 1000").as("id"), expr("label div 1000").as("cluster"))
+    val border = sym
+      .join(core, Seq("lvl", "id"), "left_anti")
+      .join(coreLab.select(col("lvl"), col("id").as("nb"),
+        col("cluster")), Seq("lvl", "nb"))
+      .groupBy("lvl", "id").agg(min(col("cluster")).as("cluster"))
+    val coreOut = coreLab.select(col("lvl"), col("id"), col("cluster"),
+      lit("core").as("role"))
+    val borderOut = border.select(col("lvl"), col("id"), col("cluster"),
+      lit("border").as("role"))
+    val assigned = coreOut.select("lvl", "id").unionAll(borderOut.select("lvl", "id"))
+    val noise = points.select(col("vec_id").as("id"), explode(lvls).as("lvl"))
+      .join(assigned, Seq("lvl", "id"), "left_anti")
+      .select(col("lvl"), col("id"), lit(null).cast("long").as("cluster"),
+        lit("noise").as("role"))
+    coreOut.unionByName(borderOut).unionByName(noise)
+  }
 
   /** Per-(base cluster, level) persistence census over per-level
     * DBSCAN outputs (id, cluster, role): base = the FIRST level's
@@ -319,21 +379,28 @@ object Dbscan {
     * persistence. Factored so DbscanSpec can drive it with
     * hand-built pair lists. */
   def stabilityRollup(perLevel: Seq[(Int, DataFrame)]): DataFrame = {
+    // one level-tagged core frame, ONE (id)-keyed join of the base
+    // against every level's cores, one aggregate — not a join per
+    // level (3× the fixed stage cost for identical results)
+    val lvlCore = perLevel.map { case (lp, pp) =>
+      pp.filter(col("role") === "core")
+        .select(lit(lp.toLong).as("level_permille"), col("id"),
+          col("cluster").as("lvl_cluster"))
+    }.reduce(_ unionByName _)
+    val levels = perLevel.map(_._1)
     val base = perLevel.head._2.filter(col("role") === "core")
-      .select(col("id"), col("cluster").as("base_cluster"))
-    perLevel.map { case (lp, pp) =>
-      val lvlCore = pp.filter(col("role") === "core")
-        .select(col("id"), col("cluster").as("lvl_cluster"))
-      base.join(lvlCore, Seq("id"), "left")
-        .groupBy("base_cluster")
-        .agg(count(lit(1)).as("n_base_core"),
-          count(col("lvl_cluster")).as("n_still_core"),
-          countDistinct(col("lvl_cluster")).as("n_fragments"))
-        .select(lit(lp.toLong).as("level_permille"), col("base_cluster"),
-          col("n_base_core"), col("n_still_core"), col("n_fragments"),
-          expr("n_still_core * 1000 div n_base_core")
-            .as("persist_permille"))
-    }.reduce(_ unionByName _).orderBy("base_cluster", "level_permille")
+      .select(col("id"), col("cluster").as("base_cluster"),
+        explode(array(levels.map(l => lit(l.toLong)): _*))
+          .as("level_permille"))
+    base.join(lvlCore, Seq("level_permille", "id"), "left")
+      .groupBy("level_permille", "base_cluster")
+      .agg(count(lit(1)).as("n_base_core"),
+        count(col("lvl_cluster")).as("n_still_core"),
+        countDistinct(col("lvl_cluster")).as("n_fragments"))
+      .select(col("level_permille"), col("base_cluster"),
+        col("n_base_core"), col("n_still_core"), col("n_fragments"),
+        expr("n_still_core * 1000 div n_base_core").as("persist_permille"))
+      .orderBy("base_cluster", "level_permille")
   }
 
   val clusterStability: Q = Q(
@@ -353,21 +420,24 @@ object Dbscan {
         Similarity.clusterNearDupPairs(corpus, centroids,
             Levels.min / 1000.0, handles = handles)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val perLevel = Levels.map { lp =>
-        val pp = handles.track(
-          dbscanFromPairs(corpus, pairs.filter(col("sim") >= lp / 1000.0),
-              minPts = 10, handles = handles)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        // structural floor at EVERY level: blob all-core, one cluster
-        val audit = pp.filter(col("id") >= 2000000L)
-          .agg(count(when(col("role") === "core", 1)).as("n_core"),
-            countDistinct(col("cluster")).as("n_clusters")).head()
-        if (audit.getLong(0) < 12 || audit.getLong(1) != 1L)
+      val all3 = handles.track(
+        levelDbscan(corpus, pairs, Levels, minPts = 10, handles = handles)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // structural floor at EVERY level: blob all-core, one cluster
+      val audits = all3.filter(col("id") >= 2000000L)
+        .groupBy("lvl")
+        .agg(count(when(col("role") === "core", 1)).as("n_core"),
+          countDistinct(col("cluster")).as("n_clusters"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      Levels.foreach { lp =>
+        val (nCore, nClusters) = audits.getOrElse(lp, (0L, 0L))
+        if (nCore < 12 || nClusters != 1L)
           throw new IllegalStateException(
             s"planted blob degraded at level $lp: " +
-              s"${audit.getLong(0)}/12 core, ${audit.getLong(1)} clusters")
-        lp -> pp
+              s"$nCore/12 core, $nClusters clusters")
       }
+      val perLevel = Levels.map(lp => lp -> all3.filter(col("lvl") === lp)
+        .select("id", "cluster", "role"))
       val out = stabilityRollup(perLevel)
       val materialized = out.collect()
       corpus.unpersist()

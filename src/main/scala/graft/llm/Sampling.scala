@@ -799,13 +799,19 @@ object Sampling {
   def greedyCoverage(dtok0: DataFrame, k: Int): Seq[(Long, Long, Long, Long)] = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dtok = dtok0.persist(MEMORY_AND_DISK)
-    var covered = dtok.select("tok").filter(lit(false))
-      .persist(MEMORY_AND_DISK)
     var picked = Vector.empty[Long]
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var step = 1
+    var total = 0L
     var exhausted = false
     while (step <= k && !exhausted) {
+      // covered = the picked docs' token set, re-derived from the
+      // persisted frame (a k-doc filter + distinct — cheaper than a
+      // growing union chain, and nothing extra to pin)
+      val covered = dtok
+        .filter(if (picked.isEmpty) lit(false)
+          else col("doc_id").isin(picked: _*))
+        .select("tok").distinct()
       val gains = dtok
         .filter(if (picked.isEmpty) lit(true)
           else !col("doc_id").isin(picked: _*))
@@ -818,18 +824,15 @@ object Sampling {
         case Some(pick) =>
           val (pickId, gain) = (pick.getLong(0), pick.getLong(1))
           picked :+= pickId
-          val prev = covered
-          covered = prev
-            .unionByName(dtok.filter(col("doc_id") === pickId).select("tok"))
-            .distinct()
-            .persist(MEMORY_AND_DISK)
-          val total = covered.count()
-          prev.unpersist()
+          // newly covered tokens are disjoint from covered by
+          // construction, so the cumulative total is the gain prefix
+          // sum — no counting job per step
+          total += gain
           trace += ((step.toLong, pickId, gain, total))
           step += 1
       }
     }
-    dtok.unpersist(); covered.unpersist()
+    dtok.unpersist()
     trace.toSeq
   }
 

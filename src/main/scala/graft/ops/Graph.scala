@@ -2178,14 +2178,10 @@ object Graph {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
       val edges = cs.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
         .unionAll(cs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lab = labelProp(edges, 3)
-      val out = modularityOf(edges, lab)
-      val rows = out.collect()
-      edges.unpersist()
-      s.createDataFrame(s.sparkContext.parallelize(
-          rows.toIndexedSeq, 1), out.schema)
-        .orderBy("label")
+      // labelProp checkpoints its own lineage; the rollup re-derives
+      // the (small, windowed) edge frame rather than pinning a cache
+      // the harness would have to evict
+      modularityOf(edges, labelProp(edges, 3))
     },
     Some("""
       WITH cs AS (

@@ -128,6 +128,33 @@ class DbscanSpec extends SparkSpec {
       rows.map(_.toString).mkString(", "))
   }
 
+  test("levelDbscan == dbscanFromPairs per level on random sim-weighted pair lists") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val points = (0L until n.toLong).map(i => (i, Seq(0.0))).toDF("vec_id", "v")
+      val pairs = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.15
+      } yield (a, b, 0.88 + rnd.nextDouble() * 0.12)).toDF("vec_a", "vec_b", "sim")
+      val levels = Seq(900, 950, 980)
+      val stacked = llm.Dbscan.levelDbscan(points, pairs, levels, minPts = 3)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3))).toSet
+      val perLevel = levels.flatMap { lp =>
+        llm.Dbscan.dbscanFromPairs(points,
+            pairs.filter(col("sim") >= lp / 1000.0), minPts = 3)
+          .collect()
+          .map(r => (lp, r.getLong(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+      }.toSet
+      assert(stacked == perLevel,
+        s"seed $seed: ${stacked.diff(perLevel)} / ${perLevel.diff(stacked)}")
+    }
+  }
+
   test("stability rollup: a bridged pair of blobs persists whole at the loose level and fragments at the tight one") {
     // two 4-cliques {0..3} and {10..13}: intra-clique sim 0.99,
     // the bridge 3-10 sim 0.92 — one base cluster at 0.90 that
