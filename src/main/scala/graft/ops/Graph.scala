@@ -2233,9 +2233,166 @@ object Graph {
       FROM comm c LEFT JOIN din n ON n.label = c.label CROSS JOIN mm
       ORDER BY c.label"""))
 
+  /** Luby's maximal independent set over a symmetric edge list,
+    * derandomized: round-r coin(v) = the 48-bit md5 uniform of
+    * "r:v" (fresh independent coins every round — what Luby's
+    * O(log n) bound needs — yet a pure function of (round, vertex),
+    * so the run replays exactly). Per round, an ACTIVE vertex joins
+    * the MIS iff its coin is strictly below every active neighbor's
+    * coin (isolated actives join unconditionally); the winners and
+    * their neighbors leave the active set. Fixed `rounds` unrolled —
+    * the oracle states the same chain — with non-convergence THROWN
+    * by the caller (a half-built "maximal" set must not ship).
+    * Returns (v, in_mis, round_joined) — round 0 for non-members.
+    *
+    * Scale shape: the [[labelProp]] iterative discipline (cloned
+    * session, vertex-sized parallelism, lazy lineage cuts); each
+    * round is two semi-joins (active-edge restriction), one dst-keyed
+    * min, and one anti-join — all vertex/edge-keyed hash joins,
+    * nothing quadratic. Luby's theorem gives O(log n) expected
+    * rounds, so the unroll depth is a small constant at any scale. */
+  def lubyMis(edges: DataFrame, rounds: Int): DataFrame = {
+    val origin = edges.sparkSession
+    val spark = origin.newSession()
+    graft.Checkpoints.propagate(origin, spark)
+    def rb(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val e = graft.Checkpoints.cut(rb(edges.select(col("src"), col("dst"))))
+    val verts = graft.Checkpoints.cut(
+      e.select(col("src").as("v")).distinct(), eager = false)
+    val nV = verts.count()
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, nV / 65536L).toString)
+    def coin(r: Int): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(r.toString), lit(":"),
+        col("v").cast("string")).cast("binary")), 1, 12), 16, 10).cast("long")
+    var active = graft.Checkpoints.cut(verts, eager = false)
+    var mis = verts.select(col("v"), lit(0L).as("round_joined")).limit(0)
+    for (r <- 1 to rounds) {
+      val actC = active.select(col("v"), coin(r).as("c"))
+      val actEdges = e
+        .join(active.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(active.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      val nbrMin = actEdges
+        .join(actC.select(col("v").as("src"), col("c").as("cs")), "src")
+        .groupBy(col("dst").as("v")).agg(min(col("cs")).as("nbc"))
+      val cand = actC.join(nbrMin, Seq("v"), "left")
+        .filter(col("nbc").isNull || col("c") < col("nbc"))
+        .select(col("v"))
+      mis = graft.Checkpoints.cut(
+        mis.unionByName(cand.select(col("v"), lit(r.toLong).as("round_joined"))),
+        eager = false)
+      val removed = cand
+        .unionByName(e.join(cand.withColumnRenamed("v", "src"), "src")
+          .select(col("dst").as("v")))
+      active = graft.Checkpoints.cut(
+        active.join(removed, Seq("v"), "left_anti"), eager = false)
+    }
+    val out = verts
+      .join(mis, Seq("v"), "left")
+      .select(col("v"),
+        when(col("round_joined").isNotNull, 1L).otherwise(0L).as("in_mis"),
+        coalesce(col("round_joined"), lit(0L)).as("round_joined"))
+    rebind(origin, out.join(active.select(col("v"), lit(1L).as("still_active")),
+      Seq("v"), "left"))
+  }
+
+  val MisRounds = 8
+
+  /** Luby MIS on the one-month customer–supplier graph (the
+    * [[modularityQ]] window), fully hash-oracled: the oracle unrolls
+    * the same [[MisRounds]] coin/min/cand/remove rounds as chained
+    * MATERIALIZED CTEs. In-query audits (all THROW): the active set
+    * must be empty after the unroll (convergence), no edge may
+    * connect two MIS members (independence), and every non-member
+    * must have a MIS neighbor (maximality) — the three properties
+    * that make an "independent set" usable for conflict-free
+    * scheduling and landmark selection. */
+  val lubyMisQ: Q = Q(
+    "q_luby_mis",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1995-02-01"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+      val edges = cs.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        .unionAll(cs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      val raw = lubyMis(edges, MisRounds)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val unconverged = raw.filter(col("still_active") === 1L).count()
+      if (unconverged != 0L)
+        throw new IllegalStateException(
+          s"Luby MIS did not converge in $MisRounds rounds: $unconverged active")
+      val out = raw.select("v", "in_mis", "round_joined")
+      val m = out.filter(col("in_mis") === 1L).select(col("v"))
+      val conflicts = edges
+        .join(m.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(m.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi").count()
+      if (conflicts != 0L)
+        throw new IllegalStateException(s"MIS not independent: $conflicts edges inside")
+      val uncovered = out.filter(col("in_mis") === 0L)
+        .join(edges.join(m.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+          .select(col("src").as("v")), Seq("v"), "left_anti").count()
+      if (uncovered != 0L)
+        throw new IllegalStateException(s"MIS not maximal: $uncovered uncovered")
+      val rows = out.orderBy("v").collect()
+      raw.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(
+          rows.toIndexedSeq, 1), out.schema)
+        .orderBy("v")
+    },
+    Some(s"""
+      WITH cs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1995-02-01'),
+      edges AS MATERIALIZED (
+        SELECT c * 2 AS src, p * 2 + 1 AS dst FROM cs
+        UNION ALL
+        SELECT p * 2 + 1 AS src, c * 2 AS dst FROM cs),
+      verts AS (SELECT DISTINCT src AS v FROM edges),
+      act0 AS (SELECT v FROM verts),
+      ${(1 to MisRounds).map(misRoundCte).mkString(",\n      ")},
+      mis AS MATERIALIZED (
+        ${(1 to MisRounds).map(r =>
+          s"SELECT v, CAST($r AS BIGINT) AS round_joined FROM cand$r")
+          .mkString("\n        UNION ALL ")})
+      SELECT t.v,
+             CASE WHEN m.v IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS in_mis,
+             coalesce(m.round_joined, CAST(0 AS BIGINT)) AS round_joined
+      FROM verts t LEFT JOIN mis m ON m.v = t.v
+      ORDER BY t.v"""))
+
+  /** One unrolled Luby round (coins → active-neighbor min → winners →
+    * shrunken active set), oracle-only. */
+  private def misRoundCte(r: Int): String = s"""
+      coin$r AS MATERIALIZED (
+        SELECT v, CAST('0x' || substr(md5('$r:' || CAST(v AS VARCHAR)), 1, 12)
+                       AS BIGINT) AS c
+        FROM act${r - 1}),
+      nbm$r AS MATERIALIZED (
+        SELECT e.dst AS v, min(c.c) AS nbc
+        FROM edges e
+        JOIN coin$r c ON c.v = e.src
+        JOIN act${r - 1} a ON a.v = e.dst
+        GROUP BY e.dst),
+      cand$r AS MATERIALIZED (
+        SELECT c.v FROM coin$r c LEFT JOIN nbm$r n ON n.v = c.v
+        WHERE n.nbc IS NULL OR c.c < n.nbc),
+      act$r AS MATERIALIZED (
+        SELECT a.v FROM act${r - 1} a
+        WHERE a.v NOT IN (SELECT v FROM cand$r)
+          AND a.v NOT IN (SELECT e.dst FROM edges e
+                          JOIN cand$r w ON w.v = e.src))"""
+
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
     shortestPath, shortestPathIncremental, labelPropagation,
     labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb,
     cheapestPath, temporalReachQ, hitsQ, temporalKatz, rwr, greedyMatching,
-    modularityQ)
+    modularityQ, lubyMisQ)
 }

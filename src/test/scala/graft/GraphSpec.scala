@@ -735,4 +735,45 @@ class GraphSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, -4L, -111L), (2L, -4L, -111L)),
       rows.toSeq.toString)
   }
+
+  test("luby MIS == sequential reference with the same md5 coins; independent and maximal") {
+    import spark.implicits._
+    def coinOf(r: Int, v: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val nV = 20 + rnd.nextInt(20)
+      val und = (for (_ <- 0 until nV * 2) yield
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val got = ops.Graph.lubyMis(edges.toDF("src", "dst"), 8)
+        .select("v", "in_mis", "round_joined").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // sequential reference
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var active = edges.map(_._1).distinct.toSet
+      var mis = Map.empty[Long, Long]
+      for (r <- 1 to 8) {
+        val coins = active.map(v => v -> coinOf(r, v)).toMap
+        val cand = active.filter(v =>
+          (adj(v) & active).forall(nb => coins(v) < coins(nb)))
+        mis ++= cand.map(_ -> r.toLong)
+        active = active -- cand -- cand.flatMap(adj)
+      }
+      assert(active.isEmpty, s"seed $seed: reference did not converge")
+      val want = edges.map(_._1).distinct.map(v =>
+        (v, if (mis.contains(v)) 1L else 0L, mis.getOrElse(v, 0L))).toSet
+      assert(got == want, s"seed $seed: ${got.diff(want)} / ${want.diff(got)}")
+      // independence + maximality
+      val m = mis.keySet
+      assert(und.forall { case (a, b) => !(m(a) && m(b)) }, s"seed $seed")
+      assert(edges.map(_._1).distinct.forall(v => m(v) || (adj(v) & m).nonEmpty),
+        s"seed $seed: not maximal")
+    }
+  }
 }
