@@ -1533,7 +1533,70 @@ object Classifier {
       FROM w5 JOIN ntr USING (fold_out) JOIN held ON held.fold = w5.fold_out
       ORDER BY fold"""))
 
+  /** WEIGHT-OF-EVIDENCE / INFORMATION-VALUE feature screening — the
+    * credit-scoring-lineage binned predictiveness audit: per decile
+    * bin of a feature, WOE = ln(P(bin|good)/P(bin|bad)) says which
+    * way the bin votes, and IV = Σ (P(bin|good) − P(bin|bad))·WOE
+    * summarizes the whole feature (rule of thumb: <0.02 useless,
+    * >0.3 strong). The complement to [[miFeatures]] (MI sees any
+    * dependence; WOE/IV reads out per-bin DIRECTION, which is what a
+    * reviewer acts on).
+    *
+    * Exactness: Laplace-smoothed (+1 per bin / +10 per class total,
+    * guarding ln(0) on empty-side bins); each WOE is ONE IEEE ln of
+    * a BIGINT cross-product ratio rounded once to micro-nats; the IV
+    * contribution is surfaced as the exact integer numerator
+    * iv_num = ((g+1)(B+10) − (b+1)(G+10))·woe_micro over the constant
+    * denominator (G+10)(B+10) — Σ iv_num / ((G+10)(B+10)·10⁶) is the
+    * feature's IV. Envelope: |iv_num| ≤ n²·|woe| ≲ 10¹⁷ at 10⁶ docs —
+    * past that, surface the ratio in double (documented trade).
+    *
+    * Scale shape: one corpus aggregate to the (bin, class) histogram
+    * (map-side combinable, ≤ 20 rows), a 1-row totals frame broadcast
+    * back — the [[calibration]] shape exactly. */
+  val woeIv: Q = Q(
+    "q_woe_iv",
+    (s, dir) => {
+      val feats = featureFrame(t(s, dir, "documents"))
+      val bins = feats.select(
+          least(lit(9L), expr("rep_ratio_m div 100")).as("bin"),
+          when(col("y") === 1L, 1L).otherwise(0L).as("good"))
+        .groupBy("bin")
+        .agg(sum(col("good")).as("g"),
+          sum(lit(1L) - col("good")).as("b"))
+      val tot = bins.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("g"), col("b"),
+          round(log(((col("g") + 1) * (col("bt") + 10)).cast("double") /
+            ((col("b") + 1) * (col("gt") + 10)).cast("double")) * 1e6, 0)
+            .cast("long").as("woe_micro"),
+          ((col("g") + 1) * (col("bt") + 10) -
+            (col("b") + 1) * (col("gt") + 10)).as("diff_num"))
+        .select(col("bin"), col("g"), col("b"), col("woe_micro"),
+          (col("diff_num") * col("woe_micro")).as("iv_num"))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH $featsSql,
+      bins AS (
+        SELECT least(9, rep_ratio_m // 100) AS bin,
+               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g,
+               CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS b
+        FROM feats GROUP BY 1),
+      tot AS (SELECT CAST(sum(g) AS BIGINT) AS gt,
+                     CAST(sum(b) AS BIGINT) AS bt FROM bins)
+      SELECT CAST(bin AS BIGINT) AS bin, g, b,
+             CAST(round(ln(CAST((g + 1) * (bt + 10) AS DOUBLE) /
+                           CAST((b + 1) * (gt + 10) AS DOUBLE)) * 1e6) AS BIGINT)
+               AS woe_micro,
+             ((g + 1) * (bt + 10) - (b + 1) * (gt + 10)) *
+             CAST(round(ln(CAST((g + 1) * (bt + 10) AS DOUBLE) /
+                           CAST((b + 1) * (gt + 10) AS DOUBLE)) * 1e6) AS BIGINT)
+               AS iv_num
+      FROM bins CROSS JOIN tot
+      ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(qualityStump, evalMetrics, rocAuc, calibration,
     cohensKappa, logregTrain, miFeatures, nbTrain, liftCurve, isotonic,
-    treeDepth2, randomForest, gbStep, cvStump)
+    treeDepth2, randomForest, gbStep, cvStump, woeIv)
 }

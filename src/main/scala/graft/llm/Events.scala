@@ -1983,9 +1983,151 @@ object Events {
       FROM bt WHERE rn >= 8
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** UCB1 BANDIT REPLAY — offline evaluation of the classic
+    * optimism-under-uncertainty policy (Auer et al. 2002) against the
+    * logged event stream: arms are the five event types, one decision
+    * per day, and playing arm a on day t pays that day's mean event
+    * value in CLIPPED MILLI-UNITS (r ∈ [0, 1000], the bounded-reward
+    * precondition UCB1's regret bound needs). At round t the policy
+    * picks argmax over arms of mean_micro + bonus_micro, where
+    * mean_micro = 1000·Σr ÷ n (floor) and bonus_micro =
+    * round(√(2·ln t / n)·10⁶) — unplayed arms score +∞ (a big-BIGINT
+    * literal), which makes the canonical play-each-arm-once opening
+    * fall out of the one argmax rule; ties break to the
+    * alphabetically first arm. The full state trajectory (pick,
+    * reward, per-arm plays and reward sums after the update) rides
+    * the driver hash, so a single mis-ordered comparison anywhere in
+    * 30 rounds flips the result.
+    *
+    * Exactness: day rewards are cents-exact floor divisions; the
+    * bonus is ONE fixed-order IEEE chain (ln, divide, sqrt, scale,
+    * round once — the cosine-recipe contract); all comparisons are
+    * BIGINT micro-units. The oracle replays the identical recurrence
+    * as a generated 10-state-column recursive CTE.
+    *
+    * Scale shape: the reward matrix is one map-side-combinable
+    * (day, arm) aggregate off the corpus scan; the 30×5 frame is
+    * day-domain-bounded, so the sequential fold is driver work by
+    * construction (the [[graft.llm.Retrieval]] MMR argument — the
+    * decision at round t depends on every prior round; shipping a
+    * 150-row fold to executors would just round-trip it). A longer
+    * horizon stays day-domain; more arms widen the tiny frame. */
+  val UcbArms = Seq("click", "error", "purchase", "signup", "view")
+
+  val ucbReplay: Q = Q(
+    "q_ucb_replay",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin(UcbArms: _*))
+        .select(to_date(col("ts")).as("d"), col("event_type").as("arm"),
+          round(col("value") * 100, 0).cast("long").as("vc"))
+      // day index: a window over the DISTINCT-day table an Aggregate
+      // already collapsed (the winsorize envelope — never corpus rows)
+      val dayIdx = ev.select("d").distinct()
+        .withColumn("t", row_number().over(Window.orderBy("d")).cast("long"))
+      val rm = ev.join(dayIdx, "d")
+        .groupBy("t", "arm")
+        .agg(least(lit(1000L),
+          expr("(1000 * sum(vc)) div (100 * count(1))")).as("r"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val horizon = if (rm.isEmpty) 0 else rm.keys.map(_._1).max.toInt
+      val n = scala.collection.mutable.Map(UcbArms.map(_ -> 0L): _*)
+      val sum = scala.collection.mutable.Map(UcbArms.map(_ -> 0L): _*)
+      val trace = (1 to horizon).map { rt =>
+        val scored = UcbArms.map { a =>
+          val score =
+            if (n(a) == 0L) 1000000000000000L
+            else (1000L * sum(a)) / n(a) +
+              BigDecimal(math.sqrt(2.0 * math.log(rt.toDouble) / n(a)) * 1e6)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          (a, score)
+        }
+        val best = scored.maxBy(_._2)._2
+        val pick = scored.filter(_._2 == best).map(_._1).min
+        val r = rm.getOrElse((rt.toLong, pick), 0L)
+        n(pick) += 1L; sum(pick) += r
+        (rt.toLong, pick, r, n(pick), sum(pick))
+      }
+      import s.implicits._
+      trace.toDF("t", "arm", "reward_milli", "n_arm", "sum_arm_milli")
+        .coalesce(1).orderBy("t")
+    },
+    Some(ucbOracle))
+
+  /** Generated recursive-CTE oracle for [[ucbReplay]]: state columns
+    * (n_i, s_i) per arm, one recursion step per day. */
+  private def ucbOracle: String = {
+    val k = UcbArms.length
+    val idx = 1 to k
+    val armVals = UcbArms.map(a => s"('$a')").mkString(", ")
+    val zeroState = idx.map(i => s"CAST(0 AS BIGINT) AS n$i, CAST(0 AS BIGINT) AS s$i")
+      .mkString(", ")
+    val scores = idx.map(i => s"""
+          CASE WHEN u.n$i = 0 THEN CAST(1000000000000000 AS BIGINT)
+               ELSE (1000 * u.s$i) // u.n$i +
+                    CAST(round(sqrt(2.0 * ln(CAST(u.t + 1 AS DOUBLE)) /
+                      CAST(u.n$i AS DOUBLE)) * 1e6) AS BIGINT) END AS sc$i""")
+      .mkString(",")
+    val best = s"greatest(${idx.map(i => s"sc$i").mkString(", ")})"
+    // npick/nrpick, NOT pick/rpick: the recursion carries state
+    // columns named pick/rpick, and a same-SELECT lateral alias that
+    // shadows a carried column resolves to the CARRIED one — the
+    // silent self-reference that froze the state at the anchor
+    val pickIdx = "CAST(CASE " +
+      idx.map(i => s"WHEN sc$i = best THEN $i").mkString(" ") + " END AS BIGINT)"
+    val rewardOfPick = "CASE " +
+      idx.map(i => s"WHEN npick = $i THEN r$i").mkString(" ") + " END"
+    val newState = idx.map(i =>
+      s"""CASE WHEN npick = $i THEN n$i + 1 ELSE n$i END AS n$i,
+          CASE WHEN npick = $i THEN s$i + nrpick ELSE s$i END AS s$i""").mkString(",\n          ")
+    val wideRewards = idx.map(i =>
+      s"""CAST(coalesce(max(CASE WHEN arm = '${UcbArms(i - 1)}' THEN r END), 0)
+          AS BIGINT) AS r$i""").mkString(",\n               ")
+    val armName = "CASE " +
+      idx.map(i => s"WHEN pick = $i THEN '${UcbArms(i - 1)}'").mkString(" ") + " END"
+    val pickedN = "CASE " + idx.map(i => s"WHEN pick = $i THEN n$i").mkString(" ") + " END"
+    val pickedS = "CASE " + idx.map(i => s"WHEN pick = $i THEN s$i").mkString(" ") + " END"
+    s"""
+      WITH RECURSIVE ev AS MATERIALIZED (
+        SELECT CAST(ts AS DATE) AS d, event_type AS arm,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type IN (${UcbArms.map(a => s"'$a'").mkString(", ")})),
+      dayidx AS (SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+                 FROM (SELECT DISTINCT d FROM ev)),
+      rmat AS MATERIALIZED (
+        SELECT t, arm,
+               least(1000, (1000 * sum(vc)) // (100 * count(*))) AS r
+        FROM ev JOIN dayidx USING (d) GROUP BY t, arm),
+      grid AS MATERIALIZED (
+        SELECT t, $wideRewards
+        FROM rmat GROUP BY t),
+      horizon AS (SELECT CAST(max(t) AS BIGINT) AS h FROM grid),
+      ucb AS (
+        SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS pick,
+               CAST(0 AS BIGINT) AS rpick, $zeroState
+        UNION ALL
+        SELECT u.t + 1 AS t, npick AS pick, nrpick AS rpick,
+          $newState
+        FROM (
+          SELECT u.*, $best AS best,
+                 $pickIdx AS npick,
+                 $rewardOfPick AS nrpick
+          FROM (SELECT u.*, $scores
+                FROM ucb u) u
+          JOIN grid g ON g.t = u.t + 1
+        ) u
+        WHERE u.t < (SELECT h FROM horizon))
+      SELECT t, $armName AS arm, rpick AS reward_milli,
+             $pickedN AS n_arm, $pickedS AS sum_arm_milli
+      FROM ucb WHERE t >= 1
+      ORDER BY t"""
+  }
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
-    sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest)
+    sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay)
 }

@@ -410,4 +410,27 @@ class ClassifierSpec extends SparkSpec {
     assert(math.abs(totFit - totPos) < 1e-3 * totPos + 1.0,
       s"mass not preserved: $totFit vs $totPos")
   }
+
+  test("q_woe_iv: WOE recomputes from the bin counts; IV contributions never negative") {
+    val rows = Classifier.woeIv.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val gt = rows.map(_._2).sum; val bt = rows.map(_._3).sum
+    rows.foreach { case (bin, g, b, woe, iv) =>
+      val want = BigDecimal(math.log(((g + 1) * (bt + 10)).toDouble /
+        ((b + 1) * (gt + 10)).toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(woe == want, s"bin $bin: woe $woe != $want")
+      // (p - q) and ln(p/q) share sign, so each IV term is >= 0
+      assert(iv >= 0L, s"bin $bin: negative IV contribution $iv")
+      assert(iv == ((g + 1) * (bt + 10) - (b + 1) * (gt + 10)) * woe)
+    }
+    // a bin voting good has positive WOE, voting bad negative
+    rows.foreach { case (bin, g, b, woe, _) =>
+      if ((g + 1).toDouble * (bt + 10) > (b + 1).toDouble * (gt + 10))
+        assert(woe >= 0L, s"bin $bin")
+      else assert(woe <= 0L, s"bin $bin")
+    }
+  }
 }

@@ -556,4 +556,28 @@ class EventsSpec extends SparkSpec {
     val cyc = backtest(series(d => 1000L + 100L * (d % 7)))
     assert(cyc.getLong(1) == 0L, s"naive must be exact on a pure cycle: ${cyc.getLong(1)}")
   }
+
+  test("UCB replay: optimistic opening plays every arm once, state bookkeeping is exact") {
+    val rows = Events.ucbReplay.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1L to rows.length.toLong), "one row per round")
+    // unplayed arms score +inf with alphabetical tie-break: the first
+    // |arms| rounds are the arms in order, each ending at n_arm = 1
+    val opening = rows.take(Events.UcbArms.length)
+    assert(opening.map(_._2).toSeq == Events.UcbArms, opening.mkString(", "))
+    assert(opening.forall(_._4 == 1L))
+    // replay the bookkeeping: n increments by one per pick, sum by
+    // the emitted reward, rewards stay in [0, 1000]
+    val n = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val s = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    rows.foreach { case (t, arm, r, nA, sA) =>
+      assert(r >= 0L && r <= 1000L, s"round $t reward $r")
+      n(arm) += 1L; s(arm) += r
+      assert(nA == n(arm) && sA == s(arm), s"round $t state drifted")
+    }
+    // every arm got explored, total plays = horizon
+    assert(n.keySet == Events.UcbArms.toSet)
+    assert(n.values.sum == rows.length.toLong)
+  }
 }
