@@ -2125,9 +2125,110 @@ object Events {
       ORDER BY t"""
   }
 
+  /** KLEINBERG BURST DETECTION — the 2-state burst automaton (KDD
+    * 2002) over the daily click series: a base state emitting at the
+    * observed mean rate λ and a burst state at 2λ, a one-time entry
+    * toll of ln(D) micro-nats for switching into burst (the prior
+    * against spurious bursts), and a Viterbi pass that finds the
+    * minimum-cost state sequence. The day-d emission cost in state s
+    * is the Poisson negative log-likelihood less the x!-constant:
+    * cost_s(d) = sλ − x_d·ln(sλ), exact as (10⁶·s·N) ÷ D −
+    * x_d·round(ln(sN/D)·10⁶) — one IEEE ln per state on a ratio of
+    * exact BIGINTs, everything else BIGINT. The emitted surface is
+    * the full forward TRELLIS (v0, v1) plus the argmin choice bits
+    * per day — i.e. the Viterbi computation itself rides the driver
+    * hash (the [[graft.llm.UnigramLm]] choice-table discipline), and
+    * any backtracked burst interval is a pure function of the hashed
+    * rows. Ties break to the base state.
+    *
+    * Scale shape: one map-side-combinable (day) aggregate off the
+    * corpus scan; the fold is day-domain-bounded driver work (the
+    * [[ucbReplay]] argument), and the oracle replays it as a
+    * recursive CTE over the same grid. */
+  /** The forward Viterbi fold over a (t, x) day series — factored so
+    * EventsSpec can plant a burst and backtrack the path. */
+  def burstTrellis(seq0: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val dD = seq0.length.toLong
+    val nN = seq0.map(_._2).sum
+    def lnm(mult: Long): Long =
+      BigDecimal(math.log((mult * nN).toDouble / dD.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val (ln1, ln2) = (lnm(1L), lnm(2L))
+    val (lam1, lam2) = ((1000000L * nN) / dD, (2000000L * nN) / dD)
+    val trans = BigDecimal(math.log(dD.toDouble) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var (v0, v1) = (0L, 1000000000000000L)
+    seq0.sortBy(_._1).map { case (tt, x) =>
+      val (c0, c1) = (lam1 - x * ln1, lam2 - x * ln2)
+      val ch0 = if (v0 <= v1) 0L else 1L
+      val ch1 = if (v1 <= v0 + trans) 1L else 0L
+      val (n0, n1) = (math.min(v0, v1) + c0, math.min(v1, v0 + trans) + c1)
+      v0 = n0; v1 = n1
+      (tt, x, v0, v1, ch0, ch1)
+    }
+  }
+
+  val burstDetect: Q = Q(
+    "q_burst_detect",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("is_click"))
+        .groupBy("d").agg(sum(col("is_click")).as("x"))
+      val seq0 = days
+        .withColumn("t", row_number().over(Window.orderBy("d")).cast("long"))
+        .select("t", "x").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      import s.implicits._
+      burstTrellis(seq0.toSeq)
+        .toDF("t", "x", "v0_micro", "v1_micro", "ch0", "ch1")
+        .coalesce(1).orderBy("t")
+    },
+    Some("""
+      WITH RECURSIVE days AS MATERIALIZED (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      grid AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, x
+        FROM days),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS dd,
+                     CAST(sum(x) AS BIGINT) AS nn FROM grid),
+      consts AS (SELECT dd, nn,
+               (1000000 * nn) // dd AS lam1,
+               (2000000 * nn) // dd AS lam2,
+               CAST(round(ln(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS ln1,
+               CAST(round(ln(CAST(2 * nn AS DOUBLE) / CAST(dd AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS ln2,
+               CAST(round(ln(CAST(dd AS DOUBLE)) * 1e6) AS BIGINT) AS trans
+        FROM tot),
+      vit AS (
+        SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS x,
+               CAST(0 AS BIGINT) AS v0, CAST(1000000000000000 AS BIGINT) AS v1,
+               CAST(0 AS BIGINT) AS ch0, CAST(0 AS BIGINT) AS ch1
+        FROM consts
+        UNION ALL
+        SELECT u.t + 1 AS t, g.x,
+               least(u.v0, u.v1) + (c.lam1 - g.x * c.ln1) AS v0,
+               least(u.v1, u.v0 + c.trans) + (c.lam2 - g.x * c.ln2) AS v1,
+               CASE WHEN u.v0 <= u.v1 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(1 AS BIGINT) END AS ch0,
+               CASE WHEN u.v1 <= u.v0 + c.trans THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS ch1
+        FROM vit u
+        JOIN grid g ON g.t = u.t + 1
+        CROSS JOIN consts c)
+      SELECT t, x, v0 AS v0_micro, v1 AS v1_micro, ch0, ch1
+      FROM vit WHERE t >= 1
+      ORDER BY t"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
-    sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay)
+    sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
+    burstDetect)
 }

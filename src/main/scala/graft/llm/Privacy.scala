@@ -279,5 +279,106 @@ object Privacy {
       FROM cls
       ORDER BY segment, nation"""))
 
-  val all: Seq[Q] = Seq(dpCounts, kAnonymity, dpMedian, lDiversity)
+  /** t-CLOSENESS audit — the third rung of the anonymity ladder
+    * (k-anonymity bounds class size, [[lDiversity]] bounds sensitive
+    * variety, t-closeness bounds sensitive SKEW): per QI class
+    * (segment, nation), the Earth-Mover's Distance between the
+    * class-conditional distribution of the ORDERED sensitive
+    * attribute (account-balance bucket) and the global distribution
+    * must not exceed t — the defense against the proximity attack
+    * l-diversity misses (a class whose balances are all "high"
+    * leaks even with many distinct values).
+    *
+    * For an ordered attribute with m buckets, EMD = Σ|cumulative
+    * difference| / (m−1). EXACT: the class cumulative runs over the
+    * GLOBAL bucket grid (a class missing a bucket carries its prior
+    * cumulative), and the per-boundary term is the BIGINT
+    * cross-product |cum_c·N − cum_g·n_c|; the t = 0.2 release test
+    * cross-multiplies to 5·emd_num ≤ N·n_c·(m−1) — no division
+    * anywhere. Envelope: emd_num ≤ m·n_c·N ≈ 10¹⁰ at sf0.1.
+    *
+    * Scale shape: one (class × bucket) aggregate (domain-bounded),
+    * the global distribution broadcast back onto the grid, a
+    * class-partitioned cumulative window over the BUCKET-domain
+    * grid (the winsorize envelope — never corpus rows), and a
+    * class-keyed rollup. */
+  /** Core audit over any (segment, nation, balb) frame — factored so
+    * PrivacySpec can plant hand distributions. */
+  def tClosenessOf(rows: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val classes = rows.groupBy("segment", "nation")
+        .agg(count(lit(1)).as("class_n"))
+      val buckets = rows.groupBy("balb").agg(count(lit(1)).as("g"))
+      val grid = classes.select("segment", "nation", "class_n")
+        .crossJoin(broadcast(buckets))
+      val cellc = rows.groupBy("segment", "nation", "balb")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("segment", "nation").orderBy("balb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.join(cellc, Seq("segment", "nation", "balb"), "left")
+        .select(col("segment"), col("nation"), col("balb"), col("class_n"),
+          sum(coalesce(col("c"), lit(0L))).over(w).as("cum_c"),
+          sum(col("g")).over(w).as("cum_g"))
+      val tot = buckets.agg(sum(col("g")).as("n_total"),
+        (count(lit(1)) - 1).as("m1"))
+      cum.crossJoin(broadcast(tot))
+        // the last boundary always has cum_c*N == cum_g*n_c; summing
+        // over all m rows rather than m-1 adds an exact zero
+        .groupBy("segment", "nation")
+        .agg(max(col("class_n")).as("class_n"),
+          sum(abs(col("cum_c") * col("n_total") - col("cum_g") * col("class_n")))
+            .as("emd_num"),
+          max(col("n_total")).as("n_total"), max(col("m1")).as("m1"))
+        .select(col("segment"), col("nation"), col("class_n"), col("emd_num"),
+          (lit(5L) * col("emd_num") <=
+            col("n_total") * col("class_n") * col("m1")).as("released"))
+        .orderBy("segment", "nation")
+  }
+
+  val tCloseness: Q = Q(
+    "q_t_closeness",
+    (s, dir) => tClosenessOf(
+      t(s, dir, "customer").select(
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation"),
+        expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("balb"))),
+    Some("""
+      WITH rows_ AS (
+        SELECT c_mktsegment AS segment,
+               CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS balb
+        FROM customer),
+      classes AS (
+        SELECT segment, nation, CAST(count(*) AS BIGINT) AS class_n
+        FROM rows_ GROUP BY segment, nation),
+      buckets AS (
+        SELECT balb, CAST(count(*) AS BIGINT) AS g
+        FROM rows_ GROUP BY balb),
+      cellc AS (
+        SELECT segment, nation, balb, CAST(count(*) AS BIGINT) AS c
+        FROM rows_ GROUP BY segment, nation, balb),
+      grid AS (
+        SELECT cl.segment, cl.nation, cl.class_n, b.balb, b.g,
+               CAST(coalesce(cc.c, 0) AS BIGINT) AS c
+        FROM classes cl CROSS JOIN buckets b
+        LEFT JOIN cellc cc ON cc.segment = cl.segment
+          AND cc.nation = cl.nation AND cc.balb = b.balb),
+      cum AS (
+        SELECT segment, nation, class_n,
+               CAST(sum(c) OVER (PARTITION BY segment, nation ORDER BY balb
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+               CAST(sum(g) OVER (PARTITION BY segment, nation ORDER BY balb
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g
+        FROM grid),
+      tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total,
+                     CAST(count(*) - 1 AS BIGINT) AS m1 FROM buckets)
+      SELECT segment, nation, CAST(max(class_n) AS BIGINT) AS class_n,
+             CAST(sum(abs(cum_c * n_total - cum_g * class_n)) AS BIGINT) AS emd_num,
+             5 * CAST(sum(abs(cum_c * n_total - cum_g * class_n)) AS BIGINT) <=
+               max(n_total) * max(class_n) * max(m1) AS released
+      FROM cum CROSS JOIN tot
+      GROUP BY segment, nation
+      ORDER BY segment, nation"""))
+
+  val all: Seq[Q] = Seq(dpCounts, kAnonymity, dpMedian, lDiversity, tCloseness)
 }

@@ -580,4 +580,36 @@ class EventsSpec extends SparkSpec {
     assert(n.keySet == Events.UcbArms.toSet)
     assert(n.values.sum == rows.length.toLong)
   }
+
+  test("burst detection: backtracked Viterbi path recovers a planted burst window") {
+    // 40 quiet days at 10/day, days 15..24 burst at 25/day
+    val series = (1L to 40L).map(t => (t, if (t >= 15 && t <= 24) 25L else 10L))
+    val trellis = Events.burstTrellis(series)
+    assert(trellis.map(_._1) == (1L to 40L))
+    // backtrack: final state = argmin, then follow choice bits
+    val byT = trellis.map(r => r._1 -> r).toMap
+    var state = if (trellis.last._3 <= trellis.last._4) 0L else 1L
+    val path = (40L to 1L by -1L).map { tt =>
+      val row = byT(tt)
+      val s = state
+      state = if (s == 0L) row._5 else row._6
+      tt -> s
+    }.reverse.toMap
+    val burstDays = (1L to 40L).filter(path(_) == 1L)
+    assert(burstDays.nonEmpty, "planted burst not detected")
+    assert(burstDays.forall(t => t >= 15L && t <= 24L),
+      s"burst leaked outside the planted window: $burstDays")
+    assert(burstDays.length >= 8, s"burst window under-covered: $burstDays")
+    // a flat series never enters the burst state
+    val flat = Events.burstTrellis((1L to 40L).map(t => (t, 10L)))
+    assert(flat.last._3 <= flat.last._4, "flat series must end in base state")
+    val byTf = flat.map(r => r._1 -> r).toMap
+    var st = 0L
+    val anyBurst = (40L to 1L by -1L).exists { tt =>
+      val row = byTf(tt); val s = st
+      st = if (s == 0L) row._5 else row._6
+      s == 1L
+    }
+    assert(!anyBurst, "flat series path entered burst")
+  }
 }

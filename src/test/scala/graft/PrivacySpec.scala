@@ -78,4 +78,30 @@ class PrivacySpec extends SparkSpec {
     // balanced 3-way entropy == ln 3 up to the integer-div bias
     assert(math.abs(eb - 1098612L) <= 2L, s"class B entropy $eb")
   }
+
+  test("t-closeness: a global-mirroring class releases, a top-concentrated class is refused") {
+    import spark.implicits._
+    // global buckets 0/1/2 uniform: A gives 8 to each, B gives 12 to
+    // bucket 2, C gives 12 to buckets 0 and 1 -> global 20/20/20.
+    // class A mirrors the global mix exactly -> EMD 0, released;
+    // class B sits entirely in bucket 2 -> EMD = (1/3 + 2/3)/2 = 1/2
+    // > t = 0.2, refused
+    val rows = (
+      (1 to 8).flatMap(_ => Seq(0L, 1L, 2L)).map(b => ("A", 0L, b)) ++
+      (1 to 12).map(_ => ("B", 0L, 2L)) ++
+      (1 to 12).flatMap(_ => Seq(0L, 1L)).map(b => ("C", 0L, b))
+    ).toDF("segment", "nation", "balb")
+    val got = llm.Privacy.tClosenessOf(rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    val (na, emdA, relA) = got("A")
+    // A: 24 rows, cums 8/16/24 vs global 20/40/60 over N=60: exact match
+    assert(na == 24L && emdA == 0L && relA, s"A: $na $emdA $relA")
+    val (nb, emdB, relB) = got("B")
+    // B: 12 rows, cum_c 0,0,12 vs global cum 20,40,60:
+    // |0*60-20*12| + |0*60-40*12| + |12*60-60*12| = 240+480+0 = 720
+    assert(nb == 12L && emdB == 720L, s"B: $nb $emdB")
+    // 5*720 = 3600 > 60*12*2 = 1440 -> refused
+    assert(!relB, "top-concentrated class must be refused")
+  }
 }
