@@ -2225,10 +2225,111 @@ object Events {
       FROM vit WHERE t >= 1
       ORDER BY t"""))
 
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
+    * the causal family was missing next to [[abTest]] (randomized) and
+    * [[cuped]] (variance reduction): when treatment lands mid-stream
+    * on a non-random group, the treatment effect is the TREATED
+    * group's pre→post change minus the CONTROL group's (which absorbs
+    * the common time trend the naive post-difference confounds).
+    * Groups by the md5 user coin (hex 7–8 — disjoint from every other
+    * coin), pre/post split at the month's midpoint (pinned date), and
+    * outcome = per-user-period mean event value in cents.
+    *
+    * EXACT: the four cell means are cent-sum/row-count rationals;
+    * DiD = (s_tp/n_tp − s_tr/n_tr) − (s_cp/n_cp − s_cr/n_cr),
+    * surfaced in micro-cents with each cell floor-divided once —
+    * every operand non-negative, so Spark `div` and DuckDB `//`
+    * agree, and the point estimate is a pure function of the 8
+    * BIGINT cell statistics. A PLACEBO column re-runs the same
+    * contrast entirely inside the pre-period (split at its own
+    * midpoint): a non-tiny placebo flags a broken parallel-trends
+    * assumption the same way the recall floors flag dedup decay.
+    *
+    * Scale shape: one corpus scan → 4 (8 with placebo) cells of
+    * (sum, count), then 1-row arithmetic — the [[abTest]] shape. */
+  val didEstimate: Q = Q(
+    "q_diff_in_diff",
+    (s, dir) => {
+      val hex = md5(col("user_id").cast("string").cast("binary"))
+      val treated = ((ascii(substring(hex, 7, 1)) * 256 +
+        ascii(substring(hex, 8, 1))) % 2).cast("long")
+      val ev = t(s, dir, "events").select(
+        treated.as("g"),
+        when(to_date(col("ts")) >= lit("2024-01-16"), 1L).otherwise(0L).as("post"),
+        when(to_date(col("ts")) >= lit("2024-01-08") &&
+          to_date(col("ts")) < lit("2024-01-16"), 1L).otherwise(0L).as("post_pl"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      val cells = ev.groupBy("g", "post")
+        .agg(sum(col("vc")).as("sv"), count(lit(1)).as("n"))
+      def cell(g: Int, p: Int, sn: String, nn: String) =
+        cells.filter(col("g") === g && col("post") === p)
+          .select(col("sv").as(sn), col("n").as(nn)).limit(1)
+      val wide = cell(1, 1, "s_tp", "n_tp")
+        .crossJoin(broadcast(cell(1, 0, "s_tr", "n_tr")))
+        .crossJoin(broadcast(cell(0, 1, "s_cp", "n_cp")))
+        .crossJoin(broadcast(cell(0, 0, "s_cr", "n_cr")))
+      // placebo: same contrast inside the pre-period only
+      val pcells = ev.filter(col("post") === 0L).groupBy("g", "post_pl")
+        .agg(sum(col("vc")).as("sv"), count(lit(1)).as("n"))
+      def pcell(g: Int, p: Int, sn: String, nn: String) =
+        pcells.filter(col("g") === g && col("post_pl") === p)
+          .select(col("sv").as(sn), col("n").as(nn)).limit(1)
+      val pwide = pcell(1, 1, "p_tp", "m_tp")
+        .crossJoin(broadcast(pcell(1, 0, "p_tr", "m_tr")))
+        .crossJoin(broadcast(pcell(0, 1, "p_cp", "m_cp")))
+        .crossJoin(broadcast(pcell(0, 0, "p_cr", "m_cr")))
+      def didMicro(stp: String, ntp: String, str: String, ntr: String,
+          scp: String, ncp: String, scr: String, ncr: String) =
+        expr(s"""(1000000 * $stp) div $ntp - (1000000 * $str) div $ntr
+                 - ((1000000 * $scp) div $ncp - (1000000 * $scr) div $ncr)""")
+      wide.crossJoin(broadcast(pwide))
+        .select(col("n_tp"), col("n_tr"), col("n_cp"), col("n_cr"),
+          didMicro("s_tp", "n_tp", "s_tr", "n_tr",
+            "s_cp", "n_cp", "s_cr", "n_cr").as("did_microcents"),
+          didMicro("p_tp", "m_tp", "p_tr", "m_tr",
+            "p_cp", "m_cp", "p_cr", "m_cr").as("placebo_microcents"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT (ascii(substr(md5(CAST(user_id AS VARCHAR)), 7, 1)) * 256 +
+                ascii(substr(md5(CAST(user_id AS VARCHAR)), 8, 1))) % 2 AS g,
+               CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                    THEN 1 ELSE 0 END AS post,
+               CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-08'
+                     AND CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 1 ELSE 0 END AS post_pl,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events),
+      cells AS (
+        SELECT g, post, CAST(sum(vc) AS BIGINT) AS sv,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY g, post),
+      pcells AS (
+        SELECT g, post_pl, CAST(sum(vc) AS BIGINT) AS sv,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev WHERE post = 0 GROUP BY g, post_pl),
+      tp AS (SELECT sv AS s_tp, n AS n_tp FROM cells WHERE g = 1 AND post = 1),
+      tr AS (SELECT sv AS s_tr, n AS n_tr FROM cells WHERE g = 1 AND post = 0),
+      cp AS (SELECT sv AS s_cp, n AS n_cp FROM cells WHERE g = 0 AND post = 1),
+      cr AS (SELECT sv AS s_cr, n AS n_cr FROM cells WHERE g = 0 AND post = 0),
+      ptp AS (SELECT sv AS p_tp, n AS m_tp FROM pcells WHERE g = 1 AND post_pl = 1),
+      ptr AS (SELECT sv AS p_tr, n AS m_tr FROM pcells WHERE g = 1 AND post_pl = 0),
+      pcp AS (SELECT sv AS p_cp, n AS m_cp FROM pcells WHERE g = 0 AND post_pl = 1),
+      pcr AS (SELECT sv AS p_cr, n AS m_cr FROM pcells WHERE g = 0 AND post_pl = 0)
+      SELECT n_tp, n_tr, n_cp, n_cr,
+             (1000000 * s_tp) // n_tp - (1000000 * s_tr) // n_tr
+               - ((1000000 * s_cp) // n_cp - (1000000 * s_cr) // n_cr)
+               AS did_microcents,
+             (1000000 * p_tp) // m_tp - (1000000 * p_tr) // m_tr
+               - ((1000000 * p_cp) // m_cp - (1000000 * p_cr) // m_cr)
+               AS placebo_microcents
+      FROM tp CROSS JOIN tr CROSS JOIN cp CROSS JOIN cr
+           CROSS JOIN ptp CROSS JOIN ptr CROSS JOIN pcp CROSS JOIN pcr"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
-    burstDetect)
+    burstDetect, didEstimate)
 }

@@ -517,6 +517,92 @@ object Sketches {
       GROUP BY t.phi
       ORDER BY phi_permille"""))
 
+  /** SKETCH-BASED JOIN-SIZE ESTIMATION — the cost-based-optimizer
+    * primitive: |A ⋈ B on k| = Σ_k cntA(k)·cntB(k), estimated WITHOUT
+    * touching the join by taking the INNER PRODUCT of the two sides'
+    * count-min sketches row by row and keeping the minimum (the
+    * AMS/CMS join-size estimator — same hash rows line up bucket by
+    * bucket, and hash collisions only ever ADD mass, so every row's
+    * dot product over-estimates and the min is the tightest). Sides:
+    * click events vs purchase events keyed by user — the "how big is
+    * this fan-out join" question a planner asks before choosing a
+    * strategy.
+    *
+    * Emits one row per sketch row i: (i, row_dot, exact, est,
+    * overshoot) — est = min over rows, exact = the true Σ c_u·p_u —
+    * plus the never-undercount invariant as an in-query abort on
+    * EVERY row (row_dot ≥ exact must hold unconditionally; a single
+    * undercount means the hash functions diverged between sides).
+    * All BIGINT: counters are exact counts, dots are Σ 256-term
+    * products (≤ n_A·n_B ≈ 10⁹ at sf0.1).
+    *
+    * Scale shape: two map-side-combinable sketch aggregates over one
+    * scan each (the sketches are 8 KB regardless of corpus), the dot
+    * products are driver work over 1024 cells (k-bounded by
+    * construction), and the exact side is one user-keyed count join —
+    * present only as the audit, which a production estimator would
+    * skip. */
+  val joinSizeEst: Q = Q(
+    "q_join_size_est",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      def side(tpe: String) = ev.filter(col("event_type") === tpe)
+        .select(col("user_id"))
+      val a = side("click"); val b = side("purchase")
+      val ca = a.agg(graft.functions.CountMinAgg.build(col("user_id")).as("sk"))
+        .head().getSeq[Long](0)
+      val cb = b.agg(graft.functions.CountMinAgg.build(col("user_id")).as("sk"))
+        .head().getSeq[Long](0)
+      val w = graft.functions.CountMinAgg.Width
+      val dots = (0 until graft.functions.CountMinAgg.Depth).map { i =>
+        i.toLong -> (0 until w).map(j => ca(i * w + j) * cb(i * w + j)).sum
+      }
+      val est = dots.map(_._2).min
+      val exact = a.groupBy("user_id").agg(count(lit(1)).as("c"))
+        .join(b.groupBy("user_id").agg(count(lit(1)).as("p")), "user_id")
+        .agg(coalesce(sum(col("c") * col("p")), lit(0L))).head().getLong(0)
+      dots.foreach { case (i, d) =>
+        if (d < exact)
+          throw new IllegalStateException(
+            s"CMS join estimate undercounted on row $i: $d < $exact")
+      }
+      import s.implicits._
+      dots.map { case (i, d) => (i, d, exact, est, est - exact) }
+        .toDF("i", "row_dot", "exact", "est", "overshoot")
+        .coalesce(1).orderBy("i")
+    },
+    Some("""
+      WITH a AS (SELECT user_id FROM events
+                 WHERE user_id IS NOT NULL AND event_type = 'click'),
+      b AS (SELECT user_id FROM events
+            WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+      ca AS (
+        SELECT i.range AS i,
+               ((16807 * ((16807 * ((user_id % 127773) * (31 + i.range * 2)
+                   + i.range * 7 + 3)) % 2147483647)) % 2147483647) % 256 AS bk,
+               CAST(count(*) AS BIGINT) AS c
+        FROM a, range(4) i GROUP BY 1, 2),
+      cb AS (
+        SELECT i.range AS i,
+               ((16807 * ((16807 * ((user_id % 127773) * (31 + i.range * 2)
+                   + i.range * 7 + 3)) % 2147483647)) % 2147483647) % 256 AS bk,
+               CAST(count(*) AS BIGINT) AS c
+        FROM b, range(4) i GROUP BY 1, 2),
+      dots AS (
+        SELECT ca.i, CAST(sum(ca.c * cb.c) AS BIGINT) AS row_dot
+        FROM ca JOIN cb ON ca.i = cb.i AND ca.bk = cb.bk
+        GROUP BY ca.i),
+      exact_ AS (
+        SELECT CAST(coalesce(sum(c * p), 0) AS BIGINT) AS exact
+        FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY 1) x
+        JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS p FROM b GROUP BY 1) y
+        USING (user_id)),
+      est_ AS (SELECT CAST(min(row_dot) AS BIGINT) AS est FROM dots)
+      SELECT CAST(d.i AS BIGINT) AS i, d.row_dot, e.exact, m.est,
+             CAST(m.est - e.exact AS BIGINT) AS overshoot
+      FROM dots d CROSS JOIN exact_ e CROSS JOIN est_ m
+      ORDER BY i"""))
+
   val all: Seq[Q] = Seq(hllMerge, cmsHeavyHitters, bloomPrune, hllRegisters,
-    quantileSketch, hllIntersect, countMin, qdigestUnion)
+    quantileSketch, hllIntersect, countMin, qdigestUnion, joinSizeEst)
 }

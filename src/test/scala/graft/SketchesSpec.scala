@@ -241,4 +241,26 @@ class SketchesSpec extends SparkSpec {
         s"phi $phi: rank $trueRank vs target $target outside 2nL/k")
     }
   }
+
+  test("CMS join-size estimate never undercounts and is exact on collision-free keys") {
+    import spark.implicits._
+    import graft.functions.CountMinAgg
+    // two sides over a tiny key set (no bucket collisions at 256
+    // buckets w.h.p. for 5 keys; verified below), fan-outs 1..5 / 2..6
+    val keysA = (1L to 5L).flatMap(k => Seq.fill(k.toInt)(k))
+    val keysB = (1L to 5L).flatMap(k => Seq.fill(k.toInt + 1)(k))
+    val ca = keysA.toDF("k").agg(CountMinAgg.build(col("k"))).head().getSeq[Long](0)
+    val cb = keysB.toDF("k").agg(CountMinAgg.build(col("k"))).head().getSeq[Long](0)
+    val exact = (1L to 5L).map(k => k * (k + 1)).sum
+    val w = CountMinAgg.Width
+    val dots = (0 until CountMinAgg.Depth).map(i =>
+      (0 until w).map(j => ca(i * w + j) * cb(i * w + j)).sum)
+    dots.foreach(d => assert(d >= exact, s"undercount: $d < $exact"))
+    // collision-free rows are exactly Σ c_k·p_k
+    for (i <- 0 until CountMinAgg.Depth) {
+      val buckets = (1L to 5L).map(CountMinAgg.bucket(_, i))
+      if (buckets.distinct.length == 5) assert(dots(i) == exact, s"row $i")
+    }
+    assert(dots.exists(_ == exact), "at least one collision-free row expected")
+  }
 }
