@@ -235,5 +235,75 @@ object Ingest {
              CAST(25 AS BIGINT) AS n_corrupt
       ORDER BY segment ASC NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(samPipeline, restIngest, badRecords)
+  /** DSv2 WRITE → READ roundtrip — exercises the connector's
+    * transactional batch-write path ([[graft.sources.PagedJsonTable
+    * .newWriteBuilder]]) end to end with corpus data: documents are
+    * mapped into the SAM shape (every field exercised, including the
+    * nested officeAddress struct and free text with whatever
+    * characters the corpus carries), written through the connector's
+    * stage→commit protocol into its single JSON-lines log, read BACK
+    * through the paged reader (page_size 7 → multi-partition paging
+    * over the written file), and surfaced ordered — so one mangled
+    * escape, lost row, double-promoted task file, or page-boundary
+    * bug anywhere in writer or reader breaks the hash against an
+    * oracle that never touches JSON at all. In-query audit: the
+    * commit manifest `_SUCCESS` must exist and carry the exact row
+    * count, and the staging dir must be GONE (commit cleans up).
+    *
+    * Scale shape: the write is one scan fanned across tasks (each
+    * staging its own file — the two-phase protocol is what survives
+    * retries/speculation at 1000 executors); the read is the audited
+    * paged scan. The fn deletes the landing dir first so re-execution
+    * is idempotent (append semantics would double the log). */
+  val dsv2Write: Q = Q(
+    "q_dsv2_write",
+    (s, dir) => {
+      val out = graft.Staging.dir(s,
+        "graft_dsv2_write_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val d = new java.io.File(out)
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      val sam = graft.Tables.load(s, dir, "documents").select(
+        col("doc_id").cast("string").as("noticeId"),
+        trim(col("text")).as("title"),
+        concat(lit("SOL-"), col("doc_id")).as("solicitationNumber"),
+        upper(col("source")).as("fullParentPathName"),
+        lit("2025-05-14").as("postedDate"),
+        lit("Veteran-Owned Small Business Set-Aside")
+          .as("typeOfSetAsideDescription"),
+        col("n_chars").cast("string").as("naicsCode"),
+        struct(col("lang").as("city"), upper(col("lang")).as("state"))
+          .as("officeAddress"),
+        concat(lit("https://sam.gov/"), col("doc_id")).as("uiLink"))
+      sam.write.format("graft.sources.PagedJsonSource")
+        .mode("append").option("path", out).save()
+      val nWritten = sam.count()
+      val manifest = java.nio.file.Paths.get(out, "_SUCCESS")
+      if (!java.nio.file.Files.exists(manifest))
+        throw new IllegalStateException("commit left no _SUCCESS manifest")
+      val manifestRows = new String(
+        java.nio.file.Files.readAllBytes(manifest), "UTF-8").trim.toLong
+      if (manifestRows != nWritten)
+        throw new IllegalStateException(
+          s"manifest rows $manifestRows != written $nWritten")
+      if (d.listFiles().exists(_.getName.startsWith("_staging")))
+        throw new IllegalStateException("commit left the staging dir behind")
+      val back = s.read.format("graft.sources.PagedJsonSource")
+        .option("path", s"$out/records.jsonl")
+        .option("page_size", 7).option("max_records", Int.MaxValue)
+        .load()
+      back.select(col("noticeId").cast("long").as("doc_id"),
+          col("title"), col("naicsCode").cast("long").as("n_chars"),
+          col("officeAddress.city").as("lang"),
+          col("officeAddress.state").as("lang_up"),
+          col("fullParentPathName").as("source_up"))
+        .orderBy("doc_id").limit(50)
+    },
+    Some("""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, trim(text) AS title,
+             CAST(n_chars AS BIGINT) AS n_chars, lang,
+             upper(lang) AS lang_up, upper(source) AS source_up
+      FROM documents ORDER BY doc_id LIMIT 50"""))
+
+  val all: Seq[Q] = Seq(samPipeline, restIngest, badRecords, dsv2Write)
 }

@@ -64,11 +64,54 @@ class PagedJsonSource extends TableProvider {
 }
 
 final class PagedJsonTable(schema0: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = "paged_json_fixture"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
+
+  /** WRITE side of the connector — the landing-file producer the
+    * streaming scaladoc prescribes ("land pages into a file and
+    * stream that"), with the TRANSACTIONAL two-phase protocol DSv2
+    * batch writes are specified around:
+    *
+    *  1. every task writes its partition to a PRIVATE staged file
+    *     `_staging_<queryId>/part-<partition>-<task>.jsonl` (the task
+    *     id makes retried/speculative attempts collide-free);
+    *  2. task `commit()` returns the staged path as its commit
+    *     message — Spark's output-commit coordinator guarantees at
+    *     most one attempt per partition commits;
+    *  3. job `commit(messages)` concatenates ONLY the committed
+    *     files, in partition order, into the table's single
+    *     JSON-lines log `records.jsonl`, marks `_SUCCESS`, and drops
+    *     the staging dir — so readers see the whole write or none of
+    *     it, and an uncommitted zombie attempt's file is never
+    *     promoted; job `abort()` removes the staging dir entirely.
+    *
+    * Rows serialize through Jackson (strings + the nested
+    * officeAddress struct), so escaping is exact by construction and
+    * the write→read roundtrip is byte-faithful. The `path` option is
+    * the table DIRECTORY; the single-log layout matches the read
+    * transport (one JSON-lines file) — at cluster scale the commit
+    * would rename per-partition files into the directory instead of
+    * concatenating (same protocol, different promote step), noted
+    * here because local-fs concatenation is the single-log analog. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+            val dir = Option(info.options.get("path")).orElse(props.get("path"))
+              .getOrElse(throw new IllegalArgumentException(
+                "PagedJsonSource write needs a `path` directory option"))
+            new PagedJsonBatchWrite(dir, info.queryId(), info.schema())
+          }
+        }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
@@ -282,6 +325,100 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
           options.getLong("stream_batch_bytes", 1L << 20), required, filters)
       }
     }
+}
+
+/** Commit message of one committed task attempt: its staged file. */
+final case class StagedFileMessage(path: String, partitionId: Int, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Job-level batch write (see [[PagedJsonTable.newWriteBuilder]]). */
+final class PagedJsonBatchWrite(dir: String, queryId: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  private def stagingDir = java.nio.file.Paths.get(dir, s"_staging_$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(stagingDir)
+    new PagedJsonWriterFactory(stagingDir.toString, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val target = java.nio.file.Paths.get(dir, "records.jsonl")
+    val tmp = java.nio.file.Paths.get(dir, s"_records_$queryId.tmp")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try {
+      messages.map(_.asInstanceOf[StagedFileMessage])
+        .sortBy(_.partitionId)
+        .foreach { m =>
+          java.nio.file.Files.copy(java.nio.file.Paths.get(m.path), out)
+        }
+    } finally out.close()
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_SUCCESS"),
+      messages.map(_.asInstanceOf[StagedFileMessage]).map(_.rows).sum
+        .toString.getBytes("UTF-8"))
+    abort(messages) // staging cleanup: promoted bytes already copied
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val d = stagingDir.toFile
+    if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+  }
+}
+
+final class PagedJsonWriterFactory(staging: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new PagedJsonDataWriter(staging, schema, partitionId, taskId)
+}
+
+/** Per-task writer: serializes rows to a private staged JSON-lines
+  * file; only `commit()` exposes it (via the message) for promotion. */
+final class PagedJsonDataWriter(staging: String, schema: StructType,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val file = java.nio.file.Paths.get(staging,
+    f"part-$partitionId%05d-$taskId.jsonl")
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    java.nio.file.Files.newOutputStream(file), "UTF-8"))
+  private val mapper = new ObjectMapper()
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      f.dataType match {
+        case st: StructType =>
+          if (row.isNullAt(i)) node.putNull(f.name)
+          else {
+            val sub = node.putObject(f.name)
+            val sr = row.getStruct(i, st.fields.length)
+            st.fields.zipWithIndex.foreach { case (sf, j) =>
+              if (sr.isNullAt(j)) sub.putNull(sf.name)
+              else sub.put(sf.name, sr.getUTF8String(j).toString)
+            }
+          }
+        case _ =>
+          if (row.isNullAt(i)) node.putNull(f.name)
+          else node.put(f.name, row.getUTF8String(i).toString)
+      }
+    }
+    out.write(mapper.writeValueAsString(node))
+    out.write("\n")
+    rows += 1L
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    StagedFileMessage(file.toString, partitionId, rows)
+  }
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(file)
+  }
+  override def close(): Unit = ()
 }
 
 /** Byte-position offset of [[PagedMicroBatchStream]]. */

@@ -443,4 +443,80 @@ class PagedSourceSpec extends SparkSpec {
     assert(capped == 10L)
     java.nio.file.Files.delete(f)
   }
+
+  test("batch write protocol: only committed attempts promote, abort leaves nothing, partition order holds") {
+    import graft.sources.{PagedJsonBatchWrite, StagedFileMessage}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("graft_w").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("noticeId",
+        org.apache.spark.sql.types.StringType)))
+    def row(v: String) = InternalRow(UTF8String.fromString(v))
+    val bw = new PagedJsonBatchWrite(dir, "q1", schema)
+    val factory = bw.createBatchWriterFactory(null)
+    // partition 1: attempt A commits; attempt B (zombie) writes but
+    // never commits; partition 0 commits after 1 — order must still
+    // come out 0 then 1
+    val w1a = factory.createWriter(1, 11L)
+    w1a.write(row("p1"))
+    val m1 = w1a.commit()
+    val w1b = factory.createWriter(1, 12L)
+    w1b.write(row("zombie"))
+    // no commit for w1b — its staged file must not be promoted
+    val w0 = factory.createWriter(0, 13L)
+    w0.write(row("p0a")); w0.write(row("p0b"))
+    val m0 = w0.commit()
+    bw.commit(Array(m1, m0))
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "records.jsonl"))
+    assert(lines.size == 3, lines.toString)
+    assert(lines.get(0).contains("p0a") && lines.get(1).contains("p0b") &&
+      lines.get(2).contains("p1"), lines.toString)
+    assert(!lines.toString.contains("zombie"), "zombie attempt promoted")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_SUCCESS")), "UTF-8").trim
+    assert(manifest == "3", manifest)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_staging")))
+    // an aborted job leaves the committed log untouched and no staging
+    val bw2 = new PagedJsonBatchWrite(dir, "q2", schema)
+    val f2 = bw2.createBatchWriterFactory(null)
+    val wx = f2.createWriter(0, 20L)
+    wx.write(row("doomed"))
+    wx.abort()
+    bw2.abort(Array.empty)
+    val after = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "records.jsonl"))
+    assert(after.size == 3 && !after.toString.contains("doomed"))
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_staging")))
+  }
+
+  test("write -> read roundtrip preserves tricky JSON content exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    val tricky = Seq(
+      ("""q"uote""", "back\\slash"), ("new\nline", "tab\there"),
+      ("unicode é中", "plain")).zipWithIndex
+      .map { case ((a, b), i) => (i.toString, a, b) }
+    val df = tricky.toDF("noticeId", "title", "solicitationNumber")
+      .selectExpr("noticeId", "title", "solicitationNumber",
+        "CAST(NULL AS STRING) AS fullParentPathName",
+        "'2025-01-01' AS postedDate",
+        "CAST(NULL AS STRING) AS typeOfSetAsideDescription",
+        "'1' AS naicsCode",
+        "named_struct('city', title, 'state', solicitationNumber) AS officeAddress",
+        "'u' AS uiLink")
+    df.write.format("graft.sources.PagedJsonSource")
+      .mode("append").option("path", dir).save()
+    val back = spark.read.format("graft.sources.PagedJsonSource")
+      .option("path", s"$dir/records.jsonl").option("page_size", 2)
+      .option("max_records", 100).load()
+      .select("noticeId", "title", "solicitationNumber",
+        "officeAddress.city", "officeAddress.state")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).sortBy(_._1)
+    val want = tricky.map { case (i, a, b) => (i, a, b, a, b) }.sortBy(_._1)
+    assert(back.toSeq == want, s"roundtrip mangled content: ${back.toSeq}")
+  }
 }
