@@ -309,8 +309,18 @@ object Privacy {
       val classes = rows.groupBy("segment", "nation")
         .agg(count(lit(1)).as("class_n"))
       val buckets = rows.groupBy("balb").agg(count(lit(1)).as("g"))
+      // the bucket domain is the cents-div-100000 image of the
+      // acctbal range (≤ a dozen values); the count guard makes that
+      // a CHECKED invariant and the limit makes the bound PROVABLE in
+      // the plan (the registry cross-join sweep requires maxRows on a
+      // condition-less join side) — truncation can never silently
+      // engage past the throw
+      val nBuckets = buckets.count()
+      if (nBuckets > 64)
+        throw new IllegalStateException(
+          s"sensitive-bucket domain exploded to $nBuckets (grid bound 64)")
       val grid = classes.select("segment", "nation", "class_n")
-        .crossJoin(broadcast(buckets))
+        .crossJoin(broadcast(buckets.limit(64)))
       val cellc = rows.groupBy("segment", "nation", "balb")
         .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("segment", "nation").orderBy("balb")
