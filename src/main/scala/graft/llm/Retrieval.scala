@@ -1089,6 +1089,90 @@ object Retrieval {
       FROM li
       ORDER BY query_id, li_rank"""))
 
+  /** RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010) between the
+    * lexical and dense rankers — the ranker-agreement diagnostic the
+    * fusion family needs next to [[hybrid]] (RRF assumes the rankers
+    * disagree usefully; RBO MEASURES how much): RBO@k =
+    * (1−p)·Σ_{d≤k} p^{d−1}·|A_{1..d} ∩ B_{1..d}|/d with p = 0.9 —
+    * top-weighted, so two lists that agree at rank 1 but diverge in
+    * the tail score high, the property plain set-overlap misses.
+    *
+    * Exactness via the LITERAL-TABLE discipline (the periodogram trig
+    * recipe): the irrational weights (1−p)·p^{d−1} are tabulated ONCE
+    * in Scala as nano-unit literals and injected into BOTH engines,
+    * so no engine ever raises a float to a power; prefix overlaps X_d
+    * are integers (membership d ≥ rank exploded per side, one
+    * (query, depth, doc) equi-join), and each term is one floor
+    * division X_d·w_d ÷ d. Queries with empty intersections stay in
+    * the output via the query-id base frame (rbo 0).
+    *
+    * Scale shape: both rankers are the audited broadcast-prune /
+    * exact-top-k shapes; everything after is k²-bounded per query
+    * (≤ 10 depths × 10 docs). */
+  val RboK = 10
+  val RboWeightsNano: Seq[(Int, Long)] = (1 to RboK).map { d =>
+    d -> BigDecimal(0.1 * math.pow(0.9, d - 1) * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
+  /** RBO over two (query_id, doc_id, rank ≤ [[RboK]]) rank frames —
+    * factored so RetrievalSpec can feed hand rankings with known
+    * closed-form RBO. */
+  def rboOf(lex: DataFrame, den: DataFrame): DataFrame = {
+    val s = lex.sparkSession
+    import s.implicits._
+    def prefixes(df: DataFrame, rankCol: String) =
+      df.select(col("query_id"), col("doc_id"),
+        explode(sequence(col(rankCol).cast("int"), lit(RboK))).as("d"))
+    val x = prefixes(lex, "lex_rank")
+      .join(prefixes(den, "dense_rank"), Seq("query_id", "d", "doc_id"))
+      .groupBy("query_id", "d").agg(count(lit(1)).as("x"))
+    val wdf = RboWeightsNano.toDF("d", "w")
+    val agg = x.join(broadcast(wdf), "d")
+      .groupBy("query_id")
+      .agg(sum(when(col("d") === RboK, col("x"))).as("overlap_at_k"),
+        sum(expr("(x * w) div d")).as("rbo_nano"))
+    lex.select("query_id").distinct()
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
+        coalesce(col("rbo_nano"), lit(0L)).as("rbo_nano"))
+      .orderBy("query_id")
+  }
+
+  val rbo: Q = Q(
+    "q_rbo",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      rboOf(lexRanked(s, docs, RboK), denseRanked(s, dir, RboK))
+    },
+    Some(s"""
+      WITH $lexRankedSql,
+      ${denseRankedSql(RboK)},
+      lex10 AS (SELECT query_id, doc_id, lex_rank FROM lex WHERE lex_rank <= $RboK),
+      lexp AS (SELECT query_id, doc_id, d.range AS d
+               FROM lex10, range(1, ${RboK + 1}) d WHERE lex_rank <= d.range),
+      denp AS (SELECT query_id, doc_id, d.range AS d
+               FROM dense, range(1, ${RboK + 1}) d WHERE dense_rank <= d.range),
+      x AS (SELECT l.query_id, l.d, CAST(count(*) AS BIGINT) AS x
+            FROM lexp l JOIN denp dn
+              ON dn.query_id = l.query_id AND dn.d = l.d AND dn.doc_id = l.doc_id
+            GROUP BY l.query_id, l.d),
+      w(d, w) AS (SELECT * FROM (VALUES ${RboWeightsNano
+        .map { case (d, w) => s"($d, CAST($w AS BIGINT))" }.mkString(", ")}) t(d, w)),
+      rboagg AS (SELECT query_id,
+                     CAST(sum(CASE WHEN x.d = $RboK THEN x.x END) AS BIGINT)
+                       AS overlap_at_k,
+                     CAST(sum((x.x * w.w) // x.d) AS BIGINT) AS rbo_nano
+              FROM x JOIN w ON w.d = x.d GROUP BY query_id),
+      base AS (SELECT DISTINCT query_id FROM lex10)
+      SELECT b.query_id,
+             CAST(coalesce(a.overlap_at_k, 0) AS BIGINT) AS overlap_at_k,
+             CAST(coalesce(a.rbo_nano, 0) AS BIGINT) AS rbo_nano
+      FROM base b LEFT JOIN rboagg a ON a.query_id = b.query_id
+      ORDER BY b.query_id"""))
+
   val all: Seq[Q] = Seq(bm25, bm25Incremental, hybrid, negatives, hashedTfidf,
-    ndcgEval, mrrEval, phraseSearch, rrfWeighted, mmrRerank, lateInteraction)
+    ndcgEval, mrrEval, phraseSearch, rrfWeighted, mmrRerank, lateInteraction,
+    rbo)
 }

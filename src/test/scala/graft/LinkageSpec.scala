@@ -46,4 +46,21 @@ class LinkageSpec extends SparkSpec {
     assert(byMatch.head._1 == ((1L, 1L, 1L)),
       s"expected (1,1,1) to dominate: ${byMatch.take(3)}")
   }
+
+  test("blocking quality: uncorrupted key has perfect recall, compound key trades recall for reduction") {
+    val rows = ops.Linkage.blockingQuality.fn(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val (candS, nS, covS, rrS, pcS) = rows("suffix")
+    val (candC, nC, covC, rrC, pcC) = rows("suffix_nation")
+    // the name suffix is never corrupted: every match shares a block
+    assert(covS == nS && pcS == 1000000L, s"suffix: $covS/$nS pc=$pcS")
+    // the compound key drops exactly the nation-corrupted matches
+    assert(covC < nC && pcC < 1000000L, s"compound: $covC/$nC pc=$pcC")
+    // ~20% corruption rate: recall in the 60-95% band, never at the poles
+    assert(pcC > 600000L, s"compound recall collapsed: $pcC")
+    // tighter key => fewer candidates, higher reduction ratio
+    assert(candC < candS && rrC > rrS, s"$candC !< $candS / $rrC !> $rrS")
+    assert(rrS > 900000L, s"even 100 suffix blocks must cut 99%: $rrS")
+  }
 }

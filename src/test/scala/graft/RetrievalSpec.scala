@@ -223,4 +223,39 @@ class RetrievalSpec extends SparkSpec {
       assert(rs.length <= 20, s"q$q shortlist bound")
     }
   }
+
+  test("RBO: identity scores Σw_d (=1 up to nano rounding), disjoint scores 0, reference agrees") {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    def frame(rankCol: String, lists: Map[Long, Seq[Long]]) =
+      lists.toSeq.flatMap { case (q, docs) =>
+        docs.zipWithIndex.map { case (d, i) => (q, d, (i + 1).toLong) }
+      }.toDF("query_id", "doc_id", rankCol)
+    val a = Map(0L -> (1L to 10L), 1L -> (1L to 10L), 2L -> (1L to 10L))
+      .view.mapValues(_.toSeq).toMap
+    val ident = Retrieval.rboOf(frame("lex_rank", a), frame("dense_rank", a))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wSum = Retrieval.RboWeightsNano.map(_._2).sum // Σ (x_d=d) w_d·d/d
+    ident.foreach { case (q, ov, rbo) =>
+      assert(ov == 10L && rbo == wSum, s"q$q: $ov $rbo != $wSum")
+    }
+    // truncated RBO@10 of the full agreement sits just under 1 (p=0.9
+    // tail mass unassigned): 1e9·(1-p)Σp^(d-1) = 651321... nano
+    assert(wSum > 600000000L && wSum < 700000000L, wSum.toString)
+    val b = Map(0L -> (11L to 20L), 1L -> (11L to 20L), 2L -> (11L to 20L))
+      .view.mapValues(_.toSeq).toMap
+    val disj = Retrieval.rboOf(frame("lex_rank", a), frame("dense_rank", b))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    disj.foreach { case (ov, rbo) => assert(ov == 0L && rbo == 0L) }
+    // reference fold on a shuffled pair
+    val la = Seq(3L, 1L, 4L, 5L, 9L, 2L, 6L, 8L, 7L, 10L)
+    val lb = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)
+    val got = Retrieval.rboOf(frame("lex_rank", Map(0L -> la)),
+      frame("dense_rank", Map(0L -> lb))).collect().head.getLong(2)
+    val want = (1 to 10).map { d =>
+      val x = la.take(d).toSet.intersect(lb.take(d).toSet).size.toLong
+      x * Retrieval.RboWeightsNano(d - 1)._2 / d
+    }.sum
+    assert(got == want, s"$got != $want")
+  }
 }
