@@ -120,5 +120,130 @@ object Layout {
              CAST(max(event_id) AS BIGINT) AS max_id
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(zorderLayout, compactFiles)
+  /** CONSISTENT-HASHING RESHARD audit — the fourth layout tool: when
+    * a keyed store grows from 7 to 8 shards, hash-mod reassigns
+    * ~7/8 of all keys (every mod changes) while a consistent-hash
+    * RING moves only the keys the new shard steals — the property
+    * that makes online resharding affordable at 100 TB. The ring is
+    * 7×8 (+8 new) virtual nodes at 48-bit md5 positions of
+    * "shard:s:v"; a key at md5("key:"+id) lands on the first vnode
+    * clockwise (wrap to the ring minimum). Fully derandomized, so
+    * both assignments — before and after adding shard 7 — are pure
+    * functions of the input and the whole census rides the driver
+    * hash.
+    *
+    * THE consistent-hashing theorem is the in-query abort: a key that
+    * moved must have moved TO the new shard (adding a node steals
+    * keys, never shuffles them between old nodes); a single
+    * old→old move means the ring arithmetic is broken. Emits per
+    * shard: keys before, keys after, and gained-by-move.
+    *
+    * Scale shape: the ring is a ≤64-row broadcast literal frame (the
+    * cross-join sweep's provable bound); assignment is one broadcast
+    * cross join + a key-keyed min aggregate — one scan per epoch, no
+    * shuffle beyond the key-domain group. */
+  val consistentHash: Q = Q(
+    "q_consistent_hash",
+    (s, dir) => {
+      val keys = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .withColumn("kpos", conv(substring(md5(
+          concat(lit("key:"), col("user_id").cast("string")).cast("binary")),
+          1, 12), 16, 10).cast("long"))
+      def ring(shards: Int, vnodes: Int) = {
+        val s0 = keys.sparkSession
+        import s0.implicits._
+        (0 until shards).flatMap(sh => (0 until vnodes).map(v => (sh.toLong, v.toLong)))
+          .toDF("shard", "vnode")
+          .withColumn("pos", conv(substring(md5(
+            concat(lit("shard:"), col("shard").cast("string"), lit(":"),
+              col("vnode").cast("string")).cast("binary")), 1, 12), 16, 10)
+            .cast("long"))
+          .limit(64)
+      }
+      def assign(r: DataFrame, name: String) = {
+        val globalMin = r.agg(min(col("pos")).as("minpos")).limit(1)
+        keys.crossJoin(broadcast(r.select(col("pos"))))
+          .groupBy("user_id", "kpos")
+          .agg(min(when(col("pos") >= col("kpos"), col("pos"))).as("apos"))
+          .crossJoin(broadcast(globalMin))
+          .select(col("user_id"),
+            coalesce(col("apos"), col("minpos")).as("apos"))
+          .join(broadcast(r.select(col("pos").as("apos"), col("shard"))), "apos")
+          .select(col("user_id"), col("shard").as(name))
+      }
+      val before = assign(ring(7, 8), "shard_before")
+      val after = assign(ring(7, 8).unionByName(
+        // the NEW shard's 8 vnodes: shard id 7
+        ring(8, 8).filter(col("shard") === 7L)).limit(64), "shard_after")
+      val both = before.join(after, "user_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val badMoves = both.filter(col("shard_before") =!= col("shard_after") &&
+        col("shard_after") =!= 7L).count()
+      if (badMoves != 0L)
+        throw new IllegalStateException(
+          s"consistent hashing moved $badMoves keys between OLD shards")
+      val out = both.groupBy(col("shard_after").as("shard"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("shard_before") =!= col("shard_after"), 1L)
+            .otherwise(0L)).as("gained_by_move"))
+        .join(both.groupBy(col("shard_before").as("shard"))
+          .agg(count(lit(1)).as("n_before")), Seq("shard"), "full_outer")
+        .select(col("shard"), coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("gained_by_move"), lit(0L)).as("gained_by_move"))
+        .orderBy("shard")
+      val rows = out.collect()
+      both.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        out.schema).orderBy("shard")
+    },
+    Some("""
+      WITH keys AS MATERIALIZED (
+        SELECT user_id,
+               CAST('0x' || substr(md5('key:' || CAST(user_id AS VARCHAR)), 1, 12)
+                 AS BIGINT) AS kpos
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)),
+      ring7 AS (
+        SELECT s.range AS shard, v.range AS vnode,
+               CAST('0x' || substr(md5('shard:' || CAST(s.range AS VARCHAR) ||
+                 ':' || CAST(v.range AS VARCHAR)), 1, 12) AS BIGINT) AS pos
+        FROM range(7) s, range(8) v),
+      ring8 AS (
+        SELECT s.range AS shard, v.range AS vnode,
+               CAST('0x' || substr(md5('shard:' || CAST(s.range AS VARCHAR) ||
+                 ':' || CAST(v.range AS VARCHAR)), 1, 12) AS BIGINT) AS pos
+        FROM range(8) s, range(8) v),
+      b AS MATERIALIZED (
+        SELECT k.user_id, r2.shard AS shard_before
+        FROM (SELECT k.user_id, k.kpos,
+                     coalesce(min(CASE WHEN r.pos >= k.kpos THEN r.pos END),
+                              (SELECT min(pos) FROM ring7)) AS apos
+              FROM keys k CROSS JOIN ring7 r GROUP BY k.user_id, k.kpos) k
+        JOIN ring7 r2 ON r2.pos = k.apos),
+      a AS MATERIALIZED (
+        SELECT k.user_id, r2.shard AS shard_after
+        FROM (SELECT k.user_id, k.kpos,
+                     coalesce(min(CASE WHEN r.pos >= k.kpos THEN r.pos END),
+                              (SELECT min(pos) FROM ring8)) AS apos
+              FROM keys k CROSS JOIN ring8 r GROUP BY k.user_id, k.kpos) k
+        JOIN ring8 r2 ON r2.pos = k.apos),
+      both_ AS MATERIALIZED (
+        SELECT b.user_id, b.shard_before, a.shard_after
+        FROM b JOIN a USING (user_id)),
+      na AS (SELECT shard_after AS shard, CAST(count(*) AS BIGINT) AS n_after,
+                    CAST(sum(CASE WHEN shard_before <> shard_after
+                             THEN 1 ELSE 0 END) AS BIGINT) AS gained_by_move
+             FROM both_ GROUP BY 1),
+      nb AS (SELECT shard_before AS shard, CAST(count(*) AS BIGINT) AS n_before
+             FROM both_ GROUP BY 1)
+      SELECT CAST(coalesce(na.shard, nb.shard) AS BIGINT) AS shard,
+             CAST(coalesce(nb.n_before, 0) AS BIGINT) AS n_before,
+             CAST(coalesce(na.n_after, 0) AS BIGINT) AS n_after,
+             CAST(coalesce(na.gained_by_move, 0) AS BIGINT) AS gained_by_move
+      FROM na FULL OUTER JOIN nb ON nb.shard = na.shard
+      ORDER BY shard"""))
+
+  val all: Seq[Q] = Seq(zorderLayout, compactFiles, consistentHash)
 }

@@ -102,4 +102,26 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(compacted).count() ==
       Tables.load(spark, sf001, "events").count())
   }
+
+  test("consistent hashing: movement is bounded near 1/8 and only toward the new shard") {
+    val rows = ops.Layout.consistentHash.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a tiny key set can leave a shard empty — shards present must
+    // still be a subset of 0..7 with conserved key census
+    assert(rows.map(_._1).forall(s => s >= 0L && s <= 7L), rows.mkString(", "))
+    val total = rows.map(_._2).sum
+    assert(total == rows.map(_._3).sum, "key census must be conserved")
+    // the query's own abort already proves old->old moves = 0; pin
+    // the shape here too: only shard 7 gains
+    rows.filter(_._1 != 7L).foreach { r =>
+      assert(r._4 == 0L, s"old shard ${r._1} gained ${r._4}")
+    }
+    val s7 = rows.find(_._1 == 7L).get
+    assert(s7._2 == 0L, "shard 7 must not exist before")
+    val moved = s7._4
+    // expected movement = 8/64 of keys; generous [1/24, 1/2] band for
+    // the handful of sf0.001 keys
+    assert(moved * 24L >= total && moved * 2L <= total,
+      s"moved $moved of $total outside the consistent-hash band")
+  }
 }
