@@ -390,5 +390,170 @@ object Privacy {
       GROUP BY segment, nation
       ORDER BY segment, nation"""))
 
-  val all: Seq[Q] = Seq(dpCounts, kAnonymity, dpMedian, lDiversity, tCloseness)
+  /** MONDRIAN k-ANONYMIZATION (LeFevre et al., ICDE 2006) — the
+    * TRANSFORM the three audits above judge: greedy top-down
+    * multidimensional partitioning of the (nation, balance-bucket)
+    * QI space. Each level, every live partition picks its WIDER
+    * dimension (range compare, ties to nation), splits at the lower
+    * median (smallest value whose cumulative count reaches half),
+    * and keeps the split only if BOTH halves hold ≥ k records —
+    * otherwise the partition is final and its QI box becomes the
+    * generalized release value. [[MondrianDepth]] unrolled levels
+    * bound the recursion (2^depth leaves ≥ any k-feasible partition
+    * count); the k-invariant (every leaf ≥ k) is the in-query abort.
+    *
+    * Fully hash-oracled: the oracle unrolls the same levels as
+    * generated CTEs — per level one stats aggregate per partition,
+    * one distinct-value cumulative window PER DIMENSION (the
+    * winsorize envelope: value-domain, never corpus rows), and a
+    * branchless reassignment pid → 2·pid + side. Spark runs the
+    * identical level loop with checkpointed lineage.
+    *
+    * Scale shape: each level is one map-side-combinable stats
+    * aggregate + one (partition × value)-domain window + one
+    * broadcast-joined reassignment over the record frame — depth is
+    * a constant, so the whole anonymizer is O(depth) scans, no
+    * quadratic anything, and the release table is leaf-domain. */
+  val MondrianK = 25
+  val MondrianDepth = 6
+
+  /** One Mondrian level over (id, d1, d2, pid): returns the frame
+    * with pid advanced (2·pid + side; unsplit partitions keep side 0
+    * and are re-labeled 2·pid for uniqueness). */
+  private def mondrianLevel(cur: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = cur.groupBy("pid").agg(count(lit(1)).as("n"),
+      min(col("d1")).as("lo1"), max(col("d1")).as("hi1"),
+      min(col("d2")).as("lo2"), max(col("d2")).as("hi2"))
+      .withColumn("dim",
+        when(col("hi1") - col("lo1") >= col("hi2") - col("lo2"), 1L)
+          .otherwise(2L))
+    def medianOf(dim: Int): DataFrame = {
+      val vals = cur.groupBy("pid",  s"d$dim").agg(count(lit(1)).as("c"))
+        .withColumnRenamed(s"d$dim", "v")
+      val w = Window.partitionBy("pid").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals.withColumn("cum", sum(col("c")).over(w))
+        .join(stats.select("pid", "n"), "pid")
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy("pid").agg(min(struct(col("v"), col("cum"))).as("mv"))
+        .select(col("pid"), col("mv.v").as(s"m$dim"),
+          col("mv.cum").as(s"left$dim"))
+    }
+    val meta = stats
+      .join(medianOf(1), Seq("pid"), "left")
+      .join(medianOf(2), Seq("pid"), "left")
+      .select(col("pid"), col("dim"), col("n"),
+        when(col("dim") === 1L, col("m1")).otherwise(col("m2")).as("m"),
+        when(col("dim") === 1L, col("left1")).otherwise(col("left2"))
+          .as("nleft"))
+      .withColumn("valid",
+        col("nleft") >= k && col("n") - col("nleft") >= k)
+    cur.join(broadcast(meta), "pid")
+      .select(col("id"), col("d1"), col("d2"),
+        (col("pid") * 2 + when(col("valid") &&
+          when(col("dim") === 1L, col("d1")).otherwise(col("d2")) > col("m"),
+          1L).otherwise(0L)).as("pid"))
+  }
+
+  /** The full anonymizer over an (id, d1, d2) frame: returns the
+    * leaf release (QI boxes + counts). Factored for PrivacySpec. */
+  def mondrianOf(rows: DataFrame, k: Int = MondrianK,
+      depth: Int = MondrianDepth): DataFrame = {
+    var cur = rows.select(col("id"), col("d1"), col("d2"),
+      lit(0L).as("pid"))
+    for (_ <- 1 to depth)
+      cur = graft.Checkpoints.cut(mondrianLevel(cur, k), eager = false)
+    cur.groupBy("pid").agg(count(lit(1)).as("n"),
+        min(col("d1")).as("nation_lo"), max(col("d1")).as("nation_hi"),
+        min(col("d2")).as("balb_lo"), max(col("d2")).as("balb_hi"))
+      .select(col("pid"), col("n"), col("nation_lo"), col("nation_hi"),
+        col("balb_lo"), col("balb_hi"))
+      .orderBy("pid")
+  }
+
+  val mondrian: Q = Q(
+    "q_mondrian",
+    (s, dir) => {
+      val rows = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_nationkey").cast("long").as("d1"),
+        expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("d2"))
+      val out = mondrianOf(rows)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tooSmall = out.filter(col("n") < MondrianK).count()
+      if (tooSmall != 0L)
+        throw new IllegalStateException(
+          s"$tooSmall Mondrian leaves violate k=$MondrianK")
+      val rows2 = out.collect()
+      out.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows2.toIndexedSeq, 1),
+        out.schema).orderBy("pid")
+    },
+    Some(s"""
+      WITH p0 AS MATERIALIZED (
+        SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS d1,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS d2,
+               CAST(0 AS BIGINT) AS pid
+        FROM customer),
+      ${(1 to MondrianDepth).map(l => mondrianLevelCte(l, MondrianK))
+        .mkString(",\n      ")}
+      SELECT pid, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(d1) AS BIGINT) AS nation_lo,
+             CAST(max(d1) AS BIGINT) AS nation_hi,
+             CAST(min(d2) AS BIGINT) AS balb_lo,
+             CAST(max(d2) AS BIGINT) AS balb_hi
+      FROM p$MondrianDepth
+      GROUP BY pid ORDER BY pid"""))
+
+  /** One generated Mondrian level (oracle-only): stats → per-dim
+    * lower medians → validity → branchless reassignment. */
+  private def mondrianLevelCte(l: Int, k: Int): String = {
+    val p = l - 1
+    s"""st$l AS MATERIALIZED (
+        SELECT pid, CAST(count(*) AS BIGINT) AS n,
+               min(d1) AS lo1, max(d1) AS hi1,
+               min(d2) AS lo2, max(d2) AS hi2,
+               CASE WHEN max(d1) - min(d1) >= max(d2) - min(d2)
+                    THEN 1 ELSE 2 END AS dim
+        FROM p$p GROUP BY pid),
+      md1_$l AS MATERIALIZED (
+        SELECT pid, min(v) AS m1,
+               min_by(cum, v) AS left1
+        FROM (SELECT c.pid, c.v, c.cum, s.n
+              FROM (SELECT pid, d1 AS v,
+                           CAST(sum(count(*)) OVER (PARTITION BY pid ORDER BY d1
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                    FROM p$p GROUP BY pid, d1) c
+              JOIN st$l s USING (pid)
+              WHERE c.cum * 2 >= s.n)
+        GROUP BY pid),
+      md2_$l AS MATERIALIZED (
+        SELECT pid, min(v) AS m2,
+               min_by(cum, v) AS left2
+        FROM (SELECT c.pid, c.v, c.cum, s.n
+              FROM (SELECT pid, d2 AS v,
+                           CAST(sum(count(*)) OVER (PARTITION BY pid ORDER BY d2
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                    FROM p$p GROUP BY pid, d2) c
+              JOIN st$l s USING (pid)
+              WHERE c.cum * 2 >= s.n)
+        GROUP BY pid),
+      meta$l AS MATERIALIZED (
+        SELECT s.pid, s.dim, s.n,
+               CASE WHEN s.dim = 1 THEN a.m1 ELSE b.m2 END AS m,
+               CASE WHEN s.dim = 1 THEN a.left1 ELSE b.left2 END AS nleft
+        FROM st$l s
+        LEFT JOIN md1_$l a ON a.pid = s.pid
+        LEFT JOIN md2_$l b ON b.pid = s.pid),
+      p$l AS MATERIALIZED (
+        SELECT p.id, p.d1, p.d2,
+               p.pid * 2 + CASE WHEN m.nleft >= $k AND m.n - m.nleft >= $k
+                 AND (CASE WHEN m.dim = 1 THEN p.d1 ELSE p.d2 END) > m.m
+                 THEN 1 ELSE 0 END AS pid
+        FROM p$p p JOIN meta$l m ON m.pid = p.pid)"""
+  }
+
+  val all: Seq[Q] = Seq(dpCounts, kAnonymity, dpMedian, lDiversity, tCloseness,
+    mondrian)
 }

@@ -104,4 +104,29 @@ class PrivacySpec extends SparkSpec {
     // 5*720 = 3600 > 60*12*2 = 1440 -> refused
     assert(!relB, "top-concentrated class must be refused")
   }
+
+  test("mondrian: uniform grid splits to near-k leaves; degenerate QI never splits") {
+    import spark.implicits._
+    // 10x10 QI grid, 5 records per cell = 500 records, k = 25
+    val grid = (for (a <- 0L until 10L; b <- 0L until 10L; r <- 0 until 5)
+      yield (a * 1000 + b * 10 + r, a, b)).toDF("id", "d1", "d2")
+    val leaves = llm.Privacy.mondrianOf(grid, k = 25, depth = 6).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(leaves.map(_._1).sum == 500L, "records conserved")
+    assert(leaves.forall(_._1 >= 25L), s"k violated: ${leaves.mkString(", ")}")
+    assert(leaves.length >= 8, s"uniform grid should split well: ${leaves.length}")
+    // axis cuts keep sibling boxes disjoint: no two leaves overlap in
+    // BOTH dimensions
+    for (i <- leaves.indices; j <- leaves.indices if i < j) {
+      val (a, b) = (leaves(i), leaves(j))
+      val d1Overlap = a._2 <= b._3 && b._2 <= a._3
+      val d2Overlap = a._4 <= b._5 && b._4 <= a._5
+      assert(!(d1Overlap && d2Overlap), s"leaves overlap: $a / $b")
+    }
+    // all-identical QI: nothing to split, one leaf carries everything
+    val flat = (0L until 100L).map(i => (i, 3L, 7L)).toDF("id", "d1", "d2")
+    val one = llm.Privacy.mondrianOf(flat, k = 25, depth = 6).collect()
+    assert(one.length == 1 && one.head.getLong(1) == 100L)
+  }
 }
