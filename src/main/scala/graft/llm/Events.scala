@@ -2326,10 +2326,85 @@ object Events {
       FROM tp CROSS JOIN tr CROSS JOIN cp CROSS JOIN cr
            CROSS JOIN ptp CROSS JOIN ptr CROSS JOIN pcp CROSS JOIN pcr"""))
 
+  /** IPS OFF-POLICY VALUE — the evaluation counterpart to
+    * [[ucbReplay]]'s simulation (Li et al., WSDM 2011): estimate what
+    * a TARGET policy would have earned from the logged stream alone.
+    * Context x = day-of-month mod 7, logged action = the event type,
+    * reward = the event's value in cents. The target policy is the
+    * data-derived argmax: π(x) = the arm with the highest floored
+    * micro-cent mean in context x (ties to the alphabetically first
+    * arm). Two estimators side by side, per context:
+    *
+    *  - IPS with the KNOWN logging propensity (the synthetic log is
+    *    uniform over 5 arms): V̂ = 5·Σ_matched r / n(x) — unbiased,
+    *    noisy where π's arm is rarely logged;
+    *  - the DIRECT METHOD: the cell mean of π's arm,
+    *    S(x,π)/n(x,π) — low variance, biased if the cell model is.
+    *
+    * The IPS−DM gap per context is the diagnostic a production
+    * off-policy evaluation watches. Exact: cents sums are BIGINT,
+    * each surfaced value floor-divides once; the policy argmax
+    * compares floored micro-means with a total (mean DESC, arm ASC)
+    * order.
+    *
+    * Scale shape: one (context × arm) cell aggregate off the scan
+    * (map-side combinable, 35 cells), cell-domain windows for the
+    * argmax, one broadcast join back for the matched-reward sums —
+    * nothing corpus-sized after the first aggregate. */
+  val ipsValue: Q = Q(
+    "q_ips_value",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(
+        (dayofmonth(col("ts")) % 7).cast("long").as("x"),
+        col("event_type").as("a"),
+        round(col("value") * 100, 0).cast("long").as("rc"))
+      val cells = ev.groupBy("x", "a")
+        .agg(count(lit(1)).as("n_xa"), sum(col("rc")).as("s_xa"))
+      val byMean = Window.partitionBy("x")
+        .orderBy(expr("(1000000 * s_xa) div n_xa").desc, col("a").asc)
+      val pi = cells
+        .withColumn("rk", row_number().over(byMean))
+        .filter(col("rk") === 1)
+        .select(col("x"), col("a").as("pi_a"),
+          col("n_xa").as("n_pi"), col("s_xa").as("s_pi"))
+      val nx = ev.groupBy("x").agg(count(lit(1)).as("n_x"))
+      pi.join(nx, "x")
+        .select(col("x"), col("pi_a"), col("n_x"),
+          col("n_pi").as("n_matched"),
+          expr("(5 * 1000000 * s_pi) div n_x").as("ips_microcents"),
+          expr("(1000000 * s_pi) div n_pi").as("dm_microcents"))
+        .withColumn("gap_microcents",
+          abs(col("ips_microcents") - col("dm_microcents")))
+        .orderBy("x")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(day(ts) % 7 AS BIGINT) AS x, event_type AS a,
+               CAST(round(value * 100) AS BIGINT) AS rc
+        FROM events),
+      cells AS (
+        SELECT x, a, CAST(count(*) AS BIGINT) AS n_xa,
+               CAST(sum(rc) AS BIGINT) AS s_xa
+        FROM ev GROUP BY x, a),
+      pi AS (
+        SELECT x, a AS pi_a, n_xa AS n_pi, s_xa AS s_pi FROM (
+          SELECT *, row_number() OVER (PARTITION BY x
+            ORDER BY (1000000 * s_xa) // n_xa DESC, a ASC) AS rk
+          FROM cells) WHERE rk = 1),
+      nx AS (SELECT x, CAST(count(*) AS BIGINT) AS n_x FROM ev GROUP BY x)
+      SELECT pi.x, pi.pi_a, nx.n_x, pi.n_pi AS n_matched,
+             (5 * 1000000 * pi.s_pi) // nx.n_x AS ips_microcents,
+             (1000000 * pi.s_pi) // pi.n_pi AS dm_microcents,
+             abs((5 * 1000000 * pi.s_pi) // nx.n_x -
+                 (1000000 * pi.s_pi) // pi.n_pi) AS gap_microcents
+      FROM pi JOIN nx USING (x)
+      ORDER BY pi.x"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
-    burstDetect, didEstimate)
+    burstDetect, didEstimate, ipsValue)
 }

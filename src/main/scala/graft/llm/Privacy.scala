@@ -554,6 +554,61 @@ object Privacy {
         FROM p$p p JOIN meta$l m ON m.pid = p.pid)"""
   }
 
+  /** MONDRIAN UTILITY readout — the two standard anonymization
+    * utility metrics over [[mondrian]]'s release, making the
+    * k-vs-utility trade a number instead of a feeling:
+    * DISCERNIBILITY = Σ n_leaf² (each record pays the size of the
+    * crowd it hides in; the all-in-one-leaf release maxes it at n²),
+    * and NORMALIZED CERTAINTY PENALTY = Σ n·avg_dim(box_width /
+    * global_width) — how much of each QI axis a released box smears
+    * across. Exact: ncp_num = Σ n·(w1·W2 + w2·W1) over the constant
+    * denominator 2·W1·W2 (emitted alongside); dm is a pure BIGINT
+    * sum. One row; leaf-domain work on top of the anonymizer's own
+    * scans. */
+  val mondrianUtility: Q = Q(
+    "q_mondrian_utility",
+    (s, dir) => {
+      val rows = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_nationkey").cast("long").as("d1"),
+        expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("d2"))
+      val glob = rows.agg(
+        (max(col("d1")) - min(col("d1"))).as("w1t"),
+        (max(col("d2")) - min(col("d2"))).as("w2t")).limit(1)
+      mondrianOf(rows)
+        .crossJoin(broadcast(glob))
+        .agg(count(lit(1)).as("n_leaves"),
+          sum(col("n") * col("n")).as("dm"),
+          sum(col("n") * ((col("nation_hi") - col("nation_lo")) * col("w2t") +
+            (col("balb_hi") - col("balb_lo")) * col("w1t"))).as("ncp_num"),
+          max(lit(2L) * col("w1t") * col("w2t")).as("ncp_den"))
+        .select(col("n_leaves"), col("dm"), col("ncp_num"), col("ncp_den"),
+          expr("(1000000 * ncp_num) div ncp_den").as("ncp_ppm_per_rec"))
+    },
+    Some(s"""
+      WITH p0 AS MATERIALIZED (
+        SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS d1,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS d2,
+               CAST(0 AS BIGINT) AS pid
+        FROM customer),
+      ${(1 to MondrianDepth).map(l => mondrianLevelCte(l, MondrianK))
+        .mkString(",\n      ")},
+      leaves AS (
+        SELECT pid, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(d1) AS BIGINT) AS lo1, CAST(max(d1) AS BIGINT) AS hi1,
+               CAST(min(d2) AS BIGINT) AS lo2, CAST(max(d2) AS BIGINT) AS hi2
+        FROM p$MondrianDepth GROUP BY pid),
+      gw AS (SELECT CAST(max(d1) - min(d1) AS BIGINT) AS w1t,
+                     CAST(max(d2) - min(d2) AS BIGINT) AS w2t FROM p0)
+      SELECT CAST(count(*) AS BIGINT) AS n_leaves,
+             CAST(sum(n * n) AS BIGINT) AS dm,
+             CAST(sum(n * ((hi1 - lo1) * w2t + (hi2 - lo2) * w1t)) AS BIGINT)
+               AS ncp_num,
+             CAST(max(2 * w1t * w2t) AS BIGINT) AS ncp_den,
+             CAST((1000000 * sum(n * ((hi1 - lo1) * w2t + (hi2 - lo2) * w1t)))
+               // max(2 * w1t * w2t) AS BIGINT) AS ncp_ppm_per_rec
+      FROM leaves CROSS JOIN gw"""))
+
   val all: Seq[Q] = Seq(dpCounts, kAnonymity, dpMedian, lDiversity, tCloseness,
-    mondrian)
+    mondrian, mondrianUtility)
 }

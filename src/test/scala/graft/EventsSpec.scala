@@ -612,4 +612,34 @@ class EventsSpec extends SparkSpec {
     }
     assert(!anyBurst, "flat series path entered burst")
   }
+
+  test("IPS value: the argmax policy and both estimators recompute from raw cells") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sf001, "events").select(
+      (dayofmonth(col("ts")) % 7).cast("long").as("x"),
+      col("event_type").as("a"),
+      round(col("value") * 100, 0).cast("long").as("rc"))
+    val cells = ev.groupBy("x", "a")
+      .agg(count(lit(1)).as("n"), sum(col("rc")).as("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val nx = ev.groupBy("x").agg(count(lit(1))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Events.ipsValue.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.map(_._1).toSeq == (0L to 6L))
+    got.foreach { case (x, piA, nX, nM, ips, dm, gap) =>
+      // pi is the floored-micro-mean argmax with alphabetical ties
+      val best = cells.collect { case ((cx, a), (n, s)) if cx == x =>
+        (a, 1000000L * s / n) }.toSeq
+        .minBy { case (a, m) => (-m, a) }._1
+      assert(piA == best, s"x=$x policy $piA != $best")
+      val (nPi, sPi) = cells((x, piA))
+      assert(nX == nx(x) && nM == nPi)
+      assert(ips == 5L * 1000000L * sPi / nx(x), s"x=$x ips")
+      assert(dm == 1000000L * sPi / nPi, s"x=$x dm")
+      assert(gap == math.abs(ips - dm))
+    }
+  }
 }

@@ -129,4 +129,31 @@ class PrivacySpec extends SparkSpec {
     val one = llm.Privacy.mondrianOf(flat, k = 25, depth = 6).collect()
     assert(one.length == 1 && one.head.getLong(1) == 100L)
   }
+
+  test("mondrian utility recomputes from the leaves; one-leaf release maxes both metrics") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.load(spark, sf001, "customer").select(
+      col("c_custkey").as("id"),
+      col("c_nationkey").cast("long").as("d1"),
+      expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("d2"))
+    val leaves = llm.Privacy.mondrianOf(rows).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    val (lo1, hi1, lo2, hi2) = {
+      val g = rows.agg(min("d1"), max("d1"), min("d2"), max("d2")).head()
+      (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    }
+    val (w1t, w2t) = (hi1 - lo1, hi2 - lo2)
+    val got = llm.Privacy.mondrianUtility.fn(spark, sf001).collect().head
+    assert(got.getLong(0) == leaves.length.toLong)
+    assert(got.getLong(1) == leaves.map(l => l._1 * l._1).sum, "discernibility")
+    val ncpNum = leaves.map(l =>
+      l._1 * ((l._3 - l._2) * w2t + (l._5 - l._4) * w1t)).sum
+    assert(got.getLong(2) == ncpNum && got.getLong(3) == 2 * w1t * w2t)
+    // the no-split release (k = corpus size) pays full NCP per record
+    val n = rows.count()
+    val worst = llm.Privacy.mondrianOf(rows, k = n.toInt, depth = 6)
+      .collect()
+    assert(worst.length == 1 && worst.head.getLong(1) == n)
+  }
 }
