@@ -129,5 +129,146 @@ object Scd {
       FROM stitched
       ORDER BY key, eff_from"""))
 
-  val all: Seq[Q] = Seq(scd2Orders)
+  /** BITEMPORAL assembly over (key, valid_from, tx_from, value)
+    * version rows — two time axes where [[scd2]] has one: VALID time
+    * (when the fact was effective in the world) and TRANSACTION time
+    * (when the system learned it), the structure that makes late
+    * corrections queryable instead of destructive. Within a
+    * (key, valid_from) cell, versions supersede in TRANSACTION order
+    * (tx_to = the next version's tx_from, open = [[TxInf]]). VALID
+    * intervals are a property of a tx SNAPSHOT, not of the version
+    * table: a fact's validity runs to the key's next distinct
+    * valid_from AMONG THE CELLS KNOWN AT T — a later-arriving cell
+    * must not retroactively truncate what the system believed at an
+    * earlier T (the mistake the first spelling made and ScdSpec
+    * caught: the tx-4 read of a fact whose successor only arrived at
+    * tx 5 must still be open-ended). So [[asOf]] derives valid_to by
+    * a lead window over the tx-visible snapshot.
+    *
+    * Scale shape: one window per (key, valid_from) cell at build; per
+    * read one row-local tx filter + one key-partitioned lead window
+    * over the visible cells — the scd2 shuffle discipline, everything
+    * hashes on key. */
+  val TxInf = 99L
+  val ValidInf = 99L
+
+  def bitemporal(versions: DataFrame): DataFrame = {
+    val cellW = Window.partitionBy("key", "valid_from").orderBy("tx_from")
+    versions
+      .withColumn("tx_to", coalesce(lead(col("tx_from"), 1).over(cellW),
+        lit(TxInf)))
+      .select("key", "valid_from", "tx_from", "tx_to", "value")
+  }
+
+  /** As-of read: the state as KNOWN at tx `t`, EFFECTIVE at valid
+    * time `v` — validity horizons computed within the tx snapshot. */
+  def asOf(bt: DataFrame, t: Long, v: Long): DataFrame =
+    bt.filter(col("tx_from") <= t && lit(t) < col("tx_to"))
+      .withColumn("valid_to", coalesce(
+        lead(col("valid_from"), 1)
+          .over(Window.partitionBy("key").orderBy("valid_from")),
+        lit(ValidInf)))
+      .filter(col("valid_from") <= v && lit(v) < col("valid_to"))
+      .select(col("key"), col("value"))
+
+  /** Driver query: monthly per-customer spend facts for 1995 H1
+    * (valid_from = month 1..6, known one month later), plus a LATE
+    * CORRECTION batch at tx 7 restating the MARCH fact (+1000.00)
+    * for the md5-coin-selected ~20% of customers. Two reads of the
+    * same (V = March) world — as known at tx 4 (pre-correction) and
+    * at tx 8 (post) — sit side by side per key, so the hash pins
+    * exactly which keys' histories were rewritten and by how much.
+    * In-query audits: every v8−v4 delta is 0 or exactly 100000, and
+    * a nonzero delta occurs only on coin-selected keys. */
+  val bitemporalOrders: Q = Q(
+    "q_bitemporal",
+    (s, dir) => {
+      val hex = md5(col("key").cast("string").cast("binary"))
+      val coin = (ascii(substring(hex, 9, 1)) * 256 +
+        ascii(substring(hex, 10, 1))) % 100
+      val facts = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-07-01"))
+        .groupBy(col("o_custkey").as("key"),
+          month(col("o_orderdate")).cast("long").as("valid_from"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("value"))
+        .withColumn("tx_from", col("valid_from") + 1)
+      val corrections = facts
+        .filter(col("valid_from") === 3L && coin < 20)
+        .select(col("key"), col("valid_from"),
+          lit(7L).as("tx_from"), (col("value") + 100000L).as("value"))
+      val bt = bitemporal(
+        facts.select("key", "valid_from", "tx_from", "value")
+          .unionByName(corrections))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = asOf(bt, t = 4L, v = 3L).withColumnRenamed("value", "v_tx4")
+        .join(asOf(bt, t = 8L, v = 3L).withColumnRenamed("value", "v_tx8"),
+          "key")
+        .withColumn("delta", col("v_tx8") - col("v_tx4"))
+        .withColumn("coin", coin.cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bad = out.filter(col("delta") =!= 0L &&
+        (col("delta") =!= 100000L || col("coin") >= 20L)).count()
+      if (bad != 0L)
+        throw new IllegalStateException(
+          s"$bad keys corrected outside the planted set/amount")
+      val rows = out.select("key", "v_tx4", "v_tx8", "delta")
+        .orderBy("key").collect()
+      bt.unpersist(); out.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v_tx4",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v_tx8",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("delta",
+            org.apache.spark.sql.types.LongType))))
+        .orderBy("key")
+    },
+    Some("""
+      WITH facts AS MATERIALIZED (
+        SELECT o_custkey AS key,
+               CAST(month(o_orderdate) AS BIGINT) AS valid_from,
+               CAST(month(o_orderdate) + 1 AS BIGINT) AS tx_from,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS value
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-07-01'
+        GROUP BY 1, 2, 3),
+      versions AS MATERIALIZED (
+        SELECT key, valid_from, tx_from, value FROM facts
+        UNION ALL
+        SELECT key, valid_from, CAST(7 AS BIGINT) AS tx_from,
+               value + 100000 AS value
+        FROM facts
+        WHERE valid_from = 3
+          AND (ascii(substr(md5(CAST(key AS VARCHAR)), 9, 1)) * 256 +
+               ascii(substr(md5(CAST(key AS VARCHAR)), 10, 1))) % 100 < 20),
+      bt AS MATERIALIZED (
+        SELECT key, valid_from, tx_from,
+               coalesce(lead(tx_from) OVER (PARTITION BY key, valid_from
+                 ORDER BY tx_from), 99) AS tx_to,
+               value
+        FROM versions),
+      r4 AS (SELECT key, value AS v_tx4 FROM (
+               SELECT key, valid_from, value,
+                      coalesce(lead(valid_from) OVER (PARTITION BY key
+                        ORDER BY valid_from), 99) AS valid_to
+               FROM bt WHERE tx_from <= 4 AND 4 < tx_to)
+             WHERE valid_from <= 3 AND 3 < valid_to),
+      r8 AS (SELECT key, value AS v_tx8 FROM (
+               SELECT key, valid_from, value,
+                      coalesce(lead(valid_from) OVER (PARTITION BY key
+                        ORDER BY valid_from), 99) AS valid_to
+               FROM bt WHERE tx_from <= 8 AND 8 < tx_to)
+             WHERE valid_from <= 3 AND 3 < valid_to)
+      SELECT r4.key, r4.v_tx4, r8.v_tx8,
+             CAST(r8.v_tx8 - r4.v_tx4 AS BIGINT) AS delta
+      FROM r4 JOIN r8 USING (key)
+      ORDER BY r4.key"""))
+
+  val all: Seq[Q] = Seq(scd2Orders, bitemporalOrders)
 }

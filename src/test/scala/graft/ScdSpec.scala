@@ -49,4 +49,33 @@ class ScdSpec extends SparkSpec {
         .filter(col("count") =!= 3).count() == 0)
     } finally df.unpersist()
   }
+
+  test("bitemporal: corrections rewrite history only forward in tx time; reads are point-consistent") {
+    import spark.implicits._
+    // key 1: fact (valid 2, v=100) known at tx 3, corrected to 150 at
+    // tx 5, corrected again to 160 at tx 6; fact (valid 4, v=200) at
+    // tx 5. key 2: single fact, never corrected.
+    val versions = Seq(
+      (1L, 2L, 3L, 100L), (1L, 2L, 5L, 150L), (1L, 2L, 6L, 160L),
+      (1L, 4L, 5L, 200L), (2L, 1L, 2L, 999L))
+      .toDF("key", "valid_from", "tx_from", "value")
+    val bt = ops.Scd.bitemporal(versions)
+    def read(t: Long, v: Long): Map[Long, Long] =
+      ops.Scd.asOf(bt, t, v).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // before the fact is known: nothing
+    assert(read(2, 2).get(1L).isEmpty)
+    // known-at trajectories of (key 1, valid 2)
+    assert(read(3, 2)(1L) == 100L)
+    assert(read(5, 2)(1L) == 150L)
+    assert(read(6, 2)(1L) == 160L)
+    assert(read(98, 2)(1L) == 160L)
+    // valid-time axis: at V=3 the valid-2 fact still applies; at V=4
+    // the newer fact shadows it (once known)
+    assert(read(6, 3)(1L) == 160L)
+    assert(read(4, 4)(1L) == 100L, "valid-4 fact unknown at tx 4")
+    assert(read(6, 4)(1L) == 200L)
+    // untouched key reads the same value at every tx after learning
+    assert(read(3, 1)(2L) == 999L && read(98, 5)(2L) == 999L)
+  }
 }
