@@ -603,6 +603,111 @@ object Sketches {
       FROM dots d CROSS JOIN exact_ e CROSS JOIN est_ m
       ORDER BY i"""))
 
+  /** KMV / THETA-SKETCH SET DIFFERENCE — the set-algebra gap HLL
+    * cannot close: HLL unions losslessly but has no principled
+    * difference (inclusion–exclusion compounds error, [[hllIntersect]]
+    * documents the 3σ floor it needs). A K-MINIMUM-VALUES sketch
+    * keeps the k smallest 48-bit md5 hashes WITH PROVENANCE (which
+    * side(s) contributed); below the union's threshold θ = the k-th
+    * smallest hash, the kept values are a uniform sample of A∪B, so
+    * ANY set expression is estimable by counting sample members that
+    * satisfy it and scaling by 2⁴⁸/θ — difference, intersection, and
+    * both one-sided differences from ONE merged sketch.
+    *
+    * Fully hash-oracled with NO tolerance machinery: the sketch is a
+    * pure function of the data (derandomized hashes, ORDER BY h LIMIT
+    * k), so the estimates themselves are deterministic integers —
+    * est = cnt·2⁴⁸ ÷ θ — and the exact sides ride along as the audit
+    * columns. Emits one row per region (a_only / b_only / both) with
+    * sample count, estimate, and exact truth.
+    *
+    * Scale shape: one scan to per-user hashes + membership flags
+    * (map-side combinable), a TakeOrdered-k for the sketch (never a
+    * global sort), exact counts from the same aggregate — the
+    * production path drops the exact columns and touches only k
+    * rows after the scan. */
+  val KmvK = 64
+
+  val kmvDifference: Q = Q(
+    "q_kmv_difference",
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val membership = ev.groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("in_a"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("in_b"))
+        .filter(col("in_a") === 1L || col("in_b") === 1L)
+        .withColumn("h", conv(substring(md5(
+          col("user_id").cast("string").cast("binary")), 1, 12), 16, 10)
+          .cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sketch = membership.orderBy("h").limit(KmvK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // exact mode: a union smaller than k IS the whole set, so the
+      // scale factor is 1 (theta = 2^48) and est == n_sample exactly
+      val skRow = sketch.agg(count(lit(1)), max(col("h"))).head()
+      val theta = if (skRow.getLong(0) < KmvK) 281474976710656L
+        else skRow.getLong(1)
+      val exact = membership.agg(
+        sum(when(col("in_a") === 1L && col("in_b") === 0L, 1L).otherwise(0L)),
+        sum(when(col("in_a") === 0L && col("in_b") === 1L, 1L).otherwise(0L)),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L)))
+        .head()
+      val counts = sketch.agg(
+        sum(when(col("in_a") === 1L && col("in_b") === 0L, 1L).otherwise(0L)),
+        sum(when(col("in_a") === 0L && col("in_b") === 1L, 1L).otherwise(0L)),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L)))
+        .head()
+      membership.unpersist(); sketch.unpersist()
+      def est(c: Long) = c * 281474976710656L / theta
+      import s.implicits._
+      Seq(("a_only", counts.getLong(0), est(counts.getLong(0)), exact.getLong(0)),
+        ("b_only", counts.getLong(1), est(counts.getLong(1)), exact.getLong(1)),
+        ("both", counts.getLong(2), est(counts.getLong(2)), exact.getLong(2)))
+        .toDF("region", "n_sample", "est", "exact")
+        .coalesce(1).orderBy("region")
+    },
+    Some(s"""
+      WITH m AS MATERIALIZED (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                 AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+        HAVING max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+            OR max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1),
+      sk AS MATERIALIZED (SELECT * FROM m ORDER BY h LIMIT $KmvK),
+      th AS (SELECT CAST(CASE WHEN count(*) < $KmvK THEN 281474976710656
+                              ELSE max(h) END AS BIGINT) AS theta FROM sk),
+      cnts AS (
+        SELECT 'a_only' AS region,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_sample,
+               (SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM m) AS exact
+        FROM sk
+        UNION ALL
+        SELECT 'b_only',
+               CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               (SELECT CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM m)
+        FROM sk
+        UNION ALL
+        SELECT 'both',
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               (SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM m)
+        FROM sk)
+      SELECT region, n_sample,
+             CAST(n_sample * 281474976710656 // theta AS BIGINT) AS est,
+             exact
+      FROM cnts CROSS JOIN th
+      ORDER BY region"""))
+
   val all: Seq[Q] = Seq(hllMerge, cmsHeavyHitters, bloomPrune, hllRegisters,
-    quantileSketch, hllIntersect, countMin, qdigestUnion, joinSizeEst)
+    quantileSketch, hllIntersect, countMin, qdigestUnion, joinSizeEst,
+    kmvDifference)
 }

@@ -263,4 +263,19 @@ class SketchesSpec extends SparkSpec {
     }
     assert(dots.exists(_ == exact), "at least one collision-free row expected")
   }
+
+  test("KMV set difference: exact mode below k, estimates deterministic and consistent") {
+    val rows = ops.Sketches.kmvDifference.fn(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set("a_only", "b_only", "both"))
+    // sf0.001 has far fewer than k=64 active users: the sketch IS the
+    // set, theta = 2^48, so every estimate equals its exact truth
+    val union = rows.values.map(_._3).sum
+    assert(union < ops.Sketches.KmvK, s"fixture grew past exact mode: $union")
+    rows.foreach { case (region, (nS, est, exact)) =>
+      assert(nS == exact && est == exact,
+        s"$region: exact mode must be exact ($nS, $est, $exact)")
+    }
+  }
 }
