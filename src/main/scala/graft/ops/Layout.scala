@@ -245,5 +245,126 @@ object Layout {
       FROM na FULL OUTER JOIN nb ON nb.shard = na.shard
       ORDER BY shard"""))
 
-  val all: Seq[Q] = Seq(zorderLayout, compactFiles, consistentHash)
+  /** WEIGHTED consistent hashing — heterogeneous shards: vnode
+    * counts proportional to capacity (caps 1,1,1,2,2,3,4 × 4 vnodes
+    * per unit = 56; the new shard arrives with capacity 2 → 8 more
+    * vnodes, total 64 = the provable ring bound). Expected load per
+    * shard tracks its vnode share, so a box twice as big serves
+    * twice the keys from the SAME ring construction — no rebalancer.
+    * The steal-only theorem still holds verbatim and stays the
+    * in-query abort; the census gains a capacity column so the
+    * load-proportionality is inspectable in the hashed output. */
+  val WchCaps: Seq[(Long, Long)] =
+    Seq(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 4L)
+  val WchNewShard: (Long, Long) = 7L -> 2L
+  val WchVnodesPerCap = 4
+
+  val weightedConsistentHash: Q = Q(
+    "q_weighted_consistent_hash",
+    (s, dir) => {
+      import s.implicits._
+      val keys = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .withColumn("kpos", conv(substring(md5(
+          concat(lit("key:"), col("user_id").cast("string")).cast("binary")),
+          1, 12), 16, 10).cast("long"))
+      def ring(caps: Seq[(Long, Long)]) =
+        caps.flatMap { case (sh, cap) =>
+          (0L until cap * WchVnodesPerCap).map(v => (sh, cap, v))
+        }.toDF("shard", "capacity", "vnode")
+          .withColumn("pos", conv(substring(md5(
+            concat(lit("wshard:"), col("shard").cast("string"), lit(":"),
+              col("vnode").cast("string")).cast("binary")), 1, 12), 16, 10)
+            .cast("long"))
+          .limit(64)
+      def assign(r: DataFrame, name: String) = {
+        val globalMin = r.agg(min(col("pos")).as("minpos")).limit(1)
+        keys.crossJoin(broadcast(r.select(col("pos"))))
+          .groupBy("user_id", "kpos")
+          .agg(min(when(col("pos") >= col("kpos"), col("pos"))).as("apos"))
+          .crossJoin(broadcast(globalMin))
+          .select(col("user_id"),
+            coalesce(col("apos"), col("minpos")).as("apos"))
+          .join(broadcast(r.select(col("pos").as("apos"), col("shard"))), "apos")
+          .select(col("user_id"), col("shard").as(name))
+      }
+      val before = assign(ring(WchCaps), "shard_before")
+      val after = assign(ring(WchCaps :+ WchNewShard), "shard_after")
+      val both = before.join(after, "user_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val badMoves = both.filter(col("shard_before") =!= col("shard_after") &&
+        col("shard_after") =!= WchNewShard._1).count()
+      if (badMoves != 0L)
+        throw new IllegalStateException(
+          s"weighted consistent hashing moved $badMoves keys between OLD shards")
+      val caps = (WchCaps :+ WchNewShard).toDF("shard", "capacity")
+      val out = both.groupBy(col("shard_after").as("shard"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("shard_before") =!= col("shard_after"), 1L)
+            .otherwise(0L)).as("gained_by_move"))
+        .join(both.groupBy(col("shard_before").as("shard"))
+          .agg(count(lit(1)).as("n_before")), Seq("shard"), "full_outer")
+        .join(broadcast(caps), "shard")
+        .select(col("shard"), col("capacity"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("gained_by_move"), lit(0L)).as("gained_by_move"))
+        .orderBy("shard")
+      val rows = out.collect()
+      both.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        out.schema).orderBy("shard")
+    },
+    Some(s"""
+      WITH keys AS MATERIALIZED (
+        SELECT user_id,
+               CAST('0x' || substr(md5('key:' || CAST(user_id AS VARCHAR)), 1, 12)
+                 AS BIGINT) AS kpos
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)),
+      caps AS (SELECT * FROM (VALUES ${(WchCaps :+ WchNewShard)
+        .map { case (sh, c) => s"(CAST($sh AS BIGINT), CAST($c AS BIGINT))" }
+        .mkString(", ")}) t(shard, capacity)),
+      ringall AS (
+        SELECT c.shard, c.capacity, v.range AS vnode,
+               CAST('0x' || substr(md5('wshard:' || CAST(c.shard AS VARCHAR) ||
+                 ':' || CAST(v.range AS VARCHAR)), 1, 12) AS BIGINT) AS pos
+        FROM caps c, range(64) v
+        WHERE v.range < c.capacity * $WchVnodesPerCap),
+      ring7 AS (SELECT * FROM ringall WHERE shard <> ${WchNewShard._1}),
+      b AS MATERIALIZED (
+        SELECT k.user_id, r2.shard AS shard_before
+        FROM (SELECT k.user_id, k.kpos,
+                     coalesce(min(CASE WHEN r.pos >= k.kpos THEN r.pos END),
+                              (SELECT min(pos) FROM ring7)) AS apos
+              FROM keys k CROSS JOIN ring7 r GROUP BY k.user_id, k.kpos) k
+        JOIN ring7 r2 ON r2.pos = k.apos),
+      a AS MATERIALIZED (
+        SELECT k.user_id, r2.shard AS shard_after
+        FROM (SELECT k.user_id, k.kpos,
+                     coalesce(min(CASE WHEN r.pos >= k.kpos THEN r.pos END),
+                              (SELECT min(pos) FROM ringall)) AS apos
+              FROM keys k CROSS JOIN ringall r GROUP BY k.user_id, k.kpos) k
+        JOIN ringall r2 ON r2.pos = k.apos),
+      both_ AS MATERIALIZED (
+        SELECT b.user_id, b.shard_before, a.shard_after
+        FROM b JOIN a USING (user_id)),
+      na AS (SELECT shard_after AS shard, CAST(count(*) AS BIGINT) AS n_after,
+                    CAST(sum(CASE WHEN shard_before <> shard_after
+                             THEN 1 ELSE 0 END) AS BIGINT) AS gained_by_move
+             FROM both_ GROUP BY 1),
+      nb AS (SELECT shard_before AS shard, CAST(count(*) AS BIGINT) AS n_before
+             FROM both_ GROUP BY 1)
+      SELECT c.shard, c.capacity,
+             CAST(coalesce(nb.n_before, 0) AS BIGINT) AS n_before,
+             CAST(coalesce(na.n_after, 0) AS BIGINT) AS n_after,
+             CAST(coalesce(na.gained_by_move, 0) AS BIGINT) AS gained_by_move
+      FROM caps c
+      LEFT JOIN na ON na.shard = c.shard
+      LEFT JOIN nb ON nb.shard = c.shard
+      WHERE coalesce(nb.n_before, 0) > 0 OR coalesce(na.n_after, 0) > 0
+      ORDER BY c.shard"""))
+
+  val all: Seq[Q] = Seq(zorderLayout, compactFiles, consistentHash,
+    weightedConsistentHash)
 }

@@ -124,4 +124,19 @@ class LayoutSpec extends SparkSpec {
     assert(moved * 24L >= total && moved * 2L <= total,
       s"moved $moved of $total outside the consistent-hash band")
   }
+
+  test("weighted consistent hashing: steal-only, census conserved, capacities surfaced") {
+    val rows = ops.Layout.weightedConsistentHash.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val caps = (ops.Layout.WchCaps :+ ops.Layout.WchNewShard).toMap
+    rows.foreach { case (sh, cap, _, _, gained) =>
+      assert(caps(sh) == cap, s"shard $sh capacity $cap != ${caps(sh)}")
+      if (sh != ops.Layout.WchNewShard._1)
+        assert(gained == 0L, s"old shard $sh gained $gained")
+    }
+    assert(rows.map(_._3).sum == rows.map(_._4).sum, "census conserved")
+    val s7 = rows.find(_._1 == ops.Layout.WchNewShard._1)
+    assert(s7.forall(_._3 == 0L), "new shard must hold nothing before")
+  }
 }
