@@ -148,29 +148,42 @@ object Bench {
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = sorted.map { case (name, fn) => measure(name, fn) }
-    // Variance pass: host load has swamped per-round comparisons
+    // Variance passes: host load has swamped per-round comparisons
     // (r10's bench drifted +24% on shared queries under a visibly
-    // loaded host). Re-measure every query that took ≥ 1 s — the only
-    // ones where noise is distinguishable from regression — and
-    // publish a second total (cheap sub-second queries reuse their
-    // first-pass time in it). Two totals within ~10% = quiet host;
-    // divergent totals tell the judge to trust the lower envelope.
+    // loaded host; r13 recorded runs [521, 666] — a 28% spread no
+    // per-query regression check can see through). Re-measure every
+    // query that took ≥ 1 s — the only ones where noise is
+    // distinguishable from regression — TWICE more, and publish THREE
+    // totals with the MEDIAN as the verdict-facing number (VERDICT r13
+    // item 8). Cheap sub-second queries reuse their first-pass time in
+    // the repasses; per-query attribution in BENCH_DETAIL carries the
+    // per-query MEDIAN of the passes for the ≥1 s set.
     val firstBySec = results.map(r => r._1 -> r._2).toMap
-    val total2 = sorted.map { case (name, fn) =>
-      if (firstBySec(name) >= 1.0)
+    def repass(): Map[String, Double] = sorted.map { case (name, fn) =>
+      name -> (if (firstBySec(name) >= 1.0)
         once(name, fn, recordFailure = false).map(_._1).getOrElse(0.0)
-      else firstBySec(name)
-    }.sum
+      else firstBySec(name))
+    }.toMap
+    val (pass2, pass3) = (repass(), repass())
+    def median3(a: Double, b: Double, c: Double): Double =
+      Seq(a, b, c).sorted.apply(1)
+    val medBySec = results.map(r =>
+      r._1 -> median3(r._2, pass2(r._1), pass3(r._1))).toMap
+    val total2 = results.map(r => pass2(r._1)).sum
+    val total3 = results.map(r => pass3(r._1)).sum
     def jmap(f: ((String, Double, Long, Long)) => String): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val totalMedian = median3(total, total2, total3)
     // Full-precision per-query attribution (secs + shuffle/spill bytes)
     // goes to a file; the stdout contract line must stay short — the
     // harness captures only the tail of the run output, so a line that
     // grows past ~1.9 kB gets its head truncated and fails to parse.
-    val detail = jmap(r => s"""{"sec":${r._2},"shuffle_bytes":${r._3},"spill_bytes":${r._4}}""")
-    val detailJson = s"""{"metric":"total","value":$total,"unit":"sec","runs":[${"%.2f".format(total)},${"%.2f".format(total2)}],"queries":$detail,"errors":$errs,"sf":"$sfDir"}"""
+    // "sec" is the per-query MEDIAN; shuffle/spill come from pass 1
+    // (deterministic — byte counts don't vary with host load).
+    val detail = jmap(r => s"""{"sec":${medBySec(r._1)},"shuffle_bytes":${r._3},"spill_bytes":${r._4}}""")
+    val detailJson = s"""{"metric":"total","value":$totalMedian,"unit":"sec","runs":[${"%.2f".format(total)},${"%.2f".format(total2)},${"%.2f".format(total3)}],"queries":$detail,"errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detailJson.getBytes("UTF-8"))
     val shufMb = results.map(_._3).sum / (1024 * 1024)
@@ -182,9 +195,9 @@ object Bench {
     // fold the remainder (all sub-threshold) into "_rest"/"_rest_n".
     // Full-precision attribution for every query is in BENCH_DETAIL.json.
     val budget = 1600
-    val fixed = s""","runs":[${"%.2f".format(total)},${"%.2f".format(total2)}],"shuffle_mb":$shufMb,"spill_mb":$spillMb,"errors":$errs,"sf":"$sfDir"}"""
-    val head = s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":{"""
-    val bySec = results.sortBy(-_._2)
+    val fixed = s""","runs":[${"%.2f".format(total)},${"%.2f".format(total2)},${"%.2f".format(total3)}],"shuffle_mb":$shufMb,"spill_mb":$spillMb,"errors":$errs,"sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","value":${"%.2f".format(totalMedian)},"unit":"sec","queries":{"""
+    val bySec = results.map(r => (r._1, medBySec(r._1), r._3, r._4)).sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + fixed.length + 40 // reserve for _rest entry + closing brace
     var restSec = 0.0; var restN = 0

@@ -21,13 +21,52 @@ import org.apache.spark.sql.DataFrame
 final class CacheHandles {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  /** Register a persisted frame for deferred release; returns it. */
-  def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
+  /** Register a persisted frame for deferred release; returns it.
+    * Also mirrors the frame into the thread's active [[CacheHandles
+    * .scoped]] collector (if one is open) so a harness can release
+    * everything a query persisted without plumbing handles through
+    * every call signature. */
+  def track(df: DataFrame): DataFrame = synchronized {
+    tracked += df
+    CacheHandles.mirror(df)
+    df
+  }
 
   /** Unpersist every tracked frame (lazy, safe to call once the
     * caller's result is materialized) and forget them. */
   def releaseAll(): Unit = synchronized {
     tracked.foreach(_.unpersist())
     tracked.clear()
+  }
+}
+
+/** Thread-scoped collector: `scoped { ... }` releases every frame any
+  * CacheHandles on THIS thread tracked inside the block, regardless of
+  * whether the query body called releaseAll itself (unpersisting an
+  * already-unpersisted frame is a no-op). This is the Verify worker's
+  * per-query cleanup (ADVICE r13: the RW-locked clearCache may never
+  * win its tryLock under a saturated pool, so persisted frames used to
+  * accumulate for the whole run) — clearCache stays as a backstop for
+  * frames persisted OUTSIDE any handles (direct .persist() calls).
+  * Query bodies run single-threaded on their worker, so a plain
+  * ThreadLocal scopes correctly; memoized stores released here simply
+  * recompute on next use (correctness is persist-independent). */
+object CacheHandles {
+  private val active = new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
+
+  private def mirror(df: DataFrame): Unit = {
+    val buf = active.get()
+    if (buf != null) buf += df
+  }
+
+  def scoped[T](body: => T): T = {
+    val prev = active.get()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    active.set(buf)
+    try body
+    finally {
+      active.set(prev)
+      buf.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    }
   }
 }

@@ -81,8 +81,17 @@ object Verify {
             if (heavy) heavyPermit.acquire()
             val t0 = System.nanoTime()
             cacheLock.readLock().lock()
-            try q.fn(session, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/${q.name}")
+            // scoped: every frame this query's ops persist through
+            // CacheHandles is released as soon as its dump is written
+            // (unconditional, no lock needed — per-query, this-thread
+            // frames only), so a saturated pool can no longer let
+            // persisted frames accumulate for the whole run. The
+            // RW-locked clearCache below remains the backstop for
+            // direct .persist() calls outside any handles.
+            try CacheHandles.scoped {
+              q.fn(session, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/${q.name}")
+            }
             catch { case e: Throwable =>
               System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
             } finally {

@@ -260,8 +260,15 @@ object Ingest {
     (s, dir) => {
       val out = graft.Staging.dir(s,
         "graft_dsv2_write_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      // recursive clean: a stale non-empty _staging_<oldQueryId> dir
+      // left by a hard-killed prior run would survive a flat delete
+      // and then falsely trip the staging-dir audit below
+      def deleteRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete()
+      }
       val d = new java.io.File(out)
-      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+      if (d.exists()) deleteRec(d)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
       val sam = graft.Tables.load(s, dir, "documents").select(
         col("doc_id").cast("string").as("noticeId"),

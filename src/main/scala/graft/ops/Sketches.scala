@@ -619,7 +619,12 @@ object Sketches {
     * k), so the estimates themselves are deterministic integers —
     * est = cnt·2⁴⁸ ÷ θ — and the exact sides ride along as the audit
     * columns. Emits one row per region (a_only / b_only / both) with
-    * sample count, estimate, and exact truth.
+    * sample count, estimate, and exact truth. The sample is the k−1
+    * hashes STRICTLY below θ — including the θ element itself would
+    * systematically overestimate (the k/θ vs unbiased (k−1)/θ
+    * distinction in the standard KMV estimator; E[(K−1)/θ]·2⁴⁸ = n).
+    * Exact mode is unchanged: θ = 2⁴⁸ sits above every hash, so the
+    * strict filter keeps the whole set.
     *
     * Scale shape: one scan to per-user hashes + membership flags
     * (map-side combinable), a TakeOrdered-k for the sketch (never a
@@ -652,7 +657,9 @@ object Sketches {
         sum(when(col("in_a") === 0L && col("in_b") === 1L, 1L).otherwise(0L)),
         sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L)))
         .head()
-      val counts = sketch.agg(
+      // strictly below θ: the θ row is the threshold, not a sample
+      // (unbiased (k−1)/θ estimator); exact mode keeps everything
+      val counts = sketch.filter(col("h") < theta).agg(
         sum(when(col("in_a") === 1L && col("in_b") === 0L, 1L).otherwise(0L)),
         sum(when(col("in_a") === 0L && col("in_b") === 1L, 1L).otherwise(0L)),
         sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L)))
@@ -680,27 +687,28 @@ object Sketches {
       sk AS MATERIALIZED (SELECT * FROM m ORDER BY h LIMIT $KmvK),
       th AS (SELECT CAST(CASE WHEN count(*) < $KmvK THEN 281474976710656
                               ELSE max(h) END AS BIGINT) AS theta FROM sk),
+      sks AS (SELECT * FROM sk WHERE h < (SELECT theta FROM th)),
       cnts AS (
         SELECT 'a_only' AS region,
                CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_sample,
                (SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
                  AS BIGINT) FROM m) AS exact
-        FROM sk
+        FROM sks
         UNION ALL
         SELECT 'b_only',
                CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
                  AS BIGINT),
                (SELECT CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
                  AS BIGINT) FROM m)
-        FROM sk
+        FROM sks
         UNION ALL
         SELECT 'both',
                CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
                  AS BIGINT),
                (SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
                  AS BIGINT) FROM m)
-        FROM sk)
+        FROM sks)
       SELECT region, n_sample,
              CAST(n_sample * 281474976710656 // theta AS BIGINT) AS est,
              exact

@@ -100,7 +100,25 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
     * here because local-fs concatenation is the single-log analog. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // Fail fast at PLAN time on any non-string leaf: the row
+    // serializer reads every leaf as UTF8String (the SAM record shape
+    // — all-string fields plus one struct-of-strings address), so a
+    // LongType column passed through the advertised BATCH_WRITE
+    // capability would otherwise surface as an opaque executor
+    // ClassCastException mid-job. Callers cast to string explicitly —
+    // a JSON-lines landing log has no richer types to preserve.
+    def assertStringLeaves(st: StructType, where: String): Unit =
+      st.fields.foreach { f =>
+        f.dataType match {
+          case sub: StructType => assertStringLeaves(sub, s"$where${f.name}.")
+          case org.apache.spark.sql.types.StringType => ()
+          case other => throw new IllegalArgumentException(
+            s"PagedJsonSource write supports only STRING leaves; column " +
+              s"'$where${f.name}' is $other — cast it to string before writing")
+        }
+      }
+    assertStringLeaves(info.schema(), "")
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
@@ -112,6 +130,7 @@ final class PagedJsonTable(schema0: StructType, props: Map[String, String])
           }
         }
     }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
@@ -342,11 +361,28 @@ final class PagedJsonBatchWrite(dir: String, queryId: String, schema: StructType
     new PagedJsonWriterFactory(stagingDir.toString, schema)
   }
 
+  /** AppendData commit: the new log = prior committed log bytes +
+    * committed staged files in partition order, built in a tmp file
+    * and promoted by ONE atomic move — readers see the old log or the
+    * new one, never a torn state (true append-to-file would expose a
+    * partially-appended log mid-copy). `_SUCCESS` carries the
+    * CUMULATIVE row count; the prior count is re-derived by counting
+    * the existing log's lines rather than trusting a prior manifest,
+    * so a crash between a previous move and its manifest write can
+    * never skew the running total. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val target = java.nio.file.Paths.get(dir, "records.jsonl")
     val tmp = java.nio.file.Paths.get(dir, s"_records_$queryId.tmp")
+    val priorRows: Long =
+      if (java.nio.file.Files.exists(target)) {
+        val in = java.nio.file.Files.newBufferedReader(target)
+        try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
+        finally in.close()
+      } else 0L
     val out = java.nio.file.Files.newOutputStream(tmp)
     try {
+      if (priorRows > 0L)
+        java.nio.file.Files.copy(target, out)
       messages.map(_.asInstanceOf[StagedFileMessage])
         .sortBy(_.partitionId)
         .foreach { m =>
@@ -356,7 +392,8 @@ final class PagedJsonBatchWrite(dir: String, queryId: String, schema: StructType
     java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_SUCCESS"),
-      messages.map(_.asInstanceOf[StagedFileMessage]).map(_.rows).sum
+      (priorRows +
+        messages.map(_.asInstanceOf[StagedFileMessage]).map(_.rows).sum)
         .toString.getBytes("UTF-8"))
     abort(messages) // staging cleanup: promoted bytes already copied
   }

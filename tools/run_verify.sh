@@ -13,4 +13,9 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java $ADD_OPENS \
   -cp "$CP" graft.Verify "$SF" "$OUT" 2>/tmp/verify_stderr.log \
   || { tail -30 /tmp/verify_stderr.log; exit 1; }
 grep -E "\[verify\]" /tmp/verify_stderr.log || true
-python3 tools/verify_local.py "$SF" "$OUT"
+RC=0
+python3 tools/verify_local.py "$SF" "$OUT" || RC=$?
+# Seal round evidence even when the gate fails (VERDICT r13 item 1:
+# untracked BENCH/CORRECTNESS artifacts three rounds running).
+bash tools/seal_round.sh || true
+exit $RC

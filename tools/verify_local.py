@@ -13,7 +13,14 @@ import duckdb
 # Per-oracle DuckDB wall budget (seconds). The registry has ~300
 # oracles; the driver's whole verify step must fit a fixed budget, so
 # any single oracle beyond this is a defect regardless of correctness.
-SLOW_ORACLE_S = 10.0
+# Env-overridable so tools/test_verify_gate.py can trip the gate with
+# a fast fixture instead of burning 10 real seconds.
+SLOW_ORACLE_S = float(os.environ.get("GRAFT_SLOW_ORACLE_S", "10.0"))
+# Full-sweep DuckDB wall budget (seconds) across ALL oracles. r13's
+# whole sweep ran 23.6 s at sf0.01; a sweep creeping past this pin is
+# the r12 blackout class (driver verify wall exhausted) even when no
+# single oracle trips the per-oracle wire — HARD FAIL, not a report.
+TOTAL_ORACLE_S = float(os.environ.get("GRAFT_TOTAL_ORACLE_S", "90.0"))
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -149,7 +156,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     for n, msg in fails:
         print(f"FAIL  {n}: {msg}")
     oracle_times.sort(reverse=True)
-    print(f"\noracle wall total {sum(t for t, _ in oracle_times):.1f}s; slowest: "
+    sweep_wall = sum(t for t, _ in oracle_times)
+    # Full-sweep budget: trips even when every individual oracle is
+    # under the per-oracle wire (death by three hundred cuts).
+    if sweep_wall > TOTAL_ORACLE_S:
+        fails.append(("_sweep", f"SLOW sweep: oracle wall {sweep_wall:.1f}s > "
+                      f"{TOTAL_ORACLE_S}s budget (r12 blackout class)"))
+        print(f"FAIL  _sweep: {fails[-1][1]}")
+    print(f"\noracle wall total {sweep_wall:.1f}s; slowest: "
           + ", ".join(f"{n} {t:.1f}s" for t, n in oracle_times[:5]))
     print(f"{len(passes)} pass, {len(rows_only)} rows-only, {len(fails)} fail")
     return 1 if fails else 0
