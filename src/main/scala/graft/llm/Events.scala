@@ -2125,6 +2125,144 @@ object Events {
       ORDER BY t"""
   }
 
+  /** CONTEXTUAL UCB — one independent UCB1 state machine PER CONTEXT
+    * (the day-of-week contexts [[ipsValue]] defines, x = day % 7),
+    * the simplest contextual bandit: rounds are a context's own days
+    * in order, so context x's round t is the t-th calendar day whose
+    * day-of-month ≡ x (mod 7); rewards, bonus recipe, exactness, and
+    * tie-breaks are verbatim [[ucbReplay]] (clipped milli day-means,
+    * ONE fixed-order IEEE bonus chain, BIGINT micro comparisons,
+    * unplayed arms +∞, ties alphabetical). The full per-context
+    * trajectory (pick, reward, per-arm plays and sums after update)
+    * rides the driver hash.
+    *
+    * Scale shape: the reward tensor is one map-side-combinable
+    * (x, day, arm) aggregate off the corpus scan; the folded frame is
+    * (context × day)-domain-bounded driver work (the [[ucbReplay]]
+    * argument — each context's decision at round t depends on all its
+    * prior rounds; contexts are independent but the whole state table
+    * is ~7×30 rows). The oracle replays all contexts SIMULTANEOUSLY
+    * in one recursive CTE: the recursion carries one state row per
+    * context and each step joins the (x, t+1) reward grid — contexts
+    * whose days run out simply drop from the recursion. */
+  val ucbContextual: Q = Q(
+    "q_ucb_contextual",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin(UcbArms: _*))
+        .select(to_date(col("ts")).as("d"), col("event_type").as("arm"),
+          round(col("value") * 100, 0).cast("long").as("vc"))
+        .withColumn("x", (dayofmonth(col("d")) % 7).cast("long"))
+      val dayIdx = ev.select("x", "d").distinct()
+        .withColumn("t", row_number().over(
+          Window.partitionBy("x").orderBy("d")).cast("long"))
+      val rm = ev.join(dayIdx, Seq("x", "d"))
+        .groupBy("x", "t", "arm")
+        .agg(least(lit(1000L),
+          expr("(1000 * sum(vc)) div (100 * count(1))")).as("r"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+      val contexts = rm.keys.map(_._1).toSeq.distinct.sorted
+      val trace = contexts.flatMap { x =>
+        val horizon = rm.keys.collect { case (`x`, tt, _) => tt }
+          .foldLeft(0L)(math.max).toInt
+        val n = scala.collection.mutable.Map(UcbArms.map(_ -> 0L): _*)
+        val sum = scala.collection.mutable.Map(UcbArms.map(_ -> 0L): _*)
+        (1 to horizon).map { rt =>
+          val scored = UcbArms.map { a =>
+            val score =
+              if (n(a) == 0L) 1000000000000000L
+              else (1000L * sum(a)) / n(a) +
+                BigDecimal(math.sqrt(2.0 * math.log(rt.toDouble) / n(a)) * 1e6)
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            (a, score)
+          }
+          val best = scored.maxBy(_._2)._2
+          val pick = scored.filter(_._2 == best).map(_._1).min
+          val r = rm.getOrElse((x, rt.toLong, pick), 0L)
+          n(pick) += 1L; sum(pick) += r
+          (x, rt.toLong, pick, r, n(pick), sum(pick))
+        }
+      }
+      import s.implicits._
+      trace.toDF("x", "t", "arm", "reward_milli", "n_arm", "sum_arm_milli")
+        .coalesce(1).orderBy("x", "t")
+    },
+    Some(contextualUcbOracle))
+
+  /** Generated context-keyed recursive-CTE oracle for
+    * [[ucbContextual]]: the [[ucbOracle]] state recurrence with every
+    * CTE carrying the context key x; one recursion advances all
+    * contexts in lockstep, the (x, t+1) grid join retiring each
+    * context at its own horizon. */
+  private def contextualUcbOracle: String = {
+    val k = UcbArms.length
+    val idx = 1 to k
+    val zeroState = idx.map(i => s"CAST(0 AS BIGINT) AS n$i, CAST(0 AS BIGINT) AS s$i")
+      .mkString(", ")
+    val scores = idx.map(i => s"""
+          CASE WHEN u.n$i = 0 THEN CAST(1000000000000000 AS BIGINT)
+               ELSE (1000 * u.s$i) // u.n$i +
+                    CAST(round(sqrt(2.0 * ln(CAST(u.t + 1 AS DOUBLE)) /
+                      CAST(u.n$i AS DOUBLE)) * 1e6) AS BIGINT) END AS sc$i""")
+      .mkString(",")
+    val best = s"greatest(${idx.map(i => s"sc$i").mkString(", ")})"
+    // npick/nrpick naming: see ucbOracle — a lateral alias shadowing a
+    // carried state column resolves to the CARRIED one
+    val pickIdx = "CAST(CASE " +
+      idx.map(i => s"WHEN sc$i = best THEN $i").mkString(" ") + " END AS BIGINT)"
+    val rewardOfPick = "CASE " +
+      idx.map(i => s"WHEN npick = $i THEN r$i").mkString(" ") + " END"
+    val newState = idx.map(i =>
+      s"""CASE WHEN npick = $i THEN n$i + 1 ELSE n$i END AS n$i,
+          CASE WHEN npick = $i THEN s$i + nrpick ELSE s$i END AS s$i""").mkString(",\n          ")
+    val wideRewards = idx.map(i =>
+      s"""CAST(coalesce(max(CASE WHEN arm = '${UcbArms(i - 1)}' THEN r END), 0)
+          AS BIGINT) AS r$i""").mkString(",\n               ")
+    val armName = "CASE " +
+      idx.map(i => s"WHEN pick = $i THEN '${UcbArms(i - 1)}'").mkString(" ") + " END"
+    val pickedN = "CASE " + idx.map(i => s"WHEN pick = $i THEN n$i").mkString(" ") + " END"
+    val pickedS = "CASE " + idx.map(i => s"WHEN pick = $i THEN s$i").mkString(" ") + " END"
+    s"""
+      WITH RECURSIVE ev AS MATERIALIZED (
+        SELECT CAST(day(CAST(ts AS DATE)) % 7 AS BIGINT) AS x,
+               CAST(ts AS DATE) AS d, event_type AS arm,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type IN (${UcbArms.map(a => s"'$a'").mkString(", ")})),
+      dayidx AS (SELECT x, d,
+                   CAST(row_number() OVER (PARTITION BY x ORDER BY d) AS BIGINT) AS t
+                 FROM (SELECT DISTINCT x, d FROM ev)),
+      rmat AS MATERIALIZED (
+        SELECT e.x, di.t, e.arm,
+               least(1000, (1000 * sum(vc)) // (100 * count(*))) AS r
+        FROM ev e JOIN dayidx di ON e.x = di.x AND e.d = di.d
+        GROUP BY e.x, di.t, e.arm),
+      grid AS MATERIALIZED (
+        SELECT x, t, $wideRewards
+        FROM rmat GROUP BY x, t),
+      ucb AS (
+        SELECT x, CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS pick,
+               CAST(0 AS BIGINT) AS rpick, $zeroState
+        FROM (SELECT DISTINCT x FROM grid)
+        UNION ALL
+        SELECT u.x, u.t + 1 AS t, npick AS pick, nrpick AS rpick,
+          $newState
+        FROM (
+          SELECT u.*, $best AS best,
+                 $pickIdx AS npick,
+                 $rewardOfPick AS nrpick
+          FROM (SELECT u.*, $scores
+                FROM ucb u) u
+          JOIN grid g ON g.x = u.x AND g.t = u.t + 1
+        ) u)
+      SELECT x, t, $armName AS arm, rpick AS reward_milli,
+             $pickedN AS n_arm, $pickedS AS sum_arm_milli
+      FROM ucb WHERE t >= 1
+      ORDER BY x, t"""
+  }
+
   /** KLEINBERG BURST DETECTION — the 2-state burst automaton (KDD
     * 2002) over the daily click series: a base state emitting at the
     * observed mean rate λ and a burst state at 2λ, a one-time entry
@@ -2401,10 +2539,110 @@ object Events {
       FROM pi JOIN nx USING (x)
       ORDER BY pi.x"""))
 
+  /** Shared DR algebra (factored so DrValueSpec can feed planted
+    * train/eval frames): both inputs carry (x, a, rc). TRAIN fits the
+    * model q̂(x,a) = floored micro-cent cell mean and the policy
+    * π(x) = argmax_a q̂ (ties to the alphabetically first arm); EVAL
+    * supplies the logged rounds the estimators re-weight. */
+  def drOf(train: DataFrame, hold: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = train.groupBy("x", "a")
+      .agg(count(lit(1)).as("n_tr"), sum(col("rc")).as("s_tr"))
+    val byMean = Window.partitionBy("x")
+      .orderBy(expr("(1000000 * s_tr) div n_tr").desc, col("a").asc)
+    val pi = cells.withColumn("rk", row_number().over(byMean))
+      .filter(col("rk") === 1)
+      .select(col("x"), col("a").as("pi_a"),
+        expr("(1000000 * s_tr) div n_tr").as("q_mu"))
+    hold.join(broadcast(pi), "x")
+      .groupBy("x", "pi_a", "q_mu")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("a") === col("pi_a"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("a") === col("pi_a"), col("rc")).otherwise(0L)).as("s_match"))
+      .select(col("x"), col("pi_a"), col("n_ev"), col("n_match"),
+        col("q_mu").as("dm_micro"),
+        expr("(5 * 1000000 * s_match) div n_ev").as("ips_micro"),
+        (col("q_mu") + expr("(5 * 1000000 * s_match) div n_ev") -
+          expr("(5 * n_match * q_mu) div n_ev")).as("dr_micro"))
+      .orderBy("x")
+  }
+
+  /** DOUBLY-ROBUST OFF-POLICY VALUE — the third estimator in the
+    * family [[ipsValue]] opens (Dudík, Langford & Li, ICML 2011):
+    * DR = DM + the IPS-weighted residual of the reward model, the
+    * estimator that stays consistent if EITHER the model or the
+    * logging propensity is right. Cross-fitted split (the production
+    * discipline that keeps the model from grading its own homework):
+    * EVEN days (day % 2 = 0) train q̂(x,a) and π(x); ODD days
+    * evaluate. Per context x (day % 7, the [[ipsValue]] contexts):
+    *
+    *  - DM  = q̂(x, π(x)) — low variance, biased when the cells are;
+    *  - IPS = 5·10⁶·Σ_matched r ÷ n_ev(x) — unbiased, noisy;
+    *  - DR  = DM + (5·10⁶·Σ_matched r) ÷ n_ev − (5·n_match·DM) ÷ n_ev.
+    *
+    * The residual's floor is SPLIT into two nonnegative-numerator
+    * divisions, mirrored exactly in the oracle: Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so a possibly
+    * negative residual numerator would diverge between engines. The
+    * split also preserves the two defining identities EXACTLY
+    * (pinned in EventsSpec): a perfect model (eval cell sums equal to
+    * the model's predictions) makes the two terms cancel → DR = DM;
+    * a zero model (q_mu = 0) collapses DR to IPS.
+    *
+    * Scale shape: one (x, split, arm) cell aggregate off the scan
+    * (map-side combinable, ≤70 cells), a 7-row broadcast policy join,
+    * one eval-side aggregate — nothing corpus-sized after the first
+    * aggregate; the eval join key x is the same hash the groupBy
+    * reuses. */
+  val drValue: Q = Q(
+    "q_dr_value",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        (dayofmonth(col("ts")) % 7).cast("long").as("x"),
+        (dayofmonth(col("ts")) % 2).cast("long").as("split"),
+        col("event_type").as("a"),
+        round(col("value") * 100, 0).cast("long").as("rc"))
+      drOf(ev.filter(col("split") === 0L).drop("split"),
+        ev.filter(col("split") === 1L).drop("split"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(day(ts) % 7 AS BIGINT) AS x,
+               CAST(day(ts) % 2 AS BIGINT) AS split,
+               event_type AS a,
+               CAST(round(value * 100) AS BIGINT) AS rc
+        FROM events),
+      cells AS (
+        SELECT x, a, CAST(count(*) AS BIGINT) AS n_tr,
+               CAST(sum(rc) AS BIGINT) AS s_tr
+        FROM ev WHERE split = 0 GROUP BY x, a),
+      pi AS (
+        SELECT x, a AS pi_a, CAST((1000000 * s_tr) // n_tr AS BIGINT) AS q_mu
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY x
+            ORDER BY (1000000 * s_tr) // n_tr DESC, a ASC) AS rk
+          FROM cells) WHERE rk = 1),
+      agg AS (
+        SELECT e.x, pi.pi_a, pi.q_mu,
+               CAST(count(*) AS BIGINT) AS n_ev,
+               CAST(sum(CASE WHEN e.a = pi.pi_a THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_match,
+               CAST(sum(CASE WHEN e.a = pi.pi_a THEN rc ELSE 0 END) AS BIGINT)
+                 AS s_match
+        FROM ev e JOIN pi ON e.x = pi.x
+        WHERE e.split = 1
+        GROUP BY e.x, pi.pi_a, pi.q_mu)
+      SELECT x, pi_a, n_ev, n_match,
+             q_mu AS dm_micro,
+             CAST((5 * 1000000 * s_match) // n_ev AS BIGINT) AS ips_micro,
+             CAST(q_mu + (5 * 1000000 * s_match) // n_ev
+                  - (5 * n_match * q_mu) // n_ev AS BIGINT) AS dr_micro
+      FROM agg ORDER BY x"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
-    burstDetect, didEstimate, ipsValue)
+    burstDetect, didEstimate, ipsValue, drValue, ucbContextual)
 }

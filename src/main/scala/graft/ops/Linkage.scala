@@ -275,5 +275,192 @@ object Linkage {
       FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
       ORDER BY scheme"""))
 
-  val all: Seq[Q] = Seq(fellegiSunter, blockingQuality)
+  /** One Winkler EM round over the 8-row agreement-pattern table
+    * (Winkler 1988's unsupervised m/u estimation under conditional
+    * independence). State is ppm BIGINTs; per pattern the posterior
+    * match weight w(γ) = p·Π f_m / (p·Π f_m + (1−p)·Π f_u) is ONE
+    * fixed-order IEEE chain from exact integer inputs (divide by 1e6
+    * per factor, left-assoc multiply nation→seg→balb, one divide)
+    * rounded ONCE to ppm — so the M-step sums Σ w·c, Σ γ_f·w·c, … are
+    * exact integer arithmetic, order-independent, and the oracle
+    * replays the identical chain. At sf ≥ 1 the Σ(1e6·w·c) products
+    * approach BIGINT range — a cluster run normalizes c by the block
+    * count first (the ratios are scale-free). */
+  def winklerEmRound(pat: Seq[(Long, Long, Long, Long)],
+      p: Long, m: Seq[Long], u: Seq[Long]): (Long, Seq[Long], Seq[Long]) = {
+    def fac(g: Long, ppm: Long): Double =
+      (if (g == 1L) ppm else 1000000L - ppm).toDouble / 1e6
+    def wOf(gn: Long, gs: Long, gb: Long): Long = {
+      val pm = p.toDouble / 1e6 *
+        fac(gn, m(0)) * fac(gs, m(1)) * fac(gb, m(2))
+      val pu = (1000000L - p).toDouble / 1e6 *
+        fac(gn, u(0)) * fac(gs, u(1)) * fac(gb, u(2))
+      BigDecimal(pm / (pm + pu) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val rows = pat.map { case (gn, gs, gb, c) =>
+      (Seq(gn, gs, gb), c, wOf(gn, gs, gb))
+    }
+    val wSum = rows.map(r => r._3 * r._2).sum
+    val dSum = rows.map(r => (1000000L - r._3) * r._2).sum
+    val cSum = rows.map(_._2).sum
+    val m2 = (0 to 2).map(i =>
+      (1000000L * rows.map(r => r._1(i) * r._3 * r._2).sum) / wSum)
+    val u2 = (0 to 2).map(i =>
+      (1000000L * rows.map(r => r._1(i) * (1000000L - r._3) * r._2).sum) / dSum)
+    (wSum / cSum, m2, u2)
+  }
+
+  /** UNSUPERVISED record linkage — the Winkler EM fixpoint replacing
+    * [[fellegiSunter]]'s supervised m/u (which peeked at the id
+    * equijoin): from the classic init (p=0.1, m=0.9, u=0.1), two
+    * unrolled EM rounds over the blocked candidates' agreement
+    * patterns estimate the match proportion and per-field m/u with NO
+    * ground-truth labels. Emits per (round, field): m_ppm, u_ppm,
+    * p_ppm, and the agreement weight ln(m/u) in micro-nats — so the
+    * trajectory AND the final ranking ride the hash; LinkageSpec pins
+    * that the EM weights recover the supervised weights' field
+    * ranking on the same planted corruption.
+    *
+    * Scale shape: ONE aggregate off the blocked candidate join
+    * collapses the corpus to 8 pattern counts (map-side combinable);
+    * both EM rounds are arithmetic over that 8-row table — driver
+    * work by construction (the [[graft.llm.Events]] UCB argument:
+    * shipping an 8-row fold to executors would just round-trip it).
+    * The blocked join is the same quadratic-only-within-block
+    * candidate generation [[fellegiSunter]] documents. */
+  val winklerEm: Q = Q(
+    "q_linkage_em",
+    (s, dir) => {
+      val a = regA(s, dir)
+      val b = regB(a)
+      val pat = a.as("a").join(b.as("b"), col("a.blk") === col("b.blk"))
+        .select(
+          when(col("a.nation") === col("b.nation"), 1L).otherwise(0L).as("gn"),
+          when(col("a.seg") === col("b.seg"), 1L).otherwise(0L).as("gs"),
+          when(col("a.balb") === col("b.balb"), 1L).otherwise(0L).as("gb"))
+        .groupBy("gn", "gs", "gb").agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      val r1 = winklerEmRound(pat, 100000L,
+        Seq(900000L, 900000L, 900000L), Seq(100000L, 100000L, 100000L))
+      val r2 = winklerEmRound(pat, r1._1, r1._2, r1._3)
+      def rows(rnd: Long, st: (Long, Seq[Long], Seq[Long])) =
+        Seq("nation", "seg", "balb").zipWithIndex.map { case (f, i) =>
+          val (mp, up) = (st._2(i), st._3(i))
+          val wA = BigDecimal(math.log(mp.toDouble / up.toDouble) * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          (rnd, f, mp, up, st._1, wA)
+        }
+      import s.implicits._
+      (rows(1L, r1) ++ rows(2L, r2))
+        .toDF("rnd", "field", "m_ppm", "u_ppm", "p_ppm", "w_agree_micro")
+        .coalesce(1).orderBy("rnd", "field")
+    },
+    Some("""
+      WITH a AS MATERIALIZED (
+        SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS balb,
+               substr(c_name, length(c_name) - 1, 2) AS blk
+        FROM customer),
+      b AS MATERIALIZED (
+        SELECT id,
+               CASE WHEN (ascii(substr(md5(CAST(id AS VARCHAR)), 1, 1)) * 256 +
+                          ascii(substr(md5(CAST(id AS VARCHAR)), 2, 1))) % 100 < 20
+                    THEN (nation + 1) % 25 ELSE nation END AS nation,
+               CASE WHEN (ascii(substr(md5(CAST(id AS VARCHAR)), 3, 1)) * 256 +
+                          ascii(substr(md5(CAST(id AS VARCHAR)), 4, 1))) % 100 < 30
+                    THEN 'UNKNOWN' ELSE seg END AS seg,
+               CASE WHEN (ascii(substr(md5(CAST(id AS VARCHAR)), 5, 1)) * 256 +
+                          ascii(substr(md5(CAST(id AS VARCHAR)), 6, 1))) % 100 < 25
+                    THEN balb + 1 ELSE balb END AS balb,
+               blk
+        FROM a),
+      pat AS MATERIALIZED (
+        SELECT CAST(CASE WHEN a.nation = b.nation THEN 1 ELSE 0 END AS BIGINT) AS gn,
+               CAST(CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS BIGINT) AS gs,
+               CAST(CASE WHEN a.balb = b.balb THEN 1 ELSE 0 END AS BIGINT) AS gb,
+               CAST(count(*) AS BIGINT) AS c
+        FROM a JOIN b ON a.blk = b.blk
+        GROUP BY 1, 2, 3),
+      w1 AS (
+        SELECT gn, gs, gb, c,
+               CAST(round(pm / (pm + pu) * 1e6) AS BIGINT) AS w
+        FROM (
+          SELECT *,
+            (CAST(100000 AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gn = 1 THEN 900000 ELSE 100000 END AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gs = 1 THEN 900000 ELSE 100000 END AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gb = 1 THEN 900000 ELSE 100000 END AS DOUBLE) / 1e6)
+              AS pm,
+            (CAST(900000 AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gn = 1 THEN 100000 ELSE 900000 END AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gs = 1 THEN 100000 ELSE 900000 END AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gb = 1 THEN 100000 ELSE 900000 END AS DOUBLE) / 1e6)
+              AS pu
+          FROM pat)),
+      r1 AS (
+        SELECT
+          CAST((1000000 * sum(gn * w * c)) // sum(w * c) AS BIGINT) AS mn,
+          CAST((1000000 * sum(gs * w * c)) // sum(w * c) AS BIGINT) AS ms,
+          CAST((1000000 * sum(gb * w * c)) // sum(w * c) AS BIGINT) AS mb,
+          CAST((1000000 * sum(gn * (1000000 - w) * c)) //
+               sum((1000000 - w) * c) AS BIGINT) AS un,
+          CAST((1000000 * sum(gs * (1000000 - w) * c)) //
+               sum((1000000 - w) * c) AS BIGINT) AS us,
+          CAST((1000000 * sum(gb * (1000000 - w) * c)) //
+               sum((1000000 - w) * c) AS BIGINT) AS ub,
+          CAST(sum(w * c) // sum(c) AS BIGINT) AS p
+        FROM w1),
+      w2 AS (
+        SELECT gn, gs, gb, c,
+               CAST(round(pm / (pm + pu) * 1e6) AS BIGINT) AS w
+        FROM (
+          SELECT pat.gn, pat.gs, pat.gb, pat.c,
+            (CAST(r1.p AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gn = 1 THEN r1.mn ELSE 1000000 - r1.mn END AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gs = 1 THEN r1.ms ELSE 1000000 - r1.ms END AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gb = 1 THEN r1.mb ELSE 1000000 - r1.mb END AS DOUBLE) / 1e6)
+              AS pm,
+            (CAST(1000000 - r1.p AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gn = 1 THEN r1.un ELSE 1000000 - r1.un END AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gs = 1 THEN r1.us ELSE 1000000 - r1.us END AS DOUBLE) / 1e6)
+              * (CAST(CASE WHEN gb = 1 THEN r1.ub ELSE 1000000 - r1.ub END AS DOUBLE) / 1e6)
+              AS pu
+          FROM pat CROSS JOIN r1)),
+      r2 AS (
+        SELECT
+          CAST((1000000 * sum(gn * w * c)) // sum(w * c) AS BIGINT) AS mn,
+          CAST((1000000 * sum(gs * w * c)) // sum(w * c) AS BIGINT) AS ms,
+          CAST((1000000 * sum(gb * w * c)) // sum(w * c) AS BIGINT) AS mb,
+          CAST((1000000 * sum(gn * (1000000 - w) * c)) //
+               sum((1000000 - w) * c) AS BIGINT) AS un,
+          CAST((1000000 * sum(gs * (1000000 - w) * c)) //
+               sum((1000000 - w) * c) AS BIGINT) AS us,
+          CAST((1000000 * sum(gb * (1000000 - w) * c)) //
+               sum((1000000 - w) * c) AS BIGINT) AS ub,
+          CAST(sum(w * c) // sum(c) AS BIGINT) AS p
+        FROM w2),
+      stacked AS (
+        SELECT CAST(1 AS BIGINT) AS rnd, 'nation' AS field,
+               mn AS m_ppm, un AS u_ppm, p AS p_ppm FROM r1
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'seg', ms, us, p FROM r1
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'balb', mb, ub, p FROM r1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'nation', mn, un, p FROM r2
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'seg', ms, us, p FROM r2
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'balb', mb, ub, p FROM r2)
+      SELECT rnd, field, m_ppm, u_ppm, p_ppm,
+             CAST(round(ln(CAST(m_ppm AS DOUBLE) / CAST(u_ppm AS DOUBLE))
+               * 1e6) AS BIGINT) AS w_agree_micro
+      FROM stacked
+      ORDER BY rnd, field"""))
+
+  val all: Seq[Q] = Seq(fellegiSunter, blockingQuality, winklerEm)
 }

@@ -642,4 +642,63 @@ class EventsSpec extends SparkSpec {
       assert(gap == math.abs(ips - dm))
     }
   }
+
+  test("drOf: DR equals DM exactly under a perfect model") {
+    // constant rewards per (x, a) cell make every train cell mean
+    // exact, so eval(=train) matched sums equal the model's
+    // predictions and the two residual floors cancel term-for-term
+    val cells = for {
+      x <- 0L to 1L
+      (a, rc) <- Seq(("click", 100L), ("view", 40L))
+      _ <- 1 to 3
+    } yield (x, a, rc)
+    val f = cells.toDF("x", "a", "rc")
+    val same = Events.drOf(f, f).collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getAs[Long]("dr_micro") == r.getAs[Long]("dm_micro"),
+        s"x=${r.getAs[Long]("x")}: DR != DM under a perfect model")
+      assert(r.getAs[String]("pi_a") == "click") // higher-mean arm
+    }
+  }
+
+  test("drOf: DR collapses to IPS under a zero model") {
+    val hold = (for {
+      x <- 0L to 1L
+      (a, rc) <- Seq(("click", 100L), ("view", 40L))
+      _ <- 1 to 3
+    } yield (x, a, rc)).toDF("x", "a", "rc")
+    // all-zero train rewards: q_mu = 0 and the model-correction term
+    // vanishes, leaving exactly the IPS estimate
+    val z = Events.drOf(hold.withColumn("rc", lit(0L)), hold).collect()
+    assert(z.nonEmpty)
+    z.foreach { r =>
+      assert(r.getAs[Long]("dm_micro") == 0L)
+      assert(r.getAs[Long]("dr_micro") == r.getAs[Long]("ips_micro"),
+        s"x=${r.getAs[Long]("x")}: DR != IPS under a zero model")
+    }
+  }
+
+  test("contextual UCB: per-context openings are distinct arms and the state replays") {
+    val rows = SparkEntry.queries("q_ucb_contextual")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byX = rows.groupBy(_._1)
+    assert(byX.keySet == (0L to 6L).toSet, s"contexts: ${byX.keySet}")
+    byX.foreach { case (x, tr) =>
+      val sorted = tr.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      // the play-each-arm-once opening falls out of the +inf rule
+      val open = sorted.take(5).map(_._3)
+      assert(open.distinct.length == open.length, s"x=$x opening $open")
+      // replay the state columns from the picks and rewards
+      val n = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      val s = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      sorted.foreach { case (_, t, arm, r, nArm, sArm) =>
+        n(arm) += 1L; s(arm) += r
+        assert(r >= 0L && r <= 1000L, s"x=$x t=$t reward $r out of [0,1000]")
+        assert(nArm == n(arm) && sArm == s(arm), s"x=$x t=$t state mismatch")
+      }
+    }
+  }
 }

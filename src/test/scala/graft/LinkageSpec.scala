@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Fellegi–Sunter linkage invariants beyond the oracle hash: perfect
   * blocking recall, weight monotonicity in pattern dominance, and the
   * separation property that makes the weight a usable ranking. */
@@ -62,5 +64,55 @@ class LinkageSpec extends SparkSpec {
     // tighter key => fewer candidates, higher reduction ratio
     assert(candC < candS && rrC > rrS, s"$candC !< $candS / $rrC !> $rrS")
     assert(rrS > 900000L, s"even 100 suffix blocks must cut 99%: $rrS")
+  }
+
+  test("winkler EM recovers the supervised weights' field ranking, unsupervised") {
+    val sf01 = "/root/testdata/sf0.01" // all 8 patterns populated here
+    // supervised per-field delta: weight(only f agrees) - weight(none)
+    val sup = SparkEntry.queries("q_record_linkage")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(5))
+      .toMap
+    val base = sup((0L, 0L, 0L))
+    val supDelta = Map(
+      "nation" -> (sup((1L, 0L, 0L)) - base).toDouble,
+      "seg" -> (sup((0L, 1L, 0L)) - base).toDouble,
+      "balb" -> (sup((0L, 0L, 1L)) - base).toDouble)
+    val em = SparkEntry.queries("q_linkage_em")(spark, sf01)
+      .filter(col("rnd") === 2L).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    def emDelta(f: String): Double = {
+      val (m, u) = em(f)
+      math.log(m.toDouble / u.toDouble) +
+        math.log((1000000.0 - u.toDouble) / (1000000.0 - m.toDouble))
+    }
+    val supRank = supDelta.toSeq.sortBy(-_._2).map(_._1)
+    val emRank = Seq("nation", "seg", "balb").sortBy(f => -emDelta(f))
+    assert(supRank == emRank,
+      s"supervised $supRank vs EM $emRank (sup=$supDelta)")
+  }
+
+  test("winkler EM separates m from u and moves p toward the blocked truth") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_linkage_em")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    Seq("nation", "seg", "balb").foreach { f =>
+      val (m2, u2, _) = rows((2L, f))
+      assert(m2 > u2, s"$f: round-2 m $m2 must exceed u $u2")
+    }
+    // supervised truth: p = matches / blocked candidates
+    val sup = SparkEntry.queries("q_record_linkage")(spark, sf01).collect()
+    val nPairs = sup.map(_.getLong(3)).sum
+    val nMatch = sup.map(_.getLong(4)).sum
+    val pTrue = 1000000L * nMatch / nPairs
+    val p2 = rows((2L, "nation"))._3
+    // EM maximizes likelihood, not truth distance, so per-round
+    // monotonicity toward pTrue is NOT guaranteed (and measurably
+    // fails by ~30 ppm here); what matters is that two rounds land
+    // decisively closer than the 0.1 init and inside a 2 pp band.
+    assert(math.abs(p2 - pTrue) < math.abs(100000L - pTrue),
+      s"p2=$p2 no closer to truth $pTrue than the init")
+    assert(math.abs(p2 - pTrue) < 20000L,
+      s"p2=$p2 outside the 2pp band around truth $pTrue")
   }
 }

@@ -78,4 +78,34 @@ class ScdSpec extends SparkSpec {
     // untouched key reads the same value at every tx after learning
     assert(read(3, 1)(2L) == 999L && read(98, 5)(2L) == 999L)
   }
+
+  test("incremental absorb == full rebuild at two-batch depth; preconditions throw") {
+    val facts = Seq(
+      (1L, 1L, 2L, 100L), (1L, 2L, 3L, 110L), (2L, 1L, 2L, 500L))
+      .toDF("key", "valid_from", "tx_from", "value")
+    val base = ops.Scd.bitemporal(facts)
+    val d1 = Seq((1L, 1L, 5L, 150L))
+      .toDF("key", "valid_from", "tx_from", "value")
+    val d2 = Seq((1L, 1L, 6L, 160L), (2L, 1L, 6L, 550L))
+      .toDF("key", "valid_from", "tx_from", "value")
+    val incr = ops.Scd.absorbCorrections(
+      ops.Scd.absorbCorrections(base, d1), d2)
+    val full = ops.Scd.bitemporal(
+      facts.unionByName(d1).unionByName(d2))
+    assert(incr.exceptAll(full).count() == 0 &&
+      full.exceptAll(incr).count() == 0,
+      "two absorbed batches must be indistinguishable from a rebuild")
+    // a batch carrying two versions of one cell is rejected
+    val dup = Seq((1L, 1L, 7L, 1L), (1L, 1L, 8L, 2L))
+      .toDF("key", "valid_from", "tx_from", "value")
+    intercept[IllegalArgumentException] {
+      ops.Scd.absorbCorrections(base, dup)
+    }
+    // a correction that does not advance tx within its cell is rejected
+    val stale = Seq((1L, 1L, 2L, 1L))
+      .toDF("key", "valid_from", "tx_from", "value")
+    intercept[IllegalArgumentException] {
+      ops.Scd.absorbCorrections(base, stale)
+    }
+  }
 }
