@@ -19,6 +19,39 @@ object Graph {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Largest basket the co-purchase self-joins will expand. The
+    * per-order pair blow-up is (lines/order)² — a data constant on
+    * TPC-H (≤7 lines ⇒ ≤21 pairs) but an unbounded corpus property
+    * in general: ONE mega-basket of 10⁵ items would emit 5·10⁹ pairs
+    * into a single task. 64 keeps the per-key expansion ≤2 016 rows
+    * (provably safe) while sitting 9× above anything the generator
+    * emits. */
+  val BasketCap = 64
+
+  /** Guards a distinct (o, p) basket frame with an IN-PLAN basket-size
+    * invariant before its quadratic self-join: any order carrying more
+    * than [[BasketCap]] distinct items turns its `p` values into a
+    * `raise_error`, failing the job fast instead of letting one skewed
+    * key OOM an executor at corpus scale. The count rides a window
+    * partitioned by `o` — the SAME key the self-join shuffles on — so
+    * the guard adds no extra pass over the data and the exchange it
+    * introduces is the one the join needs anyway. Values are untouched
+    * under the cap, so every downstream hash is unchanged (GraphSpec
+    * pins both directions). */
+  def checkedBasket(op: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o"))
+    op.withColumn("_bsz", count(lit(1)).over(w))
+      .withColumn("p",
+        when(col("_bsz") > BasketCap,
+          raise_error(concat(
+            lit(s"basket over cap $BasketCap: order "),
+            col("o").cast("string"), lit(" has "),
+            col("_bsz").cast("string"), lit(" distinct items")))
+            .cast("long"))
+          .otherwise(col("p")))
+      .select(col("o"), col("p"))
+  }
+
   /** PageRank (d = 0.85, 5 iterations) over the bipartite
     * customer↔supplier purchase graph: an edge per distinct
     * (customer, supplier) pair observed in lineitem⋈orders, in both
@@ -219,6 +252,7 @@ object Graph {
     (s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
       li.as("a").join(li.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
@@ -310,6 +344,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
       // canonical undirected edges (u < v by id)
       val edges = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
@@ -463,6 +498,8 @@ object Graph {
           .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+          .transform(checkedBasket)
+        .transform(checkedBasket)
         val und = op.as("a").join(op.as("b"),
             col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -534,6 +571,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
       val und = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -880,6 +918,7 @@ object Graph {
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate").between("1995-01-01", "1995-12-31"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
       val e = li.as("a").join(li.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("p1"), col("b.p").as("p2")).distinct()
@@ -1062,6 +1101,8 @@ object Graph {
       if (!graft.Staging.ready(s, s"$stateDir/deg")) {
         val op = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+          .transform(checkedBasket)
+        .transform(checkedBasket)
         val co = op.as("a").join(op.as("b"),
             col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
           .groupBy(col("a.p").as("x"), col("b.p").as("y"))
@@ -1208,6 +1249,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
       val edges = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -1335,6 +1377,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
       val edges = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -1404,6 +1447,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
       val und = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("u"), col("b.p").as("v"))
@@ -1505,6 +1549,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
       val ord = t(s, dir, "orders").select(col("o_orderkey").as("o"),
         datediff(to_date(col("o_orderdate")),
           lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("t"))
@@ -1719,6 +1764,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
       val ord = t(s, dir, "orders").select(col("o_orderkey").as("o"),
         datediff(to_date(col("o_orderdate")),
           lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("t"))
@@ -1821,6 +1867,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
       val und = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -2031,6 +2078,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
       val und = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()

@@ -1456,6 +1456,7 @@ object EventStream {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(graft.ops.Graph.checkedBasket)
       val edges = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()

@@ -776,4 +776,31 @@ class GraphSpec extends SparkSpec {
         s"seed $seed: not maximal")
     }
   }
+
+  test("checkedBasket is the identity under the cap — values AND hashes untouched") {
+    val rnd = new scala.util.Random(99)
+    val op = (1 to 400).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(300).toLong)).distinct
+      .toDF("o", "p")
+    val got = ops.Graph.checkedBasket(op).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = op.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "guard must not perturb a single row")
+  }
+
+  test("checkedBasket aborts on a mega-basket instead of expanding it") {
+    // one order with BasketCap+1 distinct items: the quadratic
+    // self-join would emit C(65,2) = 2080 pairs from ONE key — at a
+    // corpus mega-basket that's the executor-OOM shape the guard
+    // exists for, so the plan must throw before the join ever runs
+    val mega = (0 to ops.Graph.BasketCap).map(i => (7L, 100L + i))
+      .toDF("o", "p")
+    val ex = intercept[Throwable] {
+      ops.Graph.checkedBasket(mega).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).contains("basket over cap"),
+      s"expected the basket invariant, got: ${msgs(ex).take(200)}")
+  }
 }
