@@ -2639,10 +2639,106 @@ object Events {
                   - (5 * n_match * q_mu) // n_ev AS BIGINT) AS dr_micro
       FROM agg ORDER BY x"""))
 
+  /** QINI / UPLIFT CURVE — the targeting audit behind every
+    * incrementality program: rank users by an uplift score, then ask
+    * at each decile "how much EXTRA outcome did the treated top-k
+    * produce beyond what the control top-k predicts", i.e.
+    * Qini(k) = Yₜ(k) − Y꜀(k)·Nₜ(k)/N꜀(k) (Radcliffe's definition).
+    * A model no better than random gives a straight line to the
+    * endpoint; the curve's bow above it is the value of targeting.
+    * Complements [[graft.llm.Classifier.liftCurve]] (response lift,
+    * no counterfactual) with the CAUSAL ranking curve.
+    *
+    * Construction is peek-free and fully derandomized: treatment =
+    * the md5 user coin (hex 7–8, the [[didEstimate]] split); the
+    * uplift score is each user's PRE-period activity count (events
+    * before the month midpoint; score ties break by user_id), the
+    * outcome is POST-period value cents — the score never sees the
+    * outcome window. Deciles come from the explicit row_number grid
+    * ((rn−1)·10 div n + 1, no engine ntile semantics relied on);
+    * cumulative cells are window sums over the 10-row decile frame;
+    * the single ratio per decile floor-divides once (nonnegative
+    * operands; N꜀ = 0 → NULL via nullif).
+    *
+    * Scale shape: one per-user aggregate (corpus-keyed shuffle), a
+    * user-domain rank window, a 10-row decile rollup — the curve
+    * never materializes anything bigger than the user table. */
+  val qiniCurve: Q = Q(
+    "q_qini_uplift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hex = md5(col("user_id").cast("string").cast("binary"))
+      val treated = ((ascii(substring(hex, 7, 1)) * 256 +
+        ascii(substring(hex, 8, 1))) % 2).cast("long")
+      val users = t(s, dir, "events").select(
+          col("user_id"), treated.as("g"),
+          when(to_date(col("ts")) < lit("2024-01-16"), 1L).otherwise(0L).as("pre"),
+          when(to_date(col("ts")) >= lit("2024-01-16"),
+            round(col("value") * 100, 0).cast("long")).otherwise(0L).as("post_vc"))
+        .groupBy("user_id", "g")
+        .agg(sum(col("pre")).as("score"), sum(col("post_vc")).as("y"))
+      val n = users.select(count(lit(1)).as("n_users"))
+      // distributed global rank (two-level scan) — never one
+      // unpartitioned corpus window over the user table
+      val ranked = graft.ops.Ranks
+        .globalOrder(users, Seq(col("score").desc, col("user_id").asc), "rn")
+        .crossJoin(broadcast(n))
+        .withColumn("decile", expr("(rn - 1) * 10 div n_users + 1"))
+      val byDec = ranked.groupBy("decile").agg(
+        sum(col("g")).as("n_t"),
+        sum(lit(1L) - col("g")).as("n_c"),
+        sum(when(col("g") === 1L, col("y")).otherwise(0L)).as("y_t"),
+        sum(when(col("g") === 0L, col("y")).otherwise(0L)).as("y_c"))
+      val wCum = Window.orderBy("decile")
+      byDec
+        .withColumn("n_t_cum", sum(col("n_t")).over(wCum))
+        .withColumn("n_c_cum", sum(col("n_c")).over(wCum))
+        .withColumn("y_t_cum", sum(col("y_t")).over(wCum))
+        .withColumn("y_c_cum", sum(col("y_c")).over(wCum))
+        .selectExpr("decile", "n_t_cum", "n_c_cum", "y_t_cum", "y_c_cum",
+          "y_t_cum - (y_c_cum * n_t_cum) div nullif(n_c_cum, 0) AS qini_cents")
+        .orderBy("decile")
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               (ascii(substr(md5(CAST(user_id AS VARCHAR)), 7, 1)) * 256 +
+                ascii(substr(md5(CAST(user_id AS VARCHAR)), 8, 1))) % 2 AS g,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS score,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM users),
+      ranked AS (
+        SELECT g, y,
+               CAST((row_number() OVER (ORDER BY score DESC, user_id ASC) - 1)
+                 * 10 // n_users + 1 AS BIGINT) AS decile
+        FROM users CROSS JOIN n),
+      bydec AS (
+        SELECT decile,
+               CAST(sum(g) AS BIGINT) AS n_t,
+               CAST(sum(1 - g) AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS y_t,
+               CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS y_c
+        FROM ranked GROUP BY decile)
+      SELECT decile,
+             CAST(sum(n_t) OVER w AS BIGINT) AS n_t_cum,
+             CAST(sum(n_c) OVER w AS BIGINT) AS n_c_cum,
+             CAST(sum(y_t) OVER w AS BIGINT) AS y_t_cum,
+             CAST(sum(y_c) OVER w AS BIGINT) AS y_c_cum,
+             CAST(sum(y_t) OVER w
+               - (sum(y_c) OVER w * sum(n_t) OVER w)
+                 // nullif(sum(n_c) OVER w, 0) AS BIGINT) AS qini_cents
+      FROM bydec
+      WINDOW w AS (ORDER BY decile)
+      ORDER BY decile"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
-    burstDetect, didEstimate, ipsValue, drValue, ucbContextual)
+    burstDetect, didEstimate, ipsValue, drValue, ucbContextual, qiniCurve)
 }

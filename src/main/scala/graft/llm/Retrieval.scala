@@ -1172,7 +1172,66 @@ object Retrieval {
       FROM base b LEFT JOIN rboagg a ON a.query_id = b.query_id
       ORDER BY b.query_id"""))
 
+  /** AVERAGE PRECISION@10 — the third leg of the ranking-eval triad
+    * ([[ndcgEval]] grades the whole graded top-10, [[mrrEval]] the
+    * first hit; AP integrates precision over EVERY hit, the metric
+    * TREC reports and PR-curve areas reduce to). Ground truth is the
+    * dense cosine top-10 (binary relevance); the graded system is
+    * the lexical BM25 ranking, same doc-as-query protocol.
+    *
+    * Determinism: the running hit count is an integer window sum
+    * over the unique lex_rank order; each hit's precision term is
+    * ONE truncated division (1e6·cum) div rank — positive, so `div`
+    * and `//` agree — and AP is the term sum divided by the fixed
+    * R = 10 relevant docs every query has by construction. No float
+    * crosses an engine boundary.
+    *
+    * Scale shape: identical to the siblings — the rankers carry the
+    * cost, this stage joins two k·|queries|-row broadcast-sized
+    * frames and window-sums over ≤10 rows per query. */
+  val apEval: Q = Q(
+    "q_avg_precision",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val rel = denseRanked(s, dir, 10)
+        .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
+      val wCum = Window.partitionBy("query_id").orderBy(col("lex_rank").asc)
+      lexRanked(s, docs, 20).filter(col("lex_rank") <= 10)
+        .join(broadcast(rel), Seq("query_id", "doc_id"), "left")
+        .withColumn("r", coalesce(col("rel"), lit(0L)))
+        .withColumn("cum", sum(col("r")).over(wCum))
+        .withColumn("prec_micro",
+          when(col("r") === 1L, expr("(1000000 * cum) div lex_rank"))
+            .otherwise(0L))
+        .groupBy("query_id")
+        .agg(sum(col("r")).as("n_hits"),
+          sum(col("prec_micro")).as("sum_prec_micro"))
+        .select(col("query_id"), col("n_hits"), col("sum_prec_micro"),
+          expr("sum_prec_micro div 10").as("ap_micro"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH $lexRankedSql,
+      ${denseRankedSql(10)},
+      j AS (
+        SELECT l.query_id, l.lex_rank,
+               CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS r
+        FROM lex l LEFT JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+        WHERE l.lex_rank <= 10),
+      c AS (
+        SELECT query_id, lex_rank, r,
+               CAST(sum(r) OVER (PARTITION BY query_id
+                 ORDER BY lex_rank) AS BIGINT) AS cum
+        FROM j)
+      SELECT query_id, CAST(sum(r) AS BIGINT) AS n_hits,
+             CAST(sum(CASE WHEN r = 1 THEN (1000000 * cum) // lex_rank
+                           ELSE 0 END) AS BIGINT) AS sum_prec_micro,
+             CAST(sum(CASE WHEN r = 1 THEN (1000000 * cum) // lex_rank
+                           ELSE 0 END) // 10 AS BIGINT) AS ap_micro
+      FROM c GROUP BY query_id ORDER BY query_id"""))
+
   val all: Seq[Q] = Seq(bm25, bm25Incremental, hybrid, negatives, hashedTfidf,
     ndcgEval, mrrEval, phraseSearch, rrfWeighted, mmrRerank, lateInteraction,
-    rbo)
+    rbo, apEval)
 }

@@ -621,6 +621,90 @@ object Similarity {
       FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY a.i, b.i ORDER BY i, j"""))
 
+  /** MARGIN-BASED MUTUAL NEAREST NEIGHBORS — the bitext-mining pair
+    * extractor (Artetxe–Schwenk): two corpora sides, and a pair
+    * (a, b) is emitted only when b is a's nearest neighbor AND a is
+    * b's, scored by the ratio margin 2·cos(a,b)/(avgₖ(a)+avgₖ(b))
+    * that downweights hubs sitting near everything. Sides here are
+    * the even/odd halves of the embedding table; the probe side is a
+    * BOUNDED batch (even vec_id < 64) — exactly how production
+    * mining runs (FAISS per probe microbatch, mutuality checked per
+    * batch), so the pair frame is |batch|×N, linear in the corpus,
+    * never all-pairs. At 100 TB the batch loop is the outer driver
+    * and each batch broadcast-joins the corpus unchanged; the
+    * IVF/LSH family covers the sublinear path.
+    *
+    * Determinism: each cosine rounds ONCE to integer micro
+    * (the [[graft.llm.Retrieval.ndcgEval]] per-term discipline);
+    * k-NN averages are truncated integer divisions of micro sums;
+    * the margin is a sign-split BIGINT division so `div`/`//` agree
+    * even on negative-cosine pairs. */
+  val mutualNn: Q = Q(
+    "q_mutual_nn",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 64)
+        .select(col("vec_id").as("a"), col("v").as("va"))
+      val corpus = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b"), col("v").as("vb"))
+      val pairs = corpus.crossJoin(broadcast(probes))
+        .withColumn("cos_micro",
+          round(cosine(col("va"), col("vb")) * 1000000.0, 0).cast("long"))
+        .select("a", "b", "cos_micro")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wA = Window.partitionBy("a").orderBy(col("cos_micro").desc, col("b").asc)
+      val wB = Window.partitionBy("b").orderBy(col("cos_micro").desc, col("a").asc)
+      val kA = pairs.withColumn("r", row_number().over(wA)).filter(col("r") <= 4)
+      val kB = pairs.withColumn("r", row_number().over(wB)).filter(col("r") <= 4)
+      val nnA = kA.groupBy("a").agg(
+        max(when(col("r") === 1, col("b"))).as("b"),
+        sum(col("cos_micro")).as("sum_a4"))
+      val nnB = kB.groupBy("b").agg(
+        max(when(col("r") === 1, col("a"))).as("a"),
+        sum(col("cos_micro")).as("sum_b4"))
+      // 2·cos/((sumA+sumB)/4) = 8·cos/(sumA+sumB): the k-NN averages
+      // never materialize, so no per-average floor crosses an engine
+      nnA.join(nnB, Seq("a", "b"))
+        .join(pairs, Seq("a", "b"))
+        .selectExpr("a", "b", "cos_micro",
+          """CASE WHEN sum_a4 + sum_b4 <= 0 THEN CAST(NULL AS BIGINT)
+                  WHEN cos_micro >= 0
+                  THEN (8000000 * cos_micro) div (sum_a4 + sum_b4)
+                  ELSE -((8000000 * -cos_micro) div (sum_a4 + sum_b4))
+             END AS margin_ppm""")
+        .orderBy("a")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               CAST(round(1000000.0 *
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))
+                 AS BIGINT) AS cos_micro
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id % 2 = 0 AND a.vec_id < 64 AND b.vec_id % 2 = 1),
+      ka AS (SELECT *, row_number() OVER (PARTITION BY a
+               ORDER BY cos_micro DESC, b ASC) AS r FROM pairs),
+      kb AS (SELECT *, row_number() OVER (PARTITION BY b
+               ORDER BY cos_micro DESC, a ASC) AS r FROM pairs),
+      nna AS (SELECT a, max(CASE WHEN r = 1 THEN b END) AS b,
+                     CAST(sum(cos_micro) AS BIGINT) AS sum_a4
+              FROM ka WHERE r <= 4 GROUP BY a),
+      nnb AS (SELECT b, max(CASE WHEN r = 1 THEN a END) AS a,
+                     CAST(sum(cos_micro) AS BIGINT) AS sum_b4
+              FROM kb WHERE r <= 4 GROUP BY b)
+      SELECT nna.a, nna.b, p.cos_micro,
+             CAST(CASE WHEN sum_a4 + sum_b4 <= 0 THEN NULL
+               WHEN p.cos_micro >= 0
+               THEN (8000000 * p.cos_micro) // (sum_a4 + sum_b4)
+               ELSE -((8000000 * -p.cos_micro) // (sum_a4 + sum_b4))
+             END AS BIGINT) AS margin_ppm
+      FROM nna JOIN nnb ON nna.a = nnb.a AND nna.b = nnb.b
+      JOIN pairs p ON p.a = nna.a AND p.b = nna.b
+      ORDER BY nna.a"""))
+
   val all: Seq[Q] = Seq(cosineTopK, annLsh, embedDedup, semanticDedup,
-    vectorStats, gramMatrix, gramIncremental, int8Quantize, matryoshkaAudit)
+    vectorStats, gramMatrix, gramIncremental, int8Quantize, matryoshkaAudit,
+    mutualNn)
 }

@@ -2013,6 +2013,168 @@ object Graph {
         ${(1 to 10).map(i => s"SELECT * FROM p$i").mkString("\n        UNION ALL ")})
       u ORDER BY step"""))
 
+  /** Greedy step CTEs for [[bMatching]]'s oracle: step i picks the
+    * heaviest remaining edge whose supplier still has spare capacity
+    * (< 2 picks so far) and whose customer is unassigned (< 1) —
+    * capacity checks are correlated COUNTs over the materialized
+    * selection, the counting generalization of [[matchStepCte]]'s
+    * NOT-IN membership test. */
+  private def bMatchStepCte(i: Int): String = {
+    val prev = s"bsel${i - 1}"
+    s"""bp$i AS MATERIALIZED (
+        SELECT CAST($i AS BIGINT) AS step, e.s, e.c, e.cents
+        FROM short e
+        WHERE (SELECT count(*) FROM $prev v WHERE v.s = e.s) < 2
+          AND (SELECT count(*) FROM $prev v WHERE v.c = e.c) < 1
+        ORDER BY e.cents DESC, e.s ASC, e.c ASC LIMIT 1),
+      bsel$i AS MATERIALIZED (SELECT s, c FROM $prev
+                 UNION ALL SELECT s, c FROM bp$i)"""
+  }
+
+  /** GREEDY weighted bipartite b-MATCHING — the capacity-aware
+    * generalization of [[greedyMatching]]: each supplier may serve up
+    * to b = 2 customers, each customer gets EXACTLY at most one
+    * supplier, picks maximize exact cents volume greedily. This is
+    * the generalized-assignment primitive capacity planning actually
+    * runs (a warehouse serves several stores; a store has one
+    * supplier of record), and sorted greedy keeps the proven
+    * 1/2-approximation for b-matching (each pick blocks ≤ 2 optimal
+    * edges, neither heavier). Where the 1-matching trace retires a
+    * supplier at first use, this trace retires it at CAPACITY — the
+    * state is a per-node remaining-capacity counter, not a used-set,
+    * and the oracle's step CTEs test correlated COUNTs instead of
+    * NOT IN (a genuinely different fixpoint encoding).
+    *
+    * Scale shape identical to [[greedyMatching]]: one corpus-keyed
+    * (supplier, customer) volume aggregate, a TakeOrdered top-30
+    * shortlist, a ≤12-step greedy over collected rows (driver work by
+    * construction), and an oracle unrolling the same argmax steps. At
+    * full scale the shortlist is a per-partition top-k union; the
+    * trace itself never touches more than k rows. */
+  val bMatching: Q = Q(
+    "q_b_matching",
+    (s, dir) => {
+      val vol = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val short = vol
+        .orderBy(col("cents").desc, col("s").asc, col("c").asc)
+        .limit(30)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val sLoad = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      val cLoad = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var step = 1L
+      short.sortBy { case (sk, ck, w) => (-w, sk, ck) }.foreach {
+        case (sk, ck, w) =>
+          if (step <= 12 && sLoad(sk) < 2 && cLoad(ck) < 1) {
+            picks += ((step, sk, ck, w))
+            sLoad(sk) += 1; cLoad(ck) += 1; step += 1
+          }
+      }
+      s.createDataFrame(picks.toSeq).toDF("step", "s", "c", "cents")
+        .orderBy("step")
+    },
+    Some(s"""
+      WITH vol AS (
+        SELECT l_suppkey AS s, o_custkey AS c,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      short AS MATERIALIZED (
+        SELECT s, c, cents FROM vol
+        ORDER BY cents DESC, s ASC, c ASC LIMIT 30),
+      bsel0 AS (SELECT CAST(NULL AS BIGINT) AS s, CAST(NULL AS BIGINT) AS c
+                WHERE false),
+      ${(1 to 12).map(bMatchStepCte).mkString(",\n      ")}
+      SELECT step, s, c, cents FROM (
+        ${(1 to 12).map(i => s"SELECT * FROM bp$i").mkString("\n        UNION ALL ")})
+      u ORDER BY step"""))
+
+  /** DEGREE ASSORTATIVITY (Newman's r) over a canonical undirected
+    * edge list — Pearson correlation of endpoint degrees across
+    * edges, THE one-number answer to "do hubs link to hubs (r > 0)
+    * or to leaves (r < 0)", which decides whether degree-based
+    * partitioning/salting will face hub-hub super-edges at scale.
+    *
+    * Exact rational arithmetic over the SYMMETRIZED edge list (each
+    * undirected edge contributes both orderings, so Σj = Σk and one
+    * pass gives every moment): with M = directed count, S1 = Σ j·k,
+    * S2 = Σ j, S3 = Σ j², r = (M·S1 − S2²) / (M·S3 − S2²). Numerator
+    * and denominator ship as BIGINTs alongside a milli value; the
+    * numerator CAN be negative, so the milli division is written
+    * sign-split (negate, floor-divide, negate) to make DuckDB's
+    * flooring `//` agree with Spark's truncating `div` — the one
+    * integer-determinism trap positive-only queries never hit. A
+    * degree-regular graph has zero variance: den = 0 ⇒ r_milli NULL
+    * via nullif (both dialects).
+    *
+    * Scale shape: one degree aggregate (vertex-sized), one
+    * edge⋈degree join per endpoint (edge-keyed shuffles), and a
+    * 1-row global moment rollup. Nothing quadratic; the basket guard
+    * bounds the edge build like every co-purchase query. */
+  def assortativity(und: DataFrame): DataFrame = {
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a").as("x")).agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select(col("x").as("a"), col("d").as("ja")), "a")
+      .join(deg.select(col("x").as("b"), col("d").as("jb")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("ja") * col("jb")).as("s1"),
+        sum(col("ja")).as("s2"),
+        sum(col("ja") * col("ja")).as("s3"))
+      .select(col("m"),
+        (col("m") * col("s1") - col("s2") * col("s2")).as("num"),
+        (col("m") * col("s3") - col("s2") * col("s2")).as("den"))
+      .selectExpr("m", "num", "den",
+        """CASE WHEN num >= 0 THEN (1000 * num) div nullif(den, 0)
+                ELSE -((1000 * -num) div nullif(den, 0)) END AS r_milli""")
+  }
+
+  /** Driver query: assortativity of the half-year co-purchase graph
+    * (the [[betweennessQ]] window — sparse enough to be a real graph,
+    * dense enough that degree variance is nonzero). */
+  val assortativityQ: Q = Q(
+    "q_assortativity",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
+      val und = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      assortativity(und)
+    },
+    Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                    AND l_shipdate < TIMESTAMP '1995-07-01'),
+      und AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      sym AS (SELECT u AS a, v AS b FROM und
+              UNION ALL SELECT v AS a, u AS b FROM und),
+      deg AS (SELECT a AS x, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a),
+      mom AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(da.d * db.d) AS BIGINT) AS s1,
+                     CAST(sum(da.d) AS BIGINT) AS s2,
+                     CAST(sum(da.d * da.d) AS BIGINT) AS s3
+              FROM sym JOIN deg da ON sym.a = da.x
+                       JOIN deg db ON sym.b = db.x)
+      SELECT m,
+             CAST(m * s1 - s2 * s2 AS BIGINT) AS num,
+             CAST(m * s3 - s2 * s2 AS BIGINT) AS den,
+             CAST(CASE WHEN m * s1 - s2 * s2 >= 0
+                  THEN (1000 * (m * s1 - s2 * s2)) // nullif(m * s3 - s2 * s2, 0)
+                  ELSE -((1000 * -(m * s1 - s2 * s2)) // nullif(m * s3 - s2 * s2, 0))
+                  END AS BIGINT) AS r_milli
+      FROM mom"""))
+
   /** DIAMETER LOWER BOUND via the double sweep (Magnien–Latapy–Habib):
     * BFS from a pinned start u, then BFS again from the farthest
     * vertex the first sweep found — the second eccentricity is a
@@ -2442,5 +2604,5 @@ object Graph {
     shortestPath, shortestPathIncremental, labelPropagation,
     labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb,
     cheapestPath, temporalReachQ, hitsQ, temporalKatz, rwr, greedyMatching,
-    modularityQ, lubyMisQ)
+    bMatching, modularityQ, lubyMisQ, assortativityQ)
 }

@@ -636,7 +636,81 @@ object Profile {
       FROM events, g
       GROUP BY event_type, days_global ORDER BY event_type"""))
 
+  /** REVENUE CONCENTRATION per market — exact integer Gini
+    * coefficient and top-supplier share of lineitem revenue across
+    * each nation's suppliers, the inequality audit behind "is this
+    * market one mega-vendor or a long tail" (and, in a training-data
+    * lake, "is this domain one mega-site") decisions.
+    *
+    * Gini from the rank form G = Σᵢ(2·rnᵢ − n − 1)·xᵢ / (n·Σx) with
+    * x ascending (unique (cents, suppkey) tiebreak): the numerator is
+    * nonnegative by the Chebyshev sum inequality, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree and the
+    * permille value rides the hash exactly. Intermediates stay well
+    * inside BIGINT while n·n·x̄·1000 < 2⁶³ — ~10⁸ suppliers per group
+    * at TPC-H prices; past that the numerator moves to DECIMAL or the
+    * grid-Lorenz approximation, noted here so the boundary is explicit.
+    *
+    * Scale shape: one corpus-keyed (nation, supplier) revenue
+    * aggregate, then rank/count/sum windows over nation-sized
+    * partitions (25 groups — never corpus-wide), one group-domain
+    * rollup, broadcast nation-name join. */
+  /** Per-group exact integer Gini over a (nk, sk, cents) frame —
+    * the distributable core of [[giniConcentration]], factored out so
+    * ProfileSpec can pin the closed forms (uniform ⇒ 0; one-hot ⇒
+    * ⌊1000(n−1)/n⌋). */
+  def giniByGroup(rev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("nk")
+    val ranked = rev
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("cents").asc, col("sk").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("tot", sum(col("cents")).over(w))
+      .withColumn("mx", max(col("cents")).over(w))
+    ranked.groupBy(col("nk"), col("n"), col("tot"), col("mx"))
+      .agg(sum((lit(2L) * col("rn") - col("n") - lit(1L)) * col("cents")).as("num"))
+  }
+
+  val giniConcentration: Q = Q(
+    "q_gini_concentration",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"))
+      giniByGroup(rev)
+        .join(t(s, dir, "nation"), col("nk") === col("n_nationkey"))
+        .select(col("n_name"),
+          col("n").as("n_suppliers"),
+          col("tot").as("total_cents"),
+          expr("(1000 * num) div (n * tot)").as("gini_permille"),
+          expr("(1000 * mx) div tot").as("top_share_permille"))
+        .orderBy("n_name")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT s_nationkey AS nk, l_suppkey AS sk,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT nk, cents,
+               CAST(row_number() OVER (PARTITION BY nk
+                 ORDER BY cents ASC, sk ASC) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY nk) AS BIGINT) AS n,
+               CAST(sum(cents) OVER (PARTITION BY nk) AS BIGINT) AS tot,
+               CAST(max(cents) OVER (PARTITION BY nk) AS BIGINT) AS mx
+        FROM rev)
+      SELECT n_name, n AS n_suppliers, tot AS total_cents,
+             CAST((1000 * sum((2 * rn - n - 1) * cents)) // (n * tot)
+               AS BIGINT) AS gini_permille,
+             CAST((1000 * mx) // tot AS BIGINT) AS top_share_permille
+      FROM ranked JOIN nation ON nk = n_nationkey
+      GROUP BY n_name, n, tot, mx
+      ORDER BY n_name"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
     groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics,
-    benford, anomalyMad, freshnessSla)
+    benford, anomalyMad, freshnessSla, giniConcentration)
 }

@@ -701,4 +701,31 @@ class EventsSpec extends SparkSpec {
       }
     }
   }
+
+  test("qini curve: cumulative cells tile the population, endpoint = overall uplift") {
+    val rows = Events.qiniCurve.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(rows.map(_._1).toSeq == (1L to 10L), "exactly ten deciles in order")
+    // cumulative counts and sums are non-decreasing
+    def mono(xs: Seq[Long]) = xs.zip(xs.tail).forall { case (a, b) => a <= b }
+    assert(mono(rows.map(_._2).toSeq) && mono(rows.map(_._3).toSeq))
+    // endpoint cells == raw per-user recomputation from the events table
+    val hex = md5(col("user_id").cast("string").cast("binary"))
+    val treated = ((ascii(substring(hex, 7, 1)) * 256 +
+      ascii(substring(hex, 8, 1))) % 2).cast("long")
+    val users = Tables.load(spark, sf001, "events").select(
+        col("user_id"), treated.as("g"),
+        when(to_date(col("ts")) >= lit("2024-01-16"),
+          round(col("value") * 100, 0).cast("long")).otherwise(0L).as("y"))
+      .groupBy("user_id", "g").agg(sum(col("y")).as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val (last) = rows.last
+    assert(last._2 == users.count(_._1 == 1L), "endpoint treated count")
+    assert(last._3 == users.count(_._1 == 0L), "endpoint control count")
+    assert(last._4 == users.filter(_._1 == 1L).map(_._2).sum, "endpoint treated outcome")
+    assert(last._5 == users.filter(_._1 == 0L).map(_._2).sum, "endpoint control outcome")
+    val wantQ = last._4 - (last._5 * last._2) / last._3
+    assert(last._6.contains(wantQ), s"endpoint qini: ${last._6} vs $wantQ")
+  }
 }

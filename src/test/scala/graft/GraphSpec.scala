@@ -777,6 +777,71 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("b-matching trace: capacities hold, picks descend, and the matching is maximal") {
+    val out = ops.Graph.bMatching.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // capacity: supplier <= 2 picks, customer <= 1
+    val bySup = out.groupBy(_._2).view.mapValues(_.length)
+    val byCus = out.groupBy(_._3).view.mapValues(_.length)
+    assert(bySup.values.forall(_ <= 2), s"supplier over capacity: $bySup")
+    assert(byCus.values.forall(_ <= 1), s"customer reassigned: $byCus")
+    // greedy order: cents non-increasing with step
+    val sorted = out.sortBy(_._1).map(_._4)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+      "greedy picks must descend in weight")
+    // maximality over the SAME shortlist: every unpicked edge violates
+    // a capacity (otherwise greedy would have taken it)
+    val vol = Tables.load(spark, sf001, "lineitem")
+      .join(Tables.load(spark, sf001, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"))
+      .orderBy(col("cents").desc, col("s").asc, col("c").asc).limit(30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val picked = out.map(t => (t._2, t._3)).toSet
+    val full = out.length == 12
+    vol.filterNot(picked).foreach { case (sk, ck) =>
+      assert(full || bySup.getOrElse(sk, 0) >= 2 || byCus.getOrElse(ck, 0) >= 1,
+        s"edge ($sk,$ck) was addable but skipped — greedy not maximal")
+    }
+  }
+
+  test("assortativity closed forms: star = -1000 milli, regular ring = NULL") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("u", "v")
+    val rs = ops.Graph.assortativity(star).head()
+    assert(rs.getLong(3) == -1000L, s"star must be perfectly disassortative: $rs")
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("u", "v")
+    val rr = ops.Graph.assortativity(ring).head()
+    assert(rr.isNullAt(3), s"degree-regular graph has zero variance: $rr")
+    assert(rr.getLong(2) == 0L, "denominator must be exactly zero")
+  }
+
+  test("assortativity == integer reference formula on seeded random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val nV = 8 + rnd.nextInt(10)
+      val und = (0 until nV * 2).map(_ =>
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter { case (a, b) => a < b }.distinct
+      if (und.nonEmpty) {
+        val sym = und ++ und.map(_.swap)
+        val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+        val m = sym.length.toLong
+        val s1 = sym.map { case (a, b) => deg(a) * deg(b) }.sum
+        val s2 = sym.map { case (a, _) => deg(a) }.sum
+        val s3 = sym.map { case (a, _) => deg(a) * deg(a) }.sum
+        val (num, den) = (m * s1 - s2 * s2, m * s3 - s2 * s2)
+        val row = ops.Graph.assortativity(und.toDF("u", "v")).head()
+        assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((m, num, den)),
+          s"seed $seed moments")
+        if (den != 0L) {
+          val want = if (num >= 0) 1000 * num / den else -(1000 * -num / den)
+          assert(row.getLong(3) == want, s"seed $seed milli")
+        }
+      }
+    }
+  }
+
   test("checkedBasket is the identity under the cap — values AND hashes untouched") {
     val rnd = new scala.util.Random(99)
     val op = (1 to 400).map(_ =>

@@ -113,4 +113,33 @@ class ProfileSpec extends SparkSpec {
     for (((l, s), (e, term)) <- terms)
       assert(got((l, s)) == ((cells((l, s)), e, term, chi2)), s"cell ($l,$s)")
   }
+
+  test("gini closed forms: uniform revenue => 0, one-hot => floor(1000(n-1)/n)") {
+    import spark.implicits._
+    // group 1: five equal suppliers (perfect equality); group 2: one
+    // supplier holds everything (maximal inequality at n = 4)
+    val rev = (
+      (1 to 5).map(i => (1L, i.toLong, 700L)) ++
+      Seq((2L, 1L, 0L), (2L, 2L, 0L), (2L, 3L, 0L), (2L, 4L, 900L))
+    ).toDF("nk", "sk", "cents")
+    val got = ops.Profile.giniByGroup(rev)
+      .selectExpr("nk", "(1000 * num) div (n * tot) as g")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 0L, s"uniform group must have zero Gini, got ${got(1L)}")
+    assert(got(2L) == 750L, s"one-hot n=4 must give 750 permille, got ${got(2L)}")
+  }
+
+  test("gini is scale-invariant and monotone under a mean-preserving spread") {
+    import spark.implicits._
+    def g(xs: Seq[Long]): Long = {
+      val rev = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, x) }
+        .toDF("nk", "sk", "cents")
+      ops.Profile.giniByGroup(rev)
+        .selectExpr("(1000 * num) div (n * tot) as g").head().getLong(0)
+    }
+    val base = Seq(100L, 200L, 300L, 400L)
+    assert(g(base) == g(base.map(_ * 7)), "Gini must ignore units")
+    // move 50 from the poorest to the richest: inequality strictly up
+    assert(g(Seq(50L, 200L, 300L, 450L)) > g(base))
+  }
 }

@@ -249,4 +249,28 @@ class SimilaritySpec extends SparkSpec {
     val c = df.select(Similarity.cosine(col("v"), col("v")).as("c")).collect().head.getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("mutual-NN: every emitted pair is reciprocally nearest (micro-rounded ties)") {
+    val vecs = Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cosM(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.round(1000000.0 * dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val probes = vecs.keys.filter(id => id % 2 == 0 && id < 64).toSeq.sorted
+    val corpus = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
+    def best(from: Array[Double], over: Seq[Long]): Long =
+      over.map(id => (id, cosM(from, vecs(id)))).minBy { case (id, c) => (-c, id) }._1
+    val wantPairs = (for {
+      a <- probes
+      b = best(vecs(a), corpus)
+      if best(vecs(b), probes) == a
+    } yield (a, b)).toSet
+    val got = Similarity.mutualNn.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == wantPairs, s"missing ${wantPairs.diff(got)}, extra ${got.diff(wantPairs)}")
+    assert(got.nonEmpty, "the planted corpus must yield at least one mutual pair")
+  }
 }
