@@ -297,5 +297,80 @@ object Drift {
                CAST(2 * (na + d) * (nb + d) AS DOUBLE) / 1e6 AS jsd
       FROM nums ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(embeddingDrift, ksDrift, jsDivergence)
+  /** 1-D WASSERSTEIN (earth-mover) distance between the same two
+    * spend cohorts [[ksDrift]] compares — the L1 companion to KS's
+    * sup-norm: W₁ = ∫|F₁−F₂| dx integrates EVERY gap between the
+    * CDFs, so a broad small shift that KS underweights (it only sees
+    * the single widest gap) moves W₁ in proportion to the shifted
+    * mass × distance, in interpretable CENTS of spend. The drift
+    * quartet: KS (scalar, sup), W₁ (scalar, L1), PSI (embedding
+    * dims), JSD (categorical mix).
+    *
+    * Exact: over the distinct-spend grid, each step contributes
+    * |c₁(x)·n₂ − c₂(x)·n₁| · (next(x) − x) — pure BIGINT cross
+    * products (the [[ks]] recipe) times the exact grid gap; the
+    * single division to milli-cents happens once at the end
+    * (nonnegative, `div`/`//` identical). Overflow envelope:
+    * Σ ≤ n₁·n₂·range(spend), ×1000 stays under 2⁶³ through ~25k
+    * users per cohort at TPC-H spend ranges; past that surface cents
+    * instead of milli (documented trade, ANSI raises not corrupts).
+    *
+    * Scale shape: identical to [[ks]] — one users-sized aggregate,
+    * one distinct-value aggregate, windows only over the collapsed
+    * grid, broadcast 1-row totals. */
+  private[graft] def w1(users: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = users.groupBy("spend")
+      .agg(count(when(col("in_a"), 1)).as("c1"),
+        count(when(!col("in_a"), 1)).as("c2"))
+    val wCum = Window.orderBy("spend")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.orderBy("spend")
+    val cum = vals
+      .withColumn("f1", sum(col("c1")).over(wCum))
+      .withColumn("f2", sum(col("c2")).over(wCum))
+      .withColumn("dx", coalesce(lead(col("spend"), 1).over(wLead) - col("spend"), lit(0L)))
+    val tot = vals.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2")).limit(1)
+    cum.crossJoin(broadcast(tot))
+      .agg(sum(abs(col("f1") * col("n2") - col("f2") * col("n1")) * col("dx")).as("w1_num"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"), col("w1_num"),
+        expr("(1000 * w1_num) div (n1 * n2)").as("w1_millicents"))
+  }
+
+  val wassersteinDrift: Q = Q(
+    "q_wasserstein",
+    (s, dir) => w1(
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("spend"))
+        .withColumn("in_a", col("user_id") % 2 === 0)),
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend,
+               user_id % 2 = 0 AS in_a
+        FROM events GROUP BY user_id),
+      vals AS (
+        SELECT spend,
+               CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS c1,
+               CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS c2
+        FROM users GROUP BY spend),
+      cum AS (
+        SELECT spend,
+               sum(c1) OVER (ORDER BY spend ROWS UNBOUNDED PRECEDING) AS f1,
+               sum(c2) OVER (ORDER BY spend ROWS UNBOUNDED PRECEDING) AS f2,
+               coalesce(lead(spend, 1) OVER (ORDER BY spend) - spend, 0) AS dx
+        FROM vals),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM vals),
+      d AS (
+        SELECT sum(abs(f1 * n2 - f2 * n1) * dx) AS w1_num,
+               max(n1) AS n1, max(n2) AS n2
+        FROM cum CROSS JOIN tot)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(w1_num AS BIGINT) AS w1_num,
+             CAST((1000 * w1_num) // (n1 * n2) AS BIGINT) AS w1_millicents
+      FROM d"""))
+
+  val all: Seq[Q] = Seq(embeddingDrift, ksDrift, jsDivergence, wassersteinDrift)
 }

@@ -710,7 +710,85 @@ object Profile {
       GROUP BY n_name, n, tot, mx
       ORDER BY n_name"""))
 
+  /** V-OPTIMAL HISTOGRAM (k = 3) over the 24-hour event-count
+    * profile — the OPTIMIZATION member of the histogram family:
+    * where [[histogram]] uses fixed-width bins and [[quantileBins]]
+    * equal-mass ones, this finds the bucket boundaries that MINIMIZE
+    * total within-bucket variance (Jagadish et al., VLDB '98 — the
+    * histogram query optimizers actually want). The domain is
+    * bounded (24 hours), so the optimum is found by scoring the full
+    * C(23,2) = 253 split grid declaratively — an exhaustive argmin,
+    * not a heuristic, and still O(domain²), constant in corpus size.
+    *
+    * Exact: per-bucket error is surfaced as n·SSE in milli —
+    * 1000·Σv² − (1000·(Σv)²) div n — one nonnegative floored
+    * division per bucket (Cauchy–Schwarz keeps it ≥ 0), so the
+    * total orders identically in both engines and the argmin row
+    * (ties → smallest (a, b)) rides the hash.
+    *
+    * Scale shape: one scan → 24-row hour spine (left-join keeps
+    * empty hours); prefix sums and the 253-row self-join grid live
+    * entirely on the domain frame. */
+  val voptHistogram: Q = Q(
+    "q_vopt_histogram",
+    (s, dir) => {
+      val cnt = t(s, dir, "events")
+        .groupBy(hour(col("ts")).cast("long").as("h"))
+        .agg(count(lit(1)).as("v"))
+      val spine = s.range(0, 24).select(col("id").as("h"))
+      val hv = spine.join(cnt, Seq("h"), "left")
+        .select(col("h"), coalesce(col("v"), lit(0L)).as("v"))
+      val wPre = Window.orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = hv
+        .withColumn("cv", sum(col("v")).over(wPre))
+        .withColumn("cv2", sum(col("v") * col("v")).over(wPre))
+      val tot = pre.agg(max(col("cv")).as("tv"), max(col("cv2")).as("tv2"))
+      val grid = pre.select(col("h").as("a"), col("cv").as("cva"), col("cv2").as("cv2a"))
+        .join(pre.select(col("h").as("b"), col("cv").as("cvb"), col("cv2").as("cv2b")),
+          col("a") < col("b") && col("b") <= 22)
+        .crossJoin(broadcast(tot))
+      grid.selectExpr("a", "b",
+          "1000 * cv2a - (1000 * cva * cva) div (a + 1) AS e1_milli",
+          """1000 * (cv2b - cv2a)
+             - (1000 * (cvb - cva) * (cvb - cva)) div (b - a) AS e2_milli""",
+          """1000 * (tv2 - cv2b)
+             - (1000 * (tv - cvb) * (tv - cvb)) div (23 - b) AS e3_milli""")
+        .selectExpr("a", "b", "e1_milli", "e2_milli", "e3_milli",
+          "e1_milli + e2_milli + e3_milli AS total_err_milli")
+        .orderBy(col("total_err_milli").asc, col("a").asc, col("b").asc)
+        .limit(1)
+    },
+    Some("""
+      WITH hrs AS (SELECT unnest(generate_series(0, 23)) AS h),
+      cnt AS (SELECT CAST(hour(ts) AS BIGINT) AS h,
+                     CAST(count(*) AS BIGINT) AS v
+              FROM events GROUP BY 1),
+      hv AS (SELECT CAST(hrs.h AS BIGINT) AS h,
+                    CAST(coalesce(cnt.v, 0) AS BIGINT) AS v
+             FROM hrs LEFT JOIN cnt ON hrs.h = cnt.h),
+      pre AS (SELECT h,
+                     sum(v) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cv,
+                     sum(v * v) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cv2
+              FROM hv),
+      tot AS (SELECT max(cv) AS tv, max(cv2) AS tv2 FROM pre),
+      err AS (
+        SELECT a.h AS a, b.h AS b,
+               1000 * a.cv2 - (1000 * a.cv * a.cv) // (a.h + 1) AS e1_milli,
+               1000 * (b.cv2 - a.cv2)
+                 - (1000 * (b.cv - a.cv) * (b.cv - a.cv)) // (b.h - a.h) AS e2_milli,
+               1000 * (tv2 - b.cv2)
+                 - (1000 * (tv - b.cv) * (tv - b.cv)) // (23 - b.h) AS e3_milli
+        FROM pre a JOIN pre b ON a.h < b.h CROSS JOIN tot
+        WHERE b.h <= 22)
+      SELECT a, b, CAST(e1_milli AS BIGINT) AS e1_milli,
+             CAST(e2_milli AS BIGINT) AS e2_milli,
+             CAST(e3_milli AS BIGINT) AS e3_milli,
+             CAST(e1_milli + e2_milli + e3_milli AS BIGINT) AS total_err_milli
+      FROM err
+      ORDER BY total_err_milli ASC, a ASC, b ASC LIMIT 1"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
     groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics,
-    benford, anomalyMad, freshnessSla, giniConcentration)
+    benford, anomalyMad, freshnessSla, giniConcentration, voptHistogram)
 }

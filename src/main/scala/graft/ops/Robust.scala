@@ -819,7 +819,124 @@ object Robust {
       SELECT CAST(4 AS BIGINT), a4.loss_micro, a4.n_correct, w4t.w0, w4t.w1, w4t.w2 FROM a4, w4t
       ORDER BY iter"""))
 
+  /** REGRESSION DISCONTINUITY — the fourth causal estimator
+    * (DiD ✓ [[graft.llm.Events.didEstimate]], IPS/DR ✓, and now the
+    * cutoff design): does crossing a pinned threshold of a RUNNING
+    * variable jump the outcome? Local linear fit on each side of the
+    * cutoff (the Imbens–Lemieux standard — local means are
+    * boundary-biased, higher orders overfit), effect = the gap
+    * between the two fitted intercepts AT the cutoff.
+    *
+    * Setting: running x = order totalprice, cutoff $250k, bandwidth
+    * $50k; outcome = urgent/high order priority (milli-probability).
+    * TPC-H randomizes priority, so the expected effect is ≈ 0 — the
+    * estimator itself is the operator; RobustSpec plants a real jump
+    * and recovers it exactly.
+    *
+    * Exact: x is rescaled to $100 grid units by ONE nonnegative
+    * truncating division ((cents − C + h) div 10⁴ − 500 — shifted
+    * first so `div` and `//` agree), all five side moments (n, Σx,
+    * Σy, Σx², Σxy) are BIGINT sums off one filtered scan, and each
+    * OLS intercept a = (Σy·Σx² − Σx·Σxy)/(n·Σx² − (Σx)²) surfaces
+    * via ONE sign-split division (numerator sign varies; the
+    * denominator is a positive variance). Overflow envelope:
+    * Σy·Σx² < 2⁶³ through ~3·10⁵ in-band rows per side at these
+    * units — past that, widen the grid unit (documented trade, ANSI
+    * raises rather than corrupts).
+    *
+    * Scale shape: the band filter pushes to the scan; ONE conditional
+    * aggregate produces all ten moments map-side-combinably; the
+    * arithmetic is a 1-row select. Nothing after the scan is bigger
+    * than one row. */
+  /** Both local-linear fits and the intercept gap over an (x, y)
+    * band frame (x = signed grid units around the cutoff at 0) —
+    * factored so RobustSpec can plant an exact jump and slopes. */
+  private[graft] def rddFit(band: DataFrame): DataFrame = {
+    val withSide = band.withColumn("r", (col("x") >= 0L).cast("long"))
+    def m(side: Int, e: org.apache.spark.sql.Column) =
+      sum(when(col("r") === side, e).otherwise(0L))
+    val mom = withSide.agg(
+      m(0, lit(1L)).as("n_l"), m(0, col("x")).as("sx_l"), m(0, col("y")).as("sy_l"),
+      m(0, col("x") * col("x")).as("sxx_l"), m(0, col("x") * col("y")).as("sxy_l"),
+      m(1, lit(1L)).as("n_r"), m(1, col("x")).as("sx_r"), m(1, col("y")).as("sy_r"),
+      m(1, col("x") * col("x")).as("sxx_r"), m(1, col("x") * col("y")).as("sxy_r"))
+    def fit(sfx: String) = Seq(
+      s"""CASE WHEN sy_$sfx * sxx_$sfx - sx_$sfx * sxy_$sfx >= 0
+           THEN (sy_$sfx * sxx_$sfx - sx_$sfx * sxy_$sfx)
+                div (n_$sfx * sxx_$sfx - sx_$sfx * sx_$sfx)
+           ELSE -((sx_$sfx * sxy_$sfx - sy_$sfx * sxx_$sfx)
+                div (n_$sfx * sxx_$sfx - sx_$sfx * sx_$sfx))
+         END AS a_${sfx}_milli""",
+      s"""CASE WHEN n_$sfx * sxy_$sfx - sx_$sfx * sy_$sfx >= 0
+           THEN (1000 * (n_$sfx * sxy_$sfx - sx_$sfx * sy_$sfx))
+                div (n_$sfx * sxx_$sfx - sx_$sfx * sx_$sfx)
+           ELSE -((1000 * (sx_$sfx * sy_$sfx - n_$sfx * sxy_$sfx))
+                div (n_$sfx * sxx_$sfx - sx_$sfx * sx_$sfx))
+         END AS b_${sfx}_micro""")
+    mom.selectExpr(Seq("n_l", "n_r") ++ fit("l") ++ fit("r"): _*)
+      .selectExpr("n_l", "n_r", "a_l_milli", "a_r_milli",
+        "a_r_milli - a_l_milli AS effect_milli", "b_l_micro", "b_r_micro")
+  }
+
+  val regDiscontinuity: Q = Q(
+    "q_reg_discontinuity",
+    (s, dir) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val inBand = t(s, dir, "orders")
+        .select(cents.as("cents"), col("o_orderpriority").as("pri"))
+        .filter(col("cents") >= 20000000L && col("cents") <= 30000000L)
+        .select(
+          expr("(cents - 25000000 + 5000000) div 10000 - 500").as("x"),
+          when(col("pri").startsWith("1-") || col("pri").startsWith("2-"), 1000L)
+            .otherwise(0L).as("y"))
+      rddFit(inBand)
+    },
+    Some("""
+      WITH band AS (
+        SELECT (CAST(round(o_totalprice * 100) AS BIGINT) - 25000000 + 5000000)
+                 // 10000 - 500 AS x,
+               CASE WHEN o_orderpriority LIKE '1-%'
+                      OR o_orderpriority LIKE '2-%' THEN 1000 ELSE 0 END AS y
+        FROM orders
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) BETWEEN 20000000 AND 30000000),
+      mom AS (
+        SELECT
+          CAST(sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+          CAST(sum(CASE WHEN x < 0 THEN x ELSE 0 END) AS BIGINT) AS sx_l,
+          CAST(sum(CASE WHEN x < 0 THEN y ELSE 0 END) AS BIGINT) AS sy_l,
+          CAST(sum(CASE WHEN x < 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_l,
+          CAST(sum(CASE WHEN x < 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_l,
+          CAST(sum(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+          CAST(sum(CASE WHEN x >= 0 THEN x ELSE 0 END) AS BIGINT) AS sx_r,
+          CAST(sum(CASE WHEN x >= 0 THEN y ELSE 0 END) AS BIGINT) AS sy_r,
+          CAST(sum(CASE WHEN x >= 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_r,
+          CAST(sum(CASE WHEN x >= 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_r
+        FROM band),
+      fits AS (
+        SELECT n_l, n_r,
+          CAST(CASE WHEN sy_l * sxx_l - sx_l * sxy_l >= 0
+            THEN (sy_l * sxx_l - sx_l * sxy_l) // (n_l * sxx_l - sx_l * sx_l)
+            ELSE -((sx_l * sxy_l - sy_l * sxx_l) // (n_l * sxx_l - sx_l * sx_l))
+          END AS BIGINT) AS a_l_milli,
+          CAST(CASE WHEN sy_r * sxx_r - sx_r * sxy_r >= 0
+            THEN (sy_r * sxx_r - sx_r * sxy_r) // (n_r * sxx_r - sx_r * sx_r)
+            ELSE -((sx_r * sxy_r - sy_r * sxx_r) // (n_r * sxx_r - sx_r * sx_r))
+          END AS BIGINT) AS a_r_milli,
+          CAST(CASE WHEN n_l * sxy_l - sx_l * sy_l >= 0
+            THEN (1000 * (n_l * sxy_l - sx_l * sy_l)) // (n_l * sxx_l - sx_l * sx_l)
+            ELSE -((1000 * (sx_l * sy_l - n_l * sxy_l)) // (n_l * sxx_l - sx_l * sx_l))
+          END AS BIGINT) AS b_l_micro,
+          CAST(CASE WHEN n_r * sxy_r - sx_r * sy_r >= 0
+            THEN (1000 * (n_r * sxy_r - sx_r * sy_r)) // (n_r * sxx_r - sx_r * sx_r)
+            ELSE -((1000 * (sx_r * sy_r - n_r * sxy_r)) // (n_r * sxx_r - sx_r * sx_r))
+          END AS BIGINT) AS b_r_micro
+        FROM mom)
+      SELECT n_l, n_r, a_l_milli, a_r_milli,
+             CAST(a_r_milli - a_l_milli AS BIGINT) AS effect_milli,
+             b_l_micro, b_r_micro
+      FROM fits"""))
+
   val all: Seq[Q] = Seq(theilSen, kendall, kaplanMeier, abSequential,
     mannWhitney, chiSquare, periodogram, logRank, seasonalDecomp,
-    survivalLogit)
+    survivalLogit, regDiscontinuity)
 }

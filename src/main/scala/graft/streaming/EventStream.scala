@@ -1592,9 +1592,95 @@ object EventStream {
              CAST(est.est_cnt - ex.exact_cnt AS BIGINT) AS overshoot
       FROM ex JOIN est USING (user_id) ORDER BY user_id"""))
 
+  /** Latest-wins CDC state: the winning (seq, value, delete) per key
+    * plus a monotone batches-seen version for the reader's max_by. */
+  final case class CdcState(seq: Long, vc: Long, del: Boolean, nSeen: Long)
+
+  /** STREAMING CDC MATERIALIZATION — apply an upsert/delete change
+    * log to a keyed table, latest sequence number wins, EXACT under
+    * arbitrary arrival order (micro-batches split the log however
+    * they like; an old change arriving after a newer one must lose,
+    * and a tombstone must erase the key even if its row arrived
+    * first). The keyed state is one (seq, value, deleted) triple per
+    * key — a max-fold, so batch order can't change the fixpoint; each
+    * batch emits the current winner versioned by a strictly-monotone
+    * counter and the reader keeps the highest version. This is the
+    * streaming twin of [[graft.ops.Merge]]'s batch upsert apply: the
+    * oracle materializes the same log in one batch window.
+    *
+    * Scale shape: state is one row per LIVE key in the state store
+    * (key-partitioned); emissions are Update-mode winner snapshots.
+    * A production deployment expires idle keys with an event-time
+    * timeout once a retention watermark passes; tombstoned keys keep
+    * only the tombstone row. */
+  def cdcStates(log: Dataset[(Long, Long, Long, Boolean)]): Dataset[(Long, Long, Long, Boolean, Long)] = {
+    import log.sparkSession.implicits._
+    log.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, batch: Iterator[(Long, Long, Long, Boolean)], st: GroupState[CdcState]) =>
+          val prev = st.getOption.getOrElse(CdcState(Long.MinValue, 0L, del = true, 0L))
+          val best = batch.foldLeft((prev.seq, prev.vc, prev.del)) {
+            case ((bs, bv, bd), (_, seq, vc, del)) =>
+              if (seq > bs) (seq, vc, del) else (bs, bv, bd)
+          }
+          val next = CdcState(best._1, best._2, best._3, prev.nSeen + 1)
+          st.update(next)
+          (k, next.seq, next.vc, next.del, next.nSeen)
+      }
+  }
+
+  /** Driver query: the orders CDC log (key = orderkey mod 1000, seq =
+    * orderkey, every 7th change a tombstone) replayed over three
+    * arbitrary micro-batches; output = the materialized live table. */
+  val streamCdc: Q = Q(
+    "q_stream_cdc",
+    (s, dir) => {
+      import s.implicits._
+      val log = Tables.load(s, dir, "orders").select(
+        (col("o_orderkey") % 1000).as("k"),
+        col("o_orderkey").as("seq"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("vc"),
+        (col("o_orderkey") % 7 === 0).as("del"))
+      val stage = stagePath(s, "graft_stream_cdc")
+      log.repartition(3).write.mode("overwrite").parquet(stage)
+      val local = narrowedSession(s, 4)
+      val stream = local.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .as[(Long, Long, Long, Boolean)]
+      val sink = "graft_stream_cdc_sink"
+      val sq = cdcStates(stream)
+        .toDF("key", "last_seq", "value_cents", "del", "n_seen")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      // the winning seq only grows across emissions, so the final
+      // materialization is each key's max_by(·, n_seen) snapshot
+      local.table(sink)
+        .groupBy("key")
+        .agg(expr("max_by(last_seq, n_seen)").as("last_seq"),
+          expr("max_by(value_cents, n_seen)").as("value_cents"),
+          expr("max_by(del, n_seen)").as("del"))
+        .filter(!col("del"))
+        .select("key", "last_seq", "value_cents")
+        .orderBy("key")
+    },
+    Some("""
+      WITH cdc AS (
+        SELECT o_orderkey % 1000 AS key, o_orderkey AS seq,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS vc,
+               o_orderkey % 7 = 0 AS del
+        FROM orders),
+      last AS (SELECT key, max(seq) AS last_seq FROM cdc GROUP BY key)
+      SELECT c.key, CAST(c.seq AS BIGINT) AS last_seq, c.vc AS value_cents
+      FROM cdc c JOIN last l ON c.key = l.key AND c.seq = l.last_seq
+      WHERE NOT c.del
+      ORDER BY c.key"""))
+
   val all: Seq[Q] = Seq(streamWindow, streamDedup, streamSessions, streamJoin,
     streamJoinOuter, streamJoinFull, streamState, streamTimeoutSessions, streamFunnel,
     streamMerge, streamQuarantine, streamNtz, streamEnrich, streamLate,
     streamHeavyHitters, streamRestPager, streamQuantile, streamAsof, streamKcoreDeg,
-    streamCountMin)
+    streamCountMin, streamCdc)
 }

@@ -95,4 +95,17 @@ class DriftSpec extends SparkSpec {
     // md5-free parity split of real traffic: mix should be near-identical
     assert(jsd < 0.05, s"parity cohorts of the same corpus drifted: $jsd")
   }
+
+  test("wasserstein: identical cohorts give 0, a pure shift by d gives exactly d") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i * 7L, true))
+    val ident = (a ++ a.map { case (v, _) => (v, false) }).toDF("spend", "in_a")
+    val r0 = graft.llm.Drift.w1(ident).head()
+    assert(r0.getLong(2) == 0L && r0.getLong(3) == 0L, s"identical cohorts: $r0")
+    val d = 250L
+    val shifted = (a ++ a.map { case (v, _) => (v + d, false) }).toDF("spend", "in_a")
+    val r1 = graft.llm.Drift.w1(shifted).head()
+    assert(r1.getLong(3) == 1000L * d,
+      s"pure shift must cost exactly the shift: ${r1.getLong(3)} vs ${1000L * d}")
+  }
 }

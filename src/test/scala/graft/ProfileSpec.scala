@@ -142,4 +142,24 @@ class ProfileSpec extends SparkSpec {
     // move 50 from the poorest to the richest: inequality strictly up
     assert(g(Seq(50L, 200L, 300L, 450L)) > g(base))
   }
+
+  test("v-optimal histogram: the emitted split beats every other split (brute force)") {
+    val counts = Tables.load(spark, sf001, "events")
+      .groupBy(hour(col("ts")).cast("long").as("h"))
+      .agg(count(lit(1)).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = (0 until 24).map(h => counts.getOrElse(h.toLong, 0L))
+    def err(lo: Int, hi: Int): Long = { // hours lo..hi inclusive
+      val seg = v.slice(lo, hi + 1)
+      val (sv, sv2, n) = (seg.sum, seg.map(x => x * x).sum, (hi - lo + 1).toLong)
+      1000L * sv2 - (1000L * sv * sv) / n
+    }
+    val all = for (a <- 0 to 21; b <- a + 1 to 22)
+      yield (a.toLong, b.toLong, err(0, a) + err(a + 1, b) + err(b + 1, 23))
+    val want = all.minBy { case (a, b, e) => (e, a, b) }
+    val got = ops.Profile.voptHistogram.fn(spark, sf001).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(5)) == want,
+      s"got $got want $want")
+    assert(all.forall(_._3 >= got.getLong(5)), "emitted split must be optimal")
+  }
 }

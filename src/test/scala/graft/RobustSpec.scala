@@ -259,4 +259,28 @@ class RobustSpec extends SparkSpec {
     assert(losses.zip(losses.tail).forall { case (a, b) => b < a },
       s"loss not strictly decreasing: ${losses.toSeq}")
   }
+
+  test("regression discontinuity recovers a planted jump and slopes exactly") {
+    import spark.implicits._
+    // y = 200 + 3x left of the cutoff, y = 700 + 5x at/right of it:
+    // perfectly linear sides, so the integer OLS is exact — the fit
+    // must read back a_l = 200, a_r = 700, effect = 500,
+    // b_l_micro = 3000, b_r_micro = 5000
+    val band = ((-50 to -1).map(x => (x.toLong, 200L + 3L * x)) ++
+      (0 to 50).map(x => (x.toLong, 700L + 5L * x))).toDF("x", "y")
+    val r = ops.Robust.rddFit(band).head()
+    assert(r.getLong(0) == 50L && r.getLong(1) == 51L, s"band sizes: $r")
+    assert(r.getLong(2) == 200L, s"left intercept: $r")
+    assert(r.getLong(3) == 700L, s"right intercept: $r")
+    assert(r.getLong(4) == 500L, s"planted jump: $r")
+    assert(r.getLong(5) == 3000L && r.getLong(6) == 5000L, s"slopes: $r")
+  }
+
+  test("regression discontinuity on a no-jump line reads effect 0") {
+    import spark.implicits._
+    val band = (-40 to 40).map(x => (x.toLong, 1000L + 2L * x)).toDF("x", "y")
+    val r = ops.Robust.rddFit(band).head()
+    assert(r.getLong(4) == 0L, s"continuous line must show no effect: $r")
+    assert(r.getLong(5) == 2000L && r.getLong(6) == 2000L, s"slopes: $r")
+  }
 }

@@ -260,4 +260,36 @@ class StreamingSpec extends SparkSpec {
     assert(total % 2 == 0 && total > 0, s"odd handshake total $total")
     assert(degs.map(_._1).distinct.length == degs.length, "one row per vertex")
   }
+
+  test("cdc state: late old changes lose, late tombstones win, exact across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    // (key, seq, value_cents, delete) — batch 1 carries the NEWER
+    // changes, batch 2 the older ones (adversarial arrival order)
+    val mem = MemoryStream[(Long, Long, Long, Boolean)]
+    val q = EventStream.cdcStates(mem.toDS())
+      .toDF("key", "last_seq", "value_cents", "del", "n_seen")
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(Seq((1L, 10L, 111L, false), (2L, 20L, 222L, true),
+        (3L, 5L, 333L, false)))
+      q.processAllAvailable()
+      // key 1: OLDER upsert arrives late -> must lose to seq 10;
+      // key 2: older upsert after its tombstone -> key stays dead;
+      // key 3: newer tombstone arrives -> key dies
+      mem.addData(Seq((1L, 9L, 999L, false), (2L, 19L, 888L, false),
+        (3L, 6L, 0L, true)))
+      q.processAllAvailable()
+      val fin = spark.table("cdc_out")
+        .groupBy("key")
+        .agg(expr("max_by(last_seq, n_seen)").as("last_seq"),
+          expr("max_by(value_cents, n_seen)").as("value_cents"),
+          expr("max_by(del, n_seen)").as("del"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(fin(1L) == ((10L, 111L, false)), s"late old change must lose: $fin")
+      assert(fin(2L) == ((20L, 222L, true)), s"tombstone must survive older upsert: $fin")
+      assert(fin(3L) == ((6L, 0L, true)), s"late tombstone must erase the key: $fin")
+    } finally q.stop()
+  }
 }
