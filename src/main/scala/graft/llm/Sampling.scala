@@ -898,7 +898,59 @@ object Sampling {
         SELECT doc_id FROM picks${i - 1} UNION ALL SELECT doc_id FROM p$i)$tail"""
   }
 
+  /** CAPTURE–RECAPTURE population estimate (Chapman's corrected
+    * Lincoln–Petersen) — the coverage audit a crawler/dedup pipeline
+    * runs when the TRUE corpus size is unknowable: two independent
+    * "crawls" sample the population, and the overlap rate reveals
+    * the total (N̂ = (n₁+1)(n₂+1)/(m+1) − 1, finite and less biased
+    * than n₁n₂/m). Here the crawls are two INDEPENDENT md5 coins on
+    * doc_id (hex chars 9 and 10 — distinct bits, so inclusion in A
+    * is independent of B by construction), and because the harness
+    * DOES know the true N, the query self-audits: the estimate's
+    * permille error rides the output.
+    *
+    * Exact: all four counts are one conditional aggregate off one
+    * scan; the Chapman division floors once (nonnegative); the error
+    * column sign-splits. Scale shape: one map-side-combinable
+    * aggregate, 1-row arithmetic. */
+  val captureRecapture: Q = Q(
+    "q_capture_recapture",
+    (s, dir) => {
+      val hex = md5(col("doc_id").cast("string").cast("binary"))
+      val inA = (ascii(substring(hex, 9, 1)) % 2 === 0).cast("long")
+      val inB = (ascii(substring(hex, 10, 1)) % 2 === 0).cast("long")
+      t(s, dir, "documents")
+        .select(inA.as("a"), inB.as("b"))
+        .agg(count(lit(1)).as("n_true"), sum(col("a")).as("n1"),
+          sum(col("b")).as("n2"), sum(col("a") * col("b")).as("m"))
+        .selectExpr("n_true", "n1", "n2", "m",
+          "(n1 + 1) * (n2 + 1) div (m + 1) - 1 AS n_hat",
+          """CASE WHEN (n1 + 1) * (n2 + 1) div (m + 1) - 1 >= n_true
+               THEN (1000 * ((n1 + 1) * (n2 + 1) div (m + 1) - 1 - n_true)) div n_true
+               ELSE -((1000 * (n_true - ((n1 + 1) * (n2 + 1) div (m + 1) - 1))) div n_true)
+             END AS err_permille""")
+    },
+    Some("""
+      WITH c AS (
+        SELECT CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 9, 1)) % 2 = 0
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 10, 1)) % 2 = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM documents),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true, CAST(sum(a) AS BIGINT) AS n1,
+               CAST(sum(b) AS BIGINT) AS n2, CAST(sum(a * b) AS BIGINT) AS m
+        FROM c)
+      SELECT n_true, n1, n2, m,
+             CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS n_hat,
+             CAST(CASE WHEN (n1 + 1) * (n2 + 1) // (m + 1) - 1 >= n_true
+               THEN (1000 * ((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true)) // n_true
+               ELSE -((1000 * (n_true - ((n1 + 1) * (n2 + 1) // (m + 1) - 1))) // n_true)
+             END AS BIGINT) AS err_permille
+      FROM agg"""))
+
   val all: Seq[Q] = Seq(trainTestSplit, stratified, weighted, mixture, reservoir,
     weightedReservoir, classWeights, clusterSplit, temperature, unimaxAlloc,
-    coresetKCenter, lengthBatching, reservoirMerge, coverageSelect)
+    coresetKCenter, lengthBatching, reservoirMerge, coverageSelect,
+    captureRecapture)
 }

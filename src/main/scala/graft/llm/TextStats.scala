@@ -2072,10 +2072,60 @@ object TextStats {
              CAST(round($zipfInterceptSql) AS BIGINT) AS intercept_milli
       FROM m"""))
 
+  /** CHAO1 VOCABULARY-RICHNESS ESTIMATE — "how many word types exist
+    * that this corpus hasn't shown yet", the species-richness
+    * question a tokenizer/vocab budget decision needs answered
+    * before committing to a vocab size. Chao1 reads the unseen mass
+    * from the rare tail: V̂ = V + f₁(f₁−1)/(2(f₂+1)) (the
+    * bias-corrected form — finite even with no doubletons), where
+    * f₁/f₂ are singleton/doubleton type counts. The same tail gives
+    * Good–Turing sample coverage C = 1 − f₁/N ([[goodTuring]]
+    * estimates FREQUENCIES from the count-of-counts; this estimates
+    * the INVENTORY — same table, different question).
+    *
+    * Exact: one token explode → type counts → count-of-counts; V,
+    * f₁, f₂, N are BIGINTs and both surfaced estimates floor-divide
+    * once (nonnegative). Scale shape: the explode is scan-shaped,
+    * the type aggregate is the corpus-keyed shuffle every text query
+    * pays, and the count-of-counts frame is tail-domain-sized. */
+  val chao1: Q = Q(
+    "q_chao1",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val types = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      types.agg(
+          count(lit(1)).as("v_seen"),
+          sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+        .selectExpr("v_seen", "n_tokens", "f1", "f2",
+          "v_seen + (f1 * (f1 - 1)) div (2 * (f2 + 1)) AS v_chao1",
+          "1000 - (1000 * f1) div n_tokens AS coverage_permille")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT t AS tok FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents)
+        WHERE t <> ''),
+      types AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS v_seen,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM types)
+      SELECT v_seen, n_tokens, f1, f2,
+             CAST(v_seen + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS v_chao1,
+             CAST(1000 - (1000 * f1) // n_tokens AS BIGINT) AS coverage_permille
+      FROM agg"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
     spearman, rhoSelect, kneserNey, kneserNeyMod, kneserNeyTrigram, stupidBackoff,
-    stupidBackoff4, goodTuring, zipfFit)
+    stupidBackoff4, goodTuring, zipfFit, chao1)
 }

@@ -788,7 +788,137 @@ object Profile {
       FROM err
       ORDER BY total_err_milli ASC, a ASC, b ASC LIMIT 1"""))
 
+  /** ISOLATION FOREST (derandomized, fixed depth) — the tree-ensemble
+    * anomaly detector: random axis-aligned splits isolate outliers in
+    * FEW cuts, so a point's expected path length is its normality.
+    * Four trees of depth 3 over (totalprice cents, orderdate day);
+    * every "random" choice is the md5 of (tree, node) — same
+    * derandomized-coin discipline as the samplers — so both engines
+    * grow IDENTICAL trees: split dim = hash mod 2, threshold = node
+    * min + (hash mod 1009)/1009 of the node's range (all integer,
+    * nonnegative divisions). With depth fixed, anomaly ranking comes
+    * from the leaf-size continuation term c(n) = 2(ln(n−1)+γ) −
+    * 2(n−1)/n (the standard avg-BST-path approximation, one rounded
+    * IEEE ln per LEAF — node-domain, never per row); a point landing
+    * in tiny leaves across trees is the anomaly. Top-20 smallest
+    * summed path score.
+    *
+    * Scale shape: per level ONE bounded aggregate (≤ 4·2^lvl node
+    * stats) broadcast back onto the row stream — 3 levels = 3
+    * broadcast joins, no shuffle of the corpus beyond the final
+    * per-key rollup; leaf scoring joins a ≤32-row frame. At 100 TB
+    * this is the production shape (iForest training samples ψ rows;
+    * scoring is a broadcast of the grown trees — here trees derive
+    * from full-node stats, which one aggregate per level provides). */
+  val isolationForest: Q = Q(
+    "q_isolation_forest",
+    (s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("x1"),
+        datediff(to_date(col("o_orderdate")),
+          lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("x2"))
+      val trees = s.range(0, 4).select(col("id").as("tree"))
+      var rows = base.crossJoin(broadcast(trees)).withColumn("node", lit(1L))
+      for (_ <- 1 to 3) {
+        val hex = md5(concat(col("tree").cast("string"), lit(":"),
+          col("node").cast("string")).cast("binary"))
+        val splits = rows.groupBy("tree", "node").agg(
+            min(col("x1")).as("mn1"), max(col("x1")).as("mx1"),
+            min(col("x2")).as("mn2"), max(col("x2")).as("mx2"))
+          .withColumn("h1",
+            (ascii(substring(hex, 1, 1)) * 256 + ascii(substring(hex, 2, 1))).cast("long"))
+          .withColumn("h2m",
+            ((ascii(substring(hex, 3, 1)) * 256 + ascii(substring(hex, 4, 1))) % 1009).cast("long"))
+          .selectExpr("tree", "node", "h1 % 2 AS dim",
+            """CASE WHEN h1 % 2 = 0
+                 THEN mn1 + (h2m * (mx1 - mn1)) div 1009
+                 ELSE mn2 + (h2m * (mx2 - mn2)) div 1009
+               END AS thr""")
+        rows = rows.join(broadcast(splits), Seq("tree", "node"))
+          .withColumn("node", col("node") * 2 +
+            when((col("dim") === 0 && col("x1") > col("thr")) ||
+                 (col("dim") === 1 && col("x2") > col("thr")), 1L).otherwise(0L))
+          .select("k", "x1", "x2", "tree", "node")
+      }
+      val leafScore = rows.groupBy("tree", "node")
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("tree", "node", "n",
+          """CASE WHEN n <= 1 THEN CAST(0 AS BIGINT)
+               ELSE CAST(round(1000.0 * (2.0 * (ln(CAST(n - 1 AS DOUBLE))
+                    + 0.5772156649015329)
+                    - 2.0 * CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                  AS BIGINT)
+             END AS c_milli""")
+      rows.join(broadcast(leafScore), Seq("tree", "node"))
+        .groupBy("k")
+        .agg((lit(12000L) + sum(col("c_milli"))).as("score_milli"),
+          min(col("n")).as("min_leaf"))
+        .orderBy(col("score_milli").asc, col("k").asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS x1,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x2
+        FROM orders),
+      trees AS (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS tree),
+      r0 AS (SELECT k, x1, x2, tree, CAST(1 AS BIGINT) AS node
+             FROM base CROSS JOIN trees),
+      ${(1 to 3).map(iforestLevelCte).mkString(",\n      ")},
+      leaf AS (
+        SELECT tree, node, CAST(count(*) AS BIGINT) AS n
+        FROM r3 GROUP BY tree, node),
+      score AS (
+        SELECT tree, node, n,
+               CASE WHEN n <= 1 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(round(1000.0 * (2.0 * (ln(CAST(n - 1 AS DOUBLE))
+                      + 0.5772156649015329)
+                      - 2.0 * CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    AS BIGINT)
+               END AS c_milli
+        FROM leaf)
+      SELECT k, CAST(12000 + sum(c_milli) AS BIGINT) AS score_milli,
+             CAST(min(n) AS BIGINT) AS min_leaf
+      FROM r3 JOIN score USING (tree, node)
+      GROUP BY k
+      ORDER BY score_milli ASC, k ASC LIMIT 20"""))
+
+  /** One routing level of [[isolationForest]]'s oracle: node stats →
+    * derandomized (dim, threshold) → child node. */
+  private def iforestLevelCte(lvl: Int): String = {
+    val prev = s"r${lvl - 1}"
+    s"""s$lvl AS MATERIALIZED (
+        SELECT tree, node,
+               ascii(substr(md5(CAST(tree AS VARCHAR) || ':' ||
+                 CAST(node AS VARCHAR)), 1, 1)) * 256 +
+               ascii(substr(md5(CAST(tree AS VARCHAR) || ':' ||
+                 CAST(node AS VARCHAR)), 2, 1)) AS h1,
+               (ascii(substr(md5(CAST(tree AS VARCHAR) || ':' ||
+                 CAST(node AS VARCHAR)), 3, 1)) * 256 +
+                ascii(substr(md5(CAST(tree AS VARCHAR) || ':' ||
+                 CAST(node AS VARCHAR)), 4, 1))) % 1009 AS h2m,
+               min(x1) AS mn1, max(x1) AS mx1,
+               min(x2) AS mn2, max(x2) AS mx2
+        FROM $prev GROUP BY tree, node),
+      sp$lvl AS MATERIALIZED (
+        SELECT tree, node, h1 % 2 AS dim,
+               CASE WHEN h1 % 2 = 0
+                 THEN mn1 + (h2m * (mx1 - mn1)) // 1009
+                 ELSE mn2 + (h2m * (mx2 - mn2)) // 1009
+               END AS thr
+        FROM s$lvl),
+      r$lvl AS MATERIALIZED (
+        SELECT r.k, r.x1, r.x2, r.tree,
+               r.node * 2 + CASE WHEN (sp.dim = 0 AND r.x1 > sp.thr)
+                              OR (sp.dim = 1 AND r.x2 > sp.thr)
+                            THEN 1 ELSE 0 END AS node
+        FROM $prev r JOIN sp$lvl sp ON r.tree = sp.tree AND r.node = sp.node)"""
+  }
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
     groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics,
-    benford, anomalyMad, freshnessSla, giniConcentration, voptHistogram)
+    benford, anomalyMad, freshnessSla, giniConcentration, voptHistogram,
+    isolationForest)
 }

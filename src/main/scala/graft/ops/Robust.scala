@@ -936,7 +936,83 @@ object Robust {
              b_l_micro, b_r_micro
       FROM fits"""))
 
+  /** MATRIX PROFILE (SAD variant) over the daily revenue series —
+    * motif/discord discovery, the "which week looks like no other
+    * week" question behind anomaly triage on seasonal metrics. For
+    * every length-7 sliding window, the profile is the distance to
+    * its nearest OTHER window (exclusion zone |i−j| ≥ 4 = ⌈m/2⌉, so
+    * a window can't trivially match its own overlap); the DISCORD is
+    * the window whose nearest neighbor is farthest. Distance is the
+    * sum of absolute differences — exact BIGINT cents, sidestepping
+    * the z-normalized float pipeline (z-norm matters for shape
+    * motifs across scales; for same-unit discord detection SAD is
+    * the standard robust choice).
+    *
+    * Scale shape: the series collapses to the day domain first (one
+    * corpus scan), then the 25×25 window grid × 7 offsets is a
+    * domain-bounded join (≈4.4k rows — O(domain²·m), constant in
+    * corpus size, the [[theilSen]] envelope); per-window argmin and
+    * the discord flag are windows over the 25-row profile. */
+  val matrixProfile: Q = Q(
+    "q_matrix_profile",
+    (s, dir) => {
+      val spine = s.range(0, 31).select(col("id").as("d"))
+      val series = spine.join(daily(s, dir), Seq("d"), "left")
+        .select(col("d"), coalesce(col("cents"), lit(0L)).as("v"))
+      val starts = s.range(0, 25).select(col("id").as("i"))
+      val grid = starts
+        .join(s.range(0, 25).select(col("id").as("j")),
+          abs(col("i") - col("j")) >= 4)
+        .join(s.range(0, 7).select(col("id").as("t")))
+      val sad = grid
+        .join(series.select(col("d"), col("v").as("va")), col("d") === col("i") + col("t"))
+        .drop("d")
+        .join(series.select(col("d"), col("v").as("vb")), col("d") === col("j") + col("t"))
+        .groupBy("i", "j")
+        .agg(sum(abs(col("va") - col("vb"))).as("sad"))
+      val prof = sad
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("i").orderBy(col("sad").asc, col("j").asc)))
+        .filter(col("rn") === 1)
+        .select(col("i"), col("sad").as("profile_sad"), col("j").as("nn_start"))
+      prof.select(col("i").as("start"), col("nn_start"), col("profile_sad"),
+          (col("profile_sad") ===
+            max(col("profile_sad")).over(Window.orderBy(lit(1))
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+            .as("is_discord"))
+        .orderBy("start")
+    },
+    Some("""
+      WITH spine AS (SELECT unnest(generate_series(0, 30)) AS d),
+      agg AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+      series AS (
+        SELECT CAST(spine.d AS BIGINT) AS d,
+               CAST(coalesce(agg.cents, 0) AS BIGINT) AS v
+        FROM spine LEFT JOIN agg ON spine.d = agg.d),
+      starts AS (SELECT CAST(unnest(generate_series(0, 24)) AS BIGINT) AS i),
+      offs AS (SELECT CAST(unnest(generate_series(0, 6)) AS BIGINT) AS t),
+      sad AS (
+        SELECT s1.i AS i, s2.i AS j,
+               CAST(sum(abs(a.v - b.v)) AS BIGINT) AS sad
+        FROM starts s1 JOIN starts s2 ON abs(s1.i - s2.i) >= 4
+        CROSS JOIN offs
+        JOIN series a ON a.d = s1.i + offs.t
+        JOIN series b ON b.d = s2.i + offs.t
+        GROUP BY s1.i, s2.i),
+      prof AS (
+        SELECT i AS start, sad AS profile_sad, j AS nn_start FROM (
+          SELECT i, j, sad, row_number() OVER (PARTITION BY i
+            ORDER BY sad ASC, j ASC) AS rn
+          FROM sad)
+        WHERE rn = 1)
+      SELECT start, nn_start, profile_sad,
+             profile_sad = max(profile_sad) OVER () AS is_discord
+      FROM prof ORDER BY start"""))
+
   val all: Seq[Q] = Seq(theilSen, kendall, kaplanMeier, abSequential,
     mannWhitney, chiSquare, periodogram, logRank, seasonalDecomp,
-    survivalLogit, regDiscontinuity)
+    survivalLogit, regDiscontinuity, matrixProfile)
 }

@@ -162,4 +162,70 @@ class ProfileSpec extends SparkSpec {
       s"got $got want $want")
     assert(all.forall(_._3 >= got.getLong(5)), "emitted split must be optimal")
   }
+
+  test("matrix profile == driver-side brute force on the same daily series") {
+    val cents = Tables.load(spark, sf001, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("c"))
+      .select(datediff(col("day"), lit(java.sql.Date.valueOf("2024-01-01")))
+        .cast("long").as("d"), col("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = (0 until 31).map(d => cents.getOrElse(d.toLong, 0L))
+    def sad(i: Int, j: Int): Long =
+      (0 until 7).map(t => math.abs(v(i + t) - v(j + t))).sum
+    val want = (0 until 25).map { i =>
+      val cands = (0 until 25).filter(j => math.abs(i - j) >= 4)
+        .map(j => (sad(i, j), j.toLong)).min
+      (i.toLong, cands._2, cands._1)
+    }
+    val discord = want.map(_._3).max
+    val got = ops.Robust.matrixProfile.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == want, "profile mismatch")
+    got.foreach { case (_, _, p, flag) => assert(flag == (p == discord)) }
+  }
+
+  test("isolation forest == driver-side tree growth with the same md5 coins") {
+    val base = Tables.load(spark, sf001, "orders").select(
+      col("o_orderkey"),
+      round(col("o_totalprice") * 100, 0).cast("long"),
+      datediff(to_date(col("o_orderdate")),
+        lit(java.sql.Date.valueOf("1992-01-01"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // grow each tree level by level exactly like the query
+    var nodes: Map[(Long, Long), Seq[(Long, Long, Long)]] =
+      (0L to 3L).map(t => (t, 1L) -> base.toSeq).toMap
+    for (_ <- 1 to 3) {
+      nodes = nodes.toSeq.flatMap { case ((tree, node), rs) =>
+        val hex = md5hex(s"$tree:$node")
+        val h1 = hex(0).toLong * 256 + hex(1).toLong
+        val h2m = (hex(2).toLong * 256 + hex(3).toLong) % 1009
+        val dim = (h1 % 2).toInt
+        def f(r: (Long, Long, Long)) = if (dim == 0) r._2 else r._3
+        val (mn, mx) = (rs.map(f).min, rs.map(f).max)
+        val thr = mn + h2m * (mx - mn) / 1009
+        val (right, left) = rs.partition(r => f(r) > thr)
+        Seq((tree, node * 2) -> left, (tree, node * 2 + 1) -> right)
+          .filter(_._2.nonEmpty)
+      }.toMap
+    }
+    def cMilli(n: Long): Long =
+      if (n <= 1) 0L
+      else math.round(1000.0 * (2.0 * (math.log((n - 1).toDouble)
+        + 0.5772156649015329) - 2.0 * (n - 1) / n))
+    val score = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(12000L)
+    val leafMin = scala.collection.mutable.Map.empty[Long, Long]
+    for (((_, _), rs) <- nodes; c = cMilli(rs.length); r <- rs) {
+      score(r._1) = score(r._1) + c
+      leafMin(r._1) = math.min(leafMin.getOrElse(r._1, Long.MaxValue), rs.length.toLong)
+    }
+    val want = score.toSeq.map { case (k, sc) => (sc, k) }.sorted.take(20)
+      .map { case (sc, k) => (k, sc, leafMin(k)) }
+    val got = ops.Profile.isolationForest.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+  }
 }

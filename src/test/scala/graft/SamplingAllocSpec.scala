@@ -157,4 +157,17 @@ class SamplingAllocSpec extends SparkSpec {
       s"covered_total must be the prefix sum of gains: $rows")
     assert(rows.map(_._2).distinct.length == rows.length, "picks are distinct")
   }
+
+  test("capture-recapture: Chapman bounds and self-reported error hold") {
+    val r = graft.llm.Sampling.captureRecapture.fn(spark, sf001).head()
+    val (nTrue, n1, n2, m, nHat, err) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(m <= math.min(n1, n2), "overlap cannot exceed either crawl")
+    assert(nHat >= n1 + n2 - m, "estimate cannot undercut the observed union")
+    assert(nHat == (n1 + 1) * (n2 + 1) / (m + 1) - 1, "Chapman closed form")
+    val wantErr = if (nHat >= nTrue) 1000 * (nHat - nTrue) / nTrue
+      else -(1000 * (nTrue - nHat) / nTrue)
+    assert(err == wantErr, s"self-reported error: $err vs $wantErr")
+    assert(math.abs(err) <= 500, s"coin-split crawls should land near truth: $err")
+  }
 }

@@ -443,4 +443,21 @@ class TextStatsSpec extends SparkSpec {
     val f = llm.TextStats.zipfFitOf(flat).head()
     assert(math.abs(f.getLong(1)) < 1000, s"flat slope ${f.getLong(1)}")
   }
+
+  test("chao1 == driver-side recomputation from raw token counts") {
+    val counts = Tables.load(spark, sf001, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    val (v, n) = (counts.length.toLong, counts.sum)
+    val f1 = counts.count(_ == 1L).toLong
+    val f2 = counts.count(_ == 2L).toLong
+    val r = graft.llm.TextStats.chao1.fn(spark, sf001).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((v, n, f1, f2)), s"tail counts: $r")
+    assert(r.getLong(4) == v + f1 * (f1 - 1) / (2 * (f2 + 1)), "Chao1 closed form")
+    assert(r.getLong(5) == 1000 - 1000 * f1 / n, "Good-Turing coverage")
+    assert(r.getLong(4) >= v, "richness estimate can never fall below observed")
+  }
 }
