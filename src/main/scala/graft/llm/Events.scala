@@ -2735,10 +2735,94 @@ object Events {
       WINDOW w AS (ORDER BY decile)
       ORDER BY decile"""))
 
+  /** ONLINE PERCEPTRON REPLAY — the mistake-driven learner the replay
+    * family lacked ([[ucbReplay]] explores, [[ucbContextual]] does it
+    * per context; this one LEARNS A SEPARATOR online): one example
+    * per day, features x = (1, clipped mean value milli, clipped
+    * event count), label y = sign(clicks − views), prediction
+    * ŷ = sign(w·x) with 0 reading as −1, and the classic update
+    * w += y·x ONLY on mistakes (Rosenblatt; mistake-bounded by the
+    * margin theorem). The full trajectory — label, pre-update margin,
+    * mistake flag, and the weight vector AFTER the step — rides the
+    * driver hash, so one mis-ordered comparison in 31 rounds flips
+    * the result.
+    *
+    * EXACT end to end: every feature, margin, and weight is a BIGINT
+    * (this is the registry's only learner with NO float anywhere —
+    * no ln, no sqrt, no rounding contract needed). The oracle replays
+    * the identical recurrence as a recursive CTE whose state is the
+    * weight vector.
+    *
+    * Scale shape: the feature matrix is one map-side-combinable
+    * day aggregate; the sequential fold over the day-domain frame is
+    * driver work by construction (the [[ucbReplay]] argument — round
+    * t needs every prior round). More features widen the tiny frame;
+    * the corpus only ever feeds the aggregate. */
+  val perceptronReplay: Q = Q(
+    "q_perceptron_replay",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val day = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(
+          least(lit(1000L),
+            expr("(1000 * sum(CAST(round(value * 100) AS BIGINT))) div (100 * count(1))"))
+            .as("x1"),
+          least(lit(1000L), count(lit(1))).as("x2"),
+          when(sum(when(col("event_type") === "click", 1L).otherwise(0L)) >=
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)), 1L)
+            .otherwise(-1L).as("y"))
+        .withColumn("t", row_number().over(Window.orderBy("d")).cast("long"))
+        .select("t", "x1", "x2", "y")
+      val feat = day.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      var (w0, w1, w2) = (0L, 0L, 0L)
+      val trace = feat.map { case (rt, x1, x2, y) =>
+        val margin = w0 + w1 * x1 + w2 * x2
+        val pred = if (margin > 0) 1L else -1L
+        val mistake = pred != y
+        if (mistake) { w0 += y; w1 += y * x1; w2 += y * x2 }
+        (rt, y, margin, mistake, w0, w1, w2)
+      }
+      import s.implicits._
+      trace.toSeq.toDF("t", "y", "margin", "mistake", "w0", "w1", "w2")
+        .coalesce(1).orderBy("t")
+    },
+    Some("""
+      WITH RECURSIVE feat AS (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, x1, x2, y
+        FROM (
+          SELECT CAST(ts AS DATE) AS d,
+                 least(1000, (1000 * sum(CAST(round(value * 100) AS BIGINT)))
+                   // (100 * count(*))) AS x1,
+                 least(1000, CAST(count(*) AS BIGINT)) AS x2,
+                 CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) >=
+                           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+          FROM events GROUP BY 1)),
+      st AS (
+        SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS y,
+               CAST(0 AS BIGINT) AS margin, false AS mistake,
+               CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+               CAST(0 AS BIGINT) AS w2
+        UNION ALL
+        SELECT f.t, f.y,
+               st.w0 + st.w1 * f.x1 + st.w2 * f.x2 AS marg,
+               (CASE WHEN st.w0 + st.w1 * f.x1 + st.w2 * f.x2 > 0
+                     THEN 1 ELSE -1 END) <> f.y AS mist,
+               CASE WHEN mist THEN st.w0 + f.y ELSE st.w0 END,
+               CASE WHEN mist THEN st.w1 + f.y * f.x1 ELSE st.w1 END,
+               CASE WHEN mist THEN st.w2 + f.y * f.x2 ELSE st.w2 END
+        FROM st JOIN feat f ON f.t = st.t + 1)
+      SELECT t, y, margin, mistake, w0, w1, w2
+      FROM st WHERE t >= 1 ORDER BY t"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
-    burstDetect, didEstimate, ipsValue, drValue, ucbContextual, qiniCurve)
+    burstDetect, didEstimate, ipsValue, drValue, ucbContextual, qiniCurve,
+    perceptronReplay)
 }

@@ -1231,7 +1231,138 @@ object Retrieval {
                            ELSE 0 END) // 10 AS BIGINT) AS ap_micro
       FROM c GROUP BY query_id ORDER BY query_id"""))
 
+  /** CONDORCET / COPELAND RANK AGGREGATION — the social-choice
+    * alternative to score fusion: where RRF ([[hybrid]]) ADDS
+    * reciprocal ranks, a Condorcet method holds a pairwise-majority
+    * TOURNAMENT among candidates (a beats b if a majority of rankers
+    * order a above b; unranked = worse than any ranked, two unranked
+    * tie). Copeland score = dominated-minus-dominating opponents —
+    * robust to one ranker's wild scores in a way additive fusion is
+    * not; the Borda tally (Σ positions-from-bottom) breaks Copeland
+    * ties, doc_id breaks both. The flag marks a true CONDORCET
+    * WINNER (dominates every opponent). Voters: the lexical top-20,
+    * dense top-20, and RRF-hybrid top-10 over the same doc-as-query
+    * protocol.
+    *
+    * All-integer: ranks are exact, comparisons count votes, no score
+    * arithmetic survives into the tally. Scale shape: the rankers
+    * carry the cost; the candidate set is ≤40 per query, so the
+    * pairwise tournament is a ≤1.6k-row-per-query self-join over a
+    * broadcast-sized frame — O(candidates²), constant in corpus. */
+  val condorcetFusion: Q = Q(
+    "q_condorcet_fusion",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lex = lexRanked(s, docs, 20)
+      val den = denseRanked(s, dir, 20)
+      val hyb = hybridTopK(s, dir).select(col("query_id"), col("doc_id"),
+        col("rank").as("hyb_rank"))
+      val cand = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+        .join(hyb, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("lex_rank"), lit(999L)).as("rl"),
+          coalesce(col("dense_rank"), lit(999L)).as("rd"),
+          coalesce(col("hyb_rank"), lit(999L)).as("rh"))
+      val n = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+      val pairs = cand.as("a").join(cand.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.query_id").as("query_id"), col("a.doc_id").as("doc_id"),
+          ((col("a.rl") < col("b.rl")).cast("long") +
+           (col("a.rd") < col("b.rd")).cast("long") +
+           (col("a.rh") < col("b.rh")).cast("long")).as("ab"),
+          ((col("b.rl") < col("a.rl")).cast("long") +
+           (col("b.rd") < col("a.rd")).cast("long") +
+           (col("b.rh") < col("a.rh")).cast("long")).as("ba"))
+      val cop = pairs.groupBy("query_id", "doc_id")
+        .agg(sum(when(col("ab") > col("ba"), 1L)
+          .when(col("ab") < col("ba"), -1L).otherwise(0L)).as("copeland"))
+      val borda = cand.select(col("query_id"), col("doc_id"),
+        (when(col("rl") <= 20, lit(21L) - col("rl")).otherwise(0L) +
+         when(col("rd") <= 20, lit(21L) - col("rd")).otherwise(0L) +
+         when(col("rh") <= 10, lit(11L) - col("rh")).otherwise(0L)).as("borda"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("copeland").desc, col("borda").desc, col("doc_id").asc)
+      cop.join(borda, Seq("query_id", "doc_id"))
+        .join(broadcast(n), "query_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("copeland"), col("borda"),
+          (col("copeland") === col("n_cand") - 1).as("condorcet_winner"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $lexRankedSql,
+      ${denseRankedSql(20)},
+      hybbase AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               coalesce(CAST(round(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0) +
+               coalesce(CAST(round(1000000.0 / (60 + d.dense_rank)) AS BIGINT), 0)
+                 AS rrf
+        FROM lex l FULL OUTER JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+      hyb AS (
+        SELECT query_id, doc_id, hyb_rank FROM (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS hyb_rank
+          FROM hybbase)
+        WHERE hyb_rank <= 10),
+      cand AS (
+        SELECT coalesce(l.query_id, d.query_id, h.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id, h.doc_id) AS doc_id,
+               coalesce(l.lex_rank, 999) AS rl,
+               coalesce(d.dense_rank, 999) AS rd,
+               coalesce(h.hyb_rank, 999) AS rh
+        FROM lex l
+        FULL OUTER JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+        FULL OUTER JOIN hyb h
+          ON coalesce(l.query_id, d.query_id) = h.query_id
+         AND coalesce(l.doc_id, d.doc_id) = h.doc_id),
+      nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_cand
+             FROM cand GROUP BY query_id),
+      cop AS (
+        SELECT a.query_id, a.doc_id,
+               CAST(sum(CASE
+                 WHEN (CASE WHEN a.rl < b.rl THEN 1 ELSE 0 END +
+                       CASE WHEN a.rd < b.rd THEN 1 ELSE 0 END +
+                       CASE WHEN a.rh < b.rh THEN 1 ELSE 0 END) >
+                      (CASE WHEN b.rl < a.rl THEN 1 ELSE 0 END +
+                       CASE WHEN b.rd < a.rd THEN 1 ELSE 0 END +
+                       CASE WHEN b.rh < a.rh THEN 1 ELSE 0 END) THEN 1
+                 WHEN (CASE WHEN a.rl < b.rl THEN 1 ELSE 0 END +
+                       CASE WHEN a.rd < b.rd THEN 1 ELSE 0 END +
+                       CASE WHEN a.rh < b.rh THEN 1 ELSE 0 END) <
+                      (CASE WHEN b.rl < a.rl THEN 1 ELSE 0 END +
+                       CASE WHEN b.rd < a.rd THEN 1 ELSE 0 END +
+                       CASE WHEN b.rh < a.rh THEN 1 ELSE 0 END) THEN -1
+                 ELSE 0 END) AS BIGINT) AS copeland
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+        GROUP BY a.query_id, a.doc_id),
+      brd AS (
+        SELECT query_id, doc_id,
+               CAST(CASE WHEN rl <= 20 THEN 21 - rl ELSE 0 END +
+                    CASE WHEN rd <= 20 THEN 21 - rd ELSE 0 END +
+                    CASE WHEN rh <= 10 THEN 11 - rh ELSE 0 END AS BIGINT) AS borda
+        FROM cand)
+      SELECT query_id, rank, doc_id, copeland, borda, condorcet_winner
+      FROM (
+        SELECT cop.query_id, cop.doc_id, cop.copeland, brd.borda,
+               cop.copeland = nc.n_cand - 1 AS condorcet_winner,
+               CAST(row_number() OVER (PARTITION BY cop.query_id
+                 ORDER BY cop.copeland DESC, brd.borda DESC, cop.doc_id ASC)
+                 AS BIGINT) AS rank
+        FROM cop
+        JOIN brd ON cop.query_id = brd.query_id AND cop.doc_id = brd.doc_id
+        JOIN nc ON cop.query_id = nc.query_id)
+      WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(bm25, bm25Incremental, hybrid, negatives, hashedTfidf,
     ndcgEval, mrrEval, phraseSearch, rrfWeighted, mmrRerank, lateInteraction,
-    rbo, apEval)
+    rbo, apEval, condorcetFusion)
 }

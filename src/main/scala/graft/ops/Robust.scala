@@ -1012,7 +1012,75 @@ object Robust {
              profile_sad = max(profile_sad) OVER () AS is_discord
       FROM prof ORDER BY start"""))
 
+  /** JACKKNIFE variance + bias correction for a RATIO statistic —
+    * the deterministic resampler next to [[graft.llm.Events
+    * .bootstrapCi]]'s seeded bootstrap: average order value
+    * θ = Σspend/Σorders is a ratio of totals, so its plug-in
+    * estimate is biased and its variance has no closed form — but
+    * every leave-one-CUSTOMER-out value is closed-form from the
+    * totals, θ₍ᵢ₎ = (S−sᵢ)/(T−tᵢ), so the full jackknife is one
+    * user-domain pass, no resampling loop.
+    *
+    * Determinism: each θ₍ᵢ₎ rounds once to whole cents (nonnegative
+    * floored division); the pseudo-value mean floors once; deviations
+    * are signed BIGINTs whose SQUARES need no sign-split. Emits the
+    * plug-in θ, the bias-corrected n·θ − (n−1)·mean(θ₍ᵢ₎), and the
+    * jackknife variance (n−1)·⌊Σdev²/n⌋ in cents² (divide-then-multiply keeps the product inside BIGINT at every SF). Overflow:
+    * dev² · n peaks mid-scale (~4·10¹⁷ at 10⁴ users with ±20%
+    * leave-one-out swings) and SHRINKS with n beyond that (each θ₍ᵢ₎
+    * approaches θ as 1/n) — inside BIGINT at every SF.
+    *
+    * Scale shape: one corpus-keyed per-customer aggregate, a 1-row
+    * broadcast of the totals, one domain-sized rollup. */
+  val jackknife: Q = Q(
+    "q_jackknife",
+    (s, dir) => {
+      val users = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("s_i"),
+          count(lit(1)).as("t_i"))
+      val tot = users.agg(sum(col("s_i")).as("s"), sum(col("t_i")).as("t"),
+        count(lit(1)).as("n")).limit(1)
+      val loo = users.crossJoin(broadcast(tot))
+        .selectExpr("s", "t", "n",
+          "(s - s_i) div (t - t_i) AS th_i_cents")
+      val m = loo.groupBy("s", "t", "n")
+        .agg(sum(col("th_i_cents")).as("sum_th"))
+        .selectExpr("n", "s div t AS theta_cents",
+          "sum_th div n AS mean_loo_cents")
+        .limit(1)
+      loo.select("th_i_cents").crossJoin(broadcast(m))
+        .groupBy("n", "theta_cents", "mean_loo_cents")
+        .agg(sum((col("th_i_cents") - col("mean_loo_cents")) *
+          (col("th_i_cents") - col("mean_loo_cents"))).as("ss_dev"))
+        .selectExpr("n", "theta_cents",
+          "n * theta_cents - (n - 1) * mean_loo_cents AS theta_jack_cents",
+          "(n - 1) * (ss_dev div n) AS var_jack_cents2")
+    },
+    Some("""
+      WITH users AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_i,
+               CAST(count(*) AS BIGINT) AS t_i
+        FROM orders GROUP BY o_custkey),
+      tot AS (SELECT CAST(sum(s_i) AS BIGINT) AS s, CAST(sum(t_i) AS BIGINT) AS t,
+                     CAST(count(*) AS BIGINT) AS n FROM users),
+      loo AS (SELECT s, t, n,
+                     (s - s_i) // (t - t_i) AS th_i_cents
+              FROM users CROSS JOIN tot),
+      m AS (SELECT n, s // t AS theta_cents,
+                   sum(th_i_cents) // n AS mean_loo_cents
+            FROM loo GROUP BY n, s, t)
+      SELECT m.n AS n, CAST(m.theta_cents AS BIGINT) AS theta_cents,
+             CAST(m.n * m.theta_cents - (m.n - 1) * m.mean_loo_cents AS BIGINT)
+               AS theta_jack_cents,
+             CAST((m.n - 1) * (sum((loo.th_i_cents - m.mean_loo_cents) *
+                                   (loo.th_i_cents - m.mean_loo_cents)) // m.n)
+               AS BIGINT) AS var_jack_cents2
+      FROM loo CROSS JOIN m
+      GROUP BY m.n, m.theta_cents, m.mean_loo_cents"""))
+
   val all: Seq[Q] = Seq(theilSen, kendall, kaplanMeier, abSequential,
     mannWhitney, chiSquare, periodogram, logRank, seasonalDecomp,
-    survivalLogit, regDiscontinuity, matrixProfile)
+    survivalLogit, regDiscontinuity, matrixProfile, jackknife)
 }

@@ -728,4 +728,30 @@ class EventsSpec extends SparkSpec {
     val wantQ = last._4 - (last._5 * last._2) / last._3
     assert(last._6.contains(wantQ), s"endpoint qini: ${last._6} vs $wantQ")
   }
+
+  test("perceptron replay: margins, updates, and mistake rule are internally consistent") {
+    import org.apache.spark.sql.expressions.Window
+    val feats = Tables.load(spark, sf001, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        least(lit(1000L),
+          expr("(1000 * sum(CAST(round(value * 100) AS BIGINT))) div (100 * count(1))")).as("x1"),
+        least(lit(1000L), count(lit(1))).as("x2"))
+      .withColumn("t", row_number().over(Window.orderBy("d")).cast("long"))
+      .select("t", "x1", "x2")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val trace = Events.perceptronReplay.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    var (w0, w1, w2) = (0L, 0L, 0L)
+    trace.foreach { case (t, y, margin, mistake, a0, a1, a2) =>
+      val (x1, x2) = feats(t)
+      assert(margin == w0 + w1 * x1 + w2 * x2, s"round $t margin")
+      val pred = if (margin > 0) 1L else -1L
+      assert(mistake == (pred != y), s"round $t mistake rule")
+      if (mistake) { w0 += y; w1 += y * x1; w2 += y * x2 }
+      assert((a0, a1, a2) == ((w0, w1, w2)), s"round $t update")
+    }
+    assert(trace.exists(_._4), "a nontrivial stream must force at least one mistake")
+  }
 }

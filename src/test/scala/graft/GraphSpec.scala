@@ -868,4 +868,21 @@ class GraphSpec extends SparkSpec {
     assert(msgs(ex).contains("basket over cap"),
       s"expected the basket invariant, got: ${msgs(ex).take(200)}")
   }
+
+  test("local clustering coefficient closed forms: K4, star, triangle+pendant") {
+    def cc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+      ops.Graph.localClustering(edges.toDF("u", "v")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // K4: every vertex in 3 triangles, d = 3 -> cc = 1000 exactly
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(cc(k4).values.forall(_ == ((3L, 3L, 1000L))), s"K4: ${cc(k4)}")
+    // star: hub degree 3, no triangles -> cc = 0 (leaves d = 1 dropped)
+    val star = cc(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(star == Map(0L -> ((3L, 0L, 0L))), s"star: $star")
+    // triangle 0-1-2 plus pendant 3 on vertex 0: vertex 0 has d = 3,
+    // 1 triangle -> cc = 2000/(3*2) = 333; vertices 1,2 -> 1000
+    val tp = cc(Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L)))
+    assert(tp(0L) == ((3L, 1L, 333L)) && tp(1L) == ((2L, 1L, 1000L)) &&
+      tp(2L) == ((2L, 1L, 1000L)), s"triangle+pendant: $tp")
+  }
 }

@@ -258,4 +258,21 @@ class RetrievalSpec extends SparkSpec {
     }.sum
     assert(got == want, s"$got != $want")
   }
+
+  test("condorcet fusion: winner flag is unique, tops its query, and dominates RRF top-1 or ties") {
+    val rows = graft.llm.Retrieval.condorcetFusion.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // copeland non-increasing down the emitted ranking
+      val cps = sorted.map(_._4)
+      assert(cps.zip(cps.tail).forall { case (a, b) => a >= b }, s"query $q order")
+      val winners = rs.filter(_._6)
+      assert(winners.length <= 1, s"query $q: two condorcet winners is a contradiction")
+      winners.foreach(w => assert(w._2 == 1L,
+        s"query $q: a condorcet winner must top the aggregate ranking"))
+    }
+  }
 }

@@ -283,4 +283,21 @@ class RobustSpec extends SparkSpec {
     assert(r.getLong(4) == 0L, s"continuous line must show no effect: $r")
     assert(r.getLong(5) == 2000L && r.getLong(6) == 2000L, s"slopes: $r")
   }
+
+  test("jackknife == driver-side leave-one-out recomputation") {
+    val users = Tables.load(spark, sf001, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("s_i"),
+        count(lit(1)).as("t_i"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val (bigS, bigT, n) = (users.map(_._1).sum, users.map(_._2).sum, users.length.toLong)
+    val th = users.map { case (si, ti) => (bigS - si) / (bigT - ti) }
+    val mean = th.sum / n
+    val ss = th.map(x => (x - mean) * (x - mean)).sum
+    val want = (n, bigS / bigT, n * (bigS / bigT) - (n - 1) * mean, (n - 1) * (ss / n))
+    val r = ops.Robust.jackknife.fn(spark, sf001).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == want,
+      s"got $r want $want")
+    assert(r.getLong(3) >= 0L, "variance is nonnegative")
+  }
 }
