@@ -215,5 +215,61 @@ object Bpe {
     },
     None)
 
-  val all: Seq[Q] = Seq(bpeMerges, bpeEncode)
+  /** TOKENIZER FERTILITY AUDIT — pieces-per-word by language under
+    * the LEARNED merge list: the "which languages does this vocab
+    * tax" readout every multilingual tokenizer review starts from
+    * (a vocab trained on one language's corpus over-segments the
+    * others; fertility is the standard name for tokens/word). Uses
+    * the same memoized k = 8 merge list as [[bpeEncode]], applied to
+    * the distinct-word table once, then rolled up per document
+    * language with occurrence weights.
+    *
+    * Rows-only by the [[bpeMerges]] contract (a merge fold is not
+    * one DuckDB query) — so it self-defends like the encode query:
+    * the run ABORTS unless every language's fertility is ≥ 1
+    * piece/word (segmentation soundness) and at least one language
+    * compressed strictly below its character count (the merges did
+    * real work). Scale shape: merge fold over the DISTINCT-WORD
+    * table, hash join back to occurrences, language-domain rollup. */
+  val bpeFertility: Q = Q(
+    "q_bpe_fertility",
+    (s, dir) => {
+      val k = 8
+      val docs = t(s, dir, "documents")
+      val merges = trainMergesMemo(dir, docs, k)
+      val words = docs
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val vocab = merges
+        .foldLeft(words.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .withColumn("syms", charSyms(col("w")))) {
+          case (df, (l, r, _)) => df.withColumn("syms", applyMerge(col("syms"), l, r))
+        }
+        .select(col("w"), size(col("syms")).cast("long").as("n_bpe"),
+          length(col("w")).cast("long").as("n_chars"))
+      val out = words.join(vocab, "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_bpe")).as("n_pieces"),
+          sum(col("n_chars")).as("n_word_chars"))
+        .selectExpr("lang", "n_words", "n_pieces",
+          "(1000000 * n_pieces) div n_words AS fertility_micro",
+          "(1000000 * n_word_chars) div n_pieces AS chars_per_piece_micro")
+        .orderBy("lang")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val chk = out.agg(
+        sum(when(col("fertility_micro") < 1000000L, 1L).otherwise(0L)).as("bad"),
+        sum(when(col("chars_per_piece_micro") > 1000000L, 1L).otherwise(0L))
+          .as("compressed")).head()
+      if (chk.getLong(0) > 0)
+        throw new IllegalStateException(
+          s"fertility audit degraded: ${chk.getLong(0)} languages below 1 piece/word")
+      if (chk.getLong(1) == 0)
+        throw new IllegalStateException(
+          "fertility audit degraded: no language compressed below raw characters")
+      out
+    },
+    None)
+
+  val all: Seq[Q] = Seq(bpeMerges, bpeEncode, bpeFertility)
 }

@@ -2818,11 +2818,67 @@ object Events {
       SELECT t, y, margin, mistake, w0, w1, w2
       FROM st WHERE t >= 1 ORDER BY t"""))
 
+  /** POWER ANALYSIS — the experiment-DESIGN calculator the analysis
+    * family ([[abTest]], [[cuped]], sequential monitors)
+    * presupposes: before any A/B runs, how many users per arm does a
+    * two-sample test need to detect a given lift at α = 0.05,
+    * power = 0.80? n = 2(z_{α/2}+z_β)²·σ²/δ² with z = 1.96/0.84,
+    * evaluated from the PILOT data's own per-user spend moments at
+    * 5%, 2%, and 1% minimum detectable effects, plus the runtime in
+    * days at the pilot's observed user arrival rate — the actual
+    * "can we afford this experiment" readout.
+    *
+    * Determinism: moments are exact BIGINTs (kUSD-scaled spend); each
+    * n_required is ONE fixed-order IEEE chain (variance ratio, the
+    * [[graft.ops.Profile.mahalanobis]] contract) ceil'd once —
+    * identical text both engines. Scale shape: one per-user
+    * aggregate, one 1-row moment rollup. */
+  val powerAnalysis: Q = Q(
+    "q_power_analysis",
+    (s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(round(col("value") * 100, 0).cast("long")) / lit(100L))
+          .cast("long").as("x"))
+      def nReq(mdePct: Int) =
+        s"""CAST(ceil((15.68 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            / CAST(n AS DOUBLE)))
+            / (($mdePct.0 / 100.0) * sx / n) / (($mdePct.0 / 100.0) * sx / n))
+            AS BIGINT) AS n_req_mde$mdePct"""
+      users.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .selectExpr("n", "sx div n AS mean_usd",
+          nReq(5), nReq(2), nReq(1))
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT) AS x
+        FROM events GROUP BY user_id),
+      mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM users)
+      SELECT n, sx // n AS mean_usd,
+             CAST(ceil((15.68 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               / CAST(n AS DOUBLE)))
+               / ((5.0 / 100.0) * sx / n) / ((5.0 / 100.0) * sx / n))
+               AS BIGINT) AS n_req_mde5,
+             CAST(ceil((15.68 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               / CAST(n AS DOUBLE)))
+               / ((2.0 / 100.0) * sx / n) / ((2.0 / 100.0) * sx / n))
+               AS BIGINT) AS n_req_mde2,
+             CAST(ceil((15.68 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               / CAST(n AS DOUBLE)))
+               / ((1.0 / 100.0) * sx / n) / ((1.0 / 100.0) * sx / n))
+               AS BIGINT) AS n_req_mde1
+      FROM mom"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
     burstDetect, didEstimate, ipsValue, drValue, ucbContextual, qiniCurve,
-    perceptronReplay)
+    perceptronReplay, powerAnalysis)
 }

@@ -917,8 +917,85 @@ object Profile {
         FROM $prev r JOIN sp$lvl sp ON r.tree = sp.tree AND r.node = sp.node)"""
   }
 
+  /** MAHALANOBIS OUTLIERS — the MULTIVARIATE member of the outlier
+    * family ([[outliers]]/[[anomalyMad]] are univariate;
+    * [[isolationForest]] is model-based): distance that whitens the
+    * feature covariance, so a customer who is unremarkable on spend
+    * AND order count separately but breaks their correlation (huge
+    * spend from two orders) surfaces. Features per customer: spend
+    * (kilodollar units via one nonnegative truncating division) and
+    * order count.
+    *
+    * Arithmetic: the five moments and the centered scatter
+    * a = n·Σx²−(Σx)², b = n·Σxy−ΣxΣy, c = n·Σy²−(Σy)² are EXACT
+    * BIGINTs (inside 2⁶³ through ~10⁶ customers at these units —
+    * documented envelope); per-customer deviations dx = n·x−Σx are
+    * exact; the quadratic form (c·dx² − 2b·dx·dy + a·dy²)/det = d²
+    * exceeds BIGINT, so it is ONE fixed-order IEEE chain rounded
+    * once to micro — the repo's standard cross-engine contract, the
+    * expression text kept literally identical on both sides. det ≤ 0
+    * (degenerate covariance) → NULL via nullif.
+    *
+    * Scale shape: one per-customer aggregate, a 1-row broadcast of
+    * the moments, a TakeOrdered top-20. */
+  val mahalanobis: Q = Q(
+    "q_mahalanobis",
+    (s, dir) => {
+      val users = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg((sum(round(col("o_totalprice") * 100, 0).cast("long")))
+          .as("cents"), count(lit(1)).as("y"))
+        .selectExpr("o_custkey", "cents div 100000 AS x", "y")
+      val mom = users.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .selectExpr("n", "sx", "sy",
+          "n * sxx - sx * sx AS a", "n * sxy - sx * sy AS b",
+          "n * syy - sy * sy AS c")
+        .limit(1)
+      users.crossJoin(broadcast(mom))
+        .selectExpr("o_custkey", "x AS spend_kusd", "y AS n_orders",
+          "n * x - sx AS dx", "n * y - sy AS dy", "a", "b", "c")
+        .selectExpr("o_custkey", "spend_kusd", "n_orders",
+          """CAST(round(1000000.0 * ((CAST(c AS DOUBLE) * dx * dx
+             - 2.0 * CAST(b AS DOUBLE) * dx * dy
+             + CAST(a AS DOUBLE) * dy * dy)
+             / nullif(CAST(a AS DOUBLE) * CAST(c AS DOUBLE)
+                      - CAST(b AS DOUBLE) * CAST(b AS DOUBLE), 0.0)))
+             AS BIGINT) AS md2_micro""")
+        .orderBy(col("md2_micro").desc, col("o_custkey").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH users AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 // 100000 AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey),
+      mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS a,
+               CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS b,
+               CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS c
+        FROM users)
+      SELECT o_custkey, x AS spend_kusd, y AS n_orders,
+             CAST(round(1000000.0 * ((CAST(c AS DOUBLE) * dx * dx
+               - 2.0 * CAST(b AS DOUBLE) * dx * dy
+               + CAST(a AS DOUBLE) * dy * dy)
+               / nullif(CAST(a AS DOUBLE) * CAST(c AS DOUBLE)
+                        - CAST(b AS DOUBLE) * CAST(b AS DOUBLE), 0.0)))
+               AS BIGINT) AS md2_micro
+      FROM (
+        SELECT o_custkey, x, y, n * x - sx AS dx, n * y - sy AS dy, a, b, c
+        FROM users CROSS JOIN mom)
+      ORDER BY md2_micro DESC, o_custkey ASC LIMIT 20"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
     groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics,
     benford, anomalyMad, freshnessSla, giniConcentration, voptHistogram,
-    isolationForest)
+    isolationForest, mahalanobis)
 }

@@ -754,4 +754,13 @@ class EventsSpec extends SparkSpec {
     }
     assert(trace.exists(_._4), "a nontrivial stream must force at least one mistake")
   }
+
+  test("power analysis: MDE scaling law holds (quartering the effect ~ 25x the n)") {
+    val r = Events.powerAnalysis.fn(spark, sf001).head()
+    val (n5, n2, n1) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n5 > 0 && n2 > n5 && n1 > n2, s"power must grow as MDE shrinks: $r")
+    // n scales with 1/mde^2: 5% -> 1% is exactly x25 up to the two ceils
+    assert(math.abs(n1 - 25L * n5) <= 25L, s"inverse-square law: n1=$n1 n5=$n5")
+    assert(math.abs(n1 - 4L * n2) <= 4L, s"halving MDE quadruples n: $n2 $n1")
+  }
 }

@@ -228,4 +228,30 @@ class ProfileSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
   }
+
+  test("mahalanobis top-20 == driver-side recomputation with the same IEEE chain") {
+    val users = Tables.load(spark, sf001, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"),
+        count(lit(1)).as("y"))
+      .selectExpr("o_custkey", "cents div 100000 AS x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = users.length.toLong
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val a = n * users.map(u => u._2 * u._2).sum - sx * sx
+    val b = n * users.map(u => u._2 * u._3).sum - sx * sy
+    val c = n * users.map(u => u._3 * u._3).sum - sy * sy
+    val det = a.toDouble * c.toDouble - b.toDouble * b.toDouble
+    val want = users.map { case (k, x, y) =>
+      val dx = (n * x - sx).toDouble; val dy = (n * y - sy).toDouble
+      val md2 = math.round(1000000.0 *
+        ((c.toDouble * dx * dx - 2.0 * b.toDouble * dx * dy
+          + a.toDouble * dy * dy) / det))
+      (k, x, y, md2)
+    }.sortBy { case (k, _, _, m) => (-m, k) }.take(20).toList
+    val got = ops.Profile.mahalanobis.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+    assert(got.head._4 > got.last._4, "top-20 must actually discriminate")
+  }
 }
