@@ -2874,11 +2874,194 @@ object Events {
                AS BIGINT) AS n_req_mde1
       FROM mom"""))
 
+  /** NEAREST-NEIGHBOR MATCHING ESTIMATOR (ATT) — the fifth causal
+    * surface (DiD, IPS, DR, RDD, and now matching): pair every
+    * treated user with the most similar CONTROL on pre-treatment
+    * covariates and read the treatment effect off the matched
+    * outcome gaps — the workhorse when treatment isn't randomized
+    * and a model-free comparison is wanted. Covariates: pre-period
+    * spend and event count; treatment: the md5 user coin; outcome:
+    * post-period spend. Distance = dspend² + (1000·dcount)²
+    * (count deviations priced at $10 of spend), ties to the lowest
+    * control id; treated users whose block holds no control are
+    * reported unmatched, never silently dropped into the mean.
+    *
+    * Scale shape — the part that matters at 100 TB: candidates are
+    * BLOCKED on fixed-width pre-spend buckets ($100), so the
+    * treated×control pair frame is Σ_b |T_b|·|C_b|, never the global
+    * cross product (the [[graft.ops.Linkage]] blocking discipline
+    * applied to causal matching; callers trade block width for
+    * recall exactly like LSH bands). One argmin window per treated
+    * user over the blocked pairs; the estimator is a 1-row rollup.
+    * ATT and the naive gap are sign-split single divisions. */
+  val matchingAtt: Q = Q(
+    "q_matching_att",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hex = md5(col("user_id").cast("string").cast("binary"))
+      val treated = ((ascii(substring(hex, 7, 1)) * 256 +
+        ascii(substring(hex, 8, 1))) % 2).cast("long")
+      val users = t(s, dir, "events").select(
+          col("user_id"), treated.as("g"),
+          when(to_date(col("ts")) < lit("2024-01-16"),
+            round(col("value") * 100, 0).cast("long")).otherwise(0L).as("pre_vc"),
+          when(to_date(col("ts")) < lit("2024-01-16"), 1L).otherwise(0L).as("pre_n"),
+          when(to_date(col("ts")) >= lit("2024-01-16"),
+            round(col("value") * 100, 0).cast("long")).otherwise(0L).as("post_vc"))
+        .groupBy("user_id", "g")
+        .agg(sum(col("pre_vc")).as("ps"), sum(col("pre_n")).as("pn"),
+          sum(col("post_vc")).as("y"))
+        .withColumn("blk", expr("ps div 10000"))
+      val tr = users.filter(col("g") === 1L)
+        .select(col("user_id").as("tid"), col("blk"),
+          col("ps").as("tps"), col("pn").as("tpn"), col("y").as("ty"))
+      val ct = users.filter(col("g") === 0L)
+        .select(col("user_id").as("cid"), col("blk"),
+          col("ps").as("cps"), col("pn").as("cpn"), col("y").as("cy"))
+      val w = Window.partitionBy("tid").orderBy(col("d").asc, col("cid").asc)
+      val matched = tr.join(ct, Seq("blk"))
+        .withColumn("d",
+          (col("tps") - col("cps")) * (col("tps") - col("cps")) +
+            (lit(1000L) * (col("tpn") - col("cpn"))) *
+            (lit(1000L) * (col("tpn") - col("cpn"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("tid"), col("ty"), col("cy"))
+      val nT = tr.agg(count(lit(1)).as("n_treated"),
+        sum(col("ty")).as("sty")).limit(1)
+      val nC = ct.agg(count(lit(1)).as("n_control"),
+        sum(col("cy")).as("scy")).limit(1)
+      def signedDiv(num: String, den: String, out: String) =
+        s"""CASE WHEN $num >= 0 THEN $num div $den
+                 ELSE -((-($num)) div $den) END AS $out"""
+      matched.agg(count(lit(1)).as("n_matched"),
+          sum(col("ty") - col("cy")).as("gap"))
+        .crossJoin(broadcast(nT)).crossJoin(broadcast(nC))
+        .selectExpr("n_treated", "n_control", "n_matched",
+          "n_treated - n_matched AS n_unmatched",
+          signedDiv("gap", "n_matched", "att_cents"),
+          signedDiv("(sty * n_control - scy * n_treated)",
+            "(n_treated * n_control)", "naive_gap_cents"))
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               (ascii(substr(md5(CAST(user_id AS VARCHAR)), 7, 1)) * 256 +
+                ascii(substr(md5(CAST(user_id AS VARCHAR)), 8, 1))) % 2 AS g,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ps,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS pn,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+      tr AS (SELECT user_id AS tid, ps // 10000 AS blk, ps AS tps, pn AS tpn,
+                    y AS ty FROM users WHERE g = 1),
+      ct AS (SELECT user_id AS cid, ps // 10000 AS blk, ps AS cps, pn AS cpn,
+                    y AS cy FROM users WHERE g = 0),
+      pairs AS (
+        SELECT tid, ty, cy, cid,
+               (tps - cps) * (tps - cps) +
+               (1000 * (tpn - cpn)) * (1000 * (tpn - cpn)) AS d
+        FROM tr JOIN ct USING (blk)),
+      matched AS (
+        SELECT tid, ty, cy FROM (
+          SELECT tid, ty, cy,
+                 row_number() OVER (PARTITION BY tid ORDER BY d ASC, cid ASC) AS rn
+          FROM pairs)
+        WHERE rn = 1),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated,
+                    CAST(sum(ty) AS BIGINT) AS sty FROM tr),
+      nc AS (SELECT CAST(count(*) AS BIGINT) AS n_control,
+                    CAST(sum(cy) AS BIGINT) AS scy FROM ct),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+                    CAST(sum(ty - cy) AS BIGINT) AS gap FROM matched)
+      SELECT n_treated, n_control, n_matched,
+             CAST(n_treated - n_matched AS BIGINT) AS n_unmatched,
+             CAST(CASE WHEN gap >= 0 THEN gap // n_matched
+                  ELSE -((-(gap)) // n_matched) END AS BIGINT) AS att_cents,
+             CAST(CASE WHEN (sty * n_control - scy * n_treated) >= 0
+                  THEN (sty * n_control - scy * n_treated) // (n_treated * n_control)
+                  ELSE -((-(sty * n_control - scy * n_treated))
+                         // (n_treated * n_control))
+                  END AS BIGINT) AS naive_gap_cents
+      FROM mm CROSS JOIN nt CROSS JOIN nc"""))
+
+  /** SUCCESSIVE HALVING — the hyperparameter-search primitive
+    * (Jamieson–Talwalkar; the inner loop of Hyperband): evaluate all
+    * configurations on a small budget, keep the top half, double the
+    * budget, repeat — so the full corpus is only ever spent on the
+    * finalists. Configurations are 8 pinned value-stump thresholds
+    * classifying purchase events; budgets are nested md5 event
+    * subsets (1/8 → 1/4 → 1/2 → full, the derandomized-coin
+    * discipline, nested so a bigger budget REPLAYS the smaller one
+    * plus fresh data). Output = the full elimination bracket: every
+    * (round, threshold) evaluation with its exact correct count and
+    * kept flag.
+    *
+    * All-integer (counts and comparisons only). Scale shape: each
+    * round is one conditional aggregate over coin-filtered scan ×
+    * ≤8 broadcast configs; the coin filter prunes at the scan, so
+    * total work is Σ rounds ≈ 2 full passes regardless of config
+    * count — the entire point of the algorithm, visible in the plan. */
+  val successiveHalving: Q = Q(
+    "q_successive_halving",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val hex = md5(col("event_id").cast("string").cast("binary"))
+      val ev = t(s, dir, "events").select(
+        (ascii(substring(hex, 11, 1)) % 8).cast("long").as("coin"),
+        round(col("value") * 100, 0).cast("long").as("vc"),
+        (col("event_type") === "purchase").as("is_p"))
+      var cfg = (1 to 8).map(i => 2500L * i).toDF("thr")
+      val rounds = Seq((1, 1L, 4), (2, 2L, 2), (3, 4L, 1), (4, 8L, 1))
+      val bracket = rounds.map { case (rnd, m, keep) =>
+        val eval = ev.filter(col("coin") < m)
+          .crossJoin(broadcast(cfg))
+          .groupBy("thr")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when((col("vc") > col("thr")) === col("is_p"), 1L)
+              .otherwise(0L)).as("correct"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("correct").desc, col("thr").asc)))
+          .select(lit(rnd.toLong).as("round"), col("thr"), col("n_eval"),
+            col("correct"), (col("rk") <= keep).as("kept"))
+        cfg = eval.filter(col("kept")).select("thr")
+        eval
+      }.reduce(_ unionAll _)
+      bracket.orderBy("round", "thr")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT ascii(substr(md5(CAST(event_id AS VARCHAR)), 11, 1)) % 8 AS coin,
+               CAST(round(value * 100) AS BIGINT) AS vc,
+               event_type = 'purchase' AS is_p
+        FROM events),
+      k0 AS (SELECT CAST(unnest(generate_series(1, 8)) * 2500 AS BIGINT) AS thr),
+      ${Seq((1, 1, 4), (2, 2, 2), (3, 4, 1), (4, 8, 1)).map { case (r, m, k) =>
+        s"""r$r AS MATERIALIZED (
+        SELECT t.thr, CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN (e.vc > t.thr) = e.is_p THEN 1 ELSE 0 END)
+                 AS BIGINT) AS correct,
+               CAST(row_number() OVER (
+                 ORDER BY sum(CASE WHEN (e.vc > t.thr) = e.is_p THEN 1 ELSE 0 END)
+                   DESC, t.thr ASC) AS BIGINT) <= $k AS kept
+        FROM ev e CROSS JOIN k${r - 1} t
+        WHERE e.coin < $m GROUP BY t.thr),
+      k$r AS (SELECT thr FROM r$r WHERE kept)"""
+      }.mkString(",\n      ")}
+      SELECT round, thr, n_eval, correct, kept FROM (
+        ${(1 to 4).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, thr, n_eval, correct, kept FROM r$r")
+          .mkString("\n        UNION ALL ")})
+      ORDER BY round, thr"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
     burstDetect, didEstimate, ipsValue, drValue, ucbContextual, qiniCurve,
-    perceptronReplay, powerAnalysis)
+    perceptronReplay, powerAnalysis, matchingAtt, successiveHalving)
 }

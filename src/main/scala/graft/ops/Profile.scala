@@ -994,8 +994,93 @@ object Profile {
         FROM users CROSS JOIN mom)
       ORDER BY md2_micro DESC, o_custkey ASC LIMIT 20"""))
 
+  /** FAIRNESS AUDIT — the responsible-AI readout no classifier ships
+    * without: per-group selection rate and error rates of a fixed
+    * decision rule, with the two standard parity gaps. The rule is a
+    * pinned price stump ("flag orders over $300k as priority"),
+    * ground truth is the order's actual urgent/high priority, and
+    * groups are the customer's nation. Demographic-parity gap =
+    * group selection rate − overall; equalized-odds gap = max of the
+    * TPR and FPR deviations (Hardt et al.'s two-sided criterion).
+    * TPC-H randomizes priority, so observed gaps are sampling noise —
+    * the AUDIT is the operator; the spec plants a biased rule and
+    * watches it light up.
+    *
+    * All-integer: confusion cells are one conditional aggregate per
+    * nation; every rate floors once to permille (nonnegative); gaps
+    * subtract two floored permilles (sign-safe subtraction, no
+    * division). Scale shape: one broadcast dim join (customer →
+    * nation), one group-domain aggregate, a 1-row overall broadcast. */
+  val fairnessAudit: Q = Q(
+    "q_fairness_audit",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_custkey"),
+        (round(col("o_totalprice") * 100, 0).cast("long") > 30000000L)
+          .cast("long").as("pred"),
+        (col("o_orderpriority").startsWith("1-") ||
+          col("o_orderpriority").startsWith("2-")).cast("long").as("y"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val base = o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      def cells(g: org.apache.spark.sql.RelationalGroupedDataset,
+          keep: Seq[String]) = g
+        .agg(count(lit(1)).as("n"),
+          sum(col("pred")).as("sel"),
+          sum(col("pred") * col("y")).as("tp"),
+          sum(col("pred") * (lit(1L) - col("y"))).as("fp"),
+          sum(col("y")).as("pos"))
+        .selectExpr(keep ++ Seq("n", "(1000 * sel) div n AS sel_permille",
+          "(1000 * tp) div nullif(pos, 0) AS tpr_permille",
+          "(1000 * fp) div nullif(n - pos, 0) AS fpr_permille"): _*)
+      val overall = cells(base.groupBy(), Nil)
+        .withColumnRenamed("n", "n_all")
+        .withColumnRenamed("sel_permille", "sel_all")
+        .withColumnRenamed("tpr_permille", "tpr_all")
+        .withColumnRenamed("fpr_permille", "fpr_all")
+        .limit(1)
+      cells(base.groupBy(col("c_nationkey").as("nk")), Seq("nk"))
+        .join(t(s, dir, "nation"), col("nk") === col("n_nationkey"))
+        .crossJoin(broadcast(overall))
+        .selectExpr("n_name", "n", "sel_permille", "tpr_permille", "fpr_permille",
+          "sel_permille - sel_all AS dp_gap_permille",
+          """greatest(abs(tpr_permille - tpr_all),
+                      abs(fpr_permille - fpr_all)) AS eo_gap_permille""")
+        .orderBy("n_name")
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_nationkey AS nk,
+               CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) > 30000000
+                    THEN 1 ELSE 0 END AS pred,
+               CASE WHEN o_orderpriority LIKE '1-%'
+                      OR o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      grp AS (
+        SELECT nk, CAST(count(*) AS BIGINT) AS n,
+               CAST((1000 * sum(pred)) // count(*) AS BIGINT) AS sel_permille,
+               CAST((1000 * sum(pred * y)) // nullif(sum(y), 0) AS BIGINT)
+                 AS tpr_permille,
+               CAST((1000 * sum(pred * (1 - y))) // nullif(count(*) - sum(y), 0)
+                 AS BIGINT) AS fpr_permille
+        FROM base GROUP BY nk),
+      ovr AS (
+        SELECT CAST((1000 * sum(pred)) // count(*) AS BIGINT) AS sel_all,
+               CAST((1000 * sum(pred * y)) // nullif(sum(y), 0) AS BIGINT)
+                 AS tpr_all,
+               CAST((1000 * sum(pred * (1 - y))) // nullif(count(*) - sum(y), 0)
+                 AS BIGINT) AS fpr_all
+        FROM base)
+      SELECT n_name, n, sel_permille, tpr_permille, fpr_permille,
+             CAST(sel_permille - sel_all AS BIGINT) AS dp_gap_permille,
+             CAST(greatest(abs(tpr_permille - tpr_all),
+                           abs(fpr_permille - fpr_all)) AS BIGINT)
+               AS eo_gap_permille
+      FROM grp JOIN nation ON nk = n_nationkey CROSS JOIN ovr
+      ORDER BY n_name"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
     groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics,
     benford, anomalyMad, freshnessSla, giniConcentration, voptHistogram,
-    isolationForest, mahalanobis)
+    isolationForest, mahalanobis, fairnessAudit)
 }

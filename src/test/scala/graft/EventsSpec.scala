@@ -763,4 +763,55 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(n1 - 25L * n5) <= 25L, s"inverse-square law: n1=$n1 n5=$n5")
     assert(math.abs(n1 - 4L * n2) <= 4L, s"halving MDE quadruples n: $n2 $n1")
   }
+
+  test("matching ATT == driver-side blocked nearest-neighbor recomputation") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val users = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).map { case (uid, rs) =>
+        val pre = rs.filter(_._2 < "2024-01-16")
+        val post = rs.filter(_._2 >= "2024-01-16")
+        val hex = md5hex(uid.toString)
+        val g = (hex(6).toLong * 256 + hex(7).toLong) % 2
+        (uid, g, pre.map(_._3).sum, pre.length.toLong, post.map(_._3).sum)
+      }.toSeq
+    val tr = users.filter(_._2 == 1L); val ctl = users.filter(_._2 == 0L)
+    val byBlk = ctl.groupBy(_._3 / 10000)
+    val gaps = tr.flatMap { case (tid, _, tps, tpn, ty) =>
+      byBlk.get(tps / 10000).map { cands =>
+        val (c, _) = cands.map { case (cid, _, cps, cpn, cy) =>
+          ((cid, cy), (tps - cps) * (tps - cps) +
+            (1000L * (tpn - cpn)) * (1000L * (tpn - cpn)))
+        }.minBy { case ((cid, _), d) => (d, cid) }
+        ty - c._2
+      }
+    }
+    def sdiv(a: Long, b: Long) = if (a >= 0) a / b else -((-a) / b)
+    val r = Events.matchingAtt.fn(spark, sf001).head()
+    assert(r.getLong(0) == tr.length.toLong && r.getLong(1) == ctl.length.toLong)
+    assert(r.getLong(2) == gaps.length.toLong, s"n_matched: $r")
+    assert(r.getLong(4) == sdiv(gaps.sum, gaps.length.toLong), s"ATT: $r")
+  }
+
+  test("successive halving bracket: 8/4/2/1 alive, nested budgets, exact winner") {
+    val rows = Events.successiveHalving.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val byRound = rows.groupBy(_._1)
+    assert(byRound(1L).length == 8 && byRound(2L).length == 4 &&
+      byRound(3L).length == 2 && byRound(4L).length == 1, "bracket widths")
+    assert(byRound(1L).count(_._5) == 4 && byRound(2L).count(_._5) == 2 &&
+      byRound(3L).count(_._5) == 1 && byRound(4L).count(_._5) == 1, "kept counts")
+    // survivors of round r are exactly round r+1's contestants
+    for (r <- 1L to 3L)
+      assert(byRound(r).filter(_._5).map(_._2).toSet ==
+        byRound(r + 1).map(_._2).toSet, s"round $r handoff")
+    // budgets nest: every round's n_eval strictly grows
+    val budgets = (1L to 4L).map(r => byRound(r).head._3)
+    assert(budgets.zip(budgets.tail).forall { case (a, b) => a < b }, s"$budgets")
+  }
 }

@@ -254,4 +254,41 @@ class ProfileSpec extends SparkSpec {
     assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
     assert(got.head._4 > got.last._4, "top-20 must actually discriminate")
   }
+
+  test("fairness audit == driver-side confusion-cell recomputation per nation") {
+    val rows = Tables.load(spark, sf001, "orders")
+      .join(Tables.load(spark, sf001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long"),
+        (round(col("o_totalprice") * 100, 0).cast("long") > 30000000L).as("pred"),
+        (col("o_orderpriority").startsWith("1-") ||
+          col("o_orderpriority").startsWith("2-")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    def rates(rs: Seq[(Long, Boolean, Boolean)]) = {
+      val n = rs.length.toLong
+      val pos = rs.count(_._3).toLong
+      (1000L * rs.count(_._2) / n,
+        if (pos == 0) None else Some(1000L * rs.count(t => t._2 && t._3) / pos),
+        if (n == pos) None else Some(1000L * rs.count(t => t._2 && !t._3) / (n - pos)))
+    }
+    val (selAll, tprAll, fprAll) = rates(rs = rows.toSeq)
+    val got = ops.Profile.fairnessAudit.fn(spark, sf001).collect()
+    val nations = Tables.load(spark, sf001, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    got.foreach { r =>
+      val nk = nations(r.getString(0))
+      val grp = rows.toSeq.filter(_._1 == nk)
+      val (sel, tpr, fpr) = rates(grp)
+      assert(r.getLong(1) == grp.length.toLong, s"${r.getString(0)} n")
+      assert(r.getLong(2) == sel, s"${r.getString(0)} selection rate")
+      assert(r.getLong(5) == sel - selAll, s"${r.getString(0)} dp gap")
+      (tpr, fpr, tprAll, fprAll) match {
+        case (Some(t), Some(f), Some(ta), Some(fa)) =>
+          assert(r.getLong(6) == math.max(math.abs(t - ta), math.abs(f - fa)),
+            s"${r.getString(0)} eo gap")
+        case _ => ()
+      }
+    }
+  }
 }
