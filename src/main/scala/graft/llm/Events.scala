@@ -3057,11 +3057,99 @@ object Events {
           .mkString("\n        UNION ALL ")})
       ORDER BY round, thr"""))
 
+  /** VALUE ITERATION — the dynamic-programming member the decision
+    * family lacked (bandits optimize one step; an MDP credits TODAY's
+    * action with TOMORROW's position): states are day-of-week
+    * contexts, actions the five event types, R(s,a) the logged
+    * clipped milli mean reward ([[ucbReplay]]'s units) on a 7×5 cell
+    * spine (unobserved cells pay 0), the transition is the calendar
+    * itself (s → s+1 mod 7), and three Bellman backups
+    * V_{k+1}(s) = max_a [R(s,a) + ⌊0.9·V_k(s+1)⌋] unroll from
+    * V₀ = 0. Output: every state's V₁ V₂ V₃ and the greedy action at
+    * k = 3 (ties alphabetical).
+    *
+    * All-integer: cell means floor once; the discount is one floored
+    * scaling per backup; max/argmax are total orders. Scale shape:
+    * ONE corpus scan → 35-cell aggregate; each backup is a
+    * domain-sized join (7 rows ⋈ 35), three of them — corpus cost is
+    * the scan, the MDP is free. */
+  val valueIteration: Q = Q(
+    "q_value_iteration",
+    (s, dir) => {
+      import s.implicits._
+      val cells = t(s, dir, "events")
+        .filter(col("event_type").isin(UcbArms: _*))
+        .groupBy((dayofweek(col("ts")) - 1).cast("long").as("st"),
+          col("event_type").as("a"))
+        .agg(least(lit(1000L),
+          expr("(1000 * sum(CAST(round(value * 100) AS BIGINT))) div (100 * count(1))"))
+          .as("r"))
+      val spine = s.range(0, 7).select(col("id").as("st"))
+        .crossJoin(UcbArms.toDF("a"))
+      val rGrid = spine.join(cells, Seq("st", "a"), "left")
+        .select(col("st"), col("a"), coalesce(col("r"), lit(0L)).as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def backup(v: DataFrame): DataFrame = rGrid
+        .join(v.select(((col("st") + 6) % 7).as("st"), col("v").as("vn")), Seq("st"))
+        .groupBy("st")
+        .agg(max(col("r") + expr("(900 * vn) div 1000")).as("v"))
+      // vn join: V_k(s+1) attached to state s by shifting the value
+      // table back one day ((s+1)+6 ≡ s mod 7)
+      val v0 = s.range(0, 7).select(col("id").as("st"), lit(0L).as("v"))
+      val v1 = backup(v0)
+      val v2 = backup(v1)
+      val v3 = backup(v2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("st").orderBy(col("q").desc, col("a").asc)
+      val greedy = rGrid
+        .join(v2.select(((col("st") + 6) % 7).as("st"), col("v").as("vn")), Seq("st"))
+        .withColumn("q", col("r") + expr("(900 * vn) div 1000"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("st"), col("a").as("best_action"))
+      v1.withColumnRenamed("v", "v1")
+        .join(v2.withColumnRenamed("v", "v2"), "st")
+        .join(v3.withColumnRenamed("v", "v3"), "st")
+        .join(greedy, "st")
+        .orderBy("st")
+    },
+    Some("""
+      WITH arms AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS a),
+      spine AS (SELECT CAST(unnest(generate_series(0, 6)) AS BIGINT) AS st),
+      obs AS (
+        SELECT CAST(dayofweek(ts) AS BIGINT) % 7 AS st, event_type AS a,
+               least(1000, (1000 * sum(CAST(round(value * 100) AS BIGINT)))
+                 // (100 * count(*))) AS r
+        FROM events
+        WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+        GROUP BY 1, 2),
+      rg AS (
+        SELECT spine.st, arms.a, CAST(coalesce(obs.r, 0) AS BIGINT) AS r
+        FROM spine CROSS JOIN arms
+        LEFT JOIN obs ON spine.st = obs.st AND arms.a = obs.a),
+      v1 AS (SELECT st, CAST(max(r) AS BIGINT) AS v FROM rg GROUP BY st),
+      v2 AS (SELECT rg.st, CAST(max(rg.r + (900 * v1.v) // 1000) AS BIGINT) AS v
+             FROM rg JOIN v1 ON v1.st = (rg.st + 1) % 7 GROUP BY rg.st),
+      v3 AS (SELECT rg.st, CAST(max(rg.r + (900 * v2.v) // 1000) AS BIGINT) AS v
+             FROM rg JOIN v2 ON v2.st = (rg.st + 1) % 7 GROUP BY rg.st),
+      greedy AS (
+        SELECT st, a AS best_action FROM (
+          SELECT rg.st, rg.a,
+                 row_number() OVER (PARTITION BY rg.st
+                   ORDER BY rg.r + (900 * v2.v) // 1000 DESC, rg.a ASC) AS rk
+          FROM rg JOIN v2 ON v2.st = (rg.st + 1) % 7)
+        WHERE rk = 1)
+      SELECT v1.st AS st, v1.v AS v1, v2.v AS v2, v3.v AS v3, best_action
+      FROM v1 JOIN v2 ON v1.st = v2.st JOIN v3 ON v1.st = v3.st
+      JOIN greedy ON v1.st = greedy.st
+      ORDER BY st"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
     burstDetect, didEstimate, ipsValue, drValue, ucbContextual, qiniCurve,
-    perceptronReplay, powerAnalysis, matchingAtt, successiveHalving)
+    perceptronReplay, powerAnalysis, matchingAtt, successiveHalving,
+    valueIteration)
 }

@@ -1079,8 +1079,80 @@ object Profile {
       FROM grp JOIN nation ON nk = n_nationkey CROSS JOIN ovr
       ORDER BY n_name"""))
 
+  /** FUNCTIONAL-DEPENDENCY DISCOVERY — the dependency-profiling pass
+    * (TANE/Metanome territory) that tells a schema designer which
+    * column determines which: for each candidate A → B, does any A
+    * value map to more than one B? Candidates here are six pinned
+    * pairs over orders/lineitem (the key-derived ones hold, the
+    * rest genuinely fail — so both verdicts are exercised). Per candidate: LHS group count,
+    * violating groups, the worst fan-out, and the holds flag.
+    *
+    * Scale shape: each candidate is ONE two-level distinct aggregate
+    * (groupBy LHS, count-distinct RHS — partials map-side combine);
+    * the six unions are independent branches of one job. At 100 TB
+    * the exact count-distinct swaps for the HLL sketch column with a
+    * >1 test — same plan shape, same verdicts. */
+  val fdDiscovery: Q = Q(
+    "q_fd_discovery",
+    (s, dir) => {
+      def cand(df: DataFrame, name: String, lhs: String, rhs: String) = df
+        .groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("k"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("k")).as("max_fanout"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          col("max_fanout"), (col("n_violating") === 0L).as("holds"))
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      cand(o, "o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionAll(cand(o, "o_custkey->o_orderstatus", "o_custkey", "o_orderstatus"))
+        .unionAll(cand(o, "o_orderdate->o_orderpriority", "o_orderdate", "o_orderpriority"))
+        .unionAll(cand(o, "o_orderpriority->o_orderstatus", "o_orderpriority", "o_orderstatus"))
+        .unionAll(cand(l, "l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+        .unionAll(cand(l, "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
+        .orderBy("fd")
+    },
+    Some("""
+      WITH c1 AS (SELECT o_orderkey AS a, CAST(count(DISTINCT o_custkey) AS BIGINT) AS k
+                  FROM orders GROUP BY 1),
+      c2 AS (SELECT o_custkey AS a, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS k
+             FROM orders GROUP BY 1),
+      c3 AS (SELECT o_orderdate AS a, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS k
+             FROM orders GROUP BY 1),
+      c4 AS (SELECT o_orderpriority AS a, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS k
+             FROM orders GROUP BY 1),
+      c5 AS (SELECT l_partkey AS a, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS k
+             FROM lineitem GROUP BY 1),
+      c6 AS (SELECT l_orderkey AS a, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS k
+             FROM lineitem GROUP BY 1)
+      SELECT fd, n_lhs, n_violating, max_fanout, n_violating = 0 AS holds FROM (
+        SELECT 'o_orderkey->o_custkey' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+               CAST(max(k) AS BIGINT) AS max_fanout FROM c1
+        UNION ALL
+        SELECT 'o_custkey->o_orderstatus', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(max(k) AS BIGINT) FROM c2
+        UNION ALL
+        SELECT 'o_orderdate->o_orderpriority', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(max(k) AS BIGINT) FROM c3
+        UNION ALL
+        SELECT 'o_orderpriority->o_orderstatus', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(max(k) AS BIGINT) FROM c4
+        UNION ALL
+        SELECT 'l_partkey->l_suppkey', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(max(k) AS BIGINT) FROM c5
+        UNION ALL
+        SELECT 'l_orderkey->l_returnflag', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(max(k) AS BIGINT) FROM c6)
+      ORDER BY fd"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
     groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics,
     benford, anomalyMad, freshnessSla, giniConcentration, voptHistogram,
-    isolationForest, mahalanobis, fairnessAudit)
+    isolationForest, mahalanobis, fairnessAudit, fdDiscovery)
 }

@@ -814,4 +814,36 @@ class EventsSpec extends SparkSpec {
     val budgets = (1L to 4L).map(r => byRound(r).head._3)
     assert(budgets.zip(budgets.tail).forall { case (a, b) => a < b }, s"$budgets")
   }
+
+  test("value iteration == driver-side Bellman backups on the same reward grid") {
+    val arms = Seq("click", "error", "purchase", "signup", "view")
+    val cells = Tables.load(spark, sf001, "events")
+      .filter(col("event_type").isin(arms: _*))
+      .groupBy((dayofweek(col("ts")) - 1).cast("long").as("st"),
+        col("event_type").as("a"))
+      .agg(least(lit(1000L),
+        expr("(1000 * sum(CAST(round(value * 100) AS BIGINT))) div (100 * count(1))"))
+        .as("r"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    def rOf(st: Long, a: String) = cells.getOrElse((st, a), 0L)
+    var v = (0L to 6L).map(_ => 0L).toArray
+    val hist = (1 to 3).map { _ =>
+      val nv = (0L to 6L).map(st =>
+        arms.map(a => rOf(st, a) + 900L * v(((st + 1) % 7).toInt) / 1000L).max).toArray
+      val out = nv.clone(); v = nv; out
+    }
+    val greedy = (0L to 6L).map { st =>
+      arms.map(a => (a, rOf(st, a) + 900L * hist(1)(((st + 1) % 7).toInt) / 1000L))
+        .maxBy { case (a, q) => (q, -a.head.toInt) } // q desc; resolve ties below
+    }
+    val got = Events.valueIteration.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    got.foreach { case (st, v1, v2, v3, best) =>
+      val i = st.toInt
+      assert((v1, v2, v3) == ((hist(0)(i), hist(1)(i), hist(2)(i))), s"state $st values")
+      val qs = arms.map(a => (a, rOf(st, a) + 900L * hist(1)(((st + 1) % 7).toInt) / 1000L))
+      val want = qs.sortBy { case (a, q) => (-q, a) }.head._1
+      assert(best == want, s"state $st greedy action")
+    }
+  }
 }

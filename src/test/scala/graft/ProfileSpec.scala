@@ -291,4 +291,22 @@ class ProfileSpec extends SparkSpec {
       }
     }
   }
+
+  test("fd discovery: key FDs hold with fanout 1, failing FDs show real violations") {
+    val got = ops.Profile.fdDiscovery.fn(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val key = got("o_orderkey->o_custkey")
+    assert(key._2 == 0L && key._3 == 1L && key._4, s"primary key FD must hold: $key")
+    val fail = got("o_custkey->o_orderstatus")
+    assert(!fail._4 && fail._3 > 1L && fail._2 > 0L, s"status FD must fail: $fail")
+    // n_lhs equals the true distinct count of the LHS
+    val nCust = Tables.load(spark, sf001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(fail._1 == nCust, s"LHS group count: ${fail._1} vs $nCust")
+    got.values.foreach { case (n, viol, fan, holds) =>
+      assert(holds == (viol == 0L), "flag must mirror the violation count")
+      assert(viol <= n && fan >= 1L)
+    }
+  }
 }
