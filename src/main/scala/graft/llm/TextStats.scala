@@ -2061,7 +2061,7 @@ object TextStats {
         SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e3) AS BIGINT) AS x,
                CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e3) AS BIGINT) AS y
         FROM ranked),
-      m AS (
+      m AS MATERIALIZED (
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
                CAST(sum(x * y) AS BIGINT) AS sxy,
@@ -2122,10 +2122,119 @@ object TextStats {
              CAST(1000 - (1000 * f1) // n_tokens AS BIGINT) AS coverage_permille
       FROM agg"""))
 
+  /** SPECTRAL TERM EMBEDDING — power iteration on the positive-PMI
+    * co-occurrence matrix, the LSA core (count-based spectral
+    * embeddings are PMI factorizations — Levy & Goldberg 2014): the
+    * dominant eigenvector of PPMI scores each vocabulary term by its
+    * loading on the corpus's strongest association axis, the
+    * one-dimension version of every count-based embedding. Vocabulary
+    * = top-40 tokens by document frequency; M(i,j) = ⌊1e6·max(0,
+    * ln(c_ij·N/(c_i·c_j)))⌉ from document-level co-occurrence; four
+    * power steps x ← ⌊1000·Mx/max(Mx)⌋ from the all-ones vector; the
+    * max-normalization makes max(Mx)/1000 a direct Rayleigh-style
+    * eigenvalue readout in micro units.
+    *
+    * Determinism: each PMI cell is ONE rounded IEEE ln of exact
+    * BIGINT cross products (the [[graft.llm.Drift.psi]] recipe);
+    * every power step is integer matrix-vector sums plus one floored
+    * normalization, so the trajectory is engine-identical and the
+    * oracle unrolls the same four steps as chained CTEs.
+    *
+    * Scale shape: postings prune to the vocabulary by broadcast
+    * semi-join BEFORE the per-document pair build (so pairs are
+    * |docs|·hits², hits ≤ 40 — never corpus×corpus); the matrix and
+    * every iterate are vocab-domain frames (≤1.6k cells). */
+  val pmiSpectral: Q = Q(
+    "q_pmi_spectral",
+    (s, dir) => {
+      val post = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("nd")).limit(1)
+      val vocab = post.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc).limit(40)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vp = post.join(broadcast(vocab.select("tok")), "tok")
+      val pairs = vp.as("a").join(vp.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.tok") =!= col("b.tok"))
+        .groupBy(col("a.tok").as("ti"), col("b.tok").as("tj"))
+        .agg(count(lit(1)).as("cij"))
+      val m = pairs
+        .join(broadcast(vocab.select(col("tok").as("ti"), col("df").as("ci"))), "ti")
+        .join(broadcast(vocab.select(col("tok").as("tj"), col("df").as("cj"))), "tj")
+        .crossJoin(broadcast(nDocs))
+        .selectExpr("ti", "tj",
+          """greatest(CAST(0 AS BIGINT),
+             CAST(round(1000000.0 * ln((CAST(cij AS DOUBLE) * nd)
+               / (CAST(ci AS DOUBLE) * cj))) AS BIGINT)) AS m""")
+        .filter(col("m") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var x = vocab.select(col("tok").as("tj"), lit(1000L).as("x"))
+      for (_ <- 1 to 4) {
+        val y = m.join(x, "tj").groupBy(col("ti"))
+          .agg(sum(col("m") * col("x")).as("y"))
+        val mx = y.agg(max(col("y")).as("mx")).limit(1)
+        x = y.crossJoin(broadcast(mx))
+          .selectExpr("ti AS tj", "(1000 * y) div mx AS x")
+      }
+      val lam = m.join(x, "tj").groupBy(col("ti"))
+        .agg(sum(col("m") * col("x")).as("y"))
+        .agg((max(col("y")) / 1000L).cast("long").as("lambda_micro")).limit(1)
+      x.crossJoin(broadcast(lam))
+        .select(col("tj").as("tok"), col("x").as("loading_milli"),
+          col("lambda_micro"))
+        .orderBy(col("loading_milli").desc, col("tok").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH post AS (
+        SELECT DISTINCT doc_id, t AS tok FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents)
+        WHERE t <> ''),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY tok
+        ORDER BY df DESC, tok ASC LIMIT 40),
+      vp AS MATERIALIZED (SELECT post.doc_id, post.tok FROM post JOIN vocab USING (tok)),
+      pairs AS MATERIALIZED (
+        SELECT a.tok AS ti, b.tok AS tj, CAST(count(*) AS BIGINT) AS cij
+        FROM vp a JOIN vp b ON a.doc_id = b.doc_id AND a.tok <> b.tok
+        GROUP BY 1, 2),
+      m AS MATERIALIZED (
+        SELECT ti, tj,
+               greatest(CAST(0 AS BIGINT),
+                 CAST(round(1000000.0 * ln((CAST(cij AS DOUBLE) * nd.nd)
+                   / (CAST(vi.df AS DOUBLE) * vj.df))) AS BIGINT)) AS m
+        FROM pairs
+        JOIN vocab vi ON pairs.ti = vi.tok
+        JOIN vocab vj ON pairs.tj = vj.tok
+        CROSS JOIN nd),
+      mp AS MATERIALIZED (SELECT * FROM m WHERE m > 0),
+      x0 AS MATERIALIZED (SELECT tok AS tj, CAST(1000 AS BIGINT) AS x FROM vocab),
+      y1 AS MATERIALIZED (SELECT ti, CAST(sum(m * x) AS BIGINT) AS y
+             FROM mp JOIN x0 USING (tj) GROUP BY ti),
+      x1 AS MATERIALIZED (SELECT ti AS tj, (1000 * y) // (SELECT max(y) FROM y1) AS x FROM y1),
+      y2 AS MATERIALIZED (SELECT ti, CAST(sum(m * x) AS BIGINT) AS y
+             FROM mp JOIN x1 USING (tj) GROUP BY ti),
+      x2 AS MATERIALIZED (SELECT ti AS tj, (1000 * y) // (SELECT max(y) FROM y2) AS x FROM y2),
+      y3 AS MATERIALIZED (SELECT ti, CAST(sum(m * x) AS BIGINT) AS y
+             FROM mp JOIN x2 USING (tj) GROUP BY ti),
+      x3 AS MATERIALIZED (SELECT ti AS tj, (1000 * y) // (SELECT max(y) FROM y3) AS x FROM y3),
+      y4 AS MATERIALIZED (SELECT ti, CAST(sum(m * x) AS BIGINT) AS y
+             FROM mp JOIN x3 USING (tj) GROUP BY ti),
+      x4 AS MATERIALIZED (SELECT ti AS tj, (1000 * y) // (SELECT max(y) FROM y4) AS x FROM y4),
+      y5 AS MATERIALIZED (SELECT ti, CAST(sum(m * x) AS BIGINT) AS y
+             FROM mp JOIN x4 USING (tj) GROUP BY ti),
+      lam AS (SELECT CAST(max(y) // 1000 AS BIGINT) AS lambda_micro FROM y5)
+      SELECT x4.tj AS tok, CAST(x4.x AS BIGINT) AS loading_milli, lam.lambda_micro
+      FROM x4 CROSS JOIN lam
+      ORDER BY loading_milli DESC, tok ASC LIMIT 10"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
     spearman, rhoSelect, kneserNey, kneserNeyMod, kneserNeyTrigram, stupidBackoff,
-    stupidBackoff4, goodTuring, zipfFit, chao1)
+    stupidBackoff4, goodTuring, zipfFit, chao1, pmiSpectral)
 }

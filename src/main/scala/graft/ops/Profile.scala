@@ -1151,8 +1151,86 @@ object Profile {
                CAST(max(k) AS BIGINT) FROM c6)
       ORDER BY fd"""))
 
+  /** MISSING-VALUE IMPUTATION — the repair half of null handling
+    * ([[graft.ops.Parity]]'s dropna DROPS; production pipelines
+    * usually FILL): group-median imputation of a value column, the
+    * robust default every feature pipeline starts from. Missingness
+    * is injected deterministically (md5 event coin, ~25%) so the
+    * repair is auditable against ground truth: per event type the
+    * output carries the null count, the exact median used, the
+    * post-impute sum, AND the true sum the nulls hid — the imputation
+    * bias is a visible column, not an article of faith.
+    *
+    * Median is exact via the two-position trick (order stats ⌈n/2⌉
+    * and ⌊n/2⌋+1 averaged with one floor — identical selection both
+    * engines, unique (value, event_id) tiebreak). Scale shape: one
+    * scan, rank windows over per-type partitions (type-domain), one
+    * group rollup. */
+  val impute: Q = Q(
+    "q_impute",
+    (s, dir) => {
+      val hex = md5(col("event_id").cast("string").cast("binary"))
+      val ev = t(s, dir, "events").select(
+        col("event_type"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("c"),
+        (ascii(substring(hex, 12, 1)) % 4 === 0).as("miss"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("c").asc, col("event_id").asc)
+      val obs = ev.filter(!col("miss"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_obs", count(lit(1)).over(Window.partitionBy("event_type")))
+      val med = obs
+        .filter(expr("rn = (n_obs + 1) div 2 OR rn = n_obs div 2 + 1"))
+        .groupBy("event_type")
+        .agg((sum(col("c")) / count(lit(1))).cast("long").as("median_cents"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("miss").cast("long")).as("n_missing"),
+          sum(when(!col("miss"), col("c")).otherwise(0L)).as("obs_sum_cents"),
+          sum(col("c")).as("true_sum_cents"))
+        .join(med, "event_type")
+        .selectExpr("event_type", "n", "n_missing", "median_cents",
+          "obs_sum_cents + n_missing * median_cents AS imputed_sum_cents",
+          "true_sum_cents",
+          "obs_sum_cents + n_missing * median_cents - true_sum_cents AS bias_cents")
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               ascii(substr(md5(CAST(event_id AS VARCHAR)), 12, 1)) % 4 = 0 AS miss
+        FROM events),
+      obs AS (
+        SELECT event_type, c,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY c ASC, event_id ASC) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_obs
+        FROM ev WHERE NOT miss),
+      med AS (
+        SELECT event_type,
+               CAST(sum(c) // count(*) AS BIGINT) AS median_cents
+        FROM obs
+        WHERE rn = (n_obs + 1) // 2 OR rn = n_obs // 2 + 1
+        GROUP BY event_type),
+      agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+               CAST(sum(CASE WHEN NOT miss THEN c ELSE 0 END) AS BIGINT)
+                 AS obs_sum_cents,
+               CAST(sum(c) AS BIGINT) AS true_sum_cents
+        FROM ev GROUP BY event_type)
+      SELECT agg.event_type, n, n_missing, median_cents,
+             CAST(obs_sum_cents + n_missing * median_cents AS BIGINT)
+               AS imputed_sum_cents,
+             true_sum_cents,
+             CAST(obs_sum_cents + n_missing * median_cents - true_sum_cents
+               AS BIGINT) AS bias_cents
+      FROM agg JOIN med ON agg.event_type = med.event_type
+      ORDER BY agg.event_type"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
     groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics,
     benford, anomalyMad, freshnessSla, giniConcentration, voptHistogram,
-    isolationForest, mahalanobis, fairnessAudit, fdDiscovery)
+    isolationForest, mahalanobis, fairnessAudit, fdDiscovery, impute)
 }

@@ -309,4 +309,29 @@ class ProfileSpec extends SparkSpec {
       assert(viol <= n && fan >= 1L)
     }
   }
+
+  test("impute: median repair arithmetic and bias accounting are exact") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = ops.Profile.impute.fn(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    ev.groupBy(_._1).foreach { case (t, rs) =>
+      val miss = rs.filter(r => md5hex(r._2.toString)(11) % 4 == 0)
+      val obs = rs.filterNot(r => md5hex(r._2.toString)(11) % 4 == 0)
+        .sortBy(r => (r._3, r._2)).map(_._3)
+      val n = obs.length
+      val median = (obs((n + 1) / 2 - 1) + obs(n / 2)) / 2
+      val (gn, gm, gmed, gimp, gtrue, gbias) = got(t)
+      assert(gn == rs.length.toLong && gm == miss.length.toLong, s"$t counts")
+      assert(gmed == median, s"$t median: $gmed vs $median")
+      assert(gimp == obs.sum + gm * median, s"$t imputed sum")
+      assert(gtrue == rs.map(_._3).sum && gbias == gimp - gtrue, s"$t bias")
+    }
+  }
 }

@@ -460,4 +460,38 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getLong(5) == 1000 - 1000 * f1 / n, "Good-Turing coverage")
     assert(r.getLong(4) >= v, "richness estimate can never fall below observed")
   }
+
+  test("pmi spectral == driver-side PPMI power iteration") {
+    val post = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = Tables.load(spark, sf001, "documents").count()
+    val df = post.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocab = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(40).map(_._1)
+    val vs = vocab.toSet
+    val byDoc = post.filter(p => vs(p._2)).groupBy(_._1).values
+    val cij = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (doc <- byDoc; a <- doc; b <- doc if a._2 != b._2)
+      cij((a._2, b._2)) = cij.getOrElse((a._2, b._2), 0L) + 1L
+    val m = cij.toMap.map { case ((i, j), c) =>
+      (i, j) -> math.max(0L, math.round(1000000.0 *
+        math.log((c.toDouble * nDocs) / (df(i).toDouble * df(j)))))
+    }.filter(_._2 > 0L)
+    var x = vocab.map(_ -> 1000L).toMap
+    for (_ <- 1 to 4) {
+      val y = vocab.map(i => i -> m.collect {
+        case ((ti, tj), v) if ti == i => v * x(tj) }.sum).toMap
+      val mx = y.values.max
+      x = y.view.mapValues(v => 1000L * v / mx).toMap
+    }
+    val lam = vocab.map(i => m.collect {
+      case ((ti, tj), v) if ti == i => v * x(tj) }.sum).max / 1000L
+    val want = x.toSeq.sortBy { case (t, v) => (-v, t) }.take(10)
+      .map { case (t, v) => (t, v, lam) }.toList
+    val got = graft.llm.TextStats.pmiSpectral.fn(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+    assert(got.head._2 == 1000L, "dominant loading is the normalization anchor")
+  }
 }
