@@ -2231,10 +2231,98 @@ object TextStats {
       FROM x4 CROSS JOIN lam
       ORDER BY loading_milli DESC, tok ASC LIMIT 10"""))
 
+  /** HEAPS' LAW — vocabulary growth over crawl order, the corpus-
+    * planning twin of [[zipfFit]] (Zipf says how frequencies decay;
+    * Heaps says how many NEW types the next shard of crawl will add —
+    * V(n) ≈ K·n^β, and the fitted β is the saturation forecast every
+    * "do we need more data" decision reads). Documents are split into
+    * ten crawl-order buckets (doc_id order); each type is credited to
+    * its FIRST bucket (min-bucket per type — one aggregate, no
+    * running dedup state); the output is the cumulative
+    * (tokens, types) curve with β fitted by the [[zipfFit]] OLS
+    * recipe on the micro-ln points of all ten cumulative steps.
+    *
+    * Determinism: bucket = (doc_id·10) div N (explicit grid); ln
+    * points round once to milli; the OLS slope is one sign-split
+    * division of exact BIGINT moment cross-products. Scale shape:
+    * one token explode, one type-keyed min-bucket aggregate, a
+    * 10-row curve. */
+  val heapsLaw: Q = Q(
+    "q_heaps_law",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val nd = docs.agg(count(lit(1)).as("nd")).limit(1)
+      val tok = docs.crossJoin(broadcast(nd))
+        .select(expr("(doc_id * 10) div nd").as("b"),
+          explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val tokensPerB = tok.groupBy("b").agg(count(lit(1)).as("n_tok"))
+      val firstSeen = tok.groupBy("tok").agg(min(col("b")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("new_types"))
+      val wCum = Window.orderBy("b")
+      val curve = tokensPerB.join(firstSeen, Seq("b"), "left")
+        .select(col("b"), col("n_tok"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("tokens_cum", sum(col("n_tok")).over(wCum))
+        .withColumn("types_cum", sum(col("new_types")).over(wCum))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pts = curve.select(
+        expr("CAST(round(1000.0 * ln(CAST(tokens_cum AS DOUBLE))) AS BIGINT)").as("x"),
+        expr("CAST(round(1000.0 * ln(CAST(types_cum AS DOUBLE))) AS BIGINT)").as("y"))
+      val beta = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .selectExpr(
+          """CASE WHEN n * sxy - sx * sy >= 0
+               THEN (1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)
+               ELSE -((1000 * (sx * sy - n * sxy)) div (n * sxx - sx * sx))
+             END AS beta_milli""").limit(1)
+      curve.crossJoin(broadcast(beta))
+        .select(col("b").as("bucket"), col("n_tok"), col("new_types"),
+          col("tokens_cum"), col("types_cum"), col("beta_milli"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      tok AS MATERIALIZED (
+        SELECT (doc_id * 10) // nd AS b, t AS tok FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents) CROSS JOIN nd
+        WHERE t <> ''),
+      tpb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY b),
+      fs AS (SELECT b, CAST(count(*) AS BIGINT) AS new_types FROM (
+               SELECT tok, min(b) AS b FROM tok GROUP BY tok) GROUP BY b),
+      curve AS MATERIALIZED (
+        SELECT tpb.b, tpb.n_tok,
+               CAST(coalesce(fs.new_types, 0) AS BIGINT) AS new_types,
+               CAST(sum(tpb.n_tok) OVER (ORDER BY tpb.b
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+               CAST(sum(coalesce(fs.new_types, 0)) OVER (ORDER BY tpb.b
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS types_cum
+        FROM tpb LEFT JOIN fs ON tpb.b = fs.b),
+      pts AS (
+        SELECT CAST(round(1000.0 * ln(CAST(tokens_cum AS DOUBLE))) AS BIGINT) AS x,
+               CAST(round(1000.0 * ln(CAST(types_cum AS DOUBLE))) AS BIGINT) AS y
+        FROM curve),
+      beta AS (
+        SELECT CAST(CASE WHEN n * sxy - sx * sy >= 0
+                 THEN (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                 ELSE -((1000 * (sx * sy - n * sxy)) // (n * sxx - sx * sx))
+               END AS BIGINT) AS beta_milli
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM pts))
+      SELECT b AS bucket, n_tok, new_types, tokens_cum, types_cum, beta_milli
+      FROM curve CROSS JOIN beta
+      ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
     spearman, rhoSelect, kneserNey, kneserNeyMod, kneserNeyTrigram, stupidBackoff,
-    stupidBackoff4, goodTuring, zipfFit, chao1, pmiSpectral)
+    stupidBackoff4, goodTuring, zipfFit, chao1, pmiSpectral, heapsLaw)
 }

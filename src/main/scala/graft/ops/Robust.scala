@@ -1080,7 +1080,70 @@ object Robust {
       FROM loo CROSS JOIN m
       GROUP BY m.n, m.theta_cents, m.mean_loo_cents"""))
 
+  /** HILL TAIL-INDEX ESTIMATOR — extreme-value statistics, the
+    * family the registry lacked: how heavy is the spend
+    * distribution's tail? α̂ = k / Σᵢ₌₁..ₖ ln(xᵢ/x₍ₖ₊₁₎) over the
+    * top-k order statistics — α < 2 means infinite variance (means
+    * are unstable, percentile SLOs lie), α ≤ 1 means even the mean
+    * diverges; the number that decides whether averages are
+    * reportable at all. k = 50 over per-user spends.
+    *
+    * Determinism: the top-51 is TakeOrderedAndProject with a unique
+    * (spend, user) tiebreak; each log term is ONE rounded IEEE ln of
+    * a ratio of exact BIGINTs (the [[graft.llm.Drift.psi]] recipe);
+    * the final α is one integer division of k·10¹² by the micro-nat
+    * sum; k = min(50, n/3) so the estimator is defined at every SF. Scale shape: one per-user aggregate, a top-k, a 51-row
+    * rollup — the corpus pays only the scan. */
+  val tailIndex: Q = Q(
+    "q_tail_index",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spends = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
+      // k adapts to the population (min(50, n/3) — the top third up
+      // to the classic k = 50), a deterministic pure function of the
+      // data like the kcore percentile pick, so the estimator is
+      // defined at every SF
+      val kf = spends.agg(least(lit(50L), count(lit(1)) / 3).cast("long").as("k"))
+        .limit(1)
+      val top = spends.crossJoin(broadcast(kf))
+        .orderBy(col("x").desc, col("user_id").asc).limit(51)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("x").desc, col("user_id").asc)).cast("long"))
+      val thr = top.filter(col("rn") === col("k") + 1L)
+        .select(col("x").as("xk1")).limit(1)
+      top.filter(col("rn") <= col("k"))
+        .crossJoin(broadcast(thr))
+        .select(expr("""CAST(round(1000000.0 *
+          ln(CAST(x AS DOUBLE) / xk1)) AS BIGINT)""").as("term_micro"),
+          col("xk1"))
+        .groupBy("xk1")
+        .agg(count(lit(1)).as("k"), sum(col("term_micro")).as("sum_micro"))
+        .selectExpr("k", "xk1 AS threshold_cents", "sum_micro",
+          "(k * 1000000000000) div sum_micro AS alpha_micro")
+    },
+    Some("""
+      WITH spends AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY user_id),
+      kf AS (SELECT least(50, CAST(count(*) // 3 AS BIGINT)) AS k FROM spends),
+      top AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY x DESC, user_id ASC)
+          AS BIGINT) AS rn
+        FROM spends ORDER BY x DESC, user_id ASC LIMIT 51),
+      thr AS (SELECT x AS xk1 FROM top CROSS JOIN kf WHERE rn = k + 1)
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(max(xk1) AS BIGINT) AS threshold_cents,
+             CAST(sum(CAST(round(1000000.0 *
+               ln(CAST(x AS DOUBLE) / xk1)) AS BIGINT)) AS BIGINT) AS sum_micro,
+             CAST((count(*) * 1000000000000) //
+               sum(CAST(round(1000000.0 * ln(CAST(x AS DOUBLE) / xk1)) AS BIGINT))
+               AS BIGINT) AS alpha_micro
+      FROM top CROSS JOIN thr CROSS JOIN kf WHERE rn <= k"""))
+
   val all: Seq[Q] = Seq(theilSen, kendall, kaplanMeier, abSequential,
     mannWhitney, chiSquare, periodogram, logRank, seasonalDecomp,
-    survivalLogit, regDiscontinuity, matrixProfile, jackknife)
+    survivalLogit, regDiscontinuity, matrixProfile, jackknife, tailIndex)
 }

@@ -300,4 +300,37 @@ class RobustSpec extends SparkSpec {
       s"got $r want $want")
     assert(r.getLong(3) >= 0L, "variance is nonnegative")
   }
+
+  test("hill tail index: closed form holds with the adaptive k") {
+    val r = ops.Robust.tailIndex.fn(spark, sf001).head()
+    val (k, thr, sumMicro, alpha) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // sf0.001 has 15 users -> k = 5 (min(50, n/3))
+    assert(k == 5L, s"adaptive k: $k")
+    assert(thr > 0L && sumMicro > 0L)
+    assert(alpha == k * 1000000000000L / sumMicro, "alpha closed form")
+    // recompute the log terms from the raw spends
+    val spends = Tables.load(spark, sf001, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
+      .collect().map(r2 => (r2.getLong(1), r2.getLong(0)))
+      .sortBy { case (x, u) => (-x, u) }
+    assert(spends(5)._1 == thr, "threshold is the (k+1)-th order statistic")
+    val want = (0 until 5).map(i =>
+      math.round(1000000.0 * math.log(spends(i)._1.toDouble / thr))).sum
+    assert(sumMicro == want, s"log-term sum: $sumMicro vs $want")
+  }
+
+  test("hill alpha: steeper rank decay (heavier tail) gives smaller alpha") {
+    def alphaOf(xs: Seq[Long]): Long = {
+      val sorted = xs.sortBy(-_)
+      val thr = sorted(50)
+      val t = (0 until 50).map(i =>
+        math.round(1000000.0 * math.log(sorted(i).toDouble / thr))).sum
+      50L * 1000000000000L / t
+    }
+    val alpha1 = alphaOf((1 to 60).map(i => 1000000L / i.toLong))         // ~1
+    val alpha13 = alphaOf((1 to 60).map(i => 1000000L / (i.toLong * i * i))) // ~1/3
+    assert(alpha13 < alpha1, s"x~i^-3 must read heavier than x~i^-1: $alpha13 $alpha1")
+  }
 }

@@ -494,4 +494,28 @@ class TextStatsSpec extends SparkSpec {
     assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
     assert(got.head._2 == 1000L, "dominant loading is the normalization anchor")
   }
+
+  test("heaps law: curve tiles the corpus, types monotone, beta in (0, 1000)") {
+    val rows = graft.llm.TextStats.heapsLaw.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (0L to 9L), "ten crawl buckets")
+    // cumulative columns really are the running sums of the per-bucket ones
+    assert(rows.map(_._2).sum == rows.last._4, "tokens tile")
+    assert(rows.map(_._3).sum == rows.last._5, "types tile")
+    val types = rows.map(_._5)
+    assert(types.zip(types.tail).forall { case (a, b) => a <= b }, "monotone")
+    // vocabulary grows sublinearly (beta < 1); the synthetic corpus has
+    // a tiny closed vocabulary that saturates in bucket 0, and the
+    // estimator must READ that as beta == 0 rather than inventing growth
+    val beta = rows.head._6
+    assert(beta >= 0L && beta < 1000L, s"Heaps exponent out of range: $beta")
+    val saturated = rows.tail.forall(_._3 == 0L)
+    if (saturated) assert(beta == 0L, s"flat curve must fit a zero slope: $beta")
+    // ground truth: total types == distinct tokens in the corpus
+    val v = Tables.load(spark, sf001, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "").select("t").distinct().count()
+    assert(rows.last._5 == v, s"type total: ${rows.last._5} vs $v")
+  }
 }
