@@ -571,7 +571,7 @@ object Sampling {
     "q_coreset_kcenter",
     (s, dir) => kcenterOf(t(s, dir, "embeddings"), 8),
     Some("""
-      WITH el AS (
+      WITH el AS MATERIALIZED (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xm
         FROM embeddings),
