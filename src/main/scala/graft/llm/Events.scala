@@ -3144,6 +3144,111 @@ object Events {
       JOIN greedy ON v1.st = greedy.st
       ORDER BY st"""))
 
+  /** SYNTHETIC CONTROL (Abadie) — the panel-data causal method that
+    * completes the family: when ONE unit is treated and no single
+    * control matches it, build a WEIGHTED control that reproduces the
+    * treated unit's pre-period trajectory, and read the effect off
+    * the post-period gap. Units are event types (treated =
+    * 'purchase'; donors = click/signup/view), the panel is the daily
+    * cents series, and the weight simplex is searched EXHAUSTIVELY on
+    * a 5%-step grid (231 combos — the [[graft.ops.Profile
+    * .voptHistogram]] argmin-by-enumeration discipline; real SCM
+    * solves a QP, but on a bounded simplex the grid IS the solver,
+    * fully oracleable and deterministic). Output: the post-period
+    * gap curve with the winning weights and pre-fit SSE riding every
+    * row.
+    *
+    * All-integer: daily cells are exact cents; each synthetic value
+    * floors once (nonnegative); SSE is a sum of signed-difference
+    * squares (no sign-split needed for squares). Scale shape: one
+    * corpus scan → 31×4 panel; grid × pre-days is 231×15 rows;
+    * everything after the scan is domain-sized. */
+  val syntheticControl: Q = Q(
+    "q_synthetic_control",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click", "signup", "view"))
+        .select(
+          datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01")))
+            .cast("long").as("d"),
+          col("event_type").as("a"),
+          round(col("value") * 100, 0).cast("long").as("vc"))
+      val spine = s.range(0, 31).select(col("id").as("d"))
+      val panel = spine.join(
+          ev.groupBy("d").agg(
+            sum(when(col("a") === "purchase", col("vc")).otherwise(0L)).as("y"),
+            sum(when(col("a") === "click", col("vc")).otherwise(0L)).as("c1"),
+            sum(when(col("a") === "signup", col("vc")).otherwise(0L)).as("c2"),
+            sum(when(col("a") === "view", col("vc")).otherwise(0L)).as("c3")),
+          Seq("d"), "left")
+        .select(col("d"), coalesce(col("y"), lit(0L)).as("y"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"),
+          coalesce(col("c3"), lit(0L)).as("c3"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grid = s.range(0, 21).select((col("id") * 50).as("w1"))
+        .join(s.range(0, 21).select((col("id") * 50).as("w2")),
+          col("w1") + col("w2") <= 1000)
+        .withColumn("w3", lit(1000L) - col("w1") - col("w2"))
+      val winner = panel.filter(col("d") <= 14)
+        .crossJoin(broadcast(grid))
+        .withColumn("synth",
+          expr("(w1 * c1 + w2 * c2 + w3 * c3) div 1000"))
+        .groupBy("w1", "w2", "w3")
+        .agg(sum((col("y") - col("synth")) * (col("y") - col("synth")))
+          .as("sse_pre"))
+        .orderBy(col("sse_pre").asc, col("w1").asc, col("w2").asc)
+        .limit(1)
+      panel.filter(col("d") >= 15)
+        .crossJoin(broadcast(winner))
+        .selectExpr("d AS day", "y AS treated_cents",
+          "(w1 * c1 + w2 * c2 + w3 * c3) div 1000 AS synth_cents",
+          "y - (w1 * c1 + w2 * c2 + w3 * c3) div 1000 AS gap_cents",
+          "w1", "w2", "w3", "sse_pre")
+        .orderBy("day")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               event_type AS a, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+        WHERE event_type IN ('purchase', 'click', 'signup', 'view')),
+      spine AS (SELECT CAST(unnest(generate_series(0, 30)) AS BIGINT) AS d),
+      cells AS (
+        SELECT d,
+               CAST(sum(CASE WHEN a = 'purchase' THEN vc ELSE 0 END) AS BIGINT) AS y,
+               CAST(sum(CASE WHEN a = 'click' THEN vc ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN a = 'signup' THEN vc ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN a = 'view' THEN vc ELSE 0 END) AS BIGINT) AS c3
+        FROM ev GROUP BY d),
+      panel AS MATERIALIZED (
+        SELECT spine.d, coalesce(y, 0) AS y, coalesce(c1, 0) AS c1,
+               coalesce(c2, 0) AS c2, coalesce(c3, 0) AS c3
+        FROM spine LEFT JOIN cells ON spine.d = cells.d),
+      grid AS (
+        SELECT w1.w * 50 AS w1, w2.w * 50 AS w2,
+               1000 - w1.w * 50 - w2.w * 50 AS w3
+        FROM (SELECT unnest(generate_series(0, 20)) AS w) w1,
+             (SELECT unnest(generate_series(0, 20)) AS w) w2
+        WHERE w1.w * 50 + w2.w * 50 <= 1000),
+      winner AS MATERIALIZED (
+        SELECT w1, w2, w3,
+               CAST(sum((y - (w1 * c1 + w2 * c2 + w3 * c3) // 1000) *
+                        (y - (w1 * c1 + w2 * c2 + w3 * c3) // 1000)) AS BIGINT)
+                 AS sse_pre
+        FROM panel CROSS JOIN grid
+        WHERE d <= 14
+        GROUP BY w1, w2, w3
+        ORDER BY sse_pre ASC, w1 ASC, w2 ASC LIMIT 1)
+      SELECT d AS day, y AS treated_cents,
+             CAST((w1 * c1 + w2 * c2 + w3 * c3) // 1000 AS BIGINT) AS synth_cents,
+             CAST(y - (w1 * c1 + w2 * c2 + w3 * c3) // 1000 AS BIGINT) AS gap_cents,
+             CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,
+             CAST(w3 AS BIGINT) AS w3, sse_pre
+      FROM panel CROSS JOIN winner
+      WHERE d >= 15
+      ORDER BY day"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
@@ -3151,5 +3256,5 @@ object Events {
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
     burstDetect, didEstimate, ipsValue, drValue, ucbContextual, qiniCurve,
     perceptronReplay, powerAnalysis, matchingAtt, successiveHalving,
-    valueIteration)
+    valueIteration, syntheticControl)
 }

@@ -2147,9 +2147,12 @@ object TextStats {
   val pmiSpectral: Q = Q(
     "q_pmi_spectral",
     (s, dir) => {
+      // ONE explode+distinct pass feeds both the df vocabulary and the
+      // pair build (unpersisted it re-ran — measured 11 s → the fix)
       val post = t(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .filter(col("tok") =!= "").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("nd")).limit(1)
       val vocab = post.groupBy("tok").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("tok").asc).limit(40)

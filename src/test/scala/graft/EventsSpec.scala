@@ -846,4 +846,32 @@ class EventsSpec extends SparkSpec {
       assert(best == want, s"state $st greedy action")
     }
   }
+
+  test("synthetic control: winner is the grid optimum and the gap math is exact") {
+    val panel = Tables.load(spark, sf001, "events")
+      .filter(col("event_type").isin("purchase", "click", "signup", "view"))
+      .select(datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01")))
+        .cast("long").as("d"), col("event_type").as("a"),
+        round(col("value") * 100, 0).cast("long").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def cell(d: Long, a: String) = panel.filter(p => p._1 == d && p._2 == a).map(_._3).sum
+    val days = (0L to 30L)
+    val grid = for (i <- 0 to 20; j <- 0 to 20 if i * 50 + j * 50 <= 1000)
+      yield (i * 50L, j * 50L, 1000L - i * 50 - j * 50)
+    def synth(d: Long, w: (Long, Long, Long)) =
+      (w._1 * cell(d, "click") + w._2 * cell(d, "signup") + w._3 * cell(d, "view")) / 1000L
+    val sse = grid.map(w => w ->
+      days.filter(_ <= 14).map(d => { val g = cell(d, "purchase") - synth(d, w); g * g }).sum)
+    val best = sse.minBy { case ((a, b, _), e) => (e, a, b) }
+    val rows = Events.syntheticControl.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.map(_._1).toSeq == (15L to 30L), "post window")
+    rows.foreach { case (d, y, sy, gap, w1, w2, w3, ssePre) =>
+      assert((w1, w2, w3) == best._1, s"weights: ($w1,$w2,$w3) vs ${best._1}")
+      assert(ssePre == best._2, "pre-period SSE")
+      assert(y == cell(d, "purchase") && sy == synth(d, best._1) && gap == y - sy,
+        s"day $d gap arithmetic")
+    }
+  }
 }
