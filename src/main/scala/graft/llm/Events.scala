@@ -3249,6 +3249,77 @@ object Events {
       WHERE d >= 15
       ORDER BY day"""))
 
+  /** CROSTON'S METHOD — the intermittent-demand forecaster the
+    * smoother family mis-serves ([[holt]]/[[holtWinters]] smooth
+    * EVERY period, so a mostly-zero series decays toward zero and
+    * under-forecasts the spikes; Croston smooths demand SIZE and
+    * demand INTERVAL as separate series, updated only when demand
+    * occurs, and forecasts their ratio). The series is the sparse
+    * slice "error events in the small hours" per day; α = 0.2 in
+    * exact milli. Division semantics, measured not assumed: DuckDB's
+    * `//` TRUNCATES toward zero on negative operands (−7//2 = −3,
+    * verified), exactly like Spark's `div` and Scala's Long `/` — so
+    * the signed innovation updates use plain truncating division on
+    * all three sides and agree bit-for-bit (a floorDiv first draft
+    * diverged by 1 milli on every negative innovation and the hash
+    * caught it).
+    *
+    * The full (day, demand, interval, z, p, forecast) trajectory
+    * rides the hash; the oracle replays the recurrence as a
+    * recursive CTE over the demand-day table. Scale shape: one
+    * corpus scan → day-domain demand table; the fold is bounded by
+    * the calendar (the [[ucbReplay]] argument). */
+  val croston: Q = Q(
+    "q_croston",
+    (s, dir) => {
+      val dm = t(s, dir, "events")
+        .filter(col("event_type") === "error" && hour(col("ts")) < 2)
+        .groupBy(datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("d"))
+        .agg(count(lit(1)).as("q"))
+        .orderBy("d")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      var prev = -1L
+      var z = 0L
+      var p = 0L
+      val trace = dm.zipWithIndex.map { case ((d, q), i) =>
+        val gap = d - prev
+        if (i == 0) { z = q * 1000L; p = gap * 1000L }
+        else {
+          z = z + 200L * (q * 1000L - z) / 1000L
+          p = p + 200L * (gap * 1000L - p) / 1000L
+        }
+        prev = d
+        (d, q, gap, z, p, 1000L * z / p)
+      }
+      import s.implicits._
+      trace.toSeq.toDF("day", "demand", "interval_days", "z_milli", "p_milli",
+          "forecast_milli")
+        .coalesce(1).orderBy("day")
+    },
+    Some("""
+      WITH RECURSIVE dm AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS q
+        FROM events WHERE event_type = 'error' AND hour(ts) < 2
+        GROUP BY 1),
+      seqd AS (
+        SELECT d, q, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+               d - coalesce(lag(d) OVER (ORDER BY d), -1) AS gap
+        FROM dm),
+      st AS (
+        SELECT i, d, q, gap, q * 1000 AS z, gap * 1000 AS p
+        FROM seqd WHERE i = 1
+        UNION ALL
+        SELECT f.i, f.d, f.q, f.gap,
+               st.z + (200 * (f.q * 1000 - st.z)) // 1000,
+               st.p + (200 * (f.gap * 1000 - st.p)) // 1000
+        FROM st JOIN seqd f ON f.i = st.i + 1)
+      SELECT d AS day, q AS demand, gap AS interval_days,
+             CAST(z AS BIGINT) AS z_milli, CAST(p AS BIGINT) AS p_milli,
+             CAST((1000 * z) // p AS BIGINT) AS forecast_milli
+      FROM st ORDER BY day"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
@@ -3256,5 +3327,5 @@ object Events {
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
     burstDetect, didEstimate, ipsValue, drValue, ucbContextual, qiniCurve,
     perceptronReplay, powerAnalysis, matchingAtt, successiveHalving,
-    valueIteration, syntheticControl)
+    valueIteration, syntheticControl, croston)
 }

@@ -1229,8 +1229,74 @@ object Profile {
       FROM agg JOIN med ON agg.event_type = med.event_type
       ORDER BY agg.event_type"""))
 
+  /** SIMPSON'S-PARADOX AUDIT — the aggregation-reversal guardrail:
+    * an association that points one way pooled can point the OTHER
+    * way inside every group (the classic admission/berkeley trap),
+    * and any dashboard that aggregates across a confounder needs the
+    * check. For each group the audit emits the EXACT covariance
+    * numerator n·Σxy − Σx·Σy (sign = association direction, no
+    * division, no sqrt — the [[outliers]] cross-multiplication
+    * discipline), the pooled numerator, and a reversal flag: group
+    * direction strictly opposite the pooled one. Here x = hour of
+    * day, y = event value cents, groups = event types; the flag is
+    * the operator — ProfileSpec plants a true reversal and watches
+    * every sign flip.
+    *
+    * Scale shape: one conditional aggregate per group off one scan
+    * (map-side combinable), a 1-row pooled broadcast. */
+  def simpsonAudit(rows: DataFrame): DataFrame = {
+    val grp = rows.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .selectExpr("g", "n", "n * sxy - sx * sy AS cov_num")
+    val pooled = rows
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .selectExpr("n * sxy - sx * sy AS pooled_num").limit(1)
+    grp.crossJoin(broadcast(pooled))
+      .selectExpr("g", "n", "cov_num",
+        """CAST(CASE WHEN cov_num > 0 THEN 1 WHEN cov_num < 0 THEN -1
+                ELSE 0 END AS BIGINT) AS sign""",
+        "pooled_num",
+        """CASE WHEN pooled_num > 0 THEN cov_num < 0
+                WHEN pooled_num < 0 THEN cov_num > 0
+                ELSE false END AS reversed""")
+      .orderBy("g")
+  }
+
+  val simpson: Q = Q(
+    "q_simpson_audit",
+    (s, dir) => simpsonAudit(
+      t(s, dir, "events").select(
+        col("event_type").as("g"),
+        hour(col("ts")).cast("long").as("x"),
+        round(col("value") * 100, 0).cast("long").as("y"))),
+    Some("""
+      WITH rows_ AS (
+        SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events),
+      grp AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num
+        FROM rows_ GROUP BY g),
+      pooled AS (
+        SELECT CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+          AS pooled_num
+        FROM rows_)
+      SELECT g, n, cov_num,
+             CAST(CASE WHEN cov_num > 0 THEN 1 WHEN cov_num < 0 THEN -1
+                  ELSE 0 END AS BIGINT) AS sign,
+             pooled_num,
+             CASE WHEN pooled_num > 0 THEN cov_num < 0
+                  WHEN pooled_num < 0 THEN cov_num > 0
+                  ELSE false END AS reversed
+      FROM grp CROSS JOIN pooled
+      ORDER BY g"""))
+
   val all: Seq[Q] = Seq(profileStats, histogram, outliers, integrityCheck,
     groupZscore, winsorize, quantileBins, chi2Independence, observedMetrics,
     benford, anomalyMad, freshnessSla, giniConcentration, voptHistogram,
-    isolationForest, mahalanobis, fairnessAudit, fdDiscovery, impute)
+    isolationForest, mahalanobis, fairnessAudit, fdDiscovery, impute,
+    simpson)
 }

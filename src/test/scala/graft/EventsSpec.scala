@@ -874,4 +874,28 @@ class EventsSpec extends SparkSpec {
         s"day $d gap arithmetic")
     }
   }
+
+  test("croston: state updates only on demand days, forecast = z/p exactly") {
+    val rows = Events.croston.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty, "the sparse slice must have at least one demand day")
+    assert(rows.forall(_._2 > 0L), "only demand days appear in the trace")
+    // replay the recurrence from the emitted (demand, interval) inputs
+    var z = rows.head._2 * 1000L; var p = rows.head._3 * 1000L
+    rows.zipWithIndex.foreach { case ((d, q, gap, ze, pe, f), i) =>
+      if (i > 0) {
+        z = z + 200L * (q * 1000L - z) / 1000L
+        p = p + 200L * (gap * 1000L - p) / 1000L
+      }
+      assert(ze == z && pe == p, s"day $d state")
+      assert(f == 1000L * z / p, s"day $d forecast ratio")
+    }
+    // intervals tile the calendar: first gap anchors at day -1
+    val days = rows.map(_._1)
+    assert(rows.head._3 == days.head + 1, "first interval anchors at day -1")
+    days.zip(days.tail).zip(rows.tail.map(_._3)).foreach { case ((a, b), g) =>
+      assert(g == b - a, s"gap between $a and $b")
+    }
+  }
 }

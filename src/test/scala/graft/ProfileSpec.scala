@@ -334,4 +334,26 @@ class ProfileSpec extends SparkSpec {
       assert(gtrue == rs.map(_._3).sum && gbias == gimp - gtrue, s"$t bias")
     }
   }
+
+  test("simpson audit: a planted reversal flips every group against the pool") {
+    import spark.implicits._
+    // classic construction: within each group y DECREASES in x, but
+    // group B sits at both higher x and much higher y, so pooled the
+    // association turns positive — every group must flag reversed
+    val rows = (
+      (0 until 50).map(i => ("A", i.toLong % 5, 100L - (i % 5) * 10L)) ++
+      (0 until 50).map(i => ("B", 10L + i % 5, 1000L - (i % 5) * 10L))
+    ).toDF("g", "x", "y")
+    val out = ops.Profile.simpsonAudit(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out("A")._1 == -1L && out("B")._1 == -1L, s"within-group negative: $out")
+    assert(out("A")._2 > 0L, "pooled positive")
+    assert(out("A")._3 && out("B")._3, "both groups must flag the reversal")
+    // and a consistent frame must NOT flag
+    val consistent = (0 until 40).map(i => ("A", i.toLong % 7, (i % 7) * 3L))
+      .toDF("g", "x", "y")
+    val c = ops.Profile.simpsonAudit(consistent).collect().head
+    assert(!c.getBoolean(5), "aligned association must not flag")
+  }
 }
