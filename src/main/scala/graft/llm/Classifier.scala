@@ -1321,7 +1321,7 @@ object Classifier {
     * exactly integer: 2·(F₀ + η·Δ) = F₀ + rate_leaf, so
     * score2_micro = global_rate_micro + leaf_rate_micro — two
     * nonnegative floor divisions, no signed division anywhere (Spark
-    * `div` truncates toward zero while DuckDB `//` floors, so a
+    * `div` and DuckDB `//` both truncate (measured at q_croston), but a
     * negative quotient would diverge cross-engine; this spelling
     * makes the case unreachable). Predict 1 iff score2 ≥ 1e6.
     *

@@ -2582,7 +2582,7 @@ object Events {
     *
     * The residual's floor is SPLIT into two nonnegative-numerator
     * divisions, mirrored exactly in the oracle: Spark's `div`
-    * truncates toward zero while DuckDB's `//` floors, so a possibly
+    * truncates toward zero while a flooring engine would differ, so a possibly
     * negative residual numerator would diverge between engines. The
     * split also preserves the two defining identities EXACTLY
     * (pinned in EventsSpec): a perfect model (eval cell sums equal to

@@ -2193,9 +2193,12 @@ object Graph {
     * S2 = Σ j, S3 = Σ j², r = (M·S1 − S2²) / (M·S3 − S2²). Numerator
     * and denominator ship as BIGINTs alongside a milli value; the
     * numerator CAN be negative, so the milli division is written
-    * sign-split (negate, floor-divide, negate) to make DuckDB's
-    * flooring `//` agree with Spark's truncating `div` — the one
-    * integer-determinism trap positive-only queries never hit. A
+    * sign-split (negate, divide nonnegative, negate) — both engines
+    * then compute the identical quotient regardless of their native
+    * negative-division convention (q_croston later MEASURED that
+    * DuckDB's `//` truncates like Spark's `div`, so the split is
+    * belt-and-braces rather than load-bearing — kept because it makes
+    * the contract independent of either engine's convention). A
     * degree-regular graph has zero variance: den = 0 ⇒ r_milli NULL
     * via nullif (both dialects).
     *

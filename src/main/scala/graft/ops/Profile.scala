@@ -645,7 +645,8 @@ object Profile {
     * Gini from the rank form G = Σᵢ(2·rnᵢ − n − 1)·xᵢ / (n·Σx) with
     * x ascending (unique (cents, suppkey) tiebreak): the numerator is
     * nonnegative by the Chebyshev sum inequality, so Spark's
-    * truncating `div` and DuckDB's flooring `//` agree and the
+    * truncating `div` and DuckDB's `//` (also truncating — measured,
+    * see q_croston) agree and the
     * permille value rides the hash exactly. Intermediates stay well
     * inside BIGINT while n·n·x̄·1000 < 2⁶³ — ~10⁸ suppliers per group
     * at TPC-H prices; past that the numerator moves to DECIMAL or the
