@@ -3320,6 +3320,50 @@ object Events {
              CAST((1000 * z) // p AS BIGINT) AS forecast_milli
       FROM st ORDER BY day"""))
 
+  /** SAMPLE-RATIO-MISMATCH GUARD — the first check every experiment
+    * platform runs, standing per-day: if the md5 assignment coin is
+    * drifting from its 50/50 design (broken bucketing, bot filtering
+    * that correlates with the arm, a lost logging path), every
+    * downstream estimate is garbage BEFORE any statistics happen.
+    * Per day: arm counts, the 1-df chi-square numerator against the
+    * design, and the α = 0.05 flag as a pure integer predicate
+    * 1000·(n_A−n_B)² > 3841·(n_A+n_B) (3.841 = the χ²₁ critical
+    * value, cross-multiplied — the [[graft.llm.Drift.ks]]
+    * discipline; no float anywhere). A flagged day tells the owner
+    * to investigate assignment, not results.
+    *
+    * Scale shape: one conditional aggregate per day off one scan. */
+  val srmGuard: Q = Q(
+    "q_srm_guard",
+    (s, dir) => {
+      val hex = md5(col("user_id").cast("string").cast("binary"))
+      val arm = ((ascii(substring(hex, 7, 1)) * 256 +
+        ascii(substring(hex, 8, 1))) % 2).cast("long")
+      t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), arm.as("g"))
+        .groupBy("day")
+        .agg(sum(col("g")).as("n_a"), sum(lit(1L) - col("g")).as("n_b"))
+        .selectExpr("day", "n_a", "n_b",
+          "(1000000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b) AS chi2_micro",
+          "1000 * (n_a - n_b) * (n_a - n_b) > 3841 * (n_a + n_b) AS srm_flag")
+        .orderBy("day")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day,
+               (ascii(substr(md5(CAST(user_id AS VARCHAR)), 7, 1)) * 256 +
+                ascii(substr(md5(CAST(user_id AS VARCHAR)), 8, 1))) % 2 AS g
+        FROM events),
+      agg AS (
+        SELECT day, CAST(sum(g) AS BIGINT) AS n_a,
+               CAST(sum(1 - g) AS BIGINT) AS n_b
+        FROM ev GROUP BY day)
+      SELECT day, n_a, n_b,
+             CAST((1000000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+               AS BIGINT) AS chi2_micro,
+             1000 * (n_a - n_b) * (n_a - n_b) > 3841 * (n_a + n_b) AS srm_flag
+      FROM agg ORDER BY day"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
@@ -3327,5 +3371,5 @@ object Events {
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
     burstDetect, didEstimate, ipsValue, drValue, ucbContextual, qiniCurve,
     perceptronReplay, powerAnalysis, matchingAtt, successiveHalving,
-    valueIteration, syntheticControl, croston)
+    valueIteration, syntheticControl, croston, srmGuard)
 }

@@ -2265,6 +2265,75 @@ object Graph {
                   END AS BIGINT) AS r_milli
       FROM mom"""))
 
+  /** One robustness phase: component census of a canonical undirected
+    * edge list — (n_vertices, n_edges, largest_cc, n_components) via
+    * [[graft.llm.Dedup.connectedComponents]]. */
+  def componentCensus(und: DataFrame): DataFrame = {
+    val verts = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id"))).distinct()
+    val labels = graft.llm.Dedup.connectedComponents(
+      und.select(col("u").as("src"), col("v").as("dst")), verts)
+    val comp = labels.groupBy("label").agg(count(lit(1)).as("sz"))
+    val eCnt = und.agg(count(lit(1)).as("n_edges")).limit(1)
+    comp.agg(sum(col("sz")).as("n_vertices"), max(col("sz")).as("largest_cc"),
+        count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(eCnt))
+      .select(col("n_vertices"), col("n_edges"), col("largest_cc"),
+        col("n_components"))
+  }
+
+  /** GRAPH ROBUSTNESS AUDIT — targeted-attack tolerance (Albert–
+    * Jeong–Barabási): remove the top-k hubs and measure how much of
+    * the graph stays connected. Scale-free graphs survive random
+    * failure but shatter under hub attack; the before/after component
+    * census is the one-table answer to "how load-bearing are our
+    * hubs". Graph: the half-year co-purchase graph; attack: the
+    * top-3 degree hubs (TakeOrdered, never a global sort).
+    *
+    * Rows-only by the CC contract (a shrink-to-fixpoint loop is not
+    * one DuckDB query), so it self-defends in-query: the attacked
+    * phase must not GAIN vertices, edges, or giant-component size —
+    * violations throw into the driver's err. GraphSpec pins the
+    * census on a planted hub-and-spokes fixture where removing one
+    * hub shatters the graph. */
+  val graphRobustness: Q = Q(
+    "q_graph_robustness",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(checkedBasket)
+      val und = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hubs = und.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("x").asc).limit(3)
+        .select("x")
+      val attacked = und
+        .join(broadcast(hubs).withColumnRenamed("x", "u"), Seq("u"), "left_anti")
+        .join(broadcast(hubs).withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+        .select("u", "v")
+      val full = componentCensus(und).withColumn("phase", lit("1_full"))
+      val after = componentCensus(attacked).withColumn("phase", lit("2_attacked"))
+      val out = full.unionAll(after)
+        .select("phase", "n_vertices", "n_edges", "largest_cc", "n_components")
+        .orderBy("phase")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = out.collect() // 2-row audit table (bounded by construction)
+      und.unpersist()
+      val f = rows.find(_.getString(0) == "1_full").get
+      val a = rows.find(_.getString(0) == "2_attacked").get
+      if (a.getLong(1) > f.getLong(1) || a.getLong(2) > f.getLong(2) ||
+          a.getLong(3) > f.getLong(3))
+        throw new IllegalStateException(
+          s"robustness audit violated monotonicity: full=$f attacked=$a")
+      out
+    },
+    None)
+
   /** DIAMETER LOWER BOUND via the double sweep (Magnien–Latapy–Habib):
     * BFS from a pinned start u, then BFS again from the farthest
     * vertex the first sweep found — the second eccentricity is a
@@ -2694,5 +2763,6 @@ object Graph {
     shortestPath, shortestPathIncremental, labelPropagation,
     labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb,
     cheapestPath, temporalReachQ, hitsQ, temporalKatz, rwr, greedyMatching,
-    bMatching, modularityQ, lubyMisQ, assortativityQ, clusteringCoeff)
+    bMatching, modularityQ, lubyMisQ, assortativityQ, clusteringCoeff,
+    graphRobustness)
 }

@@ -885,4 +885,22 @@ class GraphSpec extends SparkSpec {
     assert(tp(0L) == ((3L, 1L, 333L)) && tp(1L) == ((2L, 1L, 1000L)) &&
       tp(2L) == ((2L, 1L, 1000L)), s"triangle+pendant: $tp")
   }
+
+  test("component census + hub attack: planted hub-and-spokes shatters correctly") {
+    // two stars (hubs 0 and 100) bridged by an edge: one component of
+    // 10 vertices; removing hub 0's edges leaves hub 100's star of 5
+    // and four isolated-but-edgeless spokes (which drop out of the
+    // edge-derived vertex set entirely)
+    val und = (
+      (1L to 4L).map(i => (0L, i)) ++ Seq((0L, 100L)) ++
+      (101L to 104L).map(i => (100L, i))
+    ).toDF("u", "v")
+    val full = ops.Graph.componentCensus(und).head()
+    assert((full.getLong(0), full.getLong(1), full.getLong(2), full.getLong(3)) ==
+      ((10L, 9L, 10L, 1L)), s"full census: $full")
+    val attacked = und.filter(col("u") =!= 0L && col("v") =!= 0L)
+    val a = ops.Graph.componentCensus(attacked).head()
+    assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3)) ==
+      ((5L, 4L, 5L, 1L)), s"attacked census: $a")
+  }
 }
