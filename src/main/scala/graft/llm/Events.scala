@@ -3364,6 +3364,122 @@ object Events {
              1000 * (n_a - n_b) * (n_a - n_b) > 3841 * (n_a + n_b) AS srm_flag
       FROM agg ORDER BY day"""))
 
+  /** OVERDISPERSION DIAGNOSTIC — the Poisson-vs-negative-binomial
+    * modeling fork for count data: a Poisson series has variance ≈
+    * mean (dispersion index D = 1); real event streams are almost
+    * always overdispersed (bursts, user heterogeneity), and every
+    * rate model, anomaly threshold, and CI built on the Poisson
+    * assumption is then too tight. Per event type over the daily
+    * count series (zero days COUNT — the spine keeps them):
+    * D = s²/x̄ cross-multiplied to the exact predicate
+    * n·Σx² − (Σx)² vs (n−1)·Σx, surfaced in milli with one
+    * nonnegative floor.
+    *
+    * Scale shape: one scan → 5×31 day cells, the rest is arithmetic
+    * on a domain frame. */
+  val dispersion: Q = Q(
+    "q_dispersion",
+    (s, dir) => {
+      import s.implicits._
+      val spine = s.range(0, 31).select(col("id").as("d"))
+        .crossJoin(UcbArms.toDF("a"))
+      val cells = t(s, dir, "events")
+        .filter(col("event_type").isin(UcbArms: _*))
+        .groupBy(datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("d"),
+          col("event_type").as("a"))
+        .agg(count(lit(1)).as("x"))
+      spine.join(cells, Seq("d", "a"), "left")
+        .select(col("a"), coalesce(col("x"), lit(0L)).as("x"))
+        .groupBy("a")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .selectExpr("a AS event_type", "n", "sx AS total",
+          "(1000 * (n * sxx - sx * sx)) div ((n - 1) * sx) AS dispersion_milli",
+          "n * sxx - sx * sx > (n - 1) * sx AS overdispersed")
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH arms AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS a),
+      spine AS (SELECT CAST(unnest(generate_series(0, 30)) AS BIGINT) AS d),
+      cells AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+               event_type AS a, CAST(count(*) AS BIGINT) AS x
+        FROM events
+        WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+        GROUP BY 1, 2),
+      full_ AS (
+        SELECT arms.a, CAST(coalesce(cells.x, 0) AS BIGINT) AS x
+        FROM spine CROSS JOIN arms
+        LEFT JOIN cells ON spine.d = cells.d AND arms.a = cells.a)
+      SELECT a AS event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS total,
+             CAST((1000 * (count(*) * sum(x * x) - sum(x) * sum(x)))
+               // ((count(*) - 1) * sum(x)) AS BIGINT) AS dispersion_milli,
+             count(*) * sum(x * x) - sum(x) * sum(x) > (count(*) - 1) * sum(x)
+               AS overdispersed
+      FROM full_ GROUP BY a ORDER BY a"""))
+
+  /** QUANTILE TREATMENT EFFECT — the distributional causal readout
+    * the six mean-effect estimators miss: a treatment can leave the
+    * MEAN unchanged while compressing the poor tail and stretching
+    * the rich one, and only the per-quantile gap shows it. At the
+    * three quartiles: the treated and control per-user spend
+    * quantiles (lower empirical quantile, rank ⌊q(n−1)/100⌋+1 — one
+    * exact order statistic per side, unique (spend, user) tiebreak)
+    * and their signed difference. Treatment = the md5 coin shared
+    * with [[didEstimate]]/[[matchingAtt]].
+    *
+    * Scale shape: one per-user aggregate, per-arm rank windows
+    * (user-domain), a 3-row output. */
+  val qte: Q = Q(
+    "q_qte",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hex = md5(col("user_id").cast("string").cast("binary"))
+      val treated = ((ascii(substring(hex, 7, 1)) * 256 +
+        ascii(substring(hex, 8, 1))) % 2).cast("long")
+      val users = t(s, dir, "events")
+        .select(col("user_id"), treated.as("g"),
+          round(col("value") * 100, 0).cast("long").as("vc"))
+        .groupBy("user_id", "g").agg(sum(col("vc")).as("x"))
+      val w = Window.partitionBy("g").orderBy(col("x").asc, col("user_id").asc)
+      val ranked = users
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      val qs = s.range(0, 3).select((col("id") * 25 + 25).as("q"))
+      val picks = ranked.crossJoin(broadcast(qs))
+        .filter(col("rn") === expr("(q * (n - 1)) div 100 + 1"))
+        .select(col("q"), col("g"), col("x"))
+      picks.filter(col("g") === 1L).select(col("q"), col("x").as("treated_cents"))
+        .join(picks.filter(col("g") === 0L)
+          .select(col("q"), col("x").as("control_cents")), "q")
+        .selectExpr("q AS quantile", "treated_cents", "control_cents",
+          "treated_cents - control_cents AS qte_cents")
+        .orderBy("quantile")
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               (ascii(substr(md5(CAST(user_id AS VARCHAR)), 7, 1)) * 256 +
+                ascii(substr(md5(CAST(user_id AS VARCHAR)), 8, 1))) % 2 AS g,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY user_id),
+      ranked AS (
+        SELECT g, x,
+               CAST(row_number() OVER (PARTITION BY g
+                 ORDER BY x ASC, user_id ASC) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM users),
+      qs AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS q),
+      picks AS (
+        SELECT q, g, x FROM ranked CROSS JOIN qs
+        WHERE rn = (q * (n - 1)) // 100 + 1)
+      SELECT t.q AS quantile, t.x AS treated_cents, c.x AS control_cents,
+             CAST(t.x - c.x AS BIGINT) AS qte_cents
+      FROM picks t JOIN picks c ON t.q = c.q AND t.g = 1 AND c.g = 0
+      ORDER BY quantile"""))
+
   val all: Seq[Q] = Seq(jsonExtract, hourlyWindow, sessionize, funnel, cohortRetention,
     transitions, dateSpine, variantJson, intervalMerge, abTest, slidingWindow,
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
@@ -3371,5 +3487,5 @@ object Events {
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
     burstDetect, didEstimate, ipsValue, drValue, ucbContextual, qiniCurve,
     perceptronReplay, powerAnalysis, matchingAtt, successiveHalving,
-    valueIteration, syntheticControl, croston, srmGuard)
+    valueIteration, syntheticControl, croston, srmGuard, dispersion, qte)
 }

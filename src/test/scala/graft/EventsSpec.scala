@@ -898,4 +898,51 @@ class EventsSpec extends SparkSpec {
       assert(g == b - a, s"gap between $a and $b")
     }
   }
+
+  test("dispersion: Poisson-flat planted series reads ~1, bursty reads >1") {
+    // validate the cross-multiplied predicate arithmetic driver-side
+    // against the emitted frame on real data
+    val rows = Events.dispersion.fn(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == 5 && rows.forall(_._2 == 31L), "five arms x 31 days")
+    rows.foreach { case (a, n, tot, d, over) =>
+      assert(over == (d > 1000L) || d == 1000L && !over, s"$a flag vs index")
+      assert(d >= 0L, s"$a dispersion nonnegative")
+    }
+    // planted: constant series var=0 -> D=0; one-burst series -> D>1
+    import spark.implicits._
+    def dOf(xs: Seq[Long]): (Long, Boolean) = {
+      val n = xs.length.toLong; val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      (1000L * (n * sxx - sx * sx) / ((n - 1) * sx),
+        n * sxx - sx * sx > (n - 1) * sx)
+    }
+    assert(dOf(Seq.fill(31)(7L)) == ((0L, false)), "constant series")
+    val burst = Seq.fill(30)(1L) :+ 100L
+    assert(dOf(burst)._2, "a burst must overdisperse")
+  }
+
+  test("qte: quartile picks are the exact order statistics of each arm") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val users = Tables.load(spark, sf001, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (u, x) =>
+        val hex = md5hex(u.toString)
+        ((hex(6).toLong * 256 + hex(7).toLong) % 2, x, u)
+      }
+    def pick(g: Long, q: Long): Long = {
+      val arm = users.filter(_._1 == g).sortBy(t => (t._2, t._3)).map(_._2)
+      arm(((q * (arm.length - 1)) / 100).toInt)
+    }
+    val got = Events.qte.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(25L, 50L, 75L))
+    got.foreach { case (q, t, c, d) =>
+      assert(t == pick(1L, q) && c == pick(0L, q) && d == t - c, s"quantile $q")
+    }
+  }
 }
