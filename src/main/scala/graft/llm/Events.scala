@@ -3190,7 +3190,11 @@ object Events {
         .join(s.range(0, 21).select((col("id") * 50).as("w2")),
           col("w1") + col("w2") <= 1000)
         .withColumn("w3", lit(1000L) - col("w1") - col("w2"))
-      val winner = panel.filter(col("d") <= 14)
+      // limit(15) = the pre-window's exact row count: it makes the
+      // cross-join side PROVABLY bounded in the plan (maxRows), which
+      // the registry-wide PlanSpec sweep demands of every
+      // condition-less join
+      val winner = panel.filter(col("d") <= 14).limit(15)
         .crossJoin(broadcast(grid))
         .withColumn("synth",
           expr("(w1 * c1 + w2 * c2 + w3 * c3) div 1000"))
