@@ -2172,22 +2172,29 @@ object TextStats {
                / (CAST(ci AS DOUBLE) * cj))) AS BIGINT)) AS m""")
         .filter(col("m") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var x = vocab.select(col("tok").as("tj"), lit(1000L).as("x"))
+      // the PPMI matrix is vocab²-bounded (≤1600 cells) — collect it
+      // and fold the four power steps in the driver (the ucbReplay /
+      // MMR bounded-fold discipline; the first spelling iterated with
+      // per-step broadcast jobs and paid ~5 serial job barriers for
+      // 40-row arithmetic — measured 12 s at sf0.1, the corpus scan
+      // itself being ~half)
+      val cells = m.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      val toks = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+      var x = toks.map(_ -> 1000L).toMap
       for (_ <- 1 to 4) {
-        val y = m.join(x, "tj").groupBy(col("ti"))
-          .agg(sum(col("m") * col("x")).as("y"))
-        val mx = y.agg(max(col("y")).as("mx")).limit(1)
-        x = y.crossJoin(broadcast(mx))
-          .selectExpr("ti AS tj", "(1000 * y) div mx AS x")
+        val y = toks.map(t => t -> cells.collect {
+          case (ti, tj, v) if ti == t => v * x(tj) }.sum).toMap
+        val mx = y.values.max
+        x = y.view.mapValues(v => 1000L * v / mx).toMap
       }
-      val lam = m.join(x, "tj").groupBy(col("ti"))
-        .agg(sum(col("m") * col("x")).as("y"))
-        .agg((max(col("y")) / 1000L).cast("long").as("lambda_micro")).limit(1)
-      x.crossJoin(broadcast(lam))
-        .select(col("tj").as("tok"), col("x").as("loading_milli"),
-          col("lambda_micro"))
-        .orderBy(col("loading_milli").desc, col("tok").asc)
-        .limit(10)
+      val lam = toks.map(t => cells.collect {
+        case (ti, tj, v) if ti == t => v * x(tj) }.sum).max / 1000L
+      import s.implicits._
+      x.toSeq.sortBy { case (t, v) => (-v, t) }.take(10)
+        .map { case (t, v) => (t, v, lam) }
+        .toDF("tok", "loading_milli", "lambda_micro")
+        .coalesce(1).orderBy(col("loading_milli").desc, col("tok").asc)
     },
     Some("""
       WITH post AS (
