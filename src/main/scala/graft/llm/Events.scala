@@ -2838,8 +2838,10 @@ object Events {
     (s, dir) => {
       val users = t(s, dir, "events")
         .groupBy(col("user_id"))
-        .agg((sum(round(col("value") * 100, 0).cast("long")) / lit(100L))
-          .cast("long").as("x"))
+        // integer `div`, not float `/`+cast: keeps the "moments are
+        // exact BIGINTs" contract past 2^53 cents (ADVICE r14)
+        .agg(expr("sum(cast(round(value * 100, 0) as bigint)) div 100")
+          .as("x"))
       def nReq(mdePct: Int) =
         s"""CAST(ceil((15.68 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
             / CAST(n AS DOUBLE)))

@@ -52,6 +52,47 @@ object Graph {
       .select(col("o"), col("p"))
   }
 
+  /** Basket windows already census-audited this session, keyed by
+    * `dir|window`. The in-plan [[checkedBasket]] guard rides the
+    * join's exchange but still pays a per-partition SORT (the window
+    * function's frame ordering) on EVERY co-purchase query — 19 call
+    * sites re-auditing the same four (dir, ship-date-window) frames
+    * (VERDICT r14 item 8: +38% on q_itemsets, +32% on
+    * q_triangle_count). The census is a property of the DATA, not the
+    * query, so it runs ONCE per (dir, window): one map-side-combined
+    * groupBy count, fail-fast on any over-cap basket, then every
+    * later query on the same frame skips straight to the self-join.
+    * Values are untouched either way, so hashes are unchanged; an
+    * over-cap basket still kills the FIRST query that would have
+    * expanded it, just at census time instead of mid-join. On a
+    * long-lived 100 TB cluster the memo is per-JVM — new data under
+    * the same path needs a new session (the same staleness contract
+    * as [[graft.Staging]] state). */
+  private val basketAudited =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Memoized census form of [[checkedBasket]]: audits the basket
+    * frame once per `dir|window` key, then returns `op` unguarded. */
+  def checkedBasket(op: DataFrame, memoKey: String): DataFrame = {
+    if (!basketAudited.contains(memoKey)) {
+      val over = op.groupBy(col("o")).agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") > BasketCap).limit(1).collect()
+      if (over.nonEmpty)
+        throw new IllegalStateException(
+          s"basket over cap $BasketCap: order ${over(0).get(0)} has " +
+            s"${over(0).get(1)} distinct items ($memoKey)")
+      basketAudited.add(memoKey)
+    }
+    op
+  }
+
+  /** Transform-shaped adapter for the memoized census: call sites read
+    * `.transform(bk(dir, "2y"))` where the tag names the pinned
+    * ship-date window ("all", "h1" = 1995-01..07, "2y" = 1995..97,
+    * "y1995" = calendar 1995). */
+  private def bk(dir: String, window: String): DataFrame => DataFrame =
+    op => checkedBasket(op, s"$dir|$window")
+
   /** PageRank (d = 0.85, 5 iterations) over the bipartite
     * customer↔supplier purchase graph: an edge per distinct
     * (customer, supplier) pair observed in lineitem⋈orders, in both
@@ -252,7 +293,7 @@ object Graph {
     (s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "all"))
       li.as("a").join(li.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
@@ -386,7 +427,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "h1"))
       val edges = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -431,7 +472,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "2y"))
       // canonical undirected edges (u < v by id)
       val edges = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
@@ -585,8 +626,7 @@ object Graph {
           .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-          .transform(checkedBasket)
-        .transform(checkedBasket)
+          .transform(bk(dir, "2y"))
         val und = op.as("a").join(op.as("b"),
             col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -658,7 +698,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "2y"))
       val und = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -1005,7 +1045,7 @@ object Graph {
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate").between("1995-01-01", "1995-12-31"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "y1995"))
       val e = li.as("a").join(li.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("p1"), col("b.p").as("p2")).distinct()
@@ -1188,8 +1228,7 @@ object Graph {
       if (!graft.Staging.ready(s, s"$stateDir/deg")) {
         val op = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-          .transform(checkedBasket)
-        .transform(checkedBasket)
+          .transform(bk(dir, "all"))
         val co = op.as("a").join(op.as("b"),
             col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
           .groupBy(col("a.p").as("x"), col("b.p").as("y"))
@@ -1336,7 +1375,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "2y"))
       val edges = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -1464,7 +1503,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "h1"))
       val edges = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -1534,7 +1573,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "2y"))
       val und = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("u"), col("b.p").as("v"))
@@ -1636,7 +1675,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "2y"))
       val ord = t(s, dir, "orders").select(col("o_orderkey").as("o"),
         datediff(to_date(col("o_orderdate")),
           lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("t"))
@@ -1830,14 +1869,13 @@ object Graph {
     }
     val out = layers.reduce(_.unionByName(_))
       .groupBy("v").agg(sum(col("w")).as("walks"))
-      .orderBy("v")
-    val materialized = out.collect()
+    // per-vertex walk counts are data-scaled: materialize distributed
+    // (no driver round-trip) before releasing the edge cache; the
+    // range sort on the unique key is deterministic at any partition
+    // count, so no single-partition funnel is needed
+    val mat = graft.CacheHandles.sealOutput(out.orderBy("v"))
     e.unpersist()
-    val s = edges.sparkSession
-    s.createDataFrame(s.sparkContext.parallelize(
-        materialized.toIndexedSeq,
-        math.max(1, s.sparkContext.defaultParallelism / 4)), out.schema)
-      .orderBy("v")
+    mat
   }
 
   /** Driver query: ≤3-edge time-respecting walk counts over the
@@ -1851,7 +1889,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "2y"))
       val ord = t(s, dir, "orders").select(col("o_orderkey").as("o"),
         datediff(to_date(col("o_orderdate")),
           lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("t"))
@@ -1897,6 +1935,103 @@ object Graph {
         UNION ALL SELECT v, w FROM w2
         UNION ALL SELECT v, w FROM w3) u
       GROUP BY v ORDER BY v"""))
+
+  /** Motif window: max day-span of a counted triangle occurrence. */
+  val MotifDeltaDays = 90
+
+  /** TEMPORAL MOTIF CENSUS — time-ordered triangles over the dated
+    * co-purchase graph (the discretized core of Paranjape, Benson &
+    * Leskovec, WSDM 2017): a motif INSTANCE is a static triangle
+    * {a, b, c} (a < b < c by id) together with one dated occurrence
+    * of each of its three edges such that the three dates are
+    * pairwise distinct and the whole occurrence spans at most
+    * [[MotifDeltaDays]]; its CLASS is the order in which the three
+    * structural edges (ab, ac, bc) fire. The 6-class histogram is the
+    * dynamics readout static triangle counting can't see: 'ab<ac<bc'
+    * (fan-out from the shared low vertex, then closure) and
+    * 'ab<bc<ac' (a chain that closes) count the same static triangles
+    * but opposite propagation patterns. Composes [[temporalKatz]]'s
+    * dated edge frame with [[triangleCount]]'s closure join.
+    *
+    * Exact-integer by construction (counts of distinct dated-edge
+    * triples), so the whole census takes a full hash oracle.
+    * Equal-dated pairs are excluded — a tie has no order, and both
+    * engines drop it by the same `<>` predicate.
+    *
+    * Scale shape: the wedge and closure joins are [[triangleCount]]'s
+    * (vertex-keyed shuffles, blow-up bounded by temporal degree²,
+    * never corpus²), and the δ window prunes INSIDE both joins: span
+    * = max − min = the largest pairwise gap, so "span ≤ δ" is exactly
+    * "every pairwise |gap| ≤ δ" — the closure join condition already
+    * carries the full window, no post-filter pass re-reads the
+    * triple. The histogram is a 6-row aggregate. */
+  val temporalMotifs: Q = Q(
+    "q_temporal_motifs",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .transform(bk(dir, "2y"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey").as("o"),
+        datediff(to_date(col("o_orderdate")),
+          lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("t"))
+      val e = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .join(ord, "o")
+        .select(col("a.p").as("u"), col("b.p").as("v"), col("t")).distinct()
+      val d = lit(MotifDeltaDays.toLong)
+      val tri = e.as("x").join(e.as("y"),
+          col("y.u") === col("x.u") && col("y.v") > col("x.v") &&
+            abs(col("x.t") - col("y.t")) <= d && col("x.t") =!= col("y.t"))
+        .join(e.as("z"),
+          col("z.u") === col("x.v") && col("z.v") === col("y.v") &&
+            abs(col("z.t") - col("x.t")) <= d &&
+            abs(col("z.t") - col("y.t")) <= d &&
+            col("z.t") =!= col("x.t") && col("z.t") =!= col("y.t"))
+        .select(col("x.t").as("t_ab"), col("y.t").as("t_ac"),
+          col("z.t").as("t_bc"))
+      tri.select(expr("""CASE
+            WHEN t_ab < t_ac AND t_ac < t_bc THEN 'ab<ac<bc'
+            WHEN t_ab < t_bc AND t_bc < t_ac THEN 'ab<bc<ac'
+            WHEN t_ac < t_ab AND t_ab < t_bc THEN 'ac<ab<bc'
+            WHEN t_ac < t_bc AND t_bc < t_ab THEN 'ac<bc<ab'
+            WHEN t_bc < t_ab AND t_ab < t_ac THEN 'bc<ab<ac'
+            ELSE 'bc<ac<ab' END""").as("motif"))
+        .groupBy("motif").agg(count(lit(1)).as("n_instances"))
+        .orderBy("motif")
+    },
+    Some(s"""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+      ord AS (SELECT o_orderkey AS o,
+                     CAST(date_diff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+              FROM orders),
+      e AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v, ord.t
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        JOIN ord ON ord.o = a.o),
+      tri AS (
+        SELECT x.t AS t_ab, y.t AS t_ac, z.t AS t_bc
+        FROM e x
+        JOIN e y ON y.u = x.u AND y.v > x.v
+                AND abs(x.t - y.t) <= $MotifDeltaDays AND x.t <> y.t
+        JOIN e z ON z.u = x.v AND z.v = y.v
+                AND abs(z.t - x.t) <= $MotifDeltaDays
+                AND abs(z.t - y.t) <= $MotifDeltaDays
+                AND z.t <> x.t AND z.t <> y.t)
+      SELECT CASE
+               WHEN t_ab < t_ac AND t_ac < t_bc THEN 'ab<ac<bc'
+               WHEN t_ab < t_bc AND t_bc < t_ac THEN 'ab<bc<ac'
+               WHEN t_ac < t_ab AND t_ab < t_bc THEN 'ac<ab<bc'
+               WHEN t_ac < t_bc AND t_bc < t_ab THEN 'ac<bc<ab'
+               WHEN t_bc < t_ab AND t_ab < t_ac THEN 'bc<ab<ac'
+               ELSE 'bc<ac<ab' END AS motif,
+             CAST(count(*) AS BIGINT) AS n_instances
+      FROM tri GROUP BY 1 ORDER BY 1"""))
 
   /** PERSONALIZED PageRank (random walk with restart) — [[pageRank]]
     * with the teleport mass concentrated on ONE seed vertex instead
@@ -1954,7 +2089,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "2y"))
       val und = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -2235,7 +2370,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "h1"))
       val und = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -2275,7 +2410,11 @@ object Graph {
       und.select(col("u").as("src"), col("v").as("dst")), verts)
     val comp = labels.groupBy("label").agg(count(lit(1)).as("sz"))
     val eCnt = und.agg(count(lit(1)).as("n_edges")).limit(1)
-    comp.agg(sum(col("sz")).as("n_vertices"), max(col("sz")).as("largest_cc"),
+    // coalesce to 0: a SHATTERED graph (hub removal emptied the edge
+    // list) must census as (0, 0, 0, 0), not NULL — the robustness
+    // monotonicity check reads these as longs (ADVICE r14)
+    comp.agg(coalesce(sum(col("sz")), lit(0L)).as("n_vertices"),
+        coalesce(max(col("sz")), lit(0L)).as("largest_cc"),
         count(lit(1)).as("n_components"))
       .crossJoin(broadcast(eCnt))
       .select(col("n_vertices"), col("n_edges"), col("largest_cc"),
@@ -2303,7 +2442,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "h1"))
       val und = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -2324,8 +2463,10 @@ object Graph {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rows = out.collect() // 2-row audit table (bounded by construction)
       und.unpersist()
-      val f = rows.find(_.getString(0) == "1_full").get
-      val a = rows.find(_.getString(0) == "2_attacked").get
+      def phase(p: String) = rows.find(_.getString(0) == p).getOrElse(
+        throw new IllegalStateException(s"robustness census lost phase $p"))
+      val f = phase("1_full")
+      val a = phase("2_attacked")
       if (a.getLong(1) > f.getLong(1) || a.getLong(2) > f.getLong(2) ||
           a.getLong(3) > f.getLong(3))
         throw new IllegalStateException(
@@ -2399,7 +2540,7 @@ object Graph {
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(checkedBasket)
+        .transform(bk(dir, "2y"))
       val und = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
@@ -2707,11 +2848,12 @@ object Graph {
           .select(col("src").as("v")), Seq("v"), "left_anti").count()
       if (uncovered != 0L)
         throw new IllegalStateException(s"MIS not maximal: $uncovered uncovered")
-      val rows = out.orderBy("v").collect()
+      // materialize distributed (vertex-linear output — no driver hop),
+      // then release the iterate cache; the range sort on the unique
+      // vertex key is deterministic at any partition count
+      val mat = graft.CacheHandles.sealOutput(out.orderBy("v"))
       raw.unpersist()
-      s.createDataFrame(s.sparkContext.parallelize(
-          rows.toIndexedSeq, 1), out.schema)
-        .orderBy("v")
+      mat
     },
     Some(s"""
       WITH cs AS (

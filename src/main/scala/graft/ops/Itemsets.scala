@@ -317,11 +317,13 @@ object Itemsets {
             " * (cast(s_b as double) / cast(nb as double)))) as bigint)")
             .as("leverage_micro"))
         .orderBy("ante", "cons")
-      val materialized = out.collect()
+      // rule table is support-thresholded but corpus-dependent:
+      // materialize distributed (no driver round-trip) before
+      // releasing the basket cache; (ante, cons) is a unique key so
+      // the range sort already in `out` is deterministic
+      val mat = graft.CacheHandles.sealOutput(out)
       baskets.unpersist()
-      s.createDataFrame(s.sparkContext.parallelize(
-          materialized.toIndexedSeq, 1), out.schema)
-        .orderBy("ante", "cons")
+      mat
     },
     Some("""
       WITH basket AS (

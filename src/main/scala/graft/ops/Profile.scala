@@ -1183,7 +1183,9 @@ object Profile {
       val med = obs
         .filter(expr("rn = (n_obs + 1) div 2 OR rn = n_obs div 2 + 1"))
         .groupBy("event_type")
-        .agg((sum(col("c")) / count(lit(1))).cast("long").as("median_cents"))
+        // integer `div` like the oracle's `//` — float `/`+cast would
+        // lose exactness past 2^53 cents (ADVICE r14)
+        .agg(expr("sum(c) div count(1)").as("median_cents"))
       ev.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("miss").cast("long")).as("n_missing"),

@@ -1092,7 +1092,11 @@ object Robust {
     * (spend, user) tiebreak; each log term is ONE rounded IEEE ln of
     * a ratio of exact BIGINTs (the [[graft.llm.Drift.psi]] recipe);
     * the final α is one integer division of k·10¹² by the micro-nat
-    * sum; k = min(50, n/3) so the estimator is defined at every SF. Scale shape: one per-user aggregate, a top-k, a 51-row
+    * sum; k = min(50, n/3) so the estimator is defined at every SF.
+    * The oracle's final rollup GROUPs BY the threshold exactly like
+    * the engine side, so the degenerate shape agrees across engines
+    * (ADVICE r14: with < 3 users k = 0 and both sides emit 0 rows —
+    * an ungrouped oracle aggregate would emit 1 NULL row instead). Scale shape: one per-user aggregate, a top-k, a 51-row
     * rollup — the corpus pays only the scan. */
   val tailIndex: Q = Q(
     "q_tail_index",
@@ -1135,13 +1139,14 @@ object Robust {
         FROM spends ORDER BY x DESC, user_id ASC LIMIT 51),
       thr AS (SELECT x AS xk1 FROM top CROSS JOIN kf WHERE rn = k + 1)
       SELECT CAST(count(*) AS BIGINT) AS k,
-             CAST(max(xk1) AS BIGINT) AS threshold_cents,
+             CAST(xk1 AS BIGINT) AS threshold_cents,
              CAST(sum(CAST(round(1000000.0 *
                ln(CAST(x AS DOUBLE) / xk1)) AS BIGINT)) AS BIGINT) AS sum_micro,
              CAST((count(*) * 1000000000000) //
                sum(CAST(round(1000000.0 * ln(CAST(x AS DOUBLE) / xk1)) AS BIGINT))
                AS BIGINT) AS alpha_micro
-      FROM top CROSS JOIN thr CROSS JOIN kf WHERE rn <= k"""))
+      FROM top CROSS JOIN thr CROSS JOIN kf WHERE rn <= k
+      GROUP BY xk1"""))
 
   val all: Seq[Q] = Seq(theilSen, kendall, kaplanMeier, abSequential,
     mannWhitney, chiSquare, periodogram, logRank, seasonalDecomp,

@@ -326,13 +326,18 @@ object Scd {
     * absorbs TWO correction batches through [[absorbCorrections]]
     * (tx 7 restates March +1000.00 for md5-coin hex[9,10] < 20 keys —
     * the q_bitemporal batch — and tx 8 restates April +500.00 for
-    * hex[11,12] < 15 keys), audits the absorbed store against the
-    * FULL REBUILD in-query (exceptAll both directions must be empty —
-    * delta+store ≡ rebuild is the incremental family's contract, here
-    * at two-batch depth), and emits four as-of reads per key: March
-    * as known at tx 4 and tx 8, April as known at tx 5 and tx 9. The
-    * oracle recomputes everything from scratch, so the hash certifies
-    * that the incremental path is indistinguishable from the rebuild. */
+    * hex[11,12] < 15 keys) and emits four as-of reads per key: March
+    * as known at tx 4 and tx 8, April as known at tx 5 and tx 9.
+    * The DECLARED query is delta-only — the absorb path touches the
+    * correction keys plus one anti-join against the store, never a
+    * rebuild. The absorb ≡ rebuild contract is proven two ways
+    * WITHOUT taxing the query (VERDICT r14 item 3: the old in-query
+    * exceptAll audit cost a full rebuild + two anti-joins per run —
+    * at 100 TB that IS a rebuild per batch): ScdSpec replays the
+    * two-batch absorb against `bitemporal(all facts)` and asserts
+    * exceptAll-empty both ways, and the DuckDB oracle below
+    * recomputes everything from scratch, so the driver's hash
+    * re-certifies incremental ≡ rebuild every round. */
   val bitemporalIncremental: Q = Q(
     "q_bitemporal_incremental",
     (s, dir) => {
@@ -363,14 +368,6 @@ object Scd {
       val d2 = corrections(4L, 8L, 50000L, hexPos = 11, pct = 15)
       val incr = absorbCorrections(absorbCorrections(base, d1), d2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val full = bitemporal(
-        facts.unionByName(d1).unionByName(d2))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val onlyIncr = incr.exceptAll(full).count()
-      val onlyFull = full.exceptAll(incr).count()
-      if (onlyIncr != 0L || onlyFull != 0L)
-        throw new IllegalStateException(
-          s"incremental store diverged from full rebuild: +$onlyIncr/-$onlyFull rows")
       def read(tAt: Long, v: Long, name: String) =
         asOf(incr, tAt, v).withColumnRenamed("value", name)
       val out = read(4L, 3L, "mar_tx4")
@@ -382,15 +379,12 @@ object Scd {
           col("apr_tx5"), col("apr_tx9"),
           (col("apr_tx9") - col("apr_tx5")).as("apr_delta"))
         .orderBy("key")
-      val rows = out.collect()
-      incr.unpersist(); full.unpersist()
-      import s.implicits._
-      rows.toIndexedSeq
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5), r.getLong(6)))
-        .toDF("key", "mar_tx4", "mar_tx8", "mar_delta",
-          "apr_tx5", "apr_tx9", "apr_delta")
-        .coalesce(1).orderBy("key")
+      // key-linear output: materialize distributed (no driver
+      // round-trip) before releasing the absorbed-store cache; the
+      // range sort on the unique key is deterministic
+      val mat = graft.CacheHandles.sealOutput(out)
+      incr.unpersist()
+      mat
     },
     Some("""
       WITH facts AS MATERIALIZED (
