@@ -448,5 +448,241 @@ object Dbscan {
     },
     None)
 
-  val all: Seq[Q] = Seq(dbscan, dbscanIncremental, clusterStability)
+  /** The [[hdbscanExtract]] sim grid — finer than [[Levels]] so the
+    * excess-of-mass comparison has slabs to trade: with only 3 widely
+    * spaced levels the pre-split slab nearly always outweighs the
+    * post-split remainder and the cut degenerates to the roots. */
+  val HdbLevels = Seq(900, 925, 950, 980)
+
+  /** Sim value a core point "reaches" when it is last core at `lvl`:
+    * the next grid line (cap 1000 = exact-duplicate sim) — the upper
+    * slab convention: a point core at `lvl` holds its density through
+    * the whole [lvl, next) slab. */
+  private def nextLevel(grid: Seq[Int], lvl: Int): Int =
+    grid.dropWhile(_ <= lvl).headOption.getOrElse(1000)
+
+  /** The condensed-tree excess-of-mass fold of [[hdbscanExtract]],
+    * over plain collections so DbscanSpec can drive it on hand-built
+    * hierarchies. Inputs are label-domain-bounded: `deaths` maps each
+    * (lvl, cluster) node to its members' death-level histogram
+    * (death = last grid level the member stays core); `parents` maps
+    * each non-root node to its (unique, nesting-guaranteed) parent
+    * cluster at the previous grid level. Returns the kept antichain
+    * as (birth node, λ_end, stability). */
+  def condensedCut(deaths: Map[(Int, Long), Map[Int, Long]],
+      parents: Seq[((Int, Long), Long)], grid: Seq[Int], minPts: Int)
+      : Seq[((Int, Long), Int, Long)] = {
+    type Node = (Int, Long)
+    val nCore: Map[Node, Long] = deaths.map { case (k, h) => k -> h.values.sum }
+    val kids: Map[Node, Seq[Node]] = parents
+      .groupBy { case ((lvl, _), p) => (grid(grid.indexOf(lvl) - 1), p) }
+      .map { case (par, cs) => par -> cs.map(_._1) }
+    def realKids(n: Node): Seq[Node] =
+      kids.getOrElse(n, Nil).filter(k => nCore.getOrElse(k, 0L) >= minPts)
+        .sortBy(_._2)
+    // segment = birth node + where it ends; single real children are
+    // continuations (mass shed keeps the segment alive), ≥2 a split
+    def segmentOf(birth: Node): (Int, Seq[Node]) = {
+      var cur = birth
+      while (true) {
+        val rk = realKids(cur)
+        if (rk.size >= 2) return (nextLevel(grid, cur._1), rk) // split level
+        if (rk.isEmpty) return (1000, Nil) // never splits
+        cur = rk.head
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    def stab(birth: Node, lEnd: Int): Long =
+      deaths(birth).map { case (d, n) =>
+        n * (math.min(nextLevel(grid, d), lEnd) - birth._1).toLong }.sum
+    // bottom-up excess of mass: keep a segment iff its own slab mass
+    // is at least its descendants' best total (ties go coarse)
+    def sweep(birth: Node): (Long, Seq[(Node, Int, Long)]) = {
+      val (lEnd, split) = segmentOf(birth)
+      val own = stab(birth, lEnd)
+      val (kidVal, kidKept) = split.map(sweep).foldLeft(
+        (0L, Seq.empty[(Node, Int, Long)])) { case ((v, ks), (v2, ks2)) =>
+        (v + v2, ks ++ ks2) }
+      if (own >= kidVal) (own, Seq((birth, lEnd, own)))
+      else (kidVal, kidKept)
+    }
+    deaths.keys.filter(_._1 == grid.head)
+      .filter(n => nCore(n) >= minPts).toSeq.sortBy(_._2)
+      .flatMap(r => sweep(r)._2)
+  }
+
+  /** HDBSCAN-STYLE FLAT CUT — stability-maximizing cluster extraction
+    * over the multi-level DBSCAN hierarchy (Campello, Moulavi &
+    * Sander, PAKDD 2013, discretized to the [[HdbLevels]] sim grid):
+    * [[q_cluster_stability]] REPORTS how clusters fragment as the
+    * density threshold tightens; this query DECIDES — one flat,
+    * non-overlapping cluster set chosen by excess of mass, the
+    * variable-density answer single-ε DBSCAN cannot give.
+    *
+    * Construction. Tightening sim thresholds nest monotonically
+    * (pairs at level l ⊇ pairs at l' > l, so cores and CC components
+    * nest too): the per-level clusters form a TREE. Condensed
+    * segments follow HDBSCAN: a segment is born where its cluster
+    * first appears (root level or a parent's split), continues while
+    * at most ONE ≥-minPts child carries on (smaller fragments are
+    * mass shed, not splits), and ends at a split into ≥2 real
+    * children (λ_end = the split level) or never (λ_end = 1000).
+    * Its stability is the slab sum over BIRTH members
+    *
+    *   stab(seg) = Σ_p (min(nextLevel(death_p), λ_end) − λ_birth),
+    *
+    * death_p = the last level p stays core — so a parent is scored
+    * on the pre-split slab over ALL its members and its children on
+    * the post-split slabs over the survivors: disjoint λ-mass, the
+    * comparison excess-of-mass actually makes. Selection is the
+    * classic bottom-up sweep: a segment is kept iff its own slab
+    * mass is at least its descendants' best total (ties go coarse);
+    * kept segments form an antichain, so every point whose chain
+    * reaches a leaf has EXACTLY ONE flat home.
+    *
+    * Rows-only by the blocking contract ([[dbscan]]), floor-armed
+    * twice in-query over TWO planted blobs: A = 12 exact copies of
+    * vector 0 (ids 2M+, pairwise sim 1.0) and B = 12 exact copies of
+    * a driver-constructed unit vector at cosine EXACTLY 0.91 from A
+    * (ids 3M+ — inside the loosest level 0.90, outside 0.925, so A–B
+    * can bridge only in the root slab and MUST split by 925). Each
+    * blob must be all-core and mono-cluster at every grid level
+    * (identical copies share their centroid argmin — splitting one is
+    * a regression, not blocking noise), and the flat cut must give
+    * each blob exactly one home; whether the 0.91 bridge survives the
+    * blocking changes only WHERE the blobs' segments are born, never
+    * the homes-per-blob count. DbscanSpec drives the condensed fold
+    * on hand-built fixtures where the true cut is known both ways.
+    *
+    * Scale shape: ONE blocked pair join (shared with the dbscan
+    * family via the memoized centroids), one 5-way level explode, ONE
+    * stacked-level CC ([[levelDbscan]]); the death table and per-node
+    * census are (lvl, cluster)-keyed aggregates. Only the condensed
+    * TREE (≤ clusters × levels rows — label-domain-bounded, never
+    * corpus-scaled) crosses to the driver for the fold, the same
+    * bounded-matrix discipline as the PMI power iteration. */
+  val hdbscanExtract: Q = Q(
+    "q_hdbscan_extract",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val proto = emb.filter(col("vec_id") === 0).select(col("v")).limit(1)
+      // blob B prototype: unit vector at cosine EXACTLY 0.91 from
+      // vector 0, built driver-side from the (bounded: two vectors)
+      // v0/v1 collect — b = T·ê0 + √(1−T²)·û with û the v1 component
+      // orthogonal to v0, so ⟨b, ê0⟩ = T by construction
+      val v01 = emb.filter(col("vec_id") <= 1).orderBy("vec_id")
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      if (v01.length != 2)
+        throw new IllegalStateException("corpus lost vectors 0/1")
+      val bProto: Array[Double] = {
+        val T = 0.91
+        def unit(a: Array[Double]) = {
+          val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n)
+        }
+        val e0 = unit(v01(0)); val e1 = unit(v01(1))
+        val c = e0.zip(e1).map { case (x, y) => x * y }.sum
+        if (math.abs(c) > 0.99)
+          throw new IllegalStateException(
+            s"vectors 0/1 near-parallel (cos=$c), cannot build blob B")
+        val u = unit(e1.zip(e0).map { case (y, x) => y - c * x })
+        val w = math.sqrt(1 - T * T)
+        e0.zip(u).map { case (x, y) => T * x + w * y }
+      }
+      val plantsA = s.range(12)
+        .select((col("id") + lit(2000000L)).as("vec_id"))
+        .crossJoin(broadcast(proto))
+      val plantsB = s.range(12)
+        .select((col("id") + lit(3000000L)).as("vec_id"),
+          array(bProto.map(lit).toIndexedSeq: _*).cast("array<double>").as("v"))
+      val corpus = emb.unionByName(plantsA).unionByName(plantsB)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // own memo key: this corpus carries blob B, and sharing the
+      // dbscan-family key would make the trained centroids depend on
+      // which query ran first in the session
+      val centroids = Ivf.trainCentroidsMemo(s"$dir#hdbscan", corpus)
+      val handles = new graft.CacheHandles
+      val pairs = handles.track(
+        Similarity.clusterNearDupPairs(corpus, centroids,
+            HdbLevels.min / 1000.0, handles = handles)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val minPts = 10
+      val all5 = handles.track(
+        levelDbscan(corpus, pairs, HdbLevels, minPts, handles = handles)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cores = all5.filter(col("role") === "core")
+        .select(col("lvl"), col("id"), col("cluster"))
+      // per-point death level (cores nest, so max = the last level)
+      val death = cores.groupBy("id").agg(max(col("lvl")).as("death_lvl"))
+      // per-(node, death) census — the only frames the driver reads,
+      // all label-domain-bounded
+      val nodeDeaths = cores.join(death, "id")
+        .groupBy("lvl", "cluster", "death_lvl")
+        .agg(count(lit(1)).as("n")).collect()
+      val prevCase = "CASE lvl " + HdbLevels.zip(HdbLevels.tail)
+        .map { case (p, c) => s"WHEN $c THEN $p" }
+        .mkString(" ", " ", " ELSE -1 END")
+      val parentRows = cores.as("c")
+        .withColumn("prev_lvl", expr(prevCase))
+        .join(cores.as("p"),
+          col("c.id") === col("p.id") && col("p.lvl") === col("prev_lvl"))
+        .groupBy(col("c.lvl").as("lvl"), col("c.cluster").as("cluster"))
+        .agg(min(col("p.cluster")).as("pmin"), max(col("p.cluster")).as("pmax"))
+        .collect()
+      // blob floor, part 1: each blob all-core mono-cluster per level
+      val blobStats = all5.filter(col("id") >= 2000000L)
+        .withColumn("blob", when(col("id") >= 3000000L, "B").otherwise("A"))
+        .groupBy("lvl", "blob")
+        .agg(count(when(col("role") === "core", 1)).as("n_core"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          min(col("cluster")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r).toMap
+      for (lp <- HdbLevels; blob <- Seq("A", "B")) {
+        val r = blobStats.getOrElse((lp, blob),
+          throw new IllegalStateException(
+            s"planted blob $blob vanished at level $lp"))
+        if (r.getLong(2) < 12 || r.getLong(3) != 1L)
+          throw new IllegalStateException(
+            s"planted blob $blob degraded at level $lp: " +
+              s"${r.getLong(2)}/12 core, ${r.getLong(3)} clusters")
+      }
+      corpus.unpersist(); handles.releaseAll()
+
+      // ---- driver-side condensed fold over the bounded tree ----
+      val deaths: Map[(Int, Long), Map[Int, Long]] = nodeDeaths
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (k, rs) =>
+          k -> rs.map(r => r.getInt(2) -> r.getLong(3)).toMap }
+      parentRows.foreach { r =>
+        if (r.getLong(2) != r.getLong(3))
+          throw new IllegalStateException(
+            s"hierarchy not nested at (${r.getInt(0)}, ${r.getLong(1)}): " +
+              s"parents ${r.getLong(2)}..${r.getLong(3)}")
+      }
+      val selected = condensedCut(deaths,
+        parentRows.map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))),
+        HdbLevels, minPts)
+      // blob floor, part 2: exactly one selected segment on each
+      // blob's chain — the flat cut gives every blob one home
+      Seq("A", "B").foreach { blob =>
+        val chainNodes = HdbLevels
+          .map(l => (l, blobStats((l, blob)).getLong(4))).toSet
+        val homes = selected.count { case (n, _, _) => chainNodes(n) }
+        if (homes != 1)
+          throw new IllegalStateException(
+            s"flat cut gave planted blob $blob $homes homes (want 1)")
+      }
+      import s.implicits._
+      selected
+        .map { case ((lvl, c), lEnd, st) =>
+          (lvl, c, lEnd, deaths((lvl, c)).values.sum, st) }
+        .sortBy { case (lvl, c, _, _, _) => (lvl, c) }
+        .toDF("birth_permille", "cluster", "end_permille", "n_core",
+          "stability_permille_pts")
+        .coalesce(1)
+    },
+    None)
+
+  val all: Seq[Q] = Seq(dbscan, dbscanIncremental, clusterStability,
+    hdbscanExtract)
 }

@@ -2639,6 +2639,122 @@ object Events {
                   - (5 * n_match * q_mu) // n_ev AS BIGINT) AS dr_micro
       FROM agg ORDER BY x"""))
 
+  /** DOUBLY-ROBUST POLICY LEARNING — the decision step on top of
+    * [[drValue]]'s evaluation (Dudík, Langford & Li, ICML 2011, §5:
+    * policy optimization over the DR estimate): instead of evaluating
+    * ONE candidate policy, score EVERY arm in every context with its
+    * DR value and pick the argmax,
+    *
+    *   DR(x, a) = q̂(x,a) + (5·10⁶·Σ_{a logged} r) ÷ n_ev(x)
+    *                      − (5·n_match(x,a)·q̂(x,a)) ÷ n_ev(x),
+    *   π_DR(x)  = argmax_a DR(x, a)  (ties to the first arm),
+    *
+    * on the same cross-fitted split as [[drValue]] (EVEN days train
+    * q̂, ODD days evaluate — the learned policy never grades itself
+    * on its training rounds). The output reports, per context, BOTH
+    * the model-only argmax (π_DM, [[drValue]]'s policy) and the
+    * DR-learned argmax with their DR values, plus the regret band
+    * `dr_best_micro − dr_of_dm_micro` — the sanity tie to
+    * [[drValue]]: `dr_of_dm_micro` is BY THE SAME FORMULA the
+    * dr_micro q_dr_value reports for that context, and the regret is
+    * ≥ 0 structurally (the argmax ranges over a set containing the
+    * DM arm; EventsSpec pins both properties). A positive regret
+    * reads "the reward model's favorite arm is NOT the arm the
+    * debiased evidence favors" — the one-table answer to whether the
+    * model can be trusted to choose.
+    *
+    * Exactness: same floored nonnegative-numerator splits as
+    * [[drValue]], mirrored verbatim in the oracle; arms missing from
+    * a context's eval rounds coalesce to (0, 0) matches — DR falls
+    * back to the model mean, stated by the formula itself.
+    *
+    * Scale shape: two (x, arm) cell aggregates off the scan
+    * (map-side combinable, ≤70 cells), one 7-row broadcast context
+    * total, two cell-domain rank windows — nothing corpus-sized
+    * after the first aggregates. */
+  val drPolicy: Q = Q(
+    "q_dr_policy",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(
+        (dayofmonth(col("ts")) % 7).cast("long").as("x"),
+        (dayofmonth(col("ts")) % 2).cast("long").as("split"),
+        col("event_type").as("a"),
+        round(col("value") * 100, 0).cast("long").as("rc"))
+      val cells = ev.filter(col("split") === 0L).groupBy("x", "a")
+        .agg(count(lit(1)).as("n_tr"), sum(col("rc")).as("s_tr"))
+        .select(col("x"), col("a"), expr("(1000000 * s_tr) div n_tr").as("q_mu"))
+      val hold = ev.filter(col("split") === 1L)
+      val nx = hold.groupBy("x").agg(count(lit(1)).as("n_ev"))
+      val matched = hold.groupBy("x", "a")
+        .agg(count(lit(1)).as("n_match"), sum(col("rc")).as("s_match"))
+      val dr = cells
+        .join(matched, Seq("x", "a"), "left")
+        .na.fill(0L, Seq("n_match", "s_match"))
+        .join(broadcast(nx), "x")
+        .select(col("x"), col("a"), col("q_mu"),
+          (col("q_mu") + expr("(5 * 1000000 * s_match) div n_ev") -
+            expr("(5 * n_match * q_mu) div n_ev")).as("dr_xa"))
+      val byDr = Window.partitionBy("x")
+        .orderBy(col("dr_xa").desc, col("a").asc)
+      val byDm = Window.partitionBy("x")
+        .orderBy(col("q_mu").desc, col("a").asc)
+      val drBest = dr.withColumn("rk", row_number().over(byDr))
+        .filter(col("rk") === 1)
+        .select(col("x"), col("a").as("dr_pi_a"),
+          col("dr_xa").as("dr_best_micro"))
+      val dmBest = dr.withColumn("rk", row_number().over(byDm))
+        .filter(col("rk") === 1)
+        .select(col("x"), col("a").as("dm_pi_a"),
+          col("q_mu").as("dm_mu_micro"), col("dr_xa").as("dr_of_dm_micro"))
+      dmBest.join(drBest, "x")
+        .select(col("x"), col("dm_pi_a"), col("dm_mu_micro"),
+          col("dr_of_dm_micro"), col("dr_pi_a"), col("dr_best_micro"),
+          (col("dr_best_micro") - col("dr_of_dm_micro"))
+            .as("regret_vs_dm_micro"))
+        .orderBy("x")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(day(ts) % 7 AS BIGINT) AS x,
+               CAST(day(ts) % 2 AS BIGINT) AS split,
+               event_type AS a,
+               CAST(round(value * 100) AS BIGINT) AS rc
+        FROM events),
+      cells AS (
+        SELECT x, a,
+               CAST((1000000 * sum(rc)) // count(*) AS BIGINT) AS q_mu
+        FROM ev WHERE split = 0 GROUP BY x, a),
+      nx AS (SELECT x, CAST(count(*) AS BIGINT) AS n_ev
+             FROM ev WHERE split = 1 GROUP BY x),
+      mt AS (SELECT x, a, CAST(count(*) AS BIGINT) AS n_match,
+                    CAST(sum(rc) AS BIGINT) AS s_match
+             FROM ev WHERE split = 1 GROUP BY x, a),
+      dr AS (
+        SELECT c.x, c.a, c.q_mu,
+               CAST(c.q_mu
+                 + (5 * 1000000 * coalesce(mt.s_match, 0)) // nx.n_ev
+                 - (5 * coalesce(mt.n_match, 0) * c.q_mu) // nx.n_ev
+                 AS BIGINT) AS dr_xa
+        FROM cells c JOIN nx ON nx.x = c.x
+        LEFT JOIN mt ON mt.x = c.x AND mt.a = c.a),
+      drbest AS (
+        SELECT x, a AS dr_pi_a, dr_xa AS dr_best_micro FROM (
+          SELECT *, row_number() OVER (PARTITION BY x
+            ORDER BY dr_xa DESC, a ASC) AS rk
+          FROM dr) WHERE rk = 1),
+      dmbest AS (
+        SELECT x, a AS dm_pi_a, q_mu AS dm_mu_micro,
+               dr_xa AS dr_of_dm_micro FROM (
+          SELECT *, row_number() OVER (PARTITION BY x
+            ORDER BY q_mu DESC, a ASC) AS rk
+          FROM dr) WHERE rk = 1)
+      SELECT dmbest.x, dm_pi_a, dm_mu_micro, dr_of_dm_micro,
+             dr_pi_a, dr_best_micro,
+             dr_best_micro - dr_of_dm_micro AS regret_vs_dm_micro
+      FROM dmbest JOIN drbest ON drbest.x = dmbest.x
+      ORDER BY dmbest.x"""))
+
   /** QINI / UPLIFT CURVE — the targeting audit behind every
     * incrementality program: rank users by an uplift score, then ask
     * at each decile "how much EXTRA outcome did the treated top-k
@@ -3491,7 +3607,8 @@ object Events {
     preferencePairs, groupAdvantage, attribution, cuped, permutationTest, bootstrapCi,
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
-    burstDetect, didEstimate, ipsValue, drValue, ucbContextual, qiniCurve,
+    burstDetect, didEstimate, ipsValue, drValue, drPolicy, ucbContextual,
+    qiniCurve,
     perceptronReplay, powerAnalysis, matchingAtt, successiveHalving,
     valueIteration, syntheticControl, croston, srmGuard, dispersion, qte)
 }

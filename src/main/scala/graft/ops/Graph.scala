@@ -1937,7 +1937,7 @@ object Graph {
       GROUP BY v ORDER BY v"""))
 
   /** Motif window: max day-span of a counted triangle occurrence. */
-  val MotifDeltaDays = 90
+  val MotifDeltaDays = 365
 
   /** TEMPORAL MOTIF CENSUS — time-ordered triangles over the dated
     * co-purchase graph (the discretized core of Paranjape, Benson &
@@ -2904,7 +2904,8 @@ object Graph {
   val all: Seq[Q] = Seq(pagerank, pagerankIncremental, copurchase, triangleCount,
     shortestPath, shortestPathIncremental, labelPropagation,
     labelPropIncremental, linkPredict, kcore, betweennessQ, diameterLb,
-    cheapestPath, temporalReachQ, hitsQ, temporalKatz, rwr, greedyMatching,
+    cheapestPath, temporalReachQ, hitsQ, temporalKatz, temporalMotifs,
+    rwr, greedyMatching,
     bMatching, modularityQ, lubyMisQ, assortativityQ, clusteringCoeff,
     graphRobustness)
 }

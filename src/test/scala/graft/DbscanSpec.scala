@@ -178,4 +178,60 @@ class DbscanSpec extends SparkSpec {
       (900L, 0L, 8L, 8L, 1L, 1000L),
       (950L, 0L, 8L, 8L, 2L, 1000L)), rows.toSeq.toString)
   }
+
+  test("condensed cut: stable children beat a brief merger") {
+    // root holds only the [900, 925) slab (20 pts · 25) before the
+    // split; each child keeps 10 pts through [925, 1000) = 750
+    val grid = Seq(900, 925, 950, 965, 980)
+    val deaths = Map(
+      (900, 1L) -> Map(980 -> 20L),
+      (925, 1L) -> Map(980 -> 10L),
+      (925, 7L) -> Map(980 -> 10L))
+    val parents = Seq(((925, 1L), 1L), ((925, 7L), 1L))
+    val cut = Dbscan.condensedCut(deaths, parents, grid, minPts = 3)
+    assert(cut == Seq(((925, 1L), 1000, 750L), ((925, 7L), 1000, 750L)),
+      cut.toString)
+  }
+
+  test("condensed cut: a mass-shedding parent beats its small splinters") {
+    // 30 of 40 root members die in the first slab but still credit
+    // the root 25 each; the split-off children are 5 pts each
+    val grid = Seq(900, 925, 950, 965, 980)
+    val deaths = Map(
+      (900, 1L) -> Map(900 -> 30L, 980 -> 10L),
+      (925, 1L) -> Map(980 -> 5L),
+      (925, 9L) -> Map(980 -> 5L))
+    val parents = Seq(((925, 1L), 1L), ((925, 9L), 1L))
+    val cut = Dbscan.condensedCut(deaths, parents, grid, minPts = 3)
+    assert(cut == Seq(((900, 1L), 925, 1000L)), cut.toString)
+  }
+
+  test("condensed cut: single real children continue the segment; sub-minPts splinters shed") {
+    // chain 900 -> 925 (one real child + a 2-pt splinter) -> splits
+    // at 950; the long pre-split slab [900, 950) outweighs the kids
+    val grid = Seq(900, 925, 950, 965, 980)
+    val deaths = Map(
+      (900, 1L) -> Map(980 -> 12L),
+      (925, 1L) -> Map(980 -> 12L),
+      (925, 5L) -> Map(925 -> 2L), // splinter, not a split
+      (950, 1L) -> Map(980 -> 6L),
+      (950, 8L) -> Map(965 -> 6L))
+    val parents = Seq(((925, 1L), 1L), ((925, 5L), 1L),
+      ((950, 1L), 1L), ((950, 8L), 1L))
+    val cut = Dbscan.condensedCut(deaths, parents, grid, minPts = 3)
+    // root: 12·(950−900) = 600; kids: 6·(1000−950) + 6·(980−950) = 480
+    assert(cut == Seq(((900, 1L), 950, 600L)), cut.toString)
+  }
+
+  test("declared hdbscan extraction: blob floor armed, segments form an antichain") {
+    val out = Dbscan.hdbscanExtract.fn(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (birth, _, end, n, stab) =>
+      assert(birth < end, s"segment [$birth, $end) empty")
+      assert(n >= 10, s"selected segment below minPts: $n")
+      assert(stab > 0L, s"selected segment with zero stability")
+    }
+  }
 }

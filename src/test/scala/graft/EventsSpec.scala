@@ -679,6 +679,31 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("drPolicy: regret is nonnegative and the DM arm's DR value ties q_dr_value") {
+    val pol = Events.drPolicy.fn(spark, sf001).collect()
+      .map(r => r.getAs[Long]("x") -> r).toMap
+    val value = Events.drValue.fn(spark, sf001).collect()
+      .map(r => r.getAs[Long]("x") -> r).toMap
+    assert(pol.keySet == (0L to 6L).toSet, s"contexts: ${pol.keySet}")
+    pol.foreach { case (x, r) =>
+      // argmax ranges over a set containing the DM arm, so switching
+      // to the learned policy can never look worse under DR
+      assert(r.getAs[Long]("regret_vs_dm_micro") >= 0L, s"x=$x regret < 0")
+      assert(r.getAs[Long]("dr_best_micro") ==
+        r.getAs[Long]("dr_of_dm_micro") + r.getAs[Long]("regret_vs_dm_micro"))
+      // the sanity band vs q_dr_value: same split, same formula, so
+      // the DM policy's DR value must be exactly the dr_micro the
+      // evaluation query reports for this context
+      val v = value(x)
+      assert(r.getAs[String]("dm_pi_a") == v.getAs[String]("pi_a"),
+        s"x=$x DM policy diverged from q_dr_value's")
+      assert(r.getAs[Long]("dr_of_dm_micro") == v.getAs[Long]("dr_micro"),
+        s"x=$x DR(DM arm) != q_dr_value dr_micro")
+      assert(r.getAs[Long]("dm_mu_micro") == v.getAs[Long]("dm_micro"),
+        s"x=$x q-model mean diverged")
+    }
+  }
+
   test("contextual UCB: per-context openings are distinct arms and the state replays") {
     val rows = SparkEntry.queries("q_ucb_contextual")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
