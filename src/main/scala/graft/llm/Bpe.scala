@@ -31,11 +31,17 @@ import graft.{Q, Tables}
   * return to the driver — the legitimate iterative-driver pattern
   * ([[Ivf.trainCentroids]], [[Dedup.connectedComponents]]).
   *
-  * Rows-only per contract: an iterative argmax isn't expressible as
-  * one DuckDB query; the declared query asserts its own structural
-  * floor (exactly k distinct merges, all with positive corpus
-  * support) and BpeSpec pins the full merge list against the
-  * reference implementation.
+  * Oracled since round 15: the k training rounds unroll into chained
+  * CTEs ([[bpeRoundCte]] — the q_luby_mis device), and the greedy
+  * left-to-right merge fold runs as a per-word RECURSIVE walk
+  * carrying (prefix, last-symbol) state. A recursive walk, not
+  * string replace(): replace consumes the boundary space of each
+  * match, so it silently skips an immediately following occurrence
+  * (" l r l r " merges once, not twice) and diverges from the fold
+  * on l = r runs — measured before being rejected. The declared
+  * queries also keep their structural floors (exactly k distinct
+  * positive-support merges; round-trip + token-count bounds), and
+  * BpeSpec pins the merge list against a sequential reference.
   */
 object Bpe {
 
@@ -127,11 +133,64 @@ object Bpe {
   def trainMergesMemo(key: String, docs: => DataFrame, k: Int): Seq[(String, String, Long)] =
     mergeMemo.getOrElseUpdate(s"$key#$k", trainMerges(docs, k))
 
+  /** One unrolled BPE training round, oracle-side: pair counts over
+    * the previous symbol table (symbols space-joined in `seq` —
+    * symbols never contain whitespace, words come from a \s+ split),
+    * the total-order argmax, and the greedy merge fold as a per-word
+    * recursive walk over symbol positions carrying (prefix, last)
+    * state — fuse when (last, next) is the chosen pair, else emit.
+    * best/tbl are MATERIALIZED: each is read twice downstream, and
+    * un-hinted re-inlining recomputes the whole prefix per reference
+    * (measured 2.2 s → 0.1 s on the 31-word vocab). */
+  private def bpeRoundCte(r: Int): String = {
+    val prev = s"tbl${r - 1}"
+    s"""
+      pc$r AS (
+        SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+        FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms)-1)) AS i
+              FROM (SELECT cnt, string_split(seq, ' ') AS syms FROM $prev))
+        GROUP BY 1, 2),
+      best$r AS MATERIALIZED (SELECT l, r, pc FROM pc$r
+        ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+      fold$r AS (
+        SELECT t.seq AS src, t.cnt, 2 AS i, '' AS pre,
+               string_split(t.seq, ' ')[1] AS last,
+               len(string_split(t.seq, ' ')) AS n, b.l AS bl, b.r AS br
+        FROM $prev t CROSS JOIN best$r b
+        UNION ALL
+        SELECT src, cnt, i+1,
+          CASE WHEN last = bl AND string_split(src, ' ')[i] = br THEN pre
+               ELSE pre || CASE WHEN pre = '' THEN '' ELSE ' ' END || last END,
+          CASE WHEN last = bl AND string_split(src, ' ')[i] = br THEN bl || br
+               ELSE string_split(src, ' ')[i] END,
+          n, bl, br
+        FROM fold$r WHERE i <= n),
+      tbl$r AS MATERIALIZED (
+        SELECT cnt, CASE WHEN pre = '' THEN last ELSE pre || ' ' || last END AS seq
+        FROM fold$r WHERE i = n + 1)"""
+  }
+
+  /** Shared oracle prefix: word counts, the char-split seed table,
+    * and all `k` unrolled training rounds. */
+  private def bpeOraclePrefix(k: Int): String =
+    """WITH RECURSIVE
+      words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents)
+        WHERE w <> '' GROUP BY w),
+      tbl0 AS MATERIALIZED (
+        SELECT cnt, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq
+        FROM words),""" +
+      (1 to k).map(bpeRoundCte).mkString(",")
+
   /** Driver query: the first 8 learned merges with their corpus
-    * support. Self-checking (rows-only): exactly k DISTINCT merges,
-    * every one backed by a positive weighted pair count — a broken
-    * fold or a nondeterministic argmax shows up as a short, duplicated
-    * or zero-support merge list in the driver's `err` field. */
+    * support, hash-oracled against the full unrolled DuckDB training
+    * replay. Still self-checking: exactly k DISTINCT merges, every
+    * one backed by a positive weighted pair count — a broken fold or
+    * a nondeterministic argmax shows up as a short, duplicated or
+    * zero-support merge list in the driver's `err` field before the
+    * hash is even compared. */
   val bpeMerges: Q = Q(
     "q_bpe_merges",
     (s, dir) => {
@@ -149,7 +208,12 @@ object Bpe {
         .map { case ((l, r, pc), i) => (i + 1L, l, r, pc) }
         .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
     },
-    None)
+    Some(bpeOraclePrefix(8) + s""",
+      merges AS (${(1 to 8).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS left_sym, " +
+          s"r AS right_sym, pc AS pair_count FROM best$r")
+        .mkString("\n        UNION ALL ")})
+      SELECT * FROM merges ORDER BY merge_rank"""))
 
   /** Tokenizer APPLICATION — encode the corpus with the learned merge
     * list. The scale-critical decision: merges are applied to the
@@ -161,8 +225,8 @@ object Bpe {
     * the k-deep fold expression over every token of every document —
     * pure waste, since encoding is a function of the word alone.)
     *
-    * Rows-only per contract (an iteratively-trained tokenizer isn't
-    * one DuckDB query), so the query defends itself in one action
+    * Hash-oracled via the unrolled training replay (round 15) AND
+    * the query still defends itself in one action
     * over the vocabulary frame: every encoded word must round-trip
     * (concat(symbols) == word — a broken fold can't hide), token
     * counts must lie in [1, n_chars], and at least one word must have
@@ -213,7 +277,24 @@ object Bpe {
         out
       } finally enc.unpersist()
     },
-    None)
+    // the final round-8 table IS the fully encoded vocabulary (the
+    // word is recoverable as the seq with separators removed), so the
+    // encode oracle rides the same unrolled training replay
+    Some(bpeOraclePrefix(8) + """,
+      enc AS MATERIALIZED (
+        SELECT replace(seq, ' ', '') AS w,
+               CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_bpe
+        FROM tbl8),
+      dw AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents)
+        WHERE w <> '')
+      SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+             CAST(sum(enc.n_bpe) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum(length(dw.w)) AS BIGINT) AS n_word_chars
+      FROM dw JOIN enc ON enc.w = dw.w
+      GROUP BY dw.doc_id ORDER BY dw.doc_id"""))
 
   /** TOKENIZER FERTILITY AUDIT — pieces-per-word by language under
     * the LEARNED merge list: the "which languages does this vocab
@@ -224,8 +305,8 @@ object Bpe {
     * the distinct-word table once, then rolled up per document
     * language with occurrence weights.
     *
-    * Rows-only by the [[bpeMerges]] contract (a merge fold is not
-    * one DuckDB query) — so it self-defends like the encode query:
+    * Hash-oracled via the unrolled training replay (round 15, like
+    * [[bpeMerges]]/[[bpeEncode]]) and still self-defending:
     * the run ABORTS unless every language's fertility is ≥ 1
     * piece/word (segmentation soundness) and at least one language
     * compressed strictly below its character count (the merges did
@@ -269,7 +350,24 @@ object Bpe {
           "fertility audit degraded: no language compressed below raw characters")
       out
     },
-    None)
+    Some(bpeOraclePrefix(8) + """,
+      enc AS MATERIALIZED (
+        SELECT replace(seq, ' ', '') AS w,
+               CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_bpe
+        FROM tbl8),
+      dw AS (
+        SELECT lang, w FROM (
+          SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents)
+        WHERE w <> '')
+      SELECT dw.lang, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(enc.n_bpe) AS BIGINT) AS n_pieces,
+             CAST((1000000 * sum(enc.n_bpe)) // count(*) AS BIGINT)
+               AS fertility_micro,
+             CAST((1000000 * sum(length(dw.w))) // sum(enc.n_bpe) AS BIGINT)
+               AS chars_per_piece_micro
+      FROM dw JOIN enc ON enc.w = dw.w
+      GROUP BY dw.lang ORDER BY dw.lang"""))
 
   val all: Seq[Q] = Seq(bpeMerges, bpeEncode, bpeFertility)
 }

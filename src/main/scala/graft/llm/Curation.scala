@@ -1248,10 +1248,92 @@ object Curation {
       FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id
       ORDER BY w.doc_id"""))
 
+  /** Scaling constant for exact coverage-Shapley terms: lcm(1..20),
+    * so L div k is EXACT for every possible cover size k ≤ 20 sources
+    * and per-source sums are order-free integers. */
+  val ShapleyL = 232792560L
+
+  /** DATA SHAPLEY over source shards, vocabulary-coverage game — the
+    * data-valuation readout (Ghorbani & Zou, ICML 2019 lineage):
+    * what is each source's fair contribution to the corpus's
+    * vocabulary? The game is v(S) = #types covered by the union of
+    * sources in S — monotone submodular coverage, for which the
+    * Shapley value has a CLOSED FORM: each type's one unit of value
+    * splits equally among the sources that cover it, so
+    * φ(src) = Σ_{types t ∋ src} 1/|cover(t)| — no 2²⁰ subset
+    * enumeration (20 sources), one aggregate. CurationSpec proves the
+    * closed form ≡ the axiomatic definition by brute-forcing all 2³
+    * subsets of a 3-source fixture.
+    *
+    * Exactness: terms are L div k with L = lcm(1..20) — exact for
+    * every cover size, so per-source sums are order-free BIGINTs and
+    * the efficiency axiom Σφ = L·n_types holds to the last unit
+    * (spec-pinned). Envelope: φ ≤ L·n_types ⇒ exact through a
+    * ~4·10¹⁰-type vocabulary — beyond any real tokenizer corpus.
+    *
+    * Scale shape: one token explode → (source, type) distinct (the
+    * shuffle carries source×vocabulary, Zipf-bounded), one type-keyed
+    * cover-size aggregate, one broadcast-back join, one source-domain
+    * rollup. Nothing is subset-enumerated, nothing is corpus². */
+  /** Closed-form coverage Shapley over any (source, doc_id, text)
+    * frame — factored so CurationSpec can brute-force the axiomatic
+    * definition against it on a 3-source fixture. */
+  private[graft] def shapleyOf(docs: DataFrame): DataFrame = {
+    val tokens = docs
+      .select(col("source"), col("doc_id"),
+        explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val cov = tokens.select("source", "tok").distinct()
+    val ks = cov.groupBy("tok").agg(count(lit(1)).as("k"))
+    val occ = tokens.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_token_occurrences"))
+    cov.join(ks, "tok")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types_covered"),
+        sum(when(col("k") === 1L, 1L).otherwise(0L)).as("n_types_exclusive"),
+        sum(expr(s"$ShapleyL div k")).as("shapley_lunits"))
+      .join(occ, "source")
+      .select(col("source"), col("n_docs"), col("n_token_occurrences"),
+        col("n_types_covered"), col("n_types_exclusive"),
+        col("shapley_lunits"))
+      .orderBy("source")
+  }
+
+  val shapleySources: Q = Q(
+    "q_shapley_sources",
+    (s, dir) => shapleyOf(t(s, dir, "documents")),
+    Some(s"""
+      WITH tokens AS (
+        SELECT source, doc_id, tok FROM (
+          SELECT source, doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents)
+        WHERE tok <> ''),
+      cov AS (SELECT DISTINCT source, tok FROM tokens),
+      ks AS (SELECT tok, CAST(count(*) AS BIGINT) AS k FROM cov GROUP BY tok),
+      occ AS (
+        SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_token_occurrences
+        FROM tokens GROUP BY source),
+      phi AS (
+        SELECT cov.source,
+               CAST(count(*) AS BIGINT) AS n_types_covered,
+               CAST(sum(CASE WHEN ks.k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_types_exclusive,
+               CAST(sum($ShapleyL // ks.k) AS BIGINT) AS shapley_lunits
+        FROM cov JOIN ks ON ks.tok = cov.tok
+        GROUP BY cov.source)
+      SELECT phi.source, n_docs, n_token_occurrences, n_types_covered,
+             n_types_exclusive, shapley_lunits
+      FROM phi JOIN occ ON occ.source = phi.source
+      ORDER BY phi.source"""))
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, ngramContamination, packSequences, corpusShuffle,
       curationPipeline, redactPii, bigramTopK, pmiCollocations, chunkDocs,
       normalizeText,
       segmentDedup, curriculumOrder, curriculumWrite, spanCorruption,
-      dsirSelect, importanceResample, domainReweight, datasetCard, boilerplateStrip)
+      dsirSelect, importanceResample, domainReweight, datasetCard, boilerplateStrip,
+      shapleySources)
 }

@@ -555,7 +555,7 @@ object Dbscan {
     * on hand-built fixtures where the true cut is known both ways.
     *
     * Scale shape: ONE blocked pair join (shared with the dbscan
-    * family via the memoized centroids), one 5-way level explode, ONE
+    * family via the memoized centroids), one 4-way level explode, ONE
     * stacked-level CC ([[levelDbscan]]); the death table and per-node
     * census are (lvl, cluster)-keyed aggregates. Only the condensed
     * TREE (≤ clusters × levels rows — label-domain-bounded, never
@@ -607,10 +607,10 @@ object Dbscan {
             HdbLevels.min / 1000.0, handles = handles)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val minPts = 10
-      val all5 = handles.track(
+      val lvlOut = handles.track(
         levelDbscan(corpus, pairs, HdbLevels, minPts, handles = handles)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val cores = all5.filter(col("role") === "core")
+      val cores = lvlOut.filter(col("role") === "core")
         .select(col("lvl"), col("id"), col("cluster"))
       // per-point death level (cores nest, so max = the last level)
       val death = cores.groupBy("id").agg(max(col("lvl")).as("death_lvl"))
@@ -630,7 +630,7 @@ object Dbscan {
         .agg(min(col("p.cluster")).as("pmin"), max(col("p.cluster")).as("pmax"))
         .collect()
       // blob floor, part 1: each blob all-core mono-cluster per level
-      val blobStats = all5.filter(col("id") >= 2000000L)
+      val blobStats = lvlOut.filter(col("id") >= 2000000L)
         .withColumn("blob", when(col("id") >= 3000000L, "B").otherwise("A"))
         .groupBy("lvl", "blob")
         .agg(count(when(col("role") === "core", 1)).as("n_core"),

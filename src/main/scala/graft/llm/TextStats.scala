@@ -211,6 +211,143 @@ object TextStats {
     },
     None)
 
+  /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): token k-gram hashes, then per
+    * sliding window of `w` consecutive gram positions keep the MIN
+    * hash (ties to the RIGHTMOST position), dedup selections. The
+    * guarantee local fingerprinting buys over [[rollingFingerprint]]'s
+    * whole-document hash: any shared token run of length ≥ w + k − 1
+    * between two documents shares at least one selected fingerprint
+    * (TextStatsSpec plants one and proves it), at expected density
+    * 2/(w+1) of the gram stream.
+    *
+    * Engine-portable: gram hashes are 40-bit md5 prefixes (the
+    * repo-wide derandomized coin), and the rightmost-min tiebreak is
+    * ENCODED into one orderable integer — combined = hash·2²⁰ +
+    * (2²⁰−1−gpos) — so a plain windowed `min` is the whole argmin and
+    * no engine's tie semantics are trusted. Returns the selected
+    * (doc_id, gpos, ghash) set.
+    *
+    * Scale shape: one token explode, two lead windows and one
+    * frame-bounded min window, all partitioned by doc_id — per-doc
+    * work, corpus-keyed shuffles only; nothing all-pairs (matching
+    * fingerprints across docs is the CONSUMER's join, at selected-set
+    * size ≈ 2/(w+1) of the corpus grams). */
+  private[graft] def winnowSelect(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("gpos")
+    val toks = docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("gpos"), col("tok"))
+    val grams = toks
+      .withColumn("t2", lead(col("tok"), 1).over(byDoc))
+      .withColumn("t3", lead(col("tok"), 2).over(byDoc))
+      .filter(col("t3").isNotNull)
+      .withColumn("ghash",
+        conv(substring(md5(concat_ws(" ", col("tok"), col("t2"), col("t3"))
+          .cast("binary")), 1, 10), 16, 10).cast("long"))
+      .withColumn("gcnt", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val combined = grams
+      // 2^20 position budget: the tiebreak encoding needs gpos < 2^20
+      // (a "document" a million tokens long belongs in chunked form
+      // long before fingerprinting — fail fast, don't mis-select)
+      .withColumn("gpos",
+        when(col("gpos") >= 1048576L,
+          raise_error(lit("winnowing: document exceeds 2^20 grams"))
+            .cast("long"))
+          .otherwise(col("gpos")))
+      .withColumn("comb",
+        col("ghash") * 1048576L + (lit(1048575L) - col("gpos")))
+    val wmin = combined
+      .withColumn("wmin", min(col("comb")).over(
+        byDoc.rowsBetween(Window.currentRow, 3)))
+      // valid window starts: 1..G-w+1; a doc with fewer than w grams
+      // keeps its single (shrunken) window at start 1
+      .filter(col("gpos") <= col("gcnt") - 3 ||
+        (col("gpos") === 1L && col("gcnt") < 4))
+    wmin.select(col("doc_id"),
+        (lit(1048575L) - (col("wmin") % 1048576L)).as("gpos"),
+        expr("wmin div 1048576").as("ghash"))
+      .distinct()
+  }
+
+  /** Driver query: per-document winnowing census — gram count, window
+    * count, selected-fingerprint count, xor digest of the selected
+    * hashes, and selection density. Fully hash-oracled: every step is
+    * in the Spark∩DuckDB dialect (windowed min with a rows frame,
+    * leads, md5-prefix hashes). */
+  val winnowing: Q = Q(
+    "q_winnowing",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val sel = winnowSelect(docs)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fingerprints"),
+          expr("bit_xor(ghash)").as("fp_digest"))
+      val grams = docs.filter(trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          (size(split(trim(col("text")), "\\s+")) - 2).cast("long").as("g"))
+        .filter(col("g") >= 1)
+        .select(col("doc_id"), col("g").as("n_grams"),
+          greatest(lit(1L), col("g") - 3).as("n_windows"))
+      grams.join(sel, "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("n_windows"),
+          col("n_fingerprints"), col("fp_digest"),
+          expr("(1000 * n_fingerprints) div n_windows").as("density_permille"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, i AS gpos, arr[i] AS tok FROM (
+          SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+            FROM documents WHERE trim(text) <> ''))),
+      grams AS (
+        SELECT doc_id, gpos, CAST('0x' || substr(md5(tok || ' ' || t2 || ' ' || t3), 1, 10)
+                 AS BIGINT) AS ghash,
+               CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS gcnt
+        FROM (
+          SELECT doc_id, gpos, tok,
+                 lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY gpos) AS t2,
+                 lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY gpos) AS t3
+          FROM toks)
+        WHERE t3 IS NOT NULL),
+      comb AS (
+        SELECT doc_id, gpos, gcnt,
+               ghash * 1048576 + (1048575 - gpos) AS comb
+        FROM grams),
+      wmin AS (
+        SELECT doc_id, gpos, gcnt,
+               min(comb) OVER (PARTITION BY doc_id ORDER BY gpos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM comb),
+      starts AS (
+        SELECT doc_id, wmin FROM wmin
+        WHERE gpos <= gcnt - 3 OR (gpos = 1 AND gcnt < 4)),
+      sel AS (
+        SELECT DISTINCT doc_id,
+               1048575 - (wmin % 1048576) AS sel_pos,
+               wmin // 1048576 AS ghash
+        FROM starts),
+      per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+               CAST(bit_xor(ghash) AS BIGINT) AS fp_digest
+        FROM sel GROUP BY doc_id),
+      gsize AS (
+        SELECT doc_id, CAST(g AS BIGINT) AS n_grams,
+               CAST(greatest(1, g - 3) AS BIGINT) AS n_windows
+        FROM (SELECT doc_id,
+                len(regexp_split_to_array(trim(text), '\s+')) - 2 AS g
+              FROM documents WHERE trim(text) <> '')
+        WHERE g >= 1)
+      SELECT gsize.doc_id, n_grams, n_windows, n_fingerprints, fp_digest,
+             CAST((1000 * n_fingerprints) // n_windows AS BIGINT)
+               AS density_permille
+      FROM gsize JOIN per_doc ON per_doc.doc_id = gsize.doc_id
+      ORDER BY gsize.doc_id"""))
+
   /** Vocabulary building: corpus-wide token frequencies, top-100.
     * The tokenizer-training / vocab-pruning primitive. Shape: explode
     * → two-level hash aggregate — the map-side partial collapses each
@@ -2330,7 +2467,8 @@ object TextStats {
       ORDER BY bucket"""))
 
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
-    repetitionRatio, rollingFingerprint, vocabTopK, oovRate, lmSurprisal,
+    repetitionRatio, rollingFingerprint, winnowing, vocabTopK, oovRate,
+    lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
     spearman, rhoSelect, kneserNey, kneserNeyMod, kneserNeyTrigram, stupidBackoff,

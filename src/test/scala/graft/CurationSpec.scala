@@ -302,4 +302,43 @@ class CurationSpec extends SparkSpec {
       assert(tot == kept, s"doc $id: sub-threshold source must keep all segments")
     }
   }
+
+  test("coverage Shapley: closed form equals the axiomatic definition, efficiency holds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y", "en", "a"),
+      (2L, "y z", "en", "b"),
+      (3L, "z", "en", "c")
+    ).toDF("doc_id", "text", "lang", "source")
+    val L = llm.Curation.ShapleyL
+    val got = llm.Curation.shapleyOf(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("shapley_lunits")).toMap
+    // brute-force the Shapley definition over all 2^3 subsets of the
+    // coverage game v(S) = #types covered by the union of S
+    val toksBySrc = Map("a" -> Set("x", "y"), "b" -> Set("y", "z"), "c" -> Set("z"))
+    val srcs = toksBySrc.keys.toSeq.sorted
+    def v(sub: Set[String]): Long =
+      sub.flatMap(toksBySrc).size.toLong
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val n = srcs.size
+    srcs.foreach { i =>
+      val others = srcs.filterNot(_ == i)
+      // φ_i in L-units: weights |S|!(n-1-|S|)!/n! times L stay integral
+      // because n! = 6 divides L
+      val phi = others.toSet.subsets().map { sub =>
+        val w = fact(sub.size) * fact(n - 1 - sub.size)
+        (L / fact(n)) * w * (v(sub + i) - v(sub))
+      }.sum
+      assert(got(i) == phi, s"source $i: closed form ${got(i)} != axiomatic $phi")
+    }
+    // efficiency axiom: shares exhaust the grand coalition's value
+    assert(got.values.sum == L * v(srcs.toSet), "efficiency axiom violated")
+    // the declared query on real data: same axiom, corpus-wide
+    val q = llm.Curation.shapleySources.fn(spark, sf001).collect()
+    val total = q.map(_.getAs[Long]("shapley_lunits")).sum
+    val types = Tables.load(spark, sf001, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "").select("t").distinct().count()
+    assert(total == L * types, s"corpus efficiency: $total != $L * $types")
+  }
 }

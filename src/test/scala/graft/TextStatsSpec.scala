@@ -518,4 +518,32 @@ class TextStatsSpec extends SparkSpec {
       .filter(col("t") =!= "").select("t").distinct().count()
     assert(rows.last._5 == v, s"type total: ${rows.last._5} vs $v")
   }
+
+  test("winnowing: a shared run of w+k-1 tokens shares a fingerprint; density is bounded") {
+    import spark.implicits._
+    // two docs sharing EXACTLY a 6-token run (w=4, k=3 => w+k-1=6)
+    // inside otherwise-disjoint text — the SIGMOD'03 guarantee says
+    // at least one selected fingerprint must coincide
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine ten $shared eleven twelve"),
+      (3L, "completely different words with nothing in common here")
+    ).toDF("doc_id", "text")
+    val sel = llm.TextStats.winnowSelect(docs)
+      .select("doc_id", "ghash").collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert((sel(1L) intersect sel(2L)).nonEmpty,
+      "shared 6-token run produced no shared fingerprint")
+    // the guarantee is about SHARED runs, not unrelated text: doc 3
+    // shares nothing 6 tokens long, so demand no common fingerprint
+    assert((sel(1L) intersect sel(3L)).isEmpty, "spurious match 1-3")
+    // every window contributes one selection, consecutive windows
+    // usually share it: selections never exceed window count
+    val q = llm.TextStats.winnowing.fn(spark, sf001).collect()
+    q.foreach { r =>
+      val (nw, nf) = (r.getAs[Long]("n_windows"), r.getAs[Long]("n_fingerprints"))
+      assert(nf >= 1L && nf <= nw, s"doc ${r.getLong(0)}: $nf of $nw")
+    }
+  }
 }
