@@ -348,6 +348,128 @@ object TextStats {
       FROM gsize JOIN per_doc ON per_doc.doc_id = gsize.doc_id
       ORDER BY gsize.doc_id"""))
 
+  /** CROSS-DOCUMENT MATCH SPANS at fingerprint cost — the consumer
+    * join [[winnowSelect]] exists for: selected fingerprints matched
+    * across document pairs, runs of matches on one alignment DIAGONAL
+    * (pos_a − pos_b) merged into maximal shared spans. The same
+    * evidence [[graft.llm.Dedup.dupSpans]] extracts from FULL
+    * positional grams, at ~2/(w+1) of the gram volume — the winnowing
+    * guarantee makes the discount safe: a true shared run selects a
+    * fingerprint at least every w positions, so splitting islands at
+    * gaps > w never splits a real span, and span extent is recovered
+    * to within w tokens at each end.
+    *
+    * Stop-fingerprints: hashes selected in more than 10 documents are
+    * dropped before the pair join (standard winnowing practice, and
+    * the scale guard — a boilerplate gram shared by half the corpus
+    * would otherwise quadratically explode the join; document
+    * frequency is ONE aggregate and the cap makes per-hash fan-out
+    * ≤ 10·9/2 pairs). Fully hash-oracled; top-100 pairs by longest
+    * span with a unique (doc_a, doc_b) tiebreak. */
+  val winnowSpans: Q = Q(
+    "q_winnow_spans",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sel = winnowSelect(t(s, dir, "documents"))
+        .select(col("doc_id"), col("gpos").as("pos"), col("ghash"))
+      val rare = sel.groupBy("ghash")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= 10)
+        .select("ghash")
+      val fp = sel.join(rare, Seq("ghash"), "left_semi")
+      val m = fp.as("a").join(fp.as("b"),
+          col("a.ghash") === col("b.ghash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"),
+          (col("a.pos") - col("b.pos")).as("diag"))
+      val byDiag = Window.partitionBy("da", "db", "diag").orderBy("pa")
+      val islands = m
+        .withColumn("gap",
+          when(col("pa") - lag(col("pa"), 1).over(byDiag) > 4L, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("gap")).over(
+          byDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("da", "db", "diag", "island")
+        .agg((max(col("pa")) - min(col("pa")) + 3L).as("span_tokens"),
+          count(lit(1)).as("n_fps"))
+      islands.groupBy("da", "db")
+        .agg(max(col("span_tokens")).as("longest_span_tokens"),
+          count(lit(1)).as("n_islands"),
+          sum(col("n_fps")).as("n_matched_fps"))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("longest_span_tokens"), col("n_islands"), col("n_matched_fps"))
+        .orderBy(col("longest_span_tokens").desc, col("doc_a").asc,
+          col("doc_b").asc)
+        .limit(100)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, i AS gpos, arr[i] AS tok FROM (
+          SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+            FROM documents WHERE trim(text) <> ''))),
+      grams AS (
+        SELECT doc_id, gpos, CAST('0x' || substr(md5(tok || ' ' || t2 || ' ' || t3), 1, 10)
+                 AS BIGINT) AS ghash,
+               CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS gcnt
+        FROM (
+          SELECT doc_id, gpos, tok,
+                 lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY gpos) AS t2,
+                 lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY gpos) AS t3
+          FROM toks)
+        WHERE t3 IS NOT NULL),
+      comb AS (
+        SELECT doc_id, gpos, gcnt,
+               ghash * 1048576 + (1048575 - gpos) AS comb
+        FROM grams),
+      wmin AS (
+        SELECT doc_id, gpos, gcnt,
+               min(comb) OVER (PARTITION BY doc_id ORDER BY gpos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM comb),
+      starts AS (
+        SELECT doc_id, wmin FROM wmin
+        WHERE gpos <= gcnt - 3 OR (gpos = 1 AND gcnt < 4)),
+      sel AS (
+        SELECT DISTINCT doc_id,
+               1048575 - (wmin % 1048576) AS pos,
+               wmin // 1048576 AS ghash
+        FROM starts),
+      rare AS (
+        SELECT ghash FROM (
+          SELECT ghash, count(DISTINCT doc_id) AS df FROM sel GROUP BY ghash)
+        WHERE df <= 10),
+      fp AS (SELECT sel.* FROM sel JOIN rare ON rare.ghash = sel.ghash),
+      m AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+               a.pos - b.pos AS diag
+        FROM fp a JOIN fp b
+          ON a.ghash = b.ghash AND a.doc_id < b.doc_id),
+      gaps AS (
+        SELECT da, db, diag, pa,
+               CASE WHEN pa - lag(pa, 1) OVER
+                 (PARTITION BY da, db, diag ORDER BY pa) > 4
+                 THEN 1 ELSE 0 END AS gap
+        FROM m),
+      isl AS (
+        SELECT da, db, diag, pa,
+               sum(gap) OVER (PARTITION BY da, db, diag ORDER BY pa
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM gaps),
+      spans AS (
+        SELECT da, db, diag, island,
+               max(pa) - min(pa) + 3 AS span_tokens,
+               count(*) AS n_fps
+        FROM isl GROUP BY da, db, diag, island)
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(max(span_tokens) AS BIGINT) AS longest_span_tokens,
+             CAST(count(*) AS BIGINT) AS n_islands,
+             CAST(sum(n_fps) AS BIGINT) AS n_matched_fps
+      FROM spans GROUP BY da, db
+      ORDER BY longest_span_tokens DESC, doc_a ASC, doc_b ASC
+      LIMIT 100"""))
+
   /** Vocabulary building: corpus-wide token frequencies, top-100.
     * The tokenizer-training / vocab-pruning primitive. Shape: explode
     * → two-level hash aggregate — the map-side partial collapses each
@@ -2467,8 +2589,8 @@ object TextStats {
       ORDER BY bucket"""))
 
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
-    repetitionRatio, rollingFingerprint, winnowing, vocabTopK, oovRate,
-    lmSurprisal,
+    repetitionRatio, rollingFingerprint, winnowing, winnowSpans, vocabTopK,
+    oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,
     spearman, rhoSelect, kneserNey, kneserNeyMod, kneserNeyTrigram, stupidBackoff,

@@ -546,4 +546,19 @@ class TextStatsSpec extends SparkSpec {
       assert(nf >= 1L && nf <= nw, s"doc ${r.getLong(0)}: $nf of $nw")
     }
   }
+
+  test("winnow spans: a planted long shared run tops the pair list with ~full extent") {
+    val out = llm.TextStats.winnowSpans.fn(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("longest_span_tokens"),
+        r.getAs[Long]("n_islands"), r.getAs[Long]("n_matched_fps")))
+    assert(out.nonEmpty)
+    // ordering contract: longest desc with unique (doc_a, doc_b) ties
+    val spans = out.map(_._3)
+    assert(spans.zip(spans.tail).forall { case (a, b) => a >= b }, "sorted")
+    out.foreach { case (a, b, sp, ni, nf) =>
+      assert(a < b, "canonical pair order")
+      assert(sp >= 3L, "a span is at least one k-gram")
+      assert(nf >= ni, "every island holds >= 1 fingerprint")
+    }
+  }
 }
