@@ -52,7 +52,7 @@ object Verify {
     val heavyPermit = new java.util.concurrent.Semaphore(1)
     val heavySet = Set("q_als_step", "q_als_descent", "q_als_neighbors",
       "q_dbscan", "q_dbscan_incremental", "q_cluster_stability",
-      "q_hdbscan_extract",
+      "q_hdbscan_extract", "q_facility_select",
       "q_unigram_lm_em", "q_unigram_lm_em2", "q_unigram_lm_em3",
       "q_textrank", "q_dedup_suffix", "q_betweenness",
       "q_kcore", "q_pagerank", "q_pagerank_incremental", "q_diameter_lb",

@@ -1329,11 +1329,132 @@ object Curation {
       FROM phi JOIN occ ON occ.source = phi.source
       ORDER BY phi.source"""))
 
+  /** Greedy facility-location core over points (vec_id) and a sparse
+    * canonical sim pair list (vec_a < vec_b, sim ∈ [0,1]) — factored
+    * so CurationSpec can drive it on a hand-built graph with an exact
+    * expected trajectory. Maximizes the submodular coverage
+    * F(S) = Σ_v max_{s ∈ S} sim(v, s) (sim 0 where no pair survived
+    * blocking; every point covers itself at sim 1), the classic
+    * (1 − 1/e) greedy. Similarities are integerized to MICRO units
+    * up front so every gain aggregate is an order-free exact BIGINT
+    * sum — float accumulation order can flip a near-tie argmax
+    * between runs, and a selection op whose output depends on task
+    * scheduling is not an operator.
+    *
+    * Scale shape: per step ONE candidate-keyed gain aggregate over
+    * the pair list joined to the coverage table and ONE
+    * coverage-update join; the driver sees k single-row argmaxes (the
+    * [[Ivf.trainCentroids]] bounded-iterative contract). The coverage
+    * table is vertex-sized and lazily lineage-cut per step (the
+    * pageRank discipline). Submodularity makes the gain sequence
+    * non-increasing — violated means a broken update, so it throws. */
+  private[graft] def facilityGreedy(points: DataFrame, pairs: DataFrame,
+      k: Int): DataFrame = {
+    val s = points.sparkSession
+    import s.implicits._
+    val micro = expr("cast(round(1000000 * sim) as bigint)")
+    val sym = pairs
+      .select(col("vec_a").as("v"), col("vec_b").as("c"), micro.as("sim_micro"))
+      .unionAll(pairs
+        .select(col("vec_b").as("v"), col("vec_a").as("c"), micro.as("sim_micro")))
+      .unionAll(points
+        .select(col("vec_id").as("v"), col("vec_id").as("c"),
+          lit(1000000L).as("sim_micro")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = points.select(col("vec_id").as("v"), lit(0L).as("cur_micro"))
+    var objective = 0L
+    var prevGain = Long.MaxValue
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for (step <- 1 to k) {
+      val top = sym.join(cur, "v")
+        .groupBy("c")
+        .agg(sum(greatest(lit(0L), col("sim_micro") - col("cur_micro")))
+          .as("gain"))
+        .filter(if (chosen.isEmpty) lit(true)
+          else !col("c").isInCollection(chosen))
+        .orderBy(col("gain").desc, col("c").asc)
+        .limit(1).collect()
+      if (top.isEmpty)
+        throw new IllegalStateException(s"facility greedy ran dry at step $step")
+      val (c, g) = (top(0).getLong(0), top(0).getLong(1))
+      if (g > prevGain)
+        throw new IllegalStateException(
+          s"submodularity violated: step $step gain $g after $prevGain")
+      prevGain = g
+      objective += g
+      chosen += c
+      out += ((step.toLong, c, g, objective))
+      val cov = sym.filter(col("c") === c)
+        .select(col("v"), col("sim_micro").as("nw"))
+      cur = graft.Checkpoints.cut(
+        cur.join(cov, Seq("v"), "left")
+          .select(col("v"),
+            greatest(col("cur_micro"), coalesce(col("nw"), lit(0L)))
+              .as("cur_micro")),
+        eager = false)
+    }
+    sym.unpersist()
+    out.toSeq.toDF("step", "vec_id", "gain_micro", "objective_micro")
+  }
+
+  /** FACILITY-LOCATION DATA SELECTION — the diversity-aware coreset
+    * (Mirzasoleiman et al. CRAIG lineage; the submodular complement
+    * of [[dsirSelect]]'s importance weighting and
+    * [[graft.llm.Retrieval.mmrRerank]]'s per-query diversity): pick
+    * k = 8 representatives maximizing total corpus coverage under the
+    * IVF-blocked cosine graph ([[Similarity.clusterNearDupPairs]] at
+    * the 0.90 dbscan-family threshold, shared memoized centroids).
+    *
+    * Rows-only by the blocking contract; floors armed in-query: the
+    * gain sequence is non-increasing (submodularity — a broken
+    * coverage update throws), picks are distinct by construction, and
+    * the planted 12-copy blob yields AT MOST ONE representative (its
+    * members are identical, so a second pick's marginal gain is
+    * exactly 0 and can never beat any uncovered point; two blob picks
+    * while anything real remains uncovered = a real bug). An early
+    * pick must also be a blob member — covering 12 identical points
+    * at sim 1.0 dominates any singleton. */
+  val facilitySelect: Q = Q(
+    "q_facility_select",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val proto = emb.filter(col("vec_id") === 0).select(col("v")).limit(1)
+      val plants = s.range(12)
+        .select((col("id") + lit(2000000L)).as("vec_id"))
+        .crossJoin(broadcast(proto))
+      val corpus = emb.unionByName(plants)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val handles = new graft.CacheHandles
+      val pairs = graft.llm.Similarity.pairStoreMemo(s, s"$dir#dbscan90",
+        0.90, corpus, graft.llm.Ivf.trainCentroidsMemo(s"$dir#dbscan", corpus))
+      val picks = facilityGreedy(corpus, pairs, k = 8)
+      val rows = picks.collect() // k-bounded by construction
+      corpus.unpersist(); handles.releaseAll()
+      val blobPicks = rows.count(_.getLong(1) >= 2000000L)
+      if (blobPicks > 1)
+        throw new IllegalStateException(
+          s"facility greedy picked $blobPicks identical blob members")
+      // vec 0 IS the blob prototype, so "the blob got a rep" means
+      // either a planted id or vector 0 itself
+      if (!rows.take(3).exists(r =>
+          r.getLong(1) >= 2000000L || r.getLong(1) == 0L))
+        throw new IllegalStateException(
+          "planted blob missing from the first three representatives")
+      import s.implicits._
+      rows.toIndexedSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toDF("step", "vec_id", "gain_micro", "objective_micro")
+        .coalesce(1).orderBy("step")
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(stopwordStrip, contamination, ngramContamination, packSequences, corpusShuffle,
       curationPipeline, redactPii, bigramTopK, pmiCollocations, chunkDocs,
       normalizeText,
       segmentDedup, curriculumOrder, curriculumWrite, spanCorruption,
       dsirSelect, importanceResample, domainReweight, datasetCard, boilerplateStrip,
-      shapleySources)
+      shapleySources, facilitySelect)
 }

@@ -119,8 +119,10 @@ object Dbscan {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val centroids = Ivf.trainCentroidsMemo(s"$dir#dbscan", corpus)
       val handles = new graft.CacheHandles
-      val pairs = Similarity.clusterNearDupPairs(corpus, centroids, 0.95,
-        handles = handles)
+      // the shared 0.90 store filtered to this query's ε — identical
+      // rows to a direct 0.95 compute (thinning is size-only)
+      val pairs = Similarity.pairStoreMemo(s, s"$dir#dbscan90", 0.90,
+        corpus, centroids).filter(col("sim") >= 0.95)
       val perPoint = handles.track(
         dbscanFromPairs(corpus, pairs, minPts = 10, handles = handles)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -414,11 +416,10 @@ object Dbscan {
         .crossJoin(broadcast(proto))
       val corpus = emb.unionByName(plants)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val centroids = Ivf.trainCentroidsMemo(s"$dir#dbscan", corpus)
       val handles = new graft.CacheHandles
       val pairs = handles.track(
-        Similarity.clusterNearDupPairs(corpus, centroids,
-            Levels.min / 1000.0, handles = handles)
+        Similarity.pairStoreMemo(s, s"$dir#dbscan90", Levels.min / 1000.0,
+            corpus, Ivf.trainCentroidsMemo(s"$dir#dbscan", corpus))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val all3 = handles.track(
         levelDbscan(corpus, pairs, Levels, minPts = 10, handles = handles)

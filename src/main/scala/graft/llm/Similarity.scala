@@ -345,6 +345,43 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-application locks so two queries racing the SAME pair-store
+    * bootstrap cannot double-write one staging path. */
+  private val pairStoreLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Staging-backed ε-pair store: the blocked quadratic join is the
+    * dominant cost of every dbscan-family query, and three of them
+    * (q_dbscan, q_cluster_stability, q_facility_select) run it on the
+    * IDENTICAL (corpus, centroids) at thresholds ⊆ 0.90 — so the 0.90
+    * pair list is computed ONCE per application and parquet-staged;
+    * later queries read it back (a tighter threshold is a filter of
+    * the store: the skew-thinning guard depends only on cluster
+    * sizes, never on the sim threshold, so the filtered store is
+    * row-identical to a direct tighter-threshold compute). The TAG
+    * must uniquely determine (corpus, centroids, minSim) — same
+    * keying contract as [[Ivf.trainCentroidsMemo]]; `corpus` and
+    * `centroids` are by-name so the read path never builds them.
+    * Doubles round-trip parquet bit-exactly, so store vs inline is
+    * value-identical. Same staleness contract as [[graft.Staging]]:
+    * one application = one corpus snapshot. */
+  def pairStoreMemo(s: org.apache.spark.sql.SparkSession, tag: String,
+      minSim: Double, corpus: => DataFrame,
+      centroids: => Array[Array[Double]]): DataFrame = {
+    val path = graft.Staging.dir(s,
+      "graft_pairs_" + tag.replaceAll("[^A-Za-z0-9]", "_"))
+    val lock = pairStoreLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!graft.Staging.ready(s, path)) {
+        val h = new graft.CacheHandles
+        try clusterNearDupPairs(corpus, centroids, minSim, handles = h)
+          .write.mode("overwrite").parquet(path)
+        finally h.releaseAll()
+      }
+    }
+    s.read.parquet(path)
+  }
+
   /** Driver query for [[clusterNearDupPairs]]: same planted-copy
     * scheme as [[embedDedup]] (5 exact duplicates at ids 1M+), so the
     * expected result contains exactly the five (i, 1e6+i) pairs at

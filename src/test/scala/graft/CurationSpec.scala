@@ -341,4 +341,23 @@ class CurationSpec extends SparkSpec {
       .filter(col("t") =!= "").select("t").distinct().count()
     assert(total == L * types, s"corpus efficiency: $total != $L * $types")
   }
+
+  test("facility greedy: exact trajectory on a hand graph — blob first, diminishing gains") {
+    import spark.implicits._
+    val points = (1L to 10L).toDF("vec_id")
+    // blob {1..5} pairwise identical; a 0.9-pair (6,7); 8,9,10 isolated
+    val pairs = ((for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b, 1.0)) :+
+      ((6L, 7L, 0.9))).toDF("vec_a", "vec_b", "sim")
+    val got = llm.Curation.facilityGreedy(points, pairs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // step 1: any blob member covers all five at 1.0 -> gain 5e6, tie to id 1
+    // step 2: 6 covers itself + 0.9 of 7 -> 1.9e6
+    // step 3: 8 (fresh singleton, 1e6) beats 7 (0.1e6 residual self-gap)
+    // step 4: 9
+    assert(got.toSeq == Seq(
+      (1L, 1L, 5000000L, 5000000L),
+      (2L, 6L, 1900000L, 6900000L),
+      (3L, 8L, 1000000L, 7900000L),
+      (4L, 9L, 1000000L, 8900000L)), got.toSeq.toString)
+  }
 }
