@@ -449,5 +449,182 @@ object Scd {
            JOIN r_a9 USING (key)
       ORDER BY r_m4.key"""))
 
-  val all: Seq[Q] = Seq(scd2Orders, bitemporalOrders, bitemporalIncremental)
+  /** BITEMPORAL FOREIGN-KEY JOIN — the two-store composition the
+    * single-store reads only hint at: a FACT store (monthly customer
+    * spend, the [[bitemporalOrders]] world plus an April restatement
+    * at tx 8) joined to an independently versioned DIMENSION store
+    * (a synthetic credit limit: initial value at tx 2, a +5000.00
+    * revision effective month 4 at tx 5, and a tx-8 correction of
+    * that revision for an md5-coin cohort) — both read AS OF the same
+    * (T, V) so the join is temporally consistent, the referential-
+    * integrity discipline every bitemporal warehouse runs. Two
+    * paired reads, (T=6, V=4) before any tx-7/8 rewriting and
+    * (T=9, V=4) after, sit side by side per key with the spend/limit
+    * utilization ratio, so the hash pins exactly which keys each
+    * store's corrections rewrote and how the RATIO moved.
+    *
+    * The dimension limit is acctbal cents + 10⁶ (strictly positive —
+    * acctbal floors at −999.99 — so the permille division is
+    * truncation-safe on both engines). In-query audits: fact deltas
+    * ∈ {0, +1000.00 (March-resolved keys, tx 7), +500.00
+    * (April-resolved keys, tx 8)}, dim deltas ∈ {0, +250.00}, each
+    * nonzero only on its coin cohort — one bounded aggregate.
+    *
+    * Scale shape: both stores build with the [[bitemporal]] cell-
+    * chain window (key-hash shuffles), reads are snapshot filters +
+    * one key window each, the FK join hashes on the key every frame
+    * already shuffles on. Output is key-linear → [[graft.CacheHandles
+    * .sealOutput]], never a driver hop. */
+  val bitemporalFk: Q = Q(
+    "q_bitemporal_fk",
+    (s, dir) => {
+      def hexCoin(c: Column, p: Int): Column = {
+        val hex = md5(c.cast("string").cast("binary"))
+        (ascii(substring(hex, p, 1)) * 256 + ascii(substring(hex, p + 1, 1))) % 100
+      }
+      val facts = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1995-07-01"))
+        .groupBy(col("o_custkey").as("key"),
+          month(col("o_orderdate")).cast("long").as("valid_from"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("value"))
+        .withColumn("tx_from", col("valid_from") + 1)
+        .select("key", "valid_from", "tx_from", "value")
+      val factCorr3 = facts
+        .filter(col("valid_from") === 3L && hexCoin(col("key"), 9) < 20)
+        .select(col("key"), col("valid_from"), lit(7L).as("tx_from"),
+          (col("value") + 100000L).as("value"))
+      val factCorr4 = facts
+        .filter(col("valid_from") === 4L && hexCoin(col("key"), 11) < 15)
+        .select(col("key"), col("valid_from"), lit(8L).as("tx_from"),
+          (col("value") + 50000L).as("value"))
+      val factBt = bitemporal(
+        facts.unionByName(factCorr3).unionByName(factCorr4))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"),
+          (round(col("c_acctbal") * 100, 0).cast("long") + 1000000L)
+            .as("lim"))
+      val dimBt = bitemporal(
+        cust.select(col("key"), lit(1L).as("valid_from"),
+            lit(2L).as("tx_from"), col("lim").as("value"))
+          .unionByName(cust.select(col("key"), lit(4L).as("valid_from"),
+            lit(5L).as("tx_from"), (col("lim") + 500000L).as("value")))
+          .unionByName(cust.filter(hexCoin(col("key"), 5) < 30)
+            .select(col("key"), lit(4L).as("valid_from"),
+              lit(8L).as("tx_from"), (col("lim") + 525000L).as("value"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def read(bt: DataFrame, tAt: Long, v: Long, name: String) =
+        asOf(bt, tAt, v).withColumnRenamed("value", name)
+      val joined = read(factBt, 6L, 4L, "fact_t6")
+        .join(read(factBt, 9L, 4L, "fact_t9"), "key")
+        .join(read(dimBt, 6L, 4L, "lim_t6"), "key")
+        .join(read(dimBt, 9L, 4L, "lim_t9"), "key")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val audit = joined.agg(
+        sum(when(!(col("fact_t9") - col("fact_t6")).isin(0L, 50000L, 100000L),
+          1L).otherwise(0L)).as("bad_fact"),
+        sum(when(!(col("lim_t9") - col("lim_t6")).isin(0L, 25000L), 1L)
+          .otherwise(0L)).as("bad_dim")).head()
+      if (audit.getLong(0) != 0L || audit.getLong(1) != 0L)
+        throw new IllegalStateException(
+          s"bitemporal FK deltas off the planted grid: " +
+            s"${audit.getLong(0)} fact, ${audit.getLong(1)} dim")
+      val out = joined.select(col("key"),
+          col("fact_t6"), col("lim_t6"),
+          expr("(1000 * fact_t6) div lim_t6").as("util_t6_permille"),
+          col("fact_t9"), col("lim_t9"),
+          expr("(1000 * fact_t9) div lim_t9").as("util_t9_permille"))
+        .orderBy("key")
+      val mat = graft.CacheHandles.sealOutput(out)
+      factBt.unpersist(); dimBt.unpersist(); joined.unpersist()
+      mat
+    },
+    Some("""
+      WITH facts AS MATERIALIZED (
+        SELECT o_custkey AS key,
+               CAST(month(o_orderdate) AS BIGINT) AS valid_from,
+               CAST(month(o_orderdate) + 1 AS BIGINT) AS tx_from,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS value
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-07-01'
+        GROUP BY 1, 2, 3),
+      fversions AS MATERIALIZED (
+        SELECT key, valid_from, tx_from, value FROM facts
+        UNION ALL
+        SELECT key, valid_from, CAST(7 AS BIGINT), value + 100000
+        FROM facts
+        WHERE valid_from = 3
+          AND (ascii(substr(md5(CAST(key AS VARCHAR)), 9, 1)) * 256 +
+               ascii(substr(md5(CAST(key AS VARCHAR)), 10, 1))) % 100 < 20
+        UNION ALL
+        SELECT key, valid_from, CAST(8 AS BIGINT), value + 50000
+        FROM facts
+        WHERE valid_from = 4
+          AND (ascii(substr(md5(CAST(key AS VARCHAR)), 11, 1)) * 256 +
+               ascii(substr(md5(CAST(key AS VARCHAR)), 12, 1))) % 100 < 15),
+      fbt AS MATERIALIZED (
+        SELECT key, valid_from, tx_from,
+               coalesce(lead(tx_from) OVER (PARTITION BY key, valid_from
+                 ORDER BY tx_from), 99) AS tx_to,
+               value
+        FROM fversions),
+      cust AS MATERIALIZED (
+        SELECT c_custkey AS key,
+               CAST(round(c_acctbal * 100) AS BIGINT) + 1000000 AS lim
+        FROM customer),
+      dversions AS MATERIALIZED (
+        SELECT key, CAST(1 AS BIGINT) AS valid_from,
+               CAST(2 AS BIGINT) AS tx_from, lim AS value FROM cust
+        UNION ALL
+        SELECT key, CAST(4 AS BIGINT), CAST(5 AS BIGINT), lim + 500000
+        FROM cust
+        UNION ALL
+        SELECT key, CAST(4 AS BIGINT), CAST(8 AS BIGINT), lim + 525000
+        FROM cust
+        WHERE (ascii(substr(md5(CAST(key AS VARCHAR)), 5, 1)) * 256 +
+               ascii(substr(md5(CAST(key AS VARCHAR)), 6, 1))) % 100 < 30),
+      dbt AS MATERIALIZED (
+        SELECT key, valid_from, tx_from,
+               coalesce(lead(tx_from) OVER (PARTITION BY key, valid_from
+                 ORDER BY tx_from), 99) AS tx_to,
+               value
+        FROM dversions),
+      f6 AS (SELECT key, value AS fact_t6 FROM (
+               SELECT key, valid_from, value,
+                      coalesce(lead(valid_from) OVER (PARTITION BY key
+                        ORDER BY valid_from), 99) AS valid_to
+               FROM fbt WHERE tx_from <= 6 AND 6 < tx_to)
+             WHERE valid_from <= 4 AND 4 < valid_to),
+      f9 AS (SELECT key, value AS fact_t9 FROM (
+               SELECT key, valid_from, value,
+                      coalesce(lead(valid_from) OVER (PARTITION BY key
+                        ORDER BY valid_from), 99) AS valid_to
+               FROM fbt WHERE tx_from <= 9 AND 9 < tx_to)
+             WHERE valid_from <= 4 AND 4 < valid_to),
+      d6 AS (SELECT key, value AS lim_t6 FROM (
+               SELECT key, valid_from, value,
+                      coalesce(lead(valid_from) OVER (PARTITION BY key
+                        ORDER BY valid_from), 99) AS valid_to
+               FROM dbt WHERE tx_from <= 6 AND 6 < tx_to)
+             WHERE valid_from <= 4 AND 4 < valid_to),
+      d9 AS (SELECT key, value AS lim_t9 FROM (
+               SELECT key, valid_from, value,
+                      coalesce(lead(valid_from) OVER (PARTITION BY key
+                        ORDER BY valid_from), 99) AS valid_to
+               FROM dbt WHERE tx_from <= 9 AND 9 < tx_to)
+             WHERE valid_from <= 4 AND 4 < valid_to)
+      SELECT f6.key, fact_t6, lim_t6,
+             CAST((1000 * fact_t6) // lim_t6 AS BIGINT) AS util_t6_permille,
+             fact_t9, lim_t9,
+             CAST((1000 * fact_t9) // lim_t9 AS BIGINT) AS util_t9_permille
+      FROM f6 JOIN f9 ON f9.key = f6.key
+              JOIN d6 ON d6.key = f6.key
+              JOIN d9 ON d9.key = f6.key
+      ORDER BY f6.key"""))
+
+  val all: Seq[Q] = Seq(scd2Orders, bitemporalOrders, bitemporalIncremental,
+    bitemporalFk)
 }
