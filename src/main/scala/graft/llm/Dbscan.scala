@@ -598,14 +598,14 @@ object Dbscan {
           array(bProto.map(lit).toIndexedSeq: _*).cast("array<double>").as("v"))
       val corpus = emb.unionByName(plantsA).unionByName(plantsB)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // own memo key: this corpus carries blob B, and sharing the
-      // dbscan-family key would make the trained centroids depend on
-      // which query ran first in the session
-      val centroids = Ivf.trainCentroidsMemo(s"$dir#hdbscan", corpus)
+      // own memo key AND own pair store: this corpus carries blob B,
+      // and sharing the dbscan-family key would make the trained
+      // centroids (and pairs) depend on which query ran first
       val handles = new graft.CacheHandles
       val pairs = handles.track(
-        Similarity.clusterNearDupPairs(corpus, centroids,
-            HdbLevels.min / 1000.0, handles = handles)
+        Similarity.pairStoreMemo(s, s"$dir#hdbscan90",
+            HdbLevels.min / 1000.0, corpus,
+            Ivf.trainCentroidsMemo(s"$dir#hdbscan", corpus))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val minPts = 10
       val lvlOut = handles.track(

@@ -940,6 +940,181 @@ object Events {
              ci_lo_micro, ci_med_micro, ci_hi_micro
       FROM pt JOIN ci USING (event_type) ORDER BY event_type"""))
 
+  /** Inverse standard-normal CDF (Acklam's rational approximation,
+    * |ε| < 1.15·10⁻⁹) — used ONLY at object init to tabulate the BC
+    * index map; no query evaluates it at runtime. */
+  private def phiInv(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else -phiInv(1 - p)
+  }
+
+  /** Standard-normal CDF via Abramowitz–Stegun 7.1.26 erf
+    * (|ε| < 1.5·10⁻⁷) — init-time only, like [[phiInv]]. */
+  private def phiCdf(x: Double): Double = {
+    val z = x / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(z))
+    val e = 1 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t * math.exp(-z * z)
+    val erf = if (z >= 0) e else -e
+    0.5 * (1 + erf)
+  }
+
+  /** BC index map: replica-count-below c ∈ 0..100 → the nearest-rank
+    * order-statistic indices (ceil(α·100), clamped to [1, 100]) of
+    * the bias-corrected 95% interval, α = Φ(2·Φ⁻¹(c/100) ± 1.959964).
+    * c is clamped to [1, 99] first (c = 0/100 sends z₀ to ∓∞). Pure
+    * constants of (B = 100, 95%) — data-independent, embedded as the
+    * SAME literals in the Spark expression and the oracle SQL (the
+    * q_sprt constants discipline). At c = 50 (median-unbiased) the
+    * map returns (3, 98) — exactly [[bootstrapCi]]'s plain percentile
+    * ranks, pinned in EventsSpec. */
+  private[graft] val bcIdx: IndexedSeq[(Int, Int)] = (0 to 100).map { c0 =>
+    val c = math.min(99, math.max(1, c0))
+    val z0 = phiInv(c / 100.0)
+    def idx(z: Double): Int =
+      math.min(100, math.max(1, math.ceil(phiCdf(2 * z0 + z) * 100).toInt))
+    (idx(-1.959964), idx(1.959964))
+  }
+
+  /** BIAS-CORRECTED (BC) BOOTSTRAP INTERVAL — the exact member of the
+    * BCa family (acceleration a = 0; the full BCa's jackknife
+    * acceleration is float/overflow-hostile — analysis in SURVEY's
+    * seed list): when the bootstrap distribution is biased around the
+    * point estimate (the replica-count-below c ≠ B/2), the percentile
+    * interval's coverage is off, and Efron's correction shifts WHICH
+    * order statistics form the interval — α = Φ(2z₀ ± z_{.975}) with
+    * z₀ = Φ⁻¹(c/B). Everything data-dependent stays exact BIGINT (the
+    * [[bootstrapCi]] Poisson replica machinery verbatim); the two
+    * nonlinearities are baked into the 101-entry [[bcIdx]] literal
+    * table, so NO engine evaluates Φ or Φ⁻¹ at query time and the
+    * whole query hash-oracles.
+    *
+    * Scale shape: identical to [[bootstrapCi]] — one row-local
+    * explode ×100, map-side-combined replica means, group-domain rank
+    * windows; the BC addition is one count and two array-literal
+    * lookups. */
+  val bootstrapBc: Q = Q(
+    "q_bootstrap_bc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("c"))
+      val u16 = expr("""
+        ((16807 * ((16807 * ((event_id % 127773) * 101 + b + 1)) % 2147483647))
+          % 2147483647) div 32768""")
+      val w = when(u16 < 24109, 0L).when(u16 < 48219, 1L)
+        .when(u16 < 60273, 2L).when(u16 < 64292, 3L)
+        .when(u16 < 65296, 4L).when(u16 < 65497, 5L)
+        .when(u16 < 65531, 6L).otherwise(7L)
+      val means = e.withColumn("b", explode(sequence(lit(0), lit(99))))
+        .withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(sum(col("w") * col("c")).as("sc"), sum(col("w")).as("sw"))
+        .select(col("event_type"), col("b"),
+          expr("(sc * 1000000) div nullif(sw, 0)").as("mean_micro"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pt = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("(sum(c) * 1000000) div count(1)").as("point_mean_micro"))
+      val cnt = means.join(broadcast(pt), "event_type")
+        .groupBy("event_type")
+        .agg(count(when(col("mean_micro") < col("point_mean_micro"), 1))
+          .as("n_below"))
+      val loArr = array(bcIdx.map(p => lit(p._1.toLong)): _*)
+      val hiArr = array(bcIdx.map(p => lit(p._2.toLong)): _*)
+      val idx = cnt.select(col("event_type"), col("n_below"),
+        element_at(loArr, (col("n_below") + 1).cast("int")).as("i_lo"),
+        element_at(hiArr, (col("n_below") + 1).cast("int")).as("i_hi"))
+      val rn = row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("mean_micro").asc_nulls_last, col("b").asc))
+      val bc = means.withColumn("rn", rn.cast("long"))
+        .join(broadcast(idx), "event_type")
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === col("i_lo"), col("mean_micro")))
+          .as("bc_lo_micro"),
+          max(when(col("rn") === col("i_hi"), col("mean_micro")))
+            .as("bc_hi_micro"))
+      val out = pt.join(idx, "event_type").join(bc, "event_type")
+        .select(col("event_type"), col("n_rows"), col("point_mean_micro"),
+          col("n_below"), col("i_lo"), col("i_hi"),
+          col("bc_lo_micro"), col("bc_hi_micro"))
+        .orderBy("event_type")
+      val mat = graft.CacheHandles.sealOutput(out)
+      means.unpersist()
+      mat
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      rep AS (
+        SELECT e.*, b.range AS b,
+               ((16807 * ((16807 * ((event_id % 127773) * 101 + b.range + 1)) % 2147483647))
+                 % 2147483647) // 32768 AS u16
+        FROM e, range(100) b),
+      wt AS (
+        SELECT event_type, b, c,
+               CASE WHEN u16 < 24109 THEN 0 WHEN u16 < 48219 THEN 1
+                    WHEN u16 < 60273 THEN 2 WHEN u16 < 64292 THEN 3
+                    WHEN u16 < 65296 THEN 4 WHEN u16 < 65497 THEN 5
+                    WHEN u16 < 65531 THEN 6 ELSE 7 END AS w
+        FROM rep),
+      means AS (
+        SELECT event_type, b,
+               CAST((sum(w * c) * 1000000) // nullif(sum(w), 0) AS BIGINT) AS mean_micro
+        FROM wt GROUP BY 1, 2),
+      pt AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST((sum(c) * 1000000) // count(*) AS BIGINT) AS point_mean_micro
+        FROM e GROUP BY 1),
+      cnt AS (
+        SELECT m.event_type,
+               CAST(count(CASE WHEN m.mean_micro < pt.point_mean_micro
+                 THEN 1 END) AS BIGINT) AS n_below
+        FROM means m JOIN pt USING (event_type) GROUP BY 1),
+      idx AS (
+        SELECT event_type, n_below,
+               CAST(([${bcIdx.map(_._1).mkString(", ")}])[n_below + 1]
+                 AS BIGINT) AS i_lo,
+               CAST(([${bcIdx.map(_._2).mkString(", ")}])[n_below + 1]
+                 AS BIGINT) AS i_hi
+        FROM cnt),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY mean_micro ASC NULLS LAST, b ASC) AS BIGINT) AS rn
+        FROM means),
+      bc AS (
+        SELECT r.event_type,
+               CAST(max(CASE WHEN r.rn = i.i_lo THEN r.mean_micro END)
+                 AS BIGINT) AS bc_lo_micro,
+               CAST(max(CASE WHEN r.rn = i.i_hi THEN r.mean_micro END)
+                 AS BIGINT) AS bc_hi_micro
+        FROM ranked r JOIN idx i USING (event_type) GROUP BY 1)
+      SELECT pt.event_type AS event_type, n_rows, point_mean_micro,
+             n_below, i_lo, i_hi, bc_lo_micro, bc_hi_micro
+      FROM pt JOIN idx USING (event_type) JOIN bc USING (event_type)
+      ORDER BY event_type"""))
+
   /** CUSUM change-point detection on the per-type daily value series
     * — "did the metric shift, and when?": the classic cumulative-sum
     * statistic C_t = Σ_{d≤t}(x̄_d − x̄)·n_d peaks at the day the level
@@ -3619,7 +3794,7 @@ object Events {
     changepoint, autocorr, welchTTest, ewma, holt, holtWinters, markovAttribution,
     sprt, shapleyAttribution, fdrBh, crosscorr, forecastBacktest, ucbReplay,
     burstDetect, didEstimate, ipsValue, drValue, drPolicy, ucbContextual,
-    qiniCurve,
+    qiniCurve, bootstrapBc,
     perceptronReplay, powerAnalysis, matchingAtt, successiveHalving,
     valueIteration, syntheticControl, croston, srmGuard, dispersion, qte)
 }

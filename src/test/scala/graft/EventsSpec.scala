@@ -679,6 +679,33 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("BC bootstrap: index table is sane and collapses to the plain percentile at c = 50") {
+    // median-unbiased replicas mean zero correction: exactly the
+    // plain percentile interval's nearest ranks
+    assert(Events.bcIdx(50) == (3, 98), Events.bcIdx(50).toString)
+    // clamp convention at the degenerate counts
+    assert(Events.bcIdx(0) == Events.bcIdx(1))
+    assert(Events.bcIdx(100) == Events.bcIdx(99))
+    // more replicas below the point estimate = distribution biased
+    // low = the corrected interval shifts UP: indices monotone in c
+    val los = Events.bcIdx.map(_._1); val his = Events.bcIdx.map(_._2)
+    assert(los.zip(los.tail).forall { case (a, b) => a <= b }, "lo monotone")
+    assert(his.zip(his.tail).forall { case (a, b) => a <= b }, "hi monotone")
+    // live tie: on any event type where n_below lands at 50, the BC
+    // bounds must equal q_bootstrap_ci's 3rd/98th order statistics
+    val ci = Events.bootstrapCi.fn(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    Events.bootstrapBc.fn(spark, sf001).collect().foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("i_lo"), r.getAs[Long]("i_hi"))
+      assert(lo >= 1L && lo <= 100L && hi >= 1L && hi <= 100L && lo < hi)
+      if (r.getAs[Long]("n_below") == 50L) {
+        val p = ci(r.getString(0))
+        assert(r.getAs[Long]("bc_lo_micro") == p.getAs[Long]("ci_lo_micro"))
+        assert(r.getAs[Long]("bc_hi_micro") == p.getAs[Long]("ci_hi_micro"))
+      }
+    }
+  }
+
   test("drPolicy: regret is nonnegative and the DM arm's DR value ties q_dr_value") {
     val pol = Events.drPolicy.fn(spark, sf001).collect()
       .map(r => r.getAs[Long]("x") -> r).toMap
