@@ -139,6 +139,12 @@ object Bpe {
     * the total-order argmax, and the greedy merge fold as a per-word
     * recursive walk over symbol positions carrying (prefix, last)
     * state — fuse when (last, next) is the chosen pair, else emit.
+    * The fold base LEFT JOINs best$r (not CROSS JOIN): when a round
+    * finds no pairs (corpus exhausts merges before k), best$r is
+    * empty, bl/br come through NULL, every fuse predicate is
+    * non-true, and the walk passes the table through UNCHANGED —
+    * mirroring the Spark trainer's early return — instead of
+    * collapsing tbl$r (and every later round) to zero rows.
     * best/tbl are MATERIALIZED: each is read twice downstream, and
     * un-hinted re-inlining recomputes the whole prefix per reference
     * (measured 2.2 s → 0.1 s on the 31-word vocab). */
@@ -156,7 +162,7 @@ object Bpe {
         SELECT t.seq AS src, t.cnt, 2 AS i, '' AS pre,
                string_split(t.seq, ' ')[1] AS last,
                len(string_split(t.seq, ' ')) AS n, b.l AS bl, b.r AS br
-        FROM $prev t CROSS JOIN best$r b
+        FROM $prev t LEFT JOIN best$r b ON true
         UNION ALL
         SELECT src, cnt, i+1,
           CASE WHEN last = bl AND string_split(src, ' ')[i] = br THEN pre

@@ -405,6 +405,11 @@ object Dbscan {
       .orderBy("base_cluster", "level_permille")
   }
 
+  /** Rows-only by the dbscan-family contract: the per-level cores
+    * ride trained IVF centroids and the staged ε-pair store, neither
+    * of which is one SQL query (same written note as q_dbscan); the
+    * planted two-blob construction plus the structural asserts in
+    * [[levelDbscan]] are the floor. */
   val clusterStability: Q = Q(
     "q_cluster_stability",
     (s, dir) => {
@@ -474,6 +479,22 @@ object Dbscan {
       parents: Seq[((Int, Long), Long)], grid: Seq[Int], minPts: Int)
       : Seq[((Int, Long), Int, Long)] = {
     type Node = (Int, Long)
+    // precondition checks (public helper driven by specs on hand-built
+    // hierarchies): every parent edge must start at a NON-HEAD grid
+    // level — the child's parent key is looked up one grid line up,
+    // so a head-level or off-grid child would index grid(-1) /
+    // grid(indexOf-1) and surface as a bare IndexOutOfBoundsException
+    // — and every node must carry a death histogram, or stab() NPEs
+    for (((lvl, c), _) <- parents) {
+      if (!grid.tail.contains(lvl))
+        throw new IllegalArgumentException(
+          s"condensedCut: parent edge for cluster ($lvl, $c) starts at " +
+            s"level $lvl, which is not in grid.tail ${grid.tail.mkString("[", ",", "]")} " +
+            "— only non-head grid levels can have a parent one line up")
+      if (!deaths.contains((lvl, c)))
+        throw new IllegalArgumentException(
+          s"condensedCut: no deaths histogram for node ($lvl, $c)")
+    }
     val nCore: Map[Node, Long] = deaths.map { case (k, h) => k -> h.values.sum }
     val kids: Map[Node, Seq[Node]] = parents
       .groupBy { case ((lvl, _), p) => (grid(grid.indexOf(lvl) - 1), p) }

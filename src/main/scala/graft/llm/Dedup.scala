@@ -357,6 +357,13 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
   }
 
+  /** Rows-only by contract: the signature is built from Spark's
+    * xxhash64 token hashes (no xxhash64 in DuckDB — the hash family
+    * itself is the non-portable part, unlike the md5-prefix coins the
+    * oracled queries use), so a SQL replay cannot reproduce the bits.
+    * The ten planted exact copies are the floor (identical signature
+    * ⇒ Hamming 0 ⇒ retrieval is plumbing, not geometry), and
+    * DedupSpec pins signatures against a driver-side reference. */
   val simhash: Q = Q(
     "q_dedup_simhash",
     (s, dir) => {
@@ -902,6 +909,90 @@ object Dedup {
              CAST(sum(n_chars) - max(n_chars) AS BIGINT) AS dropped_chars
       FROM m GROUP BY g ORDER BY component"""))
 
+  /** NEAR-DUP CANONICALIZATION OVER THE REAL MINHASH PAIRS — the
+    * end-to-end operator a 100 TB dedup pipeline actually executes:
+    * banded-LSH near-dup pairs ([[minhashPairs]], never all-pairs) →
+    * connected components ([[connectedComponents]], O(log diameter)
+    * pointer-jumped rounds) → per-cluster representative election by
+    * a pinned quality score (token count, ties to the LOWER doc_id —
+    * the "keep the richest copy" production rule) → the keep/drop
+    * decision list. [[dedupCanonical]] pins the same election shape
+    * on toy consecutive-Jaccard edges with a full DuckDB oracle; THIS
+    * query is the composition over the genuine LSH pair output, which
+    * is rows-only by contract (ShingleHashes + banded signatures +
+    * a CC fixpoint are not one SQL query) — so it carries the
+    * dedup-family planted floor instead: all ten planted near-copies
+    * (ids 1M+i, one appended token) must land in the same cluster as
+    * their source, and every cluster must elect EXACTLY one keeper,
+    * both asserted in-query before any row ships. DedupSpec pins a
+    * hand-built cluster with a known winner.
+    *
+    * Output: every clustered document with its cluster id, quality
+    * score, and kept flag — the delete list is the `kept = 0` slice.
+    * Docs in no near-dup pair never enter CC (implicit keeps), so
+    * the frames stay pair-bounded, not corpus-bounded.
+    *
+    * Scale shape: one LSH banding pass, a pair-bounded CC, one
+    * cluster-keyed window for the election (near-dup clusters are
+    * small-diameter and small-cardinality by construction; a
+    * pathological mega-cluster is a data bug the basket-cap
+    * discipline would surface, not an input to tolerate). */
+  /** Election core of [[dedupCanonicalMinhash]] over a clustered
+    * member table `(cluster, doc_id, n_tokens)`: exactly one keeper
+    * per cluster by (n_tokens DESC, doc_id ASC) — highest quality
+    * wins, ties to the earliest id. Factored so DedupSpec can pin a
+    * hand-built cluster with a known winner. */
+  private[graft] def electKeepers(members: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy("cluster")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    members.withColumn("kept",
+      when(row_number().over(byCluster) === 1, 1L).otherwise(0L))
+  }
+
+  val dedupCanonicalMinhash: Q = Q(
+    "q_dedup_canonical_minhash",
+    (s, dir) => {
+      val handles = new graft.CacheHandles
+      val docs = handles.track(
+        withPlanted(t(s, dir, "documents"), mutate = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val pairs = handles.track(
+        minhashPairs(docs, handles = handles)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val verts = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("id")).distinct()
+      val labels = connectedComponents(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), verts)
+      val toksz = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val members = labels.join(toksz, col("id") === col("doc_id"))
+        .select(col("label").as("cluster"), col("doc_id"), col("n_tokens"))
+      val out = electKeepers(members)
+        .orderBy("cluster", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize before the audits read it twice
+      // planted recall: each (i, 1M+i) pair must share a cluster
+      val lab = out.select(col("cluster"), col("doc_id"))
+      val plantedOk = lab.as("a").join(lab.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1000000L &&
+            col("a.cluster") === col("b.cluster"))
+        .filter(col("a.doc_id") < 10).count()
+      if (plantedOk < 10)
+        throw new IllegalStateException(
+          s"canonicalization recall degraded: $plantedOk of 10 planted " +
+            "near-copies clustered with their source")
+      // structural: exactly one elected keeper per cluster
+      val badClusters = out.groupBy("cluster").agg(sum(col("kept")).as("k"))
+        .filter(col("k") =!= 1L).limit(1).count()
+      if (badClusters > 0)
+        throw new IllegalStateException(
+          "canonicalization invariant violated: a cluster elected != 1 keeper")
+      handles.releaseAll()
+      out
+    },
+    None)
+
   /** ASYMMETRIC containment scoring — the subset-duplicate signal
     * symmetric Jaccard structurally misses: a document wholly
     * contained in a larger one (a quoted article, a re-posted
@@ -1372,7 +1463,8 @@ object Dedup {
       GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""))
 
   val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs,
-    dedupClusters, dedupCanonical, incrementalExact, incrementalMinhash,
+    dedupClusters, dedupCanonical, dedupCanonicalMinhash,
+    incrementalExact, incrementalMinhash,
     incrementalSimhash, dupSpans, containment, sparseCosine, suffixDedup,
     ccIncremental)
 }

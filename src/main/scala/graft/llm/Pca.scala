@@ -115,7 +115,15 @@ object Pca {
     (n, mu.map(_ / 1e6), cov)
   }
 
-  /** Top-p principal components of every embedding, micro-rounded. */
+  /** Top-p principal components of every embedding, micro-rounded.
+    *
+    * Rows-only by contract: the covariance is exact integer (GramAgg),
+    * but the eigenbasis comes from an iterative Jacobi rotation sweep
+    * — driver-side floating-point with a data-dependent rotation
+    * order, not one SQL query, and a DuckDB replay would be a second
+    * implementation, not an oracle. PcaSpec pins the decomposition
+    * on fixtures (known eigenpairs, reconstruction error) and the
+    * query asserts basis orthonormality in-run. */
   val pcaProject: Q = Q(
     "q_pca_project",
     (s, dir) => {

@@ -164,6 +164,13 @@ object Ridge {
     x
   }
 
+  /** Rows-only by contract: the normal-equation assembly is exact
+    * integer (GramAgg), but the d×d solve is driver-side partial-pivot
+    * Gaussian elimination — a data-dependent pivot ORDER over doubles,
+    * so a DuckDB replay would have to clone the elimination loop (a
+    * second implementation, not an oracle). RidgeSpec pins the solver
+    * on known systems and the query self-checks the residual of the
+    * solved system in-run. */
   val ridgeEmbed: Q = Q(
     "q_ridge_embed",
     (s, dir) => {

@@ -368,8 +368,18 @@ object Similarity {
   def pairStoreMemo(s: org.apache.spark.sql.SparkSession, tag: String,
       minSim: Double, corpus: => DataFrame,
       centroids: => Array[Array[Double]]): DataFrame = {
+    // the path must be INJECTIVE in (tag, minSim): sanitization alone
+    // can collide two raw tags ("a/b" vs "a_b"), and a caller passing
+    // a different threshold under a colliding name would silently
+    // read pairs computed at the other threshold — so the directory
+    // name carries an md5 of the raw tag plus the exact threshold in
+    // permille (thresholds here are 2-decimal constants)
+    val simKey = math.round(minSim * 1000).toString
+    val tagHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val path = graft.Staging.dir(s,
-      "graft_pairs_" + tag.replaceAll("[^A-Za-z0-9]", "_"))
+      "graft_pairs_" + tag.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${tagHash}_s$simKey")
     val lock = pairStoreLocks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
       if (!graft.Staging.ready(s, path)) {

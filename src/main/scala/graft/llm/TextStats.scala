@@ -183,13 +183,19 @@ object TextStats {
       ) ORDER BY doc_id"""))
 
   /** Rolling-hash fingerprint via the custom wrapping-arithmetic
-    * expression ([[graft.functions.RollingHash]]) — not expressible in
-    * ANSI SQL on either engine, so rows-only; exact values pinned in
-    * ScalaTest against a driver-side reference implementation. The
-    * structural invariant — EXACTLY one fingerprint per document — is
-    * asserted in-query ([[RecallAudit.assertFloor]] pattern, same as
-    * the other rows-only queries), so a silent row drop reaches the
-    * driver's `err` field. */
+    * expression ([[graft.functions.RollingHash]]). HASH-ORACLED
+    * (promoted r16): the wrap ANSI `*` rejects is replayed in DuckDB
+    * by folding the character stream through HUGEINT arithmetic mod
+    * 2⁶⁴ (`list_reduce` with `(acc·31 + b) mod 2⁶⁴`, signed-mapped at
+    * the end) — bit-exact against the Java loop for ASCII corpora,
+    * where codepoint = UTF-8 byte (the harness corpus is verified
+    * all-ASCII at every SF; a non-ASCII corpus has no pure-SQL byte
+    * iterator in DuckDB, and this oracle would honestly mismatch
+    * rather than silently pass). Exact values are additionally pinned
+    * in ScalaTest against a driver-side reference implementation, and
+    * the structural invariant — EXACTLY one fingerprint per document —
+    * stays asserted in-query, so a silent row drop reaches the
+    * driver's `err` field even without the oracle. */
   val rollingFingerprint: Q = Q(
     "q_rolling_fingerprint",
     (s, dir) => {
@@ -209,7 +215,21 @@ object TextStats {
           s"rolling fingerprint produced $n rows for $nDocs documents")
       out
     },
-    None)
+    Some("""
+      SELECT doc_id,
+        CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+              THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+          AS rhash64
+      FROM (
+        SELECT doc_id,
+          CASE WHEN text = '' THEN 0::HUGEINT ELSE
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                [ord(c)::HUGEINT for c in split(text, '')]),
+              (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT)
+          END AS h
+        FROM documents)
+      ORDER BY doc_id"""))
 
   /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
     * SIGMOD 2003 — the MOSS algorithm): token k-gram hashes, then per
@@ -469,6 +489,197 @@ object TextStats {
       FROM spans GROUP BY da, db
       ORDER BY longest_span_tokens DESC, doc_a ASC, doc_b ASC
       LIMIT 100"""))
+
+  /** EVAL-SET CONTAMINATION REPORT — the LLM-pipeline consumer the
+    * winnowing substrate exists for: before training, every corpus is
+    * audited for documents that leak the held-out evaluation set
+    * (verbatim or near-verbatim), because a contaminated eval
+    * silently inflates benchmark scores. [[graft.llm.Curation]]'s
+    * q_contamination is the cheap ALIGNED first pass (fixed-offset
+    * window fingerprints); THIS is the unaligned span-level report a
+    * decontamination sweep actually acts on. A pinned slice of
+    * `documents` (doc_id ≡ 0 mod 17) plays the eval set, the rest is
+    * the training corpus, and the report is per-eval-doc: how many
+    * corpus documents share fingerprinted spans with it, the longest
+    * such span, and what fraction of its fingerprints appear in the
+    * corpus (coverage ‰). Everything rides [[winnowSelect]] — the
+    * winnowing guarantee (any shared run ≥ w+k−1 tokens shares a
+    * selected fingerprint) is exactly the contamination-detection
+    * contract, at 2/(w+1) of full-gram cost.
+    *
+    * PLANTED LEAK floor: the longest corpus document (max gram count,
+    * min-doc_id tiebreak — deterministic in both engines) is copied
+    * verbatim into the eval side at doc_id + 1e6. An exact copy
+    * shares every selected fingerprint with its source on diagonal 0,
+    * so its row must report coverage ≥ 900‰ and a span covering most
+    * of the document — asserted in-query before any row ships, the
+    * same planted-copy discipline as the dedup family.
+    *
+    * Stop-fingerprints are pruned at df > max(10, |corpus|/50) —
+    * SCALE-RELATIVE, unlike [[winnowSpans]]'s fixed 10: a fixed cap
+    * prunes legitimate leak evidence as the corpus grows (at sf0.1 it
+    * cost the planted copy a third of its fingerprints — measured),
+    * while 2% of the corpus keeps the join fan-out bounded per hash
+    * AND keeps recall scale-stable. Fully hash-oracled: every step is
+    * in the Spark∩DuckDB dialect proven by q_winnowing/q_winnow_spans.
+    *
+    * Scale shape: winnowing is per-doc windowed work; the cross-side
+    * match joins only SELECTED fingerprints (≈2/(w+1) of gram volume)
+    * with df-capped fan-out; islands/spans are per (eval, corpus,
+    * diagonal) windows — nothing all-pairs, nothing driver-side
+    * except the 1-row planted audit. */
+  val contamination: Q = Q(
+    "q_eval_contamination",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpusDocs = docs.filter(col("doc_id") % 17 =!= 0)
+      val planted = corpusDocs
+        .orderBy(size(split(trim(col("text")), "\\s+")).desc, col("doc_id").asc)
+        .limit(1)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val base = docs.unionByName(planted)
+      val sel = winnowSelect(base)
+        .select(col("doc_id"), col("gpos").as("pos"), col("ghash"))
+      val efp = sel.filter(col("doc_id") % 17 === 0 || col("doc_id") >= 1000000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cfp0 = sel.filter(col("doc_id") % 17 =!= 0 && col("doc_id") < 1000000L)
+      // scale-relative stop-fingerprint cap (a bounded driver scalar,
+      // like the kcore quartile probe)
+      val dfCap = math.max(10L, corpusDocs.count() / 50L)
+      val rare = cfp0.groupBy("ghash")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= dfCap)
+        .select("ghash")
+      val cfp = cfp0.join(rare, Seq("ghash"), "left_semi")
+      val m = efp.as("e").join(cfp.as("c"), col("e.ghash") === col("c.ghash"))
+        .select(col("e.doc_id").as("ed"), col("c.doc_id").as("cd"),
+          col("e.pos").as("pe"), (col("e.pos") - col("c.pos")).as("diag"))
+      val byDiag = Window.partitionBy("ed", "cd", "diag").orderBy("pe")
+      val spans = m
+        .withColumn("gap",
+          when(col("pe") - lag(col("pe"), 1).over(byDiag) > 4L, 1L).otherwise(0L))
+        .withColumn("island", sum(col("gap")).over(
+          byDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("ed", "cd", "diag", "island")
+        .agg((max(col("pe")) - min(col("pe")) + 3L).as("span_tokens"))
+      val perDoc = spans.groupBy("ed")
+        .agg(countDistinct(col("cd")).as("n_contaminators"),
+          max(col("span_tokens")).as("longest_span_tokens"))
+      val mf = m.groupBy("ed")
+        .agg(countDistinct(col("pe")).as("matched_fp"))
+      val etot = efp.groupBy(col("doc_id").as("ed"))
+        .agg(count(lit(1)).as("total_fp"))
+      val out = etot
+        .join(mf, Seq("ed"), "left")
+        .join(perDoc, Seq("ed"), "left")
+        .select(col("ed").as("eval_doc"), col("total_fp"),
+          coalesce(col("matched_fp"), lit(0L)).as("matched_fp"),
+          coalesce(col("n_contaminators"), lit(0L)).as("n_contaminators"),
+          coalesce(col("longest_span_tokens"), lit(0L)).as("longest_span_tokens"))
+        .withColumn("coverage_permille",
+          expr("(1000 * matched_fp) div total_fp"))
+        .orderBy("eval_doc")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // planted-leak audit: 1-row bounded collect
+      val audit = out.filter(col("eval_doc") >= 1000000L).collect()
+      if (audit.length != 1)
+        throw new IllegalStateException(
+          s"contamination audit: expected exactly 1 planted eval doc, got ${audit.length}")
+      val (cov, span) = (audit(0).getAs[Long]("coverage_permille"),
+        audit(0).getAs[Long]("longest_span_tokens"))
+      if (cov < 900L || span < 50L)
+        throw new IllegalStateException(
+          s"contamination recall degraded: planted verbatim leak reported " +
+            s"coverage ${cov}‰ (floor 900) / span $span tokens (floor 50)")
+      out
+    },
+    Some("""
+      WITH corpus_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+      planted AS (
+        SELECT doc_id + 1000000 AS doc_id, text FROM corpus_docs
+        ORDER BY len(regexp_split_to_array(trim(text), '\s+')) DESC, doc_id
+        LIMIT 1),
+      base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM planted),
+      toks AS (
+        SELECT doc_id, i AS gpos, arr[i] AS tok FROM (
+          SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+            FROM base WHERE trim(text) <> ''))),
+      grams AS (
+        SELECT doc_id, gpos, CAST('0x' || substr(md5(tok || ' ' || t2 || ' ' || t3), 1, 10)
+                 AS BIGINT) AS ghash,
+               CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS gcnt
+        FROM (
+          SELECT doc_id, gpos, tok,
+                 lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY gpos) AS t2,
+                 lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY gpos) AS t3
+          FROM toks)
+        WHERE t3 IS NOT NULL),
+      comb AS (
+        SELECT doc_id, gpos, gcnt,
+               ghash * 1048576 + (1048575 - gpos) AS comb
+        FROM grams),
+      wmin AS (
+        SELECT doc_id, gpos, gcnt,
+               min(comb) OVER (PARTITION BY doc_id ORDER BY gpos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM comb),
+      starts AS (
+        SELECT doc_id, wmin FROM wmin
+        WHERE gpos <= gcnt - 3 OR (gpos = 1 AND gcnt < 4)),
+      sel AS (
+        SELECT DISTINCT doc_id,
+               1048575 - (wmin % 1048576) AS pos,
+               wmin // 1048576 AS ghash
+        FROM starts),
+      efp AS (SELECT * FROM sel WHERE doc_id % 17 = 0 OR doc_id >= 1000000),
+      cfp0 AS (SELECT * FROM sel WHERE doc_id % 17 <> 0 AND doc_id < 1000000),
+      rare AS (
+        SELECT ghash FROM (
+          SELECT ghash, count(DISTINCT doc_id) AS df FROM cfp0 GROUP BY ghash)
+        WHERE df <= greatest(10, (SELECT count(*) FROM corpus_docs) // 50)),
+      cfp AS (SELECT cfp0.* FROM cfp0 JOIN rare ON rare.ghash = cfp0.ghash),
+      m AS (
+        SELECT e.doc_id AS ed, c.doc_id AS cd, e.pos AS pe,
+               e.pos - c.pos AS diag
+        FROM efp e JOIN cfp c ON e.ghash = c.ghash),
+      gaps AS (
+        SELECT ed, cd, diag, pe,
+               CASE WHEN pe - lag(pe, 1) OVER
+                 (PARTITION BY ed, cd, diag ORDER BY pe) > 4
+                 THEN 1 ELSE 0 END AS gap
+        FROM m),
+      isl AS (
+        SELECT ed, cd, diag, pe,
+               sum(gap) OVER (PARTITION BY ed, cd, diag ORDER BY pe
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM gaps),
+      spans AS (
+        SELECT ed, cd, diag, island, max(pe) - min(pe) + 3 AS span_tokens
+        FROM isl GROUP BY ed, cd, diag, island),
+      perdoc AS (
+        SELECT ed, CAST(count(DISTINCT cd) AS BIGINT) AS n_contaminators,
+               CAST(max(span_tokens) AS BIGINT) AS longest_span_tokens
+        FROM spans GROUP BY ed),
+      mf AS (
+        SELECT ed, CAST(count(DISTINCT pe) AS BIGINT) AS matched_fp
+        FROM m GROUP BY ed),
+      etot AS (
+        SELECT doc_id AS ed, CAST(count(*) AS BIGINT) AS total_fp
+        FROM efp GROUP BY doc_id)
+      SELECT etot.ed AS eval_doc, total_fp,
+             CAST(coalesce(matched_fp, 0) AS BIGINT) AS matched_fp,
+             CAST(coalesce(n_contaminators, 0) AS BIGINT) AS n_contaminators,
+             CAST(coalesce(longest_span_tokens, 0) AS BIGINT) AS longest_span_tokens,
+             CAST((1000 * coalesce(matched_fp, 0)) // total_fp AS BIGINT)
+               AS coverage_permille
+      FROM etot LEFT JOIN mf ON mf.ed = etot.ed
+      LEFT JOIN perdoc ON perdoc.ed = etot.ed
+      ORDER BY eval_doc"""))
 
   /** Vocabulary building: corpus-wide token frequencies, top-100.
     * The tokenizer-training / vocab-pruning primitive. Shape: explode
@@ -2589,7 +2800,8 @@ object TextStats {
       ORDER BY bucket"""))
 
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
-    repetitionRatio, rollingFingerprint, winnowing, winnowSpans, vocabTopK,
+    repetitionRatio, rollingFingerprint, winnowing, winnowSpans,
+    contamination, vocabTopK,
     oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,

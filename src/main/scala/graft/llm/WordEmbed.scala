@@ -129,6 +129,13 @@ object WordEmbed {
       .orderBy("tok")
   }
 
+  /** Rows-only by contract: the embedding basis is a trained model —
+    * pivot-block eigenvectors from the same iterative Jacobi sweep as
+    * [[graft.llm.Pca]] (driver-side FP, data-dependent rotation
+    * order), scaled into a Nyström projection — so no single SQL
+    * statement reproduces it (the q_pca_project note applies
+    * verbatim). WordEmbedSpec pins the PPMI matrix and the projection
+    * on hand-built corpora with known co-occurrence structure. */
   val wordEmbed: Q = Q(
     "q_word_embed",
     (s, dir) => embed(t(s, dir, "documents").select(col("doc_id"), col("text"))),

@@ -93,6 +93,106 @@ object Graph {
   private def bk(dir: String, window: String): DataFrame => DataFrame =
     op => checkedBasket(op, s"$dir|$window")
 
+  /** Per-application locks so two queries racing the SAME co-purchase
+    * store bootstrap cannot double-write one staging path (same device
+    * as [[graft.llm.Similarity.pairStoreMemo]]). */
+  private val coStoreLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** STAGED CO-PURCHASE PAIR STORE — the graph family's shared input.
+    * Thirteen queries build the identical frame: lineitem windowed to
+    * a pinned ship-date slice, distinct (order, part), self-joined on
+    * the order into canonical part pairs. That distinct + self-join is
+    * seconds of the bench PER QUERY (r15: q_graph_robustness 12.4 s,
+    * q_kcore 7.1 s, q_diameter_lb 7.6 s, q_betweenness 6.5 s all pay
+    * it) and a pure function of (dir, window) — so it is computed ONCE
+    * per application and parquet-staged; every consumer reads the
+    * store (the same move [[graft.llm.Similarity.pairStoreMemo]] made
+    * for the dbscan family in r15).
+    *
+    * The store carries `(u, v, co)` — canonical `u < v` pairs with the
+    * per-pair co-purchase order count — which subsumes every consumer
+    * shape: distinct edges are `select(u, v)` (groupBy keys are
+    * unique), weighted edges derive `1000000 div co`, and the
+    * top-pairs query reads the counts directly. Longs round-trip
+    * parquet bit-exactly, so store vs inline is value-identical and
+    * every consumer hash is unchanged.
+    *
+    * Scale shape: one windowed scan (predicate pushed), one
+    * order-keyed shuffle for the distinct, one order-keyed self-join
+    * bounded by (items/order)² — then 100 TB of lineitem collapses to
+    * a part²-bounded pair table written once and scanned by every
+    * graph query. The basket census ([[checkedBasket]]) still guards
+    * the self-join inside the build. Same staleness contract as
+    * [[graft.Staging]]: one application = one corpus snapshot. */
+  def coPairs(s: SparkSession, dir: String, window: String): DataFrame = {
+    val path = graft.Staging.dir(s,
+      s"graft_coedges_${window}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val lock = coStoreLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!graft.Staging.ready(s, path)) {
+        val base = t(s, dir, "lineitem")
+        val windowed = window match {
+          case "all" => base
+          case "h1" => base.where(
+            col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+          case "2y" => base.where(
+            col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          case "y1995" => base.filter(
+            col("l_shipdate").between("1995-01-01", "1995-12-31"))
+          case other => throw new IllegalArgumentException(
+            s"unknown co-purchase window tag '$other'")
+        }
+        val op = windowed
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+          .transform(bk(dir, window))
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("co"))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
+  /** Distinct canonical undirected co-purchase edges `(u, v)`, u < v,
+    * from the staged store — the input shape most graph queries use. */
+  def coEdges(s: SparkSession, dir: String, window: String): DataFrame =
+    coPairs(s, dir, window).select(col("u"), col("v"))
+
+  /** Staged TEMPORAL co-purchase edges `(u, v, t)` for the pinned 2y
+    * window — the (u, v) pair plus the order date (days since
+    * 1995-01-01) of each order that co-purchased them, distinct. The
+    * co store can't serve this (it collapsed the order dimension), but
+    * the same three-query rebuild argument applies to the temporal
+    * family (reach / katz / motifs), so it gets its own store. */
+  def temporalEdges(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.dir(s,
+      "graft_tedges_2y_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val lock = coStoreLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!graft.Staging.ready(s, path)) {
+        val op = t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+          .transform(bk(dir, "2y"))
+        val ord = t(s, dir, "orders").select(col("o_orderkey").as("o"),
+          datediff(to_date(col("o_orderdate")),
+            lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("t"))
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .join(ord, "o")
+          .select(col("a.p").as("u"), col("b.p").as("v"), col("t")).distinct()
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   /** PageRank (d = 0.85, 5 iterations) over the bipartite
     * customer↔supplier purchase graph: an edge per distinct
     * (customer, supplier) pair observed in lineitem⋈orders, in both
@@ -291,13 +391,8 @@ object Graph {
   val copurchase: Q = Q(
     "q_copurchase",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "all"))
-      li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-        .agg(count(lit(1)).as("n_orders"))
+      coPairs(s, dir, "all")
+        .select(col("u").as("p1"), col("v").as("p2"), col("co").as("n_orders"))
         .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
         .limit(20)
     },
@@ -422,17 +517,7 @@ object Graph {
 
   val clusteringCoeff: Q = Q(
     "q_clustering_coeff",
-    (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "h1"))
-      val edges = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      localClustering(edges)
-    },
+    (s, dir) => localClustering(coEdges(s, dir, "h1")),
     Some("""
       WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
                   WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -468,16 +553,8 @@ object Graph {
       // gain); a bounded window is how co-purchase graphs are
       // actually built, keeps density realistic (~40k triangles at
       // sf0.1), and the date predicate pushes to the scan
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "2y"))
-      // canonical undirected edges (u < v by id)
-      val edges = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      triangleStats(edges)
+      // canonical undirected edges (u < v by id) from the staged store
+      triangleStats(coEdges(s, dir, "2y"))
     },
     Some("""
       WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -622,14 +699,7 @@ object Graph {
       val stateDir = graft.Staging.dir(s,
         "graft_bfs_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       if (!graft.Staging.ready(s, s"$stateDir/dist")) {
-        val op = t(s, dir, "lineitem")
-          .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-          .transform(bk(dir, "2y"))
-        val und = op.as("a").join(op.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val und = coEdges(s, dir, "2y")
         val hist = und.filter((col("u") * 131 + col("v")) % 2048 =!= 7)
         val delta = und.filter((col("u") * 131 + col("v")) % 2048 === 7)
         def sym(df: DataFrame): DataFrame =
@@ -694,14 +764,7 @@ object Graph {
   val shortestPath: Q = Q(
     "q_shortest_path",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "2y"))
-      val und = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val und = coEdges(s, dir, "2y")
       val edges = und.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       val sources = edges.select(col("src").as("v")).distinct()
@@ -1226,13 +1289,15 @@ object Graph {
       val stateDir = graft.Staging.dir(s,
         "graft_pagerank_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       if (!graft.Staging.ready(s, s"$stateDir/deg")) {
-        val op = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-          .transform(bk(dir, "all"))
-        val co = op.as("a").join(op.as("b"),
-            col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-          .groupBy(col("a.p").as("x"), col("b.p").as("y"))
-          .agg(count(lit(1)).as("cnt"))
+        // the `p1 ≠ p2` directed pair counts are the canonical store
+        // emitted symmetrically: co(x,y) = co(y,x) = the unordered
+        // pair's order count, so the union is row-identical to the
+        // inline `a.p =!= b.p` self-join it replaces
+        val coCanon = coPairs(s, dir, "all")
+        val co = coCanon
+          .select(col("u").as("x"), col("v").as("y"), col("co").as("cnt"))
+          .unionAll(coCanon
+            .select(col("v").as("x"), col("u").as("y"), col("co").as("cnt")))
         val wKnn = org.apache.spark.sql.expressions.Window
           .partitionBy("x").orderBy(col("cnt").desc, col("y").asc)
         val knn = co.withColumn("rn", row_number().over(wKnn))
@@ -1361,24 +1426,46 @@ object Graph {
     rebind(origin, e)
   }
 
-  /** Driver-visible k-core (k = 3) of the pinned-window co-purchase
-    * graph: per-vertex within-core degree. Rows-only by contract (a
-    * shrink-to-fixpoint loop is not one DuckDB query) — so the
-    * DEFINING property is the in-query floor: every reported degree
-    * must be ≥ k, checked on the final subgraph before a row ships;
-    * GraphSpec pins the peel against a sequential reference and a
+  /** One unrolled peel round, oracle-side: current degrees, the
+    * ≥ k survivor set, both-endpoint semi-join. MATERIALIZED so
+    * DuckDB never re-inlines the whole peel prefix per reference. */
+  private def kcoreRoundCte(r: Int): String = {
+    val prev = s"e${r - 1}"
+    s"""
+      deg$r AS (SELECT x, count(*) AS d FROM (
+        SELECT u AS x FROM $prev UNION ALL SELECT v AS x FROM $prev) GROUP BY x),
+      kp$r AS (SELECT x FROM deg$r WHERE d >= (SELECT k FROM kv)),
+      e$r AS MATERIALIZED (
+        SELECT e.u, e.v FROM $prev e
+        JOIN kp$r a ON e.u = a.x JOIN kp$r b ON e.v = b.x)"""
+  }
+
+  /** Peel-round unroll budget for the q_kcore oracle: the sf0.01
+    * co-purchase graph converges in 13 rounds (measured; the peel
+    * count is a data constant of the pinned window), so 24 is ~2×
+    * margin. A fixed unroll is EXACT once past the fixpoint — extra
+    * rounds remove nothing, so e24 = the core whenever the true peel
+    * count ≤ 24 — and the Spark side throws past 32 rounds, so the
+    * only silent-divergence window is a peel count in (24, 32],
+    * impossible at harness scale by the measured 13. */
+  private val KcoreOracleRounds = 24
+
+  /** Driver-visible k-core (k = exact lower-quartile initial degree)
+    * of the pinned-window co-purchase graph: per-vertex within-core
+    * degree. HASH-ORACLED (promoted r16): peeling is a monotone
+    * fixpoint over integer degrees, so the same fixed-unroll device
+    * that oracled q_luby_mis and the BPE family replays it in DuckDB
+    * — [[KcoreOracleRounds]] chained MATERIALIZED round CTEs, each
+    * one degree aggregate + two semi-joins, with k computed by the
+    * identical quartile rule (row_number prefix, max degree). The
+    * in-query floor stays armed: every reported degree must be ≥ k on
+    * the final subgraph before a row ships; GraphSpec additionally
+    * pins the peel against a sequential reference and a
     * planted-clique construction. */
   val kcore: Q = Q(
     "q_kcore",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "2y"))
-      val edges = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val edges = coEdges(s, dir, "2y")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // k = exact 25th-PERCENTILE initial degree: a deterministic pure
       // function of the data that keeps the peel biting at every SF
@@ -1403,7 +1490,27 @@ object Graph {
       deg.select(col("vertex"), col("core_deg"), lit(k.toLong).as("k"))
         .orderBy("vertex")
     },
-    None)
+    Some(s"""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      deg0 AS MATERIALIZED (
+        SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) GROUP BY x),
+      kv AS MATERIALIZED (
+        SELECT max(d) AS k FROM (
+          SELECT d, row_number() OVER (ORDER BY d, x) AS rn FROM deg0) t
+        WHERE rn <= (SELECT count(*) FROM deg0) // 4 + 1),""" +
+      (1 to KcoreOracleRounds).map(kcoreRoundCte).mkString(",") + s"""
+      SELECT x AS vertex, CAST(count(*) AS BIGINT) AS core_deg,
+             (SELECT CAST(k AS BIGINT) FROM kv) AS k
+      FROM (SELECT u AS x FROM e$KcoreOracleRounds
+            UNION ALL SELECT v AS x FROM e$KcoreOracleRounds)
+      GROUP BY x ORDER BY vertex"""))
 
   /** K-SOURCE SAMPLED BETWEENNESS (Brandes) over a canonical
     * undirected edge list: exact single-source dependency
@@ -1421,14 +1528,24 @@ object Graph {
     val origin = edges0.sparkSession
     val spark = origin.newSession()
     graft.Checkpoints.propagate(origin, spark)
-    // every per-round frame is |sources|×|V|-bounded — narrow the
-    // clone's shuffle width so round latency is work, not task count
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val eUD = rebind(spark, edges0.select(col("u"), col("v")))
     // directed both ways for traversal
     val e = graft.Checkpoints.cut(
       eUD.select(col("u").as("a"), col("v").as("b"))
         .unionByName(eUD.select(col("v").as("a"), col("u").as("b"))))
+    // every per-round frame is |sources|×|E|-bounded — size the
+    // clone's shuffle width to the actual work instead of the
+    // parent's corpus-wide setting (at harness scale 32-partition
+    // rounds are pure task-scheduling overhead) OR a fixed literal
+    // (which silently under-partitions at 100× scale). Rule: one
+    // partition per ~1M (source, directed-edge) work units, floor 8,
+    // never above the parent's width; the probe count() is ~free —
+    // `e` was just eagerly lineage-cut, so the frame is materialized.
+    val m = e.count()
+    val parentWidth = origin.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val width = math.max(8L, math.min(parentWidth.toLong,
+      sources.length.toLong * m / 1000000L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("src")
     var visited = graft.Checkpoints.cut(
       srcDf.select(col("src"), col("src").as("v"), lit(0).as("lvl"),
@@ -1499,14 +1616,7 @@ object Graph {
       // half-year window (vs the 2-year triangle/kcore graph): Brandes
       // pays per-level rounds in BOTH directions, so the demo keeps
       // the same co-purchase semantics on the sparser seasonal slice
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "h1"))
-      val edges = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val edges = coEdges(s, dir, "h1")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy("x").agg(count(lit(1)).as("d"))
@@ -1569,15 +1679,7 @@ object Graph {
   val cheapestPath: Q = Q(
     "q_cheapest_path",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "2y"))
-      val und = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("co"))
+      val und = coPairs(s, dir, "2y")
         .select(col("u"), col("v"), expr("1000000 div co").as("w"))
       val edges = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
         .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
@@ -1671,18 +1773,7 @@ object Graph {
   val temporalReachQ: Q = Q(
     "q_temporal_reach",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "2y"))
-      val ord = t(s, dir, "orders").select(col("o_orderkey").as("o"),
-        datediff(to_date(col("o_orderdate")),
-          lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("t"))
-      val und = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .join(ord, "o")
-        .select(col("a.p").as("u"), col("b.p").as("v"), col("t")).distinct()
+      val und = temporalEdges(s, dir)
       val edges = und.select(col("u").as("src"), col("v").as("dst"), col("t"))
         .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("t")))
       val sources = edges.select(col("src").as("v")).distinct()
@@ -1885,18 +1976,7 @@ object Graph {
   val temporalKatz: Q = Q(
     "q_temporal_katz",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "2y"))
-      val ord = t(s, dir, "orders").select(col("o_orderkey").as("o"),
-        datediff(to_date(col("o_orderdate")),
-          lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("t"))
-      val und = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .join(ord, "o")
-        .select(col("a.p").as("u"), col("b.p").as("v"), col("t")).distinct()
+      val und = temporalEdges(s, dir)
       val edges = und.select(col("u").as("src"), col("v").as("dst"), col("t"))
         .unionAll(und.select(col("v").as("src"), col("u").as("dst"), col("t")))
       val sources = edges.select(col("src").as("v")).distinct()
@@ -1968,18 +2048,7 @@ object Graph {
   val temporalMotifs: Q = Q(
     "q_temporal_motifs",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "2y"))
-      val ord = t(s, dir, "orders").select(col("o_orderkey").as("o"),
-        datediff(to_date(col("o_orderdate")),
-          lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("t"))
-      val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .join(ord, "o")
-        .select(col("a.p").as("u"), col("b.p").as("v"), col("t")).distinct()
+      val e = temporalEdges(s, dir)
       val d = lit(MotifDeltaDays.toLong)
       val tri = e.as("x").join(e.as("y"),
           col("y.u") === col("x.u") && col("y.v") > col("x.v") &&
@@ -2085,14 +2154,7 @@ object Graph {
   val rwr: Q = Q(
     "q_rwr_similarity",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "2y"))
-      val und = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val und = coEdges(s, dir, "2y")
       val edges = und.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       personalizedPageRank(edges, 5).orderBy("v")
@@ -2365,17 +2427,7 @@ object Graph {
     * dense enough that degree variance is nonzero). */
   val assortativityQ: Q = Q(
     "q_assortativity",
-    (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "h1"))
-      val und = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      assortativity(und)
-    },
+    (s, dir) => assortativity(coEdges(s, dir, "h1")),
     Some("""
       WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
                   WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -2421,6 +2473,43 @@ object Graph {
         col("n_components"))
   }
 
+  /** One unrolled min-label-propagation + pointer-jump round of the
+    * robustness oracle's connected components, prefixed so the full
+    * and attacked censuses can coexist in one statement. The jump
+    * (label ← label(label)) is sound in SQL for the same reason it is
+    * in [[graft.llm.Dedup.connectedComponents]]: every label value is
+    * a vertex id present in the table, and labels are monotone. */
+  private def ccRoundCte(pfx: String, r: Int): String = s"""
+      ${pfx}p$r AS MATERIALIZED (
+        SELECT v.id, least(v.label, coalesce(m.ml, v.label)) AS label
+        FROM ${pfx}l${r - 1} v LEFT JOIN (
+          SELECT e.dst AS id, min(l.label) AS ml
+          FROM ${pfx}sym e JOIN ${pfx}l${r - 1} l ON e.src = l.id
+          GROUP BY e.dst) m ON v.id = m.id),
+      ${pfx}l$r AS MATERIALIZED (
+        SELECT a.id, b.label FROM ${pfx}p$r a JOIN ${pfx}p$r b ON a.label = b.id)"""
+
+  /** Full unrolled census prefix for one side: symmetric edges, the
+    * identity labeling, and [[CcOracleRounds]] propagate+jump rounds
+    * over `tbl`(u, v). */
+  private def ccCensusCtes(pfx: String, tbl: String): String =
+    s"""
+      ${pfx}sym AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM $tbl
+        UNION ALL SELECT v AS src, u AS dst FROM $tbl),
+      ${pfx}l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS id, src AS label FROM ${pfx}sym),""" +
+      (1 to CcOracleRounds).map(ccRoundCte(pfx, _)).mkString(",") + s""",
+      ${pfx}comp AS (
+        SELECT label, count(*) AS sz FROM ${pfx}l$CcOracleRounds GROUP BY label)"""
+
+  /** Round unroll budget for the robustness oracle: with pointer
+    * jumping the label frontier roughly DOUBLES per materialized
+    * round, and the sf0.01 half-year graph fixpoints in 9 (measured),
+    * so 16 is multiplicative headroom, not 2× — the same fixed-unroll-
+    * past-the-fixpoint exactness argument as [[KcoreOracleRounds]]. */
+  private val CcOracleRounds = 16
+
   /** GRAPH ROBUSTNESS AUDIT — targeted-attack tolerance (Albert–
     * Jeong–Barabási): remove the top-k hubs and measure how much of
     * the graph stays connected. Scale-free graphs survive random
@@ -2429,23 +2518,22 @@ object Graph {
     * hubs". Graph: the half-year co-purchase graph; attack: the
     * top-3 degree hubs (TakeOrdered, never a global sort).
     *
-    * Rows-only by the CC contract (a shrink-to-fixpoint loop is not
-    * one DuckDB query), so it self-defends in-query: the attacked
-    * phase must not GAIN vertices, edges, or giant-component size —
-    * violations throw into the driver's err. GraphSpec pins the
-    * census on a planted hub-and-spokes fixture where removing one
-    * hub shatters the graph. */
+    * HASH-ORACLED (promoted r16): the census only needs component
+    * SIZES, and min-label propagation with pointer jumping is a
+    * monotone fixpoint over vertex-id labels — so the same
+    * fixed-unroll device as [[kcore]] replays BOTH censuses in one
+    * DuckDB statement ([[ccCensusCtes]], [[CcOracleRounds]] rounds
+    * each, prefixed f/a). Label values may differ from Spark's (both
+    * converge to the component-min, so they don't), but only sizes
+    * are aggregated. The in-query monotonicity audit stays armed: the
+    * attacked phase must not GAIN vertices, edges, or giant-component
+    * size — violations throw into the driver's err. GraphSpec pins
+    * the census on a planted hub-and-spokes fixture where removing
+    * one hub shatters the graph. */
   val graphRobustness: Q = Q(
     "q_graph_robustness",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "h1"))
-      val und = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val und = coEdges(s, dir, "h1")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hubs = und.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy("x").agg(count(lit(1)).as("d"))
@@ -2473,7 +2561,40 @@ object Graph {
           s"robustness audit violated monotonicity: full=$f attacked=$a")
       out
     },
-    None)
+    Some(s"""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1995-07-01'),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      hubs AS MATERIALIZED (
+        SELECT x FROM (
+          SELECT x, count(*) AS d FROM (
+            SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+          GROUP BY x)
+        ORDER BY d DESC, x ASC LIMIT 3),
+      att AS MATERIALIZED (
+        SELECT u, v FROM und
+        WHERE u NOT IN (SELECT x FROM hubs)
+          AND v NOT IN (SELECT x FROM hubs)),""" +
+      ccCensusCtes("f", "und") + "," + ccCensusCtes("a", "att") + s"""
+      SELECT * FROM (
+        SELECT '1_full' AS phase,
+               CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_vertices,
+               (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+               CAST(coalesce(max(sz), 0) AS BIGINT) AS largest_cc,
+               CAST(count(*) AS BIGINT) AS n_components
+        FROM fcomp
+        UNION ALL
+        SELECT '2_attacked' AS phase,
+               CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_vertices,
+               (SELECT CAST(count(*) AS BIGINT) FROM att) AS n_edges,
+               CAST(coalesce(max(sz), 0) AS BIGINT) AS largest_cc,
+               CAST(count(*) AS BIGINT) AS n_components
+        FROM acomp)
+      ORDER BY phase"""))
 
   /** DIAMETER LOWER BOUND via the double sweep (Magnien–Latapy–Habib):
     * BFS from a pinned start u, then BFS again from the farthest
@@ -2536,14 +2657,7 @@ object Graph {
   val diameterLb: Q = Q(
     "q_diameter_lb",
     (s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "2y"))
-      val und = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val und = coEdges(s, dir, "2y")
       doubleSweep(und.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(und.select(col("v").as("src"), col("u").as("dst"))))
     },

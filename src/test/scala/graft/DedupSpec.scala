@@ -408,4 +408,37 @@ class DedupSpec extends SparkSpec {
     // emission floor respected
     assert(out.forall(_._3 >= 250000L))
   }
+
+  test("canonical election: hand-built cluster elects the known winner") {
+    import org.apache.spark.sql.functions._
+    // cluster 1: doc 11 and 12 tie on quality 9 — LOWER id wins;
+    // cluster 2: doc 21 strictly richest; cluster 3: a singleton
+    val members = Seq(
+      (1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 9L),
+      (2L, 20L, 3L), (2L, 21L, 7L),
+      (3L, 30L, 4L)).toDF("cluster", "doc_id", "n_tokens")
+    val got = Dedup.electKeepers(members).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(10L -> 0L, 11L -> 1L, 12L -> 0L,
+      20L -> 0L, 21L -> 1L, 30L -> 1L))
+  }
+
+  test("canonical minhash query: planted copies cluster with sources, one keeper each") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_dedup_canonical_minhash")(spark, sf001)
+      .persist()
+    val rows = out.collect()
+    val byDoc = rows.map(r => r.getLong(1) -> r.getLong(0)).toMap
+    // every planted near-copy landed in its source's cluster (the
+    // in-query floor throws otherwise, but pin the labels here too)
+    for (id <- 0L until 10L if byDoc.contains(id))
+      assert(byDoc(id + 1000000L) == byDoc(id),
+        s"planted ${id + 1000000L} not clustered with source $id")
+    // delete list is the complement of the keepers, one per cluster
+    val byCluster = rows.groupBy(_.getLong(0))
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.map(_.getLong(3)).sum == 1L, s"cluster $c keeper count != 1")
+    }
+    out.unpersist()
+  }
 }
