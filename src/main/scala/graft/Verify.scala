@@ -56,6 +56,7 @@ object Verify {
       "q_unigram_lm_em", "q_unigram_lm_em2", "q_unigram_lm_em3",
       "q_textrank", "q_dedup_suffix", "q_betweenness", "q_temporal_motifs",
       "q_kcore", "q_pagerank", "q_pagerank_incremental", "q_diameter_lb",
+      "q_graph_robustness", "q_dedup_canonical_minhash",
       "q_gb_step", "q_tree_depth2", "q_cv_stump", "q_random_forest",
       "q_itemsets", "q_itemsets_incremental", "q_compact_files")
     def isHeavy(name: String): Boolean =

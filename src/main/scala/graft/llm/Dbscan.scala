@@ -186,13 +186,17 @@ object Dbscan {
     *
     * The centroid inventory is FROZEN at bootstrap (production
     * freezes the quantizer; retraining shifts every block boundary),
-    * which is what makes incremental ≡ full EXACT — asserted IN-QUERY
-    * two ways (the q_stream_kcore_deg discipline): the maintained
-    * degree table full-outer-matches a from-scratch recount, and the
-    * state∪delta pair set full-outer-matches the from-scratch blocked
-    * join over the union corpus. Plus the planted-blob structural
-    * floor on the final clustering. Rows-only by contract (trained
-    * centroids aren't SQL-expressible). */
+    * which is what makes incremental ≡ full EXACT. The in-query
+    * defense is the maintained-degree proof (the degree table
+    * full-outer-matches a recount over the state∪delta pair set —
+    * pair-domain cost) plus the planted-blob structural floor; the
+    * heavier pair-store ≡ from-scratch-blocked-join equivalence is
+    * replayed in DbscanSpec at two-batch depth instead of in-query
+    * (the q_bitemporal_incremental precedent, SURVEY §8 r15: paying
+    * the full quadratic recompute inside the DECLARED incremental
+    * query made "incremental" a wall-clock lie — the proof belongs
+    * to the spec, the floor to the query). Rows-only by contract
+    * (trained centroids aren't SQL-expressible). */
   val dbscanIncremental: Q = Q(
     "q_dbscan_incremental",
     (s, dir) => {
@@ -249,16 +253,6 @@ object Dbscan {
       if (degMismatch != 0L)
         throw new IllegalStateException(
           s"incremental degree table diverged on $degMismatch ids")
-      // in-query proof 2: state + delta pairs == from-scratch blocked
-      // join over the union corpus under the frozen assignment
-      val fullPairs = pairsAmongAssigned(allA, allA, 0.95)
-      val pairMismatch = allPairs.withColumn("m", lit(1))
-        .join(fullPairs.withColumn("f", lit(1)),
-          Seq("vec_a", "vec_b"), "full_outer")
-        .filter(col("m").isNull || col("f").isNull).count()
-      if (pairMismatch != 0L)
-        throw new IllegalStateException(
-          s"pair store diverged from full recompute on $pairMismatch pairs")
       val points = hist.unionByName(delta)
       val perPoint = handles.track(
         dbscanFromDegrees(points, allPairs, incrDeg, minPts = 10,

@@ -125,35 +125,43 @@ object Graph {
     * graph query. The basket census ([[checkedBasket]]) still guards
     * the self-join inside the build. Same staleness contract as
     * [[graft.Staging]]: one application = one corpus snapshot. */
+  /** The store-BUILD plan (windowed scan → distinct baskets →
+    * order-keyed self-join → pair counts), package-visible so
+    * PlanSpec can audit its join shape (hash join on the order key,
+    * never a nested loop) now that consumer plans only show the
+    * store scan. */
+  private[graft] def coPairsBuildPlan(s: SparkSession, dir: String,
+      window: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+    val windowed = window match {
+      case "all" => base
+      case "h1" => base.where(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+      case "2y" => base.where(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      case "y1995" => base.filter(
+        col("l_shipdate").between("1995-01-01", "1995-12-31"))
+      case other => throw new IllegalArgumentException(
+        s"unknown co-purchase window tag '$other'")
+    }
+    val op = windowed
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .transform(bk(dir, window))
+    op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("co"))
+  }
+
   def coPairs(s: SparkSession, dir: String, window: String): DataFrame = {
     val path = graft.Staging.dir(s,
       s"graft_coedges_${window}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     val lock = coStoreLocks.computeIfAbsent(path, _ => new Object)
     lock.synchronized {
-      if (!graft.Staging.ready(s, path)) {
-        val base = t(s, dir, "lineitem")
-        val windowed = window match {
-          case "all" => base
-          case "h1" => base.where(
-            col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
-          case "2y" => base.where(
-            col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-          case "y1995" => base.filter(
-            col("l_shipdate").between("1995-01-01", "1995-12-31"))
-          case other => throw new IllegalArgumentException(
-            s"unknown co-purchase window tag '$other'")
-        }
-        val op = windowed
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-          .transform(bk(dir, window))
-        op.as("a").join(op.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("co"))
-          .write.mode("overwrite").parquet(path)
-      }
+      if (!graft.Staging.ready(s, path))
+        coPairsBuildPlan(s, dir, window).write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
   }

@@ -289,10 +289,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("co-purchase self-join is order-keyed (hash join, no nested loop)") {
+    // r16: the self-join moved into the shared staged store build —
+    // audit the BUILD plan for the join shape, and the consumer plan
+    // for the new scale property (a store scan, no join at all)
+    val build = finalPlan(ops.Graph.coPairsBuildPlan(spark, sf001, "all"))
+    assert(build.contains("Join"), build)
+    assert(!build.contains("CartesianProduct"), build)
+    assert(!build.contains("BroadcastNestedLoopJoin"), build)
     val p = finalPlan(q("q_copurchase"))
-    assert(p.contains("Join"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 

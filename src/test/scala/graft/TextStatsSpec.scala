@@ -561,4 +561,26 @@ class TextStatsSpec extends SparkSpec {
       assert(nf >= ni, "every island holds >= 1 fingerprint")
     }
   }
+
+  test("eval contamination: planted verbatim leak reports full coverage; clean evals bounded") {
+    val rows = llm.TextStats.contamination.fn(spark, sf001).collect()
+    // exactly one synthetic eval doc (the planted leak), coverage 1000‰
+    val planted = rows.filter(_.getLong(0) >= 1000000L)
+    assert(planted.length == 1, "exactly one planted eval doc")
+    val p = planted.head
+    assert(p.getAs[Long]("coverage_permille") == 1000L,
+      s"verbatim leak coverage ${p.getAs[Long]("coverage_permille")}")
+    assert(p.getAs[Long]("longest_span_tokens") >= 50L)
+    assert(p.getAs[Long]("n_contaminators") >= 1L)
+    // report covers EVERY eval doc (left join semantics), with sane bounds
+    rows.foreach { r =>
+      val (tot, m) = (r.getAs[Long]("total_fp"), r.getAs[Long]("matched_fp"))
+      assert(tot >= 1L, s"eval doc ${r.getLong(0)} lost its fingerprints")
+      assert(m >= 0L && m <= tot, s"matched $m outside [0, $tot]")
+      assert(r.getAs[Long]("coverage_permille") == 1000L * m / tot)
+    }
+    // the natural eval slice is the mod-17 residue class, all present
+    val naturals = rows.filter(_.getLong(0) < 1000000L).map(_.getLong(0))
+    assert(naturals.forall(_ % 17 == 0))
+  }
 }
