@@ -171,6 +171,39 @@ object Graph {
   def coEdges(s: SparkSession, dir: String, window: String): DataFrame =
     coPairs(s, dir, window).select(col("u"), col("v"))
 
+  /** Staged CUSTOMER↔SUPPLIER BIPARTITE PAIR STORE `(c, p)` — the
+    * second shared graph input: six queries (pagerank, label_prop and
+    * its staged state, hits, modularity, luby_mis) build the identical
+    * distinct (customer, supplier) pair list from lineitem ⋈ orders;
+    * windows "all" (full history) and "m1" (January 1995, the
+    * per-level-round demos' sparser slice) are staged separately,
+    * same device and staleness contract as [[coPairs]]. Consumers
+    * apply their own vertex encodings (2k / 2k+1) on the store scan. */
+  def csPairs(s: SparkSession, dir: String, window: String): DataFrame = {
+    val path = graft.Staging.dir(s,
+      s"graft_csedges_${window}_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val lock = coStoreLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!graft.Staging.ready(s, path)) {
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val base = t(s, dir, "lineitem")
+        val l = window match {
+          case "all" => base.select(col("l_orderkey"), col("l_suppkey"))
+          case "m1" => base
+            .filter(col("l_shipdate") >= lit("1995-01-01") &&
+              col("l_shipdate") < lit("1995-02-01"))
+            .select(col("l_orderkey"), col("l_suppkey"))
+          case other => throw new IllegalArgumentException(
+            s"unknown customer-supplier window tag '$other'")
+        }
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   /** Staged TEMPORAL co-purchase edges `(u, v, t)` for the pinned 2y
     * window — the (u, v) pair plus the order date (days since
     * 1995-01-01) of each order that co-purchased them, distinct. The
@@ -325,10 +358,7 @@ object Graph {
   val pagerank: Q = Q(
     "q_pagerank",
     (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+      val cs = csPairs(s, dir, "all")
       val edges = cs.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
         .unionAll(cs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
       pageRank(edges, 5).select(
@@ -982,10 +1012,7 @@ object Graph {
       val stateDir = graft.Staging.dir(s,
         "graft_labelprop_state_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       if (!graft.Staging.ready(s, s"$stateDir/traj")) {
-        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+        val cs = csPairs(s, dir, "all")
         val hist = cs.filter((col("c") * 131 + col("p")) % 2048 =!= 7)
         val delta = cs.filter((col("c") * 131 + col("p")) % 2048 === 7)
         def sym(df: DataFrame): DataFrame =
@@ -1037,10 +1064,7 @@ object Graph {
   val labelPropagation: Q = Q(
     "q_label_prop",
     (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+      val cs = csPairs(s, dir, "all")
       val edges = cs.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
         .unionAll(cs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
       labelProp(edges, 3).select(
@@ -1900,10 +1924,8 @@ object Graph {
   val hitsQ: Q = Q(
     "q_hits",
     (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst")).distinct()
+      val cs = csPairs(s, dir, "all")
+        .select(col("c").as("src"), col("p").as("dst"))
       hits(cs, 2)
     },
     Some("""
@@ -2801,13 +2823,7 @@ object Graph {
   val modularityQ: Q = Q(
     "q_modularity",
     (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1995-01-01") &&
-          col("l_shipdate") < lit("1995-02-01"))
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+      val cs = csPairs(s, dir, "m1")
       val edges = cs.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
         .unionAll(cs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
       // labelProp checkpoints its own lineage; the rollup re-derives
@@ -2943,13 +2959,7 @@ object Graph {
   val lubyMisQ: Q = Q(
     "q_luby_mis",
     (s, dir) => {
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1995-01-01") &&
-          col("l_shipdate") < lit("1995-02-01"))
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val cs = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("p")).distinct()
+      val cs = csPairs(s, dir, "m1")
       val edges = cs.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
         .unionAll(cs.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
       val raw = lubyMis(edges, MisRounds)
