@@ -263,14 +263,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("BM25: query-term prune is a broadcast hash join, no cartesian anywhere") {
-    for (name <- Seq("q_bm25_topk", "q_hybrid_rrf", "q_hard_negatives")) {
-      val p = finalPlan(q(name))
+    // q_bm25_topk still builds its ranking inline; the doc-as-query
+    // family's prune moved into the staged ranking-store BUILD (r16),
+    // so audit the build plan directly for the broadcast prune
+    for (df <- Seq(q("q_bm25_topk"),
+        llm.Retrieval.lexRanked(spark, Tables.load(spark, sf001, "documents"), 20))) {
+      val p = finalPlan(df)
       // the corpus-sized postings frame must meet the (tiny) query
       // term set through a broadcast hash join — the prune that keeps
       // everything downstream query-sized at 100 TB; the only
       // permitted nested-loop broadcast is the 1-row corpus stats
-      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // store-backed consumers: tiny staged-ranking scans, no cartesian
+    for (name <- Seq("q_hybrid_rrf", "q_hard_negatives")) {
+      val p = finalPlan(q(name))
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(p.contains("Parquet"), s"$name:\n$p")
     }
   }
 
