@@ -245,19 +245,39 @@ object Dedup {
           (if (mutate) concat(col("text"), lit(" graftplanteddup"))
            else col("text")).as("text")))
 
+  private val minhashStoreLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Staged PLANTED-MINHASH PAIR STORE: q_dedup_minhash and
+    * q_dedup_canonical_minhash verify the IDENTICAL pair list
+    * (the planted corpus at the 0.5 threshold) — the
+    * [[graft.ops.Graph.coPairs]] device applied here so the
+    * shingle/signature/band/verify pipeline runs once per
+    * application. Longs and the IEEE-double jaccard round-trip
+    * parquet bit-exactly; both consumers re-assert their own floors
+    * on the store read, so a corrupt store still throws. Same
+    * staleness contract as [[graft.Staging]]. */
+  def plantedMinhashPairsMemo(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.dir(s,
+      "graft_mhpairs_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val lock = minhashStoreLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!graft.Staging.ready(s, path)) {
+        val handles = new graft.CacheHandles
+        try minhashPairs(withPlanted(t(s, dir, "documents"), mutate = true),
+            handles = handles)
+          .write.mode("overwrite").parquet(path)
+        finally handles.releaseAll()
+      }
+    }
+    s.read.parquet(path)
+  }
+
   val minhashLsh: Q = Q(
     "q_dedup_minhash",
-    (s, dir) => {
-      val handles = new graft.CacheHandles
-      val out = RecallAudit.assertPlantedPairs(
-        minhashPairs(withPlanted(t(s, dir, "documents"), mutate = true),
-          handles = handles),
-        "doc_a", "doc_b", plantN = 10, what = "MinHash-LSH")
-      // the floor assert materialized (and cached) the result, so the
-      // shingle/signature intermediates are dead weight — release them
-      handles.releaseAll()
-      out
-    },
+    (s, dir) => RecallAudit.assertPlantedPairs(
+      plantedMinhashPairsMemo(s, dir),
+      "doc_a", "doc_b", plantN = 10, what = "MinHash-LSH"),
     None)
 
   /** SimHash near-duplicate pairs: 64-bit signature from token hashes
@@ -958,7 +978,7 @@ object Dedup {
         withPlanted(t(s, dir, "documents"), mutate = true)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val pairs = handles.track(
-        minhashPairs(docs, handles = handles)
+        plantedMinhashPairsMemo(s, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val verts = pairs
         .select(explode(array(col("doc_a"), col("doc_b"))).as("id")).distinct()

@@ -681,6 +681,157 @@ object TextStats {
       LEFT JOIN perdoc ON perdoc.ed = etot.ed
       ORDER BY eval_doc"""))
 
+  private val evalFpStoreLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** BATCH DECONTAMINATION — the INCREMENTAL direction of
+    * [[contamination]], and the operator a production crawl pipeline
+    * actually runs per ingest batch: the held-out eval set is FIXED,
+    * its winnowing fingerprints are computed once and staged (the
+    * [[graft.ops.Graph.coPairs]] staging device — at 100 TB the eval
+    * store is built once and every incoming batch joins against it,
+    * never re-fingerprinting the benchmark), and each new crawl batch
+    * is audited against the store: per batch doc, how many of its
+    * selected fingerprints appear in the eval set, and a keep/drop
+    * decision at the pinned 500‰ coverage threshold.
+    *
+    * Batch construction: a pinned slice of the corpus
+    * (doc_id ≡ 9 mod 16, outside the eval residue class) plays the
+    * incoming crawl, plus a PLANTED verbatim copy of the longest eval
+    * document at doc_id + 3e6 — a crawl doc that leaks benchmark
+    * content, exactly what the operator exists to catch. Floor: the
+    * planted doc must report ≥ 900‰ coverage AND decision 'drop',
+    * asserted in-query. Fully hash-oracled (the oracle recomputes the
+    * store side from scratch — staging must be invisible).
+    *
+    * Eval-side stop-fingerprints are pruned at df > max(10,
+    * |eval|/10) before staging (boilerplate shared across a tenth of
+    * the benchmark is navigation/template text, and the prune bounds
+    * the join fan-out per hash); the store carries the DISTINCT rare
+    * hash set — per-eval-doc multiplicity is irrelevant to the
+    * per-batch-doc match count, which dedups on (batch_doc, hash). */
+  val decontaminateBatch: Q = Q(
+    "q_decontaminate_batch",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalDocs = docs.filter(col("doc_id") % 17 === 0)
+      val path = graft.Staging.dir(s,
+        "graft_evalfp_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      val lock = evalFpStoreLocks.computeIfAbsent(path, _ => new Object)
+      lock.synchronized {
+        if (!graft.Staging.ready(s, path)) {
+          val evfp0 = winnowSelect(evalDocs)
+            .select(col("doc_id"), col("ghash")).distinct()
+          val cap = math.max(10L, evalDocs.count() / 10L)
+          evfp0.groupBy("ghash")
+            .agg(countDistinct(col("doc_id")).as("df"))
+            .filter(col("df") <= cap)
+            .select("ghash")
+            .write.mode("overwrite").parquet(path)
+        }
+      }
+      val evalHashes = s.read.parquet(path)
+      val planted = evalDocs
+        .orderBy(size(split(trim(col("text")), "\\s+")).desc, col("doc_id").asc)
+        .limit(1)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text"))
+      val batch = docs
+        .filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 16 === 9)
+        .unionByName(planted)
+      val dfp = winnowSelect(batch)
+        .select(col("doc_id"), col("ghash")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val matched = dfp.join(evalHashes, Seq("ghash"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("matched_fp"))
+      val out = dfp.groupBy("doc_id").agg(count(lit(1)).as("total_fp"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id").as("batch_doc"), col("total_fp"),
+          coalesce(col("matched_fp"), lit(0L)).as("matched_fp"))
+        .withColumn("coverage_permille",
+          expr("(1000 * matched_fp) div total_fp"))
+        .withColumn("decision",
+          when(col("coverage_permille") >= 500, "drop").otherwise("keep"))
+        .orderBy("batch_doc")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val audit = out.filter(col("batch_doc") >= 3000000L).collect()
+      if (audit.length != 1)
+        throw new IllegalStateException(
+          s"decontamination audit: expected 1 planted batch doc, got ${audit.length}")
+      val (cov, dec) = (audit(0).getAs[Long]("coverage_permille"),
+        audit(0).getAs[String]("decision"))
+      if (cov < 900L || dec != "drop")
+        throw new IllegalStateException(
+          s"decontamination recall degraded: planted verbatim eval leak " +
+            s"reported ${cov}‰ / '$dec' (floor 900‰ / 'drop')")
+      dfp.unpersist()
+      out
+    },
+    Some("""
+      WITH eval_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+      delta_base AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 17 <> 0 AND doc_id % 16 = 9),
+      planted AS (
+        SELECT doc_id + 3000000 AS doc_id, text FROM eval_docs
+        ORDER BY len(regexp_split_to_array(trim(text), '\s+')) DESC, doc_id
+        LIMIT 1),
+      base AS (
+        SELECT doc_id, text FROM eval_docs
+        UNION ALL SELECT doc_id, text FROM delta_base
+        UNION ALL SELECT doc_id, text FROM planted),
+      toks AS (
+        SELECT doc_id, i AS gpos, arr[i] AS tok FROM (
+          SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+            FROM base WHERE trim(text) <> ''))),
+      grams AS (
+        SELECT doc_id, gpos, CAST('0x' || substr(md5(tok || ' ' || t2 || ' ' || t3), 1, 10)
+                 AS BIGINT) AS ghash,
+               CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS gcnt
+        FROM (
+          SELECT doc_id, gpos, tok,
+                 lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY gpos) AS t2,
+                 lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY gpos) AS t3
+          FROM toks)
+        WHERE t3 IS NOT NULL),
+      comb AS (
+        SELECT doc_id, gpos, gcnt,
+               ghash * 1048576 + (1048575 - gpos) AS comb
+        FROM grams),
+      wmin AS (
+        SELECT doc_id, gpos, gcnt,
+               min(comb) OVER (PARTITION BY doc_id ORDER BY gpos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM comb),
+      starts AS (
+        SELECT doc_id, wmin FROM wmin
+        WHERE gpos <= gcnt - 3 OR (gpos = 1 AND gcnt < 4)),
+      sel AS (SELECT DISTINCT doc_id, wmin // 1048576 AS ghash FROM starts),
+      evfp0 AS (
+        SELECT * FROM sel WHERE doc_id % 17 = 0 AND doc_id < 3000000),
+      rare AS (
+        SELECT ghash FROM (
+          SELECT ghash, count(DISTINCT doc_id) AS df FROM evfp0 GROUP BY ghash)
+        WHERE df <= greatest(10, (SELECT count(*) FROM eval_docs) // 10)),
+      dfp AS (
+        SELECT * FROM sel WHERE doc_id % 17 <> 0 OR doc_id >= 3000000),
+      m AS (
+        SELECT DISTINCT d.doc_id, d.ghash
+        FROM dfp d JOIN rare e ON d.ghash = e.ghash),
+      mc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_fp
+             FROM m GROUP BY doc_id),
+      dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_fp
+             FROM dfp GROUP BY doc_id)
+      SELECT dt.doc_id AS batch_doc, total_fp,
+             CAST(coalesce(matched_fp, 0) AS BIGINT) AS matched_fp,
+             CAST((1000 * coalesce(matched_fp, 0)) // total_fp AS BIGINT)
+               AS coverage_permille,
+             CASE WHEN (1000 * coalesce(matched_fp, 0)) // total_fp >= 500
+                  THEN 'drop' ELSE 'keep' END AS decision
+      FROM dt LEFT JOIN mc ON mc.doc_id = dt.doc_id
+      ORDER BY batch_doc"""))
+
   /** Vocabulary building: corpus-wide token frequencies, top-100.
     * The tokenizer-training / vocab-pruning primitive. Shape: explode
     * → two-level hash aggregate — the map-side partial collapses each
@@ -2801,7 +2952,7 @@ object TextStats {
 
   val all: Seq[Q] = Seq(tokenCount, quality, langId, fingerprint,
     repetitionRatio, rollingFingerprint, winnowing, winnowSpans,
-    contamination, vocabTopK,
+    contamination, decontaminateBatch, vocabTopK,
     oovRate, lmSurprisal,
     ngramNovelty, vocabNucleus, klDivergence, heldoutPerplexity,
     bigramPerplexity, unigramEntropy, qualityGate, topicTerms, compressRatio,

@@ -583,4 +583,23 @@ class TextStatsSpec extends SparkSpec {
     val naturals = rows.filter(_.getLong(0) < 1000000L).map(_.getLong(0))
     assert(naturals.forall(_ % 17 == 0))
   }
+
+  test("batch decontamination: planted eval leak dropped; decisions consistent") {
+    val rows = llm.TextStats.decontaminateBatch.fn(spark, sf001).collect()
+    val planted = rows.filter(_.getLong(0) >= 3000000L)
+    assert(planted.length == 1, "exactly one planted batch doc")
+    assert(planted.head.getAs[String]("decision") == "drop")
+    assert(planted.head.getAs[Long]("coverage_permille") >= 900L)
+    rows.foreach { r =>
+      val (tot, m, cov) = (r.getAs[Long]("total_fp"), r.getAs[Long]("matched_fp"),
+        r.getAs[Long]("coverage_permille"))
+      assert(m >= 0L && m <= tot)
+      assert(cov == 1000L * m / tot)
+      assert(r.getAs[String]("decision") == (if (cov >= 500L) "drop" else "keep"),
+        s"decision inconsistent for batch doc ${r.getLong(0)}")
+    }
+    // the batch is the pinned crawl slice plus the plant — nothing else
+    assert(rows.filter(_.getLong(0) < 3000000L)
+      .forall(r => r.getLong(0) % 17 != 0 && r.getLong(0) % 16 == 9))
+  }
 }
