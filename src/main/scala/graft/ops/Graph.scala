@@ -2573,8 +2573,23 @@ object Graph {
         .join(broadcast(hubs).withColumnRenamed("x", "u"), Seq("u"), "left_anti")
         .join(broadcast(hubs).withColumnRenamed("x", "v"), Seq("v"), "left_anti")
         .select("u", "v")
-      val full = componentCensus(und).withColumn("phase", lit("1_full"))
-      val after = componentCensus(attacked).withColumn("phase", lit("2_attacked"))
+      // materialize the shared edge cache, then run the two CC
+      // fixpoints CONCURRENTLY: each census loop is round-barrier
+      // scheduling-bound (the cluster is idle between rounds), the
+      // two graphs are independent, and Spark's scheduler interleaves
+      // jobs from two driver threads — wall-clock approaches
+      // max(census) instead of sum(census). Results are per-graph
+      // deterministic, so the union is order-independent.
+      und.count()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fullF = Future(
+        componentCensus(und).withColumn("phase", lit("1_full")))
+      val afterF = Future(
+        componentCensus(attacked).withColumn("phase", lit("2_attacked")))
+      val full = Await.result(fullF, Duration.Inf)
+      val after = Await.result(afterF, Duration.Inf)
       val out = full.unionAll(after)
         .select("phase", "n_vertices", "n_edges", "largest_cc", "n_components")
         .orderBy("phase")
