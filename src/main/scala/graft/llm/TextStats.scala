@@ -292,6 +292,45 @@ object TextStats {
       .distinct()
   }
 
+  private val winnowStoreLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** STAGED CORPUS WINNOWING-FINGERPRINT STORE — the winnowing
+    * substrate computed ONCE per application and parquet-staged (the
+    * [[graft.ops.Graph.coPairs]] / [[graft.llm.Similarity]] staging
+    * device): the full [[winnowSelect]] frame `(doc_id, pos, ghash)`
+    * over the `documents` table of `dir`. Four queries consume it —
+    * [[winnowing]], [[winnowSpans]], [[contamination]],
+    * [[decontaminateBatch]] — and before staging, the posexplode +
+    * md5 + four-window selection pipeline over the whole corpus ran
+    * up to SEVEN times per round across them (VERDICT r16: the
+    * triple recompute inside q_eval_contamination alone made it the
+    * bench's single most expensive query, with a GCLocker
+    * allocation-stall warning in the driver log).
+    *
+    * Planted verbatim copies need no re-fingerprinting either:
+    * winnowing is a pure PER-DOCUMENT function of the text, so a
+    * copy's selected set IS its source's store rows doc_id-shifted —
+    * the contamination queries derive their plants from the store
+    * instead of re-running the pipeline over corpus+plant unions.
+    * Longs round-trip parquet bit-exactly, so store vs inline is
+    * value-identical and every consumer hash is unchanged; the
+    * DuckDB oracles recompute the selection from scratch, proving
+    * the staging invisible. Same staleness contract as
+    * [[graft.Staging]]: one application = one corpus snapshot. */
+  private def winnowStore(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Staging.dir(s,
+      "graft_winnowfp_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val lock = winnowStoreLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!graft.Staging.ready(s, path))
+        winnowSelect(t(s, dir, "documents").select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("gpos").as("pos"), col("ghash"))
+          .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Driver query: per-document winnowing census — gram count, window
     * count, selected-fingerprint count, xor digest of the selected
     * hashes, and selection density. Fully hash-oracled: every step is
@@ -302,7 +341,7 @@ object TextStats {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val sel = winnowSelect(docs)
+      val sel = winnowStore(s, dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fingerprints"),
           expr("bit_xor(ghash)").as("fp_digest"))
@@ -390,8 +429,8 @@ object TextStats {
     "q_winnow_spans",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val sel = winnowSelect(t(s, dir, "documents"))
-        .select(col("doc_id"), col("gpos").as("pos"), col("ghash"))
+      val sel = winnowStore(s, dir)
+        .select(col("doc_id"), col("pos"), col("ghash"))
       val rare = sel.groupBy("ghash")
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") <= 10)
@@ -509,44 +548,64 @@ object TextStats {
     *
     * PLANTED LEAK floor: the longest corpus document (max gram count,
     * min-doc_id tiebreak — deterministic in both engines) is copied
-    * verbatim into the eval side at doc_id + 1e6. An exact copy
-    * shares every selected fingerprint with its source on diagonal 0,
-    * so its row must report coverage ≥ 900‰ and a span covering most
-    * of the document — asserted in-query before any row ships, the
-    * same planted-copy discipline as the dedup family.
+    * verbatim into the eval side at doc_id + offset, where the
+    * offset is DERIVED as max(doc_id)+1 on both engines (ADVICE r16:
+    * a fixed 1e6 offset collides with genuine ids once the corpus
+    * reaches a million documents, silently flipping real docs to the
+    * eval side — the derived offset can never collide). An exact
+    * copy shares every selected fingerprint with its source on
+    * diagonal 0, so its row must report coverage ≥ 900‰ and a span
+    * covering most of the document — asserted in-query before any
+    * row ships, the same planted-copy discipline as the dedup
+    * family. The copy's fingerprints come straight from the staged
+    * store (winnowing is per-document, so the verbatim copy's
+    * selected set IS its source's rows id-shifted) — nothing
+    * re-fingerprints.
     *
-    * Stop-fingerprints are pruned at df > max(10, |corpus|/50) —
-    * SCALE-RELATIVE, unlike [[winnowSpans]]'s fixed 10: a fixed cap
-    * prunes legitimate leak evidence as the corpus grows (at sf0.1 it
-    * cost the planted copy a third of its fingerprints — measured),
-    * while 2% of the corpus keeps the join fan-out bounded per hash
-    * AND keeps recall scale-stable. Fully hash-oracled: every step is
-    * in the Spark∩DuckDB dialect proven by q_winnowing/q_winnow_spans.
+    * Stop-fingerprints are pruned at df > max(10, |fingerprinted
+    * corpus docs|/50) — SCALE-RELATIVE, unlike [[winnowSpans]]'s
+    * fixed 10: a fixed cap prunes legitimate leak evidence as the
+    * corpus grows (at sf0.1 it cost the planted copy a third of its
+    * fingerprints — measured), while 2% of the corpus keeps the join
+    * fan-out bounded per hash AND keeps recall scale-stable; the
+    * denominator is read from the store (distinct fingerprinted
+    * docs), not another corpus scan. Fully hash-oracled: every step
+    * is in the Spark∩DuckDB dialect proven by
+    * q_winnowing/q_winnow_spans, and the oracle recomputes the
+    * selection from scratch — staging stays invisible.
     *
-    * Scale shape: winnowing is per-doc windowed work; the cross-side
-    * match joins only SELECTED fingerprints (≈2/(w+1) of gram volume)
-    * with df-capped fan-out; islands/spans are per (eval, corpus,
-    * diagonal) windows — nothing all-pairs, nothing driver-side
-    * except the 1-row planted audit. */
+    * Scale shape: the winnowing pipeline runs ONCE per application
+    * ([[winnowStore]] — VERDICT r16: the inline variant recomputed
+    * it three times inside this query alone); the cross-side match
+    * joins only SELECTED fingerprints (≈2/(w+1) of gram volume) with
+    * df-capped fan-out; islands/spans are per (eval, corpus,
+    * diagonal) windows — nothing all-pairs, and driver-side only the
+    * three bounded scalars (offset, source id, df cap) plus the
+    * 1-row planted audit. */
   val contamination: Q = Q(
     "q_eval_contamination",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpusDocs = docs.filter(col("doc_id") % 17 =!= 0)
-      val planted = corpusDocs
+      val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val srcId = corpusDocs
         .orderBy(size(split(trim(col("text")), "\\s+")).desc, col("doc_id").asc)
-        .limit(1)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
-      val base = docs.unionByName(planted)
-      val sel = winnowSelect(base)
-        .select(col("doc_id"), col("gpos").as("pos"), col("ghash"))
-      val efp = sel.filter(col("doc_id") % 17 === 0 || col("doc_id") >= 1000000L)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cfp0 = sel.filter(col("doc_id") % 17 =!= 0 && col("doc_id") < 1000000L)
+        .limit(1).select(col("doc_id")).head().getLong(0)
+      val store = winnowStore(s, dir)
+      val plantedFp = store.filter(col("doc_id") === srcId)
+        .select((col("doc_id") + lit(offset)).as("doc_id"), col("pos"),
+          col("ghash"))
+      val efp = store.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), col("pos"), col("ghash"))
+        .unionByName(plantedFp)
+      val cfp0 = store.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("pos"), col("ghash"))
       // scale-relative stop-fingerprint cap (a bounded driver scalar,
-      // like the kcore quartile probe)
-      val dfCap = math.max(10L, corpusDocs.count() / 50L)
+      // like the kcore quartile probe) — counted over the store, not
+      // via another documents scan
+      val dfCap = math.max(10L,
+        cfp0.agg(countDistinct(col("doc_id"))).head().getLong(0) / 50L)
       val rare = cfp0.groupBy("ghash")
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") <= dfCap)
@@ -582,7 +641,7 @@ object TextStats {
         .orderBy("eval_doc")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // planted-leak audit: 1-row bounded collect
-      val audit = out.filter(col("eval_doc") >= 1000000L).collect()
+      val audit = out.filter(col("eval_doc") >= offset).collect()
       if (audit.length != 1)
         throw new IllegalStateException(
           s"contamination audit: expected exactly 1 planted eval doc, got ${audit.length}")
@@ -595,10 +654,11 @@ object TextStats {
       out
     },
     Some("""
-      WITH corpus_docs AS (
+      WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      corpus_docs AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
       planted AS (
-        SELECT doc_id + 1000000 AS doc_id, text FROM corpus_docs
+        SELECT doc_id + (SELECT m + 1 FROM mx) AS doc_id, text FROM corpus_docs
         ORDER BY len(regexp_split_to_array(trim(text), '\s+')) DESC, doc_id
         LIMIT 1),
       base AS (
@@ -636,12 +696,15 @@ object TextStats {
                1048575 - (wmin % 1048576) AS pos,
                wmin // 1048576 AS ghash
         FROM starts),
-      efp AS (SELECT * FROM sel WHERE doc_id % 17 = 0 OR doc_id >= 1000000),
-      cfp0 AS (SELECT * FROM sel WHERE doc_id % 17 <> 0 AND doc_id < 1000000),
+      efp AS (SELECT * FROM sel
+              WHERE doc_id % 17 = 0 OR doc_id > (SELECT m FROM mx)),
+      cfp0 AS (SELECT * FROM sel
+               WHERE doc_id % 17 <> 0 AND doc_id <= (SELECT m FROM mx)),
       rare AS (
         SELECT ghash FROM (
           SELECT ghash, count(DISTINCT doc_id) AS df FROM cfp0 GROUP BY ghash)
-        WHERE df <= greatest(10, (SELECT count(*) FROM corpus_docs) // 50)),
+        WHERE df <= greatest(10,
+          (SELECT count(DISTINCT doc_id) FROM cfp0) // 50)),
       cfp AS (SELECT cfp0.* FROM cfp0 JOIN rare ON rare.ghash = cfp0.ghash),
       m AS (
         SELECT e.doc_id AS ed, c.doc_id AS cd, e.pos AS pe,
@@ -698,82 +761,127 @@ object TextStats {
     * Batch construction: a pinned slice of the corpus
     * (doc_id ≡ 9 mod 16, outside the eval residue class) plays the
     * incoming crawl, plus a PLANTED verbatim copy of the longest eval
-    * document at doc_id + 3e6 — a crawl doc that leaks benchmark
-    * content, exactly what the operator exists to catch. Floor: the
-    * planted doc must report ≥ 900‰ coverage AND decision 'drop',
-    * asserted in-query. Fully hash-oracled (the oracle recomputes the
-    * store side from scratch — staging must be invisible).
+    * document at doc_id + offset (offset = max(doc_id)+1, derived on
+    * both engines — ADVICE r16, same no-collision argument as
+    * [[contamination]]) — a crawl doc that leaks benchmark content,
+    * exactly what the operator exists to catch. Floor: the planted
+    * doc must report ≥ 900‰ coverage, a shared span ≥ 50 tokens, AND
+    * decision 'drop', asserted in-query. Fully hash-oracled (the
+    * oracle recomputes the store side from scratch — staging must be
+    * invisible).
     *
     * Eval-side stop-fingerprints are pruned at df > max(10,
-    * |eval|/10) before staging (boilerplate shared across a tenth of
-    * the benchmark is navigation/template text, and the prune bounds
-    * the join fan-out per hash); the store carries the DISTINCT rare
-    * hash set — per-eval-doc multiplicity is irrelevant to the
-    * per-batch-doc match count, which dedups on (batch_doc, hash). */
+    * |fingerprinted eval docs|/10) before staging (boilerplate shared
+    * across a tenth of the benchmark is navigation/template text, and
+    * the prune bounds the join fan-out per hash). The staged store
+    * carries the rare eval fingerprints WITH their (eval_doc,
+    * position) — the span evidence (VERDICT r16 item 5) needs the
+    * eval-side positions to build alignment diagonals, and the drop
+    * decision a pipeline audits wants the longest-shared-span length
+    * next to the coverage number, not coverage alone. The per-doc
+    * match count still dedups on (batch_doc, hash), so per-eval-doc
+    * multiplicity never inflates coverage.
+    *
+    * Both sides of the match read [[winnowStore]] — nothing in this
+    * query re-runs the fingerprint pipeline; the eval store build
+    * itself is one filter + one aggregate over the staged frame. */
   val decontaminateBatch: Q = Q(
     "q_decontaminate_batch",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val evalDocs = docs.filter(col("doc_id") % 17 === 0)
+      val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val store = winnowStore(s, dir)
       val path = graft.Staging.dir(s,
         "graft_evalfp_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       val lock = evalFpStoreLocks.computeIfAbsent(path, _ => new Object)
       lock.synchronized {
         if (!graft.Staging.ready(s, path)) {
-          val evfp0 = winnowSelect(evalDocs)
-            .select(col("doc_id"), col("ghash")).distinct()
-          val cap = math.max(10L, evalDocs.count() / 10L)
-          evfp0.groupBy("ghash")
+          val evfp0 = store.filter(col("doc_id") % 17 === 0)
+          val cap = math.max(10L,
+            evfp0.agg(countDistinct(col("doc_id"))).head().getLong(0) / 10L)
+          val rare = evfp0.groupBy("ghash")
             .agg(countDistinct(col("doc_id")).as("df"))
             .filter(col("df") <= cap)
             .select("ghash")
+          evfp0.join(rare, Seq("ghash"), "left_semi")
+            .select(col("doc_id").as("eval_doc"), col("pos").as("pe"),
+              col("ghash"))
             .write.mode("overwrite").parquet(path)
         }
       }
-      val evalHashes = s.read.parquet(path)
-      val planted = evalDocs
+      val evalStore = s.read.parquet(path)
+      val srcId = evalDocs
         .orderBy(size(split(trim(col("text")), "\\s+")).desc, col("doc_id").asc)
-        .limit(1)
-        .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text"))
-      val batch = docs
+        .limit(1).select(col("doc_id")).head().getLong(0)
+      val plantedFp = store.filter(col("doc_id") === srcId)
+        .select((col("doc_id") + lit(offset)).as("doc_id"), col("pos"),
+          col("ghash"))
+      val dfp = store
         .filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 16 === 9)
-        .unionByName(planted)
-      val dfp = winnowSelect(batch)
-        .select(col("doc_id"), col("ghash")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val matched = dfp.join(evalHashes, Seq("ghash"), "left_semi")
+        .select(col("doc_id"), col("pos"), col("ghash"))
+        .unionByName(plantedFp)
+      val totals = dfp.groupBy("doc_id")
+        .agg(countDistinct(col("ghash")).as("total_fp"))
+      val matched = dfp.select(col("doc_id"), col("ghash")).distinct()
+        .join(evalStore.select("ghash").distinct(), Seq("ghash"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("matched_fp"))
-      val out = dfp.groupBy("doc_id").agg(count(lit(1)).as("total_fp"))
+      // span evidence: positional matches on alignment diagonals,
+      // gap-split islands — the q_eval_contamination machinery over
+      // the (batch doc, eval doc) pair space
+      val m = dfp.as("d")
+        .join(evalStore.as("e"), col("d.ghash") === col("e.ghash"))
+        .select(col("d.doc_id").as("bd"), col("e.eval_doc").as("ed"),
+          col("d.pos").as("pb"), (col("d.pos") - col("e.pe")).as("diag"))
+      val byDiag = Window.partitionBy("bd", "ed", "diag").orderBy("pb")
+      val spans = m
+        .withColumn("gap",
+          when(col("pb") - lag(col("pb"), 1).over(byDiag) > 4L, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("gap")).over(
+          byDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("bd", "ed", "diag", "island")
+        .agg((max(col("pb")) - min(col("pb")) + 3L).as("span_tokens"))
+        .groupBy("bd")
+        .agg(max(col("span_tokens")).as("longest_span_tokens"))
+        .withColumnRenamed("bd", "doc_id")
+      val out = totals
         .join(matched, Seq("doc_id"), "left")
+        .join(spans, Seq("doc_id"), "left")
         .select(col("doc_id").as("batch_doc"), col("total_fp"),
-          coalesce(col("matched_fp"), lit(0L)).as("matched_fp"))
+          coalesce(col("matched_fp"), lit(0L)).as("matched_fp"),
+          coalesce(col("longest_span_tokens"), lit(0L))
+            .as("longest_span_tokens"))
         .withColumn("coverage_permille",
           expr("(1000 * matched_fp) div total_fp"))
         .withColumn("decision",
           when(col("coverage_permille") >= 500, "drop").otherwise("keep"))
         .orderBy("batch_doc")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val audit = out.filter(col("batch_doc") >= 3000000L).collect()
+      val audit = out.filter(col("batch_doc") >= offset).collect()
       if (audit.length != 1)
         throw new IllegalStateException(
           s"decontamination audit: expected 1 planted batch doc, got ${audit.length}")
-      val (cov, dec) = (audit(0).getAs[Long]("coverage_permille"),
+      val (cov, span, dec) = (audit(0).getAs[Long]("coverage_permille"),
+        audit(0).getAs[Long]("longest_span_tokens"),
         audit(0).getAs[String]("decision"))
-      if (cov < 900L || dec != "drop")
+      if (cov < 900L || span < 50L || dec != "drop")
         throw new IllegalStateException(
           s"decontamination recall degraded: planted verbatim eval leak " +
-            s"reported ${cov}‰ / '$dec' (floor 900‰ / 'drop')")
-      dfp.unpersist()
+            s"reported ${cov}‰ / span $span tokens / '$dec' " +
+            s"(floor 900‰ / 50 / 'drop')")
       out
     },
     Some("""
-      WITH eval_docs AS (
+      WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      eval_docs AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
       delta_base AS (
         SELECT doc_id, text FROM documents
         WHERE doc_id % 17 <> 0 AND doc_id % 16 = 9),
       planted AS (
-        SELECT doc_id + 3000000 AS doc_id, text FROM eval_docs
+        SELECT doc_id + (SELECT m + 1 FROM mx) AS doc_id, text FROM eval_docs
         ORDER BY len(regexp_split_to_array(trim(text), '\s+')) DESC, doc_id
         LIMIT 1),
       base AS (
@@ -807,29 +915,64 @@ object TextStats {
       starts AS (
         SELECT doc_id, wmin FROM wmin
         WHERE gpos <= gcnt - 3 OR (gpos = 1 AND gcnt < 4)),
-      sel AS (SELECT DISTINCT doc_id, wmin // 1048576 AS ghash FROM starts),
+      sel AS (
+        SELECT DISTINCT doc_id,
+               1048575 - (wmin % 1048576) AS pos,
+               wmin // 1048576 AS ghash
+        FROM starts),
       evfp0 AS (
-        SELECT * FROM sel WHERE doc_id % 17 = 0 AND doc_id < 3000000),
+        SELECT * FROM sel
+        WHERE doc_id % 17 = 0 AND doc_id <= (SELECT m FROM mx)),
       rare AS (
         SELECT ghash FROM (
           SELECT ghash, count(DISTINCT doc_id) AS df FROM evfp0 GROUP BY ghash)
-        WHERE df <= greatest(10, (SELECT count(*) FROM eval_docs) // 10)),
+        WHERE df <= greatest(10,
+          (SELECT count(DISTINCT doc_id) FROM evfp0) // 10)),
+      est AS (
+        SELECT evfp0.doc_id AS ed, evfp0.pos AS pe, evfp0.ghash
+        FROM evfp0 JOIN rare ON rare.ghash = evfp0.ghash),
       dfp AS (
-        SELECT * FROM sel WHERE doc_id % 17 <> 0 OR doc_id >= 3000000),
-      m AS (
+        SELECT * FROM sel
+        WHERE doc_id % 17 <> 0 OR doc_id > (SELECT m FROM mx)),
+      mh AS (
         SELECT DISTINCT d.doc_id, d.ghash
-        FROM dfp d JOIN rare e ON d.ghash = e.ghash),
+        FROM dfp d JOIN (SELECT DISTINCT ghash FROM est) e
+          ON d.ghash = e.ghash),
       mc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_fp
-             FROM m GROUP BY doc_id),
-      dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_fp
-             FROM dfp GROUP BY doc_id)
+             FROM mh GROUP BY doc_id),
+      dt AS (SELECT doc_id, CAST(count(DISTINCT ghash) AS BIGINT) AS total_fp
+             FROM dfp GROUP BY doc_id),
+      pm AS (
+        SELECT d.doc_id AS bd, e.ed, d.pos AS pb, d.pos - e.pe AS diag
+        FROM dfp d JOIN est e ON d.ghash = e.ghash),
+      gaps AS (
+        SELECT bd, ed, diag, pb,
+               CASE WHEN pb - lag(pb, 1) OVER
+                 (PARTITION BY bd, ed, diag ORDER BY pb) > 4
+                 THEN 1 ELSE 0 END AS gap
+        FROM pm),
+      isl AS (
+        SELECT bd, ed, diag, pb,
+               sum(gap) OVER (PARTITION BY bd, ed, diag ORDER BY pb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM gaps),
+      spans AS (
+        SELECT bd, ed, diag, island, max(pb) - min(pb) + 3 AS span_tokens
+        FROM isl GROUP BY bd, ed, diag, island),
+      sp AS (
+        SELECT bd AS doc_id,
+               CAST(max(span_tokens) AS BIGINT) AS longest_span_tokens
+        FROM spans GROUP BY bd)
       SELECT dt.doc_id AS batch_doc, total_fp,
              CAST(coalesce(matched_fp, 0) AS BIGINT) AS matched_fp,
+             CAST(coalesce(longest_span_tokens, 0) AS BIGINT)
+               AS longest_span_tokens,
              CAST((1000 * coalesce(matched_fp, 0)) // total_fp AS BIGINT)
                AS coverage_permille,
              CASE WHEN (1000 * coalesce(matched_fp, 0)) // total_fp >= 500
                   THEN 'drop' ELSE 'keep' END AS decision
       FROM dt LEFT JOIN mc ON mc.doc_id = dt.doc_id
+      LEFT JOIN sp ON sp.doc_id = dt.doc_id
       ORDER BY batch_doc"""))
 
   /** Vocabulary building: corpus-wide token frequencies, top-100.

@@ -563,9 +563,13 @@ class TextStatsSpec extends SparkSpec {
   }
 
   test("eval contamination: planted verbatim leak reports full coverage; clean evals bounded") {
+    // planted-id offset is derived as max(doc_id)+1 (ADVICE r16) —
+    // recompute it here the same way to split plant from naturals
+    val maxId = Tables.load(spark, sf001, "documents")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
     val rows = llm.TextStats.contamination.fn(spark, sf001).collect()
     // exactly one synthetic eval doc (the planted leak), coverage 1000‰
-    val planted = rows.filter(_.getLong(0) >= 1000000L)
+    val planted = rows.filter(_.getLong(0) > maxId)
     assert(planted.length == 1, "exactly one planted eval doc")
     val p = planted.head
     assert(p.getAs[Long]("coverage_permille") == 1000L,
@@ -580,16 +584,20 @@ class TextStatsSpec extends SparkSpec {
       assert(r.getAs[Long]("coverage_permille") == 1000L * m / tot)
     }
     // the natural eval slice is the mod-17 residue class, all present
-    val naturals = rows.filter(_.getLong(0) < 1000000L).map(_.getLong(0))
+    val naturals = rows.filter(_.getLong(0) <= maxId).map(_.getLong(0))
     assert(naturals.forall(_ % 17 == 0))
   }
 
   test("batch decontamination: planted eval leak dropped; decisions consistent") {
+    val maxId = Tables.load(spark, sf001, "documents")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
     val rows = llm.TextStats.decontaminateBatch.fn(spark, sf001).collect()
-    val planted = rows.filter(_.getLong(0) >= 3000000L)
+    val planted = rows.filter(_.getLong(0) > maxId)
     assert(planted.length == 1, "exactly one planted batch doc")
     assert(planted.head.getAs[String]("decision") == "drop")
     assert(planted.head.getAs[Long]("coverage_permille") >= 900L)
+    // span evidence rides the drop decision (VERDICT r16 item 5)
+    assert(planted.head.getAs[Long]("longest_span_tokens") >= 50L)
     rows.foreach { r =>
       val (tot, m, cov) = (r.getAs[Long]("total_fp"), r.getAs[Long]("matched_fp"),
         r.getAs[Long]("coverage_permille"))
@@ -599,7 +607,7 @@ class TextStatsSpec extends SparkSpec {
         s"decision inconsistent for batch doc ${r.getLong(0)}")
     }
     // the batch is the pinned crawl slice plus the plant — nothing else
-    assert(rows.filter(_.getLong(0) < 3000000L)
+    assert(rows.filter(_.getLong(0) <= maxId)
       .forall(r => r.getLong(0) % 17 != 0 && r.getLong(0) % 16 == 9))
   }
 }
