@@ -961,13 +961,26 @@ object Dedup {
     * member table `(cluster, doc_id, n_tokens)`: exactly one keeper
     * per cluster by (n_tokens DESC, doc_id ASC) — highest quality
     * wins, ties to the earliest id. Factored so DedupSpec can pin a
-    * hand-built cluster with a known winner. */
+    * hand-built cluster with a known winner.
+    *
+    * Shape (VERDICT r16 item 7): a groupBy-cluster max-struct argmax
+    * plus a cluster-keyed join — NOT a per-cluster `row_number`
+    * window. The window sort puts an entire cluster in one task, so
+    * a pathological mega-cluster (a boilerplate explosion at 100 TB)
+    * serializes on one executor; the max-struct aggregate is
+    * combiner-friendly (partial argmax per map task), making the
+    * election skew-immune. max(struct(n_tokens, -doc_id)) IS the
+    * (n_tokens DESC, doc_id ASC) winner: struct ordering is
+    * lexicographic and negating the id flips its tiebreak. */
   private[graft] def electKeepers(members: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byCluster = Window.partitionBy("cluster")
-      .orderBy(col("n_tokens").desc, col("doc_id").asc)
-    members.withColumn("kept",
-      when(row_number().over(byCluster) === 1, 1L).otherwise(0L))
+    val winners = members.groupBy(col("cluster"))
+      .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id")))
+        .as("w"))
+      .select(col("cluster"), (-col("w.neg_id")).as("keeper_id"))
+    members.join(winners, Seq("cluster"))
+      .withColumn("kept",
+        when(col("doc_id") === col("keeper_id"), 1L).otherwise(0L))
+      .drop("keeper_id")
   }
 
   val dedupCanonicalMinhash: Q = Q(
