@@ -1137,13 +1137,12 @@ object Graph {
   val linkPredict: Q = Q(
     "q_link_predict",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_shipdate").between("1995-01-01", "1995-12-31"))
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .transform(bk(dir, "y1995"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("p1"), col("b.p").as("p2")).distinct()
+      // y1995 co-purchase edges from the staged pair store (ADVICE
+      // r16: this was the store's only declared window without a
+      // consumer — the inline rebuild here duplicated the exact
+      // BETWEEN-window build plan, inviting silent semantic drift)
+      val e = coEdges(s, dir, "y1995")
+        .select(col("u").as("p1"), col("v").as("p2"))
       commonNeighborScores(e)
         .orderBy(col("cn").desc, col("p1").asc, col("p2").asc)
         .limit(20)
@@ -1472,15 +1471,18 @@ object Graph {
         JOIN kp$r a ON e.u = a.x JOIN kp$r b ON e.v = b.x)"""
   }
 
-  /** Peel-round unroll budget for the q_kcore oracle: the sf0.01
-    * co-purchase graph converges in 13 rounds (measured; the peel
-    * count is a data constant of the pinned window), so 24 is ~2×
-    * margin. A fixed unroll is EXACT once past the fixpoint — extra
-    * rounds remove nothing, so e24 = the core whenever the true peel
-    * count ≤ 24 — and the Spark side throws past 32 rounds, so the
-    * only silent-divergence window is a peel count in (24, 32],
-    * impossible at harness scale by the measured 13. */
-  private val KcoreOracleRounds = 24
+  /** Peel-round unroll budget for the q_kcore oracle: 32, matching
+    * [[kCore]]'s maxRounds exactly (ADVICE r16 — at 24 there was a
+    * silent-divergence window for a peel count in (24, 32]: Spark
+    * would converge while the oracle stopped early, surfacing as a
+    * bare hash mismatch). A fixed unroll is EXACT once past the
+    * fixpoint — extra rounds remove nothing — and the Spark side
+    * throws past 32 rounds, so with matched budgets no silent window
+    * remains; an exhausted budget on the oracle side additionally
+    * emits a poison row (the convergence sentinel in the final
+    * SELECT), so it would fail self-diagnosably, not as a bare
+    * mismatch. sf0.01 converges in 13 rounds (measured). */
+  private val KcoreOracleRounds = 32
 
   /** Driver-visible k-core (k = exact lower-quartile initial degree)
     * of the pinned-window co-purchase graph: per-vertex within-core
@@ -1538,11 +1540,21 @@ object Graph {
           SELECT d, row_number() OVER (ORDER BY d, x) AS rn FROM deg0) t
         WHERE rn <= (SELECT count(*) FROM deg0) // 4 + 1),""" +
       (1 to KcoreOracleRounds).map(kcoreRoundCte).mkString(",") + s"""
-      SELECT x AS vertex, CAST(count(*) AS BIGINT) AS core_deg,
-             (SELECT CAST(k AS BIGINT) FROM kv) AS k
-      FROM (SELECT u AS x FROM e$KcoreOracleRounds
-            UNION ALL SELECT v AS x FROM e$KcoreOracleRounds)
-      GROUP BY x ORDER BY vertex"""))
+      SELECT * FROM (
+        SELECT x AS vertex, CAST(count(*) AS BIGINT) AS core_deg,
+               (SELECT CAST(k AS BIGINT) FROM kv) AS k
+        FROM (SELECT u AS x FROM e$KcoreOracleRounds
+              UNION ALL SELECT v AS x FROM e$KcoreOracleRounds)
+        GROUP BY x
+        UNION ALL
+        -- convergence sentinel: if the unroll budget was exhausted
+        -- while the peel was still shrinking, emit a poison row so
+        -- the mismatch self-diagnoses instead of hashing wrong
+        SELECT CAST(-999999 AS BIGINT), CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT)
+        WHERE (SELECT count(*) FROM e$KcoreOracleRounds) <>
+              (SELECT count(*) FROM e${KcoreOracleRounds - 1}))
+      ORDER BY vertex"""))
 
   /** K-SOURCE SAMPLED BETWEENNESS (Brandes) over a canonical
     * undirected edge list: exact single-source dependency
@@ -1606,9 +1618,24 @@ object Graph {
     // backward accumulation, level by level — LAZY cuts: the plan tree
     // stays one-round deep but nothing materializes until the caller's
     // single action (the eager variant paid a driver barrier per
-    // level, pure scheduling at harness scale)
+    // level, pure scheduling at harness scale).
+    //
+    // INTEGER MICRO-UNIT dependencies (promoted r17): each
+    // contribution is floor(σ_v·(10⁶ + δ_w) / σ_w) — an exact
+    // integer per joined row, so every grouped sum is an order-free
+    // BIGINT fold. The float variant's grouped double sums were
+    // order-sensitive in the last ulp, which is exactly what blocked
+    // the DuckDB hash oracle; with integer micro-units the whole
+    // double fixpoint is engine-reproducible and the oracle unrolls
+    // it as level CTEs. The decimal(38,0) intermediate keeps
+    // σ_v·(10⁶+δ_w) exact far past BIGINT range (DuckDB mirrors it
+    // with HUGEINT); `div` truncates and all operands are
+    // non-negative, so both engines floor identically. Floor error
+    // per contribution is < 1 µunit — invisible at the published
+    // milli resolution (GraphSpec's double-Brandes reference stays
+    // within tolerance).
     var delta = graft.Checkpoints.cut(
-      visited.select(col("src"), col("v"), lit(0.0).as("delta")), eager = false)
+      visited.select(col("src"), col("v"), lit(0L).as("delta")), eager = false)
     var d = lvl - 1
     while (d >= 0) {
       val lower = visited.filter(col("lvl") === d)
@@ -1620,28 +1647,81 @@ object Graph {
         .select(col("src"), col("v"), col("sigma"), col("b").as("w"))
         .join(upper, Seq("src", "w"))
         .groupBy("src", "v")
-        .agg(sum(col("sigma").cast("double") / col("sigma_w").cast("double") *
-          (lit(1.0) + col("delta_w"))).as("dd"))
+        .agg(sum(expr(
+          "cast(sigma as decimal(38,0)) * (1000000 + delta_w) div sigma_w"))
+          .as("dd"))
       delta = graft.Checkpoints.cut(
         delta.join(contrib, Seq("src", "v"), "left")
           .select(col("src"), col("v"),
-            (col("delta") + coalesce(col("dd"), lit(0.0))).as("delta")),
+            (col("delta") + coalesce(col("dd"), lit(0L))).as("delta")),
         eager = false)
       d -= 1
     }
     val out = delta.filter(!col("v").isin(sources: _*))
       .groupBy("v")
-      .agg(round(sum(col("delta")) * 1000, 0).cast("long").as("btw_milli"))
+      .agg(expr("sum(delta) div 1000").as("btw_milli"))
     rebind(origin, out)
   }
 
+  /** One forward BFS level of the q_betweenness oracle: expand the
+    * previous frontier along directed edges, anti-join the visited
+    * set, sum path counts per (source, vertex). Mirrors one round of
+    * [[betweenness]]'s forward loop exactly. */
+  private def btwForwardCte(i: Int): String = s"""
+      f$i AS MATERIALIZED (
+        SELECT w.src, w.v, CAST(sum(w.sigma) AS BIGINT) AS sigma FROM (
+          SELECT f.src, e.b AS v, f.sigma
+          FROM f${i - 1} f JOIN be e ON f.v = e.a) w
+        WHERE NOT EXISTS (SELECT 1 FROM vis${i - 1} p
+                          WHERE p.src = w.src AND p.v = w.v)
+        GROUP BY w.src, w.v),
+      vis$i AS MATERIALIZED (
+        SELECT src, v FROM vis${i - 1} UNION ALL SELECT src, v FROM f$i)"""
+
+  /** One backward dependency level of the q_betweenness oracle:
+    * δ(v@d) = Σ_{w: nbr @ d+1} σ_v·(10⁶+δ_w) div σ_w in HUGEINT —
+    * the same micro-integer floor-per-contribution arithmetic as the
+    * engine's decimal(38,0) pass, so the levels agree bit-exactly.
+    * Vertices with no level-(d+1) neighbor keep δ = 0 via the LEFT
+    * JOIN, like the engine's coalesce. */
+  private def btwBackwardCte(d: Int, top: Int): String =
+    if (d == top) s"""
+      dl$d AS MATERIALIZED (
+        SELECT src, v, sigma, CAST(0 AS BIGINT) AS delta FROM f$d)"""
+    else s"""
+      dl$d AS MATERIALIZED (
+        SELECT l.src, l.v, l.sigma, CAST(coalesce(c.dd, 0) AS BIGINT) AS delta
+        FROM f$d l LEFT JOIN (
+          SELECT l0.src, l0.v,
+                 sum((CAST(l0.sigma AS HUGEINT) * (1000000 + u.delta))
+                     // u.sigma) AS dd
+          FROM f$d l0 JOIN be e ON l0.v = e.a
+          JOIN dl${d + 1} u ON u.src = l0.src AND u.v = e.b
+          GROUP BY l0.src, l0.v) c
+        ON c.src = l.src AND c.v = l.v)"""
+
+  /** Depth budget for the q_betweenness oracle — must equal
+    * [[betweenness]]'s maxDepth (both sides truncate the BFS at the
+    * same horizon, so truncation itself can never diverge; levels
+    * past the true eccentricity are empty frames on both engines). */
+  private val BtwOracleDepth = 12
+
   /** Driver-visible sampled betweenness: sources = the 4 top-degree
     * hubs of the pinned-window co-purchase graph (deterministic
-    * (degree DESC, id) pick). Rows-only by contract (an iterative
-    * double accumulation is not one DuckDB query — and δ's grouped
-    * float sums are order-sensitive in the last ulp, which is why no
-    * hash is declared); floors: δ ≥ 0 everywhere and GraphSpec pins
-    * the whole pass against a sequential Brandes reference. */
+    * (degree DESC, id) pick). HASH-ORACLED (promoted r17, VERDICT
+    * r16 item 3): the float dependency pass blocked the oracle —
+    * grouped double sums are order-sensitive in the last ulp — so
+    * [[betweenness]] now accumulates INTEGER MICRO-UNIT dependencies
+    * (floor per contribution, exact BIGINT folds), and the whole
+    * two-pass fixpoint unrolls as level CTEs exactly like the
+    * q_kcore peel: [[BtwOracleDepth]] forward BFS levels
+    * ([[btwForwardCte]] — frontier expand, visited anti-join, σ
+    * sums), then the backward sweep top-down ([[btwBackwardCte]],
+    * HUGEINT mirroring the engine's decimal intermediate). Floors
+    * stay armed: δ ≥ 0 before any row ships, and GraphSpec pins the
+    * pass against a sequential double-Brandes reference (micro-floor
+    * error < 1 µunit per contribution, far inside the spec
+    * tolerance at milli resolution). */
   val betweennessQ: Q = Q(
     "q_betweenness",
     (s, dir) => {
@@ -1663,7 +1743,36 @@ object Graph {
       edges.unpersist()
       out
     },
-    None)
+    Some(s"""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1995-07-01'),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      be AS MATERIALIZED (
+        SELECT u AS a, v AS b FROM und
+        UNION ALL SELECT v AS a, u AS b FROM und),
+      deg0 AS (
+        SELECT x, count(*) AS d FROM (
+          SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+        GROUP BY x),
+      srcs AS MATERIALIZED (
+        SELECT x AS src FROM deg0 ORDER BY d DESC, x ASC LIMIT 4),
+      f0 AS MATERIALIZED (
+        SELECT src, src AS v, CAST(1 AS BIGINT) AS sigma FROM srcs),
+      vis0 AS MATERIALIZED (SELECT src, v FROM f0),""" +
+      (1 to BtwOracleDepth).map(btwForwardCte).mkString(",") + "," +
+      (0 to BtwOracleDepth).reverse
+        .map(btwBackwardCte(_, BtwOracleDepth)).mkString(",") + s""",
+      alld AS (${(0 to BtwOracleDepth)
+        .map(d => s"SELECT src, v, delta FROM dl$d")
+        .mkString(" UNION ALL ")})
+      SELECT v, CAST(sum(delta) // 1000 AS BIGINT) AS btw_milli
+      FROM alld WHERE v NOT IN (SELECT src FROM srcs)
+      GROUP BY v
+      ORDER BY btw_milli DESC, v ASC LIMIT 50"""))
 
   /** Hop-bounded Bellman–Ford — [[bfs]] generalized to WEIGHTED
     * edges: after k rounds dist(v) = the cheapest cost of any path of
@@ -2531,13 +2640,20 @@ object Graph {
         SELECT DISTINCT src AS id, src AS label FROM ${pfx}sym),""" +
       (1 to CcOracleRounds).map(ccRoundCte(pfx, _)).mkString(",") + s""",
       ${pfx}comp AS (
-        SELECT label, count(*) AS sz FROM ${pfx}l$CcOracleRounds GROUP BY label)"""
+        SELECT label, count(*) AS sz FROM ${pfx}l$CcOracleRounds GROUP BY label),
+      ${pfx}conv AS (
+        SELECT count(*) AS moved
+        FROM ${pfx}l$CcOracleRounds a JOIN ${pfx}l${CcOracleRounds - 1} b
+          ON a.id = b.id AND a.label <> b.label)"""
 
   /** Round unroll budget for the robustness oracle: with pointer
     * jumping the label frontier roughly DOUBLES per materialized
     * round, and the sf0.01 half-year graph fixpoints in 9 (measured),
     * so 16 is multiplicative headroom, not 2× — the same fixed-unroll-
-    * past-the-fixpoint exactness argument as [[KcoreOracleRounds]]. */
+    * past-the-fixpoint exactness argument as [[KcoreOracleRounds]].
+    * An exhausted budget (labels still moving in round 16) emits a
+    * poison phase row via the `conv` sentinel CTE instead of hashing
+    * a wrong census (ADVICE r16). */
   private val CcOracleRounds = 16
 
   /** GRAPH ROBUSTNESS AUDIT — targeted-attack tolerance (Albert–
@@ -2638,7 +2754,18 @@ object Graph {
                (SELECT CAST(count(*) AS BIGINT) FROM att) AS n_edges,
                CAST(coalesce(max(sz), 0) AS BIGINT) AS largest_cc,
                CAST(count(*) AS BIGINT) AS n_components
-        FROM acomp)
+        FROM acomp
+        UNION ALL
+        -- convergence sentinels: labels still moving in the final
+        -- unrolled round means the budget was exhausted — emit a
+        -- poison phase so the failure self-diagnoses (ADVICE r16)
+        SELECT '9_unconverged_full', CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        WHERE (SELECT moved FROM fconv) <> 0
+        UNION ALL
+        SELECT '9_unconverged_attacked', CAST(-1 AS BIGINT),
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        WHERE (SELECT moved FROM aconv) <> 0)
       ORDER BY phase"""))
 
   /** DIAMETER LOWER BOUND via the double sweep (Magnien–Latapy–Habib):
