@@ -1398,6 +1398,91 @@ object Curation {
     out.toSeq.toDF("step", "vec_id", "gain_micro", "objective_micro")
   }
 
+  /** One greedy argmax round of the q_facility_exact oracle:
+    * candidate gains = Σ_v max(0, sim − cur) over the symmetric pair
+    * list joined to the coverage table, already-chosen candidates
+    * excluded, argmax by (gain DESC, c ASC); then the coverage
+    * update. Mirrors one [[facilityGreedy]] step exactly — the gains
+    * are micro-integer sums, so the argmax is order-free on both
+    * engines. */
+  private def facilityRoundCte(i: Int): String = {
+    val excl =
+      if (i == 1) ""
+      else "\n        WHERE sym.c NOT IN (" +
+        (1 until i).map(j => s"SELECT c FROM p$j").mkString(" UNION ALL ") +
+        ")"
+    s"""
+      g$i AS MATERIALIZED (
+        SELECT c, CAST(sum(greatest(0, sim_micro - cur)) AS BIGINT) AS gain
+        FROM sym JOIN cur${i - 1} ON sym.v = cur${i - 1}.v$excl
+        GROUP BY c),
+      p$i AS MATERIALIZED (
+        SELECT c, gain FROM g$i ORDER BY gain DESC, c ASC LIMIT 1),
+      cur$i AS MATERIALIZED (
+        SELECT cur${i - 1}.v,
+               greatest(cur${i - 1}.cur, coalesce(s.sim_micro, 0)) AS cur
+        FROM cur${i - 1} LEFT JOIN (
+          SELECT v, sim_micro FROM sym
+          WHERE c = (SELECT c FROM p$i)) s
+        ON s.v = cur${i - 1}.v)"""
+  }
+
+  /** FACILITY-LOCATION, EXACT CORRECTNESS PIN — [[facilityGreedy]]
+    * over an EXACT cosine pair graph on a bounded deterministic
+    * slice (vec_id < 200), hash-oracled end to end: the pair side is
+    * all-pairs `list_cosine_similarity` (the dialect q_cosine_topk
+    * proved bit-identical to the native [[Similarity.cosine]]
+    * expression), micro-integerized with the same round() both
+    * engines share, and the k = 8 greedy rounds unroll as argmax
+    * CTEs ([[facilityRoundCte]] — the q_kcore fixed-unroll device
+    * applied to a driver-side iterative selection). This pins the
+    * greedy core — gain aggregation, argmax tiebreak, coverage
+    * update, objective accumulation — against an independent engine;
+    * [[facilitySelect]] stays the scale path over the IVF-blocked
+    * graph (its pair input is not SQL-constructible — see its note).
+    * The slice is bounded BECAUSE the graph is exact: all-pairs
+    * cosine is quadratic by construction, which is the very reason
+    * the production variant blocks first. */
+  val facilityExact: Q = Q(
+    "q_facility_exact",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .filter(col("vec_id") < 200)
+      val pr = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim",
+          graft.llm.Similarity.cosine(col("a.v"), col("b.v")))
+        .filter(col("sim") > 0)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("sim"))
+      facilityGreedy(emb.select("vec_id"), pr, k = 8)
+    },
+    Some(s"""
+      WITH pts AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id < 200),
+      pr AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(round(1000000 * list_cosine_similarity(a.v, b.v))
+                 AS BIGINT) AS sim_micro
+        FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) > 0),
+      sym AS MATERIALIZED (
+        SELECT va AS v, vb AS c, sim_micro FROM pr
+        UNION ALL SELECT vb AS v, va AS c, sim_micro FROM pr
+        UNION ALL SELECT vec_id AS v, vec_id AS c,
+                         CAST(1000000 AS BIGINT) AS sim_micro FROM pts),
+      cur0 AS (SELECT vec_id AS v, CAST(0 AS BIGINT) AS cur FROM pts),""" +
+      (1 to 8).map(facilityRoundCte).mkString(",") + s""",
+      picks AS (${(1 to 8)
+        .map(i => s"SELECT $i AS step, c, gain FROM p$i")
+        .mkString(" UNION ALL ")})
+      SELECT CAST(step AS BIGINT) AS step, c AS vec_id,
+             gain AS gain_micro,
+             CAST(sum(gain) OVER (ORDER BY step) AS BIGINT)
+               AS objective_micro
+      FROM picks ORDER BY step"""))
+
   /** FACILITY-LOCATION DATA SELECTION — the diversity-aware coreset
     * (Mirzasoleiman et al. CRAIG lineage; the submodular complement
     * of [[dsirSelect]]'s importance weighting and
@@ -1406,7 +1491,17 @@ object Curation {
     * IVF-blocked cosine graph ([[Similarity.clusterNearDupPairs]] at
     * the 0.90 dbscan-family threshold, shared memoized centroids).
     *
-    * Rows-only by the blocking contract; floors armed in-query: the
+    * Rows-only: NOT oracle-able because of its INPUT, not its greedy
+    * — the pair graph is blocked by the IVF coarse quantizer, and
+    * that quantizer is a TRAINED MODEL ([[graft.llm.Ivf
+    * .trainCentroids]]: 5 Lloyd's rounds with driver-side
+    * re-seeding, an md5-sampled training set, and ordered float mean
+    * folds), which no single SQL statement over the parquet inputs
+    * can reproduce — the precise step that breaks SQL expressibility
+    * is the per-round centroid collect/re-broadcast, an iterative
+    * driver program. The greedy rounds themselves ARE unrollable and
+    * are hash-pinned by [[facilityExact]] over an exact pair graph;
+    * THIS query keeps the scale path honest. Floors armed in-query: the
     * gain sequence is non-increasing (submodularity — a broken
     * coverage update throws), picks are distinct by construction, and
     * the planted 12-copy blob yields AT MOST ONE representative (its
@@ -1456,5 +1551,5 @@ object Curation {
       normalizeText,
       segmentDedup, curriculumOrder, curriculumWrite, spanCorruption,
       dsirSelect, importanceResample, domainReweight, datasetCard, boilerplateStrip,
-      shapleySources, facilitySelect)
+      shapleySources, facilitySelect, facilityExact)
 }
