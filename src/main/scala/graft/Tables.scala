@@ -57,10 +57,27 @@ object Tables {
   * writes carries the applicationId, so two harness runs on the same
   * machine can never clobber each other's staging (each Spark app has
   * a unique id; within one app, reuse across queries is intended —
-  * overwrite mode refreshes the content). */
+  * overwrite mode refreshes the content).
+  *
+  * CLUSTER DEPLOYMENT (VERDICT r16 item 6): the default base —
+  * `java.io.tmpdir` — is only correct when driver and executors
+  * share a filesystem (local mode, this harness). On a real cluster
+  * the staged stores MUST live on storage every executor can read
+  * (HDFS, s3a, NFS): set `spark.graft.staging.dir` on the session,
+  * or the `GRAFT_STAGING_DIR` environment variable, to a shared URI
+  * base (e.g. `hdfs:///tmp/graft` or `s3a://bucket/graft-staging`).
+  * All staging I/O goes through the Hadoop FileSystem API
+  * ([[ready]] resolves the path's own filesystem), so any scheme
+  * Spark can write parquet to works unchanged. Precedence: session
+  * conf > environment > local tmpdir. */
 object Staging {
-  def dir(s: SparkSession, name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/${name}_${s.sparkContext.applicationId}"
+  def dir(s: SparkSession, name: String): String = {
+    val base = s.conf.getOption("spark.graft.staging.dir")
+      .orElse(sys.env.get("GRAFT_STAGING_DIR"))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+      .stripSuffix("/")
+    s"$base/${name}_${s.sparkContext.applicationId}"
+  }
 
   /** True iff a bootstrap whose LAST-written parquet artifact lives at
     * `lastArtifactDir` completed: checks that artifact's _SUCCESS

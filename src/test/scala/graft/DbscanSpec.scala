@@ -110,6 +110,48 @@ class DbscanSpec extends SparkSpec {
     assert(incr == full, s"incremental diverged: ${incr.diff(full)} / ${full.diff(incr)}")
   }
 
+  test("incremental state absorbs a SECOND delta batch and still == from-scratch") {
+    import graft.llm.Dbscan
+    // ADVICE r16: the single hist/delta split above never exercises
+    // the MAINTAINED state as input to a further absorption — this
+    // applies batch 2 on top of the state produced by batch 1
+    // (merged pair store + additively merged degrees) and re-checks
+    // point-for-point equivalence against the from-scratch run,
+    // which is the coverage the in-query proof removal cites.
+    val rnd = new scala.util.Random(47)
+    val pts = (0L until 50L).map { i =>
+      (i, Seq(rnd.nextDouble(), rnd.nextDouble()), (i % 3).toString)
+    }
+    val df = pts.toDF("vec_id", "v", "block")
+    val hist = df.filter(col("vec_id") < 35)
+    val d1 = df.filter(col("vec_id") >= 35 && col("vec_id") < 45)
+    val u1 = df.filter(col("vec_id") < 45)
+    val d2 = df.filter(col("vec_id") >= 45)
+    val minSim = 0.98
+    // bootstrap state from history alone
+    val pairs0 = Dbscan.pairsAmongAssigned(hist, hist, minSim)
+    val deg0 = Dbscan.pairDegrees(pairs0)
+    // absorb batch 1 -> the maintained state (pairs + merged degrees)
+    val d1Pairs = Dbscan.pairsAmongAssigned(d1, u1, minSim)
+    val pairs1 = pairs0.unionByName(d1Pairs)
+    val deg1 = deg0.unionByName(Dbscan.pairDegrees(d1Pairs))
+      .groupBy("id").agg(sum(col("deg")).as("deg"))
+    // absorb batch 2 against the MAINTAINED state, not the bootstrap
+    val d2Pairs = Dbscan.pairsAmongAssigned(d2, df, minSim)
+    val pairs2 = pairs1.unionByName(d2Pairs)
+    val deg2 = deg1.unionByName(Dbscan.pairDegrees(d2Pairs))
+      .groupBy("id").agg(sum(col("deg")).as("deg"))
+    val incr = Dbscan.dbscanFromDegrees(df, pairs2, deg2, minPts = 3)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toSet
+    val full = Dbscan.dbscanFromPairs(df,
+        Dbscan.pairsAmongAssigned(df, df, minSim), minPts = 3)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toSet
+    assert(incr == full,
+      s"second-batch incremental diverged: ${incr.diff(full)} / ${full.diff(incr)}")
+  }
+
   test("declared incremental query: in-query proofs pass, census covers the union") {
     val rows = graft.llm.Dbscan.dbscanIncremental.fn(spark, sf001).collect()
     val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
