@@ -206,18 +206,58 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** One LSH sign-bucket as oracle SQL: Σ_p 2^p·[v·plane_{t·8+p} > 0]
+    * with each plane embedded as a DOUBLE[] literal (the planes are a
+    * compile-time constant of the seeded RNG — a fixed model
+    * parameter, so baking them into the oracle is no different from
+    * any pinned constant). `Double.toString` emits the shortest
+    * round-tripping decimal, so DuckDB parses back the exact same
+    * binary double; `list_inner_product` folds sequentially like the
+    * native [[graft.functions.DotProduct]] loop (the list-kernel
+    * order match is already proven by q_cosine_topk's hash), so the
+    * sign tests — and therefore the buckets — agree bit-exactly.
+    * Disjoint powers of two make + equal to bitwise OR. */
+  private def lshBucketSql(vcol: String, table: Int): String =
+    (0 until LshBits).map { p =>
+      val lit = planes(table * LshBits + p).map(_.toString)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product($vcol, $lit) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** The multi-probe mask set, identical to [[bucketedProbed]]'s:
+    * the identity probe plus every 1-, 2-, and 3-bit flip. */
+  private def probeMasks: Seq[Int] =
+    0 +: (0 until LshBits).map(1 << _) ++: ((for {
+      i <- 0 until LshBits; j <- i + 1 until LshBits
+    } yield (1 << i) | (1 << j)) ++ (for {
+      i <- 0 until LshBits; j <- i + 1 until LshBits; l <- j + 1 until LshBits
+    } yield (1 << i) | (1 << j) | (1 << l)))
+
   /** Recall audit as the driver-visible signal: plant one exact copy
     * of every query vector into the corpus (ids 1M+), run the LSH
     * index AND the exact brute-force baseline over the same corpus,
     * and emit only the ANN results confirmed by the exact top-k. The
     * row count IS the measurement — hits out of 8 queries × k=5 slots
     * (planted copies guarantee ≥8 retrievable true neighbors; a recall
-    * regression shrinks the result). Approximate → rows-only check (no
-    * DuckDB oracle expresses the index); floors asserted INSIDE the
-    * query via [[RecallAudit.annAudit]] (8/8 planted copies always,
-    * plus total ≥38 — observed 40 at sf0.01, 39 at sf0.1), so the
-    * driver's `err` field — not just ScalaTest — catches silent
-    * degradation. */
+    * regression shrinks the result).
+    *
+    * HASH-ORACLED (promoted r17, the first of the ANN family): the
+    * index is sign-LSH over a FIXED plane matrix, so the oracle
+    * replays it literally — [[lshBucketSql]] buckets per table with
+    * the planes as DOUBLE[] literals, the query side expanded by the
+    * same 93 [[probeMasks]] via xor(), the candidate join, exact
+    * cosine scoring, per-query top-5, and the brute-force confirm —
+    * every step deterministic SQL. The ONE piece SQL cannot express
+    * is the skew-thinning filter (`pmod(xxhash64(vec_id, tbl),
+    * keepEvery)`), which is a NO-OP until some (tbl, bucket) exceeds
+    * maxBucket = 4096 members; the oracle guards that assumption with
+    * a poison-row sentinel (the kcore-convergence device) — if any
+    * bucket is oversized the oracle self-diagnoses instead of
+    * silently hashing a thinning-free answer. Floors stay asserted
+    * INSIDE the query via [[RecallAudit.annAudit]] (8/8 planted
+    * copies always, plus total ≥38 — observed 40 at sf0.01, 39 at
+    * sf0.1), so the driver's `err` field — not just ScalaTest —
+    * catches silent degradation. */
   val annLsh: Q = Q(
     "q_ann_lsh",
     (s, dir) => {
@@ -232,7 +272,67 @@ object Similarity {
       handles.releaseAll()
       out
     },
-    None)
+    Some(s"""
+      WITH qs AS MATERIALIZED (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 8),
+      corpus AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 8),
+      cb AS MATERIALIZED (""" +
+      (0 until LshTables).map(t =>
+        s"""
+        SELECT vec_id, v, $t AS tbl, ${lshBucketSql("v", t)} AS bucket
+        FROM corpus""").mkString(" UNION ALL ") + s"""),
+      qb0 AS MATERIALIZED (""" +
+      (0 until LshTables).map(t =>
+        s"""
+        SELECT query_id, qv, $t AS tbl, ${lshBucketSql("qv", t)} AS bucket
+        FROM qs""").mkString(" UNION ALL ") + s"""),
+      qb AS MATERIALIZED (
+        SELECT query_id, qv, tbl, xor(bucket, m.mask) AS bucket
+        FROM qb0, (VALUES ${probeMasks.map(m => s"($m)").mkString(", ")})
+          m(mask)),
+      oversized AS (
+        SELECT count(*) AS n FROM (
+          SELECT tbl, bucket FROM cb GROUP BY tbl, bucket
+          HAVING count(*) > 4096)),
+      cand AS (
+        SELECT DISTINCT c.vec_id, q.query_id,
+               list_cosine_similarity(c.v, q.qv) AS sim
+        FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id),
+      ann AS (
+        SELECT query_id, rank, neighbor_id FROM (
+          SELECT query_id, vec_id AS neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM cand)
+        WHERE rank <= 5),
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                            c.vec_id ASC) AS r
+          FROM corpus c, qs q WHERE c.vec_id <> q.query_id)
+        WHERE r <= 5)
+      SELECT * FROM (
+        SELECT a.query_id, a.rank, a.neighbor_id
+        FROM ann a
+        WHERE EXISTS (SELECT 1 FROM exact e
+                      WHERE e.query_id = a.query_id
+                        AND e.neighbor_id = a.neighbor_id)
+        UNION ALL
+        -- thinning sentinel: the Spark side thins buckets past 4096
+        -- members with an xxhash64 coin SQL cannot replay; this
+        -- oracle models the thinning-free plan, so an oversized
+        -- bucket must fail self-diagnosably, not hash wrong
+        SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        WHERE (SELECT n FROM oversized) > 0)
+      ORDER BY query_id, rank"""))
 
   /** Embedding-cosine near-duplicate pairs over any (vec_id, v
     * array<double>) frame: 2 LSH tables × 16-bit sign buckets (long
