@@ -311,6 +311,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("winnow store: consumers scan the staged parquet, never re-fingerprint") {
+    import org.apache.spark.sql.functions.col
+    // the BUILD plan carries the posexplode (Generate) — per-doc
+    // windowed work over (doc_id, text) only
+    val build = finalPlan(llm.TextStats.winnowSelect(
+      Tables.load(spark, sf001, "documents").select(col("doc_id"), col("text"))))
+    assert(build.contains("Generate"), build)
+    // the consumer's plan reads the store: no Generate (no re-explode,
+    // no md5/window recompute) and the staged path is the scan source
+    val p = finalPlan(q("q_winnowing"))
+    assert(!p.contains("Generate"),
+      s"q_winnowing re-ran the fingerprint pipeline instead of the store:\n$p")
+    assert(p.contains("graft_winnowfp"), p)
+  }
+
   test("segment dedup: ownership is one hash-partitioned window, no self-join") {
     val p = finalPlan(q("q_segment_dedup"))
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
