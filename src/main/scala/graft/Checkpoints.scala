@@ -46,6 +46,11 @@ object Checkpoints {
       to: org.apache.spark.sql.SparkSession): Unit = {
     to.conf.set(ReliableKey, from.conf.get(ReliableKey, "false"))
     from.conf.getOption(DirKey).foreach(to.conf.set(DirKey, _))
+    // the staging-base override must ride along too: the local-mode
+    // checkpoint fallback (and any staged store touched from inside
+    // the clone) resolves Staging.dir against the CLONE's conf
+    from.conf.getOption("spark.graft.staging.dir")
+      .foreach(to.conf.set("spark.graft.staging.dir", _))
   }
 
   def cut(df: DataFrame, eager: Boolean = true): DataFrame =

@@ -136,12 +136,10 @@ object Similarity {
     * still materializes ONE bucket per table, so candidate generation
     * stays linear in N. */
   private def bucketedProbed(df: DataFrame, idCol: String, vCol: String): DataFrame = {
-    val masks: Seq[Int] =
-      0 +: (0 until LshBits).map(1 << _) ++: ((for {
-        i <- 0 until LshBits; j <- i + 1 until LshBits
-      } yield (1 << i) | (1 << j)) ++ (for {
-        i <- 0 until LshBits; j <- i + 1 until LshBits; l <- j + 1 until LshBits
-      } yield (1 << i) | (1 << j) | (1 << l)))
+    // single source of truth with the q_ann_lsh oracle: both sides
+    // read [[probeMasks]], so the probe set can never silently drift
+    // between engine and oracle
+    val masks: Seq[Int] = probeMasks
     val tabled = df.select(
       col(idCol), col(vCol),
       explode(array((0 until LshTables).map(l =>
@@ -224,8 +222,10 @@ object Similarity {
       s"(CASE WHEN list_inner_product($vcol, $lit) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** The multi-probe mask set, identical to [[bucketedProbed]]'s:
-    * the identity probe plus every 1-, 2-, and 3-bit flip. */
+  /** The multi-probe mask set — the identity probe plus every 1-,
+    * 2-, and 3-bit flip — shared by [[bucketedProbed]] (the engine)
+    * and the q_ann_lsh oracle (the replay), so the two can never
+    * drift apart. */
   private def probeMasks: Seq[Int] =
     0 +: (0 until LshBits).map(1 << _) ++: ((for {
       i <- 0 until LshBits; j <- i + 1 until LshBits

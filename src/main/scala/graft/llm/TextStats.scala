@@ -339,7 +339,6 @@ object TextStats {
   val winnowing: Q = Q(
     "q_winnowing",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val sel = winnowStore(s, dir)
         .groupBy("doc_id")

@@ -1604,6 +1604,20 @@ object Graph {
           Seq("src", "v"), "left_anti")
         .groupBy("src", "v")
         .agg(sum(col("sigma")).as("sigma"))
+        // σ-envelope sentinel: Spark's non-ANSI sum(long) WRAPS on
+        // overflow (the DuckDB oracle's HUGEINT→BIGINT cast errors
+        // hard), so a degenerate graph whose path counts blow past
+        // the envelope must fail loudly HERE, not hash garbage. 2⁴³
+        // leaves room for ~2¹⁹ predecessors per vertex before the
+        // next level's sum could wrap undetected; real path counts
+        // that large mean the graph needs sampling, not a bigger int.
+        .withColumn("sigma",
+          when(col("sigma") < 0L || col("sigma") > 8796093022208L,
+            raise_error(lit(
+              "betweenness: sigma overflow — path counts exceed the " +
+                "2^43 envelope; sample sources or shrink the window"))
+              .cast("long"))
+            .otherwise(col("sigma")))
         .withColumn("lvl", lit(lvl + 1))
         .select("src", "v", "lvl", "sigma")
       val nf = graft.Checkpoints.cut(nxt)

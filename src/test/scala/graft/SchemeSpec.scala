@@ -97,9 +97,12 @@ class SchemeSpec extends SparkSpec {
           "_SUCCESS through the custom scheme must mark the store ready")
         assert(spark.read.parquet(path).count() === 25)
       } finally spark.conf.unset("spark.graft.staging.dir")
-      // default base is restored the moment the conf is gone
-      assert(Staging.dir(spark, "x")
-        .startsWith(System.getProperty("java.io.tmpdir").stripSuffix("/")))
+      // default base is restored the moment the conf is gone — unless
+      // the environment override (next in precedence) is exported in
+      // this process, in which case THAT is the documented default
+      val expectedBase = sys.env.getOrElse("GRAFT_STAGING_DIR",
+        System.getProperty("java.io.tmpdir")).stripSuffix("/")
+      assert(Staging.dir(spark, "x").startsWith(expectedBase))
     }
   }
 }
