@@ -422,6 +422,28 @@ class GraphSpec extends SparkSpec {
     acc.toMap
   }
 
+  test("betweenness trips the sigma-overflow sentinel on a path-count explosion") {
+    import spark.implicits._
+    // source -> 10 fully-connected layers of 40: sigma multiplies by
+    // 40 per layer, passing the 2^43 envelope (40^9 ~ 2.6e14) at the
+    // last layer — the forward pass must raise, not wrap a long sum
+    // into garbage (review finding, r17; the DuckDB oracle side
+    // errors hard on its HUGEINT cast, so both engines fail loudly)
+    val layers = 10
+    val width = 40
+    def node(l: Int, j: Int): Long = l * 1000L + j
+    val edges = ((0 until width).map(j => (0L, node(1, j))) ++
+      (for {
+        l <- 1 until layers; a <- 0 until width; b <- 0 until width
+      } yield (node(l, a), node(l + 1, b)))).toDF("u", "v")
+    val e = intercept[Exception] {
+      ops.Graph.betweenness(edges, Seq(0L)).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("sigma overflow"), messages(e))
+  }
+
   test("betweenness == sequential Brandes on fixtures and a seeded random graph") {
     import spark.implicits._
     // path graph 0-1-2-3-4 from source 0: delta = (3,2,1,0) on 1..4
