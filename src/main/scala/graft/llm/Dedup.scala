@@ -1495,9 +1495,164 @@ object Dedup {
       FROM lcps WHERE lcp >= 15
       GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""))
 
+  /** Fixed permutation constants for [[bandedExact]]: h_i(x) =
+    * (a_i·x + b_i) mod M over 40-bit md5-prefix shingle hashes, with
+    * M the first prime past 2⁴⁰ so the affine map WRAPS (without the
+    * wrap, min over a monotone a·x+b picks the same shingle for
+    * every permutation and the signature degenerates) and
+    * a_i < 2²⁰ so a·x < 2⁶⁰ never overflows BIGINT on either
+    * engine. Seeded constants baked into BOTH the engine columns and
+    * the oracle literals — the q_ann_lsh plane-literal device. */
+  private val BandedExactM = 1099511627791L
+  private val bandedExactPerms: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    IndexedSeq.fill(12)(
+      (rnd.nextInt((1 << 20) - 1).toLong + 1L, rnd.nextInt(1 << 20).toLong))
+  }
+
+  /** BANDED MINHASH, PORTABLE-COIN CORRECTNESS PIN — the
+    * [[graft.llm.Curation]] q_facility_exact device applied to the
+    * dedup family's core algorithm: the production near-dup path
+    * ([[minhashPairs]]: fused xxhash64 [[graft.functions
+    * .ShingleHashes]] + [[graft.functions.MinHashAgg]]) is rows-only
+    * BECAUSE its hash family is the non-portable part — so THIS
+    * query runs the identical signature→band→bucket→verify pipeline
+    * on PORTABLE coins (3-gram md5-prefix shingles, the proven
+    * winnowing dialect; 12 affine permutations with literal
+    * constants; 4 bands × 3 rows; exact shingle-Jaccard verify at
+    * ≥ 500‰) over a bounded deterministic slice (doc_id < 300 plus
+    * ten planted one-token-appended near-copies at derived-offset
+    * ids), hash-checked against DuckDB end to end. The banding
+    * math, candidate canonicalization, and Jaccard arithmetic are
+    * thereby DuckDB-pinned; the xxhash64 path keeps its in-query
+    * planted floors and spec coverage. The slice is bounded because
+    * the pin needs pairwise verify on BOTH engines; the production
+    * path covers the corpus.
+    *
+    * PLANTED floor (in-query): all ten (i, i+offset) near-copy pairs
+    * must survive banding AND the 500‰ verify — appending one token
+    * to an L-token doc leaves (L−2)/(L−1) of its 3-gram set intact,
+    * so a miss means broken banding, not geometry. */
+  val bandedExact: Q = Q(
+    "q_dedup_banded_exact",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val slice = docs.filter(col("doc_id") < 300)
+      val base = slice.unionByName(
+        slice.filter(col("doc_id") < 10)
+          .select((col("doc_id") + lit(offset)).as("doc_id"),
+            concat(col("text"), lit(" graftplantnovel")).as("text")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("gpos")
+      val toks = base.filter(trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("gpos"),
+          col("tok"))
+      val sh = toks
+        .withColumn("t2", lead(col("tok"), 1).over(byDoc))
+        .withColumn("t3", lead(col("tok"), 2).over(byDoc))
+        .filter(col("t3").isNotNull)
+        .select(col("doc_id"),
+          conv(substring(md5(concat_ws(" ", col("tok"), col("t2"), col("t3"))
+            .cast("binary")), 1, 10), 16, 10).cast("long").as("x"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = sh.groupBy("doc_id").agg(
+        bandedExactPerms.zipWithIndex.map { case ((a, b), i) =>
+          min((col("x") * lit(a) + lit(b)) % lit(BandedExactM)).as(s"s$i")
+        }.head,
+        bandedExactPerms.zipWithIndex.tail.map { case ((a, b), i) =>
+          min((col("x") * lit(a) + lit(b)) % lit(BandedExactM)).as(s"s$i")
+        }: _*)
+      val cand = (0 until 4).map { j =>
+        val ks = (0 until 3).map(r => s"s${3 * j + r}")
+        sigs.as("a").join(sigs.as("b"),
+            ks.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      }.reduce(_ unionByName _).distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("doc_b") === col("sb.doc_id") && col("sa.x") === col("sb.x"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      val out = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("(1000 * i) div (na + nb - i)").as("jaccard_permille"))
+        .filter(col("jaccard_permille") >= 500)
+        .orderBy("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val planted = out.filter(col("doc_b") >= offset &&
+        col("doc_a") === col("doc_b") - offset).count()
+      sh.unpersist()
+      if (planted < 10)
+        throw new IllegalStateException(
+          s"banded-exact recall degraded: $planted of 10 planted near-copy " +
+            "pairs survived banding + verify")
+      out
+    },
+    Some(s"""
+      WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      slice AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+      base AS (
+        SELECT doc_id, text FROM slice
+        UNION ALL
+        SELECT doc_id + (SELECT m + 1 FROM mx) AS doc_id,
+               text || ' graftplantnovel' AS text
+        FROM slice WHERE doc_id < 10),
+      toks AS (
+        SELECT doc_id, i AS gpos, arr[i] AS tok FROM (
+          SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM base WHERE trim(text) <> ''))),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(tok || ' ' || t2 || ' ' || t3), 1, 10)
+                 AS BIGINT) AS x
+        FROM (
+          SELECT doc_id, tok,
+                 lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY gpos) AS t2,
+                 lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY gpos) AS t3
+          FROM toks)
+        WHERE t3 IS NOT NULL),
+      sigs AS MATERIALIZED (
+        SELECT doc_id, """ +
+      bandedExactPerms.zipWithIndex.map { case ((a, b), i) =>
+        s"min((x * $a + $b) % $BandedExactM) AS s$i"
+      }.mkString(", ") + s"""
+        FROM sh GROUP BY doc_id),
+      cand AS (SELECT DISTINCT doc_a, doc_b FROM (""" +
+      (0 until 4).map { j =>
+        val on = (0 until 3).map(r => s"a.s${3 * j + r} = b.s${3 * j + r}")
+          .mkString(" AND ")
+        s"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON $on AND a.doc_id < b.doc_id"""
+      }.mkString(" UNION ALL ") + s""")),
+      szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT inter.doc_a, inter.doc_b,
+             CAST((1000 * i) // (na.n + nb.n - i) AS BIGINT)
+               AS jaccard_permille
+      FROM inter
+      JOIN szs na ON na.doc_id = inter.doc_a
+      JOIN szs nb ON nb.doc_id = inter.doc_b
+      WHERE (1000 * i) // (na.n + nb.n - i) >= 500
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs,
     dedupClusters, dedupCanonical, dedupCanonicalMinhash,
     incrementalExact, incrementalMinhash,
     incrementalSimhash, dupSpans, containment, sparseCosine, suffixDedup,
-    ccIncremental)
+    ccIncremental, bandedExact)
 }

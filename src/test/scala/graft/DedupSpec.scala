@@ -441,4 +441,28 @@ class DedupSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("banded-exact portable-coin pipeline: plants recovered with near-1 jaccard") {
+    import org.apache.spark.sql.functions._
+    val maxId = Tables.load(spark, sf001, "documents")
+      .agg(max("doc_id")).head().getLong(0)
+    val rows = SparkEntry.queries("q_dedup_banded_exact")(spark, sf001)
+      .collect()
+    // the in-query floor already throws below 10; pin the VALUES too:
+    // a one-token-appended copy keeps (L-2)/(L-1) of its 3-gram set,
+    // so every planted pair must verify well above the 500 threshold
+    val planted = rows.filter(r => r.getLong(1) > maxId &&
+      r.getLong(0) == r.getLong(1) - maxId - 1)
+    assert(planted.length == 10, s"${planted.length} of 10 planted pairs")
+    planted.foreach { r =>
+      assert(r.getLong(2) >= 900L,
+        s"planted pair (${r.getLong(0)},${r.getLong(1)}) jaccard " +
+          s"${r.getLong(2)}‰ — expected near-verbatim")
+    }
+    // canonical pair order and threshold respected throughout
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "canonical order")
+      assert(r.getLong(2) >= 500L && r.getLong(2) <= 1000L)
+    }
+  }
 }
