@@ -1650,9 +1650,124 @@ object Dedup {
       WHERE (1000 * i) // (na.n + nb.n - i) >= 500
       ORDER BY doc_a, doc_b"""))
 
+  /** SIMHASH, PORTABLE-COIN CORRECTNESS PIN — the [[bandedExact]]
+    * device applied to the family's OTHER signature: a 40-bit
+    * SimHash over md5-prefix token coins (fingerprint width is a
+    * parameter; 40 bits is what one proven md5-prefix slice
+    * carries), per-bit ±1 votes over the document's DISTINCT token
+    * set, sign rule `vote > 0` (engine-identical on ties), 4 bands ×
+    * 10 bits for candidate blocking, and a hamming ≤ 3 verify via
+    * `bit_count(xor(...))` — every step in the Spark∩DuckDB
+    * dialect, hash-checked end to end on the bounded slice. Plants
+    * are EXACT copies (hamming 0 — the same reasoning as the
+    * production [[simhash]] query: one-token mutations legitimately
+    * flip low-margin bits, so copy-retrieval is the plumbing proof).
+    * The production xxhash64 path stays the corpus-scale operator;
+    * this pins the vote/sign/band/hamming arithmetic against an
+    * independent engine. */
+  val simhashExact: Q = Q(
+    "q_dedup_simhash_exact",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val slice = docs.filter(col("doc_id") < 300)
+      val base = slice.unionByName(
+        slice.filter(col("doc_id") < 10)
+          .select((col("doc_id") + lit(offset)).as("doc_id"), col("text")))
+      val toks = base.filter(trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok").cast("binary")), 1, 10), 16, 10)
+            .cast("long").as("x"))
+        // distinct AFTER hashing, mirroring the oracle exactly: a
+        // 40-bit collision between two distinct tokens must collapse
+        // to one vote on BOTH engines
+        .distinct()
+      val votes = toks.groupBy("doc_id").agg(
+        (0 until 40).map { b =>
+          sum(when(expr(s"(x div ${1L << b}) % 2") === 1L, 1L)
+            .otherwise(-1L)).as(s"v$b")
+        }.head,
+        (1 until 40).map { b =>
+          sum(when(expr(s"(x div ${1L << b}) % 2") === 1L, 1L)
+            .otherwise(-1L)).as(s"v$b")
+        }: _*)
+      val fps = votes.select(col("doc_id"),
+        (0 until 40).map(b =>
+          when(col(s"v$b") > 0L, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = (0 until 4).map { j =>
+        val band = (f: String) => expr(s"($f div ${1L << (10 * j)}) % 1024")
+        fps.as("a").join(fps.as("b"),
+            band("a.fp") === band("b.fp") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.fp").as("fa"), col("b.fp").as("fb"))
+      }.reduce(_ unionByName _).distinct()
+      val out = cand
+        .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb")))
+          .cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val planted = out.filter(col("doc_b") >= offset &&
+        col("doc_a") === col("doc_b") - offset &&
+        col("hamming") === 0L).count()
+      fps.unpersist()
+      if (planted < 10)
+        throw new IllegalStateException(
+          s"simhash-exact plumbing broken: $planted of 10 planted exact " +
+            "copies retrieved at hamming 0")
+      out
+    },
+    Some(s"""
+      WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      slice AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+      base AS (
+        SELECT doc_id, text FROM slice
+        UNION ALL
+        SELECT doc_id + (SELECT m + 1 FROM mx) AS doc_id, text
+        FROM slice WHERE doc_id < 10),
+      toks AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(tok), 1, 10) AS BIGINT) AS x
+        FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM base WHERE trim(text) <> '')),
+      votes AS MATERIALIZED (
+        SELECT doc_id, """ +
+      (0 until 40).map(b =>
+        s"sum(CASE WHEN (x // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ") + s"""
+        FROM toks GROUP BY doc_id),
+      fps AS MATERIALIZED (
+        SELECT doc_id, """ +
+      (0 until 40).map(b =>
+        s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ") + s""" AS fp
+        FROM votes),
+      cand AS (SELECT DISTINCT doc_a, doc_b, fa, fb FROM (""" +
+      (0 until 4).map { j =>
+        s"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.fp AS fa, b.fp AS fb
+        FROM fps a JOIN fps b
+          ON (a.fp // ${1L << (10 * j)}) % 1024 =
+             (b.fp // ${1L << (10 * j)}) % 1024
+         AND a.doc_id < b.doc_id"""
+      }.mkString(" UNION ALL ") + s"""))
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(fa, fb)) <= 3
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[Q] = Seq(exact, byPrefix, minhashLsh, simhash, jaccardPairs,
     dedupClusters, dedupCanonical, dedupCanonicalMinhash,
     incrementalExact, incrementalMinhash,
     incrementalSimhash, dupSpans, containment, sparseCosine, suffixDedup,
-    ccIncremental, bandedExact)
+    ccIncremental, bandedExact, simhashExact)
 }
