@@ -699,6 +699,130 @@ object Dbscan {
     },
     None)
 
+  /** One min-label-propagation + pointer-jump round of the
+    * q_dbscan_exact oracle's connected components over the core-core
+    * edge set — the [[graft.ops.Graph]] robustness-census CTE shape,
+    * proven equivalent to [[graft.llm.Dedup.connectedComponents]]'s
+    * component-min labels (both converge to the min vertex id). */
+  private def dbxCcRound(r: Int): String = s"""
+      xp$r AS MATERIALIZED (
+        SELECT v.id, least(v.label, coalesce(m.ml, v.label)) AS label
+        FROM xl${r - 1} v LEFT JOIN (
+          SELECT e.dst AS id, min(l.label) AS ml
+          FROM xsym e JOIN xl${r - 1} l ON e.src = l.id
+          GROUP BY e.dst) m ON v.id = m.id),
+      xl$r AS MATERIALIZED (
+        SELECT a.id, b.label FROM xp$r a JOIN xp$r b ON a.label = b.id)"""
+
+  private val DbxCcRounds = 4
+
+  /** DBSCAN, EXACT-GRAPH CORRECTNESS PIN — the portable-pin device
+    * ([[graft.llm.Curation]] q_facility_exact lineage) applied to
+    * density clustering: [[dbscanFromPairs]] — the SAME core the
+    * rows-only corpus queries run — over an EXACT all-pairs cosine
+    * ε-graph (≥ 0.95) on a bounded slice (vec_id < 200 plus a
+    * planted 12-copy blob of vector 0 at derived-offset ids),
+    * hash-checked per point against DuckDB: degrees and the
+    * deg+1 ≥ minPts core rule, component-min cluster labels via
+    * [[DbxCcRounds]] unrolled propagate+jump rounds (pointer jumping
+    * doubles reach per round, and a convergence sentinel poisons the
+    * result if the budget were ever exhausted), border adoption of
+    * the MIN core-neighbor label, and noise as the complement. The
+    * corpus queries stay rows-only honestly (their ε-graph is
+    * IVF-blocked under trained centroids); this pins the clustering
+    * semantics — every (id, cluster, role) row — against an
+    * independent engine. Blob floor in-query: all 13 members (12
+    * plants + vector 0) core, one cluster. */
+  val dbscanExact: Q = Q(
+    "q_dbscan_exact",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val offset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val slice = emb.filter(col("vec_id") < 200)
+      val proto = slice.filter(col("vec_id") === 0).select(col("v")).limit(1)
+      val plants = s.range(12)
+        .select((col("id") + lit(offset)).as("vec_id"))
+        .crossJoin(broadcast(proto))
+      val corpus = slice.unionByName(plants)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = corpus.as("a").join(corpus.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .filter(graft.llm.Similarity.cosine(col("a.v"), col("b.v")) >= 0.95)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      val handles = new graft.CacheHandles
+      val out = dbscanFromPairs(corpus.select("vec_id"), pairs,
+          minPts = 10, handles = handles)
+        .orderBy("id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      val audit = out.filter(col("id") >= offset || col("id") === 0L)
+        .agg(count(when(col("role") === "core", 1)).as("n_core"),
+          countDistinct(col("cluster")).as("n_clusters")).head()
+      corpus.unpersist(); handles.releaseAll()
+      if (audit.getLong(0) < 13 || audit.getLong(1) != 1L)
+        throw new IllegalStateException(
+          s"exact-DBSCAN blob degraded: ${audit.getLong(0)}/13 core, " +
+            s"${audit.getLong(1)} clusters (want 1)")
+      out
+    },
+    Some(s"""
+      WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+      slice AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id < 200),
+      corpus AS MATERIALIZED (
+        SELECT vec_id, v FROM slice
+        UNION ALL
+        SELECT (SELECT m + 1 FROM mx) + i AS vec_id,
+               (SELECT v FROM slice WHERE vec_id = 0) AS v
+        FROM (SELECT unnest(generate_series(0, 11)) AS i)),
+      pairs AS MATERIALIZED (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+      deg AS (
+        SELECT id, count(*) AS deg FROM (
+          SELECT vec_a AS id FROM pairs
+          UNION ALL SELECT vec_b AS id FROM pairs)
+        GROUP BY id),
+      core AS MATERIALIZED (SELECT id FROM deg WHERE deg + 1 >= 10),
+      ce AS MATERIALIZED (
+        SELECT p.vec_a, p.vec_b FROM pairs p
+        JOIN core a ON a.id = p.vec_a JOIN core b ON b.id = p.vec_b),
+      xsym AS MATERIALIZED (
+        SELECT vec_a AS src, vec_b AS dst FROM ce
+        UNION ALL SELECT vec_b AS src, vec_a AS dst FROM ce),
+      xl0 AS MATERIALIZED (SELECT id, id AS label FROM core),""" +
+      (1 to DbxCcRounds).map(dbxCcRound).mkString(",") + s""",
+      xconv AS (
+        SELECT count(*) AS moved
+        FROM xl$DbxCcRounds a JOIN xl${DbxCcRounds - 1} b
+          ON a.id = b.id AND a.label <> b.label),
+      comp AS (SELECT id, label AS cluster FROM xl$DbxCcRounds),
+      border AS (
+        SELECT n.id, min(c.cluster) AS cluster FROM (
+          SELECT vec_a AS id, vec_b AS nb FROM pairs
+          UNION ALL SELECT vec_b AS id, vec_a AS nb FROM pairs) n
+        JOIN comp c ON c.id = n.nb
+        WHERE n.id NOT IN (SELECT id FROM core)
+        GROUP BY n.id)
+      SELECT * FROM (
+        SELECT id, CAST(cluster AS BIGINT) AS cluster, 'core' AS role
+        FROM comp
+        UNION ALL
+        SELECT id, CAST(cluster AS BIGINT) AS cluster, 'border' FROM border
+        UNION ALL
+        SELECT vec_id AS id, CAST(NULL AS BIGINT) AS cluster, 'noise'
+        FROM corpus
+        WHERE vec_id NOT IN (SELECT id FROM comp)
+          AND vec_id NOT IN (SELECT id FROM border)
+        UNION ALL
+        -- convergence sentinel: exhausted CC unroll poisons the hash
+        SELECT CAST(-999999 AS BIGINT), CAST(-1 AS BIGINT), 'unconverged'
+        WHERE (SELECT moved FROM xconv) <> 0)
+      ORDER BY id"""))
+
   val all: Seq[Q] = Seq(dbscan, dbscanIncremental, clusterStability,
-    hdbscanExtract)
+    hdbscanExtract, dbscanExact)
 }
