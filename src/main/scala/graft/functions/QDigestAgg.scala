@@ -2,8 +2,6 @@ package graft.functions
 
 import java.nio.ByteBuffer
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
@@ -40,7 +38,8 @@ import org.apache.spark.sql.types._
   * exact-side values plus bound booleans, the repo's approximate-op
   * evidence rule).
   *
-  * Buffer: LongMap(node id → count) + total n; compression runs when
+  * Buffer: unboxed open-addressing map (node id → count) + total n;
+  * compression runs when
   * the map outgrows 6k entries and once at eval, keeping state
   * ≈ 16 B × 3k ≈ 50 KB at k = 1024 — map-side combinable through
   * ObjectHashAggregate like the repo's other typed aggregates. */
@@ -62,7 +61,7 @@ case class QDigestAgg(
   override def prettyName: String = "qdigest_agg"
 
   override def createAggregationBuffer(): QDigestAgg.Buffer =
-    new QDigestAgg.Buffer(mutable.LongMap.empty[Long], 0L)
+    new QDigestAgg.Buffer(new LongLongOpenMap(), 0L)
 
   override def update(buf: QDigestAgg.Buffer, row: InternalRow): QDigestAgg.Buffer = {
     val v = child.eval(row)
@@ -70,8 +69,7 @@ case class QDigestAgg(
       val x = v.asInstanceOf[Long]
       require(x >= 0 && x < (1L << universeBits),
         s"qdigest value $x outside [0, 2^$universeBits)")
-      val leaf = (1L << universeBits) + x
-      buf.nodes(leaf) = buf.nodes.getOrElse(leaf, 0L) + 1L
+      buf.nodes.addTo((1L << universeBits) + x, 1L)
       buf.n += 1L
       maybeCompress(buf)
     }
@@ -79,8 +77,7 @@ case class QDigestAgg(
   }
 
   override def merge(b1: QDigestAgg.Buffer, b2: QDigestAgg.Buffer): QDigestAgg.Buffer = {
-    b2.nodes.foreachEntry((id, c) =>
-      b1.nodes(id) = b1.nodes.getOrElse(id, 0L) + c)
+    b2.nodes.foreach((id, c) => b1.nodes.addTo(id, c))
     b1.n += b2.n
     maybeCompress(b1)
     b1
@@ -101,31 +98,13 @@ case class QDigestAgg(
         if (buf.nodes.size > 3 * k) buf.nodes.size.toLong * 2 else 0L
     }
 
-  override def eval(buf: QDigestAgg.Buffer): Any = {
-    QDigestAgg.compress(buf, k, universeBits)
-    val entries = buf.nodes.toArray.sortBy(_._1).map { case (id, c) =>
-      new GenericInternalRow(Array[Any](id, c))
-    }
-    new GenericArrayData(entries.asInstanceOf[Array[Any]])
-  }
+  override def eval(buf: QDigestAgg.Buffer): Any = QDigestAgg.evalDigest(buf, k, universeBits)
 
-  override def serialize(buf: QDigestAgg.Buffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(16 + 16 * buf.nodes.size)
-    bb.putLong(buf.n)
-    bb.putLong(buf.nodes.size.toLong)
-    buf.nodes.foreachEntry { (id, c) => bb.putLong(id); bb.putLong(c) }
-    bb.array()
-  }
+  override def serialize(buf: QDigestAgg.Buffer): Array[Byte] =
+    QDigestAgg.serializeBuffer(buf)
 
-  override def deserialize(bytes: Array[Byte]): QDigestAgg.Buffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getLong()
-    val sz = bb.getLong().toInt
-    val m = mutable.LongMap.empty[Long]
-    var i = 0
-    while (i < sz) { m(bb.getLong()) = bb.getLong(); i += 1 }
-    new QDigestAgg.Buffer(m, n)
-  }
+  override def deserialize(bytes: Array[Byte]): QDigestAgg.Buffer =
+    QDigestAgg.deserializeBuffer(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QDigestAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -141,29 +120,69 @@ object QDigestAgg {
   /** `nextCompactAt` is transient scheduling state (not serialized):
     * the map size at which the next compress attempt is worthwhile —
     * see `maybeCompress`. */
-  final class Buffer(val nodes: mutable.LongMap[Long], var n: Long,
+  final class Buffer(val nodes: LongLongOpenMap, var n: Long,
       var nextCompactAt: Long = 0L)
+
+  /** Final compress + emit entries sorted by node id (deterministic
+    * regardless of map iteration order). Shared by both aggregates. */
+  private[functions] def evalDigest(buf: Buffer, k: Int, bits: Int): Any = {
+    compress(buf, k, bits)
+    val ids = buf.nodes.keysArray()
+    java.util.Arrays.sort(ids)
+    val entries = new Array[Any](ids.length)
+    var i = 0
+    while (i < ids.length) {
+      entries(i) = new GenericInternalRow(
+        Array[Any](ids(i), buf.nodes.getOrElse(ids(i), 0L)))
+      i += 1
+    }
+    new GenericArrayData(entries)
+  }
+
+  private[functions] def serializeBuffer(buf: Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16 + 16 * buf.nodes.size)
+    bb.putLong(buf.n)
+    bb.putLong(buf.nodes.size.toLong)
+    buf.nodes.foreach { (id, c) => bb.putLong(id); bb.putLong(c) }
+    bb.array()
+  }
+
+  private[functions] def deserializeBuffer(bytes: Array[Byte]): Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getLong()
+    val sz = bb.getLong().toInt
+    val m = new LongLongOpenMap(sz * 2)
+    var i = 0
+    while (i < sz) { m.put(bb.getLong(), bb.getLong()); i += 1 }
+    new Buffer(m, n)
+  }
 
   /** Fold every (node, sibling, parent) triple with combined count
     * < ⌊n/k⌋ into the parent, bottom-up.
     *
-    * One pass = sort the live ids DESCENDING and sweep once: ids sort
+    * Sweep = sort the live ids DESCENDING and walk once: ids sort
     * deeper-first (parent = id >> 1 < id), so each node sees its
-    * subtree already folded — except parents freshly CREATED during
-    * the same sweep, which the fixpoint loop picks up on the next
-    * pass (rarely more than 2-3 passes; bounded by tree depth). This
-    * replaced a per-depth `keys.filter.map.distinct.sorted` scan that
-    * re-walked and re-allocated the whole key set `bits` times per
-    * compress call — the dominant cost of sketching a
-    * mostly-distinct 583k-value column. */
+    * subtree already folded. Parents freshly CREATED during a sweep
+    * are the ONLY nodes whose triples still need examining — a
+    * triple that failed to fold can never become foldable later,
+    * because folding only moves mass UPWARD (every node's count is
+    * monotone non-decreasing until the node itself is folded away).
+    * So follow-up sweeps walk just the created-parent arrays (a few
+    * hundred ids) instead of re-sorting the full key set per pass —
+    * the previous fixpoint re-sorted all ~590k live ids up to
+    * tree-depth times per compress call, which dominated the sketch
+    * build over a mostly-distinct 583k-value column. Fold decisions
+    * (and therefore the output digest) are bit-identical: both
+    * schedules examine every triple in the same deepest-first order
+    * and survivor triples are permanently unfoldable. */
   private[functions] def compress(buf: Buffer, k: Int, bits: Int): Unit = {
     val thr = buf.n / k
     if (thr <= 1) return // every positive count ≥ 1 survives c < 1; thr 1 folds only empties
-    var folded = true
-    while (folded) {
-      folded = false
-      val ids = buf.nodes.keys.toArray
+    var ids = buf.nodes.keysArray()
+    while (ids.length > 0) {
       java.util.Arrays.sort(ids)
+      var created: Array[Long] = new Array[Long](16)
+      var nCreated = 0
       var i = ids.length - 1
       while (i >= 0) {
         val id = ids(i)
@@ -174,13 +193,22 @@ object QDigestAgg {
           val c = buf.nodes.getOrElse(a, 0L) + buf.nodes.getOrElse(sib, 0L) +
             buf.nodes.getOrElse(par, 0L)
           if (c < thr) {
+            val parExisted = buf.nodes.contains(par)
             buf.nodes.remove(a); buf.nodes.remove(sib)
-            if (c > 0) buf.nodes(par) = c else buf.nodes.remove(par)
-            folded = true
+            if (c > 0) {
+              buf.nodes.put(par, c)
+              if (!parExisted) {
+                if (nCreated == created.length)
+                  created = java.util.Arrays.copyOf(created, created.length * 2)
+                created(nCreated) = par
+                nCreated += 1
+              }
+            } else buf.nodes.remove(par)
           }
         }
         i -= 1
       }
+      ids = java.util.Arrays.copyOf(created, nCreated)
     }
   }
 
@@ -247,7 +275,7 @@ case class QDigestUnionAgg(
   override def prettyName: String = "qdigest_union_agg"
 
   override def createAggregationBuffer(): QDigestAgg.Buffer =
-    new QDigestAgg.Buffer(mutable.LongMap.empty[Long], 0L)
+    new QDigestAgg.Buffer(new LongLongOpenMap(), 0L)
 
   override def update(buf: QDigestAgg.Buffer, row: InternalRow): QDigestAgg.Buffer = {
     val v = child.eval(row)
@@ -256,9 +284,8 @@ case class QDigestUnionAgg(
       var i = 0
       while (i < arr.numElements()) {
         val e = arr.getStruct(i, 2)
-        val id = e.getLong(0); val c = e.getLong(1)
-        buf.nodes(id) = buf.nodes.getOrElse(id, 0L) + c
-        buf.n += c
+        buf.nodes.addTo(e.getLong(0), e.getLong(1))
+        buf.n += e.getLong(1)
         i += 1
       }
       maybeCompress(buf)
@@ -267,8 +294,7 @@ case class QDigestUnionAgg(
   }
 
   override def merge(b1: QDigestAgg.Buffer, b2: QDigestAgg.Buffer): QDigestAgg.Buffer = {
-    b2.nodes.foreachEntry((id, c) =>
-      b1.nodes(id) = b1.nodes.getOrElse(id, 0L) + c)
+    b2.nodes.foreach((id, c) => b1.nodes.addTo(id, c))
     b1.n += b2.n
     maybeCompress(b1)
     b1
@@ -281,31 +307,13 @@ case class QDigestUnionAgg(
         if (buf.nodes.size > 3 * k) buf.nodes.size.toLong * 2 else 0L
     }
 
-  override def eval(buf: QDigestAgg.Buffer): Any = {
-    QDigestAgg.compress(buf, k, universeBits)
-    val entries = buf.nodes.toArray.sortBy(_._1).map { case (id, c) =>
-      new GenericInternalRow(Array[Any](id, c))
-    }
-    new GenericArrayData(entries.asInstanceOf[Array[Any]])
-  }
+  override def eval(buf: QDigestAgg.Buffer): Any = QDigestAgg.evalDigest(buf, k, universeBits)
 
-  override def serialize(buf: QDigestAgg.Buffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(16 + 16 * buf.nodes.size)
-    bb.putLong(buf.n)
-    bb.putLong(buf.nodes.size.toLong)
-    buf.nodes.foreachEntry { (id, c) => bb.putLong(id); bb.putLong(c) }
-    bb.array()
-  }
+  override def serialize(buf: QDigestAgg.Buffer): Array[Byte] =
+    QDigestAgg.serializeBuffer(buf)
 
-  override def deserialize(bytes: Array[Byte]): QDigestAgg.Buffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getLong()
-    val sz = bb.getLong().toInt
-    val m = mutable.LongMap.empty[Long]
-    var i = 0
-    while (i < sz) { m(bb.getLong()) = bb.getLong(); i += 1 }
-    new QDigestAgg.Buffer(m, n)
-  }
+  override def deserialize(bytes: Array[Byte]): QDigestAgg.Buffer =
+    QDigestAgg.deserializeBuffer(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QDigestUnionAgg =
     copy(mutableAggBufferOffset = newOffset)
