@@ -1117,7 +1117,10 @@ object Classifier {
       val (rf, rthr, rcorrect) =
         (rootRow.getAs[String]("feature"), rootRow.getAs[Long]("v"),
           rootRow.getAs[Long]("correct"))
-      val nTotal = feats.count()
+      // |feats| from the PERSISTED long frame (exactly 4 feature rows
+      // per doc by construction) — feats.count() would replay the
+      // whole unpersisted tokenStats pass for one scalar
+      val nTotal = long.filter(col("feature") === "n_tok").count()
       val branch = long.filter(col("feature") === rf)
         .select(col("doc_id"),
           when(col("v") <= rthr, "le").otherwise("gt").as("branch"))

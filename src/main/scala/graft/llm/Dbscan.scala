@@ -123,30 +123,55 @@ object Dbscan {
       // rows to a direct 0.95 compute (thinning is size-only)
       val pairs = Similarity.pairStoreMemo(s, s"$dir#dbscan90", 0.90,
         corpus, centroids).filter(col("sim") >= 0.95)
-      val perPoint = handles.track(
+      val perPoint =
         dbscanFromPairs(corpus, pairs, minPts = 10, handles = handles)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // structural floor: every planted id core, all in ONE cluster
-      val audit = perPoint.filter(col("id") >= 2000000L)
-        .agg(count(when(col("role") === "core", 1)).as("n_core"),
-          countDistinct(col("cluster")).as("n_clusters")).head()
-      if (audit.getLong(0) < 12 || audit.getLong(1) != 1L)
-        throw new IllegalStateException(
-          s"planted DBSCAN blob degraded: ${audit.getLong(0)}/12 core, " +
-            s"${audit.getLong(1)} clusters (want 1)")
-      val out = perPoint.groupBy("cluster")
-        .agg(count(when(col("role") === "core", 1)).as("n_core"),
-          count(when(col("role") === "border", 1)).as("n_border"),
-          count(when(col("role") === "noise", 1)).as("n_noise"))
-        .orderBy(asc_nulls_first("cluster"))
-      val materialized = out.collect()
+      // ONE census pass carries the structural floor (every planted id
+      // core, all in ONE cluster) alongside the output columns — the
+      // previous persist + audit pass + census pass re-ran the whole
+      // per-point pipeline shape three times for a cluster-domain
+      // result; the floor values derive exactly from the planted
+      // per-cluster tallies (countDistinct over planted rows ≡ number
+      // of non-null census rows holding a planted member)
+      val census = censusWithBlobFloor(s, perPoint, minPlanted = 12)
       corpus.unpersist()
       handles.releaseAll()
-      s.createDataFrame(s.sparkContext.parallelize(
-          materialized.toIndexedSeq, 1), out.schema)
-        .orderBy(asc_nulls_first("cluster"))
+      census
     },
     None)
+
+  /** Per-cluster census of a (id, cluster, role) frame with the
+    * planted-blob floor fused into the SAME aggregate: one pass, one
+    * collect. Asserts ≥ `minPlanted` planted ids (id ≥ 2e6) are core
+    * and that exactly ONE cluster holds planted members, then returns
+    * the (cluster, n_core, n_border, n_noise) census ordered by
+    * cluster — byte-identical to the previous two-action audit+census
+    * (the audit's countDistinct ignored NULL clusters; here noise
+    * rows land on the census's NULL row, which the floor count skips). */
+  private def censusWithBlobFloor(s: SparkSession, perPoint: DataFrame,
+      minPlanted: Int): DataFrame = {
+    val census = perPoint.groupBy("cluster")
+      .agg(count(when(col("role") === "core", 1)).as("n_core"),
+        count(when(col("role") === "border", 1)).as("n_border"),
+        count(when(col("role") === "noise", 1)).as("n_noise"),
+        count(when(col("id") >= 2000000L && col("role") === "core", 1))
+          .as("n_planted_core"),
+        count(when(col("id") >= 2000000L, 1)).as("n_planted"))
+      .orderBy(asc_nulls_first("cluster"))
+    val materialized = census.collect()
+    val nCore = materialized.map(_.getLong(4)).sum
+    val nClusters = materialized.count(r => !r.isNullAt(0) && r.getLong(5) > 0)
+    if (nCore < minPlanted || nClusters != 1)
+      throw new IllegalStateException(
+        s"planted DBSCAN blob degraded: $nCore/$minPlanted core, " +
+          s"$nClusters clusters (want 1)")
+    val out = materialized.map(r => org.apache.spark.sql.Row(
+      if (r.isNullAt(0)) null else r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3)))
+    val schema = org.apache.spark.sql.types.StructType(
+      census.schema.fields.take(4))
+    s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+      .orderBy(asc_nulls_first("cluster"))
+  }
 
   /** Canonical ε-pairs among a block-ASSIGNED frame (vec_id, v,
     * block): within-block quadratic join, sim-filtered — the
@@ -254,27 +279,14 @@ object Dbscan {
         throw new IllegalStateException(
           s"incremental degree table diverged on $degMismatch ids")
       val points = hist.unionByName(delta)
-      val perPoint = handles.track(
-        dbscanFromDegrees(points, allPairs, incrDeg, minPts = 10,
-            handles = handles)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val audit = perPoint.filter(col("id") >= 2000000L)
-        .agg(count(when(col("role") === "core", 1)).as("n_core"),
-          countDistinct(col("cluster")).as("n_clusters")).head()
-      if (audit.getLong(0) < 12 || audit.getLong(1) != 1L)
-        throw new IllegalStateException(
-          s"planted DBSCAN blob degraded: ${audit.getLong(0)}/12 core, " +
-            s"${audit.getLong(1)} clusters (want 1)")
-      val out = perPoint.groupBy("cluster")
-        .agg(count(when(col("role") === "core", 1)).as("n_core"),
-          count(when(col("role") === "border", 1)).as("n_border"),
-          count(when(col("role") === "noise", 1)).as("n_noise"))
-        .orderBy(asc_nulls_first("cluster"))
-      val materialized = out.collect()
+      val perPoint = dbscanFromDegrees(points, allPairs, incrDeg,
+        minPts = 10, handles = handles)
+      // fused census + planted floor — one pass, one collect (see
+      // [[censusWithBlobFloor]]); the separate persist/audit/census
+      // actions re-ran the per-point pipeline three times
+      val census = censusWithBlobFloor(s, perPoint, minPlanted = 12)
       handles.releaseAll()
-      s.createDataFrame(s.sparkContext.parallelize(
-          materialized.toIndexedSeq, 1), out.schema)
-        .orderBy(asc_nulls_first("cluster"))
+      census
     },
     None)
 

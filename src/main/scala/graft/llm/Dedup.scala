@@ -683,6 +683,62 @@ object Dedup {
     val und = graft.Checkpoints.cut(
       rebind(spark, edges.select(col("src"), col("dst"))
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))))
+    // TINY-GRAPH FAST PATH — the broadcast-join analog for CC: when
+    // the (already materialized) doubled edge list and the vertex set
+    // both fit a hard driver-trivial cap, solve locally with a
+    // min-label union-find instead of scheduling O(log diameter)
+    // propagate/jump rounds. At harness scale the dbscan/near-dup
+    // core subgraphs are a few dozen rows and the distributed loop's
+    // round barriers cost ~1.5 s of pure scheduling for them; past
+    // the cap (the 100 TB reality) the distributed path below runs
+    // unchanged. Output is IDENTICAL by construction: label = min
+    // vertex id reachable through edges whose BOTH endpoints are in
+    // `vertices` — the same induced-subgraph semantics the message
+    // join implements (a src outside the label table emits no
+    // message, a dst outside it receives none). Cap conf-gated for
+    // cluster tuning; 64k ids ≈ 1 MB of longs on the driver, the
+    // same order as a default broadcast relation.
+    val localCap = origin.conf.get("spark.graft.cc.localCap", "65536").toLong
+    val nE2 = und.count()
+    if (nV <= localCap && nE2 <= 2 * localCap) {
+      val vs = rebind(spark, vertices.select(col("id"))).collect()
+        .map(_.getLong(0))
+      val idx = scala.collection.mutable.LongMap.empty[Int]
+      vs.zipWithIndex.foreach { case (v, i) => idx(v) = i }
+      val parent = Array.tabulate(vs.length)(identity)
+      def find(i0: Int): Int = {
+        var r = i0
+        while (parent(r) != r) r = parent(r)
+        var c = i0
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      und.collect().foreach { row =>
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          (idx.get(row.getLong(0)), idx.get(row.getLong(1))) match {
+            case (Some(i), Some(j)) =>
+              val (ri, rj) = (find(i), find(j))
+              if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+            case _ => // endpoint outside the vertex set: no message
+          }
+        }
+      }
+      val minId = new Array[Long](vs.length)
+      java.util.Arrays.fill(minId, Long.MaxValue)
+      vs.indices.foreach { i =>
+        val r = find(i)
+        if (vs(i) < minId(r)) minId(r) = vs(i)
+      }
+      val rows = vs.indices.map(i =>
+        org.apache.spark.sql.Row(vs(i), minId(find(i))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return origin.createDataFrame(
+        origin.sparkContext.parallelize(rows, 1), schema)
+    }
     var labels = graft.Checkpoints.cut(rebind(spark, vertices.select(col("id")))
       .select(col("id"), col("id").as("label")))
     // convergence via the monotone invariant: labels only ever

@@ -177,6 +177,24 @@ class DedupSpec extends SparkSpec {
     assert(labels(4L) == 4L && labels(6L) == 6L)
   }
 
+  test("connected components: tiny-graph local path == distributed path exactly") {
+    // the size-gated union-find fast path must be byte-identical to
+    // the propagate/jump loop; force the distributed path via the cap
+    // conf and compare on a graph with chains, a cycle, isolates and
+    // an out-of-vertex-set endpoint (induced-subgraph semantics)
+    val edges = Seq((1L, 5L), (5L, 9L), (9L, 1L), (2L, 3L), (3L, 4L),
+      (7L, 99L)).toDF("src", "dst") // 99 outside the vertex set
+    val vertices = (1L to 8L).toDF("id")
+    def run(): Map[Long, Long] =
+      Dedup.connectedComponents(edges, vertices)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run()
+    spark.conf.set("spark.graft.cc.localCap", "0")
+    val dist = try run() finally spark.conf.unset("spark.graft.cc.localCap")
+    assert(fast == dist, s"$fast vs $dist")
+    assert(fast(7L) == 7L, "edge to a non-vertex endpoint must not propagate")
+  }
+
   test("property: connected components == union-find on random graphs") {
     import org.scalacheck.{Gen, Test => SCTest}
     import org.scalacheck.Prop.forAll
