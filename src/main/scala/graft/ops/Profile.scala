@@ -820,6 +820,12 @@ object Profile {
         datediff(to_date(col("o_orderdate")),
           lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("x2"))
       val trees = s.range(0, 4).select(col("id").as("tree"))
+      // persist each level's routed rows: level i's split-finder
+      // aggregate AND the level-(i+1) join both consume rows_i, and
+      // without the cache the duplicated subtrees compound per level
+      // (the final plan held ~2^4 copies of the scan×trees pipeline —
+      // the same frame recomputed, not new work)
+      val handles = new graft.CacheHandles
       var rows = base.crossJoin(broadcast(trees)).withColumn("node", lit(1L))
       for (_ <- 1 to 3) {
         val hex = md5(concat(col("tree").cast("string"), lit(":"),
@@ -836,11 +842,12 @@ object Profile {
                  THEN mn1 + (h2m * (mx1 - mn1)) div 1009
                  ELSE mn2 + (h2m * (mx2 - mn2)) div 1009
                END AS thr""")
-        rows = rows.join(broadcast(splits), Seq("tree", "node"))
+        rows = handles.track(rows.join(broadcast(splits), Seq("tree", "node"))
           .withColumn("node", col("node") * 2 +
             when((col("dim") === 0 && col("x1") > col("thr")) ||
                  (col("dim") === 1 && col("x2") > col("thr")), 1L).otherwise(0L))
           .select("k", "x1", "x2", "tree", "node")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
       val leafScore = rows.groupBy("tree", "node")
         .agg(count(lit(1)).as("n"))
@@ -851,12 +858,15 @@ object Profile {
                     - 2.0 * CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)))
                   AS BIGINT)
              END AS c_milli""")
-      rows.join(broadcast(leafScore), Seq("tree", "node"))
+      val out = rows.join(broadcast(leafScore), Seq("tree", "node"))
         .groupBy("k")
         .agg((lit(12000L) + sum(col("c_milli"))).as("score_milli"),
           min(col("n")).as("min_leaf"))
         .orderBy(col("score_milli").asc, col("k").asc)
         .limit(20)
+      val sealedOut = graft.CacheHandles.sealOutput(out)
+      handles.releaseAll()
+      sealedOut
     },
     Some(s"""
       WITH base AS (
