@@ -753,11 +753,16 @@ object Dbscan {
       val offset = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
       val slice = emb.filter(col("vec_id") < 200)
       val proto = slice.filter(col("vec_id") === 0).select(col("v")).limit(1)
-      val plants = s.range(12)
+      val plants0 = s.range(12)
         .select((col("id") + lit(offset)).as("vec_id"))
         .crossJoin(broadcast(proto))
-      val corpus = slice.unionByName(plants)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus0 = slice.unionByName(plants0)
+      // bounded pin (≤212 vectors by the vec_id<200 literal):
+      // slice-sized parallelism — see [[graft.Checkpoints.BoundedPin]]
+      graft.Checkpoints.BoundedPin(s) { clone =>
+      // the ferry's lineage cut already materializes the corpus —
+      // the previous explicit persist is subsumed
+      val corpus = graft.Checkpoints.BoundedPin.ferry(clone, corpus0)
       val pairs = corpus.as("a").join(corpus.as("b"),
           col("a.vec_id") < col("b.vec_id"))
         .filter(graft.llm.Similarity.cosine(col("a.v"), col("b.v")) >= 0.95)
@@ -777,6 +782,7 @@ object Dbscan {
           s"exact-DBSCAN blob degraded: ${audit.getLong(0)}/13 core, " +
             s"${audit.getLong(1)} clusters (want 1)")
       out
+      }
     },
     Some(s"""
       WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),

@@ -1596,10 +1596,15 @@ object Dedup {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val slice = docs.filter(col("doc_id") < 300)
-      val base = slice.unionByName(
+      val base0 = slice.unionByName(
         slice.filter(col("doc_id") < 10)
           .select((col("doc_id") + lit(offset)).as("doc_id"),
             concat(col("text"), lit(" graftplantnovel")).as("text")))
+      // bounded pin (≤310 docs by the doc_id<300 literal): the
+      // signature/band/verify pipeline runs under slice-sized
+      // parallelism — see [[graft.Checkpoints.BoundedPin]]
+      graft.Checkpoints.BoundedPin(s) { clone =>
+      val base = graft.Checkpoints.BoundedPin.ferry(clone, base0)
       val byDoc = Window.partitionBy("doc_id").orderBy("gpos")
       val toks = base.filter(trim(col("text")) =!= "")
         .select(col("doc_id"),
@@ -1622,13 +1627,24 @@ object Dedup {
         bandedExactPerms.zipWithIndex.tail.map { case ((a, b), i) =>
           min((col("x") * lit(a) + lit(b)) % lit(BandedExactM)).as(s"s$i")
         }: _*)
-      val cand = (0 until 4).map { j =>
-        val ks = (0 until 3).map(r => s"s${3 * j + r}")
-        sigs.as("a").join(sigs.as("b"),
-            ks.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      }.reduce(_ unionByName _).distinct()
+      // band-exploded single join instead of 4 unioned self-joins:
+      // pair (a,b) survives iff SOME band's 3 rows all match — the
+      // same candidate set (distinct'd below) from ONE equi-join on
+      // (band, k0, k1, k2) instead of 4× the sigs subplan and its
+      // exchanges (¼ the stage-jobs; the oracle keeps the UNION ALL
+      // spelling, results identical)
+      val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map { j =>
+        struct(lit(j).as("bj"), col(s"s${3 * j}").as("k0"),
+          col(s"s${3 * j + 1}").as("k1"), col(s"s${3 * j + 2}").as("k2"))
+      }: _*)).as("b"))
+        .select(col("doc_id"), col("b.bj").as("bj"), col("b.k0").as("k0"),
+          col("b.k1").as("k1"), col("b.k2").as("k2"))
+      val cand = bands
+        .join(bands.select(col("doc_id").as("doc_id_b"), col("bj"),
+          col("k0"), col("k1"), col("k2")), Seq("bj", "k0", "k1", "k2"))
+        .filter(col("doc_id") < col("doc_id_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
+        .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -1651,6 +1667,7 @@ object Dedup {
           s"banded-exact recall degraded: $planted of 10 planted near-copy " +
             "pairs survived banding + verify")
       out
+      }
     },
     Some(s"""
       WITH mx AS (SELECT max(doc_id) AS m FROM documents),
@@ -1727,9 +1744,13 @@ object Dedup {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val offset = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val slice = docs.filter(col("doc_id") < 300)
-      val base = slice.unionByName(
+      val base0 = slice.unionByName(
         slice.filter(col("doc_id") < 10)
           .select((col("doc_id") + lit(offset)).as("doc_id"), col("text")))
+      // bounded pin (≤310 docs): slice-sized parallelism — see
+      // [[graft.Checkpoints.BoundedPin]]
+      graft.Checkpoints.BoundedPin(s) { clone =>
+      val base = graft.Checkpoints.BoundedPin.ferry(clone, base0)
       val toks = base.filter(trim(col("text")) =!= "")
         .select(col("doc_id"),
           explode(split(trim(col("text")), "\\s+")).as("tok"))
@@ -1754,14 +1775,24 @@ object Dedup {
           when(col(s"v$b") > 0L, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = (0 until 4).map { j =>
-        val band = (f: String) => expr(s"($f div ${1L << (10 * j)}) % 1024")
-        fps.as("a").join(fps.as("b"),
-            band("a.fp") === band("b.fp") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.fp").as("fa"), col("b.fp").as("fb"))
-      }.reduce(_ unionByName _).distinct()
+      // band-exploded single join instead of 4 unioned self-joins —
+      // same candidate set (distinct'd; fa/fb are functions of the
+      // doc ids) from ONE equi-join on (band, key); see the
+      // [[bandedExact]] cand note
+      val bands = fps.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map { j =>
+          struct(lit(j).as("bj"),
+            expr(s"(fp div ${1L << (10 * j)}) % 1024").as("bk"))
+        }: _*)).as("b"))
+        .select(col("doc_id"), col("fp"), col("b.bj").as("bj"),
+          col("b.bk").as("bk"))
+      val cand = bands
+        .join(bands.select(col("doc_id").as("doc_id_b"),
+          col("fp").as("fp_b"), col("bj"), col("bk")), Seq("bj", "bk"))
+        .filter(col("doc_id") < col("doc_id_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"),
+          col("fp").as("fa"), col("fp_b").as("fb"))
+        .distinct()
       val out = cand
         .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb")))
           .cast("long"))
@@ -1778,6 +1809,7 @@ object Dedup {
           s"simhash-exact plumbing broken: $planted of 10 planted exact " +
             "copies retrieved at hamming 0")
       out
+      }
     },
     Some(s"""
       WITH mx AS (SELECT max(doc_id) AS m FROM documents),
