@@ -186,19 +186,30 @@ object Als {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qOld = q.select(col("p"), col("q1").as("f1"), col("q2").as("f2"))
       val qNew = solveItems(r, u).select(col("p"),
-        col("q1_new_nano").as("f1"), col("q2_new_nano").as("f2"))
-      def sse(f: DataFrame): DataFrame =
-        r.join(u, Seq("c")).join(f, Seq("p"))
-          .select((col("r") * lit(1000L) -
-            expr("(u1 * f1 + u2 * f2) div 1000000")).as("res"))
-          .agg(sum(col("res") * col("res")).as("sse"))
-      def reg(f: DataFrame): DataFrame =
-        f.agg(sum(expr("(f1 * f1 + f2 * f2) div 10000")).as("reg"))
+        col("q1_new_nano").as("g1"), col("q2_new_nano").as("g2"))
+      // FUSED objective evaluation: before/after share the r⋈u join
+      // and the item-domain factor table, so one (p, f, g) factor
+      // frame feeds ONE residual pass computing BOTH sse sums and one
+      // item-domain pass computing both reg sums — the previous four
+      // broadcast subqueries ran the heavy r⋈u⋈factors join twice and
+      // re-solved the item step twice (reg_after's solveItems replay).
+      // Integer sums of identical terms: values byte-identical.
+      val qj = qOld.join(qNew, Seq("p"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sses = r.join(u, Seq("c")).join(qj, Seq("p"))
+        .select(
+          (col("r") * lit(1000L) -
+            expr("(u1 * f1 + u2 * f2) div 1000000")).as("res_b"),
+          (col("r") * lit(1000L) -
+            expr("(u1 * g1 + u2 * g2) div 1000000")).as("res_a"))
+        .agg(sum(col("res_b") * col("res_b")).as("sse_before"),
+          sum(col("res_a") * col("res_a")).as("sse_after"))
+      val regs = qj.agg(
+        sum(expr("(f1 * f1 + f2 * f2) div 10000")).as("reg_before"),
+        sum(expr("(g1 * g1 + g2 * g2) div 10000")).as("reg_after"))
       val row = r.agg(count(lit(1)).as("n_ratings"))
-        .crossJoin(broadcast(sse(qOld).select(col("sse").as("sse_before"))))
-        .crossJoin(broadcast(reg(qOld).select(col("reg").as("reg_before"))))
-        .crossJoin(broadcast(sse(qNew).select(col("sse").as("sse_after"))))
-        .crossJoin(broadcast(reg(qNew).select(col("reg").as("reg_after"))))
+        .crossJoin(broadcast(sses))
+        .crossJoin(broadcast(regs))
         .select(col("n_ratings"), col("sse_before"), col("reg_before"),
           (col("sse_before") + col("reg_before")).as("j_before"),
           col("sse_after"), col("reg_after"),
@@ -211,7 +222,7 @@ object Als {
       if (ja > jb + jb / 1000L)
         throw new IllegalStateException(
           s"ALS item step did not descend: J $jb -> $ja")
-      r.unpersist(); u.unpersist()
+      r.unpersist(); u.unpersist(); qj.unpersist()
       s.createDataFrame(s.sparkContext.parallelize(
         materialized.toIndexedSeq, 1), row.schema)
     },

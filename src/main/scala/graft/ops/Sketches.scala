@@ -170,15 +170,30 @@ object Sketches {
       val p = 10
       val env = 3 * graft.functions.HllAgg.stdError(p)
       val ev = t(s, dir, "events")
-      // null keys → null hash → skipped by the aggregate, matching
-      // COUNT(DISTINCT); xxhash64 alone would fold nulls to the seed
-      def h(c: String) = when(col(c).isNotNull, xxhash64(col(c)))
-      val shards = ev.groupBy("event_type")
+      // ONE map-side-combinable distinct over a (type, side, key)
+      // union replaces the planner's 3× Expand for the two DISTINCT
+      // aggregates (every event row used to ride the aggregate three
+      // times); the sketches build over the distinct pairs with
+      // IDENTICAL registers (register max is idempotent — duplicates
+      // never move it) and COUNT(key) over distinct pairs IS
+      // COUNT(DISTINCT key). Both key columns are BIGINT in the
+      // corpus contract, so the union coerces nothing and xxhash64
+      // sees the same physical longs. Null keys → null hash → skipped
+      // by the aggregate, matching COUNT(DISTINCT).
+      val dd = ev.select(col("event_type"), lit(0).as("side"),
+          col("user_id").as("k"))
+        .unionAll(ev.select(col("event_type"), lit(1).as("side"),
+          col("event_id").as("k")))
+        .distinct()
+        .persist() // read for the per-shard aggregate AND the global exact row
+      def h(side: Int) =
+        when(col("side") === side && col("k").isNotNull, xxhash64(col("k")))
+      val shards = dd.groupBy("event_type")
         .agg(
-          graft.functions.HllAgg.build(h("user_id"), p).as("u_regs"),
-          graft.functions.HllAgg.build(h("event_id"), p).as("e_regs"),
-          countDistinct(col("user_id")).as("exact_users"),
-          countDistinct(col("event_id")).as("exact_events"))
+          graft.functions.HllAgg.build(h(0), p).as("u_regs"),
+          graft.functions.HllAgg.build(h(1), p).as("e_regs"),
+          count(when(col("side") === 0, col("k"))).as("exact_users"),
+          count(when(col("side") === 1, col("k"))).as("exact_events"))
         .persist() // the materialized sketch table: read for per-shard rows AND the union row
       def ok(regs: org.apache.spark.sql.Column,
              exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -192,9 +207,9 @@ object Sketches {
       val global = shards.agg(
           graft.functions.HllAgg.union(col("u_regs"), p).as("u_regs"),
           graft.functions.HllAgg.union(col("e_regs"), p).as("e_regs"))
-        .crossJoin(broadcast(ev.agg(
-          countDistinct(col("user_id")).as("exact_users"),
-          countDistinct(col("event_id")).as("exact_events"))))
+        .crossJoin(broadcast(dd.agg(
+          countDistinct(when(col("side") === 0, col("k"))).as("exact_users"),
+          countDistinct(when(col("side") === 1, col("k"))).as("exact_events"))))
         .select(lit("__ALL__").as("event_type"),
           col("exact_users"), ok(col("u_regs"), col("exact_users")).as("users_ok"),
           col("exact_events"), ok(col("e_regs"), col("exact_events")).as("events_ok"))
