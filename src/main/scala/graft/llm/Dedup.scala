@@ -1442,14 +1442,19 @@ object Dedup {
       // the token array IS the sort key (Spark and DuckDB both order
       // arrays element-wise lexicographically) — carrying a joined
       // string copy would double every shuffled row's width
+      // explode the POSITION RANGE and slice per exploded row: the
+      // previous transform(sequence(...), i => slice(...)) materialized
+      // every document's full L×B nested suffix array as ONE value
+      // before posexplode walked it — an O(L·B) allocation per doc held
+      // at once; per-row slicing emits the same (doc_id, pos, sa) rows
+      // while only ever holding one B-token slice
       val sfx = docs
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
         .where(size(col("w")) >= 1)
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), size(col("w")) - 1),
-            i => slice(col("w"), i + lit(1), lit(block)))))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          col("col").as("sa"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), size(col("w")) - 1)).as("p0"))
+        .select(col("doc_id"), col("p0").cast("long").as("pos"),
+          slice(col("w"), col("p0") + lit(1), lit(block)).as("sa"))
       // ONE corpus shuffle: range-partition into global order, then
       // successors are partition-LOCAL (lead) except the P partition
       // boundaries, which stitch through a ≤2P-row frame — the

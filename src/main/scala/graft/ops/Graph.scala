@@ -987,7 +987,9 @@ object Graph {
       dirty = Some(d1)
       changed(i) = d1
     }
-    val updated = (0 to iters).map { i =>
+    // clone-bound, literal iter tags — final-iteration consumers prune
+    // the other branches; see [[incrementalPageRank]]'s return note
+    (0 to iters).map { i =>
       changed.get(i) match {
         case None => trajAt(i).select(col("v"), lit(i).as("iter"), col("label"))
         case Some(d1) =>
@@ -996,7 +998,6 @@ object Graph {
               coalesce(col("l_new"), col("label")).as("label"))
       }
     }.reduce(_.unionByName(_))
-    rebind(origin, updated)
   }
 
   /** Driver-visible incremental label propagation: same staging
@@ -1284,7 +1285,14 @@ object Graph {
       dirty = Some(d1)
       changed(i) = d1
     }
-    val updated = (0 to iters).map { i =>
+    // returned CLONE-BOUND (not rebound through an .rdd hop): the
+    // branches carry LITERAL iter tags, so a caller that consumes only
+    // the final iteration (the driver query filters iter = iters)
+    // lets Catalyst prune the other branches to empty — an .rdd
+    // rebind would materialize and Row-convert the WHOLE trajectory
+    // first and then filter it. Same SparkContext; callers that need
+    // another session's conf rebind themselves.
+    (0 to iters).map { i =>
       changed.get(i) match {
         case None => trajAt(i).select(col("v"), lit(i).as("iter"), col("r"))
         case Some(d1) =>
@@ -1293,7 +1301,6 @@ object Graph {
               coalesce(col("r_new"), col("r")).as("r"))
       }
     }.reduce(_.unionByName(_))
-    rebind(origin, updated)
   }
 
   /** Driver-visible incremental PageRank over the part k-NN

@@ -291,16 +291,27 @@ object Scd {
     * version ever recorded. Preconditions checked, not assumed: the
     * delta carries at most ONE version per (key, valid_from) cell and
     * strictly advances tx within its cell (counted in-plan; throws). */
-  def absorbCorrections(store: DataFrame, delta: DataFrame): DataFrame = {
-    val d = delta.select(col("key"), col("valid_from"),
-      col("tx_from").as("d_tx"), col("value").as("d_value"))
+  def absorbCorrections(store: DataFrame, delta: DataFrame,
+      handles: graft.CacheHandles = new graft.CacheHandles): DataFrame = {
+    // the delta is BATCH-sized and consumed five times (dup check,
+    // touch join, reclose, anti-join key set, append); the touched
+    // set is batch-sized too and consumed twice (stale check,
+    // reclose). Persisting both means the precondition counts and the
+    // returned plan each pay ONE store pass — unpersisted, the
+    // returned union joined the store against a re-derived delta
+    // twice more (the delta derivation re-ran its whole upstream
+    // scan per consumer).
+    val d = handles.track(delta.select(col("key"), col("valid_from"),
+        col("tx_from").as("d_tx"), col("value").as("d_value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dup = d.groupBy("key", "valid_from").count()
       .filter(col("count") > 1L).count()
     if (dup != 0L)
       throw new IllegalArgumentException(
         s"correction batch carries $dup multi-version cells; absorb one " +
           "version per (key, valid_from) per batch")
-    val touched = store.join(d, Seq("key", "valid_from"))
+    val touched = handles.track(store.join(d, Seq("key", "valid_from"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val stale = touched.filter(col("d_tx") <= col("tx_from")).count()
     if (stale != 0L)
       throw new IllegalArgumentException(
@@ -366,7 +377,13 @@ object Scd {
             lit(txAt).as("tx_from"), (col("value") + addCents).as("value"))
       val d1 = corrections(3L, 7L, 100000L, hexPos = 9, pct = 20)
       val d2 = corrections(4L, 8L, 50000L, hexPos = 11, pct = 15)
-      val incr = absorbCorrections(absorbCorrections(base, d1), d2)
+      val handles = new graft.CacheHandles
+      // persist the mid-chain store: batch 2's precondition count and
+      // the final chain both consume it, and each consumption would
+      // otherwise replay batch 1's whole absorb (two more store scans)
+      val s1 = handles.track(absorbCorrections(base, d1, handles)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val incr = absorbCorrections(s1, d2, handles)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def read(tAt: Long, v: Long, name: String) =
         asOf(incr, tAt, v).withColumnRenamed("value", name)
@@ -383,7 +400,7 @@ object Scd {
       // round-trip) before releasing the absorbed-store cache; the
       // range sort on the unique key is deterministic
       val mat = graft.CacheHandles.sealOutput(out)
-      incr.unpersist()
+      incr.unpersist(); handles.releaseAll()
       mat
     },
     Some("""
