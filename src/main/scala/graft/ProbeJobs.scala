@@ -53,7 +53,11 @@ object ProbeJobs {
         val planned = System.currentTimeMillis()
         df.queryExecution.toRdd.count()
         val t1 = System.currentTimeMillis()
-        Thread.sleep(200) // let the async listener bus drain job-end events
+        // drain the async listener bus deterministically — a fixed
+        // sleep dropped late job-end events on a loaded bus (ADVICE
+        // r17), understating jobMs, the exact signal measured here
+        org.apache.spark.GraftListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext, 10000)
         val snapshot = jobs.synchronized { jobs.toVector }.filter(_.end > 0)
         val jobMs = snapshot.map(j => j.end - j.start).sum
         val sb = new StringBuilder

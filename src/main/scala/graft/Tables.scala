@@ -80,17 +80,29 @@ object Tables {
       java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]]]()
 
   /** Content fingerprint of a local parquet file/directory: sorted
-    * (name, size, mtime) of its files. None → not memoizable (missing
-    * path or non-local scheme) — caller loads fresh. */
+    * (path, size, mtime) of every LEAF file, recursive, field- and
+    * record-delimited. None → not memoizable (missing path or
+    * non-local scheme) — caller loads fresh. */
   private def signature(path: String): Option[String] = {
     if (path.contains("://") && !path.startsWith("file:")) return None
-    val f = new java.io.File(path.stripPrefix("file:"))
-    if (!f.exists()) return None
-    val files = if (f.isDirectory) Option(f.listFiles()).getOrElse(return None)
-      else Array(f)
-    Some(files.sortBy(_.getName).iterator
-      .map(x => s"${x.getName}${x.length}${x.lastModified}")
-      .mkString(""))
+    val root = new java.io.File(path.stripPrefix("file:"))
+    if (!root.exists()) return None
+    // RECURSIVE walk: a partitioned layout (key=value/ subdirs)
+    // changes neither the parent's entry names nor reliably its
+    // mtime when a leaf file is rewritten, so the fingerprint
+    // must list the leaves (ADVICE r17)
+    val sb = new StringBuilder
+    def walk(f: java.io.File): Boolean = {
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles()).getOrElse(return false)
+        kids.sortBy(_.getName).forall(walk)
+      } else {
+        sb.append(f.getPath).append('\u0001').append(f.length)
+          .append('\u0001').append(f.lastModified).append('\u0002')
+        true
+      }
+    }
+    if (walk(root)) Some(sb.toString) else None
   }
 
   private def loadFresh(spark: SparkSession, path: String, name: String): DataFrame = {

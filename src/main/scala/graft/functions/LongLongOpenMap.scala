@@ -76,9 +76,10 @@ private[functions] final class LongLongOpenMap(initialCapacity: Int = 16) {
     else insertAt(-s - 1, key, delta)
   }
 
-  def remove(key: Long): Unit = {
+  /** Remove `key`; true iff it was present. */
+  def remove(key: Long): Boolean = {
     val s = find(key)
-    if (s >= 0) { keys(s) = Tomb; live -= 1 }
+    if (s >= 0) { keys(s) = Tomb; live -= 1; true } else false
   }
 
   private def insertAt(slot: Int, key: Long, value: Long): Unit = {

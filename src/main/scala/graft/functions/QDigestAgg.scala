@@ -158,31 +158,45 @@ object QDigestAgg {
   }
 
   /** Fold every (node, sibling, parent) triple with combined count
-    * < ⌊n/k⌋ into the parent, bottom-up.
+    * < ⌊n/k⌋ into the parent, bottom-up, to the SAME fixpoint as
+    * repeated full sweeps.
     *
     * Sweep = sort the live ids DESCENDING and walk once: ids sort
     * deeper-first (parent = id >> 1 < id), so each node sees its
-    * subtree already folded. Parents freshly CREATED during a sweep
-    * are the ONLY nodes whose triples still need examining — a
-    * triple that failed to fold can never become foldable later,
-    * because folding only moves mass UPWARD (every node's count is
-    * monotone non-decreasing until the node itself is folded away).
-    * So follow-up sweeps walk just the created-parent arrays (a few
-    * hundred ids) instead of re-sorting the full key set per pass —
-    * the previous fixpoint re-sorted all ~590k live ids up to
+    * subtree already folded. Follow-up sweeps need only the triples
+    * whose combined count could have CHANGED since their exam. A
+    * triple (a, sib, par) receives mass only through its own fold
+    * (into par) and loses mass only when a member is folded away;
+    * a and sib can be removed only by this triple itself, and
+    * deeper-first order means growth of a/sib happens before the
+    * exam. So after a sweep exactly two kinds of triples are live
+    * candidates: those of parents CREATED by a fold (never
+    * examined), and those whose PARENT was folded away later in the
+    * sweep (combined count dropped by the parent's mass — the case a
+    * created-parents-only rescan missed: thr 10 with counts a=3,
+    * sib=3, par=5 fails at 11, then par's own triple folds par away
+    * and a+sib=6 is foldable). Follow-up sweeps therefore walk the
+    * created parents PLUS the children pairs of every removed node —
+    * a few hundred ids — instead of re-sorting the full key set per
+    * pass (the pre-r17 fixpoint re-sorted all ~590k live ids up to
     * tree-depth times per compress call, which dominated the sketch
-    * build over a mostly-distinct 583k-value column. Fold decisions
-    * (and therefore the output digest) are bit-identical: both
-    * schedules examine every triple in the same deepest-first order
-    * and survivor triples are permanently unfoldable. */
+    * build); the fold set, and hence the digest, equals the full
+    * fixpoint's, and the eval-time size bound ≈ 3k holds again. */
   private[functions] def compress(buf: Buffer, k: Int, bits: Int): Unit = {
     val thr = buf.n / k
     if (thr <= 1) return // every positive count ≥ 1 survives c < 1; thr 1 folds only empties
+    val leafFloor = 1L << bits // ids ≥ this are leaves: no children to requeue
     var ids = buf.nodes.keysArray()
     while (ids.length > 0) {
       java.util.Arrays.sort(ids)
-      var created: Array[Long] = new Array[Long](16)
-      var nCreated = 0
+      var pending: Array[Long] = new Array[Long](16)
+      var nPending = 0
+      def enqueue(id: Long): Unit = {
+        if (nPending == pending.length)
+          pending = java.util.Arrays.copyOf(pending, pending.length * 2)
+        pending(nPending) = id
+        nPending += 1
+      }
       var i = ids.length - 1
       while (i >= 0) {
         val id = ids(i)
@@ -194,21 +208,27 @@ object QDigestAgg {
             buf.nodes.getOrElse(par, 0L)
           if (c < thr) {
             val parExisted = buf.nodes.contains(par)
-            buf.nodes.remove(a); buf.nodes.remove(sib)
+            // removed INTERNAL nodes may leave live children whose
+            // failed triples just lost this node's mass — requeue
+            // them (leaves — the overwhelming majority of folds —
+            // have no children to probe)
+            if (buf.nodes.remove(a) && a < leafFloor) {
+              if (buf.nodes.contains(2 * a)) enqueue(2 * a)
+              if (buf.nodes.contains(2 * a + 1)) enqueue(2 * a + 1)
+            }
+            if (buf.nodes.remove(sib) && sib < leafFloor) {
+              if (buf.nodes.contains(2 * sib)) enqueue(2 * sib)
+              if (buf.nodes.contains(2 * sib + 1)) enqueue(2 * sib + 1)
+            }
             if (c > 0) {
               buf.nodes.put(par, c)
-              if (!parExisted) {
-                if (nCreated == created.length)
-                  created = java.util.Arrays.copyOf(created, created.length * 2)
-                created(nCreated) = par
-                nCreated += 1
-              }
+              if (!parExisted) enqueue(par)
             } else buf.nodes.remove(par)
           }
         }
         i -= 1
       }
-      ids = java.util.Arrays.copyOf(created, nCreated)
+      ids = java.util.Arrays.copyOf(pending, nPending)
     }
   }
 
@@ -284,7 +304,15 @@ case class QDigestUnionAgg(
       var i = 0
       while (i < arr.numElements()) {
         val e = arr.getStruct(i, 2)
-        buf.nodes.addTo(e.getLong(0), e.getLong(1))
+        val id = e.getLong(0)
+        // dyadic-tree node ids live in [1, 2^(L+1)); the buffer map
+        // reserves 0 and Long.MinValue as slot sentinels, so a
+        // malformed input digest must fail loudly instead of silently
+        // dropping its count into an invisible slot
+        require(id >= 1 && id < (2L << universeBits),
+          s"qdigest union input carries node id $id outside " +
+            s"[1, 2^${universeBits + 1}) — not a q-digest over this universe")
+        buf.nodes.addTo(id, e.getLong(1))
         buf.n += e.getLong(1)
         i += 1
       }

@@ -242,6 +242,37 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("QDigest compress: a fold that removes a parent re-examines its children") {
+    // ADVICE r17 scenario: thr = 10 (n = 160, k = 16), counts a=3,
+    // sib=3, par=5 — the (a, sib, par) triple fails at 11, then par's
+    // OWN triple folds par away (5 < 10), which drops a+sib to 6 and
+    // makes the children pair foldable. A created-parents-only rescan
+    // left the stale {8:3, 9:3} in the digest; the full fixpoint folds
+    // them into 4, then fails (4,5,2) at 6+5=11. The far leaf only
+    // inflates n.
+    import graft.functions.QDigestAgg
+    import spark.implicits._
+    val big = (1L << 24) + 1000000L
+    val out = Seq(Seq((8L, 3L), (9L, 3L), (4L, 5L), (big, 149L))).toDF("d")
+      .agg(QDigestAgg.union(col("d"), 24, 16)).head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out == Seq((1L, 5L), (2L, 6L), (big, 149L)),
+      s"expected the full-fixpoint digest, got $out")
+  }
+
+  test("QDigest union rejects node ids outside the universe's dyadic tree") {
+    import graft.functions.QDigestAgg
+    import spark.implicits._
+    // id 0 is the open-map's empty-slot sentinel: silently accepting
+    // it would drop the count into an invisible slot
+    val ex = intercept[Exception] {
+      Seq(Seq((0L, 5L))).toDF("d")
+        .agg(QDigestAgg.union(col("d"), 24, 16)).head()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("CMS join-size estimate never undercounts and is exact on collision-free keys") {
     import spark.implicits._
     import graft.functions.CountMinAgg
