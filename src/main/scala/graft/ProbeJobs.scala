@@ -25,6 +25,10 @@ object ProbeJobs {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // application-sized codegen class cache — see Bench.scala's note
+      // (env-tunable here so the dev tool can A/B the value)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -20,6 +20,8 @@ object ProbePlan {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // application-sized codegen class cache — see Bench.scala's note
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -257,8 +257,9 @@ object Dbscan {
       val deltaA = handles.track(
         delta.withColumn("block", Ivf.clusterOf(col("v"), centroids))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val allA = handles.track(histA.unionByName(deltaA)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // single consumer (the blocked join's right side): a persist
+      // here only added a cache write+read around one pass
+      val allA = histA.unionByName(deltaA)
       // the delta-sided blocked join: every new pair touches >= 1
       // delta point, so state pairs (hist-hist) and delta pairs
       // partition the union pair set
@@ -266,9 +267,13 @@ object Dbscan {
         pairsAmongAssigned(deltaA, allA, 0.95)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val allPairs = statePairs.unionByName(deltaPairs)
-      val incrDeg = stateDeg
+      // consumed twice (the maintained-degree proof AND the core
+      // test); pair-domain — cache the merge instead of re-shuffling
+      // the state+delta degree union per consumer
+      val incrDeg = handles.track(stateDeg
         .unionByName(pairDegrees(deltaPairs))
         .groupBy("id").agg(sum(col("deg")).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // in-query proof 1: maintained degrees == from-scratch recount
       val degMismatch = incrDeg
         .join(pairDegrees(allPairs).withColumnRenamed("deg", "deg_full"),

